@@ -1,13 +1,417 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+import graft.sources.Ingest
+import graft.functions.Vec
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  * Every query has a DuckDB oracle in [[oracleSql]] unless the op is not
+  * SQL-expressible (minhash/simhash — hash functions have no portable SQL
+  * equivalent; they carry property-based ScalaTest specs instead).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q3JoinAgg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A — ingestion
+    "src_parquet_pruned"     -> Ingest.parquetPruned _,
+    "src_csv_read"           -> Ingest.csvRead _,
+    "src_json_features"      -> Ingest.jsonFeatures _,
+    "src_rest_oid_sweep"     -> ((s: SparkSession, d: String) => Ingest.restOidSweep(s, d)),
+    "src_rest_offset_paging" -> ((s: SparkSession, d: String) => Ingest.restOffsetPaging(s, d)),
+    "src_snapshot_load"      -> Ingest.snapshotLoad _,
+    // B — staging / normalization
+    "etl_sanitize_names"     -> Staging.sanitizeNames _,
+    "etl_schema_normalize"   -> Staging.schemaNormalize _,
+    "etl_geomtype_split"     -> Staging.geomTypeSplit _,
+    "etl_best_candidate"     -> Staging.bestCandidate _,
+    // C — geoprocessing
+    "geo_bbox_clip"          -> Geo.bboxClip _,
+    "geo_reproject"          -> Geo.reproject _,
+    "geo_sr_validate"        -> Geo.srValidate _,
+    "geo_envelope_check"     -> Geo.envelopeCheck _,
+    "geo_count_sanity"       -> Geo.countSanity _,
+    "geo_sr_infer"           -> Geo.srInfer _,
+    // D — load / monitoring
+    "load_truncate_load"     -> LoadOps.truncateLoad _,
+    "mon_source_summary"     -> LoadOps.sourceSummary _,
+    "mon_error_patterns"     -> LoadOps.errorPatterns _,
+    // E — relational core
+    "q1_agg"                 -> Relational.q1Agg _,
+    "q3_join_agg"            -> Relational.q3JoinAgg _,
+    "q5_multi_join"          -> Relational.q5MultiJoin _,
+    "q6_filter_agg"          -> Relational.q6FilterAgg _,
+    "q_semi_join"            -> Relational.qSemiJoin _,
+    "q_anti_join"            -> Relational.qAntiJoin _,
+    "q_window_topk"          -> Relational.qWindowTopK _,
+    "q_rollup"               -> Relational.qRollup _,
+    "q_pivot"                -> Relational.qPivot _,
+    "q_union_dedup"          -> Relational.qUnionDedup _,
+    "q_asof_join"            -> Relational.qAsofJoin _,
+    "q_sessionize"           -> Relational.qSessionize _,
+    "q_time_bucket"          -> Relational.qTimeBucket _,
+    "q_running_agg"          -> Relational.qRunningAgg _,
+    // F — LLM-training-data operators
+    "dedup_exact"            -> Dedup.dedupExact _,
+    "dedup_fingerprint"      -> Dedup.dedupFingerprint _,
+    "dedup_ngram_jaccard"    -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
+    "dedup_minhash_lsh"      -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
+    "dedup_simhash"          -> Dedup.simhashBuckets _,
+    "neardup_cosine"         -> ((s: SparkSession, d: String) => Similarity.neardupCosine(s, d)),
+    "ann_topk"               -> ((s: SparkSession, d: String) => Similarity.annTopK(s, d)),
+    "ann_lsh_bucketed"       -> Similarity.annLshBuckets _,
+    "text_quality"           -> TextAnalysis.quality _,
+    "text_langid"            -> TextAnalysis.langid _,
+    "text_tokens"            -> TextAnalysis.tokenCount _,
+    "mm_binary_meta"         -> Multimodal.binaryMeta _,
+  )
+
+  // shared SQL fragments for the oracle ---------------------------------
+
+  private val toks =
+    """list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"""
+
+  private def hitsSql(words: Seq[String]) =
+    s"""len(list_filter(toks, x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"""
+
+  private val synthXY =
+    """SELECT o_orderkey, o_orderstatus,
+      | CAST(150000 + (o_orderkey * 7919) % 800001 AS DOUBLE) AS x,
+      | CAST(6050000 + (o_orderkey * 104729) % 1700001 AS DOUBLE) AS y
+      |FROM orders""".stripMargin
+
+  private val evSec =
+    "SELECT *, CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS sec FROM events"
+
+  private def cosSql(a: String, b: String) =
+    s"list_inner_product($a,$b)/(sqrt(list_inner_product($a,$a))*sqrt(list_inner_product($b,$b)))"
+
+  private val lshBucketSql: String = {
+    val planes = Vec.planeWeights(Similarity.NPlanes, 64)
+    planes.zipWithIndex.map { case (w, h) =>
+      val wl = w.mkString("[", ",", "]")
+      s"(CASE WHEN list_inner_product(v, $wl) > 0.0 THEN ${1L << h} ELSE 0 END)"
+    }.mkString(" + ")
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] = Map(
+    "src_parquet_pruned" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity >= 45 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "src_csv_read" ->
+      "SELECT CAST(r_regionkey AS INT) AS r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "src_json_features" ->
+      """SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
+        | CAST(n_regionkey AS INT) AS n_regionkey FROM nation ORDER BY n_nationkey""".stripMargin,
+    "src_rest_oid_sweep" ->
+      """WITH b AS (SELECT min(l_orderkey) mn, max(l_orderkey) mx FROM lineitem),
+        |ps AS (SELECT CAST(ceil((mx - mn + 1) / 16.0) AS BIGINT) v FROM b)
+        |SELECT CAST(floor(l_orderkey / (SELECT v FROM ps)) AS BIGINT) AS oid_batch,
+        | count(*) AS n, CAST(sum(l_orderkey) AS BIGINT) AS key_checksum
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src_rest_offset_paging" ->
+      """WITH x AS (SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS off FROM lineitem)
+        |SELECT CAST(floor(off / 1000) AS BIGINT) AS page, count(*) AS n,
+        | CAST(min(off) AS BIGINT) AS first_off, CAST(max(off) AS BIGINT) AS last_off
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src_snapshot_load" ->
+      """SELECT l_linestatus, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "etl_sanitize_names" ->
+      """WITH c AS (SELECT p_partkey,
+        |  trim(regexp_replace(lower(p_name), '[^a-z0-9]+', '_', 'g'), '_') AS cn,
+        |  trim(regexp_replace(lower(p_type), '[^a-z0-9]+', '_', 'g'), '_') AS ct FROM part),
+        |n AS (SELECT p_partkey,
+        |  CASE WHEN length(cn) = 0 THEN 'unnamed_fc' ELSE cn END AS cn,
+        |  CASE WHEN length(ct) = 0 THEN 'unnamed_fc' ELSE ct END AS ct FROM c)
+        |SELECT p_partkey,
+        | CASE WHEN regexp_matches(substr(cn,1,1), '^[0-9]') THEN 'fc_' || cn ELSE cn END AS safe_name,
+        | CASE WHEN regexp_matches(substr(ct,1,1), '^[0-9]') THEN 'fc_' || ct ELSE ct END AS safe_type
+        |FROM n ORDER BY p_partkey""".stripMargin,
+    "etl_schema_normalize" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS custkey, upper(trim(c_name)) AS name,
+        | CAST(c_nationkey AS BIGINT) AS nationkey,
+        | CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+        | coalesce(c_mktsegment, 'UNKNOWN') AS segment
+        |FROM customer ORDER BY custkey""".stripMargin,
+    "etl_geomtype_split" ->
+      """WITH t AS (SELECT p_brand, CASE CAST(p_partkey % 3 AS INT)
+        |   WHEN 0 THEN 'Point' WHEN 1 THEN 'LineString' ELSE 'Polygon' END AS geom_type FROM part),
+        |c AS (SELECT p_brand, geom_type, count(*) AS n FROM t GROUP BY 1, 2),
+        |r AS (SELECT p_brand, geom_type, n,
+        |  row_number() OVER (PARTITION BY p_brand ORDER BY n DESC, geom_type) AS rn FROM c)
+        |SELECT p_brand, geom_type AS dominant_type, CAST(n AS BIGINT) AS n_features
+        |FROM r WHERE rn = 1 ORDER BY p_brand""".stripMargin,
+    "etl_best_candidate" ->
+      """WITH r AS (SELECT s_nationkey, s_suppkey, s_name, s_acctbal,
+        |  row_number() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS rn
+        | FROM supplier)
+        |SELECT CAST(s_nationkey AS INT) AS nationkey, s_suppkey AS best_suppkey,
+        | s_name AS best_name, s_acctbal AS best_acctbal
+        |FROM r WHERE rn = 1 ORDER BY nationkey""".stripMargin,
+
+    "geo_bbox_clip" ->
+      s"""WITH c AS ($synthXY)
+         |SELECT o_orderkey, x, y FROM c
+         |WHERE x >= 400000 AND x <= 600000 AND y >= 6500000 AND y <= 7000000
+         |ORDER BY o_orderkey""".stripMargin,
+    "geo_reproject" ->
+      """WITH c AS (SELECT o_orderkey,
+        |  10.0 + ((o_orderkey * 7919) % 1500001) / 100000.0 AS lon,
+        |  55.0 + ((o_orderkey * 104729) % 1500001) / 100000.0 AS lat
+        | FROM orders WHERE o_orderkey % 20 = 0)
+        |SELECT o_orderkey, lon, lat,
+        | round(radians(lon) * 6378137.0, 2) AS mx,
+        | round(ln(tan(pi() / 4 + radians(lat) / 2)) * 6378137.0, 2) AS my
+        |FROM c ORDER BY o_orderkey""".stripMargin,
+    "geo_sr_validate" ->
+      s"""WITH c AS (SELECT *,
+         |  ((o_orderkey * 31) % 400) - 200.0 AS glon,
+         |  ((o_orderkey * 37) % 200) - 100.0 AS glat
+         | FROM ($synthXY))
+         |SELECT
+         | CAST(sum(CASE WHEN x >= 200000 AND x <= 900000 AND y >= 6100000 AND y <= 7700000 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_sweref,
+         | CAST(sum(CASE WHEN NOT (x >= 200000 AND x <= 900000 AND y >= 6100000 AND y <= 7700000) THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid_sweref,
+         | CAST(sum(CASE WHEN glon >= -180 AND glon <= 180 AND glat >= -90 AND glat <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_wgs84,
+         | CAST(sum(CASE WHEN NOT (glon >= -180 AND glon <= 180 AND glat >= -90 AND glat <= 90) THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid_wgs84,
+         | CAST(sum(CASE WHEN glon >= 10 AND glon <= 25 AND glat >= 55 AND glat <= 70 THEN 1 ELSE 0 END) AS BIGINT) AS n_sweden_wgs84
+         |FROM c""".stripMargin,
+    "geo_envelope_check" ->
+      s"""WITH c AS ($synthXY),
+         |e AS (SELECT o_orderstatus, min(x) AS xmin, min(y) AS ymin, max(x) AS xmax, max(y) AS ymax
+         | FROM c WHERE x >= 400000 AND x <= 600000 AND y >= 6500000 AND y <= 7000000
+         | GROUP BY o_orderstatus)
+         |SELECT o_orderstatus, xmin, ymin, xmax, ymax,
+         | CAST(abs(xmin - 400000.0) <= 20000.0 AND abs(ymin - 6500000.0) <= 50000.0
+         |  AND abs(xmax - 600000.0) <= 20000.0 AND abs(ymax - 7000000.0) <= 50000.0 AS INT) AS envelope_ok
+         |FROM e ORDER BY o_orderstatus""".stripMargin,
+    "geo_count_sanity" ->
+      s"""WITH c AS ($synthXY),
+         |n AS (SELECT
+         |  CAST(sum(CASE WHEN x >= 450000 AND x <= 550000 AND y >= 6600000 AND y <= 6900000 THEN 1 ELSE 0 END) AS BIGINT) AS small_n,
+         |  CAST(sum(CASE WHEN x >= 400000 AND x <= 600000 AND y >= 6500000 AND y <= 7000000 THEN 1 ELSE 0 END) AS BIGINT) AS large_n
+         | FROM c)
+         |SELECT small_n, large_n, CAST(small_n <= large_n AS INT) AS sane,
+         | CAST(CAST(small_n AS DOUBLE) / large_n >= 0.1 AS INT) AS ratio_ok FROM n""".stripMargin,
+    "geo_sr_infer" ->
+      """WITH c AS (SELECT
+        |  CASE WHEN o_orderkey % 2 = 0 THEN ((o_orderkey * 31) % 400) - 200.0
+        |       ELSE CAST(150000 + (o_orderkey * 7919) % 800001 AS DOUBLE) END AS cx,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN ((o_orderkey * 37) % 200) - 100.0
+        |       ELSE CAST(6050000 + (o_orderkey * 104729) % 1700001 AS DOUBLE) END AS cy
+        | FROM orders)
+        |SELECT CASE WHEN cx >= -180 AND cx <= 180 AND cy >= -90 AND cy <= 90 THEN 4326
+        |  WHEN cx >= 200000 AND cx <= 900000 AND cy >= 6100000 AND cy <= 7700000 THEN 3006
+        |  ELSE 0 END AS inferred_sr, count(*) AS n
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "load_truncate_load" ->
+      """SELECT o_orderpriority, count(*) AS loaded_rows,
+        | round(sum(o_totalprice), 2) AS loaded_value
+        |FROM orders WHERE o_orderstatus = 'F' GROUP BY 1 ORDER BY 1""".stripMargin,
+    "mon_source_summary" ->
+      """SELECT event_type AS source, count(*) AS n_runs,
+        | CAST(sum(CASE WHEN value >= 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_success,
+        | round(CAST(sum(CASE WHEN value >= 1.0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS success_rate,
+        | round(avg(value), 2) AS avg_duration,
+        | round(sum(value), 2) AS total_duration,
+        | CAST(sum(CAST(regexp_extract(props, 'k":\s*([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS total_retries
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "mon_error_patterns" ->
+      """SELECT CASE WHEN value < 1.0 THEN 'timeout' WHEN value < 10.0 THEN 'http_4xx'
+        |  WHEN value < 100.0 THEN 'http_5xx' ELSE 'transfer_limit' END AS error_class,
+        | count(*) AS n, round(avg(value), 2) AS avg_magnitude
+        |FROM events WHERE event_type = 'error' GROUP BY 1 ORDER BY n DESC, error_class""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        | round(avg(l_quantity), 2) AS avg_qty,
+        | round(avg(l_extendedprice), 2) AS avg_price,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q3_join_agg" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        | AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_multi_join" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q6_filter_agg" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        | AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 495000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderpriority = '1-URGENT' AND o_totalprice > 450000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_window_topk" ->
+      """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders)
+        |SELECT o_custkey, CAST(rn AS INT) AS rn, o_orderkey, o_totalprice
+        |FROM r WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        | count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderstatus,
+        | CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p_urgent,
+        | CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p_high,
+        | CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p_medium,
+        | CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p_notspec,
+        | CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p_low,
+        | round(avg(o_totalprice), 2) AS avg_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_union_dedup" ->
+      """SELECT CAST(c_nationkey AS INT) AS nk FROM customer
+        |UNION SELECT CAST(s_nationkey AS INT) FROM supplier ORDER BY nk""".stripMargin,
+    "q_asof_join" ->
+      s"""WITH ev AS ($evSec),
+         |c AS (SELECT user_id, sec, max(value) AS click_value FROM ev
+         |  WHERE event_type = 'click' GROUP BY 1, 2),
+         |p AS (SELECT event_id, user_id, sec, value FROM ev WHERE event_type = 'purchase')
+         |SELECT p.event_id, p.user_id, p.sec AS purchase_sec, p.value AS purchase_value,
+         | c.sec AS last_click_sec, round(c.click_value, 2) AS last_click_value
+         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.sec >= c.sec
+         |ORDER BY p.event_id""".stripMargin,
+    "q_sessionize" ->
+      s"""WITH ev AS ($evSec),
+         |b AS (SELECT user_id, event_id, sec, value,
+         |  CASE WHEN lag(sec) OVER w IS NULL THEN 1
+         |       WHEN sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+         | FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+         |s AS (SELECT user_id, sec, value, sum(brk) OVER
+         |  (PARTITION BY user_id ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+         | FROM b)
+         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+         | CAST(min(sec) AS BIGINT) AS start_sec, CAST(max(sec) AS BIGINT) AS end_sec,
+         | round(sum(value), 2) AS session_value
+         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_time_bucket" ->
+      """SELECT CAST(floor(floor(extract(epoch FROM ts)) / 3600) * 3600 AS BIGINT) AS bucket_start,
+        | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_running_agg" ->
+      s"""WITH ev AS ($evSec)
+         |SELECT user_id, event_id, sec,
+         | round(sum(value) OVER (PARTITION BY user_id ORDER BY sec, event_id
+         |   ROWS UNBOUNDED PRECEDING), 2) AS running_value
+         |FROM ev ORDER BY user_id, sec, event_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS grp, count(*) AS n_copies, min(doc_id) AS keeper
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_fingerprint" ->
+      s"""WITH f AS (SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS fp
+         | FROM documents)
+         |SELECT fp AS fingerprint, count(*) AS n_docs, min(doc_id) AS keeper
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars,
+        |  CASE WHEN length(text) >= 3
+        |   THEN list_distinct([substr(lower(text), CAST(i AS INT), 3) for i in range(1, length(text) - 1)])
+        |   ELSE [] END AS sh
+        | FROM documents),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.lang AS lang,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+        | FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  AND abs(a.n_chars - b.n_chars) <= 30)
+        |SELECT d1, d2, lang, jaccard FROM p WHERE jaccard >= 0.82 ORDER BY d1, d2""".stripMargin,
+    "neardup_cosine" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, CAST(a.label AS INT) AS label,
+         |  round(${cosSql("a.v", "b.v")}, 4) AS cos
+         | FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT id1, id2, label, cos FROM p WHERE cos >= 0.35 ORDER BY id1, id2""".stripMargin,
+    "ann_topk" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+         |s AS (SELECT vec_id, CAST(label AS INT) AS label,
+         |  round(${cosSql("embedding::DOUBLE[]", "qv")}, 4) AS score
+         | FROM embeddings, q WHERE vec_id <> 0)
+         |SELECT vec_id, label, score FROM s ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
+    "ann_lsh_bucketed" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id, $lshBucketSql AS bucket FROM e)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n, min(vec_id) AS min_vec_id
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_quality" ->
+      s"""WITH q AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m, $toks AS toks,
+         |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+         |  CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct
+         | FROM documents),
+         |r AS (SELECT doc_id, n_chars_m, CAST(len(toks) AS BIGINT) AS n_words,
+         |  CAST(${hitsSql(Seq("the", "a", "and", "of", "to"))} AS BIGINT) AS n_stop,
+         |  n_alpha, n_punct FROM q),
+         |f AS (SELECT doc_id, n_chars_m, n_words,
+         |  round(CAST(n_alpha AS DOUBLE) / greatest(n_words, 1), 4) AS avg_word_len,
+         |  round(CAST(n_punct AS DOUBLE) / greatest(n_chars_m, 1), 4) AS punct_ratio,
+         |  round(CAST(n_stop AS DOUBLE) / greatest(n_words, 1), 4) AS stop_ratio FROM r)
+         |SELECT doc_id, n_chars_m, n_words, avg_word_len, punct_ratio, stop_ratio,
+         | round(least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5
+         |   + (1.0 - punct_ratio) * 0.3 + stop_ratio * 0.2, 4) AS quality_score
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      s"""WITH q AS (SELECT lang, $toks AS toks FROM documents),
+         |h AS (SELECT lang,
+         |  ${hitsSql(TextAnalysis.langStops(0)._2)} AS h_en,
+         |  ${hitsSql(TextAnalysis.langStops(1)._2)} AS h_de,
+         |  ${hitsSql(TextAnalysis.langStops(2)._2)} AS h_es,
+         |  ${hitsSql(TextAnalysis.langStops(3)._2)} AS h_fr FROM q)
+         |SELECT lang,
+         | CASE WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+         |      WHEN h_de >= h_es AND h_de >= h_fr THEN 'de'
+         |      WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END AS predicted,
+         | count(*) AS n
+         |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "text_tokens" ->
+      s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m,
+         | CAST(len($toks) AS BIGINT) AS ws_tokens,
+         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_binary_meta" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS checksum,
+        | CAST(CASE WHEN length(text) = 0 THEN 0 ELSE ascii(text) END AS BIGINT) AS first_cp,
+        | CAST(64 + strlen(text) % 1024 AS BIGINT) AS fake_width,
+        | CAST(64 + (strlen(text) * 7) % 1024 AS BIGINT) AS fake_height,
+        | CAST(3 AS BIGINT) AS fake_channels
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
 }

@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.SimHash64
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (SURVEY §2 F1–F5).
+  *
+  * Scale design: exact/fingerprint dedup are single hash-shuffles on the
+  * digest; the near-dup operators never run an unblocked O(n²) pass —
+  * candidates come from LSH band buckets (MinHash) / blocking keys
+  * (Jaccard) / prefix buckets (SimHash), so the only shuffles are
+  * groupBys on bucket keys.
+  */
+object Dedup {
+
+  /** Distinct character 3-gram shingles of the lowercased text. */
+  def shingles(text: Column): Column = {
+    val lowered = lower(text)
+    when(length(lowered) >= 3,
+      array_distinct(transform(sequence(lit(1), length(lowered) - 2),
+        i => lowered.substr(i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** F1: exact dedup — group by full content (digest shown for compact
+    * output), keep the lowest doc_id. One shuffle on the digest. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .groupBy(md5(col("text").cast("binary")).as("grp"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
+      .orderBy(col("grp"))
+  }
+
+  /** F2: fingerprint dedup — md5 over the sorted distinct token set, so
+    * reordered / re-whitespaced copies collapse to one group. */
+  def dedupFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val toks = TextAnalysis.tokens(col("text"))
+    t.documents
+      .groupBy(md5(array_join(array_sort(array_distinct(toks)), " ")
+        .cast("binary")).as("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+      .orderBy(col("fingerprint"))
+  }
+
+  /** F3: n-gram Jaccard near-dup pairs. Candidates are blocked on
+    * (lang, |n_chars| band) — at scale the block key bounds the join fan-out
+    * and the shuffle is an equi-join on the key, never all-pairs. */
+  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.82): DataFrame = {
+    val t = Tables(spark, dir)
+    val d = t.documents.select(col("doc_id"), col("lang"), col("n_chars"),
+      shingles(col("text")).as("sh"))
+    val a = d.select(col("doc_id").as("d1"), col("lang"), col("n_chars").as("nc1"), col("sh").as("sh1"))
+    val b = d.select(col("doc_id").as("d2"), col("lang"), col("n_chars").as("nc2"), col("sh").as("sh2"))
+    a.join(b, Seq("lang"))
+      .filter(col("d1") < col("d2") && abs(col("nc1") - col("nc2")) <= 30)
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("lang"), col("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  private val NumPerms = 32
+  private val Bands = 8 // 4 rows per band
+  private val Prime = 2147483647L
+
+  /** MinHash signature column: per permutation i, min over shingle hashes
+    * of (a_i·h + b_i) mod p. Built from codegen'd array functions. */
+  def minhashSignature(sh: Column): Column = {
+    // bound each hash into [0, p) first so h*a+b stays well inside Long
+    // (Spark 4 is ANSI mode: overflow would throw, not wrap)
+    val hashes = transform(sh, s => pmod(xxhash64(s), lit(Prime)))
+    array((0 until NumPerms).map { i =>
+      val a = lit(2L * i + 1)
+      val b = lit(1000003L * i + 12345L)
+      array_min(transform(hashes, h => pmod(h * a + b, lit(Prime))))
+    }: _*)
+  }
+
+  /** F4: MinHash + LSH banded near-dup. Signature → 8 band hashes →
+    * candidates = pairs sharing a band bucket → estimated similarity =
+    * fraction of agreeing signature components. Output is a per-doc
+    * candidate summary (deterministic even when no near-dups exist). */
+  def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val t = Tables(spark, dir)
+    val sig = t.documents
+      .select(col("doc_id"), minhashSignature(shingles(col("text"))).as("sig"))
+    val banded = sig.select(col("doc_id"), col("sig"),
+        explode(array((0 until Bands).map { h =>
+          struct(lit(h).as("band"), xxhash64(lit(h), slice(col("sig"), h * 4 + 1, 4)).as("bh"))
+        }: _*)).as("b"))
+      .select(col("doc_id"), col("sig"), col("b.band"), col("b.bh"))
+    val pairs = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        col("x.sig").as("s1"), col("y.sig").as("s2"))
+      .distinct()
+      .withColumn("est_sim", round(
+        aggregate(zip_with(col("s1"), col("s2"),
+          (p, q) => when(p === q, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+          .cast("double") / NumPerms, 4))
+      .filter(col("est_sim") >= threshold)
+    val perDoc = pairs.select(col("d1").as("doc_id"), col("est_sim"))
+      .union(pairs.select(col("d2").as("doc_id"), col("est_sim")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_candidates"), max(col("est_sim")).as("max_est_sim"))
+    sig.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("max_est_sim"), lit(0.0)).as("max_est_sim"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** F5: SimHash near-dup buckets — native `simhash64` expression, bucket
+    * by the high 16 bits (one band); bucket-mate count per doc. */
+  def simhashBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("band"))
+    t.documents
+      .select(col("doc_id"),
+        SimHash64.simhash64(spark, TextAnalysis.tokens(col("text"))).as("simhash"))
+      .withColumn("band", shiftrightunsigned(col("simhash"), 48))
+      .withColumn("n_bucket_mates", (count(lit(1)).over(w) - 1).cast("long"))
+      .select(col("doc_id"), col("simhash"), col("band"), col("n_bucket_mates"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Geoprocessing (SURVEY §2 C). Re-expresses op-etl's geoprocessing +
+  * spatial-reference enforcement (/root/reference/etl/process.py,
+  * sr_utils.py) over planar (x, y) columns.
+  *
+  * The testdata has no geometry, so coordinates are derived
+  * deterministically from keys (identical arithmetic in the DuckDB
+  * oracle). All ops are per-row predicates/expressions: shuffle-free,
+  * codegen'd, and bbox filters are partition-prunable at scale.
+  */
+object Geo {
+
+  /** Synthetic SWEREF99-TM-like planar meters (EPSG:3006 magnitudes). */
+  private def synthXY(df: DataFrame): DataFrame = df
+    .withColumn("x", (lit(150000L) + (col("o_orderkey") * 7919L) % 800001L).cast("double"))
+    .withColumn("y", (lit(6050000L) + (col("o_orderkey") * 104729L) % 1700001L).cast("double"))
+
+  /** Synthetic Sweden-range lon/lat (WGS84 degrees). */
+  private def synthLonLat(df: DataFrame): DataFrame = df
+    .withColumn("lon", lit(10.0) + ((col("o_orderkey") * 7919L) % 1500001L) / 100000.0)
+    .withColumn("lat", lit(55.0) + ((col("o_orderkey") * 104729L) % 1500001L) / 100000.0)
+
+  // AOI used by clip/envelope/sanity (process.py clips to a municipality
+  // boundary; modeled as its bounding box).
+  private val (bxmin, bymin, bxmax, bymax) = (400000.0, 6500000.0, 600000.0, 7000000.0)
+
+  private def inBox(x: Column, y: Column, x0: Double, y0: Double, x1: Double, y1: Double): Column =
+    x >= x0 && x <= x1 && y >= y0 && y <= y1
+
+  /** C1: clip features to the AOI bbox (process.py:115 arcpy.analysis.Clip).
+    * A pure range predicate — pushes to the scan, prunes partitions. */
+  def bboxClip(spark: SparkSession, dir: String): DataFrame =
+    synthXY(Tables(spark, dir).orders)
+      .filter(inBox(col("x"), col("y"), bxmin, bymin, bxmax, bymax))
+      .select(col("o_orderkey"), col("x"), col("y"))
+      .orderBy(col("o_orderkey"))
+
+  /** C2: reproject WGS84 lon/lat to planar meters (process.py:137
+    * arcpy.management.Project). Spherical-Mercator forward as native trig
+    * columns — whole-stage codegen, no UDF. */
+  def reproject(spark: SparkSession, dir: String): DataFrame = {
+    val r = 6378137.0
+    synthLonLat(Tables(spark, dir).orders)
+      .filter(col("o_orderkey") % 20 === 0)
+      .select(col("o_orderkey"), col("lon"), col("lat"),
+        round(radians(col("lon")) * r, 2).as("mx"),
+        round(log(tan(lit(Math.PI / 4) + radians(col("lat")) / 2)) * r, 2).as("my"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** C3: coordinate-magnitude validation (sr_utils.py:15
+    * validate_coordinates_magnitude; :39/:49 per-SR bounds). */
+  def srValidate(spark: SparkSession, dir: String): DataFrame = {
+    val df = synthXY(Tables(spark, dir).orders)
+      .withColumn("glon", ((col("o_orderkey") * 31L) % 400L).cast("double") - 200.0)
+      .withColumn("glat", ((col("o_orderkey") * 37L) % 200L).cast("double") - 100.0)
+    val validSweref = inBox(col("x"), col("y"), 200000, 6100000, 900000, 7700000)
+    val validWgs = inBox(col("glon"), col("glat"), -180, -90, 180, 90)
+    val validSweden = inBox(col("glon"), col("glat"), 10, 55, 25, 70)
+    df.agg(
+      sum(when(validSweref, 1).otherwise(0)).cast("long").as("n_valid_sweref"),
+      sum(when(!validSweref, 1).otherwise(0)).cast("long").as("n_invalid_sweref"),
+      sum(when(validWgs, 1).otherwise(0)).cast("long").as("n_valid_wgs84"),
+      sum(when(!validWgs, 1).otherwise(0)).cast("long").as("n_invalid_wgs84"),
+      sum(when(validSweden, 1).otherwise(0)).cast("long").as("n_sweden_wgs84"))
+  }
+
+  /** C4: response-envelope vs requested-bbox tolerance check
+    * (sr_utils.py:62 validate_bbox_vs_envelope, 10% tolerance). */
+  def envelopeCheck(spark: SparkSession, dir: String): DataFrame = {
+    val tol = 0.1
+    val xw = (bxmax - bxmin) * tol
+    val yw = (bymax - bymin) * tol
+    synthXY(Tables(spark, dir).orders)
+      .filter(inBox(col("x"), col("y"), bxmin, bymin, bxmax, bymax))
+      .groupBy(col("o_orderstatus"))
+      .agg(min(col("x")).as("xmin"), min(col("y")).as("ymin"),
+        max(col("x")).as("xmax"), max(col("y")).as("ymax"))
+      .withColumn("envelope_ok",
+        (abs(col("xmin") - bxmin) <= xw && abs(col("ymin") - bymin) <= yw &&
+          abs(col("xmax") - bxmax) <= xw && abs(col("ymax") - bymax) <= yw).cast("int"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** C5: small-bbox vs large-bbox feature-count sanity
+    * (sr_utils.py:118 validate_feature_count_sanity, min_ratio=0.1).
+    * Both counts in one conditional-aggregation pass. */
+  def countSanity(spark: SparkSession, dir: String): DataFrame = {
+    val df = synthXY(Tables(spark, dir).orders)
+    val inSmall = inBox(col("x"), col("y"), 450000, 6600000, 550000, 6900000)
+    val inLarge = inBox(col("x"), col("y"), bxmin, bymin, bxmax, bymax)
+    df.agg(
+        sum(when(inSmall, 1).otherwise(0)).cast("long").as("small_n"),
+        sum(when(inLarge, 1).otherwise(0)).cast("long").as("large_n"))
+      .withColumn("sane", (col("small_n") <= col("large_n")).cast("int"))
+      .withColumn("ratio_ok",
+        (col("small_n").cast("double") / col("large_n") >= 0.1).cast("int"))
+  }
+
+  /** C6: infer SR from coordinate magnitudes (sr_utils.py:245
+    * _infer_sr_from_coords): degrees → 4326, Sweden meters → 3006, else 0. */
+  def srInfer(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables(spark, dir).orders
+      .withColumn("cx", when(col("o_orderkey") % 2 === 0,
+          ((col("o_orderkey") * 31L) % 400L).cast("double") - 200.0)
+        .otherwise((lit(150000L) + (col("o_orderkey") * 7919L) % 800001L).cast("double")))
+      .withColumn("cy", when(col("o_orderkey") % 2 === 0,
+          ((col("o_orderkey") * 37L) % 200L).cast("double") - 100.0)
+        .otherwise((lit(6050000L) + (col("o_orderkey") * 104729L) % 1700001L).cast("double")))
+    df.withColumn("inferred_sr",
+        when(inBox(col("cx"), col("cy"), -180, -90, 180, 90), 4326)
+          .when(inBox(col("cx"), col("cy"), 200000, 6100000, 900000, 7700000), 3006)
+          .otherwise(0))
+      .groupBy(col("inferred_sr"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("inferred_sr"))
+  }
+}

@@ -1,0 +1,231 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core (SURVEY §2 E). TPC-H-shaped queries exercising the
+  * engine every ETL operator builds on: scan, filter, join, aggregate,
+  * window, rollup, set ops, as-of, sessionization.
+  *
+  * Scale notes: dimension sides of joins are explicitly broadcast; all
+  * aggregations are declarative (Catalyst partial-aggregates map-side);
+  * every query ends with a deterministic total ORDER BY for the oracle.
+  */
+object Relational {
+
+  private def ts(s: String): Column = lit(s).cast("timestamp")
+
+  /** E1: TPC-H Q1 pricing summary. Map-side partial agg, 6-row output. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .filter(col("l_shipdate") <= ts("2001-09-02 00:00:00"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** E2: TPC-H Q3 shape — 3-way join, agg, top-10. Customer/orders filtered
+    * before the join so the shuffle carries only matching keys. */
+  def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cust = t.customer.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = t.orders.filter(col("o_orderdate") < ts("1998-01-01 00:00:00"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = t.lineitem.filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(broadcast(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** E3: TPC-H Q5 shape — star join over all dims, revenue per nation. */
+  def q5MultiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ord = t.orders.filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+      col("o_orderdate") < ts("1998-01-01 00:00:00"))
+    t.lineitem
+      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey") &&
+        col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  /** E4: TPC-H Q6 — selective filter to scalar agg; fully pushed down,
+    * zero shuffle (single global agg). */
+  def q6FilterAgg(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1997-01-01 00:00:00") &&
+        col("l_discount").between(0.04, 0.06) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** E5: EXISTS → left-semi join (broadcast). */
+  def qSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val big = t.orders.filter(col("o_totalprice") > 495000.0).select("o_custkey")
+    t.customer.join(broadcast(big), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** E6: NOT EXISTS → left-anti join (broadcast). */
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val urgent = t.orders.filter(col("o_orderpriority") === "1-URGENT" &&
+      col("o_totalprice") > 450000.0).select("o_custkey")
+    t.customer.join(broadcast(urgent),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** E7: top-3 orders by value per customer — rank window then filter.
+    * At scale this is a single shuffle on the partition key; no global sort. */
+  def qWindowTopK(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t.orders
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** E8: ROLLUP hierarchy totals. */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("n"), col("sum_qty"))
+      .orderBy(col("rf"), col("ls"))
+  }
+
+  /** E9: pivot via conditional aggregation (stays in one agg pass). */
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def bucket(prio: String): Column =
+      sum(when(col("o_orderpriority") === prio, 1).otherwise(0)).cast("long")
+    t.orders.groupBy(col("o_orderstatus"))
+      .agg(bucket("1-URGENT").as("p_urgent"), bucket("2-HIGH").as("p_high"),
+        bucket("3-MEDIUM").as("p_medium"), bucket("4-NOT SPECIFIED").as("p_notspec"),
+        bucket("5-LOW").as("p_low"),
+        round(avg(col("o_totalprice")), 2).as("avg_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** E10: union + distinct (hash-dedup after union). */
+  def qUnionDedup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer.select(col("c_nationkey").cast("int").as("nk"))
+      .union(t.supplier.select(col("s_nationkey").cast("int").as("nk")))
+      .distinct()
+      .orderBy(col("nk"))
+  }
+
+  /** E11: as-of join — for each purchase event, the latest click by the
+    * same user at or before it (second granularity).
+    *
+    * Implemented the scale-path way: tag both sides, union, single window
+    * over (user, time) carrying the last click forward — one shuffle, no
+    * O(n^2) range join, works on 100 TB with AQE. Mirrors DuckDB ASOF JOIN
+    * semantics (right.ts <= left.ts, latest wins).
+    */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ev = t.events.withColumn("sec", expr("ts div 1000000000"))
+    // dedupe clicks to one row per (user, sec) so "latest" is well-defined
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("sec"))
+      .agg(max(col("value")).as("click_value"))
+      .select(col("user_id"), col("sec"), lit(0).as("side"),
+        col("click_value"), lit(null).cast("long").as("event_id"),
+        lit(null).cast("double").as("purchase_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("sec"), lit(1).as("side"),
+        lit(null).cast("double").as("click_value"), col("event_id"),
+        col("value").as("purchase_value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    clicks.union(purchases)
+      .withColumn("last_click_sec",
+        last(when(col("side") === 0, col("sec")), ignoreNulls = true).over(w))
+      .withColumn("last_click_value",
+        last(col("click_value"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"),
+        col("sec").as("purchase_sec"), col("purchase_value"),
+        col("last_click_sec"), round(col("last_click_value"), 2).as("last_click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** E12: sessionization — 30-minute inactivity gap splits sessions
+    * (gaps-and-islands with a cumulative break counter). */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ev = t.events.withColumn("sec", expr("ts div 1000000000"))
+    val wo = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    val brk = when(col("sec") - lag(col("sec"), 1).over(wo) > 1800, 1)
+      .when(lag(col("sec"), 1).over(wo).isNull, 1).otherwise(0)
+    ev.withColumn("brk", brk)
+      .withColumn("session_id",
+        sum(col("brk")).over(wo.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("sec")).as("start_sec"), max(col("sec")).as("end_sec"),
+        round(sum(col("value")), 2).as("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** E13: tumbling 1-hour time-bucket aggregation over events. */
+  def qTimeBucket(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .withColumn("bucket_start", expr("((ts div 1000000000) div 3600) * 3600"))
+      .groupBy(col("bucket_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("bucket_start"), col("event_type"))
+  }
+
+  /** E14: running per-user cumulative sum (incremental window frame —
+    * sequential accumulation is order-identical to the oracle). */
+  def qRunningAgg(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ev = t.events.withColumn("sec", expr("ts div 1000000000"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ev.withColumn("running_value", round(sum(col("value")).over(w), 2))
+      .select(col("user_id"), col("event_id"), col("sec"), col("running_value"))
+      .orderBy(col("user_id"), col("sec"), col("event_id"))
+  }
+}

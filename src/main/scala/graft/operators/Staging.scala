@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Staging / normalization (SURVEY §2 B). Re-expresses op-etl's staging
+  * layer (/root/reference/etl/stage_files.py, utils.py) as declarative,
+  * shuffle-light column transforms.
+  */
+object Staging {
+
+  /** The reference's safe-name rule (utils.py:56 make_arcpy_safe_name,
+    * download_rest.py:33 sanitize_layer_name): lowercase, collapse
+    * non-alphanumeric runs to `_`, trim, prefix names starting with a
+    * digit. Pure per-row expression — codegen'd, shuffle-free. */
+  def safeName(c: Column): Column = {
+    val cleaned = trim(regexp_replace(lower(c), "[^a-z0-9]+", "_"), "_")
+    val nonEmpty = when(length(cleaned) === 0, lit("unnamed_fc")).otherwise(cleaned)
+    when(substring(nonEmpty, 1, 1).rlike("^[0-9]"), concat(lit("fc_"), nonEmpty))
+      .otherwise(nonEmpty)
+  }
+
+  /** B1: sanitize layer/field names carried as data. */
+  def sanitizeNames(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.part
+      .select(col("p_partkey"), safeName(col("p_name")).as("safe_name"),
+        safeName(col("p_type")).as("safe_type"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** B2: normalize to a target schema — prune, cast, standardize strings,
+    * money as integral cents (stage_files.py staging writes a fixed
+    * schema per feature class). */
+  def schemaNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .select(
+        col("c_custkey").cast("long").as("custkey"),
+        upper(trim(col("c_name"))).as("name"),
+        col("c_nationkey").cast("long").as("nationkey"),
+        round(col("c_acctbal") * 100).cast("long").as("acctbal_cents"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+      .orderBy(col("custkey"))
+  }
+
+  /** B3: dominant-geometry-type split (stage_files.py:33
+    * _dominant_geometry_type + :48 _filter_features_by_geometry_type):
+    * per group, find the most frequent type and keep only it. */
+  def geomTypeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val typed = t.part.withColumn("geom_type",
+      when(col("p_partkey") % 3 === 0, "Point")
+        .when(col("p_partkey") % 3 === 1, "LineString").otherwise("Polygon"))
+    val counts = typed.groupBy(col("p_brand"), col("geom_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("n").desc, col("geom_type"))
+    counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("p_brand"), col("geom_type").as("dominant_type"), col("n").as("n_features"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** B4: best candidate by feature count (utils.py:24
+    * best_shapefile_by_count): per nation, the supplier with the highest
+    * account balance (argmax with deterministic tie-break). */
+  def bestCandidate(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+    t.supplier.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("s_nationkey").cast("int").as("nationkey"),
+        col("s_suppkey").as("best_suppkey"), col("s_name").as("best_name"),
+        col("s_acctbal").as("best_acctbal"))
+      .orderBy(col("nationkey"))
+  }
+}

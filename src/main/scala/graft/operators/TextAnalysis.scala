@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines (SURVEY §2 F9–F11):
+  * quality scoring, heuristic language ID, token counting. All per-row
+  * native expressions — shuffle-free, codegen'd, linear at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Non-empty whitespace tokens of the lowercased text. */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "\\s+"), t => length(t) > 0)
+
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  /** F9: document quality scoring — length, word stats, punctuation /
+    * stopword ratios, composite score. */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_chars_m", length(col("text")).cast("long"))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("n_alpha", length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long"))
+      .withColumn("n_punct", length(regexp_replace(col("text"), "[^.!?,;:]", "")).cast("long"))
+      .withColumn("n_stop", hits(col("toks"), Seq("the", "a", "and", "of", "to")).cast("long"))
+      .withColumn("avg_word_len",
+        round(col("n_alpha").cast("double") / greatest(col("n_words"), lit(1L)), 4))
+      .withColumn("punct_ratio",
+        round(col("n_punct").cast("double") / greatest(col("n_chars_m"), lit(1L)), 4))
+      .withColumn("stop_ratio",
+        round(col("n_stop").cast("double") / greatest(col("n_words"), lit(1L)), 4))
+      .withColumn("quality_score", round(
+        least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.5 +
+          (lit(1.0) - col("punct_ratio")) * 0.3 + col("stop_ratio") * 0.2, 4))
+      .select(col("doc_id"), col("n_chars_m"), col("n_words"), col("avg_word_len"),
+        col("punct_ratio"), col("stop_ratio"), col("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  // stopword families used by the langid heuristic (order = tie-break order)
+  val langStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "los", "que", "y", "en"),
+    "fr" -> Seq("le", "les", "et", "des", "un"))
+
+  /** F10: heuristic language ID (stopword-hit argmax, deterministic
+    * tie-break) + confusion rollup against the labeled `lang` column. */
+  def langid(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    var df = t.documents.withColumn("toks", tokens(col("text")))
+    for ((l, ws) <- langStops) df = df.withColumn(s"h_$l", hits(col("toks"), ws))
+    val Seq(en, de, es, fr) = langStops.map { case (l, _) => col(s"h_$l") }
+    df.withColumn("predicted",
+        when(en >= de && en >= es && en >= fr, "en")
+          .when(de >= es && de >= fr, "de")
+          .when(es >= fr, "es").otherwise("fr"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  /** F11: token counting — whitespace words and a BPE-ish regex
+    * tokenization (letters / digits / single symbols). */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        size(tokens(col("text"))).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -1,0 +1,116 @@
+package graft.sources
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ingestion surface (SURVEY §2 A). Re-expresses op-etl's downloaders
+  * (/root/reference/etl/download_rest.py, download_ogc.py, download_http.py)
+  * as distributed Spark reads.
+  *
+  * The reference pulls remote layers through a single Python process with
+  * thread-pooled paging; here every "page" is a partition of a declarative
+  * scan, so a 1000-executor cluster ingests all ranges concurrently and
+  * Catalyst pushes the range predicates into the source.
+  */
+object Ingest {
+
+  /** A1: pruned columnar scan — projection + filter reach the parquet
+    * reader (verify `PushedFilters`/`ReadSchema` in the plan). */
+  def parquetPruned(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .filter(col("l_quantity") >= 45)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** A2: delimited-file ingest with explicit schema (the reference's HTTP
+    * file sources land as delimited/archive files; download_http.py:73).
+    * Round-trips the region dim through CSV to prove schema-on-read. */
+  def csvRead(spark: SparkSession, dir: String): DataFrame = {
+    val out = "/root/repo/target/graft_csv_stage/region"
+    Tables(spark, dir).region
+      .select(col("r_regionkey").cast("int"), col("r_name"))
+      .write.mode("overwrite").option("header", "true").csv(out)
+    val schema = StructType(Seq(
+      StructField("r_regionkey", IntegerType), StructField("r_name", StringType)))
+    spark.read.schema(schema).option("header", "true").csv(out)
+      .orderBy(col("r_regionkey"))
+  }
+
+  /** A3: GeoJSON-style FeatureCollection parsing (download_ogc.py:216
+    * fetch_collection_items): features arrive as JSON documents; parse with
+    * schema-on-read `from_json`, explode properties to columns. */
+  def jsonFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    // build the wire format the OGC downloader would receive…
+    val wire = t.nation.select(
+      to_json(struct(
+        lit("Feature").as("type"),
+        struct(col("n_nationkey").as("key"), col("n_name").as("name"),
+          col("n_regionkey").as("region")).as("properties"))).as("feature_json"))
+    // …then parse it back with an explicit schema (the operator under test)
+    val featSchema = StructType(Seq(
+      StructField("type", StringType),
+      StructField("properties", StructType(Seq(
+        StructField("key", IntegerType), StructField("name", StringType),
+        StructField("region", IntegerType))))))
+    wire.select(from_json(col("feature_json"), featSchema).as("f"))
+      .select(col("f.properties.key").as("n_nationkey"),
+        col("f.properties.name").as("n_name"),
+        col("f.properties.region").as("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** A4: OID-sweep ingest (download_rest.py `use_oid_sweep`): the table is
+    * fetched as parallel key-ranged batches. Each range is a filtered scan;
+    * the union is one distributed read whose batches run concurrently.
+    * Output proves complete, non-overlapping coverage per batch. */
+  def restOidSweep(spark: SparkSession, dir: String, nBatches: Int = 16): DataFrame = {
+    val t = Tables(spark, dir)
+    // discover key space (the reference queries returnIdsOnly/maxOID first)
+    val Array(minK, maxK) = t.lineitem
+      .agg(min("l_orderkey"), max("l_orderkey")).head().toSeq
+      .map(_.asInstanceOf[Long]).toArray
+    val pageSize = math.ceil((maxK - minK + 1).toDouble / nBatches).toLong
+    val ranges = (minK to maxK by pageSize).map(lo => (lo, lo + pageSize))
+    val batches = ranges.map { case (lo, hi) =>
+      t.lineitem.filter(col("l_orderkey") >= lo && col("l_orderkey") < hi)
+        .select(col("l_orderkey"))
+    }
+    batches.reduce(_ union _)
+      .groupBy(floor(col("l_orderkey") / pageSize).cast("long").as("oid_batch"))
+      .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).cast("long").as("key_checksum"))
+      .orderBy(col("oid_batch"))
+  }
+
+  /** A5: offset/limit paging with transfer-limit resume
+    * (download_rest.py `resultOffset` + `exceededTransferLimit`): pages are
+    * consecutive row-offset windows. Inherently sequential at the source —
+    * the reason the reference prefers the OID sweep (A4) — modeled here to
+    * verify monotone, gapless page coverage. */
+  def restOffsetPaging(spark: SparkSession, dir: String, pageSize: Long = 1000L): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.orderBy(col("l_orderkey"), col("l_linenumber"))
+    t.lineitem.select(col("l_orderkey"), col("l_linenumber"))
+      .withColumn("off", row_number().over(w).cast("long") - 1)
+      .groupBy(floor(col("off") / pageSize).cast("long").as("page"))
+      .agg(count(lit(1)).as("n"), min(col("off")).as("first_off"),
+        max(col("off")).as("last_off"))
+      .orderBy(col("page"))
+  }
+
+  /** A6: full-snapshot re-ingest (read side of load_sde.py's
+    * truncate-and-load): write a snapshot, read it back, reconcile. */
+  def snapshotLoad(spark: SparkSession, dir: String): DataFrame = {
+    val out = "/root/repo/target/graft_snapshot/lineitem"
+    Tables(spark, dir).lineitem
+      .filter(col("l_returnflag") === "R")
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("l_linestatus"))
+  }
+}
