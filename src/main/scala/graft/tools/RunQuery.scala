@@ -19,6 +19,7 @@ object RunQuery {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (name == "stream-demo") { streamDemo(spark); spark.stop(); return }
     val df = if (name == "entry") graft.SparkEntry.entry(spark)
       else graft.SparkEntry.queries(name)(spark, sfDir)
     if (args.contains("--plan")) println(df.queryExecution.explainString(
@@ -26,5 +27,28 @@ object RunQuery {
     println(s"ROWS=${df.count()}")
     df.show(10, truncate = false)
     spark.stop()
+  }
+
+  /** Drive the G1/G2 streaming transforms end-to-end through a real
+    * streaming query (rate source → windowed agg / dedup → console). */
+  private def streamDemo(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val src = spark.readStream.format("rate").option("rowsPerSecond", "500").load()
+      .select(col("timestamp").as("ts"),
+        concat(lit("type"), (col("value") % 3).cast("string")).as("event_type"),
+        (col("value") % 100).cast("double").as("value"))
+    val q = graft.streaming.EventStreams.windowedCounts(src, "10 seconds", "5 seconds")
+      .writeStream.outputMode("complete").format("console")
+      .option("truncate", "false").start()
+    Thread.sleep(6000)
+    q.processAllAvailable()
+    q.stop()
+    val d = graft.streaming.EventStreams.dedupStream(src, Seq("event_type"))
+      .writeStream.outputMode("append").format("console")
+      .option("truncate", "false").start()
+    Thread.sleep(4000)
+    d.processAllAvailable()
+    d.stop()
+    println("STREAM_DEMO_DONE")
   }
 }

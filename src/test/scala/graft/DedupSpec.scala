@@ -1,0 +1,64 @@
+package graft
+
+import graft.functions.SimHash64
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property specs for the non-SQL-expressible dedup ops (SURVEY F4/F5). */
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def simhashOf(texts: Seq[String]): Seq[Long] = {
+    val df = texts.toDF("text")
+    df.select(SimHash64.simhash64(spark,
+      filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+  }
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("simhash: identical docs get identical hashes") {
+    val Seq(a, b) = simhashOf(Seq("the quick brown fox", "the quick brown fox"))
+    assert(a == b)
+  }
+
+  test("simhash: token order does not matter") {
+    val Seq(a, b) = simhashOf(Seq("alpha beta gamma delta", "delta gamma beta alpha"))
+    assert(a == b)
+  }
+
+  test("simhash: near-identical docs land at small hamming distance") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = base + " extraword"
+    val far = (1 to 60).map(i => s"other$i").mkString(" ")
+    val Seq(hBase, hNear, hFar) = simhashOf(Seq(base, near, far))
+    assert(hamming(hBase, hNear) < 12, s"near dist=${hamming(hBase, hNear)}")
+    assert(hamming(hBase, hFar) > hamming(hBase, hNear))
+  }
+
+  test("minhash signature estimates jaccard within tolerance") {
+    // two docs sharing ~half their shingles
+    val shared = (1 to 40).map(i => s"w$i").mkString(" ")
+    val d1 = shared + " " + (1 to 20).map(i => s"a$i").mkString(" ")
+    val d2 = shared + " " + (1 to 20).map(i => s"b$i").mkString(" ")
+    val df = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+    val sigs = df.select(Dedup.minhashSignature(col("sh")).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    val est = sigs(0).zip(sigs(1)).count { case (x, y) => x == y }.toDouble / sigs(0).size
+    val sets = df.select(col("sh")).collect().map(_.getSeq[String](0).toSet)
+    val trueJ = sets(0).intersect(sets(1)).size.toDouble / sets(0).union(sets(1)).size
+    assert(math.abs(est - trueJ) < 0.25, s"est=$est true=$trueJ")
+  }
+
+  test("fingerprint dedup collapses reordered near-duplicates") {
+    val fp = (c: org.apache.spark.sql.Column) =>
+      md5(array_join(array_sort(array_distinct(
+        filter(split(lower(c), "\\s+"), t => length(t) > 0))), " ").cast("binary"))
+    val rows = Seq("one two three", "three  two one", "ONE two   three", "four five six")
+      .toDF("text").select(fp(col("text")).as("f")).collect().map(_.getString(0))
+    assert(rows(0) == rows(1) && rows(1) == rows(2))
+    assert(rows(0) != rows(3))
+  }
+}

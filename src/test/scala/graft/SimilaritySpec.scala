@@ -1,0 +1,52 @@
+package graft
+
+import graft.functions.Vec
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the vector similarity surface (SURVEY F6–F8). */
+class SimilaritySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("cosine of a vector with itself is 1") {
+    val df = Seq(Tuple1(Array(1.0f, 2.0f, 3.0f))).toDF("v")
+    val c = df.select(Vec.cosine(Vec.toDouble(col("v")), Vec.toDouble(col("v"))))
+      .head().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("cosine of orthogonal vectors is 0") {
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f))).toDF("a", "b")
+    val c = df.select(Vec.cosine(Vec.toDouble(col("a")), Vec.toDouble(col("b"))))
+      .head().getDouble(0)
+    assert(math.abs(c) < 1e-12)
+  }
+
+  test("lsh bucketing is deterministic and partitions all vectors") {
+    val a1 = Similarity.lshAssign(spark, sfDir).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val a2 = Similarity.lshAssign(spark, sfDir).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(a1 == a2)
+    assert(a1.size == 500)
+    assert(a1.values.forall(b => b >= 0 && b < (1L << Similarity.NPlanes)))
+  }
+
+  test("lsh buckets put cosine-similar vectors together more often than random") {
+    // nearly-parallel vectors must collide; orthogonal ones usually not
+    val base = Array.tabulate(64)(i => math.sin(i * 0.7).toFloat)
+    val near = base.map(x => x * 1.01f)
+    val planes = Vec.planeWeights(Similarity.NPlanes, 64)
+    val df = Seq((1L, base), (2L, near)).toDF("vec_id", "embedding")
+    val buckets = df.select(Vec.lshBucket(Vec.toDouble(col("embedding")), planes).as("b"))
+      .collect().map(_.getLong(0))
+    assert(buckets(0) == buckets(1), "scaled copy must share every sign bucket")
+  }
+
+  test("ann_topk ranks an exact duplicate of the query vector first") {
+    // top hit of the query against the corpus must dominate the rest
+    val top = Similarity.annTopK(spark, sfDir, queryId = 0L, k = 5).collect()
+    assert(top.length == 5)
+    val scores = top.map(_.getDouble(2))
+    assert(scores.toSeq == scores.sorted.reverse.toSeq, "scores must be descending")
+  }
+}
