@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expression: Jaccard similarity of two SORTED DISTINCT
+  * long arrays via a linear merge — no per-call hash-set allocation, which
+  * makes it ~an order of magnitude cheaper than
+  * `array_intersect`/`array_union` in the near-dup join's hot filter
+  * (evaluated once per candidate pair; at 100 TB that's the dominant cost
+  * of exact n-gram dedup).
+  *
+  * Inputs MUST be sorted ascending with distinct elements (the shingle
+  * pipeline produces them via array_sort∘array_distinct).
+  */
+case class JaccardSorted(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sorted"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) java.lang.Double.valueOf(0.0)
+    else java.lang.Double.valueOf(inter.toDouble / union)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSorted =
+    copy(left = l, right = r)
+}
+
+object JaccardSorted {
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaccard_sorted", exprs => JaccardSorted(exprs(0), exprs(1)), "built-in")
+
+  def jaccardSorted(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("jaccard_sorted", a, b)
+  }
+}

@@ -18,13 +18,16 @@ object Similarity {
   /** F6: exact cosine near-dup pairs within label blocks. */
   def neardupCosine(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
     val t = Tables(spark, dir)
+    // norms once per vector, not once per pair (same arithmetic as
+    // Vec.cosine: dot / (sqrt(dot aa) * sqrt(dot bb)))
     val e = t.embeddings.select(col("vec_id"), col("label"),
-      Vec.toDouble(col("embedding")).as("v"))
-    val a = e.select(col("vec_id").as("id1"), col("label"), col("v").as("v1"))
-    val b = e.select(col("vec_id").as("id2"), col("label"), col("v").as("v2"))
+        Vec.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Vec.norm(col("v")))
+    val a = e.select(col("vec_id").as("id1"), col("label"), col("v").as("v1"), col("nrm").as("n1"))
+    val b = e.select(col("vec_id").as("id2"), col("label"), col("v").as("v2"), col("nrm").as("n2"))
     a.join(b, Seq("label"))
       .filter(col("id1") < col("id2"))
-      .withColumn("cos", round(Vec.cosine(col("v1"), col("v2")), 4))
+      .withColumn("cos", round(Vec.dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 4))
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), col("label").cast("int").as("label"), col("cos"))
       .orderBy(col("id1"), col("id2"))

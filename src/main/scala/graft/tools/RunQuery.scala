@@ -25,6 +25,11 @@ object RunQuery {
     if (args.contains("--plan")) println(df.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode))
     println(s"ROWS=${df.count()}")
+    if (args.contains("--time")) (1 to 3).foreach { i =>
+      val t0 = System.nanoTime()
+      df.count()
+      println(f"RUN$i=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
     df.show(10, truncate = false)
     spark.stop()
   }

@@ -43,11 +43,12 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val d1 = shared + " " + (1 to 20).map(i => s"a$i").mkString(" ")
     val d2 = shared + " " + (1 to 20).map(i => s"b$i").mkString(" ")
     val df = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
-      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .select(col("doc_id"),
+        graft.functions.ShingleHashes.shingleHashes(spark, col("text")).as("sh"))
     val sigs = df.select(Dedup.minhashSignature(col("sh")).as("sig"))
       .collect().map(_.getSeq[Long](0))
     val est = sigs(0).zip(sigs(1)).count { case (x, y) => x == y }.toDouble / sigs(0).size
-    val sets = df.select(col("sh")).collect().map(_.getSeq[String](0).toSet)
+    val sets = Seq(d1, d2).map(t => (1 to t.length - 2).map(i => t.substring(i - 1, i + 2)).toSet)
     val trueJ = sets(0).intersect(sets(1)).size.toDouble / sets(0).union(sets(1)).size
     assert(math.abs(est - trueJ) < 0.25, s"est=$est true=$trueJ")
   }
