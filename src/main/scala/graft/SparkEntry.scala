@@ -49,6 +49,7 @@ object SparkEntry {
     "q_semi_join"            -> Relational.qSemiJoin _,
     "q_anti_join"            -> Relational.qAntiJoin _,
     "q_window_topk"          -> Relational.qWindowTopK _,
+    "q_topk_pergroup"        -> Relational.qTopKPerGroup _,
     "q_rollup"               -> Relational.qRollup _,
     "q_pivot"                -> Relational.qPivot _,
     "q_union_dedup"          -> Relational.qUnionDedup _,
@@ -56,6 +57,10 @@ object SparkEntry {
     "q_sessionize"           -> Relational.qSessionize _,
     "q_time_bucket"          -> Relational.qTimeBucket _,
     "q_running_agg"          -> Relational.qRunningAgg _,
+    "q_percentile"           -> Relational.qPercentile _,
+    "q_stats"                -> Relational.qStats _,
+    "q_approx_distinct"      -> Relational.qApproxDistinct _,
+    "pipeline_e2e"           -> (PipelineDemo.run _),
     // F — LLM-training-data operators
     "dedup_exact"            -> Dedup.dedupExact _,
     "dedup_fingerprint"      -> Dedup.dedupFingerprint _,
@@ -284,6 +289,12 @@ object SparkEntry {
         | FROM orders)
         |SELECT o_custkey, CAST(rn AS INT) AS rn, o_orderkey, o_totalprice
         |FROM r WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_topk_pergroup" ->
+      """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders)
+        |SELECT o_custkey, o_orderkey, o_totalprice FROM r WHERE rn <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
         | count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
@@ -333,6 +344,24 @@ object SparkEntry {
          | round(sum(value) OVER (PARTITION BY user_id ORDER BY sec, event_id
          |   ROWS UNBOUNDED PRECEDING), 2) AS running_value
          |FROM ev ORDER BY user_id, sec, event_id""".stripMargin,
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        | round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+        | round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stats" ->
+      """SELECT event_type, count(*) AS n,
+        | round(stddev_samp(value), 4) AS sd_value,
+        | round(var_samp(value), 4) AS var_value,
+        | round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_value_user
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "pipeline_e2e" ->
+      """SELECT 'customer_seg' AS source, count(*) AS rows_loaded
+        | FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION ALL SELECT 'lineitem_swept', count(*) FROM lineitem WHERE l_quantity >= 45
+        |UNION ALL SELECT 'orders_f', count(*) FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY source""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS grp, count(*) AS n_copies, min(doc_id) AS keeper

@@ -1,0 +1,118 @@
+package graft.config
+
+import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declarative pipeline config — the Spark-native analogue of op-etl's
+  * config.yaml (/root/reference/config/config.yaml, etl/config.py): one
+  * document describing sources × {stage, geoprocess, load}, with per-source
+  * enable flags and a global geoprocess/load policy.
+  *
+  * JSON instead of YAML (Jackson ships with Spark; zero new deps).
+  */
+case class SourceCfg(
+    name: String,
+    path: String,
+    format: String = "parquet",      // parquet | csv | json
+    enabled: Boolean = true,
+    where: Option[String] = None,    // staged-row filter (reference: bbox/where params)
+    select: Option[Seq[String]] = None,
+    // OID-sweep ingest (download_rest.py use_oid_sweep): ranged parallel read
+    oidSweep: Option[OidSweepCfg] = None)
+
+case class OidSweepCfg(keyColumn: String, batches: Int = 16)
+
+case class GeoprocessCfg(
+    enabled: Boolean = false,
+    xColumn: Option[String] = None,
+    yColumn: Option[String] = None,
+    aoi: Option[Seq[Double]] = None) // [xmin, ymin, xmax, ymax]
+
+case class LoadCfg(target: String, mode: String = "truncate") // truncate | append
+
+case class PipelineCfg(
+    sources: Seq[SourceCfg],
+    geoprocess: GeoprocessCfg = GeoprocessCfg(),
+    load: Option[LoadCfg] = None,
+    sanitizeNames: Boolean = true)
+
+object PipelineCfg {
+  private val mapper = new ObjectMapper()
+    .registerModule(DefaultScalaModule)
+    .configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+
+  def fromJson(json: String): PipelineCfg = mapper.readValue(json, classOf[PipelineCfg])
+}
+
+/** Executes a [[PipelineCfg]]: download/stage → geoprocess → load, one
+  * source at a time (each step fully distributed), returning the run
+  * summary the reference's PipelineMonitor would log
+  * (monitoring.py SourceMetrics: per-source success + feature counts).
+  */
+object Pipeline {
+
+  def stage(spark: SparkSession, src: SourceCfg): DataFrame = {
+    val raw = src.format match {
+      case "csv"  => spark.read.option("header", "true").option("inferSchema", "true").csv(src.path)
+      case "json" => spark.read.json(src.path)
+      case _      => spark.read.parquet(src.path)
+    }
+    val swept = src.oidSweep match {
+      case Some(OidSweepCfg(key, n)) =>
+        // ranged parallel batches, unioned — each range is an independent
+        // pushed-down scan (the reference's parallel OID paging)
+        val Array(minK, maxK) = raw.agg(min(key), max(key)).head().toSeq
+          .map(x => x.asInstanceOf[Number].longValue()).toArray
+        val page = math.max(1L, math.ceil((maxK - minK + 1).toDouble / n).toLong)
+        (minK to maxK by page).map { lo =>
+          raw.filter(col(key) >= lo && col(key) < lo + page)
+        }.reduce(_ union _)
+      case None => raw
+    }
+    val selected = src.select.map(cols => swept.select(cols.map(col): _*)).getOrElse(swept)
+    src.where.map(selected.filter).getOrElse(selected)
+  }
+
+  def geoprocess(df: DataFrame, gp: GeoprocessCfg): DataFrame =
+    if (!gp.enabled) df
+    else (gp.xColumn, gp.yColumn, gp.aoi) match {
+      case (Some(x), Some(y), Some(Seq(x0, y0, x1, y1))) =>
+        df.filter(col(x) >= x0 && col(x) <= x1 && col(y) >= y0 && col(y) <= y1)
+      case _ => df
+    }
+
+  private def sanitize(df: DataFrame): DataFrame = {
+    val renames = df.columns.map(c => c -> safeNameString(c)).toMap
+    df.withColumnsRenamed(renames)
+  }
+
+  /** Driver-side twin of Staging.safeName (operates on schema, not data). */
+  def safeNameString(name: String): String = {
+    val cleaned = name.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+      .replaceAll("^_+|_+$", "")
+    val nonEmpty = if (cleaned.isEmpty) "unnamed_fc" else cleaned
+    if (nonEmpty.head.isDigit) s"fc_$nonEmpty" else nonEmpty
+  }
+
+  /** Run the full pipeline; returns per-source metrics (name, rows staged
+    * after filters, rows loaded, load target) ordered by source name. */
+  def run(spark: SparkSession, cfg: PipelineCfg): DataFrame = {
+    import spark.implicits._
+    val results = cfg.sources.filter(_.enabled).map { src =>
+      val staged = geoprocess(stage(spark, src), cfg.geoprocess)
+      val finalDf = if (cfg.sanitizeNames) sanitize(staged) else staged
+      val loaded = cfg.load match {
+        case Some(LoadCfg(target, mode)) =>
+          val path = s"$target/${safeNameString(src.name)}"
+          val writeMode = if (mode == "append") "append" else "overwrite"
+          finalDf.write.mode(writeMode).parquet(path)
+          spark.read.parquet(path).count()
+        case None => finalDf.count()
+      }
+      (src.name, loaded)
+    }
+    results.toDF("source", "rows_loaded").orderBy(col("source"))
+  }
+}

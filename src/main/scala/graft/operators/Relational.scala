@@ -119,6 +119,18 @@ object Relational {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
+  /** E7b: top-3 per customer through the custom [[graft.plans.TopKPerGroup]]
+    * operator — bounded per-group heaps after the key shuffle instead of a
+    * full window sort. Same rows as E7 (minus the rank column). */
+  def qTopKPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    graft.plans.TopK.topKPerGroup(
+        t.orders.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        k = 3, groupCols = Seq("o_custkey"),
+        orderCols = Seq(("o_totalprice", false), ("o_orderkey", true)))
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
   /** E8: ROLLUP hierarchy totals. */
   def qRollup(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
@@ -205,6 +217,44 @@ object Relational {
         min(col("sec")).as("start_sec"), max(col("sec")).as("end_sec"),
         round(sum(col("value")), 2).as("session_value"))
       .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** E15: exact percentiles per group (interpolated, matching
+    * quantile_cont semantics). */
+  def qPercentile(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem.groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** E16: distribution statistics per group — stddev / variance /
+    * correlation (single-pass co-moment aggregates). */
+  def qStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(stddev_samp(col("value")), 4).as("sd_value"),
+        round(var_samp(col("value")), 4).as("var_value"),
+        round(corr(col("value"), col("user_id").cast("double")), 6).as("corr_value_user"))
+      .orderBy(col("event_type"))
+  }
+
+  /** E17: approximate distinct counting (HLL sketch) next to cheap per-
+    * group stats. Sketch estimates are engine-specific → rows-only check
+    * plus a tolerance spec against the exact count. */
+  def qApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem.groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
   }
 
   /** E13: tumbling 1-hour time-bucket aggregation over events. */
