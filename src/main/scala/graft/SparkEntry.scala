@@ -37,8 +37,12 @@ object SparkEntry {
     "geo_envelope_check"     -> Geo.envelopeCheck _,
     "geo_count_sanity"       -> Geo.countSanity _,
     "geo_sr_infer"           -> Geo.srInfer _,
+    "geo_polygon_clip"       -> Geo.polygonClip _,
+    "geo_wkt_roundtrip"      -> Geo.wktRoundtrip _,
     // D — load / monitoring
     "load_truncate_load"     -> LoadOps.truncateLoad _,
+    "load_append_dedup"      -> LoadOps.appendDedupLoad _,
+    "load_bucketed_join"     -> LoadOps.bucketedJoin _,
     "mon_source_summary"     -> LoadOps.sourceSummary _,
     "mon_error_patterns"     -> LoadOps.errorPatterns _,
     // E — relational core
@@ -70,6 +74,8 @@ object SparkEntry {
     "neardup_cosine"         -> ((s: SparkSession, d: String) => Similarity.neardupCosine(s, d)),
     "ann_topk"               -> ((s: SparkSession, d: String) => Similarity.annTopK(s, d)),
     "ann_lsh_bucketed"       -> Similarity.annLshBuckets _,
+    "ann_ivf"                -> ((s: SparkSession, d: String) => Similarity.ivfAnn(s, d)),
+    "q_salted_join"          -> ((s: SparkSession, d: String) => Relational.qSaltedJoin(s, d)),
     "text_quality"           -> TextAnalysis.quality _,
     "text_langid"            -> TextAnalysis.langid _,
     "text_tokens"            -> TextAnalysis.tokenCount _,
@@ -218,6 +224,42 @@ object SparkEntry {
         |  ELSE 0 END AS inferred_sr, count(*) AS n
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "geo_polygon_clip" -> {
+      val edges = {
+        val vs = graft.operators.Geo.hexVerts
+        vs.indices.map { i =>
+          val (x1, y1) = vs(i)
+          val (x2, y2) = vs((i + 1) % 6)
+          s"(${x2 - x1} * (y - $y1) - ${y2 - y1} * (x - $x1)) >= 0.0"
+        }.mkString(" AND ")
+      }
+      s"""WITH c AS ($synthXY)
+         |SELECT o_orderkey, x, y FROM c WHERE $edges ORDER BY o_orderkey""".stripMargin
+    },
+    "geo_wkt_roundtrip" ->
+      """WITH c AS (SELECT o_orderkey,
+        |  150000 + (o_orderkey * 7919) % 800001 AS xi,
+        |  6050000 + (o_orderkey * 104729) % 1700001 AS yi FROM orders),
+        |w AS (SELECT o_orderkey,
+        |  'POINT (' || CAST(xi AS VARCHAR) || ' ' || CAST(yi AS VARCHAR) || ')' AS wkt FROM c)
+        |SELECT o_orderkey, wkt,
+        | CAST(regexp_extract(wkt, 'POINT \(([0-9]+) ([0-9]+)\)', 1) AS DOUBLE) AS px,
+        | CAST(regexp_extract(wkt, 'POINT \(([0-9]+) ([0-9]+)\)', 2) AS DOUBLE) AS py
+        |FROM w ORDER BY o_orderkey""".stripMargin,
+    "load_append_dedup" ->
+      """SELECT o_orderpriority, count(*) AS loaded_rows,
+        | round(sum(o_totalprice), 2) AS loaded_value
+        |FROM orders WHERE o_orderstatus = 'O' GROUP BY 1 ORDER BY 1""".stripMargin,
+    "load_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_salted_join" ->
+      """WITH ev AS (SELECT *, CASE WHEN user_id % 10 = 0 THEN 0 ELSE user_id END AS join_key FROM events),
+        |d AS (SELECT DISTINCT join_key, (join_key * 7) % 100 AS score FROM ev)
+        |SELECT event_type, count(*) AS n, CAST(sum(score) AS BIGINT) AS sum_score
+        |FROM ev JOIN d USING (join_key) GROUP BY 1 ORDER BY 1""".stripMargin,
     "load_truncate_load" ->
       """SELECT o_orderpriority, count(*) AS loaded_rows,
         | round(sum(o_totalprice), 2) AS loaded_value

@@ -102,6 +102,54 @@ object Geo {
         (col("small_n").cast("double") / col("large_n") >= 0.1).cast("int"))
   }
 
+  /** C7: clip to a convex polygon AOI (process.py:115 Clip takes an
+    * arbitrary boundary feature class, not a bbox). Convex polygon =
+    * conjunction of per-edge half-plane tests — still a pure per-row
+    * predicate: codegen'd, shuffle-free, and each conjunct can prune. */
+  def polygonClip(spark: SparkSession, dir: String): DataFrame = {
+    // hexagonal AOI around the synthetic Sweden extent
+    val (cx, cy, r) = (500000.0, 6750000.0, 220000.0)
+    val verts = (0 until 6).map { i =>
+      val a = math.Pi / 3 * i
+      (cx + r * math.cos(a), cy + r * math.sin(a))
+    }
+    val inside = verts.indices.map { i =>
+      val (x1, y1) = verts(i)
+      val (x2, y2) = verts((i + 1) % 6)
+      // CCW polygon: point is inside iff left of every edge
+      (lit(x2 - x1) * (col("y") - y1) - lit(y2 - y1) * (col("x") - x1)) >= 0.0
+    }.reduce(_ && _)
+    synthXY(Tables(spark, dir).orders)
+      .filter(inside)
+      .select(col("o_orderkey"), col("x"), col("y"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Polygon vertices for the C7 oracle (shared so the SQL embeds the
+    * exact same double literals). */
+  def hexVerts: Seq[(Double, Double)] = (0 until 6).map { i =>
+    val a = math.Pi / 3 * i
+    (500000.0 + 220000.0 * math.cos(a), 6750000.0 + 220000.0 * math.sin(a))
+  }
+
+  /** C8: WKT round-trip — serialize synthetic integer-coordinate points to
+    * WKT (stage_files.py moves features as text formats: GeoJSON/GML/WKT)
+    * and parse them back with native regexps. */
+  def wktRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .withColumn("xi", lit(150000L) + (col("o_orderkey") * 7919L) % 800001L)
+      .withColumn("yi", lit(6050000L) + (col("o_orderkey") * 104729L) % 1700001L)
+      .withColumn("wkt", concat(lit("POINT ("), col("xi").cast("string"),
+        lit(" "), col("yi").cast("string"), lit(")")))
+      .select(col("o_orderkey"), col("wkt"),
+        regexp_extract(col("wkt"), "POINT \\(([0-9]+) ([0-9]+)\\)", 1)
+          .cast("double").as("px"),
+        regexp_extract(col("wkt"), "POINT \\(([0-9]+) ([0-9]+)\\)", 2)
+          .cast("double").as("py"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** C6: infer SR from coordinate magnitudes (sr_utils.py:245
     * _infer_sr_from_coords): degrees → 4326, Sweden meters → 3006, else 0. */
   def srInfer(spark: SparkSession, dir: String): DataFrame = {

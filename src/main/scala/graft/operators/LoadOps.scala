@@ -25,6 +25,58 @@ object LoadOps {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** D4: append-mode load with dedupe-on-read (the reference's alternative
+    * to truncate-and-load when the target can't be truncated;
+    * load_sde.py:108 Append) — an append retry must not double rows, so
+    * the read side dedupes on the business key. */
+  def appendDedupLoad(spark: SparkSession, dir: String): DataFrame = {
+    val out = "/root/repo/target/graft_sde/orders_append"
+    val src = Tables(spark, dir).orders.filter(col("o_orderstatus") === "O")
+    src.write.mode("overwrite").parquet(out) // initial load
+    src.write.mode("append").parquet(out)    // retried append (duplicates!)
+    spark.read.parquet(out)
+      .dropDuplicates("o_orderkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("loaded_rows"),
+        round(sum(col("o_totalprice")), 2).as("loaded_value"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** D5: bucketed warehouse load + co-located join. Both tables are
+    * bucketed 8-ways on the join key at write time, so the join needs NO
+    * exchange — at 100 TB this is the difference between shuffling the
+    * fact table on every join and shuffling it once at load. */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    // the metastore (derby, per-JVM) and the warehouse dir can desync when
+    // several JVMs share the workspace — reset both before (re)loading
+    def reset(table: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      if (loc.exists()) rm(loc)
+    }
+    reset("graft_orders_bucketed")
+    reset("graft_customer_bucketed")
+    t.orders.write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("graft_orders_bucketed")
+    t.customer.write.mode("overwrite")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("graft_customer_bucketed")
+    spark.table("graft_orders_bucketed")
+      .join(spark.table("graft_customer_bucketed"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** D2: per-source run metrics (monitoring.py SourceMetrics /
     * PipelineMonitor.get_summary): success counts, rates, durations,
     * retry totals — events as the telemetry stream, `props` parsed with a

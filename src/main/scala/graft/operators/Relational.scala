@@ -267,6 +267,27 @@ object Relational {
       .orderBy(col("bucket_start"), col("event_type"))
   }
 
+  /** E18: skew-safe salted join. A handful of hot keys would put most of
+    * the probe side into a few shuffle partitions; salting fans each hot
+    * key over S sub-keys (dim side replicated ×S) so the shuffle is
+    * balanced. Result-identical to the plain join — proven by the oracle,
+    * which computes the unsalted form. */
+  def qSaltedJoin(spark: SparkSession, dir: String, salts: Int = 16): DataFrame = {
+    val t = Tables(spark, dir)
+    // synthetic hot key: fold every 10th user onto key 0
+    val ev = t.events.withColumn("join_key",
+      when(col("user_id") % 10 === 0, 0L).otherwise(col("user_id")))
+    val dim = ev.select(col("join_key")).distinct()
+      .withColumn("score", (col("join_key") * 7) % 100)
+    val saltedEv = ev.withColumn("salt", pmod(col("event_id"), lit(salts)))
+    val saltedDim = dim.withColumn("salt",
+      explode(array((0 until salts).map(lit): _*)))
+    saltedEv.join(saltedDim, Seq("join_key", "salt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("score")).cast("long").as("sum_score"))
+      .orderBy(col("event_type"))
+  }
+
   /** E14: running per-user cumulative sum (incremental window frame —
     * sequential accumulation is order-identical to the oracle). */
   def qRunningAgg(spark: SparkSession, dir: String): DataFrame = {

@@ -69,4 +69,47 @@ object Similarity {
     t.embeddings.withColumn("bucket", Vec.lshBucket(Vec.toDouble(col("embedding")), planes))
       .select(col("vec_id"), col("label"), col("bucket"))
   }
+
+  /** F8b: IVF (inverted-file) ANN — the other standard scale path.
+    * Coarse quantizer: per-cluster centroids (mean, computed distributed
+    * via posexplode + partial agg); each vector is assigned to its nearest
+    * centroid (inverted lists); a query probes only the `nprobe` nearest
+    * lists. At 100 TB the inverted list id is the partition key, so a
+    * query touches nprobe partitions instead of the full corpus.
+    * Probabilistic recall → rows-only gate + recall spec vs exact top-k. */
+  def ivfAnn(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 20,
+      nprobe: Int = 3): DataFrame = {
+    val t = Tables(spark, dir)
+    val e = t.embeddings.select(col("vec_id"), col("label"), Vec.toDouble(col("embedding")).as("v"))
+    // centroids: mean per label (the labels act as the coarse clustering;
+    // a k-means iteration would refine them the same distributed way)
+    val cents = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("cv"))
+    // inverted-list assignment: nearest centroid by cosine
+    val assigned = e.crossJoin(broadcast(cents.select(col("label").as("c_label"), col("cv"))))
+      .withColumn("sim", Vec.cosine(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+          .orderBy(col("sim").desc, col("c_label"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("v"), col("c_label").as("list_id"))
+    // query: probe the nprobe nearest centroids' lists only
+    val qv = t.embeddings.filter(col("vec_id") === queryId)
+      .select(Vec.toDouble(col("embedding")).as("qv")).head().getSeq[Double](0)
+    val qvCol = array(qv.map(lit): _*)
+    val probeLists = cents
+      .withColumn("qsim", Vec.cosine(qvCol, col("cv")))
+      .orderBy(col("qsim").desc, col("label"))
+      .limit(nprobe)
+      .select(col("label").as("probe_list"))
+    assigned.join(broadcast(probeLists), col("list_id") === col("probe_list"))
+      .filter(col("vec_id") =!= queryId)
+      .withColumn("score", round(Vec.cosine(col("v"), qvCol), 4))
+      .select(col("vec_id"), col("list_id"), col("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
 }

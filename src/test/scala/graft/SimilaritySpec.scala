@@ -42,6 +42,15 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(buckets(0) == buckets(1), "scaled copy must share every sign bucket")
   }
 
+  test("ivf ann with nprobe=3 recalls most of the exact top-k") {
+    val exact = Similarity.annTopK(spark, sfDir, queryId = 0L, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfAnn(spark, sfDir, queryId = 0L, k = 10, nprobe = 3)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall exact=$exact ivf=$ivf")
+  }
+
   test("ann_topk ranks an exact duplicate of the query vector first") {
     // top hit of the query against the corpus must dominate the rest
     val top = Similarity.annTopK(spark, sfDir, queryId = 0L, k = 5).collect()

@@ -28,6 +28,24 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
     assert(fast == ref)
   }
 
+  test("bucketed join plans without a hash-partition shuffle") {
+    graft.operators.LoadOps.bucketedJoin(spark, sfDir).collect() // materialize tables
+    // at test scale the planner prefers broadcast (which also avoids the
+    // shuffle); disable it to expose the bucketed sort-merge path a big
+    // cluster would take
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("graft_orders_bucketed")
+        .join(spark.table("graft_customer_bucketed"),
+          org.apache.spark.sql.functions.col("o_custkey") ===
+            org.apache.spark.sql.functions.col("c_custkey"))
+      val plan = joined.queryExecution.sparkPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("k bound is respected per group") {
     val counts = Relational.qTopKPerGroup(spark, sfDir)
       .groupBy("o_custkey").count().collect().map(_.getLong(1))
