@@ -79,7 +79,9 @@ object SparkEntry {
     "text_quality"           -> TextAnalysis.quality _,
     "text_langid"            -> TextAnalysis.langid _,
     "text_tokens"            -> TextAnalysis.tokenCount _,
+    "text_topterms"          -> ((s: SparkSession, d: String) => TextAnalysis.topTerms(s, d)),
     "mm_binary_meta"         -> Multimodal.binaryMeta _,
+    "mm_frame_sample"        -> Multimodal.frameSample _,
   )
 
   // shared SQL fragments for the oracle ---------------------------------
@@ -477,6 +479,18 @@ object SparkEntry {
          | CAST(len($toks) AS BIGINT) AS ws_tokens,
          | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_topterms" ->
+      s"""WITH q AS (SELECT doc_id, list_distinct($toks) AS toks FROM documents),
+         |u AS (SELECT doc_id, unnest(toks) AS term FROM q)
+         |SELECT term, count(*) AS doc_freq FROM u
+         |GROUP BY term ORDER BY doc_freq DESC, term LIMIT 25""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH m AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n FROM documents),
+        |f AS (SELECT doc_id, n, CAST(i AS BIGINT) AS frame_idx
+        |  FROM m, range(0, 3) t(i) WHERE i <= n % 3)
+        |SELECT doc_id, frame_idx,
+        | CAST(64 + (n * 31 + frame_idx * 7) % 997 AS BIGINT) AS frame_feature
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS checksum,
         | CAST(CASE WHEN length(text) = 0 THEN 0 ELSE ascii(text) END AS BIGINT) AS first_cp,

@@ -12,6 +12,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class Tables(spark: SparkSession, dir: String) {
   private def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The testdata files are single parquet row groups → one input
+    * partition. For tables whose operators do heavy per-row work BEFORE
+    * any shuffle (text analysis, vector math, fingerprinting), spread the
+    * rows across the cluster first; the shuffle is tiny next to the
+    * compute it parallelizes. (On a real multi-file/multi-row-group
+    * layout the scan itself provides the splits and this is a no-op
+    * cost-wise.) */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(spark.sparkContext.defaultParallelism)
+
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")
   def customer: DataFrame   = t("customer")
@@ -20,6 +30,6 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
   def events: DataFrame     = t("events")
-  def documents: DataFrame  = t("documents")
-  def embeddings: DataFrame = t("embeddings")
+  def documents: DataFrame  = spread(t("documents"))
+  def embeddings: DataFrame = spread(t("embeddings"))
 }

@@ -39,6 +39,31 @@ object Multimodal {
       fake_channels = 3L)
   }
 
+  /** F14: frame sampling — one payload → N decoded frames (the video
+    * analogue of F12's image decode; a real decoder would emit frame
+    * tensors). The fan-out happens inside the partition (flatMap shape),
+    * so a 100 TB video corpus decodes without any shuffle; frame count and
+    * per-frame features are deterministic functions of the payload so the
+    * oracle can check the full fan-out. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    t.documents
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { iter =>
+        iter.flatMap { case (id, text) =>
+          val n = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong
+          val frames = (n % 3L) + 1L // STUB: a decoder would read the container
+          (0L until frames).map { f =>
+            (id, f, 64L + (n * 31L + f * 7L) % 997L) // STUB frame feature
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "frame_feature")
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** F12: binary payload metadata + stub-decoded features via typed
     * `mapPartitions` (the Scala analogue of `mapInPandas` batch UDFs). */
   def binaryMeta(spark: SparkSession, dir: String): DataFrame = {

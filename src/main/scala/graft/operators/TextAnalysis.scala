@@ -77,6 +77,19 @@ object TextAnalysis {
       .orderBy(col("lang"), col("predicted"))
   }
 
+  /** F13: corpus-level term statistics — top terms by document frequency
+    * (explode → two-level agg; the canonical "vocab build" shuffle of a
+    * training-data pipeline, map-side combined by Catalyst). */
+  def topTerms(spark: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("term"))
+      .limit(k)
+  }
+
   /** F11: token counting — whitespace words and a BPE-ish regex
     * tokenization (letters / digits / single symbols). */
   def tokenCount(spark: SparkSession, dir: String): DataFrame = {

@@ -1,7 +1,14 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Input/output rows for the stateful sessionizer (G3). */
+final case class SessionEvent(user_id: Long, sec: Long, value: Double)
+final case class SessionSummary(user_id: Long, n_events: Long, start_sec: Long,
+    end_sec: Long, session_value: Double)
+private final case class SessionState(n: Long, start: Long, last: Long, sum: Double)
 
 /** Structured Streaming surface (SURVEY §2 G). The reference's pipeline is
   * batch re-ingest on a schedule (run.py); the Spark-native upgrade is a
@@ -33,4 +40,37 @@ object EventStreams {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** G3: stateful sessionization via `flatMapGroupsWithState` — custom
+    * per-key state carried across micro-batches (the streaming analogue of
+    * E12): a session closes when a later event arrives past the gap,
+    * emitting one summary row. State is O(open sessions per key); a
+    * production deployment adds a timeout to evict keys that go silent
+    * (ProcessingTimeTimeout makes the engine run continuous no-data
+    * batches while any timeout is pending — deliberately left out of the
+    * deterministic spec path). */
+  def sessionizeStream(events: Dataset[SessionEvent],
+      gapSec: Long = 1800L): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionSummary]
+          var cur = state.getOption
+          rows.toSeq.sortBy(e => e.sec).foreach { e =>
+            cur match {
+              case Some(s) if e.sec - s.last > gapSec =>
+                closed += SessionSummary(user, s.n, s.start, s.last, s.sum)
+                cur = Some(SessionState(1, e.sec, e.sec, e.value))
+              case Some(s) =>
+                cur = Some(SessionState(s.n + 1, s.start, e.sec, s.sum + e.value))
+              case None =>
+                cur = Some(SessionState(1, e.sec, e.sec, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          closed.iterator
+      }
+  }
 }

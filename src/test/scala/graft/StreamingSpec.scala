@@ -40,6 +40,54 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("G3: flatMapGroupsWithState carries session state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{SessionEvent, SessionSummary}
+    val mem = MemoryStream[SessionEvent]
+    val q = EventStreams.sessionizeStream(mem.toDS(), gapSec = 1800L)
+      .writeStream.outputMode("append").format("memory").queryName("g3_out").start()
+    try {
+      // batch 1: open sessions for users 1 and 2 — nothing emitted yet
+      mem.addData(SessionEvent(1L, 1000L, 1.0), SessionEvent(1L, 1100L, 2.0),
+        SessionEvent(2L, 1000L, 7.0))
+      q.processAllAvailable()
+      assert(spark.table("g3_out").count() == 0)
+      // batch 2: u1 event past the gap closes u1's session; u2 continues
+      mem.addData(SessionEvent(1L, 9000L, 5.0), SessionEvent(2L, 2000L, 1.0))
+      q.processAllAvailable()
+      // batch 3: u2 event past the gap closes u2's (cross-batch!) session
+      mem.addData(SessionEvent(2L, 9000L, 2.0))
+      q.processAllAvailable()
+      val sessions = spark.table("g3_out").as[SessionSummary].collect()
+        .map(s => (s.user_id, s.n_events, s.start_sec, s.end_sec, s.session_value)).toSet
+      assert(sessions == Set(
+        (1L, 2L, 1000L, 1100L, 3.0),  // closed in batch 2
+        (2L, 2L, 1000L, 2000L, 8.0))) // state spanned batches 1–2, closed in 3
+    } finally q.stop()
+  }
+
+  test("G4: stream-stream interval join (click->purchase attribution)") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(java.sql.Timestamp, Long)]
+    val purchases = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val c = clicks.toDF().toDF("c_ts", "c_user").withWatermark("c_ts", "10 minutes")
+    val p = purchases.toDF().toDF("p_ts", "p_user", "amount").withWatermark("p_ts", "10 minutes")
+    val joined = c.join(p,
+      expr("c_user = p_user AND p_ts BETWEEN c_ts AND c_ts + INTERVAL 30 MINUTES"))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("g4_out").start()
+    try {
+      clicks.addData((ts("2024-01-01 00:00:00"), 1L), (ts("2024-01-01 02:00:00"), 2L))
+      purchases.addData(
+        (ts("2024-01-01 00:10:00"), 1L, 9.5),   // within 30min of user 1 click
+        (ts("2024-01-01 03:00:00"), 2L, 4.0))   // outside user 2 click window
+      q.processAllAvailable()
+      val got = spark.table("g4_out").select("p_user", "amount")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got == Set((1L, 9.5)))
+    } finally q.stop()
+  }
+
   test("G2: dropDuplicatesWithinWatermark dedups repeated keys in-stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
