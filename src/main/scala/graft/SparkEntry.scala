@@ -80,6 +80,8 @@ object SparkEntry {
     "text_langid"            -> TextAnalysis.langid _,
     "text_tokens"            -> TextAnalysis.tokenCount _,
     "text_topterms"          -> ((s: SparkSession, d: String) => TextAnalysis.topTerms(s, d)),
+    "sample_split"           -> TextAnalysis.datasetSplit _,
+    "sample_stratified"      -> ((s: SparkSession, d: String) => TextAnalysis.stratifiedSample(s, d)),
     "mm_binary_meta"         -> Multimodal.binaryMeta _,
     "mm_frame_sample"        -> Multimodal.frameSample _,
   )
@@ -484,6 +486,16 @@ object SparkEntry {
          |u AS (SELECT doc_id, unnest(toks) AS term FROM q)
          |SELECT term, count(*) AS doc_freq FROM u
          |GROUP BY term ORDER BY doc_freq DESC, term LIMIT 25""".stripMargin,
+    "sample_split" ->
+      """WITH s AS (SELECT *, CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
+        |  WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val' ELSE 'test' END AS split
+        | FROM documents)
+        |SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sample_stratified" ->
+      """WITH r AS (SELECT lang, doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn FROM documents)
+        |SELECT lang, doc_id, n_chars FROM r WHERE rn % 10 = 1 ORDER BY lang, doc_id""".stripMargin,
     "mm_frame_sample" ->
       """WITH m AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n FROM documents),
         |f AS (SELECT doc_id, n, CAST(i AS BIGINT) AS frame_idx

@@ -88,14 +88,15 @@ object Similarity {
       .groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         s => s.getField("c")).as("cv"))
-    // inverted-list assignment: nearest centroid by cosine
+    // inverted-list assignment: nearest centroid by cosine. max_by over a
+    // (sim, -label) ordering struct — one hash aggregate, no window sort
     val assigned = e.crossJoin(broadcast(cents.select(col("label").as("c_label"), col("cv"))))
       .withColumn("sim", Vec.cosine(col("v"), col("cv")))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
-          .orderBy(col("sim").desc, col("c_label"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("v"), col("c_label").as("list_id"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("label"), col("v"), col("c_label")),
+        struct(col("sim"), -col("c_label"))).as("best"))
+      .select(col("vec_id"), col("best.label").as("label"),
+        col("best.v").as("v"), col("best.c_label").as("list_id"))
     // query: probe the nprobe nearest centroids' lists only
     val qv = t.embeddings.filter(col("vec_id") === queryId)
       .select(Vec.toDouble(col("embedding")).as("qv")).head().getSeq[Double](0)

@@ -90,6 +90,35 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** F15: deterministic train/val/test split — multiplicative-hash bucket
+    * of the stable id (80/10/10). Pure per-row arithmetic: reproducible on
+    * any engine, no RNG state, no shuffle; the split column can partition
+    * the output write. */
+  def datasetSplit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val bucket = pmod(col("doc_id") * 2654435761L, lit(1000L))
+    t.documents
+      .withColumn("split",
+        when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("n_chars_total"))
+      .orderBy(col("split"))
+  }
+
+  /** F16: systematic stratified sampling — every k-th document per stratum
+    * in stable id order (the deterministic cousin of reservoir sampling;
+    * at scale the rank is one window shuffle on the stratum key). */
+  def stratifiedSample(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+    t.documents
+      .withColumn("rn", row_number().over(w))
+      .filter((col("rn") % k) === 1)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
   /** F11: token counting — whitespace words and a BPE-ish regex
     * tokenization (letters / digits / single symbols). */
   def tokenCount(spark: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,51 @@
+package graft
+
+import graft.functions.{JaccardSorted, ShingleHashes}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Generative properties for the native Catalyst expressions — these are
+  * hand-rolled eval loops, so pin them against straightforward Scala
+  * reference implementations on random (seeded, reproducible) inputs.
+  * All cases are evaluated in ONE DataFrame per property. */
+class FunctionPropertySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val longSet: Gen[List[Long]] = Gen.listOf(Gen.chooseNum(-50L, 50L))
+
+  private val asciiText: Gen[String] =
+    Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n,
+      Gen.frequency(8 -> Gen.alphaChar, 2 -> Gen.const(' '))).map(_.mkString))
+
+  test("jaccard_sorted equals set-based jaccard on 200 random long-set pairs") {
+    val cases = samples(Gen.zip(longSet, longSet), 200).map { case (a, b) =>
+      (a.distinct.sorted, b.distinct.sorted)
+    }
+    val expected = cases.map { case (sa, sb) =>
+      val inter = sa.toSet.intersect(sb.toSet).size
+      val union = sa.toSet.union(sb.toSet).size
+      if (union == 0) 0.0 else inter.toDouble / union
+    }
+    val got = cases.toDF("a", "b")
+      .select(JaccardSorted.jaccardSorted(spark, col("a"), col("b")))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got == expected)
+  }
+
+  test("shingle_hashes: one hash per distinct 3-gram; sorted distinct output") {
+    val texts = samples(asciiText, 200)
+    val rows = texts.map(Tuple1(_)).toDF("t")
+      .select(ShingleHashes.shingleHashes(spark, col("t")))
+      .collect().map(_.getSeq[Long](0)).toSeq
+    texts.zip(rows).foreach { case (s, arr) =>
+      val expected = s.toLowerCase.sliding(3).filter(_.length == 3).toSet.size
+      assert(arr.size == expected, s"text=${s.toLowerCase}") // modulo 64-bit collisions
+      assert(arr == arr.distinct.sorted)
+    }
+  }
+}
