@@ -22,6 +22,7 @@ object SparkEntry {
     "src_parquet_pruned"     -> Ingest.parquetPruned _,
     "src_csv_read"           -> Ingest.csvRead _,
     "src_json_features"      -> Ingest.jsonFeatures _,
+    "src_xml_features"       -> Ingest.xmlFeatures _,
     "src_rest_oid_sweep"     -> ((s: SparkSession, d: String) => Ingest.restOidSweep(s, d)),
     "src_rest_offset_paging" -> ((s: SparkSession, d: String) => Ingest.restOffsetPaging(s, d)),
     "src_snapshot_load"      -> Ingest.snapshotLoad _,
@@ -45,6 +46,7 @@ object SparkEntry {
     "load_bucketed_join"     -> LoadOps.bucketedJoin _,
     "mon_source_summary"     -> LoadOps.sourceSummary _,
     "mon_error_patterns"     -> LoadOps.errorPatterns _,
+    "etl_response_validate"  -> ((s: SparkSession, d: String) => LoadOps.responseValidate(s, d)),
     // E — relational core
     "q1_agg"                 -> Relational.q1Agg _,
     "q3_join_agg"            -> Relational.q3JoinAgg _,
@@ -81,6 +83,7 @@ object SparkEntry {
     "text_tokens"            -> TextAnalysis.tokenCount _,
     "text_topterms"          -> ((s: SparkSession, d: String) => TextAnalysis.topTerms(s, d)),
     "sample_split"           -> TextAnalysis.datasetSplit _,
+    "text_tfidf"             -> ((s: SparkSession, d: String) => TextAnalysis.tfidf(s, d)),
     "sample_stratified"      -> ((s: SparkSession, d: String) => TextAnalysis.stratifiedSample(s, d)),
     "mm_binary_meta"         -> Multimodal.binaryMeta _,
     "mm_frame_sample"        -> Multimodal.frameSample _,
@@ -125,6 +128,26 @@ object SparkEntry {
     "src_json_features" ->
       """SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
         | CAST(n_regionkey AS INT) AS n_regionkey FROM nation ORDER BY n_nationkey""".stripMargin,
+    "src_xml_features" ->
+      """SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
+        | CAST(n_regionkey AS INT) AS n_regionkey FROM nation ORDER BY n_nationkey""".stripMargin,
+    "etl_response_validate" ->
+      """SELECT event_type AS source, count(*) AS n,
+        | CAST(sum(CASE WHEN props LIKE '{%' AND props LIKE '%}' AND length(props) <= 64
+        |   AND regexp_matches(props, '"k":\s*[0-9]+') THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+        | CAST(sum(CASE WHEN NOT (props LIKE '{%' AND props LIKE '%}') THEN 1 ELSE 0 END) AS BIGINT) AS n_malformed,
+        | CAST(sum(CASE WHEN length(props) > 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_tfidf" ->
+      s"""WITH terms AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+         |s AS (SELECT doc_id, term, tf, df,
+         |  tf * ln(((SELECT count(*) FROM documents) + 1.0) / (df + 1.0)) AS score
+         | FROM tf JOIN df USING (term)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM s)
+         |SELECT doc_id, CAST(rn AS INT) AS rn, term, tf, df, round(score, 6) AS score
+         |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
     "src_rest_oid_sweep" ->
       """WITH b AS (SELECT min(l_orderkey) mn, max(l_orderkey) mx FROM lineitem),
         |ps AS (SELECT CAST(ceil((mx - mn + 1) / 16.0) AS BIGINT) v FROM b)

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{DataType, DoubleType}
@@ -18,14 +18,29 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * pipeline produces them via array_sort∘array_distinct).
   */
 case class JaccardSorted(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaccard_sorted"
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Double.valueOf(JaccardSorted.merge(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+
+  // stays inside whole-stage codegen: the generated code calls the same
+  // static merge the interpreter uses
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.JaccardSorted.merge($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSorted =
+    copy(left = l, right = r)
+}
+
+object JaccardSorted {
+  /** Linear merge intersection count → Jaccard, shared by interpreted and
+    * generated code paths. */
+  def merge(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()
     val nb = b.numElements()
     var i = 0; var j = 0; var inter = 0
@@ -36,15 +51,9 @@ case class JaccardSorted(left: Expression, right: Expression)
       else j += 1
     }
     val union = na + nb - inter
-    if (union == 0) java.lang.Double.valueOf(0.0)
-    else java.lang.Double.valueOf(inter.toDouble / union)
+    if (union == 0) 0.0 else inter.toDouble / union
   }
 
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSorted =
-    copy(left = l, right = r)
-}
-
-object JaccardSorted {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaccard_sorted", exprs => JaccardSorted(exprs(0), exprs(1)), "built-in")

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -20,12 +20,28 @@ import org.apache.spark.unsafe.types.UTF8String
   * (~1e-15 per pair). Feeds [[JaccardSorted]].
   */
 case class ShingleHashes(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashes.hashShingles(input.asInstanceOf[UTF8String])
+
+  // generated code calls the same static implementation -> the expression
+  // stays inside whole-stage codegen
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHashes.hashShingles($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+
+  /** Sorted distinct FNV-1a hashes of character 3-grams of the lowercased
+    * input; shared by interpreted and generated code paths. */
+  def hashShingles(input: UTF8String): GenericArrayData = {
     val b = input.asInstanceOf[UTF8String].toLowerCase.getBytes
     // char start offsets (code points, matching substr semantics)
     var nChars = 0
@@ -64,11 +80,6 @@ case class ShingleHashes(child: Expression)
     new GenericArrayData(if (w == n) hs else java.util.Arrays.copyOf(hs, w))
   }
 
-  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
-    copy(child = newChild)
-}
-
-object ShingleHashes {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_hashes", exprs => ShingleHashes(exprs.head), "built-in")

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -20,10 +20,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * without row-to-JVM-object conversion.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(SimHash64.simhashOf(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.simhashOf($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
 
   @inline private def fnv1a(bytes: Array[Byte]): Long = {
     var h = 0xcbf29ce484222325L
@@ -36,8 +48,8 @@ case class SimHash64(child: Expression)
     h
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** Shared by interpreted and generated code paths. */
+  def simhashOf(arr: ArrayData): Long = {
     val acc = new Array[Int](64)
     var i = 0
     while (i < arr.numElements()) {
@@ -57,14 +69,9 @@ case class SimHash64(child: Expression)
       if (acc(b) > 0) out |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(out)
+    out
   }
 
-  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
-    copy(child = newChild)
-}
-
-object SimHash64 {
   /** Register `simhash64` in the session's function registry (the Spark 4
     * path for exposing a raw Catalyst expression as a SQL/Column fn). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -60,6 +60,11 @@ object Dedup {
     * (hash-set intersections on longs, not strings) and union size is
     * sz1+sz2−|∩| — no second array op per pair. */
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.82): DataFrame = {
+    // inject the size-ratio prefilter rule (idempotent)
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!cs.experimental.extraOptimizations.contains(graft.plans.JaccardSizePrefilter))
+      cs.experimental.extraOptimizations =
+        cs.experimental.extraOptimizations :+ graft.plans.JaccardSizePrefilter
     val t = Tables(spark, dir)
     val d = t.documents.select(col("doc_id"), col("lang"), col("n_chars"),
         ShingleHashes.shingleHashes(spark, col("text")).as("sh"))

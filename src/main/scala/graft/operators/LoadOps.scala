@@ -97,6 +97,25 @@ object LoadOps {
       .orderBy(col("source"))
   }
 
+  /** D6: response-payload validation gate (http_utils.py:126 safe json
+    * parse + :109 size limit + validate_response_content): classify each
+    * payload before staging — parse-shaped, within size budget, carries
+    * the expected field — and roll up acceptance per source. */
+  def responseValidate(spark: SparkSession, dir: String, maxBytes: Long = 64L): DataFrame = {
+    val t = Tables(spark, dir)
+    val wellFormed = col("props").startsWith("{") && col("props").endsWith("}")
+    val inBudget = length(col("props")) <= maxBytes
+    val hasField = col("props").rlike("\"k\":\\s*[0-9]+")
+    t.events
+      .withColumn("valid", (wellFormed && inBudget && hasField).cast("int"))
+      .groupBy(col("event_type").as("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("valid")).cast("long").as("n_valid"),
+        sum(when(!wellFormed, 1).otherwise(0)).cast("long").as("n_malformed"),
+        sum(when(!inBudget, 1).otherwise(0)).cast("long").as("n_oversize"))
+      .orderBy(col("source"))
+  }
+
   /** D3: error-pattern rollup (monitoring.py error_type tracking +
     * log_summary's top-error report): classify, count, rank. */
   def errorPatterns(spark: SparkSession, dir: String): DataFrame = {

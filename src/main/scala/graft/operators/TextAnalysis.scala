@@ -90,6 +90,29 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** F17: TF-IDF — top terms per document by tf·idf. Corpus DF via one
+    * agg, tf via another, joined on term (broadcastable: vocab ≪ corpus);
+    * rank per doc is a window on the doc key. The standard two-pass
+    * distributed formulation. */
+  def tfidf(spark: SparkSession, dir: String, topPerDoc: Int = 3): DataFrame = {
+    val t = Tables(spark, dir)
+    val n = t.documents.count()
+    val terms = t.documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df_ = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(df_), "term")
+      .withColumn("score", col("tf") * log((lit(n.toDouble) + 1.0) / (col("df") + 1.0)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topPerDoc)
+      .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
   /** F15: deterministic train/val/test split — multiplicative-hash bucket
     * of the stable id (80/10/10). Pure per-row arithmetic: reproducible on
     * any engine, no RNG state, no shuffle; the split column can partition

@@ -63,6 +63,25 @@ object Ingest {
       .orderBy(col("n_nationkey"))
   }
 
+  /** A7: GML/XML feature parsing (download_wfs.py, download_atom.py move
+    * WFS/Atom payloads as XML): elements extracted with native regexps —
+    * schema-on-read without a parser dependency, per-row and codegen'd. */
+  def xmlFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    // the wire format a WFS download would deliver…
+    val wire = t.nation.select(concat(
+      lit("<feature><key>"), col("n_nationkey").cast("string"),
+      lit("</key><name>"), col("n_name"),
+      lit("</name><region>"), col("n_regionkey").cast("string"),
+      lit("</region></feature>")).as("xml"))
+    // …parsed back by the operator under test
+    wire.select(
+        regexp_extract(col("xml"), "<key>([0-9]+)</key>", 1).cast("int").as("n_nationkey"),
+        regexp_extract(col("xml"), "<name>(.*?)</name>", 1).as("n_name"),
+        regexp_extract(col("xml"), "<region>([0-9]+)</region>", 1).cast("int").as("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+  }
+
   /** A4: OID-sweep ingest (download_rest.py `use_oid_sweep`): the table is
     * fetched as parallel key-ranged batches. Each range is a filtered scan;
     * the union is one distributed read whose batches run concurrently.
