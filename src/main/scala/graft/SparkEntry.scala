@@ -40,6 +40,7 @@ object SparkEntry {
     "geo_sr_infer"           -> Geo.srInfer _,
     "geo_polygon_clip"       -> Geo.polygonClip _,
     "geo_wkt_roundtrip"      -> Geo.wktRoundtrip _,
+    "geo_measures"           -> Geo.geomMeasures _,
     // D — load / monitoring
     "load_truncate_load"     -> LoadOps.truncateLoad _,
     "load_append_dedup"      -> LoadOps.appendDedupLoad _,
@@ -273,6 +274,21 @@ object SparkEntry {
         | CAST(regexp_extract(wkt, 'POINT \(([0-9]+) ([0-9]+)\)', 1) AS DOUBLE) AS px,
         | CAST(regexp_extract(wkt, 'POINT \(([0-9]+) ([0-9]+)\)', 2) AS DOUBLE) AS py
         |FROM w ORDER BY o_orderkey""".stripMargin,
+    "geo_measures" ->
+      """WITH g AS (SELECT o_orderkey,
+        |  CAST((o_orderkey * 7919) % 10000 AS DOUBLE) AS x1,
+        |  CAST((o_orderkey * 104729) % 10000 AS DOUBLE) AS y1,
+        |  CAST((o_orderkey * 131) % 10000 AS DOUBLE) AS x2,
+        |  CAST((o_orderkey * 151) % 10000 AS DOUBLE) AS y2,
+        |  CAST((o_orderkey * 173) % 10000 AS DOUBLE) AS x3,
+        |  CAST((o_orderkey * 193) % 10000 AS DOUBLE) AS y3
+        | FROM orders WHERE o_orderkey % 10 = 0)
+        |SELECT o_orderkey,
+        | round(abs((x2 - x1) * (y3 - y1) - (x3 - x1) * (y2 - y1)) / 2.0, 4) AS area,
+        | round(sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))
+        |   + sqrt((x3 - x2) * (x3 - x2) + (y3 - y2) * (y3 - y2))
+        |   + sqrt((x1 - x3) * (x1 - x3) + (y1 - y3) * (y1 - y3)), 4) AS perimeter
+        |FROM g ORDER BY o_orderkey""".stripMargin,
     "load_append_dedup" ->
       """SELECT o_orderpriority, count(*) AS loaded_rows,
         | round(sum(o_totalprice), 2) AS loaded_value

@@ -32,11 +32,18 @@ case class GeoprocessCfg(
 
 case class LoadCfg(target: String, mode: String = "truncate") // truncate | append
 
+/** Step gating — run.py's `--download --process --load_sde` flags: any
+  * stage can be toggled per run. */
+case class StepsCfg(stage: Boolean = true, process: Boolean = true, load: Boolean = true)
+
 case class PipelineCfg(
     sources: Seq[SourceCfg],
     geoprocess: GeoprocessCfg = GeoprocessCfg(),
     load: Option[LoadCfg] = None,
-    sanitizeNames: Boolean = true)
+    sanitizeNames: Boolean = true,
+    steps: StepsCfg = StepsCfg(),
+    // run.py cleanup_*_before_run: clear the load target before loading
+    cleanupBeforeRun: Boolean = false)
 
 object PipelineCfg {
   private val mapper = new ObjectMapper()
@@ -100,16 +107,26 @@ object Pipeline {
     * after filters, rows loaded, load target) ordered by source name. */
   def run(spark: SparkSession, cfg: PipelineCfg): DataFrame = {
     import spark.implicits._
+    if (cfg.cleanupBeforeRun) cfg.load.foreach { l =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      val dir = new java.io.File(l.target)
+      if (dir.exists()) rm(dir)
+    }
     val results = cfg.sources.filter(_.enabled).map { src =>
-      val staged = geoprocess(stage(spark, src), cfg.geoprocess)
+      val staged =
+        if (cfg.steps.process) geoprocess(stage(spark, src), cfg.geoprocess)
+        else stage(spark, src)
       val finalDf = if (cfg.sanitizeNames) sanitize(staged) else staged
       val loaded = cfg.load match {
-        case Some(LoadCfg(target, mode)) =>
+        case Some(LoadCfg(target, mode)) if cfg.steps.load =>
           val path = s"$target/${safeNameString(src.name)}"
           val writeMode = if (mode == "append") "append" else "overwrite"
           finalDf.write.mode(writeMode).parquet(path)
           spark.read.parquet(path).count()
-        case None => finalDf.count()
+        case _ => finalDf.count()
       }
       (src.name, loaded)
     }

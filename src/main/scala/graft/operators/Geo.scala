@@ -150,6 +150,32 @@ object Geo {
       .orderBy(col("o_orderkey"))
   }
 
+  /** C9: geometry measures — area (shoelace) and perimeter of per-row
+    * synthetic triangles (the reference's staged feature classes carry
+    * computed geometry attributes; arcpy exposes them as Shape_Area /
+    * Shape_Length). Pure per-row arithmetic over three derived vertices. */
+  def geomMeasures(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables(spark, dir).orders
+      .withColumn("x1", ((col("o_orderkey") * 7919L) % 10000L).cast("double"))
+      .withColumn("y1", ((col("o_orderkey") * 104729L) % 10000L).cast("double"))
+      .withColumn("x2", ((col("o_orderkey") * 131L) % 10000L).cast("double"))
+      .withColumn("y2", ((col("o_orderkey") * 151L) % 10000L).cast("double"))
+      .withColumn("x3", ((col("o_orderkey") * 173L) % 10000L).cast("double"))
+      .withColumn("y3", ((col("o_orderkey") * 193L) % 10000L).cast("double"))
+    def d(ax: Column, ay: Column, bx: Column, by: Column): Column =
+      sqrt((bx - ax) * (bx - ax) + (by - ay) * (by - ay))
+    df.withColumn("area", round(abs(
+          (col("x2") - col("x1")) * (col("y3") - col("y1")) -
+            (col("x3") - col("x1")) * (col("y2") - col("y1"))) / 2.0, 4))
+      .withColumn("perimeter", round(
+        d(col("x1"), col("y1"), col("x2"), col("y2")) +
+          d(col("x2"), col("y2"), col("x3"), col("y3")) +
+          d(col("x3"), col("y3"), col("x1"), col("y1")), 4))
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), col("area"), col("perimeter"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** C6: infer SR from coordinate magnitudes (sr_utils.py:245
     * _infer_sr_from_coords): degrees → 4326, Sweden meters → 3006, else 0. */
   def srInfer(spark: SparkSession, dir: String): DataFrame = {

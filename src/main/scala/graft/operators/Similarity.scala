@@ -70,6 +70,38 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("bucket"))
   }
 
+  /** One spherical-k-means refinement pass over the coarse quantizer:
+    * reassign every vector to its nearest centroid (cosine), then recompute
+    * centroids as per-list means — both steps distributed (broadcast
+    * centroids, posexplode + partial agg). Returns the refined
+    * (label, cv) centroid table; iterate for Lloyd-style convergence. */
+  def refineCentroids(e: DataFrame, cents: DataFrame): DataFrame = {
+    val assigned = e.crossJoin(broadcast(cents.select(col("label").as("c_label"), col("cv"))))
+      .withColumn("sim", Vec.cosine(col("v"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("v"), col("c_label")), struct(col("sim"), -col("c_label"))).as("best"))
+      .select(col("best.v").as("v"), col("best.c_label").as("list_id"))
+    assigned.select(col("list_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("list_id"), col("pos")).agg(avg(col("x")).as("c"))
+      .groupBy(col("list_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("cv"))
+      .select(col("list_id").as("label"), col("cv"))
+  }
+
+  /** Embedding table in (vec_id, label, v: array<double>) form. */
+  def vectors(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("label"), Vec.toDouble(col("embedding")).as("v"))
+
+  /** Label-mean coarse centroids (the IVF starting point). */
+  def labelCentroids(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("cv"))
+
   /** F8b: IVF (inverted-file) ANN — the other standard scale path.
     * Coarse quantizer: per-cluster centroids (mean, computed distributed
     * via posexplode + partial agg); each vector is assigned to its nearest
@@ -80,14 +112,10 @@ object Similarity {
   def ivfAnn(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 20,
       nprobe: Int = 3): DataFrame = {
     val t = Tables(spark, dir)
-    val e = t.embeddings.select(col("vec_id"), col("label"), Vec.toDouble(col("embedding")).as("v"))
+    val e = vectors(spark, dir)
     // centroids: mean per label (the labels act as the coarse clustering;
-    // a k-means iteration would refine them the same distributed way)
-    val cents = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("c"))
-      .groupBy(col("label"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-        s => s.getField("c")).as("cv"))
+    // refineCentroids runs spherical-k-means passes on the same shape)
+    val cents = labelCentroids(e)
     // inverted-list assignment: nearest centroid by cosine. max_by over a
     // (sim, -label) ordering struct — one hash aggregate, no window sort
     val assigned = e.crossJoin(broadcast(cents.select(col("label").as("c_label"), col("cv"))))

@@ -51,6 +51,21 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.5, s"recall=$recall exact=$exact ivf=$ivf")
   }
 
+  test("k-means refinement does not degrade centroid fit") {
+    val e = Similarity.vectors(spark, sfDir)
+    def avgBestSim(cents: org.apache.spark.sql.DataFrame): Double = {
+      e.crossJoin(broadcast(cents.select(col("label").as("c_label"), col("cv"))))
+        .withColumn("sim", graft.functions.Vec.cosine(col("v"), col("cv")))
+        .groupBy(col("vec_id")).agg(max(col("sim")).as("best"))
+        .agg(avg(col("best"))).head().getDouble(0)
+    }
+    val before = Similarity.labelCentroids(e)
+    val after = Similarity.refineCentroids(e, before)
+    assert(after.count() <= before.count()) // lists can merge, never split
+    assert(avgBestSim(after) >= avgBestSim(before) - 0.01,
+      "refinement should not lose fit")
+  }
+
   test("ann_topk ranks an exact duplicate of the query vector first") {
     // top hit of the query against the corpus must dominate the rest
     val top = Similarity.annTopK(spark, sfDir, queryId = 0L, k = 5).collect()
