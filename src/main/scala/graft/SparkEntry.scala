@@ -74,6 +74,7 @@ object SparkEntry {
     "dedup_ngram_jaccard"    -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash_lsh"      -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "dedup_simhash"          -> Dedup.simhashBuckets _,
+    "dedup_winnow"           -> ((s: SparkSession, d: String) => Dedup.winnowDedup(s, d)),
     "neardup_cosine"         -> ((s: SparkSession, d: String) => Similarity.neardupCosine(s, d)),
     "ann_topk"               -> ((s: SparkSession, d: String) => Similarity.annTopK(s, d)),
     "ann_lsh_bucketed"       -> Similarity.annLshBuckets _,

@@ -147,6 +147,33 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** F18: winnowing (rolling-hash) fingerprint dedup — MOSS-style
+    * fingerprints via the native [[WinnowFingerprints]] expression;
+    * candidates = pairs sharing ≥ minShared fingerprints (equi-join on the
+    * exploded fingerprint, then a count threshold — two shuffles total,
+    * both on small keys). Per-doc candidate summary output. */
+  def winnowDedup(spark: SparkSession, dir: String, minShared: Int = 15): DataFrame = {
+    val t = Tables(spark, dir)
+    val fp = t.documents.select(col("doc_id"),
+      graft.functions.WinnowFingerprints.winnowFingerprints(spark, col("text")).as("fps"))
+    val exploded = fp.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val pairs = exploded.as("x").join(exploded.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    val perDoc = pairs.select(col("d1").as("doc_id"), col("n_shared"))
+      .union(pairs.select(col("d2").as("doc_id"), col("n_shared")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_candidates"), max(col("n_shared")).as("max_shared"))
+    fp.select(col("doc_id"), size(col("fps")).cast("long").as("n_fingerprints"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_fingerprints"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("max_shared"), lit(0L)).as("max_shared"))
+      .orderBy(col("doc_id"))
+  }
+
   /** F5: SimHash near-dup buckets — native `simhash64` expression, bucket
     * by the high 16 bits (one band); bucket-mate count per doc. */
   def simhashBuckets(spark: SparkSession, dir: String): DataFrame = {

@@ -64,6 +64,20 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.forall(_.getDouble(3) >= 0.82))
   }
 
+  test("winnowing: identical docs share all fingerprints; shared substrings guarantee overlap") {
+    import graft.functions.WinnowFingerprints.winnowFingerprints
+    val base = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val shifted = "PREFIX added here! " + base
+    val other = "11111 22222 33333 44444 55555 66666 77777 88888 99999 00000"
+    val rows = Seq(base, base, shifted, other).toDF("text")
+      .select(winnowFingerprints(spark, col("text")).as("f"))
+      .collect().map(_.getSeq[Long](0).toSet)
+    assert(rows(0) == rows(1))                       // deterministic
+    assert(rows(0).intersect(rows(2)).nonEmpty)      // long shared substring -> shared fp
+    assert(rows(0).intersect(rows(3)).isEmpty)       // disjoint text -> disjoint fps
+    assert(rows(0).nonEmpty)
+  }
+
   test("fingerprint dedup collapses reordered near-duplicates") {
     val fp = (c: org.apache.spark.sql.Column) =>
       md5(array_join(array_sort(array_distinct(
