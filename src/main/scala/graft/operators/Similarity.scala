@@ -113,31 +113,35 @@ object Similarity {
       nprobe: Int = 3): DataFrame = {
     val t = Tables(spark, dir)
     val e = vectors(spark, dir)
-    // centroids: mean per label (the labels act as the coarse clustering;
-    // refineCentroids runs spherical-k-means passes on the same shape)
-    val cents = labelCentroids(e)
-    // inverted-list assignment: nearest centroid by cosine. max_by over a
-    // (sim, -label) ordering struct — one hash aggregate, no window sort
-    val assigned = e.crossJoin(broadcast(cents.select(col("label").as("c_label"), col("cv"))))
-      .withColumn("sim", Vec.cosine(col("v"), col("cv")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("label"), col("v"), col("c_label")),
-        struct(col("sim"), -col("c_label"))).as("best"))
-      .select(col("vec_id"), col("best.label").as("label"),
-        col("best.v").as("v"), col("best.c_label").as("list_id"))
-    // query: probe the nprobe nearest centroids' lists only
+    // The coarse quantizer is tiny (|lists| × dims) — train it distributed
+    // (labelCentroids / refineCentroids), then COLLECT it: real IVF keeps
+    // the quantizer driver-side/broadcast, so the centroid subtree isn't
+    // recomputed per consumer and probe selection costs no cluster job.
+    val cents: Array[(Int, Seq[Double])] = labelCentroids(e).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
     val qv = t.embeddings.filter(col("vec_id") === queryId)
       .select(Vec.toDouble(col("embedding")).as("qv")).head().getSeq[Double](0)
+    def dot(a: Seq[Double], b: Seq[Double]) = a.iterator.zip(b.iterator).map(p => p._1 * p._2).sum
+    def cosLocal(a: Seq[Double], b: Seq[Double]) =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    // probe the nprobe nearest centroids' lists only (driver-side: 10 dots)
+    val probes = cents.sortBy { case (l, cv) => (-cosLocal(qv, cv), l) }
+      .take(nprobe).map(_._1).toSeq
+    // inverted-list assignment: nearest centroid by cosine. max_by over a
+    // (sim, -label) ordering struct — one hash aggregate, no window sort
+    import spark.implicits._
+    val centsDf = cents.toSeq.toDF("c_label", "cv")
+      .select(col("c_label"), col("cv").cast("array<double>").as("cv"))
+    val assigned = e.crossJoin(broadcast(centsDf))
+      .withColumn("sim", Vec.cosine(col("v"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("v"), col("c_label")),
+        struct(col("sim"), -col("c_label"))).as("best"))
+      .select(col("vec_id"), col("best.v").as("v"), col("best.c_label").as("list_id"))
     val qvCol = array(qv.map(lit): _*)
-    val probeLists = cents
-      .withColumn("qsim", Vec.cosine(qvCol, col("cv")))
-      .orderBy(col("qsim").desc, col("label"))
-      .limit(nprobe)
-      .select(col("label").as("probe_list"))
-    assigned.join(broadcast(probeLists), col("list_id") === col("probe_list"))
-      .filter(col("vec_id") =!= queryId)
+    assigned.filter(col("list_id").isin(probes: _*) && col("vec_id") =!= queryId)
       .withColumn("score", round(Vec.cosine(col("v"), qvCol), 4))
-      .select(col("vec_id"), col("list_id"), col("score"))
+      .select(col("vec_id"), col("list_id").cast("long").as("list_id"), col("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
   }
