@@ -31,6 +31,8 @@ object SparkEntry {
     "etl_schema_normalize"   -> Staging.schemaNormalize _,
     "etl_geomtype_split"     -> Staging.geomTypeSplit _,
     "etl_best_candidate"     -> Staging.bestCandidate _,
+    "etl_null_audit"         -> Staging.nullAudit _,
+    "q_cube"                 -> Relational.qCube _,
     // C — geoprocessing
     "geo_bbox_clip"          -> Geo.bboxClip _,
     "geo_reproject"          -> Geo.reproject _,
@@ -198,6 +200,20 @@ object SparkEntry {
         | s_name AS best_name, s_acctbal AS best_acctbal
         |FROM r WHERE rn = 1 ORDER BY nationkey""".stripMargin,
 
+    "etl_null_audit" ->
+      """SELECT count(*) AS n_rows,
+        | CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderkey,
+        | CAST(sum(CASE WHEN l_returnflag IS NULL OR length(l_returnflag) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS blank_returnflag,
+        | CAST(sum(CASE WHEN l_quantity IS NULL OR l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_quantity,
+        | CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS bad_discount,
+        | CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_shipdate
+        |FROM lineitem""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
     "geo_bbox_clip" ->
       s"""WITH c AS ($synthXY)
          |SELECT o_orderkey, x, y FROM c

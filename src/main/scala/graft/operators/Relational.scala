@@ -142,6 +142,18 @@ object Relational {
       .orderBy(col("rf"), col("ls"))
   }
 
+  /** E8b: CUBE — all grouping-set combinations in one pass. */
+  def qCube(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy(col("status"), col("priority"))
+  }
+
   /** E9: pivot via conditional aggregation (stays in one agg pass). */
   def qPivot(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)

@@ -62,6 +62,24 @@ object Staging {
       .orderBy(col("p_brand"))
   }
 
+  /** B5: staging data-quality audit — per-column null / blank / range
+    * violations in one conditional-aggregation pass (the reference
+    * validates fields and coordinates before load; sr_utils.py +
+    * stage_files.py schema checks). */
+  def nullAudit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_orderkey").isNull, 1).otherwise(0)).cast("long").as("null_orderkey"),
+        sum(when(col("l_returnflag").isNull || length(col("l_returnflag")) === 0, 1)
+          .otherwise(0)).cast("long").as("blank_returnflag"),
+        sum(when(col("l_quantity").isNull || col("l_quantity") <= 0, 1)
+          .otherwise(0)).cast("long").as("bad_quantity"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1)
+          .otherwise(0)).cast("long").as("bad_discount"),
+        sum(when(col("l_shipdate").isNull, 1).otherwise(0)).cast("long").as("null_shipdate"))
+  }
+
   /** B4: best candidate by feature count (utils.py:24
     * best_shapefile_by_count): per nation, the supplier with the highest
     * account balance (argmax with deterministic tie-break). */
