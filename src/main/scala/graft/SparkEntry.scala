@@ -75,7 +75,7 @@ object SparkEntry {
     "dedup_fingerprint"      -> Dedup.dedupFingerprint _,
     "dedup_ngram_jaccard"    -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash_lsh"      -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
-    "dedup_simhash"          -> Dedup.simhashBuckets _,
+    "dedup_simhash"          -> ((s: SparkSession, d: String) => Dedup.simhashBuckets(s, d)),
     "dedup_winnow"           -> ((s: SparkSession, d: String) => Dedup.winnowDedup(s, d)),
     "neardup_cosine"         -> ((s: SparkSession, d: String) => Similarity.neardupCosine(s, d)),
     "ann_topk"               -> ((s: SparkSession, d: String) => Similarity.annTopK(s, d)),
@@ -330,7 +330,7 @@ object SparkEntry {
         | round(CAST(sum(CASE WHEN value >= 1.0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS success_rate,
         | round(avg(value), 2) AS avg_duration,
         | round(sum(value), 2) AS total_duration,
-        | CAST(sum(CAST(regexp_extract(props, 'k":\s*([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS total_retries
+        | CAST(sum(TRY_CAST(nullif(regexp_extract(props, 'k":\s*([0-9]+)', 1), '') AS BIGINT)) AS BIGINT) AS total_retries
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "mon_error_patterns" ->
       """SELECT CASE WHEN value < 1.0 THEN 'timeout' WHEN value < 10.0 THEN 'http_4xx'

@@ -3,19 +3,24 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math on `array<float>` embedding columns, built from codegen'd
-  * built-ins (`transform`/`zip_with`/`aggregate`) — no UDFs, so the hot
-  * path stays inside whole-stage codegen and the oracle (which accumulates
-  * left-to-right, like these folds) sees identical arithmetic.
+/** Vector math on `array<float>` embedding columns. The dot product — the
+  * one expression evaluated per candidate PAIR in the similarity joins — is
+  * the native codegen'd [[DotProduct]] (HOF lambdas are interpreted and
+  * re-inlined per reference, measured ~10× slower in the r1 bench); it
+  * accumulates left-to-right, so the oracle's `list_inner_product` sees
+  * identical arithmetic.
   */
 object Vec {
 
   /** Cast an array<float> to array<double> (all math in f64 for parity). */
   def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
-  /** Sequential left-to-right dot product. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Sequential left-to-right dot product (native codegen'd expression). */
+  def dot(a: Column, b: Column): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    DotProduct.register(spark)
+    call_function("vec_dot", a, b)
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -120,17 +120,21 @@ object Dedup {
     val sig = t.documents
       .select(col("doc_id"),
         minhashSignature(ShingleHashes.shingleHashes(spark, col("text"))).as("sig"))
-    val banded = sig.select(col("doc_id"), col("sig"),
+    val banded = sig.select(col("doc_id"),
         explode(array((0 until Bands).map { h =>
           struct(lit(h).as("band"), xxhash64(lit(h), slice(col("sig"), h * 4 + 1, 4)).as("bh"))
         }: _*)).as("b"))
-      .select(col("doc_id"), col("sig"), col("b.band"), col("b.bh"))
-    val pairs = banded.as("x").join(banded.as("y"),
+      .select(col("doc_id"), col("b.band"), col("b.bh"))
+    // dedupe (d1, d2) candidates FIRST, then join the 32-element signature
+    // arrays back — the full sigs never ride through the band join
+    val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-        col("x.sig").as("s1"), col("y.sig").as("s2"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
+    val pairs = cand
+      .join(sig.select(col("doc_id").as("d1"), col("sig").as("s1")), Seq("d1"))
+      .join(sig.select(col("doc_id").as("d2"), col("sig").as("s2")), Seq("d2"))
       .withColumn("est_sim", round(
         aggregate(zip_with(col("s1"), col("s2"),
           (p, q) => when(p === q, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
@@ -151,13 +155,32 @@ object Dedup {
     * fingerprints via the native [[WinnowFingerprints]] expression;
     * candidates = pairs sharing ≥ minShared fingerprints (equi-join on the
     * exploded fingerprint, then a count threshold — two shuffles total,
-    * both on small keys). Per-doc candidate summary output. */
-  def winnowDedup(spark: SparkSession, dir: String, minShared: Int = 15): DataFrame = {
+    * both on small keys). Per-doc candidate summary output.
+    *
+    * Scale guard: fingerprints shared by more than `dfCap` documents are
+    * dropped BEFORE the self-join (standard MOSS practice — a license
+    * header / boilerplate fingerprint shared by f docs would otherwise
+    * produce f² join rows; the df filter reuses the same fp-hash exchange
+    * the join needs, so the cap costs no extra shuffle). The substring
+    * guarantee holds for every surviving fingerprint. */
+  def winnowDedup(spark: SparkSession, dir: String, minShared: Int = 15,
+      dfCap: Int = 64): DataFrame = {
     val t = Tables(spark, dir)
     val fp = t.documents.select(col("doc_id"),
       graft.functions.WinnowFingerprints.winnowFingerprints(spark, col("text")).as("fps"))
+    winnowSummary(fp, minShared, dfCap)
+  }
+
+  /** Candidate summary over a (doc_id, fps) table — the join core of F18,
+    * factored out so specs can drive it with synthetic corpora. */
+  def winnowSummary(fp: DataFrame, minShared: Int, dfCap: Int): DataFrame = {
     val exploded = fp.select(col("doc_id"), explode(col("fps")).as("fp"))
-    val pairs = exploded.as("x").join(exploded.as("y"),
+    // document frequency per fingerprint on the same hash partitioning the
+    // self-join uses; stop-fingerprints (df > cap) never reach the join
+    val wFp = Window.partitionBy(col("fp"))
+    val kept = exploded.withColumn("df", count(lit(1)).over(wFp))
+      .filter(col("df") <= dfCap).drop("df")
+    val pairs = kept.as("x").join(kept.as("y"),
         col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .agg(count(lit(1)).as("n_shared"))
@@ -174,17 +197,58 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** F5: SimHash near-dup buckets — native `simhash64` expression, bucket
-    * by the high 16 bits (one band); bucket-mate count per doc. */
-  def simhashBuckets(spark: SparkSession, dir: String): DataFrame = {
+  val SimhashBands = 4 // 16 bits each; hamming ≤ 3 ⇒ ≥ 1 intact band (pigeonhole)
+
+  /** F5: SimHash near-dup — native `simhash64` expression, the standard
+    * 4-band × 16-bit scheme: candidates = pairs agreeing on ANY band,
+    * verified by exact hamming distance (xor + bit_count, codegen'd).
+    * By pigeonhole a pair at hamming ≤ 3 differs in at most 3 of the 4
+    * bands, so candidate recall for the hamming ≤ 3 verify is exactly 1.0
+    * (spec-proven vs brute force). Buckets are per-(band, 16-bit value) —
+    * 4×2^16 keys, so the only shuffle is a well-spread groupBy; the r1
+    * single-band form missed any pair differing in the top 16 bits and
+    * capped at 65,536 buckets. Per-doc verified-neighbor summary output. */
+  def simhashBuckets(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     val t = Tables(spark, dir)
-    val w = Window.partitionBy(col("band"))
-    t.documents
-      .select(col("doc_id"),
-        SimHash64.simhash64(spark, TextAnalysis.tokens(col("text"))).as("simhash"))
-      .withColumn("band", shiftrightunsigned(col("simhash"), 48))
-      .withColumn("n_bucket_mates", (count(lit(1)).over(w) - 1).cast("long"))
-      .select(col("doc_id"), col("simhash"), col("band"), col("n_bucket_mates"))
+    val sh = t.documents.select(col("doc_id"),
+      SimHash64.simhash64(spark, TextAnalysis.tokens(col("text"))).as("simhash"))
+    simhashSummary(sh, maxHamming)
+  }
+
+  /** Banded candidate generation + hamming verify over a (doc_id, simhash)
+    * table — factored out so specs can drive it with synthetic corpora. */
+  def simhashSummary(sh: DataFrame, maxHamming: Int): DataFrame = {
+    val pairs = simhashPairs(sh, maxHamming)
+    val perDoc = pairs.select(col("d1").as("doc_id"), col("hamming"))
+      .union(pairs.select(col("d2").as("doc_id"), col("hamming")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_neardups"), min(col("hamming")).as("min_hamming"))
+    sh.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("simhash"),
+        coalesce(col("n_neardups"), lit(0L)).as("n_neardups"),
+        coalesce(col("min_hamming"), lit(64)).cast("long").as("min_hamming"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Verified simhash near-dup pairs: banded candidates (any-band
+    * agreement), deduped BEFORE the hamming verify — a pair agreeing on k
+    * bands appears k times; the simhashes ride along for free (one long
+    * each, unlike the minhash signature arrays). */
+  def simhashPairs(sh: DataFrame, maxHamming: Int): DataFrame = {
+    val banded = sh.select(col("doc_id"), col("simhash"),
+        explode(array((0 until SimhashBands).map { b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("simhash"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("bh"))
+        }: _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.band"), col("b.bh"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        col("x.simhash").as("s1"), col("y.simhash").as("s2"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("d1"), col("d2"), col("hamming"))
   }
 }

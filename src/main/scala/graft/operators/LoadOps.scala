@@ -84,8 +84,11 @@ object LoadOps {
   def sourceSummary(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     t.events
+      // nullif before the cast: regexp_extract yields '' when props lacks
+      // the field, and under ANSI mode CAST('' AS LONG) throws — a missing
+      // field must count as null retries, not fail the query
       .withColumn("retries",
-        regexp_extract(col("props"), "k\":\\s*([0-9]+)", 1).cast("long"))
+        nullif(regexp_extract(col("props"), "k\":\\s*([0-9]+)", 1), lit("")).cast("long"))
       .groupBy(col("event_type").as("source"))
       .agg(
         count(lit(1)).as("n_runs"),

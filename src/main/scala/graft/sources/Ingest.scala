@@ -83,12 +83,32 @@ object Ingest {
   }
 
   /** A4: OID-sweep ingest (download_rest.py `use_oid_sweep`): the table is
-    * fetched as parallel key-ranged batches. Each range is a filtered scan;
-    * the union is one distributed read whose batches run concurrently.
-    * Output proves complete, non-overlapping coverage per batch. */
+    * fetched as parallel key-ranged batches. On a partitioned layout the
+    * batches ARE the input splits, so the registered form is ONE scan with
+    * the batch id derived from the key — no re-read per range (the r1
+    * ranged-union form re-scanned the single test file 16×; it survives as
+    * [[rangedOidSweep]], spec-proven equal to this). Output proves
+    * complete, non-overlapping coverage per batch. */
   def restOidSweep(spark: SparkSession, dir: String, nBatches: Int = 16): DataFrame = {
     val t = Tables(spark, dir)
     // discover key space (the reference queries returnIdsOnly/maxOID first)
+    val Array(minK, maxK) = t.lineitem
+      .agg(min("l_orderkey"), max("l_orderkey")).head().toSeq
+      .map(_.asInstanceOf[Long]).toArray
+    val pageSize = math.ceil((maxK - minK + 1).toDouble / nBatches).toLong
+    t.lineitem
+      .groupBy(floor(col("l_orderkey") / pageSize).cast("long").as("oid_batch"))
+      .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).cast("long").as("key_checksum"))
+      .orderBy(col("oid_batch"))
+  }
+
+  /** The r1 ranged-union formulation of A4: one filtered scan per key
+    * range, unioned. Kept for the range-coverage-equivalence spec (each
+    * range maps to a split of a partitioned layout; on the single-file
+    * testdata it re-reads the input per range, which is why the registered
+    * query is the single-scan form above). */
+  def rangedOidSweep(spark: SparkSession, dir: String, nBatches: Int = 16): DataFrame = {
+    val t = Tables(spark, dir)
     val Array(minK, maxK) = t.lineitem
       .agg(min("l_orderkey"), max("l_orderkey")).head().toSeq
       .map(_.asInstanceOf[Long]).toArray
@@ -106,14 +126,37 @@ object Ingest {
 
   /** A5: offset/limit paging with transfer-limit resume
     * (download_rest.py `resultOffset` + `exceededTransferLimit`): pages are
-    * consecutive row-offset windows. Inherently sequential at the source —
-    * the reason the reference prefers the OID sweep (A4) — modeled here to
-    * verify monotone, gapless page coverage. */
-  def restOffsetPaging(spark: SparkSession, dir: String, pageSize: Long = 1000L): DataFrame = {
+    * consecutive row-offset windows. The PROTOCOL is sequential, but the
+    * offset computation need not be: rows are chunked by deterministic key
+    * ranges, the per-chunk counts are prefix-summed on the driver (≤
+    * `nChunks` rows — the zipWithIndex scheme), and the global offset is
+    * chunk_offset + the row's rank within its chunk. The only window is
+    * PARTITIONED by chunk, so no single-task funnel (the r1 form used a
+    * global `Window.orderBy` — the whole table through one task). */
+  def restOffsetPaging(spark: SparkSession, dir: String, pageSize: Long = 1000L,
+      nChunks: Int = 32): DataFrame = {
     val t = Tables(spark, dir)
-    val w = Window.orderBy(col("l_orderkey"), col("l_linenumber"))
-    t.lineitem.select(col("l_orderkey"), col("l_linenumber"))
-      .withColumn("off", row_number().over(w).cast("long") - 1)
+    val base = t.lineitem.select(col("l_orderkey"), col("l_linenumber"))
+    val Array(minK, maxK) = base.agg(min("l_orderkey"), max("l_orderkey"))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val span = math.max(1L, math.ceil((maxK - minK + 1).toDouble / nChunks).toLong)
+    // chunk boundaries are l_orderkey ranges, and the global sort key leads
+    // with l_orderkey, so chunk order == global row order
+    val chunked = base.withColumn("chunk",
+      floor((col("l_orderkey") - minK) / span).cast("long"))
+    // per-chunk counts → driver-side prefix sum (≤ nChunks rows)
+    val counts = chunked.groupBy(col("chunk")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("chunk")).collect()
+    var acc = 0L
+    val offsets = counts.map { r =>
+      val o = (r.getLong(0), acc); acc += r.getLong(1); o
+    }.toSeq
+    import spark.implicits._
+    val offDf = offsets.toDF("chunk", "chunk_off")
+    val wLocal = Window.partitionBy(col("chunk"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+    chunked.join(broadcast(offDf), Seq("chunk"))
+      .withColumn("off", col("chunk_off") + row_number().over(wLocal).cast("long") - 1)
       .groupBy(floor(col("off") / pageSize).cast("long").as("page"))
       .agg(count(lit(1)).as("n"), min(col("off")).as("first_off"),
         max(col("off")).as("last_off"))

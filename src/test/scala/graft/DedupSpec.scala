@@ -78,6 +78,56 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(rows(0).nonEmpty)
   }
 
+  test("winnow df-cap: shared boilerplate across 50 docs stays sub-quadratic") {
+    // 50 docs = one shared boilerplate paragraph + a unique tail; without
+    // the df cap every pair shares the boilerplate fingerprints (f² join
+    // rows — the classic winnowing scale failure)
+    import graft.functions.WinnowFingerprints.winnowFingerprints
+    val boiler = "this content is licensed under the example public license " +
+      "version two see the accompanying file for the full text of the license"
+    val docs = (1L to 50L).map(i => (i, s"$boiler unique$i tail$i marker$i"))
+      .toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"), winnowFingerprints(spark, col("text")).as("fps"))
+    val uncapped = Dedup.winnowSummary(fps, minShared = 5, dfCap = Int.MaxValue)
+      .agg(sum("n_candidates")).head().getLong(0)
+    val capped = Dedup.winnowSummary(fps, minShared = 5, dfCap = 10)
+      .agg(sum("n_candidates")).head().getLong(0)
+    assert(uncapped == 50L * 49L, s"expected full quadratic blowup, got $uncapped")
+    assert(capped == 0L, s"df cap failed to drop boilerplate fps: $capped")
+  }
+
+  test("winnow df-cap: capped candidates are a subset, coverage is per-doc complete") {
+    // the synthetic docs corpus is heavily templated (fingerprints shared
+    // by up to ~80% of docs), so the cap DOES prune template fps there —
+    // by design: MOSS treats ultra-common fingerprints as boilerplate.
+    // Surviving candidates must be a subset of the uncapped pair set, and
+    // the per-doc summary always covers every doc.
+    def pairs(cap: Int) = Dedup.winnowDedup(spark, sfDir, dfCap = cap)
+      .filter(col("n_candidates") > 0).select("doc_id").collect().map(_.getLong(0)).toSet
+    val capped = pairs(64)
+    val uncapped = pairs(Int.MaxValue)
+    assert(capped.subsetOf(uncapped))
+    assert(Dedup.winnowDedup(spark, sfDir).count() ==
+      Tables(spark, sfDir).documents.count())
+  }
+
+  test("simhash 4-band candidates exactly match brute-force hamming<=3") {
+    // pigeonhole: hamming <= 3 flips at most 3 of 4 bands, so one band
+    // survives intact -> banded recall for the verified pair set is 1.0
+    val sh = Tables(spark, sfDir).documents
+      .select(col("doc_id"),
+        SimHash64.simhash64(spark,
+          graft.operators.TextAnalysis.tokens(col("text"))).as("simhash"))
+    val banded = Dedup.simhashPairs(sh, maxHamming = 3)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hashes = sh.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (i1, h1) <- hashes; (i2, h2) <- hashes
+      if i1 < i2 && java.lang.Long.bitCount(h1 ^ h2) <= 3
+    } yield (i1, i2)).toSet
+    assert(banded == brute, s"banded=${banded.size} brute=${brute.size}")
+  }
+
   test("fingerprint dedup collapses reordered near-duplicates") {
     val fp = (c: org.apache.spark.sql.Column) =>
       md5(array_join(array_sort(array_distinct(

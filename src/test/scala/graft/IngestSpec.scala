@@ -1,0 +1,38 @@
+package graft
+
+import graft.sources.Ingest
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-shape specs for the ingestion surface (SURVEY §2 A4/A5). */
+class IngestSpec extends AnyFunSuite with SparkTestBase {
+
+  test("oid sweep: ranged-union form covers exactly the single-scan batches") {
+    // the ranged union models parallel key-range fetches (each range = a
+    // split of a partitioned layout); it must partition the key space —
+    // same batches, same counts, same checksums as the one-scan form
+    val single = Ingest.restOidSweep(spark, sfDir).collect().map(_.toSeq)
+    val ranged = Ingest.rangedOidSweep(spark, sfDir).collect().map(_.toSeq)
+    assert(single.toSeq == ranged.toSeq)
+  }
+
+  test("offset paging: no single-partition exchange in the plan") {
+    val df = Ingest.restOffsetPaging(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"global funnel in plan:\n$plan")
+  }
+
+  test("offset paging: offsets are gapless and complete") {
+    val rows = Ingest.restOffsetPaging(spark, sfDir, pageSize = 500L)
+      .collect()
+    val total = rows.map(_.getLong(1)).sum
+    // pages tile [0, total) with no gaps or overlaps
+    var expectedFirst = 0L
+    rows.sortBy(_.getLong(0)).foreach { r =>
+      assert(r.getLong(2) == expectedFirst, s"gap at page ${r.getLong(0)}")
+      assert(r.getLong(3) == r.getLong(2) + r.getLong(1) - 1)
+      expectedFirst = r.getLong(3) + 1
+    }
+    assert(expectedFirst == total)
+  }
+}
