@@ -78,6 +78,7 @@ object SparkEntry {
     "dedup_simhash"          -> ((s: SparkSession, d: String) => Dedup.simhashBuckets(s, d)),
     "dedup_winnow"           -> ((s: SparkSession, d: String) => Dedup.winnowDedup(s, d)),
     "neardup_cosine"         -> ((s: SparkSession, d: String) => Similarity.neardupCosine(s, d)),
+    "neardup_ivf_gated"      -> ((s: SparkSession, d: String) => Similarity.neardupIvfGated(s, d)),
     "ann_topk"               -> ((s: SparkSession, d: String) => Similarity.annTopK(s, d)),
     "ann_lsh_bucketed"       -> Similarity.annLshBuckets _,
     "ann_ivf"                -> ((s: SparkSession, d: String) => Similarity.ivfAnn(s, d)),
@@ -492,6 +493,25 @@ object SparkEntry {
          |  round(${cosSql("a.v", "b.v")}, 4) AS cos
          | FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
          |SELECT id1, id2, label, cos FROM p WHERE cos >= 0.35 ORDER BY id1, id2""".stripMargin,
+    // the scale path for near-dup: candidates only meet inside an IVF
+    // inverted list; deterministic end-to-end, so the oracle checks the
+    // full gate+rescore pipeline exactly
+    "neardup_ivf_gated" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT label AS c_label, list(a ORDER BY pos) AS cv
+         |  FROM (SELECT label, pos, avg(x) AS a
+         |    FROM (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e)
+         |    GROUP BY label, pos)
+         |  GROUP BY label),
+         |a AS (SELECT vec_id, c_label, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ${cosSql("v", "cv")} DESC, c_label) AS rn FROM e CROSS JOIN c),
+         |asg AS (SELECT vec_id, c_label AS list_id FROM a WHERE rn = 1),
+         |p AS (SELECT x.vec_id AS id1, y.vec_id AS id2, CAST(xa.list_id AS BIGINT) AS list_id,
+         |  round(${cosSql("x.v", "y.v")}, 4) AS cos
+         | FROM e x JOIN asg xa ON x.vec_id = xa.vec_id
+         |  JOIN asg ya ON xa.list_id = ya.list_id AND xa.vec_id < ya.vec_id
+         |  JOIN e y ON y.vec_id = ya.vec_id)
+         |SELECT id1, id2, list_id, cos FROM p WHERE cos >= 0.35 ORDER BY id1, id2""".stripMargin,
     "ann_topk" ->
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
          |s AS (SELECT vec_id, CAST(label AS INT) AS label,
@@ -503,6 +523,29 @@ object SparkEntry {
          |b AS (SELECT vec_id, $lshBucketSql AS bucket FROM e)
          |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n, min(vec_id) AS min_vec_id
          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    // IVF is deterministic arithmetic end-to-end: label-mean centroids,
+    // nearest-centroid lists (ties -> smaller label), nprobe=3 probes,
+    // cosine re-score rounded like ann_topk. Assignment margins (min gap
+    // best-vs-2nd centroid ~2.7e-5 at sf0.1) dwarf cross-engine fp noise
+    // (~1e-14 from avg accumulation order), so the oracle is stable.
+    "ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT label AS c_label, list(a ORDER BY pos) AS cv
+         |  FROM (SELECT label, pos, avg(x) AS a
+         |    FROM (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e)
+         |    GROUP BY label, pos)
+         |  GROUP BY label),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |pr AS (SELECT c_label, row_number() OVER (
+         |    ORDER BY ${cosSql("cv", "qv")} DESC, c_label) AS rn FROM c, q),
+         |a AS (SELECT vec_id, c_label, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ${cosSql("v", "cv")} DESC, c_label) AS rn FROM e CROSS JOIN c),
+         |asg AS (SELECT vec_id, c_label AS list_id FROM a WHERE rn = 1)
+         |SELECT e.vec_id, CAST(asg.list_id AS BIGINT) AS list_id,
+         | round(${cosSql("e.v", "q.qv")}, 4) AS score
+         |FROM e JOIN asg ON e.vec_id = asg.vec_id, q
+         |WHERE asg.list_id IN (SELECT c_label FROM pr WHERE rn <= 3) AND e.vec_id <> 0
+         |ORDER BY score DESC, e.vec_id LIMIT 20""".stripMargin,
     "text_quality" ->
       s"""WITH q AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m, $toks AS toks,
          |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,

@@ -31,5 +31,10 @@ final case class Tables(spark: SparkSession, dir: String) {
   def lineitem: DataFrame   = t("lineitem")
   def events: DataFrame     = t("events")
   def documents: DataFrame  = spread(t("documents"))
-  def embeddings: DataFrame = spread(t("embeddings"))
+
+  /** No spread: since the dot product went native (r2), all heavy vector
+    * math happens AFTER a shuffle (pair joins, centroid aggs) — the only
+    * pre-shuffle per-row work is a 64-float dot or a cast, so an extra
+    * up-front exchange just adds a stage to every similarity job. */
+  def embeddings: DataFrame = t("embeddings")
 }

@@ -102,6 +102,52 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         s => s.getField("c")).as("cv"))
 
+  /** Nearest-centroid (inverted-list) assignment for every vector: the
+    * coarse quantizer is trained distributed ([[labelCentroids]]), then
+    * collected (|lists|×dims — tiny) and broadcast back, as real IVF keeps
+    * it. max_by over a (sim, -label) struct = one hash aggregate, no
+    * window sort; ties go to the smaller label. */
+  def trainQuantizer(e: DataFrame): Seq[(Int, Seq[Double])] =
+    labelCentroids(e).collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+
+  def listAssignments(spark: SparkSession, e: DataFrame,
+      cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    val centsDf = cents.toDF("c_label", "cv")
+      .select(col("c_label"), col("cv").cast("array<double>").as("cv"))
+    e.crossJoin(broadcast(centsDf))
+      .withColumn("sim", Vec.cosine(col("v"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("v"), col("c_label")),
+        struct(col("sim"), -col("c_label"))).as("best"))
+      .select(col("vec_id"), col("best.v").as("v"), col("best.c_label").as("list_id"))
+  }
+
+  /** F6b: ANN-gated exact near-dup — the 100-TB shape for F6: candidates
+    * come from the IVF coarse quantizer's inverted lists (pairs only ever
+    * meet inside a list, so the join key is the list id and pair counts
+    * are bounded by list population — with a trained quantizer, k lists
+    * of n/k docs), then the exact cosine re-score keeps only true
+    * near-dups. The gating is deterministic arithmetic end-to-end, so the
+    * oracle verifies the WHOLE pipeline exactly — recall vs the unblocked
+    * pass is a measured property (see SimilaritySpec), not a correctness
+    * gamble: on this corpus qualifying pairs sit at cos 0.35–0.51 (the
+    * tail of a near-random distribution), where ANY bucketing scheme
+    * trades recall; the exact op (F6) stays available and fast. */
+  def neardupIvfGated(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
+    val e = vectors(spark, dir)
+    val assigned = listAssignments(spark, e, trainQuantizer(e))
+      .withColumn("nrm", Vec.norm(col("v"))) // norms once per vector, not per pair
+    val a = assigned.select(col("vec_id").as("id1"), col("list_id"), col("v").as("v1"), col("nrm").as("n1"))
+    val b = assigned.select(col("vec_id").as("id2"), col("list_id"), col("v").as("v2"), col("nrm").as("n2"))
+    a.join(b, Seq("list_id"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos", round(Vec.dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), col("list_id").cast("long").as("list_id"), col("cos"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** F8b: IVF (inverted-file) ANN — the other standard scale path.
     * Coarse quantizer: per-cluster centroids (mean, computed distributed
     * via posexplode + partial agg); each vector is assigned to its nearest
@@ -117,8 +163,7 @@ object Similarity {
     // (labelCentroids / refineCentroids), then COLLECT it: real IVF keeps
     // the quantizer driver-side/broadcast, so the centroid subtree isn't
     // recomputed per consumer and probe selection costs no cluster job.
-    val cents: Array[(Int, Seq[Double])] = labelCentroids(e).collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val cents = trainQuantizer(e)
     val qv = t.embeddings.filter(col("vec_id") === queryId)
       .select(Vec.toDouble(col("embedding")).as("qv")).head().getSeq[Double](0)
     def dot(a: Seq[Double], b: Seq[Double]) = a.iterator.zip(b.iterator).map(p => p._1 * p._2).sum
@@ -126,18 +171,8 @@ object Similarity {
       dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
     // probe the nprobe nearest centroids' lists only (driver-side: 10 dots)
     val probes = cents.sortBy { case (l, cv) => (-cosLocal(qv, cv), l) }
-      .take(nprobe).map(_._1).toSeq
-    // inverted-list assignment: nearest centroid by cosine. max_by over a
-    // (sim, -label) ordering struct — one hash aggregate, no window sort
-    import spark.implicits._
-    val centsDf = cents.toSeq.toDF("c_label", "cv")
-      .select(col("c_label"), col("cv").cast("array<double>").as("cv"))
-    val assigned = e.crossJoin(broadcast(centsDf))
-      .withColumn("sim", Vec.cosine(col("v"), col("cv")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("v"), col("c_label")),
-        struct(col("sim"), -col("c_label"))).as("best"))
-      .select(col("vec_id"), col("best.v").as("v"), col("best.c_label").as("list_id"))
+      .take(nprobe).map(_._1)
+    val assigned = listAssignments(spark, e, cents)
     val qvCol = array(qv.map(lit): _*)
     assigned.filter(col("list_id").isin(probes: _*) && col("vec_id") =!= queryId)
       .withColumn("score", round(Vec.cosine(col("v"), qvCol), 4))

@@ -73,4 +73,30 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val scores = top.map(_.getDouble(2))
     assert(scores.toSeq == scores.sorted.reverse.toSeq, "scores must be descending")
   }
+
+  test("ivf-gated near-dup: no false positives, measured recall vs unblocked exact") {
+    // the gated op trades recall for a bounded join (pairs only meet
+    // inside an inverted list); every emitted pair must be a true
+    // near-dup, and recall vs the unblocked all-pairs ground truth is a
+    // measured property -- on this near-random corpus expect partial
+    // recall (qualifying pairs sit at cos 0.35-0.51 where bucketing
+    // cannot be complete), never zero.
+    val th = 0.35
+    val vecs = Similarity.vectors(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](2).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dab = 0.0; var daa = 0.0; var dbb = 0.0; var i = 0
+      while (i < a.length) { dab += a(i)*b(i); daa += a(i)*a(i); dbb += b(i)*b(i); i += 1 }
+      dab / (math.sqrt(daa) * math.sqrt(dbb))
+    }
+    val truth = (for {
+      (i1, v1) <- vecs; (i2, v2) <- vecs
+      if i1 < i2 && math.rint(cos(v1, v2) * 10000) / 10000 >= th
+    } yield (i1, i2)).toSet
+    val gated = Similarity.neardupIvfGated(spark, sfDir, th).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gated.subsetOf(truth), s"false positives: ${gated -- truth}")
+    val recall = gated.size.toDouble / truth.size
+    assert(recall > 0.1 && recall <= 1.0, s"recall=$recall")
+  }
 }
