@@ -36,6 +36,7 @@ object SparkEntry {
     // C — geoprocessing
     "geo_bbox_clip"          -> Geo.bboxClip _,
     "geo_reproject"          -> Geo.reproject _,
+    "geo_reproject_tm"       -> Geo.reprojectTm _,
     "geo_sr_validate"        -> Geo.srValidate _,
     "geo_envelope_check"     -> Geo.envelopeCheck _,
     "geo_count_sanity"       -> Geo.countSanity _,
@@ -229,6 +230,18 @@ object SparkEntry {
         | round(radians(lon) * 6378137.0, 2) AS mx,
         | round(ln(tan(pi() / 4 + radians(lat) / 2)) * 6378137.0, 2) AS my
         |FROM c ORDER BY o_orderkey""".stripMargin,
+    // same Krüger series, same double literals, hyperbolics expanded to
+    // exp/ln on both engines (forwardSql emits the tree from the same
+    // Scala constants)
+    "geo_reproject_tm" ->
+      s"""WITH c AS (SELECT o_orderkey,
+         |  10.0 + ((o_orderkey * 7919) % 1500001) / 100000.0 AS lon,
+         |  55.0 + ((o_orderkey * 104729) % 1500001) / 100000.0 AS lat
+         | FROM orders WHERE o_orderkey % 20 = 0),
+         |${graft.functions.Kruger.forwardSql("c")}
+         |SELECT o_orderkey, lon, lat, round(easting, 2) AS easting,
+         | round(northing, 2) AS northing
+         |FROM tm ORDER BY o_orderkey""".stripMargin,
     "geo_sr_validate" ->
       s"""WITH c AS (SELECT *,
          |  ((o_orderkey * 31) % 400) - 200.0 AS glon,

@@ -53,6 +53,20 @@ object Geo {
       .orderBy(col("o_orderkey"))
   }
 
+  /** C2b: TRUE reprojection to SWEREF99 TM (EPSG:3006) via the Krüger
+    * transverse-Mercator series (process.py:92 targets EPSG:3006/3010 —
+    * a TM projection, not Mercator; C2 keeps the spherical form for
+    * contrast). Per-row pure arithmetic, codegen'd; the round-trip spec
+    * (GeoSpec) inverts the series to < 1e-9°. */
+  def reprojectTm(spark: SparkSession, dir: String): DataFrame = {
+    val (e, n) = graft.functions.Kruger.forward(col("lon"), col("lat"))
+    synthLonLat(Tables(spark, dir).orders)
+      .filter(col("o_orderkey") % 20 === 0)
+      .select(col("o_orderkey"), col("lon"), col("lat"),
+        round(e, 2).as("easting"), round(n, 2).as("northing"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** C3: coordinate-magnitude validation (sr_utils.py:15
     * validate_coordinates_magnitude; :39/:49 per-SR bounds). */
   def srValidate(spark: SparkSession, dir: String): DataFrame = {

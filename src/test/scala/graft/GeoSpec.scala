@@ -1,0 +1,43 @@
+package graft
+
+import graft.functions.Kruger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Numerical specs for the Krüger SWEREF99 TM series (SURVEY C2b). */
+class GeoSpec extends AnyFunSuite with SparkTestBase {
+
+  test("kruger: central meridian maps to the false easting exactly") {
+    for (lat <- Seq(55.0, 60.0, 65.0, 70.0)) {
+      val (e, _) = Kruger.forwardLocal(15.0, lat)
+      assert(math.abs(e - 500000.0) < 1e-6, s"lat=$lat easting=$e")
+    }
+  }
+
+  test("kruger: northing is k0 x meridian arc at 60N (published magnitude)") {
+    // the meridian arc length to 60°N on GRS80 is 6 654 072.82 m; SWEREF99
+    // TM northing there is k0 times that (~6 651 411 m)
+    val (_, n) = Kruger.forwardLocal(15.0, 60.0)
+    assert(math.abs(n - 6651411.0) < 1.0, s"northing=$n")
+  }
+
+  test("kruger: forward/inverse round-trip to < 1e-9 degrees over Sweden") {
+    val pts = for (i <- 0 to 10; j <- 0 to 10)
+      yield (10.0 + 1.5 * i, 55.0 + 1.5 * j)
+    pts.foreach { case (lon, lat) =>
+      val (e, n) = Kruger.forwardLocal(lon, lat)
+      val (lon2, lat2) = Kruger.inverseLocal(e, n)
+      assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9,
+        s"($lon,$lat) -> ($e,$n) -> ($lon2,$lat2)")
+    }
+  }
+
+  test("kruger: Spark columns agree with the plain-double evaluation") {
+    val rows = graft.operators.Geo.reprojectTm(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.take(200).foreach { r =>
+      val (e, n) = Kruger.forwardLocal(r.getDouble(1), r.getDouble(2))
+      assert(math.abs(r.getDouble(3) - e) < 0.01, s"easting ${r.getDouble(3)} vs $e")
+      assert(math.abs(r.getDouble(4) - n) < 0.01, s"northing ${r.getDouble(4)} vs $n")
+    }
+  }
+}
