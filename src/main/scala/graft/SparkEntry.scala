@@ -26,6 +26,8 @@ object SparkEntry {
     "src_rest_oid_sweep"     -> ((s: SparkSession, d: String) => Ingest.restOidSweep(s, d)),
     "src_rest_offset_paging" -> ((s: SparkSession, d: String) => Ingest.restOffsetPaging(s, d)),
     "src_snapshot_load"      -> Ingest.snapshotLoad _,
+    "src_archive_unpack"     -> Ingest.archiveUnpack _,
+    "src_resume_ingest"      -> ((s: SparkSession, d: String) => Ingest.resumeIngest(s, d)),
     // B — staging / normalization
     "etl_sanitize_names"     -> Staging.sanitizeNames _,
     "etl_schema_normalize"   -> Staging.schemaNormalize _,
@@ -50,6 +52,7 @@ object SparkEntry {
     "load_bucketed_join"     -> LoadOps.bucketedJoin _,
     "mon_source_summary"     -> LoadOps.sourceSummary _,
     "mon_error_patterns"     -> LoadOps.errorPatterns _,
+    "mon_failure_streaks"    -> LoadOps.failureStreaks _,
     "etl_response_validate"  -> ((s: SparkSession, d: String) => LoadOps.responseValidate(s, d)),
     // E — relational core
     "q1_agg"                 -> Relational.q1Agg _,
@@ -137,13 +140,31 @@ object SparkEntry {
     "src_xml_features" ->
       """SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
         | CAST(n_regionkey AS INT) AS n_regionkey FROM nation ORDER BY n_nationkey""".stripMargin,
+    // depth = max brace nesting outside double-quoted spans, quotes toggle
+    // on every '"' — the exact rule of the native json_depth scan,
+    // expressed as two stacked character windows
     "etl_response_validate" ->
-      """SELECT event_type AS source, count(*) AS n,
+      """WITH ch AS (SELECT event_id, unnest(cs) AS c, generate_subscripts(cs, 1) AS i
+        |  FROM (SELECT event_id,
+        |    [substr(props, CAST(x AS INT), 1) for x in range(1, length(props) + 1)] AS cs
+        |   FROM events)),
+        |q1 AS (SELECT event_id, i, c,
+        |  sum(CASE WHEN c = '"' THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY event_id ORDER BY i) AS q FROM ch),
+        |q2 AS (SELECT event_id,
+        |  sum(CASE WHEN q % 2 = 0 AND c = '{' THEN 1
+        |           WHEN q % 2 = 0 AND c = '}' THEN -1 ELSE 0 END)
+        |    OVER (PARTITION BY event_id ORDER BY i) AS d FROM q1),
+        |dep AS (SELECT event_id, max(d) AS jd FROM q2 GROUP BY 1),
+        |ev AS (SELECT e.*, coalesce(dep.jd, 0) AS jd FROM events e
+        |  LEFT JOIN dep ON e.event_id = dep.event_id)
+        |SELECT event_type AS source, count(*) AS n,
         | CAST(sum(CASE WHEN props LIKE '{%' AND props LIKE '%}' AND length(props) <= 64
-        |   AND regexp_matches(props, '"k":\s*[0-9]+') THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+        |   AND jd <= 4 AND regexp_matches(props, '"k":\s*[0-9]+') THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
         | CAST(sum(CASE WHEN NOT (props LIKE '{%' AND props LIKE '%}') THEN 1 ELSE 0 END) AS BIGINT) AS n_malformed,
-        | CAST(sum(CASE WHEN length(props) > 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+        | CAST(sum(CASE WHEN length(props) > 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize,
+        | CAST(sum(CASE WHEN jd > 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_too_deep
+        |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_tfidf" ->
       s"""WITH terms AS (SELECT doc_id, unnest($toks) AS term FROM documents),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
@@ -165,6 +186,25 @@ object SparkEntry {
         |SELECT CAST(floor(off / 1000) AS BIGINT) AS page, count(*) AS n,
         | CAST(min(off) AS BIGINT) AS first_off, CAST(max(off) AS BIGINT) AS last_off
         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the archive build+unpack round trip must reproduce the ground truth
+    // tables exactly (lossless container staging)
+    "src_archive_unpack" ->
+      """SELECT n_regionkey AS r_regionkey, n_name AS layer_name,
+        | count(*) AS n_records, CAST(sum(s_suppkey) AS BIGINT) AS key_checksum
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // complete-after-resume coverage: every range appears once, failing
+    // ranges (2 mod 5) attributed to the resume run, counts match the
+    // direct per-range ground truth (a double-ingest would double them)
+    "src_resume_ingest" ->
+      """WITH b AS (SELECT min(l_orderkey) mn, max(l_orderkey) mx FROM lineitem),
+        |ps AS (SELECT CAST(ceil((mx - mn + 1) / 16.0) AS BIGINT) v FROM b),
+        |r AS (SELECT CAST(floor(l_orderkey / (SELECT v FROM ps)) AS BIGINT) AS range_id,
+        |  l_orderkey FROM lineitem)
+        |SELECT range_id,
+        | CAST(CASE WHEN range_id % 5 = 2 THEN 2 ELSE 1 END AS INT) AS ingest_run,
+        | count(*) AS n_rows, CAST(sum(l_orderkey) AS BIGINT) AS key_checksum
+        |FROM r GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "src_snapshot_load" ->
       """SELECT l_linestatus, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
         |FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -352,6 +392,18 @@ object SparkEntry {
         | count(*) AS n, round(avg(value), 2) AS avg_magnitude
         |FROM events WHERE event_type = 'error' GROUP BY 1 ORDER BY n DESC, error_class""".stripMargin,
 
+    "mon_failure_streaks" ->
+      s"""WITH ev AS (SELECT *, CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS sec,
+         |  CASE WHEN value < 1.0 THEN 1 ELSE 0 END AS failed FROM events),
+         |i AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY sec, event_id)
+         |  - row_number() OVER (PARTITION BY event_type, failed ORDER BY sec, event_id) AS grp
+         | FROM ev),
+         |s AS (SELECT event_type AS source, grp, count(*) AS len FROM i
+         | WHERE failed = 1 GROUP BY 1, 2)
+         |SELECT source, count(*) AS n_streaks, CAST(max(len) AS BIGINT) AS max_streak,
+         | CAST(sum(len) AS BIGINT) AS n_failed_runs,
+         | CAST(max(len) >= 3 AS INT) AS alert
+         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

@@ -101,21 +101,57 @@ object LoadOps {
   }
 
   /** D6: response-payload validation gate (http_utils.py:126 safe json
-    * parse + :109 size limit + validate_response_content): classify each
-    * payload before staging — parse-shaped, within size budget, carries
-    * the expected field — and roll up acceptance per source. */
-  def responseValidate(spark: SparkSession, dir: String, maxBytes: Long = 64L): DataFrame = {
+    * parse + :109 size limit + :95 `_json_depth`/MAX_JSON_DEPTH +
+    * validate_response_content): classify each payload before staging —
+    * parse-shaped, within size budget, within nesting budget (native
+    * single-pass [[graft.functions.JsonDepth]] scan; the reference guards
+    * depth BEFORE recursing into a response), carries the expected field —
+    * and roll up acceptance per source. */
+  def responseValidate(spark: SparkSession, dir: String, maxBytes: Long = 64L,
+      maxDepth: Int = 4): DataFrame = {
     val t = Tables(spark, dir)
     val wellFormed = col("props").startsWith("{") && col("props").endsWith("}")
     val inBudget = length(col("props")) <= maxBytes
     val hasField = col("props").rlike("\"k\":\\s*[0-9]+")
+    val depth = graft.functions.JsonDepth.jsonDepth(spark, col("props"))
+    val inDepth = depth <= maxDepth
     t.events
-      .withColumn("valid", (wellFormed && inBudget && hasField).cast("int"))
+      .withColumn("valid", (wellFormed && inBudget && inDepth && hasField).cast("int"))
+      .withColumn("too_deep", (!inDepth).cast("int"))
       .groupBy(col("event_type").as("source"))
       .agg(count(lit(1)).as("n"),
         sum(col("valid")).cast("long").as("n_valid"),
         sum(when(!wellFormed, 1).otherwise(0)).cast("long").as("n_malformed"),
-        sum(when(!inBudget, 1).otherwise(0)).cast("long").as("n_oversize"))
+        sum(when(!inBudget, 1).otherwise(0)).cast("long").as("n_oversize"),
+        sum(col("too_deep")).cast("long").as("n_too_deep"))
+      .orderBy(col("source"))
+  }
+
+  /** D7: failure-streak detection (monitoring.py:196 `detect_patterns`:
+    * consecutive-failure runs per source + rollup; :187 persists metrics
+    * history — here the events table IS the run history). Gaps-and-islands
+    * with two PARTITIONED windows (rn − rn-within-state = island id); the
+    * alert flag mirrors the reference's ≥3-consecutive-failures pattern.
+    * Shuffle key is the source id — scales per source, no global sort. */
+  def failureStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    import org.apache.spark.sql.expressions.Window
+    val ev = t.events
+      .withColumn("sec", expr("ts div 1000000000"))
+      .withColumn("failed", (col("value") < 1.0).cast("int"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("sec"), col("event_id"))
+    val wf = Window.partitionBy(col("event_type"), col("failed"))
+      .orderBy(col("sec"), col("event_id"))
+    val streaks = ev
+      .withColumn("grp", row_number().over(w) - row_number().over(wf))
+      .filter(col("failed") === 1)
+      .groupBy(col("event_type").as("source"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+    streaks.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_streaks"),
+        max(col("len")).as("max_streak"),
+        sum(col("len")).cast("long").as("n_failed_runs"))
+      .withColumn("alert", (col("max_streak") >= 3).cast("int"))
       .orderBy(col("source"))
   }
 

@@ -163,6 +163,95 @@ object Ingest {
       .orderBy(col("page"))
   }
 
+  /** A8: container→rows staging (stage_files.py:645 `import_zip`, :434
+    * `import_shapefile`, :403 `discover_gpkg_layers`, :602 Esri JSON):
+    * the reference downloads one archive holding many layers and stages
+    * each layer's records. Modeled end-to-end: build a deterministic
+    * multi-layer archive per region (magic bytes + `LAYER:` sections —
+    * the container format), then the operator under test sniffs the
+    * magic, DISCOVERS the layers, and unpacks layer records back to rows.
+    * Unpack = explode per layer then per record: distributed at record
+    * granularity, no driver involvement; the oracle proves the round
+    * trip is lossless against the ground-truth tables. */
+  def archiveUnpack(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    // --- build the wire format a download would deliver ---------------
+    val recs = t.supplier.groupBy(col("s_nationkey")).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("s_suppkey"), col("s_name")))),
+        s => concat(s.getField("s_suppkey").cast("string"), lit(":"),
+          s.getField("s_name"))), ",").as("recs"))
+    val layers = recs.join(t.nation, col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_regionkey"),
+        concat(lit("LAYER:"), col("n_name"), lit(";"), col("recs")).as("layer"))
+    val archives = layers.groupBy(col("n_regionkey")).agg(
+        concat(lit("GARC"), array_join(array_sort(collect_list(col("layer"))), "|"))
+          .as("payload_str"))
+      .select(col("n_regionkey").as("r_regionkey"),
+        col("payload_str").cast("binary").as("payload"))
+    // --- the operator under test: sniff, discover, unpack -------------
+    val text = col("payload").cast("string")
+    archives
+      .filter(substring(text, 1, 4) === "GARC") // magic-byte sniff
+      .select(col("r_regionkey"),
+        explode(split(substring(text, 5, 1 << 30), "\\|")).as("layer_text"))
+      .select(col("r_regionkey"),
+        regexp_extract(col("layer_text"), "^LAYER:([^;]+);", 1).as("layer_name"),
+        explode(split(regexp_extract(col("layer_text"), ";(.*)$", 1), ",")).as("rec"))
+      .groupBy(col("r_regionkey"), col("layer_name"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(regexp_extract(col("rec"), "^([0-9]+):", 1).cast("long"))
+          .cast("long").as("key_checksum"))
+      .orderBy(col("r_regionkey"), col("layer_name"))
+  }
+
+  /** A9: retry/resume ingest with a persisted range ledger
+    * (http_utils.py:509 RecursionSafeSession retry/backoff, :532
+    * download_with_retries; download_rest.py per-page retry): run 1
+    * ingests every key range except the deterministically "failing" ones
+    * (the flaky-page model), persists a per-range success LEDGER, then
+    * the resume pass re-ingests ONLY ranges the ledger marks failed — a
+    * left-semi join against the ledger, no driver loop. Output reconciles
+    * per-range counts and attributes each range to the run that landed
+    * it; the oracle proves complete-after-resume coverage with no
+    * double-ingested range. */
+  def resumeIngest(spark: SparkSession, dir: String, nRanges: Int = 16): DataFrame = {
+    val store = "/root/repo/target/graft_resume/lineitem"
+    val ledgerPath = "/root/repo/target/graft_resume/ledger"
+    val t = Tables(spark, dir)
+    val Array(minK, maxK) = t.lineitem
+      .agg(min("l_orderkey"), max("l_orderkey")).head().toSeq
+      .map(_.asInstanceOf[Long]).toArray
+    val pageSize = math.ceil((maxK - minK + 1).toDouble / nRanges).toLong
+    val tagged = t.lineitem.select(col("l_orderkey"))
+      .withColumn("range_id", floor(col("l_orderkey") / pageSize).cast("long"))
+    // run 1: ranges 2 mod 5 hit the modeled transient failure
+    tagged.filter(col("range_id") % 5 =!= 2)
+      .withColumn("ingest_run", lit(1))
+      .write.mode("overwrite").parquet(store)
+    // ledger: what actually landed, per range (persisted state)
+    val expected = tagged.groupBy(col("range_id"))
+      .agg(count(lit(1)).as("n_expected"))
+    val landed = spark.read.parquet(store).groupBy(col("range_id"))
+      .agg(count(lit(1)).as("n_landed"))
+    expected.join(landed, Seq("range_id"), "left")
+      .select(col("range_id"), col("n_expected"),
+        coalesce(col("n_landed"), lit(0L)).as("n_landed"),
+        (coalesce(col("n_landed"), lit(0L)) === col("n_expected")).as("ok"))
+      .write.mode("overwrite").parquet(ledgerPath)
+    // resume: ledger-driven — re-ingest ONLY failed ranges
+    val failed = spark.read.parquet(ledgerPath).filter(!col("ok")).select("range_id")
+    tagged.join(failed, Seq("range_id"), "left_semi")
+      .withColumn("ingest_run", lit(2))
+      .write.mode("append").parquet(store)
+    // reconcile: per range, which run landed it and is coverage complete
+    spark.read.parquet(store)
+      .groupBy(col("range_id"))
+      .agg(max(col("ingest_run")).as("ingest_run"), count(lit(1)).as("n_rows"),
+        sum(col("l_orderkey")).cast("long").as("key_checksum"))
+      .orderBy(col("range_id"))
+  }
+
   /** A6: full-snapshot re-ingest (read side of load_sde.py's
     * truncate-and-load): write a snapshot, read it back, reconcile. */
   def snapshotLoad(spark: SparkSession, dir: String): DataFrame = {
