@@ -73,6 +73,7 @@ object SparkEntry {
     "q_percentile"           -> Relational.qPercentile _,
     "q_stats"                -> Relational.qStats _,
     "q_approx_distinct"      -> Relational.qApproxDistinct _,
+    "q_cms_sketch"           -> Relational.qCmsSketch _,
     "pipeline_e2e"           -> (PipelineDemo.run _),
     // F — LLM-training-data operators
     "dedup_exact"            -> Dedup.dedupExact _,
@@ -524,6 +525,11 @@ object SparkEntry {
         | round(var_samp(value), 4) AS var_value,
         | round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_value_user
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cms_sketch" ->
+      s"""WITH src AS (SELECT event_type AS grp, user_id AS k FROM events),
+         |${graft.functions.CmsAggregate.estimateSql("src", 0L until 10L)}
+         |SELECT grp AS source, CAST(key AS BIGINT) AS key, CAST(est AS BIGINT) AS est
+         |FROM est ORDER BY 1, 2""".stripMargin,
     "pipeline_e2e" ->
       """SELECT 'customer_seg' AS source, count(*) AS rows_loaded
         | FROM customer WHERE c_mktsegment = 'BUILDING'

@@ -20,7 +20,11 @@ case class SourceCfg(
     where: Option[String] = None,    // staged-row filter (reference: bbox/where params)
     select: Option[Seq[String]] = None,
     // OID-sweep ingest (download_rest.py use_oid_sweep): ranged parallel read
-    oidSweep: Option[OidSweepCfg] = None)
+    oidSweep: Option[OidSweepCfg] = None,
+    // per-source geoprocess override, field-merged over the global policy
+    // (config.py:105 _apply_bbox_inheritance: a source-level value always
+    // wins; unset fields inherit the defaults)
+    geoprocess: Option[GeoOverrideCfg] = None)
 
 case class OidSweepCfg(keyColumn: String, batches: Int = 16)
 
@@ -29,6 +33,21 @@ case class GeoprocessCfg(
     xColumn: Option[String] = None,
     yColumn: Option[String] = None,
     aoi: Option[Seq[Double]] = None) // [xmin, ymin, xmax, ymax]
+
+/** Per-source geoprocess override: every field optional — set fields win,
+  * unset fields inherit the pipeline-level [[GeoprocessCfg]] (the
+  * reference's bbox/defaults inheritance, config.py:105/:131). */
+case class GeoOverrideCfg(
+    enabled: Option[Boolean] = None,
+    xColumn: Option[String] = None,
+    yColumn: Option[String] = None,
+    aoi: Option[Seq[Double]] = None) {
+  def mergedOver(g: GeoprocessCfg): GeoprocessCfg = GeoprocessCfg(
+    enabled = enabled.getOrElse(g.enabled),
+    xColumn = xColumn.orElse(g.xColumn),
+    yColumn = yColumn.orElse(g.yColumn),
+    aoi = aoi.orElse(g.aoi))
+}
 
 case class LoadCfg(target: String, mode: String = "truncate") // truncate | append
 
@@ -116,8 +135,10 @@ object Pipeline {
       if (dir.exists()) rm(dir)
     }
     val results = cfg.sources.filter(_.enabled).map { src =>
+      // per-source override merged over the global policy (source wins)
+      val gp = src.geoprocess.map(_.mergedOver(cfg.geoprocess)).getOrElse(cfg.geoprocess)
       val staged =
-        if (cfg.steps.process) geoprocess(stage(spark, src), cfg.geoprocess)
+        if (cfg.steps.process) geoprocess(stage(spark, src), gp)
         else stage(spark, src)
       val finalDf = if (cfg.sanitizeNames) sanitize(staged) else staged
       val loaded = cfg.load match {

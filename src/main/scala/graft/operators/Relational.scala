@@ -17,6 +17,25 @@ object Relational {
 
   private def ts(s: String): Column = lit(s).cast("timestamp")
 
+  /** E19: count–min sketch frequency estimation — the custom
+    * [[graft.functions.CmsAggregate]] TypedImperativeAggregate (partial
+    * sketches per task, element-wise merge on the shuffle) probed for the
+    * first ten user ids per source. Estimates are deterministic integer
+    * arithmetic, so the oracle rebuilds the identical counters in SQL;
+    * the ≥-exact guarantee and merge associativity are spec-proven. */
+  def qCmsSketch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CmsAggregate
+    val t = Tables(spark, dir)
+    val sk = t.events.groupBy(col("event_type").as("source"))
+      .agg(CmsAggregate.cmsSketch(spark, col("user_id")).as("sketch"))
+    val probes = (0L until 10L).map { k =>
+      struct(lit(k).as("key"), CmsAggregate.estimate(col("sketch"), k).as("est"))
+    }
+    sk.select(col("source"), explode(array(probes: _*)).as("p"))
+      .select(col("source"), col("p.key"), col("p.est"))
+      .orderBy(col("source"), col("key"))
+  }
+
   /** E1: TPC-H Q1 pricing summary. Map-side partial agg, 6-row output. */
   def q1Agg(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)

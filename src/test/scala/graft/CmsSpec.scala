@@ -1,0 +1,57 @@
+package graft
+
+import graft.functions.CmsAggregate
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the count–min sketch TypedImperativeAggregate (SURVEY E19):
+  * partial-merge algebra, partitioning invariance, the ≥-exact guarantee. */
+class CmsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def freshAgg = CmsAggregate(org.apache.spark.sql.catalyst.expressions.Literal(0L))
+
+  test("merge is associative and commutative on raw buffers") {
+    val agg = freshAgg
+    def buf(seed: Int): Array[Long] =
+      Array.tabulate(CmsAggregate.Depth * CmsAggregate.Width)(i => ((i * seed) % 7).toLong)
+    val (a, b, c) = (buf(3), buf(5), buf(11))
+    val left = agg.merge(agg.merge(buf(3), buf(5)), buf(11))
+    val right = agg.merge(buf(3), agg.merge(buf(5), buf(11)))
+    val comm = agg.merge(agg.merge(buf(5), buf(3)), buf(11))
+    assert(left.toSeq == right.toSeq && left.toSeq == comm.toSeq)
+    assert(a.toSeq != left.toSeq) // merging actually accumulated
+    assert(b.nonEmpty && c.nonEmpty)
+  }
+
+  test("serialize/deserialize round-trips the buffer") {
+    val agg = freshAgg
+    val buf = Array.tabulate(CmsAggregate.Depth * CmsAggregate.Width)(_.toLong * 13L)
+    assert(agg.deserialize(agg.serialize(buf)).toSeq == buf.toSeq)
+  }
+
+  test("sketch is invariant to partitioning (partial + merge correctness)") {
+    val keys = (0L until 2000L).map(k => k % 37)
+    def sketchOf(parts: Int): Seq[Long] = keys.toDF("k").repartition(parts)
+      .agg(CmsAggregate.cmsSketch(spark, col("k")).as("s"))
+      .head().getSeq[Long](0)
+    assert(sketchOf(1) == sketchOf(8))
+  }
+
+  test("estimates dominate exact counts and are tight on sparse keys") {
+    val keys = (0L until 5000L).map(k => k % 61)
+    val df = keys.toDF("k")
+    val sk = df.agg(CmsAggregate.cmsSketch(spark, col("k")).as("s"))
+    val probes = (0L until 61L)
+    val ests = sk.select(probes.map(k =>
+        CmsAggregate.estimate(col("s"), k).as(s"e$k")): _*)
+      .head().toSeq.map(_.asInstanceOf[Long])
+    val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    probes.zip(ests).foreach { case (k, est) =>
+      assert(est >= exact(k), s"CMS must never under-count: key=$k")
+      // 61 keys in 4x256 counters: collisions possible but bounded
+      assert(est <= exact(k) + keys.size / CmsAggregate.Width,
+        s"estimate too loose: key=$k est=$est exact=${exact(k)}")
+    }
+  }
+}

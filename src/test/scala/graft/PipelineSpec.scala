@@ -1,6 +1,6 @@
 package graft
 
-import graft.config.{LoadCfg, Pipeline, PipelineCfg, SourceCfg, StepsCfg}
+import graft.config.{GeoOverrideCfg, GeoprocessCfg, LoadCfg, Pipeline, PipelineCfg, SourceCfg, StepsCfg}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Specs for the declarative pipeline (SURVEY H1): JSON parsing, step
@@ -36,6 +36,43 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     Pipeline.run(spark, cfg).collect()
     assert(!stale.exists(), "cleanupBeforeRun should clear the target tree")
     assert(new java.io.File(s"$target/nation").exists())
+  }
+
+  test("geoprocess inheritance: sources inherit, override, and disable the global AOI") {
+    // global policy clips supplier coords to a box; source A inherits it,
+    // source B overrides the AOI (wider box), source C disables clipping —
+    // config.py:105 _apply_bbox_inheritance semantics (source wins,
+    // unset fields inherit)
+    val global = GeoprocessCfg(enabled = true,
+      xColumn = Some("s_suppkey"), yColumn = Some("s_nationkey"),
+      aoi = Some(Seq(0.0, 0.0, 50.0, 10.0)))
+    val path = s"$sfDir/supplier.parquet"
+    val cfg = PipelineCfg(
+      sources = Seq(
+        SourceCfg(name = "inherits", path = path),
+        SourceCfg(name = "overrides", path = path,
+          geoprocess = Some(GeoOverrideCfg(aoi = Some(Seq(0.0, 0.0, 1e9, 1e9))))),
+        SourceCfg(name = "disables", path = path,
+          geoprocess = Some(GeoOverrideCfg(enabled = Some(false))))),
+      geoprocess = global)
+    val out = Pipeline.run(spark, cfg).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = spark.read.parquet(path).count()
+    assert(out("disables") == total, "disabled override must skip the clip")
+    assert(out("overrides") == total, "the wide override box must keep everything")
+    assert(out("inherits") < total && out("inherits") > 0,
+      s"inherited AOI should clip some rows: ${out("inherits")} of $total")
+  }
+
+  test("geoprocess override parses from JSON and field-merges over the global") {
+    val cfg = PipelineCfg.fromJson(
+      s"""{"sources": [{"name": "s", "path": "p",
+         |  "geoprocess": {"aoi": [1, 2, 3, 4]}}],
+         | "geoprocess": {"enabled": true, "xColumn": "x", "yColumn": "y",
+         |  "aoi": [0, 0, 9, 9]}}""".stripMargin)
+    val merged = cfg.sources.head.geoprocess.get.mergedOver(cfg.geoprocess)
+    assert(merged.enabled && merged.xColumn.contains("x") && merged.yColumn.contains("y"))
+    assert(merged.aoi.contains(Seq(1.0, 2.0, 3.0, 4.0)))
   }
 
   test("name sanitization applies to loaded table names and columns") {
