@@ -28,6 +28,7 @@ object SparkEntry {
     "src_snapshot_load"      -> Ingest.snapshotLoad _,
     "src_archive_unpack"     -> Ingest.archiveUnpack _,
     "src_resume_ingest"      -> ((s: SparkSession, d: String) => Ingest.resumeIngest(s, d)),
+    "src_atom_filterable"    -> ((s: SparkSession, d: String) => Ingest.atomFilterable(s, d)),
     // B — staging / normalization
     "etl_sanitize_names"     -> Staging.sanitizeNames _,
     "etl_schema_normalize"   -> Staging.schemaNormalize _,
@@ -74,6 +75,7 @@ object SparkEntry {
     "q_stats"                -> Relational.qStats _,
     "q_approx_distinct"      -> Relational.qApproxDistinct _,
     "q_cms_sketch"           -> Relational.qCmsSketch _,
+    "q_hll_sketch"           -> Relational.qHllSketch _,
     "pipeline_e2e"           -> (PipelineDemo.run _),
     // F — LLM-training-data operators
     "dedup_exact"            -> Dedup.dedupExact _,
@@ -187,6 +189,13 @@ object SparkEntry {
         |SELECT CAST(floor(off / 1000) AS BIGINT) AS page, count(*) AS n,
         | CAST(min(off) AS BIGINT) AS first_off, CAST(max(off) AS BIGINT) AS last_off
         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src_atom_filterable" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        | AND l_quantity BETWEEN 10 AND 40
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the archive build+unpack round trip must reproduce the ground truth
     // tables exactly (lossless container staging)
     "src_archive_unpack" ->

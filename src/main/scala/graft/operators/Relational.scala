@@ -17,6 +17,21 @@ object Relational {
 
   private def ts(s: String): Column = lit(s).cast("timestamp")
 
+  /** E20: HyperLogLog distinct estimation via the custom
+    * [[graft.functions.HllAggregate]] TypedImperativeAggregate (element-
+    * wise-max register merge — idempotent, so re-merged partials never
+    * inflate). Rows-only gate (the wrapping-arithmetic hash has no DuckDB
+    * twin); HllSpec proves merge algebra, partitioning invariance, and
+    * the error bound vs exact distinct. */
+  def qHllSketch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HllAggregate
+    val t = Tables(spark, dir)
+    t.events.groupBy(col("event_type").as("source"))
+      .agg(HllAggregate.hllSketch(spark, col("user_id")).as("est_distinct_users"),
+        countDistinct(col("user_id")).as("exact_distinct_users"))
+      .orderBy(col("source"))
+  }
+
   /** E19: count–min sketch frequency estimation — the custom
     * [[graft.functions.CmsAggregate]] TypedImperativeAggregate (partial
     * sketches per task, element-wise merge on the shuffle) probed for the

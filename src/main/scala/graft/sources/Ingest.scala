@@ -252,6 +252,36 @@ object Ingest {
       .orderBy(col("range_id"))
   }
 
+  /** A10: filterable-service bypass (download_atom.py:164/:176 — when the
+    * service behind an Atom feed accepts bbox filters, the reference
+    * skips the full-archive download and queries the service with the
+    * filter). Spark analogue: the AOI range predicates reach the SCAN
+    * (`PushedFilters`) instead of running above a full read. With
+    * `serviceFilterable = false` the full archive is DOWNLOADED first
+    * (written to the staging store, every row) and the filter runs over
+    * the staged copy — same rows, full-table I/O (the spec asserts the
+    * equality and that only the archive path materializes the full
+    * table; at 100 TB the bypass saves the entire archive transfer). */
+  def atomFilterable(spark: SparkSession, dir: String,
+      serviceFilterable: Boolean = true): DataFrame = {
+    val t = Tables(spark, dir)
+    // the "bbox": a 2-D range over pushable columns (date × quantity)
+    val pred = col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+      col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+      col("l_quantity") >= 10 && col("l_quantity") <= 40
+    val source =
+      if (serviceFilterable) t.lineitem.filter(pred) // pushed to the scan
+      else {
+        // archive path: transfer everything, stage, then filter
+        val archive = "/root/repo/target/graft_atom_archive/lineitem"
+        t.lineitem.write.mode("overwrite").parquet(archive)
+        spark.read.parquet(archive).filter(pred)
+      }
+    source.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** A6: full-snapshot re-ingest (read side of load_sde.py's
     * truncate-and-load): write a snapshot, read it back, reconcile. */
   def snapshotLoad(spark: SparkSession, dir: String): DataFrame = {

@@ -38,6 +38,33 @@ class CmsSpec extends AnyFunSuite with SparkTestBase {
     assert(sketchOf(1) == sketchOf(8))
   }
 
+  test("hll: merge is associative, commutative, idempotent on registers") {
+    import graft.functions.HllAggregate
+    val agg = HllAggregate(org.apache.spark.sql.catalyst.expressions.Literal(0L))
+    def regs(seed: Int): Array[Byte] =
+      Array.tabulate(HllAggregate.M)(i => ((i * seed) % 20).toByte)
+    val left = agg.merge(agg.merge(regs(3), regs(7)), regs(13))
+    val right = agg.merge(regs(3), agg.merge(regs(7), regs(13)))
+    val comm = agg.merge(agg.merge(regs(7), regs(3)), regs(13))
+    val idem = agg.merge(left.clone(), left.clone())
+    assert(left.toSeq == right.toSeq && left.toSeq == comm.toSeq)
+    assert(idem.toSeq == left.toSeq, "max-merge must be idempotent")
+  }
+
+  test("hll: estimate is partitioning-invariant and within the error bound") {
+    import graft.functions.HllAggregate
+    for (trueN <- Seq(50L, 1000L, 20000L)) {
+      val df = (0L until trueN * 3).map(_ % trueN).toDF("k")
+      def est(parts: Int): Long = df.repartition(parts)
+        .agg(HllAggregate.hllSketch(spark, col("k")).as("e")).head().getLong(0)
+      val (e1, e8) = (est(1), est(8))
+      assert(e1 == e8, s"partitioning changed the estimate: $e1 vs $e8")
+      // 256 registers → ~6.5% std error; allow 4 sigma
+      assert(math.abs(e1 - trueN).toDouble / trueN < 0.26,
+        s"estimate $e1 too far from $trueN")
+    }
+  }
+
   test("estimates dominate exact counts and are tight on sparse keys") {
     val keys = (0L until 5000L).map(k => k % 61)
     val df = keys.toDF("k")

@@ -22,6 +22,27 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
       s"global funnel in plan:\n$plan")
   }
 
+  test("atom filterable-service bypass: same rows, no archive transfer when pushed") {
+    val archiveDir = new java.io.File("/root/repo/target/graft_atom_archive/lineitem")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(archiveDir.getParentFile)
+    val pushed = Ingest.atomFilterable(spark, sfDir, serviceFilterable = true).collect()
+    assert(!archiveDir.exists(), "the bypass must not download the archive")
+    // the service path pushes the AOI into the source scan
+    val plan = Ingest.atomFilterable(spark, sfDir, serviceFilterable = true)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"), s"AOI not pushed:\n$plan")
+    val viaArchive = Ingest.atomFilterable(spark, sfDir, serviceFilterable = false).collect()
+    assert(pushed.toSeq == viaArchive.toSeq)
+    assert(archiveDir.exists(), "archive path must stage the full table")
+    val fullRows = spark.read.parquet(archiveDir.toString).count()
+    assert(fullRows == Tables(spark, sfDir).lineitem.count(),
+      "archive path transfers every row, filtered or not")
+  }
+
   test("offset paging: offsets are gapless and complete") {
     val rows = Ingest.restOffsetPaging(spark, sfDir, pageSize = 500L)
       .collect()
