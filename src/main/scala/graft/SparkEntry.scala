@@ -81,6 +81,7 @@ object SparkEntry {
     "dedup_exact"            -> Dedup.dedupExact _,
     "dedup_fingerprint"      -> Dedup.dedupFingerprint _,
     "dedup_ngram_jaccard"    -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
+    "dedup_components"       -> ((s: SparkSession, d: String) => Dedup.dedupComponents(s, d)),
     "dedup_minhash_lsh"      -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "dedup_simhash"          -> ((s: SparkSession, d: String) => Dedup.simhashBuckets(s, d)),
     "dedup_winnow"           -> ((s: SparkSession, d: String) => Dedup.winnowDedup(s, d)),
@@ -114,6 +115,18 @@ object SparkEntry {
       | CAST(150000 + (o_orderkey * 7919) % 800001 AS DOUBLE) AS x,
       | CAST(6050000 + (o_orderkey * 104729) % 1700001 AS DOUBLE) AS y
       |FROM orders""".stripMargin
+
+  private val jaccardPairsCte =
+    """d AS (SELECT doc_id, lang, n_chars,
+      |  CASE WHEN length(text) >= 3
+      |   THEN list_distinct([substr(lower(text), CAST(i AS INT), 3) for i in range(1, length(text) - 1)])
+      |   ELSE [] END AS sh
+      | FROM documents),
+      |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.lang AS lang,
+      |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+      | FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |  AND abs(a.n_chars - b.n_chars) <= 30)""".stripMargin
 
   private val evSec =
     "SELECT *, CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS sec FROM events"
@@ -556,17 +569,21 @@ object SparkEntry {
          |SELECT fp AS fingerprint, count(*) AS n_docs, min(doc_id) AS keeper
          |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_ngram_jaccard" ->
-      """WITH d AS (SELECT doc_id, lang, n_chars,
-        |  CASE WHEN length(text) >= 3
-        |   THEN list_distinct([substr(lower(text), CAST(i AS INT), 3) for i in range(1, length(text) - 1)])
-        |   ELSE [] END AS sh
-        | FROM documents),
-        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.lang AS lang,
-        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |    / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
-        | FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |  AND abs(a.n_chars - b.n_chars) <= 30)
-        |SELECT d1, d2, lang, jaccard FROM p WHERE jaccard >= 0.82 ORDER BY d1, d2""".stripMargin,
+      s"""WITH $jaccardPairsCte
+         |SELECT d1, d2, lang, jaccard FROM p WHERE jaccard >= 0.82 ORDER BY d1, d2""".stripMargin,
+    // transitive near-dup clusters: min-label reachability over the same
+    // pair graph, via a recursive CTE (matches the Spark label-propagation
+    // fixpoint exactly)
+    "dedup_components" ->
+      s"""WITH RECURSIVE $jaccardPairsCte,
+         |p2 AS (SELECT d1, d2 FROM p WHERE jaccard >= 0.82),
+         |e AS (SELECT d1 AS src, d2 AS dst FROM p2 UNION ALL SELECT d2, d1 FROM p2),
+         |r AS (SELECT src AS node, src AS label FROM e
+         |  UNION
+         |  SELECT e.dst, r.label FROM r JOIN e ON r.node = e.src),
+         |c AS (SELECT node, min(label) AS component FROM r GROUP BY 1)
+         |SELECT component, count(*) AS n_docs, max(node) AS max_doc
+         |FROM c GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""".stripMargin,
     "neardup_cosine" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, CAST(a.label AS INT) AS label,

@@ -93,6 +93,52 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Minimum-label propagation connected components over an undirected
+    * pair graph — the step large-scale dedup needs AFTER candidate pairs:
+    * transitive near-dup groups (a≈b, b≈c ⇒ {a,b,c} one cluster, one
+    * keeper). Iterative: each round every node adopts the min label among
+    * itself and its neighbors; converges in ≤ diameter rounds (dup
+    * clusters are shallow). Each round is one join + one partial-agg
+    * min — all shuffles on the node id; `localCheckpoint` truncates the
+    * growing lineage (the standard Spark iterative-algorithm pattern, as
+    * in GraphX CC). Driver holds only the convergence counter. */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("d1"), col("d2"))
+      .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .localCheckpoint(true)
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val prop = edges.join(labels, edges("d1") === labels("doc_id"))
+        .select(edges("d2").as("doc_id"), col("label"))
+      val next = labels.union(prop).groupBy(col("doc_id"))
+        .agg(min(col("label")).as("label")).localCheckpoint(true)
+      changed = next.select(col("doc_id"), col("label").as("new_label"))
+        .join(labels, Seq("doc_id"))
+        .filter(col("new_label") =!= col("label")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** F19: near-dup clustering — connected components over the n-gram
+    * Jaccard pair graph (F3), one row per multi-document cluster with its
+    * keeper (min doc_id = the component label). Oracle: the same
+    * reachability computed by a DuckDB recursive CTE. */
+  def dedupComponents(spark: SparkSession, dir: String, threshold: Double = 0.82): DataFrame = {
+    val t = Tables(spark, dir)
+    val pairs = ngramJaccard(spark, dir, threshold).select(col("d1"), col("d2"))
+    val labels = connectedComponents(t.documents.select(col("doc_id")), pairs)
+    labels.groupBy(col("label").as("component"))
+      .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("component"))
+  }
+
   private val NumPerms = 32
   private val Bands = 8 // 4 rows per band
   private val Prime = 2147483647L

@@ -128,6 +128,22 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(banded == brute, s"banded=${banded.size} brute=${brute.size}")
   }
 
+  test("connected components: chains, stars, cycles and singletons converge to min labels") {
+    // chain 1-2-3-4-5 (diameter 4, needs multi-round propagation),
+    // star 10-{11,12,13}, cycle 20-21-22-20, singleton 30
+    val nodes = (Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L, 13L, 20L, 21L, 22L, 30L))
+      .toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (10L, 12L), (10L, 13L),
+      (20L, 21L), (21L, 22L), (22L, 20L)).toDF("d1", "d2")
+    val labels = Dedup.connectedComponents(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(labels(_) == 1L), s"chain: $labels")
+    assert(Seq(10L, 11L, 12L, 13L).forall(labels(_) == 10L), s"star: $labels")
+    assert(Seq(20L, 21L, 22L).forall(labels(_) == 20L), s"cycle: $labels")
+    assert(labels(30L) == 30L, "singleton keeps its own label")
+  }
+
   test("fingerprint dedup collapses reordered near-duplicates") {
     val fp = (c: org.apache.spark.sql.Column) =>
       md5(array_join(array_sort(array_distinct(
