@@ -89,6 +89,7 @@ object SparkEntry {
     "neardup_ivf_gated"      -> ((s: SparkSession, d: String) => Similarity.neardupIvfGated(s, d)),
     "ann_topk"               -> ((s: SparkSession, d: String) => Similarity.annTopK(s, d)),
     "ann_lsh_bucketed"       -> Similarity.annLshBuckets _,
+    "ann_lsh_multiprobe"     -> ((s: SparkSession, d: String) => Similarity.annLshMultiProbe(s, d)),
     "ann_ivf"                -> ((s: SparkSession, d: String) => Similarity.ivfAnn(s, d)),
     "q_salted_join"          -> ((s: SparkSession, d: String) => Relational.qSaltedJoin(s, d)),
     "text_quality"           -> TextAnalysis.quality _,
@@ -97,6 +98,7 @@ object SparkEntry {
     "text_topterms"          -> ((s: SparkSession, d: String) => TextAnalysis.topTerms(s, d)),
     "sample_split"           -> TextAnalysis.datasetSplit _,
     "text_tfidf"             -> ((s: SparkSession, d: String) => TextAnalysis.tfidf(s, d)),
+    "text_lm_score"          -> TextAnalysis.lmScore _,
     "sample_stratified"      -> ((s: SparkSession, d: String) => TextAnalysis.stratifiedSample(s, d)),
     "mm_binary_meta"         -> Multimodal.binaryMeta _,
     "mm_frame_sample"        -> Multimodal.frameSample _,
@@ -620,6 +622,16 @@ object SparkEntry {
          |b AS (SELECT vec_id, $lshBucketSql AS bucket FROM e)
          |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n, min(vec_id) AS min_vec_id
          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ann_lsh_multiprobe" -> {
+      val probes = (0 until Similarity.NPlanes).map(h => s"xor(qb, ${1L << h})")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id, CAST($lshBucketSql AS BIGINT) AS bucket, v FROM e),
+         |q AS (SELECT bucket AS qb, v AS qv FROM b WHERE vec_id = 0),
+         |pr AS (SELECT unnest([qb${probes.map(", " + _).mkString}]) AS pb FROM q)
+         |SELECT vec_id, bucket, round(${cosSql("b.v", "q.qv")}, 4) AS score
+         |FROM b, q WHERE bucket IN (SELECT pb FROM pr) AND vec_id <> 0
+         |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin
+    },
     // IVF is deterministic arithmetic end-to-end: label-mean centroids,
     // nearest-centroid lists (ties -> smaller label), nprobe=3 probes,
     // cosine re-score rounded like ann_topk. Assignment margins (min gap
@@ -677,6 +689,22 @@ object SparkEntry {
          | CAST(len($toks) AS BIGINT) AS ws_tokens,
          | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // same corpus-trained bigram LM: counts are exact integers, the only
+    // float is the final avg(ln) — rounded to 3 (sum order differs across
+    // engines by ~1e-12)
+    "text_lm_score" ->
+      """WITH bi AS (SELECT doc_id, unnest(
+        |   CASE WHEN length(text) >= 2
+        |    THEN [substr(lower(text), CAST(i AS INT), 2) for i in range(1, length(text))]
+        |    ELSE [] END) AS bg FROM documents),
+        |bc AS (SELECT bg, count(*) AS c2 FROM bi GROUP BY 1),
+        |fc AS (SELECT substr(bg, 1, 1) AS c1, CAST(sum(c2) AS BIGINT) AS c1n
+        |  FROM bc GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM fc)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        | round(avg(ln((c2 + 1.0) / (c1n + v))), 3) AS avg_logprob
+        |FROM bi JOIN bc USING (bg) JOIN fc ON substr(bg, 1, 1) = fc.c1, v
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_topterms" ->
       s"""WITH q AS (SELECT doc_id, list_distinct($toks) AS toks FROM documents),
          |u AS (SELECT doc_id, unnest(toks) AS term FROM q)

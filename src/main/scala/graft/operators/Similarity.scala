@@ -62,6 +62,31 @@ object Similarity {
       .orderBy(col("bucket"))
   }
 
+  /** F8c: multi-probe LSH ANN — instead of more hash tables (more
+    * memory), probe the query's bucket PLUS every bucket at sign-code
+    * hamming distance 1 (the perturbation most likely to hold a missed
+    * neighbor: one borderline hyperplane flip). 9 of 256 buckets touched
+    * per query — recall is strictly ≥ the single-bucket path at ~9/256 of
+    * the corpus scanned, no extra index state. Deterministic hyperplanes
+    * ⇒ full oracle. */
+  def annLshMultiProbe(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 20): DataFrame = {
+    val t = Tables(spark, dir)
+    val planes = Vec.planeWeights(NPlanes, 64)
+    val e = t.embeddings
+      .withColumn("bucket", Vec.lshBucket(Vec.toDouble(col("embedding")), planes))
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("bucket"), Vec.toDouble(col("embedding")).as("qv")).head()
+    val (qb, qv) = (q.getLong(0), q.getSeq[Double](1))
+    val probes = qb +: (0 until NPlanes).map(h => qb ^ (1L << h))
+    val qvCol = array(qv.map(lit): _*)
+    e.filter(col("bucket").isin(probes: _*) && col("vec_id") =!= queryId)
+      .withColumn("score", round(Vec.cosine(Vec.toDouble(col("embedding")), qvCol), 4))
+      .select(col("vec_id"), col("bucket").cast("long").as("bucket"), col("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Per-vector bucket assignment (used by the recall spec). */
   def lshAssign(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)

@@ -113,6 +113,36 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rn"))
   }
 
+  /** F20: character-bigram language-model quality score — the CCNet/KenLM
+    * filtering idea at engine level: train the LM ON the corpus (bigram
+    * counts, one map-side-combined agg), broadcast the tiny model back,
+    * and score every document by its average add-one-smoothed bigram log
+    * probability. Low scores = atypical character statistics (mojibake,
+    * binary junk, wrong-language noise) — the standard perplexity-style
+    * training-data filter. Two distributed passes + one broadcast join;
+    * per-doc work is linear in characters. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val lowered = lower(col("text"))
+    val bigrams = when(length(lowered) >= 2,
+        transform(sequence(lit(1), length(lowered) - 1), i => lowered.substr(i, lit(2))))
+      .otherwise(array().cast("array<string>"))
+    val docBi = t.documents.select(col("doc_id"), explode(bigrams).as("bg"))
+    // the "language model": bigram and first-char counts + vocab size
+    val biCounts = docBi.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val firstCounts = biCounts.groupBy(substring(col("bg"), 1, 1).as("c1"))
+      .agg(sum(col("c2")).as("c1n"))
+    val vocab = firstCounts.agg(count(lit(1)).as("v"))
+    docBi
+      .join(broadcast(biCounts), Seq("bg"))
+      .join(broadcast(firstCounts), substring(col("bg"), 1, 1) === col("c1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", log((col("c2") + 1.0) / (col("c1n") + col("v"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 3).as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   /** F15: deterministic train/val/test split — multiplicative-hash bucket
     * of the stable id (80/10/10). Pure per-row arithmetic: reproducible on
     * any engine, no RNG state, no shuffle; the split column can partition

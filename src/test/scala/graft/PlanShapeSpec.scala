@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions for the headline queries: the properties
+  * that matter at 100 TB (pushdown reaches the scan, dims broadcast, agg
+  * has a map-side partial, top-k avoids a full sort) must not silently
+  * regress as operators evolve. */
+class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q6: filters reach the parquet scan") {
+    // the PushedFilters list is truncated in the plan string, so assert
+    // the visible prefix (the range predicates follow the null checks)
+    val p = plan("q6_filter_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), s"no pushdown:\n$p")
+  }
+
+  test("src_parquet_pruned: projection pruned to the read schema") {
+    val p = plan("src_parquet_pruned")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber"),
+      s"scan reads more than the projection:\n$p")
+  }
+
+  test("q5: dimension joins broadcast, no shuffle of the dims") {
+    val p = plan("q5_multi_join")
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+  }
+
+  test("q1: aggregation is partial (map-side combine) before the exchange") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      s"no partial aggregation:\n$p")
+    assert(p.contains("partial_"), s"no map-side combine:\n$p")
+  }
+
+  test("ann_topk: bounded top-k, not a global sort") {
+    val p = plan("ann_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"full sort for top-k:\n$p")
+  }
+
+  test("whole-stage codegen spans the similarity hot path") {
+    // AQE finalizes (and codegen-collapses) the plan only at execution;
+    // run the query, then read the final adaptive plan's "*(n)" markers
+    val df = SparkEntry.queries("neardup_cosine")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), s"plan did not finalize:\n${p.take(300)}")
+    assert(p.contains("*("), s"no whole-stage codegen span:\n$p")
+    assert(!p.contains("BatchEvalPython"), "python in the hot path")
+  }
+}

@@ -99,4 +99,20 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val recall = gated.size.toDouble / truth.size
     assert(recall > 0.1 && recall <= 1.0, s"recall=$recall")
   }
+
+  test("multi-probe lsh recall dominates the single-bucket probe") {
+    val exact = Similarity.annTopK(spark, sfDir, queryId = 0L, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val assign = Similarity.lshAssign(spark, sfDir)
+    val qb = assign.filter(col("vec_id") === 0L).head().getLong(2)
+    val single = assign.filter(col("bucket") === qb && col("vec_id") =!= 0L)
+      .collect().map(_.getLong(0)).toSet
+    val multi = Similarity.annLshMultiProbe(spark, sfDir, queryId = 0L, k = 500)
+      .collect().map(_.getLong(0)).toSet
+    assert(single.subsetOf(multi), "multi-probe must include the home bucket")
+    val rSingle = exact.intersect(single).size.toDouble / exact.size
+    val rMulti = exact.intersect(multi).size.toDouble / exact.size
+    assert(rMulti >= rSingle, s"multi=$rMulti single=$rSingle")
+    assert(rMulti > 0.0, "multi-probe found none of the true neighbors")
+  }
 }
