@@ -100,6 +100,7 @@ object SparkEntry {
     "text_tfidf"             -> ((s: SparkSession, d: String) => TextAnalysis.tfidf(s, d)),
     "text_lm_score"          -> TextAnalysis.lmScore _,
     "sample_stratified"      -> ((s: SparkSession, d: String) => TextAnalysis.stratifiedSample(s, d)),
+    "sample_weighted"        -> ((s: SparkSession, d: String) => TextAnalysis.weightedSample(s, d)),
     "mm_binary_meta"         -> Multimodal.binaryMeta _,
     "mm_frame_sample"        -> Multimodal.frameSample _,
   )
@@ -720,6 +721,12 @@ object SparkEntry {
       """WITH r AS (SELECT lang, doc_id, n_chars,
         |  row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn FROM documents)
         |SELECT lang, doc_id, n_chars FROM r WHERE rn % 10 = 1 ORDER BY lang, doc_id""".stripMargin,
+    "sample_weighted" ->
+      """WITH s AS (SELECT doc_id, n_chars,
+        |  pow((((doc_id * 2654435761) % 1000000) + 0.5) / 1000000.0, 1.0 / n_chars) AS skey
+        | FROM documents)
+        |SELECT doc_id, n_chars, round(skey, 6) AS sample_key FROM s
+        |ORDER BY skey DESC, doc_id LIMIT 50""".stripMargin,
     "mm_frame_sample" ->
       """WITH m AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n FROM documents),
         |f AS (SELECT doc_id, n, CAST(i AS BIGINT) AS frame_idx

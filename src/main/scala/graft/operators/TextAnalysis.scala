@@ -143,6 +143,22 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** F21: weighted sampling without replacement (Efraimidis–Spirakis
+    * A-ES): each doc gets key u^(1/w) — u a deterministic hash-uniform,
+    * w the document weight (chars here: longer docs proportionally more
+    * likely) — and the sample is the top-k keys. One pass + bounded
+    * top-k (TakeOrderedAndProject, no full sort, no RNG state — the
+    * reproducibility property that matters for training-data lineage). */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val t = Tables(spark, dir)
+    val u = ((col("doc_id") * 2654435761L) % 1000000L + 0.5) / 1000000.0
+    t.documents
+      .withColumn("skey", pow(u, lit(1.0) / col("n_chars")))
+      .orderBy(col("skey").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("n_chars"), round(col("skey"), 6).as("sample_key"))
+  }
+
   /** F15: deterministic train/val/test split — multiplicative-hash bucket
     * of the stable id (80/10/10). Pure per-row arithmetic: reproducible on
     * any engine, no RNG state, no shuffle; the split column can partition

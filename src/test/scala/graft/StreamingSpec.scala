@@ -102,4 +102,32 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       assert(got.sorted.toSeq == Seq("click", "view"))
     } finally q.stop()
   }
+
+  test("G5: custom CMS TypedImperativeAggregate works under incremental execution") {
+    // sketches in streaming aggregations are the standard production
+    // pattern: partials per micro-batch, merged into the state store.
+    // The streamed sketch (3 separate micro-batches) must equal the
+    // one-shot batch sketch over the same rows.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.CmsAggregate
+    val mem = MemoryStream[(String, Long)]
+    val stream = mem.toDF().toDF("grp", "k")
+    val q = stream.groupBy(col("grp"))
+      .agg(CmsAggregate.cmsSketch(spark, col("k")).as("sketch"))
+      .writeStream.outputMode("complete").format("memory").queryName("g5_out").start()
+    try {
+      val batches = Seq(
+        (0L until 300L).map(i => ("a", i % 17)) ++ (0L until 100L).map(i => ("b", i % 5)),
+        (0L until 200L).map(i => ("a", i % 23)),
+        (0L until 50L).map(i => ("b", i % 3)))
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val streamed = spark.table("g5_out").collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      val batch = batches.flatten.toDF("grp", "k").groupBy(col("grp"))
+        .agg(CmsAggregate.cmsSketch(spark, col("k")).as("sketch")).collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(streamed == batch)
+      assert(streamed("a").sum > 0)
+    } finally q.stop()
+  }
 }
