@@ -51,6 +51,7 @@ object SparkEntry {
     "load_truncate_load"     -> LoadOps.truncateLoad _,
     "load_append_dedup"      -> LoadOps.appendDedupLoad _,
     "load_bucketed_join"     -> LoadOps.bucketedJoin _,
+    "load_partitioned_prune" -> ((s: SparkSession, d: String) => LoadOps.partitionedPrune(s, d)),
     "mon_source_summary"     -> LoadOps.sourceSummary _,
     "mon_error_patterns"     -> LoadOps.errorPatterns _,
     "mon_failure_streaks"    -> LoadOps.failureStreaks _,
@@ -395,6 +396,13 @@ object SparkEntry {
         | round(sum(o_totalprice), 2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "load_partitioned_prune" ->
+      """WITH b AS (SELECT min(l_orderkey) mn, max(l_orderkey) mx FROM lineitem),
+        |ps AS (SELECT CAST(ceil((mx - mn + 1) / 16.0) AS BIGINT) v FROM b),
+        |r AS (SELECT CAST(floor(l_orderkey / (SELECT v FROM ps)) AS BIGINT) AS oid_batch,
+        |  l_orderkey FROM lineitem)
+        |SELECT oid_batch, count(*) AS n, CAST(sum(l_orderkey) AS BIGINT) AS key_checksum
+        |FROM r WHERE oid_batch IN (2, 3, 5) GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_salted_join" ->
       """WITH ev AS (SELECT *, CASE WHEN user_id % 10 = 0 THEN 0 ELSE user_id END AS join_key FROM events),
         |d AS (SELECT DISTINCT join_key, (join_key * 7) % 100 AS score FROM ev)

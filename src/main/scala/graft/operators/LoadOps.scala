@@ -77,6 +77,29 @@ object LoadOps {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** D8: partitioned warehouse layout + partition-pruned read — the
+    * at-scale completion of the OID-sweep story (A4): when the load
+    * target is PARTITIONED by the sweep batch, a ranged re-read touches
+    * only the matching directories (plan shows `PartitionFilters`, the
+    * scan never opens the other 13 batches). At 100 TB this is the
+    * difference between reading 3/16 of the table and all of it. */
+  def partitionedPrune(spark: SparkSession, dir: String, nBatches: Int = 16): DataFrame = {
+    val out = "/root/repo/target/graft_part/lineitem"
+    val t = Tables(spark, dir)
+    val Array(minK, maxK) = t.lineitem
+      .agg(min("l_orderkey"), max("l_orderkey")).head().toSeq
+      .map(_.asInstanceOf[Long]).toArray
+    val pageSize = math.ceil((maxK - minK + 1).toDouble / nBatches).toLong
+    t.lineitem
+      .withColumn("oid_batch", floor(col("l_orderkey") / pageSize).cast("long"))
+      .write.mode("overwrite").partitionBy("oid_batch").parquet(out)
+    spark.read.parquet(out)
+      .filter(col("oid_batch").isin(2L, 3L, 5L)) // prunes to 3 directories
+      .groupBy(col("oid_batch").cast("long").as("oid_batch"))
+      .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).cast("long").as("key_checksum"))
+      .orderBy(col("oid_batch"))
+  }
+
   /** D2: per-source run metrics (monitoring.py SourceMetrics /
     * PipelineMonitor.get_summary): success counts, rates, durations,
     * retry totals — events as the telemetry stream, `props` parsed with a

@@ -51,4 +51,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("*("), s"no whole-stage codegen span:\n$p")
     assert(!p.contains("BatchEvalPython"), "python in the hot path")
   }
+
+  test("partitioned load: ranged re-read prunes to the requested batches") {
+    val df = graft.operators.LoadOps.partitionedPrune(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") && p.contains("oid_batch"),
+      s"no partition pruning:\n$p")
+    // only 3 of 16 partition directories should survive pruning
+    assert(df.count() == 3)
+  }
 }
