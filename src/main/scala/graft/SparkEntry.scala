@@ -36,6 +36,7 @@ object SparkEntry {
     "etl_best_candidate"     -> Staging.bestCandidate _,
     "etl_null_audit"         -> Staging.nullAudit _,
     "q_cube"                 -> Relational.qCube _,
+    "q_grouping_sets"        -> Relational.qGroupingSets _,
     // C — geoprocessing
     "geo_bbox_clip"          -> Geo.bboxClip _,
     "geo_reproject"          -> Geo.reproject _,
@@ -47,6 +48,7 @@ object SparkEntry {
     "geo_polygon_clip"       -> Geo.polygonClip _,
     "geo_wkt_roundtrip"      -> Geo.wktRoundtrip _,
     "geo_measures"           -> Geo.geomMeasures _,
+    "geo_nearest_join"       -> ((s: SparkSession, d: String) => Geo.nearestJoin(s, d)),
     // D — load / monitoring
     "load_truncate_load"     -> LoadOps.truncateLoad _,
     "load_append_dedup"      -> LoadOps.appendDedupLoad _,
@@ -283,6 +285,12 @@ object SparkEntry {
         | count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
     "geo_bbox_clip" ->
       s"""WITH c AS ($synthXY)
          |SELECT o_orderkey, x, y FROM c
@@ -387,6 +395,21 @@ object SparkEntry {
         |   + sqrt((x3 - x2) * (x3 - x2) + (y3 - y2) * (y3 - y2))
         |   + sqrt((x1 - x3) * (x1 - x3) + (y1 - y3) * (y1 - y3)), 4) AS perimeter
         |FROM g ORDER BY o_orderkey""".stripMargin,
+    // brute-force ground truth: the grid+ring+fallback plan must produce
+    // the true nearest for every probe (distances are integer-exact)
+    "geo_nearest_join" ->
+      """WITH pts AS (SELECT o_orderkey,
+        |  CAST(150000 + (o_orderkey * 7919) % 800001 AS DOUBLE) AS x,
+        |  CAST(6050000 + (o_orderkey * 104729) % 1700001 AS DOUBLE) AS y FROM orders),
+        |pr AS (SELECT s_suppkey,
+        |  CAST(150000 + (s_suppkey * 6007) % 800001 AS DOUBLE) AS px,
+        |  CAST(6050000 + (s_suppkey * 9973) % 1700001 AS DOUBLE) AS py FROM supplier),
+        |d AS (SELECT s_suppkey, o_orderkey,
+        |  (x - px) * (x - px) + (y - py) * (y - py) AS d2 FROM pr CROSS JOIN pts),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY s_suppkey ORDER BY d2, o_orderkey) AS rn
+        | FROM d)
+        |SELECT s_suppkey, o_orderkey AS nearest_orderkey, CAST(d2 AS BIGINT) AS dist2
+        |FROM r WHERE rn = 1 ORDER BY s_suppkey""".stripMargin,
     "load_append_dedup" ->
       """SELECT o_orderpriority, count(*) AS loaded_rows,
         | round(sum(o_totalprice), 2) AS loaded_value

@@ -190,6 +190,49 @@ object Geo {
       .orderBy(col("o_orderkey"))
   }
 
+  /** C10: nearest-neighbor spatial join — for every probe feature, the
+    * closest feature of a big point set (the reference runs proximity
+    * geoprocessing over staged FCs; arcpy Near/SpatialJoin). Scale shape:
+    * points are bucketed into grid cells, each probe meets ONLY the 3×3
+    * ring around its cell (candidates bounded by local density; the join
+    * key is the cell id), and a result is CERTIFIED exact when the best
+    * ring distance ≤ the cell size — any point outside the ring is
+    * farther than that by construction. Probes the ring can't certify
+    * (sparse neighborhoods) fall back to the full join — rare, and the
+    * union is provably the true nearest for every probe. Distances are
+    * integer-valued doubles (synthetic meter grids), so the argmin is
+    * fp-exact and fully oracle-able against brute force. */
+  def nearestJoin(spark: SparkSession, dir: String, cell: Double = 50000.0): DataFrame = {
+    val t = Tables(spark, dir)
+    val pts = t.orders.select(col("o_orderkey"),
+      (lit(150000L) + (col("o_orderkey") * 7919L) % 800001L).cast("double").as("x"),
+      (lit(6050000L) + (col("o_orderkey") * 104729L) % 1700001L).cast("double").as("y"))
+    val probes = t.supplier.select(col("s_suppkey"),
+      (lit(150000L) + (col("s_suppkey") * 6007L) % 800001L).cast("double").as("px"),
+      (lit(6050000L) + (col("s_suppkey") * 9973L) % 1700001L).cast("double").as("py"))
+    val d2 = (col("x") - col("px")) * (col("x") - col("px")) +
+      (col("y") - col("py")) * (col("y") - col("py"))
+    def argmin(cand: DataFrame): DataFrame = cand
+      .groupBy(col("s_suppkey"))
+      .agg(min_by(struct(col("o_orderkey"), col("d2")),
+        struct(col("d2"), col("o_orderkey"))).as("b"))
+      .select(col("s_suppkey"), col("b.o_orderkey").as("nearest_orderkey"),
+        col("b.d2").cast("long").as("dist2"))
+    val ptsCell = pts
+      .withColumn("cx", floor(col("x") / cell)).withColumn("cy", floor(col("y") / cell))
+    val ringed = probes
+      .withColumn("dx", explode(array(lit(-1), lit(0), lit(1))))
+      .withColumn("dy", explode(array(lit(-1), lit(0), lit(1))))
+      .withColumn("cx", floor(col("px") / cell) + col("dx"))
+      .withColumn("cy", floor(col("py") / cell) + col("dy"))
+    val ringBest = argmin(ringed.join(ptsCell, Seq("cx", "cy")).withColumn("d2", d2))
+    val certified = ringBest.filter(col("dist2") <= (cell * cell).toLong)
+    // sparse neighborhoods: ring result can't be certified → exact fallback
+    val uncertain = probes.join(certified.select("s_suppkey"), Seq("s_suppkey"), "left_anti")
+    val fallback = argmin(uncertain.crossJoin(pts).withColumn("d2", d2))
+    certified.union(fallback).orderBy(col("s_suppkey"))
+  }
+
   /** C6: infer SR from coordinate magnitudes (sr_utils.py:245
     * _infer_sr_from_coords): degrees → 4326, Sweden meters → 3006, else 0. */
   def srInfer(spark: SparkSession, dir: String): DataFrame = {

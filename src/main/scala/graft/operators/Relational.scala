@@ -177,6 +177,23 @@ object Relational {
   }
 
   /** E8b: CUBE — all grouping-set combinations in one pass. */
+  /** E8c: explicit GROUPING SETS — the general form under ROLLUP/CUBE:
+    * exactly the requested combinations ((status), (priority), ()) in one
+    * pass (Catalyst expands to a single Expand + hash agg, not three
+    * scans). */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy(col("status"), col("priority"))
+  }
+
   def qCube(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     t.orders

@@ -40,4 +40,16 @@ class GeoSpec extends AnyFunSuite with SparkTestBase {
       assert(math.abs(r.getDouble(4) - n) < 0.01, s"northing ${r.getDouble(4)} vs $n")
     }
   }
+
+  test("nearest join: ring certification + fallback yield the true nearest everywhere") {
+    import org.apache.spark.sql.functions._
+    // small cell forces sparse rings -> many probes go through the
+    // fallback; the union must still equal brute force exactly
+    val got = graft.operators.Geo.nearestJoin(spark, sfDir, cell = 10000.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = graft.operators.Geo.nearestJoin(spark, sfDir, cell = 1e9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute, "grid path diverged from brute force")
+    assert(got.nonEmpty)
+  }
 }
