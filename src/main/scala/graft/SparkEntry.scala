@@ -37,6 +37,8 @@ object SparkEntry {
     "etl_null_audit"         -> Staging.nullAudit _,
     "q_cube"                 -> Relational.qCube _,
     "q_grouping_sets"        -> Relational.qGroupingSets _,
+    "q_band_join"            -> ((s: SparkSession, d: String) => Relational.qBandJoin(s, d)),
+    "q_funnel"               -> Relational.qFunnel _,
     // C — geoprocessing
     "geo_bbox_clip"          -> Geo.bboxClip _,
     "geo_reproject"          -> Geo.reproject _,
@@ -559,6 +561,29 @@ object SparkEntry {
          | CAST(min(sec) AS BIGINT) AS start_sec, CAST(max(sec) AS BIGINT) AS end_sec,
          | round(sum(value), 2) AS session_value
          |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the oracle is the naive range join; the banded plan must produce
+    // each qualifying pair exactly once
+    "q_band_join" ->
+      s"""WITH ev AS ($evSec),
+         |c AS (SELECT user_id, sec AS cs FROM ev WHERE event_type = 'click'),
+         |v AS (SELECT user_id, sec AS vs FROM ev WHERE event_type = 'view')
+         |SELECT user_id, count(*) AS n_pairs,
+         | CAST(min(abs(cs - vs)) AS BIGINT) AS min_gap,
+         | CAST(sum(cs - vs) AS BIGINT) AS gap_sum
+         |FROM c JOIN v USING (user_id) WHERE abs(cs - vs) <= 3600
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_funnel" ->
+      s"""WITH ev AS ($evSec),
+         |c AS (SELECT user_id, CAST(min(sec) AS BIGINT) AS first_click FROM ev
+         |  WHERE event_type = 'click' GROUP BY 1),
+         |p AS (SELECT user_id, sec FROM ev WHERE event_type = 'purchase'),
+         |j AS (SELECT c.user_id, first_click,
+         |  min(CASE WHEN p.sec >= first_click THEN p.sec END) AS fp
+         | FROM c LEFT JOIN p ON c.user_id = p.user_id GROUP BY 1, 2)
+         |SELECT count(*) AS n_clickers,
+         | CAST(sum(CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+         | CAST(sum(CASE WHEN fp IS NOT NULL THEN fp - first_click ELSE 0 END) AS BIGINT) AS delay_sum
+         |FROM j""".stripMargin,
     "q_time_bucket" ->
       """SELECT CAST(floor(floor(extract(epoch FROM ts)) / 3600) * 3600 AS BIGINT) AS bucket_start,
         | event_type, count(*) AS n, round(sum(value), 2) AS sum_value

@@ -177,6 +177,56 @@ object Relational {
   }
 
   /** E8b: CUBE — all grouping-set combinations in one pass. */
+  /** E21: banded interval join (all click/view pairs per user within a
+    * time band) — the general range-join case E11's as-of join doesn't
+    * cover. Scale shape: a naive time-range join degenerates to a per-user
+    * cartesian; here one side is replicated to its time bucket ±1 and the
+    * join key is (user, bucket) — provably complete for |Δ| ≤ band (the
+    * buckets of two in-band events differ by at most 1) and each
+    * qualifying pair meets exactly once (a click's bucket equals exactly
+    * one of the three distinct replicas). Candidates are bounded by band
+    * population, not user history length. */
+  def qBandJoin(spark: SparkSession, dir: String, bandSec: Long = 3600L): DataFrame = {
+    val t = Tables(spark, dir)
+    val ev = t.events.withColumn("sec", expr("ts div 1000000000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("sec").as("c_sec"))
+      .withColumn("bkt", floor(col("c_sec") / bandSec))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("sec").as("v_sec"))
+      .withColumn("vb", floor(col("v_sec") / bandSec))
+      .withColumn("bkt", explode(array(col("vb") - 1, col("vb"), col("vb") + 1)))
+    clicks.join(views, Seq("user_id", "bkt"))
+      .filter(abs(col("c_sec") - col("v_sec")) <= bandSec)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("c_sec") - col("v_sec"))).cast("long").as("min_gap"),
+        sum(col("c_sec") - col("v_sec")).cast("long").as("gap_sum"))
+      .orderBy(col("user_id"))
+  }
+
+  /** E22: conversion funnel — of the users who clicked, how many later
+    * purchased, and how fast: first-touch aggregation per stage (one
+    * partial agg each), then one join on the user id. */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ev = t.events.withColumn("sec", expr("ts div 1000000000"))
+    val firstClick = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("sec")).as("first_click"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("sec").as("p_sec"))
+    // conditional min, NOT a row filter: a clicker whose purchases all
+    // precede the click must stay in the cohort as non-converted
+    val conv = firstClick.join(purchases, Seq("user_id"), "left")
+      .groupBy(col("user_id"), col("first_click"))
+      .agg(min(when(col("p_sec") >= col("first_click"), col("p_sec"))).as("first_purchase"))
+    conv.agg(
+        count(lit(1)).as("n_clickers"),
+        sum(when(col("first_purchase").isNotNull, 1).otherwise(0)).cast("long").as("n_converted"),
+        sum(when(col("first_purchase").isNotNull,
+          col("first_purchase") - col("first_click")).otherwise(0)).cast("long").as("delay_sum"))
+  }
+
   /** E8c: explicit GROUPING SETS — the general form under ROLLUP/CUBE:
     * exactly the requested combinations ((status), (priority), ()) in one
     * pass (Catalyst expands to a single Expand + hash agg, not three
