@@ -130,9 +130,16 @@ object Dedup {
     * keeper (min doc_id = the component label). Oracle: the same
     * reachability computed by a DuckDB recursive CTE. */
   def dedupComponents(spark: SparkSession, dir: String, threshold: Double = 0.82): DataFrame = {
-    val t = Tables(spark, dir)
-    val pairs = ngramJaccard(spark, dir, threshold).select(col("d1"), col("d2"))
-    val labels = connectedComponents(t.documents.select(col("doc_id")), pairs)
+    // materialize the pair graph once — edges, endpoints, and every CC
+    // iteration reuse it (the candidate join is the expensive subtree)
+    val pairs = ngramJaccard(spark, dir, threshold)
+      .select(col("d1"), col("d2")).localCheckpoint(true)
+    // iterate ONLY over edge endpoints: a doc in no pair is a singleton
+    // and can never reach a multi-doc component, so the propagation works
+    // on the (tiny) non-trivial subgraph, not the whole corpus
+    val endpoints = pairs.select(col("d1").as("doc_id"))
+      .union(pairs.select(col("d2").as("doc_id"))).distinct()
+    val labels = connectedComponents(endpoints, pairs)
     labels.groupBy(col("label").as("component"))
       .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc"))
       .filter(col("n_docs") >= 2)

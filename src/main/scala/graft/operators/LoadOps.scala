@@ -92,6 +92,9 @@ object LoadOps {
     val pageSize = math.ceil((maxK - minK + 1).toDouble / nBatches).toLong
     t.lineitem
       .withColumn("oid_batch", floor(col("l_orderkey") / pageSize).cast("long"))
+      // co-locate each batch before the partitioned write: one file per
+      // directory instead of tasks × batches small files
+      .repartition(col("oid_batch"))
       .write.mode("overwrite").partitionBy("oid_batch").parquet(out)
     spark.read.parquet(out)
       .filter(col("oid_batch").isin(2L, 3L, 5L)) // prunes to 3 directories

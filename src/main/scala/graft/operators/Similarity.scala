@@ -114,7 +114,9 @@ object Similarity {
       .select(col("list_id").as("label"), col("cv"))
   }
 
-  /** Embedding table in (vec_id, label, v: array<double>) form. */
+  /** Embedding table in (vec_id, label, v: array<double>) form. NOT
+    * cached: at 100 TB this is the full corpus — consumers re-scan it
+    * (cheap, pruned columnar) rather than pin it in memory. */
   def vectors(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).embeddings
       .select(col("vec_id"), col("label"), Vec.toDouble(col("embedding")).as("v"))

@@ -128,15 +128,19 @@ object TextAnalysis {
         transform(sequence(lit(1), length(lowered) - 1), i => lowered.substr(i, lit(2))))
       .otherwise(array().cast("array<string>"))
     val docBi = t.documents.select(col("doc_id"), explode(bigrams).as("bg"))
-    // the "language model": bigram and first-char counts + vocab size
+    // the "language model": bigram + first-char counts + vocab size,
+    // pre-joined into ONE tiny model table so scoring is a single
+    // broadcast join against the exploded corpus
     val biCounts = docBi.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
     val firstCounts = biCounts.groupBy(substring(col("bg"), 1, 1).as("c1"))
       .agg(sum(col("c2")).as("c1n"))
     val vocab = firstCounts.agg(count(lit(1)).as("v"))
+    val model = biCounts
+      .join(firstCounts, substring(col("bg"), 1, 1) === col("c1"))
+      .crossJoin(vocab)
+      .select(col("bg"), col("c2"), col("c1n"), col("v"))
     docBi
-      .join(broadcast(biCounts), Seq("bg"))
-      .join(broadcast(firstCounts), substring(col("bg"), 1, 1) === col("c1"))
-      .crossJoin(broadcast(vocab))
+      .join(broadcast(model), Seq("bg"))
       .withColumn("lp", log((col("c2") + 1.0) / (col("c1n") + col("v"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 3).as("avg_logprob"))
