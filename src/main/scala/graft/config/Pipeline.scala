@@ -88,7 +88,12 @@ object Pipeline {
     val swept = src.oidSweep match {
       case Some(OidSweepCfg(key, n)) =>
         // ranged parallel batches, unioned — each range is an independent
-        // pushed-down scan (the reference's parallel OID paging)
+        // pushed-down scan, modeling the reference's parallel OID paging
+        // where every page is a separate remote fetch. On a partitioned
+        // source each range prunes to its own splits; on the flat test
+        // file this re-reads per range, which is why the REGISTERED A4
+        // query is the single-scan form (Ingest.restOidSweep) and the
+        // ranged union lives here, where it mirrors download structure
         val Array(minK, maxK) = raw.agg(min(key), max(key)).head().toSeq
           .map(x => x.asInstanceOf[Number].longValue()).toArray
         val page = math.max(1L, math.ceil((maxK - minK + 1).toDouble / n).toLong)
