@@ -48,4 +48,51 @@ class FunctionPropertySpec extends AnyFunSuite with SparkTestBase {
       assert(arr == arr.distinct.sorted)
     }
   }
+
+  test("vec_dot equals a left-fold dot product on 200 random vector pairs (both element types)") {
+    import graft.functions.Vec
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-1000, 1000).map(_ / 250.0))
+    val cases = samples(Gen.zip(vecGen, vecGen), 200)
+    val expected = cases.map { case (a, b) =>
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    }
+    // double arrays
+    val gotD = cases.toDF("a", "b")
+      .select(Vec.dot(col("a"), col("b"))).collect().map(_.getDouble(0)).toSeq
+    assert(gotD == expected)
+    // float arrays widen per element — must equal the pre-cast fold
+    val fCases = cases.map { case (a, b) => (a.map(_.toFloat), b.map(_.toFloat)) }
+    val expectedF = fCases.map { case (a, b) =>
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+    }
+    val gotF = fCases.toDF("a", "b")
+      .select(Vec.dot(col("a"), col("b"))).collect().map(_.getDouble(0)).toSeq
+    assert(gotF == expectedF)
+  }
+
+  test("json_depth: quote-aware max nesting on constructed and random payloads") {
+    import graft.functions.JsonDepth
+    val fixed = Seq(
+      ("{}", 1), ("""{"k": 1}""", 1), ("""{"a": {"b": {"c": 1}}}""", 3),
+      ("""{"s": "ignore {{{ these"}""", 1), ("", 0), ("no braces", 0),
+      ("""[{"a": {}}, {"b": {"c": {}}}]""", 3), ("}{", 0)) // unbalanced: never exceeds 0
+    val jsonish: Gen[String] = Gen.listOf(Gen.oneOf('{', '}', '"', 'a', ' '))
+      .map(_.mkString)
+    val rnd = samples(jsonish, 200)
+    def ref(t: String): Int = {
+      var d = 0; var m = 0; var in = false
+      t.foreach {
+        case '"' => in = !in
+        case '{' if !in => d += 1; m = math.max(m, d)
+        case '}' if !in => d -= 1
+        case _ => ()
+      }
+      m
+    }
+    val all = fixed.map(_._1) ++ rnd
+    val got = all.map(Tuple1(_)).toDF("t")
+      .select(JsonDepth.jsonDepth(spark, col("t"))).collect().map(_.getInt(0)).toSeq
+    assert(got == all.map(ref))
+    fixed.zip(got).foreach { case ((t, e), g) => assert(g == e, s"payload=$t") }
+  }
 }
