@@ -29,6 +29,7 @@ object SparkEntry {
     "src_archive_unpack"     -> Ingest.archiveUnpack _,
     "src_resume_ingest"      -> ((s: SparkSession, d: String) => Ingest.resumeIngest(s, d)),
     "src_atom_filterable"    -> ((s: SparkSession, d: String) => Ingest.atomFilterable(s, d)),
+    "src_oid_page_fetch"     -> ((s: SparkSession, d: String) => Ingest.oidPageFetch(s, d)),
     // B — staging / normalization
     "etl_sanitize_names"     -> Staging.sanitizeNames _,
     "etl_schema_normalize"   -> Staging.schemaNormalize _,
@@ -210,6 +211,12 @@ object SparkEntry {
         |SELECT CAST(floor(off / 1000) AS BIGINT) AS page, count(*) AS n,
         | CAST(min(off) AS BIGINT) AS first_off, CAST(max(off) AS BIGINT) AS last_off
         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src_oid_page_fetch" ->
+      """WITH b AS (SELECT min(l_orderkey) mn, max(l_orderkey) mx FROM lineitem),
+        |ps AS (SELECT CAST(ceil((mx - mn + 1) / 16.0) AS BIGINT) v FROM b)
+        |SELECT count(*) AS n, min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+        | CAST(sum(l_orderkey) AS BIGINT) AS key_checksum
+        |FROM lineitem WHERE floor(l_orderkey / (SELECT v FROM ps)) = 7""".stripMargin,
     "src_atom_filterable" ->
       """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem

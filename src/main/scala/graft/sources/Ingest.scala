@@ -252,6 +252,32 @@ object Ingest {
       .orderBy(col("range_id"))
   }
 
+  /** A11: single-page OID fetch (download_rest.py's per-page request —
+    * the unit of work behind A4's sweep and A9's resume). The natural
+    * predicate `floor(key / pageSize) = page` is opaque to parquet; the
+    * injected [[graft.plans.FloorRangePushdown]] optimizer rule conjoins
+    * the equivalent key range, so the page lookup reaches the scan as
+    * `PushedFilters` range predicates and prunes row groups/partitions
+    * instead of reading the table (spec asserts the pushed range and
+    * result equivalence with the rule disabled). */
+  def oidPageFetch(spark: SparkSession, dir: String, page: Long = 7L,
+      nBatches: Int = 16): DataFrame = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!cs.experimental.extraOptimizations.contains(graft.plans.FloorRangePushdown))
+      cs.experimental.extraOptimizations =
+        cs.experimental.extraOptimizations :+ graft.plans.FloorRangePushdown
+    val t = Tables(spark, dir)
+    val Array(minK, maxK) = t.lineitem
+      .agg(min("l_orderkey"), max("l_orderkey")).head().toSeq
+      .map(_.asInstanceOf[Long]).toArray
+    val pageSize = math.ceil((maxK - minK + 1).toDouble / nBatches).toLong
+    t.lineitem
+      .filter(floor(col("l_orderkey") / pageSize) === page)
+      .agg(count(lit(1)).as("n"), min(col("l_orderkey")).as("min_key"),
+        max(col("l_orderkey")).as("max_key"),
+        sum(col("l_orderkey")).cast("long").as("key_checksum"))
+  }
+
   /** A10: filterable-service bypass (download_atom.py:164/:176 — when the
     * service behind an Atom feed accepts bbox filters, the reference
     * skips the full-archive download and queries the service with the

@@ -56,4 +56,24 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(expectedFirst == total)
   }
+
+  test("floor-range rule: page-fetch predicate reaches the scan as a key range") {
+    val df = Ingest.oidPageFetch(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(l_orderkey") ||
+      plan.contains("PushedFilters: [IsNotNull(l_orderkey), GreaterThanOrEqual"),
+      s"page range not pushed:\n$plan")
+    // the rewrite only tightens the scan: same row as the bare predicate
+    val got = df.collect().map(_.toSeq).toSeq
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val saved = cs.experimental.extraOptimizations
+    cs.experimental.extraOptimizations =
+      saved.filterNot(_ == graft.plans.FloorRangePushdown)
+    try {
+      val bare = Ingest.oidPageFetch(spark, sfDir)
+      cs.experimental.extraOptimizations =
+        cs.experimental.extraOptimizations.filterNot(_ == graft.plans.FloorRangePushdown)
+      assert(bare.collect().map(_.toSeq).toSeq == got)
+    } finally cs.experimental.extraOptimizations = saved
+  }
 }
