@@ -109,6 +109,7 @@ object SparkEntry {
     "sample_weighted"        -> ((s: SparkSession, d: String) => TextAnalysis.weightedSample(s, d)),
     "mm_binary_meta"         -> Multimodal.binaryMeta _,
     "mm_frame_sample"        -> Multimodal.frameSample _,
+    "mm_resize"              -> ((s: SparkSession, d: String) => Multimodal.resize(s, d)),
   )
 
   // shared SQL fragments for the oracle ---------------------------------
@@ -797,6 +798,20 @@ object SparkEntry {
         |SELECT doc_id, frame_idx,
         | CAST(64 + (n * 31 + frame_idx * 7) % 997 AS BIGINT) AS frame_feature
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_resize" ->
+      """WITH g AS (SELECT doc_id,
+        |  64 + strlen(text) % 1024 AS src_w, 64 + (strlen(text) * 7) % 1024 AS src_h,
+        |  CAST(strlen(text) AS BIGINT) AS nb FROM documents),
+        |s AS (SELECT *, greatest(1, src_w // 32) AS stride_x,
+        |  greatest(1, src_h // 32) AS stride_y FROM g),
+        |o AS (SELECT *, (src_w + stride_x - 1) // stride_x AS out_w,
+        |  (src_h + stride_y - 1) // stride_y AS out_h FROM s)
+        |SELECT doc_id, CAST(src_w AS BIGINT) AS src_w, CAST(src_h AS BIGINT) AS src_h,
+        | CAST(out_w AS BIGINT) AS out_w, CAST(out_h AS BIGINT) AS out_h,
+        | CAST(stride_x AS BIGINT) AS stride_x, CAST(stride_y AS BIGINT) AS stride_y,
+        | CAST(out_w * out_h AS BIGINT) AS n_sampled,
+        | CAST(17 + (nb * 31 + stride_x * 7 + stride_y * 13) % 100003 AS BIGINT) AS sample_feature
+        |FROM o ORDER BY doc_id""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS checksum,
         | CAST(CASE WHEN length(text) = 0 THEN 0 ELSE ascii(text) END AS BIGINT) AS first_cp,

@@ -64,6 +64,35 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** F22: resize — strided downsampling of the (stub-)decoded pixel grid
+    * to a target edge (a real kernel: area/bilinear over the decoded
+    * buffer; the stride/edge/sample-count plumbing here is exactly what
+    * it plugs into). Partition-local like the other decode steps: a
+    * 100 TB image corpus resizes with zero shuffle. All-integer
+    * arithmetic keeps the oracle exact. */
+  def resize(spark: SparkSession, dir: String, targetEdge: Long = 32L): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    t.documents
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { iter =>
+        iter.map { case (id, text) =>
+          val f = decodeStub(id, text)
+          val sx = math.max(1L, f.fake_width / targetEdge)   // sampling strides
+          val sy = math.max(1L, f.fake_height / targetEdge)
+          val ow = (f.fake_width + sx - 1L) / sx             // ceil-div sampled grid
+          val oh = (f.fake_height + sy - 1L) / sy
+          // STUB: a decoder would average/sample pixels; deterministic stand-in
+          val feat = 17L + (f.n_bytes * 31L + sx * 7L + sy * 13L) % 100003L
+          (id, f.fake_width, f.fake_height, ow, oh, sx, sy, ow * oh, feat)
+        }
+      }
+      .toDF("doc_id", "src_w", "src_h", "out_w", "out_h",
+        "stride_x", "stride_y", "n_sampled", "sample_feature")
+      .orderBy(col("doc_id"))
+  }
+
   /** F12: binary payload metadata + stub-decoded features via typed
     * `mapPartitions` (the Scala analogue of `mapInPandas` batch UDFs). */
   def binaryMeta(spark: SparkSession, dir: String): DataFrame = {
