@@ -60,6 +60,7 @@ object SparkEntry {
     "mon_source_summary"     -> LoadOps.sourceSummary _,
     "mon_error_patterns"     -> LoadOps.errorPatterns _,
     "mon_failure_streaks"    -> LoadOps.failureStreaks _,
+    "mon_key_skew"           -> LoadOps.keySkew _,
     "etl_response_validate"  -> ((s: SparkSession, d: String) => LoadOps.responseValidate(s, d)),
     // E — relational core
     "q1_agg"                 -> Relational.q1Agg _,
@@ -459,6 +460,18 @@ object SparkEntry {
         | count(*) AS n, round(avg(value), 2) AS avg_magnitude
         |FROM events WHERE event_type = 'error' GROUP BY 1 ORDER BY n DESC, error_class""".stripMargin,
 
+    "mon_key_skew" ->
+      """WITH k AS (SELECT CASE WHEN user_id % 10 = 0 THEN 0 ELSE user_id END AS join_key
+        |  FROM events),
+        |h AS (SELECT join_key, count(*) AS n FROM k GROUP BY 1),
+        |t AS (SELECT join_key, n, row_number() OVER (ORDER BY n DESC, join_key) AS rn FROM h),
+        |a AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_keys,
+        |  CAST(max(n) AS BIGINT) AS top_n FROM h)
+        |SELECT a.n_rows, a.n_keys, t.join_key AS top_key, a.top_n,
+        | round(CAST(a.top_n AS DOUBLE) / a.n_rows, 4) AS top_share,
+        | round(CAST(a.top_n AS DOUBLE) * a.n_keys / a.n_rows, 2) AS skew_ratio,
+        | CAST(round(CAST(a.top_n AS DOUBLE) * a.n_keys / a.n_rows, 2) >= 10.0 AS INT) AS needs_salting
+        |FROM a, t WHERE t.rn = 1""".stripMargin,
     "mon_failure_streaks" ->
       s"""WITH ev AS (SELECT *, CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS sec,
          |  CASE WHEN value < 1.0 THEN 1 ELSE 0 END AS failed FROM events),

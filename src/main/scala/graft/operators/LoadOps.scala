@@ -181,6 +181,28 @@ object LoadOps {
       .orderBy(col("source"))
   }
 
+  /** D9: join-key skew diagnostics — the measurement that decides whether
+    * a key needs salting (E18) BEFORE the job dies at 100 TB: per-key
+    * histogram → share of the hottest key and hot/mean ratio. Two small
+    * aggs (map-side combined); the key histogram is the only shuffle.
+    * The events table plants user_id 0 hot (q_salted_join's skew model),
+    * so the diagnostic visibly fires. */
+  def keySkew(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val keyed = t.events
+      .withColumn("join_key", when(col("user_id") % 10 === 0, 0L).otherwise(col("user_id")))
+    val hist = keyed.groupBy(col("join_key")).agg(count(lit(1)).as("n"))
+    hist.agg(
+        sum(col("n")).cast("long").as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max_by(col("join_key"), struct(col("n"), -col("join_key"))).as("top_key"),
+        max(col("n")).as("top_n"))
+      .withColumn("top_share", round(col("top_n") / col("n_rows"), 4))
+      .withColumn("skew_ratio",
+        round(col("top_n") * col("n_keys") / col("n_rows"), 2))
+      .withColumn("needs_salting", (col("skew_ratio") >= 10.0).cast("int"))
+  }
+
   /** D3: error-pattern rollup (monitoring.py error_type tracking +
     * log_summary's top-error report): classify, count, rank. */
   def errorPatterns(spark: SparkSession, dir: String): DataFrame = {
