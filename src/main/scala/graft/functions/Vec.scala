@@ -37,7 +37,7 @@ object Vec {
   /** Sign-bucket id from hyperplane dots: bit h set iff dot(v, plane_h)>0. */
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (w, h) =>
-      val wl = array(w.map(lit): _*)
+      val wl = array(w.toIndexedSeq.map(lit): _*)
       when(dot(vec, wl) > 0.0, lit(1L << h)).otherwise(lit(0L))
     }.reduce(_ + _)
 }
