@@ -83,6 +83,7 @@ object SparkEntry {
     "q_approx_distinct"      -> Relational.qApproxDistinct _,
     "q_cms_sketch"           -> Relational.qCmsSketch _,
     "q_hll_sketch"           -> Relational.qHllSketch _,
+    "q_bloom_prune_join"     -> Relational.qBloomPruneJoin _,
     "pipeline_e2e"           -> (PipelineDemo.run _),
     // F — LLM-training-data operators
     "dedup_exact"            -> Dedup.dedupExact _,
@@ -627,6 +628,15 @@ object SparkEntry {
         | round(var_samp(value), 4) AS var_value,
         | round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_value_user
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the bloom prune is transparent (no false negatives): the oracle is
+    // simply the plain join — if pruning ever dropped a joinable row the
+    // hash comparison would catch it
+    "q_bloom_prune_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_acctbal > 9000.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_cms_sketch" ->
       s"""WITH src AS (SELECT event_type AS grp, user_id AS k FROM events),
          |${graft.functions.CmsAggregate.estimateSql("src", 0L until 10L)}

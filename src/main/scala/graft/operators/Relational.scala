@@ -17,6 +17,40 @@ object Relational {
 
   private def ts(s: String): Column = lit(s).cast("timestamp")
 
+  /** E23: bloom-filter runtime join pruning — the 100 TB join pattern:
+    * build a bloom over the (selective) dim-side keys with the custom
+    * [[graft.functions.BloomAggregate]], broadcast the single m-bit row,
+    * and drop fact rows that cannot join BEFORE the join. No false
+    * negatives, so the result is provably identical to the plain join —
+    * the oracle IS the plain join; the pruning is pure plan surgery
+    * (spec measures the fact-side reduction). */
+  def qBloomPruneJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BloomAggregate
+    val t = Tables(spark, dir)
+    val dim = t.customer.filter(col("c_acctbal") > 9000.0)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val bloomRow = dim.agg(BloomAggregate.bloomAgg(spark, col("c_custkey")).as("bits"))
+    val prunedFact = t.orders
+      .join(broadcast(bloomRow)) // single-row bitset alongside every fact row
+      .filter(BloomAggregate.mightContain(col("bits"), col("o_custkey")))
+    prunedFact.join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Fact-side rows surviving the bloom (used by the pruning spec). */
+  def bloomSurvivors(spark: SparkSession, dir: String): Long = {
+    import graft.functions.BloomAggregate
+    val t = Tables(spark, dir)
+    val dim = t.customer.filter(col("c_acctbal") > 9000.0).select(col("c_custkey"))
+    val bloomRow = dim.agg(BloomAggregate.bloomAgg(spark, col("c_custkey")).as("bits"))
+    t.orders.join(broadcast(bloomRow))
+      .filter(BloomAggregate.mightContain(col("bits"), col("o_custkey")))
+      .count()
+  }
+
   /** E20: HyperLogLog distinct estimation via the custom
     * [[graft.functions.HllAggregate]] TypedImperativeAggregate (element-
     * wise-max register merge — idempotent, so re-merged partials never

@@ -81,4 +81,28 @@ class CmsSpec extends AnyFunSuite with SparkTestBase {
         s"estimate too loose: key=$k est=$est exact=${exact(k)}")
     }
   }
+
+  test("bloom: OR-merge algebra, no false negatives, real fact-side pruning") {
+    import graft.functions.BloomAggregate
+    val agg = BloomAggregate(org.apache.spark.sql.catalyst.expressions.Literal(0L))
+    def bits(seed: Int): Array[Long] =
+      Array.tabulate(BloomAggregate.Words)(i => (i.toLong * seed) % 255)
+    val assoc = agg.merge(agg.merge(bits(3), bits(7)), bits(13)).toSeq
+    assert(assoc == agg.merge(bits(3), agg.merge(bits(7), bits(13))).toSeq)
+    assert(assoc == agg.merge(agg.merge(bits(7), bits(3)), bits(13)).toSeq)
+    val m = agg.merge(bits(3), bits(7))
+    assert(agg.merge(m.clone(), m.clone()).toSeq == m.toSeq, "OR must be idempotent")
+
+    // membership: every inserted key tests positive (no false negatives)
+    val keys = (0L until 500L).map(_ * 37L)
+    val sk = keys.toDF("k").agg(BloomAggregate.bloomAgg(spark, col("k")).as("bits"))
+    val probe = keys.toDF("k").crossJoin(broadcast(sk))
+      .filter(BloomAggregate.mightContain(col("bits"), col("k"))).count()
+    assert(probe == keys.size, s"false negative: only $probe of ${keys.size} found")
+
+    // pruning: the selective-dim bloom must actually shrink the fact side
+    val survivors = graft.operators.Relational.bloomSurvivors(spark, sfDir)
+    val total = Tables(spark, sfDir).orders.count()
+    assert(survivors < total, s"bloom pruned nothing: $survivors of $total")
+  }
 }
