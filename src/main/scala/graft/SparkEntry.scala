@@ -811,7 +811,7 @@ object SparkEntry {
     "sample_weighted" ->
       """WITH s AS (SELECT doc_id, n_chars,
         |  pow((((doc_id * 2654435761) % 1000000) + 0.5) / 1000000.0, 1.0 / n_chars) AS skey
-        | FROM documents)
+        | FROM documents WHERE n_chars > 0)
         |SELECT doc_id, n_chars, round(skey, 6) AS sample_key FROM s
         |ORDER BY skey DESC, doc_id LIMIT 50""".stripMargin,
     "mm_frame_sample" ->

@@ -94,9 +94,7 @@ object Pipeline {
         // file this re-reads per range, which is why the REGISTERED A4
         // query is the single-scan form (Ingest.restOidSweep) and the
         // ranged union lives here, where it mirrors download structure
-        val Array(minK, maxK) = raw.agg(min(key), max(key)).head().toSeq
-          .map(x => x.asInstanceOf[Number].longValue()).toArray
-        val page = math.max(1L, math.ceil((maxK - minK + 1).toDouble / n).toLong)
+        val (minK, maxK, page) = graft.sources.Ingest.keySpace(raw, key, n)
         (minK to maxK by page).map { lo =>
           raw.filter(col(key) >= lo && col(key) < lo + page)
         }.reduce(_ union _)

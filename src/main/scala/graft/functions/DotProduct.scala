@@ -27,26 +27,35 @@ case class DotProduct(left: Expression, right: Expression)
     case _                       => false
   }
 
-  override def nullSafeEval(l: Any, r: Any): Any =
-    java.lang.Double.valueOf(DotProduct.dot(
-      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
-      isFloat(left), isFloat(right)))
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    // mismatched dimensionality is corrupt data, not a partial dot — the
+    // HOF fold this replaced yielded NULL there (zip_with null-pads), and
+    // a silently-truncated cosine could pass a near-dup threshold
+    if (a.numElements() != b.numElements()) null
+    else java.lang.Double.valueOf(DotProduct.dot(a, b, isFloat(left), isFloat(right)))
+  }
 
   // stays inside whole-stage codegen: the generated code calls the same
   // static loop the interpreter uses
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.DotProduct.dot($a, $b, ${isFloat(left)}, ${isFloat(right)});")
+      s"""if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+         |else { ${ev.value} = graft.functions.DotProduct.dot($a, $b, ${isFloat(left)}, ${isFloat(right)}); }
+         |""".stripMargin)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
     copy(left = l, right = r)
 }
 
 object DotProduct {
-  /** Sequential left-to-right dot, shared by interpreted and generated
-    * code paths. `af`/`bf` select float vs double element reads. */
+  /** Sequential left-to-right dot over equal-length arrays, shared by
+    * interpreted and generated code paths (callers null out mismatched
+    * lengths first). `af`/`bf` select float vs double element reads. */
   def dot(a: ArrayData, b: ArrayData, af: Boolean, bf: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {

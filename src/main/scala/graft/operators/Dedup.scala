@@ -103,7 +103,7 @@ object Dedup {
     * growing lineage (the standard Spark iterative-algorithm pattern, as
     * in GraphX CC). Driver holds only the convergence counter. */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("d1"), col("d2"))
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .localCheckpoint(true)
@@ -122,6 +122,11 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // a silently non-converged result would split one true duplicate
+    // cluster into several keepers — fail loudly instead
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds ($changed labels still moving); " +
+        "raise maxIter for graphs with diameter beyond it")
     labels
   }
 

@@ -86,10 +86,7 @@ object LoadOps {
   def partitionedPrune(spark: SparkSession, dir: String, nBatches: Int = 16): DataFrame = {
     val out = "/root/repo/target/graft_part/lineitem"
     val t = Tables(spark, dir)
-    val Array(minK, maxK) = t.lineitem
-      .agg(min("l_orderkey"), max("l_orderkey")).head().toSeq
-      .map(_.asInstanceOf[Long]).toArray
-    val pageSize = math.ceil((maxK - minK + 1).toDouble / nBatches).toLong
+    val (_, _, pageSize) = graft.sources.Ingest.keySpace(t.lineitem, "l_orderkey", nBatches)
     t.lineitem
       .withColumn("oid_batch", floor(col("l_orderkey") / pageSize).cast("long"))
       // co-locate each batch before the partitioned write: one file per

@@ -157,6 +157,9 @@ object TextAnalysis {
     val t = Tables(spark, dir)
     val u = ((col("doc_id") * 2654435761L) % 1000000L + 0.5) / 1000000.0
     t.documents
+      // A-ES semantics: weight 0 means excluded (and 1/0 would diverge
+      // between engines: Spark double-div → Infinity, DuckDB → error)
+      .filter(col("n_chars") > 0)
       .withColumn("skey", pow(u, lit(1.0) / col("n_chars")))
       .orderBy(col("skey").desc, col("doc_id"))
       .limit(k)

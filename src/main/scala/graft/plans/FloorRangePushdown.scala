@@ -22,10 +22,15 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   */
 object FloorRangePushdown extends Rule[LogicalPlan] {
 
-  /** Unwrap numeric casts down to the underlying integral attribute. */
+  /** Unwrap WIDENING casts down to the underlying integral attribute.
+    * A narrowing cast (e.g. long → int with ANSI off) wraps values, so
+    * the range implication would not hold — abstain on anything but an
+    * up-cast to long/double. */
   private def integralAttr(e: Expression): Option[AttributeReference] = e match {
     case a: AttributeReference if a.dataType == LongType || a.dataType == IntegerType => Some(a)
-    case Cast(child, _, _, _) => integralAttr(child)
+    case Cast(child, dt, _, _)
+        if dt == org.apache.spark.sql.types.DoubleType || dt == LongType =>
+      integralAttr(child)
     case _ => None
   }
 
@@ -72,9 +77,12 @@ object FloorRangePushdown extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) if !alreadyRewritten(cond) =>
-      val extras = cond.collect {
-        case e if pageEquality(e).isDefined => pageEquality(e).get
-      }.flatMap { case (a, c, k) => rangeFor(a, c, k) }
+      // ONLY top-level conjuncts: a page equality under OR/NOT does not
+      // imply the range for the whole filter, so it must not be rewritten
+      // (e.g. `floor(k/c)=7 || flag` admits rows outside page 7)
+      val extras = splitAnd(cond)
+        .flatMap(e => pageEquality(e))
+        .flatMap { case (a, c, k) => rangeFor(a, c, k) }
       if (extras.isEmpty) f
       else Filter(And(extras.reduce(And), cond), child)
   }
@@ -82,10 +90,9 @@ object FloorRangePushdown extends Rule[LogicalPlan] {
   // the rule batch runs to fixpoint — adding bounds that are already
   // present must be a no-op
   private def alreadyRewritten(cond: Expression): Boolean = {
-    val pages = cond.collect { case e if pageEquality(e).isDefined => pageEquality(e).get }
-    pages.exists { case (a, c, k) =>
+    val conjuncts = splitAnd(cond)
+    conjuncts.flatMap(e => pageEquality(e)).exists { case (a, c, k) =>
       rangeFor(a, c, k).exists { r =>
-        val conjuncts = splitAnd(cond)
         splitAnd(r).forall(b => conjuncts.exists(_.semanticEquals(b)))
       }
     }

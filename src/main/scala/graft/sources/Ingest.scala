@@ -17,6 +17,17 @@ import org.apache.spark.sql.types._
   */
 object Ingest {
 
+  /** Key-space discovery for ranged batching (the reference queries
+    * returnIdsOnly/maxOID first): (minKey, maxKey, pageSize) splitting
+    * [min, max] into `nBatches`. One tiny driver job — shared by every
+    * sweep/page/resume/prune operator so the batch-id contract can never
+    * diverge between them. */
+  def keySpace(df: DataFrame, key: String, nBatches: Int): (Long, Long, Long) = {
+    val Array(minK, maxK) = df.agg(min(key), max(key)).head().toSeq
+      .map(_.asInstanceOf[Number].longValue()).toArray
+    (minK, maxK, math.max(1L, math.ceil((maxK - minK + 1).toDouble / nBatches).toLong))
+  }
+
   /** A1: pruned columnar scan — projection + filter reach the parquet
     * reader (verify `PushedFilters`/`ReadSchema` in the plan). */
   def parquetPruned(spark: SparkSession, dir: String): DataFrame =
@@ -91,11 +102,7 @@ object Ingest {
     * complete, non-overlapping coverage per batch. */
   def restOidSweep(spark: SparkSession, dir: String, nBatches: Int = 16): DataFrame = {
     val t = Tables(spark, dir)
-    // discover key space (the reference queries returnIdsOnly/maxOID first)
-    val Array(minK, maxK) = t.lineitem
-      .agg(min("l_orderkey"), max("l_orderkey")).head().toSeq
-      .map(_.asInstanceOf[Long]).toArray
-    val pageSize = math.ceil((maxK - minK + 1).toDouble / nBatches).toLong
+    val (_, _, pageSize) = keySpace(t.lineitem, "l_orderkey", nBatches)
     t.lineitem
       .groupBy(floor(col("l_orderkey") / pageSize).cast("long").as("oid_batch"))
       .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).cast("long").as("key_checksum"))
@@ -109,10 +116,7 @@ object Ingest {
     * query is the single-scan form above). */
   def rangedOidSweep(spark: SparkSession, dir: String, nBatches: Int = 16): DataFrame = {
     val t = Tables(spark, dir)
-    val Array(minK, maxK) = t.lineitem
-      .agg(min("l_orderkey"), max("l_orderkey")).head().toSeq
-      .map(_.asInstanceOf[Long]).toArray
-    val pageSize = math.ceil((maxK - minK + 1).toDouble / nBatches).toLong
+    val (minK, maxK, pageSize) = keySpace(t.lineitem, "l_orderkey", nBatches)
     val ranges = (minK to maxK by pageSize).map(lo => (lo, lo + pageSize))
     val batches = ranges.map { case (lo, hi) =>
       t.lineitem.filter(col("l_orderkey") >= lo && col("l_orderkey") < hi)
@@ -137,9 +141,7 @@ object Ingest {
       nChunks: Int = 32): DataFrame = {
     val t = Tables(spark, dir)
     val base = t.lineitem.select(col("l_orderkey"), col("l_linenumber"))
-    val Array(minK, maxK) = base.agg(min("l_orderkey"), max("l_orderkey"))
-      .head().toSeq.map(_.asInstanceOf[Long]).toArray
-    val span = math.max(1L, math.ceil((maxK - minK + 1).toDouble / nChunks).toLong)
+    val (minK, _, span) = keySpace(base, "l_orderkey", nChunks)
     // chunk boundaries are l_orderkey ranges, and the global sort key leads
     // with l_orderkey, so chunk order == global row order
     val chunked = base.withColumn("chunk",
@@ -219,10 +221,7 @@ object Ingest {
     val store = "/root/repo/target/graft_resume/lineitem"
     val ledgerPath = "/root/repo/target/graft_resume/ledger"
     val t = Tables(spark, dir)
-    val Array(minK, maxK) = t.lineitem
-      .agg(min("l_orderkey"), max("l_orderkey")).head().toSeq
-      .map(_.asInstanceOf[Long]).toArray
-    val pageSize = math.ceil((maxK - minK + 1).toDouble / nRanges).toLong
+    val (_, _, pageSize) = keySpace(t.lineitem, "l_orderkey", nRanges)
     val tagged = t.lineitem.select(col("l_orderkey"))
       .withColumn("range_id", floor(col("l_orderkey") / pageSize).cast("long"))
     // run 1: ranges 2 mod 5 hit the modeled transient failure
@@ -267,10 +266,7 @@ object Ingest {
       cs.experimental.extraOptimizations =
         cs.experimental.extraOptimizations :+ graft.plans.FloorRangePushdown
     val t = Tables(spark, dir)
-    val Array(minK, maxK) = t.lineitem
-      .agg(min("l_orderkey"), max("l_orderkey")).head().toSeq
-      .map(_.asInstanceOf[Long]).toArray
-    val pageSize = math.ceil((maxK - minK + 1).toDouble / nBatches).toLong
+    val (_, _, pageSize) = keySpace(t.lineitem, "l_orderkey", nBatches)
     t.lineitem
       .filter(floor(col("l_orderkey") / pageSize) === page)
       .agg(count(lit(1)).as("n"), min(col("l_orderkey")).as("min_key"),

@@ -95,4 +95,12 @@ class FunctionPropertySpec extends AnyFunSuite with SparkTestBase {
     assert(got == all.map(ref))
     fixed.zip(got).foreach { case ((t, e), g) => assert(g == e, s"payload=$t") }
   }
+
+  test("vec_dot yields NULL on mismatched dimensionality (corrupt-data signal)") {
+    import graft.functions.Vec
+    val rows = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0)), (Seq(1.0), Seq(1.0)))
+      .toDF("a", "b").select(Vec.dot(col("a"), col("b")).as("d")).collect()
+    assert(rows(0).isNullAt(0), "short vector must not produce a partial dot")
+    assert(rows(1).getDouble(0) == 1.0)
+  }
 }

@@ -76,4 +76,21 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
       assert(bare.collect().map(_.toSeq).toSeq == got)
     } finally cs.experimental.extraOptimizations = saved
   }
+
+  test("floor-range rule is sound under OR and NOT (non-conjunct equalities untouched)") {
+    import org.apache.spark.sql.functions._
+    Ingest.oidPageFetch(spark, sfDir) // ensures the rule is injected
+    val li = Tables(spark, sfDir).lineitem
+    def rows(df: org.apache.spark.sql.DataFrame): Long = df.count()
+    // disjunction: rows with l_linenumber=1 OUTSIDE page 7 must survive
+    val disj = li.filter(floor(col("l_orderkey") / 47) === 7 || col("l_linenumber") === 1)
+    val disjExpected = li.collect().count { r =>
+      math.floor(r.getLong(0).toDouble / 47) == 7 || r.getInt(r.fieldIndex("l_linenumber")) == 1
+    }
+    assert(rows(disj) == disjExpected, "OR branch was clobbered by the range rewrite")
+    // negation: everything OUTSIDE page 7
+    val neg = li.filter(!(floor(col("l_orderkey") / 47) === 7))
+    val negExpected = li.collect().count(r => math.floor(r.getLong(0).toDouble / 47) != 7)
+    assert(rows(neg) == negExpected, "NOT branch was clobbered by the range rewrite")
+  }
 }
