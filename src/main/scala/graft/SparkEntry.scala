@@ -52,6 +52,7 @@ object SparkEntry {
     "geo_wkt_roundtrip"      -> Geo.wktRoundtrip _,
     "geo_measures"           -> Geo.geomMeasures _,
     "geo_nearest_join"       -> ((s: SparkSession, d: String) => Geo.nearestJoin(s, d)),
+    "geo_zorder_buckets"     -> Geo.zorderBuckets _,
     // D — load / monitoring
     "load_truncate_load"     -> LoadOps.truncateLoad _,
     "load_append_dedup"      -> LoadOps.appendDedupLoad _,
@@ -407,6 +408,13 @@ object SparkEntry {
         |   + sqrt((x3 - x2) * (x3 - x2) + (y3 - y2) * (y3 - y2))
         |   + sqrt((x1 - x3) * (x1 - x3) + (y1 - y3) * (y1 - y3)), 4) AS perimeter
         |FROM g ORDER BY o_orderkey""".stripMargin,
+    "geo_zorder_buckets" ->
+      s"""WITH c AS ($synthXY),
+         |${graft.operators.Geo.zorderSql}
+         |SELECT bucket, count(*) AS n,
+         | CAST(max(x) - min(x) AS BIGINT) AS x_extent,
+         | CAST(max(y) - min(y) AS BIGINT) AS y_extent
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     // brute-force ground truth: the grid+ring+fallback plan must produce
     // the true nearest for every probe (distances are integer-exact)
     "geo_nearest_join" ->

@@ -190,6 +190,55 @@ object Geo {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Morton bit-spread masks (16-bit coordinate → even bit positions),
+    * shared by the Column builder and the oracle SQL emitter. */
+  private val spreadMasks: Seq[(Int, Long)] =
+    Seq(8 -> 0x00FF00FFL, 4 -> 0x0F0F0F0FL, 2 -> 0x33333333L, 1 -> 0x55555555L)
+
+  private def spreadBits(c: Column): Column =
+    spreadMasks.foldLeft(c.bitwiseAND(lit(0xFFFFL))) { case (v, (sh, m)) =>
+      (v.bitwiseOR(shiftleft(v, sh))).bitwiseAND(lit(m))
+    }
+
+  private def spreadBitsSql(v0: String): String =
+    spreadMasks.foldLeft(s"($v0 & 65535)") { case (v, (sh, m)) =>
+      s"(($v | ($v << $sh)) & $m)"
+    }
+
+  /** C11: Z-order (Morton) locality buckets — the LAKEHOUSE LAYOUT move
+    * for spatial data: interleave the 16-bit grid coordinates so that
+    * sorting/partitioning by one integer key keeps 2-D neighbors
+    * together; range scans and bbox queries then touch few buckets
+    * instead of striding the whole table. The top 12 z-bits = a
+    * 64×64 cell of the domain, so every bucket's extent is provably
+    * ≤ 1/64 of each axis (spec-asserted). Pure integer bit arithmetic
+    * on both engines → exact oracle. */
+  def zorderBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val df = synthXY(Tables(spark, dir).orders)
+    // exact 16-bit grid normalization (integer div — no fp)
+    val xi = expr("(CAST(x AS BIGINT) - 150000) * 65536 DIV 800001")
+    val yi = expr("(CAST(y AS BIGINT) - 6050000) * 65536 DIV 1700001")
+    val z = spreadBits(xi).bitwiseOR(shiftleft(spreadBits(yi), 1))
+    df.withColumn("z", z)
+      .withColumn("bucket", shiftrightunsigned(col("z"), 20))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        (max(col("x")) - min(col("x"))).cast("long").as("x_extent"),
+        (max(col("y")) - min(col("y"))).cast("long").as("y_extent"))
+      .orderBy(col("bucket"))
+  }
+
+  /** The C11 oracle body (shared bit arithmetic). */
+  def zorderSql: String = {
+    val sx = spreadBitsSql("xi")
+    val sy = spreadBitsSql("yi")
+    s"""g AS (SELECT o_orderkey, x, y,
+       |  ((CAST(x AS BIGINT) - 150000) * 65536) // 800001 AS xi,
+       |  ((CAST(y AS BIGINT) - 6050000) * 65536) // 1700001 AS yi FROM c),
+       |z AS (SELECT *, ($sx | ($sy << 1)) AS zv FROM g),
+       |b AS (SELECT *, zv >> 20 AS bucket FROM z)""".stripMargin
+  }
+
   /** C10: nearest-neighbor spatial join — for every probe feature, the
     * closest feature of a big point set (the reference runs proximity
     * geoprocessing over staged FCs; arcpy Near/SpatialJoin). Scale shape:

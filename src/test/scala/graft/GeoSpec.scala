@@ -52,4 +52,16 @@ class GeoSpec extends AnyFunSuite with SparkTestBase {
     assert(got == brute, "grid path diverged from brute force")
     assert(got.nonEmpty)
   }
+
+  test("z-order buckets: every bucket spans at most a 64x64 domain cell") {
+    // the top 12 z-bits pin 6 high bits of each axis, so a bucket's
+    // points all fall in one 1/64-of-domain cell per axis
+    val rows = graft.operators.Geo.zorderBuckets(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val (xCell, yCell) = (800001L / 64L + 1L, 1700001L / 64L + 1L)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= xCell, s"bucket ${r.getLong(0)} x_extent ${r.getLong(2)}")
+      assert(r.getLong(3) <= yCell, s"bucket ${r.getLong(0)} y_extent ${r.getLong(3)}")
+    }
+  }
 }
