@@ -36,6 +36,7 @@ object SparkEntry {
     "etl_geomtype_split"     -> Staging.geomTypeSplit _,
     "etl_best_candidate"     -> Staging.bestCandidate _,
     "etl_null_audit"         -> Staging.nullAudit _,
+    "etl_schema_drift"       -> Staging.schemaDriftReport _,
     "q_cube"                 -> Relational.qCube _,
     "q_grouping_sets"        -> Relational.qGroupingSets _,
     "q_band_join"            -> ((s: SparkSession, d: String) => Relational.qBandJoin(s, d)),

@@ -11,6 +11,44 @@ import org.apache.spark.sql.functions._
   */
 object Staging {
 
+  /** B6: schema-drift detection — the reference's loads are
+    * schema-matched (load_sde.py Append dies mid-load on a mismatched
+    * source); a pipeline at scale DETECTS drift up front and reports
+    * per-column what changed. Pure metadata work (no data scan): compare
+    * the staged schema against the load target's expected schema →
+    * one row per drifted or matching column. */
+  def schemaDrift(spark: SparkSession, expected: org.apache.spark.sql.types.StructType,
+      actual: org.apache.spark.sql.types.StructType): DataFrame = {
+    import spark.implicits._
+    val exp = expected.fields.map(f => f.name -> f.dataType.typeName).toMap
+    val act = actual.fields.map(f => f.name -> f.dataType.typeName).toMap
+    val rows = (exp.keySet ++ act.keySet).toSeq.sorted.map { name =>
+      (exp.get(name), act.get(name)) match {
+        case (Some(e), Some(a)) if e == a => (name, "ok", e, a)
+        case (Some(e), Some(a))           => (name, "retyped", e, a)
+        case (Some(e), None)              => (name, "missing", e, "")
+        case (None, Some(a))              => (name, "extra", "", a)
+        case _                            => (name, "ok", "", "") // unreachable
+      }
+    }
+    rows.toDF("column", "status", "expected_type", "actual_type")
+      .orderBy(col("column"))
+  }
+
+  /** B6 registered form: the orders table staged through a drifted v2
+    * source (one column dropped, one added, one narrowed) against the
+    * warehouse's expected schema. Rows-only gate (the diff is pure
+    * metadata); StagingSpec covers each drift class. */
+  def schemaDriftReport(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val expected = t.orders.schema
+    val staged = t.orders
+      .drop("o_orderpriority")                           // column vanished upstream
+      .withColumn("o_ingest_src", lit("rest"))           // new upstream column
+      .withColumn("o_orderkey", col("o_orderkey").cast("int")) // narrowed type
+    schemaDrift(spark, expected, staged.schema)
+  }
+
   /** The reference's safe-name rule (utils.py:56 make_arcpy_safe_name,
     * download_rest.py:33 sanitize_layer_name): lowercase, collapse
     * non-alphanumeric runs to `_`, trim, prefix names starting with a
