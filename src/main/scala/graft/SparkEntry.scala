@@ -59,6 +59,7 @@ object SparkEntry {
     "load_append_dedup"      -> LoadOps.appendDedupLoad _,
     "load_bucketed_join"     -> LoadOps.bucketedJoin _,
     "load_partitioned_prune" -> ((s: SparkSession, d: String) => LoadOps.partitionedPrune(s, d)),
+    "load_cdc_merge"         -> LoadOps.cdcMerge _,
     "mon_source_summary"     -> LoadOps.sourceSummary _,
     "mon_error_patterns"     -> LoadOps.errorPatterns _,
     "mon_failure_streaks"    -> LoadOps.failureStreaks _,
@@ -440,6 +441,18 @@ object SparkEntry {
         | round(sum(o_totalprice), 2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "load_cdc_merge" ->
+      """WITH cur AS (SELECT o_orderkey, o_totalprice AS cur_value FROM orders
+        |  WHERE o_orderkey % 3 <> 0),
+        |inc AS (SELECT o_orderkey, o_totalprice + 10.0 AS new_value FROM orders
+        |  WHERE o_orderkey % 2 = 0),
+        |m AS (SELECT coalesce(cur.o_orderkey, inc.o_orderkey) AS k,
+        |  CASE WHEN cur_value IS NOT NULL AND new_value IS NOT NULL THEN 'updated'
+        |       WHEN new_value IS NOT NULL THEN 'inserted' ELSE 'retained' END AS action,
+        |  coalesce(new_value, cur_value) AS value
+        | FROM cur FULL OUTER JOIN inc ON cur.o_orderkey = inc.o_orderkey)
+        |SELECT action, count(*) AS n, round(sum(value), 2) AS value_sum
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "load_partitioned_prune" ->
       """WITH b AS (SELECT min(l_orderkey) mn, max(l_orderkey) mx FROM lineitem),
         |ps AS (SELECT CAST(ceil((mx - mn + 1) / 16.0) AS BIGINT) v FROM b),

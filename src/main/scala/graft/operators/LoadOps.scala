@@ -77,6 +77,31 @@ object LoadOps {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** D10: CDC upsert merge — the modern replacement for the reference's
+    * truncate-and-load (load_sde.py wipes and rewrites the whole target;
+    * MERGE touches only changed keys): full-outer join current state with
+    * the incoming batch on the business key, classify every key as
+    * updated / inserted / retained, and take the incoming value where
+    * present. One shuffle on the merge key (or zero with both sides
+    * bucketed as in D5); the action rollup is the audit record a
+    * warehouse merge emits. */
+  def cdcMerge(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val current = t.orders.filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice").as("cur_value"))
+    val incoming = t.orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), (col("o_totalprice") + 10.0).as("new_value"))
+    current.join(incoming, Seq("o_orderkey"), "full_outer")
+      .withColumn("action",
+        when(col("cur_value").isNotNull && col("new_value").isNotNull, "updated")
+          .when(col("new_value").isNotNull, "inserted")
+          .otherwise("retained"))
+      .withColumn("value", coalesce(col("new_value"), col("cur_value")))
+      .groupBy(col("action"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
+      .orderBy(col("action"))
+  }
+
   /** D8: partitioned warehouse layout + partition-pruned read — the
     * at-scale completion of the OID-sweep story (A4): when the load
     * target is PARTITIONED by the sweep batch, a ranged re-read touches
