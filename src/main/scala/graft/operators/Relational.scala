@@ -24,7 +24,10 @@ object Relational {
     * negatives, so the result is provably identical to the plain join —
     * the oracle IS the plain join; the pruning is pure plan surgery
     * (spec measures the fact-side reduction). */
-  def qBloomPruneJoin(spark: SparkSession, dir: String): DataFrame = {
+  /** The dim side and bloom-pruned fact side of E23 — ONE definition so
+    * the registered query and the pruning spec always measure the same
+    * plan (dim selectivity, bloom construction, prune predicate). */
+  private def bloomPruned(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import graft.functions.BloomAggregate
     val t = Tables(spark, dir)
     val dim = t.customer.filter(col("c_acctbal") > 9000.0)
@@ -33,6 +36,11 @@ object Relational {
     val prunedFact = t.orders
       .join(broadcast(bloomRow)) // single-row bitset alongside every fact row
       .filter(BloomAggregate.mightContain(col("bits"), col("o_custkey")))
+    (dim, prunedFact)
+  }
+
+  def qBloomPruneJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (dim, prunedFact) = bloomPruned(spark, dir)
     prunedFact.join(broadcast(dim), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_orders"),
@@ -41,15 +49,8 @@ object Relational {
   }
 
   /** Fact-side rows surviving the bloom (used by the pruning spec). */
-  def bloomSurvivors(spark: SparkSession, dir: String): Long = {
-    import graft.functions.BloomAggregate
-    val t = Tables(spark, dir)
-    val dim = t.customer.filter(col("c_acctbal") > 9000.0).select(col("c_custkey"))
-    val bloomRow = dim.agg(BloomAggregate.bloomAgg(spark, col("c_custkey")).as("bits"))
-    t.orders.join(broadcast(bloomRow))
-      .filter(BloomAggregate.mightContain(col("bits"), col("o_custkey")))
-      .count()
-  }
+  def bloomSurvivors(spark: SparkSession, dir: String): Long =
+    bloomPruned(spark, dir)._2.count()
 
   /** E20: HyperLogLog distinct estimation via the custom
     * [[graft.functions.HllAggregate]] TypedImperativeAggregate (element-

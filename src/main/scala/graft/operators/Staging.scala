@@ -20,15 +20,22 @@ object Staging {
   def schemaDrift(spark: SparkSession, expected: org.apache.spark.sql.types.StructType,
       actual: org.apache.spark.sql.types.StructType): DataFrame = {
     import spark.implicits._
-    val exp = expected.fields.map(f => f.name -> f.dataType.typeName).toMap
-    val act = actual.fields.map(f => f.name -> f.dataType.typeName).toMap
+    // keep ALL fields per name: Spark allows duplicate column names (e.g.
+    // a post-join staging output), and a duplicated column is itself
+    // drift the pre-load gate must report, not silently collapse
+    def byName(s: org.apache.spark.sql.types.StructType): Map[String, Seq[String]] =
+      s.fields.toSeq.groupBy(_.name).view.mapValues(_.map(_.dataType.typeName).toSeq).toMap
+    val exp = byName(expected)
+    val act = byName(actual)
     val rows = (exp.keySet ++ act.keySet).toSeq.sorted.map { name =>
-      (exp.get(name), act.get(name)) match {
-        case (Some(e), Some(a)) if e == a => (name, "ok", e, a)
-        case (Some(e), Some(a))           => (name, "retyped", e, a)
-        case (Some(e), None)              => (name, "missing", e, "")
-        case (None, Some(a))              => (name, "extra", "", a)
-        case _                            => (name, "ok", "", "") // unreachable
+      (exp.getOrElse(name, Seq.empty), act.getOrElse(name, Seq.empty)) match {
+        case (e, a) if e.size > 1 || a.size > 1 =>
+          (name, "duplicated", e.mkString("|"), a.mkString("|"))
+        case (Seq(e), Seq(a)) if e == a => (name, "ok", e, a)
+        case (Seq(e), Seq(a))           => (name, "retyped", e, a)
+        case (Seq(e), Seq())            => (name, "missing", e, "")
+        case (Seq(), Seq(a))            => (name, "extra", "", a)
+        case (e, a)                     => (name, "duplicated", e.mkString("|"), a.mkString("|"))
       }
     }
     rows.toDF("column", "status", "expected_type", "actual_type")

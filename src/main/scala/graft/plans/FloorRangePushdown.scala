@@ -62,11 +62,15 @@ object FloorRangePushdown extends Rule[LogicalPlan] {
   }
 
   private def rangeFor(a: AttributeReference, c: Long, k: Long): Option[Expression] = {
-    // abstain outside the double-exact window or on multiply overflow
+    // abstain outside the double-exact window, on multiply overflow, or
+    // when a bound does not FIT the key's type (an int-truncated bound
+    // wraps negative and would wrongly exclude rows near Int.MaxValue)
     val lo = k * c
     val hi = (k + 1) * c
+    val fitsType = a.dataType == LongType ||
+      (lo >= Int.MinValue.toLong && hi <= Int.MaxValue.toLong)
     val safe = math.abs(k) < (1L << 52) / math.max(c, 1L) && lo < hi &&
-      math.abs(hi) < (1L << 52)
+      math.abs(hi) < (1L << 52) && fitsType
     if (!safe) None
     else {
       def lit(v: Long): Expression =

@@ -33,4 +33,13 @@ class StagingSpec extends AnyFunSuite with SparkTestBase {
     assert(rows("o_orderkey") == "retyped")
     assert(rows("o_custkey") == "ok")
   }
+
+  test("schema drift reports duplicated column names instead of collapsing them") {
+    val expected = StructType(Seq(StructField("id", LongType)))
+    val actual = StructType(Seq(
+      StructField("id", LongType), StructField("id", StringType)))
+    val rows = Staging.schemaDrift(spark, expected, actual)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(3)))
+    assert(rows.toSeq == Seq(("id", "duplicated", "long|string")))
+  }
 }
