@@ -41,6 +41,8 @@ object SparkEntry {
     "q_grouping_sets"        -> Relational.qGroupingSets _,
     "q_band_join"            -> ((s: SparkSession, d: String) => Relational.qBandJoin(s, d)),
     "q_funnel"               -> Relational.qFunnel _,
+    "q_histogram"            -> ((s: SparkSession, d: String) => Relational.qHistogram(s, d)),
+    "text_pii_scrub"         -> TextAnalysis.piiScrub _,
     // C — geoprocessing
     "geo_bbox_clip"          -> Geo.bboxClip _,
     "geo_reproject"          -> Geo.reproject _,
@@ -628,6 +630,34 @@ object SparkEntry {
          | CAST(sum(CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
          | CAST(sum(CASE WHEN fp IS NOT NULL THEN fp - first_click ELSE 0 END) AS BIGINT) AS delay_sum
          |FROM j""".stripMargin,
+    "q_histogram" ->
+      """SELECT event_type,
+        | CAST(CASE WHEN value < 0.0 THEN -1 WHEN value >= 200.0 THEN 10
+        |   ELSE floor((value - 0.0) / 20.0) END AS BIGINT) AS bucket,
+        | count(*) AS n, round(min(value), 2) AS bucket_min,
+        | round(max(value), 2) AS bucket_max
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "text_pii_scrub" ->
+      """WITH w AS (SELECT doc_id,
+        | 'contact user' || CAST(doc_id AS VARCHAR) || '@example.com or call 555-01'
+        |  || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-'
+        |  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |  || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 :: ' || text AS raw
+        | FROM documents),
+        |s AS (SELECT doc_id, raw,
+        |  regexp_replace(regexp_replace(regexp_replace(raw,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{4}-[0-9]{4}', '<PHONE>', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS scrubbed
+        | FROM w)
+        |SELECT doc_id,
+        | CAST(len(string_split_regex(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1 AS BIGINT) AS n_emails,
+        | CAST(len(string_split_regex(raw, '[0-9]{3}-[0-9]{4}-[0-9]{4}')) - 1 AS BIGINT) AS n_phones,
+        | CAST(len(string_split_regex(raw, '([0-9]{1,3}\.){3}[0-9]{1,3}')) - 1 AS BIGINT) AS n_ips,
+        | md5(scrubbed) AS scrubbed_md5,
+        | CAST(regexp_matches(scrubbed, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+        |   OR regexp_matches(scrubbed, '([0-9]{1,3}\.){3}[0-9]{1,3}') AS INT) AS residual_pii
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q_time_bucket" ->
       """SELECT CAST(floor(floor(extract(epoch FROM ts)) / 3600) * 3600 AS BIGINT) AS bucket_start,
         | event_type, count(*) AS n, round(sum(value), 2) AS sum_value

@@ -212,6 +212,26 @@ object Relational {
   }
 
   /** E8b: CUBE — all grouping-set combinations in one pass. */
+  /** E24: fixed-width histogram profiling — the data-profiling pass that
+    * sizes everything else (bucket counts drive skew handling, sampling
+    * rates, partition sizing). One map-side-combined aggregation; under-
+    * and overflow get dedicated buckets. */
+  def qHistogram(spark: SparkSession, dir: String, nBuckets: Int = 10,
+      lo: Double = 0.0, hi: Double = 200.0): DataFrame = {
+    val t = Tables(spark, dir)
+    val width = (hi - lo) / nBuckets
+    t.events
+      .withColumn("bucket",
+        when(col("value") < lo, lit(-1L))
+          .when(col("value") >= hi, lit(nBuckets.toLong))
+          .otherwise(floor((col("value") - lo) / width).cast("long")))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("value")), 2).as("bucket_min"),
+        round(max(col("value")), 2).as("bucket_max"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
   /** E21: banded interval join (all click/view pairs per user within a
     * time band) — the general range-join case E11's as-of join doesn't
     * cover. Scale shape: a naive time-range join degenerates to a per-user

@@ -147,6 +147,45 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** F23: PII scrubbing — the safety pass every training corpus gets
+    * before tokenization: redact emails, phone-shaped numbers and IPv4
+    * addresses with typed placeholders and account per-doc redactions.
+    * The corpus has no organic PII, so the wire format plants
+    * deterministic PII around each document (the same build-then-operate
+    * pattern as the JSON/XML ingest ops); the scrub itself is three
+    * native regexp passes — per-row, codegen'd, shuffle-free. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    // wire format: text as it would arrive, with planted PII
+    val wire = t.documents.select(col("doc_id"),
+      concat(
+        lit("contact user"), col("doc_id"), lit("@example.com or call 555-01"),
+        lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+        lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".1 :: "),
+        col("text")).as("raw"))
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "[0-9]{3}-[0-9]{4}-[0-9]{4}"
+    val ipRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    def countMatches(c: Column, re: String): Column =
+      size(split(c, re)) - 1 // separators = matches for non-overlapping regexes
+    wire
+      .withColumn("n_emails", countMatches(col("raw"), emailRe))
+      .withColumn("n_phones", countMatches(col("raw"), phoneRe))
+      .withColumn("n_ips", countMatches(col("raw"), ipRe))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(regexp_replace(col("raw"),
+          emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), ipRe, "<IP>"))
+      .select(col("doc_id"),
+        col("n_emails").cast("long").as("n_emails"),
+        col("n_phones").cast("long").as("n_phones"),
+        col("n_ips").cast("long").as("n_ips"),
+        md5(col("scrubbed").cast("binary")).as("scrubbed_md5"),
+        (col("scrubbed").rlike(emailRe) ||
+          col("scrubbed").rlike(ipRe)).cast("int").as("residual_pii"))
+      .orderBy(col("doc_id"))
+  }
+
   /** F21: weighted sampling without replacement (Efraimidis–Spirakis
     * A-ES): each doc gets key u^(1/w) — u a deterministic hash-uniform,
     * w the document weight (chars here: longer docs proportionally more
