@@ -255,17 +255,23 @@ object SparkEntry {
       """SELECT l_linestatus, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
         |FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "etl_sanitize_names" ->
-      """WITH c AS (SELECT p_partkey,
-        |  trim(regexp_replace(lower(p_name), '[^a-z0-9]+', '_', 'g'), '_') AS cn,
-        |  trim(regexp_replace(lower(p_type), '[^a-z0-9]+', '_', 'g'), '_') AS ct FROM part),
-        |n AS (SELECT p_partkey,
-        |  CASE WHEN length(cn) = 0 THEN 'unnamed_fc' ELSE cn END AS cn,
-        |  CASE WHEN length(ct) = 0 THEN 'unnamed_fc' ELSE ct END AS ct FROM c)
-        |SELECT p_partkey,
-        | CASE WHEN regexp_matches(substr(cn,1,1), '^[0-9]') THEN 'fc_' || cn ELSE cn END AS safe_name,
-        | CASE WHEN regexp_matches(substr(ct,1,1), '^[0-9]') THEN 'fc_' || ct ELSE ct END AS safe_type
-        |FROM n ORDER BY p_partkey""".stripMargin,
+    "etl_sanitize_names" -> {
+      val reserved = graft.operators.Staging.reservedNames
+        .map(r => s"'$r'").mkString(", ")
+      s"""WITH c AS (SELECT p_partkey,
+         |  trim(regexp_replace(lower(p_name), '[^a-z0-9]+', '_', 'g'), '_') AS cn,
+         |  trim(regexp_replace(lower(p_type), '[^a-z0-9]+', '_', 'g'), '_') AS ct FROM part),
+         |n AS (SELECT p_partkey,
+         |  CASE WHEN length(cn) = 0 THEN 'unnamed_fc' ELSE cn END AS cn,
+         |  CASE WHEN length(ct) = 0 THEN 'unnamed_fc' ELSE ct END AS ct FROM c),
+         |p AS (SELECT p_partkey,
+         |  substr(CASE WHEN regexp_matches(substr(cn,1,1), '^[0-9]') THEN 'fc_' || cn ELSE cn END, 1, 100) AS sn,
+         |  substr(CASE WHEN regexp_matches(substr(ct,1,1), '^[0-9]') THEN 'fc_' || ct ELSE ct END, 1, 100) AS st FROM n)
+         |SELECT p_partkey,
+         | CASE WHEN sn IN ($reserved) THEN sn || '_data' ELSE sn END AS safe_name,
+         | CASE WHEN st IN ($reserved) THEN st || '_data' ELSE st END AS safe_type
+         |FROM p ORDER BY p_partkey""".stripMargin
+    },
     "etl_schema_normalize" ->
       """SELECT CAST(c_custkey AS BIGINT) AS custkey, upper(trim(c_name)) AS name,
         | CAST(c_nationkey AS BIGINT) AS nationkey,

@@ -117,12 +117,17 @@ object Pipeline {
     df.withColumnsRenamed(renames)
   }
 
-  /** Driver-side twin of Staging.safeName (operates on schema, not data). */
-  def safeNameString(name: String): String = {
+  /** Driver-side twin of Staging.safeName (operates on schema, not data):
+    * same rules, same order — sanitize, digit prefix, truncate to 100,
+    * reserved-word suffix (utils.py:56/:104). */
+  def safeNameString(name: String, maxLength: Int = 100): String = {
     val cleaned = name.toLowerCase.replaceAll("[^a-z0-9]+", "_")
       .replaceAll("^_+|_+$", "")
     val nonEmpty = if (cleaned.isEmpty) "unnamed_fc" else cleaned
-    if (nonEmpty.head.isDigit) s"fc_$nonEmpty" else nonEmpty
+    val prefixed = if (nonEmpty.head.isDigit) s"fc_$nonEmpty" else nonEmpty
+    val truncated = prefixed.take(maxLength)
+    if (graft.operators.Staging.reservedNames.contains(truncated)) s"${truncated}_data"
+    else truncated
   }
 
   /** Run the full pipeline; returns per-source metrics (name, rows staged

@@ -56,15 +56,26 @@ object Staging {
     schemaDrift(spark, expected, staged.schema)
   }
 
+  /** Reserved names the target store rejects (utils.py:104 — Windows/
+    * ArcPy device-name conflicts); suffixed `_data` after truncation,
+    * matching the reference's order of operations. */
+  val reservedNames: Seq[String] =
+    Seq("con", "prn", "aux", "nul") ++
+      (1 to 9).map(i => s"com$i") ++ (1 to 9).map(i => s"lpt$i")
+
   /** The reference's safe-name rule (utils.py:56 make_arcpy_safe_name,
     * download_rest.py:33 sanitize_layer_name): lowercase, collapse
     * non-alphanumeric runs to `_`, trim, prefix names starting with a
-    * digit. Pure per-row expression — codegen'd, shuffle-free. */
-  def safeName(c: Column): Column = {
+    * digit, truncate to max_length, reserved-word suffix. Pure per-row
+    * expression — codegen'd, shuffle-free. */
+  def safeName(c: Column, maxLength: Int = 100): Column = {
     val cleaned = trim(regexp_replace(lower(c), "[^a-z0-9]+", "_"), "_")
     val nonEmpty = when(length(cleaned) === 0, lit("unnamed_fc")).otherwise(cleaned)
-    when(substring(nonEmpty, 1, 1).rlike("^[0-9]"), concat(lit("fc_"), nonEmpty))
-      .otherwise(nonEmpty)
+    val prefixed = when(substring(nonEmpty, 1, 1).rlike("^[0-9]"),
+      concat(lit("fc_"), nonEmpty)).otherwise(nonEmpty)
+    val truncated = substring(prefixed, 1, maxLength)
+    when(truncated.isin(reservedNames: _*), concat(truncated, lit("_data")))
+      .otherwise(truncated)
   }
 
   /** B1: sanitize layer/field names carried as data. */

@@ -79,5 +79,10 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(Pipeline.safeNameString("Övre Vägen 7!") == "vre_v_gen_7")
     assert(Pipeline.safeNameString("7eleven") == "fc_7eleven")
     assert(Pipeline.safeNameString("") == "unnamed_fc")
+    // utils.py:104 truncation + reserved-device suffix, in that order
+    assert(Pipeline.safeNameString("x" * 150) == "x" * 100)
+    assert(Pipeline.safeNameString("CON") == "con_data")
+    assert(Pipeline.safeNameString("lpt9") == "lpt9_data")
+    assert(Pipeline.safeNameString("console") == "console") // prefix, not reserved
   }
 }
