@@ -28,4 +28,25 @@ object PipelineDemo {
          |}""".stripMargin
     Pipeline.run(spark, PipelineCfg.fromJson(json))
   }
+
+  /** Config-driven CONTAINER staging (stage_files.py:645 `import_zip`,
+    * :403 `discover_gpkg_layers`, :316 `import_file_to_staging`): a single
+    * archive source in the config document; the pipeline sniffs the
+    * container, discovers its layers, stages each layer under its own
+    * (safe-named) target directory via one partitioned write, and the run
+    * summary reconciles per-layer loaded counts — the A8 machinery
+    * reachable declaratively. */
+  def runArchive(spark: SparkSession, dir: String): DataFrame = {
+    val wire = "/root/repo/target/graft_archive_wire"
+    graft.sources.Ingest.buildArchiveWire(spark, dir)
+      .write.mode("overwrite").parquet(wire)
+    val json =
+      s"""{
+         |  "sources": [
+         |    {"name": "regional_archives", "path": "$wire", "format": "archive"}
+         |  ],
+         |  "load": {"target": "/root/repo/target/graft_pipeline_archive", "mode": "truncate"}
+         |}""".stripMargin
+    Pipeline.run(spark, PipelineCfg.fromJson(json))
+  }
 }

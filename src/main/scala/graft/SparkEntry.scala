@@ -90,6 +90,7 @@ object SparkEntry {
     "q_hll_sketch"           -> Relational.qHllSketch _,
     "q_bloom_prune_join"     -> Relational.qBloomPruneJoin _,
     "pipeline_e2e"           -> (PipelineDemo.run _),
+    "pipeline_archive"       -> (PipelineDemo.runArchive _),
     // F — LLM-training-data operators
     "dedup_exact"            -> Dedup.dedupExact _,
     "dedup_fingerprint"      -> Dedup.dedupFingerprint _,
@@ -706,6 +707,15 @@ object SparkEntry {
         |UNION ALL SELECT 'lineitem_swept', count(*) FROM lineitem WHERE l_quantity >= 45
         |UNION ALL SELECT 'orders_f', count(*) FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY source""".stripMargin,
+    // config-staged container: one summary row per DISCOVERED layer under
+    // its sanitized feature-class name, counts = that nation's suppliers
+    // (lossless layer staging, each layer loaded exactly once)
+    "pipeline_archive" ->
+      """SELECT 'regional_archives/' ||
+        |  trim(regexp_replace(lower(n_name), '[^a-z0-9]+', '_', 'g'), '_') AS source,
+        | count(*) AS rows_loaded
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS grp, count(*) AS n_copies, min(doc_id) AS keeper

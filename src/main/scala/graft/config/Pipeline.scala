@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
 case class SourceCfg(
     name: String,
     path: String,
-    format: String = "parquet",      // parquet | csv | json
+    format: String = "parquet",      // parquet | csv | json | archive
     enabled: Boolean = true,
     where: Option[String] = None,    // staged-row filter (reference: bbox/where params)
     select: Option[Seq[String]] = None,
@@ -83,6 +83,15 @@ object Pipeline {
     val raw = src.format match {
       case "csv"  => spark.read.option("header", "true").option("inferSchema", "true").csv(src.path)
       case "json" => spark.read.json(src.path)
+      case "archive" =>
+        // container source (stage_files.py:645 import_zip / :403
+        // discover_gpkg_layers / :316 import_file_to_staging): sniff the
+        // magic, DISCOVER the layers inside the container, and unpack to
+        // record rows. Discovered layer names are sanitized to safe
+        // feature-class names at staging time (utils.py safe naming),
+        // so each layer can be loaded under its own target directory.
+        graft.sources.Ingest.unpackRecords(spark.read.parquet(src.path))
+          .withColumn("layer_name", graft.operators.Staging.safeName(col("layer_name")))
       case _      => spark.read.parquet(src.path)
     }
     val swept = src.oidSweep match {
@@ -142,22 +151,37 @@ object Pipeline {
       val dir = new java.io.File(l.target)
       if (dir.exists()) rm(dir)
     }
-    val results = cfg.sources.filter(_.enabled).map { src =>
+    val results = cfg.sources.filter(_.enabled).flatMap { src =>
       // per-source override merged over the global policy (source wins)
       val gp = src.geoprocess.map(_.mergedOver(cfg.geoprocess)).getOrElse(cfg.geoprocess)
       val staged =
         if (cfg.steps.process) geoprocess(stage(spark, src), gp)
         else stage(spark, src)
       val finalDf = if (cfg.sanitizeNames) sanitize(staged) else staged
-      val loaded = cfg.load match {
+      // per-layer reconciliation helper for container sources: one metrics
+      // row per DISCOVERED layer (stage_files.py stages each layer as its
+      // own feature class; monitoring counts each separately). The collect
+      // is ≤ |layers| rows — the same size as the reference's per-fc log.
+      def perLayer(df: DataFrame): Seq[(String, Long)] =
+        df.groupBy(col("layer_name")).count().collect()
+          .map(r => (s"${src.name}/${r.getString(0)}", r.getLong(1))).toSeq
+      cfg.load match {
         case Some(LoadCfg(target, mode)) if cfg.steps.load =>
           val path = s"$target/${safeNameString(src.name)}"
           val writeMode = if (mode == "append") "append" else "overwrite"
-          finalDf.write.mode(writeMode).parquet(path)
-          spark.read.parquet(path).count()
-        case _ => finalDf.count()
+          if (src.format == "archive") {
+            // ONE distributed write; partitionBy gives every discovered
+            // layer its own target directory (no per-layer driver loop)
+            finalDf.write.mode(writeMode).partitionBy("layer_name").parquet(path)
+            perLayer(spark.read.parquet(path))
+          } else {
+            finalDf.write.mode(writeMode).parquet(path)
+            Seq((src.name, spark.read.parquet(path).count()))
+          }
+        case _ =>
+          if (src.format == "archive") perLayer(finalDf)
+          else Seq((src.name, finalDf.count()))
       }
-      (src.name, loaded)
     }
     results.toDF("source", "rows_loaded").orderBy(col("source"))
   }

@@ -175,9 +175,20 @@ object Ingest {
     * Unpack = explode per layer then per record: distributed at record
     * granularity, no driver involvement; the oracle proves the round
     * trip is lossless against the ground-truth tables. */
-  def archiveUnpack(spark: SparkSession, dir: String): DataFrame = {
+  def archiveUnpack(spark: SparkSession, dir: String): DataFrame =
+    unpackRecords(buildArchiveWire(spark, dir))
+      .groupBy(col("r_regionkey"), col("layer_name"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(regexp_extract(col("rec"), "^([0-9]+):", 1).cast("long"))
+          .cast("long").as("key_checksum"))
+      .orderBy(col("r_regionkey"), col("layer_name"))
+
+  /** The wire format a container download would deliver: one archive per
+    * region (magic bytes + `LAYER:` sections), each holding one layer per
+    * nation whose records are that nation's suppliers. Deterministic, built
+    * from the ground-truth tables so the unpack oracle is exact. */
+  def buildArchiveWire(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    // --- build the wire format a download would deliver ---------------
     val recs = t.supplier.groupBy(col("s_nationkey")).agg(
       array_join(transform(
         array_sort(collect_list(struct(col("s_suppkey"), col("s_name")))),
@@ -186,12 +197,20 @@ object Ingest {
     val layers = recs.join(t.nation, col("s_nationkey") === col("n_nationkey"))
       .select(col("n_regionkey"),
         concat(lit("LAYER:"), col("n_name"), lit(";"), col("recs")).as("layer"))
-    val archives = layers.groupBy(col("n_regionkey")).agg(
+    layers.groupBy(col("n_regionkey")).agg(
         concat(lit("GARC"), array_join(array_sort(collect_list(col("layer"))), "|"))
           .as("payload_str"))
       .select(col("n_regionkey").as("r_regionkey"),
         col("payload_str").cast("binary").as("payload"))
-    // --- the operator under test: sniff, discover, unpack -------------
+  }
+
+  /** The A8 operator core, reusable from the declarative config path
+    * ([[graft.config.Pipeline.stage]] `format: "archive"`): sniff the
+    * magic bytes, DISCOVER the layers, and unpack layer records back to
+    * rows — explode per layer then per record, distributed at record
+    * granularity with no driver involvement. Output one row per record:
+    * (r_regionkey, layer_name, rec). */
+  def unpackRecords(archives: DataFrame): DataFrame = {
     val text = col("payload").cast("string")
     archives
       .filter(substring(text, 1, 4) === "GARC") // magic-byte sniff
@@ -200,11 +219,6 @@ object Ingest {
       .select(col("r_regionkey"),
         regexp_extract(col("layer_text"), "^LAYER:([^;]+);", 1).as("layer_name"),
         explode(split(regexp_extract(col("layer_text"), ";(.*)$", 1), ",")).as("rec"))
-      .groupBy(col("r_regionkey"), col("layer_name"))
-      .agg(count(lit(1)).as("n_records"),
-        sum(regexp_extract(col("rec"), "^([0-9]+):", 1).cast("long"))
-          .cast("long").as("key_checksum"))
-      .orderBy(col("r_regionkey"), col("layer_name"))
   }
 
   /** A9: retry/resume ingest with a persisted range ledger

@@ -75,6 +75,35 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(merged.aoi.contains(Seq(1.0, 2.0, 3.0, 4.0)))
   }
 
+  test("archive source stages each discovered layer under its own target with reconciled counts") {
+    // stage_files.py:645 import_zip / :403 discover_gpkg_layers via the
+    // CONFIG path: one archive source document; layers are discovered from
+    // the container, written in ONE partitioned write (each layer its own
+    // directory), and the summary reconciles per-layer counts against the
+    // ground truth.
+    val wire = s"$target/archive_wire"
+    graft.sources.Ingest.buildArchiveWire(spark, sfDir)
+      .write.mode("overwrite").parquet(wire)
+    val cfg = PipelineCfg.fromJson(
+      s"""{"sources": [{"name": "arc", "path": "$wire", "format": "archive"}],
+         | "load": {"target": "$target/archive_load"}}""".stripMargin)
+    val out = Pipeline.run(spark, cfg).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ground truth: suppliers per nation, layer key = sanitized nation name
+    val truth = spark.read.parquet(s"$sfDir/supplier.parquet")
+      .join(spark.read.parquet(s"$sfDir/nation.parquet"),
+        org.apache.spark.sql.functions.col("s_nationkey") ===
+          org.apache.spark.sql.functions.col("n_nationkey"))
+      .groupBy("n_name").count().collect()
+      .map(r => s"arc/${Pipeline.safeNameString(r.getString(0))}" -> r.getLong(1)).toMap
+    assert(out == truth, s"per-layer counts must reconcile: $out vs $truth")
+    // every discovered layer got its OWN target directory under the source
+    val dirs = new java.io.File(s"$target/archive_load/arc").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(truth.keySet.map(_.stripPrefix("arc/")).forall(l => dirs.contains(s"layer_name=$l")),
+      s"each layer must land in its own partition directory: $dirs")
+  }
+
   test("name sanitization applies to loaded table names and columns") {
     assert(Pipeline.safeNameString("Övre Vägen 7!") == "vre_v_gen_7")
     assert(Pipeline.safeNameString("7eleven") == "fc_7eleven")
