@@ -30,6 +30,7 @@ object SparkEntry {
     "src_resume_ingest"      -> ((s: SparkSession, d: String) => Ingest.resumeIngest(s, d)),
     "src_atom_filterable"    -> ((s: SparkSession, d: String) => Ingest.atomFilterable(s, d)),
     "src_oid_page_fetch"     -> ((s: SparkSession, d: String) => Ingest.oidPageFetch(s, d)),
+    "src_ogc_collections"    -> ((s: SparkSession, d: String) => Ingest.ogcCollections(s, d)),
     // B — staging / normalization
     "etl_sanitize_names"     -> Staging.sanitizeNames _,
     "etl_schema_normalize"   -> Staging.schemaNormalize _,
@@ -255,6 +256,18 @@ object SparkEntry {
     "src_snapshot_load" ->
       """SELECT l_linestatus, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
         |FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1 ORDER BY 1""".stripMargin,
+    // every discovered collection landed exactly once: per-collection item
+    // counts and checksums match the ground truth, page count = ceil(n/7),
+    // and the next-link chain verified (complete=true throughout)
+    "src_ogc_collections" ->
+      """WITH per AS (
+        | SELECT n_name AS collection_id, count(c_custkey) AS n_items,
+        |  CAST(coalesce(sum(c_custkey), 0) AS BIGINT) AS key_checksum
+        | FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+        | GROUP BY 1)
+        |SELECT collection_id, CAST(ceil(n_items / 7.0) AS BIGINT) AS n_pages,
+        | n_items, key_checksum, true AS complete
+        |FROM per ORDER BY 1""".stripMargin,
 
     "etl_sanitize_names" -> {
       val reserved = graft.operators.Staging.reservedNames

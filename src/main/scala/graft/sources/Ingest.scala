@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -316,6 +316,109 @@ object Ingest {
     source.groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
       .orderBy(col("l_returnflag"))
+  }
+
+  /** A12: OGC collection discovery + next-link paging sweep
+    * (download_ogc.py:171 `discover_collections` enumerates a service's
+    * collections; :346 `_find_next_link` follows each page's `rel=next`
+    * link until exhausted; the reference ingests N discovered collections
+    * per source). Modeled end-to-end: the wire is ONE service document
+    * listing the collections plus one JSON FeatureCollection page per
+    * (collection, page) with `numberReturned` and OGC-style `links`.
+    * The operator under test (a) parses the service doc and DISCOVERS the
+    * collections, (b) parses every page, (c) verifies the next-link chain
+    * declaratively — each page's `rel=next` href must equal the following
+    * page's address (a lag window per collection; a missing or duplicated
+    * page breaks the chain), (d) explodes features to land items, and
+    * (e) reconciles per discovered collection: page count, landed items
+    * vs the pages' own `numberReturned` total, key checksum. `complete`
+    * proves every discovered collection landed exactly once — the
+    * sequential link-following protocol becomes one distributed parse +
+    * two partitioned windows, no driver loop. */
+  def ogcCollections(spark: SparkSession, dir: String, pageSize: Int = 7): DataFrame = {
+    val t = Tables(spark, dir)
+    // --- wire: the service /collections document -----------------------
+    val serviceDoc = t.nation
+      .agg(to_json(struct(lit("graft-ogc").as("service"),
+        array_sort(collect_list(struct(col("n_name").as("id")))).as("collections")))
+        .as("doc"))
+    // --- wire: one FeatureCollection page per (collection, page) -------
+    val paged = t.customer.join(t.nation, col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("cid"), col("c_custkey").cast("long").as("custkey"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cid")).orderBy(col("custkey"))))
+      .withColumn("page_no", floor((col("rn") - 1) / pageSize).cast("long"))
+    val pageRows = paged.groupBy(col("cid"), col("page_no"))
+      .agg(count(lit(1)).as("nret"),
+        array_sort(collect_list(col("custkey"))).as("keys"))
+    val lastPage = pageRows.groupBy(col("cid")).agg(max(col("page_no")).as("last_page"))
+    def href(page: Column) =
+      concat(lit("/collections/"), col("cid"), lit("/items?page="), page)
+    val selfLink = struct(lit("self").as("rel"), href(col("page_no")).as("href"))
+    val pageWire = pageRows.join(broadcast(lastPage), Seq("cid"))
+      .select(to_json(struct(
+        col("cid").as("collection"), col("page_no").as("page"),
+        col("nret").as("numberReturned"),
+        transform(col("keys"), k => struct(k.as("custkey"))).as("features"),
+        when(col("page_no") < col("last_page"),
+          array(selfLink,
+            struct(lit("next").as("rel"), href(col("page_no") + 1).as("href"))))
+          .otherwise(array(selfLink)).as("links"))).as("page_json"))
+    // --- operator under test: discover → verify chain → land → reconcile
+    val svcSchema = StructType(Seq(
+      StructField("service", StringType),
+      StructField("collections", ArrayType(StructType(Seq(
+        StructField("id", StringType)))))))
+    val discovered = serviceDoc
+      .select(from_json(col("doc"), svcSchema).as("svc"))
+      .select(explode(col("svc.collections.id")).as("cid"))
+    val pageSchema = StructType(Seq(
+      StructField("collection", StringType), StructField("page", LongType),
+      StructField("numberReturned", LongType),
+      StructField("features", ArrayType(StructType(Seq(
+        StructField("custkey", LongType))))),
+      StructField("links", ArrayType(StructType(Seq(
+        StructField("rel", StringType), StructField("href", StringType)))))))
+    val parsed = pageWire.select(from_json(col("page_json"), pageSchema).as("p"))
+      .select(col("p.collection").as("cid"), col("p.page").as("page_no"),
+        col("p.numberReturned").as("nret"), col("p.features").as("features"),
+        try_element_at(filter(col("p.links"), l => l.getField("rel") === lit("next")), lit(1))
+          .getField("href").as("next_href"))
+    sweepPages(discovered, parsed)
+  }
+
+  /** The sweep/reconcile core of A12, factored so specs can feed it a
+    * BROKEN chain (missing / duplicated page, undercounting
+    * `numberReturned`): verifies every page's `rel=next` link points at
+    * the following landed page (lag window per collection), lands the
+    * features, and reconciles per discovered collection. `parsed` columns:
+    * (cid, page_no, nret, features: array<struct<custkey>>, next_href). */
+  def sweepPages(discovered: DataFrame, parsed: DataFrame): DataFrame = {
+    def href(page: Column) =
+      concat(lit("/collections/"), col("cid"), lit("/items?page="), page)
+    val wCid = Window.partitionBy(col("cid")).orderBy(col("page_no"))
+    val chained = parsed.withColumn("next_page", lead(col("page_no"), 1).over(wCid))
+      .withColumn("page_chain_ok",
+        (col("next_page").isNull && col("next_href").isNull) ||
+          (col("next_href") === href(col("next_page"))))
+    val landed = parsed
+      .select(col("cid"), explode(col("features")).as("f"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("f.custkey")).cast("long").as("key_checksum"))
+    val pagesPerCid = chained.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_pages"), bool_and(col("page_chain_ok")).as("chain_ok"),
+        sum(col("nret")).as("nret_total"))
+    discovered.join(pagesPerCid, Seq("cid"), "left")
+      .join(landed, Seq("cid"), "left")
+      .select(col("cid").as("collection_id"),
+        coalesce(col("n_pages"), lit(0L)).as("n_pages"),
+        coalesce(col("n_items"), lit(0L)).as("n_items"),
+        coalesce(col("key_checksum"), lit(0L)).as("key_checksum"),
+        coalesce(col("chain_ok") &&
+          (col("nret_total") === coalesce(col("n_items"), lit(0L))), lit(true))
+          .as("complete"))
+      .orderBy(col("collection_id"))
   }
 
   /** A6: full-snapshot re-ingest (read side of load_sde.py's

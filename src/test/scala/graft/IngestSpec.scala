@@ -15,6 +15,31 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     assert(single.toSeq == ranged.toSeq)
   }
 
+  test("ogc sweep: broken next-link chains and undercounted pages are flagged, empty collections are complete") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def n(cid: String, p: Long) = s"/collections/$cid/items?page=${p}"
+    // A: intact 2-page chain. B: middle page LOST in flight (0's next link
+    // dangles at the missing 1). C: page undercounts numberReturned.
+    // D: discovered but empty (no pages) — complete by definition.
+    val pages = Seq(
+      ("A", 0L, 2L, Seq(1L, 2L), Some(n("A", 1))),
+      ("A", 1L, 1L, Seq(3L), None),
+      ("B", 0L, 2L, Seq(4L, 5L), Some(n("B", 1))),
+      ("B", 2L, 1L, Seq(6L), None),
+      ("C", 0L, 5L, Seq(7L), None))
+      .toDF("cid", "page_no", "nret", "raw_keys", "next_href")
+      .withColumn("features", transform(col("raw_keys"), k => struct(k.as("custkey"))))
+      .drop("raw_keys")
+    val discovered = Seq("A", "B", "C", "D").toDF("cid")
+    val out = Ingest.sweepPages(discovered, pages).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    assert(out("A") == ((2L, 3L, true)), "intact chain must reconcile")
+    assert(out("B")._3 == false, "a lost page must break the chain")
+    assert(out("C")._3 == false, "numberReturned mismatch must flag incomplete")
+    assert(out("D") == ((0L, 0L, true)), "an empty discovered collection is complete")
+  }
+
   test("offset paging: no single-partition exchange in the plan") {
     val df = Ingest.restOffsetPaging(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
