@@ -68,6 +68,7 @@ object SparkEntry {
     "mon_failure_streaks"    -> LoadOps.failureStreaks _,
     "mon_key_skew"           -> LoadOps.keySkew _,
     "etl_response_validate"  -> ((s: SparkSession, d: String) => LoadOps.responseValidate(s, d)),
+    "etl_xml_validate"       -> ((s: SparkSession, d: String) => LoadOps.xmlValidate(s, d)),
     // E — relational core
     "q1_agg"                 -> Relational.q1Agg _,
     "q3_join_agg"            -> Relational.q3JoinAgg _,
@@ -200,6 +201,36 @@ object SparkEntry {
         | CAST(sum(CASE WHEN length(props) > 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize,
         | CAST(sum(CASE WHEN jd > 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_too_deep
         |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same planted wire, same occurrence arithmetic, same precedence
+    // (size → entity → element count → balance) as the Spark gate
+    "etl_xml_validate" ->
+      """WITH b AS (SELECT p_partkey, p_brand,
+        |  '<part><id>' || CAST(p_partkey AS VARCHAR) || '</id><name>' || p_name ||
+        |  '</name><type>' || p_type || '</type></part>' AS base FROM part),
+        |w AS (SELECT p_brand AS source,
+        |  CASE WHEN p_partkey % 7 = 1 THEN '<!DOCTYPE p [<!ENTITY x "boom">]>' || base
+        |       WHEN p_partkey % 7 = 2 THEN base || repeat('<p>x</p>', 10)
+        |       WHEN p_partkey % 7 = 3 THEN base || repeat('PAD_BYTES!', 40)
+        |       WHEN p_partkey % 7 = 4 THEN regexp_replace(base, '</part>$', '')
+        |       ELSE base END AS xml FROM b),
+        |c AS (SELECT source, xml,
+        |  length(xml) - length(replace(xml, '<', '')) AS n_lt,
+        |  CAST((length(xml) - length(replace(xml, '</', ''))) / 2 AS INT) AS n_close,
+        |  CAST((length(xml) - length(replace(xml, '<!', ''))) / 2 AS INT) AS n_bang
+        | FROM w),
+        |k AS (SELECT source,
+        |  CASE WHEN length(xml) > 300 THEN 'oversize'
+        |       WHEN contains(xml, '<!ENTITY') THEN 'entity_decl'
+        |       WHEN n_lt > 20 THEN 'too_many_elements'
+        |       WHEN (n_lt - n_close - n_bang) <> n_close THEN 'malformed'
+        |       ELSE 'ok' END AS cls FROM c)
+        |SELECT source, count(*) AS n,
+        | CAST(sum(CASE WHEN cls = 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+        | CAST(sum(CASE WHEN cls = 'oversize' THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize,
+        | CAST(sum(CASE WHEN cls = 'entity_decl' THEN 1 ELSE 0 END) AS BIGINT) AS n_entity,
+        | CAST(sum(CASE WHEN cls = 'too_many_elements' THEN 1 ELSE 0 END) AS BIGINT) AS n_too_many,
+        | CAST(sum(CASE WHEN cls = 'malformed' THEN 1 ELSE 0 END) AS BIGINT) AS n_malformed
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_tfidf" ->
       s"""WITH terms AS (SELECT doc_id, unnest($toks) AS term FROM documents),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),

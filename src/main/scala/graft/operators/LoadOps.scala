@@ -175,6 +175,50 @@ object LoadOps {
       .orderBy(col("source"))
   }
 
+  /** D6b: XML payload validation gate (http_utils.py:443 `safe_xml_parse`
+    * guards, in order: size budget, `<!ENTITY` declarations — the XXE
+    * guard, element count via the raw `<` count, then the parse itself).
+    * The wire plants one violation class per key residue; the gate
+    * classifies every payload with native string arithmetic (length /
+    * replace counting — single pass, codegen'd, no parser) using the
+    * SAME precedence as the reference, and rolls up acceptance per
+    * source. Malformed = tag-balance mismatch (opens ≠ closes), the
+    * declarative stand-in for ET.ParseError. */
+  def xmlValidate(spark: SparkSession, dir: String, maxBytes: Int = 300,
+      maxElements: Int = 20): DataFrame = {
+    val t = Tables(spark, dir)
+    val base = concat(lit("<part><id>"), col("p_partkey").cast("string"),
+      lit("</id><name>"), col("p_name"), lit("</name><type>"), col("p_type"),
+      lit("</type></part>"))
+    val wire = when(col("p_partkey") % 7 === 1,
+        concat(lit("<!DOCTYPE p [<!ENTITY x \"boom\">]>"), base))
+      .when(col("p_partkey") % 7 === 2, concat(base, repeat(lit("<p>x</p>"), 10)))
+      .when(col("p_partkey") % 7 === 3, concat(base, repeat(lit("PAD_BYTES!"), 40)))
+      .when(col("p_partkey") % 7 === 4, regexp_replace(base, "</part>$", ""))
+      .otherwise(base)
+    val payloads = t.part.select(col("p_brand").as("source"), wire.as("xml"))
+    // native occurrence counts: '<' total (the reference's element count),
+    // '</' closers, '<!' declarations — length deltas, one scan each
+    val nLt = length(col("xml")) - length(expr("replace(xml, '<', '')"))
+    val nClose = ((length(col("xml")) - length(expr("replace(xml, '</', '')"))) / 2).cast("int")
+    val nBang = ((length(col("xml")) - length(expr("replace(xml, '<!', '')"))) / 2).cast("int")
+    val nOpen = nLt - nClose - nBang
+    val cls = when(length(col("xml")) > maxBytes, "oversize")
+      .when(col("xml").contains("<!ENTITY"), "entity_decl")
+      .when(nLt > maxElements, "too_many_elements")
+      .when(nOpen =!= nClose, "malformed")
+      .otherwise("ok")
+    payloads.withColumn("cls", cls)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("cls") === "ok", 1).otherwise(0)).cast("long").as("n_ok"),
+        sum(when(col("cls") === "oversize", 1).otherwise(0)).cast("long").as("n_oversize"),
+        sum(when(col("cls") === "entity_decl", 1).otherwise(0)).cast("long").as("n_entity"),
+        sum(when(col("cls") === "too_many_elements", 1).otherwise(0)).cast("long").as("n_too_many"),
+        sum(when(col("cls") === "malformed", 1).otherwise(0)).cast("long").as("n_malformed"))
+      .orderBy(col("source"))
+  }
+
   /** D7: failure-streak detection (monitoring.py:196 `detect_patterns`:
     * consecutive-failure runs per source + rollup; :187 persists metrics
     * history — here the events table IS the run history). Gaps-and-islands

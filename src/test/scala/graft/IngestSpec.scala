@@ -40,6 +40,18 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     assert(out("D") == ((0L, 0L, true)), "an empty discovered collection is complete")
   }
 
+  test("xml gate: every violation class fires on the planted wire") {
+    // the oracle proves exact parity but would also pass if a threshold
+    // quietly made a class empty — pin that each planted violation is
+    // actually caught (size, XXE entity, element count, tag balance)
+    val out = graft.operators.LoadOps.xmlValidate(spark, sfDir).collect()
+    def total(i: Int) = out.map(_.getLong(i)).sum
+    val (nOk, nOver, nEnt, nMany, nMal) = (total(2), total(3), total(4), total(5), total(6))
+    assert(nOk > 0 && nOver > 0 && nEnt > 0 && nMany > 0 && nMal > 0,
+      s"all classes must fire: ok=$nOk oversize=$nOver entity=$nEnt many=$nMany malformed=$nMal")
+    assert(total(1) == nOk + nOver + nEnt + nMany + nMal, "classes must partition the payloads")
+  }
+
   test("offset paging: no single-partition exchange in the plan") {
     val df = Ingest.restOffsetPaging(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
