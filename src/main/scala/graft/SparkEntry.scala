@@ -89,6 +89,7 @@ object SparkEntry {
     "q_stats"                -> Relational.qStats _,
     "q_approx_distinct"      -> Relational.qApproxDistinct _,
     "q_cms_sketch"           -> Relational.qCmsSketch _,
+    "q_quantile_sketch"      -> Relational.qQuantileSketch _,
     "q_hll_sketch"           -> Relational.qHllSketch _,
     "q_bloom_prune_join"     -> Relational.qBloomPruneJoin _,
     "pipeline_e2e"           -> (PipelineDemo.run _),
@@ -745,6 +746,18 @@ object SparkEntry {
          |${graft.functions.CmsAggregate.estimateSql("src", 0L until 10L)}
          |SELECT grp AS source, CAST(key AS BIGINT) AS key, CAST(est AS BIGINT) AS est
          |FROM est ORDER BY 1, 2""".stripMargin,
+    // identical fixed-bin arithmetic from raw rows: same domain (global
+    // min/max), same clamped floor binning, same ceil(q*N) rank walk
+    "q_quantile_sketch" -> {
+      import graft.functions.QuantileAggregate
+      s"""WITH p AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem),
+         |src AS (SELECT l_returnflag AS grp, l_extendedprice AS v FROM lineitem),
+         |${QuantileAggregate.estimateSql("src", "(SELECT lo FROM p)", "(SELECT hi FROM p)",
+            Seq(0.25, 0.5, 0.75, 0.95))}
+         |SELECT grp AS l_returnflag, q, round((SELECT lo FROM p) +
+         |  qbin * (((SELECT hi FROM p) - (SELECT lo FROM p)) / ${QuantileAggregate.NBins}), 4) AS est
+         |FROM est ORDER BY 1, 2""".stripMargin
+    },
     "pipeline_e2e" ->
       """SELECT 'customer_seg' AS source, count(*) AS rows_loaded
         | FROM customer WHERE c_mktsegment = 'BUILDING'

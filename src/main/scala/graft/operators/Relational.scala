@@ -86,6 +86,41 @@ object Relational {
       .orderBy(col("source"), col("key"))
   }
 
+  /** E25: mergeable quantile sketch via the custom
+    * [[graft.functions.QuantileAggregate]] TypedImperativeAggregate — the
+    * scale path for E15's exact `percentile()` (which buffers every value
+    * per group; this keeps 256 counters per group through the shuffle).
+    * The sketch domain comes from one tiny driver job (2 doubles); the
+    * estimate walk (cumulative bin counts → first bin reaching
+    * ceil(q·N)) is deterministic, so the oracle rebuilds the identical
+    * estimates from raw rows in SQL. */
+  def qQuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.QuantileAggregate
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val row = t.lineitem
+      .agg(min(col("l_extendedprice")), max(col("l_extendedprice"))).head()
+    val (lo, hi) = (row.getDouble(0), row.getDouble(1))
+    val sk = t.lineitem.groupBy(col("l_returnflag"))
+      .agg(QuantileAggregate.quantileSketch(spark, col("l_extendedprice"), lo, hi)
+        .as("sketch"))
+    val w = (hi - lo) / QuantileAggregate.NBins
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("bin"))
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    val qs = Seq(0.25, 0.5, 0.75, 0.95).toDF("q")
+    sk.select(col("l_returnflag"), posexplode(col("sketch")).as(Seq("bin", "c")))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .crossJoin(broadcast(qs))
+      .filter(col("cum") >= ceil(col("q") * col("n")))
+      .groupBy(col("l_returnflag"), col("q"))
+      .agg(min(col("bin")).as("qbin"))
+      .select(col("l_returnflag"), col("q"),
+        round(lit(lo) + col("qbin") * lit(w), 4).as("est"))
+      .orderBy(col("l_returnflag"), col("q"))
+  }
+
   /** E1: TPC-H Q1 pricing summary. Map-side partial agg, 6-row output. */
   def q1Agg(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)

@@ -82,6 +82,38 @@ class CmsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("quantile: merge algebra, round-trip, partitioning invariance, bin-width error bound") {
+    import graft.functions.QuantileAggregate
+    val agg = QuantileAggregate(
+      org.apache.spark.sql.catalyst.expressions.Literal(0.0), 0.0, 1.0)
+    def buf(seed: Int): Array[Long] =
+      Array.tabulate(QuantileAggregate.NBins)(i => ((i * seed) % 9).toLong)
+    val left = agg.merge(agg.merge(buf(3), buf(5)), buf(11))
+    val right = agg.merge(buf(3), agg.merge(buf(5), buf(11)))
+    val comm = agg.merge(agg.merge(buf(5), buf(3)), buf(11))
+    assert(left.toSeq == right.toSeq && left.toSeq == comm.toSeq)
+    assert(agg.deserialize(agg.serialize(left)).toSeq == left.toSeq)
+
+    // sketch of 0..9999 over [0, 10000): bin counts invariant to layout
+    val vs = (0 until 10000).map(_.toDouble)
+    def sketchOf(parts: Int): Seq[Long] = vs.toDF("v").repartition(parts)
+      .agg(QuantileAggregate.quantileSketch(spark, col("v"), 0.0, 10000.0).as("s"))
+      .head().getSeq[Long](0)
+    val s1 = sketchOf(1)
+    assert(s1 == sketchOf(8), "partitioning changed the sketch")
+    assert(s1.sum == vs.size, "every value lands in exactly one bin")
+    // uniform data: the q-quantile bin edge is within one bin width of truth
+    val w = 10000.0 / QuantileAggregate.NBins
+    for (q <- Seq(0.25, 0.5, 0.75, 0.95)) {
+      val rank = math.ceil(q * vs.size).toLong
+      val qbin = s1.scanLeft(0L)(_ + _).tail.indexWhere(_ >= rank)
+      val est = qbin * w
+      val truth = vs.sorted.apply((rank - 1).toInt)
+      assert(math.abs(est - truth) <= w,
+        s"q=$q est=$est truth=$truth exceeds one bin width $w")
+    }
+  }
+
   test("bloom: OR-merge algebra, no false negatives, real fact-side pruning") {
     import graft.functions.BloomAggregate
     val agg = BloomAggregate(org.apache.spark.sql.catalyst.expressions.Literal(0L))
