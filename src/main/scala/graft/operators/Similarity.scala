@@ -150,6 +150,49 @@ object Similarity {
       .select(col("vec_id"), col("best.v").as("v"), col("best.c_label").as("list_id"))
   }
 
+  /** Persisted IVF index (the real-IVF layout contract): inverted lists
+    * written ONCE `partitionBy(list_id)` — the D8 partitioned-prune
+    * contract ([[LoadOps.partitionedPrune]]) applied to ANN — with the
+    * per-vector norm precomputed and the trained quantizer persisted next
+    * to the lists. Queries re-read the layout with a `list_id` filter, so
+    * the scan prunes to the probed directories (`PartitionFilters` in the
+    * plan) instead of recomputing assignment per query — at 100 TB the
+    * assignment job runs once per corpus version, and a query touches
+    * nprobe partitions. Rebuilds automatically when the input table's
+    * file stamp changes (a stale index must never serve a new corpus). */
+  def ivfIndex(spark: SparkSession, dir: String): (String, Seq[(Int, Seq[Double])]) = {
+    import spark.implicits._
+    val root = s"/root/repo/target/graft_ivf/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}"
+    val (listsPath, centsPath) = (s"$root/lists", s"$root/centroids")
+    val marker = new java.io.File(s"$root/_GRAFT_STAMP")
+    val stamp = {
+      val f = new java.io.File(s"$dir/embeddings.parquet")
+      val files = if (f.isDirectory) f.listFiles().toSeq else Seq(f)
+      files.map(x => s"${x.getName}:${x.length}:${x.lastModified}").sorted.mkString("|")
+    }
+    val current = marker.exists() &&
+      java.nio.file.Files.readString(marker.toPath) == stamp
+    if (!current) {
+      val e = vectors(spark, dir)
+      val cents = trainQuantizer(e)
+      listAssignments(spark, e, cents)
+        .withColumn("nrm", Vec.norm(col("v"))) // norms once, AT INDEX TIME
+        .repartition(col("list_id"))           // one file per list directory
+        .write.mode("overwrite").partitionBy("list_id").parquet(listsPath)
+      cents.toDF("list_id", "cv").write.mode("overwrite").parquet(centsPath)
+      java.nio.file.Files.writeString(marker.toPath, stamp): Unit
+    }
+    val cents = spark.read.parquet(centsPath).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    (listsPath, cents)
+  }
+
+  /** The persisted inverted lists, partition column restored to int
+    * (partition values are type-inferred on read). */
+  def ivfLists(spark: SparkSession, listsPath: String): DataFrame =
+    spark.read.parquet(listsPath)
+      .withColumn("list_id", col("list_id").cast("int"))
+
   /** F6b: ANN-gated exact near-dup — the 100-TB shape for F6: candidates
     * come from the IVF coarse quantizer's inverted lists (pairs only ever
     * meet inside a list, so the join key is the list id and pair counts
@@ -162,9 +205,8 @@ object Similarity {
     * tail of a near-random distribution), where ANY bucketing scheme
     * trades recall; the exact op (F6) stays available and fast. */
   def neardupIvfGated(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
-    val e = vectors(spark, dir)
-    val assigned = listAssignments(spark, e, trainQuantizer(e))
-      .withColumn("nrm", Vec.norm(col("v"))) // norms once per vector, not per pair
+    val (listsPath, _) = ivfIndex(spark, dir)
+    val assigned = ivfLists(spark, listsPath) // norms precomputed at index time
     val a = assigned.select(col("vec_id").as("id1"), col("list_id"), col("v").as("v1"), col("nrm").as("n1"))
     val b = assigned.select(col("vec_id").as("id2"), col("list_id"), col("v").as("v2"), col("nrm").as("n2"))
     a.join(b, Seq("list_id"))
@@ -185,12 +227,10 @@ object Similarity {
   def ivfAnn(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 20,
       nprobe: Int = 3): DataFrame = {
     val t = Tables(spark, dir)
-    val e = vectors(spark, dir)
-    // The coarse quantizer is tiny (|lists| × dims) — train it distributed
-    // (labelCentroids / refineCentroids), then COLLECT it: real IVF keeps
-    // the quantizer driver-side/broadcast, so the centroid subtree isn't
-    // recomputed per consumer and probe selection costs no cluster job.
-    val cents = trainQuantizer(e)
+    // Build-or-reuse the PERSISTED index: the quantizer comes back from
+    // the layout (|lists| × dims — tiny), so probe selection costs no
+    // cluster job and the assignment scan is NOT recomputed per query.
+    val (listsPath, cents) = ivfIndex(spark, dir)
     val qv = t.embeddings.filter(col("vec_id") === queryId)
       .select(Vec.toDouble(col("embedding")).as("qv")).head().getSeq[Double](0)
     def dot(a: Seq[Double], b: Seq[Double]) = a.iterator.zip(b.iterator).map(p => p._1 * p._2).sum
@@ -199,9 +239,10 @@ object Similarity {
     // probe the nprobe nearest centroids' lists only (driver-side: 10 dots)
     val probes = cents.sortBy { case (l, cv) => (-cosLocal(qv, cv), l) }
       .take(nprobe).map(_._1)
-    val assigned = listAssignments(spark, e, cents)
     val qvCol = array(qv.map(lit): _*)
-    assigned.filter(col("list_id").isin(probes: _*) && col("vec_id") =!= queryId)
+    // the list_id filter prunes the scan to the probed directories
+    ivfLists(spark, listsPath)
+      .filter(col("list_id").isin(probes: _*) && col("vec_id") =!= queryId)
       .withColumn("score", round(Vec.cosine(col("v"), qvCol), 4))
       .select(col("vec_id"), col("list_id").cast("long").as("list_id"), col("score"))
       .orderBy(col("score").desc, col("vec_id"))

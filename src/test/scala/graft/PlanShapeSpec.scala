@@ -61,4 +61,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     // only 3 of 16 partition directories should survive pruning
     assert(df.count() == 3)
   }
+
+  test("ivf query probes the persisted lists via partition pruning") {
+    // the index is a one-time layout; a query's scan must carry the
+    // list_id PartitionFilters (probe nprobe directories, not the corpus)
+    val df = graft.operators.Similarity.ivfAnn(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") && p.contains("list_id"),
+      s"ivf probe did not prune partitions:\n$p")
+    // a second invocation must REUSE the layout (no assignment recompute):
+    // trainQuantizer's posexplode agg would show as an extra job — assert
+    // via the stamp file remaining untouched
+    val root = s"/root/repo/target/graft_ivf/${sfDir.replaceAll("[^A-Za-z0-9.]+", "_")}"
+    val stampBefore = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$root/_GRAFT_STAMP"))
+    graft.operators.Similarity.ivfAnn(spark, sfDir).collect()
+    val stampAfter = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$root/_GRAFT_STAMP"))
+    assert(stampBefore == stampAfter, "second query rebuilt the index")
+  }
 }
