@@ -112,14 +112,21 @@ object Dedup {
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
+      // convergence detection is FOLDED into the round: own rows carry a
+      // tag, so the same min-aggregate yields old and new label side by
+      // side (every node has exactly one own row → old_label never null).
+      // ONE distributed job per round (the eager checkpoint); the moved
+      // count below scans the checkpointed blocks, it re-derives nothing.
       val prop = edges.join(labels, edges("d1") === labels("doc_id"))
-        .select(edges("d2").as("doc_id"), col("label"))
-      val next = labels.union(prop).groupBy(col("doc_id"))
-        .agg(min(col("label")).as("label")).localCheckpoint(true)
-      changed = next.select(col("doc_id"), col("label").as("new_label"))
-        .join(labels, Seq("doc_id"))
-        .filter(col("new_label") =!= col("label")).count()
-      labels = next
+        .select(edges("d2").as("doc_id"), col("label"), lit(false).as("own"))
+      val next = labels.withColumn("own", lit(true)).union(prop)
+        .groupBy(col("doc_id"))
+        .agg(min(col("label")).as("label"),
+          min(when(col("own"), col("label"))).as("old_label"))
+        .withColumn("moved", col("label") =!= col("old_label"))
+        .localCheckpoint(true)
+      changed = next.filter(col("moved")).count()
+      labels = next.select(col("doc_id"), col("label"))
       iter += 1
     }
     // a silently non-converged result would split one true duplicate

@@ -144,6 +144,40 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(labels(30L) == 30L, "singleton keeps its own label")
   }
 
+  test("connected components: two jobs per round (convergence folded into the propagation)") {
+    // r2 shipped a separate join+count action per round; the detection now
+    // rides the round's own aggregate — per round exactly: the eager
+    // checkpoint job + a moved-count scan OVER the checkpointed blocks
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(): Unit
+      }
+    }
+    val nodes = (1L to 6L).toDF("doc_id")
+    val pairs = (1L to 5L).map(i => (i, i + 1)).toDF("d1", "d2") // chain, diameter 5
+    spark.sparkContext.addSparkListener(listener)
+    // AQE materializes shuffle stages as extra jobs — pin it off so one
+    // action is exactly one job and the count below is deterministic
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Dedup.connectedComponents(nodes, pairs).collect()
+      Thread.sleep(1000) // listener bus is async; let JobStart events drain
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    // chain of 6: label 1 walks 5 hops + 1 no-change round = 6 rounds;
+    // setup = 2 checkpoint jobs (edges, initial labels), final collect = 1;
+    // per round exactly 3: broadcast-exchange of the small labels side,
+    // the eager checkpoint, the moved-count scan of the checkpointed
+    // blocks. The r2 shape (separate join+count action) added 2 more per
+    // round and trips this bound.
+    val rounds = 6
+    assert(jobs.get() <= 3 + 3 * rounds,
+      s"${jobs.get()} jobs for $rounds rounds — an extra per-round action crept back in")
+  }
+
   test("fingerprint dedup collapses reordered near-duplicates") {
     val fp = (c: org.apache.spark.sql.Column) =>
       md5(array_join(array_sort(array_distinct(
