@@ -910,13 +910,14 @@ object SparkEntry {
         |   CASE WHEN length(text) >= 2
         |    THEN [substr(lower(text), CAST(i AS INT), 2) for i in range(1, length(text))]
         |    ELSE [] END) AS bg FROM documents),
-        |bc AS (SELECT bg, count(*) AS c2 FROM bi GROUP BY 1),
+        |db AS (SELECT doc_id, bg, count(*) AS cnt FROM bi GROUP BY 1, 2),
+        |bc AS (SELECT bg, CAST(sum(cnt) AS BIGINT) AS c2 FROM db GROUP BY 1),
         |fc AS (SELECT substr(bg, 1, 1) AS c1, CAST(sum(c2) AS BIGINT) AS c1n
         |  FROM bc GROUP BY 1),
         |v AS (SELECT count(*) AS v FROM fc)
-        |SELECT doc_id, count(*) AS n_bigrams,
-        | round(avg(ln((c2 + 1.0) / (c1n + v))), 3) AS avg_logprob
-        |FROM bi JOIN bc USING (bg) JOIN fc ON substr(bg, 1, 1) = fc.c1, v
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+        | round(sum(cnt * ln((c2 + 1.0) / (c1n + v))) / sum(cnt), 3) AS avg_logprob
+        |FROM db JOIN bc USING (bg) JOIN fc ON substr(bg, 1, 1) = fc.c1, v
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_topterms" ->
       s"""WITH q AS (SELECT doc_id, list_distinct($toks) AS toks FROM documents),
