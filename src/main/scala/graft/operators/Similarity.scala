@@ -15,14 +15,31 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** F6: exact cosine near-dup pairs within label blocks. */
-  def neardupCosine(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
+  /** F6: exact cosine near-dup pairs within label blocks.
+    *
+    * Deliberately exact — and therefore quadratic in block population:
+    * label cardinality is fixed, so blocks grow with the corpus and this
+    * plan cannot survive an unbounded scale-up. Rather than melt at 100×,
+    * the operator PRE-MEASURES the pair count with one cheap label
+    * histogram (a column-pruned scan + tiny agg) and refuses loudly over
+    * budget, pointing at [[neardupIvfGated]] — the oracled IVF-gated
+    * variant whose candidate volume is bounded by list population. */
+  def neardupCosine(spark: SparkSession, dir: String, threshold: Double = 0.35,
+      pairBudget: Long = 20000000L): DataFrame = {
     val t = Tables(spark, dir)
     // norms once per vector, not once per pair (same arithmetic as
     // Vec.cosine: dot / (sqrt(dot aa) * sqrt(dot bb)))
     val e = t.embeddings.select(col("vec_id"), col("label"),
         Vec.toDouble(col("embedding")).as("v"))
       .withColumn("nrm", Vec.norm(col("v")))
+    // pair-budget guard: sum of n·(n−1)/2 over the label histogram
+    val estPairs = t.embeddings.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(col("n") * (col("n") - 1)), lit(0L)).as("p"))
+      .head().getLong(0) / 2
+    require(estPairs <= pairBudget,
+      s"neardup_cosine would materialize ~$estPairs intra-block pairs " +
+        s"(budget $pairBudget): the exact all-pairs plan does not scale to this " +
+        "corpus — use neardup_ivf_gated (IVF-list-gated exact rescore) instead")
     val a = e.select(col("vec_id").as("id1"), col("label"), col("v").as("v1"), col("nrm").as("n1"))
     val b = e.select(col("vec_id").as("id2"), col("label"), col("v").as("v2"), col("nrm").as("n2"))
     a.join(b, Seq("label"))

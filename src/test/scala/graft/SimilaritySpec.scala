@@ -74,6 +74,20 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(scores.toSeq == scores.sorted.reverse.toSeq, "scores must be descending")
   }
 
+  test("neardup_cosine refuses an over-budget corpus and names the scale path") {
+    // in budget: runs (the oracle covers the output); over budget (a
+    // budget below this corpus's own pair count = the planted oversized
+    // block): the guard must fire BEFORE the quadratic join, and the
+    // message must route the user to the gated variant
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.neardupCosine(spark, sfDir, pairBudget = 10L)
+    }
+    assert(ex.getMessage.contains("neardup_ivf_gated"),
+      s"guard must point at the scale path: ${ex.getMessage}")
+    assert(Similarity.neardupCosine(spark, sfDir).collect().nonEmpty,
+      "default budget must keep the in-budget corpus working")
+  }
+
   test("ivf-gated near-dup: no false positives, measured recall vs unblocked exact") {
     // the gated op trades recall for a bounded join (pairs only meet
     // inside an inverted list); every emitted pair must be a true
