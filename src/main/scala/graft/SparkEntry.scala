@@ -64,6 +64,7 @@ object SparkEntry {
     "load_partitioned_prune" -> ((s: SparkSession, d: String) => LoadOps.partitionedPrune(s, d)),
     "load_cdc_merge"         -> LoadOps.cdcMerge _,
     "mon_source_summary"     -> LoadOps.sourceSummary _,
+    "mon_authority_rollup"   -> LoadOps.authorityRollup _,
     "mon_error_patterns"     -> LoadOps.errorPatterns _,
     "mon_failure_streaks"    -> LoadOps.failureStreaks _,
     "mon_key_skew"           -> LoadOps.keySkew _,
@@ -530,6 +531,15 @@ object SparkEntry {
         | round(avg(value), 2) AS avg_duration,
         | round(sum(value), 2) AS total_duration,
         | CAST(sum(TRY_CAST(nullif(regexp_extract(props, 'k":\s*([0-9]+)', 1), '') AS BIGINT)) AS BIGINT) AS total_retries
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "mon_authority_rollup" ->
+      """SELECT 'auth_' || upper(substr(event_type, 1, 1)) AS authority,
+        | count(DISTINCT event_type) AS n_sources, count(*) AS n_runs,
+        | CAST(sum(CASE WHEN value >= 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_success,
+        | CAST(count(*) - sum(CASE WHEN value >= 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+        | round(CAST(sum(CASE WHEN value >= 1.0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 100, 2) AS success_rate,
+        | round(avg(value), 2) AS avg_duration,
+        | round(sum(value), 2) AS total_duration
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "mon_error_patterns" ->
       """SELECT CASE WHEN value < 1.0 THEN 'timeout' WHEN value < 10.0 THEN 'http_4xx'

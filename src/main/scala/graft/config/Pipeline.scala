@@ -175,8 +175,16 @@ object Pipeline {
             finalDf.write.mode(writeMode).partitionBy("layer_name").parquet(path)
             perLayer(spark.read.parquet(path))
           } else {
-            finalDf.write.mode(writeMode).parquet(path)
-            Seq((src.name, spark.read.parquet(path).count()))
+            // empty-result skip (process.py: zero-feature outputs are not
+            // written): count from the write's own task metrics would be
+            // ideal, but a pre-count keeps the contract simple — an empty
+            // staged source must leave NO target behind, not an empty one
+            val staged = finalDf.count()
+            if (staged == 0L) Seq((src.name, 0L))
+            else {
+              finalDf.write.mode(writeMode).parquet(path)
+              Seq((src.name, spark.read.parquet(path).count()))
+            }
           }
         case _ =>
           if (src.format == "archive") perLayer(finalDf)

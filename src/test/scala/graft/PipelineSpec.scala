@@ -104,6 +104,23 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       s"each layer must land in its own partition directory: $dirs")
   }
 
+  test("empty staged sources are skipped, not loaded as empty targets") {
+    // process.py skips zero-feature outputs: the summary still reports the
+    // source (0 rows) but no target directory is created for it
+    val cfg = PipelineCfg(
+      sources = Seq(
+        SourceCfg(name = "empty_src", path = s"$sfDir/region.parquet",
+          where = Some("r_regionkey < 0")),
+        SourceCfg(name = "full_src", path = s"$sfDir/region.parquet")),
+      load = Some(LoadCfg(s"$target/skip_load")), cleanupBeforeRun = true)
+    val out = Pipeline.run(spark, cfg).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("empty_src" -> 0L, "full_src" -> 5L))
+    assert(!new java.io.File(s"$target/skip_load/empty_src").exists(),
+      "zero-feature output must not be written")
+    assert(new java.io.File(s"$target/skip_load/full_src").exists())
+  }
+
   test("name sanitization applies to loaded table names and columns") {
     assert(Pipeline.safeNameString("Övre Vägen 7!") == "vre_v_gen_7")
     assert(Pipeline.safeNameString("7eleven") == "fc_7eleven")
