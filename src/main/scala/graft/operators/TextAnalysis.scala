@@ -97,11 +97,14 @@ object TextAnalysis {
   def tfidf(spark: SparkSession, dir: String, topPerDoc: Int = 3): DataFrame = {
     val t = Tables(spark, dir)
     val n = t.documents.count()
-    val terms = t.documents
+    // ONE explode pass compressed to (doc, term, tf) and checkpointed;
+    // document frequency is then a count over those rows (one row per
+    // (doc, term) already — no second explode, no distinct shuffle)
+    val tf = t.documents
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df_ = terms.select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
     tf.join(broadcast(df_), "term")
