@@ -169,26 +169,28 @@ object Pipeline {
         case Some(LoadCfg(target, mode)) if cfg.steps.load =>
           val path = s"$target/${safeNameString(src.name)}"
           val writeMode = if (mode == "append") "append" else "overwrite"
-          if (src.format == "archive") {
+          // empty-result skip (process.py: zero-feature outputs are not
+          // written): an empty staged source must leave NO target behind
+          // and still appear in the summary with 0 rows. isEmpty is a
+          // limit-1 probe, so the non-empty path stages only once — and
+          // it also keeps a zero-row partitioned archive write (which
+          // leaves an unreadable schema-less directory) from ever running.
+          if (finalDf.isEmpty) Seq((src.name, 0L))
+          else if (src.format == "archive") {
             // ONE distributed write; partitionBy gives every discovered
             // layer its own target directory (no per-layer driver loop)
             finalDf.write.mode(writeMode).partitionBy("layer_name").parquet(path)
             perLayer(spark.read.parquet(path))
           } else {
-            // empty-result skip (process.py: zero-feature outputs are not
-            // written): count from the write's own task metrics would be
-            // ideal, but a pre-count keeps the contract simple — an empty
-            // staged source must leave NO target behind, not an empty one
-            val staged = finalDf.count()
-            if (staged == 0L) Seq((src.name, 0L))
-            else {
-              finalDf.write.mode(writeMode).parquet(path)
-              Seq((src.name, spark.read.parquet(path).count()))
-            }
+            finalDf.write.mode(writeMode).parquet(path)
+            Seq((src.name, spark.read.parquet(path).count()))
           }
         case _ =>
-          if (src.format == "archive") perLayer(finalDf)
-          else Seq((src.name, finalDf.count()))
+          if (src.format == "archive") {
+            // an all-empty container must still be visible to monitoring
+            val layers = perLayer(finalDf)
+            if (layers.isEmpty) Seq((src.name, 0L)) else layers
+          } else Seq((src.name, finalDf.count()))
       }
     }
     results.toDF("source", "rows_loaded").orderBy(col("source"))

@@ -335,6 +335,11 @@ object Ingest {
     * proves every discovered collection landed exactly once — the
     * sequential link-following protocol becomes one distributed parse +
     * two partitioned windows, no driver loop. */
+  /** The one page-address format, shared by the wire builder AND the
+    * chain verifier so the two can never drift apart. */
+  private def pageHref(cid: Column, page: Column): Column =
+    concat(lit("/collections/"), cid, lit("/items?page="), page)
+
   def ogcCollections(spark: SparkSession, dir: String, pageSize: Int = 7): DataFrame = {
     val t = Tables(spark, dir)
     // --- wire: the service /collections document -----------------------
@@ -352,9 +357,7 @@ object Ingest {
       .agg(count(lit(1)).as("nret"),
         array_sort(collect_list(col("custkey"))).as("keys"))
     val lastPage = pageRows.groupBy(col("cid")).agg(max(col("page_no")).as("last_page"))
-    def href(page: Column) =
-      concat(lit("/collections/"), col("cid"), lit("/items?page="), page)
-    val selfLink = struct(lit("self").as("rel"), href(col("page_no")).as("href"))
+    val selfLink = struct(lit("self").as("rel"), pageHref(col("cid"), col("page_no")).as("href"))
     val pageWire = pageRows.join(broadcast(lastPage), Seq("cid"))
       .select(to_json(struct(
         col("cid").as("collection"), col("page_no").as("page"),
@@ -362,7 +365,7 @@ object Ingest {
         transform(col("keys"), k => struct(k.as("custkey"))).as("features"),
         when(col("page_no") < col("last_page"),
           array(selfLink,
-            struct(lit("next").as("rel"), href(col("page_no") + 1).as("href"))))
+            struct(lit("next").as("rel"), pageHref(col("cid"), col("page_no") + 1).as("href"))))
           .otherwise(array(selfLink)).as("links"))).as("page_json"))
     // --- operator under test: discover → verify chain → land → reconcile
     val svcSchema = StructType(Seq(
@@ -394,13 +397,15 @@ object Ingest {
     * features, and reconciles per discovered collection. `parsed` columns:
     * (cid, page_no, nret, features: array<struct<custkey>>, next_href). */
   def sweepPages(discovered: DataFrame, parsed: DataFrame): DataFrame = {
-    def href(page: Column) =
-      concat(lit("/collections/"), col("cid"), lit("/items?page="), page)
     val wCid = Window.partitionBy(col("cid")).orderBy(col("page_no"))
+    // coalesce(false): NULL must FAIL the chain, not slip past bool_and —
+    // a dangling rel=next on the last landed page (lost tail page) makes
+    // the href comparison NULL, and a mid-chain page with no next link
+    // compares NULL against the real next page; both are broken chains
     val chained = parsed.withColumn("next_page", lead(col("page_no"), 1).over(wCid))
-      .withColumn("page_chain_ok",
+      .withColumn("page_chain_ok", coalesce(
         (col("next_page").isNull && col("next_href").isNull) ||
-          (col("next_href") === href(col("next_page"))))
+          (col("next_href") === pageHref(col("cid"), col("next_page"))), lit(false)))
     val landed = parsed
       .select(col("cid"), explode(col("features")).as("f"))
       .groupBy(col("cid"))

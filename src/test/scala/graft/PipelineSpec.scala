@@ -121,6 +121,31 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(new java.io.File(s"$target/skip_load/full_src").exists())
   }
 
+  test("empty archive source skips the load and still reports 0 rows") {
+    // a container whose every payload fails the magic sniff stages zero
+    // records: the zero-row partitioned write must be skipped (it would
+    // leave an unreadable schema-less directory) and the source must stay
+    // visible to monitoring as 0 — with and without a load step
+    import spark.implicits._
+    val wire = s"$target/bad_archive_wire"
+    Seq((0, "NOPE-not-an-archive"))
+      .toDF("r_regionkey", "payload_str")
+      .select(org.apache.spark.sql.functions.col("r_regionkey"),
+        org.apache.spark.sql.functions.col("payload_str").cast("binary").as("payload"))
+      .write.mode("overwrite").parquet(wire)
+    def cfg(withLoad: Boolean) = PipelineCfg(
+      sources = Seq(SourceCfg(name = "bad_arc", path = wire, format = "archive")),
+      load = if (withLoad) Some(LoadCfg(s"$target/bad_arc_load")) else None,
+      cleanupBeforeRun = withLoad)
+    for (withLoad <- Seq(true, false)) {
+      val out = Pipeline.run(spark, cfg(withLoad)).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out == Map("bad_arc" -> 0L), s"withLoad=$withLoad: $out")
+    }
+    assert(!new java.io.File(s"$target/bad_arc_load/bad_arc").exists(),
+      "empty archive must leave no target behind")
+  }
+
   test("name sanitization applies to loaded table names and columns") {
     assert(Pipeline.safeNameString("Övre Vägen 7!") == "vre_v_gen_7")
     assert(Pipeline.safeNameString("7eleven") == "fc_7eleven")
