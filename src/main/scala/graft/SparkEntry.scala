@@ -109,6 +109,7 @@ object SparkEntry {
     "ann_lsh_bucketed"       -> Similarity.annLshBuckets _,
     "ann_lsh_multiprobe"     -> ((s: SparkSession, d: String) => Similarity.annLshMultiProbe(s, d)),
     "ann_ivf"                -> ((s: SparkSession, d: String) => Similarity.ivfAnn(s, d)),
+    "ann_ivf_batch"          -> ((s: SparkSession, d: String) => Similarity.ivfAnnBatch(s, d)),
     "q_salted_join"          -> ((s: SparkSession, d: String) => Relational.qSaltedJoin(s, d)),
     "text_quality"           -> TextAnalysis.quality _,
     "text_langid"            -> TextAnalysis.langid _,
@@ -878,6 +879,32 @@ object SparkEntry {
          |FROM e JOIN asg ON e.vec_id = asg.vec_id, q
          |WHERE asg.list_id IN (SELECT c_label FROM pr WHERE rn <= 3) AND e.vec_id <> 0
          |ORDER BY score DESC, e.vec_id LIMIT 20""".stripMargin,
+    // batch form: same quantizer/assignment CTEs; probe pairs per query
+    // (top-nprobe lists), one candidate join, top-k per query
+    "ann_ivf_batch" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT label AS c_label, list(a ORDER BY pos) AS cv
+         |  FROM (SELECT label, pos, avg(x) AS a
+         |    FROM (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e)
+         |    GROUP BY label, pos)
+         |  GROUP BY label),
+         |qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0),
+         |pr AS (SELECT qid, qv, c_label, row_number() OVER (PARTITION BY qid
+         |    ORDER BY ${cosSql("cv", "qv")} DESC, c_label) AS rn FROM c, qs),
+         |prob AS (SELECT qid, qv, c_label AS list_id FROM pr WHERE rn <= 2),
+         |a AS (SELECT vec_id, c_label, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ${cosSql("v", "cv")} DESC, c_label) AS rn FROM e CROSS JOIN c),
+         |asg AS (SELECT vec_id, c_label AS list_id FROM a WHERE rn = 1),
+         |cand AS (SELECT prob.qid, e.vec_id, asg.list_id,
+         |   round(${cosSql("e.v", "prob.qv")}, 4) AS score
+         |  FROM e JOIN asg ON e.vec_id = asg.vec_id
+         |  JOIN prob ON asg.list_id = prob.list_id
+         |  WHERE e.vec_id <> prob.qid),
+         |rk AS (SELECT qid, vec_id, list_id, score, row_number() OVER (
+         |  PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM cand)
+         |SELECT qid, CAST(rank AS INT) AS rank, vec_id,
+         | CAST(list_id AS BIGINT) AS list_id, score
+         |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "text_quality" ->
       s"""WITH q AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m, $toks AS toks,
          |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,

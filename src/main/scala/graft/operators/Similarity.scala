@@ -234,6 +234,43 @@ object Similarity {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** F8d: BATCH IVF ANN — the production shape of F8b: N queries resolved
+    * at once against the PERSISTED index, no per-query driver roundtrip.
+    * Probe selection is a tiny (queries × lists) broadcast cross join
+    * ranked per query; the candidate fetch is ONE relational join of the
+    * probe pairs against the persisted inverted lists on `list_id` — the
+    * layout's partition key, so at 100 TB each query's candidates come
+    * from its nprobe partitions and the whole batch amortizes one scan.
+    * Top-k per query = one partitioned window over candidates only.
+    * Deterministic end-to-end ⇒ full oracle. */
+  def ivfAnnBatch(spark: SparkSession, dir: String, k: Int = 5, nprobe: Int = 2,
+      queryMod: Long = 100L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val (listsPath, cents) = ivfIndex(spark, dir)
+    val centsDf = cents.toDF("c_label", "cv")
+      .select(col("c_label"), col("cv").cast("array<double>").as("cv"))
+    val queries = vectors(spark, dir).filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(Vec.cosine(col("qv"), col("cv")).desc, col("c_label"))
+    val probes = queries.crossJoin(broadcast(centsDf))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("qv"), col("c_label").as("list_id"))
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("vec_id"))
+    ivfLists(spark, listsPath)
+      .join(probes, Seq("list_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("score", round(Vec.cosine(col("v"), col("qv")), 4))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"),
+        col("list_id").cast("long").as("list_id"), col("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** F8b: IVF (inverted-file) ANN — the other standard scale path.
     * Coarse quantizer: per-cluster centroids (mean, computed distributed
     * via posexplode + partial agg); each vector is assigned to its nearest

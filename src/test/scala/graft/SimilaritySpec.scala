@@ -74,6 +74,23 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(scores.toSeq == scores.sorted.reverse.toSeq, "scores must be descending")
   }
 
+  test("batch ivf ann equals the single-query path for every query in the batch") {
+    // the batch form must be a pure re-plumbing (probe pairs + one join
+    // against the persisted lists), not a semantic variant: per query,
+    // identical ranked candidates to the one-query operator
+    val batch = Similarity.ivfAnnBatch(spark, sfDir, k = 5, nprobe = 2, queryMod = 10L)
+      .collect().groupBy(_.getLong(0))
+      .map { case (qid, rows) =>
+        qid -> rows.sortBy(_.getInt(1)).map(r => (r.getLong(2), r.getDouble(4))).toSeq
+      }
+    assert(batch.size > 1, "need several queries for the batch to mean anything")
+    for ((qid, expected) <- batch) {
+      val single = Similarity.ivfAnn(spark, sfDir, queryId = qid, k = 5, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      assert(single == expected, s"query $qid: batch=$expected single=$single")
+    }
+  }
+
   test("neardup_cosine refuses an over-budget corpus and names the scale path") {
     // in budget: runs (the oracle covers the output); over budget (a
     // budget below this corpus's own pair count = the planted oversized

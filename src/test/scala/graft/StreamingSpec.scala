@@ -130,4 +130,31 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       assert(streamed("a").sum > 0)
     } finally q.stop()
   }
+
+  test("quantile sketch under incremental execution equals the batch sketch") {
+    // same contract as the CMS case: micro-batch partials merged through
+    // the state store must reproduce the one-shot histogram exactly
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.QuantileAggregate
+    val mem = MemoryStream[(String, Double)]
+    val stream = mem.toDF().toDF("grp", "v")
+    val q = stream.groupBy(col("grp"))
+      .agg(QuantileAggregate.quantileSketch(spark, col("v"), 0.0, 100.0).as("sketch"))
+      .writeStream.outputMode("complete").format("memory").queryName("g6_out").start()
+    try {
+      val batches = Seq(
+        (0 until 300).map(i => ("a", (i % 97).toDouble)) ++
+          (0 until 80).map(i => ("b", (i % 11).toDouble)),
+        (0 until 150).map(i => ("a", (i % 53).toDouble)),
+        (0 until 40).map(i => ("b", (i * 2.5) % 100)))
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val streamed = spark.table("g6_out").collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      val batch = batches.flatten.toDF("grp", "v").groupBy(col("grp"))
+        .agg(QuantileAggregate.quantileSketch(spark, col("v"), 0.0, 100.0).as("sketch"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(streamed == batch)
+      assert(streamed("a").sum == 450L, "every value lands in a bin")
+    } finally q.stop()
+  }
 }
