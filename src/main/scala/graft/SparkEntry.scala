@@ -116,6 +116,9 @@ object SparkEntry {
     "text_tokens"            -> TextAnalysis.tokenCount _,
     "text_topterms"          -> ((s: SparkSession, d: String) => TextAnalysis.topTerms(s, d)),
     "sample_split"           -> TextAnalysis.datasetSplit _,
+    "dedup_incremental"      -> Dedup.dedupIncremental _,
+    "text_pack_chunks"       -> ((s: SparkSession, d: String) => TextAnalysis.packChunks(s, d)),
+    "text_contamination"     -> ((s: SparkSession, d: String) => TextAnalysis.contamination(s, d)),
     "text_tfidf"             -> ((s: SparkSession, d: String) => TextAnalysis.tfidf(s, d)),
     "text_lm_score"          -> TextAnalysis.lmScore _,
     "sample_stratified"      -> ((s: SparkSession, d: String) => TextAnalysis.stratifiedSample(s, d)),
@@ -794,6 +797,47 @@ object SparkEntry {
          | FROM documents)
          |SELECT fp AS fingerprint, count(*) AS n_docs, min(doc_id) AS keeper
          |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same F2 fingerprint, same batch/corpus split, same first-wins rule
+    "dedup_incremental" ->
+      s"""WITH f AS (SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS fp
+         | FROM documents),
+         |c AS (SELECT DISTINCT fp FROM f WHERE doc_id % 5 <> 0),
+         |b AS (SELECT f.doc_id, f.fp, (c.fp IS NOT NULL) AS in_corpus,
+         |  row_number() OVER (PARTITION BY f.fp ORDER BY f.doc_id) AS rn
+         | FROM f LEFT JOIN c ON f.fp = c.fp WHERE f.doc_id % 5 = 0),
+         |s AS (SELECT doc_id,
+         |  CASE WHEN in_corpus THEN 'dup_of_corpus'
+         |       WHEN rn > 1 THEN 'dup_in_batch' ELSE 'novel' END AS status FROM b)
+         |SELECT status, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS doc_checksum
+         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    // identical corpus-order running token sum → fixed-capacity packs
+    "text_pack_chunks" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tok FROM documents),
+         |s AS (SELECT doc_id, n_tok,
+         |  sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok AS start
+         | FROM d)
+         |SELECT CAST(floor(start / 2048) AS BIGINT) AS pack_id, count(*) AS n_docs,
+         | CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same word-5-gram sets, same benchmark split, per-benchmark-item report
+    "text_contamination" ->
+      s"""WITH q AS (SELECT doc_id, $toks AS toks FROM documents),
+         |g AS (SELECT DISTINCT doc_id, gram FROM (
+         |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 5
+         |    THEN [array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)), ' ')
+         |          for i in range(1, len(toks) - 3)]
+         |    ELSE [] END) AS gram FROM q)),
+         |b AS (SELECT doc_id AS bench_doc, gram FROM g WHERE doc_id % 97 = 0),
+         |c AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0),
+         |h AS (SELECT bench_doc, count(DISTINCT c.doc_id) AS n_contaminated_docs,
+         |  count(*) AS n_gram_hits FROM b JOIN c USING (gram) GROUP BY 1)
+         |SELECT bd.bench_doc,
+         | CAST(coalesce(n_contaminated_docs, 0) AS BIGINT) AS n_contaminated_docs,
+         | CAST(coalesce(n_gram_hits, 0) AS BIGINT) AS n_gram_hits
+         |FROM (SELECT DISTINCT bench_doc FROM b) bd LEFT JOIN h USING (bench_doc)
+         |ORDER BY 1""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $jaccardPairsCte
          |SELECT d1, d2, lang, jaccard FROM p WHERE jaccard >= 0.82 ORDER BY d1, d2""".stripMargin,

@@ -47,6 +47,48 @@ object Dedup {
       .orderBy(col("fingerprint"))
   }
 
+  /** F24: incremental dedup — a NEW crawl batch deduplicated against the
+    * EXISTING corpus (the steady-state shape of production dedup: the
+    * corpus is deduped once; every new batch needs only batch×corpus and
+    * batch×batch checks, never a full-corpus self-join). Fingerprints are
+    * F2's sorted-distinct-token md5. Batch docs classify as
+    * `dup_of_corpus` (fingerprint already in the corpus — dropped),
+    * `dup_in_batch` (first occurrence in the batch wins), or `novel`.
+    * One broadcast of the corpus fingerprint set (at 100 TB: a bloom of
+    * corpus fingerprints, E23's pattern, then exact-verify the survivors);
+    * rollup with doc-id checksums proves the partition is lossless. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val fp = md5(array_join(array_sort(array_distinct(
+      TextAnalysis.tokens(col("text")))), " ").cast("binary"))
+    val docs = t.documents.select(col("doc_id"), fp.as("fp"))
+    // the modeled split: every 5th doc arrives in the new batch
+    classifyBatch(
+      corpus = docs.filter(col("doc_id") % 5 =!= 0),
+      batch = docs.filter(col("doc_id") % 5 === 0))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("doc_checksum"))
+      .orderBy(col("status"))
+  }
+
+  /** The classification core of F24, factored so specs can plant every
+    * status (both inputs: (doc_id, fp)): corpus hit > batch-internal dup
+    * (first doc_id wins) > novel. */
+  def classifyBatch(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpusFps = corpus.select(col("fp")).distinct().withColumn("in_corpus", lit(1))
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    batch.join(broadcast(corpusFps), Seq("fp"), "left")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("status",
+        when(col("in_corpus").isNotNull, "dup_of_corpus")
+          .when(col("rn") > 1, "dup_in_batch")
+          .otherwise("novel"))
+      .select(col("doc_id"), col("fp"), col("status"))
+  }
+
   /** F3: n-gram Jaccard near-dup pairs (J ≥ threshold, same lang,
     * |n_chars diff| ≤ 30).
     *

@@ -220,6 +220,71 @@ object TextAnalysis {
     * of the stable id (80/10/10). Pure per-row arithmetic: reproducible on
     * any engine, no RNG state, no shuffle; the split column can partition
     * the output write. */
+  /** F25: sequence packing — the final step before pretraining: documents
+    * concatenated in corpus order and cut into fixed token-capacity
+    * chunks (GPT-style packing with document straddling); each doc's
+    * pack is where its first token lands. The global running token sum
+    * uses A5's chunked prefix-sum scheme — per-chunk sums collected to
+    * the driver (≤ nChunks rows), prefix-summed, and added back to a
+    * window PARTITIONED by chunk, so no single-task global window at any
+    * scale. Per-pack rollup: docs started, token count, doc-id range. */
+  def packChunks(spark: SparkSession, dir: String, capacity: Long = 2048L,
+      nChunks: Int = 32): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val base = t.documents.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tok"))
+    val (minK, _, span) = graft.sources.Ingest.keySpace(base, "doc_id", nChunks)
+    val chunked = base.withColumn("chunk",
+      floor((col("doc_id") - minK) / span).cast("long"))
+    val counts = chunked.groupBy(col("chunk")).agg(sum(col("n_tok")).as("cnt"))
+      .orderBy(col("chunk")).collect()
+    var acc = 0L
+    val offs = counts.map { r => val o = (r.getLong(0), acc); acc += r.getLong(1); o }.toSeq
+    val offDf = offs.toDF("chunk", "chunk_off")
+    val wLocal = Window.partitionBy(col("chunk")).orderBy(col("doc_id"))
+    chunked.join(broadcast(offDf), Seq("chunk"))
+      .withColumn("start",
+        col("chunk_off") + sum(col("n_tok")).over(wLocal) - col("n_tok"))
+      .withColumn("pack_id", floor(col("start") / capacity).cast("long"))
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("pack_id"))
+  }
+
+  /** F26: benchmark-contamination screen — the eval-integrity pass every
+    * training corpus needs: flag corpus documents sharing verbatim word
+    * 5-grams with a benchmark set. Benchmark grams are few (broadcast);
+    * the corpus side is one distinct-gram explode; the report is per
+    * BENCHMARK item (how many corpus docs leak it, how many gram hits),
+    * including clean items — the shape an eval-decontamination run
+    * actually reports. */
+  def contamination(spark: SparkSession, dir: String, n: Int = 5,
+      benchMod: Long = 97L): DataFrame = {
+    val t = Tables(spark, dir)
+    val toks = tokens(col("text"))
+    val grams = when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val docGrams = t.documents.select(col("doc_id"), explode(grams).as("gram")).distinct()
+    val bench = docGrams.filter(col("doc_id") % benchMod === 0)
+      .select(col("doc_id").as("bench_doc"), col("gram"))
+    val corpus = docGrams.filter(col("doc_id") % benchMod =!= 0)
+    val hits = corpus.join(broadcast(bench), Seq("gram"))
+      .groupBy(col("bench_doc"))
+      .agg(countDistinct(col("doc_id")).as("n_contaminated_docs"),
+        count(lit(1)).as("n_gram_hits"))
+    bench.select(col("bench_doc")).distinct()
+      .join(hits, Seq("bench_doc"), "left")
+      .select(col("bench_doc"),
+        coalesce(col("n_contaminated_docs"), lit(0L)).as("n_contaminated_docs"),
+        coalesce(col("n_gram_hits"), lit(0L)).as("n_gram_hits"))
+      .orderBy(col("bench_doc"))
+  }
+
   def datasetSplit(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val bucket = pmod(col("doc_id") * 2654435761L, lit(1000L))

@@ -178,6 +178,22 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       s"${jobs.get()} jobs for $rounds rounds — an extra per-round action crept back in")
   }
 
+  test("incremental dedup classifies corpus hits, batch-internal dups, and novel docs") {
+    // corpus precedence over batch-internal: a fp in BOTH is dup_of_corpus
+    // for every batch holder; within the batch, the lowest doc_id wins
+    val corpus = Seq((1L, "fpA"), (2L, "fpB")).toDF("doc_id", "fp")
+    val batch = Seq(
+      (10L, "fpA"),              // corpus hit
+      (11L, "fpC"), (12L, "fpC"), // batch-internal: 11 novel, 12 dup
+      (13L, "fpD"),              // novel
+      (14L, "fpB"), (15L, "fpB")) // corpus hit BOTH (not dup_in_batch)
+      .toDF("doc_id", "fp")
+    val out = graft.operators.Dedup.classifyBatch(corpus, batch).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out == Map(10L -> "dup_of_corpus", 11L -> "novel", 12L -> "dup_in_batch",
+      13L -> "novel", 14L -> "dup_of_corpus", 15L -> "dup_of_corpus"), out.toString)
+  }
+
   test("fingerprint dedup collapses reordered near-duplicates") {
     val fp = (c: org.apache.spark.sql.Column) =>
       md5(array_join(array_sort(array_distinct(
