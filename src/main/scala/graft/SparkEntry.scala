@@ -119,6 +119,7 @@ object SparkEntry {
     "dedup_incremental"      -> Dedup.dedupIncremental _,
     "text_pack_chunks"       -> ((s: SparkSession, d: String) => TextAnalysis.packChunks(s, d)),
     "text_contamination"     -> ((s: SparkSession, d: String) => TextAnalysis.contamination(s, d)),
+    "text_repetition"        -> ((s: SparkSession, d: String) => TextAnalysis.repetition(s, d)),
     "text_tfidf"             -> ((s: SparkSession, d: String) => TextAnalysis.tfidf(s, d)),
     "text_lm_score"          -> TextAnalysis.lmScore _,
     "sample_stratified"      -> ((s: SparkSession, d: String) => TextAnalysis.stratifiedSample(s, d)),
@@ -838,6 +839,26 @@ object SparkEntry {
          | CAST(coalesce(n_gram_hits, 0) AS BIGINT) AS n_gram_hits
          |FROM (SELECT DISTINCT bench_doc FROM b) bd LEFT JOIN h USING (bench_doc)
          |ORDER BY 1""".stripMargin,
+    // same planted wire (every 10th doc self-concatenated), same 3-gram
+    // construction, same dup-fraction arithmetic per row
+    "text_repetition" ->
+      s"""WITH w AS (SELECT doc_id, lang,
+         |  CASE WHEN doc_id % 10 = 0 THEN text || ' ' || text ELSE text END AS text
+         | FROM documents),
+         |q AS (SELECT doc_id, lang, $toks AS toks FROM w),
+         |g AS (SELECT doc_id, lang, CASE WHEN len(toks) >= 3
+         |    THEN [array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 2 AS INT)), ' ')
+         |          for i in range(1, len(toks) - 1)]
+         |    ELSE [] END AS gs FROM q),
+         |m AS (SELECT doc_id, lang, CAST(len(gs) AS BIGINT) AS n_grams,
+         |  CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct FROM g),
+         |r AS (SELECT doc_id, lang, n_grams, n_distinct,
+         |  round(CASE WHEN n_grams > 0
+         |    THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_grams ELSE 0.0 END, 4) AS dup_ratio
+         | FROM m)
+         |SELECT doc_id, lang, n_grams, n_distinct, dup_ratio,
+         | CAST(CASE WHEN dup_ratio >= 0.2 THEN 1 ELSE 0 END AS INT) AS flagged
+         |FROM r ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $jaccardPairsCte
          |SELECT d1, d2, lang, jaccard FROM p WHERE jaccard >= 0.82 ORDER BY d1, d2""".stripMargin,

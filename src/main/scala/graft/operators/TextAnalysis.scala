@@ -285,6 +285,36 @@ object TextAnalysis {
       .orderBy(col("bench_doc"))
   }
 
+  /** F27: repetition filter (the Gopher/MassiveText repetition rules):
+    * fraction of duplicated word 3-grams per document — templated or
+    * looping text scores high and gets flagged. Pure per-row array
+    * arithmetic (no shuffle, no explode): dup fraction = 1 − distinct/total.
+    * The corpus has no organic repetition, so the wire plants it (every
+    * 10th doc arrives self-concatenated — the looping-template shape),
+    * same build-then-operate pattern as the PII/XML wires. */
+  def repetition(spark: SparkSession, dir: String, n: Int = 3,
+      flagAt: Double = 0.2): DataFrame = {
+    val t = Tables(spark, dir)
+    val wire = when(col("doc_id") % 10 === 0,
+      concat(col("text"), lit(" "), col("text"))).otherwise(col("text"))
+    val toks = tokens(wire)
+    val grams = when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    t.documents
+      .select(col("doc_id"), col("lang"), grams.as("g"))
+      .select(col("doc_id"), col("lang"),
+        size(col("g")).cast("long").as("n_grams"),
+        size(array_distinct(col("g"))).cast("long").as("n_distinct"))
+      .withColumn("dup_ratio", round(
+        when(col("n_grams") > 0,
+          lit(1.0) - col("n_distinct").cast("double") / col("n_grams"))
+          .otherwise(lit(0.0)), 4))
+      .withColumn("flagged", (col("dup_ratio") >= flagAt).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   def datasetSplit(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val bucket = pmod(col("doc_id") * 2654435761L, lit(1000L))
