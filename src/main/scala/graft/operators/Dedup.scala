@@ -35,14 +35,19 @@ object Dedup {
       .orderBy(col("grp"))
   }
 
+  /** F2's fingerprint: md5 over the sorted distinct token set — ONE
+    * definition shared with F24 so incremental dedup can never classify
+    * against a different fingerprint than the batch op. */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(TextAnalysis.tokens(text))), " ")
+      .cast("binary"))
+
   /** F2: fingerprint dedup — md5 over the sorted distinct token set, so
     * reordered / re-whitespaced copies collapse to one group. */
   def dedupFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val toks = TextAnalysis.tokens(col("text"))
     t.documents
-      .groupBy(md5(array_join(array_sort(array_distinct(toks)), " ")
-        .cast("binary")).as("fingerprint"))
+      .groupBy(fingerprint(col("text")).as("fingerprint"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
       .orderBy(col("fingerprint"))
   }
@@ -58,11 +63,8 @@ object Dedup {
     * corpus fingerprints, E23's pattern, then exact-verify the survivors);
     * rollup with doc-id checksums proves the partition is lossless. */
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val t = Tables(spark, dir)
-    val fp = md5(array_join(array_sort(array_distinct(
-      TextAnalysis.tokens(col("text")))), " ").cast("binary"))
-    val docs = t.documents.select(col("doc_id"), fp.as("fp"))
+    val docs = t.documents.select(col("doc_id"), fingerprint(col("text")).as("fp"))
     // the modeled split: every 5th doc arrives in the new batch
     classifyBatch(
       corpus = docs.filter(col("doc_id") % 5 =!= 0),

@@ -251,19 +251,24 @@ object Similarity {
     val centsDf = cents.toDF("c_label", "cv")
       .select(col("c_label"), col("cv").cast("array<double>").as("cv"))
     val queries = vectors(spark, dir).filter(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        Vec.norm(col("v")).as("qnrm")) // query norm once, not per candidate
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(Vec.cosine(col("qv"), col("cv")).desc, col("c_label"))
     val probes = queries.crossJoin(broadcast(centsDf))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nprobe)
-      .select(col("qid"), col("qv"), col("c_label").as("list_id"))
+      .select(col("qid"), col("qv"), col("qnrm"), col("c_label").as("list_id"))
     val wTop = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("vec_id"))
+    // candidate norms come from the index (nrm), query norms from above:
+    // same arithmetic as Vec.cosine (dot / (sqrt·sqrt)), a third of the
+    // per-candidate work on the op's hot path
     ivfLists(spark, listsPath)
       .join(probes, Seq("list_id"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("score", round(Vec.cosine(col("v"), col("qv")), 4))
+      .withColumn("score",
+        round(Vec.dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 4))
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id"),

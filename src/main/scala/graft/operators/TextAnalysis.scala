@@ -14,6 +14,16 @@ object TextAnalysis {
   def tokens(c: Column): Column =
     filter(split(lower(c), "\\s+"), t => length(t) > 0)
 
+  /** Word n-grams as space-joined strings — ONE builder shared by the
+    * contamination screen and the repetition filter (each with a matching
+    * hand-written oracle; a single definition keeps op and oracle pairs
+    * from drifting apart). */
+  def wordGrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
   private def hits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(lit): _*)))
 
@@ -216,10 +226,6 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_chars"), round(col("skey"), 6).as("sample_key"))
   }
 
-  /** F15: deterministic train/val/test split — multiplicative-hash bucket
-    * of the stable id (80/10/10). Pure per-row arithmetic: reproducible on
-    * any engine, no RNG state, no shuffle; the split column can partition
-    * the output write. */
   /** F25: sequence packing — the final step before pretraining: documents
     * concatenated in corpus order and cut into fixed token-capacity
     * chunks (GPT-style packing with document straddling); each doc's
@@ -264,12 +270,12 @@ object TextAnalysis {
   def contamination(spark: SparkSession, dir: String, n: Int = 5,
       benchMod: Long = 97L): DataFrame = {
     val t = Tables(spark, dir)
-    val toks = tokens(col("text"))
-    val grams = when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => array_join(slice(toks, i, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
-    val docGrams = t.documents.select(col("doc_id"), explode(grams).as("gram")).distinct()
+    // checkpoint: the explode+distinct subtree feeds three consumers
+    // (bench grams, corpus grams, the per-item report spine) — same
+    // convention as tfidf/lmScore's exploded intermediates
+    val docGrams = t.documents
+      .select(col("doc_id"), explode(wordGrams(tokens(col("text")), n)).as("gram"))
+      .distinct().localCheckpoint(true)
     val bench = docGrams.filter(col("doc_id") % benchMod === 0)
       .select(col("doc_id").as("bench_doc"), col("gram"))
     val corpus = docGrams.filter(col("doc_id") % benchMod =!= 0)
@@ -297,11 +303,7 @@ object TextAnalysis {
     val t = Tables(spark, dir)
     val wire = when(col("doc_id") % 10 === 0,
       concat(col("text"), lit(" "), col("text"))).otherwise(col("text"))
-    val toks = tokens(wire)
-    val grams = when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => array_join(slice(toks, i, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+    val grams = wordGrams(tokens(wire), n)
     t.documents
       .select(col("doc_id"), col("lang"), grams.as("g"))
       .select(col("doc_id"), col("lang"),
@@ -315,6 +317,10 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** F15: deterministic train/val/test split — multiplicative-hash bucket
+    * of the stable id (80/10/10). Pure per-row arithmetic: reproducible on
+    * any engine, no RNG state, no shuffle; the split column can partition
+    * the output write. */
   def datasetSplit(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val bucket = pmod(col("doc_id") * 2654435761L, lit(1000L))

@@ -78,7 +78,10 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     // the batch form must be a pure re-plumbing (probe pairs + one join
     // against the persisted lists), not a semantic variant: per query,
     // identical ranked candidates to the one-query operator
-    val batch = Similarity.ivfAnnBatch(spark, sfDir, k = 5, nprobe = 2, queryMod = 10L)
+    // queryMod picked for a handful of queries: per-query equality does
+    // not strengthen with more identical iterations, and each single-query
+    // run costs two driver actions
+    val batch = Similarity.ivfAnnBatch(spark, sfDir, k = 5, nprobe = 2, queryMod = 20L)
       .collect().groupBy(_.getLong(0))
       .map { case (qid, rows) =>
         qid -> rows.sortBy(_.getInt(1)).map(r => (r.getLong(2), r.getDouble(4))).toSeq
