@@ -270,12 +270,14 @@ object TextAnalysis {
   def contamination(spark: SparkSession, dir: String, n: Int = 5,
       benchMod: Long = 97L): DataFrame = {
     val t = Tables(spark, dir)
-    // checkpoint: the explode+distinct subtree feeds three consumers
-    // (bench grams, corpus grams, the per-item report spine) — same
-    // convention as tfidf/lmScore's exploded intermediates
+    // distinct (doc, gram) = per-row array_distinct BEFORE the explode —
+    // the same set with NO global distinct shuffle; checkpointed because
+    // the subtree feeds three consumers (bench grams, corpus grams, the
+    // per-item report spine), same convention as tfidf/lmScore
     val docGrams = t.documents
-      .select(col("doc_id"), explode(wordGrams(tokens(col("text")), n)).as("gram"))
-      .distinct().localCheckpoint(true)
+      .select(col("doc_id"),
+        explode(array_distinct(wordGrams(tokens(col("text")), n))).as("gram"))
+      .localCheckpoint(true)
     val bench = docGrams.filter(col("doc_id") % benchMod === 0)
       .select(col("doc_id").as("bench_doc"), col("gram"))
     val corpus = docGrams.filter(col("doc_id") % benchMod =!= 0)
