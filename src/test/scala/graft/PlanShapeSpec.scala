@@ -62,6 +62,34 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(df.count() == 3)
   }
 
+  test("xml gate: single codegen'd pass, no shuffle before the partial agg") {
+    val df = SparkEntry.queries("etl_xml_validate")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_"), s"no map-side combine:\n$p")
+    assert(!p.contains("BatchEvalPython") && p.contains("*("),
+      s"gate predicates fell out of whole-stage codegen:\n$p")
+    // only the agg shuffle + the output-sort range exchange — the
+    // occurrence counting itself must be per-row, shuffle-free. Count in
+    // the FINAL adaptive plan only (the string repeats the initial plan).
+    val finalPlan = p.split("== Initial Plan ==").head.replace("AQEShuffleRead", "")
+    val exchanges = "Exchange".r.findAllIn(finalPlan).size
+    assert(exchanges <= 2, s"unexpected shuffles in a per-row gate:\n$p")
+  }
+
+  test("batch ivf: probe pairs broadcast, candidates never cartesian") {
+    val df = graft.operators.Similarity.ivfAnnBatch(spark, sfDir, queryMod = 20L)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the (queries × lists) probe-selection cross join is the TINY side —
+    // it must arrive broadcast at the candidate join, and the big lists
+    // scan must never appear under a cartesian/nested-loop product
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"probe side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"candidate fetch degenerated to a cartesian product:\n$p")
+  }
+
   test("ivf query probes the persisted lists via partition pruning") {
     // the index is a one-time layout; a query's scan must carry the
     // list_id PartitionFilters (probe nprobe directories, not the corpus)
