@@ -49,4 +49,25 @@ object PipelineDemo {
          |}""".stripMargin
     Pipeline.run(spark, PipelineCfg.fromJson(json))
   }
+
+  /** Config-driven OGC SERVICE source (download_ogc.py): the pipeline
+    * discovers the service's collections, verifies every next-link page
+    * chain, lands records only from chain-complete collections, and
+    * stages each collection under its own (safe-named) target — the A12
+    * sweep reachable declaratively, same per-layer reconcile as the
+    * archive path. */
+  def runOgc(spark: SparkSession, dir: String): DataFrame = {
+    val wire = "/root/repo/target/graft_ogc_wire"
+    val (service, pages) = graft.sources.Ingest.buildOgcWire(spark, dir)
+    service.write.mode("overwrite").parquet(s"$wire/service")
+    pages.write.mode("overwrite").parquet(s"$wire/pages")
+    val json =
+      s"""{
+         |  "sources": [
+         |    {"name": "ogc_collections", "path": "$wire", "format": "ogc"}
+         |  ],
+         |  "load": {"target": "/root/repo/target/graft_pipeline_ogc", "mode": "truncate"}
+         |}""".stripMargin
+    Pipeline.run(spark, PipelineCfg.fromJson(json))
+  }
 }

@@ -95,6 +95,7 @@ object SparkEntry {
     "q_bloom_prune_join"     -> Relational.qBloomPruneJoin _,
     "pipeline_e2e"           -> (PipelineDemo.run _),
     "pipeline_archive"       -> (PipelineDemo.runArchive _),
+    "pipeline_ogc"           -> (PipelineDemo.runOgc _),
     // F — LLM-training-data operators
     "dedup_exact"            -> Dedup.dedupExact _,
     "dedup_fingerprint"      -> Dedup.dedupFingerprint _,
@@ -787,6 +788,15 @@ object SparkEntry {
         |  trim(regexp_replace(lower(n_name), '[^a-z0-9]+', '_', 'g'), '_') AS source,
         | count(*) AS rows_loaded
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // config-staged OGC sweep: one summary row per discovered collection
+    // under its sanitized name, counts = that nation's customers (every
+    // chain intact on this wire, so every collection lands completely)
+    "pipeline_ogc" ->
+      """SELECT 'ogc_collections/' ||
+        |  trim(regexp_replace(lower(n_name), '[^a-z0-9]+', '_', 'g'), '_') AS source,
+        | count(*) AS rows_loaded
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_exact" ->

@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
 case class SourceCfg(
     name: String,
     path: String,
-    format: String = "parquet",      // parquet | csv | json | archive
+    format: String = "parquet",      // parquet | csv | json | archive | ogc
     enabled: Boolean = true,
     where: Option[String] = None,    // staged-row filter (reference: bbox/where params)
     select: Option[Seq[String]] = None,
@@ -92,6 +92,15 @@ object Pipeline {
         // so each layer can be loaded under its own target directory.
         graft.sources.Ingest.unpackRecords(spark.read.parquet(src.path))
           .withColumn("layer_name", graft.operators.Staging.safeName(col("layer_name")))
+      case "ogc" =>
+        // OGC service source (download_ogc.py): `$path/service` holds the
+        // /collections document, `$path/pages` the paged responses;
+        // discover → verify every next-link chain → land records ONLY
+        // from chain-complete collections, each staged as its own layer
+        graft.sources.Ingest.stageOgcRecords(
+            spark.read.parquet(s"${src.path}/service"),
+            spark.read.parquet(s"${src.path}/pages"))
+          .withColumn("layer_name", graft.operators.Staging.safeName(col("layer_name")))
       case _      => spark.read.parquet(src.path)
     }
     val swept = src.oidSweep match {
@@ -158,6 +167,9 @@ object Pipeline {
         if (cfg.steps.process) geoprocess(stage(spark, src), gp)
         else stage(spark, src)
       val finalDf = if (cfg.sanitizeNames) sanitize(staged) else staged
+      // layered formats stage DISCOVERED layers (container layers, OGC
+      // collections) — each loads under its own directory
+      val layered = src.format == "archive" || src.format == "ogc"
       // per-layer reconciliation helper for container sources: one metrics
       // row per DISCOVERED layer (stage_files.py stages each layer as its
       // own feature class; monitoring counts each separately). The collect
@@ -176,7 +188,7 @@ object Pipeline {
           // it also keeps a zero-row partitioned archive write (which
           // leaves an unreadable schema-less directory) from ever running.
           if (finalDf.isEmpty) Seq((src.name, 0L))
-          else if (src.format == "archive") {
+          else if (layered) {
             // ONE distributed write; partitionBy gives every discovered
             // layer its own target directory (no per-layer driver loop)
             finalDf.write.mode(writeMode).partitionBy("layer_name").parquet(path)
@@ -186,7 +198,7 @@ object Pipeline {
             Seq((src.name, spark.read.parquet(path).count()))
           }
         case _ =>
-          if (src.format == "archive") {
+          if (layered) {
             // an all-empty container must still be visible to monitoring
             val layers = perLayer(finalDf)
             if (layers.isEmpty) Seq((src.name, 0L)) else layers

@@ -318,36 +318,23 @@ object Ingest {
       .orderBy(col("l_returnflag"))
   }
 
-  /** A12: OGC collection discovery + next-link paging sweep
-    * (download_ogc.py:171 `discover_collections` enumerates a service's
-    * collections; :346 `_find_next_link` follows each page's `rel=next`
-    * link until exhausted; the reference ingests N discovered collections
-    * per source). Modeled end-to-end: the wire is ONE service document
-    * listing the collections plus one JSON FeatureCollection page per
-    * (collection, page) with `numberReturned` and OGC-style `links`.
-    * The operator under test (a) parses the service doc and DISCOVERS the
-    * collections, (b) parses every page, (c) verifies the next-link chain
-    * declaratively — each page's `rel=next` href must equal the following
-    * page's address (a lag window per collection; a missing or duplicated
-    * page breaks the chain), (d) explodes features to land items, and
-    * (e) reconciles per discovered collection: page count, landed items
-    * vs the pages' own `numberReturned` total, key checksum. `complete`
-    * proves every discovered collection landed exactly once — the
-    * sequential link-following protocol becomes one distributed parse +
-    * two partitioned windows, no driver loop. */
   /** The one page-address format, shared by the wire builder AND the
     * chain verifier so the two can never drift apart. */
   private def pageHref(cid: Column, page: Column): Column =
     concat(lit("/collections/"), cid, lit("/items?page="), page)
 
-  def ogcCollections(spark: SparkSession, dir: String, pageSize: Int = 7): DataFrame = {
+  /** The OGC wire a service would deliver: ONE /collections document
+    * listing the collections, plus one JSON FeatureCollection page per
+    * (collection, page) with `numberReturned` and OGC-style `links`
+    * (`rel=next` on every page but the last). Deterministic, built from
+    * the ground-truth tables. Returns (serviceDoc, pageWire). */
+  def buildOgcWire(spark: SparkSession, dir: String,
+      pageSize: Int = 7): (DataFrame, DataFrame) = {
     val t = Tables(spark, dir)
-    // --- wire: the service /collections document -----------------------
     val serviceDoc = t.nation
       .agg(to_json(struct(lit("graft-ogc").as("service"),
         array_sort(collect_list(struct(col("n_name").as("id")))).as("collections")))
         .as("doc"))
-    // --- wire: one FeatureCollection page per (collection, page) -------
     val paged = t.customer.join(t.nation, col("c_nationkey") === col("n_nationkey"))
       .select(col("n_name").as("cid"), col("c_custkey").cast("long").as("custkey"))
       .withColumn("rn", row_number().over(
@@ -367,14 +354,25 @@ object Ingest {
           array(selfLink,
             struct(lit("next").as("rel"), pageHref(col("cid"), col("page_no") + 1).as("href"))))
           .otherwise(array(selfLink)).as("links"))).as("page_json"))
-    // --- operator under test: discover → verify chain → land → reconcile
+    (serviceDoc, pageWire)
+  }
+
+  /** Parse the service /collections document → one row per DISCOVERED
+    * collection id (download_ogc.py:171 `discover_collections`). */
+  def parseService(serviceDoc: DataFrame): DataFrame = {
     val svcSchema = StructType(Seq(
       StructField("service", StringType),
       StructField("collections", ArrayType(StructType(Seq(
         StructField("id", StringType)))))))
-    val discovered = serviceDoc
+    serviceDoc
       .select(from_json(col("doc"), svcSchema).as("svc"))
       .select(explode(col("svc.collections.id")).as("cid"))
+  }
+
+  /** Parse the page wire with schema-on-read → (cid, page_no, nret,
+    * features, next_href) — the `rel=next` link extracted per page
+    * (download_ogc.py:346 `_find_next_link`). */
+  def parsePages(pageWire: DataFrame): DataFrame = {
     val pageSchema = StructType(Seq(
       StructField("collection", StringType), StructField("page", LongType),
       StructField("numberReturned", LongType),
@@ -382,12 +380,49 @@ object Ingest {
         StructField("custkey", LongType))))),
       StructField("links", ArrayType(StructType(Seq(
         StructField("rel", StringType), StructField("href", StringType)))))))
-    val parsed = pageWire.select(from_json(col("page_json"), pageSchema).as("p"))
+    pageWire.select(from_json(col("page_json"), pageSchema).as("p"))
       .select(col("p.collection").as("cid"), col("p.page").as("page_no"),
         col("p.numberReturned").as("nret"), col("p.features").as("features"),
         try_element_at(filter(col("p.links"), l => l.getField("rel") === lit("next")), lit(1))
           .getField("href").as("next_href"))
-    sweepPages(discovered, parsed)
+  }
+
+  /** A12: OGC collection discovery + next-link paging sweep
+    * (download_ogc.py:171 `discover_collections` enumerates a service's
+    * collections; :346 `_find_next_link` follows each page's `rel=next`
+    * link until exhausted; the reference ingests N discovered collections
+    * per source). The operator (a) parses the service doc and DISCOVERS
+    * the collections, (b) parses every page, (c) verifies the next-link
+    * chain declaratively — each page's `rel=next` href must equal the
+    * following page's address (a lag window per collection; a missing or
+    * duplicated page breaks the chain), (d) explodes features to land
+    * items, and (e) reconciles per discovered collection: page count,
+    * landed items vs the pages' own `numberReturned` total, key checksum.
+    * `complete` proves every discovered collection landed exactly once —
+    * the sequential link-following protocol becomes one distributed
+    * parse + two partitioned windows, no driver loop. */
+  def ogcCollections(spark: SparkSession, dir: String, pageSize: Int = 7): DataFrame = {
+    val (serviceDoc, pageWire) = buildOgcWire(spark, dir, pageSize)
+    sweepPages(parseService(serviceDoc), parsePages(pageWire))
+  }
+
+  /** Record-level staging of an OGC sweep — the config-path entry
+    * ([[graft.config.Pipeline.stage]] `format: "ogc"`): discover, verify
+    * every collection's chain, then land records ONLY from collections
+    * whose sweep reconciled (`complete`) — a collection whose paging
+    * broke stages nothing and is re-fetched next run (the declarative
+    * analogue of the reference's per-collection retry), instead of
+    * loading a silently-truncated layer. Output one row per record:
+    * (layer_name, rec). */
+  def stageOgcRecords(serviceDoc: DataFrame, pageWire: DataFrame): DataFrame = {
+    val discovered = parseService(serviceDoc)
+    val parsed = parsePages(pageWire)
+    val complete = sweepPages(discovered, parsed)
+      .filter(col("complete") && col("n_pages") > 0)
+      .select(col("collection_id").as("cid"))
+    parsed.join(complete, Seq("cid"), "left_semi")
+      .select(col("cid").as("layer_name"), explode(col("features")).as("f"))
+      .select(col("layer_name"), col("f.custkey").as("rec"))
   }
 
   /** The sweep/reconcile core of A12, factored so specs can feed it a

@@ -104,6 +104,28 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       s"each layer must land in its own partition directory: $dirs")
   }
 
+  test("ogc staging lands only chain-complete collections") {
+    // drop one collection's middle page from the wire: that collection's
+    // next-link chain breaks, so it must stage ZERO records (re-fetched
+    // next run) while every intact collection lands in full
+    import org.apache.spark.sql.functions._
+    val (service, pages) = graft.sources.Ingest.buildOgcWire(spark, sfDir, pageSize = 3)
+    val victim = graft.sources.Ingest.parsePages(pages)
+      .groupBy(col("cid")).count().filter(col("count") >= 2)
+      .orderBy(col("cid")).head().getString(0)
+    val broken = pages.filter(
+      !col("page_json").contains(s""""collection":"$victim","page":1,"""))
+    val staged = graft.sources.Ingest.stageOgcRecords(service, broken)
+      .groupBy(col("layer_name")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!staged.contains(victim), s"broken collection must stage nothing: $staged")
+    val truth = graft.sources.Ingest.stageOgcRecords(service, pages)
+      .groupBy(col("layer_name")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(truth.contains(victim), "victim must land when the wire is intact")
+    assert((truth - victim) == staged, "intact collections must land in full")
+  }
+
   test("empty staged sources are skipped, not loaded as empty targets") {
     // process.py skips zero-feature outputs: the summary still reports the
     // source (0 rows) but no target directory is created for it
