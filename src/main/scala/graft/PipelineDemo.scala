@@ -70,4 +70,22 @@ object PipelineDemo {
          |}""".stripMargin
     Pipeline.run(spark, PipelineCfg.fromJson(json))
   }
+
+  /** Config-listed WFS typename sweep (download_wfs.py:176
+    * `download_wfs_service`: the config names N typed layers to pull from
+    * one service; each stages as its own feature class). The typename
+    * set comes from the CONFIG document — the third layered-source shape
+    * next to data-discovered container layers and OGC collections. */
+  def runWfs(spark: SparkSession, dir: String): DataFrame = {
+    val json =
+      s"""{
+         |  "sources": [
+         |    {"name": "wfs_segments", "path": "$dir/customer.parquet",
+         |     "typenameColumn": "c_mktsegment",
+         |     "typenames": ["BUILDING", "MACHINERY", "AUTOMOBILE"]}
+         |  ],
+         |  "load": {"target": "/root/repo/target/graft_pipeline_wfs", "mode": "truncate"}
+         |}""".stripMargin
+    Pipeline.run(spark, PipelineCfg.fromJson(json))
+  }
 }

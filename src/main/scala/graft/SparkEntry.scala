@@ -96,6 +96,7 @@ object SparkEntry {
     "pipeline_e2e"           -> (PipelineDemo.run _),
     "pipeline_archive"       -> (PipelineDemo.runArchive _),
     "pipeline_ogc"           -> (PipelineDemo.runOgc _),
+    "pipeline_wfs"           -> (PipelineDemo.runWfs _),
     // F — LLM-training-data operators
     "dedup_exact"            -> Dedup.dedupExact _,
     "dedup_fingerprint"      -> Dedup.dedupFingerprint _,
@@ -797,6 +798,13 @@ object SparkEntry {
         |  trim(regexp_replace(lower(n_name), '[^a-z0-9]+', '_', 'g'), '_') AS source,
         | count(*) AS rows_loaded
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // config-listed typename sweep: one row per requested typed layer
+    "pipeline_wfs" ->
+      """SELECT 'wfs_segments/' || lower(c_mktsegment) AS source,
+        | count(*) AS rows_loaded
+        |FROM customer
+        |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_exact" ->

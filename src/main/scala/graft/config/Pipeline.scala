@@ -21,6 +21,12 @@ case class SourceCfg(
     select: Option[Seq[String]] = None,
     // OID-sweep ingest (download_rest.py use_oid_sweep): ranged parallel read
     oidSweep: Option[OidSweepCfg] = None,
+    // WFS multi-typename sweep (download_wfs.py:176 download_wfs_service:
+    // a CONFIG-listed set of typed layers pulled from one service, each
+    // staged as its own feature class — unlike archive/ogc, the layer set
+    // comes from the config document, not from the data)
+    typenames: Option[Seq[String]] = None,
+    typenameColumn: Option[String] = None,
     // per-source geoprocess override, field-merged over the global policy
     // (config.py:105 _apply_bbox_inheritance: a source-level value always
     // wins; unset fields inherit the defaults)
@@ -118,7 +124,16 @@ object Pipeline {
         }.reduce(_ union _)
       case None => raw
     }
-    val selected = src.select.map(cols => swept.select(cols.map(col): _*)).getOrElse(swept)
+    // config-listed typename sweep: keep ONLY the requested typed layers
+    // and tag each row with its (sanitized) layer so the layered load
+    // path stages every typename under its own target
+    val typed = (src.typenames, src.typenameColumn) match {
+      case (Some(names), Some(column)) =>
+        swept.filter(col(column).isin(names: _*))
+          .withColumn("layer_name", graft.operators.Staging.safeName(col(column)))
+      case _ => swept
+    }
+    val selected = src.select.map(cols => typed.select(cols.map(col): _*)).getOrElse(typed)
     src.where.map(selected.filter).getOrElse(selected)
   }
 
@@ -167,9 +182,10 @@ object Pipeline {
         if (cfg.steps.process) geoprocess(stage(spark, src), gp)
         else stage(spark, src)
       val finalDf = if (cfg.sanitizeNames) sanitize(staged) else staged
-      // layered formats stage DISCOVERED layers (container layers, OGC
-      // collections) — each loads under its own directory
-      val layered = src.format == "archive" || src.format == "ogc"
+      // layered sources stage one target per layer: DISCOVERED layers
+      // (container layers, OGC collections) or CONFIG-listed typenames
+      val layered = src.format == "archive" || src.format == "ogc" ||
+        src.typenames.isDefined
       // per-layer reconciliation helper for container sources: one metrics
       // row per DISCOVERED layer (stage_files.py stages each layer as its
       // own feature class; monitoring counts each separately). The collect

@@ -126,6 +126,23 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert((truth - victim) == staged, "intact collections must land in full")
   }
 
+  test("config-listed typenames stage each typed layer under its own target") {
+    // download_wfs.py multi-typename semantics: the CONFIG names the
+    // layers; rows outside the requested set never stage
+    val out = PipelineDemo.runWfs(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = spark.read.parquet(s"$sfDir/customer.parquet")
+      .filter(org.apache.spark.sql.functions.col("c_mktsegment")
+        .isin("BUILDING", "MACHINERY", "AUTOMOBILE"))
+      .groupBy("c_mktsegment").count().collect()
+      .map(r => s"wfs_segments/${r.getString(0).toLowerCase}" -> r.getLong(1)).toMap
+    assert(out == truth, s"$out vs $truth")
+    val dirs = new java.io.File("/root/repo/target/graft_pipeline_wfs/wfs_segments")
+      .listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("layer_name=building", "layer_name=machinery", "layer_name=automobile"),
+      s"each typename must land in its own partition directory: $dirs")
+  }
+
   test("empty staged sources are skipped, not loaded as empty targets") {
     // process.py skips zero-feature outputs: the summary still reports the
     // source (0 rows) but no target directory is created for it
