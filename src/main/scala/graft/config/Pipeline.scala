@@ -126,16 +126,31 @@ object Pipeline {
     }
     // config-listed typename sweep: keep ONLY the requested typed layers
     // and tag each row with its (sanitized) layer so the layered load
-    // path stages every typename under its own target
+    // path stages every typename under its own target. Half-specified
+    // configs fail HERE with a clear message, not at the partitioned
+    // write with a missing-column error.
+    require(src.typenames.isDefined == src.typenameColumn.isDefined,
+      s"source '${src.name}': typenames and typenameColumn must be set together")
     val typed = (src.typenames, src.typenameColumn) match {
       case (Some(names), Some(column)) =>
         swept.filter(col(column).isin(names: _*))
           .withColumn("layer_name", graft.operators.Staging.safeName(col(column)))
       case _ => swept
     }
-    val selected = src.select.map(cols => typed.select(cols.map(col): _*)).getOrElse(typed)
+    // a select on a layered source must keep the synthetic layer column —
+    // the user cannot be expected to list an internally-generated name
+    val selected = src.select.map { cols =>
+      val keep = if (isLayered(src) && !cols.contains("layer_name"))
+        cols :+ "layer_name" else cols
+      typed.select(keep.map(col): _*)
+    }.getOrElse(typed)
     src.where.map(selected.filter).getOrElse(selected)
   }
+
+  /** Layered sources stage one target per layer: DISCOVERED layers
+    * (container layers, OGC collections) or CONFIG-listed typenames. */
+  def isLayered(src: SourceCfg): Boolean =
+    src.format == "archive" || src.format == "ogc" || src.typenames.isDefined
 
   def geoprocess(df: DataFrame, gp: GeoprocessCfg): DataFrame =
     if (!gp.enabled) df
@@ -182,10 +197,7 @@ object Pipeline {
         if (cfg.steps.process) geoprocess(stage(spark, src), gp)
         else stage(spark, src)
       val finalDf = if (cfg.sanitizeNames) sanitize(staged) else staged
-      // layered sources stage one target per layer: DISCOVERED layers
-      // (container layers, OGC collections) or CONFIG-listed typenames
-      val layered = src.format == "archive" || src.format == "ogc" ||
-        src.typenames.isDefined
+      val layered = isLayered(src)
       // per-layer reconciliation helper for container sources: one metrics
       // row per DISCOVERED layer (stage_files.py stages each layer as its
       // own feature class; monitoring counts each separately). The collect

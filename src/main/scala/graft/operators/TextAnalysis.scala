@@ -273,7 +273,10 @@ object TextAnalysis {
     // distinct (doc, gram) = per-row array_distinct BEFORE the explode —
     // the same set with NO global distinct shuffle; checkpointed because
     // the subtree feeds three consumers (bench grams, corpus grams, the
-    // per-item report spine), same convention as tfidf/lmScore
+    // per-item report spine), same convention as tfidf/lmScore.
+    // Contract: doc_id is the documents table's key (one row per doc) —
+    // per-row distinct equals cross-row distinct only under that
+    // invariant; a sharded corpus must pre-merge doc rows first
     val docGrams = t.documents
       .select(col("doc_id"),
         explode(array_distinct(wordGrams(tokens(col("text")), n))).as("gram"))

@@ -448,14 +448,18 @@ object Ingest {
         sum(col("f.custkey")).cast("long").as("key_checksum"))
     val pagesPerCid = chained.groupBy(col("cid"))
       .agg(count(lit(1)).as("n_pages"), bool_and(col("page_chain_ok")).as("chain_ok"),
-        sum(col("nret")).as("nret_total"))
+        sum(col("nret")).as("nret_total"),
+        // the chain must START at page 0: the lag check only validates
+        // consecutive PRESENT pages, so a lost first page would otherwise
+        // reconcile (the symmetric case to a lost tail page)
+        min(col("page_no")).as("first_page"))
     discovered.join(pagesPerCid, Seq("cid"), "left")
       .join(landed, Seq("cid"), "left")
       .select(col("cid").as("collection_id"),
         coalesce(col("n_pages"), lit(0L)).as("n_pages"),
         coalesce(col("n_items"), lit(0L)).as("n_items"),
         coalesce(col("key_checksum"), lit(0L)).as("key_checksum"),
-        coalesce(col("chain_ok") &&
+        coalesce(col("chain_ok") && (col("first_page") === 0L) &&
           (col("nret_total") === coalesce(col("n_items"), lit(0L))), lit(true))
           .as("complete"))
       .orderBy(col("collection_id"))

@@ -25,6 +25,8 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     // E: TAIL page lost (last landed page still carries a rel=next —
     //    the href comparison is NULL and must fail, not slip past).
     // F: mid-chain page with NO next link while more pages follow.
+    // G: FIRST page lost (pages 1..2 chain consistently among
+    //    themselves — only the chain-starts-at-0 rule catches it).
     val pages = Seq(
       ("A", 0L, 2L, Seq(1L, 2L), Some(n("A", 1))),
       ("A", 1L, 1L, Seq(3L), None),
@@ -33,11 +35,13 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
       ("C", 0L, 5L, Seq(7L), None),
       ("E", 0L, 1L, Seq(8L), Some(n("E", 1))),
       ("F", 0L, 1L, Seq(9L), None),
-      ("F", 1L, 1L, Seq(10L), None))
+      ("F", 1L, 1L, Seq(10L), None),
+      ("G", 1L, 1L, Seq(11L), Some(n("G", 2))),
+      ("G", 2L, 1L, Seq(12L), None))
       .toDF("cid", "page_no", "nret", "raw_keys", "next_href")
       .withColumn("features", transform(col("raw_keys"), k => struct(k.as("custkey"))))
       .drop("raw_keys")
-    val discovered = Seq("A", "B", "C", "D", "E", "F").toDF("cid")
+    val discovered = Seq("A", "B", "C", "D", "E", "F", "G").toDF("cid")
     val out = Ingest.sweepPages(discovered, pages).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
     assert(out("A") == ((2L, 3L, true)), "intact chain must reconcile")
@@ -46,6 +50,7 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     assert(out("D") == ((0L, 0L, true)), "an empty discovered collection is complete")
     assert(out("E")._3 == false, "a dangling next link on the tail must break the chain")
     assert(out("F")._3 == false, "a missing mid-chain next link must break the chain")
+    assert(out("G")._3 == false, "a lost FIRST page must break the chain")
   }
 
   test("xml gate: every violation class fires on the planted wire") {

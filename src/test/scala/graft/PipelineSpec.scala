@@ -143,6 +143,27 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       s"each typename must land in its own partition directory: $dirs")
   }
 
+  test("half-specified typename config fails with a clear message at stage time") {
+    val cfg = PipelineCfg(sources = Seq(
+      SourceCfg(name = "half", path = s"$sfDir/customer.parquet",
+        typenames = Some(Seq("BUILDING")))))
+    val ex = intercept[IllegalArgumentException] { Pipeline.run(spark, cfg).collect() }
+    assert(ex.getMessage.contains("typenameColumn"), ex.getMessage)
+  }
+
+  test("select on a layered source keeps the synthetic layer column") {
+    val cfg = PipelineCfg(
+      sources = Seq(SourceCfg(name = "sel", path = s"$sfDir/customer.parquet",
+        typenames = Some(Seq("BUILDING", "MACHINERY")),
+        typenameColumn = Some("c_mktsegment"),
+        select = Some(Seq("c_custkey", "c_mktsegment")))),
+      load = Some(LoadCfg(s"$target/sel_load")), cleanupBeforeRun = true)
+    val out = Pipeline.run(spark, cfg).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set("sel/building", "sel/machinery"), out.toString)
+    assert(out.values.forall(_ > 0))
+  }
+
   test("empty staged sources are skipped, not loaded as empty targets") {
     // process.py skips zero-feature outputs: the summary still reports the
     // source (0 rows) but no target directory is created for it

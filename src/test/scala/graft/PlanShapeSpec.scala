@@ -72,7 +72,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     // only the agg shuffle + the output-sort range exchange — the
     // occurrence counting itself must be per-row, shuffle-free. Count in
     // the FINAL adaptive plan only (the string repeats the initial plan).
-    val finalPlan = p.split("== Initial Plan ==").head.replace("AQEShuffleRead", "")
+    val finalPlan = p.split("== Initial Plan ==").head
     val exchanges = "Exchange".r.findAllIn(finalPlan).size
     assert(exchanges <= 2, s"unexpected shuffles in a per-row gate:\n$p")
   }
@@ -81,11 +81,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     val df = graft.operators.Similarity.ivfAnnBatch(spark, sfDir, queryMod = 20L)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    // the (queries × lists) probe-selection cross join is the TINY side —
-    // it must arrive broadcast at the candidate join, and the big lists
-    // scan must never appear under a cartesian/nested-loop product
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
-      s"probe side not broadcast:\n$p")
+    // the CANDIDATE join (lists ⋈ probes on list_id) must hash-join with
+    // the tiny probe side broadcast — "BroadcastHashJoin" is that join
+    // specifically (the probe-selection stage is a BroadcastNestedLoopJoin,
+    // a different node, so this assert cannot be satisfied by it) — and
+    // the big lists scan must never be sort-merge-shuffled or cartesian'd
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate join not a broadcast hash join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"big lists side got shuffled into a sort-merge join:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"candidate fetch degenerated to a cartesian product:\n$p")
   }
