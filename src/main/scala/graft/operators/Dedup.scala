@@ -59,9 +59,10 @@ object Dedup {
     * F2's sorted-distinct-token md5. Batch docs classify as
     * `dup_of_corpus` (fingerprint already in the corpus — dropped),
     * `dup_in_batch` (first occurrence in the batch wins), or `novel`.
-    * One broadcast of the corpus fingerprint set (at 100 TB: a bloom of
-    * corpus fingerprints, E23's pattern, then exact-verify the survivors);
-    * rollup with doc-id checksums proves the partition is lossless. */
+    * The corpus side never broadcasts (E23's pattern): a fixed-size bloom
+    * of corpus fingerprints screens the batch, survivors are exact-
+    * verified with a plain shuffle join on the fingerprint; rollup with
+    * doc-id checksums proves the partition is lossless. */
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val docs = t.documents.select(col("doc_id"), fingerprint(col("text")).as("fp"))
@@ -77,12 +78,39 @@ object Dedup {
 
   /** The classification core of F24, factored so specs can plant every
     * status (both inputs: (doc_id, fp)): corpus hit > batch-internal dup
-    * (first doc_id wins) > novel. */
+    * (first doc_id wins) > novel.
+    *
+    * Scale shape: the corpus fingerprint set is NEVER broadcast (at
+    * 100 TB it is billions of digests — a broadcast OOMs the driver).
+    * Instead a fixed-size [[graft.functions.BloomAggregate]] bloom of the
+    * corpus fps (one 8 KiB row, regardless of corpus size) screens the
+    * batch; only the bloom survivors exact-verify through an UNHINTED
+    * fp-key join (a shuffle hash/sort-merge join — scale-safe; AQE may
+    * still pick a broadcast when the corpus genuinely IS small). The
+    * bloom has no false negatives, so a batch row the bloom clears is
+    * provably absent from the corpus and skips the join entirely; false
+    * positives only cost a survivor row in the verify join. Each fp lands
+    * wholly in one branch (screen is deterministic per fp), so the batch-
+    * internal first-doc-wins window is unaffected by the split. */
   def classifyBatch(corpus: DataFrame, batch: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val corpusFps = corpus.select(col("fp")).distinct().withColumn("in_corpus", lit(1))
+    import graft.functions.BloomAggregate
+    val spark = corpus.sparkSession
+    val corpusFps = corpus.select(col("fp")).distinct()
+    // one fixed-size row: bloom over the corpus fp set (md5 hex → long key)
+    val bloomRow = corpusFps
+      .agg(BloomAggregate.bloomAgg(spark, xxhash64(col("fp"))).as("bits"))
+    val screened = batch.join(broadcast(bloomRow))
+      .withColumn("maybe_corpus",
+        BloomAggregate.mightContain(col("bits"), xxhash64(col("fp"))))
+      .drop("bits")
+    // survivors verify exactly; NO broadcast hint on the corpus side
+    val verified = screened.filter(col("maybe_corpus"))
+      .join(corpusFps.withColumn("in_corpus", lit(1)), Seq("fp"), "left")
+      .select(col("doc_id"), col("fp"), col("in_corpus"))
+    val cleared = screened.filter(!col("maybe_corpus"))
+      .select(col("doc_id"), col("fp"), lit(null).cast("int").as("in_corpus"))
     val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
-    batch.join(broadcast(corpusFps), Seq("fp"), "left")
+    verified.unionByName(cleared)
       .withColumn("rn", row_number().over(w))
       .withColumn("status",
         when(col("in_corpus").isNotNull, "dup_of_corpus")

@@ -194,6 +194,40 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       13L -> "novel", 14L -> "dup_of_corpus", 15L -> "dup_of_corpus"), out.toString)
   }
 
+  test("incremental dedup never broadcasts the corpus fingerprint set") {
+    // a production corpus is billions of fps — the broadcast budget models
+    // that: with auto-broadcast off, ANY corpus-side broadcast in the plan
+    // would be an explicit hint (the bug this spec guards against). The
+    // only broadcast allowed is the single fixed-size bloom row.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // corpus: fps of 0..4999; batch: ids 0..99 with fp of (id*100) →
+      // ids < 50 hit the corpus, 50..99 are novel; plus one planted
+      // batch-internal dup pair on an out-of-corpus fp
+      val corpus = spark.range(0, 5000)
+        .selectExpr("id as doc_id", "md5(cast(id as string)) as fp")
+      val batch = spark.range(0, 100)
+        .selectExpr("id + 100000 as doc_id", "md5(cast(id * 100 as string)) as fp")
+        .union(Seq((200001L, "zz_batch_only"), (200002L, "zz_batch_only"))
+          .toDF("doc_id", "fp"))
+      val out = Dedup.classifyBatch(corpus, batch)
+      val counts = out.groupBy("status").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts == Map("dup_of_corpus" -> 50L, "novel" -> 51L, "dup_in_batch" -> 1L),
+        counts.toString)
+      val p = out.queryExecution.executedPlan.toString
+      // the exact-verify join must be a shuffle join — a BroadcastHashJoin
+      // here means the corpus fp set itself was broadcast
+      assert(!p.contains("BroadcastHashJoin"),
+        s"corpus fingerprint set was broadcast into the verify join:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"exact-verify join is not a shuffle join:\n$p")
+      // bloom prefilter present: the screen predicate reaches the plan
+      assert(p.contains("bloom_agg"), s"no bloom screen in the plan:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("fingerprint dedup collapses reordered near-duplicates") {
     val fp = (c: org.apache.spark.sql.Column) =>
       md5(array_join(array_sort(array_distinct(
