@@ -298,7 +298,9 @@ object SparkEntry {
         |FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1 ORDER BY 1""".stripMargin,
     // every discovered collection landed exactly once: per-collection item
     // counts and checksums match the ground truth, page count = ceil(n/7),
-    // and the next-link chain verified (complete=true throughout)
+    // and the next-link chain verified. complete ⟺ pages landed: the wire
+    // produces no page for a customer-less nation, and a zero-page
+    // collection must reconcile incomplete (never-fetched, r4)
     "src_ogc_collections" ->
       """WITH per AS (
         | SELECT n_name AS collection_id, count(c_custkey) AS n_items,
@@ -306,7 +308,7 @@ object SparkEntry {
         | FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
         | GROUP BY 1)
         |SELECT collection_id, CAST(ceil(n_items / 7.0) AS BIGINT) AS n_pages,
-        | n_items, key_checksum, true AS complete
+        | n_items, key_checksum, n_items > 0 AS complete
         |FROM per ORDER BY 1""".stripMargin,
 
     "etl_sanitize_names" -> {

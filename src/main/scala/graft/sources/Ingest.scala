@@ -417,8 +417,11 @@ object Ingest {
   def stageOgcRecords(serviceDoc: DataFrame, pageWire: DataFrame): DataFrame = {
     val discovered = parseService(serviceDoc)
     val parsed = parsePages(pageWire)
+    // `complete` alone gates staging: a zero-page (never-fetched)
+    // collection reconciles complete=false since r4, so the former
+    // separate n_pages > 0 guard is subsumed
     val complete = sweepPages(discovered, parsed)
-      .filter(col("complete") && col("n_pages") > 0)
+      .filter(col("complete"))
       .select(col("collection_id").as("cid"))
     parsed.join(complete, Seq("cid"), "left_semi")
       .select(col("cid").as("layer_name"), explode(col("features")).as("f"))
@@ -459,8 +462,13 @@ object Ingest {
         coalesce(col("n_pages"), lit(0L)).as("n_pages"),
         coalesce(col("n_items"), lit(0L)).as("n_items"),
         coalesce(col("key_checksum"), lit(0L)).as("key_checksum"),
+        // default FALSE: a discovered collection with no landed pages is
+        // indistinguishable from one whose every page was lost in flight
+        // (the symmetric case to a lost first page), so it must NOT
+        // reconcile. A genuinely-empty collection still returns one page
+        // with numberReturned=0 and reconciles through the normal path.
         coalesce(col("chain_ok") && (col("first_page") === 0L) &&
-          (col("nret_total") === coalesce(col("n_items"), lit(0L))), lit(true))
+          (col("nret_total") === coalesce(col("n_items"), lit(0L))), lit(false))
           .as("complete"))
       .orderBy(col("collection_id"))
   }

@@ -15,18 +15,22 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     assert(single.toSeq == ranged.toSeq)
   }
 
-  test("ogc sweep: broken next-link chains and undercounted pages are flagged, empty collections are complete") {
+  test("ogc sweep: broken next-link chains and undercounted pages are flagged, zero-page collections are not complete") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     def n(cid: String, p: Long) = s"/collections/$cid/items?page=${p}"
     // A: intact 2-page chain. B: middle page LOST in flight (0's next link
     // dangles at the missing 1). C: page undercounts numberReturned.
-    // D: discovered but empty (no pages) — complete by definition.
+    // D: discovered but NO pages landed — indistinguishable from a total
+    //    fetch failure, must NOT reconcile (a genuinely-empty collection
+    //    is case H: one page with numberReturned=0).
     // E: TAIL page lost (last landed page still carries a rel=next —
     //    the href comparison is NULL and must fail, not slip past).
     // F: mid-chain page with NO next link while more pages follow.
     // G: FIRST page lost (pages 1..2 chain consistently among
     //    themselves — only the chain-starts-at-0 rule catches it).
+    // H: genuinely empty but FETCHED (one page, numberReturned=0) —
+    //    complete through the normal path, distinguishing it from D.
     val pages = Seq(
       ("A", 0L, 2L, Seq(1L, 2L), Some(n("A", 1))),
       ("A", 1L, 1L, Seq(3L), None),
@@ -37,20 +41,23 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
       ("F", 0L, 1L, Seq(9L), None),
       ("F", 1L, 1L, Seq(10L), None),
       ("G", 1L, 1L, Seq(11L), Some(n("G", 2))),
-      ("G", 2L, 1L, Seq(12L), None))
+      ("G", 2L, 1L, Seq(12L), None),
+      ("H", 0L, 0L, Seq.empty[Long], None))
       .toDF("cid", "page_no", "nret", "raw_keys", "next_href")
       .withColumn("features", transform(col("raw_keys"), k => struct(k.as("custkey"))))
       .drop("raw_keys")
-    val discovered = Seq("A", "B", "C", "D", "E", "F", "G").toDF("cid")
+    val discovered = Seq("A", "B", "C", "D", "E", "F", "G", "H").toDF("cid")
     val out = Ingest.sweepPages(discovered, pages).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
     assert(out("A") == ((2L, 3L, true)), "intact chain must reconcile")
     assert(out("B")._3 == false, "a lost page must break the chain")
     assert(out("C")._3 == false, "numberReturned mismatch must flag incomplete")
-    assert(out("D") == ((0L, 0L, true)), "an empty discovered collection is complete")
+    assert(out("D") == ((0L, 0L, false)),
+      "a zero-page collection is indistinguishable from a total fetch failure")
     assert(out("E")._3 == false, "a dangling next link on the tail must break the chain")
     assert(out("F")._3 == false, "a missing mid-chain next link must break the chain")
     assert(out("G")._3 == false, "a lost FIRST page must break the chain")
+    assert(out("H") == ((1L, 0L, true)), "a fetched-empty collection is complete")
   }
 
   test("xml gate: every violation class fires on the planted wire") {
