@@ -71,6 +71,29 @@ object PipelineDemo {
     Pipeline.run(spark, PipelineCfg.fromJson(json))
   }
 
+  /** Config-driven REST service source (download_rest.py:215
+    * `discover_layers` + fnmatch include patterns, :253 single-layer
+    * FeatureServer fallback): the pipeline discovers the services' layers,
+    * keeps those matching the config's wildcard include patterns (the
+    * FeatureServer doc contributes itself — its layer list is empty), and
+    * stages each discovered layer under its own (safe-named) target — the
+    * fourth layered-source shape. */
+  def runRest(spark: SparkSession, dir: String): DataFrame = {
+    val wire = "/root/repo/target/graft_rest_wire"
+    val (service, features) = graft.sources.Ingest.buildRestServiceWire(spark, dir)
+    service.write.mode("overwrite").parquet(s"$wire/service")
+    features.write.mode("overwrite").parquet(s"$wire/layers")
+    val json =
+      s"""{
+         |  "sources": [
+         |    {"name": "rest_layers", "path": "$wire", "format": "rest",
+         |     "include": ["i*", "*a"]}
+         |  ],
+         |  "load": {"target": "/root/repo/target/graft_pipeline_rest", "mode": "truncate"}
+         |}""".stripMargin
+    Pipeline.run(spark, PipelineCfg.fromJson(json))
+  }
+
   /** Config-listed WFS typename sweep (download_wfs.py:176
     * `download_wfs_service`: the config names N typed layers to pull from
     * one service; each stages as its own feature class). The typename

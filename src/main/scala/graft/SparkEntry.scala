@@ -31,6 +31,7 @@ object SparkEntry {
     "src_atom_filterable"    -> ((s: SparkSession, d: String) => Ingest.atomFilterable(s, d)),
     "src_oid_page_fetch"     -> ((s: SparkSession, d: String) => Ingest.oidPageFetch(s, d)),
     "src_ogc_collections"    -> ((s: SparkSession, d: String) => Ingest.ogcCollections(s, d)),
+    "src_rest_layers"        -> ((s: SparkSession, d: String) => Ingest.restLayers(s, d)),
     // B — staging / normalization
     "etl_sanitize_names"     -> Staging.sanitizeNames _,
     "etl_schema_normalize"   -> Staging.schemaNormalize _,
@@ -97,6 +98,7 @@ object SparkEntry {
     "pipeline_archive"       -> (PipelineDemo.runArchive _),
     "pipeline_ogc"           -> (PipelineDemo.runOgc _),
     "pipeline_wfs"           -> (PipelineDemo.runWfs _),
+    "pipeline_rest"          -> (PipelineDemo.runRest _),
     // F — LLM-training-data operators
     "dedup_exact"            -> Dedup.dedupExact _,
     "dedup_fingerprint"      -> Dedup.dedupFingerprint _,
@@ -296,6 +298,30 @@ object SparkEntry {
     "src_snapshot_load" ->
       """SELECT l_linestatus, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
         |FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1 ORDER BY 1""".stripMargin,
+    // REST layer discovery: per-region MapServer docs list nations as
+    // layers; include patterns ["i*", "*a"] translate to the LIKEs below;
+    // the single-layer FeatureServer contributes itself (fallback)
+    "src_rest_layers" ->
+      """WITH lay AS (
+        | SELECT '/rest/' || lower(regexp_replace(r_name, '[^A-Za-z0-9]+', '_', 'g'))
+        |   || '/MapServer' AS service_url,
+        |  CAST(n_nationkey AS BIGINT) AS layer_id, n_name AS layer_name,
+        |  n_nationkey AS nk
+        | FROM nation JOIN region ON n_regionkey = r_regionkey
+        | WHERE lower(n_name) LIKE 'i%' OR lower(n_name) LIKE '%a'),
+        |per AS (
+        | SELECT l.service_url, l.layer_id, l.layer_name,
+        |  count(c.c_custkey) AS n_features,
+        |  CAST(coalesce(sum(c.c_custkey), 0) AS BIGINT) AS key_checksum
+        | FROM lay l LEFT JOIN customer c ON c.c_nationkey = l.nk
+        | GROUP BY 1, 2, 3),
+        |fs AS (
+        | SELECT '/rest/municipal/FeatureServer' AS service_url,
+        |  CAST(0 AS BIGINT) AS layer_id, 'Municipal Assets' AS layer_name,
+        |  count(*) AS n_features, CAST(sum(c_custkey) AS BIGINT) AS key_checksum
+        | FROM customer WHERE c_custkey % 10 = 0)
+        |SELECT * FROM per UNION ALL SELECT * FROM fs
+        |ORDER BY service_url, layer_id""".stripMargin,
     // every discovered collection landed exactly once: per-collection item
     // counts and checksums match the ground truth, page count = ceil(n/7),
     // and the next-link chain verified. complete ⟺ pages landed: the wire
@@ -801,6 +827,20 @@ object SparkEntry {
         | count(*) AS rows_loaded
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // config-staged REST sweep: layers discovered from the service docs,
+    // filtered by the config's wildcard include patterns; the single-layer
+    // FeatureServer doc falls back to itself (its layer list is empty)
+    "pipeline_rest" ->
+      """SELECT 'rest_layers/' ||
+        |  trim(regexp_replace(lower(n_name), '[^a-z0-9]+', '_', 'g'), '_') AS source,
+        | count(*) AS rows_loaded
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE lower(n_name) LIKE 'i%' OR lower(n_name) LIKE '%a'
+        |GROUP BY 1
+        |UNION ALL
+        |SELECT 'rest_layers/municipal_assets', count(*)
+        |FROM customer WHERE c_custkey % 10 = 0
+        |ORDER BY source""".stripMargin,
     // config-listed typename sweep: one row per requested typed layer
     "pipeline_wfs" ->
       """SELECT 'wfs_segments/' || lower(c_mktsegment) AS source,

@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
 case class SourceCfg(
     name: String,
     path: String,
-    format: String = "parquet",      // parquet | csv | json | archive | ogc
+    format: String = "parquet",      // parquet | csv | json | archive | ogc | rest
     enabled: Boolean = true,
     where: Option[String] = None,    // staged-row filter (reference: bbox/where params)
     select: Option[Seq[String]] = None,
@@ -27,6 +27,10 @@ case class SourceCfg(
     // comes from the config document, not from the data)
     typenames: Option[Seq[String]] = None,
     typenameColumn: Option[String] = None,
+    // REST layer-discovery include patterns (download_rest.py:215
+    // discover_layers + fnmatch: `include: ["road*"]` keeps only matching
+    // layer names; unset keeps every discovered layer). format "rest" only.
+    include: Option[Seq[String]] = None,
     // per-source geoprocess override, field-merged over the global policy
     // (config.py:105 _apply_bbox_inheritance: a source-level value always
     // wins; unset fields inherit the defaults)
@@ -107,6 +111,17 @@ object Pipeline {
             spark.read.parquet(s"${src.path}/service"),
             spark.read.parquet(s"${src.path}/pages"))
           .withColumn("layer_name", graft.operators.Staging.safeName(col("layer_name")))
+      case "rest" =>
+        // REST service source (download_rest.py): `$path/service` holds
+        // the service docs, `$path/layers` the layer-addressed features;
+        // discover layers (config include patterns filter by wildcard,
+        // single-layer FeatureServer docs fall back to themselves) and
+        // land each discovered layer's features as its own staged layer
+        graft.sources.Ingest.stageRestRecords(
+            spark.read.parquet(s"${src.path}/service"),
+            spark.read.parquet(s"${src.path}/layers"),
+            src.include.getOrElse(Seq.empty))
+          .withColumn("layer_name", graft.operators.Staging.safeName(col("layer_name")))
       case _      => spark.read.parquet(src.path)
     }
     val swept = src.oidSweep match {
@@ -150,7 +165,8 @@ object Pipeline {
   /** Layered sources stage one target per layer: DISCOVERED layers
     * (container layers, OGC collections) or CONFIG-listed typenames. */
   def isLayered(src: SourceCfg): Boolean =
-    src.format == "archive" || src.format == "ogc" || src.typenames.isDefined
+    src.format == "archive" || src.format == "ogc" || src.format == "rest" ||
+      src.typenames.isDefined
 
   def geoprocess(df: DataFrame, gp: GeoprocessCfg): DataFrame =
     if (!gp.enabled) df

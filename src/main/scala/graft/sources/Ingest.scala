@@ -473,6 +473,126 @@ object Ingest {
       .orderBy(col("collection_id"))
   }
 
+  /** The one REST layer-address format (service url + "/" + layer id),
+    * shared by the wire builder and the discovery join — mirrors
+    * download_rest.py:204 `layer_url = f"{base_url}/{layer_id}"`. */
+  private def layerUrl(serviceUrl: Column, layerId: Column): Column =
+    concat(serviceUrl, lit("/"), layerId)
+
+  /** The REST service wire an ArcGIS-style server would deliver: one
+    * MapServer doc per region listing its nations as layers
+    * (`{"url", "layers": [{"id", "name"}]}`), plus ONE single-layer
+    * FeatureServer doc with NO `layers` array (`"type": "Feature Layer"` —
+    * the shape download_rest.py:253 falls back on). The feature wire is
+    * addressed by layer url. Deterministic, built from the ground-truth
+    * tables. Returns (serviceDocs, featureWire). */
+  def buildRestServiceWire(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val t = Tables(spark, dir)
+    val svcUrl = concat(lit("/rest/"),
+      lower(regexp_replace(col("r_name"), "[^A-Za-z0-9]+", "_")), lit("/MapServer"))
+    val mapDocs = t.nation
+      .join(t.region, col("n_regionkey") === col("r_regionkey"))
+      .withColumn("url", svcUrl)
+      .groupBy(col("url"))
+      .agg(to_json(struct(col("url"),
+        array_sort(collect_list(struct(col("n_nationkey").cast("long").as("id"),
+          col("n_name").as("name")))).as("layers"))).as("doc"))
+      .select(col("doc"))
+    val fsDoc = t.region.limit(1).select(to_json(struct(
+      lit("/rest/municipal/FeatureServer").as("url"),
+      lit("Feature Layer").as("type"), lit(0L).as("id"),
+      lit("Municipal Assets").as("name"))).as("doc"))
+    val nationFeatures = t.customer
+      .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+      .join(t.region, col("n_regionkey") === col("r_regionkey"))
+      .select(layerUrl(svcUrl, col("n_nationkey").cast("long")).as("layer_url"),
+        col("c_custkey").cast("long").as("oid"))
+    val fsFeatures = t.customer.filter(col("c_custkey") % 10 === 0)
+      .select(lit("/rest/municipal/FeatureServer/0").as("layer_url"),
+        col("c_custkey").cast("long").as("oid"))
+    (mapDocs.union(fsDoc), nationFeatures.union(fsFeatures))
+  }
+
+  /** fnmatch wildcard → anchored regex for `rlike`, lowercased — the
+    * translation of download_rest.py:215's case-folded
+    * `fnmatch.fnmatchcase(lname, p)` include test. `*` and `?` are the
+    * wildcards the reference's configs use; everything else matches
+    * literally (character classes are not translated). */
+  def fnmatchToRegex(pattern: String): String = {
+    val sb = new StringBuilder("^")
+    pattern.toLowerCase.foreach {
+      case '*' => sb.append(".*")
+      case '?' => sb.append('.')
+      case c if "\\.[]{}()+-^$|".indexOf(c) >= 0 => sb.append('\\').append(c)
+      case c => sb.append(c)
+    }
+    sb.append('$').toString
+  }
+
+  /** A13: REST service layer discovery with include patterns
+    * (download_rest.py:215 `discover_layers`: enumerate the service doc's
+    * `layers`, keep those whose name fnmatch-es ANY include pattern —
+    * no patterns keeps everything; :253 single-layer fallback: a service
+    * whose layer list produced nothing but whose doc IS a `Feature Layer`
+    * contributes itself — the reference applies the fallback after
+    * filtering, so include patterns deliberately do NOT gate it).
+    * Output one row per discovered layer: (service_url, layer_id,
+    * layer_name, layer_url). A layer with no `name` defaults to
+    * `layer_<id>` (reference :244). */
+  def discoverRestLayers(serviceDocs: DataFrame, include: Seq[String]): DataFrame = {
+    val docSchema = StructType(Seq(
+      StructField("url", StringType), StructField("type", StringType),
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("layers", ArrayType(StructType(Seq(
+        StructField("id", LongType), StructField("name", StringType)))))))
+    val parsed = serviceDocs.select(from_json(col("doc"), docSchema).as("d"))
+    val listed = parsed
+      .select(col("d.url").as("service_url"), explode(col("d.layers")).as("l"))
+      .select(col("service_url"), col("l.id").as("layer_id"),
+        coalesce(col("l.name"), concat(lit("layer_"), col("l.id"))).as("layer_name"))
+    val included =
+      if (include.isEmpty) listed
+      else listed.filter(include.map(p => lower(col("layer_name")).rlike(fnmatchToRegex(p)))
+        .reduce(_ || _))
+    val fsDocs = parsed.filter(col("d.type") === "Feature Layer")
+      .select(col("d.url").as("service_url"),
+        coalesce(col("d.id"), lit(0L)).as("layer_id"),
+        coalesce(col("d.name"),
+          concat(lit("layer_"), coalesce(col("d.id"), lit(0L)))).as("layer_name"))
+    val fallback = fsDocs.join(
+      included.select(col("service_url")).distinct(), Seq("service_url"), "left_anti")
+    included.unionByName(fallback)
+      .withColumn("layer_url", layerUrl(col("service_url"), col("layer_id")))
+  }
+
+  /** A13 registered query: discover the service layers (include patterns
+    * applied), pull each discovered layer's features off the wire, and
+    * reconcile per layer — count + key checksum; a discovered layer that
+    * served nothing still reports 0 (monitoring parity with the
+    * reference's per-layer feature log, download_rest.py:207). */
+  def restLayers(spark: SparkSession, dir: String,
+      include: Seq[String] = Seq("i*", "*a")): DataFrame = {
+    val (docs, features) = buildRestServiceWire(spark, dir)
+    discoverRestLayers(docs, include)
+      .join(features, Seq("layer_url"), "left")
+      .groupBy(col("service_url"), col("layer_id"), col("layer_name"))
+      .agg(count(col("oid")).as("n_features"),
+        coalesce(sum(col("oid")), lit(0L)).cast("long").as("key_checksum"))
+      .orderBy(col("service_url"), col("layer_id"))
+  }
+
+  /** Record-level staging of a REST layer sweep — the config-path entry
+    * ([[graft.config.Pipeline.stage]] `format: "rest"`): discover layers
+    * (config include patterns applied), land each discovered layer's
+    * features as (layer_name, rec) rows for the shared layered load. */
+  def stageRestRecords(serviceDocs: DataFrame, featureWire: DataFrame,
+      include: Seq[String]): DataFrame = {
+    discoverRestLayers(serviceDocs, include)
+      .select(col("layer_url"), col("layer_name"))
+      .join(featureWire, Seq("layer_url"))
+      .select(col("layer_name"), col("oid").as("rec"))
+  }
+
   /** A6: full-snapshot re-ingest (read side of load_sde.py's
     * truncate-and-load): write a snapshot, read it back, reconcile. */
   def snapshotLoad(spark: SparkSession, dir: String): DataFrame = {

@@ -60,6 +60,31 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     assert(out("H") == ((1L, 0L, true)), "a fetched-empty collection is complete")
   }
 
+  test("rest layer discovery: include patterns filter, feature-layer docs fall back") {
+    import spark.implicits._
+    val docs = Seq(
+      // MapServer listing 3 layers; layer 3 has no name (defaults)
+      """{"url":"/rest/a/MapServer","layers":[{"id":1,"name":"Roads Main"},{"id":2,"name":"buildings"},{"id":3}]}""",
+      // MapServer whose every layer fails the include patterns — NOT a
+      // feature layer, so it must contribute nothing (no fallback)
+      """{"url":"/rest/b/MapServer","layers":[{"id":1,"name":"zoning"}]}""",
+      // single-layer FeatureServer (no layers array): contributes itself
+      // even though its name fails the include patterns — the reference
+      // applies the fallback AFTER filtering (download_rest.py:253)
+      """{"url":"/rest/c/FeatureServer","type":"Feature Layer","id":7,"name":"parcels"}""")
+      .toDF("doc")
+    val out = Ingest.discoverRestLayers(docs, Seq("Road*", "layer_*")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(out == Set(
+      ("/rest/a/MapServer", 1L, "Roads Main"),    // fnmatch is case-folded
+      ("/rest/a/MapServer", 3L, "layer_3"),       // unnamed layer defaults
+      ("/rest/c/FeatureServer", 7L, "parcels")),  // fallback ignores include
+      out.toString)
+    // no include patterns: every listed layer survives; the FeatureServer
+    // still falls back (its layer list is empty)
+    assert(Ingest.discoverRestLayers(docs, Seq.empty).count() == 5)
+  }
+
   test("xml gate: every violation class fires on the planted wire") {
     // the oracle proves exact parity but would also pass if a threshold
     // quietly made a class empty — pin that each planted violation is
