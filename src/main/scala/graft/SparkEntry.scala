@@ -32,6 +32,7 @@ object SparkEntry {
     "src_oid_page_fetch"     -> ((s: SparkSession, d: String) => Ingest.oidPageFetch(s, d)),
     "src_ogc_collections"    -> ((s: SparkSession, d: String) => Ingest.ogcCollections(s, d)),
     "src_rest_layers"        -> ((s: SparkSession, d: String) => Ingest.restLayers(s, d)),
+    "src_esri_json"          -> Ingest.esriJsonFeatures _,
     // B — staging / normalization
     "etl_sanitize_names"     -> Staging.sanitizeNames _,
     "etl_schema_normalize"   -> Staging.schemaNormalize _,
@@ -298,6 +299,15 @@ object SparkEntry {
     "src_snapshot_load" ->
       """SELECT l_linestatus, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
         |FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Esri JSON parse: every supplier feature lands losslessly with its
+    // attributes, point coords (same synthetic arithmetic per-row —
+    // bitwise-identical across engines) and the response-level SR
+    "src_esri_json" ->
+      """SELECT CAST(s_suppkey AS BIGINT) AS suppkey, s_name AS name,
+        | 'esriGeometryPoint' AS geometry_type, 3006 AS wkid,
+        | s_suppkey * 7919 % 36000 / 100.0 - 180 AS x,
+        | s_suppkey * 104729 % 18000 / 100.0 - 90 AS y
+        |FROM supplier ORDER BY suppkey""".stripMargin,
     // REST layer discovery: per-region MapServer docs list nations as
     // layers; include patterns ["i*", "*a"] translate to the LIKEs below;
     // the single-layer FeatureServer contributes itself (fallback)

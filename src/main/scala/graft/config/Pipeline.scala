@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
 case class SourceCfg(
     name: String,
     path: String,
-    format: String = "parquet",      // parquet | csv | json | archive | ogc | rest
+    format: String = "parquet",      // parquet | csv | json | esrijson | archive | ogc | rest
     enabled: Boolean = true,
     where: Option[String] = None,    // staged-row filter (reference: bbox/where params)
     select: Option[Seq[String]] = None,
@@ -111,6 +111,11 @@ object Pipeline {
             spark.read.parquet(s"${src.path}/service"),
             spark.read.parquet(s"${src.path}/pages"))
           .withColumn("layer_name", graft.operators.Staging.safeName(col("layer_name")))
+      case "esrijson" =>
+        // Esri JSON response payloads (stage_files.py:602
+        // import_esri_json): `$path` holds the raw response docs; the
+        // typed parse lands features[].attributes + point geometries
+        graft.sources.Ingest.parseEsriFeatures(spark.read.parquet(src.path))
       case "rest" =>
         // REST service source (download_rest.py): `$path/service` holds
         // the service docs, `$path/layers` the layer-addressed features;

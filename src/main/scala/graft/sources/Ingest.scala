@@ -74,6 +74,60 @@ object Ingest {
       .orderBy(col("n_nationkey"))
   }
 
+  /** The Esri JSON response schema (the ArcGIS REST `f=json` layer-query
+    * shape stage_files.py:602 `import_esri_json` hands to ArcPy:
+    * top-level `geometryType`/`spatialReference.wkid`, features as
+    * `features[].attributes` + `features[].geometry.{x,y}` — unlike
+    * GeoJSON's `properties` + coordinate arrays). */
+  private val esriSchema = StructType(Seq(
+    StructField("geometryType", StringType),
+    StructField("spatialReference", StructType(Seq(StructField("wkid", IntegerType)))),
+    StructField("features", ArrayType(StructType(Seq(
+      StructField("attributes", StructType(Seq(
+        StructField("key", LongType), StructField("name", StringType)))),
+      StructField("geometry", StructType(Seq(
+        StructField("x", DoubleType), StructField("y", DoubleType))))))))))
+
+  /** Parse Esri JSON response docs (`doc` column) → one row per feature
+    * with the response-level geometry type and wkid carried onto every
+    * row — the typed parse the REST path needs when a service answers in
+    * Esri JSON rather than GeoJSON (A3 covers that). */
+  def parseEsriFeatures(docs: DataFrame): DataFrame =
+    docs.select(from_json(col("doc"), esriSchema).as("r"))
+      .select(col("r.geometryType").as("geometry_type"),
+        col("r.spatialReference.wkid").as("wkid"),
+        explode(col("r.features")).as("f"))
+      .select(col("f.attributes.key").as("suppkey"),
+        col("f.attributes.name").as("name"),
+        col("geometry_type"), col("wkid"),
+        col("f.geometry.x").as("x"), col("f.geometry.y").as("y"))
+
+  /** A14: Esri JSON feature parsing (stage_files.py:602
+    * `import_esri_json`): one layer-query response per nation, each
+    * holding its suppliers as `features[].attributes` with
+    * `esriGeometryPoint` geometries; the parse lands every feature with
+    * its attributes, point coordinates, and the response's spatial
+    * reference — losslessly (full oracle on the same synthetic x/y
+    * arithmetic). */
+  def esriJsonFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    // the wire format the REST downloader would receive…
+    val wire = t.supplier
+      .withColumn("x", col("s_suppkey") * 7919 % 36000 / 100.0 - 180)
+      .withColumn("y", col("s_suppkey") * 104729 % 18000 / 100.0 - 90)
+      .groupBy(col("s_nationkey"))
+      .agg(to_json(struct(
+        lit("esriGeometryPoint").as("geometryType"),
+        struct(lit(3006).as("wkid")).as("spatialReference"),
+        collect_list(struct(
+          struct(col("s_suppkey").cast("long").as("key"),
+            col("s_name").as("name")).as("attributes"),
+          struct(col("x"), col("y")).as("geometry"))).as("features"))).as("doc"))
+      .select(col("doc"))
+    // …parsed back by the operator under test
+    parseEsriFeatures(wire).orderBy(col("suppkey"))
+  }
+
   /** A7: GML/XML feature parsing (download_wfs.py, download_atom.py move
     * WFS/Atom payloads as XML): elements extracted with native regexps —
     * schema-on-read without a parser dependency, per-row and codegen'd. */
