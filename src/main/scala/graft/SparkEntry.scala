@@ -37,6 +37,7 @@ object SparkEntry {
     "etl_sanitize_names"     -> Staging.sanitizeNames _,
     "etl_schema_normalize"   -> Staging.schemaNormalize _,
     "etl_geomtype_split"     -> Staging.geomTypeSplit _,
+    "etl_geomtype_fallback"  -> Staging.geomTypeFallback _,
     "etl_best_candidate"     -> Staging.bestCandidate _,
     "etl_null_audit"         -> Staging.nullAudit _,
     "etl_schema_drift"       -> Staging.schemaDriftReport _,
@@ -378,6 +379,49 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY p_brand ORDER BY n DESC, geom_type) AS rn FROM c)
         |SELECT p_brand, geom_type AS dominant_type, CAST(n AS BIGINT) AS n_features
         |FROM r WHERE rn = 1 ORDER BY p_brand""".stripMargin,
+    // declared-vs-dominant geometry classification: both types collapse
+    // through the GeoJSON→ArcGIS shape map; mismatch with a mappable
+    // dominant type salvages via the explicit-geometry fallback (staging
+    // only dominant-shape features), unmappable dominant fails
+    "etl_geomtype_fallback" ->
+      """WITH f AS (
+        | SELECT p_brand AS source,
+        |  CASE CAST(substr(p_brand, 7) AS INT) % 4
+        |   WHEN 0 THEN 'Point' WHEN 1 THEN 'LineString' WHEN 2 THEN 'Polygon'
+        |   ELSE 'MultiPolygon' END AS declared_type,
+        |  CASE CAST(p_partkey % 5 AS INT) WHEN 0 THEN 'Point' WHEN 1 THEN 'MultiPoint'
+        |   WHEN 2 THEN 'LineString' WHEN 3 THEN 'MultiLineString'
+        |   ELSE 'Polygon' END AS geom_type
+        | FROM part),
+        |m AS (SELECT *, CASE WHEN geom_type = 'Point' THEN 'Point'
+        |  WHEN geom_type = 'MultiPoint' THEN 'Multipoint'
+        |  WHEN geom_type IN ('LineString', 'MultiLineString') THEN 'Polyline'
+        |  WHEN geom_type IN ('Polygon', 'MultiPolygon') THEN 'Polygon'
+        |  ELSE 'Unknown' END AS shape_type FROM f),
+        |c AS (SELECT source, declared_type, geom_type, shape_type, count(*) AS n
+        | FROM m GROUP BY 1, 2, 3, 4),
+        |d AS (SELECT source, declared_type, geom_type AS dominant_type,
+        |  shape_type AS dominant_shape,
+        |  row_number() OVER (PARTITION BY source ORDER BY n DESC, geom_type) AS rn FROM c),
+        |dom AS (SELECT * FROM d WHERE rn = 1),
+        |tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_features FROM c GROUP BY 1),
+        |stg AS (SELECT c.source, CAST(sum(c.n) AS BIGINT) AS n_dominant
+        | FROM c JOIN dom ON c.source = dom.source AND c.shape_type = dom.dominant_shape
+        | GROUP BY 1)
+        |SELECT dom.source, dom.declared_type, dom.dominant_type,
+        | CASE WHEN dom.dominant_shape = 'Unknown' THEN 'failed'
+        |  WHEN (CASE WHEN dom.declared_type = 'Point' THEN 'Point'
+        |   WHEN dom.declared_type = 'MultiPoint' THEN 'Multipoint'
+        |   WHEN dom.declared_type IN ('LineString', 'MultiLineString') THEN 'Polyline'
+        |   WHEN dom.declared_type IN ('Polygon', 'MultiPolygon') THEN 'Polygon'
+        |   ELSE 'Unknown' END) = dom.dominant_shape THEN 'match'
+        |  ELSE 'fallback' END AS status,
+        | tot.n_features,
+        | CASE WHEN dom.dominant_shape = 'Unknown' THEN CAST(0 AS BIGINT)
+        |  ELSE stg.n_dominant END AS n_staged
+        |FROM dom JOIN tot ON dom.source = tot.source
+        | JOIN stg ON dom.source = stg.source
+        |ORDER BY dom.source""".stripMargin,
     "etl_best_candidate" ->
       """WITH r AS (SELECT s_nationkey, s_suppkey, s_name, s_acctbal,
         |  row_number() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS rn

@@ -118,6 +118,87 @@ object Staging {
       .orderBy(col("p_brand"))
   }
 
+  /** GeoJSON geometry type → ArcGIS shape type (stage_files.py:56
+    * `_geojson_to_arcgis_geometry_type`): the multi-variants collapse
+    * (MultiLineString → Polyline, MultiPolygon → Polygon), anything else
+    * maps Unknown. */
+  def arcgisShapeType(t: Column): Column =
+    when(t === "Point", "Point")
+      .when(t === "MultiPoint", "Multipoint")
+      .when(t.isin("LineString", "MultiLineString"), "Polyline")
+      .when(t.isin("Polygon", "MultiPolygon"), "Polygon")
+      .otherwise("Unknown")
+
+  /** B3b core: per-source declared-vs-dominant geometry classification
+    * (stage_files.py:71 `_validate_geometry_type_match` + :113
+    * `_stage_geojson_as_points_fallback`). Input: one row per feature
+    * (source, declared_type, geom_type). Per source:
+    *   - `match`    — the shape type staged from the DECLARED type equals
+    *                  the shape type of the data's DOMINANT geometry
+    *                  (case-collapsed through the ArcGIS map, so a
+    *                  LineString declaration over MultiLineString data
+    *                  matches — both Polyline);
+    *   - `fallback` — they disagree but the dominant type maps to a real
+    *                  shape type: the reference salvages the load by
+    *                  re-staging with the explicit geometry type, keeping
+    *                  only features of the dominant shape (:48
+    *                  `_filter_features_by_geometry_type`);
+    *   - `failed`   — the dominant type is unmappable (Unknown): the
+    *                  explicit CreateFeatureclass itself fails (:93),
+    *                  nothing stages.
+    * `n_staged` counts the features the surviving feature class holds.
+    * One hash-agg shuffle on (source, type) + one tiny per-source window. */
+  def classifyGeomStaging(feats: DataFrame): DataFrame = {
+    val counts = feats
+      .withColumn("shape_type", arcgisShapeType(col("geom_type")))
+      .groupBy(col("source"), col("declared_type"), col("geom_type"), col("shape_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("source")).orderBy(col("n").desc, col("geom_type"))
+    val dominant = counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("source"), col("declared_type"),
+        col("geom_type").as("dominant_type"), col("shape_type").as("dominant_shape"))
+    val perSource = counts.groupBy(col("source"))
+      .agg(sum(col("n")).cast("long").as("n_features"))
+    val stageable = counts.select(col("source"), col("shape_type"), col("n"))
+      .join(dominant.select(col("source"), col("dominant_shape")), Seq("source"))
+      .filter(col("shape_type") === col("dominant_shape"))
+      .groupBy(col("source")).agg(sum(col("n")).cast("long").as("n_dominant"))
+    dominant.join(perSource, Seq("source")).join(stageable, Seq("source"))
+      .withColumn("status",
+        when(col("dominant_shape") === "Unknown", "failed")
+          .when(arcgisShapeType(col("declared_type")) === col("dominant_shape"), "match")
+          .otherwise("fallback"))
+      .select(col("source"), col("declared_type"), col("dominant_type"),
+        col("status"), col("n_features"),
+        when(col("status") === "failed", lit(0L)).otherwise(col("n_dominant"))
+          .as("n_staged"))
+  }
+
+  /** B3b: geometry-type mismatch fallback over the part wire — each brand
+    * is a source whose DECLARED type derives from its brand digits and
+    * whose features carry their own (sometimes disagreeing) geometry
+    * types; the classification decides staged / salvaged-by-fallback /
+    * failed per source. Full oracle; the planted-mismatch spec drives
+    * [[classifyGeomStaging]] with every class. */
+  def geomTypeFallback(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    // declared type from the brand's numeric suffix ("Brand#13" → 13);
+    // brands are variable-length, so take the whole tail, not one digit
+    val brandNum = substring(col("p_brand"), 7, 8).cast("int")
+    val feats = t.part.select(
+      col("p_brand").as("source"),
+      when(brandNum % 4 === 0, "Point")
+        .when(brandNum % 4 === 1, "LineString")
+        .when(brandNum % 4 === 2, "Polygon")
+        .otherwise("MultiPolygon").as("declared_type"),
+      when(col("p_partkey") % 5 === 0, "Point")
+        .when(col("p_partkey") % 5 === 1, "MultiPoint")
+        .when(col("p_partkey") % 5 === 2, "LineString")
+        .when(col("p_partkey") % 5 === 3, "MultiLineString")
+        .otherwise("Polygon").as("geom_type"))
+    classifyGeomStaging(feats).orderBy(col("source"))
+  }
+
   /** B5: staging data-quality audit — per-column null / blank / range
     * violations in one conditional-aggregation pass (the reference
     * validates fields and coordinates before load; sr_utils.py +
