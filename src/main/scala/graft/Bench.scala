@@ -18,12 +18,23 @@ object Bench {
       spark.range(1000000L).selectExpr("sum(id)").collect()
       Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
         .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
-      // the IVF inverted-list layout is a one-time INDEXING job (rebuilt
-      // only when the corpus changes), not per-query serving cost — build
-      // it here so the ann_ivf / neardup_ivf_gated timings measure what a
-      // query actually costs against the persisted index
-      graft.operators.Similarity.ivfIndex(spark, sfDir): Unit
     } catch { case _: Throwable => () }
+    // the IVF inverted-list layout is a one-time INDEXING job (rebuilt
+    // only when the corpus changes), not per-query serving cost — build
+    // it BEFORE the query loop so ann_ivf / neardup_ivf_gated measure
+    // serving against the persisted index, but time the build as its own
+    // visible "ann_ivf_index" entry (forced fresh, so the number is the
+    // real indexing job, not a stamp check)
+    val indexSec = try {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(graft.operators.Similarity.ivfRoot(spark, sfDir)))
+      val t0 = System.nanoTime()
+      graft.operators.Similarity.ivfIndex(spark, sfDir)
+      (System.nanoTime() - t0) / 1e9
+    } catch { case _: Throwable => -1.0 }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
@@ -32,7 +43,8 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = (results :+ ("ann_ivf_index" -> indexSec))
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

@@ -232,20 +232,27 @@ object Pipeline {
           val writeMode = if (mode == "append") "append" else "overwrite"
           // empty-result skip (process.py: zero-feature outputs are not
           // written): an empty staged source must leave NO target behind
-          // and still appear in the summary with 0 rows. isEmpty is a
-          // limit-1 probe, so the non-empty path stages only once — and
-          // it also keeps a zero-row partitioned archive write (which
-          // leaves an unreadable schema-less directory) from ever running.
-          if (finalDf.isEmpty) Seq((src.name, 0L))
-          else if (layered) {
-            // ONE distributed write; partitionBy gives every discovered
-            // layer its own target directory (no per-layer driver loop)
-            finalDf.write.mode(writeMode).partitionBy("layer_name").parquet(path)
-            perLayer(spark.read.parquet(path))
-          } else {
-            finalDf.write.mode(writeMode).parquet(path)
-            Seq((src.name, spark.read.parquet(path).count()))
-          }
+          // and still appear in the summary with 0 rows — and the guard
+          // also keeps a zero-row partitioned archive write (which leaves
+          // an unreadable schema-less directory) from ever running.
+          // The staged subtree is persisted across the probe + write pair:
+          // isEmpty materializes (and caches) at most one partition, the
+          // write computes the rest once — without the persist, an ogc/
+          // archive source would run its whole discover/verify/stage
+          // sweep TWICE (once for the probe, once for the write).
+          val persisted = finalDf.persist()
+          try {
+            if (persisted.isEmpty) Seq((src.name, 0L))
+            else if (layered) {
+              // ONE distributed write; partitionBy gives every discovered
+              // layer its own target directory (no per-layer driver loop)
+              persisted.write.mode(writeMode).partitionBy("layer_name").parquet(path)
+              perLayer(spark.read.parquet(path))
+            } else {
+              persisted.write.mode(writeMode).parquet(path)
+              Seq((src.name, spark.read.parquet(path).count()))
+            }
+          } finally { persisted.unpersist(); () }
         case _ =>
           if (layered) {
             // an all-empty container must still be visible to monitoring

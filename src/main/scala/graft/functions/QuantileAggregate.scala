@@ -40,6 +40,10 @@ case class QuantileAggregate(
 
   import QuantileAggregate._
 
+  // a degenerate domain would silently clamp every value into bin 0
+  // (NaN bin math) — fail loudly at construction instead
+  require(lo < hi, s"quantile_sketch needs lo < hi, got [$lo, $hi)")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
   override def prettyName: String = "quantile_sketch"
@@ -94,7 +98,13 @@ object QuantileAggregate {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "quantile_sketch",
-      exprs => QuantileAggregate(exprs.head, evalDouble(exprs(1)), evalDouble(exprs(2))),
+      // cast the child to double up front: update() then sees a plain
+      // java.lang.Double for EVERY numeric input type, including decimals
+      // (whose Spark runtime value is not a java.lang.Number)
+      exprs => QuantileAggregate(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          exprs.head, org.apache.spark.sql.types.DoubleType),
+        evalDouble(exprs(1)), evalDouble(exprs(2))),
       "built-in")
 
   private def evalDouble(e: Expression): Double =

@@ -177,29 +177,67 @@ object Similarity {
     * assignment job runs once per corpus version, and a query touches
     * nprobe partitions. Rebuilds automatically when the input table's
     * file stamp changes (a stale index must never serve a new corpus). */
+  /** Index root for a corpus dir: configurable base
+    * (`graft.ivf.root` in the session conf) + a readable basename +
+    * a full-path hash — two dirs whose lossy sanitizations collide
+    * ("/data/sf-1" vs "/data/sf_1") still get distinct index roots. */
+  def ivfRoot(spark: SparkSession, dir: String): String = {
+    val base = spark.conf.get("graft.ivf.root", "/root/repo/target/graft_ivf")
+    val abs = new java.io.File(dir).getAbsolutePath
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(10)
+    val name = abs.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "").takeRight(40)
+    s"$base/${name}_$h"
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    f.delete(): Unit
+  }
+
   def ivfIndex(spark: SparkSession, dir: String): (String, Seq[(Int, Seq[Double])]) = {
     import spark.implicits._
-    val root = s"/root/repo/target/graft_ivf/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}"
-    val (listsPath, centsPath) = (s"$root/lists", s"$root/centroids")
-    val marker = new java.io.File(s"$root/_GRAFT_STAMP")
+    val root = ivfRoot(spark, dir)
     val stamp = {
       val f = new java.io.File(s"$dir/embeddings.parquet")
       val files = if (f.isDirectory) f.listFiles().toSeq else Seq(f)
       files.map(x => s"${x.getName}:${x.length}:${x.lastModified}").sorted.mkString("|")
     }
-    val current = marker.exists() &&
-      java.nio.file.Files.readString(marker.toPath) == stamp
-    if (!current) {
+    // versioned layout: the corpus stamp names the version directory, so
+    // a reader can never observe a half-overwritten index — a rebuild
+    // materializes a NEW version and publishes it with one atomic rename
+    // (two concurrent builders of the same corpus: the rename loser
+    // discards its copy and reads the winner's)
+    val ver = java.security.MessageDigest.getInstance("MD5")
+      .digest(stamp.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val verDir = new java.io.File(s"$root/v_$ver")
+    if (!verDir.exists()) {
+      val tmp = new java.io.File(s"$root/v_${ver}_tmp_${ProcessHandle.current().pid()}")
       val e = vectors(spark, dir)
       val cents = trainQuantizer(e)
       listAssignments(spark, e, cents)
         .withColumn("nrm", Vec.norm(col("v"))) // norms once, AT INDEX TIME
         .repartition(col("list_id"))           // one file per list directory
-        .write.mode("overwrite").partitionBy("list_id").parquet(listsPath)
-      cents.toDF("list_id", "cv").write.mode("overwrite").parquet(centsPath)
-      java.nio.file.Files.writeString(marker.toPath, stamp): Unit
+        .write.mode("overwrite").partitionBy("list_id").parquet(s"$tmp/lists")
+      cents.toDF("list_id", "cv").write.mode("overwrite").parquet(s"$tmp/centroids")
+      if (!tmp.renameTo(verDir)) {
+        rmTree(tmp)
+        require(verDir.exists(), s"ivf index publish failed for $verDir")
+      }
+      // human-readable current-stamp marker, written LAST (readers key on
+      // the version hash, so a torn marker can never dangle)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$root/_GRAFT_STAMP"), stamp): Unit
+      // GC superseded corpus versions — runs only when the corpus CHANGED
+      // (concurrent same-corpus JVMs share one version and never GC);
+      // crashed builders' _tmp_ dirs are left alone
+      verDir.getParentFile.listFiles()
+        .filter(f => f.getName.startsWith("v_") && f.getName != verDir.getName &&
+          !f.getName.contains("_tmp_"))
+        .foreach(rmTree)
     }
-    val cents = spark.read.parquet(centsPath).collect()
+    val listsPath = s"$verDir/lists"
+    val cents = spark.read.parquet(s"$verDir/centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
     (listsPath, cents)
   }

@@ -101,10 +101,14 @@ object TextAnalysis {
   }
 
   /** F17: TF-IDF — top terms per document by tf·idf. Corpus DF via one
-    * agg, tf via another, joined on term (broadcastable: vocab ≪ corpus);
+    * agg, tf via another, joined on term (broadcastable: vocab ≪ corpus —
+    * Heaps-law sublinear — but GUARDED: the hint applies only while the
+    * vocab estimate stays under a budget, so an extreme-vocab corpus
+    * falls back to a plain shuffle join instead of OOMing the driver);
     * rank per doc is a window on the doc key. The standard two-pass
     * distributed formulation. */
-  def tfidf(spark: SparkSession, dir: String, topPerDoc: Int = 3): DataFrame = {
+  def tfidf(spark: SparkSession, dir: String, topPerDoc: Int = 3,
+      vocabBroadcastBudget: Long = 10_000_000L): DataFrame = {
     val t = Tables(spark, dir)
     val n = t.documents.count()
     // ONE explode pass compressed to (doc, term, tf) and checkpointed;
@@ -115,9 +119,12 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
     val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // the F6 pattern: measure before hinting — one cheap count over the
+    // checkpointed rows decides broadcast vs shuffle join
+    val dfSide = if (df_.count() <= vocabBroadcastBudget) broadcast(df_) else df_
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
-    tf.join(broadcast(df_), "term")
+    tf.join(dfSide, "term")
       .withColumn("score", col("tf") * log((lit(n.toDouble) + 1.0) / (col("df") + 1.0)))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= topPerDoc)

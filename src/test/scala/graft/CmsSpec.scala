@@ -114,6 +114,26 @@ class CmsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("quantile: decimal input sketches like double, degenerate domain fails loudly") {
+    import graft.functions.QuantileAggregate
+    // DECIMAL column (Spark's Decimal runtime value is not a j.l.Number —
+    // the register path casts the child to double first)
+    val dec = (1 to 100).map(i => BigDecimal(i) / 4).toDF("v")
+      .select(col("v").cast("decimal(10,2)").as("v"))
+    val sDec = dec.agg(QuantileAggregate.quantileSketch(spark, col("v"), 0.0, 25.0).as("s"))
+      .head().getSeq[Long](0)
+    val sDbl = dec.select(col("v").cast("double").as("v"))
+      .agg(QuantileAggregate.quantileSketch(spark, col("v"), 0.0, 25.0).as("s"))
+      .head().getSeq[Long](0)
+    assert(sDec == sDbl, "decimal input must bin like its double value")
+    assert(sDec.sum == 100L)
+    // lo >= hi would clamp everything into bin 0 via NaN math — must throw
+    val ex = intercept[Exception] {
+      dec.agg(QuantileAggregate.quantileSketch(spark, col("v"), 5.0, 5.0).as("s")).collect()
+    }
+    assert(ex.getMessage.contains("lo < hi"), ex.getMessage)
+  }
+
   test("bloom: OR-merge algebra, no false negatives, real fact-side pruning") {
     import graft.functions.BloomAggregate
     val agg = BloomAggregate(org.apache.spark.sql.catalyst.expressions.Literal(0L))
