@@ -87,7 +87,7 @@ object PipelineDemo {
       s"""{
          |  "sources": [
          |    {"name": "rest_layers", "path": "$wire", "format": "rest",
-         |     "include": ["i*", "*a"]}
+         |     "include": ["nation_1*", "*_2"]}
          |  ],
          |  "load": {"target": "/root/repo/target/graft_pipeline_rest", "mode": "truncate"}
          |}""".stripMargin

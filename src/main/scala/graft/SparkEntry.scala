@@ -310,8 +310,12 @@ object SparkEntry {
         | s_suppkey * 104729 % 18000 / 100.0 - 90 AS y
         |FROM supplier ORDER BY suppkey""".stripMargin,
     // REST layer discovery: per-region MapServer docs list nations as
-    // layers; include patterns ["i*", "*a"] translate to the LIKEs below;
-    // the single-layer FeatureServer contributes itself (fallback)
+    // layers; include patterns ["nation_1*", "*_2"] (12 of 25 synthetic
+    // layer names match — discovery, wildcard filtering, AND per-layer
+    // reconcile are all on the oracle path) translate to the anchored
+    // regexes below (regexp_matches, not LIKE — SQL LIKE's `_` is a
+    // wildcard, fnmatch's is literal); the single-layer FeatureServer
+    // contributes itself (fallback)
     "src_rest_layers" ->
       """WITH lay AS (
         | SELECT '/rest/' || lower(regexp_replace(r_name, '[^A-Za-z0-9]+', '_', 'g'))
@@ -319,7 +323,8 @@ object SparkEntry {
         |  CAST(n_nationkey AS BIGINT) AS layer_id, n_name AS layer_name,
         |  n_nationkey AS nk
         | FROM nation JOIN region ON n_regionkey = r_regionkey
-        | WHERE lower(n_name) LIKE 'i%' OR lower(n_name) LIKE '%a'),
+        | WHERE regexp_matches(lower(n_name), '^nation_1.*$')
+        |    OR regexp_matches(lower(n_name), '^.*_2$')),
         |per AS (
         | SELECT l.service_url, l.layer_id, l.layer_name,
         |  count(c.c_custkey) AS n_features,
@@ -882,14 +887,18 @@ object SparkEntry {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // config-staged REST sweep: layers discovered from the service docs,
-    // filtered by the config's wildcard include patterns; the single-layer
-    // FeatureServer doc falls back to itself (its layer list is empty)
+    // filtered by the config's wildcard include patterns ["nation_1*",
+    // "*_2"] (12 matching layers stage + reconcile per-layer — regexes,
+    // not LIKE: SQL LIKE's `_` is a wildcard, fnmatch's is literal); the
+    // single-layer FeatureServer doc falls back to itself (its layer list
+    // is empty)
     "pipeline_rest" ->
       """SELECT 'rest_layers/' ||
         |  trim(regexp_replace(lower(n_name), '[^a-z0-9]+', '_', 'g'), '_') AS source,
         | count(*) AS rows_loaded
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |WHERE lower(n_name) LIKE 'i%' OR lower(n_name) LIKE '%a'
+        |WHERE regexp_matches(lower(n_name), '^nation_1.*$')
+        |   OR regexp_matches(lower(n_name), '^.*_2$')
         |GROUP BY 1
         |UNION ALL
         |SELECT 'rest_layers/municipal_assets', count(*)

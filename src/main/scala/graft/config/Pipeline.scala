@@ -229,30 +229,59 @@ object Pipeline {
       cfg.load match {
         case Some(LoadCfg(target, mode)) if cfg.steps.load =>
           val path = s"$target/${safeNameString(src.name)}"
-          val writeMode = if (mode == "append") "append" else "overwrite"
-          // empty-result skip (process.py: zero-feature outputs are not
-          // written): an empty staged source must leave NO target behind
-          // and still appear in the summary with 0 rows — and the guard
-          // also keeps a zero-row partitioned archive write (which leaves
-          // an unreadable schema-less directory) from ever running.
-          // The staged subtree is persisted across the probe + write pair:
-          // isEmpty materializes (and caches) at most one partition, the
-          // write computes the rest once — without the persist, an ogc/
-          // archive source would run its whole discover/verify/stage
-          // sweep TWICE (once for the probe, once for the write).
-          val persisted = finalDf.persist()
-          try {
-            if (persisted.isEmpty) Seq((src.name, 0L))
-            else if (layered) {
-              // ONE distributed write; partitionBy gives every discovered
-              // layer its own target directory (no per-layer driver loop)
-              persisted.write.mode(writeMode).partitionBy("layer_name").parquet(path)
-              perLayer(spark.read.parquet(path))
+          val appendMode = mode == "append"
+          // Write-once-then-reconcile: the staged subtree is computed
+          // EXACTLY once, by the write itself, into a staging dir next to
+          // the target (`.staging` SUFFIX — a dot/underscore PREFIX would
+          // be invisible to Spark's path filter even as a read root, and
+          // sanitized source names cannot contain a dot, so the name can
+          // never collide with a real target). The empty probe
+          // (process.py: zero-feature outputs are not written) and the
+          // per-layer reconcile both read the WRITTEN files — no persist,
+          // no second pass over the source. Publish is one directory
+          // rename (overwrite) or a part-file move (append); an empty
+          // result removes the staging dir and leaves NO target behind.
+          val tmp = new java.io.File(s"$target/${safeNameString(src.name)}.staging")
+          def rmTree(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rmTree)
+            f.delete(): Unit
+          }
+          if (tmp.exists()) rmTree(tmp)
+          if (layered)
+            finalDf.write.mode("overwrite").partitionBy("layer_name").parquet(tmp.getPath)
+          else
+            finalDf.write.mode("overwrite").parquet(tmp.getPath)
+          // a zero-row PARTITIONED write leaves no part files at all (and
+          // an unreadable schema-less dir) — probe the file listing first,
+          // then let parquet row-group metadata answer the count
+          def partFiles(f: java.io.File): Seq[java.io.File] =
+            if (f.isDirectory) f.listFiles().toSeq.flatMap(partFiles)
+            else if (f.getName.startsWith("part-")) Seq(f) else Seq.empty
+          val writtenRows =
+            if (partFiles(tmp).isEmpty) 0L else spark.read.parquet(tmp.getPath).count()
+          if (writtenRows == 0L) { rmTree(tmp); Seq((src.name, 0L)) }
+          else {
+            val dst = new java.io.File(path)
+            if (!appendMode) {
+              if (dst.exists()) rmTree(dst)
+              require(tmp.renameTo(dst), s"publish failed: $tmp -> $dst")
             } else {
-              persisted.write.mode(writeMode).parquet(path)
-              Seq((src.name, spark.read.parquet(path).count()))
+              // merge written part files (and layer_name=* dirs) into the
+              // existing target; Spark part names carry a per-job UUID, so
+              // names cannot collide with prior appends
+              def move(s: java.io.File, d: java.io.File): Unit =
+                if (s.isDirectory) {
+                  d.mkdirs()
+                  s.listFiles().foreach(c => move(c, new java.io.File(d, c.getName)))
+                } else if (s.getName.startsWith("part-")) {
+                  require(s.renameTo(d), s"publish failed: $s -> $d")
+                }
+              move(tmp, dst)
+              rmTree(tmp)
             }
-          } finally { persisted.unpersist(); () }
+            if (layered) perLayer(spark.read.parquet(path))
+            else Seq((src.name, spark.read.parquet(path).count()))
+          }
         case _ =>
           if (layered) {
             // an all-empty container must still be visible to monitoring

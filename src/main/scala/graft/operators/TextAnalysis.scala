@@ -108,7 +108,7 @@ object TextAnalysis {
     * rank per doc is a window on the doc key. The standard two-pass
     * distributed formulation. */
   def tfidf(spark: SparkSession, dir: String, topPerDoc: Int = 3,
-      vocabBroadcastBudget: Long = 10_000_000L): DataFrame = {
+      vocabBroadcastBudget: Long = 1_000_000L): DataFrame = {
     val t = Tables(spark, dir)
     val n = t.documents.count()
     // ONE explode pass compressed to (doc, term, tf) and checkpointed;

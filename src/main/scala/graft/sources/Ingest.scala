@@ -625,7 +625,7 @@ object Ingest {
     * served nothing still reports 0 (monitoring parity with the
     * reference's per-layer feature log, download_rest.py:207). */
   def restLayers(spark: SparkSession, dir: String,
-      include: Seq[String] = Seq("i*", "*a")): DataFrame = {
+      include: Seq[String] = Seq("nation_1*", "*_2")): DataFrame = {
     val (docs, features) = buildRestServiceWire(spark, dir)
     discoverRestLayers(docs, include)
       .join(features, Seq("layer_url"), "left")
