@@ -19,24 +19,37 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * the pruned plan's result is provably identical to the plain join —
   * which is exactly what the oracle checks.
   *
+  * The filter is SIZED FROM THE EXPECTED KEY COUNT ([[BloomAggregate.sizeFor]]):
+  * ~13 bits/key (≈0.6% FPR at 4 hashes), floor [[BloomAggregate.Bits]],
+  * cap [[BloomAggregate.MaxBits]] so the broadcast row stays bounded. A
+  * fixed 8192-bit filter saturates at a few thousand keys (≈69% FPR at
+  * 5k) and the screen degrades to a no-op exactly when pruning matters
+  * most — callers pass their measured cardinality instead.
+  *
   * Merge is bitwise OR (associative, commutative, idempotent); hashing
   * is the same Carter–Wegman family as CMS, so membership tests are
   * plain integer Column arithmetic ([[mightContain]] — no UDF, stays in
-  * codegen).
+  * codegen; the test reads the filter's width from the word-array length
+  * at runtime, so it can never disagree with how the bloom was sized).
   */
 case class BloomAggregate(
     child: Expression,
+    numBits: Int = BloomAggregate.Bits,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
 
   import BloomAggregate._
 
+  require(numBits > 0 && numBits % 64 == 0, s"numBits must be a positive multiple of 64: $numBits")
+
+  private val words: Int = numBits / 64
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
   override def prettyName: String = "bloom_agg"
 
-  override def createAggregationBuffer(): Array[Long] = new Array[Long](Words)
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](words)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
@@ -44,7 +57,7 @@ case class BloomAggregate(
       val k = v.asInstanceOf[Number].longValue()
       var i = 0
       while (i < Hashes) {
-        val pos = bitPos(i, k)
+        val pos = bitPos(i, k, numBits)
         buf(pos >>> 6) |= (1L << (pos & 63))
         i += 1
       }
@@ -54,21 +67,21 @@ case class BloomAggregate(
 
   override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
     var i = 0
-    while (i < Words) { b1(i) |= b2(i); i += 1 }
+    while (i < words) { b1(i) |= b2(i); i += 1 }
     b1
   }
 
   override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(Words * 8)
+    val bb = ByteBuffer.allocate(words * 8)
     buf.foreach(bb.putLong)
     bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
     val bb = ByteBuffer.wrap(bytes)
-    Array.fill(Words)(bb.getLong)
+    Array.fill(words)(bb.getLong)
   }
 
   override def withNewMutableAggBufferOffset(n: Int): BloomAggregate =
@@ -80,34 +93,71 @@ case class BloomAggregate(
 }
 
 object BloomAggregate {
+  /** Default (and floor) width: 8192 bits = 128 longs = 1 KiB. */
   val Bits = 8192
   val Words: Int = Bits / 64
+  /** Cap: 2^28 bits = 32 MiB of longs — still one cheaply-broadcast row. */
+  val MaxBits: Int = 1 << 28
   val Hashes = 4
   val Prime = 2147483647L
   def coeffA(i: Int): Long = 999983L * (2 * i + 1)
   def coeffB(i: Int): Long = 104729L * i + 7919L
 
-  /** Bit position of hash i for key k (nonnegative keys; shared by the
-    * aggregate and the Column-side membership test). */
-  def bitPos(i: Int, k: Long): Int =
-    (Math.floorMod(coeffA(i) * Math.floorMod(k, Prime) + coeffB(i), Prime) % Bits).toInt
+  /** Width for an expected key count: ~13 bits/key (FPR ≈ 0.6% with 4
+    * hashes), rounded up to whole words, clamped to [Bits, MaxBits].
+    * `expectedKeys ≤ 0` (unknown) falls back to the floor. Past the cap
+    * (~20M keys) the FPR degrades gracefully — never any false negatives,
+    * the screen just prunes less. */
+  def sizeFor(expectedKeys: Long): Int = {
+    if (expectedKeys <= 0L) Bits
+    else {
+      val raw = expectedKeys * 13L
+      val rounded = ((raw + 63L) / 64L) * 64L
+      math.min(MaxBits.toLong, math.max(Bits.toLong, rounded)).toInt
+    }
+  }
+
+  /** Bit position of hash i for key k in an m-bit filter (nonnegative
+    * keys; shared by the aggregate and the Column-side membership test). */
+  def bitPos(i: Int, k: Long, numBits: Int): Int =
+    (Math.floorMod(coeffA(i) * Math.floorMod(k, Prime) + coeffB(i), Prime) % numBits).toInt
+
+  def bitPos(i: Int, k: Long): Int = bitPos(i, k, Bits)
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bloom_agg", exprs => BloomAggregate(exprs.head), "built-in")
+      "bloom_agg",
+      {
+        case Seq(e)       => BloomAggregate(e)
+        case Seq(e, bits) => BloomAggregate(e, bits.eval().asInstanceOf[Number].intValue())
+        case other => throw new IllegalArgumentException(
+          s"bloom_agg takes (key[, numBits]), got ${other.size} args")
+      },
+      "built-in")
 
   def bloomAgg(spark: org.apache.spark.sql.SparkSession, key: Column): Column = {
     register(spark)
     call_function("bloom_agg", key)
   }
 
+  /** Sized variant: width from [[sizeFor]] of the caller's measured or
+    * estimated key cardinality. */
+  def bloomAgg(spark: org.apache.spark.sql.SparkSession, key: Column, expectedKeys: Long): Column = {
+    register(spark)
+    call_function("bloom_agg", key, lit(sizeFor(expectedKeys)))
+  }
+
   /** Membership test as pure integer Column arithmetic (codegen'd): every
-    * hash's bit must be set. Identical position math to [[bitPos]]. */
-  def mightContain(bits: Column, key: Column): Column =
+    * hash's bit must be set. Identical position math to [[bitPos]]; the
+    * filter width is read from the word-array length at runtime
+    * (`size(bits)*64`), so one test expression works for any sizing. */
+  def mightContain(bits: Column, key: Column): Column = {
+    val m = (size(bits) * 64).cast("long")
     (0 until Hashes).map { i =>
-      val pos = pmod(lit(coeffA(i)) * pmod(key, lit(Prime)) + lit(coeffB(i)), lit(Prime)) % Bits
+      val pos = pmod(lit(coeffA(i)) * pmod(key, lit(Prime)) + lit(coeffB(i)), lit(Prime)) % m
       val word = element_at(bits, (pos / 64 + 1).cast("int"))
       call_function("shiftrightunsigned", word, pmod(pos, lit(64)).cast("int"))
         .bitwiseAND(lit(1L)) === lit(1L)
     }.reduce(_ && _)
+  }
 }

@@ -82,9 +82,11 @@ object Dedup {
     *
     * Scale shape: the corpus fingerprint set is NEVER broadcast (at
     * 100 TB it is billions of digests — a broadcast OOMs the driver).
-    * Instead a fixed-size [[graft.functions.BloomAggregate]] bloom of the
-    * corpus fps (one 8 KiB row, regardless of corpus size) screens the
-    * batch; only the bloom survivors exact-verify through an UNHINTED
+    * Instead a [[graft.functions.BloomAggregate]] bloom of the corpus fps
+    * — SIZED from a one-agg HLL estimate of the corpus cardinality
+    * (~13 bits/key, the F6/F17 measure-first pattern; one bounded row
+    * regardless of corpus size, capped at 32 MiB) — screens the batch;
+    * only the bloom survivors exact-verify through an UNHINTED
     * fp-key join (a shuffle hash/sort-merge join — scale-safe; AQE may
     * still pick a broadcast when the corpus genuinely IS small). The
     * bloom has no false negatives, so a batch row the bloom clears is
@@ -96,9 +98,12 @@ object Dedup {
     import graft.functions.BloomAggregate
     val spark = corpus.sparkSession
     val corpusFps = corpus.select(col("fp")).distinct()
-    // one fixed-size row: bloom over the corpus fp set (md5 hex → long key)
+    // measure first: estimated distinct corpus fps sizes the bloom (a
+    // partial-aggregated HLL scan — no shuffle of the fp set itself)
+    val corpusEst = corpus.agg(approx_count_distinct(col("fp"))).head().getLong(0)
+    // one bounded row: corpus-sized bloom over the fp set (md5 hex → long key)
     val bloomRow = corpusFps
-      .agg(BloomAggregate.bloomAgg(spark, xxhash64(col("fp"))).as("bits"))
+      .agg(BloomAggregate.bloomAgg(spark, xxhash64(col("fp")), corpusEst).as("bits"))
     val screened = batch.join(broadcast(bloomRow))
       .withColumn("maybe_corpus",
         BloomAggregate.mightContain(col("bits"), xxhash64(col("fp"))))

@@ -32,7 +32,11 @@ object Relational {
     val t = Tables(spark, dir)
     val dim = t.customer.filter(col("c_acctbal") > 9000.0)
       .select(col("c_custkey"), col("c_mktsegment"))
-    val bloomRow = dim.agg(BloomAggregate.bloomAgg(spark, col("c_custkey")).as("bits"))
+    // measure first: the dim count sizes the bloom (custkeys are unique,
+    // so the row count IS the key cardinality; ~13 bits/key keeps the
+    // screen's FPR ≈0.6% instead of saturating a fixed width)
+    val bloomRow = dim.agg(
+      BloomAggregate.bloomAgg(spark, col("c_custkey"), dim.count()).as("bits"))
     val prunedFact = t.orders
       .join(broadcast(bloomRow)) // single-row bitset alongside every fact row
       .filter(BloomAggregate.mightContain(col("bits"), col("o_custkey")))

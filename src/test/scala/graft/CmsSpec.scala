@@ -157,4 +157,34 @@ class CmsSpec extends AnyFunSuite with SparkTestBase {
     val total = Tables(spark, sfDir).orders.count()
     assert(survivors < total, s"bloom pruned nothing: $survivors of $total")
   }
+
+  test("bloom: corpus-sized filter keeps FPR bounded where the fixed width saturates") {
+    import graft.functions.BloomAggregate
+    // sizeFor: floor below ~630 keys, ~13 bits/key above, word-aligned, capped
+    assert(BloomAggregate.sizeFor(0L) == BloomAggregate.Bits)
+    assert(BloomAggregate.sizeFor(100L) == BloomAggregate.Bits)
+    assert(BloomAggregate.sizeFor(1000000L) == ((1000000L * 13 + 63) / 64 * 64))
+    assert(BloomAggregate.sizeFor(Long.MaxValue / 16) == BloomAggregate.MaxBits)
+    assert(BloomAggregate.sizeFor(50000L) % 64 == 0)
+
+    // 50k planted keys saturate the 8192-bit floor (FPR ≈ 1.0 there); the
+    // sized filter (650k bits) must keep measured FPR under 5% — and the
+    // ≥5% head-room of the ~0.6% design point makes this non-flaky.
+    val n = 50000L
+    val ins = spark.range(n).selectExpr("id * 2 as k") // evens inserted
+    val sized = ins.agg(BloomAggregate.bloomAgg(spark, col("k"), n).as("bits"))
+    val probes = spark.range(n).selectExpr("id * 2 + 1 as k") // odds never inserted
+    val fpSized = probes.crossJoin(broadcast(sized))
+      .filter(BloomAggregate.mightContain(col("bits"), col("k"))).count()
+    assert(fpSized.toDouble / n < 0.05, s"sized-bloom FPR ${fpSized.toDouble / n} >= 5%")
+    val fixed = ins.agg(BloomAggregate.bloomAgg(spark, col("k")).as("bits"))
+    val fpFixed = probes.crossJoin(broadcast(fixed))
+      .filter(BloomAggregate.mightContain(col("bits"), col("k"))).count()
+    assert(fpFixed.toDouble / n > 0.5,
+      s"expected the fixed width to saturate at ${n} keys, FPR ${fpFixed.toDouble / n}")
+    // no false negatives at any size
+    val hits = ins.crossJoin(broadcast(sized))
+      .filter(BloomAggregate.mightContain(col("bits"), col("k"))).count()
+    assert(hits == n, s"false negative in sized bloom: $hits of $n")
+  }
 }
