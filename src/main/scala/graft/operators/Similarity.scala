@@ -230,10 +230,17 @@ object Similarity {
         java.nio.file.Paths.get(s"$root/_GRAFT_STAMP"), stamp): Unit
       // GC superseded corpus versions — runs only when the corpus CHANGED
       // (concurrent same-corpus JVMs share one version and never GC);
-      // crashed builders' _tmp_ dirs are left alone
+      // crashed builders' _tmp_ dirs are left alone. ONE-VERSION GRACE:
+      // ivfIndex returns a listsPath that queries read lazily, so a JVM
+      // that resolved the old version may still be mid-scan when this
+      // rebuild publishes — the newest superseded version therefore
+      // survives one more generation, and only versions at least two
+      // rebuilds old are deleted.
       verDir.getParentFile.listFiles()
         .filter(f => f.getName.startsWith("v_") && f.getName != verDir.getName &&
           !f.getName.contains("_tmp_"))
+        .sortBy(-_.lastModified)
+        .drop(1)
         .foreach(rmTree)
     }
     val listsPath = s"$verDir/lists"

@@ -149,4 +149,44 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(rMulti >= rSingle, s"multi=$rMulti single=$rSingle")
     assert(rMulti > 0.0, "multi-probe found none of the true neighbors")
   }
+
+  test("ivf index GC grace: a reader of the old version survives one rebuild") {
+    // private corpus dir + private index root so the shared sfDir index
+    // other tests depend on is never touched
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_gc").toFile
+    val corpus = new java.io.File(tmp, "corpus"); corpus.mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/embeddings.parquet"),
+      new java.io.File(corpus, "embeddings.parquet").toPath)
+    val emb = new java.io.File(corpus, "embeddings.parquet")
+    spark.conf.set("graft.ivf.root", s"$tmp/ivf")
+    try {
+      val (lists1, _) = Similarity.ivfIndex(spark, corpus.getPath)
+      val v1Dir = new java.io.File(lists1).getParentFile
+      // a concurrent JVM resolved v1 and reads it LAZILY — plan now, run later
+      val v1Reader = Similarity.ivfLists(spark, lists1)
+      val v1Rows = v1Reader.count()
+      // corpus changes (stamp = name:length:mtime) → rebuild publishes v2
+      assert(emb.setLastModified(emb.lastModified() + 5000))
+      val (lists2, _) = Similarity.ivfIndex(spark, corpus.getPath)
+      assert(lists2 != lists1, "stamp change must produce a new version")
+      assert(v1Dir.exists(), "grace: newest superseded version must survive one rebuild")
+      assert(v1Reader.count() == v1Rows, "in-flight v1 reader must still scan cleanly")
+      // second corpus change → v3; v1 is now two generations old and collected
+      assert(emb.setLastModified(emb.lastModified() + 5000))
+      val (lists3, _) = Similarity.ivfIndex(spark, corpus.getPath)
+      assert(lists3 != lists2)
+      assert(!v1Dir.exists(), "versions two rebuilds old must be GC'd")
+      assert(new java.io.File(lists2).getParentFile.exists(),
+        "v2 is the newest superseded version and keeps its grace")
+      assert(Similarity.ivfLists(spark, lists3).count() == v1Rows)
+    } finally {
+      spark.conf.unset("graft.ivf.root")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(tmp)
+    }
+  }
 }
