@@ -94,6 +94,29 @@ object PipelineDemo {
     Pipeline.run(spark, PipelineCfg.fromJson(json))
   }
 
+  /** Config-driven ATOM FEED source (download_atom.py): the pipeline
+    * parses each feed's entries, classifies every atom:link — enclosure /
+    * zip content-type links download, filterable service URLs follow the
+    * bbox-bypass path because the config sets `filterServices` (the
+    * reference's `raw.filter_services` gate, download_atom.py:142) — and
+    * stages each entry's records under its own (safe-named) target: the
+    * FIFTH layered-source shape, next to archive / ogc / rest / wfs. */
+  def runAtom(spark: SparkSession, dir: String): DataFrame = {
+    val wire = "/root/repo/target/graft_atom_wire"
+    val (feed, files) = graft.sources.Ingest.buildAtomWire(spark, dir)
+    feed.write.mode("overwrite").parquet(s"$wire/feed")
+    files.write.mode("overwrite").parquet(s"$wire/files")
+    val json =
+      s"""{
+         |  "sources": [
+         |    {"name": "atom_feed", "path": "$wire", "format": "atom",
+         |     "filterServices": true}
+         |  ],
+         |  "load": {"target": "/root/repo/target/graft_pipeline_atom", "mode": "truncate"}
+         |}""".stripMargin
+    Pipeline.run(spark, PipelineCfg.fromJson(json))
+  }
+
   /** Config-listed WFS typename sweep (download_wfs.py:176
     * `download_wfs_service`: the config names N typed layers to pull from
     * one service; each stages as its own feature class). The typename

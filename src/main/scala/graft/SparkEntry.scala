@@ -29,6 +29,7 @@ object SparkEntry {
     "src_archive_unpack"     -> Ingest.archiveUnpack _,
     "src_resume_ingest"      -> ((s: SparkSession, d: String) => Ingest.resumeIngest(s, d)),
     "src_atom_filterable"    -> ((s: SparkSession, d: String) => Ingest.atomFilterable(s, d)),
+    "src_atom_feed"          -> ((s: SparkSession, d: String) => Ingest.atomFeed(s, d)),
     "src_oid_page_fetch"     -> ((s: SparkSession, d: String) => Ingest.oidPageFetch(s, d)),
     "src_ogc_collections"    -> ((s: SparkSession, d: String) => Ingest.ogcCollections(s, d)),
     "src_rest_layers"        -> ((s: SparkSession, d: String) => Ingest.restLayers(s, d)),
@@ -101,6 +102,7 @@ object SparkEntry {
     "pipeline_ogc"           -> (PipelineDemo.runOgc _),
     "pipeline_wfs"           -> (PipelineDemo.runWfs _),
     "pipeline_rest"          -> (PipelineDemo.runRest _),
+    "pipeline_atom"          -> (PipelineDemo.runAtom _),
     // F — LLM-training-data operators
     "dedup_exact"            -> Dedup.dedupExact _,
     "dedup_fingerprint"      -> Dedup.dedupFingerprint _,
@@ -278,6 +280,25 @@ object SparkEntry {
         | AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         | AND l_quantity BETWEEN 10 AND 40
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the feed→entries→links protocol must recover the planted link plan
+    // exactly: nation key % 3 decides the class (0 → enclosure, 1 →
+    // service — filter_services is on; 2 → nothing downloadable), and a
+    // download-class entry lands exactly its nation's suppliers; entries
+    // whose links all skipped (and link-less entries) report class 'none'
+    "src_atom_feed" ->
+      """WITH e AS (
+        |  SELECT r_name AS authority, CAST(n_nationkey AS BIGINT) AS entry_id,
+        |    n_name AS entry_title,
+        |    CASE WHEN n_nationkey % 3 = 0 THEN 'enclosure'
+        |         WHEN n_nationkey % 3 = 1 THEN 'service'
+        |         ELSE 'none' END AS link_class
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey)
+        |SELECT e.authority, e.entry_id, e.entry_title, e.link_class,
+        | count(s_suppkey) AS n_records,
+        | CAST(coalesce(sum(s_suppkey), 0) AS BIGINT) AS key_checksum
+        |FROM e LEFT JOIN supplier
+        |  ON s_nationkey = e.entry_id AND e.link_class <> 'none'
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""".stripMargin,
     // the archive build+unpack round trip must reproduce the ground truth
     // tables exactly (lossless container staging)
     "src_archive_unpack" ->
@@ -904,6 +925,19 @@ object SparkEntry {
         |SELECT 'rest_layers/municipal_assets', count(*)
         |FROM customer WHERE c_custkey % 10 = 0
         |ORDER BY source""".stripMargin,
+    // config-staged Atom feed: one summary row per entry that classified
+    // a download-class link (key % 3 = 0 enclosures always; % 3 = 1
+    // service links because the config sets filterServices), staged under
+    // the entry's sanitized title; skipped/link-less entries stage
+    // nothing, and a download entry whose nation has no suppliers leaves
+    // no layer behind (empty partitioned writes are dropped)
+    "pipeline_atom" ->
+      """SELECT 'atom_feed/' ||
+        |  trim(regexp_replace(lower(n_name), '[^a-z0-9]+', '_', 'g'), '_') AS source,
+        | count(*) AS rows_loaded
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_nationkey % 3 < 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // config-listed typename sweep: one row per requested typed layer
     "pipeline_wfs" ->
       """SELECT 'wfs_segments/' || lower(c_mktsegment) AS source,

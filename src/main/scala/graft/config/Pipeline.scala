@@ -31,6 +31,11 @@ case class SourceCfg(
     // discover_layers + fnmatch: `include: ["road*"]` keeps only matching
     // layer names; unset keeps every discovered layer). format "rest" only.
     include: Option[Seq[String]] = None,
+    // Atom service-link gate (download_atom.py:142 `raw.filter_services`):
+    // when set, filterable service URLs in feed entries are followed via
+    // the bbox-bypass path; off (the reference default), only enclosure /
+    // zip-content-type links download. format "atom" only.
+    filterServices: Boolean = false,
     // per-source geoprocess override, field-merged over the global policy
     // (config.py:105 _apply_bbox_inheritance: a source-level value always
     // wins; unset fields inherit the defaults)
@@ -111,6 +116,18 @@ object Pipeline {
             spark.read.parquet(s"${src.path}/service"),
             spark.read.parquet(s"${src.path}/pages"))
           .withColumn("layer_name", graft.operators.Staging.safeName(col("layer_name")))
+      case "atom" =>
+        // Atom feed source (download_atom.py): `$path/feed` holds the
+        // feed documents, `$path/files` the href-addressed records;
+        // parse entries, classify every link (enclosure / zip
+        // content-type → download; filterable service URL → service,
+        // gated by the source's filterServices), and land each
+        // download-class link's records as its own per-entry layer
+        graft.sources.Ingest.stageAtomRecords(
+            spark.read.parquet(s"${src.path}/feed"),
+            spark.read.parquet(s"${src.path}/files"),
+            src.filterServices)
+          .withColumn("layer_name", graft.operators.Staging.safeName(col("layer_name")))
       case "esrijson" =>
         // Esri JSON response payloads (stage_files.py:602
         // import_esri_json): `$path` holds the raw response docs; the
@@ -171,7 +188,7 @@ object Pipeline {
     * (container layers, OGC collections) or CONFIG-listed typenames. */
   def isLayered(src: SourceCfg): Boolean =
     src.format == "archive" || src.format == "ogc" || src.format == "rest" ||
-      src.typenames.isDefined
+      src.format == "atom" || src.typenames.isDefined
 
   def geoprocess(df: DataFrame, gp: GeoprocessCfg): DataFrame =
     if (!gp.enabled) df

@@ -647,6 +647,165 @@ object Ingest {
       .select(col("layer_name"), col("oid").as("rec"))
   }
 
+  /** The two Atom link-address formats, shared by the wire builder AND
+    * the staging join so the two can never drift apart. Enclosure links
+    * address a downloadable archive; service links address a filterable
+    * service — alternating wfs-style and arcgis-style URLs so BOTH
+    * [[isFilterableService]] branches are exercised on the wire. */
+  private def atomEnclosureHref(key: Column): Column =
+    concat(lit("/files/nation_"), key.cast("string"), lit(".zip"))
+  private def atomServiceHref(key: Column): Column =
+    when(key % 2 === 0,
+      concat(lit("/geoserver/wfs?typename=nation_"), key.cast("string")))
+      .otherwise(concat(lit("/arcgis/rest/services/nation_"),
+        key.cast("string"), lit("/MapServer/0")))
+
+  /** The Atom wire a feed server would deliver: ONE feed document per
+    * region (authority), whose entries are that region's nations. Link
+    * plan per entry (nation key k):
+    *   - k % 3 == 0: a downloadable archive — rel="enclosure" for even k,
+    *     zip CONTENT-TYPE with a non-enclosure rel for odd k (both
+    *     download classes of download_atom.py:135) — plus an alternate
+    *     text/html link that must be SKIPPED;
+    *   - k % 3 == 1: a filterable-service link (wfs-style / arcgis-style
+    *     alternating — is_filterable_service, download_atom.py:164);
+    *   - k % 3 == 2: an alternate html link only (even k — present but
+    *     unclassifiable) or NO links at all (odd k).
+    * The file wire addresses each download-class href's records (that
+    * nation's suppliers); /docs/ pages deliberately serve nothing.
+    * Deterministic, built from the ground-truth tables. Returns
+    * (feedDocs: (authority, feed_xml), fileWire: (href, rec)). */
+  def buildAtomWire(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val t = Tables(spark, dir)
+    val k = col("n_nationkey")
+    val altLink = concat(lit("<link rel=\"alternate\" type=\"text/html\" href=\"/docs/nation_"),
+      k.cast("string"), lit(".html\"/>"))
+    val links = when(k % 3 === 0, concat(
+        when(k % 2 === 0,
+          concat(lit("<link rel=\"enclosure\" href=\""), atomEnclosureHref(k), lit("\"/>")))
+          .otherwise(concat(lit("<link rel=\"related\" type=\"application/zip\" href=\""),
+            atomEnclosureHref(k), lit("\"/>"))),
+        altLink))
+      .when(k % 3 === 1,
+        concat(lit("<link rel=\"alternate\" href=\""), atomServiceHref(k), lit("\"/>")))
+      .otherwise(when(k % 2 === 0, altLink).otherwise(lit("")))
+    val entry = concat(lit("<entry><id>"), k.cast("string"),
+      lit("</id><title>"), col("n_name"), lit("</title>"), links, lit("</entry>"))
+    val feedDocs = t.nation
+      .join(t.region, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("authority"))
+      .agg(concat(lit("<feed xmlns=\"http://www.w3.org/2005/Atom\"><title>"),
+        col("r_name"), lit("</title>"),
+        array_join(array_sort(collect_list(entry)), ""), lit("</feed>")).as("feed_xml"))
+      .select(col("authority"), col("feed_xml"))
+    val sk = col("s_nationkey")
+    val fileWire = t.supplier
+      .filter(sk % 3 < 2)
+      .select(when(sk % 3 === 0, atomEnclosureHref(sk))
+          .otherwise(atomServiceHref(sk)).as("href"),
+        col("s_suppkey").cast("long").as("rec"))
+    (feedDocs, fileWire)
+  }
+
+  /** Is the URL a filterable service (download_atom.py:164
+    * `is_filterable_service`): wfs / ogc / features / collections tokens,
+    * or an arcgis FeatureServer/MapServer address. Pure string Columns —
+    * codegen'd, no UDF. */
+  def isFilterableService(href: Column): Column = {
+    val u = lower(href)
+    u.contains("wfs") || u.contains("ogc") || u.contains("features") ||
+      u.contains("collections") ||
+      (u.contains("arcgis") && (u.contains("featureserver") || u.contains("mapserver")))
+  }
+
+  /** Classify one atom:link with the reference's precedence
+    * (download_atom.py:135-142): rel="enclosure" OR a zip content-type →
+    * `enclosure` (direct download); otherwise, IF the source enables
+    * `filter_services` and the href is a filterable service → `service`
+    * (the A10 bbox-bypass path); anything else → `skipped`. */
+  def classifyAtomLink(rel: Column, typ: Column, href: Column,
+      filterServices: Boolean): Column =
+    when(rel === "enclosure" ||
+        typ.isin("application/zip", "application/x-zip-compressed"), lit("enclosure"))
+      .when(lit(filterServices) && isFilterableService(href), lit("service"))
+      .otherwise(lit("skipped"))
+
+  /** Parse feed documents → one row per atom:entry (authority, entry_id,
+    * entry_title, entry_xml) with A7's native-regexp XML machinery —
+    * schema-on-read, per-row, codegen'd, no parser dependency. */
+  def parseAtomEntries(feedDocs: DataFrame): DataFrame =
+    feedDocs.select(col("authority"),
+        explode(regexp_extract_all(col("feed_xml"),
+          lit("(?s)<entry>(.*?)</entry>"), lit(1))).as("entry_xml"))
+      .select(col("authority"),
+        regexp_extract(col("entry_xml"), "<id>([0-9]+)</id>", 1)
+          .cast("long").as("entry_id"),
+        regexp_extract(col("entry_xml"), "<title>(.*?)</title>", 1).as("entry_title"),
+        col("entry_xml"))
+
+  /** Entry→link discovery: one row per (entry, link) with the link's
+    * rel/type/href attributes extracted and the link CLASSIFIED
+    * ([[classifyAtomLink]]). A link-less entry survives as one row with a
+    * NULL link (explode_outer) so monitoring can still report it. */
+  def atomEntryLinks(feedDocs: DataFrame, filterServices: Boolean): DataFrame =
+    parseAtomEntries(feedDocs)
+      .withColumn("link_xml", explode_outer(
+        regexp_extract_all(col("entry_xml"), lit("<link[^>]*/>"), lit(0))))
+      .select(col("authority"), col("entry_id"), col("entry_title"),
+        regexp_extract(col("link_xml"), "rel=\"([^\"]*)\"", 1).as("rel"),
+        regexp_extract(col("link_xml"), "type=\"([^\"]*)\"", 1).as("link_type"),
+        regexp_extract(col("link_xml"), "href=\"([^\"]*)\"", 1).as("href"),
+        col("link_xml"))
+      .withColumn("link_class",
+        when(col("link_xml").isNull, lit(null).cast("string"))
+          .otherwise(classifyAtomLink(col("rel"), col("link_type"), col("href"),
+            filterServices)))
+      .drop("link_xml")
+
+  /** A15 registered query: the feed→entries→links discovery protocol
+    * (download_atom.py:122-150) end-to-end. Parse the feed's entries,
+    * classify every link, pull each download-class link's records off the
+    * file wire, and reconcile PER ENTRY: the class that landed it, record
+    * count, key checksum — an entry whose links all classified `skipped`
+    * (or that has no links) still reports with class `none` and 0 records
+    * (the reference logs per-source download counts; zero is a visible
+    * outcome, not an absent row). The sequential feed walk becomes one
+    * distributed parse + classify + join — no driver loop. */
+  def atomFeed(spark: SparkSession, dir: String,
+      filterServices: Boolean = true): DataFrame = {
+    val (feedDocs, fileWire) = buildAtomWire(spark, dir)
+    val links = atomEntryLinks(feedDocs, filterServices)
+    val entries = links.select(col("authority"), col("entry_id"), col("entry_title"))
+      .distinct()
+    val staged = links.filter(col("link_class").isin("enclosure", "service"))
+      .join(fileWire, Seq("href"), "left")
+      .groupBy(col("entry_id"))
+      .agg(max(col("link_class")).as("lc"),
+        count(col("rec")).as("n_rec"),
+        coalesce(sum(col("rec")), lit(0L)).cast("long").as("ck"))
+    entries.join(staged, Seq("entry_id"), "left")
+      .select(col("authority"), col("entry_id"), col("entry_title"),
+        coalesce(col("lc"), lit("none")).as("link_class"),
+        coalesce(col("n_rec"), lit(0L)).as("n_records"),
+        coalesce(col("ck"), lit(0L)).as("key_checksum"))
+      .orderBy(col("authority"), col("entry_id"))
+  }
+
+  /** Record-level staging of an Atom feed sweep — the config-path entry
+    * ([[graft.config.Pipeline.stage]] `format: "atom"`): discover the
+    * feed's entries, classify each link (service links gated by the
+    * source's `filterServices`, the reference's `raw.filter_services`
+    * download_atom.py:142), and land each download-class link's records
+    * as (layer_name, rec) rows — one layer per ENTRY — for the shared
+    * layered load. */
+  def stageAtomRecords(feedDocs: DataFrame, fileWire: DataFrame,
+      filterServices: Boolean): DataFrame =
+    atomEntryLinks(feedDocs, filterServices)
+      .filter(col("link_class").isin("enclosure", "service"))
+      .select(col("entry_title").as("layer_name"), col("href"))
+      .join(fileWire, Seq("href"))
+      .select(col("layer_name"), col("rec"))
+
   /** A6: full-snapshot re-ingest (read side of load_sde.py's
     * truncate-and-load): write a snapshot, read it back, reconcile. */
   def snapshotLoad(spark: SparkSession, dir: String): DataFrame = {

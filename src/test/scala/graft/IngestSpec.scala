@@ -175,4 +175,74 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     val negExpected = li.collect().count(r => math.floor(r.getLong(0).toDouble / 47) != 7)
     assert(rows(neg) == negExpected, "NOT branch was clobbered by the range rewrite")
   }
+
+  test("atom feed: links classify by rel, content-type, and filterable-service URL; skipped and link-less entries stage nothing") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // every classification branch of download_atom.py:135-142 on one feed:
+    // 1 rel="enclosure" (+ an alternate html link that must be skipped),
+    // 2 zip CONTENT-TYPE with a non-enclosure rel, 3 wfs-style service,
+    // 4 arcgis-style service, 5 html-only (present but unclassifiable),
+    // 6 no links at all
+    val feed = Seq(("ORG",
+      "<feed xmlns=\"http://www.w3.org/2005/Atom\"><title>ORG</title>" +
+        "<entry><id>1</id><title>by_rel</title>" +
+        "<link rel=\"enclosure\" href=\"/f/a.zip\"/>" +
+        "<link rel=\"alternate\" type=\"text/html\" href=\"/docs/a.html\"/></entry>" +
+        "<entry><id>2</id><title>by_type</title>" +
+        "<link rel=\"related\" type=\"application/zip\" href=\"/f/b.zip\"/></entry>" +
+        "<entry><id>3</id><title>svc_wfs</title>" +
+        "<link rel=\"alternate\" href=\"/geo/WFS?typeName=x\"/></entry>" +
+        "<entry><id>4</id><title>svc_arcgis</title>" +
+        "<link href=\"/ArcGIS/rest/services/x/MapServer/0\"/></entry>" +
+        "<entry><id>5</id><title>html_only</title>" +
+        "<link rel=\"alternate\" type=\"text/html\" href=\"/docs/c.html\"/></entry>" +
+        "<entry><id>6</id><title>no_links</title></entry>" +
+        "</feed>")).toDF("authority", "feed_xml")
+    val links = Ingest.atomEntryLinks(feed, filterServices = true)
+    val byEntry = links.collect()
+      .map(r => (r.getLong(1), Option(r.getString(6)))) // (entry_id, link_class)
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byEntry(1L) == Set(Some("enclosure"), Some("skipped")),
+      "rel=enclosure downloads; the alternate html link is skipped")
+    assert(byEntry(2L) == Set(Some("enclosure")),
+      "a zip content-type downloads even without rel=enclosure")
+    assert(byEntry(3L) == Set(Some("service")), "wfs URL is a filterable service")
+    assert(byEntry(4L) == Set(Some("service")), "arcgis MapServer URL is a filterable service")
+    assert(byEntry(5L) == Set(Some("skipped")), "an html link is not downloadable")
+    assert(byEntry(6L) == Set(None),
+      "a link-less entry survives discovery with a NULL link (monitoring parity)")
+    // the file wire answers EVERY href — including the /docs/ page, which
+    // must still stage nothing because its link never classified
+    val wire = Seq(("/f/a.zip", 1L), ("/f/a.zip", 2L), ("/f/b.zip", 3L),
+      ("/geo/WFS?typeName=x", 4L), ("/ArcGIS/rest/services/x/MapServer/0", 5L),
+      ("/docs/a.html", 99L), ("/docs/c.html", 98L)).toDF("href", "rec")
+    val staged = Ingest.stageAtomRecords(feed, wire, filterServices = true)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(staged == Set(("by_rel", 1L), ("by_rel", 2L), ("by_type", 3L),
+      ("svc_wfs", 4L), ("svc_arcgis", 5L)),
+      "exactly the download-class links stage; skipped hrefs never join")
+    // the filter_services gate (download_atom.py:142): off — the reference
+    // default — service links are NOT followed, enclosures still download
+    val gated = Ingest.stageAtomRecords(feed, wire, filterServices = false)
+      .collect().map(r => r.getString(0)).toSet
+    assert(gated == Set("by_rel", "by_type"),
+      "filterServices=false must drop service links and keep enclosures")
+  }
+
+  test("atom feed: built wire reconciles per entry against the link plan") {
+    val out = Ingest.atomFeed(spark, sfDir).collect()
+      .map(r => r.getLong(1) -> ((r.getString(3), r.getLong(4)))).toMap
+    // 25 nations → 25 entries, class decided by key % 3
+    assert(out.size == 25)
+    out.foreach { case (k, (cls, n)) =>
+      val expected = (k % 3) match {
+        case 0 => "enclosure"
+        case 1 => "service"
+        case _ => "none"
+      }
+      assert(cls == expected, s"entry $k classified $cls, expected $expected")
+      if (cls == "none") assert(n == 0L, s"entry $k staged records without a download link")
+    }
+  }
 }
