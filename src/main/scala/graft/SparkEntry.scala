@@ -73,6 +73,7 @@ object SparkEntry {
     "mon_failure_streaks"    -> LoadOps.failureStreaks _,
     "mon_key_skew"           -> LoadOps.keySkew _,
     "etl_response_validate"  -> ((s: SparkSession, d: String) => LoadOps.responseValidate(s, d)),
+    "etl_response_diagnose"  -> LoadOps.responseDiagnose _,
     "etl_xml_validate"       -> ((s: SparkSession, d: String) => LoadOps.xmlValidate(s, d)),
     // E — relational core
     "q1_agg"                 -> Relational.q1Agg _,
@@ -194,6 +195,21 @@ object SparkEntry {
     // depth = max brace nesting outside double-quoted spans, quotes toggle
     // on every '"' — the exact rule of the native json_depth scan,
     // expressed as two stacked character windows
+    // the diagnostics gate must recover the planted failure kind from the
+    // payload alone — the oracle reconstructs the plant rule (key % 5),
+    // so any misclassification (e.g. a truncated payload read as an html
+    // page, an error envelope read as ok) hash-mismatches
+    "etl_response_diagnose" ->
+      """WITH c AS (SELECT c_custkey,
+        |  CASE c_custkey % 5 WHEN 0 THEN 'ok' WHEN 1 THEN 'html_error'
+        |       WHEN 2 THEN 'auth_required' WHEN 3 THEN 'empty_features'
+        |       ELSE 'truncated_json' END AS failure_kind
+        | FROM customer)
+        |SELECT failure_kind,
+        | CAST(CASE WHEN failure_kind IN ('html_error', 'truncated_json')
+        |   THEN 1 ELSE 0 END AS INT) AS retryable,
+        | count(*) AS n_responses, CAST(sum(c_custkey) AS BIGINT) AS key_checksum
+        |FROM c GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "etl_response_validate" ->
       """WITH ch AS (SELECT event_id, unnest(cs) AS c, generate_subscripts(cs, 1) AS i
         |  FROM (SELECT event_id,

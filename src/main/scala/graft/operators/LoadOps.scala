@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Load + monitoring (SURVEY §2 D). Re-expresses op-etl's SDE load
@@ -197,6 +197,76 @@ object LoadOps {
         sum(when(!inBudget, 1).otherwise(0)).cast("long").as("n_oversize"),
         sum(col("too_deep")).cast("long").as("n_too_deep"))
       .orderBy(col("source"))
+  }
+
+  /** Classify one REST response payload by FAILURE KIND
+    * (download_rest.py:106 `diagnose_rest_response` + http_utils.py:477
+    * `validate_response_content`'s html-error-page check) — D6 validates
+    * well-formedness; this names what WENT WRONG so retry policy and
+    * D3's error-pattern rollup can act on it:
+    *   - `html_error` / `html_page`: the service answered markup instead
+    *     of JSON (an error page when "error" appears in the first 1 KiB —
+    *     the reference's exact check — otherwise some other page, e.g. a
+    *     login redirect);
+    *   - `auth_required`: parseable JSON error envelope with the ArcGIS
+    *     token codes (498 invalid / 499 required);
+    *   - `service_error`: any other JSON error envelope;
+    *   - `empty_features`: a VALID response whose feature set is empty
+    *     (the reference's "BBOX excludes all features" diagnostic —
+    *     a finding, not a failure, so never retried);
+    *   - `ok`: valid JSON with features;
+    *   - `truncated_json`: unparseable non-markup payload (cut mid-wire).
+    * Pure Columns — one `from_json` + string tests, codegen'd, no UDF. */
+  def diagnoseResponse(body: Column): Column = {
+    import org.apache.spark.sql.types._
+    val restSchema = StructType(Seq(
+      StructField("error", StructType(Seq(
+        StructField("code", IntegerType), StructField("message", StringType)))),
+      StructField("features", ArrayType(StructType(Seq(
+        StructField("oid", LongType)))))))
+    val p = from_json(body, restSchema)
+    val code = p.getField("error").getField("code")
+    val feats = p.getField("features")
+    when(ltrim(body).startsWith("<"),
+      when(lower(substring(body, 1, 1024)).contains("error"), lit("html_error"))
+        .otherwise(lit("html_page")))
+      .when(code.isNotNull,
+        when(code.isin(498, 499), lit("auth_required")).otherwise(lit("service_error")))
+      .when(feats.isNotNull,
+        when(size(feats) === 0, lit("empty_features")).otherwise(lit("ok")))
+      .otherwise(lit("truncated_json"))
+  }
+
+  /** D11 registered query: REST failure diagnostics as a typed gate. The
+    * wire plants one response kind per key residue (the resume-ledger
+    * plant pattern): ok / html error page / token-required JSON / empty
+    * feature set / JSON cut mid-wire. [[diagnoseResponse]] recovers each
+    * kind from the PAYLOAD ALONE, tags whether the reference would retry
+    * it (server-side markup errors and truncations are transient — the
+    * 5xx forcelist; auth failures are config problems and an empty
+    * feature set is a valid answer), and rolls up per kind — the rollup
+    * D3 consumes. The oracle reconstructs the plant rule, so a
+    * misclassified payload hash-mismatches. */
+  def responseDiagnose(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val k = col("c_custkey")
+    val okJson = to_json(struct(
+      array(struct(k.cast("long").as("oid"))).as("features")))
+    val body = when(k % 5 === 1, lit(
+        "<html><head><title>500 Internal Server Error</title></head>" +
+          "<body>An error occurred processing this request</body></html>"))
+      .when(k % 5 === 2, lit("""{"error":{"code":499,"message":"Token Required"}}"""))
+      .when(k % 5 === 3, lit("""{"features":[]}"""))
+      .when(k % 5 === 4, substring(okJson, lit(1), length(okJson) - 4)) // cut mid-wire
+      .otherwise(okJson)
+    t.customer.select(k, body.as("body"))
+      .withColumn("failure_kind", diagnoseResponse(col("body")))
+      .withColumn("retryable",
+        col("failure_kind").isin("html_error", "truncated_json").cast("int"))
+      .groupBy(col("failure_kind"), col("retryable"))
+      .agg(count(lit(1)).as("n_responses"),
+        sum(k).cast("long").as("key_checksum"))
+      .orderBy(col("failure_kind"))
   }
 
   /** D6b: XML payload validation gate (http_utils.py:443 `safe_xml_parse`

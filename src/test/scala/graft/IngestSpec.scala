@@ -176,6 +176,31 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     assert(rows(neg) == negExpected, "NOT branch was clobbered by the range rewrite")
   }
 
+  test("response diagnostics: every failure kind classifies from the payload alone") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // one payload per classification branch, including the ones the
+    // registered wire does not plant: a NON-error html page (login
+    // redirect), a non-auth JSON error envelope, and leading whitespace
+    // before markup (ltrim must still see the '<')
+    val cases = Seq(
+      ("""{"features":[{"oid":7}]}""", "ok"),
+      ("""{"features":[]}""", "empty_features"),
+      ("""{"error":{"code":499,"message":"Token Required"}}""", "auth_required"),
+      ("""{"error":{"code":498,"message":"Invalid token"}}""", "auth_required"),
+      ("""{"error":{"code":500,"message":"Unable to complete operation"}}""", "service_error"),
+      ("<html><body>An ERROR occurred</body></html>", "html_error"),
+      ("  <html><body>Please sign in</body></html>", "html_page"),
+      ("""{"features":[{"oid":""", "truncated_json"),
+      ("not json at all", "truncated_json"))
+    val got = cases.map(_._1).toDF("body")
+      .withColumn("kind", graft.operators.LoadOps.diagnoseResponse(col("body")))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (body, expected) =>
+      assert(got(body) == expected, s"payload <$body> classified ${got(body)}, expected $expected")
+    }
+  }
+
   test("atom feed: links classify by rel, content-type, and filterable-service URL; skipped and link-less entries stage nothing") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
