@@ -217,16 +217,24 @@ object Pipeline {
   }
 
   /** Run the full pipeline; returns per-source metrics (name, rows staged
-    * after filters, rows loaded, load target) ordered by source name. */
+    * after filters, rows loaded, load target) ordered by source name.
+    *
+    * All publish filesystem traffic (probe, rename, delete) goes through
+    * the Hadoop [[org.apache.hadoop.fs.FileSystem]] resolved from the
+    * TARGET's scheme — the same abstraction the writes use — so the
+    * write-once-then-reconcile publish works unchanged on HDFS or any
+    * Hadoop-FS-backed store, not just the local FS. (On object stores
+    * without atomic rename — S3 — the rename is a copy; a manifest
+    * committer would replace this publish step, the staging/reconcile
+    * shape stays.) */
   def run(spark: SparkSession, cfg: PipelineCfg): DataFrame = {
     import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val hconf = spark.sparkContext.hadoopConfiguration
     if (cfg.cleanupBeforeRun) cfg.load.foreach { l =>
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
-      val dir = new java.io.File(l.target)
-      if (dir.exists()) rm(dir)
+      val p = new Path(l.target)
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p)) fs.delete(p, true): Unit
     }
     val results = cfg.sources.filter(_.enabled).flatMap { src =>
       // per-source override merged over the global policy (source wins)
@@ -245,7 +253,8 @@ object Pipeline {
           .map(r => (s"${src.name}/${r.getString(0)}", r.getLong(1))).toSeq
       cfg.load match {
         case Some(LoadCfg(target, mode)) if cfg.steps.load =>
-          val path = s"$target/${safeNameString(src.name)}"
+          val fs = new Path(target).getFileSystem(hconf)
+          val dst = fs.makeQualified(new Path(target, safeNameString(src.name)))
           val appendMode = mode == "append"
           // Write-once-then-reconcile: the staged subtree is computed
           // EXACTLY once, by the write itself, into a staging dir next to
@@ -258,46 +267,55 @@ object Pipeline {
           // no second pass over the source. Publish is one directory
           // rename (overwrite) or a part-file move (append); an empty
           // result removes the staging dir and leaves NO target behind.
-          val tmp = new java.io.File(s"$target/${safeNameString(src.name)}.staging")
-          def rmTree(f: java.io.File): Unit = {
-            if (f.isDirectory) f.listFiles().foreach(rmTree)
-            f.delete(): Unit
-          }
-          if (tmp.exists()) rmTree(tmp)
+          val tmp = fs.makeQualified(
+            new Path(target, s"${safeNameString(src.name)}.staging"))
+          if (fs.exists(tmp)) fs.delete(tmp, true)
           if (layered)
-            finalDf.write.mode("overwrite").partitionBy("layer_name").parquet(tmp.getPath)
+            finalDf.write.mode("overwrite").partitionBy("layer_name").parquet(tmp.toString)
           else
-            finalDf.write.mode("overwrite").parquet(tmp.getPath)
+            finalDf.write.mode("overwrite").parquet(tmp.toString)
           // a zero-row PARTITIONED write leaves no part files at all (and
           // an unreadable schema-less dir) — probe the file listing first,
           // then let parquet row-group metadata answer the count
-          def partFiles(f: java.io.File): Seq[java.io.File] =
-            if (f.isDirectory) f.listFiles().toSeq.flatMap(partFiles)
-            else if (f.getName.startsWith("part-")) Seq(f) else Seq.empty
-          val writtenRows =
-            if (partFiles(tmp).isEmpty) 0L else spark.read.parquet(tmp.getPath).count()
-          if (writtenRows == 0L) { rmTree(tmp); Seq((src.name, 0L)) }
-          else {
-            val dst = new java.io.File(path)
-            if (!appendMode) {
-              if (dst.exists()) rmTree(dst)
-              require(tmp.renameTo(dst), s"publish failed: $tmp -> $dst")
-            } else {
-              // merge written part files (and layer_name=* dirs) into the
-              // existing target; Spark part names carry a per-job UUID, so
-              // names cannot collide with prior appends
-              def move(s: java.io.File, d: java.io.File): Unit =
-                if (s.isDirectory) {
-                  d.mkdirs()
-                  s.listFiles().foreach(c => move(c, new java.io.File(d, c.getName)))
-                } else if (s.getName.startsWith("part-")) {
-                  require(s.renameTo(d), s"publish failed: $s -> $d")
-                }
-              move(tmp, dst)
-              rmTree(tmp)
+          def partFiles(root: Path): Seq[Path] = {
+            val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
+            val it = fs.listFiles(root, true)
+            while (it.hasNext) {
+              val f = it.next()
+              if (f.getPath.getName.startsWith("part-")) buf += f.getPath
             }
-            if (layered) perLayer(spark.read.parquet(path))
-            else Seq((src.name, spark.read.parquet(path).count()))
+            buf.toSeq
+          }
+          val staged = partFiles(tmp)
+          val writtenRows =
+            if (staged.isEmpty) 0L else spark.read.parquet(tmp.toString).count()
+          if (writtenRows == 0L) { fs.delete(tmp, true); Seq((src.name, 0L)) }
+          else if (!appendMode) {
+            // reconcile from the WRITTEN staging files BEFORE the rename —
+            // identical content, and the scalar row reuses `writtenRows`
+            // instead of re-counting the published copy (one fewer
+            // footer-read job per source)
+            val summary =
+              if (layered) perLayer(spark.read.parquet(tmp.toString))
+              else Seq((src.name, writtenRows))
+            if (fs.exists(dst)) fs.delete(dst, true)
+            require(fs.rename(tmp, dst), s"publish failed: $tmp -> $dst")
+            summary
+          } else {
+            // merge written part files (and layer_name=* dirs) into the
+            // existing target; Spark part names carry a per-job UUID, so
+            // names cannot collide with prior appends. The append
+            // reconcile MUST re-read the published target (prior appends
+            // count too), unlike the overwrite path above.
+            staged.foreach { f =>
+              val rel = f.toString.stripPrefix(tmp.toString).stripPrefix("/")
+              val d = new Path(dst, rel)
+              fs.mkdirs(d.getParent)
+              require(fs.rename(f, d), s"publish failed: $f -> $d")
+            }
+            fs.delete(tmp, true)
+            if (layered) perLayer(spark.read.parquet(dst.toString))
+            else Seq((src.name, spark.read.parquet(dst.toString).count()))
           }
         case _ =>
           if (layered) {
