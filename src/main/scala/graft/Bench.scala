@@ -48,23 +48,32 @@ object Bench {
       graft.operators.Similarity.ivfIndex(spark, sfDir)
       (System.nanoTime() - t0) / 1e9
     } catch { case _: Throwable => -1.0 }
+    // a rep that THROWS contributes no time: min-of-n over successful reps
+    // only (a fast failure would otherwise report as the query's best
+    // time); a query with zero successes lands as null in the JSON and in
+    // the `failed` list instead of a bogus number
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
+        try {
+          fn(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> (if (times.isEmpty) None else Some(times.min))
     }
-    val qs = (results :+ ("ann_ivf_index" -> indexSec))
-      .map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = (results :+ ("ann_ivf_index" ->
+        (if (indexSec < 0) None else Some(indexSec))))
+      .map { case (k, v) => s"\"" + k + "\":" + v.map(_.toString).getOrElse("null") }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val failed = results.collect { case (k, None) => s"\"$k\"" }.mkString("[", ",", "]")
+    val total = results.flatMap(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","reps":$reps}"""
     // file copy first: if stdout is truncated downstream the full map survives
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try {

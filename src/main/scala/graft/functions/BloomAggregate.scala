@@ -110,6 +110,10 @@ object BloomAggregate {
     * the screen just prunes less. */
   def sizeFor(expectedKeys: Long): Int = {
     if (expectedKeys <= 0L) Bits
+    // guard the multiply: past ~Long.MaxValue/13 keys `expectedKeys * 13`
+    // wraps negative and a silent fall-through would hand an astronomically
+    // large corpus the 8 KiB FLOOR — clamp to the cap instead
+    else if (expectedKeys > MaxBits.toLong / 13L) MaxBits
     else {
       val raw = expectedKeys * 13L
       val rounded = ((raw + 63L) / 64L) * 64L
@@ -129,7 +133,16 @@ object BloomAggregate {
       "bloom_agg",
       {
         case Seq(e)       => BloomAggregate(e)
-        case Seq(e, bits) => BloomAggregate(e, bits.eval().asInstanceOf[Number].intValue())
+        case Seq(e, bits) =>
+          // a non-foldable width would hit eval() with unbound references
+          // (an opaque analyzer error) — fail with the actual contract;
+          // and a caller-supplied width respects the same broadcast-size
+          // cap as sizeFor (the class `require` still rejects widths that
+          // are not positive multiples of 64)
+          require(bits.foldable,
+            s"bloom_agg numBits must be a foldable integer literal, got: ${bits.sql}")
+          BloomAggregate(e,
+            math.min(MaxBits, bits.eval().asInstanceOf[Number].intValue()))
         case other => throw new IllegalArgumentException(
           s"bloom_agg takes (key[, numBits]), got ${other.size} args")
       },

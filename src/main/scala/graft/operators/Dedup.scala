@@ -94,13 +94,23 @@ object Dedup {
     * positives only cost a survivor row in the verify join. Each fp lands
     * wholly in one branch (screen is deterministic per fp), so the batch-
     * internal first-doc-wins window is unaffected by the split. */
-  def classifyBatch(corpus: DataFrame, batch: DataFrame): DataFrame = {
+  def classifyBatch(corpus: DataFrame, batch: DataFrame,
+      corpusFpEstimate: Option[Long] = None): DataFrame = {
     import graft.functions.BloomAggregate
     val spark = corpus.sparkSession
     val corpusFps = corpus.select(col("fp")).distinct()
     // measure first: estimated distinct corpus fps sizes the bloom (a
-    // partial-aggregated HLL scan — no shuffle of the fp set itself)
-    val corpusEst = corpus.agg(approx_count_distinct(col("fp"))).head().getLong(0)
+    // partial-aggregated HLL scan — no shuffle of the fp set itself).
+    // STEADY STATE: the estimate only sizes the screen, so a caller that
+    // already knows the corpus cardinality — catalog statistics, or a
+    // count persisted beside the corpus at its last rebuild (the IVF
+    // `_GRAFT_STAMP` pattern) — passes it and classification stays LAZY:
+    // no per-batch eager pass over a 100 TB corpus just to size a
+    // ≤32 MiB bloom. The HLL scan is the no-estimate fallback, and a
+    // stale estimate only shifts the screen's FPR, never correctness
+    // (the exact verify join catches every false positive).
+    val corpusEst = corpusFpEstimate.getOrElse(
+      corpus.agg(approx_count_distinct(col("fp"))).head().getLong(0))
     // one bounded row: corpus-sized bloom over the fp set (md5 hex → long key)
     val bloomRow = corpusFps
       .agg(BloomAggregate.bloomAgg(spark, xxhash64(col("fp")), corpusEst).as("bits"))

@@ -236,10 +236,13 @@ object Similarity {
       // rebuild publishes — the newest superseded version therefore
       // survives one more generation, and only versions at least two
       // rebuilds old are deleted.
+      // deterministic generation order: mtime desc, name as tie-break —
+      // two versions landing within one coarse-mtime tick must still
+      // agree on which one the grace window keeps
       verDir.getParentFile.listFiles()
         .filter(f => f.getName.startsWith("v_") && f.getName != verDir.getName &&
           !f.getName.contains("_tmp_"))
-        .sortBy(-_.lastModified)
+        .sortBy(f => (-f.lastModified, f.getName))
         .drop(1)
         .foreach(rmTree)
     }

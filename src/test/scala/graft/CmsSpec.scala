@@ -165,6 +165,11 @@ class CmsSpec extends AnyFunSuite with SparkTestBase {
     assert(BloomAggregate.sizeFor(100L) == BloomAggregate.Bits)
     assert(BloomAggregate.sizeFor(1000000L) == ((1000000L * 13 + 63) / 64 * 64))
     assert(BloomAggregate.sizeFor(Long.MaxValue / 16) == BloomAggregate.MaxBits)
+    // past Long.MaxValue/13 keys the multiply would wrap negative — the
+    // guard must clamp an astronomical estimate to the CAP, not let it
+    // fall through to the 8 KiB floor
+    assert(BloomAggregate.sizeFor(Long.MaxValue) == BloomAggregate.MaxBits)
+    assert(BloomAggregate.sizeFor(Long.MaxValue / 13 + 1) == BloomAggregate.MaxBits)
     assert(BloomAggregate.sizeFor(50000L) % 64 == 0)
 
     // 50k planted keys saturate the 8192-bit floor (FPR ≈ 1.0 there); the

@@ -194,6 +194,33 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       13L -> "novel", 14L -> "dup_of_corpus", 15L -> "dup_of_corpus"), out.toString)
   }
 
+  test("incremental dedup with a caller-supplied cardinality stays lazy and classifies identically") {
+    // steady state at scale: the corpus count is persisted beside the
+    // corpus (or comes from catalog stats), so sizing the bloom must not
+    // cost an eager per-batch pass over the corpus — construction runs
+    // ZERO jobs, and the classification is the same as the measured path
+    val corpus = Seq((1L, "fpA"), (2L, "fpB")).toDF("doc_id", "fp")
+    val batch = Seq((10L, "fpA"), (11L, "fpC"), (12L, "fpC"), (13L, "fpD"))
+      .toDF("doc_id", "fp")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val (df, constructionJobs) = try {
+      val d = Dedup.classifyBatch(corpus, batch, corpusFpEstimate = Some(2L))
+      Thread.sleep(1000) // listener bus is async; let JobStart events drain
+      (d, jobs.get())
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(constructionJobs == 0,
+      s"classifyBatch with a known cardinality ran $constructionJobs eager jobs at construction")
+    val out = df.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out == Map(10L -> "dup_of_corpus", 11L -> "novel",
+      12L -> "dup_in_batch", 13L -> "novel"), out.toString)
+  }
+
   test("incremental dedup never broadcasts the corpus fingerprint set") {
     // a production corpus is billions of fps — the broadcast budget models
     // that: with auto-broadcast off, ANY corpus-side broadcast in the plan
