@@ -66,11 +66,12 @@ object Bench {
       }
       name -> (if (times.isEmpty) None else Some(times.min))
     }
-    val qs = (results :+ ("ann_ivf_index" ->
-        (if (indexSec < 0) None else Some(indexSec))))
+    val withIndex = results :+ ("ann_ivf_index" ->
+      (if (indexSec < 0) None else Some(indexSec)))
+    val qs = withIndex
       .map { case (k, v) => s"\"" + k + "\":" + v.map(_.toString).getOrElse("null") }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, None) => s"\"$k\"" }.mkString("[", ",", "]")
+    val failed = withIndex.collect { case (k, None) => s"\"$k\"" }.mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","reps":$reps}"""

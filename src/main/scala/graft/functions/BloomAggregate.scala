@@ -136,13 +136,16 @@ object BloomAggregate {
         case Seq(e, bits) =>
           // a non-foldable width would hit eval() with unbound references
           // (an opaque analyzer error) — fail with the actual contract;
-          // and a caller-supplied width respects the same broadcast-size
-          // cap as sizeFor (the class `require` still rejects widths that
-          // are not positive multiples of 64)
+          // reject (not clamp) a NULL or over-cap width so a caller bug
+          // stays visible instead of silently becoming a MaxBits filter
           require(bits.foldable,
             s"bloom_agg numBits must be a foldable integer literal, got: ${bits.sql}")
-          BloomAggregate(e,
-            math.min(MaxBits, bits.eval().asInstanceOf[Number].intValue()))
+          val v = bits.eval()
+          require(v != null, "bloom_agg numBits must not be NULL")
+          val w = v.asInstanceOf[Number].intValue()
+          require(w <= MaxBits,
+            s"bloom_agg numBits $w exceeds the $MaxBits-bit broadcast cap")
+          BloomAggregate(e, w)
         case other => throw new IllegalArgumentException(
           s"bloom_agg takes (key[, numBits]), got ${other.size} args")
       },

@@ -215,7 +215,12 @@ object LoadOps {
     *     (the reference's "BBOX excludes all features" diagnostic —
     *     a finding, not a failure, so never retried);
     *   - `ok`: valid JSON with features;
-    *   - `truncated_json`: unparseable non-markup payload (cut mid-wire).
+    *   - `truncated_json`: opens as JSON but never closes (cut mid-wire;
+    *     transient);
+    *   - `unexpected_json`: a complete JSON document carrying NEITHER an
+    *     error envelope NOR features — a well-formed answer in a shape
+    *     the protocol doesn't know (permanent);
+    *   - `invalid_content`: neither markup nor JSON (permanent).
     * Pure Columns — one `from_json` + string tests, codegen'd, no UDF. */
   def diagnoseResponse(body: Column): Column = {
     import org.apache.spark.sql.types._
@@ -227,14 +232,27 @@ object LoadOps {
     val p = from_json(body, restSchema)
     val code = p.getField("error").getField("code")
     val feats = p.getField("features")
-    when(ltrim(body).startsWith("<"),
+    // regexp, not ltrim: Spark's one-arg ltrim strips only SPACES, and
+    // real HTTP bodies lead with \r\n/\t — any whitespace before '<' must
+    // still read as markup (the reference lstrips all whitespace)
+    when(body.rlike("^\\s*<"),
       when(lower(substring(body, 1, 1024)).contains("error"), lit("html_error"))
         .otherwise(lit("html_page")))
       .when(code.isNotNull,
         when(code.isin(498, 499), lit("auth_required")).otherwise(lit("service_error")))
       .when(feats.isNotNull,
         when(size(feats) === 0, lit("empty_features")).otherwise(lit("ok")))
-      .otherwise(lit("truncated_json"))
+      // the tail kinds are decided on RAW TEXT: PERMISSIVE from_json
+      // returns an all-null struct for cut-mid-wire, unknown-shape, and
+      // plain-garbage payloads alike, so it cannot tell them apart.
+      // A payload that OPENS as JSON but never closes was cut mid-wire
+      // (transient); one that opens and closes is a complete document in
+      // a shape the protocol doesn't know; anything else is not JSON at
+      // all (both permanent, never retried)
+      .when(body.rlike("^\\s*[\\[{]"),
+        when(body.rlike("[\\]}]\\s*$"), lit("unexpected_json"))
+          .otherwise(lit("truncated_json")))
+      .otherwise(lit("invalid_content"))
   }
 
   /** D11 registered query: REST failure diagnostics as a typed gate. The

@@ -191,8 +191,10 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
       ("""{"error":{"code":500,"message":"Unable to complete operation"}}""", "service_error"),
       ("<html><body>An ERROR occurred</body></html>", "html_error"),
       ("  <html><body>Please sign in</body></html>", "html_page"),
+      ("\r\n\t<?xml version=\"1.0\"?><ServiceError/>", "html_error"),
       ("""{"features":[{"oid":""", "truncated_json"),
-      ("not json at all", "truncated_json"))
+      ("not json at all", "invalid_content"),
+      ("""{"success":true,"count":0}""", "unexpected_json"))
     val got = cases.map(_._1).toDF("body")
       .withColumn("kind", graft.operators.LoadOps.diagnoseResponse(col("body")))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
