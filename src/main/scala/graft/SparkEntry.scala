@@ -71,6 +71,7 @@ object SparkEntry {
     "mon_authority_rollup"   -> LoadOps.authorityRollup _,
     "mon_error_patterns"     -> LoadOps.errorPatterns _,
     "mon_failure_streaks"    -> LoadOps.failureStreaks _,
+    "mon_perf_outliers"      -> ((s: SparkSession, d: String) => LoadOps.perfOutliers(s, d)),
     "mon_key_skew"           -> LoadOps.keySkew _,
     "etl_response_validate"  -> ((s: SparkSession, d: String) => LoadOps.responseValidate(s, d)),
     "etl_response_diagnose"  -> LoadOps.responseDiagnose _,
@@ -678,6 +679,46 @@ object SparkEntry {
         | count(*) AS n, round(avg(value), 2) AS avg_magnitude
         |FROM events WHERE event_type = 'error' GROUP BY 1 ORDER BY n DESC, error_class""".stripMargin,
 
+    "mon_perf_outliers" ->
+      """WITH ev AS (SELECT event_id, value,
+        |  TRY_CAST(nullif(regexp_extract(props, 'k":\s*([0-9]+)', 1), '') AS BIGINT) AS k
+        | FROM events),
+        |m AS (SELECT event_id, value, k,
+        |  CASE WHEN k % 6 = 0 THEN 'maximum recursion depth exceeded while parsing'
+        |       WHEN k % 6 = 1 THEN 'request timed out after 30 seconds'
+        |       WHEN k % 6 = 2 THEN 'connection reset by peer'
+        |       WHEN k % 6 = 3 THEN 'failed to parse json payload'
+        |       WHEN k % 6 = 4 THEN 'unexpected http status 500'
+        |       ELSE NULL END AS msg FROM ev),
+        |c AS (SELECT *,
+        |  CASE WHEN value >= 1.0 OR msg IS NULL THEN NULL
+        |       WHEN msg LIKE '%recursion%' THEN 'recursion_errors'
+        |       WHEN msg LIKE '%timeout%' OR msg LIKE '%timed out%' THEN 'timeout_errors'
+        |       WHEN msg LIKE '%connection%' OR msg LIKE '%network%' OR msg LIKE '%resolve%' THEN 'network_errors'
+        |       WHEN msg LIKE '%parse%' OR msg LIKE '%json%' OR msg LIKE '%xml%' THEN 'parsing_errors'
+        |       ELSE NULL END AS err_class,
+        |  value > 30.0 AS slow, k * 200000 > 10485760 AS large FROM m),
+        |a AS (SELECT
+        |  CAST(sum(CASE WHEN err_class = 'recursion_errors' THEN 1 ELSE 0 END) AS BIGINT) AS rec_n,
+        |  CAST(sum(CASE WHEN err_class = 'recursion_errors' THEN event_id END) AS BIGINT) AS rec_ck,
+        |  CAST(sum(CASE WHEN err_class = 'timeout_errors' THEN 1 ELSE 0 END) AS BIGINT) AS to_n,
+        |  CAST(sum(CASE WHEN err_class = 'timeout_errors' THEN event_id END) AS BIGINT) AS to_ck,
+        |  CAST(sum(CASE WHEN err_class = 'network_errors' THEN 1 ELSE 0 END) AS BIGINT) AS net_n,
+        |  CAST(sum(CASE WHEN err_class = 'network_errors' THEN event_id END) AS BIGINT) AS net_ck,
+        |  CAST(sum(CASE WHEN err_class = 'parsing_errors' THEN 1 ELSE 0 END) AS BIGINT) AS par_n,
+        |  CAST(sum(CASE WHEN err_class = 'parsing_errors' THEN event_id END) AS BIGINT) AS par_ck,
+        |  CAST(sum(CASE WHEN slow THEN 1 ELSE 0 END) AS BIGINT) AS slow_n,
+        |  CAST(sum(CASE WHEN slow THEN event_id END) AS BIGINT) AS slow_ck,
+        |  CAST(sum(CASE WHEN large THEN 1 ELSE 0 END) AS BIGINT) AS lrg_n,
+        |  CAST(sum(CASE WHEN large THEN event_id END) AS BIGINT) AS lrg_ck FROM c)
+        |SELECT pattern, n, id_checksum FROM (
+        |  SELECT 'recursion_errors' AS pattern, rec_n AS n, rec_ck AS id_checksum FROM a
+        |  UNION ALL SELECT 'timeout_errors', to_n, to_ck FROM a
+        |  UNION ALL SELECT 'network_errors', net_n, net_ck FROM a
+        |  UNION ALL SELECT 'parsing_errors', par_n, par_ck FROM a
+        |  UNION ALL SELECT 'slow_sources', slow_n, slow_ck FROM a
+        |  UNION ALL SELECT 'large_responses', lrg_n, lrg_ck FROM a)
+        |ORDER BY pattern""".stripMargin,
     "mon_key_skew" ->
       """WITH k AS (SELECT CASE WHEN user_id % 10 = 0 THEN 0 ELSE user_id END AS join_key
         |  FROM events),

@@ -395,4 +395,80 @@ object LoadOps {
       .agg(count(lit(1)).as("n"), round(avg(col("value")), 2).as("avg_magnitude"))
       .orderBy(col("n").desc, col("error_class"))
   }
+
+  /** D12: performance/error outlier detection (monitoring.py:196
+    * `detect_patterns`). The reference walks every run metric and buckets
+    * it into six pattern keys: four error-message substring classes (an
+    * `elif` chain, so the FIRST match wins — recursion, then
+    * timeout/'timed out', then connection/network/resolve, then
+    * parse/json/xml; monitoring.py:210–219), plus two independent
+    * perf-outlier flags — slow sources over 30 s (:221) and responses over
+    * 10 MiB (:227). Error classes apply only to FAILED runs that carry a
+    * message; the perf flags apply to every run.
+    *
+    * One conditional-aggregation pass builds all twelve partial sums
+    * map-side (no per-class scans), then `stack` unpivots the single
+    * aggregated row into the reference's six pattern keys — every key is
+    * always present (the reference pre-initializes the dict), with n=0 and
+    * a null checksum when nothing matched. Wire: each event row is one run
+    * metric; duration = value, response size and the planted message
+    * derive from the props key. */
+  /** The `detect_patterns` error-message classifier (monitoring.py:210–219):
+    * an `elif` chain over lower-cased substrings, so the FIRST matching
+    * class wins; only failed runs that carry a message classify at all.
+    * The reference lower-cases the message up front (:208) — mirrored here
+    * so mixed-case messages still classify. */
+  def outlierErrorClass(failed: Column, msg: Column): Column = {
+    val m = lower(msg)
+    when(!failed || msg.isNull, lit(null).cast("string"))
+      .when(m.contains("recursion"), "recursion_errors")
+      .when(m.contains("timeout") || m.contains("timed out"), "timeout_errors")
+      .when(m.contains("connection") || m.contains("network")
+        || m.contains("resolve"), "network_errors")
+      .when(m.contains("parse") || m.contains("json")
+        || m.contains("xml"), "parsing_errors")
+      .otherwise(lit(null).cast("string"))
+  }
+
+  def perfOutliers(spark: SparkSession, dir: String, slowSecs: Double = 30.0,
+      largeBytes: Long = 10L * 1024 * 1024): DataFrame = {
+    val t = Tables(spark, dir)
+    val k = nullif(regexp_extract(col("props"), "k\":\\s*([0-9]+)", 1), lit(""))
+      .cast("long")
+    val msg = when(col("k") % 6 === 0, lit("maximum recursion depth exceeded while parsing"))
+      .when(col("k") % 6 === 1, lit("request timed out after 30 seconds"))
+      .when(col("k") % 6 === 2, lit("connection reset by peer"))
+      .when(col("k") % 6 === 3, lit("failed to parse json payload"))
+      .when(col("k") % 6 === 4, lit("unexpected http status 500"))
+      .otherwise(lit(null).cast("string"))
+    val ev = t.events
+      .select(col("event_id"), col("value"), k.as("k"))
+      .withColumn("msg", msg)
+      .withColumn("err_class", outlierErrorClass(col("value") < 1.0, col("msg")))
+      .withColumn("slow", col("value") > slowSecs)
+      .withColumn("large", col("k") * 200000L > largeBytes)
+    def nOf(c: Column): Column = sum(when(c, 1L).otherwise(0L)).cast("long")
+    def ckOf(c: Column): Column = sum(when(c, col("event_id"))).cast("long")
+    val flat = ev.agg(
+      nOf(col("err_class") === "recursion_errors").as("rec_n"),
+      ckOf(col("err_class") === "recursion_errors").as("rec_ck"),
+      nOf(col("err_class") === "timeout_errors").as("to_n"),
+      ckOf(col("err_class") === "timeout_errors").as("to_ck"),
+      nOf(col("err_class") === "network_errors").as("net_n"),
+      ckOf(col("err_class") === "network_errors").as("net_ck"),
+      nOf(col("err_class") === "parsing_errors").as("par_n"),
+      ckOf(col("err_class") === "parsing_errors").as("par_ck"),
+      nOf(col("slow")).as("slow_n"), ckOf(col("slow")).as("slow_ck"),
+      nOf(col("large")).as("lrg_n"), ckOf(col("large")).as("lrg_ck"))
+    flat.selectExpr(
+      """stack(6,
+        | 'recursion_errors', rec_n, rec_ck,
+        | 'timeout_errors',   to_n,  to_ck,
+        | 'network_errors',   net_n, net_ck,
+        | 'parsing_errors',   par_n, par_ck,
+        | 'slow_sources',     slow_n, slow_ck,
+        | 'large_responses',  lrg_n,  lrg_ck) AS (pattern, n, id_checksum)
+        |""".stripMargin)
+      .orderBy(col("pattern"))
+  }
 }

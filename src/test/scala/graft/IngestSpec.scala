@@ -203,6 +203,42 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("perf outliers: elif precedence, failed+message gating, and all six pattern keys always present") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    // precedence: a message matching several classes takes the FIRST
+    // (reference elif chain, monitoring.py:210-219); classification only
+    // fires for failed runs with a non-null message; case-insensitive
+    val cases = Seq(
+      (true, "maximum recursion depth exceeded", "recursion_errors"),
+      (true, "recursion while handling timeout", "recursion_errors"), // recursion beats timeout
+      (true, "connection timed out during parse", "timeout_errors"),  // timed out beats connection+parse
+      (true, "Connection RESET by peer", "network_errors"),           // case-folded
+      (true, "could not resolve host", "network_errors"),
+      (true, "bad xml document", "parsing_errors"),
+      (true, "unexpected http status 500", null),                     // matches no class
+      (false, "maximum recursion depth exceeded", null),              // successful run never classifies
+      (true, null, null)                                              // failed but message-less
+    )
+    val got = cases.zipWithIndex.map { case ((f, m, _), i) => (i, f, m) }
+      .toDF("i", "failed", "msg")
+      .withColumn("cls", graft.operators.LoadOps.outlierErrorClass(col("failed"), col("msg")))
+      .collect().map(r => r.getInt(0) -> Option(r.getString(3)).orNull).toMap
+    cases.zipWithIndex.foreach { case ((_, m, expected), i) =>
+      assert(got(i) == expected, s"message <$m> classified ${got(i)}, expected $expected")
+    }
+    // the registered rollup always reports the reference's six pattern
+    // keys, zero-hit classes included (n=0 rows carry a null checksum)
+    val out = graft.operators.LoadOps.perfOutliers(spark, sfDir).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("large_responses", "network_errors",
+      "parsing_errors", "recursion_errors", "slow_sources", "timeout_errors"))
+    out.foreach { r =>
+      val (n, ck) = (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))
+      assert(n >= 0 && (n == 0) == ck.isEmpty,
+        s"${r.getString(0)}: n=$n but checksum=$ck")
+    }
+  }
+
   test("atom feed: links classify by rel, content-type, and filterable-service URL; skipped and link-less entries stage nothing") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
