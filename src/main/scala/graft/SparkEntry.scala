@@ -120,6 +120,7 @@ object SparkEntry {
     "ann_lsh_multiprobe"     -> ((s: SparkSession, d: String) => Similarity.annLshMultiProbe(s, d)),
     "ann_ivf"                -> ((s: SparkSession, d: String) => Similarity.ivfAnn(s, d)),
     "ann_ivf_batch"          -> ((s: SparkSession, d: String) => Similarity.ivfAnnBatch(s, d)),
+    "emb_quantize"           -> ((s: SparkSession, d: String) => Similarity.embQuantize(s, d)),
     "q_salted_join"          -> ((s: SparkSession, d: String) => Relational.qSaltedJoin(s, d)),
     "text_quality"           -> TextAnalysis.quality _,
     "text_langid"            -> TextAnalysis.langid _,
@@ -1184,6 +1185,25 @@ object SparkEntry {
          |SELECT qid, CAST(rank AS INT) AS rank, vec_id,
          | CAST(list_id AS BIGINT) AS list_id, score
          |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // int8 quantization audit: min/max aggregates are exact (no fp
+    // accumulation), the grid arithmetic has the identical IEEE op shape
+    // on both engines, and the audit uses only order-free aggregates
+    // (integer sums/extrema, MAX error) — exact cross-engine parity.
+    "emb_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |x AS (SELECT vec_id, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e),
+        |d AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM x GROUP BY pos),
+        |q AS (SELECT x.vec_id, x.x, d.mn, d.mx,
+        |  CASE WHEN d.mx = d.mn THEN 0
+        |       ELSE greatest(-127, least(127,
+        |         CAST(floor((x.x - d.mn) * 254.0 / (d.mx - d.mn) + 0.5) AS BIGINT) - 127)) END AS code
+        | FROM x JOIN d USING (pos)),
+        |r AS (SELECT vec_id, code,
+        |  mn + CAST(code + 127 AS DOUBLE) * (mx - mn) / 254.0 AS xh, x FROM q)
+        |SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_checksum,
+        | CAST(min(code) AS BIGINT) AS code_min, CAST(max(code) AS BIGINT) AS code_max,
+        | round(max(abs(x - xh)), 6) AS max_abs_err
+        |FROM r GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "text_quality" ->
       s"""WITH q AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m, $toks AS toks,
          |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,

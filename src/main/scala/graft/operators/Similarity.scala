@@ -355,4 +355,62 @@ object Similarity {
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** Core of [[embQuantize]], factored over an explicit (vec_id, v) frame
+    * so specs can plant degenerate dimensions. `ranges` is the measured
+    * per-dimension (min, max) quantization grid. */
+  def quantizeAudit(e: DataFrame, ranges: Array[(Double, Double)]): DataFrame = {
+    val mnA = array(ranges.map(s => lit(s._1)).toIndexedSeq: _*)
+    val mxA = array(ranges.map(s => lit(s._2)).toIndexedSeq: _*)
+    // int8 grid: x → floor((x−mn)·254/(mx−mn) + 0.5) − 127, clamped to
+    // [−127,127]; a zero-width dimension (mx = mn) encodes as 0. floor(x+0.5)
+    // is deterministic rounding — no engine-specific round-half behavior.
+    val codes = transform(col("v"), (x, i) => {
+      val mn = element_at(mnA, i + 1)
+      val mx = element_at(mxA, i + 1)
+      when(mx === mn, lit(0L)).otherwise(
+        greatest(lit(-127L), least(lit(127L),
+          floor((x - mn) * 254.0 / (mx - mn) + 0.5).cast("long") - 127L)))
+    })
+    e.withColumn("codes", codes)
+      // reconstruction xh = mn + (code+127)·(mx−mn)/254: same IEEE op
+      // shape as the oracle, so xh is bit-identical cross-engine
+      .withColumn("xh", transform(col("codes"), (c, i) => {
+        val mn = element_at(mnA, i + 1)
+        val mx = element_at(mxA, i + 1)
+        mn + (c + 127L).cast("double") * (mx - mn) / 254.0
+      }))
+      .select(col("vec_id"),
+        aggregate(col("codes"), lit(0L), (acc, c) => acc + c).as("code_checksum"),
+        array_min(col("codes")).as("code_min"),
+        array_max(col("codes")).as("code_max"),
+        round(array_max(zip_with(col("v"), col("xh"), (x, xh) => abs(x - xh))), 6)
+          .as("max_abs_err"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** F28: int8 scalar quantization of the embedding column, with a
+    * per-vector reconstruction audit — the memory path that lets 100 TB of
+    * f32 vectors serve from a quarter of the footprint (dim bytes instead
+    * of 4·dim). Per-dimension min/max ranges are measured in ONE
+    * partial-aggregated pass (posexplode → per-pos agg — a dims-sized
+    * result, the quantizer-collect pattern shared with [[ivfIndex]]); the
+    * quantize/reconstruct arithmetic is codegen'd column math. The audit
+    * carries only order-free aggregates (integer code checksum/extrema,
+    * MAX absolute error) so the DuckDB oracle is exact, never at the mercy
+    * of summation order. Spec pins max_abs_err ≤ half a grid step. */
+  def embQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val e = t.embeddings.select(col("vec_id"), Vec.toDouble(col("embedding")).as("v"))
+    val ranges = measureRanges(e)
+    quantizeAudit(e, ranges)
+  }
+
+  /** Per-dimension (min, max) of a (vec_id, v) frame: one distributed
+    * partial-aggregated pass, dims-sized collect. */
+  def measureRanges(e: DataFrame): Array[(Double, Double)] =
+    e.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy(col("pos")).collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
 }

@@ -150,6 +150,44 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(rMulti > 0.0, "multi-probe found none of the true neighbors")
   }
 
+  test("int8 quantization: codes clamp to [-127,127], error within half a grid step, degenerate dims encode 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // real corpus: every vector's reconstruction error must respect the
+    // grid bound — half the widest dimension's step (+fp headroom)
+    val e = graft.Tables(spark, sfDir).embeddings // corpus frame as embQuantize builds it
+      .select(col("vec_id"), graft.functions.Vec.toDouble(col("embedding")).as("v"))
+    val ranges = Similarity.measureRanges(e)
+    val halfStep = ranges.map { case (mn, mx) => (mx - mn) / 254.0 / 2.0 }.max
+    val audit = Similarity.quantizeAudit(e, ranges).collect()
+    assert(audit.length == e.count())
+    audit.foreach { r =>
+      assert(r.getLong(2) >= -127 && r.getLong(3) <= 127,
+        s"vec ${r.getLong(0)}: codes [${r.getLong(2)},${r.getLong(3)}] out of int8 range")
+      assert(r.getDouble(4) <= halfStep + 1e-9,
+        s"vec ${r.getLong(0)}: err ${r.getDouble(4)} exceeds half-step $halfStep")
+    }
+    // planted frame: a constant dimension must encode 0 everywhere with no
+    // div-by-zero, and grid endpoints map to the extreme codes exactly
+    val planted = Seq(
+      (1L, Seq(0.0, 5.0, -2.0)),
+      (2L, Seq(10.0, 5.0, 2.0)),
+      (3L, Seq(5.0, 5.0, 0.0))).toDF("vec_id", "v")
+      .select(col("vec_id"), col("v").cast("array<double>").as("v"))
+    val pRanges = Similarity.measureRanges(planted)
+    assert(pRanges(1) == (5.0, 5.0), "dim 1 is constant")
+    val pa = Similarity.quantizeAudit(planted, pRanges)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // vec 1: dim0 at grid min → -127, dim1 constant → 0, dim2 at min → -127
+    assert(pa(1L).getLong(2) == -127 && pa(1L).getLong(3) == 0)
+    assert(pa(1L).getLong(1) == -127L + 0L + -127L)
+    // vec 2: dim0/dim2 at grid max → +127; checksum 127+0+127
+    assert(pa(2L).getLong(1) == 254L && pa(2L).getLong(3) == 127)
+    // endpoints reconstruct exactly → zero error on vec 2's extremes; the
+    // midpoint vec 3 dim0 (5.0 over [0,10]) lands on a grid point too
+    assert(pa(2L).getDouble(4) == 0.0)
+  }
+
   test("ivf index GC grace: a reader of the old version survives one rebuild") {
     // private corpus dir + private index root so the shared sfDir index
     // other tests depend on is never touched
