@@ -121,6 +121,7 @@ object SparkEntry {
     "ann_ivf"                -> ((s: SparkSession, d: String) => Similarity.ivfAnn(s, d)),
     "ann_ivf_batch"          -> ((s: SparkSession, d: String) => Similarity.ivfAnnBatch(s, d)),
     "emb_quantize"           -> ((s: SparkSession, d: String) => Similarity.embQuantize(s, d)),
+    "ann_pq_adc"             -> ((s: SparkSession, d: String) => Similarity.annPqAdc(s, d)),
     "q_salted_join"          -> ((s: SparkSession, d: String) => Relational.qSaltedJoin(s, d)),
     "text_quality"           -> TextAnalysis.quality _,
     "text_langid"            -> TextAnalysis.langid _,
@@ -1185,6 +1186,32 @@ object SparkEntry {
          |SELECT qid, CAST(rank AS INT) AS rank, vec_id,
          | CAST(list_id AS BIGINT) AS list_id, score
          |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // PQ-ADC: label-mean codewords per 8-dim subspace, first-argmin
+    // encode (ties -> smaller label), ADC candidate cut at rounded approx
+    // distance with vec_id tie-break, exact cosine rescore rounded like
+    // ann_topk. Same stability argument as ann_ivf: assignment and
+    // boundary margins dwarf cross-engine summation noise (~1e-15).
+    "ann_pq_adc" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |xp AS (SELECT vec_id, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e),
+         |cb AS (SELECT label AS c_label, pos, avg(x) AS a
+         |  FROM (SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e)
+         |  GROUP BY label, pos),
+         |d AS (SELECT xp.vec_id, cb.c_label, CAST((xp.pos - 1) // 8 AS INT) AS m,
+         |   sum((xp.x - cb.a) * (xp.x - cb.a)) AS d2
+         |  FROM xp JOIN cb USING (pos) GROUP BY 1, 2, 3),
+         |enc AS (SELECT vec_id, m, c_label,
+         |   row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c_label) AS rn FROM d),
+         |code AS (SELECT vec_id, m, c_label AS cl FROM enc WHERE rn = 1),
+         |qd AS (SELECT c_label, m, d2 AS qd2 FROM d WHERE vec_id = 0),
+         |ad AS (SELECT code.vec_id, sum(qd.qd2) AS approx FROM code
+         |  JOIN qd ON code.m = qd.m AND code.cl = qd.c_label GROUP BY 1),
+         |cand AS (SELECT vec_id, round(approx, 6) AS approx_dist FROM ad
+         |  WHERE vec_id <> 0 ORDER BY approx_dist, vec_id LIMIT 60),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT c.vec_id, c.approx_dist, round(${cosSql("e.v", "q.qv")}, 4) AS score
+         |FROM cand c JOIN e ON c.vec_id = e.vec_id, q
+         |ORDER BY score DESC, c.vec_id LIMIT 20""".stripMargin,
     // int8 quantization audit: min/max aggregates are exact (no fp
     // accumulation), the grid arithmetic has the identical IEEE op shape
     // on both engines, and the audit uses only order-free aggregates

@@ -356,6 +356,73 @@ object Similarity {
       .limit(k)
   }
 
+  /** PQ encode: each vector → `nSub` sub-codes, code_m = argmin over the
+    * codebook of ‖v_m − c_{l,m}‖² (subspace m = dims [m·d/nSub, (m+1)·d/nSub)).
+    * The squared-norm term ‖v_m‖² is constant across codewords, so the
+    * argmin reduces to ‖c_{l,m}‖² − 2⟨v_m, c_{l,m}⟩ — |codebook| native
+    * codegen'd dots per subspace, no interpreted HOF folds. Ties take the
+    * first (smallest-label) codeword via array_position. */
+  def pqEncode(e: DataFrame, cb: Seq[(Int, Seq[Double])], nSub: Int): DataFrame = {
+    val dim = cb.head._2.length
+    require(dim % nSub == 0, s"dim $dim not divisible into $nSub subspaces")
+    val sd = dim / nSub
+    val sorted = cb.sortBy(_._1)
+    val codeCols = (0 until nSub).map { m =>
+      val dists = array(sorted.map { case (_, cv) =>
+        val cw = cv.slice(m * sd, (m + 1) * sd)
+        val bb = cw.foldLeft(0.0)((acc, x) => acc + x * x)
+        lit(bb) - lit(2.0) * Vec.dot(slice(col("v"), m * sd + 1, sd),
+          array(cw.map(lit): _*))
+      }: _*)
+      (array_position(dists, array_min(dists)) - 1L).cast("int").as(s"code_$m")
+    }
+    e.select(col("vec_id") +: codeCols: _*)
+  }
+
+  /** F29: product-quantization ANN with asymmetric distance computation —
+    * the PQ half of IVF-PQ, the ANN shape for when even int8 vectors
+    * ([[embQuantize]]) are too large to scan per query. The corpus is
+    * encoded ONCE ([[pqEncode]]) into nSub one-byte codes (8 bytes per
+    * 64-dim vector, 32× under f32); a query computes one tiny ADC lookup
+    * table (nSub × |codebook| squared distances, driver-side from the
+    * already-collected quantizer) and candidate generation touches ONLY
+    * the code columns: approx dist = Σ_m table[m][code_m], a bounded
+    * top-C heap (TakeOrderedAndProject). The C survivors exact-rescore
+    * through one join back to the corpus. Codebook = the shared label-mean
+    * quantizer ([[trainQuantizer]], same as IVF) restricted per subspace —
+    * deterministic end-to-end (first-argmin ties, rounded outputs), so the
+    * oracle is full DuckDB SQL; argmin/boundary margins dwarf cross-engine
+    * summation noise exactly as argued for ann_ivf. */
+  def annPqAdc(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 20,
+      nSub: Int = 8, rescoreFactor: Int = 3): DataFrame = {
+    val e = vectors(spark, dir)
+    val cb = trainQuantizer(e)
+    val dim = cb.head._2.length
+    val sd = dim / nSub
+    val qv = e.filter(col("vec_id") === queryId).select(col("v")).head().getSeq[Double](0)
+    def subOf(a: Seq[Double], m: Int): Seq[Double] = a.slice(m * sd, (m + 1) * sd)
+    // ADC table: ‖q_m − c_{l,m}‖² per (subspace, codeword) — driver math on
+    // the collected quantizer, no cluster job
+    val qd2: Array[Array[Double]] = Array.tabulate(nSub) { m =>
+      cb.sortBy(_._1).map { case (_, cv) =>
+        subOf(qv, m).zip(subOf(cv, m))
+          .foldLeft(0.0) { case (acc, (a, b)) => acc + (a - b) * (a - b) }
+      }.toArray
+    }
+    val approx = (0 until nSub).map { m =>
+      element_at(array(qd2(m).map(lit).toIndexedSeq: _*), col(s"code_$m") + 1)
+    }.reduce(_ + _)
+    val cand = pqEncode(e.filter(col("vec_id") =!= queryId), cb, nSub)
+      .withColumn("approx_dist", round(approx, 6))
+      .orderBy(col("approx_dist"), col("vec_id")).limit(rescoreFactor * k)
+      .select(col("vec_id"), col("approx_dist"))
+    val qvCol = array(qv.map(lit): _*)
+    cand.join(e, Seq("vec_id"))
+      .withColumn("score", round(Vec.cosine(col("v"), qvCol), 4))
+      .select(col("vec_id"), col("approx_dist"), col("score"))
+      .orderBy(col("score").desc, col("vec_id")).limit(k)
+  }
+
   /** Core of [[embQuantize]], factored over an explicit (vec_id, v) frame
     * so specs can plant degenerate dimensions. `ranges` is the measured
     * per-dimension (min, max) quantization grid. */

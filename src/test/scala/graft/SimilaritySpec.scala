@@ -150,6 +150,40 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(rMulti > 0.0, "multi-probe found none of the true neighbors")
   }
 
+  test("pq-adc: codes stay in codebook range, a codeword self-assigns, and ADC candidates recall exact top-k") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val e = Similarity.vectors(spark, sfDir)
+    val cb = Similarity.trainQuantizer(e)
+    val codes = Similarity.pqEncode(e, cb, nSub = 8)
+    val codeCols = (0 until 8).map(m => col(s"code_$m"))
+    // every sub-code indexes into the 10-codeword codebook (1 byte each)
+    val mx = codes.select(codeCols.map(c => org.apache.spark.sql.functions.max(c)): _*).head()
+    val mn = codes.select(codeCols.map(c => org.apache.spark.sql.functions.min(c)): _*).head()
+    (0 until 8).foreach { m =>
+      assert(mn.getInt(m) >= 0 && mx.getInt(m) <= cb.length - 1,
+        s"subspace $m codes [${mn.getInt(m)},${mx.getInt(m)}] outside codebook")
+    }
+    // a codeword fed back through the encoder must pick itself in every
+    // subspace (distance 0 is the unique argmin)
+    val cwFrame = cb.map { case (l, cv) => (l.toLong, cv) }.toDF("vec_id", "v")
+      .select(col("vec_id"), col("v").cast("array<double>").as("v"))
+    val selfCodes = Similarity.pqEncode(cwFrame, cb, nSub = 8).collect()
+    val labelIdx = cb.map(_._1).sorted.zipWithIndex.toMap
+    selfCodes.foreach { r =>
+      val want = labelIdx(r.getLong(0).toInt)
+      (1 to 8).foreach(m => assert(r.getInt(m) == want,
+        s"codeword ${r.getLong(0)} subspace ${m - 1} encoded ${r.getInt(m)}, want $want"))
+    }
+    // encoding is deterministic: two plans, identical codes
+    assert(codes.collect().toSeq == Similarity.pqEncode(e, cb, nSub = 8).collect().toSeq)
+    // ADC candidates carry real recall against the exact scan
+    val exact = Similarity.annTopK(spark, sfDir).collect().map(_.getLong(0)).toSet
+    val pq = Similarity.annPqAdc(spark, sfDir).collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(pq).size.toDouble / exact.size
+    assert(recall >= 0.5, s"pq-adc recall@20 vs exact = $recall, expected >= 0.5")
+  }
+
   test("int8 quantization: codes clamp to [-127,127], error within half a grid step, degenerate dims encode 0") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
