@@ -129,6 +129,7 @@ object SparkEntry {
     "text_topterms"          -> ((s: SparkSession, d: String) => TextAnalysis.topTerms(s, d)),
     "sample_split"           -> TextAnalysis.datasetSplit _,
     "dedup_incremental"      -> Dedup.dedupIncremental _,
+    "dedup_substring"        -> ((s: SparkSession, d: String) => Dedup.dedupSubstring(s, d)),
     "text_pack_chunks"       -> ((s: SparkSession, d: String) => TextAnalysis.packChunks(s, d)),
     "text_contamination"     -> ((s: SparkSession, d: String) => TextAnalysis.contamination(s, d)),
     "text_repetition"        -> ((s: SparkSession, d: String) => TextAnalysis.repetition(s, d)),
@@ -1039,6 +1040,30 @@ object SparkEntry {
          | min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     // same word-5-gram sets, same benchmark split, per-benchmark-item report
+    // duplicated-substring spans: grams keyed by their raw text in the
+    // oracle (Spark groups the same strings), 1-based word positions,
+    // identical island arithmetic — integer outputs, exact parity
+    "dedup_substring" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |g AS (SELECT doc_id,
+         |  unnest(CASE WHEN len(toks) >= 8
+         |    THEN [array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 7 AS INT)), ' ')
+         |          for i in range(1, len(toks) - 6)]
+         |    ELSE [] END) AS gram,
+         |  unnest(CASE WHEN len(toks) >= 8 THEN range(1, len(toks) - 6) ELSE [] END) AS p
+         | FROM t),
+         |d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+         |h AS (SELECT g.doc_id, g.p FROM g JOIN d USING (gram)),
+         |i AS (SELECT doc_id, p,
+         |  CASE WHEN lag(p) OVER w IS NULL OR p > lag(p) OVER w + 8 THEN 1 ELSE 0 END AS brk
+         | FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+         |s AS (SELECT doc_id, p,
+         |  sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island FROM i)
+         |SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+         | CAST(max(p) + 7 AS BIGINT) AS span_end,
+         | CAST(max(p) + 7 - min(p) + 1 AS BIGINT) AS span_words,
+         | count(*) AS n_dup_grams
+         |FROM s GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
     "text_contamination" ->
       s"""WITH q AS (SELECT doc_id, $toks AS toks FROM documents),
          |g AS (SELECT DISTINCT doc_id, gram FROM (

@@ -403,4 +403,61 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("d1"), col("d2"), col("hamming"))
   }
+
+  /** Core of [[dedupSubstring]] over an explicit (doc_id, text) frame so
+    * specs can plant exact span shapes. */
+  def substringSpans(docs: DataFrame, k: Int): DataFrame = {
+    // (1) per-row gram construction + ONE posexplode → (doc, pos, gram);
+    // no shuffle. pos is 1-based (the word index where the gram starts).
+    val grams = docs
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.wordGrams(TextAnalysis.tokens(col("text")), k))
+          .as(Seq("idx", "gram")))
+      .select(col("doc_id"), (col("idx") + 1).as("p"), col("gram"))
+    // (2) the duplicated-gram set: count ≥ 2 ANYWHERE in the corpus
+    // (cross-doc or within-doc — both are training-data duplication).
+    // Map-side partial counts; the semi join back is on the same key, so
+    // the gram exchange is reused, not repeated.
+    val dup = grams.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+    val hits = grams.join(dup.select(col("gram")), Seq("gram"), "left_semi")
+    // (3) per-doc span assembly: a surviving gram at p covers words
+    // [p, p+k-1]; consecutive survivors merge while their covered ranges
+    // overlap or abut (p_next ≤ p_prev + k) — gaps-and-islands over a
+    // per-doc window (state bounded by doc length, key = doc_id).
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    hits
+      .withColumn("brk",
+        when(lag(col("p"), 1).over(w).isNull, 1)
+          .when(col("p") > lag(col("p"), 1).over(w) + k, 1)
+          .otherwise(0))
+      .withColumn("island",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("p")).cast("long").as("span_start"),
+        (max(col("p")) + (k - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_words"),
+        col("n_dup_grams"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** F30: duplicated-substring spans — the substring-granular dedup of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"): report every MAXIMAL span of consecutive words whose word
+    * k-grams all occur at least twice in the corpus, in word coordinates,
+    * so a trimming pass can cut boilerplate out of otherwise-unique
+    * documents instead of dropping them whole (the gap F1–F5 leave: they
+    * dedup whole documents, never shared passages).
+    *
+    * The reference shape is a suffix array over the concatenated corpus —
+    * inherently sequential. The Spark-first equivalent: duplicated
+    * k-grams ARE the duplicated-substring witnesses (any duplicated
+    * substring of length ≥ k contains a duplicated k-gram, and merging
+    * overlapping witnesses reconstructs its maximal extent), and k-gram
+    * counting + span merging is three shuffle-bounded stages: one gram
+    * hash-agg, one reused-exchange semi join, one per-doc window. */
+  def dedupSubstring(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    substringSpans(Tables(spark, dir).documents.select(col("doc_id"), col("text")), k)
 }

@@ -255,6 +255,40 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("substring spans: witnesses merge to maximal extents, within-doc repeats split, unique docs report nothing") {
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val shared10 = words("dup", 10)          // 10 shared words → 3 8-gram witnesses
+    val repeat8 = words("rep", 8)            // 8 shared words → 1 witness
+    val docs = Seq(
+      // A and B share a 10-word prefix, then diverge into unique tails
+      (1L, s"$shared10 ${words("taila", 20)}"),
+      (2L, s"$shared10 ${words("tailb", 20)}"),
+      // C repeats the same 8 words at positions 1 and 21 (within-doc dup)
+      (3L, s"$repeat8 ${words("mid", 12)} $repeat8"),
+      // D is fully unique: must not appear at all
+      (4L, words("uniq", 30))).toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(docs, k = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // A/B: the three overlapping witnesses (p=1,2,3) merge into ONE
+    // maximal 10-word span [1,10]
+    assert(spans.filter(_._1 == 1L).toSeq == Seq((1L, 1L, 10L, 10L, 3L)))
+    assert(spans.filter(_._1 == 2L).toSeq == Seq((2L, 1L, 10L, 10L, 3L)))
+    // C: the two occurrences are 12 words apart — two SEPARATE spans of
+    // exactly the repeated 8 words
+    assert(spans.filter(_._1 == 3L).toSeq ==
+      Seq((3L, 1L, 8L, 8L, 1L), (3L, 21L, 28L, 8L, 1L)))
+    assert(!spans.exists(_._1 == 4L), "unique doc must produce no spans")
+    // full-doc duplicate: docs 10/11 are identical 16-word docs — all
+    // nine witnesses (p=1..9) chain into one maximal span [1,16]
+    val abut = Seq(
+      (10L, s"$repeat8 ${words("also", 8)}"),
+      (11L, s"$repeat8 ${words("also", 8)}")).toDF("doc_id", "text")
+    val merged = Dedup.substringSpans(abut, k = 8).collect()
+    assert(merged.length == 2 && merged.forall(r =>
+      r.getLong(1) == 1L && r.getLong(2) == 16L && r.getLong(4) == 9L))
+  }
+
   test("fingerprint dedup collapses reordered near-duplicates") {
     val fp = (c: org.apache.spark.sql.Column) =>
       md5(array_join(array_sort(array_distinct(
