@@ -157,4 +157,68 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       assert(streamed("a").sum == 450L, "every value lands in a bin")
     } finally q.stop()
   }
+
+  test("HLL sketch under incremental execution equals the batch sketch") {
+    // element-wise-MAX register merge is idempotent, so re-merged state
+    // partials across micro-batches must land on the identical registers
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.HllAggregate
+    val mem = MemoryStream[(String, Long)]
+    val stream = mem.toDF().toDF("grp", "k")
+    val q = stream.groupBy(col("grp"))
+      .agg(HllAggregate.hllSketch(spark, col("k")).as("sketch"))
+      .writeStream.outputMode("complete").format("memory").queryName("g7_out").start()
+    try {
+      val batches = Seq(
+        (0L until 400L).map(i => ("a", i)) ++ (0L until 60L).map(i => ("b", i * 7)),
+        (200L until 500L).map(i => ("a", i)), // overlaps batch 1: idempotence
+        (0L until 30L).map(i => ("b", i * 7))) // full re-send of b's prefix
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      // the aggregate evals to the ESTIMATE; identical registers ⇒
+      // identical estimate, and idempotent max-merge means the re-sent
+      // overlap cannot inflate it
+      val streamed = spark.table("g7_out").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = batches.flatten.toDF("grp", "k").groupBy(col("grp"))
+        .agg(HllAggregate.hllSketch(spark, col("k")).as("sketch")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed == batch)
+      // sanity: estimates in the 4-sigma band the batch spec pins
+      assert(math.abs(streamed("a") - 500L) <= 500L * 0.21,
+        s"a estimated ${streamed("a")}, true 500")
+    } finally q.stop()
+  }
+
+  test("Bloom filter under incremental execution equals the batch filter") {
+    // OR-merge through the state store: the streamed filter must be
+    // bit-identical to the one-shot batch filter, and still have zero
+    // false negatives over every key it saw
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.BloomAggregate
+    val mem = MemoryStream[(String, Long)]
+    val stream = mem.toDF().toDF("grp", "k")
+    val q = stream.groupBy(col("grp"))
+      .agg(BloomAggregate.bloomAgg(spark, col("k")).as("bits"))
+      .writeStream.outputMode("complete").format("memory").queryName("g8_out").start()
+    try {
+      val batches = Seq(
+        (0L until 300L).map(i => ("a", i * 3)),
+        (0L until 200L).map(i => ("a", 900L + i)) ++ (0L until 80L).map(i => ("b", i)),
+        (0L until 40L).map(i => ("b", i))) // re-sent keys: OR-merge idempotence
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val streamed = spark.table("g8_out").collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      val batch = batches.flatten.toDF("grp", "k").groupBy(col("grp"))
+        .agg(BloomAggregate.bloomAgg(spark, col("k")).as("bits")).collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(streamed == batch)
+      // zero false negatives: every planted key tests positive against
+      // the streamed filter
+      val bitsA = streamed("a").toArray
+      val probe = batches.flatten.filter(_._1 == "a").map(_._2).distinct
+        .toDF("k").withColumn("hit", BloomAggregate.mightContain(
+          org.apache.spark.sql.functions.typedLit(bitsA), col("k")))
+      assert(probe.filter(!col("hit")).count() == 0)
+    } finally q.stop()
+  }
 }
