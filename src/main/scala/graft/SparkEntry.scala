@@ -133,6 +133,7 @@ object SparkEntry {
     "text_pack_chunks"       -> ((s: SparkSession, d: String) => TextAnalysis.packChunks(s, d)),
     "text_contamination"     -> ((s: SparkSession, d: String) => TextAnalysis.contamination(s, d)),
     "text_repetition"        -> ((s: SparkSession, d: String) => TextAnalysis.repetition(s, d)),
+    "text_gopher_rules"      -> TextAnalysis.gopherRules _,
     "text_tfidf"             -> ((s: SparkSession, d: String) => TextAnalysis.tfidf(s, d)),
     "text_lm_score"          -> TextAnalysis.lmScore _,
     "sample_stratified"      -> ((s: SparkSession, d: String) => TextAnalysis.stratifiedSample(s, d)),
@@ -1040,6 +1041,35 @@ object SparkEntry {
          | min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     // same word-5-gram sets, same benchmark split, per-benchmark-item report
+    // Gopher rules: integer counts over identical regexes, identical
+    // division shapes, flags from UNROUNDED ratios — exact parity.
+    // DuckDB regexp_replace needs explicit 'g' (Spark is global by default)
+    "text_gopher_rules" ->
+      s"""WITH d AS (SELECT doc_id, text, $toks AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_words,
+         |  CAST(greatest(len(toks), 1) AS DOUBLE) AS nw,
+         |  CAST(len(regexp_extract_all(text, '\n')) + 1 AS DOUBLE) AS n_lines,
+         |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS nonws,
+         |  CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.'))
+         |    + len(regexp_extract_all(text, '…')) AS DOUBLE) AS n_sym,
+         |  CAST(len(regexp_extract_all(text, '(?m)^\\s*[-*•]')) AS DOUBLE) AS n_bul,
+         |  CAST(len(regexp_extract_all(text, '(?m)(\\.\\.\\.|…)\\s*$$')) AS DOUBLE) AS n_ell,
+         |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) AS n_alw,
+         |  CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+         |    s -> list_contains(toks, s))) AS BIGINT) AS n_stop_distinct
+         | FROM d),
+         |r AS (SELECT doc_id, n_words, n_stop_distinct,
+         |  nonws / nw AS mwl, n_sym / nw AS sym, n_bul / n_lines AS bul,
+         |  n_ell / n_lines AS ell, n_alw / nw AS alw FROM m)
+         |SELECT doc_id, n_words,
+         | round(mwl, 4) AS mean_word_len, round(sym, 4) AS symbol_ratio,
+         | round(bul, 4) AS bullet_frac, round(ell, 4) AS ellipsis_line_frac,
+         | round(alw, 4) AS alpha_word_frac, n_stop_distinct,
+         | CAST(n_words >= 50 AND n_words <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+         |   AND sym <= 0.1 AND bul <= 0.9 AND ell <= 0.3 AND alw >= 0.8
+         |   AND n_stop_distinct >= 2 AS INT) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
     // duplicated-substring spans: grams keyed by their raw text in the
     // oracle (Spark groups the same strings), 1-based word positions,
     // identical island arithmetic — integer outputs, exact parity

@@ -370,4 +370,67 @@ object TextAnalysis {
           lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("bpe_tokens"))
       .orderBy(col("doc_id"))
   }
+
+  /** Gopher's required stop words (Rae et al. 2021, A1.1): a kept document
+    * must contain at least 2 of these. */
+  val gopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Core of [[gopherRules]] over an explicit (doc_id, text) frame. All
+    * rule measurements are per-row native column arithmetic (regexp
+    * counts, length deltas) — shuffle-free, codegen'd; flags compute from
+    * the UNROUNDED ratios so rounding can never flip a verdict. */
+  def gopherAudit(docs: DataFrame, minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    val d = docs
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("nw", greatest(col("n_words"), lit(1L)).cast("double"))
+      .withColumn("n_lines", (regexp_count(col("text"), lit("\n")) + 1).cast("double"))
+      // mean word length over non-whitespace characters
+      .withColumn("mwl",
+        length(regexp_replace(col("text"), "\\s", "")).cast("double") / col("nw"))
+      // symbol-to-word ratio: '#' plus ellipses ('...' or '…')
+      .withColumn("sym",
+        (regexp_count(col("text"), lit("#"))
+          + regexp_count(col("text"), lit("\\.\\.\\."))
+          + regexp_count(col("text"), lit("…"))).cast("double") / col("nw"))
+      // fraction of lines starting with a bullet / ending with an ellipsis
+      .withColumn("bul",
+        regexp_count(col("text"), lit("(?m)^\\s*[-*•]")).cast("double") / col("n_lines"))
+      .withColumn("ell",
+        regexp_count(col("text"), lit("(?m)(\\.\\.\\.|…)\\s*$")).cast("double") / col("n_lines"))
+      // fraction of words carrying at least one alphabetic character
+      .withColumn("alw",
+        size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("double") / col("nw"))
+      // distinct required stop words present
+      .withColumn("n_stop_distinct",
+        size(filter(array(gopherStops.map(lit): _*),
+          s => array_contains(col("toks"), s))).cast("long"))
+    d.select(col("doc_id"), col("n_words"),
+        round(col("mwl"), 4).as("mean_word_len"),
+        round(col("sym"), 4).as("symbol_ratio"),
+        round(col("bul"), 4).as("bullet_frac"),
+        round(col("ell"), 4).as("ellipsis_line_frac"),
+        round(col("alw"), 4).as("alpha_word_frac"),
+        col("n_stop_distinct"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords
+          && col("mwl") >= 3.0 && col("mwl") <= 10.0
+          && col("sym") <= 0.1
+          && col("bul") <= 0.9
+          && col("ell") <= 0.3
+          && col("alw") >= 0.8
+          && col("n_stop_distinct") >= 2L).cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** F31: the Gopher/MassiveText document-quality rule set (Rae et al.
+    * 2021, A1.1) as a typed filter — the published thresholds, not a
+    * generic score: word count in [50, 100k], mean word length in [3, 10],
+    * symbol-to-word ratio ≤ 0.1 ('#' and ellipses), ≤ 90% bullet-started
+    * lines, ≤ 30% ellipsis-ended lines, ≥ 80% of words with an alphabetic
+    * character, and ≥ 2 of the 8 required stop words. Complements [[quality]]
+    * (a composite score) and [[repetition]] (the dup-n-gram Gopher rule)
+    * with the document-shape rules between them. Per-row, zero-shuffle. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherAudit(Tables(spark, dir).documents.select(col("doc_id"), col("text")))
 }

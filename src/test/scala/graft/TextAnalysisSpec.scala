@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planted-document specs for the text-analysis gates (SURVEY F31). */
+class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("gopher rules: each rule rejects its planted violation and a clean doc passes all") {
+    // a 60-word clean doc: alphabetic words, two required stop words,
+    // normal word lengths, no symbols/bullets/ellipses
+    val clean = ("the quick brown fox jumps with vigor " +
+      (1 to 53).map(i => s"word$i").mkString(" "))
+    val docs = Seq(
+      1L -> clean,
+      // 2: too short (10 words)
+      2L -> "the fox with nine more plain words here now",
+      // 3: mean word length > 10 (every word 12+ chars, still stops present)
+      3L -> ("the with " + (1 to 58).map(_ => "abcdefghijklmn").mkString(" ")),
+      // 4: symbol ratio > 0.1 (60 words, 12 '#')
+      4L -> (clean + " " + (1 to 12).map(_ => "#").mkString(" ")),
+      // 5: >90% bullet lines (10 lines, all bulleted, words inside)
+      5L -> (1 to 10).map(i => s"- the with line$i item$i").mkString("\n"),
+      // 6: >30% ellipsis-ended lines
+      6L -> Seq("the fox runs...", "with more...", "plain line", "end here...")
+        .mkString("\n"),
+      // 7: alpha-word fraction < 0.8 (60 words, 20 numeric)
+      7L -> ("the with " + (1 to 38).map(i => s"w$i").mkString(" ") + " " +
+        (1 to 20).map(i => s"$i$i").mkString(" ")),
+      // 8: fewer than 2 required stop words
+      8L -> (1 to 60).map(i => s"plain$i").mkString(" ")).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherAudit(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    assert(out(1L).getInt(8) == 1, s"clean doc rejected: ${out(1L)}")
+    assert(out(1L).getLong(7) >= 2L)
+    assert(out(2L).getInt(8) == 0 && out(2L).getLong(1) < 50L)
+    assert(out(3L).getInt(8) == 0 && out(3L).getDouble(2) > 10.0)
+    assert(out(4L).getInt(8) == 0 && out(4L).getDouble(3) > 0.1)
+    assert(out(5L).getInt(8) == 0 && out(5L).getDouble(4) > 0.9)
+    assert(out(6L).getInt(8) == 0 && out(6L).getDouble(5) > 0.3)
+    assert(out(7L).getInt(8) == 0 && out(7L).getDouble(6) < 0.8)
+    assert(out(8L).getInt(8) == 0 && out(8L).getLong(7) < 2L)
+  }
+}
