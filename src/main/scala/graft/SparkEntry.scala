@@ -134,6 +134,7 @@ object SparkEntry {
     "text_contamination"     -> ((s: SparkSession, d: String) => TextAnalysis.contamination(s, d)),
     "text_repetition"        -> ((s: SparkSession, d: String) => TextAnalysis.repetition(s, d)),
     "text_gopher_rules"      -> TextAnalysis.gopherRules _,
+    "pipeline_traindata"     -> ((s: SparkSession, d: String) => TextAnalysis.traindataPipeline(s, d)),
     "text_tfidf"             -> ((s: SparkSession, d: String) => TextAnalysis.tfidf(s, d)),
     "text_lm_score"          -> TextAnalysis.lmScore _,
     "sample_stratified"      -> ((s: SparkSession, d: String) => TextAnalysis.stratifiedSample(s, d)),
@@ -150,6 +151,33 @@ object SparkEntry {
 
   private def hitsSql(words: Seq[String]) =
     s"""len(list_filter(toks, x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"""
+
+  // Gopher measurement relation + keep predicate — shared by the F31
+  // audit and the H4 composed pipeline so both oracles judge identical
+  // arithmetic. DuckDB regexp_replace needs explicit 'g' (Spark's is
+  // global by default); flags evaluate on UNROUNDED ratios.
+  private val gopherMeasuredSql =
+    s"""SELECT doc_id, text, toks, n_words, n_stop_distinct,
+       |  nonws / nw AS mwl, n_sym / nw AS sym, n_bul / n_lines AS bul,
+       |  n_ell / n_lines AS ell, n_alw / nw AS alw
+       |FROM (SELECT doc_id, text, toks,
+       |  CAST(len(toks) AS BIGINT) AS n_words,
+       |  CAST(greatest(len(toks), 1) AS DOUBLE) AS nw,
+       |  CAST(len(regexp_extract_all(text, '\n')) + 1 AS DOUBLE) AS n_lines,
+       |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS nonws,
+       |  CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.'))
+       |    + len(regexp_extract_all(text, '…')) AS DOUBLE) AS n_sym,
+       |  CAST(len(regexp_extract_all(text, '(?m)^\\s*[-*•]')) AS DOUBLE) AS n_bul,
+       |  CAST(len(regexp_extract_all(text, '(?m)(\\.\\.\\.|…)\\s*$$')) AS DOUBLE) AS n_ell,
+       |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) AS n_alw,
+       |  CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+       |    s -> list_contains(toks, s))) AS BIGINT) AS n_stop_distinct
+       | FROM (SELECT doc_id, text, $toks AS toks FROM documents))""".stripMargin
+
+  private def gopherKeepSql(minStop: Int = 2) =
+    s"""n_words >= 50 AND n_words <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+      | AND sym <= 0.1 AND bul <= 0.9 AND ell <= 0.3 AND alw >= 0.8
+      | AND n_stop_distinct >= $minStop""".stripMargin
 
   private val synthXY =
     """SELECT o_orderkey, o_orderstatus,
@@ -1043,33 +1071,57 @@ object SparkEntry {
     // same word-5-gram sets, same benchmark split, per-benchmark-item report
     // Gopher rules: integer counts over identical regexes, identical
     // division shapes, flags from UNROUNDED ratios — exact parity.
-    // DuckDB regexp_replace needs explicit 'g' (Spark is global by default)
     "text_gopher_rules" ->
-      s"""WITH d AS (SELECT doc_id, text, $toks AS toks FROM documents),
-         |m AS (SELECT doc_id,
-         |  CAST(len(toks) AS BIGINT) AS n_words,
-         |  CAST(greatest(len(toks), 1) AS DOUBLE) AS nw,
-         |  CAST(len(regexp_extract_all(text, '\n')) + 1 AS DOUBLE) AS n_lines,
-         |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS nonws,
-         |  CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.'))
-         |    + len(regexp_extract_all(text, '…')) AS DOUBLE) AS n_sym,
-         |  CAST(len(regexp_extract_all(text, '(?m)^\\s*[-*•]')) AS DOUBLE) AS n_bul,
-         |  CAST(len(regexp_extract_all(text, '(?m)(\\.\\.\\.|…)\\s*$$')) AS DOUBLE) AS n_ell,
-         |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) AS n_alw,
-         |  CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
-         |    s -> list_contains(toks, s))) AS BIGINT) AS n_stop_distinct
-         | FROM d),
-         |r AS (SELECT doc_id, n_words, n_stop_distinct,
-         |  nonws / nw AS mwl, n_sym / nw AS sym, n_bul / n_lines AS bul,
-         |  n_ell / n_lines AS ell, n_alw / nw AS alw FROM m)
+      s"""WITH r AS ($gopherMeasuredSql)
          |SELECT doc_id, n_words,
          | round(mwl, 4) AS mean_word_len, round(sym, 4) AS symbol_ratio,
          | round(bul, 4) AS bullet_frac, round(ell, 4) AS ellipsis_line_frac,
          | round(alw, 4) AS alpha_word_frac, n_stop_distinct,
-         | CAST(n_words >= 50 AND n_words <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
-         |   AND sym <= 0.1 AND bul <= 0.9 AND ell <= 0.3 AND alw >= 0.8
-         |   AND n_stop_distinct >= 2 AS INT) AS keep
+         | CAST(${gopherKeepSql()} AS INT) AS keep
          |FROM r ORDER BY doc_id""".stripMargin,
+    // composed training-data pipeline: every stage reuses the standalone
+    // operator's oracle fragments (gopher measures, F2 fingerprint, F26
+    // 5-gram construction), counts/sums CAST off HUGEINT
+    "pipeline_traindata" ->
+      s"""WITH r AS ($gopherMeasuredSql),
+         |g AS (SELECT doc_id, text, toks, n_words AS n_tok FROM r WHERE ${gopherKeepSql(1)}),
+         |f AS (SELECT doc_id, toks, n_tok, row_number() OVER (
+         |   PARTITION BY md5(array_to_string(list_sort(list_distinct(toks)), ' '))
+         |   ORDER BY doc_id) AS rn FROM g),
+         |d AS (SELECT doc_id, toks, n_tok FROM f WHERE rn = 1),
+         |bg AS (SELECT DISTINCT gram FROM (
+         |  SELECT unnest(CASE WHEN len(toks) >= 5
+         |    THEN [array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)), ' ')
+         |          for i in range(1, len(toks) - 3)]
+         |    ELSE [] END) AS gram
+         |  FROM (SELECT $toks AS toks FROM documents WHERE doc_id % 97 = 0))),
+         |pool AS (SELECT * FROM d WHERE doc_id % 97 <> 0),
+         |hit AS (SELECT DISTINCT p.doc_id FROM (
+         |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 5
+         |    THEN [array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)), ' ')
+         |          for i in range(1, len(toks) - 3)]
+         |    ELSE [] END) AS gram FROM pool) p JOIN bg USING (gram)),
+         |c AS (SELECT doc_id, n_tok FROM pool
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM hit)),
+         |a0 AS (SELECT count(*) AS docs,
+         |  CAST(coalesce(sum(CAST(len($toks) AS BIGINT)), 0) AS BIGINT) AS tk,
+         |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS ids FROM documents),
+         |a1 AS (SELECT count(*) AS docs, CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS tk,
+         |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS ids FROM g),
+         |a2 AS (SELECT count(*) AS docs, CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS tk,
+         |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS ids FROM d),
+         |a3 AS (SELECT count(*) AS docs, CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS tk,
+         |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS ids FROM c)
+         |SELECT * FROM (
+         | SELECT 1 AS stage_ord, 'ingest' AS stage, a0.docs AS units_in,
+         |   a0.docs AS units_out, a0.tk AS tokens_out, a0.ids AS id_checksum FROM a0
+         | UNION ALL SELECT 2, 'gopher_filter', a0.docs, a1.docs, a1.tk, a1.ids FROM a0, a1
+         | UNION ALL SELECT 3, 'dedup_fingerprint', a1.docs, a2.docs, a2.tk, a2.ids FROM a1, a2
+         | UNION ALL SELECT 4, 'decontaminate', a2.docs, a3.docs, a3.tk, a3.ids FROM a2, a3
+         | UNION ALL SELECT 5, 'pack_chunks', a3.docs,
+         |   CAST(CASE WHEN a3.tk = 0 THEN 0 ELSE (a3.tk - 1) // 2048 + 1 END AS BIGINT),
+         |   a3.tk, a3.ids FROM a3
+         |) ORDER BY stage_ord""".stripMargin,
     // duplicated-substring spans: grams keyed by their raw text in the
     // oracle (Spark groups the same strings), 1-based word positions,
     // identical island arithmetic — integer outputs, exact parity

@@ -376,12 +376,11 @@ object TextAnalysis {
   val gopherStops: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
-  /** Core of [[gopherRules]] over an explicit (doc_id, text) frame. All
-    * rule measurements are per-row native column arithmetic (regexp
-    * counts, length deltas) — shuffle-free, codegen'd; flags compute from
-    * the UNROUNDED ratios so rounding can never flip a verdict. */
-  def gopherAudit(docs: DataFrame, minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
-    val d = docs
+  /** Raw per-row Gopher measurements (unrounded) — ONE builder shared by
+    * the audit query and the composed training-data pipeline so both
+    * always judge against identical arithmetic. */
+  def gopherMeasure(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", tokens(col("text")))
       .withColumn("n_words", size(col("toks")).cast("long"))
       .withColumn("nw", greatest(col("n_words"), lit(1L)).cast("double"))
@@ -406,6 +405,22 @@ object TextAnalysis {
       .withColumn("n_stop_distinct",
         size(filter(array(gopherStops.map(lit): _*),
           s => array_contains(col("toks"), s))).cast("long"))
+
+  /** The Gopher keep verdict over [[gopherMeasure]]'s raw columns.
+    * `minStop` defaults to the published floor of 2. */
+  def gopherKeepCond(minWords: Long = 50L, maxWords: Long = 100000L,
+      minStop: Long = 2L): Column =
+    col("n_words") >= minWords && col("n_words") <= maxWords &&
+      col("mwl") >= 3.0 && col("mwl") <= 10.0 &&
+      col("sym") <= 0.1 && col("bul") <= 0.9 && col("ell") <= 0.3 &&
+      col("alw") >= 0.8 && col("n_stop_distinct") >= minStop
+
+  /** Core of [[gopherRules]] over an explicit (doc_id, text) frame. All
+    * rule measurements are per-row native column arithmetic (regexp
+    * counts, length deltas) — shuffle-free, codegen'd; flags compute from
+    * the UNROUNDED ratios so rounding can never flip a verdict. */
+  def gopherAudit(docs: DataFrame, minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    val d = gopherMeasure(docs)
     d.select(col("doc_id"), col("n_words"),
         round(col("mwl"), 4).as("mean_word_len"),
         round(col("sym"), 4).as("symbol_ratio"),
@@ -413,14 +428,85 @@ object TextAnalysis {
         round(col("ell"), 4).as("ellipsis_line_frac"),
         round(col("alw"), 4).as("alpha_word_frac"),
         col("n_stop_distinct"),
-        (col("n_words") >= minWords && col("n_words") <= maxWords
-          && col("mwl") >= 3.0 && col("mwl") <= 10.0
-          && col("sym") <= 0.1
-          && col("bul") <= 0.9
-          && col("ell") <= 0.3
-          && col("alw") >= 0.8
-          && col("n_stop_distinct") >= 2L).cast("int").as("keep"))
+        gopherKeepCond(minWords, maxWords).cast("int").as("keep"))
       .orderBy(col("doc_id"))
+  }
+
+  /** H4: the composed training-data pipeline — the LLM-data counterpart
+    * of the config pipeline (H1): one declarative run that takes a raw
+    * document corpus through the canonical preparation chain and reports
+    * per-stage survivor lineage:
+    *
+    *   ingest → Gopher quality gate (F31) → fingerprint dedup, first doc
+    *   wins (F2) → decontamination against the benchmark split (F26) →
+    *   sequence packing summary (F25's straddling semantics).
+    *
+    * Every stage reuses the SAME shared builders as its standalone
+    * operator ([[gopherMeasure]]/[[gopherKeepCond]], [[Dedup.fingerprint]],
+    * [[wordGrams]]), so pipeline verdicts can never drift from the
+    * per-operator queries. Stage frames are locally checkpointed once and
+    * feed both the next stage and the lineage aggregate (the
+    * tfidf/contamination convention); the five stage rows assemble from
+    * four 1-row aggregates crossJoined broadcast-style and unpivoted with
+    * `stack` — no driver-side collect. Because packing lets documents
+    * straddle pack boundaries, the pack count is exactly
+    * ceil(total_tokens / capacity) — no prefix-sum pass is needed for the
+    * SUMMARY (the per-pack detail remains [[packChunks]]). */
+  def traindataPipeline(spark: SparkSession, dir: String, capacity: Long = 2048L,
+      benchMod: Long = 97L, n: Int = 5, minStop: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val docs = t.documents.select(col("doc_id"), col("text"))
+    val tok = docs.withColumn("n_tok", size(tokens(col("text"))).cast("long"))
+    // stage 2: Gopher gate. The stop-word floor is configurable and runs
+    // at 1 here: the synthetic corpus's vocabulary carries at most ONE of
+    // the eight required stop words (audited by F31), so the published
+    // floor of 2 would zero the corpus and every later stage with it —
+    // a gate tuned to the corpus beats a pipeline that filters everything.
+    val g = gopherMeasure(docs).filter(gopherKeepCond(minStop = minStop))
+      .select(col("doc_id"), col("text"), col("n_words").as("n_tok"))
+      .localCheckpoint(true)
+    // stage 3: fingerprint dedup, first doc wins within each group
+    val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    val d = g.withColumn("fp", Dedup.fingerprint(col("text")))
+      .withColumn("rn", row_number().over(wFp)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("text"), col("n_tok"))
+      .localCheckpoint(true)
+    // stage 4: decontaminate — bench split comes from the ORIGINAL corpus
+    // (an eval doc filtered by quality still contaminates), bench docs
+    // leave the training pool, and any surviving doc sharing a word
+    // n-gram with the bench set is dropped
+    val benchGrams = docs.filter(col("doc_id") % benchMod === 0)
+      .select(explode(array_distinct(wordGrams(tokens(col("text")), n))).as("gram"))
+      .distinct()
+    val pool = d.filter(col("doc_id") % benchMod =!= 0)
+    val contaminated = pool
+      .select(col("doc_id"),
+        explode(array_distinct(wordGrams(tokens(col("text")), n))).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"))
+      .select(col("doc_id")).distinct()
+    val c = pool.join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_tok")).localCheckpoint(true)
+    // lineage: four 1-row aggregates → one row → five stage rows
+    def stageAgg(df: DataFrame, p: String): DataFrame = df.agg(
+      count(lit(1)).cast("long").as(s"${p}_docs"),
+      coalesce(sum(col("n_tok")), lit(0L)).cast("long").as(s"${p}_toks"),
+      coalesce(sum(col("doc_id")), lit(0L)).cast("long").as(s"${p}_ids"))
+    stageAgg(tok, "a").crossJoin(stageAgg(g, "b"))
+      .crossJoin(stageAgg(d, "c")).crossJoin(stageAgg(c, "e"))
+      .selectExpr(
+        s"""stack(5,
+           | 1, 'ingest',            a_docs, a_docs, a_toks, a_ids,
+           | 2, 'gopher_filter',     a_docs, b_docs, b_toks, b_ids,
+           | 3, 'dedup_fingerprint', b_docs, c_docs, c_toks, c_ids,
+           | 4, 'decontaminate',     c_docs, e_docs, e_toks, e_ids,
+           | 5, 'pack_chunks',       e_docs,
+           |    CAST(CASE WHEN e_toks = 0 THEN 0
+           |         ELSE (e_toks - 1) div $capacity + 1 END AS BIGINT),
+           |    e_toks, e_ids
+           |) AS (stage_ord, stage, units_in, units_out, tokens_out, id_checksum)
+           |""".stripMargin)
+      .orderBy(col("stage_ord"))
   }
 
   /** F31: the Gopher/MassiveText document-quality rule set (Rae et al.

@@ -43,4 +43,33 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(out(7L).getInt(8) == 0 && out(7L).getDouble(6) < 0.8)
     assert(out(8L).getInt(8) == 0 && out(8L).getLong(7) < 2L)
   }
+
+  test("traindata pipeline: stage lineage chains, every stage only removes, pack count is the token ceiling") {
+    val rows = TextAnalysis.traindataPipeline(spark, sfDir).collect()
+      .map(r => r.getString(1) -> r).toMap
+    assert(rows.size == 5)
+    val order = Seq("ingest", "gopher_filter", "dedup_fingerprint", "decontaminate")
+    // units_in of each stage is the previous stage's units_out, and the
+    // filter stages are monotone non-increasing in docs and tokens
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(rows(b).getLong(2) == rows(a).getLong(3),
+        s"$b units_in != $a units_out")
+      assert(rows(b).getLong(3) <= rows(b).getLong(2))
+      assert(rows(b).getLong(4) <= rows(a).getLong(4), s"$b grew tokens")
+      assert(rows(b).getLong(5) <= rows(a).getLong(5), s"$b grew id checksum")
+    }
+    assert(rows("ingest").getLong(2) == rows("ingest").getLong(3))
+    // the pack stage reports ceil(tokens / 2048) output units over the
+    // decontaminated survivors, straddling semantics
+    val surv = rows("decontaminate")
+    val pack = rows("pack_chunks")
+    assert(pack.getLong(2) == surv.getLong(3))
+    assert(pack.getLong(4) == surv.getLong(4) && pack.getLong(5) == surv.getLong(5))
+    val toks = surv.getLong(4)
+    val expectPacks = if (toks == 0) 0L else (toks - 1) / 2048 + 1
+    assert(pack.getLong(3) == expectPacks, s"packs ${pack.getLong(3)} != $expectPacks")
+    // the gate actually discriminates on this corpus (not all, not none)
+    assert(rows("gopher_filter").getLong(3) > 0)
+    assert(rows("gopher_filter").getLong(3) < rows("ingest").getLong(3))
+  }
 }
