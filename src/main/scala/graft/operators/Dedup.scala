@@ -409,18 +409,25 @@ object Dedup {
   def substringSpans(docs: DataFrame, k: Int): DataFrame = {
     // (1) per-row gram construction + ONE posexplode → (doc, pos, gram);
     // no shuffle. pos is 1-based (the word index where the gram starts).
+    // Grams collapse to 64-bit hashes BEFORE anything shuffles (8-byte
+    // keys instead of ~8-word strings through both the count exchange and
+    // the semi join; same equivalence classes — a 64-bit collision over a
+    // corpus gram set is ~n²/2⁶⁵), and the frame is checkpointed once so
+    // the tokenize+gram pass runs once, not per consumer (the
+    // tfidf/lm_score shared-explode convention).
     val grams = docs
       .select(col("doc_id"),
         posexplode(TextAnalysis.wordGrams(TextAnalysis.tokens(col("text")), k))
           .as(Seq("idx", "gram")))
-      .select(col("doc_id"), (col("idx") + 1).as("p"), col("gram"))
+      .select(col("doc_id"), (col("idx") + 1).as("p"), xxhash64(col("gram")).as("gh"))
+      .localCheckpoint(true)
     // (2) the duplicated-gram set: count ≥ 2 ANYWHERE in the corpus
     // (cross-doc or within-doc — both are training-data duplication).
-    // Map-side partial counts; the semi join back is on the same key, so
-    // the gram exchange is reused, not repeated.
-    val dup = grams.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+    // Map-side partial counts; the dup set is duplicated-keys-only (tiny)
+    // and broadcasts into the semi join.
+    val dup = grams.groupBy(col("gh")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
-    val hits = grams.join(dup.select(col("gram")), Seq("gram"), "left_semi")
+    val hits = grams.join(dup.select(col("gh")), Seq("gh"), "left_semi")
     // (3) per-doc span assembly: a surviving gram at p covers words
     // [p, p+k-1]; consecutive survivors merge while their covered ranges
     // overlap or abut (p_next ≤ p_prev + k) — gaps-and-islands over a
