@@ -122,6 +122,7 @@ object SparkEntry {
     "ann_ivf_batch"          -> ((s: SparkSession, d: String) => Similarity.ivfAnnBatch(s, d)),
     "emb_quantize"           -> ((s: SparkSession, d: String) => Similarity.embQuantize(s, d)),
     "ann_pq_adc"             -> ((s: SparkSession, d: String) => Similarity.annPqAdc(s, d)),
+    "ann_ivfpq"              -> ((s: SparkSession, d: String) => Similarity.annIvfPq(s, d)),
     "q_salted_join"          -> ((s: SparkSession, d: String) => Relational.qSaltedJoin(s, d)),
     "text_quality"           -> TextAnalysis.quality _,
     "text_langid"            -> TextAnalysis.langid _,
@@ -1318,6 +1319,40 @@ object SparkEntry {
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
          |SELECT c.vec_id, c.approx_dist, round(${cosSql("e.v", "q.qv")}, 4) AS score
          |FROM cand c JOIN e ON c.vec_id = e.vec_id, q
+         |ORDER BY score DESC, c.vec_id LIMIT 20""".stripMargin,
+    // IVF-PQ: the ann_ivf probe/assignment CTEs composed with the
+    // ann_pq_adc encode/ADC CTEs — candidates restricted to the probed
+    // lists, ADC cut at rounded approx distance, exact rescore. Stability
+    // by the same margins argument both parents already passed with.
+    "ann_ivfpq" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |xp AS (SELECT vec_id, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e),
+         |cb AS (SELECT label AS c_label, pos, avg(x) AS a
+         |  FROM (SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e)
+         |  GROUP BY label, pos),
+         |cv AS (SELECT c_label, list(a ORDER BY pos) AS cvec FROM cb GROUP BY c_label),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |pr AS (SELECT c_label, row_number() OVER (
+         |    ORDER BY ${cosSql("cvec", "qv")} DESC, c_label) AS rn FROM cv, q),
+         |asg0 AS (SELECT vec_id, c_label, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ${cosSql("v", "cvec")} DESC, c_label) AS rn FROM e CROSS JOIN cv),
+         |asg AS (SELECT vec_id, c_label AS list_id FROM asg0 WHERE rn = 1),
+         |d AS (SELECT xp.vec_id, cb.c_label, CAST((xp.pos - 1) // 8 AS INT) AS m,
+         |   sum((xp.x - cb.a) * (xp.x - cb.a)) AS d2
+         |  FROM xp JOIN cb USING (pos) GROUP BY 1, 2, 3),
+         |enc AS (SELECT vec_id, m, c_label,
+         |   row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c_label) AS rn FROM d),
+         |code AS (SELECT vec_id, m, c_label AS cl FROM enc WHERE rn = 1),
+         |qd AS (SELECT c_label, m, d2 AS qd2 FROM d WHERE vec_id = 0),
+         |ad AS (SELECT code.vec_id, sum(qd.qd2) AS approx FROM code
+         |  JOIN qd ON code.m = qd.m AND code.cl = qd.c_label GROUP BY 1),
+         |cand AS (SELECT a.vec_id, round(ad.approx, 6) AS approx_dist
+         |  FROM asg a JOIN ad ON a.vec_id = ad.vec_id
+         |  WHERE a.list_id IN (SELECT c_label FROM pr WHERE rn <= 3) AND a.vec_id <> 0
+         |  ORDER BY approx_dist, a.vec_id LIMIT 60)
+         |SELECT c.vec_id, CAST(asg.list_id AS BIGINT) AS list_id, c.approx_dist,
+         | round(${cosSql("e.v", "q.qv")}, 4) AS score
+         |FROM cand c JOIN e ON c.vec_id = e.vec_id JOIN asg ON c.vec_id = asg.vec_id, q
          |ORDER BY score DESC, c.vec_id LIMIT 20""".stripMargin,
     // int8 quantization audit: min/max aggregates are exact (no fp
     // accumulation), the grid arithmetic has the identical IEEE op shape

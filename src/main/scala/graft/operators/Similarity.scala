@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.Vec
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity search (SURVEY §2 F6–F8) over the
@@ -66,6 +66,10 @@ object Similarity {
   }
 
   val NPlanes = 8
+
+  /** PQ subspace count used by the persisted index layout and the ADC ops
+    * (64 dims / 8 subspaces = 8-dim sub-vectors, one byte-sized code each). */
+  val PqSubspaces = 8
 
   /** F8: LSH sign-bucketing — the ANN scale path. Bucket occupancy per
     * hyperplane-sign code; per-bucket recall is spec-verified against F7. */
@@ -201,7 +205,10 @@ object Similarity {
     val stamp = {
       val f = new java.io.File(s"$dir/embeddings.parquet")
       val files = if (f.isDirectory) f.listFiles().toSeq else Seq(f)
-      files.map(x => s"${x.getName}:${x.length}:${x.lastModified}").sorted.mkString("|")
+      // layout epoch prefix: bumping it invalidates indexes built under an
+      // older SCHEMA (pq2 = lists carry PQ sub-codes) even when the corpus
+      // itself is unchanged
+      "pq2|" + files.map(x => s"${x.getName}:${x.length}:${x.lastModified}").sorted.mkString("|")
     }
     // versioned layout: the corpus stamp names the version directory, so
     // a reader can never observe a half-overwritten index — a rebuild
@@ -215,8 +222,14 @@ object Similarity {
       val tmp = new java.io.File(s"$root/v_${ver}_tmp_${ProcessHandle.current().pid()}")
       val e = vectors(spark, dir)
       val cents = trainQuantizer(e)
-      listAssignments(spark, e, cents)
+      val assigned = listAssignments(spark, e, cents)
         .withColumn("nrm", Vec.norm(col("v"))) // norms once, AT INDEX TIME
+      // PQ sub-codes persist BESIDE each vector (encoded once, at index
+      // time, from the same quantizer): ADC serving reads only the code
+      // columns — column pruning keeps the wide `v` out of the candidate
+      // scan entirely
+      assigned
+        .select(assigned.columns.map(col) ++ pqCodeCols(cents, PqSubspaces): _*)
         .repartition(col("list_id"))           // one file per list directory
         .write.mode("overwrite").partitionBy("list_id").parquet(s"$tmp/lists")
       cents.toDF("list_id", "cv").write.mode("overwrite").parquet(s"$tmp/centroids")
@@ -362,12 +375,15 @@ object Similarity {
     * argmin reduces to ‖c_{l,m}‖² − 2⟨v_m, c_{l,m}⟩ — |codebook| native
     * codegen'd dots per subspace, no interpreted HOF folds. Ties take the
     * first (smallest-label) codeword via array_position. */
-  def pqEncode(e: DataFrame, cb: Seq[(Int, Seq[Double])], nSub: Int): DataFrame = {
+  /** The PQ sub-code expressions over a frame carrying `v` — exposed so
+    * the index build can append codes to the persisted lists without a
+    * join. */
+  def pqCodeCols(cb: Seq[(Int, Seq[Double])], nSub: Int): Seq[Column] = {
     val dim = cb.head._2.length
     require(dim % nSub == 0, s"dim $dim not divisible into $nSub subspaces")
     val sd = dim / nSub
     val sorted = cb.sortBy(_._1)
-    val codeCols = (0 until nSub).map { m =>
+    (0 until nSub).map { m =>
       val dists = array(sorted.map { case (_, cv) =>
         val cw = cv.slice(m * sd, (m + 1) * sd)
         val bb = cw.foldLeft(0.0)((acc, x) => acc + x * x)
@@ -376,8 +392,10 @@ object Similarity {
       }: _*)
       (array_position(dists, array_min(dists)) - 1L).cast("int").as(s"code_$m")
     }
-    e.select(col("vec_id") +: codeCols: _*)
   }
+
+  def pqEncode(e: DataFrame, cb: Seq[(Int, Seq[Double])], nSub: Int): DataFrame =
+    e.select(col("vec_id") +: pqCodeCols(cb, nSub): _*)
 
   /** F29: product-quantization ANN with asymmetric distance computation —
     * the PQ half of IVF-PQ, the ANN shape for when even int8 vectors
@@ -420,6 +438,63 @@ object Similarity {
     cand.join(e, Seq("vec_id"))
       .withColumn("score", round(Vec.cosine(col("v"), qvCol), 4))
       .select(col("vec_id"), col("approx_dist"), col("score"))
+      .orderBy(col("score").desc, col("vec_id")).limit(k)
+  }
+
+  /** F32: IVF-PQ serving — the full modern ANN stack over the persisted
+    * index: the coarse quantizer prunes the scan to `nprobe` list
+    * partitions (`PartitionFilters`, as ann_ivf), and WITHIN the probed
+    * lists candidate ranking reads ONLY the persisted PQ sub-codes (the
+    * `v` column never enters the candidate scan — column pruning does to
+    * the row width what partition pruning does to the row count). The ADC
+    * table comes from the collected quantizer (driver math, no cluster
+    * job); the bounded top-C survivors fetch their raw vectors through one
+    * broadcast self-join against the same pruned partitions for the exact
+    * rescore. At 100 TB: nprobe/k of the corpus touched, 8 bytes of codes
+    * per candidate instead of 256 bytes of floats, C full vectors read. */
+  def annIvfPq(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 20,
+      nprobe: Int = 3, rescoreFactor: Int = 3): DataFrame = {
+    val t = Tables(spark, dir)
+    val (listsPath, cents) = ivfIndex(spark, dir)
+    val nSub = PqSubspaces
+    val dim = cents.head._2.length
+    val sd = dim / nSub
+    val qv = t.embeddings.filter(col("vec_id") === queryId)
+      .select(Vec.toDouble(col("embedding")).as("qv")).head().getSeq[Double](0)
+    def sub(a: Seq[Double], m: Int): Seq[Double] = a.slice(m * sd, (m + 1) * sd)
+    def dotL(a: Seq[Double], b: Seq[Double]): Double =
+      a.iterator.zip(b.iterator).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    def cosL(a: Seq[Double], b: Seq[Double]): Double =
+      dotL(a, b) / (math.sqrt(dotL(a, a)) * math.sqrt(dotL(b, b)))
+    // probe selection: nprobe nearest centroids, driver-side (|lists| dots)
+    val probes = cents.sortBy { case (l, cv) => (-cosL(qv, cv), l) }
+      .take(nprobe).map(_._1)
+    // ADC table from the same collected quantizer
+    val qd2: Array[Array[Double]] = Array.tabulate(nSub) { m =>
+      cents.sortBy(_._1).map { case (_, cv) =>
+        sub(qv, m).zip(sub(cv, m))
+          .foldLeft(0.0) { case (acc, (a, b)) => acc + (a - b) * (a - b) }
+      }.toArray
+    }
+    val approx = (0 until nSub).map { m =>
+      element_at(array(qd2(m).map(lit).toIndexedSeq: _*), col(s"code_$m") + 1)
+    }.reduce(_ + _)
+    // candidate scan: probed partitions, CODE COLUMNS ONLY
+    val cand = ivfLists(spark, listsPath)
+      .filter(col("list_id").isin(probes: _*) && col("vec_id") =!= queryId)
+      .select(col("vec_id") +: (0 until nSub).map(m => col(s"code_$m")): _*)
+      .withColumn("approx_dist", round(approx, 6))
+      .orderBy(col("approx_dist"), col("vec_id")).limit(rescoreFactor * k)
+      .select(col("vec_id"), col("approx_dist"))
+    // exact rescore: C ids broadcast back against the same pruned layout
+    val qvCol = array(qv.map(lit): _*)
+    cand.join(
+        ivfLists(spark, listsPath).filter(col("list_id").isin(probes: _*))
+          .select(col("vec_id"), col("v"), col("list_id")),
+        Seq("vec_id"))
+      .withColumn("score", round(Vec.cosine(col("v"), qvCol), 4))
+      .select(col("vec_id"), col("list_id").cast("long").as("list_id"),
+        col("approx_dist"), col("score"))
       .orderBy(col("score").desc, col("vec_id")).limit(k)
   }
 

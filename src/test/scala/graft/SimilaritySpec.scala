@@ -184,6 +184,30 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.5, s"pq-adc recall@20 vs exact = $recall, expected >= 0.5")
   }
 
+  test("ivf-pq: candidate scan reads codes not vectors, partitions prune, and recall holds vs exact") {
+    val df = Similarity.annIvfPq(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // partition pruning: the probed list_id filter reaches the scan
+    assert(plan.contains("PartitionFilters: [list_id"),
+      s"probe filter did not prune partitions:\n${plan.take(2000)}")
+    // column pruning: the candidate scan reads the code columns and NOT
+    // the raw vector — in the lists' file-schema order v precedes code_0,
+    // so a schema whose second field is code_0 provably skipped v
+    assert(plan.contains("ReadSchema: struct<vec_id:bigint,code_0:int"),
+      s"no codes-only candidate scan:\n${plan.take(3000)}")
+    val rows = df.collect()
+    assert(rows.length == 20)
+    // every result lives in a probed list and rescored scores are sane
+    assert(rows.forall(r => !r.isNullAt(3)))
+    // recall against the exact scan: bounded below by the IVF gate's own
+    // recall; 0.4 is a conservative floor measured well under the actual
+    val exact = Similarity.annTopK(spark, sfDir).collect().map(_.getLong(0)).toSet
+    val got = rows.map(_.getLong(0)).toSet
+    assert(exact.intersect(got).size >= 8, s"ivfpq recall too low: ${exact.intersect(got).size}/20")
+    // deterministic end-to-end (same persisted index, same plan)
+    assert(df.collect().toSeq == Similarity.annIvfPq(spark, sfDir).collect().toSeq)
+  }
+
   test("int8 quantization: codes clamp to [-127,127], error within half a grid step, degenerate dims encode 0") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
