@@ -139,6 +139,8 @@ object SparkEntry {
     "text_tfidf"             -> ((s: SparkSession, d: String) => TextAnalysis.tfidf(s, d)),
     "text_lm_score"          -> TextAnalysis.lmScore _,
     "sample_stratified"      -> ((s: SparkSession, d: String) => TextAnalysis.stratifiedSample(s, d)),
+    "sample_curriculum"      -> ((s: SparkSession, d: String) => TextAnalysis.sampleCurriculum(s, d)),
+    "q_set_ops"              -> Relational.qSetOps _,
     "sample_weighted"        -> ((s: SparkSession, d: String) => TextAnalysis.weightedSample(s, d)),
     "mm_binary_meta"         -> Multimodal.binaryMeta _,
     "mm_frame_sample"        -> Multimodal.frameSample _,
@@ -149,6 +151,24 @@ object SparkEntry {
 
   private val toks =
     """list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"""
+
+  // F9 scored-document relation — shared by the quality audit and the
+  // curriculum bucketing oracle
+  private lazy val qualityScoredSql =
+    s"""SELECT doc_id, n_chars_m, n_words, avg_word_len, punct_ratio, stop_ratio,
+       | round(least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5
+       |   + (1.0 - punct_ratio) * 0.3 + stop_ratio * 0.2, 4) AS quality_score
+       |FROM (SELECT doc_id, n_chars_m, n_words,
+       |  round(CAST(n_alpha AS DOUBLE) / greatest(n_words, 1), 4) AS avg_word_len,
+       |  round(CAST(n_punct AS DOUBLE) / greatest(n_chars_m, 1), 4) AS punct_ratio,
+       |  round(CAST(n_stop AS DOUBLE) / greatest(n_words, 1), 4) AS stop_ratio
+       | FROM (SELECT doc_id, n_chars_m, CAST(len(toks) AS BIGINT) AS n_words,
+       |  CAST(${hitsSql(Seq("the", "a", "and", "of", "to"))} AS BIGINT) AS n_stop,
+       |  n_alpha, n_punct
+       |  FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m, $toks AS toks,
+       |   CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+       |   CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct
+       |  FROM documents)))""".stripMargin
 
   private def hitsSql(words: Seq[String]) =
     s"""len(list_filter(toks, x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"""
@@ -712,6 +732,24 @@ object SparkEntry {
         | count(*) AS n, round(avg(value), 2) AS avg_magnitude
         |FROM events WHERE event_type = 'error' GROUP BY 1 ORDER BY n DESC, error_class""".stripMargin,
 
+    "q_set_ops" ->
+      """WITH a AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'),
+        |b AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'),
+        |i AS (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b),
+        |ab AS (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b),
+        |ba AS (SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM a)
+        |SELECT set_op, n_keys, key_checksum FROM (
+        | SELECT 'retained' AS set_op, count(*) AS n_keys,
+        |   CAST(coalesce(sum(o_custkey), 0) AS BIGINT) AS key_checksum FROM i
+        | UNION ALL SELECT 'churned', count(*),
+        |   CAST(coalesce(sum(o_custkey), 0) AS BIGINT) FROM ab
+        | UNION ALL SELECT 'acquired', count(*),
+        |   CAST(coalesce(sum(o_custkey), 0) AS BIGINT) FROM ba)
+        |ORDER BY set_op""".stripMargin,
     "mon_perf_outliers" ->
       """WITH ev AS (SELECT event_id, value,
         |  TRY_CAST(nullif(regexp_extract(props, 'k":\s*([0-9]+)', 1), '') AS BIGINT) AS k
@@ -1374,21 +1412,20 @@ object SparkEntry {
         | round(max(abs(x - xh)), 6) AS max_abs_err
         |FROM r GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "text_quality" ->
-      s"""WITH q AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m, $toks AS toks,
-         |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
-         |  CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct
-         | FROM documents),
-         |r AS (SELECT doc_id, n_chars_m, CAST(len(toks) AS BIGINT) AS n_words,
-         |  CAST(${hitsSql(Seq("the", "a", "and", "of", "to"))} AS BIGINT) AS n_stop,
-         |  n_alpha, n_punct FROM q),
-         |f AS (SELECT doc_id, n_chars_m, n_words,
-         |  round(CAST(n_alpha AS DOUBLE) / greatest(n_words, 1), 4) AS avg_word_len,
-         |  round(CAST(n_punct AS DOUBLE) / greatest(n_chars_m, 1), 4) AS punct_ratio,
-         |  round(CAST(n_stop AS DOUBLE) / greatest(n_words, 1), 4) AS stop_ratio FROM r)
-         |SELECT doc_id, n_chars_m, n_words, avg_word_len, punct_ratio, stop_ratio,
-         | round(least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5
-         |   + (1.0 - punct_ratio) * 0.3 + stop_ratio * 0.2, 4) AS quality_score
-         |FROM f ORDER BY doc_id""".stripMargin,
+      s"""SELECT * FROM ($qualityScoredSql) ORDER BY doc_id""".stripMargin,
+    // curriculum buckets: the F9 score CTE + DuckDB's native ntile; the
+    // Spark side reproduces standard ntile fill as integer math over a
+    // chunked-prefix-sum global rank (no single-task window)
+    "sample_curriculum" ->
+      s"""WITH s AS ($qualityScoredSql),
+         |n AS (SELECT doc_id, n_words, quality_score,
+         |  ntile(10) OVER (ORDER BY quality_score DESC, doc_id) AS bucket FROM s)
+         |SELECT CAST(bucket AS INT) AS bucket, count(*) AS n_docs,
+         | round(max(quality_score), 4) AS max_score,
+         | round(min(quality_score), 4) AS min_score,
+         | CAST(sum(n_words) AS BIGINT) AS n_tokens,
+         | CAST(sum(doc_id) AS BIGINT) AS id_checksum
+         |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_langid" ->
       s"""WITH q AS (SELECT lang, $toks AS toks FROM documents),
          |h AS (SELECT lang,

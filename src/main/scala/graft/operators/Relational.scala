@@ -371,6 +371,29 @@ object Relational {
       .orderBy(col("nk"))
   }
 
+  /** E26: set operations (INTERSECT / EXCEPT — the set-op family E10's
+    * UNION left out). Customers active in 1994 vs 1995: retained, churned,
+    * and acquired key sets, each via Spark's native set operators (which
+    * plan as hash-distinct + semi/anti joins — one shuffle per side on the
+    * key, broadcast-able when one side is small). Output = one rollup row
+    * per set so the result is stable regardless of key-set size. */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def active(yr: Int) = t.orders
+      .filter(year(col("o_orderdate")) === yr)
+      .select(col("o_custkey"))
+    val a = active(1994)
+    val b = active(1995)
+    def rollup(df: DataFrame, tag: String) = df
+      .agg(count(lit(1)).cast("long").as("n_keys"),
+        coalesce(sum(col("o_custkey")), lit(0L)).cast("long").as("key_checksum"))
+      .select(lit(tag).as("set_op"), col("n_keys"), col("key_checksum"))
+    rollup(a.intersect(b), "retained")
+      .union(rollup(a.except(b), "churned"))
+      .union(rollup(b.except(a), "acquired"))
+      .orderBy(col("set_op"))
+  }
+
   /** E11: as-of join — for each purchase event, the latest click by the
     * same user at or before it (second granularity).
     *

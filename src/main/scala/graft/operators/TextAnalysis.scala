@@ -432,6 +432,57 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** F33: curriculum buckets — order the corpus by the F9 quality score
+    * and split into `n` equal ntile stages (curriculum learning's data
+    * ordering: cleanest bucket first). A naive `ntile() OVER (ORDER BY
+    * score)` is a GLOBAL sort through one task — the exact single-task
+    * window this codebase bans — so the global rank is built with the
+    * chunked prefix-sum scheme instead (A5/F25's pattern applied to
+    * ranking): rows chunk by score RANGE (descending score → ascending
+    * chunk, so chunk order equals rank order and equal scores can never
+    * straddle a chunk), per-chunk counts prefix-sum driver-side (≤32
+    * rows), and each chunk ranks locally under its own partition key.
+    * Buckets then follow the SQL-standard ntile fill (larger buckets
+    * first) as pure integer math on the global rank — bit-identical to
+    * DuckDB's native ntile, which the oracle uses. */
+  def sampleCurriculum(spark: SparkSession, dir: String, nBuckets: Int = 10,
+      nChunks: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = quality(spark, dir)
+      .select(col("doc_id"), col("n_words"), col("quality_score"))
+      // descending-score chunk id: per-row arithmetic, no shuffle
+      .withColumn("chunk", least(lit(nChunks - 1),
+        greatest(lit(0), floor((lit(1.0) - col("quality_score")) * nChunks))).cast("int"))
+    val counts = scored.groupBy(col("chunk")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("chunk")).collect()
+    var acc = 0L
+    val offs = counts.map { r => val o = (r.getInt(0), acc); acc += r.getLong(1); o }.toSeq
+    val total = acc
+    import spark.implicits._
+    val offDf = offs.toDF("chunk", "chunk_off")
+    val wLocal = Window.partitionBy(col("chunk"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    // SQL-standard ntile: the first (total mod n) buckets take
+    // ceil(total/n) rows, the rest floor(total/n)
+    val nBig = total % nBuckets
+    val szBig = total / nBuckets + (if (nBig > 0) 1L else 0L)
+    val szSmall = total / nBuckets
+    val cut = nBig * szBig
+    scored.join(broadcast(offDf), Seq("chunk"))
+      .withColumn("rank", col("chunk_off") + row_number().over(wLocal))
+      .withColumn("bucket",
+        when(col("rank") <= cut, (col("rank") - 1) / szBig)
+          .otherwise(lit(nBig) + (col("rank") - 1 - cut) / lit(math.max(szSmall, 1L))))
+      .withColumn("bucket", (col("bucket").cast("long") + 1).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        round(max(col("quality_score")), 4).as("max_score"),
+        round(min(col("quality_score")), 4).as("min_score"),
+        sum(col("n_words")).cast("long").as("n_tokens"),
+        sum(col("doc_id")).cast("long").as("id_checksum"))
+      .orderBy(col("bucket"))
+  }
+
   /** H4: the composed training-data pipeline — the LLM-data counterpart
     * of the config pipeline (H1): one declarative run that takes a raw
     * document corpus through the canonical preparation chain and reports

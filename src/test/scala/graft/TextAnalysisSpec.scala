@@ -44,6 +44,28 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(out(8L).getInt(8) == 0 && out(8L).getLong(7) < 2L)
   }
 
+  test("curriculum buckets: standard ntile fill without a single-task window") {
+    val df = TextAnalysis.sampleCurriculum(spark, sfDir)
+    // the global rank comes from chunked prefix sums — the window must be
+    // partitioned by chunk, never a SinglePartition global sort
+    assert(!df.queryExecution.executedPlan.toString.contains("SinglePartition"),
+      "global ntile collapsed to a single-task window")
+    val rows = df.collect()
+    val total = rows.map(_.getLong(1)).sum
+    val n = rows.length
+    // SQL-standard fill: bucket sizes differ by at most 1, larger first
+    val sizes = rows.sortBy(_.getInt(0)).map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1, s"uneven ntile fill: ${sizes.toSeq}")
+    assert(sizes.sorted.reverse.toSeq == sizes.toSeq, s"larger buckets must come first: ${sizes.toSeq}")
+    assert(total == 500L && n == 10)
+    // curriculum order: bucket 1 holds the best-scoring docs
+    val byBucket = rows.sortBy(_.getInt(0))
+    byBucket.sliding(2).foreach { case Array(hi, lo) =>
+      assert(hi.getDouble(3) >= lo.getDouble(2) - 1e-9,
+        s"bucket ${hi.getInt(0)} min ${hi.getDouble(3)} < bucket ${lo.getInt(0)} max ${lo.getDouble(2)}")
+    }
+  }
+
   test("traindata pipeline: stage lineage chains, every stage only removes, pack count is the token ceiling") {
     val rows = TextAnalysis.traindataPipeline(spark, sfDir).collect()
       .map(r => r.getString(1) -> r).toMap
