@@ -103,4 +103,33 @@ class FunctionPropertySpec extends AnyFunSuite with SparkTestBase {
     assert(rows(0).isNullAt(0), "short vector must not produce a partial dot")
     assert(rows(1).getDouble(0) == 1.0)
   }
+
+  test("pq encode equals brute-force squared-distance argmin on 200 random vectors") {
+    import graft.operators.Similarity
+    // the column form ranks codewords by ‖c‖² − 2⟨v,c⟩; the reference
+    // form is plain Σ(x−c)². Same winner on every random vector and a
+    // random codebook (fp noise between the two forms is ~1e-16, far
+    // below random codeword separation).
+    val dim = 16; val nSub = 4; val sd = dim / nSub
+    val vecGen = Gen.listOfN(dim, Gen.chooseNum(-1000, 1000).map(_ / 500.0))
+    val cb: Seq[(Int, Seq[Double])] =
+      samples(vecGen, 6).zipWithIndex.map { case (v, i) => (i, v) }
+    val vecs = samples(vecGen, 200).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val expected = vecs.map { case (_, v) =>
+      (0 until nSub).map { m =>
+        cb.sortBy(_._1).zipWithIndex.minBy { case ((_, cv), li) =>
+          val d2 = (m * sd until (m + 1) * sd)
+            .map(j => (v(j) - cv(j)) * (v(j) - cv(j))).sum
+          (d2, li)
+        }._2
+      }
+    }
+    val got = Similarity.pqEncode(
+        vecs.toDF("vec_id", "v")
+          .select(col("vec_id"), col("v").cast("array<double>").as("v")),
+        cb, nSub)
+      .orderBy(col("vec_id")).collect()
+      .map(r => (1 to nSub).map(r.getInt))
+    assert(got.toSeq == expected)
+  }
 }
