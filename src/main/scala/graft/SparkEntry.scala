@@ -72,6 +72,7 @@ object SparkEntry {
     "mon_error_patterns"     -> LoadOps.errorPatterns _,
     "mon_failure_streaks"    -> LoadOps.failureStreaks _,
     "mon_perf_outliers"      -> ((s: SparkSession, d: String) => LoadOps.perfOutliers(s, d)),
+    "mon_run_drift"          -> ((s: SparkSession, d: String) => LoadOps.runDrift(s, d)),
     "mon_key_skew"           -> LoadOps.keySkew _,
     "etl_response_validate"  -> ((s: SparkSession, d: String) => LoadOps.responseValidate(s, d)),
     "etl_response_diagnose"  -> LoadOps.responseDiagnose _,
@@ -790,6 +791,18 @@ object SparkEntry {
         |  UNION ALL SELECT 'slow_sources', slow_n, slow_ck FROM a
         |  UNION ALL SELECT 'large_responses', lrg_n, lrg_ck FROM a)
         |ORDER BY pattern""".stripMargin,
+    "mon_run_drift" ->
+      """WITH runs AS (SELECT event_type AS source,
+        |  CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS run_day,
+        |  count(*) AS n_features, round(sum(value), 2) AS duration
+        | FROM events GROUP BY 1, 2),
+        |l AS (SELECT *, lag(n_features) OVER w AS pf, lag(duration) OVER w AS pd
+        | FROM runs WINDOW w AS (PARTITION BY source ORDER BY run_day))
+        |SELECT source, run_day, CAST(n_features AS BIGINT) AS n_features,
+        | round(CAST(n_features - pf AS DOUBLE) / pf * 100, 2) AS feature_drift_pct,
+        | round((duration - pd) / pd * 100, 2) AS duration_drift_pct,
+        | CAST(pf IS NOT NULL AND n_features < pf * 0.5 AS INT) AS shrink_alert
+        |FROM l ORDER BY source, run_day""".stripMargin,
     "mon_key_skew" ->
       """WITH k AS (SELECT CASE WHEN user_id % 10 = 0 THEN 0 ELSE user_id END AS join_key
         |  FROM events),

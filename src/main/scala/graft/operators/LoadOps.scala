@@ -396,6 +396,45 @@ object LoadOps {
       .orderBy(col("n").desc, col("error_class"))
   }
 
+  /** D13: run-over-run drift detection. monitoring.py:187 `save_metrics`
+    * persists one metrics snapshot per run — the HISTORY those files
+    * accumulate is what answers "did this source suddenly shrink or
+    * slow?", which no single-run summary can see. Each (source, day) of
+    * the event stream is one run; a per-source lag window compares each
+    * run to its predecessor: feature-count and duration drift
+    * percentages, plus an alert when a source loses more than
+    * `dropAlert` of its features run-over-run (the classic
+    * silently-went-empty failure). One shuffle on the source key; window
+    * state is O(runs) per source. */
+  def runDrift(spark: SparkSession, dir: String, dropAlert: Double = 0.5): DataFrame = {
+    val t = Tables(spark, dir)
+    val runs = t.events
+      .withColumn("run_day", expr("(ts div 1000000000) div 86400").cast("long"))
+      .groupBy(col("event_type").as("source"), col("run_day"))
+      .agg(count(lit(1)).cast("long").as("n_features"),
+        round(sum(col("value")), 2).as("duration"))
+    runDriftOverRuns(runs, dropAlert)
+  }
+
+  /** Core of [[runDrift]] over an explicit (source, run_day, n_features,
+    * duration) run history, so specs can plant drop shapes. */
+  def runDriftOverRuns(runs: DataFrame, dropAlert: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("run_day"))
+    runs
+      .withColumn("pf", lag(col("n_features"), 1).over(w))
+      .withColumn("pd", lag(col("duration"), 1).over(w))
+      .select(col("source"), col("run_day"), col("n_features"),
+        round((col("n_features") - col("pf")).cast("double") / col("pf") * 100, 2)
+          .as("feature_drift_pct"),
+        round((col("duration") - col("pd")) / col("pd") * 100, 2)
+          .as("duration_drift_pct"),
+        (col("pf").isNotNull &&
+          col("n_features").cast("double") < col("pf") * (1.0 - dropAlert))
+          .cast("int").as("shrink_alert"))
+      .orderBy(col("source"), col("run_day"))
+  }
+
   /** D12: performance/error outlier detection (monitoring.py:196
     * `detect_patterns`). The reference walks every run metric and buckets
     * it into six pattern keys: four error-message substring classes (an

@@ -239,6 +239,26 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("run drift: first runs report null drift, the shrink alert fires only past the drop threshold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val runs = Seq(
+      ("a", 1L, 100L, 10.0), // first run: null drifts, no alert
+      ("a", 2L, 49L, 12.0),  // 51% drop → alert
+      ("a", 3L, 49L, 12.0),  // flat → no alert
+      ("b", 1L, 100L, 10.0),
+      ("b", 2L, 50L, 5.0)    // exactly 50% of previous: NOT below → no alert
+    ).toDF("source", "run_day", "n_features", "duration")
+    val out = graft.operators.LoadOps.runDriftOverRuns(runs, dropAlert = 0.5)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    assert(out(("a", 1L)).isNullAt(3) && out(("a", 1L)).getInt(5) == 0)
+    assert(out(("a", 2L)).getDouble(3) == -51.0 && out(("a", 2L)).getInt(5) == 1)
+    assert(out(("a", 3L)).getDouble(3) == 0.0 && out(("a", 3L)).getInt(5) == 0)
+    assert(out(("b", 2L)).getDouble(3) == -50.0 && out(("b", 2L)).getInt(5) == 0,
+      "a drop of exactly the threshold must not alert (strictly below)")
+    assert(out(("a", 2L)).getDouble(4) == 20.0) // duration 10 → 12
+  }
+
   test("atom feed: links classify by rel, content-type, and filterable-service URL; skipped and link-less entries stage nothing") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
