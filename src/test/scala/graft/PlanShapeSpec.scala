@@ -113,4 +113,35 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       java.nio.file.Paths.get(s"$root/_GRAFT_STAMP"))
     assert(stampBefore == stampAfter, "second query rebuilt the index")
   }
+
+  test("pq-adc: bounded candidate heap, broadcast rescore join, no shuffle joins") {
+    val p = plan("ann_pq_adc")
+    // ADC cut and final cut are both bounded top-k heaps, and the 60-row
+    // candidate set broadcasts into the rescore join — never a shuffle
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
+      s"ADC/final cuts are not bounded heaps:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"rescore join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"rescore join shuffled or exploded:\n$p")
+  }
+
+  test("perf outliers: one scan, map-side partials, no join or window") {
+    val p = plan("mon_perf_outliers")
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"more than one scan:\n$p")
+    assert(p.contains("partial_sum"), s"no map-side partial aggregation:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"detect_patterns rollup must be a pure aggregate:\n$p")
+  }
+
+  test("substring dedup: gram shuffles carry hashes, dup set broadcasts back") {
+    val p = plan("dedup_substring")
+    // the semi join against the duplicated-gram set must be broadcast
+    // (the dup set is duplicated-keys-only), and no gram STRING column
+    // may survive into any exchange — only the 64-bit hash
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"dup-gram set not broadcast:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("gram")),
+      s"a gram string column crossed an exchange:\n${exchanges.mkString("\n")}")
+  }
 }
