@@ -26,6 +26,7 @@ object SparkEntry {
     "src_rest_oid_sweep"     -> ((s: SparkSession, d: String) => Ingest.restOidSweep(s, d)),
     "src_rest_offset_paging" -> ((s: SparkSession, d: String) => Ingest.restOffsetPaging(s, d)),
     "src_snapshot_load"      -> Ingest.snapshotLoad _,
+    "src_orc_roundtrip"      -> Ingest.orcRoundtrip _,
     "src_archive_unpack"     -> Ingest.archiveUnpack _,
     "src_resume_ingest"      -> ((s: SparkSession, d: String) => Ingest.resumeIngest(s, d)),
     "src_atom_filterable"    -> ((s: SparkSession, d: String) => Ingest.atomFilterable(s, d)),
@@ -389,6 +390,12 @@ object SparkEntry {
         | CAST(CASE WHEN range_id % 5 = 2 THEN 2 ELSE 1 END AS INT) AS ingest_run,
         | count(*) AS n_rows, CAST(sum(l_orderkey) AS BIGINT) AS key_checksum
         |FROM r GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "src_orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | CAST(sum(l_orderkey) AS BIGINT) AS key_checksum
+        |FROM lineitem WHERE l_quantity >= 25.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_snapshot_load" ->
       """SELECT l_linestatus, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
         |FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1 ORDER BY 1""".stripMargin,

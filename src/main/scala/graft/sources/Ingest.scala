@@ -818,4 +818,26 @@ object Ingest {
       .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
       .orderBy(col("l_linestatus"))
   }
+
+  /** A16: ORC staging round-trip — the second columnar format the engine
+    * serves (Spark ships ORC natively). A projection stages as ORC, and
+    * the ranged re-read must keep the same pushdown/pruning contract the
+    * parquet paths get: the quantity predicate reaches the ORC reader as
+    * `PushedFilters` and the read schema carries only the projected
+    * columns (spec-asserted). Counts and an integer checksum reconcile
+    * against the source table, so a lossy or reordered round-trip
+    * hash-mismatches the oracle. */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = "/root/repo/target/graft_snapshot/lineitem_orc"
+    Tables(spark, dir).lineitem
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
+      .write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+      .filter(col("l_quantity") >= 25.0)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        sum(col("l_orderkey")).cast("long").as("key_checksum"))
+      .orderBy(col("l_returnflag"))
+  }
 }

@@ -114,6 +114,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(stampBefore == stampAfter, "second query rebuilt the index")
   }
 
+  test("orc round-trip: predicate pushes into the ORC reader, read schema prunes") {
+    val p = plan("src_orc_roundtrip")
+    assert(p.contains("Format: ORC"), s"re-read is not the ORC reader:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,25.0)"),
+      s"quantity predicate did not reach the ORC reader:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double,l_returnflag:string"),
+      s"ORC scan reads more than the projection:\n$p")
+  }
+
   test("pq-adc: bounded candidate heap, broadcast rescore join, no shuffle joins") {
     val p = plan("ann_pq_adc")
     // ADC cut and final cut are both bounded top-k heaps, and the 60-row
