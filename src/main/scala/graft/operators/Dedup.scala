@@ -38,9 +38,12 @@ object Dedup {
   /** F2's fingerprint: md5 over the sorted distinct token set — ONE
     * definition shared with F24 so incremental dedup can never classify
     * against a different fingerprint than the batch op. */
-  def fingerprint(text: Column): Column =
-    md5(array_join(array_sort(array_distinct(TextAnalysis.tokens(text))), " ")
-      .cast("binary"))
+  def fingerprint(text: Column): Column = fingerprintOfToks(TextAnalysis.tokens(text))
+
+  /** Fingerprint over an already-tokenized column — for callers that
+    * carry `toks` through a pipeline and must not re-tokenize. */
+  def fingerprintOfToks(toks: Column): Column =
+    md5(array_join(array_sort(array_distinct(toks)), " ").cast("binary"))
 
   /** F2: fingerprint dedup — md5 over the sorted distinct token set, so
     * reordered / re-whitespaced copies collapse to one group. */

@@ -508,20 +508,26 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val t = Tables(spark, dir)
     val docs = t.documents.select(col("doc_id"), col("text"))
-    val tok = docs.withColumn("n_tok", size(tokens(col("text"))).cast("long"))
+    // Tokenize ONCE: gopherMeasure carries `toks`, and every later stage
+    // (ingest lineage, fingerprint, n-gram screen) reuses that column
+    // instead of re-splitting text — at corpus scale the tokenizer is the
+    // dominant per-row cost, and this plan runs it exactly once for the
+    // corpus (plus once for the 1/benchMod bench split).
+    val measured = gopherMeasure(docs)
+      .select(col("doc_id"), col("toks"), col("n_words").as("n_tok"),
+        gopherKeepCond(minStop = minStop).as("keep"))
+      .localCheckpoint(true)
     // stage 2: Gopher gate. The stop-word floor is configurable and runs
     // at 1 here: the synthetic corpus's vocabulary carries at most ONE of
     // the eight required stop words (audited by F31), so the published
     // floor of 2 would zero the corpus and every later stage with it —
     // a gate tuned to the corpus beats a pipeline that filters everything.
-    val g = gopherMeasure(docs).filter(gopherKeepCond(minStop = minStop))
-      .select(col("doc_id"), col("text"), col("n_words").as("n_tok"))
-      .localCheckpoint(true)
+    val g = measured.filter(col("keep")).select(col("doc_id"), col("toks"), col("n_tok"))
     // stage 3: fingerprint dedup, first doc wins within each group
     val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
-    val d = g.withColumn("fp", Dedup.fingerprint(col("text")))
+    val d = g.withColumn("fp", Dedup.fingerprintOfToks(col("toks")))
       .withColumn("rn", row_number().over(wFp)).filter(col("rn") === 1)
-      .select(col("doc_id"), col("text"), col("n_tok"))
+      .select(col("doc_id"), col("toks"), col("n_tok"))
       .localCheckpoint(true)
     // stage 4: decontaminate — bench split comes from the ORIGINAL corpus
     // (an eval doc filtered by quality still contaminates), bench docs
@@ -533,7 +539,7 @@ object TextAnalysis {
     val pool = d.filter(col("doc_id") % benchMod =!= 0)
     val contaminated = pool
       .select(col("doc_id"),
-        explode(array_distinct(wordGrams(tokens(col("text")), n))).as("gram"))
+        explode(array_distinct(wordGrams(col("toks"), n))).as("gram"))
       .join(broadcast(benchGrams), Seq("gram"))
       .select(col("doc_id")).distinct()
     val c = pool.join(contaminated, Seq("doc_id"), "left_anti")
@@ -543,7 +549,7 @@ object TextAnalysis {
       count(lit(1)).cast("long").as(s"${p}_docs"),
       coalesce(sum(col("n_tok")), lit(0L)).cast("long").as(s"${p}_toks"),
       coalesce(sum(col("doc_id")), lit(0L)).cast("long").as(s"${p}_ids"))
-    stageAgg(tok, "a").crossJoin(stageAgg(g, "b"))
+    stageAgg(measured, "a").crossJoin(stageAgg(g, "b"))
       .crossJoin(stageAgg(d, "c")).crossJoin(stageAgg(c, "e"))
       .selectExpr(
         s"""stack(5,
