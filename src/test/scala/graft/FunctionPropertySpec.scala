@@ -104,6 +104,42 @@ class FunctionPropertySpec extends AnyFunSuite with SparkTestBase {
     assert(rows(1).getDouble(0) == 1.0)
   }
 
+  test("substring spans equal the brute-force witness-merge on a random corpus") {
+    import graft.operators.Dedup
+    val k = 3
+    // small vocabulary forces organic cross-doc and within-doc collisions
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")
+    val doc = Gen.chooseNum(1, 14).flatMap(n => Gen.listOfN(n, word))
+    val docs = samples(doc, 80).zipWithIndex.map { case (ws, i) => (i.toLong, ws) }
+    // reference: count k-gram occurrences corpus-wide, keep positions of
+    // grams seen >= 2 times, merge per doc while next <= prev + k
+    val grams = docs.flatMap { case (id, ws) =>
+      if (ws.length < k) Nil
+      else ws.sliding(k).zipWithIndex.map { case (g, i) => (id, i + 1, g.mkString(" ")) }.toSeq
+    }
+    val counts = grams.groupBy(_._3).view.mapValues(_.size).toMap
+    val expected = grams.filter(g => counts(g._3) >= 2)
+      .groupBy(_._1).view.mapValues { hits =>
+        val ps = hits.map(_._2).sorted
+        val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var start = ps.head; var prev = ps.head; var n = 1L
+        ps.tail.foreach { p =>
+          if (p > prev + k) { spans += ((start.toLong, prev.toLong + k - 1, n)); start = p; n = 0 }
+          prev = p; n += 1
+        }
+        spans += ((start.toLong, prev.toLong + k - 1, n))
+        spans.toSeq
+      }.toMap
+    val expectedRows = expected.toSeq.flatMap { case (id, spans) =>
+      spans.map { case (s, e, n) => (id, s, e, e - s + 1, n) }
+    }.sortBy(r => (r._1, r._2))
+    val got = Dedup.substringSpans(
+        docs.map { case (id, ws) => (id, ws.mkString(" ")) }.toDF("doc_id", "text"), k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expectedRows, s"got ${got.take(5)}... expected ${expectedRows.take(5)}...")
+    assert(expectedRows.nonEmpty, "degenerate test: no duplicated grams generated")
+  }
+
   test("pq encode equals brute-force squared-distance argmin on 200 random vectors") {
     import graft.operators.Similarity
     // the column form ranks codewords by ‖c‖² − 2⟨v,c⟩; the reference
