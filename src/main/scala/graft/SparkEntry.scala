@@ -27,6 +27,7 @@ object SparkEntry {
     "src_rest_offset_paging" -> ((s: SparkSession, d: String) => Ingest.restOffsetPaging(s, d)),
     "src_snapshot_load"      -> Ingest.snapshotLoad _,
     "src_orc_roundtrip"      -> Ingest.orcRoundtrip _,
+    "src_url_filenames"      -> Ingest.urlFilenames _,
     "src_archive_unpack"     -> Ingest.archiveUnpack _,
     "src_resume_ingest"      -> ((s: SparkSession, d: String) => Ingest.resumeIngest(s, d)),
     "src_atom_filterable"    -> ((s: SparkSession, d: String) => Ingest.atomFilterable(s, d)),
@@ -390,6 +391,41 @@ object SparkEntry {
         | CAST(CASE WHEN range_id % 5 = 2 THEN 2 ELSE 1 END AS INT) AS ingest_run,
         | count(*) AS n_rows, CAST(sum(l_orderkey) AS BIGINT) AS key_checksum
         |FROM r GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "src_url_filenames" ->
+      """WITH u AS (SELECT p_partkey AS key, p_name,
+        |  CASE WHEN p_partkey % 5 = 0 THEN 'https://host/data/file_' || p_partkey || '.zip?token=abc'
+        |       WHEN p_partkey % 5 = 1 THEN 'https://host/d/very_long_export_name_' || lpad(CAST(p_partkey AS VARCHAR), 40, '0') || CASE WHEN p_partkey % 10 = 1 THEN '.json' ELSE '.tiff' END
+        |       WHEN p_partkey % 5 = 2 THEN 'https://host/api/export'
+        |       WHEN p_partkey % 5 = 3 THEN 'https://host/files/My%20Report' || (p_partkey % 7) || '.csv'
+        |       ELSE '?list=' || p_partkey END AS url
+        | FROM part),
+        |n AS (SELECT key, p_name,
+        |  regexp_extract(regexp_replace(split_part(url, '?', 1), '/+$', ''), '([^/]*)$', 1) AS name_enc
+        | FROM u),
+        |m AS (SELECT key, p_name, name_enc,
+        |  CASE WHEN replace(name_enc, '%20', ' ') = '' THEN 'download'
+        |       ELSE replace(name_enc, '%20', ' ') END AS name,
+        |  lower(regexp_extract(name_enc, '(\.[^./]+)$', 1)) AS ext_raw FROM n),
+        |x AS (SELECT *, CASE WHEN ext_raw IN ('.zip','.json','.geojson','.gdb','.gpkg','.csv','.txt','.gz')
+        |    THEN ext_raw ELSE '' END AS ext,
+        |  length(name) <= 50 AND name <> 'download' AS kept FROM m),
+        |sl AS (SELECT *, CASE WHEN s3 = '' THEN 'unnamed' ELSE s3 END AS slugged FROM (
+        |  SELECT *, substr(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(translate(regexp_replace(
+        |      lower(trim(coalesce(p_name, 'unnamed'))), 'ß', 'ss', 'g'), 'åäöéü', 'aaoeu'),
+        |      ' ', '_', 'g'), '[^a-z0-9_\-]+', '_', 'g'), '_+', '_', 'g'),
+        |    '^_+|_+$', '', 'g'), 1, 40) AS s3 FROM x)),
+        |f AS (SELECT key,
+        |  CASE WHEN kept THEN 'kept_original' ELSE 'slug_fallback' END AS rule,
+        |  CASE WHEN kept THEN name ELSE slugged || ext END AS fname,
+        |  CASE WHEN ext_raw <> '' AND ext = '' THEN 1 ELSE 0 END AS ext_stripped FROM sl),
+        |c AS (SELECT *, CASE WHEN row_number() OVER (PARTITION BY fname ORDER BY key) > 1
+        |    THEN 1 ELSE 0 END AS needs_timestamp FROM f)
+        |SELECT rule, count(*) AS n,
+        | CAST(sum(needs_timestamp) AS BIGINT) AS n_collisions,
+        | CAST(sum(ext_stripped) AS BIGINT) AS n_ext_stripped,
+        | CAST(sum(key) AS BIGINT) AS key_checksum
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_orc_roundtrip" ->
       """SELECT l_returnflag, count(*) AS n,
         | round(sum(l_quantity), 2) AS sum_qty,

@@ -819,6 +819,69 @@ object Ingest {
       .orderBy(col("l_linestatus"))
   }
 
+  /** A17: staged-filename derivation (download_http.py:135 `download_file`
+    * + :32 `slug`): the reference's URL→filename protocol, typed. Per URL:
+    * strip the query, take the last path segment (trailing slashes
+    * dropped, pathlib-style), percent-decode (the wire plants only %20 —
+    * decoded with the same `replace` on both engines), empty → "download";
+    * the extension survives only on the reference's whitelist
+    * (download_http.py:145); a decoded name ≤ 50 chars that isn't the
+    * "download" placeholder is kept verbatim, anything else falls back to
+    * `slug(hint, 40) + ext` with the reference's exact slug pipeline
+    * (lower → Swedish char map → spaces→_ → unsafe→_ → collapse → trim →
+    * cut at 40, 'unnamed' fallback). Name collisions inside the batch —
+    * the case the reference timestamp-suffixes — are detected with a
+    * per-fname window and reported per rule. All per-row string
+    * arithmetic + one tiny rollup; full oracle. */
+  def urlFilenames(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val k = col("p_partkey")
+    // two long-name variants: a whitelisted extension (kept on the slug)
+    // and a non-whitelisted one (stripped — download_http.py:145)
+    val longName = concat(lit("very_long_export_name_"),
+      lpad(k.cast("string"), 40, "0"),
+      when(k % 10 === 1, lit(".json")).otherwise(lit(".tiff")))
+    val url = when(k % 5 === 0,
+        concat(lit("https://host/data/file_"), k.cast("string"), lit(".zip?token=abc")))
+      .when(k % 5 === 1, concat(lit("https://host/d/"), longName))
+      .when(k % 5 === 2, lit("https://host/api/export"))
+      .when(k % 5 === 3,
+        concat(lit("https://host/files/My%20Report"), (k % 7).cast("string"), lit(".csv")))
+      .otherwise(concat(lit("?list="), k.cast("string")))
+    val path = regexp_replace(substring_index(url, "?", 1), "/+$", "")
+    val nameEnc = regexp_extract(path, "([^/]*)$", 1)
+    val nameDec = regexp_replace(nameEnc, "%20", " ")
+    val name = when(nameDec === "", "download").otherwise(nameDec)
+    val extRaw = lower(regexp_extract(nameEnc, "(\\.[^./]+)$", 1))
+    val ext = when(extRaw.isin(".zip", ".json", ".geojson", ".gdb", ".gpkg",
+      ".csv", ".txt", ".gz"), extRaw).otherwise(lit(""))
+    // slug(hint, 40): the reference pipeline, step for step
+    val slugged = {
+      val s0 = lower(trim(coalesce(col("p_name"), lit("unnamed"))))
+      val s1 = translate(regexp_replace(s0, "ß", "ss"), "åäöéü", "aaoeu")
+      val s2 = regexp_replace(regexp_replace(regexp_replace(s1, " ", "_"),
+        "[^a-z0-9_\\-]+", "_"), "_+", "_")
+      val s3 = substring(regexp_replace(s2, "^_+|_+$", ""), 1, 40)
+      when(s3 === "", "unnamed").otherwise(s3)
+    }
+    val kept = length(name) <= 50 && name =!= "download"
+    val base = t.part
+      .select(k.as("key"),
+        when(kept, "kept_original").otherwise("slug_fallback").as("rule"),
+        when(kept, name).otherwise(concat(slugged, ext)).as("fname"),
+        (extRaw =!= "" && ext === "").cast("int").as("ext_stripped"))
+    val w = Window.partitionBy(col("fname")).orderBy(col("key"))
+    base
+      .withColumn("needs_timestamp", (row_number().over(w) > 1).cast("int"))
+      .groupBy(col("rule"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("needs_timestamp")).cast("long").as("n_collisions"),
+        sum(col("ext_stripped")).cast("long").as("n_ext_stripped"),
+        sum(col("key")).cast("long").as("key_checksum"))
+      .orderBy(col("rule"))
+  }
+
   /** A16: ORC staging round-trip — the second columnar format the engine
     * serves (Spark ships ORC natively). A projection stages as ORC, and
     * the ranged re-read must keep the same pushdown/pruning contract the
