@@ -75,6 +75,7 @@ object SparkEntry {
     "mon_failure_streaks"    -> LoadOps.failureStreaks _,
     "mon_perf_outliers"      -> ((s: SparkSession, d: String) => LoadOps.perfOutliers(s, d)),
     "mon_run_drift"          -> ((s: SparkSession, d: String) => LoadOps.runDrift(s, d)),
+    "load_compaction"        -> ((s: SparkSession, d: String) => LoadOps.loadCompaction(s, d)),
     "mon_key_skew"           -> LoadOps.keySkew _,
     "etl_response_validate"  -> ((s: SparkSession, d: String) => LoadOps.responseValidate(s, d)),
     "etl_response_diagnose"  -> LoadOps.responseDiagnose _,
@@ -834,6 +835,11 @@ object SparkEntry {
         |  UNION ALL SELECT 'slow_sources', slow_n, slow_ck FROM a
         |  UNION ALL SELECT 'large_responses', lrg_n, lrg_ck FROM a)
         |ORDER BY pattern""".stripMargin,
+    "load_compaction" ->
+      """SELECT CAST(o_orderkey % 8 AS INT) AS batch, count(*) AS n_rows,
+        | CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+        | round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "mon_run_drift" ->
       """WITH runs AS (SELECT event_type AS source,
         |  CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS run_day,

@@ -396,6 +396,38 @@ object LoadOps {
       .orderBy(col("n").desc, col("error_class"))
   }
 
+  /** D14: small-file compaction — the lakehouse maintenance job every
+    * partitioned layout at 100 TB eventually needs: ingest lands many
+    * small files per partition (here: a fragmented write planting 16
+    * shuffle files in every batch directory), and the compactor rewrites
+    * each partition as ONE file (`repartition(partitionCol)` → exactly
+    * one task per partition directory, the ivfIndex layout trick) while
+    * proving row preservation. The reconcile output is per-partition
+    * rows + checksums — byte-movement jobs must never change a row, so
+    * the oracle comes straight from the SOURCE table; the file-count
+    * collapse itself is spec-asserted (file counts are FS detail, not
+    * query semantics). */
+  def loadCompaction(spark: SparkSession, dir: String, nBatches: Int = 8): DataFrame = {
+    val frag = "/root/repo/target/graft_compact/frag"
+    val comp = "/root/repo/target/graft_compact/compact"
+    val src = Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .withColumn("batch", pmod(col("o_orderkey"), lit(nBatches)).cast("int"))
+    // fragmented ingest: 16 files per batch directory
+    src.repartition(16)
+      .write.mode("overwrite").partitionBy("batch").parquet(frag)
+    // compaction: one file per partition directory
+    spark.read.parquet(frag)
+      .repartition(col("batch"))
+      .write.mode("overwrite").partitionBy("batch").parquet(comp)
+    spark.read.parquet(comp)
+      .groupBy(col("batch").cast("int").as("batch"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).cast("long").as("key_checksum"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("batch"))
+  }
+
   /** D13: run-over-run drift detection. monitoring.py:187 `save_metrics`
     * persists one metrics snapshot per run — the HISTORY those files
     * accumulate is what answers "did this source suddenly shrink or

@@ -239,6 +239,19 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("compaction collapses each partition directory to one file, rows intact") {
+    val out = graft.operators.LoadOps.loadCompaction(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    def parquetFiles(root: String): Map[String, Int] =
+      new java.io.File(root).listFiles().filter(_.getName.startsWith("batch="))
+        .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    val frag = parquetFiles("/root/repo/target/graft_compact/frag")
+    val comp = parquetFiles("/root/repo/target/graft_compact/compact")
+    assert(frag.keySet == comp.keySet, "compaction must keep every partition")
+    assert(frag.values.forall(_ > 1), s"fragmented layout not fragmented: $frag")
+    assert(comp.values.forall(_ == 1), s"compacted layout still fragmented: $comp")
+  }
+
   test("run drift: first runs report null drift, the shrink alert fires only past the drop threshold") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
