@@ -76,6 +76,7 @@ object SparkEntry {
     "mon_perf_outliers"      -> ((s: SparkSession, d: String) => LoadOps.perfOutliers(s, d)),
     "mon_run_drift"          -> ((s: SparkSession, d: String) => LoadOps.runDrift(s, d)),
     "load_compaction"        -> ((s: SparkSession, d: String) => LoadOps.loadCompaction(s, d)),
+    "etl_schema_evolve"      -> Staging.schemaEvolve _,
     "mon_key_skew"           -> LoadOps.keySkew _,
     "etl_response_validate"  -> ((s: SparkSession, d: String) => LoadOps.responseValidate(s, d)),
     "etl_response_diagnose"  -> LoadOps.responseDiagnose _,
@@ -835,6 +836,13 @@ object SparkEntry {
         |  UNION ALL SELECT 'slow_sources', slow_n, slow_ck FROM a
         |  UNION ALL SELECT 'large_responses', lrg_n, lrg_ck FROM a)
         |ORDER BY pattern""".stripMargin,
+    "etl_schema_evolve" ->
+      """SELECT gen, count(*) AS n_rows,
+        | CAST(sum(CASE WHEN gen = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_price,
+        | round(sum(CASE WHEN gen = 2 THEN p_retailprice ELSE 0.0 END), 2) AS sum_price,
+        | CAST(sum(p_partkey) AS BIGINT) AS key_checksum
+        |FROM (SELECT p_partkey, p_retailprice, g.gen FROM part, (VALUES (1), (2)) g(gen))
+        |GROUP BY gen ORDER BY gen""".stripMargin,
     "load_compaction" ->
       """SELECT CAST(o_orderkey % 8 AS INT) AS batch, count(*) AS n_rows,
         | CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,

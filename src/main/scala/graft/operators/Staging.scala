@@ -90,6 +90,35 @@ object Staging {
   /** B2: normalize to a target schema — prune, cast, standardize strings,
     * money as integral cents (stage_files.py staging writes a fixed
     * schema per feature class). */
+  /** B7: schema-evolution read. B6 DETECTS drift before load; this is the
+    * read-side complement — a layout whose generations were written under
+    * DIFFERENT schemas (a column added mid-stream, the most common
+    * warehouse evolution) must still serve one unified frame:
+    * `mergeSchema` reconciles the footers and the missing column
+    * surfaces as nulls on pre-evolution generations. The rollup proves
+    * exactly which generation carries the gap (per-generation null
+    * counts), so a reader can audit the evolution boundary instead of
+    * discovering it as a downstream NPE. */
+  def schemaEvolve(spark: SparkSession, dir: String): DataFrame = {
+    val root = "/root/repo/target/graft_evolve/part"
+    val t = Tables(spark, dir).part
+    // generation 1: written before the price column existed
+    t.select(col("p_partkey"), col("p_name")).withColumn("gen", lit(1))
+      .write.mode("overwrite").partitionBy("gen").parquet(root)
+    // generation 2: the evolved schema
+    t.select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+      .withColumn("gen", lit(2))
+      .write.mode("append").partitionBy("gen").parquet(root)
+    spark.read.option("mergeSchema", "true").parquet(root)
+      .groupBy(col("gen").cast("int").as("gen"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("p_retailprice").isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_missing_price"),
+        round(sum(coalesce(col("p_retailprice"), lit(0.0))), 2).as("sum_price"),
+        sum(col("p_partkey")).cast("long").as("key_checksum"))
+      .orderBy(col("gen"))
+  }
+
   def schemaNormalize(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     t.customer
