@@ -44,6 +44,21 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(out(8L).getInt(8) == 0 && out(8L).getLong(7) < 2L)
   }
 
+  test("r7 factored cores survive empty inputs") {
+    import org.apache.spark.sql.functions.col
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.gopherAudit(emptyDocs).count() == 0)
+    assert(graft.operators.Dedup.substringSpans(emptyDocs, 8).count() == 0)
+    val emptyRuns = Seq.empty[(String, Long, Long, Double)]
+      .toDF("source", "run_day", "n_features", "duration")
+    assert(graft.operators.LoadOps.runDriftOverRuns(emptyRuns, 0.5).count() == 0)
+    val emptyVecs = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "v")
+      .select(col("vec_id"), col("v").cast("array<double>").as("v"))
+    assert(graft.operators.Similarity.measureRanges(emptyVecs).isEmpty)
+    assert(graft.operators.Similarity
+      .quantizeAudit(emptyVecs, Array.empty[(Double, Double)]).count() == 0)
+  }
+
   test("curriculum buckets: standard ntile fill without a single-task window") {
     val df = TextAnalysis.sampleCurriculum(spark, sfDir)
     // the global rank comes from chunked prefix sums — the window must be
