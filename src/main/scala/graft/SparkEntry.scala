@@ -128,6 +128,7 @@ object SparkEntry {
     "emb_quantize"           -> ((s: SparkSession, d: String) => Similarity.embQuantize(s, d)),
     "ann_pq_adc"             -> ((s: SparkSession, d: String) => Similarity.annPqAdc(s, d)),
     "ann_ivfpq"              -> ((s: SparkSession, d: String) => Similarity.annIvfPq(s, d)),
+    "ann_ivfpq_batch"        -> ((s: SparkSession, d: String) => Similarity.annIvfPqBatch(s, d)),
     "q_salted_join"          -> ((s: SparkSession, d: String) => Relational.qSaltedJoin(s, d)),
     "text_quality"           -> TextAnalysis.quality _,
     "text_langid"            -> TextAnalysis.langid _,
@@ -1462,6 +1463,47 @@ object SparkEntry {
          | round(${cosSql("e.v", "q.qv")}, 4) AS score
          |FROM cand c JOIN e ON c.vec_id = e.vec_id JOIN asg ON c.vec_id = asg.vec_id, q
          |ORDER BY score DESC, c.vec_id LIMIT 20""".stripMargin,
+    // batch IVF-PQ: the ann_ivfpq CTEs with a query SET; every vector's
+    // codeword distance table (d) doubles as each query's ADC table
+    "ann_ivfpq_batch" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |xp AS (SELECT vec_id, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e),
+         |cb AS (SELECT label AS c_label, pos, avg(x) AS a
+         |  FROM (SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e)
+         |  GROUP BY label, pos),
+         |cv AS (SELECT c_label, list(a ORDER BY pos) AS cvec FROM cb GROUP BY c_label),
+         |qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0),
+         |pr AS (SELECT qid, c_label, row_number() OVER (PARTITION BY qid
+         |    ORDER BY ${cosSql("cvec", "qv")} DESC, c_label) AS rn FROM cv, qs),
+         |prob AS (SELECT qid, c_label AS list_id FROM pr WHERE rn <= 2),
+         |asg0 AS (SELECT vec_id, c_label, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ${cosSql("v", "cvec")} DESC, c_label) AS rn FROM e CROSS JOIN cv),
+         |asg AS (SELECT vec_id, c_label AS list_id FROM asg0 WHERE rn = 1),
+         |d AS (SELECT xp.vec_id, cb.c_label, CAST((xp.pos - 1) // 8 AS INT) AS m,
+         |   sum((xp.x - cb.a) * (xp.x - cb.a)) AS d2
+         |  FROM xp JOIN cb USING (pos) GROUP BY 1, 2, 3),
+         |enc AS (SELECT vec_id, m, c_label,
+         |   row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c_label) AS rn FROM d),
+         |code AS (SELECT vec_id, m, c_label AS cl FROM enc WHERE rn = 1),
+         |qd AS (SELECT vec_id AS qid, c_label, m, d2 FROM d
+         |  WHERE vec_id % 100 = 0),
+         |ad AS (SELECT qd.qid, code.vec_id, sum(qd.d2) AS approx FROM code
+         |  JOIN qd ON code.m = qd.m AND code.cl = qd.c_label GROUP BY 1, 2),
+         |candr AS (SELECT ad.qid, ad.vec_id, round(ad.approx, 6) AS approx_dist,
+         |   row_number() OVER (PARTITION BY ad.qid
+         |     ORDER BY round(ad.approx, 6), ad.vec_id) AS crn
+         |  FROM ad JOIN asg ON ad.vec_id = asg.vec_id
+         |  JOIN prob ON prob.qid = ad.qid AND prob.list_id = asg.list_id
+         |  WHERE ad.vec_id <> ad.qid),
+         |cand AS (SELECT qid, vec_id, approx_dist FROM candr WHERE crn <= 15),
+         |sc AS (SELECT c.qid, c.vec_id, c.approx_dist,
+         |   round(${cosSql("e.v", "qs.qv")}, 4) AS score
+         |  FROM cand c JOIN e ON c.vec_id = e.vec_id
+         |  JOIN qs ON c.qid = qs.qid),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |   ORDER BY score DESC, vec_id) AS rank FROM sc)
+         |SELECT qid, CAST(rank AS INT) AS rank, vec_id, approx_dist, score
+         |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     // int8 quantization audit: min/max aggregates are exact (no fp
     // accumulation), the grid arithmetic has the identical IEEE op shape
     // on both engines, and the audit uses only order-free aggregates

@@ -498,6 +498,70 @@ object Similarity {
       .orderBy(col("score").desc, col("vec_id")).limit(k)
   }
 
+  /** F32b: batch IVF-PQ — N queries at once over the PQ-coded persisted
+    * layout (the production serving shape, completing the single/batch
+    * matrix the plain-IVF path already has). Probe selection is the F8d
+    * broadcast probe-pair join; each query then carries its ADC table as
+    * ONE array column (nSub × |codebook| squared distances, built from
+    * codegen'd arithmetic over the query vector and the collected
+    * quantizer — no per-query driver work, no cluster job). Candidate
+    * ranking joins code columns against the broadcast (qid → ADC) map and
+    * cuts a bounded top-C per query; only the C·|queries| survivors fetch
+    * raw vectors for the exact rescore. */
+  def annIvfPqBatch(spark: SparkSession, dir: String, k: Int = 5, nprobe: Int = 2,
+      queryMod: Long = 100L, rescoreFactor: Int = 3): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val (listsPath, cents) = ivfIndex(spark, dir)
+    val nSub = PqSubspaces
+    val dim = cents.head._2.length
+    val sd = dim / nSub
+    val sorted = cents.sortBy(_._1)
+    val centsDf = sorted.toDF("c_label", "cv")
+      .select(col("c_label"), col("cv").cast("array<double>").as("cv"))
+    val queries = vectors(spark, dir).filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), Vec.norm(col("v")).as("qnrm"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(Vec.cosine(col("qv"), col("cv")).desc, col("c_label"))
+    val probes = queries.crossJoin(broadcast(centsDf))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("c_label").as("list_id"))
+    // per-query ADC table as one flat array: entry m·|cb|+l = ‖q_m − c_{l,m}‖²
+    val adc = array((0 until nSub).flatMap { m =>
+      sorted.map { case (_, cv) =>
+        cv.slice(m * sd, (m + 1) * sd).zipWithIndex.map { case (c, j) =>
+          val x = element_at(col("qv"), m * sd + j + 1) - lit(c)
+          x * x
+        }.reduce(_ + _)
+      }
+    }: _*)
+    val qAdc = queries.select(col("qid"), adc.as("adc"))
+    val approx = (0 until nSub).map { m =>
+      element_at(col("adc"), lit(m * sorted.length) + col(s"code_$m") + 1)
+    }.reduce(_ + _)
+    val wCand = Window.partitionBy(col("qid"))
+      .orderBy(col("approx_dist"), col("vec_id"))
+    val cand = ivfLists(spark, listsPath)
+      .select(col("vec_id") +: col("list_id") +: (0 until nSub).map(m => col(s"code_$m")): _*)
+      .join(probes, Seq("list_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(qAdc), Seq("qid"))
+      .withColumn("approx_dist", round(approx, 6))
+      .withColumn("crn", row_number().over(wCand))
+      .filter(col("crn") <= rescoreFactor * k)
+      .select(col("qid"), col("vec_id"), col("approx_dist"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+    cand
+      .join(ivfLists(spark, listsPath).select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+      .join(queries.select(col("qid"), col("qv"), col("qnrm")), Seq("qid"))
+      .withColumn("score", round(Vec.dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 4))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("approx_dist"), col("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Core of [[embQuantize]], factored over an explicit (vec_id, v) frame
     * so specs can plant degenerate dimensions. `ranges` is the measured
     * per-dimension (min, max) quantization grid. */

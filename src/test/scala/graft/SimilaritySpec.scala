@@ -208,6 +208,20 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(df.collect().toSeq == Similarity.annIvfPq(spark, sfDir).collect().toSeq)
   }
 
+  test("batch ivf-pq equals the single-query path per query") {
+    val batch = Similarity.annIvfPqBatch(spark, sfDir, k = 5, nprobe = 2).collect()
+    assert(batch.nonEmpty)
+    val qids = batch.map(_.getLong(0)).distinct
+    qids.foreach { qid =>
+      val single = Similarity
+        .annIvfPq(spark, sfDir, queryId = qid, k = 5, nprobe = 2, rescoreFactor = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3))).toSeq
+      val got = batch.filter(_.getLong(0) == qid).sortBy(_.getInt(1))
+        .map(r => (r.getLong(2), r.getDouble(3), r.getDouble(4))).toSeq
+      assert(got == single, s"qid $qid: batch $got != single $single")
+    }
+  }
+
   test("int8 quantization: codes clamp to [-127,127], error within half a grid step, degenerate dims encode 0") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
