@@ -24,7 +24,7 @@ object PipelineDemo {
          |     "where": "c_mktsegment = 'BUILDING'"},
          |    {"name": "disabled_src", "path": "$dir/region.parquet", "enabled": false}
          |  ],
-         |  "load": {"target": "/root/repo/target/graft_pipeline", "mode": "truncate"}
+         |  "load": {"target": "${Tables.scratch(spark, "graft_pipeline")}", "mode": "truncate"}
          |}""".stripMargin
     Pipeline.run(spark, PipelineCfg.fromJson(json))
   }
@@ -37,7 +37,7 @@ object PipelineDemo {
     * summary reconciles per-layer loaded counts — the A8 machinery
     * reachable declaratively. */
   def runArchive(spark: SparkSession, dir: String): DataFrame = {
-    val wire = "/root/repo/target/graft_archive_wire"
+    val wire = Tables.scratch(spark, "graft_archive_wire")
     graft.sources.Ingest.buildArchiveWire(spark, dir)
       .write.mode("overwrite").parquet(wire)
     val json =
@@ -45,7 +45,7 @@ object PipelineDemo {
          |  "sources": [
          |    {"name": "regional_archives", "path": "$wire", "format": "archive"}
          |  ],
-         |  "load": {"target": "/root/repo/target/graft_pipeline_archive", "mode": "truncate"}
+         |  "load": {"target": "${Tables.scratch(spark, "graft_pipeline_archive")}", "mode": "truncate"}
          |}""".stripMargin
     Pipeline.run(spark, PipelineCfg.fromJson(json))
   }
@@ -57,7 +57,7 @@ object PipelineDemo {
     * sweep reachable declaratively, same per-layer reconcile as the
     * archive path. */
   def runOgc(spark: SparkSession, dir: String): DataFrame = {
-    val wire = "/root/repo/target/graft_ogc_wire"
+    val wire = Tables.scratch(spark, "graft_ogc_wire")
     val (service, pages) = graft.sources.Ingest.buildOgcWire(spark, dir)
     service.write.mode("overwrite").parquet(s"$wire/service")
     pages.write.mode("overwrite").parquet(s"$wire/pages")
@@ -66,7 +66,7 @@ object PipelineDemo {
          |  "sources": [
          |    {"name": "ogc_collections", "path": "$wire", "format": "ogc"}
          |  ],
-         |  "load": {"target": "/root/repo/target/graft_pipeline_ogc", "mode": "truncate"}
+         |  "load": {"target": "${Tables.scratch(spark, "graft_pipeline_ogc")}", "mode": "truncate"}
          |}""".stripMargin
     Pipeline.run(spark, PipelineCfg.fromJson(json))
   }
@@ -79,7 +79,7 @@ object PipelineDemo {
     * stages each discovered layer under its own (safe-named) target — the
     * fourth layered-source shape. */
   def runRest(spark: SparkSession, dir: String): DataFrame = {
-    val wire = "/root/repo/target/graft_rest_wire"
+    val wire = Tables.scratch(spark, "graft_rest_wire")
     val (service, features) = graft.sources.Ingest.buildRestServiceWire(spark, dir)
     service.write.mode("overwrite").parquet(s"$wire/service")
     features.write.mode("overwrite").parquet(s"$wire/layers")
@@ -89,7 +89,7 @@ object PipelineDemo {
          |    {"name": "rest_layers", "path": "$wire", "format": "rest",
          |     "include": ["nation_1*", "*_2"]}
          |  ],
-         |  "load": {"target": "/root/repo/target/graft_pipeline_rest", "mode": "truncate"}
+         |  "load": {"target": "${Tables.scratch(spark, "graft_pipeline_rest")}", "mode": "truncate"}
          |}""".stripMargin
     Pipeline.run(spark, PipelineCfg.fromJson(json))
   }
@@ -102,7 +102,7 @@ object PipelineDemo {
     * stages each entry's records under its own (safe-named) target: the
     * FIFTH layered-source shape, next to archive / ogc / rest / wfs. */
   def runAtom(spark: SparkSession, dir: String): DataFrame = {
-    val wire = "/root/repo/target/graft_atom_wire"
+    val wire = Tables.scratch(spark, "graft_atom_wire")
     val (feed, files) = graft.sources.Ingest.buildAtomWire(spark, dir)
     feed.write.mode("overwrite").parquet(s"$wire/feed")
     files.write.mode("overwrite").parquet(s"$wire/files")
@@ -112,7 +112,7 @@ object PipelineDemo {
          |    {"name": "atom_feed", "path": "$wire", "format": "atom",
          |     "filterServices": true}
          |  ],
-         |  "load": {"target": "/root/repo/target/graft_pipeline_atom", "mode": "truncate"}
+         |  "load": {"target": "${Tables.scratch(spark, "graft_pipeline_atom")}", "mode": "truncate"}
          |}""".stripMargin
     Pipeline.run(spark, PipelineCfg.fromJson(json))
   }
@@ -130,7 +130,7 @@ object PipelineDemo {
          |     "typenameColumn": "c_mktsegment",
          |     "typenames": ["BUILDING", "MACHINERY", "AUTOMOBILE"]}
          |  ],
-         |  "load": {"target": "/root/repo/target/graft_pipeline_wfs", "mode": "truncate"}
+         |  "load": {"target": "${Tables.scratch(spark, "graft_pipeline_wfs")}", "mode": "truncate"}
          |}""".stripMargin
     Pipeline.run(spark, PipelineCfg.fromJson(json))
   }

@@ -9,6 +9,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the staging store is columnar parquet, so every downstream operator gets
   * predicate pushdown and column pruning for free.
   */
+object Tables {
+  /** Scratch root for write-path operators (staging snapshots, resume
+    * ledgers, compaction batches, demo pipeline targets): one conf key,
+    * `graft.scratch.root`, with the build's target dir as the default —
+    * the `graft.ivf.root` portability pattern applied engine-wide, so no
+    * operator bakes in an absolute path and concurrent runs can isolate
+    * by pointing the key at distinct roots. */
+  def scratch(spark: SparkSession, name: String): String =
+    spark.conf.get("graft.scratch.root", "/root/repo/target") + "/" + name
+}
+
 final case class Tables(spark: SparkSession, dir: String) {
   private def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 

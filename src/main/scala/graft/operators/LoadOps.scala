@@ -14,7 +14,7 @@ object LoadOps {
     * Append) → Spark overwrite-mode write. Run the cycle twice to prove
     * idempotence, read the target back and reconcile counts. */
   def truncateLoad(spark: SparkSession, dir: String): DataFrame = {
-    val out = "/root/repo/target/graft_sde/orders_f"
+    val out = Tables.scratch(spark, "graft_sde/orders_f")
     val src = Tables(spark, dir).orders.filter(col("o_orderstatus") === "F")
     src.write.mode("overwrite").parquet(out) // initial load
     src.write.mode("overwrite").parquet(out) // truncate-and-load cycle
@@ -30,7 +30,7 @@ object LoadOps {
     * load_sde.py:108 Append) — an append retry must not double rows, so
     * the read side dedupes on the business key. */
   def appendDedupLoad(spark: SparkSession, dir: String): DataFrame = {
-    val out = "/root/repo/target/graft_sde/orders_append"
+    val out = Tables.scratch(spark, "graft_sde/orders_append")
     val src = Tables(spark, dir).orders.filter(col("o_orderstatus") === "O")
     src.write.mode("overwrite").parquet(out) // initial load
     src.write.mode("append").parquet(out)    // retried append (duplicates!)
@@ -109,7 +109,7 @@ object LoadOps {
     * scan never opens the other 13 batches). At 100 TB this is the
     * difference between reading 3/16 of the table and all of it. */
   def partitionedPrune(spark: SparkSession, dir: String, nBatches: Int = 16): DataFrame = {
-    val out = "/root/repo/target/graft_part/lineitem"
+    val out = Tables.scratch(spark, "graft_part/lineitem")
     val t = Tables(spark, dir)
     val (_, _, pageSize) = graft.sources.Ingest.keySpace(t.lineitem, "l_orderkey", nBatches)
     t.lineitem
@@ -408,8 +408,11 @@ object LoadOps {
     * collapse itself is spec-asserted (file counts are FS detail, not
     * query semantics). */
   def loadCompaction(spark: SparkSession, dir: String, nBatches: Int = 8): DataFrame = {
-    val frag = "/root/repo/target/graft_compact/frag"
-    val comp = "/root/repo/target/graft_compact/compact"
+    // scratch root is conf-keyed (the graft.ivf.root pattern) so the op
+    // is portable across checkouts and concurrent runs can isolate
+    val base = spark.conf.get("graft.compact.root", "/root/repo/target/graft_compact")
+    val frag = s"$base/frag"
+    val comp = s"$base/compact"
     val src = Tables(spark, dir).orders
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .withColumn("batch", pmod(col("o_orderkey"), lit(nBatches)).cast("int"))
@@ -467,23 +470,6 @@ object LoadOps {
       .orderBy(col("source"), col("run_day"))
   }
 
-  /** D12: performance/error outlier detection (monitoring.py:196
-    * `detect_patterns`). The reference walks every run metric and buckets
-    * it into six pattern keys: four error-message substring classes (an
-    * `elif` chain, so the FIRST match wins — recursion, then
-    * timeout/'timed out', then connection/network/resolve, then
-    * parse/json/xml; monitoring.py:210–219), plus two independent
-    * perf-outlier flags — slow sources over 30 s (:221) and responses over
-    * 10 MiB (:227). Error classes apply only to FAILED runs that carry a
-    * message; the perf flags apply to every run.
-    *
-    * One conditional-aggregation pass builds all twelve partial sums
-    * map-side (no per-class scans), then `stack` unpivots the single
-    * aggregated row into the reference's six pattern keys — every key is
-    * always present (the reference pre-initializes the dict), with n=0 and
-    * a null checksum when nothing matched. Wire: each event row is one run
-    * metric; duration = value, response size and the planted message
-    * derive from the props key. */
   /** The `detect_patterns` error-message classifier (monitoring.py:210–219):
     * an `elif` chain over lower-cased substrings, so the FIRST matching
     * class wins; only failed runs that carry a message classify at all.
@@ -501,6 +487,23 @@ object LoadOps {
       .otherwise(lit(null).cast("string"))
   }
 
+  /** D12: performance/error outlier detection (monitoring.py:196
+    * `detect_patterns`). The reference walks every run metric and buckets
+    * it into six pattern keys: four error-message substring classes (an
+    * `elif` chain, so the FIRST match wins — recursion, then
+    * timeout/'timed out', then connection/network/resolve, then
+    * parse/json/xml; monitoring.py:210–219), plus two independent
+    * perf-outlier flags — slow sources over 30 s (:221) and responses over
+    * 10 MiB (:227). Error classes apply only to FAILED runs that carry a
+    * message; the perf flags apply to every run.
+    *
+    * One conditional-aggregation pass builds all twelve partial sums
+    * map-side (no per-class scans), then `stack` unpivots the single
+    * aggregated row into the reference's six pattern keys — every key is
+    * always present (the reference pre-initializes the dict), with n=0 and
+    * a null checksum when nothing matched. Wire: each event row is one run
+    * metric; duration = value, response size and the planted message
+    * derive from the props key. */
   def perfOutliers(spark: SparkSession, dir: String, slowSecs: Double = 30.0,
       largeBytes: Long = 10L * 1024 * 1024): DataFrame = {
     val t = Tables(spark, dir)

@@ -199,16 +199,34 @@ object Similarity {
     f.delete(): Unit
   }
 
+  /** Lloyd refinement passes the index build runs over the coarse
+    * quantizer before assignment ([[refineCentroids]], conf key
+    * `graft.ivf.refine`, default 0 — the label-mean quantizer, which the
+    * DuckDB oracles replicate exactly). Each pass reassigns every vector
+    * to its nearest centroid and recomputes the centroid means —
+    * balancing list populations, which tightens every IVF op's candidate
+    * bound. The refine count is part of the layout stamp, so flipping
+    * the conf key rebuilds into a NEW index version rather than serving
+    * centroids the setting no longer describes. */
+  def ivfRefinePasses(spark: SparkSession): Int = {
+    val n = spark.conf.get("graft.ivf.refine", "0").toInt
+    require(n >= 0 && n <= 16, s"graft.ivf.refine=$n outside [0,16]")
+    n
+  }
+
   def ivfIndex(spark: SparkSession, dir: String): (String, Seq[(Int, Seq[Double])]) = {
     import spark.implicits._
     val root = ivfRoot(spark, dir)
+    val refine = ivfRefinePasses(spark)
     val stamp = {
       val f = new java.io.File(s"$dir/embeddings.parquet")
       val files = if (f.isDirectory) f.listFiles().toSeq else Seq(f)
       // layout epoch prefix: bumping it invalidates indexes built under an
       // older SCHEMA (pq2 = lists carry PQ sub-codes) even when the corpus
-      // itself is unchanged
-      "pq2|" + files.map(x => s"${x.getName}:${x.length}:${x.lastModified}").sorted.mkString("|")
+      // itself is unchanged; the refine count is build CONFIG, so it keys
+      // the version the same way
+      s"pq2|refine=$refine|" +
+        files.map(x => s"${x.getName}:${x.length}:${x.lastModified}").sorted.mkString("|")
     }
     // versioned layout: the corpus stamp names the version directory, so
     // a reader can never observe a half-overwritten index — a rebuild
@@ -221,7 +239,16 @@ object Similarity {
     if (!verDir.exists()) {
       val tmp = new java.io.File(s"$root/v_${ver}_tmp_${ProcessHandle.current().pid()}")
       val e = vectors(spark, dir)
-      val cents = trainQuantizer(e)
+      // coarse quantizer: label means, then `refine` Lloyd passes — each
+      // pass is one distributed reassign + recompute with the |lists|×dims
+      // centroid table collected between passes (tiny), keeping every
+      // pass's plan shallow and its centroid broadcast explicit
+      val cents = (1 to refine).foldLeft(trainQuantizer(e)) { (c, _) =>
+        val cDf = c.toDF("label", "cv")
+          .select(col("label"), col("cv").cast("array<double>").as("cv"))
+        refineCentroids(e, cDf).collect()
+          .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+      }
       val assigned = listAssignments(spark, e, cents)
         .withColumn("nrm", Vec.norm(col("v"))) // norms once, AT INDEX TIME
       // PQ sub-codes persist BESIDE each vector (encoded once, at index
@@ -369,15 +396,14 @@ object Similarity {
       .limit(k)
   }
 
-  /** PQ encode: each vector → `nSub` sub-codes, code_m = argmin over the
-    * codebook of ‖v_m − c_{l,m}‖² (subspace m = dims [m·d/nSub, (m+1)·d/nSub)).
-    * The squared-norm term ‖v_m‖² is constant across codewords, so the
-    * argmin reduces to ‖c_{l,m}‖² − 2⟨v_m, c_{l,m}⟩ — |codebook| native
-    * codegen'd dots per subspace, no interpreted HOF folds. Ties take the
-    * first (smallest-label) codeword via array_position. */
   /** The PQ sub-code expressions over a frame carrying `v` — exposed so
     * the index build can append codes to the persisted lists without a
-    * join. */
+    * join. code_m = argmin over the codebook of ‖v_m − c_{l,m}‖²
+    * (subspace m = dims [m·d/nSub, (m+1)·d/nSub)). The squared-norm term
+    * ‖v_m‖² is constant across codewords, so the argmin reduces to
+    * ‖c_{l,m}‖² − 2⟨v_m, c_{l,m}⟩ — |codebook| native codegen'd dots per
+    * subspace, no interpreted HOF folds. Ties take the first
+    * (smallest-label) codeword via array_position. */
   def pqCodeCols(cb: Seq[(Int, Seq[Double])], nSub: Int): Seq[Column] = {
     val dim = cb.head._2.length
     require(dim % nSub == 0, s"dim $dim not divisible into $nSub subspaces")
@@ -394,33 +420,42 @@ object Similarity {
     }
   }
 
+  /** PQ encode a (vec_id, v) frame: each vector → `nSub` sub-codes from
+    * [[pqCodeCols]]. Used by the index build (codes persisted into the
+    * lists) and by specs; serving paths read persisted codes instead. */
   def pqEncode(e: DataFrame, cb: Seq[(Int, Seq[Double])], nSub: Int): DataFrame =
     e.select(col("vec_id") +: pqCodeCols(cb, nSub): _*)
 
   /** F29: product-quantization ANN with asymmetric distance computation —
     * the PQ half of IVF-PQ, the ANN shape for when even int8 vectors
-    * ([[embQuantize]]) are too large to scan per query. The corpus is
-    * encoded ONCE ([[pqEncode]]) into nSub one-byte codes (8 bytes per
-    * 64-dim vector, 32× under f32); a query computes one tiny ADC lookup
-    * table (nSub × |codebook| squared distances, driver-side from the
-    * already-collected quantizer) and candidate generation touches ONLY
-    * the code columns: approx dist = Σ_m table[m][code_m], a bounded
-    * top-C heap (TakeOrderedAndProject). The C survivors exact-rescore
-    * through one join back to the corpus. Codebook = the shared label-mean
-    * quantizer ([[trainQuantizer]], same as IVF) restricted per subspace —
+    * ([[embQuantize]]) are too large to scan per query. The corpus codes
+    * are NOT computed here: they were encoded once, at index time, into
+    * the persisted IVF layout ([[ivfIndex]] writes nSub one-byte sub-codes
+    * beside every vector — 8 bytes per 64-dim vector, 32× under f32), and
+    * this op reads them back ([[ivfLists]], code columns only). Unlike
+    * F32 there is no probe filter — full-corpus ADC is the op's semantic
+    * (the PQ half in isolation), so the scan touches every list partition
+    * but only the 8 code bytes of each row. A query computes one tiny ADC
+    * lookup table (nSub × |codebook| squared distances, driver-side from
+    * the quantizer persisted with the layout) and approx dist =
+    * Σ_m table[m][code_m], a bounded top-C heap (TakeOrderedAndProject).
+    * The C survivors exact-rescore through one broadcast join back to the
+    * layout's raw vectors. Codebook = the shared label-mean quantizer
+    * ([[trainQuantizer]], same as IVF) restricted per subspace —
     * deterministic end-to-end (first-argmin ties, rounded outputs), so the
     * oracle is full DuckDB SQL; argmin/boundary margins dwarf cross-engine
     * summation noise exactly as argued for ann_ivf. */
   def annPqAdc(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 20,
-      nSub: Int = 8, rescoreFactor: Int = 3): DataFrame = {
-    val e = vectors(spark, dir)
-    val cb = trainQuantizer(e)
+      rescoreFactor: Int = 3): DataFrame = {
+    val nSub = PqSubspaces
+    val (listsPath, cb) = ivfIndex(spark, dir)
     val dim = cb.head._2.length
     val sd = dim / nSub
-    val qv = e.filter(col("vec_id") === queryId).select(col("v")).head().getSeq[Double](0)
+    val qv = vectors(spark, dir).filter(col("vec_id") === queryId)
+      .select(col("v")).head().getSeq[Double](0)
     def subOf(a: Seq[Double], m: Int): Seq[Double] = a.slice(m * sd, (m + 1) * sd)
     // ADC table: ‖q_m − c_{l,m}‖² per (subspace, codeword) — driver math on
-    // the collected quantizer, no cluster job
+    // the persisted quantizer, no cluster job
     val qd2: Array[Array[Double]] = Array.tabulate(nSub) { m =>
       cb.sortBy(_._1).map { case (_, cv) =>
         subOf(qv, m).zip(subOf(cv, m))
@@ -430,12 +465,15 @@ object Similarity {
     val approx = (0 until nSub).map { m =>
       element_at(array(qd2(m).map(lit).toIndexedSeq: _*), col(s"code_$m") + 1)
     }.reduce(_ + _)
-    val cand = pqEncode(e.filter(col("vec_id") =!= queryId), cb, nSub)
+    // candidate scan: persisted codes, every list, CODE COLUMNS ONLY
+    val cand = ivfLists(spark, listsPath)
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id") +: (0 until nSub).map(m => col(s"code_$m")): _*)
       .withColumn("approx_dist", round(approx, 6))
       .orderBy(col("approx_dist"), col("vec_id")).limit(rescoreFactor * k)
       .select(col("vec_id"), col("approx_dist"))
     val qvCol = array(qv.map(lit): _*)
-    cand.join(e, Seq("vec_id"))
+    cand.join(ivfLists(spark, listsPath).select(col("vec_id"), col("v")), Seq("vec_id"))
       .withColumn("score", round(Vec.cosine(col("v"), qvCol), 4))
       .select(col("vec_id"), col("approx_dist"), col("score"))
       .orderBy(col("score").desc, col("vec_id")).limit(k)

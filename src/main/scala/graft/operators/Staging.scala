@@ -87,9 +87,6 @@ object Staging {
       .orderBy(col("p_partkey"))
   }
 
-  /** B2: normalize to a target schema — prune, cast, standardize strings,
-    * money as integral cents (stage_files.py staging writes a fixed
-    * schema per feature class). */
   /** B7: schema-evolution read. B6 DETECTS drift before load; this is the
     * read-side complement — a layout whose generations were written under
     * DIFFERENT schemas (a column added mid-stream, the most common
@@ -100,7 +97,10 @@ object Staging {
     * counts), so a reader can audit the evolution boundary instead of
     * discovering it as a downstream NPE. */
   def schemaEvolve(spark: SparkSession, dir: String): DataFrame = {
-    val root = "/root/repo/target/graft_evolve/part"
+    // layout root is conf-keyed (the graft.ivf.root pattern) so the op
+    // is portable across checkouts and concurrent runs can isolate
+    val root = spark.conf.get("graft.evolve.root",
+      "/root/repo/target/graft_evolve") + "/part"
     val t = Tables(spark, dir).part
     // generation 1: written before the price column existed
     t.select(col("p_partkey"), col("p_name")).withColumn("gen", lit(1))
@@ -119,6 +119,9 @@ object Staging {
       .orderBy(col("gen"))
   }
 
+  /** B2: normalize to a target schema — prune, cast, standardize strings,
+    * money as integral cents (stage_files.py staging writes a fixed
+    * schema per feature class). */
   def schemaNormalize(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     t.customer

@@ -40,7 +40,7 @@ object Ingest {
     * file sources land as delimited/archive files; download_http.py:73).
     * Round-trips the region dim through CSV to prove schema-on-read. */
   def csvRead(spark: SparkSession, dir: String): DataFrame = {
-    val out = "/root/repo/target/graft_csv_stage/region"
+    val out = Tables.scratch(spark, "graft_csv_stage/region")
     Tables(spark, dir).region
       .select(col("r_regionkey").cast("int"), col("r_name"))
       .write.mode("overwrite").option("header", "true").csv(out)
@@ -286,8 +286,8 @@ object Ingest {
     * it; the oracle proves complete-after-resume coverage with no
     * double-ingested range. */
   def resumeIngest(spark: SparkSession, dir: String, nRanges: Int = 16): DataFrame = {
-    val store = "/root/repo/target/graft_resume/lineitem"
-    val ledgerPath = "/root/repo/target/graft_resume/ledger"
+    val store = Tables.scratch(spark, "graft_resume/lineitem")
+    val ledgerPath = Tables.scratch(spark, "graft_resume/ledger")
     val t = Tables(spark, dir)
     val (_, _, pageSize) = keySpace(t.lineitem, "l_orderkey", nRanges)
     val tagged = t.lineitem.select(col("l_orderkey"))
@@ -363,7 +363,7 @@ object Ingest {
       if (serviceFilterable) t.lineitem.filter(pred) // pushed to the scan
       else {
         // archive path: transfer everything, stage, then filter
-        val archive = "/root/repo/target/graft_atom_archive/lineitem"
+        val archive = Tables.scratch(spark, "graft_atom_archive/lineitem")
         t.lineitem.write.mode("overwrite").parquet(archive)
         spark.read.parquet(archive).filter(pred)
       }
@@ -777,12 +777,21 @@ object Ingest {
     val links = atomEntryLinks(feedDocs, filterServices)
     val entries = links.select(col("authority"), col("entry_id"), col("entry_title"))
       .distinct()
+    // per-entry class precedence is EXPLICIT (enclosure > service,
+    // download_atom.py:135-142 checks enclosure first) — an entry
+    // carrying both link kinds lands via its enclosure and ONLY the
+    // winning class's records count, rather than trusting lexicographic
+    // order or the wire's one-download-link-per-entry shape
     val staged = links.filter(col("link_class").isin("enclosure", "service"))
       .join(fileWire, Seq("href"), "left")
-      .groupBy(col("entry_id"))
-      .agg(max(col("link_class")).as("lc"),
-        count(col("rec")).as("n_rec"),
+      .groupBy(col("entry_id"), col("link_class"))
+      .agg(count(col("rec")).as("n_rec"),
         coalesce(sum(col("rec")), lit(0L)).cast("long").as("ck"))
+      .groupBy(col("entry_id"))
+      .agg(max_by(struct(col("link_class"), col("n_rec"), col("ck")),
+        when(col("link_class") === "enclosure", 2).otherwise(1)).as("best"))
+      .select(col("entry_id"), col("best.link_class").as("lc"),
+        col("best.n_rec").as("n_rec"), col("best.ck").as("ck"))
     entries.join(staged, Seq("entry_id"), "left")
       .select(col("authority"), col("entry_id"), col("entry_title"),
         coalesce(col("lc"), lit("none")).as("link_class"),
@@ -809,7 +818,8 @@ object Ingest {
   /** A6: full-snapshot re-ingest (read side of load_sde.py's
     * truncate-and-load): write a snapshot, read it back, reconcile. */
   def snapshotLoad(spark: SparkSession, dir: String): DataFrame = {
-    val out = "/root/repo/target/graft_snapshot/lineitem"
+    val out = spark.conf.get("graft.snapshot.root",
+      "/root/repo/target/graft_snapshot") + "/lineitem"
     Tables(spark, dir).lineitem
       .filter(col("l_returnflag") === "R")
       .write.mode("overwrite").parquet(out)
@@ -891,7 +901,10 @@ object Ingest {
     * against the source table, so a lossy or reordered round-trip
     * hash-mismatches the oracle. */
   def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = "/root/repo/target/graft_snapshot/lineitem_orc"
+    // staging root is conf-keyed (the graft.ivf.root pattern) so the op
+    // is portable across checkouts and concurrent runs can isolate
+    val out = spark.conf.get("graft.snapshot.root",
+      "/root/repo/target/graft_snapshot") + "/lineitem_orc"
     Tables(spark, dir).lineitem
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
       .write.mode("overwrite").orc(out)

@@ -132,6 +132,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), s"rescore join not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"rescore join shuffled or exploded:\n$p")
+    // the codes are READ from the persisted IVF layout, never re-encoded:
+    // pqEncode's argmin leaves an array_position signature in the plan —
+    // its absence plus a codes-only ReadSchema proves the candidate scan
+    // serves from persisted codes (v skipped: in file-schema order v
+    // precedes code_0, so a schema whose second field is code_0 pruned it)
+    assert(!p.contains("array_position"),
+      s"candidate codes were re-encoded (pqEncode subtree in plan):\n$p")
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,code_0:int"),
+      s"no codes-only candidate scan:\n$p")
   }
 
   test("perf outliers: one scan, map-side partials, no join or window") {

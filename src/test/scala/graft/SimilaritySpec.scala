@@ -66,6 +66,57 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       "refinement should not lose fit")
   }
 
+  test("conf-gated lloyd refinement rebuilds into a new index version and does not degrade fit or recall") {
+    def listSizes(): Map[Int, Long] = {
+      val (lp, _) = Similarity.ivfIndex(spark, sfDir)
+      Similarity.ivfLists(spark, lp).groupBy(col("list_id")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
+    def spread(m: Map[Int, Long]): Double = {
+      val xs = m.values.map(_.toDouble)
+      val mean = xs.sum / xs.size
+      math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / xs.size) / mean
+    }
+    def fit(cents: Seq[(Int, Seq[Double])]): Double = {
+      import spark.implicits._
+      val cDf = cents.toDF("label", "cv")
+        .select(col("label").as("c_label"), col("cv").cast("array<double>").as("cv"))
+      Similarity.vectors(spark, sfDir).crossJoin(broadcast(cDf))
+        .withColumn("sim", Vec.cosine(col("v"), col("cv")))
+        .groupBy(col("vec_id")).agg(max(col("sim")).as("best"))
+        .agg(avg(col("best"))).head().getDouble(0)
+    }
+    val rawSizes = listSizes()
+    val (rawPath, rawCents) = Similarity.ivfIndex(spark, sfDir)
+    spark.conf.set("graft.ivf.refine", "2")
+    try {
+      val (refPath, refCents) = Similarity.ivfIndex(spark, sfDir)
+      // a different refine setting is a different layout VERSION — the
+      // raw-quantizer index must never be served as the refined one
+      assert(refPath != rawPath, "refine=2 served the refine=0 version")
+      val refSizes = listSizes()
+      info(s"list-size spread raw=${spread(rawSizes)} refined=${spread(refSizes)} " +
+        s"lists raw=${rawSizes.size} refined=${refSizes.size}")
+      // the point of refining: balanced lists (measured 0.12 → 0.08 on
+      // this corpus); a small slack keeps the spec about direction, not
+      // the third decimal
+      assert(spread(refSizes) <= spread(rawSizes) + 0.01,
+        s"refinement did not balance list populations: " +
+          s"${spread(rawSizes)} -> ${spread(refSizes)}")
+      // every vector stays indexed through refinement
+      assert(refSizes.values.sum == rawSizes.values.sum, "refinement lost vectors")
+      // lloyd's invariant: the refined quantizer fits at least as well
+      assert(fit(refCents) >= fit(rawCents) - 1e-9,
+        "refined quantizer degraded the k-means objective")
+      // serving through the refined index keeps recall
+      val exact = Similarity.annTopK(spark, sfDir, queryId = 0L, k = 10)
+        .collect().map(_.getLong(0)).toSet
+      val ivf = Similarity.ivfAnn(spark, sfDir, queryId = 0L, k = 10, nprobe = 3)
+        .collect().map(_.getLong(0)).toSet
+      assert(exact.intersect(ivf).size.toDouble / exact.size >= 0.5)
+    } finally spark.conf.unset("graft.ivf.refine")
+  }
+
   test("ann_topk ranks an exact duplicate of the query vector first") {
     // top hit of the query against the corpus must dominate the rest
     val top = Similarity.annTopK(spark, sfDir, queryId = 0L, k = 5).collect()
