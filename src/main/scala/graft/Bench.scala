@@ -9,6 +9,19 @@ import org.apache.spark.sql.SparkSession
   * sub-second queries is +/-80%, far above any real regression signal, and
   * min-of-n is the standard way to strip scheduler/GC jitter from a
   * single-JVM bench.
+  *
+  * Write-path isolation: every rep of every query runs with the engine's
+  * conf-keyed scratch roots pointed at a FRESH per-rep directory (removed
+  * after the rep, outside the timer), so a write-path query can never get
+  * a flattering rep by overwriting its own previous output's directory
+  * structure, and two bench runs see identical filesystem state. Queries
+  * that actually wrote into their rep dir are classified write-path
+  * automatically; the JSON reports `read_total` / `write_total`
+  * subtotals separately because write timings carry FS jitter that would
+  * otherwise drown the read-path signal. The persisted-index roots
+  * (`graft.ivf.root`, `graft.card.root`) are deliberately NOT isolated:
+  * those layouts are one-time indexing state, and serving benches must
+  * measure the steady-state cached path.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -30,6 +43,10 @@ object Bench {
       Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
         .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
     } catch { case _: Throwable => () }
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
     // the IVF inverted-list layout is a one-time INDEXING job (rebuilt
     // only when the corpus changes), not per-query serving cost — build
     // it BEFORE the query loop so ann_ivf / neardup_ivf_gated measure
@@ -39,23 +56,30 @@ object Bench {
     // repeated: it is a cold-layout job by definition and re-timing it
     // against a warm FS cache would understate it.
     val indexSec = try {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
       rm(new java.io.File(graft.operators.Similarity.ivfRoot(spark, sfDir)))
       val t0 = System.nanoTime()
       graft.operators.Similarity.ivfIndex(spark, sfDir)
       (System.nanoTime() - t0) / 1e9
     } catch { case _: Throwable => -1.0 }
+    // per-rep scratch isolation (see scaladoc): all write-path conf roots
+    // point into a fresh dir for every rep; rep dirs are torn down
+    // OUTSIDE the timed region
+    val benchScratch = new java.io.File(sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_SCRATCH", "/root/repo/target/bench_scratch")).getAbsolutePath
+    rm(new java.io.File(benchScratch))
+    val scratchKeys = Seq("graft.scratch.root", "graft.snapshot.root",
+      "graft.compact.root", "graft.evolve.root")
     // a rep that THROWS contributes no time: min-of-n over successful reps
     // only (a fast failure would otherwise report as the query's best
     // time); a query with zero successes lands as null in the JSON and in
     // the `failed` list instead of a bogus number
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).flatMap { _ =>
+      var wrote = false
+      val times = (1 to reps).flatMap { i =>
+        val rep = new java.io.File(s"$benchScratch/${name}_$i")
+        scratchKeys.foreach(k => spark.conf.set(k, rep.getAbsolutePath))
         val t0 = System.nanoTime()
-        try {
+        val timed = try {
           fn(spark, sfDir).count()
           Some((System.nanoTime() - t0) / 1e9)
         } catch {
@@ -63,18 +87,32 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             None
         }
+        wrote = wrote || rep.exists()
+        rm(rep)
+        timed
       }
-      name -> (if (times.isEmpty) None else Some(times.min))
+      (name, if (times.isEmpty) None else Some(times.min), wrote)
     }
-    val withIndex = results :+ ("ann_ivf_index" ->
+    scratchKeys.foreach(spark.conf.unset)
+    rm(new java.io.File(benchScratch))
+    // load_bucketed_join writes through the metastore warehouse (a fixed
+    // session path, not a scratch conf) — classified write-path by hand
+    val writeNames = results.collect {
+      case (n, _, true) => n
+      case (n, _, _) if n == "load_bucketed_join" => n
+    }.toSet
+    val withIndex = results.map(r => (r._1, r._2)) :+ ("ann_ivf_index" ->
       (if (indexSec < 0) None else Some(indexSec)))
     val qs = withIndex
       .map { case (k, v) => s"\"" + k + "\":" + v.map(_.toString).getOrElse("null") }
       .mkString("{", ",", "}")
     val failed = withIndex.collect { case (k, None) => s"\"$k\"" }.mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
+    val writeTotal = results.collect { case (n, Some(t), _) if writeNames(n) => t }.sum
+    val readTotal = total - writeTotal
+    val writeQs = writeNames.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","reps":$reps}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","read_total":$readTotal,"write_total":$writeTotal,"write_queries":$writeQs,"queries":$qs,"failed":$failed,"sf":"$sfDir","reps":$reps}"""
     // file copy first: if stdout is truncated downstream the full map survives
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try {

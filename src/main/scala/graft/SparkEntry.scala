@@ -76,6 +76,7 @@ object SparkEntry {
     "mon_perf_outliers"      -> ((s: SparkSession, d: String) => LoadOps.perfOutliers(s, d)),
     "mon_run_drift"          -> ((s: SparkSession, d: String) => LoadOps.runDrift(s, d)),
     "load_compaction"        -> ((s: SparkSession, d: String) => LoadOps.loadCompaction(s, d)),
+    "load_scd2"              -> ((s: SparkSession, d: String) => LoadOps.scd2Merge(s, d)),
     "etl_schema_evolve"      -> Staging.schemaEvolve _,
     "mon_key_skew"           -> LoadOps.keySkew _,
     "etl_response_validate"  -> ((s: SparkSession, d: String) => LoadOps.responseValidate(s, d)),
@@ -137,6 +138,7 @@ object SparkEntry {
     "sample_split"           -> TextAnalysis.datasetSplit _,
     "dedup_incremental"      -> Dedup.dedupIncremental _,
     "dedup_substring"        -> ((s: SparkSession, d: String) => Dedup.dedupSubstring(s, d)),
+    "dedup_url"              -> Dedup.dedupUrl _,
     "text_pack_chunks"       -> ((s: SparkSession, d: String) => TextAnalysis.packChunks(s, d)),
     "text_contamination"     -> ((s: SparkSession, d: String) => TextAnalysis.contamination(s, d)),
     "text_repetition"        -> ((s: SparkSession, d: String) => TextAnalysis.repetition(s, d)),
@@ -148,6 +150,8 @@ object SparkEntry {
     "sample_curriculum"      -> ((s: SparkSession, d: String) => TextAnalysis.sampleCurriculum(s, d)),
     "q_set_ops"              -> Relational.qSetOps _,
     "sample_weighted"        -> ((s: SparkSession, d: String) => TextAnalysis.weightedSample(s, d)),
+    "sample_domain_mix"      -> TextAnalysis.domainMix _,
+    "text_ccnet_buckets"     -> ((s: SparkSession, d: String) => TextAnalysis.ccnetBuckets(s, d)),
     "mm_binary_meta"         -> Multimodal.binaryMeta _,
     "mm_frame_sample"        -> Multimodal.frameSample _,
     "mm_resize"              -> ((s: SparkSession, d: String) => Multimodal.resize(s, d)),
@@ -849,6 +853,36 @@ object SparkEntry {
         | CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
         | round(sum(o_totalprice), 2) AS sum_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // SCD2 merge: full-outer classification + per-key row expansion as
+    // UNION ALL branches; 9999999999 is the open-row high-date sentinel
+    "load_scd2" ->
+      """WITH cur AS (SELECT c_custkey AS key, c_mktsegment AS cur_attr
+        |  FROM customer WHERE c_custkey % 7 <> 0),
+        |b AS (SELECT c_custkey AS key,
+        |  CASE WHEN c_custkey % 6 = 0 THEN c_mktsegment || '_V2'
+        |       ELSE c_mktsegment END AS new_attr
+        |  FROM customer WHERE c_custkey % 2 = 0),
+        |j AS (SELECT coalesce(cur.key, b.key) AS key, cur_attr, new_attr
+        |  FROM cur FULL OUTER JOIN b ON cur.key = b.key)
+        |SELECT key, attr, CAST(valid_from AS BIGINT) AS valid_from,
+        | CAST(valid_to AS BIGINT) AS valid_to,
+        | CAST(is_current AS INT) AS is_current, row_status FROM (
+        |  SELECT key, new_attr AS attr, 100 AS valid_from,
+        |    9999999999 AS valid_to, 1 AS is_current, 'new_key' AS row_status
+        |  FROM j WHERE cur_attr IS NULL
+        |  UNION ALL
+        |  SELECT key, cur_attr, 0, 9999999999, 1, 'active'
+        |  FROM j WHERE cur_attr IS NOT NULL
+        |    AND (new_attr IS NULL OR new_attr = cur_attr)
+        |  UNION ALL
+        |  SELECT key, cur_attr, 0, 100, 0, 'closed'
+        |  FROM j WHERE cur_attr IS NOT NULL AND new_attr IS NOT NULL
+        |    AND new_attr <> cur_attr
+        |  UNION ALL
+        |  SELECT key, new_attr, 100, 9999999999, 1, 'new_version'
+        |  FROM j WHERE cur_attr IS NOT NULL AND new_attr IS NOT NULL
+        |    AND new_attr <> cur_attr
+        |) ORDER BY key, valid_from""".stripMargin,
     "mon_run_drift" ->
       """WITH runs AS (SELECT event_type AS source,
         |  CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS run_day,
@@ -1232,6 +1266,42 @@ object SparkEntry {
          |   CAST(CASE WHEN a3.tk = 0 THEN 0 ELSE (a3.tk - 1) // 2048 + 1 END AS BIGINT),
          |   a3.tk, a3.ids FROM a3
          |) ORDER BY stage_ord""".stripMargin,
+    // URL dedup: the oracle rebuilds the SAME wire and canonicalization
+    // pipeline (fragment → scheme → host case/www/port → trailing slash →
+    // tracking-param filter + sort) with DuckDB's string/list functions
+    "dedup_url" ->
+      """WITH w AS (SELECT s_suppkey AS key,
+        |  CAST(s_suppkey // 3 AS VARCHAR) AS g, s_suppkey % 6 AS m FROM supplier),
+        |u AS (SELECT key, CASE m
+        |  WHEN 0 THEN 'https://data' || g || '.example.org/files/set' || g || '/item'
+        |  WHEN 1 THEN 'HTTP://DATA' || g || '.EXAMPLE.ORG:80/files/set' || g || '/item/'
+        |  WHEN 2 THEN 'https://www.data' || g || '.example.org/files/set' || g
+        |    || '/item?utm_source=feed&utm_campaign=x'
+        |  WHEN 3 THEN 'https://data' || g || '.example.org/files/set' || g || '/item#section-2'
+        |  WHEN 4 THEN 'https://data' || g || '.example.org/files/set' || g || '/item?b=2&a=1'
+        |  ELSE 'http://data' || g || '.example.org/files/set' || g
+        |    || '/item?a=1&utm_medium=email&b=2' END AS url FROM w),
+        |a AS (SELECT key,
+        |  regexp_replace(regexp_replace(url, '#.*$', ''),
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS after FROM u),
+        |c AS (SELECT key,
+        |  regexp_replace(regexp_replace(
+        |    lower(regexp_extract(after, '^([^/?]+)', 1)), '^www\.', ''),
+        |    ':(80|443)$', '')
+        |  || regexp_replace(regexp_extract(after, '^[^/?]+([^?]*)', 1), '/+$', '')
+        |  || CASE WHEN len(array_to_string(list_sort(list_filter(
+        |       str_split(regexp_extract(after, '\?(.*)$', 1), '&'),
+        |       x -> NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)=')
+        |            AND len(x) > 0)), '&')) > 0
+        |     THEN '?' || array_to_string(list_sort(list_filter(
+        |       str_split(regexp_extract(after, '\?(.*)$', 1), '&'),
+        |       x -> NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)=')
+        |            AND len(x) > 0)), '&')
+        |     ELSE '' END AS canonical_url FROM a)
+        |SELECT canonical_url, count(*) AS n_variants,
+        | CAST(min(key) AS BIGINT) AS keeper_key,
+        | CAST(sum(key) AS BIGINT) AS key_checksum
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // duplicated-substring spans: grams keyed by their raw text in the
     // oracle (Spark groups the same strings), 1-based word positions,
     // identical island arithmetic — integer outputs, exact parity
@@ -1594,6 +1664,44 @@ object SparkEntry {
         | FROM documents WHERE n_chars > 0)
         |SELECT doc_id, n_chars, round(skey, 6) AS sample_key FROM s
         |ORDER BY skey DESC, doc_id LIMIT 50""".stripMargin,
+    // domain mixture: identical IEEE op order (share = tokens/total, then
+    // weight = (1/n)/share) so the unrounded doubles match bit-for-bit
+    "sample_domain_mix" ->
+      s"""WITH s AS (SELECT source, CAST(len($toks) AS BIGINT) AS n_tok FROM documents),
+         |p AS (SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM s GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot,
+         |  CAST(count(*) AS BIGINT) AS ns FROM p)
+         |SELECT source, n_docs, n_tokens,
+         | round(n_tokens / tot, 6) AS actual_share,
+         | round(least(1.0, (1.0 / ns) / (n_tokens / tot)), 6) AS weight,
+         | CAST(floor(n_tokens * least(1.0, (1.0 / ns) / (n_tokens / tot))) AS BIGINT)
+         |   AS expected_tokens
+         |FROM p, t ORDER BY source""".stripMargin,
+    // CCNet terciles: the text_lm_score model verbatim, then the SQL
+    // ntile the chunked scheme reproduces bit-identically
+    "text_ccnet_buckets" ->
+      """WITH bi AS (SELECT doc_id, unnest(
+        |   CASE WHEN length(text) >= 2
+        |    THEN [substr(lower(text), CAST(i AS INT), 2) for i in range(1, length(text))]
+        |    ELSE [] END) AS bg FROM documents),
+        |db AS (SELECT doc_id, bg, count(*) AS cnt FROM bi GROUP BY 1, 2),
+        |bc AS (SELECT bg, CAST(sum(cnt) AS BIGINT) AS c2 FROM db GROUP BY 1),
+        |fc AS (SELECT substr(bg, 1, 1) AS c1, CAST(sum(c2) AS BIGINT) AS c1n
+        |  FROM bc GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM fc),
+        |lm AS (SELECT doc_id,
+        |  round(sum(cnt * ln((c2 + 1.0) / (c1n + v))) / sum(cnt), 3) AS alp
+        | FROM db JOIN bc USING (bg) JOIN fc ON substr(bg, 1, 1) = fc.c1, v
+        | GROUP BY 1),
+        |s AS (SELECT d.lang, lm.doc_id, lm.alp
+        |  FROM lm JOIN documents d USING (doc_id)),
+        |r AS (SELECT lang, doc_id, alp,
+        |  ntile(3) OVER (PARTITION BY lang ORDER BY alp DESC, doc_id) AS bucket FROM s)
+        |SELECT lang, CAST(bucket AS INT) AS bucket, count(*) AS n_docs,
+        | round(max(alp), 3) AS max_score, round(min(alp), 3) AS min_score,
+        | CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "mm_frame_sample" ->
       """WITH m AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n FROM documents),
         |f AS (SELECT doc_id, n, CAST(i AS BIGINT) AS frame_idx

@@ -27,6 +27,12 @@ case class SourceCfg(
     // comes from the config document, not from the data)
     typenames: Option[Seq[String]] = None,
     typenameColumn: Option[String] = None,
+    // the remote service address the source models (the reference's
+    // source["url"]). Only consulted as the typename FALLBACK
+    // (download_wfs.py:184-188): when the config omits `typenames`, a
+    // `typeName=` query parameter embedded in the URL names the single
+    // typed layer to pull.
+    url: Option[String] = None,
     // REST layer-discovery include patterns (download_rest.py:215
     // discover_layers + fnmatch: `include: ["road*"]` keeps only matching
     // layer names; unset keeps every discovered layer). format "rest" only.
@@ -163,12 +169,17 @@ object Pipeline {
     }
     // config-listed typename sweep: keep ONLY the requested typed layers
     // and tag each row with its (sanitized) layer so the layered load
-    // path stages every typename under its own target. Half-specified
-    // configs fail HERE with a clear message, not at the partitioned
-    // write with a missing-column error.
-    require(src.typenames.isDefined == src.typenameColumn.isDefined,
-      s"source '${src.name}': typenames and typenameColumn must be set together")
-    val typed = (src.typenames, src.typenameColumn) match {
+    // path stages every typename under its own target. Config typenames
+    // win; when absent, a `typeName=` parameter embedded in the source
+    // URL names the layer (download_wfs.py:184-188 — the reference takes
+    // the substring after the first `typeName=` up to the next `&`).
+    // Half-specified configs fail HERE with a clear message, not at the
+    // partitioned write with a missing-column error.
+    val typenames = resolvedTypenames(src)
+    require(typenames.isDefined == src.typenameColumn.isDefined,
+      s"source '${src.name}': typenameColumn must be set together with " +
+        "typenames (or a typeName= parameter on the source url)")
+    val typed = (typenames, src.typenameColumn) match {
       case (Some(names), Some(column)) =>
         swept.filter(col(column).isin(names: _*))
           .withColumn("layer_name", graft.operators.Staging.safeName(col(column)))
@@ -184,11 +195,21 @@ object Pipeline {
     src.where.map(selected.filter).getOrElse(selected)
   }
 
+  /** The typename set a source sweeps: the config's `typenames` list, or
+    * — the reference's fallback, download_wfs.py:184-188 — the single
+    * typename carried as a `typeName=` parameter on the source URL (the
+    * substring after the first `typeName=` up to the next `&`, exactly
+    * the reference's split). */
+  def resolvedTypenames(src: SourceCfg): Option[Seq[String]] =
+    src.typenames.orElse(
+      src.url.filter(_.contains("typeName=")).map(u =>
+        Seq(u.split("typeName=", 2)(1).split("&")(0))))
+
   /** Layered sources stage one target per layer: DISCOVERED layers
-    * (container layers, OGC collections) or CONFIG-listed typenames. */
+    * (container layers, OGC collections) or CONFIG/URL-listed typenames. */
   def isLayered(src: SourceCfg): Boolean =
     src.format == "archive" || src.format == "ogc" || src.format == "rest" ||
-      src.format == "atom" || src.typenames.isDefined
+      src.format == "atom" || resolvedTypenames(src).isDefined
 
   def geoprocess(df: DataFrame, gp: GeoprocessCfg): DataFrame =
     if (!gp.enabled) df
@@ -216,6 +237,62 @@ object Pipeline {
     else truncated
   }
 
+  /** True when the session publishes through manifests instead of
+    * directory renames (`graft.publish.mode` = `manifest`; default
+    * `rename`). Rename publish is ideal on HDFS (atomic, instant) but on
+    * S3-like stores a directory rename is an O(data) copy; manifest
+    * publish never moves data — each load writes a NEW immutable version
+    * directory and then rewrites one tiny manifest object LAST, so the
+    * commit cost is one small PUT regardless of data size. */
+  def manifestMode(spark: SparkSession): Boolean =
+    spark.conf.get("graft.publish.mode", "rename") match {
+      case "manifest" => true
+      case "rename"   => false
+      case other => throw new IllegalArgumentException(
+        s"graft.publish.mode=$other (expected rename|manifest)")
+    }
+
+  private val verSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def manifestFile(base: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(base, "_GRAFT_MANIFEST")
+
+  /** The version-directory names the manifest currently lists (empty when
+    * no manifest has been published). One name per line. */
+  def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path): Seq[String] = {
+    if (!fs.exists(manifestFile(base))) Seq.empty
+    else {
+      val in = fs.open(manifestFile(base))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty).toList
+      finally in.close()
+    }
+  }
+
+  /** Rewrite the manifest to name exactly `live`. `create(overwrite)` +
+    * close is one small object write — an atomic PUT on S3A; on HDFS a
+    * reader racing the close can at worst see the previous manifest via
+    * its own open handle, never torn data, because version directories
+    * are immutable once listed. */
+  def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path, live: Seq[String]): Unit = {
+    val out = fs.create(manifestFile(base), true)
+    try out.write((live.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Reader-side resolution for manifest-published targets: the full
+    * paths of the live version directories of `target/<name>` (empty if
+    * nothing published). Readers hand these to `spark.read.parquet`. */
+  def resolvePublished(spark: SparkSession, target: String, name: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(target, safeNameString(name))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readManifest(fs, fs.makeQualified(base))
+      .map(v => new Path(fs.makeQualified(base), v).toString)
+  }
+
   /** Run the full pipeline; returns per-source metrics (name, rows staged
     * after filters, rows loaded, load target) ordered by source name.
     *
@@ -223,10 +300,10 @@ object Pipeline {
     * the Hadoop [[org.apache.hadoop.fs.FileSystem]] resolved from the
     * TARGET's scheme — the same abstraction the writes use — so the
     * write-once-then-reconcile publish works unchanged on HDFS or any
-    * Hadoop-FS-backed store, not just the local FS. (On object stores
-    * without atomic rename — S3 — the rename is a copy; a manifest
-    * committer would replace this publish step, the staging/reconcile
-    * shape stays.) */
+    * Hadoop-FS-backed store, not just the local FS. On object stores
+    * without atomic rename — S3 — set `graft.publish.mode=manifest`
+    * ([[manifestMode]]): data lands once in an immutable version
+    * directory and the commit is one tiny manifest PUT, no rename. */
   def run(spark: SparkSession, cfg: PipelineCfg): DataFrame = {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
@@ -256,24 +333,11 @@ object Pipeline {
           val fs = new Path(target).getFileSystem(hconf)
           val dst = fs.makeQualified(new Path(target, safeNameString(src.name)))
           val appendMode = mode == "append"
-          // Write-once-then-reconcile: the staged subtree is computed
-          // EXACTLY once, by the write itself, into a staging dir next to
-          // the target (`.staging` SUFFIX — a dot/underscore PREFIX would
-          // be invisible to Spark's path filter even as a read root, and
-          // sanitized source names cannot contain a dot, so the name can
-          // never collide with a real target). The empty probe
-          // (process.py: zero-feature outputs are not written) and the
-          // per-layer reconcile both read the WRITTEN files — no persist,
-          // no second pass over the source. Publish is one directory
-          // rename (overwrite) or a part-file move (append); an empty
-          // result removes the staging dir and leaves NO target behind.
-          val tmp = fs.makeQualified(
-            new Path(target, s"${safeNameString(src.name)}.staging"))
-          if (fs.exists(tmp)) fs.delete(tmp, true)
-          if (layered)
-            finalDf.write.mode("overwrite").partitionBy("layer_name").parquet(tmp.toString)
-          else
-            finalDf.write.mode("overwrite").parquet(tmp.toString)
+          def writeTo(p: Path): Unit =
+            if (layered)
+              finalDf.write.mode("overwrite").partitionBy("layer_name").parquet(p.toString)
+            else
+              finalDf.write.mode("overwrite").parquet(p.toString)
           // a zero-row PARTITIONED write leaves no part files at all (and
           // an unreadable schema-less dir) — probe the file listing first,
           // then let parquet row-group metadata answer the count
@@ -286,36 +350,98 @@ object Pipeline {
             }
             buf.toSeq
           }
-          val staged = partFiles(tmp)
-          val writtenRows =
-            if (staged.isEmpty) 0L else spark.read.parquet(tmp.toString).count()
-          if (writtenRows == 0L) { fs.delete(tmp, true); Seq((src.name, 0L)) }
-          else if (!appendMode) {
-            // reconcile from the WRITTEN staging files BEFORE the rename —
-            // identical content, and the scalar row reuses `writtenRows`
-            // instead of re-counting the published copy (one fewer
-            // footer-read job per source)
-            val summary =
-              if (layered) perLayer(spark.read.parquet(tmp.toString))
+          if (manifestMode(spark)) {
+            // Manifest-commit publish (the S3-safe mode): the load writes
+            // ONCE into a fresh immutable version directory under the
+            // target — data never renames (on S3 a rename is an O(data)
+            // copy) — and the commit is rewriting the tiny manifest LAST
+            // to name the live versions. Truncate lists exactly the new
+            // version; append extends the prior list. Superseded truncate
+            // versions are GC'd with a one-generation grace (the IVF
+            // layout's rule: a reader that resolved the old manifest may
+            // still be mid-scan). Readers resolve via [[resolvePublished]].
+            // pid disambiguates concurrent JVMs; the per-JVM sequence
+            // disambiguates two loads of one source inside one millisecond
+            val verName = s"v_${System.currentTimeMillis()}_" +
+              s"${ProcessHandle.current().pid()}_${verSeq.incrementAndGet()}"
+            val verDir = new Path(dst, verName)
+            writeTo(verDir)
+            val staged = partFiles(verDir)
+            val writtenRows =
+              if (staged.isEmpty) 0L else spark.read.parquet(verDir.toString).count()
+            if (writtenRows == 0L) {
+              // zero-feature loads are skipped (process.py): drop the
+              // version dir, leave the manifest — and any prior data —
+              // exactly as it was
+              fs.delete(verDir, true); Seq((src.name, 0L))
+            } else {
+              val prior = readManifest(fs, dst)
+              val live = if (appendMode) prior :+ verName else Seq(verName)
+              writeManifest(fs, dst, live)
+              if (!appendMode) {
+                // keep the live version + the newest superseded one
+                val keep = (live ++ prior.lastOption).toSet
+                fs.listStatus(dst)
+                  .filter(s => s.isDirectory && s.getPath.getName.startsWith("v_") &&
+                    !keep.contains(s.getPath.getName))
+                  .foreach(s => fs.delete(s.getPath, true))
+              }
+              if (appendMode) {
+                // append reconcile counts ALL live versions (prior
+                // appends included), through the manifest like a reader
+                val paths = live.map(v => new Path(dst, v).toString)
+                if (layered) perLayer(spark.read.parquet(paths: _*))
+                else Seq((src.name, spark.read.parquet(paths: _*).count()))
+              } else if (layered) perLayer(spark.read.parquet(verDir.toString))
               else Seq((src.name, writtenRows))
-            if (fs.exists(dst)) fs.delete(dst, true)
-            require(fs.rename(tmp, dst), s"publish failed: $tmp -> $dst")
-            summary
-          } else {
-            // merge written part files (and layer_name=* dirs) into the
-            // existing target; Spark part names carry a per-job UUID, so
-            // names cannot collide with prior appends. The append
-            // reconcile MUST re-read the published target (prior appends
-            // count too), unlike the overwrite path above.
-            staged.foreach { f =>
-              val rel = f.toString.stripPrefix(tmp.toString).stripPrefix("/")
-              val d = new Path(dst, rel)
-              fs.mkdirs(d.getParent)
-              require(fs.rename(f, d), s"publish failed: $f -> $d")
             }
-            fs.delete(tmp, true)
-            if (layered) perLayer(spark.read.parquet(dst.toString))
-            else Seq((src.name, spark.read.parquet(dst.toString).count()))
+          } else {
+            // Write-once-then-reconcile: the staged subtree is computed
+            // EXACTLY once, by the write itself, into a staging dir next to
+            // the target (`.staging` SUFFIX — a dot/underscore PREFIX would
+            // be invisible to Spark's path filter even as a read root, and
+            // sanitized source names cannot contain a dot, so the name can
+            // never collide with a real target). The empty probe
+            // (process.py: zero-feature outputs are not written) and the
+            // per-layer reconcile both read the WRITTEN files — no persist,
+            // no second pass over the source. Publish is one directory
+            // rename (overwrite) or a part-file move (append); an empty
+            // result removes the staging dir and leaves NO target behind.
+            val tmp = fs.makeQualified(
+              new Path(target, s"${safeNameString(src.name)}.staging"))
+            if (fs.exists(tmp)) fs.delete(tmp, true)
+            writeTo(tmp)
+            val staged = partFiles(tmp)
+            val writtenRows =
+              if (staged.isEmpty) 0L else spark.read.parquet(tmp.toString).count()
+            if (writtenRows == 0L) { fs.delete(tmp, true); Seq((src.name, 0L)) }
+            else if (!appendMode) {
+              // reconcile from the WRITTEN staging files BEFORE the rename —
+              // identical content, and the scalar row reuses `writtenRows`
+              // instead of re-counting the published copy (one fewer
+              // footer-read job per source)
+              val summary =
+                if (layered) perLayer(spark.read.parquet(tmp.toString))
+                else Seq((src.name, writtenRows))
+              if (fs.exists(dst)) fs.delete(dst, true)
+              require(fs.rename(tmp, dst), s"publish failed: $tmp -> $dst")
+              summary
+            } else {
+              // merge written part files (and layer_name=* dirs) into the
+              // existing target; Spark part names carry a per-job UUID, so
+              // names cannot collide with prior appends. The append
+              // reconcile MUST re-read the published target (prior appends
+              // count too), unlike the overwrite path above.
+              staged.foreach { f =>
+                val rel = f.toString.stripPrefix(tmp.toString).stripPrefix("/")
+                val d = new Path(dst, rel)
+                fs.mkdirs(d.getParent)
+                require(fs.rename(f, d), s"publish failed: $f -> $d")
+              }
+              fs.delete(tmp, true)
+              if (layered) perLayer(spark.read.parquet(dst.toString))
+              else Seq((src.name, spark.read.parquet(dst.toString).count()))
+            }
           }
         case _ =>
           if (layered) {

@@ -431,6 +431,52 @@ object LoadOps {
       .orderBy(col("batch"))
   }
 
+  /** D15: SCD type-2 merge — the history-keeping alternative to D10's
+    * in-place upsert (and the third load mode next to truncate/append):
+    * instead of overwriting a changed dimension row, the old version is
+    * CLOSED (valid_to set) and the new version opens (valid_from set,
+    * current flag), so every query can time-travel the dimension. The
+    * whole merge is ONE full-outer join on the business key followed by
+    * per-key row EXPANSION (explode of a 1-or-2-element struct array — a
+    * changed key yields its closed old row and its new current row in
+    * the same pass, no self-union re-reading the join). One shuffle on
+    * the merge key; at 100 TB both sides bucket on the key (D5) and the
+    * join is exchange-free. Wire: current state = the customer dimension;
+    * the incoming batch touches every even key and changes segment on
+    * multiples of 6 (so the batch carries both genuine changes and
+    * no-op updates, which SCD2 must NOT version). Full oracle. */
+  def scd2Merge(spark: SparkSession, dir: String, effectiveTs: Long = 100L): DataFrame = {
+    val t = Tables(spark, dir)
+    val current = t.customer.filter(col("c_custkey") % 7 =!= 0)
+      .select(col("c_custkey").as("key"), col("c_mktsegment").as("cur_attr"))
+    val batch = t.customer.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey").as("key"),
+        when(col("c_custkey") % 6 === 0, concat(col("c_mktsegment"), lit("_V2")))
+          .otherwise(col("c_mktsegment")).as("new_attr"))
+    // the warehouse "high date" sentinel for open rows (the standard SCD2
+    // convention — also keeps the column non-null, so range predicates
+    // `ts BETWEEN valid_from AND valid_to` need no null branch)
+    val openTs = lit(9999999999L)
+    def ver(attr: Column, from: Column, to: Column, current: Column, status: String) =
+      struct(attr.as("attr"), from.cast("long").as("valid_from"),
+        to.cast("long").as("valid_to"), current.cast("int").as("is_current"),
+        lit(status).as("row_status"))
+    current.join(batch, Seq("key"), "full_outer")
+      .select(col("key"), explode(
+        when(col("cur_attr").isNull,
+          array(ver(col("new_attr"), lit(effectiveTs), openTs, lit(1), "new_key")))
+        .when(col("new_attr").isNull || col("new_attr") === col("cur_attr"),
+          array(ver(col("cur_attr"), lit(0L), openTs, lit(1), "active")))
+        .otherwise(array(
+          ver(col("cur_attr"), lit(0L), lit(effectiveTs), lit(0), "closed"),
+          ver(col("new_attr"), lit(effectiveTs), openTs, lit(1), "new_version")))
+      ).as("r"))
+      .select(col("key"), col("r.attr").as("attr"),
+        col("r.valid_from").as("valid_from"), col("r.valid_to").as("valid_to"),
+        col("r.is_current").as("is_current"), col("r.row_status").as("row_status"))
+      .orderBy(col("key"), col("valid_from"))
+  }
+
   /** D13: run-over-run drift detection. monitoring.py:187 `save_metrics`
     * persists one metrics snapshot per run — the HISTORY those files
     * accumulate is what answers "did this source suddenly shrink or

@@ -440,27 +440,96 @@ object TextAnalysis {
     * chunked prefix-sum scheme instead (A5/F25's pattern applied to
     * ranking): rows chunk by score RANGE (descending score → ascending
     * chunk, so chunk order equals rank order and equal scores can never
-    * straddle a chunk), per-chunk counts prefix-sum driver-side (≤32
-    * rows), and each chunk ranks locally under its own partition key.
+    * straddle a chunk), per-chunk counts prefix-sum driver-side
+    * (driver-sized histogram), and each chunk ranks locally under its own
+    * partition key. A degenerate score distribution that funnels one
+    * range chunk is sub-split by the skew guard first
+    * ([[curriculumChunkKeys]]).
     * Buckets then follow the SQL-standard ntile fill (larger buckets
     * first) as pure integer math on the global rank — bit-identical to
     * DuckDB's native ntile, which the oracle uses. */
   def sampleCurriculum(spark: SparkSession, dir: String, nBuckets: Int = 10,
-      nChunks: Int = 32): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val scored = quality(spark, dir)
-      .select(col("doc_id"), col("n_words"), col("quality_score"))
-      // descending-score chunk id: per-row arithmetic, no shuffle
-      .withColumn("chunk", least(lit(nChunks - 1),
-        greatest(lit(0), floor((lit(1.0) - col("quality_score")) * nChunks))).cast("int"))
-    val counts = scored.groupBy(col("chunk")).agg(count(lit(1)).as("cnt"))
-      .orderBy(col("chunk")).collect()
-    var acc = 0L
-    val offs = counts.map { r => val o = (r.getInt(0), acc); acc += r.getLong(1); o }.toSeq
-    val total = acc
+      nChunks: Int = 32): DataFrame =
+    curriculumBuckets(quality(spark, dir)
+      .select(col("doc_id"), col("n_words"), col("quality_score")),
+      nBuckets, nChunks)
+
+  /** Chunk-key derivation for the exact-ntile scheme, with the skew
+    * guard: the base key is the descending-score range chunk (per-row
+    * arithmetic, no shuffle). A degenerate score distribution can funnel
+    * most of the corpus into ONE range chunk — and therefore one window
+    * partition — so any chunk holding more than 4/nChunks of the corpus
+    * is recursively SUB-SPLIT (up to `maxDepth` rounds, each one cheap
+    * count pass): a chunk whose scores still vary splits on a finer
+    * score range (tightened to its measured [min,max]); a chunk of ONE
+    * constant score splits on doc_id ranges — ordering-safe because
+    * within equal scores the rank tiebreak IS doc_id. Every key is
+    * multiplied by `subSplit` per round (non-hot chunks take sub-id 0),
+    * so ascending key order stays exactly rank order. Distinct keys stay
+    * driver-sized: at most nChunks/4 chunks can be hot per round (each
+    * holds > 4/nChunks of the rows), so keys grow by at most
+    * nChunks/4·(subSplit−1) per round (≤ ~200 total at the defaults).
+    * Returns the keyed frame and the ascending (ckey, count) histogram.
+    * Caveat: the doc_id split assumes ids are roughly uniform over the
+    * chunk's id range — adversarially clustered ids inside a
+    * constant-score chunk would stay unbalanced (they cannot be split
+    * better without a global sort). */
+  def curriculumChunkKeys(scored: DataFrame, nChunks: Int, subSplit: Int = 8,
+      maxDepth: Int = 3): (DataFrame, Seq[(Long, Long)]) = {
+    val spark = scored.sparkSession
     import spark.implicits._
-    val offDf = offs.toDF("chunk", "chunk_off")
-    val wLocal = Window.partitionBy(col("chunk"))
+    var cur = scored.withColumn("ckey",
+      least(lit(nChunks - 1), greatest(lit(0),
+        floor((lit(1.0) - col("quality_score")) * nChunks))).cast("long"))
+    var depth = 0
+    while (true) {
+      val stats = cur.groupBy(col("ckey"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("quality_score")).as("mns"), max(col("quality_score")).as("mxs"),
+          min(col("doc_id")).as("mni"), max(col("doc_id")).as("mxi"))
+        .collect()
+      val total = stats.map(_.getLong(1)).sum
+      val thresh = math.max(1L, 4L * total / nChunks)
+      val hot = stats.filter(_.getLong(1) > thresh)
+      if (hot.isEmpty || depth == maxDepth)
+        return (cur, stats.map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1))
+      // checkpoint once, before the first refinement join, so later
+      // passes re-read materialized rows instead of recomputing scores
+      if (depth == 0) cur = cur.localCheckpoint(true)
+      val splits = hot.toSeq.map { r =>
+        val (k, mns, mxs) = (r.getLong(0), r.getDouble(2), r.getDouble(3))
+        if (mns < mxs) (k, 0, mns, mxs, 0L, 0L)
+        else (k, 1, 0.0, 0.0, r.getLong(4), r.getLong(5))
+      }.toDF("ckey", "kind", "lo_s", "hi_s", "lo_i", "hi_i")
+      val idStep = greatest(lit(1L),
+        ceil((col("hi_i") - col("lo_i") + 1).cast("double") / subSplit).cast("long"))
+      val sub = when(col("kind").isNull, lit(0L))
+        .when(col("kind") === 0,
+          least(lit(subSplit - 1).cast("long"), greatest(lit(0L),
+            floor((col("hi_s") - col("quality_score"))
+              / (col("hi_s") - col("lo_s")) * subSplit))))
+        .otherwise(least(lit(subSplit - 1).cast("long"),
+          floor((col("doc_id") - col("lo_i")).cast("double") / idStep)))
+      cur = cur.join(broadcast(splits), Seq("ckey"), "left")
+        .withColumn("ckey", col("ckey") * subSplit + sub)
+        .drop("kind", "lo_s", "hi_s", "lo_i", "hi_i")
+      depth += 1
+    }
+    sys.error("unreachable")
+  }
+
+  /** The F33 core over an explicit (doc_id, n_words, quality_score)
+    * frame, so specs can plant degenerate score distributions. */
+  def curriculumBuckets(scored: DataFrame, nBuckets: Int, nChunks: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val (keyed, counts) = curriculumChunkKeys(scored, nChunks)
+    var acc = 0L
+    val offs = counts.map { case (k, c) => val o = (k, acc); acc += c; o }
+    val total = acc
+    val offDf = offs.toDF("ckey", "chunk_off")
+    val wLocal = Window.partitionBy(col("ckey"))
       .orderBy(col("quality_score").desc, col("doc_id"))
     // SQL-standard ntile: the first (total mod n) buckets take
     // ceil(total/n) rows, the rest floor(total/n)
@@ -468,7 +537,7 @@ object TextAnalysis {
     val szBig = total / nBuckets + (if (nBig > 0) 1L else 0L)
     val szSmall = total / nBuckets
     val cut = nBig * szBig
-    scored.join(broadcast(offDf), Seq("chunk"))
+    keyed.join(broadcast(offDf), Seq("ckey"))
       .withColumn("rank", col("chunk_off") + row_number().over(wLocal))
       .withColumn("bucket",
         when(col("rank") <= cut, (col("rank") - 1) / szBig)
@@ -576,4 +645,105 @@ object TextAnalysis {
     * with the document-shape rules between them. Per-row, zero-shuffle. */
   def gopherRules(spark: SparkSession, dir: String): DataFrame =
     gopherAudit(Tables(spark, dir).documents.select(col("doc_id"), col("text")))
+
+  /** F35: domain-mixture reweighting — the static data-mixing pass every
+    * multi-source training corpus runs (The Pile / MassiveText publish
+    * exactly such per-source weights): measure each source's share of the
+    * token budget and compute the DOWNSAMPLE-ONLY weight that moves the
+    * mixture toward the uniform target (weight = min(1, target/actual) —
+    * a source below target keeps everything rather than inventing
+    * repeats; upsampling is an epochs decision, not a filter). Output per
+    * source: docs, ws tokens, actual share, sampling weight, and the
+    * expected post-weight token count. Shape: one hash-agg on `source`
+    * (map-side partials) + one broadcast of the 1-row total — no window,
+    * no second corpus pass; at 100 TB this is a single partial-agg scan. */
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val perSource = t.documents
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val totals = perSource.agg(
+      sum(col("n_tokens")).as("tot_tokens"),
+      count(lit(1)).as("n_sources"))
+    perSource.crossJoin(broadcast(totals))
+      .withColumn("actual_share", col("n_tokens").cast("double") / col("tot_tokens"))
+      .withColumn("weight",
+        least(lit(1.0), (lit(1.0) / col("n_sources")) / col("actual_share")))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("actual_share"), 6).as("actual_share"),
+        round(col("weight"), 6).as("weight"),
+        floor(col("n_tokens") * col("weight")).cast("long").as("expected_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** F36: CCNet-style perplexity buckets (Wenzek et al. 2020: per
+    * LANGUAGE, split the corpus into head/middle/tail terciles by LM
+    * score — the standard quality-tiering pass before sampling). Scores
+    * come from the SAME corpus-trained bigram LM as [[lmScore]] (rounded
+    * to 3 decimals exactly as published there, which also makes the
+    * cross-engine ordering stable); the per-language tercile is an exact
+    * ntile(3) computed WITHOUT a per-language global sort — the F33
+    * chunked prefix-sum scheme with a (lang, score-range-chunk) composite
+    * key: per-key counts collect driver-side (≤ |langs|·nChunks rows),
+    * prefix-sum per language, rank locally per composite key, and the
+    * SQL-standard tercile fill is integer math on the per-language rank.
+    * Bit-identical to DuckDB's `ntile(3) OVER (PARTITION BY lang ...)`.
+    * At 100 TB no task ever sees more than one score-range chunk of one
+    * language (the F33 skew guard is the hardening path if a language's
+    * scores collapse into one range). */
+  def ccnetBuckets(spark: SparkSession, dir: String, nChunks: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val scored = lmScore(spark, dir)
+      .join(t.documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("avg_logprob"))
+      .localCheckpoint(true)
+    // global score bounds: one tiny agg; chunk ids DESCEND with score so
+    // ascending (lang, chunk) order is rank order within each language
+    val b = scored.agg(min(col("avg_logprob")), max(col("avg_logprob"))).head()
+    val (mn, mx) = (b.getDouble(0), b.getDouble(1))
+    val chunk =
+      if (mx > mn)
+        least(lit(nChunks - 1), greatest(lit(0),
+          floor((lit(mx) - col("avg_logprob")) / (mx - mn) * nChunks))).cast("int")
+      else lit(0)
+    val keyed = scored.withColumn("chunk", chunk)
+    val hist = keyed.groupBy(col("lang"), col("chunk")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2))
+    // per-language prefix offsets + totals (driver math on the histogram)
+    val offs = hist.groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
+      var acc = 0L
+      rows.sortBy(_._2).toSeq.map { case (_, c, n) => val o = (lang, c, acc); acc += n; o }
+    }
+    val totals = hist.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap.toSeq
+    val offDf = offs.toDF("lang", "chunk", "off")
+    val totDf = totals.toDF("lang", "lang_total")
+    val wLocal = Window.partitionBy(col("lang"), col("chunk"))
+      .orderBy(col("avg_logprob").desc, col("doc_id"))
+    // SQL-standard ntile(3) fill from the per-language global rank
+    // (Column `/` is DOUBLE division — every quotient here goes through
+    // an explicit floor so the fill math stays integral)
+    val nB = 3
+    val nBig = col("lang_total") % nB
+    val szSmall = floor(col("lang_total") / nB)
+    val szBig = szSmall + when(nBig > 0, 1L).otherwise(0L)
+    val cut = nBig * szBig
+    keyed
+      .join(broadcast(offDf), Seq("lang", "chunk"))
+      .join(broadcast(totDf), Seq("lang"))
+      .withColumn("rank", col("off") + row_number().over(wLocal))
+      .withColumn("bucket",
+        when(col("rank") <= cut, floor((col("rank") - 1) / szBig))
+          .otherwise(nBig + floor((col("rank") - 1 - cut) / greatest(szSmall, lit(1L)))))
+      .withColumn("bucket", (col("bucket").cast("long") + 1).cast("int"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(max(col("avg_logprob")), 3).as("max_score"),
+        round(min(col("avg_logprob")), 3).as("min_score"),
+        sum(col("doc_id")).cast("long").as("id_checksum"))
+      .orderBy(col("lang"), col("bucket"))
+  }
 }

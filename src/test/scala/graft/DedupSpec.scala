@@ -325,4 +325,33 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(rows(0) == rows(1) && rows(1) == rows(2))
     assert(rows(0) != rows(3))
   }
+
+  test("url canonicalization: each identity rule normalizes, non-tracking params survive sorted") {
+    val cases = Seq(
+      // scheme/case/default-port/trailing-slash variants of one resource
+      ("https://Data1.Example.org/a/b", "data1.example.org/a/b"),
+      ("HTTP://DATA1.EXAMPLE.ORG:80/a/b/", "data1.example.org/a/b"),
+      ("https://www.data1.example.org:443/a/b", "data1.example.org/a/b"),
+      ("https://data1.example.org/a/b#frag", "data1.example.org/a/b"),
+      // tracking params drop, the rest sort; empty query collapses
+      ("https://h.org/p?utm_source=x&b=2&a=1", "h.org/p?a=1&b=2"),
+      ("https://h.org/p?a=1&gclid=zz&b=2", "h.org/p?a=1&b=2"),
+      ("https://h.org/p?utm_campaign=x&fbclid=1", "h.org/p"),
+      // root path and a non-default port are identity-relevant
+      ("https://h.org/", "h.org"),
+      ("https://h.org:8080/p", "h.org:8080/p"))
+    val got = cases.map(_._1).toDF("url")
+      .select(graft.operators.Dedup.canonicalUrl(col("url"))).collect().map(_.getString(0))
+    cases.map(_._2).zip(got).foreach { case (want, g) => assert(g == want, s"$g != $want") }
+    // op-level variant structure: in each even key-group the three
+    // variants (bare/case+port+slash/www+tracking) merge to ONE canonical;
+    // odd groups split 1 bare + 2 param-carrying
+    val out = graft.operators.Dedup.dedupUrl(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nSupp = spark.read.parquet(s"$sfDir/supplier.parquet").count()
+    assert(out.values.sum == nSupp, "every wire URL must be accounted for")
+    assert(out("data0.example.org/files/set0/item") == 3L)
+    assert(out("data1.example.org/files/set1/item") == 1L)
+    assert(out("data1.example.org/files/set1/item?a=1&b=2") == 2L)
+  }
 }

@@ -252,6 +252,39 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     assert(comp.values.forall(_ == 1), s"compacted layout still fragmented: $comp")
   }
 
+  test("scd2 merge: history is preserved, one current row per key, statuses partition the keys") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.operators.LoadOps.scd2Merge(spark, sfDir).collect()
+    val byKey = rows.groupBy(_.getLong(0))
+    // exactly one current row per business key, always open-ended
+    byKey.foreach { case (k, vs) =>
+      val current = vs.filter(_.getInt(4) == 1)
+      assert(current.length == 1, s"key $k has ${current.length} current rows")
+      assert(current.head.getLong(3) == 9999999999L, s"key $k current row not open")
+    }
+    // a closed row exists iff a new_version row follows it, and their
+    // validity intervals abut at the effective ts with the attr changed
+    byKey.foreach { case (k, vs) =>
+      val closed = vs.filter(_.getString(5) == "closed")
+      val nv = vs.filter(_.getString(5) == "new_version")
+      assert(closed.length == nv.length, s"key $k closed/new_version mismatch")
+      closed.zip(nv).foreach { case (c, n) =>
+        assert(c.getLong(3) == n.getLong(2), s"key $k intervals do not abut")
+        assert(c.getString(1) != n.getString(1), s"key $k versioned without change")
+      }
+    }
+    // statuses classify the modeled wire exactly: changed keys are the
+    // %2==0 && %6==0 && %7!=0 customers; new keys the %7==0 && %2==0
+    val t = graft.Tables(spark, sfDir)
+    val changed = t.customer.filter(
+      col("c_custkey") % 2 === 0 && col("c_custkey") % 6 === 0 && col("c_custkey") % 7 =!= 0).count()
+    val newKeys = t.customer.filter(
+      col("c_custkey") % 7 === 0 && col("c_custkey") % 2 === 0).count()
+    assert(rows.count(_.getString(5) == "new_version") == changed)
+    assert(rows.count(_.getString(5) == "closed") == changed)
+    assert(rows.count(_.getString(5) == "new_key") == newKeys)
+  }
+
   test("run drift: first runs report null drift, the shrink alert fires only past the drop threshold") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -143,6 +143,80 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       s"each typename must land in its own partition directory: $dirs")
   }
 
+  test("manifest-commit publish: versioned data, manifest-resolved reads, grace GC, append accumulates") {
+    spark.conf.set("graft.publish.mode", "manifest")
+    try {
+      val tgt = s"$target/manifest_load"
+      val cfg = PipelineCfg(
+        sources = Seq(SourceCfg(name = "orders_f", path = s"$sfDir/orders.parquet",
+          where = Some("o_orderstatus = 'F'"))),
+        load = Some(LoadCfg(tgt)), cleanupBeforeRun = true)
+      val truth = spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter("o_orderstatus = 'F'").count()
+      val out1 = Pipeline.run(spark, cfg).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out1 == Map("orders_f" -> truth), out1.toString)
+      // a reader resolves the live version through the manifest
+      val live1 = Pipeline.resolvePublished(spark, tgt, "orders_f")
+      assert(live1.size == 1, live1.toString)
+      assert(spark.read.parquet(live1: _*).count() == truth)
+      // second truncate run: the manifest swings to ONE new version; the
+      // superseded version survives one generation (reader grace)
+      Pipeline.run(spark, cfg.copy(cleanupBeforeRun = false)).collect()
+      val live2 = Pipeline.resolvePublished(spark, tgt, "orders_f")
+      assert(live2.size == 1 && live2 != live1, s"$live1 vs $live2")
+      def versionsOnDisk() = new java.io.File(s"$tgt/orders_f")
+        .listFiles().filter(_.getName.startsWith("v_")).map(_.getName).toSet
+      val v1 = new java.io.File(live1.head).getName
+      assert(versionsOnDisk().contains(v1), "grace version was GC'd too early")
+      // third run: the first version is two generations old — GC'd
+      Pipeline.run(spark, cfg.copy(cleanupBeforeRun = false)).collect()
+      assert(!versionsOnDisk().contains(v1), "two-generations-old version survived GC")
+      assert(spark.read.parquet(
+        Pipeline.resolvePublished(spark, tgt, "orders_f"): _*).count() == truth)
+      // append mode: each run adds a version, the manifest lists them all,
+      // and both the run reconcile and a manifest reader count every append
+      val appTgt = s"$target/manifest_append"
+      val appCfg = PipelineCfg(
+        sources = Seq(SourceCfg(name = "orders_app", path = s"$sfDir/orders.parquet",
+          where = Some("o_orderstatus = 'F'"))),
+        load = Some(LoadCfg(appTgt, "append")), cleanupBeforeRun = true)
+      Pipeline.run(spark, appCfg).collect()
+      val out2 = Pipeline.run(spark, appCfg.copy(cleanupBeforeRun = false)).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out2 == Map("orders_app" -> truth * 2), out2.toString)
+      val liveApp = Pipeline.resolvePublished(spark, appTgt, "orders_app")
+      assert(liveApp.size == 2, liveApp.toString)
+      assert(spark.read.parquet(liveApp: _*).count() == truth * 2)
+    } finally spark.conf.unset("graft.publish.mode")
+  }
+
+  test("url-embedded typeName= is the typename fallback when the config lists none") {
+    // download_wfs.py:184-188: config typenames win; absent those, the
+    // substring after the first `typeName=` (up to the next `&`) on the
+    // source URL names the single typed layer to pull
+    val cfg = PipelineCfg(
+      sources = Seq(SourceCfg(name = "wfs_url", path = s"$sfDir/customer.parquet",
+        url = Some("https://example.test/wfs?service=WFS&typeName=BUILDING&version=2.0.0"),
+        typenameColumn = Some("c_mktsegment"))),
+      load = Some(LoadCfg(s"$target/wfs_url_load")), cleanupBeforeRun = true)
+    val out = Pipeline.run(spark, cfg).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = spark.read.parquet(s"$sfDir/customer.parquet")
+      .filter(org.apache.spark.sql.functions.col("c_mktsegment") === "BUILDING")
+      .count()
+    assert(out == Map("wfs_url/building" -> truth), out.toString)
+    // config typenames still take precedence over the URL parameter
+    val both = PipelineCfg(
+      sources = Seq(SourceCfg(name = "wfs_both", path = s"$sfDir/customer.parquet",
+        url = Some("https://example.test/wfs?typeName=BUILDING"),
+        typenames = Some(Seq("MACHINERY")),
+        typenameColumn = Some("c_mktsegment"))),
+      load = Some(LoadCfg(s"$target/wfs_both_load")), cleanupBeforeRun = true)
+    val out2 = Pipeline.run(spark, both).collect().map(_.getString(0)).toSet
+    assert(out2 == Set("wfs_both/machinery"), out2.toString)
+  }
+
   test("half-specified typename config fails with a clear message at stage time") {
     val cfg = PipelineCfg(sources = Seq(
       SourceCfg(name = "half", path = s"$sfDir/customer.parquet",

@@ -81,6 +81,75 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("curriculum skew guard: degenerate score distributions sub-split, output stays exact ntile") {
+    // a constant-score corpus previously funneled EVERY row into one
+    // range chunk — one window partition doing all the ranking
+    val n = 1000
+    val const = (0 until n).map(i => (i.toLong, 10L, 0.5)).toDF("doc_id", "n_words", "quality_score")
+    val (_, constCounts) = TextAnalysis.curriculumChunkKeys(const, nChunks = 32)
+    val thresh = math.max(1L, 4L * n / 32)
+    assert(constCounts.map(_._2).max <= thresh,
+      s"constant-score chunk not split: ${constCounts}")
+    // equal scores tie-break on doc_id, so the exact ntile is just the
+    // standard fill over doc_id order
+    val out = TextAnalysis.curriculumBuckets(const, nBuckets = 10, nChunks = 32).collect()
+    assert(out.length == 10)
+    assert(out.map(_.getLong(1)).toSeq == Seq.fill(10)(100L), "uneven fill on equal sizes")
+    // bucket b must hold exactly doc_ids [100(b-1), 100b) — checksums pin it
+    out.foreach { r =>
+      val b = r.getInt(0)
+      val lo = (b - 1) * 100L
+      assert(r.getLong(5) == (lo until lo + 100).sum,
+        s"bucket $b id_checksum ${r.getLong(5)}")
+    }
+    // a spread-but-skewed distribution (95% of mass inside one narrow
+    // score band) refines on the finer score range instead
+    val skew = (0 until n).map { i =>
+      val s = if (i % 20 == 0) i.toDouble / n else 0.40 + (i % 97) * 0.0001
+      (i.toLong, 10L, s)
+    }.toDF("doc_id", "n_words", "quality_score")
+    val (_, skewCounts) = TextAnalysis.curriculumChunkKeys(skew, nChunks = 32)
+    assert(skewCounts.map(_._2).max <= thresh,
+      s"skewed score band not split: ${skewCounts.filter(_._2 > thresh)}")
+    assert(skewCounts.map(_._2).sum == n)
+  }
+
+  test("domain mix: weights downsample only, over-represented sources shrink toward the uniform target") {
+    val rows = TextAnalysis.domainMix(spark, sfDir).collect()
+    val total = rows.map(_.getLong(2)).sum.toDouble
+    val target = 1.0 / rows.length
+    rows.foreach { r =>
+      val (share, w) = (r.getDouble(3), r.getDouble(4))
+      assert(w > 0.0 && w <= 1.0, s"${r.getString(0)} weight $w outside (0,1]")
+      // above-target sources downsample, at/below-target keep everything
+      if (share > target + 1e-9) assert(w < 1.0, s"${r.getString(0)} over target but kept")
+      else assert(w == 1.0, s"${r.getString(0)} under target but downsampled")
+      assert(r.getLong(5) <= r.getLong(2), "expected tokens exceed actual")
+    }
+    // the reweighted budget never exceeds |sources| × the per-source target
+    val expected = rows.map(_.getLong(5)).sum
+    assert(expected <= total + rows.length, s"$expected > $total")
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-6, "shares must sum to 1")
+  }
+
+  test("ccnet buckets: per-language terciles differ by at most one doc and tier monotonically") {
+    val rows = TextAnalysis.ccnetBuckets(spark, sfDir).collect()
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.map(_.getLong(2)).sum == corpus, "every doc lands in a tercile")
+    rows.groupBy(_.getString(0)).foreach { case (lang, bs) =>
+      assert(bs.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3), s"$lang missing a tercile")
+      val sizes = bs.sortBy(_.getInt(1)).map(_.getLong(2))
+      assert(sizes.max - sizes.min <= 1, s"$lang uneven terciles: ${sizes.toSeq}")
+      assert(sizes.sorted.reverse.toSeq == sizes.toSeq, s"$lang larger terciles must come first")
+      // head outranks middle outranks tail (scores tier monotonically)
+      val byB = bs.sortBy(_.getInt(1))
+      byB.sliding(2).foreach { case Array(hi, lo) =>
+        assert(hi.getDouble(4) >= lo.getDouble(3) - 1e-9,
+          s"$lang bucket ${hi.getInt(1)} min ${hi.getDouble(4)} < bucket ${lo.getInt(1)} max ${lo.getDouble(3)}")
+      }
+    }
+  }
+
   test("traindata pipeline: stage lineage chains, every stage only removes, pack count is the token ceiling") {
     val rows = TextAnalysis.traindataPipeline(spark, sfDir).collect()
       .map(r => r.getString(1) -> r).toMap
