@@ -77,6 +77,8 @@ object SparkEntry {
     "mon_run_drift"          -> ((s: SparkSession, d: String) => LoadOps.runDrift(s, d)),
     "load_compaction"        -> ((s: SparkSession, d: String) => LoadOps.loadCompaction(s, d)),
     "load_scd2"              -> ((s: SparkSession, d: String) => LoadOps.scd2Merge(s, d)),
+    "load_fk_validate"       -> LoadOps.fkValidate _,
+    "mon_freshness"          -> ((s: SparkSession, d: String) => LoadOps.freshness(s, d)),
     "etl_schema_evolve"      -> Staging.schemaEvolve _,
     "mon_key_skew"           -> LoadOps.keySkew _,
     "etl_response_validate"  -> ((s: SparkSession, d: String) => LoadOps.responseValidate(s, d)),
@@ -151,6 +153,7 @@ object SparkEntry {
     "q_set_ops"              -> Relational.qSetOps _,
     "sample_weighted"        -> ((s: SparkSession, d: String) => TextAnalysis.weightedSample(s, d)),
     "sample_domain_mix"      -> TextAnalysis.domainMix _,
+    "text_entropy"           -> ((s: SparkSession, d: String) => TextAnalysis.charEntropy(s, d)),
     "text_ccnet_buckets"     -> ((s: SparkSession, d: String) => TextAnalysis.ccnetBuckets(s, d)),
     "mm_binary_meta"         -> Multimodal.binaryMeta _,
     "mm_frame_sample"        -> Multimodal.frameSample _,
@@ -853,6 +856,24 @@ object SparkEntry {
         | CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
         | round(sum(o_totalprice), 2) AS sum_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "load_fk_validate" ->
+      """WITH dim AS (SELECT c_custkey FROM customer WHERE c_custkey % 11 <> 0)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        | CAST(sum(CASE WHEN d.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+        | CAST(coalesce(sum(CASE WHEN d.c_custkey IS NULL THEN o_orderkey END), 0) AS BIGINT)
+        |   AS orphan_checksum
+        |FROM orders o LEFT JOIN dim d ON o.o_custkey = d.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "mon_freshness" ->
+      """WITH runs AS (SELECT event_type AS source,
+        |  max(CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400) AS last_run_day,
+        |  count(*) AS n_runs
+        | FROM events GROUP BY 1),
+        |wm AS (SELECT max(last_run_day) AS watermark FROM runs)
+        |SELECT source, n_runs, last_run_day,
+        | CAST(watermark - last_run_day AS BIGINT) AS age_days,
+        | CAST(watermark - last_run_day >= 3 AS INT) AS stale
+        |FROM runs, wm ORDER BY source""".stripMargin,
     // SCD2 merge: full-outer classification + per-key row expansion as
     // UNION ALL branches; 9999999999 is the open-row high-date sentinel
     "load_scd2" ->
@@ -1664,6 +1685,22 @@ object SparkEntry {
         | FROM documents WHERE n_chars > 0)
         |SELECT doc_id, n_chars, round(skey, 6) AS sample_key FROM s
         |ORDER BY skey DESC, doc_id LIMIT 50""".stripMargin,
+    // char entropy: H = ln(n) − Σ cnt·ln(cnt)/n over the per-doc char
+    // histogram — integer-derived terms, only the rounded sum is float
+    "text_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(
+        |   CASE WHEN length(text) > 0
+        |    THEN [substr(lower(text), CAST(i AS INT), 1) for i in range(1, length(text) + 1)]
+        |    ELSE [] END) AS ch FROM documents),
+        |dc AS (SELECT doc_id, ch, count(*) AS cnt FROM ch GROUP BY 1, 2),
+        |h AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  sum(cnt * ln(CAST(cnt AS DOUBLE))) AS s FROM dc GROUP BY 1)
+        |SELECT doc_id, n AS n_chars_m, n_distinct,
+        | round((ln(CAST(n AS DOUBLE)) - s / n) / ln(2.0), 4) AS entropy_bits,
+        | CAST((ln(CAST(n AS DOUBLE)) - s / n) / ln(2.0) < 1.5
+        |   OR (ln(CAST(n AS DOUBLE)) - s / n) / ln(2.0) > 4.8 AS INT) AS flag_junk
+        |FROM h ORDER BY doc_id""".stripMargin,
     // domain mixture: identical IEEE op order (share = tokens/total, then
     // weight = (1/n)/share) so the unrounded doubles match bit-for-bit
     "sample_domain_mix" ->

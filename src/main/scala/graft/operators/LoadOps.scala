@@ -477,6 +477,59 @@ object LoadOps {
       .orderBy(col("key"), col("valid_from"))
   }
 
+  /** D16: referential-integrity validation before load — the FK check a
+    * schema-matched load (load_sde.py's Append requires the target schema
+    * to accept every row) runs against its dimensions: every fact row's
+    * foreign key must resolve, and orphans must be REPORTED per class,
+    * not silently dropped or (worse) loaded to fail downstream. ONE left
+    * join classifies every order against the customer dimension (a
+    * conditional agg counts matches and orphans together — no separate
+    * anti-join pass re-shuffling the facts), with the orphan keys
+    * checksummed for the audit trail. The join is unhinted: at 100 TB a
+    * big dimension shuffles, a small one AQE-broadcasts. Wire: customers
+    * with key % 11 == 0 are withheld from the dimension, planting
+    * deterministic orphans. */
+  def fkValidate(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val dim = t.customer.filter(col("c_custkey") % 11 =!= 0)
+      .select(col("c_custkey"), lit(1).as("present"))
+    t.orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      .join(dim, col("o_custkey") === col("c_custkey"), "left")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("present").isNull, 1L).otherwise(0L)).cast("long").as("n_orphans"),
+        coalesce(sum(when(col("present").isNull, col("o_orderkey"))), lit(0L))
+          .cast("long").as("orphan_checksum"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** D17: per-source freshness — the ABSENCE detector D13 cannot be: a
+    * source that stopped reporting contributes no new run row, so
+    * run-over-run drift never fires for it; what catches it is comparing
+    * each source's LAST run against the pipeline's watermark
+    * (monitoring.py:187's history makes this a lookup; here it is one
+    * map-side-combined max per source + one broadcast 1-row global max).
+    * Output per source: last run day, age in days behind the watermark,
+    * and the stale flag (age ≥ `staleDays`). Zero windows, two tiny
+    * aggs — at 100 TB this is one partial-agg scan of the run log. */
+  def freshness(spark: SparkSession, dir: String, staleDays: Long = 3L): DataFrame = {
+    val t = Tables(spark, dir)
+    val runs = t.events
+      .withColumn("run_day", expr("(ts div 1000000000) div 86400").cast("long"))
+      .groupBy(col("event_type").as("source"))
+      .agg(max(col("run_day")).as("last_run_day"), count(lit(1)).as("n_runs"))
+      // |sources| rows — checkpointed so the watermark branch reads these
+      // rows instead of re-scanning the run log
+      .localCheckpoint(true)
+    val wm = runs.agg(max(col("last_run_day")).as("watermark"))
+    runs.crossJoin(broadcast(wm))
+      .select(col("source"), col("n_runs"), col("last_run_day"),
+        (col("watermark") - col("last_run_day")).as("age_days"),
+        (col("watermark") - col("last_run_day") >= staleDays).cast("int").as("stale"))
+      .orderBy(col("source"))
+  }
+
   /** D13: run-over-run drift detection. monitoring.py:187 `save_metrics`
     * persists one metrics snapshot per run — the HISTORY those files
     * accumulate is what answers "did this source suddenly shrink or

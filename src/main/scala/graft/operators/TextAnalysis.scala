@@ -646,6 +646,45 @@ object TextAnalysis {
   def gopherRules(spark: SparkSession, dir: String): DataFrame =
     gopherAudit(Tables(spark, dir).documents.select(col("doc_id"), col("text")))
 
+  /** F37: character-entropy filter — the distribution-shape quality
+    * signal the ratio rules (F9/F31) cannot see: base64 blobs, hex dumps
+    * and key-mash junk have near-uniform character statistics (entropy
+    * high), while template/repetition junk collapses them (entropy low);
+    * natural text sits in a stable band. Shannon entropy over the
+    * lowercased character histogram: ONE explode pass compressed to
+    * (doc, char, cnt) — bounded by alphabet size per doc, the F20
+    * compression — then H = ln(n) − Σ cnt·ln(cnt)/n per doc, an
+    * algebraically regrouped −Σ p·ln p whose terms are integer-derived
+    * (cross-engine float noise only in the final rounded sum). Flags
+    * come from the unrounded value (the F31 convention). */
+  def charEntropy(spark: SparkSession, dir: String, loBits: Double = 1.5,
+      hiBits: Double = 4.8): DataFrame =
+    charEntropyOver(Tables(spark, dir).documents.select(col("doc_id"), col("text")),
+      loBits, hiBits)
+
+  /** The F37 core over an explicit (doc_id, text) frame, so specs can
+    * plant repetition collapse and uniform junk. */
+  def charEntropyOver(docs: DataFrame, loBits: Double, hiBits: Double): DataFrame = {
+    val lowered = lower(col("text"))
+    val chars = when(length(lowered) > 0,
+        transform(sequence(lit(1), length(lowered)), i => lowered.substr(i, lit(1))))
+      .otherwise(array().cast("array<string>"))
+    val dc = docs.select(col("doc_id"), explode(chars).as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("cnt"))
+    // H (nats) = ln(n) − Σ cnt·ln(cnt) / n; in bits: / ln 2
+    dc.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n"), count(lit(1)).as("n_distinct"),
+        sum(col("cnt") * log(col("cnt").cast("double"))).as("s"))
+      .select(col("doc_id"), col("n").cast("long").as("n_chars_m"),
+        col("n_distinct").cast("long").as("n_distinct"),
+        round((log(col("n").cast("double")) - col("s") / col("n")) / math.log(2.0), 4)
+          .as("entropy_bits"),
+        (((log(col("n").cast("double")) - col("s") / col("n")) / math.log(2.0)) < loBits ||
+          ((log(col("n").cast("double")) - col("s") / col("n")) / math.log(2.0)) > hiBits)
+          .cast("int").as("flag_junk"))
+      .orderBy(col("doc_id"))
+  }
+
   /** F35: domain-mixture reweighting — the static data-mixing pass every
     * multi-source training corpus runs (The Pile / MassiveText publish
     * exactly such per-source weights): measure each source's share of the
@@ -663,6 +702,9 @@ object TextAnalysis {
       .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      // |sources| rows — checkpointed so the totals branch reads these
+      // rows instead of re-tokenizing the corpus (the dominant cost)
+      .localCheckpoint(true)
     val totals = perSource.agg(
       sum(col("n_tokens")).as("tot_tokens"),
       count(lit(1)).as("n_sources"))

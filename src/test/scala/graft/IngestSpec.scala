@@ -285,6 +285,31 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.count(_.getString(5) == "new_key") == newKeys)
   }
 
+  test("fk validation: planted orphans are counted per class, nothing silently drops") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.operators.LoadOps.fkValidate(spark, sfDir).collect()
+    val t = graft.Tables(spark, sfDir)
+    // every order referencing a withheld dim key (%11==0) is an orphan
+    val wantOrphans = t.orders.filter(col("o_custkey") % 11 === 0).count()
+    val wantTotal = t.orders.count()
+    assert(rows.map(_.getLong(1)).sum == wantTotal, "every fact row must be classified")
+    assert(rows.map(_.getLong(2)).sum == wantOrphans,
+      s"orphan total ${rows.map(_.getLong(2)).sum} != $wantOrphans")
+    // a class with zero orphans reports 0, not null/absent
+    rows.foreach(r => assert(r.getLong(2) >= 0 && !r.isNullAt(3)))
+  }
+
+  test("freshness: the newest source has age 0, staleness fires exactly at the threshold") {
+    val rows = graft.operators.LoadOps.freshness(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ages = rows.map(_.getLong(3))
+    assert(ages.min == 0L, "the watermark source must have age 0")
+    rows.foreach { r =>
+      assert(r.getInt(4) == (if (r.getLong(3) >= 3L) 1 else 0),
+        s"${r.getString(0)} stale flag inconsistent with age ${r.getLong(3)}")
+    }
+  }
+
   test("run drift: first runs report null drift, the shrink alert fires only past the drop threshold") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

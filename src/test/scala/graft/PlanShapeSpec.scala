@@ -151,6 +151,38 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"detect_patterns rollup must be a pure aggregate:\n$p")
   }
 
+  test("scd2: one key-shuffle join, pruned scans, row expansion after the join") {
+    val p = plan("load_scd2")
+    // both sides shuffle once on the merge key into one full-outer SMJ;
+    // the per-key row expansion (Generate) runs on the join output — no
+    // self-union re-reading the source, no broadcast of a data-sized side
+    assert("(SortMergeJoin|ShuffledHashJoin).*FullOuter".r.findFirstIn(p).isDefined,
+      s"merge is not a shuffled full-outer join:\n$p")
+    assert(p.contains("Generate"), s"no per-key row expansion in plan:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 2, s"extra source scans:\n$p")
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_mktsegment:string>"),
+      s"scan reads more than the merge columns:\n$p")
+  }
+
+  test("url dedup: per-row canonicalization, single hash-agg, no join") {
+    val p = plan("dedup_url")
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"more than one scan:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"no map-side partial aggregation:\n$p")
+    assert(!p.contains("Join"), s"canonicalization must not join:\n$p")
+  }
+
+  test("domain mix: the totals branch reads the checkpointed rollup, not the corpus") {
+    val p = plan("sample_domain_mix")
+    // ONE corpus scan: per-source rollup is checkpointed (|sources| rows)
+    // and the 1-row totals derive from those rows
+    assert("Scan parquet".r.findAllIn(p).size == 0 ||
+      "Scan parquet".r.findAllIn(p).size == 1,
+      s"totals branch re-scanned the corpus:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"1-row totals must broadcast:\n$p")
+  }
+
   test("substring dedup: gram shuffles carry hashes, dup set broadcasts back") {
     val p = plan("dedup_substring")
     // the semi join against the duplicated-gram set must be broadcast

@@ -114,6 +114,27 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(skewCounts.map(_._2).sum == n)
   }
 
+  test("char entropy: repetition collapses it, uniform junk maxes it, natural text sits in band") {
+    val docs = Seq(
+      (1L, "aaaaaaaaaaaaaaaaaaaaaaaa"),                       // one symbol: H = 0
+      (2L, "abababababababababababab"),                       // two symbols: H = 1
+      (3L, ('!' to 'z').mkString),                            // ~uniform: H ≈ log2(90) > 4.8
+      (4L, "the quick brown fox jumps over the lazy dog")     // natural band
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropyOver(docs, 1.5, 4.8).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getDouble(3) == 0.0 && out(1L).getInt(4) == 1, "constant doc must flag low")
+    assert(out(2L).getDouble(3) == 1.0 && out(2L).getInt(4) == 1, "two-symbol doc must flag low")
+    assert(out(3L).getDouble(3) > 4.8 && out(3L).getInt(4) == 1, "uniform junk must flag high")
+    assert(out(4L).getInt(4) == 0, "natural text must pass")
+    // the synthetic corpus sits inside the band end-to-end (measured
+    // 3.68–4.24 bits) — no false positives
+    val corpus = TextAnalysis.charEntropy(spark, sfDir).collect()
+    assert(corpus.forall(_.getInt(4) == 0),
+      s"corpus docs flagged: ${corpus.filter(_.getInt(4) == 1).map(_.getLong(0)).toSeq}")
+    assert(corpus.forall(r => r.getDouble(3) > 0.0 && r.getDouble(3) < 6.0))
+  }
+
   test("domain mix: weights downsample only, over-represented sources shrink toward the uniform target") {
     val rows = TextAnalysis.domainMix(spark, sfDir).collect()
     val total = rows.map(_.getLong(2)).sum.toDouble
