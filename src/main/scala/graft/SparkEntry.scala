@@ -132,6 +132,7 @@ object SparkEntry {
     "ann_pq_adc"             -> ((s: SparkSession, d: String) => Similarity.annPqAdc(s, d)),
     "ann_ivfpq"              -> ((s: SparkSession, d: String) => Similarity.annIvfPq(s, d)),
     "ann_ivfpq_batch"        -> ((s: SparkSession, d: String) => Similarity.annIvfPqBatch(s, d)),
+    "sample_hard_negatives"  -> ((s: SparkSession, d: String) => Similarity.hardNegatives(s, d)),
     "q_salted_join"          -> ((s: SparkSession, d: String) => Relational.qSaltedJoin(s, d)),
     "text_quality"           -> TextAnalysis.quality _,
     "text_langid"            -> TextAnalysis.langid _,
@@ -1493,6 +1494,32 @@ object SparkEntry {
          |  PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM cand)
          |SELECT qid, CAST(rank AS INT) AS rank, vec_id,
          | CAST(list_id AS BIGINT) AS list_id, score
+         |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // hard negatives: the ann_ivf_batch CTEs with the different-label
+    // predicate applied at candidate time (the index carries labels)
+    "sample_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT label AS c_label, list(a ORDER BY pos) AS cv
+         |  FROM (SELECT label, pos, avg(x) AS a
+         |    FROM (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e)
+         |    GROUP BY label, pos)
+         |  GROUP BY label),
+         |qs AS (SELECT vec_id AS qid, label AS q_label, v AS qv FROM e WHERE vec_id % 100 = 0),
+         |pr AS (SELECT qid, q_label, qv, c_label, row_number() OVER (PARTITION BY qid
+         |    ORDER BY ${cosSql("cv", "qv")} DESC, c_label) AS rn FROM c, qs),
+         |prob AS (SELECT qid, q_label, qv, c_label AS list_id FROM pr WHERE rn <= 2),
+         |a AS (SELECT vec_id, c_label, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ${cosSql("v", "cv")} DESC, c_label) AS rn FROM e CROSS JOIN c),
+         |asg AS (SELECT vec_id, c_label AS list_id FROM a WHERE rn = 1),
+         |cand AS (SELECT prob.qid, e.vec_id, e.label AS neg_label,
+         |   round(${cosSql("e.v", "prob.qv")}, 4) AS score
+         |  FROM e JOIN asg ON e.vec_id = asg.vec_id
+         |  JOIN prob ON asg.list_id = prob.list_id
+         |  WHERE e.vec_id <> prob.qid AND e.label <> prob.q_label),
+         |rk AS (SELECT qid, vec_id, neg_label, score, row_number() OVER (
+         |  PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM cand)
+         |SELECT qid, CAST(rank AS INT) AS rank, vec_id,
+         | CAST(neg_label AS INT) AS neg_label, score
          |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     // PQ-ADC: label-mean codewords per 8-dim subspace, first-argmin
     // encode (ties -> smaller label), ADC candidate cut at rounded approx

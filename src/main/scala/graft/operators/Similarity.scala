@@ -163,12 +163,17 @@ object Similarity {
     import spark.implicits._
     val centsDf = cents.toDF("c_label", "cv")
       .select(col("c_label"), col("cv").cast("array<double>").as("cv"))
+    // the source row's own attributes (label) ride along into the lists:
+    // attribute-filtered ANN (hard-negative mining, metadata predicates)
+    // must evaluate its filter INSIDE the probed partitions, not through
+    // a corpus-sized join at query time
     e.crossJoin(broadcast(centsDf))
       .withColumn("sim", Vec.cosine(col("v"), col("cv")))
       .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("v"), col("c_label")),
+      .agg(max_by(struct(col("label"), col("v"), col("c_label")),
         struct(col("sim"), -col("c_label"))).as("best"))
-      .select(col("vec_id"), col("best.v").as("v"), col("best.c_label").as("list_id"))
+      .select(col("vec_id"), col("best.label").as("label"),
+        col("best.v").as("v"), col("best.c_label").as("list_id"))
   }
 
   /** Persisted IVF index (the real-IVF layout contract): inverted lists
@@ -222,10 +227,11 @@ object Similarity {
       val f = new java.io.File(s"$dir/embeddings.parquet")
       val files = if (f.isDirectory) f.listFiles().toSeq else Seq(f)
       // layout epoch prefix: bumping it invalidates indexes built under an
-      // older SCHEMA (pq2 = lists carry PQ sub-codes) even when the corpus
-      // itself is unchanged; the refine count is build CONFIG, so it keys
-      // the version the same way
-      s"pq2|refine=$refine|" +
+      // older SCHEMA (pq2 = lists carry PQ sub-codes; pq3 = rows also
+      // carry their label for attribute-filtered serving) even when the
+      // corpus itself is unchanged; the refine count is build CONFIG, so
+      // it keys the version the same way
+      s"pq3|refine=$refine|" +
         files.map(x => s"${x.getName}:${x.length}:${x.lastModified}").sorted.mkString("|")
     }
     // versioned layout: the corpus stamp names the version directory, so
@@ -597,6 +603,50 @@ object Similarity {
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id"), col("approx_dist"), col("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** F38: hard-negative mining — the contrastive-training data op
+    * (retrieval/embedding training wants, per anchor, the most SIMILAR
+    * examples with a DIFFERENT label: near-misses the loss learns the
+    * most from). This is attribute-filtered batch ANN over the persisted
+    * index: probe selection and candidate fetch are exactly F8d's shape
+    * (broadcast probe-pair join against the `list_id`-partitioned
+    * layout), and the label predicate evaluates INSIDE the probed lists —
+    * the index rows carry their label (pq3 layout), so the filter costs
+    * zero joins and candidates that share the anchor's label never leave
+    * the scan. Top-k per anchor over the surviving negatives only.
+    * Deterministic end-to-end ⇒ full oracle. */
+  def hardNegatives(spark: SparkSession, dir: String, k: Int = 5, nprobe: Int = 2,
+      queryMod: Long = 100L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val (listsPath, cents) = ivfIndex(spark, dir)
+    val centsDf = cents.toDF("c_label", "cv")
+      .select(col("c_label"), col("cv").cast("array<double>").as("cv"))
+    val queries = vectors(spark, dir).filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("label").as("q_label"),
+        col("v").as("qv"), Vec.norm(col("v")).as("qnrm"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(Vec.cosine(col("qv"), col("cv")).desc, col("c_label"))
+    val probes = queries.crossJoin(broadcast(centsDf))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("q_label"), col("qv"), col("qnrm"),
+        col("c_label").as("list_id"))
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("vec_id"))
+    ivfLists(spark, listsPath)
+      .join(probes, Seq("list_id"))
+      // the hard-negative predicate: different label, not the anchor —
+      // evaluated on index columns inside the probed partitions
+      .filter(col("vec_id") =!= col("qid") && col("label") =!= col("q_label"))
+      .withColumn("score",
+        round(Vec.dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 4))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"),
+        col("label").cast("int").as("neg_label"), col("score"))
       .orderBy(col("qid"), col("rank"))
   }
 

@@ -117,6 +117,42 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.unset("graft.ivf.refine")
   }
 
+  test("hard negatives: never the anchor's label, filter evaluates on index columns") {
+    val out = Similarity.hardNegatives(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val labels = Similarity.vectors(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      val (qid, vid, negLabel) = (r.getLong(0), r.getLong(2), r.getInt(3))
+      assert(negLabel != labels(qid),
+        s"anchor $qid mined a same-label 'negative' $vid")
+      assert(negLabel == labels(vid), "reported label must be the candidate's")
+      assert(vid != qid)
+    }
+    // per-anchor ranks are 1..k without gaps and scores descend
+    out.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length).toSeq)
+      val scores = sorted.map(_.getDouble(4))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"anchor $qid scores not descending")
+    }
+    // the label predicate reads the INDEX's label column: the lists scan
+    // serves label (ReadSchema), and every corpus-parquet scan is the
+    // query-vector fetch (carries the % queryMod filter — a full
+    // unfiltered corpus scan would mean candidate labels were joined
+    // back from the table). The corpus subtree may print twice: once as
+    // the probe side, once inside the dynamic-partition-pruning subquery
+    // that prunes the lists — both are the tiny filtered fetch.
+    val p = Similarity.hardNegatives(spark, sfDir).queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,label:int"),
+      s"index scan does not serve the label column:\n$p")
+    val corpusScans = p.linesIterator.filter(l =>
+      l.contains("Scan parquet") && l.contains("embeddings.parquet")).toSeq
+    assert(corpusScans.nonEmpty && corpusScans.forall(_.contains("% 100")),
+      s"an unfiltered corpus scan on the candidate path:\n${corpusScans.mkString("\n")}")
+  }
+
   test("ann_topk ranks an exact duplicate of the query vector first") {
     // top hit of the query against the corpus must dominate the rest
     val top = Similarity.annTopK(spark, sfDir, queryId = 0L, k = 5).collect()
