@@ -183,6 +183,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"1-row totals must broadcast:\n$p")
   }
 
+  test("ccnet buckets: per-language ranking never collapses to a single-task window") {
+    val p = plan("text_ccnet_buckets")
+    // the rank window is partitioned by (lang, score-range-chunk) — a
+    // SinglePartition exchange would mean the per-language sort funneled
+    assert(!p.contains("SinglePartition"),
+      s"per-language ntile collapsed to a single-task window:\n$p")
+  }
+
   test("substring dedup: gram shuffles carry hashes, dup set broadcasts back") {
     val p = plan("dedup_substring")
     // the semi join against the duplicated-gram set must be broadcast
