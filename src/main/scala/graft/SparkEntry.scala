@@ -80,6 +80,8 @@ object SparkEntry {
     "load_fk_validate"       -> LoadOps.fkValidate _,
     "mon_freshness"          -> ((s: SparkSession, d: String) => LoadOps.freshness(s, d)),
     "etl_schema_evolve"      -> Staging.schemaEvolve _,
+    "etl_fuzzy_match"        -> ((s: SparkSession, d: String) => Staging.fuzzyMatch(s, d)),
+    "mon_run_gaps"           -> LoadOps.runGaps _,
     "mon_key_skew"           -> LoadOps.keySkew _,
     "etl_response_validate"  -> ((s: SparkSession, d: String) => LoadOps.responseValidate(s, d)),
     "etl_response_diagnose"  -> LoadOps.responseDiagnose _,
@@ -857,6 +859,43 @@ object SparkEntry {
         | CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
         | round(sum(o_totalprice), 2) AS sum_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // fuzzy linkage: same trigram blocking + levenshtein verify + best
+    // match per record (row_number stands in for Spark's min_by)
+    "etl_fuzzy_match" ->
+      """WITH dirty AS (SELECT CAST(p_partkey AS BIGINT) AS key,
+        |  CASE WHEN p_partkey % 3 = 0 THEN substr(p_name, 2)
+        |       WHEN p_partkey % 3 = 1 THEN p_name || substr(p_name, length(p_name), 1)
+        |       ELSE replace(p_name, ' ', '_') END AS dirty_name FROM part),
+        |clean AS (SELECT DISTINCT p_name AS clean_name FROM part),
+        |cg AS (SELECT clean_name, unnest(list_distinct(CASE WHEN length(clean_name) >= 3
+        |  THEN [substr(clean_name, CAST(i AS INT), 3) for i in range(1, length(clean_name) - 1)]
+        |  ELSE [clean_name] END)) AS g FROM clean),
+        |dg AS (SELECT key, dirty_name, unnest(list_distinct(CASE WHEN length(dirty_name) >= 3
+        |  THEN [substr(dirty_name, CAST(i AS INT), 3) for i in range(1, length(dirty_name) - 1)]
+        |  ELSE [dirty_name] END)) AS g FROM dirty),
+        |cand AS (SELECT DISTINCT key, dirty_name, clean_name FROM dg JOIN cg USING (g)),
+        |sc AS (SELECT key, clean_name, levenshtein(dirty_name, clean_name) AS dist
+        |  FROM cand WHERE levenshtein(dirty_name, clean_name) <= 2),
+        |best AS (SELECT key, clean_name AS matched_name, dist,
+        |  row_number() OVER (PARTITION BY key ORDER BY dist, clean_name) AS rn FROM sc)
+        |SELECT coalesce(b.matched_name, 'UNMATCHED') AS matched_name,
+        | count(*) AS n_records,
+        | CAST(coalesce(sum(b.dist), 0) AS BIGINT) AS total_dist,
+        | CAST(sum(d.key) AS BIGINT) AS key_checksum
+        |FROM dirty d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (key)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "mon_run_gaps" ->
+      """WITH runs AS (SELECT DISTINCT event_type AS source,
+        |  CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day FROM events),
+        |kept AS (SELECT source, day FROM runs WHERE (day + length(source)) % 7 <> 0),
+        |b AS (SELECT source, min(day) AS mn, max(day) AS mx FROM kept GROUP BY 1),
+        |spine AS (SELECT source, unnest(generate_series(mn, mx)) AS day FROM b)
+        |SELECT s.source, count(*) AS span_days,
+        | CAST(sum(CASE WHEN k.day IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+        | CAST(coalesce(sum(CASE WHEN k.day IS NULL THEN s.day END), 0) AS BIGINT)
+        |   AS gap_day_checksum
+        |FROM spine s LEFT JOIN kept k ON s.source = k.source AND s.day = k.day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "load_fk_validate" ->
       """WITH dim AS (SELECT c_custkey FROM customer WHERE c_custkey % 11 <> 0)
         |SELECT o_orderpriority, count(*) AS n_orders,

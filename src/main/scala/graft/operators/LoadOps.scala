@@ -530,6 +530,39 @@ object LoadOps {
       .orderBy(col("source"))
   }
 
+  /** D18: run-calendar gap detection — the third leg of the
+    * run-history family: D13 sees a source that SHRANK, D17 one that
+    * went silent at the tail; this finds the holes in the MIDDLE — days
+    * inside a source's active span with no run at all (a paused
+    * scheduler, a silently-skipped window). The source's (min, max) day
+    * bounds expand to a calendar spine (`sequence` + explode — days ×
+    * sources rows, tiny at any data scale because the RUN LOG is already
+    * one row per (source, day) here) and a left join marks the missing
+    * days. Wire: the modeled scheduler skips every day where
+    * (day + len(source)) % 7 == 0, planting deterministic gaps. */
+  def runGaps(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val kept = t.events
+      .withColumn("day", expr("(ts div 1000000000) div 86400").cast("long"))
+      .groupBy(col("event_type").as("source"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .filter((col("day") + length(col("source"))) % 7 =!= 0)
+      .select(col("source"), col("day"))
+      // (sources × days) rows — checkpointed: the bounds branch and the
+      // spine join both read these rows, never the event log twice
+      .localCheckpoint(true)
+    val spine = kept.groupBy(col("source"))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(col("source"), explode(sequence(col("mn"), col("mx"))).as("day"))
+    spine.join(kept.withColumn("ran", lit(1)), Seq("source", "day"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("span_days"),
+        sum(when(col("ran").isNull, 1L).otherwise(0L)).cast("long").as("n_gaps"),
+        coalesce(sum(when(col("ran").isNull, col("day"))), lit(0L))
+          .cast("long").as("gap_day_checksum"))
+      .orderBy(col("source"))
+  }
+
   /** D13: run-over-run drift detection. monitoring.py:187 `save_metrics`
     * persists one metrics snapshot per run — the HISTORY those files
     * accumulate is what answers "did this source suddenly shrink or

@@ -249,6 +249,62 @@ object Staging {
         sum(when(col("l_shipdate").isNull, 1).otherwise(0)).cast("long").as("null_shipdate"))
   }
 
+  /** Character trigrams of a string (whole string when shorter than 3) —
+    * the blocking key of [[fuzzyMatch]]. */
+  def trigrams(c: Column): Column =
+    when(length(c) >= 3,
+      transform(sequence(lit(1), length(c) - 2), i => c.substr(i, lit(3))))
+    .otherwise(array(c))
+
+  /** B8: fuzzy record linkage — the staging step the reference does by
+    * exact safe-name equality (utils.py naming) but real dirty feeds
+    * need approximately: match incoming records to the canonical
+    * dimension when names arrive corrupted (dropped characters,
+    * doubled letters, separator drift). Classic two-stage shape:
+    * TRIGRAM BLOCKING first — a candidate pair must share at least one
+    * character 3-gram, so the match join is gram-keyed instead of a
+    * (records × dimension) cross product — then exact Levenshtein
+    * verify (Spark's native `levenshtein`, codegen'd) with a distance
+    * cap, best match per record by (distance, name) — deterministic, no
+    * window: one max_by-style agg. At 100 TB the gram side of a MODEST
+    * dimension broadcasts (AQE decides; unhinted here) and the dirty
+    * side streams through — no all-pairs stage anywhere. Wire: each
+    * part's name is corrupted by one of three deterministic rules
+    * (first char dropped / last char doubled / spaces to underscores —
+    * each edit distance 1 from its clean form). Rollup per matched
+    * canonical name (UNMATCHED never occurs on this wire but is
+    * reported as a class, not dropped). Full oracle. */
+  def fuzzyMatch(spark: SparkSession, dir: String, maxDist: Int = 2): DataFrame = {
+    val t = Tables(spark, dir)
+    val clean = t.part.select(col("p_name").as("clean_name")).distinct()
+    val k = col("p_partkey")
+    val dirtyName = when(k % 3 === 0, expr("substr(p_name, 2)"))
+      .when(k % 3 === 1,
+        concat(col("p_name"), substring(col("p_name"), -1, 1)))
+      .otherwise(regexp_replace(col("p_name"), " ", "_"))
+    val dirty = t.part.select(k.cast("long").as("key"), dirtyName.as("dirty_name"))
+    val cleanG = clean.select(col("clean_name"),
+      explode(array_distinct(trigrams(col("clean_name")))).as("g"))
+    val dirtyG = dirty.select(col("key"), col("dirty_name"),
+      explode(array_distinct(trigrams(col("dirty_name")))).as("g"))
+    val cand = dirtyG.join(cleanG, Seq("g"))
+      .select(col("key"), col("dirty_name"), col("clean_name")).distinct()
+    val best = cand
+      .withColumn("dist", levenshtein(col("dirty_name"), col("clean_name")))
+      .filter(col("dist") <= maxDist)
+      .groupBy(col("key"))
+      .agg(min_by(struct(col("clean_name"), col("dist")),
+        struct(col("dist"), col("clean_name"))).as("b"))
+      .select(col("key"), col("b.clean_name").as("matched_name"),
+        col("b.dist").as("dist"))
+    dirty.join(best, Seq("key"), "left")
+      .groupBy(coalesce(col("matched_name"), lit("UNMATCHED")).as("matched_name"))
+      .agg(count(lit(1)).as("n_records"),
+        coalesce(sum(col("dist")), lit(0L)).cast("long").as("total_dist"),
+        sum(col("key")).cast("long").as("key_checksum"))
+      .orderBy(col("matched_name"))
+  }
+
   /** B4: best candidate by feature count (utils.py:24
     * best_shapefile_by_count): per nation, the supplier with the highest
     * account balance (argmax with deterministic tie-break). */

@@ -299,6 +299,28 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     rows.foreach(r => assert(r.getLong(2) >= 0 && !r.isNullAt(3)))
   }
 
+  test("run gaps: planted scheduler holes are found, span covers first-to-last active day") {
+    import org.apache.spark.sql.functions.{col, expr, length, countDistinct}
+    val rows = graft.operators.LoadOps.runGaps(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // the wire drops (day + len(source)) % 7 == 0 — recompute the truth
+    val t = graft.Tables(spark, sfDir)
+    val days = t.events
+      .withColumn("day", expr("(ts div 1000000000) div 86400").cast("long"))
+      .select(col("event_type").as("source"), col("day")).distinct()
+      .filter((col("day") + length(col("source"))) % 7 =!= 0)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { r =>
+      val (src, span, gaps) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val active = days(src)
+      assert(span == active.max - active.min + 1, s"$src span $span")
+      assert(gaps == span - active.size, s"$src gaps $gaps")
+      val wantCk = (active.min to active.max).filterNot(active).sum
+      assert(r.getLong(3) == wantCk, s"$src gap checksum")
+    }
+  }
+
   test("freshness: the newest source has age 0, staleness fires exactly at the threshold") {
     val rows = graft.operators.LoadOps.freshness(spark, sfDir).collect()
     assert(rows.nonEmpty)

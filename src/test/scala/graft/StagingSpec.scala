@@ -67,4 +67,57 @@ class StagingSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(3)))
     assert(rows.toSeq == Seq(("id", "duplicated", "long|string")))
   }
+
+  test("fuzzy match: rollup equals an exact brute-force reference (blocking included)") {
+    // independent reference computed in plain Scala: corrupt each name by
+    // the wire rule, pair with every clean name SHARING a trigram (the
+    // blocking predicate), verify with real edit distance, keep the best
+    // by (dist, name). Genuine ambiguities resolve exactly as the op
+    // does — e.g. "cold anvil" minus its first char IS "old anvil".
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    def grams(s: String): Set[String] =
+      if (s.length >= 3) (0 to s.length - 3).map(i => s.substring(i, i + 3)).toSet else Set(s)
+    val parts = spark.read.parquet(s"$sfDir/part.parquet")
+      .select("p_partkey", "p_name").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val cleans = parts.map(_._2).distinct.sorted
+    val cleanG = cleans.map(c => c -> grams(c)).toMap
+    def corrupt(k: Long, n: String): String =
+      if (k % 3 == 0) n.substring(1)
+      else if (k % 3 == 1) n + n.last
+      else n.replace(' ', '_')
+    val expect = parts.map { case (k, n) =>
+      val dn = corrupt(k, n)
+      val dg = grams(dn)
+      val best = cleans.iterator
+        .filter(c => cleanG(c).exists(dg))
+        .map(c => (lev(dn, c), c)).filter(_._1 <= 2)
+        .minOption
+      (k, best.map(_._2).getOrElse("UNMATCHED"), best.map(_._1).getOrElse(0))
+    }
+    val want = expect.groupBy(_._2).view.mapValues(xs =>
+      (xs.length.toLong, xs.map(_._3.toLong).sum, xs.map(_._1).sum)).toMap
+    val got = Staging.fuzzyMatch(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == want, s"op rollup differs from brute force:\n got=$got\nwant=$want")
+  }
+
+  test("fuzzy match blocking: a record sharing no trigram with a clean name never pairs with it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // "zzz" shares no 3-gram with any real name: candidate set must be empty
+    val g = Staging.trigrams(lit("zzzqqq"))
+    val cleanNames = spark.read.parquet(s"$sfDir/part.parquet")
+      .select(explode(Staging.trigrams(col("p_name"))).as("g")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val probe = Seq(1).toDF("x").select(explode(g).as("g"))
+      .collect().map(_.getString(0)).toSet
+    assert(probe.intersect(cleanNames).isEmpty, "probe unexpectedly shares grams")
+  }
 }
