@@ -82,6 +82,8 @@ object SparkEntry {
     "etl_schema_evolve"      -> Staging.schemaEvolve _,
     "etl_fuzzy_match"        -> ((s: SparkSession, d: String) => Staging.fuzzyMatch(s, d)),
     "mon_run_gaps"           -> LoadOps.runGaps _,
+    "mon_decay_avg"          -> ((s: SparkSession, d: String) => LoadOps.decayAvg(s, d)),
+    "geo_hotspot"            -> ((s: SparkSession, d: String) => Geo.gridHotspots(s, d)),
     "mon_key_skew"           -> LoadOps.keySkew _,
     "etl_response_validate"  -> ((s: SparkSession, d: String) => LoadOps.responseValidate(s, d)),
     "etl_response_diagnose"  -> LoadOps.responseDiagnose _,
@@ -884,6 +886,43 @@ object SparkEntry {
         | CAST(sum(d.key) AS BIGINT) AS key_checksum
         |FROM dirty d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (key)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "mon_decay_avg" ->
+      """WITH runs AS (SELECT event_type AS source,
+        |  CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+        |  sum(value) AS duration FROM events GROUP BY 1, 2)
+        |SELECT t.source, t.day, count(*) AS n_in_window,
+        | round(max(t.duration), 2) AS duration,
+        | round(sum(p.duration * pow(0.5, t.day - p.day))
+        |   / sum(pow(0.5, t.day - p.day)), 4) AS smoothed,
+        | round(max(t.duration) / (sum(p.duration * pow(0.5, t.day - p.day))
+        |   / sum(pow(0.5, t.day - p.day))), 4) AS anomaly_ratio
+        |FROM runs t JOIN runs p ON t.source = p.source
+        |  AND p.day <= t.day AND p.day > t.day - 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "geo_hotspot" ->
+      s"""WITH c AS ($synthXY),
+         |cl AS (SELECT CAST(floor(x / 100000) AS BIGINT) AS cx,
+         |  CAST(floor(y / 100000) AS BIGINT) AS cy, count(*) AS n
+         | FROM c GROUP BY 1, 2),
+         |o AS (SELECT a.dx, b.dy FROM (VALUES (-1), (0), (1)) a(dx),
+         |  (VALUES (-1), (0), (1)) b(dy)),
+         |r AS (SELECT c2.cx + o.dx AS ncx, c2.cy + o.dy AS ncy,
+         |  c2.cx AS ocx, c2.cy AS ocy FROM cl c2, o),
+         |ring AS (SELECT r.ocx AS cx, r.ocy AS cy,
+         |  CAST(sum(cl.n) AS BIGINT) AS ring_sum,
+         |  CAST(count(*) AS BIGINT) AS ring_cells
+         | FROM r JOIN cl ON r.ncx = cl.cx AND r.ncy = cl.cy GROUP BY 1, 2),
+         |g AS (SELECT CAST(count(*) AS DOUBLE) AS nc, avg(n) AS mean,
+         |  sqrt(CAST(sum(n * n) AS DOUBLE) / count(*) - avg(n) * avg(n)) AS sd
+         | FROM cl)
+         |SELECT cl.cx, cl.cy, cl.n, ring_sum, ring_cells,
+         | round((ring_sum - ring_cells * mean) / (sd * sqrt(CAST(ring_cells AS DOUBLE)
+         |   * (nc - ring_cells) / (nc - 1.0))), 4) AS gi_z,
+         | CAST((ring_sum - ring_cells * mean) / (sd * sqrt(CAST(ring_cells AS DOUBLE)
+         |   * (nc - ring_cells) / (nc - 1.0))) > 2.0 AS INT) AS hot,
+         | CAST((ring_sum - ring_cells * mean) / (sd * sqrt(CAST(ring_cells AS DOUBLE)
+         |   * (nc - ring_cells) / (nc - 1.0))) < -2.0 AS INT) AS cold
+         |FROM cl JOIN ring USING (cx, cy), g ORDER BY cx, cy""".stripMargin,
     "mon_run_gaps" ->
       """WITH runs AS (SELECT DISTINCT event_type AS source,
         |  CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day FROM events),

@@ -228,6 +228,59 @@ object Geo {
       .orderBy(col("bucket"))
   }
 
+  /** C12: grid hotspot detection — the reference platform's flagship
+    * spatial statistic (arcpy Hot Spot Analysis / Getis-Ord Gi*) at
+    * engine level: find cells whose NEIGHBORHOOD is anomalously dense,
+    * not just dense cells (one packed cell in a sparse area and a
+    * uniformly busy region must score differently). Features aggregate
+    * to grid-cell counts first (the C10/C11 grid trick — all later math
+    * runs on the CELL table, thousands of rows from billions of
+    * features), each cell then meets exactly its 3×3 ring through an
+    * explode of the 9 offsets + one join on the neighbor cell id, and
+    * the Gi*-style z-score compares the ring sum against its expectation
+    * under the global cell-count distribution:
+    *   z = (ringSum − w·mean) / (sd · sqrt(w·(N−w)/(N−1)))
+    * with w = ring size (≤9), over the OCCUPIED cells (the standard
+    * engine-level simplification; empty-cell inclusion would only shift
+    * mean/sd). Counts and ring sums are exact integers; mean/sd/z are
+    * computed with one fixed expression order so the rounded score is
+    * cross-engine stable. */
+  def gridHotspots(spark: SparkSession, dir: String, cell: Double = 100000.0,
+      hotZ: Double = 2.0): DataFrame = {
+    import spark.implicits._
+    val df = synthXY(Tables(spark, dir).orders)
+    val cells = df
+      .withColumn("cx", floor(col("x") / cell).cast("long"))
+      .withColumn("cy", floor(col("y") / cell).cast("long"))
+      .groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("n"))
+      // cell table: thousands of rows regardless of feature count —
+      // checkpointed once, every later stage reads it
+      .localCheckpoint(true)
+    val offsets = (for (dx <- -1 to 1; dy <- -1 to 1) yield (dx, dy)).toDF("dx", "dy")
+    val ring = cells.crossJoin(broadcast(offsets))
+      .select((col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"),
+        col("cx").as("ocx"), col("cy").as("ocy"))
+      .join(cells.select(col("cx"), col("cy"), col("n").as("nn")), Seq("cx", "cy"))
+      .groupBy(col("ocx").as("cx"), col("ocy").as("cy"))
+      .agg(sum(col("nn")).cast("long").as("ring_sum"),
+        count(lit(1)).cast("long").as("ring_cells"))
+    val g = cells.agg(
+      count(lit(1)).cast("double").as("nc"),
+      avg(col("n")).as("mean"),
+      // population sd from integer sums: sqrt(Σn²/N − mean²)
+      sqrt(sum(col("n") * col("n")).cast("double") / count(lit(1)) -
+        avg(col("n")) * avg(col("n"))).as("sd"))
+    val z = (col("ring_sum") - col("ring_cells") * col("mean")) /
+      (col("sd") * sqrt(col("ring_cells").cast("double") *
+        (col("nc") - col("ring_cells")) / (col("nc") - 1.0)))
+    cells.join(ring, Seq("cx", "cy"))
+      .crossJoin(broadcast(g))
+      .select(col("cx"), col("cy"), col("n"), col("ring_sum"), col("ring_cells"),
+        round(z, 4).as("gi_z"),
+        (z > hotZ).cast("int").as("hot"), (z < -hotZ).cast("int").as("cold"))
+      .orderBy(col("cx"), col("cy"))
+  }
+
   /** The C11 oracle body (shared bit arithmetic). */
   def zorderSql: String = {
     val sx = spreadBitsSql("xi")

@@ -530,6 +530,41 @@ object LoadOps {
       .orderBy(col("source"))
   }
 
+  /** D19: decay-weighted run smoothing — the monitoring baseline that a
+    * plain rolling mean gets wrong: yesterday's runtime should count more
+    * than last week's when judging whether TODAY is anomalous. Each
+    * (source, day) run duration is smoothed against its trailing window
+    * with half-life-one-day weights (0.5^gap — exact dyadic rationals, so
+    * the weighting itself adds no float noise), implemented as a bounded
+    * RANGE self-join on the day key (gap ≤ `windowDays`): at any scale
+    * the join fan-out is ≤ windowDays rows per run — never a window over
+    * unbounded history, never a driver loop. The anomaly ratio compares
+    * each day to its own smoothed baseline. */
+  def decayAvg(spark: SparkSession, dir: String, windowDays: Int = 7): DataFrame = {
+    val t = Tables(spark, dir)
+    val runs = t.events
+      .withColumn("day", expr("(ts div 1000000000) div 86400").cast("long"))
+      .groupBy(col("event_type").as("source"), col("day"))
+      .agg(sum(col("value")).as("duration"))
+      // (sources × days) rows — checkpointed: both join sides read these
+      .localCheckpoint(true)
+    val w = pow(lit(0.5), col("t.day") - col("p.day"))
+    runs.as("t")
+      .join(runs.as("p"),
+        col("t.source") === col("p.source") &&
+          col("p.day") <= col("t.day") &&
+          col("p.day") > col("t.day") - windowDays)
+      .groupBy(col("t.source").as("source"), col("t.day").as("day"))
+      .agg(count(lit(1)).as("n_in_window"),
+        max(col("t.duration")).as("dur"),
+        (sum(col("p.duration") * w) / sum(w)).as("sm"))
+      .select(col("source"), col("day"), col("n_in_window"),
+        round(col("dur"), 2).as("duration"),
+        round(col("sm"), 4).as("smoothed"),
+        round(col("dur") / col("sm"), 4).as("anomaly_ratio"))
+      .orderBy(col("source"), col("day"))
+  }
+
   /** D18: run-calendar gap detection — the third leg of the
     * run-history family: D13 sees a source that SHRANK, D17 one that
     * went silent at the tail; this finds the holes in the MIDDLE — days

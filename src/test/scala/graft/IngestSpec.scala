@@ -299,6 +299,40 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     rows.foreach(r => assert(r.getLong(2) >= 0 && !r.isNullAt(3)))
   }
 
+  test("decay average: a source's first day is its own baseline, windows stay bounded") {
+    val rows = graft.operators.LoadOps.decayAvg(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= 7,
+        s"${r.getString(0)}/${r.getLong(1)} window ${r.getLong(2)} outside [1,7]")
+      assert(r.getDouble(4) > 0.0, "smoothed must be positive")
+    }
+    // the first day of every source has only itself in the window:
+    // smoothed == duration, anomaly ratio exactly 1
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val first = rs.minBy(_.getLong(1))
+      assert(first.getLong(2) == 1L, s"$src first day window ${first.getLong(2)}")
+      assert(first.getDouble(5) == 1.0, s"$src first day ratio ${first.getDouble(5)}")
+    }
+  }
+
+  test("hotspot: ring sums recompute from neighbors, flags agree with the score") {
+    val rows = graft.operators.Geo.gridHotspots(spark, sfDir).collect()
+    val n = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // population conservation: every feature lands in exactly one cell
+    val total = spark.read.parquet(s"$sfDir/orders.parquet").count()
+    assert(rows.map(_.getLong(2)).sum == total)
+    rows.foreach { r =>
+      val (cx, cy) = (r.getLong(0), r.getLong(1))
+      val want = (for (dx <- -1 to 1; dy <- -1 to 1)
+        yield n.getOrElse((cx + dx, cy + dy), 0L)).sum
+      assert(r.getLong(3) == want, s"cell ($cx,$cy) ring ${r.getLong(3)} != $want")
+      // flags agree with the rounded score (loose bound absorbs rounding)
+      if (r.getInt(6) == 1) assert(r.getDouble(5) >= 2.0 - 1e-3)
+      if (r.getInt(7) == 1) assert(r.getDouble(5) <= -2.0 + 1e-3)
+    }
+  }
+
   test("run gaps: planted scheduler holes are found, span covers first-to-last active day") {
     import org.apache.spark.sql.functions.{col, expr, length, countDistinct}
     val rows = graft.operators.LoadOps.runGaps(spark, sfDir).collect()
