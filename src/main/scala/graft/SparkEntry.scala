@@ -83,6 +83,7 @@ object SparkEntry {
     "etl_fuzzy_match"        -> ((s: SparkSession, d: String) => Staging.fuzzyMatch(s, d)),
     "mon_run_gaps"           -> LoadOps.runGaps _,
     "mon_decay_avg"          -> ((s: SparkSession, d: String) => LoadOps.decayAvg(s, d)),
+    "load_file_stats"        -> ((s: SparkSession, d: String) => LoadOps.fileStats(s, d)),
     "geo_hotspot"            -> ((s: SparkSession, d: String) => Geo.gridHotspots(s, d)),
     "mon_key_skew"           -> LoadOps.keySkew _,
     "etl_response_validate"  -> ((s: SparkSession, d: String) => LoadOps.responseValidate(s, d)),
@@ -886,6 +887,16 @@ object SparkEntry {
         | CAST(sum(d.key) AS BIGINT) AS key_checksum
         |FROM dirty d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (key)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // file stats: the oracle reads the exact files the op wrote (same
+    // verify run), so per-file attribution and bounds must agree
+    "load_file_stats" ->
+      """SELECT CAST(batch AS INT) AS batch,
+        | regexp_extract(filename, '([^/]+)$', 1) AS file,
+        | count(*) AS n_rows, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        | CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+        |FROM read_parquet('/root/repo/target/graft_filestats/orders/*/*.parquet',
+        |  filename=true, hive_partitioning=true)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "mon_decay_avg" ->
       """WITH runs AS (SELECT event_type AS source,
         |  CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,

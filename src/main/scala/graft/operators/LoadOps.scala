@@ -530,6 +530,33 @@ object LoadOps {
       .orderBy(col("source"))
   }
 
+  /** D20: per-file layout statistics — the manifest a lakehouse table
+    * format keeps per data file (row count, per-column min/max, a
+    * checksum) and the input to every data-skipping decision: a reader
+    * prunes files whose [min,max] can't satisfy the predicate. The op
+    * lands a partitioned layout and rolls up stats PER PHYSICAL FILE
+    * (`input_file_name`, native), proving file-level bounds the way D8
+    * proves directory-level pruning. The oracle reads the very same
+    * files (`filename=true`), so a stats drift — a row attributed to the
+    * wrong file, a wrong bound — hash-mismatches. At 100 TB this is the
+    * manifest-build job run after every load/compaction. */
+  def fileStats(spark: SparkSession, dir: String, nBatches: Int = 8): DataFrame = {
+    val out = Tables.scratch(spark, "graft_filestats/orders")
+    Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_totalprice"),
+        pmod(col("o_orderkey"), lit(nBatches)).cast("int").as("batch"))
+      .repartition(4) // several files per partition directory
+      .write.mode("overwrite").partitionBy("batch").parquet(out)
+    spark.read.parquet(out)
+      .withColumn("file", regexp_extract(input_file_name(), "([^/]+)$", 1))
+      .groupBy(col("batch").cast("int").as("batch"), col("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        sum(col("o_orderkey")).cast("long").as("key_checksum"))
+      .orderBy(col("batch"), col("file"))
+  }
+
   /** D19: decay-weighted run smoothing — the monitoring baseline that a
     * plain rolling mean gets wrong: yesterday's runtime should count more
     * than last week's when judging whether TODAY is anomalous. Each

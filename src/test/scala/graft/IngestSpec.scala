@@ -299,6 +299,23 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     rows.foreach(r => assert(r.getLong(2) >= 0 && !r.isNullAt(3)))
   }
 
+  test("file stats: per-file rows conserve the table, bounds nest inside their partition") {
+    val rows = graft.operators.LoadOps.fileStats(spark, sfDir).collect()
+    val total = spark.read.parquet(s"$sfDir/orders.parquet").count()
+    assert(rows.map(_.getLong(2)).sum == total, "file rows must conserve the table")
+    rows.foreach { r =>
+      val (batch, mn, mx) = (r.getInt(0), r.getLong(3), r.getLong(4))
+      assert(mn <= mx)
+      // every key in the file belongs to the file's partition
+      assert(mn % 8 == batch && mx % 8 == batch,
+        s"file ${r.getString(1)} bounds [$mn,$mx] outside batch $batch")
+    }
+    // several physical files per partition directory (the repartition(4)
+    // plant) — the stats are genuinely per-file, not per-directory
+    val filesPerBatch = rows.groupBy(_.getInt(0)).view.mapValues(_.length)
+    assert(filesPerBatch.values.max > 1, s"one file per dir: $filesPerBatch")
+  }
+
   test("decay average: a source's first day is its own baseline, windows stay bounded") {
     val rows = graft.operators.LoadOps.decayAvg(spark, sfDir).collect()
     assert(rows.nonEmpty)
