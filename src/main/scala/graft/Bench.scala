@@ -67,8 +67,11 @@ object Bench {
     val benchScratch = new java.io.File(sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_SCRATCH", "/root/repo/target/bench_scratch")).getAbsolutePath
     rm(new java.io.File(benchScratch))
-    val scratchKeys = Seq("graft.scratch.root", "graft.snapshot.root",
-      "graft.compact.root", "graft.evolve.root")
+    // ONE key moves every write-path root: the per-op override keys
+    // (graft.snapshot/compact/evolve.root) all DEFAULT through
+    // Tables.scratch, so a future write-path op is isolated (and
+    // write-classified) automatically just by using the shared helper
+    val scratchKeys = Seq("graft.scratch.root")
     // a rep that THROWS contributes no time: min-of-n over successful reps
     // only (a fast failure would otherwise report as the query's best
     // time); a query with zero successes lands as null in the JSON and in

@@ -199,11 +199,15 @@ object Pipeline {
     * — the reference's fallback, download_wfs.py:184-188 — the single
     * typename carried as a `typeName=` parameter on the source URL (the
     * substring after the first `typeName=` up to the next `&`, exactly
-    * the reference's split). */
+    * the reference's split). The URL is consulted ONLY when
+    * `typenameColumn` is set: that field is what declares the source
+    * typed in this engine's wire model, so a config that merely carries
+    * a WFS-style url (previously ignored entirely) keeps loading
+    * un-layered instead of suddenly failing or changing layout. */
   def resolvedTypenames(src: SourceCfg): Option[Seq[String]] =
     src.typenames.orElse(
-      src.url.filter(_.contains("typeName=")).map(u =>
-        Seq(u.split("typeName=", 2)(1).split("&")(0))))
+      src.url.filter(u => src.typenameColumn.isDefined && u.contains("typeName="))
+        .map(u => Seq(u.split("typeName=", 2)(1).split("&")(0))))
 
   /** Layered sources stage one target per layer: DISCOVERED layers
     * (container layers, OGC collections) or CONFIG/URL-listed typenames. */
@@ -260,15 +264,8 @@ object Pipeline {
   /** The version-directory names the manifest currently lists (empty when
     * no manifest has been published). One name per line. */
   def readManifest(fs: org.apache.hadoop.fs.FileSystem,
-      base: org.apache.hadoop.fs.Path): Seq[String] = {
-    if (!fs.exists(manifestFile(base))) Seq.empty
-    else {
-      val in = fs.open(manifestFile(base))
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .map(_.trim).filter(_.nonEmpty).toList
-      finally in.close()
-    }
-  }
+      base: org.apache.hadoop.fs.Path): Seq[String] =
+    readLines(fs, manifestFile(base))
 
   /** Rewrite the manifest to name exactly `live`. `create(overwrite)` +
     * close is one small object write — an atomic PUT on S3A; on HDFS a
@@ -276,11 +273,28 @@ object Pipeline {
     * its own open handle, never torn data, because version directories
     * are immutable once listed. */
   def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
-      base: org.apache.hadoop.fs.Path, live: Seq[String]): Unit = {
-    val out = fs.create(manifestFile(base), true)
-    try out.write((live.mkString("\n") + "\n").getBytes("UTF-8"))
+      base: org.apache.hadoop.fs.Path, live: Seq[String]): Unit =
+    writeLines(fs, manifestFile(base), live)
+
+  private def prevFile(base: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(base, "_GRAFT_PREV")
+
+  private def writeLines(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, lines: Seq[String]): Unit = {
+    val out = fs.create(p, true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
   }
+
+  private def readLines(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Seq[String] =
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty).toList
+      finally in.close()
+    }
 
   /** Reader-side resolution for manifest-published targets: the full
     * paths of the live version directories of `target/<name>` (empty if
@@ -379,12 +393,21 @@ object Pipeline {
               val live = if (appendMode) prior :+ verName else Seq(verName)
               writeManifest(fs, dst, live)
               if (!appendMode) {
-                // keep the live version + the newest superseded one
-                val keep = (live ++ prior.lastOption).toSet
-                fs.listStatus(dst)
-                  .filter(s => s.isDirectory && s.getPath.getName.startsWith("v_") &&
-                    !keep.contains(s.getPath.getName))
-                  .foreach(s => fs.delete(s.getPath, true))
+                // GC with a FULL-generation reader grace: the entire prior
+                // manifest generation survives this publish (a reader that
+                // resolved it may be mid-scan of ANY of its versions), and
+                // only versions recorded in the generation-before-last
+                // ledger (`_GRAFT_PREV`) are deleted — never an arbitrary
+                // v_* directory, so a concurrent writer's in-flight
+                // version can't be swept (the IVF _tmp_ rule, manifest
+                // form). Crashed writers' orphan dirs are left alone.
+                val keep = (live ++ prior).toSet
+                val prev2 = readLines(fs, prevFile(dst))
+                prev2.filterNot(keep).foreach { v =>
+                  val p = new Path(dst, v)
+                  if (fs.exists(p)) fs.delete(p, true): Unit
+                }
+                writeLines(fs, prevFile(dst), prior)
               }
               if (appendMode) {
                 // append reconcile counts ALL live versions (prior

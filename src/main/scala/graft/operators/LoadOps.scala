@@ -410,7 +410,7 @@ object LoadOps {
   def loadCompaction(spark: SparkSession, dir: String, nBatches: Int = 8): DataFrame = {
     // scratch root is conf-keyed (the graft.ivf.root pattern) so the op
     // is portable across checkouts and concurrent runs can isolate
-    val base = spark.conf.get("graft.compact.root", "/root/repo/target/graft_compact")
+    val base = spark.conf.get("graft.compact.root", Tables.scratch(spark, "graft_compact"))
     val frag = s"$base/frag"
     val comp = s"$base/compact"
     val src = Tables(spark, dir).orders
@@ -539,7 +539,12 @@ object LoadOps {
     * proves directory-level pruning. The oracle reads the very same
     * files (`filename=true`), so a stats drift — a row attributed to the
     * wrong file, a wrong bound — hash-mismatches. At 100 TB this is the
-    * manifest-build job run after every load/compaction. */
+    * manifest-build job run after every load/compaction.
+    *
+    * Note: the DuckDB oracle names the DEFAULT scratch root (a static SQL
+    * string can't read the session conf) — the correctness gate runs with
+    * default conf; redirected-scratch runs (the bench) never consult the
+    * oracle. */
   def fileStats(spark: SparkSession, dir: String, nBatches: Int = 8): DataFrame = {
     val out = Tables.scratch(spark, "graft_filestats/orders")
     Tables(spark, dir).orders

@@ -262,7 +262,7 @@ object Similarity {
       // columns — column pruning keeps the wide `v` out of the candidate
       // scan entirely
       assigned
-        .select(assigned.columns.map(col) ++ pqCodeCols(cents, PqSubspaces): _*)
+        .select(assigned.columns.toIndexedSeq.map(col) ++ pqCodeCols(cents, PqSubspaces): _*)
         .repartition(col("list_id"))           // one file per list directory
         .write.mode("overwrite").partitionBy("list_id").parquet(s"$tmp/lists")
       cents.toDF("list_id", "cv").write.mode("overwrite").parquet(s"$tmp/centroids")

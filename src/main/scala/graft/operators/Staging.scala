@@ -100,7 +100,7 @@ object Staging {
     // layout root is conf-keyed (the graft.ivf.root pattern) so the op
     // is portable across checkouts and concurrent runs can isolate
     val root = spark.conf.get("graft.evolve.root",
-      "/root/repo/target/graft_evolve") + "/part"
+      Tables.scratch(spark, "graft_evolve")) + "/part"
     val t = Tables(spark, dir).part
     // generation 1: written before the price column existed
     t.select(col("p_partkey"), col("p_name")).withColumn("gen", lit(1))

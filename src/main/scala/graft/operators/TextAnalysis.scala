@@ -735,17 +735,27 @@ object TextAnalysis {
     * language (the F33 skew guard is the hardening path if a language's
     * scores collapse into one range). */
   def ccnetBuckets(spark: SparkSession, dir: String, nChunks: Int = 32): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import spark.implicits._
     val t = Tables(spark, dir)
-    val scored = lmScore(spark, dir)
-      .join(t.documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
-      .select(col("doc_id"), col("lang"), col("avg_logprob"))
-      .localCheckpoint(true)
+    ccnetBucketsOver(
+      lmScore(spark, dir)
+        .join(t.documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("avg_logprob")),
+      nChunks)
+  }
+
+  /** The F36 core over an explicit (doc_id, lang, avg_logprob) frame, so
+    * specs can plant degenerate corpora (empty input included). */
+  def ccnetBucketsOver(scoredIn: DataFrame, nChunks: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = scoredIn.sparkSession
+    import spark.implicits._
+    val scored = scoredIn.localCheckpoint(true)
     // global score bounds: one tiny agg; chunk ids DESCEND with score so
-    // ascending (lang, chunk) order is rank order within each language
+    // ascending (lang, chunk) order is rank order within each language.
+    // An empty corpus yields a null aggregate — bounds then don't matter
+    // (every later stage is empty-safe), they only must not throw.
     val b = scored.agg(min(col("avg_logprob")), max(col("avg_logprob"))).head()
-    val (mn, mx) = (b.getDouble(0), b.getDouble(1))
+    val (mn, mx) = if (b.isNullAt(0)) (0.0, 0.0) else (b.getDouble(0), b.getDouble(1))
     val chunk =
       if (mx > mn)
         least(lit(nChunks - 1), greatest(lit(0),

@@ -819,7 +819,7 @@ object Ingest {
     * truncate-and-load): write a snapshot, read it back, reconcile. */
   def snapshotLoad(spark: SparkSession, dir: String): DataFrame = {
     val out = spark.conf.get("graft.snapshot.root",
-      "/root/repo/target/graft_snapshot") + "/lineitem"
+      Tables.scratch(spark, "graft_snapshot")) + "/lineitem"
     Tables(spark, dir).lineitem
       .filter(col("l_returnflag") === "R")
       .write.mode("overwrite").parquet(out)
@@ -904,7 +904,7 @@ object Ingest {
     // staging root is conf-keyed (the graft.ivf.root pattern) so the op
     // is portable across checkouts and concurrent runs can isolate
     val out = spark.conf.get("graft.snapshot.root",
-      "/root/repo/target/graft_snapshot") + "/lineitem_orc"
+      Tables.scratch(spark, "graft_snapshot")) + "/lineitem_orc"
     Tables(spark, dir).lineitem
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
       .write.mode("overwrite").orc(out)

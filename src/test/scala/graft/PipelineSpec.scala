@@ -191,6 +191,54 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.unset("graft.publish.mode")
   }
 
+  test("manifest GC grace covers a whole multi-version prior generation and spares foreign dirs") {
+    spark.conf.set("graft.publish.mode", "manifest")
+    try {
+      val tgt = s"$target/manifest_grace"
+      val app = PipelineCfg(
+        sources = Seq(SourceCfg(name = "g", path = s"$sfDir/region.parquet")),
+        load = Some(LoadCfg(tgt, "append")), cleanupBeforeRun = true)
+      Pipeline.run(spark, app).collect()
+      Pipeline.run(spark, app.copy(cleanupBeforeRun = false)).collect()
+      val appended = Pipeline.resolvePublished(spark, tgt, "g")
+      assert(appended.size == 2)
+      // a concurrent writer's in-flight (never-published) version dir
+      val foreign = new java.io.File(s"$tgt/g/v_9999999999999_1_1")
+      foreign.mkdirs()
+      // truncate over the two-version generation: BOTH prior versions
+      // must survive this publish (a reader resolving [v1, v2] may be
+      // mid-scan of either), and the foreign dir must not be swept
+      val trunc = app.copy(load = Some(LoadCfg(tgt, "truncate")), cleanupBeforeRun = false)
+      Pipeline.run(spark, trunc).collect()
+      val disk1 = new java.io.File(s"$tgt/g").listFiles()
+        .filter(_.getName.startsWith("v_")).map(_.getName).toSet
+      appended.map(p => new java.io.File(p).getName).foreach(v =>
+        assert(disk1.contains(v), s"prior-generation version $v GC'd without grace"))
+      assert(disk1.contains(foreign.getName), "foreign in-flight dir was swept")
+      // one more truncate: the old generation is now two publishes old
+      // and goes away; the foreign dir STILL survives (never in a ledger)
+      Pipeline.run(spark, trunc).collect()
+      val disk2 = new java.io.File(s"$tgt/g").listFiles()
+        .filter(_.getName.startsWith("v_")).map(_.getName).toSet
+      appended.map(p => new java.io.File(p).getName).foreach(v =>
+        assert(!disk2.contains(v), s"two-generations-old version $v survived GC"))
+      assert(disk2.contains(foreign.getName), "foreign dir swept by ledger GC")
+    } finally spark.conf.unset("graft.publish.mode")
+  }
+
+  test("a url with typeName= but no typenameColumn stays un-layered (previously-ignored field)") {
+    // configs that merely carry the reference's source url must keep
+    // loading the whole source exactly as before the fallback existed
+    val cfg = PipelineCfg(sources = Seq(
+      SourceCfg(name = "plain", path = s"$sfDir/customer.parquet",
+        url = Some("https://example.test/wfs?typeName=BUILDING"))))
+    assert(!Pipeline.isLayered(cfg.sources.head))
+    val out = Pipeline.run(spark, cfg).collect()
+    assert(out.length == 1 && out.head.getString(0) == "plain")
+    assert(out.head.getLong(1) ==
+      spark.read.parquet(s"$sfDir/customer.parquet").count())
+  }
+
   test("url-embedded typeName= is the typename fallback when the config lists none") {
     // download_wfs.py:184-188: config typenames win; absent those, the
     // substring after the first `typeName=` (up to the next `&`) on the

@@ -171,6 +171,14 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("ccnet buckets: empty and single-doc corpora don't throw") {
+    val empty = Seq.empty[(Long, String, Double)].toDF("doc_id", "lang", "avg_logprob")
+    assert(TextAnalysis.ccnetBucketsOver(empty, 32).count() == 0)
+    val one = Seq((1L, "en", -1.5)).toDF("doc_id", "lang", "avg_logprob")
+    val rows = TextAnalysis.ccnetBucketsOver(one, 32).collect()
+    assert(rows.length == 1 && rows.head.getInt(1) == 1 && rows.head.getLong(2) == 1L)
+  }
+
   test("traindata pipeline: stage lineage chains, every stage only removes, pack count is the token ceiling") {
     val rows = TextAnalysis.traindataPipeline(spark, sfDir).collect()
       .map(r => r.getString(1) -> r).toMap
