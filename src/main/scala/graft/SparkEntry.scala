@@ -105,6 +105,7 @@ object SparkEntry {
     "q_sessionize"           -> Relational.qSessionize _,
     "q_time_bucket"          -> Relational.qTimeBucket _,
     "q_running_agg"          -> Relational.qRunningAgg _,
+    "q_sliding_distinct"     -> ((s: SparkSession, d: String) => Relational.qSlidingDistinct(s, d)),
     "q_percentile"           -> Relational.qPercentile _,
     "q_stats"                -> Relational.qStats _,
     "q_approx_distinct"      -> Relational.qApproxDistinct _,
@@ -1189,6 +1190,15 @@ object SparkEntry {
          | round(sum(value) OVER (PARTITION BY user_id ORDER BY sec, event_id
          |   ROWS UNBOUNDED PRECEDING), 2) AS running_value
          |FROM ev ORDER BY user_id, sec, event_id""".stripMargin,
+    "q_sliding_distinct" ->
+      """WITH du AS (SELECT DISTINCT
+        |  CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+        |  user_id FROM events),
+        |d AS (SELECT DISTINCT day FROM du)
+        |SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_distinct_users,
+        | count(*) AS n_user_days
+        |FROM d JOIN du u ON u.day <= d.day AND u.day > d.day - 7
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_percentile" ->
       """SELECT l_returnflag,
         | round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,

@@ -518,6 +518,33 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** E27: sliding-window distinct counting — trailing-7-day distinct
+    * users per day, the DAU/WAU-family metric every event pipeline
+    * serves. COUNT(DISTINCT) OVER a sliding range isn't expressible as a
+    * plain window (distinct state can't merge incrementally without a
+    * sketch), and the naive per-day subquery rescans the table |days|
+    * times. The scale shape: compress to DISTINCT (day, user) pairs ONCE
+    * (the heavy dedup, bounded by users×days, checkpointed), then a
+    * bounded RANGE self-join fans each pair into at most `window` day
+    * buckets, and one hash-agg per day counts distinct users. Exact —
+    * the approximate path for wider windows is the HLL aggregate (E20),
+    * whose partials DO merge. */
+  def qSlidingDistinct(spark: SparkSession, dir: String, window: Int = 7): DataFrame = {
+    val t = Tables(spark, dir)
+    val du = t.events
+      .withColumn("day", expr("(ts div 1000000000) div 86400").cast("long"))
+      .select(col("day"), col("user_id")).distinct()
+      .localCheckpoint(true)
+    val days = du.select(col("day")).distinct()
+    days.as("d")
+      .join(du.as("u"),
+        col("u.day") <= col("d.day") && col("u.day") > col("d.day") - window)
+      .groupBy(col("d.day").as("day"))
+      .agg(countDistinct(col("u.user_id")).as("n_distinct_users"),
+        count(lit(1)).as("n_user_days"))
+      .orderBy(col("day"))
+  }
+
   /** E14: running per-user cumulative sum (incremental window frame —
     * sequential accumulation is order-identical to the oracle). */
   def qRunningAgg(spark: SparkSession, dir: String): DataFrame = {

@@ -10,6 +10,11 @@ final case class SessionSummary(user_id: Long, n_events: Long, start_sec: Long,
     end_sec: Long, session_value: Double)
 private final case class SessionState(n: Long, start: Long, last: Long, sum: Double)
 
+/** Input/output rows for the streaming absence detector (G9). */
+final case class SourceEvent(ts: java.sql.Timestamp, source: String)
+final case class StaleAlert(source: String, last_seen_sec: Long)
+private final case class FreshState(lastSec: Long)
+
 /** Structured Streaming surface (SURVEY §2 G). The reference's pipeline is
   * batch re-ingest on a schedule (run.py); the Spark-native upgrade is a
   * continuous pipeline: file/queue source → watermarked event-time
@@ -71,6 +76,39 @@ object EventStreams {
           }
           cur.foreach(state.update)
           closed.iterator
+      }
+  }
+
+  /** G9: streaming absence detection — the capability NO batch pass has:
+    * an alert that fires with ZERO new data from the silent source. The
+    * batch op (LoadOps.freshness, D17) can only see staleness when a job
+    * runs; here each source's state arms an EVENT-TIME TIMEOUT at
+    * last_seen + staleAfter, and the watermark — advanced by the OTHER
+    * sources' traffic — trips it: the engine calls the function with
+    * `hasTimedOut` for the silent source's group, emitting the alert and
+    * dropping the state (re-armed if the source ever returns). State is
+    * O(live sources); timeouts make it self-evicting, so the query runs
+    * forever. */
+  def stalenessStream(events: Dataset[SourceEvent],
+      staleAfterSec: Long = 600L): Dataset[StaleAlert] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[FreshState, StaleAlert](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (src: String, rows: Iterator[SourceEvent], state: GroupState[FreshState]) =>
+          if (state.hasTimedOut) {
+            val last = state.get.lastSec
+            state.remove()
+            Iterator(StaleAlert(src, last))
+          } else {
+            val newest = rows.map(_.ts.getTime / 1000L).max
+            val last = math.max(state.getOption.map(_.lastSec).getOrElse(0L), newest)
+            state.update(FreshState(last))
+            state.setTimeoutTimestamp((last + staleAfterSec) * 1000L)
+            Iterator.empty
+          }
       }
   }
 }

@@ -66,6 +66,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("G9: event-time timeout flags a silent source with zero new data from it") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{SourceEvent, StaleAlert}
+    val mem = MemoryStream[SourceEvent]
+    val q = EventStreams.stalenessStream(mem.toDS(), staleAfterSec = 600L)
+      .writeStream.outputMode("append").format("memory").queryName("g9_out").start()
+    try {
+      // batch 1: both sources alive at t=100s
+      mem.addData(SourceEvent(ts("2024-01-01 00:01:40"), "A"),
+        SourceEvent(ts("2024-01-01 00:01:40"), "B"))
+      q.processAllAvailable()
+      assert(spark.table("g9_out").count() == 0)
+      // batch 2: ONLY B reports at t=1000s — the watermark advances past
+      // A's timeout (100 + 600), armed entirely by B's traffic
+      mem.addData(SourceEvent(ts("2024-01-01 00:16:40"), "B"))
+      q.processAllAvailable()
+      // batch 3: B again — the engine now processes A's expired timer.
+      // A contributed NO event since t=100: the alert is timer-driven.
+      mem.addData(SourceEvent(ts("2024-01-01 00:18:20"), "B"))
+      q.processAllAvailable()
+      val alerts = spark.table("g9_out").as[StaleAlert].collect()
+        .map(a => (a.source, a.last_seen_sec)).toSet
+      assert(alerts.map(_._1) == Set("A"), s"expected only A stale: $alerts")
+      // last_seen is A's true final event second (epoch of 00:01:40)
+      val wantSec = ts("2024-01-01 00:01:40").getTime / 1000L
+      assert(alerts.head._2 == wantSec)
+      // B keeps refreshing its own timer — never flagged while it reports
+      assert(!spark.table("g9_out").as[StaleAlert].collect().exists(_.source == "B"))
+    } finally q.stop()
+  }
+
   test("G4: stream-stream interval join (click->purchase attribution)") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(java.sql.Timestamp, Long)]

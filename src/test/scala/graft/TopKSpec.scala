@@ -51,4 +51,21 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
       .groupBy("o_custkey").count().collect().map(_.getLong(1))
     assert(counts.nonEmpty && counts.forall(_ <= 3))
   }
+
+  test("sliding distinct: window=1 is plain daily distinct, wider windows only grow") {
+    val daily = Relational.qSlidingDistinct(spark, sfDir, window = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val weekly = Relational.qSlidingDistinct(spark, sfDir, window = 7).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(daily.keySet == weekly.keySet)
+    // truth for window=1 straight from the table
+    import org.apache.spark.sql.functions._
+    val truth = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("day", expr("(ts div 1000000000) div 86400").cast("long"))
+      .groupBy("day").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(daily == truth, "window=1 must equal per-day distinct")
+    daily.keySet.foreach(d => assert(weekly(d) >= daily(d),
+      s"day $d: widening the window shrank the count"))
+  }
 }
