@@ -161,6 +161,7 @@ object SparkEntry {
     "sample_weighted"        -> ((s: SparkSession, d: String) => TextAnalysis.weightedSample(s, d)),
     "sample_domain_mix"      -> TextAnalysis.domainMix _,
     "text_entropy"           -> ((s: SparkSession, d: String) => TextAnalysis.charEntropy(s, d)),
+    "mm_audio_chunks"        -> ((s: SparkSession, d: String) => Multimodal.audioChunks(s, d)),
     "text_ccnet_buckets"     -> ((s: SparkSession, d: String) => TextAnalysis.ccnetBuckets(s, d)),
     "mm_binary_meta"         -> Multimodal.binaryMeta _,
     "mm_frame_sample"        -> Multimodal.frameSample _,
@@ -1865,6 +1866,24 @@ object SparkEntry {
         | round(max(alp), 3) AS max_score, round(min(alp), 3) AS min_score,
         | CAST(sum(doc_id) AS BIGINT) AS id_checksum
         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "mm_audio_chunks" ->
+      """WITH m AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n FROM documents),
+        |h AS (SELECT doc_id, n,
+        |  CASE WHEN n % 2 = 0 THEN 8000 ELSE 16000 END AS sample_rate,
+        |  500 + (n * 13) % 9501 AS dur FROM m),
+        |w AS (SELECT *, CASE WHEN dur < 1000 THEN 0
+        |    ELSE (dur - 1000) // 500 + 1 END AS nfull FROM h),
+        |t AS (SELECT *, CASE WHEN nfull = 0 THEN 0
+        |    ELSE (nfull - 1) * 500 + 1000 END AS last_end FROM w),
+        |k AS (SELECT *, greatest(1, nfull +
+        |    CASE WHEN dur - last_end >= 500 THEN 1 ELSE 0 END) AS chunks FROM t),
+        |f AS (SELECT doc_id, n, sample_rate, dur, CAST(i AS BIGINT) AS c
+        |  FROM k, range(0, 100) r(i) WHERE i < chunks)
+        |SELECT doc_id, c AS chunk_idx, CAST(sample_rate AS BIGINT) AS sample_rate,
+        | CAST(dur AS BIGINT) AS duration_ms, CAST(c * 500 AS BIGINT) AS start_ms,
+        | CAST(least(c * 500 + 1000, dur) AS BIGINT) AS end_ms,
+        | CAST(100 + (n * 31 + c * 17 + sample_rate // 1000) % 9973 AS BIGINT) AS energy_stub
+        |FROM f ORDER BY doc_id, chunk_idx""".stripMargin,
     "mm_frame_sample" ->
       """WITH m AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n FROM documents),
         |f AS (SELECT doc_id, n, CAST(i AS BIGINT) AS frame_idx

@@ -64,6 +64,50 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** F39: audio chunking — the third modality's staging step (image =
+    * F12/F22, video = F14): a decoded waveform splits into OVERLAPPING
+    * fixed-duration windows (the standard ASR/embedding front-end shape:
+    * window + hop, the tail window kept when ≥ half-filled). Duration and
+    * sample rate derive deterministically from the payload (STUB — a real
+    * decoder reads the container header), so chunk boundaries are pure
+    * integer arithmetic and the full fan-out is oracle-checkable. The
+    * fan-out is partition-local flatMap like F14: a 100 TB audio corpus
+    * chunks with zero shuffle, and each chunk row carries exactly what a
+    * downstream batch featurizer (mapInPandas in PySpark, typed
+    * mapPartitions here) consumes: (doc, chunk idx, start/end ms, a stub
+    * energy feature). */
+  def audioChunks(spark: SparkSession, dir: String, winMs: Long = 1000L,
+      hopMs: Long = 500L): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    t.documents
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { iter =>
+        iter.flatMap { case (id, text) =>
+          val n = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong
+          // STUB header read: 8/16 kHz by payload parity, ~bytes→duration
+          val rate = if (n % 2L == 0L) 8000L else 16000L
+          val durMs = 500L + (n * 13L) % 9501L
+          // full windows + a ≥half-filled tail
+          val full = if (durMs < winMs) 0L else (durMs - winMs) / hopMs + 1L
+          val lastEnd = if (full == 0L) 0L else (full - 1L) * hopMs + winMs
+          val tail = if (durMs - lastEnd >= winMs / 2L) 1L else 0L
+          val chunks = math.max(1L, full + tail)
+          (0L until chunks).map { c =>
+            val start = c * hopMs
+            val end = math.min(start + winMs, durMs)
+            // STUB energy: a featurizer would integrate samples
+            val energy = 100L + (n * 31L + c * 17L + rate / 1000L) % 9973L
+            (id, c, rate, durMs, start, end, energy)
+          }
+        }
+      }
+      .toDF("doc_id", "chunk_idx", "sample_rate", "duration_ms",
+        "start_ms", "end_ms", "energy_stub")
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** F22: resize — strided downsampling of the (stub-)decoded pixel grid
     * to a target edge (a real kernel: area/bilinear over the decoded
     * buffer; the stride/edge/sample-count plumbing here is exactly what

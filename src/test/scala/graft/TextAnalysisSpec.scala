@@ -171,6 +171,33 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("audio chunks: hop-aligned overlapping windows cover the clip, tail kept when half-filled") {
+    val rows = graft.operators.Multimodal.audioChunks(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_.getLong(1))
+      val dur = sorted.head.getLong(3)
+      // contiguous chunk ids from 0; hop-aligned starts; ends clamped
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(1) == i, s"doc $doc chunk ids not contiguous")
+        assert(r.getLong(4) == i * 500L, s"doc $doc chunk $i start ${r.getLong(4)}")
+        assert(r.getLong(5) == math.min(r.getLong(4) + 1000L, dur))
+        assert(r.getLong(5) > r.getLong(4), s"doc $doc chunk $i empty")
+      }
+      // coverage: the last chunk reaches (or passes half of) the clip end
+      val last = sorted.last
+      assert(dur - last.getLong(5) < 500L, s"doc $doc tail uncovered: $dur vs ${last.getLong(5)}")
+      // every doc chunks at least once, even sub-window clips
+      assert(sorted.nonEmpty)
+      // consecutive chunks overlap by window - hop (when both full)
+      sorted.sliding(2).foreach {
+        case Array(a, b) if a.getLong(5) - a.getLong(4) == 1000L =>
+          assert(b.getLong(4) < a.getLong(5), s"doc $doc gap between chunks")
+        case _ => ()
+      }
+    }
+  }
+
   test("ccnet buckets: empty and single-doc corpora don't throw") {
     val empty = Seq.empty[(Long, String, Double)].toDF("doc_id", "lang", "avg_logprob")
     assert(TextAnalysis.ccnetBucketsOver(empty, 32).count() == 0)
