@@ -524,11 +524,15 @@ object Relational {
     * plain window (distinct state can't merge incrementally without a
     * sketch), and the naive per-day subquery rescans the table |days|
     * times. The scale shape: compress to DISTINCT (day, user) pairs ONCE
-    * (the heavy dedup, bounded by users×days, checkpointed), then a
-    * bounded RANGE self-join fans each pair into at most `window` day
-    * buckets, and one hash-agg per day counts distinct users. Exact —
-    * the approximate path for wider windows is the HLL aggregate (E20),
-    * whose partials DO merge. */
+    * (the heavy dedup, bounded by users×days, checkpointed), then each
+    * pair EXPLODES into the ≤ `window` target days it contributes to —
+    * turning the range condition into an equi key, so the only join is a
+    * broadcast SEMI against the tiny existing-days set (a naive range
+    * formulation plans as a nested-loop join testing |days| predicates
+    * per pair; the explode emits `window` rows and hash-joins). One
+    * hash-agg per day counts distinct users. Exact — the approximate
+    * path for wider windows is the HLL aggregate (E20), whose partials
+    * DO merge. */
   def qSlidingDistinct(spark: SparkSession, dir: String, window: Int = 7): DataFrame = {
     val t = Tables(spark, dir)
     val du = t.events
@@ -536,11 +540,11 @@ object Relational {
       .select(col("day"), col("user_id")).distinct()
       .localCheckpoint(true)
     val days = du.select(col("day")).distinct()
-    days.as("d")
-      .join(du.as("u"),
-        col("u.day") <= col("d.day") && col("u.day") > col("d.day") - window)
-      .groupBy(col("d.day").as("day"))
-      .agg(countDistinct(col("u.user_id")).as("n_distinct_users"),
+    du.select(col("user_id"),
+        explode(sequence(col("day"), col("day") + (window - 1))).as("day"))
+      .join(broadcast(days), Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("n_distinct_users"),
         count(lit(1)).as("n_user_days"))
       .orderBy(col("day"))
   }

@@ -67,5 +67,12 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
     assert(daily == truth, "window=1 must equal per-day distinct")
     daily.keySet.foreach(d => assert(weekly(d) >= daily(d),
       s"day $d: widening the window shrank the count"))
+    // the range condition is rewritten to an equi key: the plan must
+    // hash-join (broadcast semi), never nested-loop over the day range
+    val p = Relational.qSlidingDistinct(spark, sfDir).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"existing-days filter is not a broadcast semi join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"sliding window planned as a nested loop:\n$p")
   }
 }
