@@ -160,6 +160,7 @@ object SparkEntry {
     "q_set_ops"              -> Relational.qSetOps _,
     "sample_weighted"        -> ((s: SparkSession, d: String) => TextAnalysis.weightedSample(s, d)),
     "sample_domain_mix"      -> TextAnalysis.domainMix _,
+    "text_domain_divergence" -> TextAnalysis.domainDivergence _,
     "text_entropy"           -> ((s: SparkSession, d: String) => TextAnalysis.charEntropy(s, d)),
     "mm_audio_chunks"        -> ((s: SparkSession, d: String) => Multimodal.audioChunks(s, d)),
     "text_ccnet_buckets"     -> ((s: SparkSession, d: String) => TextAnalysis.ccnetBuckets(s, d)),
@@ -1828,6 +1829,23 @@ object SparkEntry {
         | CAST((ln(CAST(n AS DOUBLE)) - s / n) / ln(2.0) < 1.5
         |   OR (ln(CAST(n AS DOUBLE)) - s / n) / ln(2.0) > 4.8 AS INT) AS flag_junk
         |FROM h ORDER BY doc_id""".stripMargin,
+    // domain JSD: present-terms sum + the closed-form absent-terms mass,
+    // identical expression order; round(,4) absorbs sum-order noise
+    "text_domain_divergence" ->
+      s"""WITH tc AS (SELECT source, term, count(*) AS c
+         |  FROM (SELECT source, unnest($toks) AS term FROM documents)
+         |  GROUP BY 1, 2),
+         |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM tc GROUP BY 1),
+         |tt AS (SELECT term, CAST(sum(c) AS BIGINT) AS ct FROM tc GROUP BY 1),
+         |n AS (SELECT CAST(sum(c) AS DOUBLE) AS nt FROM tc)
+         |SELECT source, max(ns) AS n_tokens, count(*) AS n_terms,
+         | round((sum((c / CAST(ns AS DOUBLE)) * ln((c / CAST(ns AS DOUBLE))
+         |     / ((c / CAST(ns AS DOUBLE) + ct / nt) / 2.0))
+         |   + (ct / nt) * ln((ct / nt)
+         |     / ((c / CAST(ns AS DOUBLE) + ct / nt) / 2.0)))
+         |  + (1.0 - sum(ct / nt)) * ln(2.0)) / (2.0 * ln(2.0)), 4) AS jsd_bits
+         |FROM tc JOIN tt USING (term) JOIN st USING (source), n
+         |GROUP BY source ORDER BY source""".stripMargin,
     // domain mixture: identical IEEE op order (share = tokens/total, then
     // weight = (1/n)/share) so the unrounded doubles match bit-for-bit
     "sample_domain_mix" ->

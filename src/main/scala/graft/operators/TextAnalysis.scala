@@ -685,6 +685,50 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** F40: domain divergence — the measurement BEHIND mixture design
+    * ([[domainMix]] reweights by volume; this says which sources are
+    * actually DIFFERENT): per source, the Jensen-Shannon divergence
+    * between its unigram distribution and the whole corpus's. JSD is
+    * symmetric and bounded in [0,1] bit — comparable across sources —
+    * and splits into a present-terms sum plus a CLOSED FORM for every
+    * term the source lacks (a p=0 term contributes ½·g·ln2, so the
+    * absent-vocabulary mass is ½·ln2·(1 − Σ_present g) — no
+    * full-vocabulary enumeration per source, the term that would
+    * otherwise make this |sources|×|vocab|). Shape: ONE tokens explode
+    * compressed to (source, term, count) and checkpointed; global term
+    * weights join back on the term key; one hash-agg per source. Sum
+    * terms are integer-count-derived; only the final rounded sum is
+    * float (the F37 convention). */
+  def domainDivergence(spark: SparkSession, dir: String): DataFrame =
+    domainDivergenceOver(
+      Tables(spark, dir).documents.select(col("source"), col("text")))
+
+  /** The F40 core over an explicit (source, text) frame, so specs can
+    * plant identical / disjoint source vocabularies. */
+  def domainDivergenceOver(docs: DataFrame): DataFrame = {
+    val tc = docs
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val srcTot = tc.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+    val termTot = tc.groupBy(col("term")).agg(sum(col("c")).as("ct"))
+    val nTot = tc.agg(sum(col("c"))).head().getLong(0).toDouble
+    val p = col("c").cast("double") / col("ns")
+    val g = col("ct").cast("double") / nTot
+    val m = (p + g) / 2.0
+    tc.join(termTot, Seq("term"))
+      .join(broadcast(srcTot), Seq("source"))
+      .groupBy(col("source"))
+      .agg(max(col("ns")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        // present-terms JSD mass + the closed-form absent-terms mass
+        ((sum(p * log(p / m) + g * log(g / m)) +
+          (lit(1.0) - sum(g)) * math.log(2.0)) / (2.0 * math.log(2.0))).as("jsd"))
+      .select(col("source"), col("n_tokens"), col("n_terms"),
+        round(col("jsd"), 4).as("jsd_bits"))
+      .orderBy(col("source"))
+  }
+
   /** F35: domain-mixture reweighting — the static data-mixing pass every
     * multi-source training corpus runs (The Pile / MassiveText publish
     * exactly such per-source weights): measure each source's share of the

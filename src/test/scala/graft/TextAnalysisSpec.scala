@@ -198,6 +198,28 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("domain divergence: identical sources score 0, disjoint vocabularies score high, corpus in band") {
+    // two sources with the SAME distribution: each equals the global -> 0
+    val same = Seq(("a", "x y z"), ("b", "x y z")).toDF("source", "text")
+    TextAnalysis.domainDivergenceOver(same).collect()
+      .foreach(r => assert(math.abs(r.getDouble(3)) < 1e-9, r.toString))
+    // disjoint vocabularies: each source far from the pooled global —
+    // the global contains half of the source itself, so the measured
+    // divergence for a half-weight disjoint source is ~0.31 bits (the
+    // supremum vs a pooled global, not the 1-bit two-distribution JSD)
+    val disj = Seq(("a", "x x y"), ("b", "p q q")).toDF("source", "text")
+    TextAnalysis.domainDivergenceOver(disj).collect()
+      .foreach(r => assert(r.getDouble(3) > 0.25 && r.getDouble(3) <= 1.0, r.toString))
+    // the synthetic corpus's sources share a template vocabulary: all
+    // scores live strictly inside (0, 1) and are finite
+    val rows = TextAnalysis.domainDivergence(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val j = r.getDouble(3)
+      assert(j >= 0.0 && j < 1.0 && !j.isNaN, s"${r.getString(0)} jsd $j")
+    }
+  }
+
   test("ccnet buckets: empty and single-doc corpora don't throw") {
     val empty = Seq.empty[(Long, String, Double)].toDF("doc_id", "lang", "avg_logprob")
     assert(TextAnalysis.ccnetBucketsOver(empty, 32).count() == 0)
