@@ -2,6 +2,7 @@ package graft
 
 import graft.config.{Pipeline, PipelineCfg}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** End-to-end config-driven pipeline over the testdata — the op-etl
   * workflow (config.yaml → download/stage → process → truncate-load →
@@ -115,6 +116,47 @@ object PipelineDemo {
          |  "load": {"target": "${Tables.scratch(spark, "graft_pipeline_atom")}", "mode": "truncate"}
          |}""".stripMargin
     Pipeline.run(spark, PipelineCfg.fromJson(json))
+  }
+
+  /** The same declarative run published through MANIFEST COMMIT (the
+    * S3-safe mode, `graft.publish.mode=manifest`): data lands once in
+    * immutable version directories, the commit is one tiny manifest PUT.
+    * The summary row per source reports the run's reconcile AND the
+    * count a downstream READER gets by resolving the manifest
+    * ([[Pipeline.resolvePublished]]) — the oracle proves the committed
+    * bytes, not just the writer's bookkeeping, match the source. */
+  def runManifest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val target = Tables.scratch(spark, "graft_pipeline_manifest")
+    val json =
+      s"""{
+         |  "sources": [
+         |    {"name": "orders_f", "path": "$dir/orders.parquet",
+         |     "where": "o_orderstatus = 'F'"},
+         |    {"name": "customer_seg", "path": "$dir/customer.parquet",
+         |     "select": ["c_custkey", "c_name", "c_mktsegment"],
+         |     "where": "c_mktsegment = 'BUILDING'"}
+         |  ],
+         |  "load": {"target": "$target", "mode": "truncate"}
+         |}""".stripMargin
+    val prior = spark.conf.getOption("graft.publish.mode")
+    spark.conf.set("graft.publish.mode", "manifest")
+    try {
+      val summary = Pipeline.run(spark, PipelineCfg.fromJson(json)).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      // reader-side reconcile THROUGH the manifest
+      val rows = summary.map { case (src, loaded) =>
+        val live = Pipeline.resolvePublished(spark, target, src)
+        (src, loaded, spark.read.parquet(live: _*).count())
+      }
+      rows.toSeq.toDF("source", "rows_loaded", "rows_resolved")
+        .orderBy(col("source"))
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("graft.publish.mode", v)
+        case None    => spark.conf.unset("graft.publish.mode")
+      }
+    }
   }
 
   /** Config-listed WFS typename sweep (download_wfs.py:176

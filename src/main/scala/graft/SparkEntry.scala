@@ -119,6 +119,7 @@ object SparkEntry {
     "pipeline_wfs"           -> (PipelineDemo.runWfs _),
     "pipeline_rest"          -> (PipelineDemo.runRest _),
     "pipeline_atom"          -> (PipelineDemo.runAtom _),
+    "pipeline_manifest"      -> (PipelineDemo.runManifest _),
     // F — LLM-training-data operators
     "dedup_exact"            -> Dedup.dedupExact _,
     "dedup_fingerprint"      -> Dedup.dedupFingerprint _,
@@ -1244,6 +1245,15 @@ object SparkEntry {
         | FROM customer WHERE c_mktsegment = 'BUILDING'
         |UNION ALL SELECT 'lineitem_swept', count(*) FROM lineitem WHERE l_quantity >= 45
         |UNION ALL SELECT 'orders_f', count(*) FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY source""".stripMargin,
+    // manifest-commit publish: the writer's reconcile AND the count a
+    // reader resolves through the manifest must both match the source
+    "pipeline_manifest" ->
+      """SELECT 'customer_seg' AS source, count(*) AS rows_loaded,
+        | count(*) AS rows_resolved
+        | FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION ALL SELECT 'orders_f', count(*), count(*)
+        | FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY source""".stripMargin,
     // config-staged container: one summary row per DISCOVERED layer under
     // its sanitized feature-class name, counts = that nation's suppliers
