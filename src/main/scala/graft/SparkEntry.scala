@@ -128,6 +128,7 @@ object SparkEntry {
     "dedup_minhash_lsh"      -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "dedup_simhash"          -> ((s: SparkSession, d: String) => Dedup.simhashBuckets(s, d)),
     "dedup_winnow"           -> ((s: SparkSession, d: String) => Dedup.winnowDedup(s, d)),
+    "dedup_semantic"         -> ((s: SparkSession, d: String) => Similarity.semDedup(s, d)),
     "neardup_cosine"         -> ((s: SparkSession, d: String) => Similarity.neardupCosine(s, d)),
     "neardup_ivf_gated"      -> ((s: SparkSession, d: String) => Similarity.neardupIvfGated(s, d)),
     "ann_topk"               -> ((s: SparkSession, d: String) => Similarity.annTopK(s, d)),
@@ -1511,6 +1512,30 @@ object SparkEntry {
          |c AS (SELECT node, min(label) AS component FROM r GROUP BY 1)
          |SELECT component, count(*) AS n_docs, max(node) AS max_doc
          |FROM c GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""".stripMargin,
+    // SemDeDup: same label-mean quantizer CTEs as neardup_ivf_gated, then
+    // the paper's one-pass dominance rule (drop x iff a same-cluster
+    // duplicate y has lower rounded centroid-similarity, ties to lower id)
+    "dedup_semantic" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT label AS c_label, list(a ORDER BY pos) AS cv
+         |  FROM (SELECT label, pos, avg(x) AS a
+         |    FROM (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e)
+         |    GROUP BY label, pos)
+         |  GROUP BY label),
+         |a AS (SELECT vec_id, c_label, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ${cosSql("v", "cv")} DESC, c_label) AS rn FROM e CROSS JOIN c),
+         |asg AS (SELECT vec_id, c_label AS list_id FROM a WHERE rn = 1),
+         |w AS (SELECT e.vec_id, asg.list_id, e.v,
+         |    round(${cosSql("e.v", "c.cv")}, 4) AS csim
+         |  FROM e JOIN asg ON e.vec_id = asg.vec_id
+         |   JOIN c ON c.c_label = asg.list_id),
+         |dom AS (SELECT DISTINCT x.vec_id FROM w x JOIN w y
+         |  ON x.list_id = y.list_id AND x.vec_id <> y.vec_id
+         |  WHERE round(${cosSql("x.v", "y.v")}, 4) >= 0.4
+         |   AND (y.csim < x.csim OR (y.csim = x.csim AND y.vec_id < x.vec_id)))
+         |SELECT w.vec_id, CAST(w.list_id AS BIGINT) AS list_id, w.csim,
+         |  (w.vec_id NOT IN (SELECT vec_id FROM dom)) AS kept
+         |FROM w ORDER BY w.vec_id""".stripMargin,
     "neardup_cosine" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, CAST(a.label AS INT) AS label,

@@ -328,6 +328,69 @@ object Similarity {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** SemDeDup keep/drop verdicts over a clustered, centroid-scored corpus
+    * `(vec_id, list_id, v, nrm, csim)` — the testable core of [[semDedup]].
+    *
+    * Abbas et al. 2023 ("SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication") one-pass rule: within a cluster,
+    * a document is DROPPED iff some other member is a semantic duplicate
+    * (cosine ≥ threshold) with a LOWER similarity to the cluster centroid
+    * — the survivor of each duplicate group is its most "outlying" member,
+    * which the paper shows preserves diversity better than keeping the
+    * most central one. Ties on (rounded) centroid similarity break to the
+    * smaller vec_id. Deliberately ONE-PASS, as published: dominance is
+    * evaluated against the pre-removal cluster, so a chain A~B~C with
+    * descending priority drops BOTH B and C even though B (C's dominator)
+    * is itself dropped — removal is monotone in the threshold and needs
+    * no iterative fixpoint.
+    *
+    * Scale: one self-join on `list_id` (pair volume bounded by list
+    * population, the neardupIvfGated argument) feeding a semi-join-shaped
+    * distinct; no global sort, no driver state. */
+  def semDedupVerdicts(e: DataFrame, threshold: Double): DataFrame = {
+    val a = e.select(col("vec_id").as("id"), col("list_id"),
+      col("v").as("va"), col("nrm").as("na"), col("csim").as("ca"))
+    val b = e.select(col("vec_id").as("id2"), col("list_id"),
+      col("v").as("vb"), col("nrm").as("nb"), col("csim").as("cb"))
+    val dominated = a.join(b, Seq("list_id"))
+      .filter(col("id") =!= col("id2"))
+      .withColumn("cos", round(Vec.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .filter(col("cos") >= threshold &&
+        (col("cb") < col("ca") || (col("cb") === col("ca") && col("id2") < col("id"))))
+      .select(col("id").as("vec_id")).distinct()
+      .withColumn("rm", lit(true))
+    e.join(dominated, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list_id").cast("long").as("list_id"),
+        col("csim"), col("rm").isNull.as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** F41: SemDeDup — SEMANTIC dedup of an embedded corpus (Abbas et al.
+    * 2023): k-means clusters bound the candidate pairs, then each
+    * cluster keeps one representative per cosine-duplicate group (the
+    * member FARTHEST from the centroid; see [[semDedupVerdicts]] for the
+    * published one-pass rule). Complements the lexical family — MinHash/
+    * SimHash/winnow catch near-identical TEXT, SemDeDup catches
+    * same-MEANING rewrites that share no surface n-grams.
+    *
+    * Served entirely from the persisted IVF layout: the inverted lists
+    * ARE the clusters (quantizer reuse, no second k-means), `nrm` was
+    * written at index time, and the centroid-similarity score joins
+    * against the tiny broadcast centroid table. At 100 TB the pair stage
+    * reads each list partition once and never shuffles a vector twice. */
+  def semDedup(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    import spark.implicits._
+    val (listsPath, cents) = ivfIndex(spark, dir)
+    val centsDf = cents.toDF("list_id", "cv")
+      .select(col("list_id"), col("cv").cast("array<double>").as("cv"))
+      .withColumn("cnrm", Vec.norm(col("cv")))
+    val e = ivfLists(spark, listsPath)
+      .join(broadcast(centsDf), Seq("list_id"))
+      .withColumn("csim", round(Vec.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 4))
+      .select(col("vec_id"), col("list_id"), col("v"), col("nrm"), col("csim"))
+    semDedupVerdicts(e, threshold)
+  }
+
   /** F8d: BATCH IVF ANN — the production shape of F8b: N queries resolved
     * at once against the PERSISTED index, no per-query driver roundtrip.
     * Probe selection is a tiny (queries × lists) broadcast cross join

@@ -386,4 +386,31 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       rm(tmp)
     }
   }
+
+  test("semdedup: outlier survives its dup group, ties break to lower id, chains drop one-pass") {
+    // (vec_id, list_id, v, csim) — csim planted to pin the keep-priority rule
+    val rows = Seq(
+      // cluster 1: ids 1,2 identical (cos=1); id 2 is farther from the
+      // centroid (lower csim) and must be the survivor; id 3 orthogonal
+      (1L, 1, Seq(1.0, 0.0), 0.9),
+      (2L, 1, Seq(1.0, 0.0), 0.7),
+      (3L, 1, Seq(0.0, 1.0), 0.8),
+      // cluster 2: identical vectors AND identical csim — tie breaks to
+      // the smaller vec_id
+      (4L, 2, Seq(1.0, 0.0), 0.5),
+      (5L, 2, Seq(1.0, 0.0), 0.5),
+      // cluster 3: chain X~Y~Z (cos(X,Y)=cos(Y,Z)=0.8, cos(X,Z)=0.28<τ),
+      // csim ascending X<Y<Z: the published ONE-PASS rule drops Y (by X)
+      // and Z (by Y — even though Y itself is dropped)
+      (6L, 3, Seq(1.0, 0.0), 0.3),
+      (7L, 3, Seq(0.8, 0.6), 0.5),
+      (8L, 3, Seq(0.28, 0.96), 0.9))
+    val e = rows.toDF("vec_id", "list_id", "v", "csim")
+      .withColumn("nrm", graft.functions.Vec.norm(col("v")))
+    val kept = Similarity.semDedupVerdicts(e, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(kept == Map(1L -> false, 2L -> true, 3L -> true,
+      4L -> true, 5L -> false,
+      6L -> true, 7L -> false, 8L -> false))
+  }
 }
