@@ -47,6 +47,7 @@ object SparkEntry {
     "q_cube"                 -> Relational.qCube _,
     "q_grouping_sets"        -> Relational.qGroupingSets _,
     "q_band_join"            -> ((s: SparkSession, d: String) => Relational.qBandJoin(s, d)),
+    "q_interval_join"        -> ((s: SparkSession, d: String) => Relational.qIntervalJoin(s, d)),
     "q_funnel"               -> Relational.qFunnel _,
     "q_histogram"            -> ((s: SparkSession, d: String) => Relational.qHistogram(s, d)),
     "text_pii_scrub"         -> TextAnalysis.piiScrub _,
@@ -1144,6 +1145,19 @@ object SparkEntry {
          | CAST(sum(cs - vs) AS BIGINT) AS gap_sum
          |FROM c JOIN v USING (user_id) WHERE abs(cs - vs) <= 3600
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // keyless overlap join: the oracle states the quadratic predicate
+    // directly; the Spark plan must produce the SAME pairs through the
+    // grid-cell equi rewrite (each pair counted once, in its canonical cell)
+    "q_interval_join" ->
+      s"""WITH ev AS ($evSec),
+         |i AS (SELECT event_id AS inc_id, CAST(sec AS BIGINT) AS s1,
+         |  CAST(sec + 600 AS BIGINT) AS e1 FROM ev WHERE event_type = 'error'),
+         |p AS (SELECT event_id AS pur_id, CAST(sec AS BIGINT) AS s2,
+         |  CAST(sec + 120 AS BIGINT) AS e2 FROM ev WHERE event_type = 'purchase')
+         |SELECT inc_id, pur_id, greatest(s1, s2) AS ov_start, least(e1, e2) AS ov_end,
+         | least(e1, e2) - greatest(s1, s2) AS ov_sec
+         |FROM i JOIN p ON s1 <= e2 AND s2 <= e1
+         |ORDER BY inc_id, pur_id""".stripMargin,
     "q_funnel" ->
       s"""WITH ev AS ($evSec),
          |c AS (SELECT user_id, CAST(min(sec) AS BIGINT) AS first_click FROM ev

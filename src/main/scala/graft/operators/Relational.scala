@@ -299,6 +299,51 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** E28: keyless INTERVAL-OVERLAP join — pairs of time intervals that
+    * intersect, with NO shared equi key to hang the join on (E21's band
+    * join leans on `user_id`; real overlap joins — incident windows vs
+    * transactions, reservations vs maintenance — often have none).
+    * Spark's native plan for `ON s1 <= e2 AND s2 <= e1` is a nested-loop
+    * cartesian: quadratic, dead at any scale.
+    *
+    * The scale rewrite is the classic GRID-PARTITIONED overlap join:
+    * every interval explodes to the fixed-width cells it covers (cell
+    * width ≥ max interval length ⇒ ≤ 2 cells per interval), candidates
+    * meet on the cell equi key (hash join, map-side pruned), and the
+    * exact predicate re-checks inside the cell. A pair spanning several
+    * shared cells would match more than once, so matches count ONLY in
+    * the canonical cell — the one containing `greatest(s1, s2)` (the
+    * overlap's left edge, which by construction lies in exactly one
+    * cell): exactly-once with zero distinct/dedup shuffle.
+    *
+    * Here: 10-minute incident windows after each error event vs 2-minute
+    * purchase windows; output = each overlapping (incident, purchase)
+    * pair with its overlap extent. Pure integer arithmetic ⇒ full
+    * oracle; the plan spec pins hash-join-not-nested-loop. */
+  def qIntervalJoin(spark: SparkSession, dir: String, incidentSec: Long = 600L,
+      purchaseSec: Long = 120L): DataFrame = {
+    val cellSec = math.max(incidentSec, purchaseSec) // ≥ max length ⇒ ≤ 2 cells
+    val t = Tables(spark, dir)
+    val ev = t.events.withColumn("sec", expr("ts div 1000000000"))
+    val inc = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("inc_id"), col("sec").as("s1"),
+        (col("sec") + incidentSec).as("e1"))
+    val pur = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pur_id"), col("sec").as("s2"),
+        (col("sec") + purchaseSec).as("e2"))
+    def cells(s: Column, e: Column) =
+      explode(sequence(floor(s / cellSec).cast("long"), floor(e / cellSec).cast("long")))
+    inc.withColumn("cell", cells(col("s1"), col("e1")))
+      .join(pur.withColumn("cell", cells(col("s2"), col("e2"))), Seq("cell"))
+      .filter(col("s1") <= col("e2") && col("s2") <= col("e1"))
+      .filter(col("cell") === floor(greatest(col("s1"), col("s2")) / cellSec).cast("long"))
+      .select(col("inc_id"), col("pur_id"),
+        greatest(col("s1"), col("s2")).as("ov_start"),
+        least(col("e1"), col("e2")).as("ov_end"))
+      .withColumn("ov_sec", col("ov_end") - col("ov_start"))
+      .orderBy(col("inc_id"), col("pur_id"))
+  }
+
   /** E22: conversion funnel — of the users who clicked, how many later
     * purchased, and how fast: first-touch aggregation per stage (one
     * partial agg each), then one join on the user id. */

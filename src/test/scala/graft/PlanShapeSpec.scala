@@ -191,6 +191,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"per-language ntile collapsed to a single-task window:\n$p")
   }
 
+  test("interval join: grid-cell equi join, never a nested-loop cartesian") {
+    val p = plan("q_interval_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"keyless overlap join fell back to a quadratic plan:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"no equi join on the grid cell:\n$p")
+  }
+
   test("substring dedup: gram shuffles carry hashes, dup set broadcasts back") {
     val p = plan("dedup_substring")
     // the semi join against the duplicated-gram set must be broadcast
