@@ -2,7 +2,7 @@ package graft
 
 import graft.config.{Pipeline, PipelineCfg}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, countDistinct, lit, max, min}
 
 /** End-to-end config-driven pipeline over the testdata — the op-etl
   * workflow (config.yaml → download/stage → process → truncate-load →
@@ -151,6 +151,53 @@ object PipelineDemo {
       }
       rows.toSeq.toDF("source", "rows_loaded", "rows_resolved")
         .orderBy(col("source"))
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("graft.publish.mode", v)
+        case None    => spark.conf.unset("graft.publish.mode")
+      }
+    }
+  }
+
+  /** TIME TRAVEL over a manifest-published target (H1h): two truncate
+    * generations of the same source land under one target — first the
+    * 'F'-status orders, then the 'O'-status orders supersede them — and
+    * a READER then resolves BOTH: the live generation through the
+    * manifest ([[Pipeline.resolvePublished]]) and the superseded one
+    * through the `_GRAFT_PREV` ledger
+    * ([[Pipeline.resolvePrevGeneration]]), whose one-generation GC grace
+    * is exactly what makes the pinned read safe. Both generations'
+    * stats are computed from the RESOLVED parquet — the oracle proves
+    * the time-traveled bytes, not writer bookkeeping, match the source
+    * at each point in time. */
+  def runTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val target = Tables.scratch(spark, "graft_pipeline_travel")
+    def cfg(where: String) =
+      s"""{
+         |  "sources": [
+         |    {"name": "orders_snap", "path": "$dir/orders.parquet",
+         |     "where": "$where"}
+         |  ],
+         |  "load": {"target": "$target", "mode": "truncate"}
+         |}""".stripMargin
+    val prior = spark.conf.getOption("graft.publish.mode")
+    spark.conf.set("graft.publish.mode", "manifest")
+    try {
+      Pipeline.run(spark, PipelineCfg.fromJson(cfg("o_orderstatus = 'F'"))).collect()
+      Pipeline.run(spark, PipelineCfg.fromJson(cfg("o_orderstatus = 'O'"))).collect()
+      def gen(label: String, paths: Seq[String]) = {
+        val r = spark.read.parquet(paths: _*)
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("o_orderkey")).as("n_keys"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key")).head()
+        (label, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+      Seq(gen("current", Pipeline.resolvePublished(spark, target, "orders_snap")),
+          gen("previous", Pipeline.resolvePrevGeneration(spark, target, "orders_snap")))
+        .toDF("generation", "n_rows", "n_keys", "min_key", "max_key")
+        .orderBy(col("generation"))
     } finally {
       prior match {
         case Some(v) => spark.conf.set("graft.publish.mode", v)

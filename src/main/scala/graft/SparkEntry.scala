@@ -121,6 +121,7 @@ object SparkEntry {
     "pipeline_rest"          -> (PipelineDemo.runRest _),
     "pipeline_atom"          -> (PipelineDemo.runAtom _),
     "pipeline_manifest"      -> (PipelineDemo.runManifest _),
+    "pipeline_time_travel"   -> (PipelineDemo.runTimeTravel _),
     // F — LLM-training-data operators
     "dedup_exact"            -> Dedup.dedupExact _,
     "dedup_fingerprint"      -> Dedup.dedupFingerprint _,
@@ -1270,6 +1271,20 @@ object SparkEntry {
         |UNION ALL SELECT 'orders_f', count(*), count(*)
         | FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY source""".stripMargin,
+    // time travel: generation 2 ('O' orders) is live, generation 1 ('F'
+    // orders) resolves through the _GRAFT_PREV ledger — both stat rows are
+    // computed from the RESOLVED parquet, so they must equal the source
+    // at each publish point
+    "pipeline_time_travel" ->
+      """SELECT 'current' AS generation, count(*) AS n_rows,
+        | count(DISTINCT o_orderkey) AS n_keys,
+        | min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        | FROM orders WHERE o_orderstatus = 'O'
+        |UNION ALL
+        |SELECT 'previous', count(*), count(DISTINCT o_orderkey),
+        | min(o_orderkey), max(o_orderkey)
+        | FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY generation""".stripMargin,
     // config-staged container: one summary row per DISCOVERED layer under
     // its sanitized feature-class name, counts = that nation's suppliers
     // (lossless layer staging, each layer loaded exactly once)

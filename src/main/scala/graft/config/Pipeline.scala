@@ -307,6 +307,22 @@ object Pipeline {
       .map(v => new Path(fs.makeQualified(base), v).toString)
   }
 
+  /** Reader-side TIME TRAVEL for manifest-published targets: the version
+    * directories of the generation BEFORE the live one — the
+    * `_GRAFT_PREV` ledger, whose versions the truncate GC's full-
+    * generation reader grace keeps on disk for exactly one more publish.
+    * Empty when the target has fewer than two committed generations.
+    * This is the one-step form of the lakehouse version-pinned read:
+    * the ledger IS the retention contract, so a resolved previous
+    * generation is always fully scannable, never half-collected. */
+  def resolvePrevGeneration(spark: SparkSession, target: String, name: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(target, safeNameString(name))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readLines(fs, prevFile(fs.makeQualified(base)))
+      .map(v => new Path(fs.makeQualified(base), v).toString)
+  }
+
   /** Run the full pipeline; returns per-source metrics (name, rows staged
     * after filters, rows loaded, load target) ordered by source name.
     *

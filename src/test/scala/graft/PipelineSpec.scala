@@ -191,6 +191,30 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.unset("graft.publish.mode")
   }
 
+  test("time travel resolves the superseded generation's exact content, empty before it exists") {
+    spark.conf.set("graft.publish.mode", "manifest")
+    try {
+      val tgt = s"$target/travel_load"
+      def cfg(where: String, cleanup: Boolean) = PipelineCfg(
+        sources = Seq(SourceCfg(name = "orders_tt", path = s"$sfDir/orders.parquet",
+          where = Some(where))),
+        load = Some(LoadCfg(tgt)), cleanupBeforeRun = cleanup)
+      Pipeline.run(spark, cfg("o_orderstatus = 'F'", cleanup = true)).collect()
+      // one committed generation: nothing to travel back to
+      assert(Pipeline.resolvePrevGeneration(spark, tgt, "orders_tt").isEmpty)
+      Pipeline.run(spark, cfg("o_orderstatus = 'O'", cleanup = false)).collect()
+      // the live generation is 'O'; the ledger still serves 'F' exactly
+      val truthF = spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter("o_orderstatus = 'F'").count()
+      val prev = Pipeline.resolvePrevGeneration(spark, tgt, "orders_tt")
+      assert(prev.nonEmpty)
+      val prevDf = spark.read.parquet(prev: _*)
+      assert(prevDf.count() == truthF)
+      assert(prevDf.filter("o_orderstatus <> 'F'").isEmpty,
+        "time-traveled generation leaked rows from the live one")
+    } finally spark.conf.unset("graft.publish.mode")
+  }
+
   test("manifest GC grace covers a whole multi-version prior generation and spares foreign dirs") {
     spark.conf.set("graft.publish.mode", "manifest")
     try {
