@@ -48,6 +48,7 @@ object SparkEntry {
     "q_grouping_sets"        -> Relational.qGroupingSets _,
     "q_band_join"            -> ((s: SparkSession, d: String) => Relational.qBandJoin(s, d)),
     "q_interval_join"        -> ((s: SparkSession, d: String) => Relational.qIntervalJoin(s, d)),
+    "q_heavy_hitters"        -> ((s: SparkSession, d: String) => Relational.qHeavyHitters(s, d)),
     "q_funnel"               -> Relational.qFunnel _,
     "q_histogram"            -> ((s: SparkSession, d: String) => Relational.qHistogram(s, d)),
     "text_pii_scrub"         -> TextAnalysis.piiScrub _,
@@ -1146,6 +1147,13 @@ object SparkEntry {
          | CAST(sum(cs - vs) AS BIGINT) AS gap_sum
          |FROM c JOIN v USING (user_id) WHERE abs(cs - vs) <= 3600
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exact heavy hitters: the oracle is the full-shuffle plan the
+    // Misra-Gries candidate screen replaces — outputs must be identical
+    "q_heavy_hitters" ->
+      """SELECT CAST(user_id AS BIGINT) AS user_id, count(*) AS n
+        |FROM events GROUP BY 1
+        |HAVING count(*) > (SELECT count(*) FROM events) / 150.0
+        |ORDER BY 1""".stripMargin,
     // keyless overlap join: the oracle states the quadratic predicate
     // directly; the Spark plan must produce the SAME pairs through the
     // grid-cell equi rewrite (each pair counted once, in its canonical cell)

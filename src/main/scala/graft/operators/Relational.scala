@@ -344,6 +344,55 @@ object Relational {
       .orderBy(col("inc_id"), col("pur_id"))
   }
 
+  /** E29: EXACT heavy hitters (frequency > n/k) in two passes — the
+    * Misra-Gries candidate screen. A plain groupBy-count-filter shuffles
+    * the FULL key cardinality (at 100 TB of URLs/user-ids, billions of
+    * groups move so a handful survive the HAVING); instead pass 1 runs
+    * the classic Misra-Gries summary (k counters: increment on hit,
+    * insert while free, else decrement ALL — Misra & Gries 1982) inside
+    * each partition, emitting ≤ k candidate keys per partition and
+    * shuffling nothing else. Pigeonhole gives the screen's guarantee:
+    * a key with global count > n/k = Σ nₚ/k must exceed nₚ/k in at
+    * least one partition p, and a partition-local count above nₚ/k
+    * always survives that partition's MG summary — so the candidate
+    * union is a SUPERSET of the true heavy hitters (spec-pinned on a
+    * planted adversarial stream). Pass 2 rescores ONLY the broadcast
+    * candidate set exactly (semi join + bounded groupBy) and applies
+    * the exact threshold — output is deterministic and oracle-equal to
+    * the quadratic-shuffle plan it replaces.
+    *
+    * The per-partition counter table is the declared `mapPartitions`
+    * exception: genuinely imperative per-partition state (bounded at k
+    * entries) that no relational operator expresses. */
+  def qHeavyHitters(spark: SparkSession, dir: String, k: Int = 150): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val keys = t.events.select(col("user_id").cast("long")).as[Long]
+    val candidates = keys.mapPartitions { it =>
+      val counters = scala.collection.mutable.LongMap.empty[Long]
+      it.foreach { x =>
+        if (counters.contains(x)) counters(x) += 1L
+        else if (counters.size < k) counters(x) = 1L
+        else {
+          // decrement-all step over a snapshot (mutating mid-iteration
+          // is undefined for LongMap); the incoming key cancels against
+          // one unit of every resident counter
+          counters.toSeq.foreach { case (key, c) =>
+            if (c == 1L) counters.remove(key) else counters(key) = c - 1L
+          }
+        }
+      }
+      counters.keysIterator
+    }.distinct()
+    val total = keys.count()
+    keys.toDF("user_id")
+      .join(broadcast(candidates.toDF("user_id")), Seq("user_id"), "left_semi")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > total.toDouble / k)
+      .orderBy(col("user_id"))
+  }
+
   /** E22: conversion funnel — of the users who clicked, how many later
     * purchased, and how fast: first-touch aggregation per stage (one
     * partial agg each), then one join on the user id. */

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Relational
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Specs for the custom TopKPerGroup operator (logical node + strategy +
@@ -74,5 +75,38 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
       s"existing-days filter is not a broadcast semi join:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"sliding window planned as a nested loop:\n$p")
+  }
+
+  test("heavy hitters: MG screen survives an adversarial stream and equals the exact plan") {
+    import spark.implicits._
+    // adversarial order for a k=2 summary: the heavy key arrives LAST,
+    // after 8 distinct decoys have churned the two counters — MG must
+    // still surface any key with count > n/k (here 12 > 20/2)
+    val decoys = (100L to 107L).flatMap(d => Seq(d))
+    val stream = (decoys ++ Seq.fill(12)(7L)).toDF("user_id").coalesce(1)
+    val k = 2
+    val cand = stream.select(col("user_id").cast("long")).as[Long].mapPartitions { it =>
+      val counters = scala.collection.mutable.LongMap.empty[Long]
+      it.foreach { x =>
+        if (counters.contains(x)) counters(x) += 1L
+        else if (counters.size < k) counters(x) = 1L
+        else counters.toSeq.foreach { case (key, c) =>
+          if (c == 1L) counters.remove(key) else counters(key) = c - 1L
+        }
+      }
+      counters.keysIterator
+    }.collect().toSet
+    assert(cand.contains(7L), s"MG summary lost the heavy key: $cand")
+    // the two-pass operator's output is bit-identical to the exact
+    // full-shuffle formulation on real data
+    val fast = Relational.qHeavyHitters(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = Tables(spark, sfDir).events.count()
+    val exact = Tables(spark, sfDir).events
+      .groupBy(col("user_id").cast("long").as("user_id"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .filter(col("n") > n / 150.0)
+      .orderBy(col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fast.sameElements(exact), s"fast=${fast.length} exact=${exact.length}")
   }
 }
