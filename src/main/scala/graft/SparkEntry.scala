@@ -168,6 +168,7 @@ object SparkEntry {
     "text_domain_divergence" -> TextAnalysis.domainDivergence _,
     "text_entropy"           -> ((s: SparkSession, d: String) => TextAnalysis.charEntropy(s, d)),
     "mm_audio_chunks"        -> ((s: SparkSession, d: String) => Multimodal.audioChunks(s, d)),
+    "mm_image_patches"       -> ((s: SparkSession, d: String) => Multimodal.imagePatches(s, d)),
     "text_ccnet_buckets"     -> ((s: SparkSession, d: String) => TextAnalysis.ccnetBuckets(s, d)),
     "mm_binary_meta"         -> Multimodal.binaryMeta _,
     "mm_frame_sample"        -> Multimodal.frameSample _,
@@ -1974,6 +1975,19 @@ object SparkEntry {
         | CAST(least(c * 500 + 1000, dur) AS BIGINT) AS end_ms,
         | CAST(100 + (n * 31 + c * 17 + sample_rate // 1000) % 9973 AS BIGINT) AS energy_stub
         |FROM f ORDER BY doc_id, chunk_idx""".stripMargin,
+    // ViT patch grid: full 64px tiles of the stub-decoded dimensions,
+    // row-major (px fastest), deterministic stand-in patch features
+    "mm_image_patches" ->
+      """WITH g AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS nb,
+        |  (64 + strlen(text) % 1024) // 64 AS gw,
+        |  (64 + (strlen(text) * 7) % 1024) // 64 AS gh FROM documents),
+        |p AS (SELECT doc_id, nb, gw, gh, CAST(i AS BIGINT) AS idx
+        |  FROM g, range(0, 256) r(i) WHERE i < gw * gh)
+        |SELECT doc_id, idx AS patch_idx, CAST(idx % gw AS BIGINT) AS px,
+        | CAST(idx // gw AS BIGINT) AS py, CAST(gw AS BIGINT) AS grid_w,
+        | CAST(gh AS BIGINT) AS grid_h,
+        | CAST(23 + (nb * 31 + (idx % gw) * 7 + (idx // gw) * 13) % 99991 AS BIGINT) AS patch_feature
+        |FROM p ORDER BY doc_id, patch_idx""".stripMargin,
     "mm_frame_sample" ->
       """WITH m AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n FROM documents),
         |f AS (SELECT doc_id, n, CAST(i AS BIGINT) AS frame_idx

@@ -108,6 +108,41 @@ object Multimodal {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** F42: patch-grid extraction — the ViT front-end staging step
+    * (Dosovitskiy et al. 2021: an image becomes a sequence of fixed-size
+    * patches), completing the per-modality fan-out matrix (image patches
+    * here, video frames F14, audio chunks F39). The (stub-)decoded pixel
+    * grid splits into non-overlapping `patch`×`patch` tiles — FULL tiles
+    * only, the ViT convention (a real pipeline resizes to a multiple
+    * first; F22 is that step) — emitted row-major with the (px, py)
+    * coordinate and a deterministic stand-in for the flattened-patch
+    * embedding. Partition-local flatMap like every decode step: a 100 TB
+    * image corpus patches with zero shuffle, and each row is exactly the
+    * unit a batch patch-embedder consumes. Integer arithmetic end-to-end
+    * ⇒ the full fan-out (grid dims, coordinates, features) is
+    * oracle-checked. */
+  def imagePatches(spark: SparkSession, dir: String, patch: Long = 64L): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    t.documents
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { iter =>
+        iter.flatMap { case (id, text) =>
+          val f = decodeStub(id, text)
+          val nx = f.fake_width / patch  // full patches only
+          val ny = f.fake_height / patch
+          for (py <- 0L until ny; px <- 0L until nx) yield {
+            // STUB: a patch embedder would flatten+project the tile
+            val feat = 23L + (f.n_bytes * 31L + px * 7L + py * 13L) % 99991L
+            (id, py * nx + px, px, py, nx, ny, feat)
+          }
+        }
+      }
+      .toDF("doc_id", "patch_idx", "px", "py", "grid_w", "grid_h", "patch_feature")
+      .orderBy(col("doc_id"), col("patch_idx"))
+  }
+
   /** F22: resize — strided downsampling of the (stub-)decoded pixel grid
     * to a target edge (a real kernel: area/bilinear over the decoded
     * buffer; the stride/edge/sample-count plumbing here is exactly what
