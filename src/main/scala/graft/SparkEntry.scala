@@ -78,6 +78,7 @@ object SparkEntry {
     "mon_perf_outliers"      -> ((s: SparkSession, d: String) => LoadOps.perfOutliers(s, d)),
     "mon_run_drift"          -> ((s: SparkSession, d: String) => LoadOps.runDrift(s, d)),
     "load_compaction"        -> ((s: SparkSession, d: String) => LoadOps.loadCompaction(s, d)),
+    "load_incremental_view"  -> (LoadOps.incrementalView _),
     "load_scd2"              -> ((s: SparkSession, d: String) => LoadOps.scd2Merge(s, d)),
     "load_fk_validate"       -> LoadOps.fkValidate _,
     "mon_freshness"          -> ((s: SparkSession, d: String) => LoadOps.freshness(s, d)),
@@ -871,6 +872,13 @@ object SparkEntry {
         | CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
         | round(sum(o_totalprice), 2) AS sum_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // incremental view maintenance: the oracle is the full recompute the
+    // summary+delta merge replaces — outputs must be identical
+    "load_incremental_view" ->
+      s"""WITH ev AS ($evSec)
+         |SELECT CAST(floor(sec / 86400) AS BIGINT) AS day, event_type,
+         | count(*) AS n, round(sum("value"), 2) AS value_sum
+         |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // fuzzy linkage: same trigram blocking + levenshtein verify + best
     // match per record (row_number stands in for Spark's min_by)
     "etl_fuzzy_match" ->

@@ -477,6 +477,38 @@ object LoadOps {
       .orderBy(col("key"), col("valid_from"))
   }
 
+  /** D21: incremental aggregate-view maintenance — the nightly-summary
+    * refresh every warehouse runs (and the aggregate-level complement of
+    * D10's row-level CDC merge): a persisted per-(day, event_type)
+    * summary absorbs a LATE-ARRIVING delta by aggregating ONLY the delta
+    * and algebraically merging partials (counts add, sums add) — the
+    * base fact history is never rescanned. The delta here is scattered
+    * across ALL days (the late-arrival shape that makes naive
+    * "recompute recent days" wrong: every group overlaps and must
+    * genuinely combine), so the merge is a real partial-agg union, not a
+    * disjoint append. At 100 TB the refresh cost is |delta| + |summary|
+    * — independent of the fact table — and the merge shuffles only
+    * summary-sized rows. The oracle is the full recompute from source:
+    * outputs must be identical. */
+  def incrementalView(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ev = t.events
+      .withColumn("sec", expr("ts div 1000000000"))
+      .withColumn("day", floor(col("sec") / 86400L))
+    def summarize(df: DataFrame): DataFrame = df
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
+    // persisted nightly state: the summary of everything seen so far
+    // (rows arriving at sec % 7 != 0); the late delta is the rest
+    val root = Tables.scratch(spark, "graft_ivm") + "/summary"
+    summarize(ev.filter(col("sec") % 7 =!= 0)).write.mode("overwrite").parquet(root)
+    spark.read.parquet(root)
+      .unionByName(summarize(ev.filter(col("sec") % 7 === 0)))
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum(col("n")).as("n"), round(sum(col("value_sum")), 2).as("value_sum"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
   /** D16: referential-integrity validation before load — the FK check a
     * schema-matched load (load_sde.py's Append requires the target schema
     * to accept every row) runs against its dimensions: every fact row's
