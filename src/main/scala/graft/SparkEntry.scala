@@ -79,6 +79,7 @@ object SparkEntry {
     "mon_run_drift"          -> ((s: SparkSession, d: String) => LoadOps.runDrift(s, d)),
     "load_compaction"        -> ((s: SparkSession, d: String) => LoadOps.loadCompaction(s, d)),
     "load_incremental_view"  -> (LoadOps.incrementalView _),
+    "load_observed_qc"       -> (LoadOps.observedQc _),
     "load_scd2"              -> ((s: SparkSession, d: String) => LoadOps.scd2Merge(s, d)),
     "load_fk_validate"       -> LoadOps.fkValidate _,
     "mon_freshness"          -> ((s: SparkSession, d: String) => LoadOps.freshness(s, d)),
@@ -872,6 +873,16 @@ object SparkEntry {
         | CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
         | round(sum(o_totalprice), 2) AS sum_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // observe()-collected QC riding the write pass: the oracle recomputes
+    // the same aggregates from source — matching proves the observed pass
+    // saw every written row
+    "load_observed_qc" ->
+      """SELECT count(*) AS n_rows,
+        | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+        | min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        | CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+        | round(sum(o_totalprice), 2) AS price_sum
+        |FROM orders""".stripMargin,
     // incremental view maintenance: the oracle is the full recompute the
     // summary+delta merge replaces — outputs must be identical
     "load_incremental_view" ->

@@ -477,6 +477,37 @@ object LoadOps {
       .orderBy(col("key"), col("valid_from"))
   }
 
+  /** D22: load-time data-quality metrics that RIDE THE WRITE PASS —
+    * `df.observe` attaches metric expressions as accumulators to the
+    * write's own execution ([[org.apache.spark.sql.Observation]], the
+    * public blocking-get API), so row count, null audit, key bounds and
+    * checksum land WITH the load: zero extra scans, zero extra shuffles.
+    * The alternative every pipeline starts with — a separate QC
+    * aggregation after the write — reads the corpus twice; at 100 TB
+    * that doubles the load cost for bookkeeping. Only algebraic
+    * aggregates can ride along (they fold into the pass); the oracle
+    * recomputes them from source and must match exactly, proving the
+    * observed pass saw every row the load wrote. */
+  def observedQc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val dst = Tables.scratch(spark, "graft_observed") + "/orders"
+    val ob = org.apache.spark.sql.Observation()
+    t.orders.observe(ob,
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_finished"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        sum(col("o_orderkey")).as("key_checksum"),
+        round(sum(col("o_totalprice")), 2).as("price_sum"))
+      .write.mode("overwrite").parquet(dst)
+    val m = ob.get // blocks until the write's metrics arrive
+    Seq((m("n_rows").asInstanceOf[Long], m("n_finished").asInstanceOf[Long],
+        m("min_key").asInstanceOf[Long], m("max_key").asInstanceOf[Long],
+        m("key_checksum").asInstanceOf[Long], m("price_sum").asInstanceOf[Double]))
+      .toDF("n_rows", "n_finished", "min_key", "max_key", "key_checksum", "price_sum")
+  }
+
   /** D21: incremental aggregate-view maintenance — the nightly-summary
     * refresh every warehouse runs (and the aggregate-level complement of
     * D10's row-level CDC merge): a persisted per-(day, event_type)
