@@ -143,6 +143,7 @@ object SparkEntry {
     "ann_ivf_batch"          -> ((s: SparkSession, d: String) => Similarity.ivfAnnBatch(s, d)),
     "emb_quantize"           -> ((s: SparkSession, d: String) => Similarity.embQuantize(s, d)),
     "ann_pq_adc"             -> ((s: SparkSession, d: String) => Similarity.annPqAdc(s, d)),
+    "ann_matryoshka"         -> ((s: SparkSession, d: String) => Similarity.annMatryoshka(s, d)),
     "ann_ivfpq"              -> ((s: SparkSession, d: String) => Similarity.annIvfPq(s, d)),
     "ann_ivfpq_batch"        -> ((s: SparkSession, d: String) => Similarity.annIvfPqBatch(s, d)),
     "sample_hard_negatives"  -> ((s: SparkSession, d: String) => Similarity.hardNegatives(s, d)),
@@ -1624,6 +1625,17 @@ object SparkEntry {
          |  round(${cosSql("embedding::DOUBLE[]", "qv")}, 4) AS score
          | FROM embeddings, q WHERE vec_id <> 0)
          |SELECT vec_id, label, score FROM s ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
+    // Matryoshka-prefix ANN: prefix-cosine top-C (rounded, id tie-break),
+    // then exact full-dim rescore of the survivors
+    "ann_matryoshka" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |c AS (SELECT vec_id, round(${cosSql("(e.v[1:32])", "(q.qv[1:32])")}, 4) AS pre_score
+         |  FROM e, q WHERE vec_id <> 0
+         |  ORDER BY pre_score DESC, vec_id LIMIT 100),
+         |r AS (SELECT c.vec_id, c.pre_score, round(${cosSql("e.v", "q.qv")}, 4) AS score
+         |  FROM c JOIN e ON c.vec_id = e.vec_id, q)
+         |SELECT vec_id, pre_score, score FROM r ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
     "ann_lsh_bucketed" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |b AS (SELECT vec_id, $lshBucketSql AS bucket FROM e)

@@ -548,6 +548,45 @@ object Similarity {
       .orderBy(col("score").desc, col("vec_id")).limit(k)
   }
 
+  /** F43: Matryoshka-prefix ANN (Kusupati et al. 2022, "Matryoshka
+    * Representation Learning") — MRL-trained embeddings concentrate
+    * signal in their leading dimensions, so the candidate pass scores
+    * only a PREFIX of each vector (half width by default: 2× less
+    * compute and — with the prefix stored as its own column at 100 TB —
+    * 2× less IO; MRL-trained embeddings support far more aggressive
+    * truncation, but this corpus is random so the default is
+    * conservative) and the bounded top-C survivors rescore on full
+    * dimensions.
+    * This completes the serving memory/compute hierarchy alongside int8
+    * SQ (F28), PQ/ADC (F29) and IVF-PQ (F32): prefix truncation is the
+    * variant that needs NO codebook or index state at all, which is why
+    * adaptive-retrieval stacks reach for it first. The synthetic
+    * embeddings are not MRL-trained, so prefix recall is a measured
+    * property (spec), not assumed; the full two-stage pipeline is
+    * deterministic (rounded scores, id tie-breaks) ⇒ full oracle, and a
+    * prefix covering all dims must equal exact brute-force (identity
+    * spec). */
+  def annMatryoshka(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 20,
+      prefixDims: Int = 32, rescoreFactor: Int = 5): DataFrame = {
+    val t = Tables(spark, dir)
+    val q = t.embeddings.filter(col("vec_id") === queryId)
+      .select(Vec.toDouble(col("embedding")).as("qv")).head().getSeq[Double](0)
+    val qPre = array(q.take(prefixDims).map(lit): _*)
+    val qFull = array(q.map(lit): _*)
+    val e = t.embeddings.filter(col("vec_id") =!= queryId)
+      .withColumn("v", Vec.toDouble(col("embedding")))
+    // stage 1: prefix-cosine candidates, bounded heap (TakeOrderedAndProject)
+    val cand = e
+      .withColumn("pre_score", round(Vec.cosine(slice(col("v"), 1, prefixDims), qPre), 4))
+      .select(col("vec_id"), col("pre_score"))
+      .orderBy(col("pre_score").desc, col("vec_id")).limit(rescoreFactor * k)
+    // stage 2: exact full-dimension rescore of the C survivors only
+    cand.join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .withColumn("score", round(Vec.cosine(col("v"), qFull), 4))
+      .select(col("vec_id"), col("pre_score"), col("score"))
+      .orderBy(col("score").desc, col("vec_id")).limit(k)
+  }
+
   /** F32: IVF-PQ serving — the full modern ANN stack over the persisted
     * index: the coarse quantizer prunes the scan to `nprobe` list
     * partitions (`PartitionFilters`, as ann_ivf), and WITHIN the probed

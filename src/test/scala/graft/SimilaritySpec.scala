@@ -387,6 +387,25 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("matryoshka: full-width prefix equals brute force, half-width prefix recalls most of top-k") {
+    // identity: a prefix covering ALL dims is exactly two-stage brute force
+    val exact = Similarity.annTopK(spark, sfDir, queryId = 0L, k = 10)
+      .collect().map(_.getLong(0))
+    val fullPrefix = Similarity.annMatryoshka(spark, sfDir, queryId = 0L, k = 10,
+        prefixDims = 64).collect().map(_.getLong(0))
+    assert(fullPrefix.sameElements(exact),
+      s"full prefix diverged: ${fullPrefix.toSeq} vs ${exact.toSeq}")
+    // measured recall of the half-width prefix pass (embeddings are not
+    // MRL-trained, so this is a property of the corpus, not assumed)
+    val mrl = Similarity.annMatryoshka(spark, sfDir, queryId = 0L, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.count(mrl.contains).toDouble / exact.length
+    assert(recall >= 0.7, s"recall=$recall")
+    // the candidate stage must plan a bounded heap, not a global sort
+    val p = Similarity.annMatryoshka(spark, sfDir).queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"no bounded top-C:\n$p")
+  }
+
   test("semdedup: outlier survives its dup group, ties break to lower id, chains drop one-pass") {
     // (vec_id, list_id, v, csim) — csim planted to pin the keep-priority rule
     val rows = Seq(
