@@ -168,6 +168,7 @@ object SparkEntry {
     "q_set_ops"              -> Relational.qSetOps _,
     "sample_weighted"        -> ((s: SparkSession, d: String) => TextAnalysis.weightedSample(s, d)),
     "sample_domain_mix"      -> TextAnalysis.domainMix _,
+    "sample_temperature"     -> ((s: SparkSession, d: String) => TextAnalysis.temperatureMix(s, d)),
     "text_domain_divergence" -> TextAnalysis.domainDivergence _,
     "text_entropy"           -> ((s: SparkSession, d: String) => TextAnalysis.charEntropy(s, d)),
     "mm_audio_chunks"        -> ((s: SparkSession, d: String) => Multimodal.audioChunks(s, d)),
@@ -1964,6 +1965,20 @@ object SparkEntry {
          | CAST(floor(n_tokens * least(1.0, (1.0 / ns) / (n_tokens / tot))) AS BIGINT)
          |   AS expected_tokens
          |FROM p, t ORDER BY source""".stripMargin,
+    // temperature mixing: q_i = n_i^0.3 / Σ n_j^0.3 (tot cancels);
+    // expected tokens from the ROUNDED probability so floor is bit-stable
+    "sample_temperature" ->
+      s"""WITH s AS (SELECT source, CAST(len($toks) AS BIGINT) AS n_tok FROM documents),
+         |p AS (SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM s GROUP BY 1),
+         |w AS (SELECT *, power(CAST(n_tokens AS DOUBLE), 0.3) AS pw FROM p),
+         |t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot, sum(pw) AS pw_sum FROM w)
+         |SELECT source, n_docs, n_tokens,
+         | round(n_tokens / tot, 6) AS actual_share,
+         | round(pw / pw_sum, 6) AS sample_prob,
+         | round((pw / pw_sum) / (n_tokens / tot), 6) AS boost,
+         | CAST(floor(tot * round(pw / pw_sum, 6)) AS BIGINT) AS expected_tokens
+         |FROM w, t ORDER BY source""".stripMargin,
     // CCNet terciles: the text_lm_score model verbatim, then the SQL
     // ntile the chunked scheme reproduces bit-identically
     "text_ccnet_buckets" ->

@@ -740,6 +740,37 @@ object TextAnalysis {
     * expected post-weight token count. Shape: one hash-agg on `source`
     * (map-side partials) + one broadcast of the 1-row total — no window,
     * no second corpus pass; at 100 TB this is a single partial-agg scan. */
+  /** F44: temperature-scaled source mixing (the mT5/multilingual
+    * convention, Xue et al. 2021: sampling probability ∝ shareᵅ with
+    * α < 1) — the smooth generalization of F35's downsample-to-uniform:
+    * α = 1 reproduces the corpus mix, α → 0 approaches uniform, and the
+    * standard α = 0.3 boosts low-resource sources without drowning the
+    * head. Because q_i = p_iᵅ / Σ p_jᵅ, the total-token term cancels and
+    * the whole computation is one |sources|-row aggregate (the F35
+    * checkpointed rollup) plus per-row pow — a single partial-agg corpus
+    * scan at any scale, no second tokenize. `boost` = q/p is the
+    * per-source up/down-weight a sampler applies; expected tokens use
+    * the ROUNDED probability so the oracle's floor is bit-stable. */
+  def temperatureMix(spark: SparkSession, dir: String, alpha: Double = 0.3): DataFrame = {
+    val t = Tables(spark, dir)
+    val perSource = t.documents
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .localCheckpoint(true)
+    val withPw = perSource.withColumn("pw", pow(col("n_tokens").cast("double"), alpha))
+    val totals = withPw.agg(sum(col("n_tokens")).as("tot"), sum(col("pw")).as("pw_sum"))
+    withPw.crossJoin(broadcast(totals))
+      .withColumn("actual_share", col("n_tokens").cast("double") / col("tot"))
+      .withColumn("sample_prob", round(col("pw") / col("pw_sum"), 6))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("actual_share"), 6).as("actual_share"),
+        col("sample_prob"),
+        round((col("pw") / col("pw_sum")) / col("actual_share"), 6).as("boost"),
+        floor(col("tot") * col("sample_prob")).cast("long").as("expected_tokens"))
+      .orderBy(col("source"))
+  }
+
   def domainMix(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val perSource = t.documents

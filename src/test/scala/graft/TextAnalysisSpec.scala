@@ -256,4 +256,19 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(rows("gopher_filter").getLong(3) > 0)
     assert(rows("gopher_filter").getLong(3) < rows("ingest").getLong(3))
   }
+
+  test("temperature mix: probs sum to 1, alpha=1 is the corpus mix, low-resource sources boost") {
+    val rows = TextAnalysis.temperatureMix(spark, sfDir).collect()
+    val probSum = rows.map(_.getDouble(4)).sum
+    assert(math.abs(probSum - 1.0) < 1e-4, s"probs sum to $probSum")
+    // alpha=1: sampling probability IS the corpus share (identity)
+    TextAnalysis.temperatureMix(spark, sfDir, alpha = 1.0).collect().foreach { r =>
+      assert(math.abs(r.getDouble(3) - r.getDouble(4)) <= 2e-6,
+        s"alpha=1 drifted for ${r.getString(0)}: ${r.getDouble(3)} vs ${r.getDouble(4)}")
+    }
+    // flattening: the smallest source boosts above 1, the largest below
+    val byShare = rows.sortBy(_.getDouble(3))
+    assert(byShare.head.getDouble(5) > 1.0, "smallest source not upweighted")
+    assert(byShare.last.getDouble(5) < 1.0, "largest source not downweighted")
+  }
 }
