@@ -552,11 +552,14 @@ object Similarity {
     * Representation Learning") — MRL-trained embeddings concentrate
     * signal in their leading dimensions, so the candidate pass scores
     * only a PREFIX of each vector (half width by default: 2× less
-    * compute and — with the prefix stored as its own column at 100 TB —
-    * 2× less IO; MRL-trained embeddings support far more aggressive
+    * compute; MRL-trained embeddings support far more aggressive
     * truncation, but this corpus is random so the default is
     * conservative) and the bounded top-C survivors rescore on full
-    * dimensions.
+    * dimensions. Here the full vector rides the candidate heap, so the
+    * corpus is scanned exactly ONCE; at 100 TB with the prefix persisted
+    * as its own column, the candidate scan would read the narrow prefix
+    * column alone (2× less IO) and the C survivors would fetch full
+    * vectors through a broadcast join — the F32 fetch pattern.
     * This completes the serving memory/compute hierarchy alongside int8
     * SQ (F28), PQ/ADC (F29) and IVF-PQ (F32): prefix truncation is the
     * variant that needs NO codebook or index state at all, which is why
@@ -575,13 +578,15 @@ object Similarity {
     val qFull = array(q.map(lit): _*)
     val e = t.embeddings.filter(col("vec_id") =!= queryId)
       .withColumn("v", Vec.toDouble(col("embedding")))
-    // stage 1: prefix-cosine candidates, bounded heap (TakeOrderedAndProject)
+    // stage 1: prefix-cosine candidates, bounded heap (TakeOrderedAndProject);
+    // the full vector rides the heap (C rows) so stage 2 needs no second
+    // corpus scan
     val cand = e
       .withColumn("pre_score", round(Vec.cosine(slice(col("v"), 1, prefixDims), qPre), 4))
-      .select(col("vec_id"), col("pre_score"))
+      .select(col("vec_id"), col("pre_score"), col("v"))
       .orderBy(col("pre_score").desc, col("vec_id")).limit(rescoreFactor * k)
-    // stage 2: exact full-dimension rescore of the C survivors only
-    cand.join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
+    // stage 2: exact full-dimension rescore of the C carried survivors only
+    cand
       .withColumn("score", round(Vec.cosine(col("v"), qFull), 4))
       .select(col("vec_id"), col("pre_score"), col("score"))
       .orderBy(col("score").desc, col("vec_id")).limit(k)

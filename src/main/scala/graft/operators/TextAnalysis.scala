@@ -729,17 +729,17 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
-  /** F35: domain-mixture reweighting — the static data-mixing pass every
-    * multi-source training corpus runs (The Pile / MassiveText publish
-    * exactly such per-source weights): measure each source's share of the
-    * token budget and compute the DOWNSAMPLE-ONLY weight that moves the
-    * mixture toward the uniform target (weight = min(1, target/actual) —
-    * a source below target keeps everything rather than inventing
-    * repeats; upsampling is an epochs decision, not a filter). Output per
-    * source: docs, ws tokens, actual share, sampling weight, and the
-    * expected post-weight token count. Shape: one hash-agg on `source`
-    * (map-side partials) + one broadcast of the 1-row total — no window,
-    * no second corpus pass; at 100 TB this is a single partial-agg scan. */
+  /** The |sources|-row (source, n_docs, n_tokens) rollup both mixture
+    * passes (F35/F44) start from — ONE tokenize scan with map-side
+    * partials, checkpointed so the totals branch reads these rows
+    * instead of re-tokenizing the corpus (the dominant cost). */
+  private def sourceTokenRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .localCheckpoint(true)
+
   /** F44: temperature-scaled source mixing (the mT5/multilingual
     * convention, Xue et al. 2021: sampling probability ∝ shareᵅ with
     * α < 1) — the smooth generalization of F35's downsample-to-uniform:
@@ -752,12 +752,7 @@ object TextAnalysis {
     * per-source up/down-weight a sampler applies; expected tokens use
     * the ROUNDED probability so the oracle's floor is bit-stable. */
   def temperatureMix(spark: SparkSession, dir: String, alpha: Double = 0.3): DataFrame = {
-    val t = Tables(spark, dir)
-    val perSource = t.documents
-      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
-      .localCheckpoint(true)
+    val perSource = sourceTokenRollup(spark, dir)
     val withPw = perSource.withColumn("pw", pow(col("n_tokens").cast("double"), alpha))
     val totals = withPw.agg(sum(col("n_tokens")).as("tot"), sum(col("pw")).as("pw_sum"))
     withPw.crossJoin(broadcast(totals))
@@ -771,15 +766,19 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** F35: domain-mixture reweighting — the static data-mixing pass every
+    * multi-source training corpus runs (The Pile / MassiveText publish
+    * exactly such per-source weights): measure each source's share of the
+    * token budget and compute the DOWNSAMPLE-ONLY weight that moves the
+    * mixture toward the uniform target (weight = min(1, target/actual) —
+    * a source below target keeps everything rather than inventing
+    * repeats; upsampling is an epochs decision, not a filter). Output per
+    * source: docs, ws tokens, actual share, sampling weight, and the
+    * expected post-weight token count. Shape: one hash-agg on `source`
+    * (map-side partials) + one broadcast of the 1-row total — no window,
+    * no second corpus pass; at 100 TB this is a single partial-agg scan. */
   def domainMix(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val perSource = t.documents
-      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
-      // |sources| rows — checkpointed so the totals branch reads these
-      // rows instead of re-tokenizing the corpus (the dominant cost)
-      .localCheckpoint(true)
+    val perSource = sourceTokenRollup(spark, dir)
     val totals = perSource.agg(
       sum(col("n_tokens")).as("tot_tokens"),
       count(lit(1)).as("n_sources"))
