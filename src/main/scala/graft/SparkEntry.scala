@@ -169,6 +169,7 @@ object SparkEntry {
     "sample_weighted"        -> ((s: SparkSession, d: String) => TextAnalysis.weightedSample(s, d)),
     "sample_domain_mix"      -> TextAnalysis.domainMix _,
     "sample_temperature"     -> ((s: SparkSession, d: String) => TextAnalysis.temperatureMix(s, d)),
+    "sample_dsir"            -> ((s: SparkSession, d: String) => TextAnalysis.dsirWeights(s, d)),
     "text_domain_divergence" -> TextAnalysis.domainDivergence _,
     "text_entropy"           -> ((s: SparkSession, d: String) => TextAnalysis.charEntropy(s, d)),
     "mm_audio_chunks"        -> ((s: SparkSession, d: String) => Multimodal.audioChunks(s, d)),
@@ -1979,6 +1980,32 @@ object SparkEntry {
          | round((pw / pw_sum) / (n_tokens / tot), 6) AS boost,
          | CAST(floor(tot * round(pw / pw_sum, 6)) AS BIGINT) AS expected_tokens
          |FROM w, t ORDER BY source""".stripMargin,
+    // DSIR: unigram+bigram features md5-hashed into 4096 buckets,
+    // Laplace-smoothed target/raw log-ratio, per-doc weighted sum; the
+    // flag tests the ROUNDED weight so both engines decide identically
+    "sample_dsir" ->
+      s"""WITH f AS (
+         | SELECT doc_id, is_tgt,
+         |   ('0x' || substr(md5(term), 1, 8))::BIGINT % 4096 AS bucket,
+         |   count(*) AS c
+         | FROM (
+         |  SELECT doc_id, (source = 'src0') AS is_tgt,
+         |    unnest(list_concat(toks,
+         |      list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])))
+         |      AS term
+         |  FROM (SELECT doc_id, source, $toks AS toks FROM documents))
+         | GROUP BY 1, 2, 3),
+         |dist AS (SELECT bucket, sum(c) AS c_raw,
+         |   sum(CASE WHEN is_tgt THEN c ELSE 0 END) AS c_tgt FROM f GROUP BY 1),
+         |tot AS (SELECT sum(c_raw) AS t_raw, sum(c_tgt) AS t_tgt FROM dist),
+         |lw AS (SELECT bucket,
+         |   ln((c_tgt + 1)::DOUBLE / (t_tgt + 4096))
+         |     - ln((c_raw + 1)::DOUBLE / (t_raw + 4096)) AS lr
+         | FROM dist, tot)
+         |SELECT f.doc_id, CAST(sum(f.c) AS BIGINT) AS n_feats,
+         | round(sum(f.c * lw.lr), 4) AS dsir_logw,
+         | CAST(round(sum(f.c * lw.lr), 4) > 0 AS INT) AS flag_target_like
+         |FROM f JOIN lw USING (bucket) GROUP BY 1 ORDER BY 1""".stripMargin,
     // CCNet terciles: the text_lm_score model verbatim, then the SQL
     // ntile the chunked scheme reproduces bit-identically
     "text_ccnet_buckets" ->

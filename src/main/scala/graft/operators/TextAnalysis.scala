@@ -872,4 +872,58 @@ object TextAnalysis {
         sum(col("doc_id")).cast("long").as("id_checksum"))
       .orderBy(col("lang"), col("bucket"))
   }
+
+  /** F45: DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling") — score every raw doc by
+    * how target-like it is under two hashed-n-gram bag-of-words models:
+    * log w(d) = Σ_b c_d(b)·(ln p̂_tgt(b) − ln p̂_raw(b)), features =
+    * unigrams + bigrams ([[wordGrams]]) hashed into `nBuckets` buckets
+    * (the paper uses 10⁴; 4096 here), both distributions Laplace-smoothed
+    * (c+1)/(C+B). The designated `target` source stands in for the
+    * paper's Wikipedia/books target corpus.
+    * Shape: ONE tokenize+explode compressed to (doc_id, is_tgt, bucket,
+    * c) and checkpointed (≤ B distinct buckets per doc regardless of doc
+    * length); BOTH distributions come from one conditional hash-agg over
+    * that frame (B rows out); per-doc weights re-read the same frame and
+    * broadcast-join the B-row log-ratio table — no second corpus
+    * tokenize, no window, no global sort. The paper's Gumbel top-k
+    * resample is the sampler's move; the deterministic artifact is the
+    * per-doc log-weight (counts are integers, only the final sum is
+    * float, rounded 4; the target-like flag tests the ROUNDED value so
+    * both engines decide identically). */
+  def dsirWeights(spark: SparkSession, dir: String, target: String = "src0",
+      nBuckets: Int = 4096): DataFrame =
+    dsirWeightsOver(
+      Tables(spark, dir).documents.select(col("doc_id"), col("source"), col("text")),
+      target, nBuckets)
+
+  /** The F45 core over an explicit (doc_id, source, text) frame, so specs
+    * can plant target/off-target vocabularies. */
+  def dsirWeightsOver(docs: DataFrame, target: String, nBuckets: Int = 4096): DataFrame = {
+    val feats = docs
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), (col("source") === target).as("is_tgt"),
+        explode(concat(col("toks"), wordGrams(col("toks"), 2))).as("term"))
+      .select(col("doc_id"), col("is_tgt"),
+        (conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long") % nBuckets)
+          .as("bucket"))
+      .groupBy(col("doc_id"), col("is_tgt"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val dist = feats.groupBy(col("bucket"))
+      .agg(sum(col("c")).as("c_raw"),
+        sum(when(col("is_tgt"), col("c")).otherwise(0L)).as("c_tgt"))
+    val tot = dist.agg(sum(col("c_raw")).as("t_raw"), sum(col("c_tgt")).as("t_tgt"))
+    val lw = dist.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        (log((col("c_tgt") + 1).cast("double") / (col("t_tgt") + nBuckets)) -
+          log((col("c_raw") + 1).cast("double") / (col("t_raw") + nBuckets))).as("lr"))
+    feats.join(broadcast(lw), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_feats"),
+        round(sum(col("c") * col("lr")), 4).as("dsir_logw"))
+      .select(col("doc_id"), col("n_feats"), col("dsir_logw"),
+        (col("dsir_logw") > 0).cast("int").as("flag_target_like"))
+      .orderBy(col("doc_id"))
+  }
 }

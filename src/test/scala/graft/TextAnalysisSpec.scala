@@ -220,6 +220,43 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("dsir: target-vocab docs score positive, off-target negative, all-target corpus is identically 0") {
+    // target source speaks {aa,bb}, the other speaks {pp,qq}; two probe
+    // docs in a third source get ranked by which vocabulary they reuse.
+    // Counts must dominate the Laplace +1/+B smoothing for the ratio to
+    // carry sign (target ⊆ raw, so unsmoothed per-bucket counts alone
+    // always lean raw) — hence ×100 repetition and a small bucket space
+    val tgtText = Seq.fill(100)("aa bb").mkString(" ")
+    val webText = Seq.fill(100)("pp qq").mkString(" ")
+    val docs = Seq(
+      (1L, "tgt", tgtText), (2L, "tgt", tgtText),
+      (3L, "web", webText), (4L, "web", webText),
+      (5L, "probe", tgtText), (6L, "probe", webText))
+      .toDF("doc_id", "source", "text")
+    val w = TextAnalysis.dsirWeightsOver(docs, target = "tgt", nBuckets = 64)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(w(5L).getDouble(2) > 0 && w(5L).getInt(3) == 1,
+      s"target-vocab probe not target-like: ${w(5L)}")
+    assert(w(6L).getDouble(2) < 0 && w(6L).getInt(3) == 0,
+      s"off-vocab probe scored target-like: ${w(6L)}")
+    assert(w(5L).getDouble(2) > w(6L).getDouble(2))
+    // n_feats = 200 unigrams + 199 bigrams per probe doc
+    assert(w(5L).getLong(1) == 399L, w(5L).toString)
+    // identity: target == whole corpus -> p_tgt == p_raw -> every weight 0
+    val all = Seq((1L, "tgt", "aa bb cc"), (2L, "tgt", "dd ee"))
+      .toDF("doc_id", "source", "text")
+    TextAnalysis.dsirWeightsOver(all, target = "tgt").collect()
+      .foreach(r => assert(r.getDouble(2) == 0.0, r.toString))
+    // corpus run: one row per doc, finite weights, no window in the plan
+    val corpus = TextAnalysis.dsirWeights(spark, sfDir)
+    val p = corpus.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"unexpected window:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"log-ratio join not broadcast:\n$p")
+    val rows = corpus.collect()
+    assert(rows.length == 500)
+    rows.foreach(r => assert(!r.getDouble(2).isNaN && !r.getDouble(2).isInfinite))
+  }
+
   test("ccnet buckets: empty and single-doc corpora don't throw") {
     val empty = Seq.empty[(Long, String, Double)].toDF("doc_id", "lang", "avg_logprob")
     assert(TextAnalysis.ccnetBucketsOver(empty, 32).count() == 0)
