@@ -206,6 +206,54 @@ object PipelineDemo {
     }
   }
 
+  /** H1i: zero-copy SHALLOW CLONE of a manifest-published target
+    * ([[Pipeline.clonePublish]]): the 'F' orders publish, the clone
+    * captures that generation with ONE manifest PUT (zero data files
+    * under the clone — spec-asserted), then the SOURCE evolves to
+    * generation 2 ('O' orders). The clone still resolves the pinned 'F'
+    * snapshot while the source's live read sees 'O'. Both rows are
+    * computed from the RESOLVED parquet — the oracle proves the pinned
+    * bytes survive the source's evolution, not writer bookkeeping. */
+  def runClone(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val srcTgt = Tables.scratch(spark, "graft_clone_src")
+    val cloneTgt = Tables.scratch(spark, "graft_clone_dst")
+    def cfg(where: String) =
+      s"""{
+         |  "sources": [
+         |    {"name": "orders_snap", "path": "$dir/orders.parquet",
+         |     "where": "$where"}
+         |  ],
+         |  "load": {"target": "$srcTgt", "mode": "truncate"}
+         |}""".stripMargin
+    val prior = spark.conf.getOption("graft.publish.mode")
+    spark.conf.set("graft.publish.mode", "manifest")
+    try {
+      Pipeline.run(spark, PipelineCfg.fromJson(cfg("o_orderstatus = 'F'"))).collect()
+      Pipeline.clonePublish(spark, srcTgt, "orders_snap", cloneTgt, "orders_clone")
+      Pipeline.run(spark, PipelineCfg.fromJson(cfg("o_orderstatus = 'O'"))).collect()
+      def gen(label: String, paths: Seq[String]) = {
+        val r = spark.read.parquet(paths: _*)
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("o_orderkey")).as("n_keys"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key")).head()
+        (label, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+      Seq(gen("clone_pinned",
+            Pipeline.resolvePublished(spark, cloneTgt, "orders_clone")),
+          gen("source_live",
+            Pipeline.resolvePublished(spark, srcTgt, "orders_snap")))
+        .toDF("view_name", "n_rows", "n_keys", "min_key", "max_key")
+        .orderBy(col("view_name"))
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("graft.publish.mode", v)
+        case None    => spark.conf.unset("graft.publish.mode")
+      }
+    }
+  }
+
   /** Config-listed WFS typename sweep (download_wfs.py:176
     * `download_wfs_service`: the config names N typed layers to pull from
     * one service; each stages as its own feature class). The typename

@@ -125,6 +125,7 @@ object SparkEntry {
     "pipeline_atom"          -> (PipelineDemo.runAtom _),
     "pipeline_manifest"      -> (PipelineDemo.runManifest _),
     "pipeline_time_travel"   -> (PipelineDemo.runTimeTravel _),
+    "pipeline_clone"         -> (PipelineDemo.runClone _),
     // F — LLM-training-data operators
     "dedup_exact"            -> Dedup.dedupExact _,
     "dedup_fingerprint"      -> Dedup.dedupFingerprint _,
@@ -1316,6 +1317,18 @@ object SparkEntry {
         | min(o_orderkey), max(o_orderkey)
         | FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY generation""".stripMargin,
+    // shallow clone: the clone resolves the PINNED 'F' generation after
+    // the source evolved to 'O' — both rows from resolved parquet
+    "pipeline_clone" ->
+      """SELECT 'clone_pinned' AS view_name, count(*) AS n_rows,
+        | count(DISTINCT o_orderkey) AS n_keys,
+        | min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        | FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT 'source_live', count(*), count(DISTINCT o_orderkey),
+        | min(o_orderkey), max(o_orderkey)
+        | FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY view_name""".stripMargin,
     // config-staged container: one summary row per DISCOVERED layer under
     // its sanitized feature-class name, counts = that nation's suppliers
     // (lossless layer staging, each layer loaded exactly once)

@@ -323,6 +323,34 @@ object Pipeline {
       .map(v => new Path(fs.makeQualified(base), v).toString)
   }
 
+  /** H1i: ZERO-COPY SHALLOW CLONE of a manifest-published target (the
+    * lakehouse `SHALLOW CLONE` move, as in Delta/Iceberg): the clone is a
+    * NEW target whose manifest lists the SOURCE's live version
+    * directories as ABSOLUTE paths — no data file moves or copies, the
+    * entire clone is one tiny manifest PUT, O(1) at any source size.
+    * Version directories are immutable once listed, so the clone is a
+    * PINNED snapshot: a source republish swings only the source's
+    * manifest and the clone keeps resolving the generation it captured.
+    * Retention contract (the shallow-clone-vs-VACUUM caveat, here made
+    * precise): the source's truncate GC keeps a superseded generation
+    * for exactly ONE further publish, so a clone survives one source
+    * republish; a clone that must outlive more needs a deep copy or a
+    * republish into the clone target. Returns the number of version
+    * directories captured. */
+  def clonePublish(spark: SparkSession, srcTarget: String, srcName: String,
+      cloneTarget: String, cloneName: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val live = resolvePublished(spark, srcTarget, srcName)
+    require(live.nonEmpty, s"nothing published at $srcTarget/$srcName to clone")
+    val base = new Path(cloneTarget, safeNameString(cloneName))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(base)
+    // absolute lines: Path(base, child) keeps an absolute child as-is, so
+    // the standard reader resolution serves the clone unchanged
+    writeManifest(fs, fs.makeQualified(base), live)
+    live.size
+  }
+
   /** Run the full pipeline; returns per-source metrics (name, rows staged
     * after filters, rows loaded, load target) ordered by source name.
     *

@@ -215,6 +215,55 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.unset("graft.publish.mode")
   }
 
+  test("shallow clone moves zero data, pins one source republish, dangles after two (the contract)") {
+    spark.conf.set("graft.publish.mode", "manifest")
+    try {
+      val srcTgt = s"$target/clone_src"
+      val cloneTgt = s"$target/clone_dst"
+      def cfg(where: String, cleanup: Boolean) = PipelineCfg(
+        sources = Seq(SourceCfg(name = "orders_c", path = s"$sfDir/orders.parquet",
+          where = Some(where))),
+        load = Some(LoadCfg(srcTgt)), cleanupBeforeRun = cleanup)
+      // cloning an unpublished target is a hard error
+      intercept[IllegalArgumentException] {
+        Pipeline.clonePublish(spark, s"$target/clone_missing", "x", cloneTgt, "x")
+      }
+      Pipeline.run(spark, cfg("o_orderstatus = 'F'", cleanup = true)).collect()
+      val n = Pipeline.clonePublish(spark, srcTgt, "orders_c", cloneTgt, "orders_clone")
+      assert(n == 1)
+      // zero-copy: nothing under the clone but the one manifest object
+      def filesUnder(d: java.io.File): Seq[java.io.File] =
+        Option(d.listFiles()).toSeq.flatten
+          .flatMap(f => if (f.isDirectory) filesUnder(f) else Seq(f))
+      // (the local FS adds a .crc sidecar per object; the claim is "no
+      // data files", i.e. nothing but the manifest object and its crc)
+      val cloneFiles = filesUnder(new java.io.File(cloneTgt)).map(_.getName)
+        .filterNot(_.endsWith(".crc"))
+      assert(cloneFiles == Seq("_GRAFT_MANIFEST"), cloneFiles.toString)
+      // every manifest line resolves INSIDE the source target
+      val resolved = Pipeline.resolvePublished(spark, cloneTgt, "orders_clone")
+      assert(resolved.nonEmpty &&
+        resolved.forall(_.contains("clone_src")), resolved.toString)
+      val truthF = spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter("o_orderstatus = 'F'").count()
+      assert(spark.read.parquet(resolved: _*).count() == truthF)
+      // source republish #1: clone still serves the pinned 'F' snapshot
+      Pipeline.run(spark, cfg("o_orderstatus = 'O'", cleanup = false)).collect()
+      val pinned = spark.read.parquet(
+        Pipeline.resolvePublished(spark, cloneTgt, "orders_clone"): _*)
+      assert(pinned.count() == truthF)
+      assert(pinned.filter("o_orderstatus <> 'F'").isEmpty,
+        "clone leaked rows from the source's new generation")
+      // source republish #2: the captured generation leaves the grace
+      // window and is GC'd — the clone now dangles (deep-copy territory)
+      Pipeline.run(spark, cfg("o_orderstatus = 'P'", cleanup = false)).collect()
+      val dangling = Pipeline.resolvePublished(spark, cloneTgt, "orders_clone")
+      assert(!dangling.forall(p => new java.io.File(
+        new java.net.URI(p).getPath).exists()),
+        "two-republish-old cloned generation unexpectedly survived GC")
+    } finally spark.conf.unset("graft.publish.mode")
+  }
+
   test("manifest GC grace covers a whole multi-version prior generation and spares foreign dirs") {
     spark.conf.set("graft.publish.mode", "manifest")
     try {
