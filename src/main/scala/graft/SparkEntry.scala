@@ -78,6 +78,7 @@ object SparkEntry {
     "mon_perf_outliers"      -> ((s: SparkSession, d: String) => LoadOps.perfOutliers(s, d)),
     "mon_run_drift"          -> ((s: SparkSession, d: String) => LoadOps.runDrift(s, d)),
     "load_compaction"        -> ((s: SparkSession, d: String) => LoadOps.loadCompaction(s, d)),
+    "load_bloom_index"       -> ((s: SparkSession, d: String) => LoadOps.bloomIndex(s, d)),
     "load_incremental_view"  -> (LoadOps.incrementalView _),
     "load_observed_qc"       -> (LoadOps.observedQc _),
     "load_scd2"              -> ((s: SparkSession, d: String) => LoadOps.scd2Merge(s, d)),
@@ -877,6 +878,14 @@ object SparkEntry {
         | CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
         | round(sum(o_totalprice), 2) AS sum_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // bloom-index point lookups: no false negatives, so the pruned-scan
+    // result must equal the straight lookup (the absent probe key is
+    // absent from BOTH sides); partition-pruning telemetry is spec-side
+    "load_bloom_index" ->
+      """SELECT l_orderkey, count(*) AS n_rows,
+        | CAST(sum(l_suppkey + l_linenumber) AS BIGINT) AS key_checksum
+        |FROM lineitem WHERE l_orderkey IN (42, 7777, 9988, 1000000000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // observe()-collected QC riding the write pass: the oracle recomputes
     // the same aggregates from source — matching proves the observed pass
     // saw every written row

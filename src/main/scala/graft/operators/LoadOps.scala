@@ -807,4 +807,77 @@ object LoadOps {
         |""".stripMargin)
       .orderBy(col("pattern"))
   }
+
+  /** D23: partition-granularity BLOOM INDEX for point lookups on a
+    * NON-partition column — the lakehouse bloom-index feature (Delta's
+    * bloom filter index, Hudi's metadata-table bloom; Parquet row-group
+    * blooms are the same idea one level down). The layout partitions on
+    * supplier batch; lookups arrive by `l_orderkey`, which the partition
+    * scheme knows nothing about — an unindexed point lookup scans every
+    * partition. The index is one [[graft.functions.BloomAggregate]] per
+    * partition over the lookup column (ONE hash-agg pass at write time,
+    * |partitions| tiny rows persisted beside the layout), and a lookup
+    * first probes the index — |partitions| rows, one broadcast-scale
+    * read — then scans ONLY the partitions whose bloom might contain the
+    * key (`PartitionFilters` IN-list, spec-asserted). No false
+    * negatives, so the pruned result is provably identical to the full
+    * scan — exactly what the oracle checks; false positives only cost an
+    * extra partition read (~0.6% at 13 bits/key). All probe keys share
+    * one index pass and one data scan. At 100 TB: a point lookup touches
+    * its true partitions + FPR·|partitions| instead of everything — the
+    * index is O(|partitions|) bytes, not O(rows). */
+  def bloomIndex(spark: SparkSession, dir: String,
+      probes: Seq[Long] = Seq(42L, 7777L, 9988L, 1000000000L),
+      nBatches: Int = 16): DataFrame = {
+    import graft.functions.BloomAggregate
+    val out = Tables.scratch(spark, "graft_bloomidx/lineitem")
+    val idxOut = Tables.scratch(spark, "graft_bloomidx/index")
+    val t = Tables(spark, dir)
+    val (_, _, pageSize) = graft.sources.Ingest.keySpace(t.lineitem, "l_suppkey", nBatches)
+    val part = t.lineitem
+      .withColumn("supp_batch", floor(col("l_suppkey") / pageSize).cast("long"))
+    part.repartition(col("supp_batch"))
+      .write.mode("overwrite").partitionBy("supp_batch").parquet(out)
+    // index build: one bloom per partition over the LOOKUP column, sized
+    // from the per-partition row upper bound (distinct ≤ rows)
+    val expKeys = math.max(1L, t.lineitem.count() / nBatches)
+    part.groupBy(col("supp_batch"))
+      .agg(BloomAggregate.bloomAgg(spark, col("l_orderkey"), expKeys).as("bloom"))
+      .write.mode("overwrite").parquet(idxOut)
+    serveBloomLookups(spark, out, idxOut, probes)
+  }
+
+  /** The D23 serve path, factored so specs can probe the same persisted
+    * index: index probe (|partitions| rows) → candidate-partition IN
+    * filter → exact residual lookup, all probes in one scan. */
+  def serveBloomLookups(spark: SparkSession, layout: String, idxPath: String,
+      probes: Seq[Long]): DataFrame = {
+    import graft.functions.BloomAggregate
+    val idx = spark.read.parquet(idxPath)
+    val cand = idx
+      .filter(probes.map(k => BloomAggregate.mightContain(col("bloom"), lit(k)))
+        .reduce(_ || _))
+      .select(col("supp_batch")).collect().map(_.getLong(0)).sorted
+    if (cand.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long)]
+        .toDF("l_orderkey", "n_rows", "key_checksum")
+    }
+    spark.read.parquet(layout)
+      .filter(col("supp_batch").isin(cand: _*) && col("l_orderkey").isin(probes: _*))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_suppkey") + col("l_linenumber")).cast("long").as("key_checksum"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  /** The candidate partitions the D23 index admits for one key — spec
+    * surface for measuring pruning (true partitions + FPR, never a false
+    * negative). */
+  def bloomIndexCandidates(spark: SparkSession, idxPath: String, key: Long): Seq[Long] = {
+    import graft.functions.BloomAggregate
+    spark.read.parquet(idxPath)
+      .filter(BloomAggregate.mightContain(col("bloom"), lit(key)))
+      .select(col("supp_batch")).collect().map(_.getLong(0)).toSeq.sorted
+  }
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan shape assertions for the headline queries: the properties
@@ -60,6 +61,36 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"no partition pruning:\n$p")
     // only 3 of 16 partition directories should survive pruning
     assert(df.count() == 3)
+  }
+
+  test("bloom index: lookups prune partitions, never miss, absent key probes ~nothing") {
+    val ops = graft.operators.LoadOps
+    // build layout + index, serve the default probes (3 present, 1 absent)
+    val df = ops.bloomIndex(spark, sfDir)
+    df.collect()
+    // the data scan is partition-pruned by the bloom candidates
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") && p.contains("supp_batch"),
+      s"no partition pruning:\n$p")
+    // no false negatives: pruned lookups equal the straight source scan
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = Tables(spark, sfDir).lineitem
+      .filter(col("l_orderkey").isin(42L, 7777L, 9988L, 1000000000L))
+      .groupBy("l_orderkey").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want, s"$got vs $want")
+    // pruning telemetry from the persisted index: a present key admits
+    // only its true partitions (+FPR); the absent key admits ~none
+    val idxPath = Tables.scratch(spark, "graft_bloomidx/index")
+    val present = ops.bloomIndexCandidates(spark, idxPath, 42L)
+    assert(present.nonEmpty && present.size < 16,
+      s"present-key candidates not pruned: $present")
+    val absent = ops.bloomIndexCandidates(spark, idxPath, 1000000000L)
+    assert(absent.size <= 1, s"absent-key candidates too wide: $absent")
+    // empty-candidate serve path: a probe set of only-absent keys
+    val layout = Tables.scratch(spark, "graft_bloomidx/lineitem")
+    val none = ops.serveBloomLookups(spark, layout, idxPath, Seq(999999999L))
+    assert(none.collect().isEmpty)
   }
 
   test("xml gate: single codegen'd pass, no shuffle before the partial agg") {
