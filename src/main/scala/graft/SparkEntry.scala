@@ -105,6 +105,7 @@ object SparkEntry {
     "q_topk_pergroup"        -> Relational.qTopKPerGroup _,
     "q_rollup"               -> Relational.qRollup _,
     "q_pivot"                -> Relational.qPivot _,
+    "q_unpivot"              -> Relational.qUnpivot _,
     "q_union_dedup"          -> Relational.qUnionDedup _,
     "q_asof_join"            -> Relational.qAsofJoin _,
     "q_sessionize"           -> Relational.qSessionize _,
@@ -1144,6 +1145,19 @@ object SparkEntry {
         | CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p_low,
         | round(avg(o_totalprice), 2) AS avg_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // unpivot keeps zero cells — the oracle rebuilds absent combos with a
+    // status × priority cross join over the re-aggregated base
+    "q_unpivot" ->
+      """SELECT s.o_orderstatus, p.o_orderpriority,
+        | CAST(coalesce(c.n, 0) AS BIGINT) AS n_orders
+        |FROM (SELECT DISTINCT o_orderstatus FROM orders) s
+        |CROSS JOIN (VALUES ('1-URGENT'), ('2-HIGH'), ('3-MEDIUM'),
+        |  ('4-NOT SPECIFIED'), ('5-LOW')) p(o_orderpriority)
+        |LEFT JOIN (SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |  FROM orders GROUP BY 1, 2) c
+        | ON s.o_orderstatus = c.o_orderstatus
+        |  AND p.o_orderpriority = c.o_orderpriority
+        |ORDER BY 1, 2""".stripMargin,
     "q_union_dedup" ->
       """SELECT CAST(c_nationkey AS INT) AS nk FROM customer
         |UNION SELECT CAST(s_nationkey AS INT) FROM supplier ORDER BY nk""".stripMargin,

@@ -456,6 +456,23 @@ object Relational {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** E9b: unpivot (wide→long) via `stack` — the inverse of E9's pivot,
+    * completing the reshape pair. One codegen'd Generate per input row,
+    * ZERO shuffle at any table width (wide→long is row-local): the five
+    * priority count columns fold back into (status, priority, n) rows,
+    * zeros preserved — an unpivot emits every cell, which is exactly
+    * where it differs from re-aggregating the base table (absent combos
+    * would vanish there; the oracle rebuilds them with a cross join). */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame =
+    qPivot(spark, dir).selectExpr("o_orderstatus",
+      """stack(5,
+        | '1-URGENT', p_urgent,
+        | '2-HIGH', p_high,
+        | '3-MEDIUM', p_medium,
+        | '4-NOT SPECIFIED', p_notspec,
+        | '5-LOW', p_low) AS (o_orderpriority, n_orders)""".stripMargin)
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
   /** E10: union + distinct (hash-dedup after union). */
   def qUnionDedup(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
