@@ -52,6 +52,21 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** G11: stream-STATIC enrichment join — the production pattern for
+    * in-flight dimension enrichment: each micro-batch of the fact stream
+    * joins the small static dim, broadcast by Catalyst exactly as in the
+    * batch plan. No state store and no watermark — stream-static joins
+    * are stateless by construction (only stream-stream joins buffer), so
+    * per-batch cost is O(batch), never O(history), and the query runs
+    * forever at any stream volume. The static side is re-planned per
+    * micro-batch, so a dim refresh lands without restarting the query —
+    * the lakehouse slowly-changing-dimension serving pattern. Left join:
+    * facts with no dim row survive with nulls (enrichment must never
+    * drop telemetry). Spec: streamed result == the batch join, row for
+    * row. */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** G3: stateful sessionization via `flatMapGroupsWithState` — custom
     * per-key state carried across micro-batches (the streaming analogue of
     * E12): a session closes when a later event arrives past the gap,

@@ -156,6 +156,33 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("G11: stream-static enrichment equals the batch join and keeps dim-less facts") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = spark.read.parquet(s"$sfDir/nation.parquet")
+      .select(col("n_nationkey").as("nationkey"), col("n_name"))
+    val facts = MemoryStream[(Long, Double)]
+    val stream = facts.toDF().toDF("nationkey", "value")
+    val q = EventStreams.enrichStream(stream, dim, "nationkey")
+      .writeStream.outputMode("append").format("memory").queryName("g11_out").start()
+    try {
+      // nationkey 999 has no dim row and must survive with a null name
+      val data = Seq((0L, 1.5), (3L, 2.0), (3L, 2.5), (999L, 9.9))
+      facts.addData(data: _*)
+      q.processAllAvailable()
+      val got = spark.table("g11_out")
+        .select("nationkey", "value", "n_name").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2)))).toSet
+      val want = EventStreams.enrichStream(
+          data.toDF("nationkey", "value"), dim, "nationkey")
+        .select("nationkey", "value", "n_name").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2)))).toSet
+      assert(got == want, s"$got vs $want")
+      assert(got.exists { case (k, _, name) => k == 999L && name.isEmpty },
+        "dim-less fact was dropped or spuriously enriched")
+      assert(got.exists { case (k, _, name) => k == 3L && name.nonEmpty })
+    } finally q.stop()
+  }
+
   test("G2: dropDuplicatesWithinWatermark dedups repeated keys in-stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
