@@ -79,6 +79,7 @@ object SparkEntry {
     "mon_run_drift"          -> ((s: SparkSession, d: String) => LoadOps.runDrift(s, d)),
     "load_compaction"        -> ((s: SparkSession, d: String) => LoadOps.loadCompaction(s, d)),
     "load_bloom_index"       -> ((s: SparkSession, d: String) => LoadOps.bloomIndex(s, d)),
+    "load_table_checksum"    -> LoadOps.tableChecksum _,
     "load_incremental_view"  -> (LoadOps.incrementalView _),
     "load_observed_qc"       -> (LoadOps.observedQc _),
     "load_scd2"              -> ((s: SparkSession, d: String) => LoadOps.scd2Merge(s, d)),
@@ -887,6 +888,17 @@ object SparkEntry {
         | CAST(sum(l_suppkey + l_linenumber) AS BIGINT) AS key_checksum
         |FROM lineitem WHERE l_orderkey IN (42, 7777, 9988, 1000000000)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // order-independent table fingerprint: both rows recomputed from the
+    // SOURCE — matching the copy row certifies the round-tripped bytes
+    "load_table_checksum" ->
+      """WITH h AS (SELECT ('0x' || substr(md5(
+        |   o_orderkey || '|' || o_custkey || '|' || o_orderstatus
+        |     || '|' || o_orderpriority), 1, 8))::BIGINT AS h FROM orders)
+        |SELECT 'copy' AS side, count(*) AS n_rows,
+        | CAST(sum(h) AS BIGINT) AS sum_hash, bit_xor(h) AS xor_hash FROM h
+        |UNION ALL
+        |SELECT 'source', count(*), CAST(sum(h) AS BIGINT), bit_xor(h) FROM h
+        |ORDER BY side""".stripMargin,
     // observe()-collected QC riding the write pass: the oracle recomputes
     // the same aggregates from source — matching proves the observed pass
     // saw every written row

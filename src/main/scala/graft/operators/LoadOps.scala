@@ -871,6 +871,45 @@ object LoadOps {
       .orderBy(col("l_orderkey"))
   }
 
+  /** D24: order-independent TABLE CHECKSUM — the cross-system
+    * replication/migration validator: fingerprint a table as commutative
+    * folds (count, sum, xor) over a per-row hash, so two sides compare
+    * with O(1) exchanged bytes and ZERO sorting — the naive diff sorts
+    * both sides on a key (two global sorts + a co-located join; at
+    * 100 TB that is the most expensive query either system can run),
+    * while this is one map-side-partial agg per side at any size, and
+    * any row difference flips both folds with probability ~1−2⁻³².
+    * The op proves fidelity end-to-end: it WRITES a copy of the table
+    * through a real layout round-trip and fingerprints source and copy
+    * independently — the oracle recomputing both rows from the source
+    * certifies the copied bytes, not bookkeeping. The row hash is md5
+    * over a canonical `|`-joined projection (integers and strings —
+    * float formatting is engine-specific and has no place in a
+    * cross-system fingerprint; fingerprint floats via their IEEE bits if
+    * ever needed). */
+  def tableChecksum(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val out = Tables.scratch(spark, "graft_checksum/orders_copy")
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    val src = t.orders.select(cols.map(col): _*)
+    src.write.mode("overwrite").parquet(out)
+    def side(name: String, df: DataFrame): DataFrame =
+      rowFingerprint(df, cols).select(lit(name).as("side"),
+        col("n_rows"), col("sum_hash"), col("xor_hash"))
+    side("copy", spark.read.parquet(out))
+      .unionByName(side("source", src))
+      .orderBy(col("side"))
+  }
+
+  /** The D24 fold: one (n_rows, sum_hash, xor_hash) row over the md5 of
+    * the `|`-joined projection — commutative, so map-side partials
+    * combine and row order never matters (spec surface). */
+  def rowFingerprint(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(conv(substring(md5(concat_ws("|", cols.map(col): _*)), 1, 8), 16, 10)
+        .cast("long").as("h"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("h")).cast("long").as("sum_hash"),
+        expr("bit_xor(h)").as("xor_hash"))
+
   /** The candidate partitions the D23 index admits for one key — spec
     * surface for measuring pruning (true partitions + FPR, never a false
     * negative). */

@@ -239,6 +239,26 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("table checksum: order-independent, flips on any corruption, sides match on a clean copy") {
+    import spark.implicits._
+    val ops = graft.operators.LoadOps
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      ops.rowFingerprint(df, Seq("k", "v")).collect().head.toSeq
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    // commutative folds: any row order / partitioning fingerprints the same
+    assert(fp(base) == fp(base.orderBy(org.apache.spark.sql.functions.col("v").desc)))
+    assert(fp(base) == fp(base.repartition(7)))
+    // one changed value, one dropped row, one duplicated row: all flip it
+    assert(fp(base) != fp(Seq((1L, "a"), (2L, "X"), (3L, "c")).toDF("k", "v")))
+    assert(fp(base) != fp(Seq((1L, "a"), (2L, "b")).toDF("k", "v")))
+    assert(fp(base) != fp(Seq((1L, "a"), (2L, "b"), (3L, "c"), (3L, "c")).toDF("k", "v")))
+    // the registered op: a clean round-tripped copy matches the source
+    val rows = ops.tableChecksum(spark, sfDir).collect()
+    assert(rows.length == 2)
+    assert(rows(0).toSeq.drop(1) == rows(1).toSeq.drop(1),
+      s"copy fingerprint diverged from source: ${rows.toSeq}")
+  }
+
   test("compaction collapses each partition directory to one file, rows intact") {
     val out = graft.operators.LoadOps.loadCompaction(spark, sfDir).collect()
     assert(out.nonEmpty)
