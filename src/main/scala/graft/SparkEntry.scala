@@ -88,6 +88,7 @@ object SparkEntry {
     "etl_schema_evolve"      -> Staging.schemaEvolve _,
     "etl_fuzzy_match"        -> ((s: SparkSession, d: String) => Staging.fuzzyMatch(s, d)),
     "mon_run_gaps"           -> LoadOps.runGaps _,
+    "mon_gap_fill"           -> LoadOps.gapFill _,
     "mon_decay_avg"          -> ((s: SparkSession, d: String) => LoadOps.decayAvg(s, d)),
     "load_file_stats"        -> ((s: SparkSession, d: String) => LoadOps.fileStats(s, d)),
     "geo_hotspot"            -> ((s: SparkSession, d: String) => Geo.gridHotspots(s, d)),
@@ -1000,6 +1001,21 @@ object SparkEntry {
         |   AS gap_day_checksum
         |FROM spine s LEFT JOIN kept k ON s.source = k.source AND s.day = k.day
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // gap fill: the generated dense spine left-joined to aggregated
+    // counts — zeros materialized for every absent (source, hour) cell
+    "mon_gap_fill" ->
+      """WITH ev AS (SELECT event_type AS source,
+        |  CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 3600 AS hour, value
+        | FROM events),
+        |b AS (SELECT min(hour) AS mn, max(hour) AS mx FROM ev),
+        |grid AS (SELECT source, unnest(generate_series(mn, mx)) AS hour
+        |  FROM (SELECT DISTINCT source FROM ev), b),
+        |c AS (SELECT source, hour, count(*) AS n, sum(value) AS v
+        |  FROM ev GROUP BY 1, 2)
+        |SELECT g.source, g.hour, CAST(coalesce(c.n, 0) AS BIGINT) AS n_events,
+        | round(coalesce(c.v, 0), 2) AS value_sum
+        |FROM grid g LEFT JOIN c ON g.source = c.source AND g.hour = c.hour
+        |ORDER BY 1, 2""".stripMargin,
     "load_fk_validate" ->
       """WITH dim AS (SELECT c_custkey FROM customer WHERE c_custkey % 11 <> 0)
         |SELECT o_orderpriority, count(*) AS n_orders,

@@ -871,6 +871,39 @@ object LoadOps {
       .orderBy(col("l_orderkey"))
   }
 
+  /** D25: dense time-series GAP FILL — materialize the zero-filled
+    * (source, hour) grid telemetry consumers need: charting and anomaly
+    * models train on DENSE series, and a missing hour silently read as
+    * "no row" is indistinguishable from "not loaded" (D16 mon_run_gaps
+    * DETECTS holes; this FILLS them — the complementary half). The dense
+    * spine is GENERATED, never scanned: distinct sources × one
+    * `sequence(min_hour, max_hour)` explode costs |sources|·|hours| grid
+    * rows regardless of event volume; the counts are ONE hash-agg over
+    * the events (map-side partials), and the fill is a left join of the
+    * generated spine against the AGGREGATED counts — both sides are
+    * post-agg grid-sized at any corpus scale. No window, no self-join,
+    * no per-row sort. */
+  def gapFill(spark: SparkSession, dir: String): DataFrame =
+    gapFillOver(Tables(spark, dir).events
+      .withColumn("hour", expr("(ts div 1000000000) div 3600").cast("long"))
+      .select(col("event_type").as("source"), col("hour"), col("value")))
+
+  /** The D25 core over an explicit (source, hour, value) frame, so specs
+    * can plant exact holes. */
+  def gapFillOver(ev: DataFrame): DataFrame = {
+    val counts = ev.groupBy(col("source"), col("hour"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+    val b = ev.agg(min(col("hour")), max(col("hour"))).head()
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    ev.select(col("source")).distinct()
+      .withColumn("hour", explode(sequence(lit(mn), lit(mx))))
+      .join(counts, Seq("source", "hour"), "left")
+      .select(col("source"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        round(coalesce(col("v"), lit(0.0)), 2).as("value_sum"))
+      .orderBy(col("source"), col("hour"))
+  }
+
   /** D24: order-independent TABLE CHECKSUM — the cross-system
     * replication/migration validator: fingerprint a table as commutative
     * folds (count, sum, xor) over a per-row hash, so two sides compare

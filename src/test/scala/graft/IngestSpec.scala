@@ -239,6 +239,31 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("gap fill: planted holes zero-fill across the global spine, present cells aggregate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // source a covers hours 10 and 13 (holes at 11, 12); source b only 11
+    // — the spine is GLOBAL, so b zero-fills at 10, 12, 13 too
+    val ev = Seq(("a", 10L, 1.0), ("a", 10L, 2.5), ("a", 13L, 4.0), ("b", 11L, 7.0))
+      .toDF("source", "hour", "value")
+    val got = graft.operators.LoadOps.gapFillOver(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.size == 8, s"expected a 2x4 dense grid: ${got.keys}")
+    assert(got(("a", 10L)) == (2L, 3.5))
+    assert(got(("a", 11L)) == (0L, 0.0) && got(("a", 12L)) == (0L, 0.0))
+    assert(got(("a", 13L)) == (1L, 4.0))
+    assert(got(("b", 11L)) == (1L, 7.0))
+    Seq(10L, 12L, 13L).foreach(h => assert(got(("b", h)) == (0L, 0.0)))
+    // corpus run: dense |sources| x |hours| grid with real zero cells
+    val rows = graft.operators.LoadOps.gapFill(spark, sfDir)
+    val p = rows.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"unexpected window:\n$p")
+    val n = rows.count()
+    val zeros = rows.filter(col("n_events") === 0L).count()
+    assert(n == 5L * 720L, s"grid size $n")
+    assert(zeros > 0L, "no gaps filled at sf0.01 — granularity too coarse")
+  }
+
   test("table checksum: order-independent, flips on any corruption, sides match on a clean copy") {
     import spark.implicits._
     val ops = graft.operators.LoadOps
