@@ -108,6 +108,7 @@ object SparkEntry {
     "q_rollup"               -> Relational.qRollup _,
     "q_pivot"                -> Relational.qPivot _,
     "q_unpivot"              -> Relational.qUnpivot _,
+    "sample_hash"            -> Relational.qHashSample _,
     "q_union_dedup"          -> Relational.qUnionDedup _,
     "q_asof_join"            -> Relational.qAsofJoin _,
     "q_sessionize"           -> Relational.qSessionize _,
@@ -1186,6 +1187,23 @@ object SparkEntry {
         | ON s.o_orderstatus = c.o_orderstatus
         |  AND p.o_orderpriority = c.o_orderpriority
         |ORDER BY 1, 2""".stripMargin,
+    // deterministic hash sample: the oracle recomputes the exact same
+    // md5-bucket sample; integrity and nesting columns must be 0
+    "sample_hash" ->
+      """WITH b AS (SELECT o_orderkey,
+        |  ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 100
+        |    AS bk FROM orders),
+        |lb AS (SELECT l_orderkey,
+        |  ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT % 100
+        |    AS bk FROM lineitem)
+        |SELECT r.rate_pct,
+        | (SELECT count(*) FROM b WHERE bk < r.rate_pct) AS n_orders,
+        | (SELECT count(*) FROM lb WHERE bk < r.rate_pct) AS n_lineitems,
+        | (SELECT count(*) FROM lb WHERE bk < r.rate_pct AND l_orderkey NOT IN
+        |    (SELECT o_orderkey FROM b WHERE bk < r.rate_pct)) AS n_orphan_lineitems,
+        | (SELECT count(*) FROM b WHERE bk < r.rate_pct AND NOT bk < 10)
+        |    AS n_escaping_nested
+        |FROM (VALUES (5), (10)) r(rate_pct) ORDER BY r.rate_pct""".stripMargin,
     "q_union_dedup" ->
       """SELECT CAST(c_nationkey AS INT) AS nk FROM customer
         |UNION SELECT CAST(s_nationkey AS INT) FROM supplier ORDER BY nk""".stripMargin,

@@ -473,6 +473,42 @@ object Relational {
         | '5-LOW', p_low) AS (o_orderpriority, n_orders)""".stripMargin)
       .orderBy(col("o_orderstatus"), col("o_orderpriority"))
 
+  /** E31: deterministic HASH SAMPLING — the massive-corpus sampling
+    * convention (stable md5-bucket threshold, no RNG): keep a row iff
+    * bucket(key) < rate. Three properties `rand()`-based sampling cannot
+    * give, each PROVED by an output column rather than assumed:
+    * (1) stable across runs and engines (the oracle recomputes the same
+    * sample bit for bit); (2) REFERENTIAL INTEGRITY across tables —
+    * sampling orders and lineitem by the same key yields exactly the
+    * child rows of sampled parents (`n_orphan_lineitems` = 0, computed
+    * by a real anti-join, not asserted); (3) NESTED rates — the 5%
+    * sample is a strict subset of the 10% one (`n_escaping_nested` = 0),
+    * so refining a pipeline to a bigger sample never re-processes from
+    * scratch. The sampling path itself is a pure filter on a scan —
+    * zero shuffle at any corpus size; only the integrity PROOF joins,
+    * and broadcasts the sampled-parent key set. */
+  def qHashSample(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def bucket(key: Column): Column =
+      conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % 100
+    def tier(pct: Int): DataFrame = {
+      val o = t.orders.filter(bucket(col("o_orderkey")) < pct)
+      val l = t.lineitem.filter(bucket(col("l_orderkey")) < pct)
+      val orphans = l.join(broadcast(o.select(col("o_orderkey"))),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      val escaping = t.orders
+        .filter(bucket(col("o_orderkey")) < pct &&
+          !(bucket(col("o_orderkey")) < 10))
+      o.agg(count(lit(1)).as("n_orders")).crossJoin(
+          l.agg(count(lit(1)).as("n_lineitems")))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphan_lineitems")))
+        .crossJoin(escaping.agg(count(lit(1)).as("n_escaping_nested")))
+        .select(lit(pct).as("rate_pct"), col("n_orders"), col("n_lineitems"),
+          col("n_orphan_lineitems"), col("n_escaping_nested"))
+    }
+    tier(5).unionByName(tier(10)).orderBy(col("rate_pct"))
+  }
+
   /** E10: union + distinct (hash-dedup after union). */
   def qUnionDedup(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)

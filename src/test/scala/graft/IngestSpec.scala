@@ -239,6 +239,22 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("hash sample: rates land near nominal, integrity and nesting columns are hard zeros") {
+    val rows = graft.operators.Relational.qHashSample(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    val nOrders = Tables(spark, sfDir).orders.count().toDouble
+    Seq(5, 10).foreach { pct =>
+      val r = rows(pct)
+      val frac = r.getLong(1) / nOrders
+      // md5 buckets are uniform: observed rate within ±2% absolute
+      assert(math.abs(frac - pct / 100.0) < 0.02, s"$pct%: got $frac")
+      assert(r.getLong(3) == 0L, s"orphaned child rows at $pct%")
+      assert(r.getLong(4) == 0L, s"$pct% sample escapes the 10% superset")
+    }
+    // the 5% tier is strictly smaller than the 10% tier
+    assert(rows(5).getLong(1) < rows(10).getLong(1))
+  }
+
   test("gap fill: planted holes zero-fill across the global spine, present cells aggregate") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
