@@ -109,6 +109,7 @@ object SparkEntry {
     "q_pivot"                -> Relational.qPivot _,
     "q_unpivot"              -> Relational.qUnpivot _,
     "sample_hash"            -> Relational.qHashSample _,
+    "q_skyline"              -> Relational.qSkyline _,
     "q_union_dedup"          -> Relational.qUnionDedup _,
     "q_asof_join"            -> Relational.qAsofJoin _,
     "q_sessionize"           -> Relational.qSessionize _,
@@ -1204,6 +1205,16 @@ object SparkEntry {
         | (SELECT count(*) FROM b WHERE bk < r.rate_pct AND NOT bk < 10)
         |    AS n_escaping_nested
         |FROM (VALUES (5), (10)) r(rate_pct) ORDER BY r.rate_pct""".stripMargin,
+    "q_skyline" ->
+      """WITH pts AS (SELECT l_returnflag AS flag, l_linestatus AS mode,
+        |  l_extendedprice AS price, l_discount AS disc, count(*) AS n_rows
+        |  FROM lineitem GROUP BY 1, 2, 3, 4)
+        |SELECT flag, mode, price, disc, n_rows FROM pts a
+        |WHERE NOT EXISTS (SELECT 1 FROM pts b
+        |  WHERE b.flag = a.flag AND b.mode = a.mode
+        |    AND b.price <= a.price AND b.disc >= a.disc
+        |    AND (b.price < a.price OR b.disc > a.disc))
+        |ORDER BY flag, mode, price""".stripMargin,
     "q_union_dedup" ->
       """SELECT CAST(c_nationkey AS INT) AS nk FROM customer
         |UNION SELECT CAST(s_nationkey AS INT) FROM supplier ORDER BY nk""".stripMargin,

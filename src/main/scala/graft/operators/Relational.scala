@@ -707,4 +707,52 @@ object Relational {
       .select(col("user_id"), col("event_id"), col("sec"), col("running_value"))
       .orderBy(col("user_id"), col("sec"), col("event_id"))
   }
+
+  /** The sort-filter frontier scan shared by both skyline passes: ordered
+    * price asc / discount desc within a partition, a point survives iff
+    * every preceding point's discount is strictly below its own — the
+    * preceding rows are exactly the points that could dominate it (price
+    * no worse, and equal-price-higher-discount peers sort first). Exact
+    * over DISTINCT points: the caller collapses duplicates beforehand,
+    * so non-strict dominance ties cannot drop a whole duplicate class. */
+  private def skylinePass(pts: DataFrame, part: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(part.map(col): _*)
+      .orderBy(col("price").asc, col("disc").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts.withColumn("mprev", max(col("disc")).over(w))
+      .filter(col("mprev").isNull || col("mprev") < col("disc"))
+      .drop("mprev")
+  }
+
+  /** E32: per-group Pareto SKYLINE (Börzsönyi et al. 2001, "The Skyline
+    * Operator", ICDE): within each (returnflag, linestatus) group, the
+    * frontier of distinct (price, discount) points no other point
+    * dominates (price ≤, discount ≥, strictly better in at least one) —
+    * "cheapest line for its discount tier" in one relational pass.
+    *
+    * Spark-first shape exploiting the skyline's DISTRIBUTIVITY (the
+    * global skyline is contained in the union of any partitioning's
+    * local skylines): (1) collapse to distinct points — a hash agg with
+    * map-side partials that also carries the duplicate count; (2) LOCAL
+    * frontier per (group, hash-bucket) — 32 buckets per group keep the
+    * window parallel no matter how few groups exist, and each bucket's
+    * scan is the classic sort-filter skyline; (3) GLOBAL frontier over
+    * the per-bucket survivors, which number at most one per distinct
+    * discount value per bucket — the second window never sees the
+    * corpus, so no global sort of data-sized input exists in the plan.
+    * At 100 TB only step 1 touches every row (one shuffle on the point
+    * key); the frontier logic runs on the collapsed point set. */
+  def qSkyline(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val pts = t.lineitem
+      .groupBy(col("l_returnflag").as("flag"), col("l_linestatus").as("mode"),
+        col("l_extendedprice").as("price"), col("l_discount").as("disc"))
+      .agg(count(lit(1)).as("n_rows"))
+    val local = skylinePass(
+      pts.withColumn("bucket", pmod(xxhash64(col("price"), col("disc")), lit(32))),
+      Seq("flag", "mode", "bucket")).drop("bucket")
+    skylinePass(local, Seq("flag", "mode"))
+      .select(col("flag"), col("mode"), col("price"), col("disc"), col("n_rows"))
+      .orderBy(col("flag"), col("mode"), col("price"))
+  }
 }

@@ -109,4 +109,35 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(fast.sameElements(exact), s"fast=${fast.length} exact=${exact.length}")
   }
+
+  test("skyline: bucketed two-pass frontier equals brute-force dominance") {
+    val got = Relational.qSkyline(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toSeq
+    val pts = Tables(spark, sfDir).lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"),
+        col("l_extendedprice"), col("l_discount"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    val byGroup = pts.groupBy(p => (p._1, p._2))
+    val brute = pts.filter { case (f, m, p, d, _) =>
+      !byGroup((f, m)).exists { case (_, _, p2, d2, _) =>
+        p2 <= p && d2 >= d && (p2 < p || d2 > d) }
+    }.sortBy(t => (t._1, t._2, t._3)).toSeq
+    assert(got.nonEmpty && got == brute)
+  }
+
+  test("skyline frontier is strictly monotone within each group") {
+    // Pareto property: along the frontier, price and discount rise
+    // together — one point per price, strictly increasing discount
+    Relational.qSkyline(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getDouble(2), r.getDouble(3))))
+      .groupBy(_._1).values.foreach { g =>
+        val pd = g.map(_._2).sortBy(_._1)
+        pd.sliding(2).foreach {
+          case Array((p1, d1), (p2, d2)) =>
+            assert(p1 < p2 && d1 < d2, s"frontier not strictly monotone: ($p1,$d1) ($p2,$d2)")
+          case _ =>
+        }
+      }
+  }
 }
