@@ -78,6 +78,7 @@ object SparkEntry {
     "mon_perf_outliers"      -> ((s: SparkSession, d: String) => LoadOps.perfOutliers(s, d)),
     "mon_run_drift"          -> ((s: SparkSession, d: String) => LoadOps.runDrift(s, d)),
     "load_compaction"        -> ((s: SparkSession, d: String) => LoadOps.loadCompaction(s, d)),
+    "load_mor_delete"        -> LoadOps.morDelete _,
     "load_bloom_index"       -> ((s: SparkSession, d: String) => LoadOps.bloomIndex(s, d)),
     "load_table_checksum"    -> LoadOps.tableChecksum _,
     "load_incremental_view"  -> (LoadOps.incrementalView _),
@@ -883,6 +884,14 @@ object SparkEntry {
         | CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
         | round(sum(o_totalprice), 2) AS sum_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // merge-on-read: the oracle replays the delete-set algebra from the
+    // source table — live rows = base minus both delete batches
+    "load_mor_delete" ->
+      """SELECT o_orderpriority, count(*) AS n_live,
+        | CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+        | round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders WHERE NOT (o_orderkey % 97 = 0 OR o_orderkey % 89 = 3)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // bloom-index point lookups: no false negatives, so the pruned-scan
     // result must equal the straight lookup (the absent probe key is
     // absent from BOTH sides); partition-pruning telemetry is spec-side

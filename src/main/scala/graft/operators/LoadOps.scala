@@ -952,4 +952,58 @@ object LoadOps {
       .filter(BloomAggregate.mightContain(col("bloom"), lit(key)))
       .select(col("supp_batch")).collect().map(_.getLong(0)).toSeq.sorted
   }
+
+  /** Root of the D26 merge-on-read layout (conf-keyed, the
+    * graft.ivf.root pattern). */
+  def morRoot(spark: SparkSession): String =
+    spark.conf.get("graft.mor.root", Tables.scratch(spark, "graft_mor"))
+
+  /** The merged (live-rows) view of the D26 layout: base minus every key
+    * any delete file carries. ONE definition shared by the registered
+    * query and the spec so both read the same plan — delete files are
+    * orders of magnitude smaller than base, so the anti join broadcasts. */
+  def morLiveRows(spark: SparkSession): DataFrame = {
+    val root = morRoot(spark)
+    val deletes = spark.read.parquet(s"$root/deletes")
+      .select(col("o_orderkey")).distinct()
+    spark.read.parquet(s"$root/base")
+      .join(broadcast(deletes), Seq("o_orderkey"), "left_anti")
+  }
+
+  /** D26: MERGE-ON-READ equality deletes — the lakehouse delete mode
+    * (Iceberg v2 equality-delete files / Delta deletion vectors) that
+    * D1/D4/D10 lack: those rewrite data to remove rows, which at 100 TB
+    * means a full-table pass to delete 1% of it. Here a delete is a
+    * WRITE-ONLY operation: the base snapshot is written once and never
+    * touched again (spec proves base bytes byte-identical across two
+    * delete batches); each delete batch appends a KB-sized file of
+    * deleted keys; readers reconstruct the live table as
+    * base ⟕anti⟕ (union of delete keys) — a broadcast anti join, since
+    * delete sets are tiny next to base. The read tax grows with the
+    * delete ratio until D14's compactor folds the deletes into a fresh
+    * base (the standard MOR→copy-on-write handoff). Two deterministic
+    * delete batches (keys ≡0 mod 97, ≡3 mod 89) land before the read, so
+    * the oracle replays the same set algebra from the source table. */
+  def morDelete(spark: SparkSession, dir: String): DataFrame = {
+    val root = morRoot(spark)
+    val base = Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+        col("o_totalprice"))
+    base.write.mode("overwrite").parquet(s"$root/base")
+    // two delete batches: write-only, base untouched
+    Seq(97L -> 0L, 89L -> 3L).zipWithIndex.foreach { case ((m, r), i) =>
+      spark.read.parquet(s"$root/base")
+        .filter(pmod(col("o_orderkey"), lit(m)) === r)
+        .select(col("o_orderkey"))
+        .coalesce(1)
+        .write.mode(if (i == 0) "overwrite" else "append")
+        .parquet(s"$root/deletes")
+    }
+    morLiveRows(spark)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_live"),
+        sum(col("o_orderkey")).cast("long").as("key_checksum"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
 }

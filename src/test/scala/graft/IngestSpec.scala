@@ -313,6 +313,34 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     assert(comp.values.forall(_ == 1), s"compacted layout still fragmented: $comp")
   }
 
+  test("merge-on-read: deletes are write-only, base bytes never change, live view shrinks") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val ops = graft.operators.LoadOps
+    assert(ops.morDelete(spark, sfDir).collect().nonEmpty)
+    val root = ops.morRoot(spark)
+    def baseState() = new java.io.File(s"$root/base").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length(), f.lastModified())).sortBy(_._1).toSeq
+    val before = baseState()
+    assert(before.nonEmpty)
+    val liveBefore = ops.morLiveRows(spark).count()
+    // a third delete batch against the live view, materialized up front so
+    // the append never reads the directory it writes
+    val extraKeys = ops.morLiveRows(spark)
+      .filter(pmod(col("o_orderkey"), lit(101L)) === 1L)
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).toSeq
+    assert(extraKeys.nonEmpty)
+    import spark.implicits._
+    extraKeys.toDF("o_orderkey").coalesce(1)
+      .write.mode("append").parquet(s"$root/deletes")
+    assert(baseState() == before, "a delete batch rewrote base files")
+    assert(ops.morLiveRows(spark).count() == liveBefore - extraKeys.length)
+    // the read tax is bounded by the delete ratio: delete rows stay small
+    val delRows = spark.read.parquet(s"$root/deletes").count()
+    val baseRows = spark.read.parquet(s"$root/base").count()
+    assert(delRows * 10 < baseRows, s"deletes $delRows vs base $baseRows")
+  }
+
   test("scd2 merge: history is preserved, one current row per key, statuses partition the keys") {
     import org.apache.spark.sql.functions.col
     val rows = graft.operators.LoadOps.scd2Merge(spark, sfDir).collect()
