@@ -79,6 +79,7 @@ object SparkEntry {
     "mon_run_drift"          -> ((s: SparkSession, d: String) => LoadOps.runDrift(s, d)),
     "load_compaction"        -> ((s: SparkSession, d: String) => LoadOps.loadCompaction(s, d)),
     "load_mor_delete"        -> LoadOps.morDelete _,
+    "load_zorder"            -> LoadOps.zorderLayout _,
     "load_bloom_index"       -> ((s: SparkSession, d: String) => LoadOps.bloomIndex(s, d)),
     "load_table_checksum"    -> LoadOps.tableChecksum _,
     "load_incremental_view"  -> (LoadOps.incrementalView _),
@@ -884,6 +885,29 @@ object SparkEntry {
         | CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
         | round(sum(o_totalprice), 2) AS sum_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // z-order: the oracle recomputes the identical Morton code from the
+    // source (integer-only grid scale + this generated interleave, `//`
+    // matching Spark's `div` on non-negative operands) — matching cells
+    // certify the clustered bytes round-tripped
+    "load_zorder" -> {
+      val interleave = (0 until 16).map(i =>
+        s"(((xs >> $i) & 1) << ${2 * i}) | (((ys >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" | ")
+      s"""WITH s AS (SELECT o_custkey, o_totalprice,
+         |  date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
+         |  FROM orders),
+         |m AS (SELECT min(o_custkey) AS cklo, max(o_custkey) AS ckhi,
+         |  min(day) AS daylo, max(day) AS dayhi FROM s),
+         |g AS (SELECT o_custkey, day, o_totalprice,
+         |  ((o_custkey - cklo) * 65535) // GREATEST(ckhi - cklo, 1) AS xs,
+         |  ((day - daylo) * 65535) // GREATEST(dayhi - daylo, 1) AS ys
+         |  FROM s, m)
+         |SELECT CAST(($interleave) >> 24 AS INT) AS zcell,
+         |  count(*) AS n_rows, min(o_custkey) AS ck_min, max(o_custkey) AS ck_max,
+         |  min(day) AS day_min, max(day) AS day_max,
+         |  round(sum(o_totalprice), 2) AS sum_price
+         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     // merge-on-read: the oracle replays the delete-set algebra from the
     // source table — live rows = base minus both delete batches
     "load_mor_delete" ->

@@ -953,6 +953,67 @@ object LoadOps {
       .select(col("supp_batch")).collect().map(_.getLong(0)).toSeq.sorted
   }
 
+  /** Root of the D27 z-order layout (conf-keyed, the graft.ivf.root
+    * pattern). */
+  def zorderRoot(spark: SparkSession): String =
+    spark.conf.get("graft.zorder.root", Tables.scratch(spark, "graft_zorder"))
+
+  /** The D27 z-value: both cluster columns scaled to a 16-bit grid with
+    * INTEGER arithmetic only (`div` truncates, both inputs non-negative,
+    * so Spark and the oracle floor identically — no float in the key),
+    * then bit-interleaved into one 32-bit Morton code. Pure builtin
+    * shift/mask/or tree — 32 codegen'd terms, no UDF. */
+  def zValue(ckName: String, dayName: String, ckLo: Long, ckHi: Long,
+             dayLo: Long, dayHi: Long): Column = {
+    def scale(name: String, lo: Long, hi: Long): Column =
+      expr(s"(($name - $lo) * 65535) div ${math.max(1L, hi - lo)}")
+    val xs = scale(ckName, ckLo, ckHi)
+    val ys = scale(dayName, dayLo, dayHi)
+    (0 until 16).map { i =>
+      shiftleft(shiftright(xs, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(ys, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** D27: Z-ORDER clustered layout — multi-dimensional data clustering
+    * (Morton-curve interleaving, the Delta/Iceberg `ZORDER BY` feature)
+    * for file skipping on MORE THAN ONE column: a layout sorted linearly
+    * by custkey prunes custkey predicates and nothing else (every file
+    * spans the full date range); interleaving custkey and order-day bits
+    * makes each range-partitioned file cover a small RECTANGLE in the
+    * 2-D key space, so min/max footer stats prune predicates on EITHER
+    * column. The write is one range repartition on the Morton code (the
+    * same shuffle a linear sort costs); the skipping win is free at read
+    * time. Spec measures it: a band predicate on each dimension touches
+    * a small fraction of z-ordered files vs ALL files of the linear
+    * layout on the non-sort dimension. The registered query reads the
+    * rollup back FROM the written layout (grid cells, extents, price
+    * sums) so the oracle also certifies the clustered bytes — cells are
+    * pure integer functions of the data, deterministic in both engines. */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val root = zorderRoot(spark)
+    val src = Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+    // one bounded driver row: the grid corners
+    val mm = src.agg(min(col("o_custkey")), max(col("o_custkey")),
+      min(col("day")), max(col("day"))).head()
+    val (ckLo, ckHi, dayLo, dayHi) =
+      (mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3))
+    src.withColumn("z", zValue("o_custkey", "day", ckLo, ckHi, dayLo, dayHi))
+      .repartitionByRange(32, col("z"))
+      .sortWithinPartitions(col("z"))
+      .write.mode("overwrite").parquet(s"$root/clustered")
+    spark.read.parquet(s"$root/clustered")
+      .groupBy(shiftright(col("z"), 24).cast("int").as("zcell"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_custkey")).as("ck_min"), max(col("o_custkey")).as("ck_max"),
+        min(col("day")).as("day_min"), max(col("day")).as("day_max"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("zcell"))
+  }
+
   /** Root of the D26 merge-on-read layout (conf-keyed, the
     * graft.ivf.root pattern). */
   def morRoot(spark: SparkSession): String =
