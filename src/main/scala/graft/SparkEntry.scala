@@ -176,6 +176,7 @@ object SparkEntry {
     "sample_curriculum"      -> ((s: SparkSession, d: String) => TextAnalysis.sampleCurriculum(s, d)),
     "q_set_ops"              -> Relational.qSetOps _,
     "sample_weighted"        -> ((s: SparkSession, d: String) => TextAnalysis.weightedSample(s, d)),
+    "sample_balanced"        -> TextAnalysis.sampleBalanced _,
     "sample_domain_mix"      -> TextAnalysis.domainMix _,
     "sample_temperature"     -> ((s: SparkSession, d: String) => TextAnalysis.temperatureMix(s, d)),
     "sample_dsir"            -> ((s: SparkSession, d: String) => TextAnalysis.dsirWeights(s, d)),
@@ -2039,6 +2040,13 @@ object SparkEntry {
       """WITH r AS (SELECT lang, doc_id, n_chars,
         |  row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn FROM documents)
         |SELECT lang, doc_id, n_chars FROM r WHERE rn % 10 = 1 ORDER BY lang, doc_id""".stripMargin,
+    "sample_balanced" ->
+      """WITH m AS (SELECT min(n) AS n_target FROM
+        |  (SELECT lang, count(*) AS n FROM documents GROUP BY 1)),
+        |r AS (SELECT lang, doc_id, n_chars, row_number() OVER (PARTITION BY lang
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM documents)
+        |SELECT lang, rk, doc_id, n_chars FROM r, m
+        |WHERE rk <= n_target ORDER BY lang, rk""".stripMargin,
     "sample_weighted" ->
       """WITH s AS (SELECT doc_id, n_chars,
         |  pow((((doc_id * 2654435761) % 1000000) + 0.5) / 1000000.0, 1.0 / n_chars) AS skey

@@ -358,6 +358,34 @@ object TextAnalysis {
       .orderBy(col("lang"), col("doc_id"))
   }
 
+  /** F46: CLASS-BALANCED downsampling — equalize class populations to
+    * the smallest class (the standard rebalancing step before training
+    * on label-skewed corpora): every class keeps exactly n_min rows,
+    * chosen by a deterministic md5-order rank rather than `rand()`, so
+    * the selection is reproducible across runs AND engines (the oracle
+    * recomputes it bit for bit) and stable under re-partitioning. One
+    * shuffle on the class key for the rank window plus a broadcast
+    * 1-row target; at 100 TB the window cost concentrates in the
+    * LARGEST class — the hash order means a class 1000× over target
+    * could first be pre-screened to hash-bucket < ceil(margin·n_min/
+    * |class|·2⁵³) and only re-widened on a shortfall, the same
+    * estimate-then-guard shape as F24's bloom sizing; the exact form
+    * here IS the fallback path. */
+  def sampleBalanced(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val docs = t.documents.select(col("doc_id"), col("lang"), col("n_chars"))
+    val target = docs.groupBy(col("lang")).count()
+      .agg(min(col("count")).as("n_target"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(target))
+      .filter(col("rk") <= col("n_target"))
+      .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   /** F11: token counting — whitespace words and a BPE-ish regex
     * tokenization (letters / digits / single symbols). */
   def tokenCount(spark: SparkSession, dir: String): DataFrame = {

@@ -308,4 +308,25 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(byShare.head.getDouble(5) > 1.0, "smallest source not upweighted")
     assert(byShare.last.getDouble(5) < 1.0, "largest source not downweighted")
   }
+
+  test("balanced sample: every class lands exactly at the smallest class size, deterministically") {
+    import org.apache.spark.sql.functions.col
+    val rows = TextAnalysis.sampleBalanced(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val perClass = rows.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    val srcCounts = Tables(spark, sfDir).documents
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = srcCounts.values.min
+    assert(perClass.keySet == srcCounts.keySet, "a class vanished")
+    assert(perClass.values.forall(_ == nMin), s"unbalanced: $perClass (target $nMin)")
+    // kept ids are real rows of their class
+    val srcIds = Tables(spark, sfDir).documents
+      .select(col("lang"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows.forall(r => srcIds((r.getString(0), r.getLong(2)))))
+    // hash order, not arrival order: reruns pick the identical sample
+    val again = TextAnalysis.sampleBalanced(spark, sfDir).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }
