@@ -80,6 +80,7 @@ object SparkEntry {
     "load_compaction"        -> ((s: SparkSession, d: String) => LoadOps.loadCompaction(s, d)),
     "load_mor_delete"        -> LoadOps.morDelete _,
     "load_zorder"            -> LoadOps.zorderLayout _,
+    "load_backfill"          -> LoadOps.loadBackfill _,
     "load_bloom_index"       -> ((s: SparkSession, d: String) => LoadOps.bloomIndex(s, d)),
     "load_table_checksum"    -> LoadOps.tableChecksum _,
     "load_incremental_view"  -> (LoadOps.incrementalView _),
@@ -909,6 +910,13 @@ object SparkEntry {
          |  round(sum(o_totalprice), 2) AS sum_price
          |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    // backfill: the healed target must equal the source exactly — the
+    // oracle is the straight per-month rollup, blind to the planted gap
+    "load_backfill" ->
+      """SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month,
+        | count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+        | round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // merge-on-read: the oracle replays the delete-set algebra from the
     // source table — live rows = base minus both delete batches
     "load_mor_delete" ->

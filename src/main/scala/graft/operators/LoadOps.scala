@@ -1014,6 +1014,65 @@ object LoadOps {
       .orderBy(col("zcell"))
   }
 
+  /** Root of the D28 backfill layout (conf-keyed, the graft.ivf.root
+    * pattern). */
+  def backfillRoot(spark: SparkSession): String =
+    spark.conf.get("graft.backfill.root", Tables.scratch(spark, "graft_backfill"))
+
+  /** Source frame for D28: orders keyed by calendar month. */
+  private def ordersByMonth(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .withColumn("month", trunc(to_date(col("o_orderdate")), "month"))
+
+  /** The D28 repair pass, shared by the registered op and the spec so
+    * both exercise the same plan: anti-join the target's partition
+    * values against the source's to find the gap (the month list is
+    * bounded — ≤ a few hundred at ANY corpus size — so collecting it to
+    * drive the pruned recompute is a constant-size driver step, not a
+    * data collect), then recompute and APPEND only those partitions.
+    * Present partitions are never read, recomputed, or rewritten.
+    * Returns the backfilled months. */
+  def backfillPass(spark: SparkSession, dir: String, tgt: String): Seq[java.sql.Date] = {
+    val src = ordersByMonth(spark, dir)
+    val have = spark.read.parquet(tgt).select(col("month")).distinct()
+    val missing = src.select(col("month")).distinct()
+      .join(have, Seq("month"), "left_anti")
+      .collect().map(_.getDate(0)).toSeq.sortBy(_.getTime)
+    if (missing.nonEmpty)
+      src.filter(col("month").isInCollection(missing))
+        .write.mode("append").partitionBy("month").parquet(tgt)
+    missing
+  }
+
+  /** D28: partition BACKFILL — the operational repair job every
+    * partitioned 100 TB layout eventually needs: an interrupted or
+    * late-data run leaves holes in a date-partitioned target, and the
+    * fix must recompute ONLY the holes — re-running the full load (D1)
+    * would rewrite terabytes to repair gigabytes. The gap is found
+    * DECLARATIVELY (anti join of partition values, not FS listing
+    * heuristics), the recompute filters the source to the gap months,
+    * and the write appends new partition directories without touching
+    * existing ones (spec proves present-partition bytes identical
+    * across a repair). The wire plants a deterministic 20% month gap
+    * (month-serial ≡ 0 mod 5) so the oracle can state the healed
+    * target straight from the source table. */
+  def loadBackfill(spark: SparkSession, dir: String): DataFrame = {
+    val root = backfillRoot(spark)
+    val tgt = s"$root/by_month"
+    val src = ordersByMonth(spark, dir)
+    // the interrupted original run: one in five months never landed
+    val mkey = year(col("month")) * 12 + month(col("month"))
+    src.filter(pmod(mkey, lit(5)) =!= 0)
+      .write.mode("overwrite").partitionBy("month").parquet(tgt)
+    backfillPass(spark, dir, tgt)
+    spark.read.parquet(tgt)
+      .groupBy(col("month").cast("date").as("month"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).cast("long").as("key_checksum"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("month"))
+  }
+
   /** Root of the D26 merge-on-read layout (conf-keyed, the
     * graft.ivf.root pattern). */
   def morRoot(spark: SparkSession): String =

@@ -387,6 +387,38 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     assert(touched(zExtDay, dayBand) * 2 <= touched(linExtDay, dayBand))
   }
 
+  test("backfill repairs exactly the gap and never touches present partitions") {
+    import org.apache.spark.sql.functions.col
+    val ops = graft.operators.LoadOps
+    val out = ops.loadBackfill(spark, sfDir).collect()
+    // healed target covers every source month
+    val srcMonths = Tables(spark, sfDir).orders
+      .select(org.apache.spark.sql.functions.trunc(
+        org.apache.spark.sql.functions.to_date(col("o_orderdate")), "month").as("m"))
+      .distinct().collect().map(_.getDate(0).toString).toSet
+    assert(out.map(_.getDate(0).toString).toSet == srcMonths)
+    // knock two partitions out, snapshot the rest
+    val tgt = new java.io.File(ops.backfillRoot(spark) + "/by_month")
+    val dirs = tgt.listFiles().filter(_.getName.startsWith("month=")).sortBy(_.getName)
+    assert(dirs.length == srcMonths.size)
+    val victims = Seq(dirs(1), dirs(dirs.length / 2))
+    victims.foreach { d => d.listFiles().foreach(_.delete()); d.delete() }
+    def state() = tgt.listFiles().filter(_.getName.startsWith("month="))
+      .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (d.getName + "/" + f.getName, f.length(), f.lastModified())))
+      .sortBy(_._1).toSeq
+    val before = state()
+    // the repair pass finds exactly the two holes and only appends them
+    val repaired = ops.backfillPass(spark, sfDir, tgt.getAbsolutePath)
+    assert(repaired.map("month=" + _.toString) == victims.map(_.getName).sorted,
+      s"repaired $repaired")
+    val after = state()
+    assert(after.filter(s => !victims.exists(v => s._1.startsWith(v.getName + "/")))
+      == before, "repair touched a present partition")
+    // and a healed target has nothing left to repair
+    assert(ops.backfillPass(spark, sfDir, tgt.getAbsolutePath).isEmpty)
+  }
+
   test("scd2 merge: history is preserved, one current row per key, statuses partition the keys") {
     import org.apache.spark.sql.functions.col
     val rows = graft.operators.LoadOps.scd2Merge(spark, sfDir).collect()
