@@ -81,6 +81,7 @@ object SparkEntry {
     "load_mor_delete"        -> LoadOps.morDelete _,
     "load_zorder"            -> LoadOps.zorderLayout _,
     "load_backfill"          -> LoadOps.loadBackfill _,
+    "load_analyze_stats"     -> LoadOps.analyzeStats _,
     "load_bloom_index"       -> ((s: SparkSession, d: String) => LoadOps.bloomIndex(s, d)),
     "load_table_checksum"    -> LoadOps.tableChecksum _,
     "load_incremental_view"  -> (LoadOps.incrementalView _),
@@ -909,6 +910,22 @@ object SparkEntry {
          |  min(day) AS day_min, max(day) AS day_max,
          |  round(sum(o_totalprice), 2) AS sum_price
          |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    // one-scan ANALYZE profile: per-column stats restated column by
+    // column; typed extrema keep doubles and strings apart
+    "load_analyze_stats" -> {
+      val cols = Seq("o_orderkey" -> true, "o_custkey" -> true,
+        "o_totalprice" -> true, "o_orderstatus" -> false, "o_orderpriority" -> false)
+      cols.map { case (c, num) =>
+        val (mn, mx, ms, xs) =
+          if (num) (s"round(CAST(min($c) AS DOUBLE), 2)",
+            s"round(CAST(max($c) AS DOUBLE), 2)", "NULL", "NULL")
+          else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)", s"min($c)", s"max($c)")
+        s"""SELECT '$c' AS column_name, count(*) AS n_total,
+           | count($c) AS n_notnull, count(DISTINCT $c) AS ndv,
+           | $mn AS min_num, $mx AS max_num, $ms AS min_str, $xs AS max_str
+           |FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
     },
     // backfill: the healed target must equal the source exactly — the
     // oracle is the straight per-month rollup, blind to the planted gap

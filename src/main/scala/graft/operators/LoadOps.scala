@@ -1014,6 +1014,42 @@ object LoadOps {
       .orderBy(col("zcell"))
   }
 
+  /** D29: table PROFILING in one scan — the `ANALYZE TABLE` statistics a
+    * cost-based optimizer feeds on (row count, per-column null count,
+    * exact NDV, extrema), computed for every profiled column in a
+    * SINGLE pass: one wide aggregate collapses to one row (Catalyst
+    * plans the multi-`countDistinct` as one Expand — 5× shuffled rows
+    * but still ONE table scan, where a naive ANALYZE runs a scan per
+    * column; at 100 TB the scan IS the cost, so 5× fewer scans beats
+    * the expand tax, and the sketch family (E17/E20) is the drop-in
+    * when approximate NDV suffices). The 1-row result is checkpointed
+    * and fanned into per-column rows driver-free; numeric and string
+    * extrema keep their own typed columns so no engine-specific
+    * double→string formatting enters the oracle. */
+  def analyzeStats(spark: SparkSession, dir: String): DataFrame = {
+    val numCols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+    val strCols = Seq("o_orderstatus", "o_orderpriority")
+    val aggs = (numCols ++ strCols).flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__nn"), countDistinct(col(c)).as(s"${c}__ndv")) ++
+        (if (numCols.contains(c))
+          Seq(round(min(col(c)).cast("double"), 2).as(s"${c}__min"),
+            round(max(col(c)).cast("double"), 2).as(s"${c}__max"))
+        else Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max")))
+    } :+ count(lit(1)).as("n_total")
+    val row = Tables(spark, dir).orders
+      .agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
+    val perCol = (numCols ++ strCols).map { c =>
+      val num = numCols.contains(c)
+      row.select(lit(c).as("column_name"), col("n_total"),
+        col(s"${c}__nn").as("n_notnull"), col(s"${c}__ndv").as("ndv"),
+        (if (num) col(s"${c}__min") else lit(null).cast("double")).as("min_num"),
+        (if (num) col(s"${c}__max") else lit(null).cast("double")).as("max_num"),
+        (if (num) lit(null).cast("string") else col(s"${c}__min")).as("min_str"),
+        (if (num) lit(null).cast("string") else col(s"${c}__max")).as("max_str"))
+    }
+    perCol.reduce(_ unionByName _).orderBy(col("column_name"))
+  }
+
   /** Root of the D28 backfill layout (conf-keyed, the graft.ivf.root
     * pattern). */
   def backfillRoot(spark: SparkSession): String =

@@ -387,6 +387,28 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     assert(touched(zExtDay, dayBand) * 2 <= touched(linExtDay, dayBand))
   }
 
+  test("analyze stats: one-scan profile matches direct recomputation, fan-out is scan-free") {
+    import org.apache.spark.sql.functions.{col, countDistinct, min, max, round}
+    val df = graft.operators.LoadOps.analyzeStats(spark, sfDir)
+    // the per-column fan-out reads the checkpointed 1-row aggregate, not
+    // the table — five projected rows must not rescan the source
+    assert(!df.queryExecution.executedPlan.toString.contains("orders.parquet"),
+      "profile fan-out rescans the table")
+    val rows = df.collect().map(r => r.getString(0) -> r).toMap
+    val o = Tables(spark, sfDir).orders
+    val ndvCust = o.agg(countDistinct(col("o_custkey"))).head().getLong(0)
+    assert(rows("o_custkey").getLong(3) == ndvCust)
+    val n = o.count()
+    assert(rows.values.forall(r => r.getLong(1) == n))
+    val mmPrice = o.agg(round(min(col("o_totalprice")), 2),
+      round(max(col("o_totalprice")), 2)).head()
+    assert(rows("o_totalprice").getDouble(4) == mmPrice.getDouble(0))
+    assert(rows("o_totalprice").getDouble(5) == mmPrice.getDouble(1))
+    // typed extrema: numeric rows carry no strings and vice versa
+    assert(rows("o_totalprice").isNullAt(6) && rows("o_orderstatus").isNullAt(4))
+    assert(rows("o_orderstatus").getString(6) <= rows("o_orderstatus").getString(7))
+  }
+
   test("backfill repairs exactly the gap and never touches present partitions") {
     import org.apache.spark.sql.functions.col
     val ops = graft.operators.LoadOps
