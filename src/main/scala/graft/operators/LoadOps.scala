@@ -961,18 +961,15 @@ object LoadOps {
   /** The D27 z-value: both cluster columns scaled to a 16-bit grid with
     * INTEGER arithmetic only (`div` truncates, both inputs non-negative,
     * so Spark and the oracle floor identically — no float in the key),
-    * then bit-interleaved into one 32-bit Morton code. Pure builtin
-    * shift/mask/or tree — 32 codegen'd terms, no UDF. */
-  def zValue(ckName: String, dayName: String, ckLo: Long, ckHi: Long,
-             dayLo: Long, dayHi: Long): Column = {
+    * then bit-interleaved into one 32-bit Morton code by the native
+    * [[graft.functions.ZInterleave]] expression (parallel-prefix bit
+    * dilation, ~10 register ops inside whole-stage codegen). */
+  def zValue(spark: SparkSession, ckName: String, dayName: String,
+             ckLo: Long, ckHi: Long, dayLo: Long, dayHi: Long): Column = {
     def scale(name: String, lo: Long, hi: Long): Column =
       expr(s"(($name - $lo) * 65535) div ${math.max(1L, hi - lo)}")
-    val xs = scale(ckName, ckLo, ckHi)
-    val ys = scale(dayName, dayLo, dayHi)
-    (0 until 16).map { i =>
-      shiftleft(shiftright(xs, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(shiftleft(shiftright(ys, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce(_ bitwiseOR _)
+    graft.functions.ZInterleave.zInterleave(spark,
+      scale(ckName, ckLo, ckHi), scale(dayName, dayLo, dayHi))
   }
 
   /** D27: Z-ORDER clustered layout — multi-dimensional data clustering
@@ -1001,7 +998,7 @@ object LoadOps {
       min(col("day")), max(col("day"))).head()
     val (ckLo, ckHi, dayLo, dayHi) =
       (mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3))
-    src.withColumn("z", zValue("o_custkey", "day", ckLo, ckHi, dayLo, dayHi))
+    src.withColumn("z", zValue(spark, "o_custkey", "day", ckLo, ckHi, dayLo, dayHi))
       .repartitionByRange(32, col("z"))
       .sortWithinPartitions(col("z"))
       .write.mode("overwrite").parquet(s"$root/clustered")

@@ -168,4 +168,23 @@ class FunctionPropertySpec extends AnyFunSuite with SparkTestBase {
       .map(r => (1 to nSub).map(r.getInt))
     assert(got.toSeq == expected)
   }
+
+  test("z_interleave equals the per-bit formula on 400 random grid points and the corners") {
+    val g16 = Gen.chooseNum(0L, 65535L)
+    val cases = samples(Gen.zip(g16, g16), 400) ++
+      Seq((0L, 0L), (65535L, 0L), (0L, 65535L), (65535L, 65535L))
+    def perBit(x: Long, y: Long): Long =
+      (0 until 16).map(i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).reduce(_ | _)
+    val expected = cases.map { case (x, y) => perBit(x, y) }
+    val got = cases.toDF("x", "y")
+      .select(graft.functions.ZInterleave.zInterleave(spark, col("x"), col("y")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == expected)
+    // monotone blocks: clearing low bits of both inputs lower-bounds the code
+    cases.foreach { case (x, y) =>
+      val block = graft.functions.ZInterleave.morton(x & ~0xffL, y & ~0xffL)
+      assert(graft.functions.ZInterleave.morton(x, y) >= block)
+    }
+  }
 }
