@@ -82,6 +82,7 @@ object SparkEntry {
     "load_zorder"            -> LoadOps.zorderLayout _,
     "load_backfill"          -> LoadOps.loadBackfill _,
     "load_analyze_stats"     -> LoadOps.analyzeStats _,
+    "mon_value_drift"        -> ((s: SparkSession, d: String) => LoadOps.valueDrift(s, d)),
     "load_bloom_index"       -> ((s: SparkSession, d: String) => LoadOps.bloomIndex(s, d)),
     "load_table_checksum"    -> LoadOps.tableChecksum _,
     "load_incremental_view"  -> (LoadOps.incrementalView _),
@@ -911,6 +912,36 @@ object SparkEntry {
          |  round(sum(o_totalprice), 2) AS sum_price
          |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    // PSI drift: identical smoothing/grid arithmetic restated in SQL;
+    // only the rounded sum is float
+    "mon_value_drift" ->
+      s"""WITH e AS ($evSec),
+         |m AS (SELECT min(sec) AS slo, max(sec) AS shi,
+         |  min(value) AS vlo, max(value) AS vhi FROM e),
+         |b AS (SELECT event_type,
+         |  CASE WHEN sec <= slo + (shi - slo) // 2 THEN 'ref' ELSE 'cur' END AS win,
+         |  LEAST(9, CAST(floor((value - vlo) / ((vhi - vlo) / 10)) AS INT)) AS bucket
+         |  FROM e, m),
+         |c AS (SELECT event_type, win, bucket, count(*) AS cnt FROM b GROUP BY 1, 2, 3),
+         |spine AS (SELECT DISTINCT e.event_type, g.bucket, w.win
+         |  FROM e, range(0, 10) g(bucket), (VALUES ('ref'), ('cur')) w(win)),
+         |f AS (SELECT s.event_type, s.win, s.bucket, COALESCE(c.cnt, 0) AS cnt
+         |  FROM spine s LEFT JOIN c ON s.event_type = c.event_type
+         |    AND s.win = c.win AND s.bucket = c.bucket),
+         |p AS (SELECT event_type, win, bucket, cnt, (cnt + 0.5) /
+         |  (sum(cnt) OVER (PARTITION BY event_type, win) + 5.0) AS p FROM f),
+         |bb AS (SELECT event_type, bucket,
+         |  max(CASE WHEN win = 'ref' THEN p END) AS pr,
+         |  max(CASE WHEN win = 'cur' THEN p END) AS pc,
+         |  sum(CASE WHEN win = 'ref' THEN cnt ELSE 0 END) AS nr,
+         |  sum(CASE WHEN win = 'cur' THEN cnt ELSE 0 END) AS nc
+         |  FROM p GROUP BY 1, 2),
+         |r AS (SELECT event_type, CAST(sum(nr) AS BIGINT) AS n_ref,
+         |  CAST(sum(nc) AS BIGINT) AS n_cur,
+         |  round(sum((pc - pr) * ln(pc / pr)), 4) AS psi FROM bb GROUP BY 1)
+         |SELECT event_type, n_ref, n_cur, psi,
+         |  CAST(psi > 0.2 AS INT) AS drifted
+         |FROM r ORDER BY event_type""".stripMargin,
     // one-scan ANALYZE profile: per-column stats restated column by
     // column; typed extrema keep doubles and strings apart
     "load_analyze_stats" -> {

@@ -1047,6 +1047,56 @@ object LoadOps {
     perCol.reduce(_ unionByName _).orderBy(col("column_name"))
   }
 
+  /** D30: distribution DRIFT monitor — the Population Stability Index
+    * (the standard model-monitoring drift score) between the first and
+    * second half of each source's telemetry window:
+    * PSI = Σ_b (p_cur − p_ref)·ln(p_cur/p_ref) over a fixed equi-width
+    * bucket grid, with +0.5 Laplace smoothing so empty buckets
+    * contribute finitely. D13 watches volume drift; this watches the
+    * VALUE DISTRIBUTION — a source can keep its row count while its
+    * payload silently shifts (sensor recalibration, upstream unit
+    * change), which is exactly what PSI flags (>0.2 = action, the
+    * published rule of thumb). One scan → one grouped count on
+    * (source, window, bucket) — ≤ 2·B rows per source ever shuffle; the
+    * bucket spine is generated, not scanned, so absent buckets cost
+    * nothing at any corpus size. */
+  def valueDrift(spark: SparkSession, dir: String, nBuckets: Int = 10): DataFrame = {
+    val ev = Tables(spark, dir).events.select(col("event_type"),
+      expr("ts div 1000000000").as("sec"), col("value"))
+    val mm = ev.agg(min(col("sec")), max(col("sec")),
+      min(col("value")), max(col("value"))).head()
+    val mid = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+    val (vLo, vHi) = (mm.getDouble(2), mm.getDouble(3))
+    val counts = ev
+      .withColumn("win", when(col("sec") <= mid, "ref").otherwise("cur"))
+      .withColumn("bucket", least(lit(nBuckets - 1),
+        floor((col("value") - lit(vLo)) / (lit(vHi - vLo) / nBuckets)).cast("int")))
+      .groupBy(col("event_type"), col("win"), col("bucket")).count()
+    // generated spine: every (source, window, bucket) cell exists even
+    // when no row landed in it
+    val spine = ev.select(col("event_type")).distinct()
+      .crossJoin(spark.range(0, nBuckets).select(col("id").cast("int").as("bucket")))
+      .crossJoin(spark.range(1).select(
+        explode(array(lit("ref"), lit("cur"))).as("win")))
+    val wn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("win"))
+    val shares = spine.join(counts, Seq("event_type", "win", "bucket"), "left")
+      .withColumn("cnt", coalesce(col("count"), lit(0L)))
+      .withColumn("p",
+        (col("cnt") + lit(0.5)) / (sum(col("cnt")).over(wn) + lit(0.5 * nBuckets)))
+    shares.groupBy(col("event_type"), col("bucket"))
+      .agg(max(when(col("win") === "ref", col("p"))).as("pr"),
+        max(when(col("win") === "cur", col("p"))).as("pc"),
+        sum(when(col("win") === "ref", col("cnt")).otherwise(0L)).as("nr"),
+        sum(when(col("win") === "cur", col("cnt")).otherwise(0L)).as("nc"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("nr")).cast("long").as("n_ref"),
+        sum(col("nc")).cast("long").as("n_cur"),
+        round(sum((col("pc") - col("pr")) * log(col("pc") / col("pr"))), 4).as("psi"))
+      .withColumn("drifted", (col("psi") > 0.2).cast("int"))
+      .orderBy(col("event_type"))
+  }
+
   /** Root of the D28 backfill layout (conf-keyed, the graft.ivf.root
     * pattern). */
   def backfillRoot(spark: SparkSession): String =

@@ -409,6 +409,31 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     assert(rows("o_orderstatus").getString(6) <= rows("o_orderstatus").getString(7))
   }
 
+  test("value drift: PSI matches a brute-force recomputation and is non-negative") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val got = graft.operators.LoadOps.valueDrift(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.nonEmpty)
+    val raw = Tables(spark, sfDir).events
+      .select(col("event_type"), expr("ts div 1000000000").as("sec"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val sLo = raw.map(_._2).min; val sHi = raw.map(_._2).max
+    val mid = sLo + (sHi - sLo) / 2
+    val vLo = raw.map(_._3).min; val vHi = raw.map(_._3).max
+    raw.groupBy(_._1).foreach { case (typ, rows) =>
+      def bucketOf(v: Double) = math.min(9, math.floor((v - vLo) / ((vHi - vLo) / 10)).toInt)
+      val ref = rows.filter(_._2 <= mid); val cur = rows.filter(_._2 > mid)
+      def shares(rs: Seq[(String, Long, Double)]) = (0 until 10).map(b =>
+        (rs.count(r => bucketOf(r._3) == b) + 0.5) / (rs.length + 5.0))
+      val psi = shares(ref.toSeq).zip(shares(cur.toSeq))
+        .map { case (pr, pc) => (pc - pr) * math.log(pc / pr) }.sum
+      val (nr, nc, gotPsi) = got(typ)
+      assert(nr == ref.length && nc == cur.length, s"$typ window counts")
+      assert(math.abs(gotPsi - psi) < 5e-4, s"$typ psi $gotPsi vs brute $psi")
+      assert(gotPsi >= 0.0)
+    }
+  }
+
   test("backfill repairs exactly the gap and never touches present partitions") {
     import org.apache.spark.sql.functions.col
     val ops = graft.operators.LoadOps

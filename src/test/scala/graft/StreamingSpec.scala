@@ -183,6 +183,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("G12: stream-stream LEFT OUTER join emits the null match only after the watermark closes the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(java.sql.Timestamp, Long)]
+    val purchases = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val c = clicks.toDF().toDF("c_ts", "c_user").withWatermark("c_ts", "10 minutes")
+    val p = purchases.toDF().toDF("p_ts", "p_user", "amount")
+      .withWatermark("p_ts", "10 minutes")
+    // outer attribution: every click must eventually emit, matched or not —
+    // the engine may only emit the null row once the watermark proves no
+    // matching purchase can still arrive for the click's 30-minute window
+    val joined = c.join(p,
+      expr("c_user = p_user AND p_ts BETWEEN c_ts AND c_ts + INTERVAL 30 MINUTES"),
+      "left_outer")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("g12_out").start()
+    try {
+      clicks.addData((ts("2024-01-01 00:00:00"), 1L), (ts("2024-01-01 00:00:00"), 2L))
+      purchases.addData((ts("2024-01-01 00:10:00"), 1L, 9.5))
+      q.processAllAvailable()
+      // user 2's window is still open — emitting (2, null) now would be wrong
+      assert(!spark.table("g12_out").collect().exists(_.isNullAt(2)),
+        "null-joined row emitted while the join window was still open")
+      // push event time far past window + watermark, then one more batch so
+      // the state store evicts and emits the expired click
+      clicks.addData((ts("2024-01-01 05:00:00"), 99L))
+      purchases.addData((ts("2024-01-01 05:00:00"), 98L, 1.0))
+      q.processAllAvailable()
+      clicks.addData((ts("2024-01-01 06:00:00"), 97L))
+      q.processAllAvailable()
+      val out = spark.table("g12_out").collect()
+      val nullUsers = out.filter(_.isNullAt(2)).map(_.getLong(1)).toSet
+      assert(nullUsers.contains(2L),
+        s"expired unmatched click never emitted: ${out.mkString("; ")}")
+      assert(out.filter(!_.isNullAt(2)).exists(r =>
+        r.getLong(1) == 1L && r.getDouble(4) == 9.5))
+      // nothing double-emits: user 1 appears exactly once
+      assert(out.count(_.getLong(1) == 1L) == 1)
+    } finally q.stop()
+  }
+
   test("G2: dropDuplicatesWithinWatermark dedups repeated keys in-stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
