@@ -83,6 +83,7 @@ object SparkEntry {
     "load_backfill"          -> LoadOps.loadBackfill _,
     "load_analyze_stats"     -> LoadOps.analyzeStats _,
     "mon_value_drift"        -> ((s: SparkSession, d: String) => LoadOps.valueDrift(s, d)),
+    "mon_mad_outliers"       -> LoadOps.madOutliers _,
     "load_bloom_index"       -> ((s: SparkSession, d: String) => LoadOps.bloomIndex(s, d)),
     "load_table_checksum"    -> LoadOps.tableChecksum _,
     "load_incremental_view"  -> (LoadOps.incrementalView _),
@@ -912,6 +913,21 @@ object SparkEntry {
          |  round(sum(o_totalprice), 2) AS sum_price
          |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    // MAD outliers: quantile_cont mirrors Spark's exact interpolated
+    // percentile; counts are threshold comparisons on identical doubles
+    "mon_mad_outliers" ->
+      s"""WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+         |  FROM events GROUP BY 1),
+         |mad AS (SELECT e.event_type,
+         |  quantile_cont(abs(e.value - med.med), 0.5) AS mad
+         |  FROM events e JOIN med USING (event_type) GROUP BY 1)
+         |SELECT e.event_type, count(*) AS n,
+         | round(any_value(med.med), 4) AS med, round(any_value(mad.mad), 4) AS mad,
+         | CAST(sum(CASE WHEN abs(0.6745 * (e.value - med.med) / mad.mad) > 3.5
+         |   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+         | round(max(abs(0.6745 * (e.value - med.med) / mad.mad)), 3) AS max_abs_z
+         |FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // PSI drift: identical smoothing/grid arithmetic restated in SQL;
     // only the rounded sum is float
     "mon_value_drift" ->
@@ -961,7 +977,7 @@ object SparkEntry {
     // backfill: the healed target must equal the source exactly — the
     // oracle is the straight per-month rollup, blind to the planted gap
     "load_backfill" ->
-      """SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month,
+      """SELECT strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month,
         | count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
         | round(sum(o_totalprice), 2) AS sum_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,

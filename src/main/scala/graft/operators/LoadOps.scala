@@ -1097,6 +1097,35 @@ object LoadOps {
       .orderBy(col("event_type"))
   }
 
+  /** D31: ROBUST outlier monitor — modified z-scores from the median and
+    * the Median Absolute Deviation (Iglewicz & Hoaglin 1993: |0.6745·
+    * (v−med)/MAD| > 3.5 flags an outlier). D12's mean/stddev screens are
+    * themselves dragged by the outliers they hunt — one wild sensor can
+    * widen σ until nothing flags; median and MAD have a 50% breakdown
+    * point, so the fence holds no matter how wild the tail is. Two
+    * grouped exact-percentile passes (the second needs the first's
+    * per-group median subtracted, re-joined broadcast — the group list
+    * is tiny) + one conditional-count pass; at 100 TB swap E25's
+    * mergeable sketch for the exact percentile per pass, same shape. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events.select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val mad = ev.join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+    ev.join(broadcast(med), Seq("event_type"))
+      .join(broadcast(mad), Seq("event_type"))
+      .withColumn("rz", lit(0.6745) * (col("value") - col("med")) / col("mad"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(first(col("med")), 4).as("med"),
+        round(first(col("mad")), 4).as("mad"),
+        sum(when(abs(col("rz")) > 3.5, 1L).otherwise(0L)).as("n_outliers"),
+        round(max(abs(col("rz"))), 3).as("max_abs_z"))
+      .orderBy(col("event_type"))
+  }
+
   /** Root of the D28 backfill layout (conf-keyed, the graft.ivf.root
     * pattern). */
   def backfillRoot(spark: SparkSession): String =
@@ -1149,7 +1178,7 @@ object LoadOps {
       .write.mode("overwrite").partitionBy("month").parquet(tgt)
     backfillPass(spark, dir, tgt)
     spark.read.parquet(tgt)
-      .groupBy(col("month").cast("date").as("month"))
+      .groupBy(date_format(col("month").cast("date"), "yyyy-MM-dd").as("month"))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("o_orderkey")).cast("long").as("key_checksum"),
         round(sum(col("o_totalprice")), 2).as("sum_price"))

@@ -379,7 +379,7 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"))
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    docs.withColumn("rk", row_number().over(w))
+    docs.withColumn("rk", row_number().over(w).cast("long"))
       .crossJoin(broadcast(target))
       .filter(col("rk") <= col("n_target"))
       .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"))

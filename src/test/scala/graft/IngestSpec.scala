@@ -434,6 +434,39 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("MAD outliers: fence matches brute force and survives a wild tail the z-score cannot") {
+    import org.apache.spark.sql.functions.col
+    val got = graft.operators.LoadOps.madOutliers(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.nonEmpty)
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+    }
+    val raw = Tables(spark, sfDir).events
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    raw.groupBy(_._1).foreach { case (typ, rows) =>
+      val vs = rows.map(_._2).toSeq
+      val med = medianOf(vs); val mad = medianOf(vs.map(v => math.abs(v - med)))
+      def z(v: Double) = 0.6745 * (v - med) / mad
+      val r = got(typ)
+      assert(r.getLong(1) == vs.length)
+      assert(math.abs(r.getDouble(2) - med) < 1e-4, s"$typ median") // output is round(med, 4)
+      assert(r.getLong(4) == vs.count(v => math.abs(z(v)) > 3.5), s"$typ outliers")
+      // breakdown: one wild point shifts the MAD fence by ~nothing while
+      // it drags a mean/stddev fence outward
+      val wild = vs :+ 1e9
+      val medW = medianOf(wild); val madW = medianOf(wild.map(v => math.abs(v - medW)))
+      assert(math.abs(madW - mad) / mad < 0.1, "MAD fence broke down")
+      def stddev(xs: Seq[Double]) = {
+        val m = xs.sum / xs.length
+        math.sqrt(xs.map(v => (v - m) * (v - m)).sum / xs.length)
+      }
+      assert(stddev(wild) > 100 * stddev(vs), "the wild point should wreck sigma")
+    }
+  }
+
   test("backfill repairs exactly the gap and never touches present partitions") {
     import org.apache.spark.sql.functions.col
     val ops = graft.operators.LoadOps
@@ -443,7 +476,7 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
       .select(org.apache.spark.sql.functions.trunc(
         org.apache.spark.sql.functions.to_date(col("o_orderdate")), "month").as("m"))
       .distinct().collect().map(_.getDate(0).toString).toSet
-    assert(out.map(_.getDate(0).toString).toSet == srcMonths)
+    assert(out.map(_.getString(0)).toSet == srcMonths)
     // knock two partitions out, snapshot the rest
     val tgt = new java.io.File(ops.backfillRoot(spark) + "/by_month")
     val dirs = tgt.listFiles().filter(_.getName.startsWith("month=")).sortBy(_.getName)
