@@ -181,6 +181,7 @@ object SparkEntry {
     "q_set_ops"              -> Relational.qSetOps _,
     "sample_weighted"        -> ((s: SparkSession, d: String) => TextAnalysis.weightedSample(s, d)),
     "sample_balanced"        -> TextAnalysis.sampleBalanced _,
+    "mm_contrastive_pairs"   -> ((s: SparkSession, d: String) => TextAnalysis.contrastivePairs(s, d)),
     "sample_domain_mix"      -> TextAnalysis.domainMix _,
     "sample_temperature"     -> ((s: SparkSession, d: String) => TextAnalysis.temperatureMix(s, d)),
     "sample_dsir"            -> ((s: SparkSession, d: String) => TextAnalysis.dsirWeights(s, d)),
@@ -2112,6 +2113,18 @@ object SparkEntry {
       """WITH r AS (SELECT lang, doc_id, n_chars,
         |  row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn FROM documents)
         |SELECT lang, doc_id, n_chars FROM r WHERE rn % 10 = 1 ORDER BY lang, doc_id""".stripMargin,
+    "mm_contrastive_pairs" ->
+      """WITH n AS (SELECT count(*) AS n_corpus FROM embeddings),
+        |p AS (SELECT d.doc_id, g.pair_rank,
+        |  (d.doc_id + g.pair_rank * 97) % n.n_corpus AS vec_id
+        |  FROM documents d, n, range(0, 4) g(pair_rank))
+        |SELECT pair_rank, count(*) AS n_pairs,
+        | CAST(sum(CASE WHEN p.vec_id = p.doc_id AND pair_rank > 0
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_self_collisions,
+        | CAST(sum(e.label) AS BIGINT) AS label_checksum,
+        | CAST(sum(p.vec_id) AS BIGINT) AS vec_checksum
+        |FROM p JOIN embeddings e USING (vec_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sample_balanced" ->
       """WITH m AS (SELECT min(n) AS n_target FROM
         |  (SELECT lang, count(*) AS n FROM documents GROUP BY 1)),

@@ -386,6 +386,39 @@ object TextAnalysis {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** F47: CONTRASTIVE pair construction — the cheap negative-sampling
+    * scheme for embedding/CLIP-style training: each anchor pairs with
+    * its positive (same id) plus nNeg negatives chosen by a CYCLIC SHIFT
+    * (anchor + j·stride mod N, stride coprime-ish to N), the distributed
+    * analogue of in-batch negatives. F38 mines HARD negatives by
+    * similarity search; this is its zero-compute baseline — negatives by
+    * index arithmetic, no similarity pass, no extra shuffle beyond the
+    * payload-fetch join (which co-partitions on the pair key). The audit
+    * proves the three contract properties as columns rather than
+    * assumptions: every rank carries exactly |anchors| pairs, negatives
+    * never collide with their own anchor, and the fetched payload
+    * checksums certify the join really resolved each pair. */
+  def contrastivePairs(spark: SparkSession, dir: String,
+                       nNeg: Int = 3, stride: Int = 97): DataFrame = {
+    val t = Tables(spark, dir)
+    val docs = t.documents.select(col("doc_id"))
+    val emb = t.embeddings.select(col("vec_id"), col("label"))
+    val n = emb.agg(count(lit(1)).as("n_corpus"))
+    docs.crossJoin(broadcast(n))
+      .select(col("doc_id"), col("n_corpus"),
+        explode(sequence(lit(0L), lit(nNeg.toLong))).as("pair_rank"))
+      .withColumn("vec_id",
+        pmod(col("doc_id") + col("pair_rank") * stride, col("n_corpus")))
+      .join(emb, Seq("vec_id"))
+      .groupBy(col("pair_rank"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("vec_id") === col("doc_id") && col("pair_rank") > 0, 1L)
+          .otherwise(0L)).as("n_self_collisions"),
+        sum(col("label")).cast("long").as("label_checksum"),
+        sum(col("vec_id")).cast("long").as("vec_checksum"))
+      .orderBy(col("pair_rank"))
+  }
+
   /** F11: token counting — whitespace words and a BPE-ish regex
     * tokenization (letters / digits / single symbols). */
   def tokenCount(spark: SparkSession, dir: String): DataFrame = {

@@ -309,6 +309,25 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(byShare.last.getDouble(5) < 1.0, "largest source not downweighted")
   }
 
+  test("contrastive pairs: full rank coverage, no self-negatives, rank 0 is the identity pairing") {
+    import org.apache.spark.sql.functions.col
+    val rows = TextAnalysis.contrastivePairs(spark, sfDir).collect()
+    assert(rows.length == 4) // positive + 3 negatives
+    val nDocs = Tables(spark, sfDir).documents.count()
+    assert(rows.forall(_.getLong(1) == nDocs), "a rank lost pairs")
+    assert(rows.forall(_.getLong(2) == 0L), "negative collided with its anchor")
+    // rank 0 pairs every doc with itself
+    val sumIds = Tables(spark, sfDir).documents
+      .agg(org.apache.spark.sql.functions.sum(col("doc_id"))).head().getLong(0)
+    assert(rows.find(_.getLong(0) == 0L).get.getLong(4) == sumIds)
+    // when the id spaces align, each rank's shift is a PERMUTATION —
+    // every vector serves as a negative exactly once per rank (uniform
+    // negative usage, the property in-batch negatives are prized for)
+    val nEmb = Tables(spark, sfDir).embeddings.count()
+    if (nDocs == nEmb)
+      assert(rows.forall(_.getLong(4) == sumIds), "rank is not a permutation")
+  }
+
   test("balanced sample: every class lands exactly at the smallest class size, deterministically") {
     import org.apache.spark.sql.functions.col
     val rows = TextAnalysis.sampleBalanced(spark, sfDir).collect()
