@@ -150,6 +150,7 @@ object SparkEntry {
     "neardup_cosine"         -> ((s: SparkSession, d: String) => Similarity.neardupCosine(s, d)),
     "neardup_ivf_gated"      -> ((s: SparkSession, d: String) => Similarity.neardupIvfGated(s, d)),
     "ann_topk"               -> ((s: SparkSession, d: String) => Similarity.annTopK(s, d)),
+    "ann_mmr_diverse"        -> ((s: SparkSession, d: String) => Similarity.annMmrDiverse(s, d)),
     "ann_lsh_bucketed"       -> Similarity.annLshBuckets _,
     "ann_lsh_multiprobe"     -> ((s: SparkSession, d: String) => Similarity.annLshMultiProbe(s, d)),
     "ann_ivf"                -> ((s: SparkSession, d: String) => Similarity.ivfAnn(s, d)),
@@ -1821,6 +1822,34 @@ object SparkEntry {
          |  JOIN asg ya ON xa.list_id = ya.list_id AND xa.vec_id < ya.vec_id
          |  JOIN e y ON y.vec_id = ya.vec_id)
          |SELECT id1, id2, list_id, cos FROM p WHERE cos >= 0.35 ORDER BY id1, id2""".stripMargin,
+    // MMR: the greedy trajectory replayed step by step — every score is
+    // HALF_UP-rounded to 4 with vec_id tie-breaks on BOTH engines, so
+    // the unrolled CTE chain selects the identical sequence
+    "ann_mmr_diverse" -> {
+      val k = 5
+      val steps = (2 to k).map { i =>
+        val prev = (1 until i).map(j => s"SELECT vec_id, v FROM s$j")
+          .mkString(" UNION ALL ")
+        s"""s$i AS (SELECT c.vec_id, c.simq, c.v,
+           |  round(0.7 * c.simq - 0.3 * (SELECT max(round(${cosSql("c.v", "p.v")}, 4))
+           |    FROM ($prev) p), 4) AS score
+           |  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM ($prev) p2)
+           |  ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      val unions = (1 to k).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS rank, vec_id, simq, score AS mmr_score FROM s$i")
+        .mkString("\nUNION ALL\n")
+      s"""WITH cand AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  round(${cosSql("embedding::DOUBLE[]", "qv")}, 4) AS simq
+         |  FROM embeddings,
+         |    (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q
+         |  WHERE vec_id <> 0 ORDER BY simq DESC, vec_id LIMIT 20),
+         |s1 AS (SELECT vec_id, simq, v, simq AS score FROM cand
+         |  ORDER BY simq DESC, vec_id LIMIT 1),
+         |$steps
+         |$unions
+         |ORDER BY rank""".stripMargin
+    },
     "ann_topk" ->
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
          |s AS (SELECT vec_id, CAST(label AS INT) AS label,

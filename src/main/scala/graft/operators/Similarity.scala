@@ -65,6 +65,64 @@ object Similarity {
       .limit(k)
   }
 
+  /** F48: MMR-DIVERSIFIED serving — Maximal Marginal Relevance
+    * (Carbonell & Goldstein 1998) re-rank over the retrieved candidate
+    * set: after relevance retrieval picks top-C, each of the k returned
+    * results maximizes λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s), so near-
+    * duplicate hits cannot crowd the result page — the diversity
+    * complement to the F6/F41 dedup family, applied at query time.
+    *
+    * Scale split: RETRIEVAL stays fully distributed (one scan + bounded
+    * heap, the F7 shape — at 100 TB swap in the F8b IVF fetch); the
+    * GREEDY RE-RANK runs on the driver over the C collected candidates,
+    * a bounded set like the IVF quantizer collect — k·C cosines of
+    * 64-dim vectors, microseconds. Every comparison (and the oracle's)
+    * happens on HALF_UP 4-decimal-rounded scores with vec_id
+    * tie-breaks, so the greedy trajectory is engine-portable and the
+    * unrolled-step SQL oracle replays it exactly. */
+  def annMmrDiverse(spark: SparkSession, dir: String, queryId: Long = 0L,
+                    k: Int = 5, c: Int = 20): DataFrame = {
+    val t = Tables(spark, dir)
+    val q = t.embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val qv = array(q.map(lit): _*)
+    val cand = t.embeddings.filter(col("vec_id") =!= queryId)
+      .withColumn("simq", round(Vec.cosine(Vec.toDouble(col("embedding")), qv), 4))
+      .select(col("vec_id"), col("simq"), Vec.toDouble(col("embedding")).as("v"))
+      .orderBy(col("simq").desc, col("vec_id"))
+      .limit(c)
+      .collect() // bounded: the C-row re-rank set, never the corpus
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cs = cand.map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Double](2)))
+    val sel = scala.collection.mutable.ArrayBuffer[(Long, Double, Double)]()
+    val selV = scala.collection.mutable.ArrayBuffer[Seq[Double]]()
+    while (sel.length < math.min(k, cs.length)) {
+      val scored = cs.filter(cd => !sel.exists(_._1 == cd._1)).map { cd =>
+        // 0.7 / 0.3 as independent literals: `1 - 0.7` is not the double
+        // 0.3, and the oracle writes 0.3
+        val score = if (sel.isEmpty) cd._2
+        else r4(0.7 * cd._2 - 0.3 * selV.map(sv => r4(cos(cd._3, sv))).max)
+        (cd, score)
+      }
+      val best = scored.maxBy { case (cd, s) => (s, -cd._1) }
+      sel += ((best._1._1, best._1._2, best._2))
+      selV += best._1._3
+    }
+    import spark.implicits._
+    sel.toSeq.zipWithIndex
+      .map { case ((id, simq, sc), i) => (i + 1L, id, simq, sc) }
+      .toDF("rank", "vec_id", "simq", "mmr_score")
+      .orderBy(col("rank"))
+  }
+
   val NPlanes = 8
 
   /** PQ subspace count used by the persisted index layout and the ADC ops

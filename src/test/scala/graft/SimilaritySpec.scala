@@ -432,4 +432,37 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       4L -> true, 5L -> false,
       6L -> true, 7L -> false, 8L -> false))
   }
+
+  test("mmr: selections come from the candidate set, rank 1 is the relevance top-1, step 2 matches the formula") {
+    import org.apache.spark.sql.functions.{col, round}
+    val got = Similarity.annMmrDiverse(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq == (1L to 5L), "ranks")
+    assert(got.map(_._2).distinct.length == 5, "duplicate selection")
+    // independent candidate recomputation
+    val q = Tables(spark, sfDir).embeddings.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val qv = org.apache.spark.sql.functions.array(q.map(org.apache.spark.sql.functions.lit): _*)
+    val cand = Tables(spark, sfDir).embeddings.filter(col("vec_id") =!= 0L)
+      .withColumn("simq", round(graft.functions.Vec.cosine(
+        graft.functions.Vec.toDouble(col("embedding")), qv), 4))
+      .select(col("vec_id"), col("simq"), graft.functions.Vec.toDouble(col("embedding")).as("v"))
+      .orderBy(col("simq").desc, col("vec_id")).limit(20).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Double](2)))
+    val candIds = cand.map(_._1).toSet
+    assert(got.forall(g => candIds(g._2)), "selection outside the candidate set")
+    assert(got.head._2 == cand.head._1 && got.head._3 == cand.head._2, "rank 1")
+    // step 2 by hand: argmax round(0.7*simq - 0.3*r4(cos(d, s1)), 4)
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val s1v = cand.head._3
+    val step2 = cand.drop(1).map { case (id, simq, v) =>
+      (id, r4(0.7 * simq - 0.3 * r4(cos(v, s1v))))
+    }.maxBy { case (id, s) => (s, -id) }
+    assert(got(1)._2 == step2._1 && got(1)._4 == step2._2,
+      s"step 2: got ${got(1)} want $step2")
+  }
 }
