@@ -81,6 +81,7 @@ object SparkEntry {
     "load_mor_delete"        -> LoadOps.morDelete _,
     "load_zorder"            -> LoadOps.zorderLayout _,
     "load_backfill"          -> LoadOps.loadBackfill _,
+    "load_dyn_overwrite"     -> LoadOps.loadDynamicOverwrite _,
     "load_analyze_stats"     -> LoadOps.analyzeStats _,
     "mon_value_drift"        -> ((s: SparkSession, d: String) => LoadOps.valueDrift(s, d)),
     "mon_mad_outliers"       -> LoadOps.madOutliers _,
@@ -976,6 +977,17 @@ object SparkEntry {
            |FROM orders""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
     },
+    // dynamic overwrite: the restated target equals source with the
+    // batch months' bump applied — the oracle replays the restatement
+    "load_dyn_overwrite" ->
+      """WITH s AS (SELECT o_orderkey, o_totalprice,
+        |  date_trunc('month', CAST(o_orderdate AS DATE)) AS m FROM orders)
+        |SELECT strftime(m, '%Y-%m-%d') AS month, count(*) AS n_rows,
+        | CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+        | round(sum(o_totalprice + CASE
+        |   WHEN (year(m) * 12 + month(m)) % 17 = 3 THEN 1000.0 ELSE 0 END), 2)
+        |   AS sum_price
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     // backfill: the healed target must equal the source exactly — the
     // oracle is the straight per-month rollup, blind to the planted gap
     "load_backfill" ->

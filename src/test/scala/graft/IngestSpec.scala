@@ -499,6 +499,43 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     assert(ops.backfillPass(spark, sfDir, tgt.getAbsolutePath).isEmpty)
   }
 
+  test("dynamic overwrite replaces exactly the batch partitions; static mode would delete the rest") {
+    import org.apache.spark.sql.functions.{col, lit, month, pmod, to_date, trunc, year}
+    val ops = graft.operators.LoadOps
+    val out = ops.loadDynamicOverwrite(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val tgt = new java.io.File(ops.dynOverwriteRoot(spark) + "/by_month")
+    def state() = tgt.listFiles().filter(_.getName.startsWith("month="))
+      .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (d.getName, f.getName, f.length(), f.lastModified())))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val before = state()
+    val restated = ops.dynRestatePass(spark, sfDir, tgt.getAbsolutePath).map("month=" + _)
+    assert(restated.nonEmpty && restated.size < before.map(_._1).distinct.size)
+    val after = state()
+    // untouched partitions keep their files byte-for-byte
+    assert(after.filterNot(s => restated.contains(s._1))
+      == before.filterNot(s => restated.contains(s._1)),
+      "dynamic overwrite touched a partition outside the batch")
+    // the batch's partitions really were replaced
+    restated.foreach { m =>
+      assert(after.filter(_._1 == m) != before.filter(_._1 == m), s"$m not rewritten")
+    }
+    // restating from the source is idempotent on the rollup
+    assert(ops.loadDynamicOverwrite(spark, sfDir).collect().map(_.toSeq).toSeq
+      == out.map(_.toSeq).toSeq)
+    // the production data-loss bug, demonstrated: STATIC overwrite of the
+    // same batch deletes every partition absent from it
+    val scratch = ops.dynOverwriteRoot(spark) + "/static_demo"
+    val src = Tables(spark, sfDir).orders
+      .withColumn("month", trunc(to_date(col("o_orderdate")), "month"))
+    src.write.mode("overwrite").partitionBy("month").parquet(scratch)
+    src.filter(pmod(year(col("month")) * 12 + month(col("month")), lit(17)) === 3)
+      .write.mode("overwrite").partitionBy("month").parquet(scratch)
+    val left = new java.io.File(scratch).listFiles().count(_.getName.startsWith("month="))
+    assert(left == restated.size, s"static overwrite left $left partitions")
+  }
+
   test("scd2 merge: history is preserved, one current row per key, statuses partition the keys") {
     import org.apache.spark.sql.functions.col
     val rows = graft.operators.LoadOps.scd2Merge(spark, sfDir).collect()
