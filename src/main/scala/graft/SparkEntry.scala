@@ -82,6 +82,7 @@ object SparkEntry {
     "load_zorder"            -> LoadOps.zorderLayout _,
     "load_backfill"          -> LoadOps.loadBackfill _,
     "load_dyn_overwrite"     -> LoadOps.loadDynamicOverwrite _,
+    "etl_quarantine"         -> Staging.quarantineRoute _,
     "load_analyze_stats"     -> LoadOps.analyzeStats _,
     "mon_value_drift"        -> ((s: SparkSession, d: String) => LoadOps.valueDrift(s, d)),
     "mon_mad_outliers"       -> LoadOps.madOutliers _,
@@ -977,6 +978,19 @@ object SparkEntry {
            |FROM orders""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
     },
+    // quarantine: the oracle replays the first-match rule chain from
+    // source — matching the file-derived rollup certifies the routing
+    "etl_quarantine" ->
+      """WITH r AS (SELECT l_orderkey, l_quantity,
+        |  CASE WHEN l_tax > 0.06 THEN 'tax_above_cap'
+        |       WHEN l_discount > 0.08 THEN 'discount_above_cap'
+        |       WHEN l_quantity > 45.0 THEN 'quantity_outlier'
+        |       ELSE 'clean' END AS reason
+        |  FROM lineitem)
+        |SELECT reason, count(*) AS n_rows,
+        | CAST(sum(l_orderkey) AS BIGINT) AS key_checksum,
+        | round(sum(l_quantity), 2) AS qty_sum
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     // dynamic overwrite: the restated target equals source with the
     // batch months' bump applied — the oracle replays the restatement
     "load_dyn_overwrite" ->

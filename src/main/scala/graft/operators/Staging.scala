@@ -318,4 +318,49 @@ object Staging {
         col("s_acctbal").as("best_acctbal"))
       .orderBy(col("nationkey"))
   }
+
+  /** Root of the B9 quarantine layout (conf-keyed, the graft.ivf.root
+    * pattern). */
+  def quarantineRoot(spark: SparkSession): String =
+    spark.conf.get("graft.quarantine.root", Tables.scratch(spark, "graft_quarantine"))
+
+  /** B9: DEAD-LETTER quarantine routing — the load-side complement of
+    * D6/D11's response validation: instead of failing the batch on the
+    * first bad row (all-or-nothing) or silently dropping violations,
+    * every row routes to exactly one destination — `clean` or a
+    * reason-partitioned quarantine — so the load keeps its throughput
+    * while violations stay queryable for replay after the upstream fix
+    * (the dead-letter-queue pattern). Rules evaluate as a first-match-
+    * wins chain (the D12 elif precedent) in ONE pass; the validated
+    * frame is checkpointed once so the two destination writes don't
+    * rescan the source; quarantine partitions by reason, so replaying
+    * one violation class is a partition-pruned read. The audit rollup is
+    * read back FROM the routed files — the oracle replaying the rule
+    * chain from source certifies both the routing and the bytes. */
+  def quarantineRoute(spark: SparkSession, dir: String): DataFrame = {
+    val root = quarantineRoot(spark)
+    val routed = Tables(spark, dir).lineitem
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_discount"), col("l_tax"))
+      .withColumn("reason",
+        when(col("l_tax") > 0.06, "tax_above_cap")
+          .when(col("l_discount") > 0.08, "discount_above_cap")
+          .when(col("l_quantity") > 45.0, "quantity_outlier")
+          .otherwise("clean"))
+      .localCheckpoint(true) // one source scan feeds both writes
+    routed.filter(col("reason") === "clean").drop("reason")
+      .write.mode("overwrite").parquet(s"$root/clean")
+    routed.filter(col("reason") =!= "clean")
+      .write.mode("overwrite").partitionBy("reason").parquet(s"$root/quarantine")
+    val clean = spark.read.parquet(s"$root/clean")
+      .select(lit("clean").as("reason"), col("l_orderkey"), col("l_quantity"))
+    val quar = spark.read.parquet(s"$root/quarantine")
+      .select(col("reason").cast("string").as("reason"), col("l_orderkey"), col("l_quantity"))
+    clean.unionByName(quar)
+      .groupBy(col("reason"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_orderkey")).cast("long").as("key_checksum"),
+        round(sum(col("l_quantity")), 2).as("qty_sum"))
+      .orderBy(col("reason"))
+  }
 }

@@ -120,4 +120,31 @@ class StagingSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(_.getString(0)).toSet
     assert(probe.intersect(cleanNames).isEmpty, "probe unexpectedly shares grams")
   }
+
+  test("quarantine routing: every row lands exactly once, precedence holds, replay is partition-pruned") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val out = Staging.quarantineRoute(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val src = Tables(spark, sfDir).lineitem
+      .select(col("l_quantity"), col("l_discount"), col("l_tax")).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    // exactly-once routing with first-match precedence, recomputed
+    def reason(q: Double, d: Double, t: Double) =
+      if (t > 0.06) "tax_above_cap"
+      else if (d > 0.08) "discount_above_cap"
+      else if (q > 45.0) "quantity_outlier" else "clean"
+    val want = src.groupBy(r => reason(r._1, r._2, r._3)).view.mapValues(_.length.toLong).toMap
+    assert(out == want, s"$out vs $want")
+    assert(out.values.sum == src.length, "a row was dropped or double-routed")
+    // a row violating tax AND discount rules must route by the FIRST rule
+    assert(src.exists(r => r._3 > 0.06 && r._2 > 0.08), "precedence case absent from data")
+    // replaying one violation class prunes to that reason's partition
+    val root = Staging.quarantineRoot(spark)
+    val replay = spark.read.parquet(s"$root/quarantine")
+      .filter(col("reason") === "tax_above_cap")
+    val plan = replay.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("reason"),
+      s"replay not partition-pruned:\n$plan")
+    assert(replay.count() == out("tax_above_cap"))
+  }
 }
