@@ -4,30 +4,52 @@ import org.apache.spark.sql.SparkSession
 /** Headline benchmark. Prints ONE JSON line to stdout (driver contract)
   * and writes the SAME json to BENCH_LOCAL.json, because the driver's
   * stdout capture truncates long tails and the per-query map is the part
-  * worth keeping. Each query is timed as the MIN of `SPARK_GRAFT_BENCH_REPS`
-  * (default 3) in-process repetitions: observed run-to-run noise on warm
-  * sub-second queries is +/-80%, far above any real regression signal, and
-  * min-of-n is the standard way to strip scheduler/GC jitter from a
-  * single-JVM bench.
+  * worth keeping.
+  *
+  * Comparability protocol (r9): the r8 suite showed code-unchanged queries
+  * drifting 2-6x round-over-round — session-level contention (GC debt,
+  * code-cache growth, scheduler state) accumulated across a 173-entry
+  * single-JVM run, which drowned exactly the ~2x regression signal the
+  * perf gate exists to catch. The bench now runs a fixed protocol designed
+  * so two consecutive full runs agree per-query:
+  *   1. fixed query order (sorted by name) — identical JIT/codegen history
+  *      on every run;
+  *   2. one UNTIMED warmup rep per query — codegen compilation and file
+  *      cache effects land outside the timer instead of inside rep 1;
+  *   3. a GC quiesce (System.gc + short settle) before each query's timed
+  *      reps — each query starts from a collected heap instead of
+  *      inheriting the previous query's garbage debt;
+  *   4. TWO consecutive full passes over the suite; the reported time is
+  *      the min across all timed reps of both passes, and the JSON records
+  *      the per-query pass1-vs-pass2 ratio distribution (`repro` block:
+  *      median/p90/worst + the queries over 1.3x) so every BENCH file
+  *      carries its own reproducibility evidence.
   *
   * Write-path isolation: every rep of every query runs with the engine's
   * conf-keyed scratch roots pointed at a FRESH per-rep directory (removed
   * after the rep, outside the timer), so a write-path query can never get
   * a flattering rep by overwriting its own previous output's directory
-  * structure, and two bench runs see identical filesystem state. Queries
-  * that actually wrote into their rep dir are classified write-path
-  * automatically; the JSON reports `read_total` / `write_total`
-  * subtotals separately because write timings carry FS jitter that would
-  * otherwise drown the read-path signal. The persisted-index roots
-  * (`graft.ivf.root`, `graft.card.root`) are deliberately NOT isolated:
-  * those layouts are one-time indexing state, and serving benches must
-  * measure the steady-state cached path.
+  * structure, and two bench runs see identical filesystem state. A query
+  * is classified write-path if it wrote into its rep dir OR mutated one of
+  * the fixed non-scratch roots (metastore warehouse, `graft.ivf.root`,
+  * `graft.card.root`) — the roots are stamped (file count + max mtime)
+  * around each rep, so a future op writing through any fixed path is
+  * classified automatically instead of needing the old hand-maintained
+  * list. The JSON reports `read_total` / `write_total` subtotals
+  * separately because write timings carry FS jitter that would otherwise
+  * drown the read-path signal. The persisted-index roots (`graft.ivf.root`,
+  * `graft.card.root`) are deliberately NOT isolated: those layouts are
+  * one-time indexing state, and serving benches must measure the
+  * steady-state cached path.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    // timed reps per pass; min-of-all over 2 passes. 2x2 + warmup matches
+    // the old min-of-3 noise floor with reproducibility evidence on top.
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
+    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -63,47 +85,114 @@ object Bench {
     } catch { case _: Throwable => -1.0 }
     // per-rep scratch isolation (see scaladoc): all write-path conf roots
     // point into a fresh dir for every rep; rep dirs are torn down
-    // OUTSIDE the timed region
+    // OUTSIDE the timed region. The bench root itself routes through the
+    // same conf-keyed scratch helper as every operator (env override for
+    // the driver).
     val benchScratch = new java.io.File(sys.env.getOrElse(
-      "SPARK_GRAFT_BENCH_SCRATCH", "/root/repo/target/bench_scratch")).getAbsolutePath
+      "SPARK_GRAFT_BENCH_SCRATCH", Tables.scratch(spark, "bench_scratch")))
+      .getAbsolutePath
     rm(new java.io.File(benchScratch))
     // ONE key moves every write-path root: the per-op override keys
     // (graft.snapshot/compact/evolve.root) all DEFAULT through
     // Tables.scratch, so a future write-path op is isolated (and
     // write-classified) automatically just by using the shared helper
     val scratchKeys = Seq("graft.scratch.root")
-    // a rep that THROWS contributes no time: min-of-n over successful reps
-    // only (a fast failure would otherwise report as the query's best
-    // time); a query with zero successes lands as null in the JSON and in
-    // the `failed` list instead of a bogus number
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      var wrote = false
-      val times = (1 to reps).flatMap { i =>
-        val rep = new java.io.File(s"$benchScratch/${name}_$i")
-        scratchKeys.foreach(k => spark.conf.set(k, rep.getAbsolutePath))
-        val t0 = System.nanoTime()
-        val timed = try {
-          fn(spark, sfDir).count()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            None
-        }
-        wrote = wrote || rep.exists()
-        rm(rep)
-        timed
+    // fixed non-scratch roots: writes through these are legitimate (the
+    // metastore warehouse has no conf-per-rep redirect; the index roots
+    // are deliberately persistent) but must still classify as write-path.
+    // A (file count, max mtime) stamp over each tree is compared around
+    // every rep — cheap (trees are bench-sized) and catches any future op
+    // that writes through a fixed path without touching the scratch root.
+    val fixedRoots: Seq[java.io.File] = Seq(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      spark.conf.get("graft.ivf.root", "/root/repo/target/graft_ivf"),
+      spark.conf.get("graft.card.root", "/root/repo/target/graft_card")
+    ).map(new java.io.File(_))
+    def stamp1(f: java.io.File): (Long, Long) =
+      if (!f.exists()) (0L, 0L)
+      else if (f.isFile) (1L, f.lastModified())
+      else f.listFiles().foldLeft((1L, f.lastModified())) { case ((n, m), c) =>
+        val (cn, cm) = stamp1(c); (n + cn, math.max(m, cm))
       }
-      (name, if (times.isEmpty) None else Some(times.min), wrote)
+    def fixedStamp(): Seq[(Long, Long)] = fixedRoots.map(stamp1)
+    // quiesce: collect the previous query's garbage OUTSIDE the timer so
+    // timed reps don't inherit heap debt from earlier, unrelated queries
+    def quiesce(): Unit = {
+      System.gc(); Thread.sleep(50L)
     }
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // one pass over the full suite: per query -> (min time if any rep
+    // succeeded, wrote-anything flag)
+    def runPass(pass: Int): Seq[(String, Option[Double], Boolean)] =
+      names.map { case (name, fn) =>
+        var wrote = false
+        def rep(i: String, timed: Boolean): Option[Double] = {
+          val dir = new java.io.File(s"$benchScratch/${name}_$i")
+          scratchKeys.foreach(k => spark.conf.set(k, dir.getAbsolutePath))
+          val before = fixedStamp()
+          val t0 = System.nanoTime()
+          val res = try {
+            fn(spark, sfDir).count()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              if (timed) System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              None
+          }
+          wrote = wrote || dir.exists() || fixedStamp() != before
+          rm(dir)
+          res
+        }
+        rep(s"p${pass}_w", timed = false) // untimed warmup: codegen + cache
+        quiesce()
+        val times = (1 to reps).flatMap(i => rep(s"p${pass}_$i", timed = true))
+        (name, if (times.isEmpty) None else Some(times.min), wrote)
+      }
+    val passResults: Seq[Seq[(String, Option[Double], Boolean)]] =
+      (1 to passes).map(runPass)
     scratchKeys.foreach(spark.conf.unset)
     rm(new java.io.File(benchScratch))
-    // load_bucketed_join writes through the metastore warehouse (a fixed
-    // session path, not a scratch conf) — classified write-path by hand
-    val writeNames = results.collect {
-      case (n, _, true) => n
-      case (n, _, _) if n == "load_bucketed_join" => n
-    }.toSet
+    // merge: min across passes; write-path if any pass saw a write
+    val results: Seq[(String, Option[Double], Boolean)] = names.map { case (name, _) =>
+      val per = passResults.map(_.find(_._1 == name).get)
+      val ts = per.flatMap(_._2)
+      (name, if (ts.isEmpty) None else Some(ts.min), per.exists(_._3))
+    }
+    val writeNames = results.collect { case (n, _, true) => n }.toSet
+    // reproducibility: per-query pass1-vs-pass2 ratio (max/min of the two
+    // pass minima); the distribution is the bench's own trust certificate
+    val ratios: Seq[(String, Double)] =
+      if (passes < 2) Seq.empty
+      else names.flatMap { case (name, _) =>
+        val ts = passResults.take(2).flatMap(_.find(_._1 == name).flatMap(_._2))
+        // sub-50ms queries are timer noise, not signal — exclude from the
+        // ratio distribution rather than report meaningless 3x on 5 ms
+        if (ts.size == 2 && ts.min > 0.05) Some(name -> ts.max / ts.min) else None
+      }
+    def pct(sorted: Seq[Double], p: Double): Double =
+      if (sorted.isEmpty) 0.0
+      else sorted(math.min(sorted.size - 1, (p * sorted.size).toInt))
+    val sortedRatios = ratios.map(_._2).sorted
+    val over13 = ratios.filter(_._2 > 1.3).sortBy(-_._2)
+    val reproJson =
+      if (ratios.isEmpty) "null"
+      else {
+        val worst = ratios.maxBy(_._2)
+        val passTotals = passResults.take(2)
+          .map(p => p.flatMap(_._2).sum).map(t => f"$t%.3f").mkString("[", ",", "]")
+        s"""{"median":${pct(sortedRatios, 0.5)},"p90":${pct(sortedRatios, 0.9)},""" +
+          s""""worst":${worst._2},"worst_query":"${worst._1}",""" +
+          s""""n_measured":${ratios.size},"n_over_1.3":${over13.size},""" +
+          s""""over_1.3":${over13.take(10).map(q => "\"" + q._1 + "\"").mkString("[", ",", "]")},""" +
+          s""""pass_totals":$passTotals}"""
+      }
+    // canary set: the queries whose r8 drift exposed the comparability
+    // problem — tracked by name so round-over-round diffs start here
+    val canaries = Seq("etl_geomtype_fallback", "text_lm_score", "text_tfidf",
+      "text_pack_chunks", "text_quality")
+    val canaryJson = canaries.flatMap { c =>
+      results.find(_._1 == c).flatMap(_._2).map(t => s"\"$c\":$t")
+    }.mkString("{", ",", "}")
     val withIndex = results.map(r => (r._1, r._2)) :+ ("ann_ivf_index" ->
       (if (indexSec < 0) None else Some(indexSec)))
     val qs = withIndex
@@ -115,7 +204,7 @@ object Bench {
     val readTotal = total - writeTotal
     val writeQs = writeNames.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","read_total":$readTotal,"write_total":$writeTotal,"write_queries":$writeQs,"queries":$qs,"failed":$failed,"sf":"$sfDir","reps":$reps}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","read_total":$readTotal,"write_total":$writeTotal,"repro":$reproJson,"canary":$canaryJson,"write_queries":$writeQs,"queries":$qs,"failed":$failed,"sf":"$sfDir","reps":$reps,"passes":$passes}"""
     // file copy first: if stdout is truncated downstream the full map survives
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try {

@@ -1079,13 +1079,17 @@ object SparkEntry {
         |FROM dirty d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (key)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // file stats: the oracle reads the exact files the op wrote (same
-    // verify run), so per-file attribution and bounds must agree
+    // verify run), so per-file attribution and bounds must agree. The
+    // path resolves through the SAME conf root the op writes to
+    // (Tables.oracleScratchRoot reads the active session's
+    // graft.scratch.root) — a redirected-scratch verify run stays in
+    // lockstep instead of reading stale files from the default root.
     "load_file_stats" ->
-      """SELECT CAST(batch AS INT) AS batch,
-        | regexp_extract(filename, '([^/]+)$', 1) AS file,
+      s"""SELECT CAST(batch AS INT) AS batch,
+        | regexp_extract(filename, '([^/]+)$$', 1) AS file,
         | count(*) AS n_rows, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
         | CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
-        |FROM read_parquet('/root/repo/target/graft_filestats/orders/*/*.parquet',
+        |FROM read_parquet('${Tables.oracleScratchRoot}/graft_filestats/orders/*/*.parquet',
         |  filename=true, hive_partitioning=true)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "mon_decay_avg" ->
@@ -2311,10 +2315,9 @@ object SparkEntry {
         |  500 + (n * 13) % 9501 AS dur FROM m),
         |w AS (SELECT *, CASE WHEN dur < 1000 THEN 0
         |    ELSE (dur - 1000) // 500 + 1 END AS nfull FROM h),
-        |t AS (SELECT *, CASE WHEN nfull = 0 THEN 0
-        |    ELSE (nfull - 1) * 500 + 1000 END AS last_end FROM w),
         |k AS (SELECT *, greatest(1, nfull +
-        |    CASE WHEN dur - last_end >= 500 THEN 1 ELSE 0 END) AS chunks FROM t),
+        |    CASE WHEN nfull >= 1 AND dur - nfull * 500 >= 500
+        |    THEN 1 ELSE 0 END) AS chunks FROM w),
         |f AS (SELECT doc_id, n, sample_rate, dur, CAST(i AS BIGINT) AS c
         |  FROM k, range(0, 100) r(i) WHERE i < chunks)
         |SELECT doc_id, c AS chunk_idx, CAST(sample_rate AS BIGINT) AS sample_rate,

@@ -10,6 +10,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * predicate pushdown and column pruning for free.
   */
 object Tables {
+  /** Default for `graft.scratch.root` — the single place the literal
+    * lives, shared by the operators ([[scratch]]) and the oracle-SQL
+    * builder ([[oracleScratchRoot]]). */
+  val DefaultScratchRoot = "/root/repo/target"
+
   /** Scratch root for write-path operators (staging snapshots, resume
     * ledgers, compaction batches, demo pipeline targets): one conf key,
     * `graft.scratch.root`, with the build's target dir as the default —
@@ -17,7 +22,17 @@ object Tables {
     * operator bakes in an absolute path and concurrent runs can isolate
     * by pointing the key at distinct roots. */
   def scratch(spark: SparkSession, name: String): String =
-    spark.conf.get("graft.scratch.root", "/root/repo/target") + "/" + name
+    spark.conf.get("graft.scratch.root", DefaultScratchRoot) + "/" + name
+
+  /** The scratch root as seen at oracle-SQL build time: the running
+    * session's conf when one exists (Verify builds its oracle dump with
+    * the session still active, so an op and its oracle always resolve the
+    * SAME root — overriding `graft.scratch.root` keeps them in lockstep),
+    * else the shared default. */
+  def oracleScratchRoot: String =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.conf.get("graft.scratch.root", DefaultScratchRoot))
+      .getOrElse(DefaultScratchRoot)
 }
 
 final case class Tables(spark: SparkSession, dir: String) {
@@ -29,9 +44,15 @@ final case class Tables(spark: SparkSession, dir: String) {
     * rows across the cluster first; the shuffle is tiny next to the
     * compute it parallelizes. (On a real multi-file/multi-row-group
     * layout the scan itself provides the splits and this is a no-op
-    * cost-wise.) */
+    * cost-wise.) Conf-gated (`graft.spread.documents`, default on) so the
+    * exchange's cost on THIS single-row-group layout is measurable with
+    * one flag flip — it was the prime suspect for the r8 text-family
+    * bench drift, and a real deployment on a properly-split layout would
+    * turn it off. */
   private def spread(df: DataFrame): DataFrame =
-    df.repartition(spark.sparkContext.defaultParallelism)
+    if (spark.conf.get("graft.spread.documents", "true").toBoolean)
+      df.repartition(spark.sparkContext.defaultParallelism)
+    else df
 
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")

@@ -18,7 +18,13 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS); Spark has no ns timestamp
       // type — read as raw ns-since-epoch longs (exact integer math)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the IVF-family oracles replay the refine=0 label-mean quantizer;
+      // pin the conf so a session-level override (graft.ivf.refine>0
+      // changes the trained centroids) can never masquerade as an engine
+      // bug in the correctness gate
+      .config("graft.ivf.refine", "0")
       .getOrCreate()
+    spark.conf.set("graft.ivf.refine", "0")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

@@ -604,10 +604,10 @@ object LoadOps {
     * wrong file, a wrong bound — hash-mismatches. At 100 TB this is the
     * manifest-build job run after every load/compaction.
     *
-    * Note: the DuckDB oracle names the DEFAULT scratch root (a static SQL
-    * string can't read the session conf) — the correctness gate runs with
-    * default conf; redirected-scratch runs (the bench) never consult the
-    * oracle. */
+    * Note: the DuckDB oracle resolves its read_parquet path through the
+    * SAME conf root this op writes to (Tables.oracleScratchRoot reads the
+    * active session's `graft.scratch.root` at oracle-build time), so a
+    * redirected-scratch verify run checks the files it actually wrote. */
   def fileStats(spark: SparkSession, dir: String, nBatches: Int = 8): DataFrame = {
     val out = Tables.scratch(spark, "graft_filestats/orders")
     Tables(spark, dir).orders

@@ -67,7 +67,9 @@ object Multimodal {
   /** F39: audio chunking — the third modality's staging step (image =
     * F12/F22, video = F14): a decoded waveform splits into OVERLAPPING
     * fixed-duration windows (the standard ASR/embedding front-end shape:
-    * window + hop, the tail window kept when ≥ half-filled). Duration and
+    * window + hop, plus a final short window [full·hop, dur) kept when its
+    * own length is ≥ half a window — so trailing audio past the last full
+    * window is never silently dropped). Duration and
     * sample rate derive deterministically from the payload (STUB — a real
     * decoder reads the container header), so chunk boundaries are pure
     * integer arithmetic and the full fan-out is oracle-checkable. The
@@ -89,10 +91,11 @@ object Multimodal {
           // STUB header read: 8/16 kHz by payload parity, ~bytes→duration
           val rate = if (n % 2L == 0L) 8000L else 16000L
           val durMs = 500L + (n * 13L) % 9501L
-          // full windows + a ≥half-filled tail
+          // full windows + a tail window whose OWN length [full·hop, dur)
+          // is ≥ win/2 — comparing against the previous window's end made
+          // the branch dead (dur − lastEnd < hop = win/2 always)
           val full = if (durMs < winMs) 0L else (durMs - winMs) / hopMs + 1L
-          val lastEnd = if (full == 0L) 0L else (full - 1L) * hopMs + winMs
-          val tail = if (durMs - lastEnd >= winMs / 2L) 1L else 0L
+          val tail = if (full >= 1L && durMs - full * hopMs >= winMs / 2L) 1L else 0L
           val chunks = math.max(1L, full + tail)
           (0L until chunks).map { c =>
             val start = c * hopMs

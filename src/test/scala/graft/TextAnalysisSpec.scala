@@ -184,9 +184,19 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
         assert(r.getLong(5) == math.min(r.getLong(4) + 1000L, dur))
         assert(r.getLong(5) > r.getLong(4), s"doc $doc chunk $i empty")
       }
-      // coverage: the last chunk reaches (or passes half of) the clip end
+      // chunk-count replays the rule: full windows + a tail window whose
+      // OWN length (dur − full·hop) is ≥ win/2 — at win=1000/hop=500 the
+      // tail length is always in [500, 1000) when full ≥ 1, so the clip
+      // is covered to the last millisecond
+      val full = if (dur < 1000L) 0L else (dur - 1000L) / 500L + 1L
+      val tail = if (full >= 1L && dur - full * 500L >= 500L) 1L else 0L
+      assert(sorted.length.toLong == math.max(1L, full + tail),
+        s"doc $doc chunk count ${sorted.length} != ${math.max(1L, full + tail)}")
       val last = sorted.last
-      assert(dur - last.getLong(5) < 500L, s"doc $doc tail uncovered: $dur vs ${last.getLong(5)}")
+      if (full >= 1L)
+        assert(last.getLong(5) == dur, s"doc $doc tail uncovered: $dur vs ${last.getLong(5)}")
+      else
+        assert(dur - last.getLong(5) < 500L, s"doc $doc tail uncovered: $dur vs ${last.getLong(5)}")
       // every doc chunks at least once, even sub-window clips
       assert(sorted.nonEmpty)
       // consecutive chunks overlap by window - hop (when both full)
