@@ -55,7 +55,8 @@ object SparkEntry {
     // C — geoprocessing
     "geo_bbox_clip"          -> Geo.bboxClip _,
     "geo_reproject"          -> Geo.reproject _,
-    "geo_reproject_tm"       -> Geo.reprojectTm _,
+    "geo_reproject_tm"       -> ((s: SparkSession, d: String) => Geo.reprojectTm(s, d)),
+    "geo_reproject_tm3010"   -> Geo.reprojectTm3010 _,
     "geo_sr_validate"        -> Geo.srValidate _,
     "geo_envelope_check"     -> Geo.envelopeCheck _,
     "geo_count_sanity"       -> Geo.countSanity _,
@@ -661,6 +662,17 @@ object SparkEntry {
          |  55.0 + ((o_orderkey * 104729) % 1500001) / 100000.0 AS lat
          | FROM orders WHERE o_orderkey % 20 = 0),
          |${graft.functions.Kruger.forwardSql("c")}
+         |SELECT o_orderkey, lon, lat, round(easting, 2) AS easting,
+         | round(northing, 2) AS northing
+         |FROM tm ORDER BY o_orderkey""".stripMargin,
+    // EPSG:3010 (SWEREF99 16 30): identical series tree, zone constants
+    // (cm 16.5°, k0=1, FE=150km) interpolated from the same instance
+    "geo_reproject_tm3010" ->
+      s"""WITH c AS (SELECT o_orderkey,
+         |  10.0 + ((o_orderkey * 7919) % 1500001) / 100000.0 AS lon,
+         |  55.0 + ((o_orderkey * 104729) % 1500001) / 100000.0 AS lat
+         | FROM orders WHERE o_orderkey % 20 = 0),
+         |${graft.functions.Sweref991630.forwardSql("c")}
          |SELECT o_orderkey, lon, lat, round(easting, 2) AS easting,
          | round(northing, 2) AS northing
          |FROM tm ORDER BY o_orderkey""".stripMargin,

@@ -3,13 +3,15 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Krüger-series transverse-Mercator forward projection for SWEREF99 TM
-  * (EPSG:3006: GRS80 ellipsoid, central meridian 15°E, k0 = 0.9996,
-  * false easting 500 000 m) — the reference's true projection target
-  * (/root/reference/etl/process.py:92 projects to EPSG:3006/3010; the r1
-  * operator used spherical Web-Mercator, the right shape but the wrong
-  * projection family). Fourth-order series: sub-mm within ±10° of the
-  * central meridian.
+/** Krüger-series transverse-Mercator forward projection on the GRS80
+  * ellipsoid, parameterized by zone constants (central meridian, scale at
+  * the central meridian, false easting) — the SWEREF99 family differs
+  * ONLY in those three numbers. Instances: [[Kruger]] (EPSG:3006, the
+  * national grid) and [[Sweref991630]] (EPSG:3010 — the reference's
+  * PRODUCTION target: /root/reference/config.yaml `target_srid: 3010`,
+  * /root/reference/etl/process.py:93/:129/:144 project to it
+  * explicitly). Fourth-order series: sub-mm within ±10° of the central
+  * meridian.
   *
   * Built ONLY from exp/ln/sqrt/sin/cos/atan — DuckDB 1.0 has no
   * hyperbolic functions, so sinh/cosh/atanh are expanded identically on
@@ -17,14 +19,11 @@ import org.apache.spark.sql.functions._
   * same tree as SQL text with the same double literals); per-row pure
   * arithmetic → codegen'd, shuffle-free, partition-prunable.
   */
-object Kruger {
+class TmProjection(val lon0: Double, val k0: Double, val falseEasting: Double) {
   val a  = 6378137.0
   val f  = 1.0 / 298.257222101
   val n  = f / (2.0 - f)
   val A  = a / (1.0 + n) * (1.0 + n * n / 4.0 + n * n * n * n / 64.0)
-  val k0 = 0.9996
-  val falseEasting = 500000.0
-  val lon0 = 15.0
   /** 2√n/(1+n): the conformal-latitude coefficient. */
   val rt = 2.0 * math.sqrt(n) / (1.0 + n)
   /** Forward series coefficients α₁..α₄ (Krüger 1912, n-series). */
@@ -123,3 +122,13 @@ object Kruger {
     (lon, lat)
   }
 }
+
+/** EPSG:3006 SWEREF99 TM — the national grid: central meridian 15°E,
+  * k0 = 0.9996, false easting 500 000 m. */
+object Kruger extends TmProjection(15.0, 0.9996, 500000.0)
+
+/** EPSG:3010 SWEREF99 16 30 — the reference's production `target_srid`
+  * (/root/reference/config.yaml; process.py:93/:129/:144): a LOCAL zone,
+  * central meridian 16°30′E, scale exactly 1 (tangent cylinder), false
+  * easting 150 000 m. */
+object Sweref991630 extends TmProjection(16.5, 1.0, 150000.0)

@@ -53,19 +53,28 @@ object Geo {
       .orderBy(col("o_orderkey"))
   }
 
-  /** C2b: TRUE reprojection to SWEREF99 TM (EPSG:3006) via the Krüger
+  /** C2b: TRUE reprojection to the SWEREF99 TM family via the Krüger
     * transverse-Mercator series (process.py:92 targets EPSG:3006/3010 —
     * a TM projection, not Mercator; C2 keeps the spherical form for
-    * contrast). Per-row pure arithmetic, codegen'd; the round-trip spec
-    * (GeoSpec) inverts the series to < 1e-9°. */
-  def reprojectTm(spark: SparkSession, dir: String): DataFrame = {
-    val (e, n) = graft.functions.Kruger.forward(col("lon"), col("lat"))
+    * contrast). Zone-parameterized: EPSG:3006 (the national grid, the
+    * default here) and EPSG:3010 (SWEREF99 16 30 — the reference's
+    * production `target_srid`, config.yaml; process.py:93/:129/:144)
+    * differ only in (central meridian, k0, false easting). Per-row pure
+    * arithmetic, codegen'd; the round-trip spec (GeoSpec) inverts the
+    * series to < 1e-9° at both EPSG codes. */
+  def reprojectTm(spark: SparkSession, dir: String,
+      proj: graft.functions.TmProjection = graft.functions.Kruger): DataFrame = {
+    val (e, n) = proj.forward(col("lon"), col("lat"))
     synthLonLat(Tables(spark, dir).orders)
       .filter(col("o_orderkey") % 20 === 0)
       .select(col("o_orderkey"), col("lon"), col("lat"),
         round(e, 2).as("easting"), round(n, 2).as("northing"))
       .orderBy(col("o_orderkey"))
   }
+
+  /** C2c: the EPSG:3010 production target (see [[reprojectTm]]). */
+  def reprojectTm3010(spark: SparkSession, dir: String): DataFrame =
+    reprojectTm(spark, dir, graft.functions.Sweref991630)
 
   /** C3: coordinate-magnitude validation (sr_utils.py:15
     * validate_coordinates_magnitude; :39/:49 per-SR bounds). */

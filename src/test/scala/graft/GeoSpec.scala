@@ -41,6 +41,42 @@ class GeoSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("epsg:3010: zone constants, round-trip at both EPSG codes, zones disagree off-meridian") {
+    import graft.functions.Sweref991630
+    // the 16°30' central meridian maps to the 150 km false easting; k0=1
+    // means northing at the meridian IS the meridian arc (6 654 072.82 m
+    // to 60°N on GRS80 — vs k0x that for 3006)
+    for (lat <- Seq(55.0, 60.0, 65.0)) {
+      val (e, _) = Sweref991630.forwardLocal(16.5, lat)
+      assert(math.abs(e - 150000.0) < 1e-6, s"lat=$lat easting=$e")
+    }
+    val (_, n60) = Sweref991630.forwardLocal(16.5, 60.0)
+    assert(math.abs(n60 - 6654072.82) < 0.5, s"northing=$n60")
+    // forward/inverse round-trip < 1e-9 deg across the zone band
+    val pts = for (i <- 0 to 10; j <- 0 to 10)
+      yield (12.0 + 0.9 * i, 55.0 + 1.5 * j)
+    pts.foreach { case (lon, lat) =>
+      val (e, n) = Sweref991630.forwardLocal(lon, lat)
+      val (lon2, lat2) = Sweref991630.inverseLocal(e, n)
+      assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9,
+        s"($lon,$lat) -> ($e,$n) -> ($lon2,$lat2)")
+    }
+    // the two zones are genuinely different projections: at 14°E the
+    // eastings differ by far more than the false-easting delta alone
+    val (e3006, _) = Kruger.forwardLocal(14.0, 60.0)
+    val (e3010, _) = Sweref991630.forwardLocal(14.0, 60.0)
+    assert(math.abs((e3006 - 500000.0) - (e3010 - 150000.0)) > 10000.0,
+      s"zones should disagree off-meridian: $e3006 vs $e3010")
+    // and the Spark-column path agrees with plain doubles for 3010 too
+    val rows = graft.operators.Geo.reprojectTm3010(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.take(200).foreach { r =>
+      val (e, n) = Sweref991630.forwardLocal(r.getDouble(1), r.getDouble(2))
+      assert(math.abs(r.getDouble(3) - e) < 0.01, s"easting ${r.getDouble(3)} vs $e")
+      assert(math.abs(r.getDouble(4) - n) < 0.01, s"northing ${r.getDouble(4)} vs $n")
+    }
+  }
+
   test("nearest join: ring certification + fallback yield the true nearest everywhere") {
     import org.apache.spark.sql.functions._
     // small cell forces sparse rings -> many probes go through the
