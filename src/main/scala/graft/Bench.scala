@@ -58,6 +58,14 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // experiment hooks: SPARK_GRAFT_EXTRA_CONF="k=v,k=v" applies session
+    // confs (e.g. graft.spread.documents=false), SPARK_GRAFT_ONLY="a,b"
+    // restricts the suite — together they make one-flag A/B timings
+    // (same protocol, same order) a single env change
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(',').filter(_.contains('='))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k.trim, v.trim) })
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     // warm the JVM/codegen and the file-system cache so the first timed
     // query isn't charged for session startup
     try {
@@ -121,6 +129,7 @@ object Bench {
       System.gc(); Thread.sleep(50L)
     }
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_(n)) }
     // one pass over the full suite: per query -> (min time if any rep
     // succeeded, wrote-anything flag)
     def runPass(pass: Int): Seq[(String, Option[Double], Boolean)] =

@@ -80,6 +80,7 @@ object SparkEntry {
     "mon_run_drift"          -> ((s: SparkSession, d: String) => LoadOps.runDrift(s, d)),
     "load_compaction"        -> ((s: SparkSession, d: String) => LoadOps.loadCompaction(s, d)),
     "load_mor_delete"        -> LoadOps.morDelete _,
+    "load_circuit_breaker"   -> ((s: SparkSession, d: String) => LoadOps.circuitBreaker(s, d)),
     "load_zorder"            -> LoadOps.zorderLayout _,
     "load_backfill"          -> LoadOps.loadBackfill _,
     "load_dyn_overwrite"     -> LoadOps.loadDynamicOverwrite _,
@@ -1029,6 +1030,53 @@ object SparkEntry {
         | round(sum(o_totalprice), 2) AS sum_price
         |FROM orders WHERE NOT (o_orderkey % 97 = 0 OR o_orderkey % 89 = 3)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // circuit breaker: a recursive CTE carries the automaton state
+    // (consec, open_until) attempt-by-attempt through the SAME transition
+    // table as the Spark replay — threshold 5, cooldown 14400 s, planted
+    // weekly outage days; per-source rollup of every decision class
+    "load_circuit_breaker" ->
+      """WITH RECURSIVE b AS (
+        | SELECT event_type AS source,
+        |  CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS sec, event_id,
+        |  CASE WHEN CAST(floor(extract(epoch FROM ts)) AS BIGINT) % 604800 < 86400
+        |   THEN 1 ELSE 0 END AS failed,
+        |  CAST(row_number() OVER (PARTITION BY event_type
+        |   ORDER BY CAST(floor(extract(epoch FROM ts)) AS BIGINT), event_id) AS BIGINT) AS seq
+        | FROM events),
+        |rec AS (
+        | SELECT source, seq, sec, failed,
+        |  CASE WHEN failed = 1 AND 1 >= 5 THEN 'tripped'
+        |       WHEN failed = 1 THEN 'fail' ELSE 'ok' END AS decision,
+        |  CASE WHEN failed = 1 AND 1 < 5 THEN 1 ELSE 0 END AS consec,
+        |  CASE WHEN failed = 1 AND 1 >= 5 THEN sec + 14400 ELSE 0 END AS open_until
+        | FROM b WHERE seq = 1
+        | UNION ALL
+        | SELECT n.source, n.seq, n.sec, n.failed,
+        |  CASE WHEN r.open_until > 0 AND n.sec < r.open_until THEN 'skipped'
+        |       WHEN r.open_until > 0 AND n.failed = 1 THEN 'trial_fail'
+        |       WHEN r.open_until > 0 THEN 'trial_ok'
+        |       WHEN n.failed = 1 AND r.consec + 1 >= 5 THEN 'tripped'
+        |       WHEN n.failed = 1 THEN 'fail' ELSE 'ok' END,
+        |  CASE WHEN r.open_until > 0 AND n.sec < r.open_until THEN r.consec
+        |       WHEN r.open_until > 0 THEN 0
+        |       WHEN n.failed = 1 AND r.consec + 1 >= 5 THEN 0
+        |       WHEN n.failed = 1 THEN r.consec + 1 ELSE 0 END,
+        |  CASE WHEN r.open_until > 0 AND n.sec < r.open_until THEN r.open_until
+        |       WHEN r.open_until > 0 AND n.failed = 1 THEN n.sec + 14400
+        |       WHEN r.open_until > 0 THEN 0
+        |       WHEN n.failed = 1 AND r.consec + 1 >= 5 THEN n.sec + 14400
+        |       ELSE 0 END
+        | FROM rec r JOIN b n ON n.source = r.source AND n.seq = r.seq + 1)
+        |SELECT source, count(*) AS n_attempts,
+        | CAST(sum(CASE WHEN decision = 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+        | CAST(sum(CASE WHEN decision = 'fail' THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_closed,
+        | CAST(sum(CASE WHEN decision = 'tripped' THEN 1 ELSE 0 END) AS BIGINT) AS n_tripped,
+        | CAST(sum(CASE WHEN decision = 'skipped' THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+        | CAST(sum(CASE WHEN decision = 'trial_fail' THEN 1 ELSE 0 END) AS BIGINT) AS n_trial_fail,
+        | CAST(sum(CASE WHEN decision = 'trial_ok' THEN 1 ELSE 0 END) AS BIGINT) AS n_trial_ok,
+        | min(CASE WHEN decision = 'tripped' THEN sec END) AS first_trip_sec,
+        | max(CASE WHEN decision IN ('tripped', 'trial_fail') THEN sec END) AS last_trip_sec
+        |FROM rec GROUP BY source ORDER BY source""".stripMargin,
     // bloom-index point lookups: no false negatives, so the pruned-scan
     // result must equal the straight lookup (the absent probe key is
     // absent from BOTH sides); partition-pruning telemetry is spec-side

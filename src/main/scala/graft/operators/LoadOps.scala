@@ -1288,4 +1288,86 @@ object LoadOps {
         round(sum(col("o_totalprice")), 2).as("sum_price"))
       .orderBy(col("o_orderpriority"))
   }
+
+  /** D33: circuit-breaker gate — the reference's declared resilience
+    * policy (/root/reference/config/config.yaml retry:
+    * `circuit_breaker_threshold: 5`, `circuit_breaker_timeout: 60.0`)
+    * as a replayable decision operator: after `threshold` CONSECUTIVE
+    * failures a source's breaker opens and every attempt until the
+    * cooldown expires is SKIPPED (stages nothing); the first attempt
+    * after expiry is the half-open trial — success closes the breaker,
+    * failure re-opens it for another cooldown (the standard three-state
+    * breaker; A9's resume ledger supplies the attempt history shape,
+    * D7's streak windows the failure-run shape — this op adds the gate
+    * itself).
+    *
+    * The breaker is an irreducible per-source automaton (each decision
+    * depends on the previous one through the open-until clock), so the
+    * replay is a per-source sequential pass: shuffle key = source,
+    * `flatMapGroups` over the sorted attempt log. The input is an OPS
+    * log (one row per ingest attempt), not a data table — per-source
+    * histories are run-count sized, so a group fits comfortably at any
+    * corpus scale, and the streaming form of the same automaton is
+    * `mapGroupsWithState` (G-family pattern). Decisions are replayed
+    * row-for-row by a DuckDB recursive CTE carrying (consec, open_until)
+    * through the same transition table, so the gate is oracle-checked
+    * exactly, not just spec-asserted. */
+  def circuitBreakerOver(attempts: DataFrame, threshold: Int = 5,
+      cooldownSec: Long = 60L): DataFrame = {
+    val spark = attempts.sparkSession
+    import spark.implicits._
+    attempts
+      .select(col("source").cast("string"), col("sec").cast("long"),
+        col("attempt_id").cast("long"), col("failed").cast("int"))
+      .as[(String, Long, Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroups { (src: String, it: Iterator[(String, Long, Long, Int)]) =>
+        val log = it.toArray.sortBy(a => (a._2, a._3))
+        var consec = 0
+        var openUntil = 0L // 0 = closed; >0 = open until that second
+        var seq = 0L
+        log.map { case (_, sec, id, failed) =>
+          seq += 1
+          val decision =
+            if (openUntil > 0L && sec < openUntil) "skipped"
+            else if (openUntil > 0L) { // half-open trial
+              if (failed == 1) { openUntil = sec + cooldownSec; "trial_fail" }
+              else { openUntil = 0L; consec = 0; "trial_ok" }
+            } else if (failed == 1) {
+              consec += 1
+              if (consec >= threshold) { openUntil = sec + cooldownSec; consec = 0; "tripped" }
+              else "fail"
+            } else { consec = 0; "ok" }
+          (src, seq, sec, id, failed, decision)
+        }.iterator
+      }
+      .toDF("source", "seq", "sec", "attempt_id", "failed", "decision")
+  }
+
+  /** The registered D33 query: replay the breaker over the events run
+    * history with PLANTED outages (one full outage day per absolute week
+    * — the attempt stream is ~3/hour, so minute-scale streaks can't
+    * occur naturally) and a cooldown scaled to that density (4 h; the
+    * reference's 60 s assumes per-second retry loops). Per-source
+    * rollup: every decision class counted + first/last trip seconds. */
+  def circuitBreaker(spark: SparkSession, dir: String, threshold: Int = 5,
+      cooldownSec: Long = 14400L): DataFrame = {
+    val attempts = Tables(spark, dir).events
+      .withColumn("sec", expr("ts div 1000000000"))
+      .withColumn("failed", (col("sec") % 604800L < 86400L).cast("int"))
+      .select(col("event_type").as("source"), col("sec"),
+        col("event_id").as("attempt_id"), col("failed"))
+    circuitBreakerOver(attempts, threshold, cooldownSec)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_attempts"),
+        sum(when(col("decision") === "ok", 1).otherwise(0)).cast("long").as("n_ok"),
+        sum(when(col("decision") === "fail", 1).otherwise(0)).cast("long").as("n_fail_closed"),
+        sum(when(col("decision") === "tripped", 1).otherwise(0)).cast("long").as("n_tripped"),
+        sum(when(col("decision") === "skipped", 1).otherwise(0)).cast("long").as("n_skipped"),
+        sum(when(col("decision") === "trial_fail", 1).otherwise(0)).cast("long").as("n_trial_fail"),
+        sum(when(col("decision") === "trial_ok", 1).otherwise(0)).cast("long").as("n_trial_ok"),
+        min(when(col("decision") === "tripped", col("sec"))).as("first_trip_sec"),
+        max(when(col("decision").isin("tripped", "trial_fail"), col("sec"))).as("last_trip_sec"))
+      .orderBy(col("source"))
+  }
 }

@@ -782,4 +782,50 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
       if (cls == "none") assert(n == 0L, s"entry $k staged records without a download link")
     }
   }
+
+  test("circuit breaker: a tripped source stages nothing until cooldown expires, half-open trial decides") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // source "down": 10 straight failures at 1 s intervals. threshold 3,
+    // cooldown 5 s -> trip at sec 2, skip (3..6), trial_fail at 7
+    // (re-open until 12), skip 8..9.
+    // source "flaky": failure pairs broken by successes -> never trips.
+    // source "heals": trips, then the half-open trial SUCCEEDS -> closed,
+    // and counting restarts from zero.
+    val attempts =
+      (0L to 9L).map(s => ("down", s, s, 1)) ++
+      Seq(0, 1, 0, 1, 1, 0, 1, 1, 0, 1).zipWithIndex.map { case (f, s) =>
+        ("flaky", s.toLong, 100L + s, f) } ++
+      (Seq(1, 1, 1) ++ Seq.fill(5)(-1) ++ Seq(0, 1, 1, 0)).zipWithIndex.collect {
+        case (f, s) if f >= 0 => ("heals", s.toLong, 200L + s, f) }
+    val df = attempts.toDF("source", "sec", "attempt_id", "failed")
+    val got = graft.operators.LoadOps.circuitBreakerOver(df, threshold = 3, cooldownSec = 5L)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getString(5)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(x => (x._2, x._3)).toSeq).toMap
+    assert(got("down") == Seq(0L -> "fail", 1L -> "fail", 2L -> "tripped",
+      3L -> "skipped", 4L -> "skipped", 5L -> "skipped", 6L -> "skipped",
+      7L -> "trial_fail", 8L -> "skipped", 9L -> "skipped"), got("down").toString)
+    // THE gate property: between a trip and its cooldown expiry, nothing
+    // executes — every decision in the open window is "skipped"
+    got("down").filter { case (s, _) => (s > 2 && s < 7) || s > 7 }
+      .foreach { case (s, d) => assert(d == "skipped", s"sec $s executed: $d") }
+    assert(!got("flaky").exists(d => d._2 == "tripped" || d._2 == "skipped"),
+      s"flaky must never trip: ${got("flaky")}")
+    // heals: trip at sec 2 (open until 7), gap (no attempts 3..7), trial
+    // at 8 succeeds -> closed; the two failures after it count from zero
+    assert(got("heals") == Seq(0L -> "fail", 1L -> "fail", 2L -> "tripped",
+      8L -> "trial_ok", 9L -> "fail", 10L -> "fail", 11L -> "ok"),
+      got("heals").toString)
+    // registered-query shape: every source rolls up, outage days trip,
+    // and skipped attempts exist only for sources that tripped
+    val agg = graft.operators.LoadOps.circuitBreaker(spark, sfDir).collect()
+    assert(agg.nonEmpty)
+    agg.foreach { r =>
+      val (trips, skipped) = (r.getLong(4), r.getLong(5))
+      assert(trips > 0, s"${r.getString(0)}: planted outage days must trip")
+      assert(skipped > 0, s"${r.getString(0)}: open windows must skip attempts")
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4) +
+        r.getLong(5) + r.getLong(6) + r.getLong(7), "decision classes must partition attempts")
+    }
+  }
 }
