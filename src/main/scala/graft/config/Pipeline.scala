@@ -70,11 +70,41 @@ case class GeoOverrideCfg(
     aoi = aoi.orElse(g.aoi))
 }
 
-case class LoadCfg(target: String, mode: String = "truncate") // truncate | append
+/** Load policy. `resolveDatasets` turns on the reference's SDE
+  * destination-resolution protocol (load_sde.py:145
+  * `resolve_sde_destination` + run():66-78): the authority prefix of the
+  * source name (before the first underscore) groups destinations into an
+  * `Underlag_{AUTHORITY}` feature dataset — created if absent, with
+  * fallback to the target ROOT when creation fails — and the destination
+  * name drops the authority prefix and any file extension. Off (default),
+  * destinations keep flat `target/<sanitized-source-name>` naming. */
+case class LoadCfg(target: String, mode: String = "truncate", // truncate | append
+    resolveDatasets: Boolean = false)
 
 /** Step gating — run.py's `--download --process --load_sde` flags: any
   * stage can be toggled per run. */
 case class StepsCfg(stage: Boolean = true, process: Boolean = true, load: Boolean = true)
+
+/** Per-environment overlay (config.yaml `environment: development |
+  * staging | production`, overridable at run time by `ETL_ENVIRONMENT`):
+  * every field optional — set fields replace the pipeline-level value,
+  * unset fields inherit it, the same merge discipline as
+  * [[GeoOverrideCfg]] one level up. The canonical use is a per-
+  * environment load target (the reference's per-environment SDE
+  * connection) and gentler dev defaults (cleanup off, load off).
+  * Precedence when applied: per-SOURCE overrides still win over the
+  * environment (they are more specific), the environment wins over the
+  * global document. */
+case class EnvOverlayCfg(
+    geoprocess: Option[GeoOverrideCfg] = None,
+    loadTarget: Option[String] = None,
+    loadMode: Option[String] = None,
+    resolveDatasets: Option[Boolean] = None,
+    stepStage: Option[Boolean] = None,
+    stepProcess: Option[Boolean] = None,
+    stepLoad: Option[Boolean] = None,
+    cleanupBeforeRun: Option[Boolean] = None,
+    sanitizeNames: Option[Boolean] = None)
 
 case class PipelineCfg(
     sources: Seq[SourceCfg],
@@ -83,7 +113,47 @@ case class PipelineCfg(
     sanitizeNames: Boolean = true,
     steps: StepsCfg = StepsCfg(),
     // run.py cleanup_*_before_run: clear the load target before loading
-    cleanupBeforeRun: Boolean = false)
+    cleanupBeforeRun: Boolean = false,
+    // config.yaml `environment:` — the document's default environment
+    environment: Option[String] = None,
+    // named overlays; the active one folds into the document at run time
+    environments: Map[String, EnvOverlayCfg] = Map.empty) {
+
+  /** Fold the active environment's overlay into the document. The active
+    * name is `ETL_ENVIRONMENT` (the reference's documented override) when
+    * set, else the document's `environment:` field. Naming an environment
+    * that is not declared in `environments` FAILS LOUDLY — a typo'd
+    * `ETL_ENVIRONMENT=prodcution` silently running development settings
+    * against a production target is exactly the hazard an environment
+    * layer exists to prevent. With no `environments` declared the feature
+    * is off and the document passes through unchanged. Idempotent, so
+    * [[Pipeline.run]] can resolve unconditionally. */
+  def resolveEnvironment(
+      envVar: Option[String] = sys.env.get("ETL_ENVIRONMENT")): PipelineCfg = {
+    val active = envVar.filter(_.nonEmpty).orElse(environment)
+    (active, environments.isEmpty) match {
+      case (None, _) | (_, true) => this
+      case (Some(name), _) =>
+        val o = environments.getOrElse(name, throw new IllegalArgumentException(
+          s"environment '$name' not declared (have: ${environments.keys.toSeq.sorted.mkString(", ")})"))
+        copy(
+          geoprocess = o.geoprocess.map(_.mergedOver(geoprocess)).getOrElse(geoprocess),
+          load = load.map(l => l.copy(
+              target = o.loadTarget.getOrElse(l.target),
+              mode = o.loadMode.getOrElse(l.mode),
+              resolveDatasets = o.resolveDatasets.getOrElse(l.resolveDatasets)))
+            .orElse(o.loadTarget.map(t => LoadCfg(t,
+              o.loadMode.getOrElse("truncate"),
+              o.resolveDatasets.getOrElse(false)))),
+          steps = StepsCfg(
+            stage = o.stepStage.getOrElse(steps.stage),
+            process = o.stepProcess.getOrElse(steps.process),
+            load = o.stepLoad.getOrElse(steps.load)),
+          cleanupBeforeRun = o.cleanupBeforeRun.getOrElse(cleanupBeforeRun),
+          sanitizeNames = o.sanitizeNames.getOrElse(sanitizeNames))
+    }
+  }
+}
 
 object PipelineCfg {
   private val mapper = new ObjectMapper()
@@ -241,6 +311,52 @@ object Pipeline {
     else truncated
   }
 
+  /** Authority-prefix split of a staged feature-class name (load_sde.py
+    * run(): `authority = fc_name.split('_', 1)[0].upper()`; dataset
+    * `Underlag_{AUTHORITY}`; the destination drops the prefix and any
+    * extension). Returns (dataset name if an authority prefix exists,
+    * sanitized destination name). The extension strips BEFORE
+    * sanitization ([[safeNameString]] folds dots into underscores, which
+    * would glue ".shp" onto the name). */
+  def sdeDatasetAndName(fcName: String): (Option[String], String) = {
+    val i = fcName.indexOf('_')
+    val (auth, base) =
+      if (i > 0 && i < fcName.length - 1) (Some(fcName.substring(0, i)), fcName.substring(i + 1))
+      else (None, fcName)
+    val stem = base.lastIndexOf('.') match {
+      case d if d > 0 => base.substring(0, d)
+      case _ => base
+    }
+    (auth.map(a => s"Underlag_${a.toUpperCase}"), safeNameString(stem))
+  }
+
+  /** Destination resolution (load_sde.py:145 `resolve_sde_destination`):
+    * with `resolveDatasets` on, place the destination inside its
+    * authority's feature dataset — the dataset directory is created if
+    * absent ("create feature dataset with same SR as template"; here the
+    * schema template is the parquet write itself) and a FAILED creation
+    * falls back to the target root rather than failing the load. Without
+    * datasets (or without an authority prefix), the destination is
+    * `target/<name>` — the reference's "No dataset name determined"
+    * branch. */
+  def resolveDestination(fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path, srcName: String,
+      resolveDatasets: Boolean): org.apache.hadoop.fs.Path = {
+    import org.apache.hadoop.fs.Path
+    if (!resolveDatasets) fs.makeQualified(new Path(target, safeNameString(srcName)))
+    else {
+      val (dataset, clean) = sdeDatasetAndName(srcName)
+      val resolved = dataset.flatMap { ds =>
+        val dsPath = new Path(target, ds)
+        val created =
+          try fs.mkdirs(dsPath) && fs.getFileStatus(dsPath).isDirectory
+          catch { case _: Exception => false }
+        if (created) Some(new Path(dsPath, clean)) else None // else: root fallback
+      }
+      fs.makeQualified(resolved.getOrElse(new Path(target, clean)))
+    }
+  }
+
   /** True when the session publishes through manifests instead of
     * directory renames (`graft.publish.mode` = `manifest`; default
     * `rename`). Rename publish is ideal on HDFS (atomic, instant) but on
@@ -362,9 +478,12 @@ object Pipeline {
     * without atomic rename — S3 — set `graft.publish.mode=manifest`
     * ([[manifestMode]]): data lands once in an immutable version
     * directory and the commit is one tiny manifest PUT, no rename. */
-  def run(spark: SparkSession, cfg: PipelineCfg): DataFrame = {
+  def run(spark: SparkSession, cfg0: PipelineCfg): DataFrame = {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
+    // fold the active environment's overlay in first (idempotent; a typo'd
+    // environment name fails here, before anything is staged or deleted)
+    val cfg = cfg0.resolveEnvironment()
     val hconf = spark.sparkContext.hadoopConfiguration
     if (cfg.cleanupBeforeRun) cfg.load.foreach { l =>
       val p = new Path(l.target)
@@ -387,9 +506,9 @@ object Pipeline {
         df.groupBy(col("layer_name")).count().collect()
           .map(r => (s"${src.name}/${r.getString(0)}", r.getLong(1))).toSeq
       cfg.load match {
-        case Some(LoadCfg(target, mode)) if cfg.steps.load =>
+        case Some(LoadCfg(target, mode, resolveDatasets)) if cfg.steps.load =>
           val fs = new Path(target).getFileSystem(hconf)
-          val dst = fs.makeQualified(new Path(target, safeNameString(src.name)))
+          val dst = resolveDestination(fs, new Path(target), src.name, resolveDatasets)
           val appendMode = mode == "append"
           def writeTo(p: Path): Unit =
             if (layered)
@@ -474,8 +593,9 @@ object Pipeline {
             // no second pass over the source. Publish is one directory
             // rename (overwrite) or a part-file move (append); an empty
             // result removes the staging dir and leaves NO target behind.
-            val tmp = fs.makeQualified(
-              new Path(target, s"${safeNameString(src.name)}.staging"))
+            // staged NEXT TO the resolved destination (dataset dir or
+            // root), so the publish rename never crosses directories
+            val tmp = fs.makeQualified(dst.suffix(".staging"))
             if (fs.exists(tmp)) fs.delete(tmp, true)
             writeTo(tmp)
             val staged = partFiles(tmp)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.config.{GeoOverrideCfg, GeoprocessCfg, LoadCfg, Pipeline, PipelineCfg, SourceCfg, StepsCfg}
+import graft.config.{EnvOverlayCfg, GeoOverrideCfg, GeoprocessCfg, LoadCfg, Pipeline, PipelineCfg, SourceCfg, StepsCfg}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Specs for the declarative pipeline (SURVEY H1): JSON parsing, step
@@ -410,5 +410,144 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(Pipeline.safeNameString("CON") == "con_data")
     assert(Pipeline.safeNameString("lpt9") == "lpt9_data")
     assert(Pipeline.safeNameString("console") == "console") // prefix, not reserved
+  }
+
+  test("sde destination parts: authority prefix -> dataset, extension stripped, no-prefix -> root") {
+    // load_sde.py run(): authority before first underscore, uppercased
+    assert(Pipeline.sdeDatasetAndName("lst_vindkraft.shp")
+      == (Some("Underlag_LST"), "vindkraft"))
+    assert(Pipeline.sdeDatasetAndName("skogsstyrelsen_avverkning")
+      == (Some("Underlag_SKOGSSTYRELSEN"), "avverkning"))
+    // multi-underscore: ONLY the first segment is the authority
+    assert(Pipeline.sdeDatasetAndName("lst_natur_reservat.gpkg")
+      == (Some("Underlag_LST"), "natur_reservat"))
+    // no underscore -> "No dataset name determined" branch
+    assert(Pipeline.sdeDatasetAndName("roads.shp") == (None, "roads"))
+    assert(Pipeline.sdeDatasetAndName("roads") == (None, "roads"))
+    // degenerate prefixes: a leading/trailing underscore yields no
+    // authority (the reference's empty-authority falsy branch)
+    assert(Pipeline.sdeDatasetAndName("_roads") == (None, "roads"))
+    assert(Pipeline.sdeDatasetAndName("roads_") == (None, "roads"))
+  }
+
+  test("sde destination resolution: dataset create-if-absent, shared dataset, root fallback on failure") {
+    import org.apache.hadoop.fs.Path
+    val tgt = s"$target/sde_load"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(): Unit
+    }
+    rm(new java.io.File(tgt))
+    val truth = spark.read.parquet(s"$sfDir/region.parquet").count()
+    val cfg = PipelineCfg(
+      sources = Seq(
+        SourceCfg(name = "lst_vindkraft.shp", path = s"$sfDir/region.parquet"),
+        SourceCfg(name = "lst_kraftledning", path = s"$sfDir/region.parquet"),
+        SourceCfg(name = "roads", path = s"$sfDir/region.parquet")),
+      load = Some(LoadCfg(tgt, "truncate", resolveDatasets = true)))
+    val out = Pipeline.run(spark, cfg).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("lst_vindkraft.shp" -> truth, "lst_kraftledning" -> truth,
+      "roads" -> truth), out.toString)
+    // both lst_* sources share ONE created feature dataset; prefix and
+    // extension are gone from the destination names; roads lands at root
+    assert(new java.io.File(s"$tgt/Underlag_LST/vindkraft").isDirectory)
+    assert(new java.io.File(s"$tgt/Underlag_LST/kraftledning").isDirectory)
+    assert(new java.io.File(s"$tgt/roads").isDirectory)
+    assert(!new java.io.File(s"$tgt/lst_vindkraft_shp").exists(),
+      "flat naming must not appear when resolveDatasets is on")
+    // reconcile: each destination serves the full source row count
+    Seq(s"$tgt/Underlag_LST/vindkraft", s"$tgt/Underlag_LST/kraftledning", s"$tgt/roads")
+      .foreach(p => assert(spark.read.parquet(p).count() == truth, p))
+    // truncate-reload into the EXISTING dataset destination (the
+    // arcpy.Exists -> TruncateTable branch): row count unchanged
+    Pipeline.run(spark, cfg).collect()
+    assert(spark.read.parquet(s"$tgt/Underlag_LST/vindkraft").count() == truth)
+    // root fallback: dataset path occupied by a FILE -> creation fails ->
+    // the load proceeds into the target root (reference logs a warning
+    // and returns f"{sde_conn}/{fc_name}")
+    val tgt2 = s"$target/sde_fallback"
+    rm(new java.io.File(tgt2))
+    new java.io.File(tgt2).mkdirs()
+    val blocker = new java.io.File(s"$tgt2/Underlag_KLD")
+    assert(blocker.createNewFile(), "could not plant blocking file")
+    val out2 = Pipeline.run(spark, PipelineCfg(
+      sources = Seq(SourceCfg(name = "kld_grid", path = s"$sfDir/region.parquet")),
+      load = Some(LoadCfg(tgt2, "truncate", resolveDatasets = true)))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out2 == Map("kld_grid" -> truth), out2.toString)
+    assert(blocker.isFile, "the blocking file must be untouched")
+    assert(new java.io.File(s"$tgt2/grid").isDirectory,
+      "failed dataset creation must fall back to the target root")
+    assert(spark.read.parquet(s"$tgt2/grid").count() == truth)
+    // flat naming preserved when the protocol is off (default)
+    val tgt3 = s"$target/sde_off"
+    Pipeline.run(spark, PipelineCfg(
+      sources = Seq(SourceCfg(name = "lst_vindkraft.shp", path = s"$sfDir/region.parquet")),
+      load = Some(LoadCfg(tgt3)))).collect()
+    assert(new java.io.File(s"$tgt3/lst_vindkraft_shp").isDirectory,
+      "default naming must stay flat/sanitized")
+  }
+
+  test("environment overlay: set fields replace, unset inherit, source still beats environment") {
+    val base = PipelineCfg(
+      sources = Seq(SourceCfg(name = "s", path = "p",
+        geoprocess = Some(GeoOverrideCfg(xColumn = Some("src_x"))))),
+      geoprocess = GeoprocessCfg(enabled = true, xColumn = Some("gx"), yColumn = Some("gy")),
+      load = Some(LoadCfg("/prod/target", "truncate")),
+      environment = Some("development"),
+      environments = Map(
+        "development" -> EnvOverlayCfg(
+          loadTarget = Some("/dev/target"), stepLoad = Some(false),
+          cleanupBeforeRun = Some(false),
+          geoprocess = Some(GeoOverrideCfg(yColumn = Some("dev_y")))),
+        "production" -> EnvOverlayCfg(loadMode = Some("append"),
+          cleanupBeforeRun = Some(true))))
+    // document default environment: development
+    val dev = base.resolveEnvironment(envVar = None)
+    assert(dev.load.contains(LoadCfg("/dev/target", "truncate")))
+    assert(!dev.steps.load && dev.steps.stage && dev.steps.process)
+    // overlay merge is field-wise: yColumn replaced, xColumn inherited
+    assert(dev.geoprocess == GeoprocessCfg(enabled = true,
+      xColumn = Some("gx"), yColumn = Some("dev_y")))
+    // per-SOURCE override still wins over the environment overlay (the
+    // r2 inheritance chain gains one middle layer: source > env > global)
+    val devEffective = dev.sources.head.geoprocess.get.mergedOver(dev.geoprocess)
+    assert(devEffective.xColumn.contains("src_x") && devEffective.yColumn.contains("dev_y"))
+    // ETL_ENVIRONMENT analogue outranks the document field
+    val prod = base.resolveEnvironment(envVar = Some("production"))
+    assert(prod.load.contains(LoadCfg("/prod/target", "append")))
+    assert(prod.cleanupBeforeRun && prod.steps.load)
+    // idempotent: resolving twice changes nothing (run() resolves again)
+    assert(prod.resolveEnvironment(envVar = Some("production")) == prod)
+    // a typo'd environment fails loudly instead of running base settings
+    val err = intercept[IllegalArgumentException] {
+      base.resolveEnvironment(envVar = Some("prodcution"))
+    }
+    assert(err.getMessage.contains("prodcution") && err.getMessage.contains("production"))
+    // no declared environments: the layer is off, any env name passes through
+    val off = PipelineCfg(sources = Seq.empty, environment = Some("development"))
+    assert(off.resolveEnvironment(envVar = Some("anything")) == off)
+    // JSON wire format parses the whole layer (Jackson, like the rest)
+    val json = PipelineCfg.fromJson(
+      """{"sources": [], "environment": "staging",
+        |"environments": {"staging": {"loadTarget": "/stage/t",
+        |  "resolveDatasets": true, "stepProcess": false}}}""".stripMargin)
+    val st = json.resolveEnvironment(envVar = None)
+    assert(st.load.contains(LoadCfg("/stage/t", "truncate", resolveDatasets = true)))
+    assert(!st.steps.process)
+    // and an end-to-end run through the overlay: dev gates the load off
+    val tgt = s"$target/env_gated"
+    def rmAll(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmAll); f.delete(): Unit
+    }
+    rmAll(new java.io.File(tgt))
+    val runCfg = PipelineCfg(
+      sources = Seq(SourceCfg(name = "r", path = s"$sfDir/region.parquet")),
+      load = Some(LoadCfg(tgt)),
+      environment = Some("development"),
+      environments = Map("development" -> EnvOverlayCfg(stepLoad = Some(false))))
+    val out = Pipeline.run(spark, runCfg).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("r", 5L)))
+    assert(!new java.io.File(tgt).exists(), "dev overlay must gate the load off")
   }
 }
