@@ -205,6 +205,27 @@ object SparkEntry {
   private val toks =
     """list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"""
 
+  // ---- FNV-1a replay (F4/F5 oracles) -------------------------------
+  // The engine's shingle/token hash is FNV-1a 64-bit (ShingleHashes /
+  // SimHash64) — chosen BECAUSE it is engine-independent. DuckDB has no
+  // wrapping 64-bit arithmetic, so the fold carries the hash as a HUGEINT
+  // in [0, 2^64): per byte, convert to the signed bit pattern for xor
+  // (bitwise-identical to Java), then widen for the wrap multiply.
+  /** Signed 64-bit view of an unsigned HUGEINT expression. */
+  private def u2s(x: String) =
+    s"CAST($x - CASE WHEN $x >= 9223372036854775808::HUGEINT THEN " +
+      s"18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT)"
+  /** One FNV-1a step: (h ^ c) * 0x100000001b3 mod 2^64 (h, c HUGEINT). */
+  private val fnvStep = {
+    val x = "xor(" + u2s("h") + ", CAST(c AS BIGINT))"
+    s"CAST((CAST($x AS HUGEINT) + CASE WHEN $x < 0 THEN " +
+      "18446744073709551616::HUGEINT ELSE 0::HUGEINT END) " +
+      "* 1099511628211 % 18446744073709551616::HUGEINT AS HUGEINT)"
+  }
+  /** FNV-1a 64 over a HUGEINT byte-list expression (unsigned result). */
+  private def fnvFold(bytesList: String) =
+    s"list_reduce(list_prepend(14695981039346656037::HUGEINT, $bytesList), (h, c) -> $fnvStep)"
+
   // F9 scored-document relation — shared by the quality audit and the
   // curriculum bucketing oracle
   private lazy val qualityScoredSql =
@@ -1847,6 +1868,98 @@ object SparkEntry {
          |SELECT doc_id, lang, n_grams, n_distinct, dup_ratio,
          | CAST(CASE WHEN dup_ratio >= 0.2 THEN 1 ELSE 0 END AS INT) AS flagged
          |FROM r ORDER BY doc_id""".stripMargin,
+    // F5 SimHash: full replay — FNV-1a per token, 64 bit votes, banded
+    // candidates (any 16-bit band agreement), exact hamming verify. The
+    // simhash VALUES themselves are compared, not just the rollup.
+    "dedup_simhash" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+         |th AS (SELECT doc_id, ${fnvFold(
+             "list_transform(range(1, length(tok) + 1), i -> CAST(ord(substr(tok, i, 1)) AS HUGEINT))")} AS hu
+         | FROM tk),
+         |bits AS (SELECT doc_id, b,
+         |  sum(CASE WHEN (hu // (2::HUGEINT ^ b)::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+         | FROM th, range(0, 64) r(b) GROUP BY 1, 2),
+         |sh0 AS (SELECT doc_id,
+         |  sum(CASE WHEN vote > 0 THEN (2::HUGEINT ^ b)::HUGEINT ELSE 0::HUGEINT END) AS shu
+         | FROM bits GROUP BY 1),
+         |sh AS (SELECT doc_id, ${u2s("shu")} AS simhash, shu FROM sh0),
+         |banded AS (SELECT doc_id, simhash, b AS band,
+         |  CAST((shu // (2::HUGEINT ^ (16 * b))::HUGEINT) % 65536 AS BIGINT) AS bh
+         | FROM sh, range(0, 4) r(b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+         |  x.simhash AS s1, y.simhash AS s2
+         | FROM banded x JOIN banded y
+         |  ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |pairs AS (SELECT d1, d2, bit_count(xor(s1, s2)) AS hamming FROM cand
+         | WHERE bit_count(xor(s1, s2)) <= 3),
+         |perdoc AS (SELECT doc_id, count(*) AS n_neardups, min(hamming) AS min_hamming
+         | FROM (SELECT d1 AS doc_id, hamming FROM pairs
+         |       UNION ALL SELECT d2, hamming FROM pairs) GROUP BY 1)
+         |SELECT s.doc_id, s.simhash, coalesce(p.n_neardups, 0) AS n_neardups,
+         | CAST(coalesce(p.min_hamming, 64) AS BIGINT) AS min_hamming
+         |FROM sh s LEFT JOIN perdoc p USING (doc_id) ORDER BY s.doc_id""".stripMargin,
+    // F4 MinHash-LSH: full replay — FNV-1a char-3-gram shingles (distinct),
+    // 32 permutations (a=2p+1, b=1000003p+12345 mod 2^31-1), 8 bands of 4;
+    // candidates join on the RAW band slice (Spark buckets via xxhash64 of
+    // the slice — same partition of pairs, collisions aside), estimated
+    // similarity = agreeing components / 32, threshold 0.5
+    "dedup_minhash_lsh" ->
+      s"""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+         |sg0 AS (SELECT doc_id, unnest(list_transform(
+         |   range(1, greatest(length(t) - 1, 1)),
+         |   i -> ${fnvFold("list_transform([0, 1, 2], j -> CAST(ord(substr(t, i + j, 1)) AS HUGEINT))")})) AS hu
+         | FROM d),
+         |sb AS (SELECT DISTINCT doc_id,
+         |  ((${u2s("hu")} % 2147483647) + 2147483647) % 2147483647 AS hp FROM sg0),
+         |sig AS (SELECT doc_id, p,
+         |  min((hp * (2 * p + 1) + (1000003 * p + 12345)) % 2147483647) AS comp
+         | FROM sb, range(0, 32) r(p) GROUP BY 1, 2),
+         |sigl AS (SELECT doc_id, list(comp ORDER BY p) AS sig FROM sig GROUP BY 1),
+         |banded AS (SELECT doc_id, b AS band, sig[b * 4 + 1 : b * 4 + 4] AS bh, sig
+         | FROM sigl, range(0, 8) r(b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2, x.sig AS s1, y.sig AS s2
+         | FROM banded x JOIN banded y
+         |  ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |kept AS (SELECT d1, d2,
+         |  round(CAST(len(list_filter(range(1, 33), i -> s1[i] = s2[i])) AS DOUBLE) / 32, 4) AS est_sim
+         | FROM cand
+         | WHERE round(CAST(len(list_filter(range(1, 33), i -> s1[i] = s2[i])) AS DOUBLE) / 32, 4) >= 0.5),
+         |perdoc AS (SELECT doc_id, count(*) AS n_candidates, max(est_sim) AS max_est_sim
+         | FROM (SELECT d1 AS doc_id, est_sim FROM kept
+         |       UNION ALL SELECT d2, est_sim FROM kept) GROUP BY 1)
+         |SELECT s.doc_id, coalesce(p.n_candidates, 0) AS n_candidates,
+         | coalesce(p.max_est_sim, 0.0) AS max_est_sim
+         |FROM sigl s LEFT JOIN perdoc p USING (doc_id) ORDER BY s.doc_id""".stripMargin,
+    // F18 winnowing: full replay — FNV-1a char-5-grams, sliding-window
+    // (w=8) minima via a frame window (n<=w collapses to the global min:
+    // the i=1 window covers everything), distinct fingerprints, df-cap 64,
+    // >=15 shared fingerprints. Signed (Java) ordering for the minima.
+    "dedup_winnow" ->
+      s"""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+         |hl AS (SELECT doc_id, list_transform(range(1, greatest(length(t) - 3, 1)),
+         |   i -> ${u2s(fnvFold("list_transform([0, 1, 2, 3, 4], j -> CAST(ord(substr(t, i + j, 1)) AS HUGEINT))"))}) AS hs
+         | FROM d),
+         |kg AS (SELECT doc_id, unnest(hs) AS h, unnest(range(1, len(hs) + 1)) AS i FROM hl),
+         |mins AS (SELECT doc_id, i,
+         |  min(h) OVER (PARTITION BY doc_id ORDER BY i
+         |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m,
+         |  count(*) OVER (PARTITION BY doc_id) AS n
+         | FROM kg),
+         |fp AS (SELECT DISTINCT doc_id, m AS fp FROM mins WHERE i <= greatest(n - 7, 1)),
+         |nf AS (SELECT h.doc_id, coalesce(count(f.fp), 0) AS n_fingerprints
+         | FROM hl h LEFT JOIN fp f ON h.doc_id = f.doc_id GROUP BY 1),
+         |dfc AS (SELECT fp, count(*) AS df FROM fp GROUP BY 1),
+         |kept AS (SELECT f.doc_id, f.fp FROM fp f JOIN dfc USING (fp) WHERE df <= 64),
+         |pairs AS (SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS n_shared
+         | FROM kept x JOIN kept y ON x.fp = y.fp AND x.doc_id < y.doc_id
+         | GROUP BY 1, 2 HAVING count(*) >= 15),
+         |perdoc AS (SELECT doc_id, count(*) AS n_candidates, max(n_shared) AS max_shared
+         | FROM (SELECT d1 AS doc_id, n_shared FROM pairs
+         |       UNION ALL SELECT d2, n_shared FROM pairs) GROUP BY 1)
+         |SELECT n.doc_id, CAST(n.n_fingerprints AS BIGINT) AS n_fingerprints,
+         | coalesce(p.n_candidates, 0) AS n_candidates,
+         | CAST(coalesce(p.max_shared, 0) AS BIGINT) AS max_shared
+         |FROM nf n LEFT JOIN perdoc p USING (doc_id) ORDER BY n.doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $jaccardPairsCte
          |SELECT d1, d2, lang, jaccard FROM p WHERE jaccard >= 0.82 ORDER BY d1, d2""".stripMargin,
