@@ -1312,6 +1312,23 @@ object LoadOps {
     * row-for-row by a DuckDB recursive CTE carrying (consec, open_until)
     * through the same transition table, so the gate is oracle-checked
     * exactly, not just spec-asserted. */
+  /** ONE transition of the breaker automaton — the single definition the
+    * batch replay ([[circuitBreakerOver]]) and the streaming form
+    * (EventStreams.circuitBreakerStream, G13) both call, so the two
+    * paths cannot drift. State: (consec failures while closed,
+    * open-until second; 0 = closed). Returns (consec', openUntil',
+    * decision). */
+  def breakerStep(consec: Int, openUntil: Long, sec: Long, failed: Int,
+      threshold: Int, cooldownSec: Long): (Int, Long, String) =
+    if (openUntil > 0L && sec < openUntil) (consec, openUntil, "skipped")
+    else if (openUntil > 0L) { // half-open trial
+      if (failed == 1) (consec, sec + cooldownSec, "trial_fail")
+      else (0, 0L, "trial_ok")
+    } else if (failed == 1) {
+      if (consec + 1 >= threshold) (0, sec + cooldownSec, "tripped")
+      else (consec + 1, 0L, "fail")
+    } else (0, 0L, "ok")
+
   def circuitBreakerOver(attempts: DataFrame, threshold: Int = 5,
       cooldownSec: Long = 60L): DataFrame = {
     val spark = attempts.sparkSession
@@ -1328,16 +1345,9 @@ object LoadOps {
         var seq = 0L
         log.map { case (_, sec, id, failed) =>
           seq += 1
-          val decision =
-            if (openUntil > 0L && sec < openUntil) "skipped"
-            else if (openUntil > 0L) { // half-open trial
-              if (failed == 1) { openUntil = sec + cooldownSec; "trial_fail" }
-              else { openUntil = 0L; consec = 0; "trial_ok" }
-            } else if (failed == 1) {
-              consec += 1
-              if (consec >= threshold) { openUntil = sec + cooldownSec; consec = 0; "tripped" }
-              else "fail"
-            } else { consec = 0; "ok" }
+          val (c2, o2, decision) =
+            breakerStep(consec, openUntil, sec, failed, threshold, cooldownSec)
+          consec = c2; openUntil = o2
           (src, seq, sec, id, failed, decision)
         }.iterator
       }

@@ -21,6 +21,12 @@ final case class SmoothedRun(source: String, day: Long, duration: Double,
     smoothed: Double, anomaly_ratio: Double)
 private final case class DecayState(day: Long, num: Double, den: Double)
 
+/** Input/output rows for the streaming circuit breaker (G13). */
+final case class Attempt(source: String, sec: Long, attempt_id: Long, failed: Int)
+final case class BreakerDecision(source: String, seq: Long, sec: Long,
+    attempt_id: Long, failed: Int, decision: String)
+private final case class BreakerState(consec: Int, openUntil: Long, seq: Long)
+
 /** Structured Streaming surface (SURVEY §2 G). The reference's pipeline is
   * batch re-ingest on a schedule (run.py); the Spark-native upgrade is a
   * continuous pipeline: file/queue source → watermarked event-time
@@ -168,6 +174,36 @@ object EventStreams {
             state.setTimeoutTimestamp((last + staleAfterSec) * 1000L)
             Iterator.empty
           }
+      }
+  }
+
+  /** G13: streaming circuit breaker — the continuous form of the D33
+    * gate: the breaker state (consec failures, open-until clock) lives in
+    * the state store and carries across micro-batches, so an ingest
+    * scheduler consuming this stream gets skip/trial decisions the moment
+    * an attempt outcome lands, instead of at the next batch replay. The
+    * transition is LoadOps.breakerStep — the SAME function the batch
+    * replay calls, so the two paths cannot drift (the spec feeds one log
+    * through both and asserts row equality). State is O(live sources);
+    * attempts within a micro-batch apply in (sec, attempt_id) order, the
+    * batch replay's order (a production deployment watermarks the input
+    * so cross-batch arrival is ordered too). */
+  def circuitBreakerStream(attempts: Dataset[Attempt], threshold: Int = 5,
+      cooldownSec: Long = 60L): Dataset[BreakerDecision] = {
+    import attempts.sparkSession.implicits._
+    attempts.groupByKey(_.source)
+      .flatMapGroupsWithState[BreakerState, BreakerDecision](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[Attempt], state: GroupState[BreakerState]) =>
+          var st = state.getOption.getOrElse(BreakerState(0, 0L, 0L))
+          val out = rows.toSeq.sortBy(a => (a.sec, a.attempt_id)).map { a =>
+            val (c2, o2, decision) = graft.operators.LoadOps.breakerStep(
+              st.consec, st.openUntil, a.sec, a.failed, threshold, cooldownSec)
+            st = BreakerState(c2, o2, st.seq + 1)
+            BreakerDecision(src, st.seq, a.sec, a.attempt_id, a.failed, decision)
+          }
+          state.update(st)
+          out.iterator
       }
   }
 }

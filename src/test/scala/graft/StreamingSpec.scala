@@ -356,4 +356,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       assert(probe.filter(!col("hit")).count() == 0)
     } finally q.stop()
   }
+
+  test("G13: streaming circuit breaker carries open/closed state across micro-batches, equals batch replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{Attempt, BreakerDecision}
+    // the D33 spec's three sources, threshold 3 / cooldown 5: "down"
+    // fails forever (trip -> skip window -> failed trial -> re-trip),
+    // "flaky" never accumulates 3, "heals" trips then recovers on trial
+    val attempts =
+      (0L to 9L).map(s => Attempt("down", s, s, 1)) ++
+      Seq(0, 1, 0, 1, 1, 0, 1, 1, 0, 1).zipWithIndex.map { case (f, s) =>
+        Attempt("flaky", s.toLong, 100L + s, f) } ++
+      (Seq(1, 1, 1) ++ Seq.fill(5)(-1) ++ Seq(0, 1, 1, 0)).zipWithIndex.collect {
+        case (f, s) if f >= 0 => Attempt("heals", s.toLong, 200L + s, f) }
+    val mem = MemoryStream[Attempt]
+    val q = EventStreams.circuitBreakerStream(mem.toDS(), threshold = 3, cooldownSec = 5L)
+      .writeStream.outputMode("append").format("memory").queryName("g13_out").start()
+    try {
+      // three micro-batches split MID-STREAK and MID-OPEN-WINDOW per
+      // source: the trip clock and failure count must survive the state
+      // store, not the batch
+      val ordered = attempts.sortBy(a => (a.source, a.sec))
+      val cuts = Seq(
+        ordered.filter(_.sec <= 2L),
+        ordered.filter(a => a.sec > 2L && a.sec <= 7L),
+        ordered.filter(_.sec > 7L))
+      cuts.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val streamed = spark.table("g13_out").as[BreakerDecision].collect()
+        .map(d => (d.source, d.seq, d.sec, d.attempt_id, d.failed, d.decision)).toSet
+      val batch = graft.operators.LoadOps.circuitBreakerOver(
+          attempts.map(a => (a.source, a.sec, a.attempt_id, a.failed))
+            .toDF("source", "sec", "attempt_id", "failed"),
+          threshold = 3, cooldownSec = 5L).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getInt(4), r.getString(5))).toSet
+      assert(streamed == batch, s"stream/batch diverged:\n${(streamed -- batch)}\n${(batch -- streamed)}")
+      // the open window spans batch 2 for "down": every decision there
+      // is skipped even though the trip happened in batch 1
+      val downMid = spark.table("g13_out").as[BreakerDecision].collect()
+        .filter(d => d.source == "down" && d.sec > 2L && d.sec < 7L)
+      assert(downMid.nonEmpty && downMid.forall(_.decision == "skipped"), downMid.mkString(","))
+    } finally q.stop()
+  }
 }
