@@ -241,4 +241,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(exchanges.nonEmpty && exchanges.forall(!_.contains("gram")),
       s"a gram string column crossed an exchange:\n${exchanges.mkString("\n")}")
   }
+
+  test("circuit breaker: one shuffle keyed on the source, then the rollup's own exchange") {
+    // the per-source automaton replay must shuffle ONCE on the source key
+    // (the flatMapGroups exchange); the only other exchange the plan may
+    // contain is the per-source rollup/sort on the SAME small key space —
+    // never a data-sized or keyless exchange
+    val p = plan("load_circuit_breaker")
+    val exchanges = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("Reused")).toSeq
+    assert(exchanges.nonEmpty, s"no exchange (not distributed?):\n$p")
+    // the groupByKey extractor's key column is named `value` in the plan
+    assert(exchanges.forall(l => l.contains("source") || l.contains("value")
+        || l.contains("rangepartitioning")),
+      s"an exchange is not keyed on the source:\n${exchanges.mkString("\n")}")
+    assert(!exchanges.exists(l => l.contains("sec#") || l.contains("attempt_id")),
+      s"an exchange partitions on a non-key column:\n${exchanges.mkString("\n")}")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the replay:\n$p")
+  }
 }
