@@ -123,6 +123,7 @@ object SparkEntry {
     "q_union_dedup"          -> Relational.qUnionDedup _,
     "q_asof_join"            -> Relational.qAsofJoin _,
     "q_sessionize"           -> Relational.qSessionize _,
+    "q_cohort_retention"     -> Relational.qCohortRetention _,
     "q_time_bucket"          -> Relational.qTimeBucket _,
     "q_running_agg"          -> Relational.qRunningAgg _,
     "q_sliding_distinct"     -> ((s: SparkSession, d: String) => Relational.qSlidingDistinct(s, d)),
@@ -1502,6 +1503,19 @@ object SparkEntry {
          | CAST(sum(CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
          | CAST(sum(CASE WHEN fp IS NOT NULL THEN fp - first_click ELSE 0 END) AS BIGINT) AS delay_sum
          |FROM j""".stripMargin,
+    // weeks are epoch-week integers on both sides — identical integer
+    // division, so the cohort matrix matches cell-for-cell
+    "q_cohort_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |  (CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400) // 7 AS week
+        | FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1),
+        |s AS (SELECT cohort_week, count(*) AS cohort_size FROM c GROUP BY 1)
+        |SELECT c.cohort_week, uw.week - c.cohort_week AS week_offset,
+        | count(*) AS n_active, s.cohort_size,
+        | round(CAST(count(*) AS DOUBLE) / s.cohort_size, 4) AS retention
+        |FROM uw JOIN c USING (user_id) JOIN s ON s.cohort_week = c.cohort_week
+        |GROUP BY 1, 2, 4 ORDER BY 1, 2""".stripMargin,
     "q_histogram" ->
       """SELECT event_type,
         | CAST(CASE WHEN value < 0.0 THEN -1 WHEN value >= 200.0 THEN 10

@@ -755,4 +755,39 @@ object Relational {
       .select(col("flag"), col("mode"), col("price"), col("disc"), col("n_rows"))
       .orderBy(col("flag"), col("mode"), col("price"))
   }
+
+  /** E33: cohort retention matrix — the product-analytics staple the
+    * reference's per-source run summaries (monitoring.py) stop short of:
+    * group users by their FIRST-activity week (the cohort), then count
+    * how many of each cohort are still active k weeks later. Weeks are
+    * epoch-week integers (`epoch_day div 7`) so both engines bucket by
+    * identical integer arithmetic.
+    *
+    * Scale shape: the only data-sized frames are user-grain and every
+    * one of them partitions by `user_id` — the distinct, the first-week
+    * agg, and the cohort join reuse one hash partitioning (Catalyst
+    * collapses them into a single exchange), and AQE turns the cohort
+    * join map-side when the distinct user set fits. The (cohort, offset)
+    * matrix is weeks² rows, so the cohort-size join broadcasts. No
+    * window over the corpus, no global sort of data-sized input. */
+  def qCohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val userWeeks = t.events
+      .select(col("user_id"),
+        expr("(ts div 1000000000) div 86400 div 7").cast("long").as("week"))
+      .distinct()
+    val cohorts = userWeeks.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    val sizes = cohorts.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    userWeeks.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active")) // (cohort, offset, user) is unique post-distinct
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .withColumn("retention",
+        round(col("n_active").cast("double") / col("cohort_size"), 4))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("cohort_size"), col("retention"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
 }

@@ -140,4 +140,28 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
         }
       }
   }
+
+  test("cohort retention matches a brute-force recompute and its invariants") {
+    val got = Relational.qCohortRetention(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSeq
+    // brute force from raw events, independent path
+    val uw = Tables(spark, sfDir).events
+      .selectExpr("user_id", "(ts div 1000000000) div 86400 div 7 as week")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val cohort = uw.groupBy(_._1).map { case (u, ws) => (u, ws.map(_._2).min) }
+    val sizes = cohort.values.groupBy(identity).map { case (w, g) => (w, g.size.toLong) }
+    val brute = uw.map { case (u, w) => ((cohort(u), w - cohort(u)), u) }
+      .groupBy(_._1).map { case ((cw, off), g) =>
+        val n = g.map(_._2).distinct.size.toLong
+        (cw, off, n, sizes(cw), math.rint(n.toDouble / sizes(cw) * 10000) / 10000)
+      }.toSeq.sortBy(t => (t._1, t._2))
+    assert(got.nonEmpty && got == brute)
+    // offset-0 rows ARE the cohort definition: every member is active in
+    // their own first week, so retention must be exactly 1.0
+    got.filter(_._2 == 0L).foreach { case (cw, _, n, size, rate) =>
+      assert(n == size && rate == 1.0, s"cohort $cw offset 0 broken: n=$n size=$size")
+    }
+    assert(got.forall(_._2 >= 0L), "negative week offset: cohort later than activity")
+  }
 }
