@@ -72,6 +72,7 @@ object SparkEntry {
     "load_bucketed_join"     -> LoadOps.bucketedJoin _,
     "load_partitioned_prune" -> ((s: SparkSession, d: String) => LoadOps.partitionedPrune(s, d)),
     "load_cdc_merge"         -> LoadOps.cdcMerge _,
+    "load_changelog_apply"   -> LoadOps.changelogApply _,
     "mon_source_summary"     -> LoadOps.sourceSummary _,
     "mon_authority_rollup"   -> LoadOps.authorityRollup _,
     "mon_error_patterns"     -> LoadOps.errorPatterns _,
@@ -820,6 +821,22 @@ object SparkEntry {
         | FROM cur FULL OUTER JOIN inc ON cur.o_orderkey = inc.o_orderkey)
         |SELECT action, count(*) AS n, round(sum(value), 2) AS value_sum
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the four-generation history replayed via arg_max latest-wins; the
+    // delete sentinel value keeps arg NULL semantics out of the compare
+    "load_changelog_apply" ->
+      """WITH log AS (
+        | SELECT o_orderkey AS key, 0 AS seq, 'I' AS op, o_totalprice AS value FROM orders
+        | UNION ALL SELECT o_orderkey, 1, 'U', round(o_totalprice + 10.0, 2)
+        |   FROM orders WHERE o_orderkey % 2 = 0
+        | UNION ALL SELECT o_orderkey, 2, 'D', 0.0 FROM orders WHERE o_orderkey % 5 = 0
+        | UNION ALL SELECT o_orderkey, 3, 'I', 7.5 FROM orders WHERE o_orderkey % 10 = 0),
+        |last AS (SELECT key, arg_max(op, seq) AS op, arg_max(value, seq) AS value
+        | FROM log GROUP BY 1)
+        |SELECT op AS final_op, count(*) AS n_keys,
+        | CAST(sum(CASE WHEN op <> 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+        | round(sum(CASE WHEN op <> 'D' THEN value END), 2) AS value_sum,
+        | CAST(sum(CASE WHEN op <> 'D' THEN key ELSE 0 END) AS BIGINT) AS key_checksum
+        |FROM last GROUP BY 1 ORDER BY 1""".stripMargin,
     "load_partitioned_prune" ->
       """WITH b AS (SELECT min(l_orderkey) mn, max(l_orderkey) mx FROM lineitem),
         |ps AS (SELECT CAST(ceil((mx - mn + 1) / 16.0) AS BIGINT) v FROM b),

@@ -1380,4 +1380,65 @@ object LoadOps {
         max(when(col("decision").isin("tripped", "trial_fail"), col("sec"))).as("last_trip_sec"))
       .orderBy(col("source"))
   }
+
+  /** D34: ordered-changelog apply — materialize the current snapshot
+    * from a row-level change stream (insert / update / delete events
+    * with a total per-key order), the Debezium/CDF consumption pattern.
+    * D10's `cdcMerge` reconciles ONE incoming batch against a current
+    * table; this op replays a full multi-generation history where a key
+    * can be inserted, updated, deleted, and re-inserted — the shape a
+    * warehouse sees when it subscribes to a transaction log rather than
+    * receiving periodic extracts (the modern replacement for the
+    * reference's per-run truncate-and-reload, load_sde.py).
+    *
+    * Latest-wins is ONE hash aggregation (`max_by(struct, seq)`), fully
+    * map-side-partial: at 100 TB the changelog shuffles once on the
+    * business key and nothing else — no window, no sort, no join.
+    * Tombstones survive the reduction and are dropped only at snapshot
+    * time, which is what makes the reduction FOLDABLE: batches can be
+    * reduced independently and re-reduced (associative + commutative
+    * over unique seqs), so the incremental form is `latest(state ∪
+    * batch)` — the G14 streaming spec drives micro-batches through the
+    * very same function and gets the identical snapshot even when a
+    * batch boundary lands mid-key-history or batches arrive seq-out-of-
+    * order. */
+  def changelogLatest(log: DataFrame): DataFrame =
+    log.groupBy(col("key"))
+      .agg(max_by(struct(col("seq"), col("op"), col("value")), col("seq")).as("last"))
+      .select(col("key"), col("last.seq").as("seq"), col("last.op").as("op"),
+        col("last.value").as("value"))
+
+  /** Live rows of a fully-reduced changelog: everything whose final
+    * event is not a delete tombstone. */
+  def changelogSnapshot(log: DataFrame): DataFrame =
+    changelogLatest(log).filter(col("op") =!= "D")
+
+  /** The four-generation synthetic changelog the registered query and
+    * the oracle both build from `orders`: every key inserted, the even
+    * keys updated, the %5 keys deleted, the %10 keys re-inserted after
+    * their delete (delete value is a 0.0 sentinel, never read). */
+  def ordersChangelog(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+      .select(col("o_orderkey").as("key"), col("o_totalprice").as("value"))
+    o.select(col("key"), lit(0L).as("seq"), lit("I").as("op"), col("value"))
+      .unionByName(o.filter(col("key") % 2 === 0).select(col("key"),
+        lit(1L).as("seq"), lit("U").as("op"), round(col("value") + 10.0, 2).as("value")))
+      .unionByName(o.filter(col("key") % 5 === 0).select(col("key"),
+        lit(2L).as("seq"), lit("D").as("op"), lit(0.0).as("value")))
+      .unionByName(o.filter(col("key") % 10 === 0).select(col("key"),
+        lit(3L).as("seq"), lit("I").as("op"), lit(7.5).as("value")))
+  }
+
+  /** The registered D34 query: reduce the synthetic history and roll up
+    * by each key's FINAL event class — tombstoned keys are visible as
+    * the `D` row with zero live — with value and key checksums pinning
+    * the surviving snapshot exactly. */
+  def changelogApply(spark: SparkSession, dir: String): DataFrame =
+    changelogLatest(ordersChangelog(spark, dir))
+      .groupBy(col("op").as("final_op"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("op") =!= "D", 1).otherwise(0)).cast("long").as("n_live"),
+        round(sum(when(col("op") =!= "D", col("value"))), 2).as("value_sum"),
+        sum(when(col("op") =!= "D", col("key")).otherwise(0L)).cast("long").as("key_checksum"))
+      .orderBy(col("final_op"))
 }

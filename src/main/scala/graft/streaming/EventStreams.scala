@@ -22,6 +22,9 @@ final case class SmoothedRun(source: String, day: Long, duration: Double,
 private final case class DecayState(day: Long, num: Double, den: Double)
 
 /** Input/output rows for the streaming circuit breaker (G13). */
+/** G14: one row-level change event of a CDC subscription (D34 shape). */
+final case class ChangeEvent(key: Long, seq: Long, op: String, value: Double)
+
 final case class Attempt(source: String, sec: Long, attempt_id: Long, failed: Int)
 final case class BreakerDecision(source: String, seq: Long, sec: Long,
     attempt_id: Long, failed: Int, decision: String)
@@ -206,4 +209,37 @@ object EventStreams {
           out.iterator
       }
   }
+
+  /** G14: continuous changelog apply — the streaming form of D34: each
+    * micro-batch of change events folds into a persisted latest-wins
+    * state table through the SAME reduction the batch apply uses
+    * (LoadOps.changelogLatest over state ∪ batch), so the two paths
+    * cannot drift. The reduction is associative-commutative over unique
+    * seqs and the state CARRIES tombstones, which is exactly what makes
+    * per-batch folding safe: a batch boundary mid-key-history or
+    * seq-out-of-order arrival across batches converges to the identical
+    * snapshot (ChangelogSpec proves the algebra; the G14 spec drives
+    * this query). State publish is write-new-then-rename — a reader
+    * never sees a half-written generation, the Pipeline publish rule
+    * applied to streaming state. State size is O(live keys + recent
+    * tombstones), the CDC consumer's usual compaction trade. */
+  def changelogStream(log: Dataset[ChangeEvent], stateDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    log.toDF().writeStream.outputMode("update")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(stateDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val cur = new org.apache.hadoop.fs.Path(stateDir)
+        val prev =
+          if (fs.exists(cur)) spark.read.parquet(stateDir).unionByName(batch.toDF())
+          else batch.toDF()
+        val tmp = new org.apache.hadoop.fs.Path(stateDir + ".next")
+        graft.operators.LoadOps.changelogLatest(prev)
+          .write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(cur)) fs.delete(cur, true)
+        require(fs.rename(tmp, cur), s"state publish failed: $tmp -> $cur")
+        (): Unit
+      }
+      .start()
 }

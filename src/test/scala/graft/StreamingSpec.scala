@@ -398,4 +398,45 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       assert(downMid.nonEmpty && downMid.forall(_.decision == "skipped"), downMid.mkString(","))
     } finally q.stop()
   }
+
+  test("G14: streaming changelog apply converges to the batch snapshot across out-of-order micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.ChangeEvent
+    import org.apache.spark.sql.functions.col
+    // key 1: I then U; key 2: I then D (stays dead); key 3: I, D, then
+    // re-insert; key 4: update arrives BEFORE its insert (cross-batch
+    // seq disorder); key 5: single insert
+    val log = Seq(
+      ChangeEvent(1L, 0L, "I", 10.0), ChangeEvent(1L, 1L, "U", 11.0),
+      ChangeEvent(2L, 0L, "I", 20.0), ChangeEvent(2L, 1L, "D", 0.0),
+      ChangeEvent(3L, 0L, "I", 30.0), ChangeEvent(3L, 1L, "D", 0.0),
+      ChangeEvent(3L, 2L, "I", 33.0),
+      ChangeEvent(4L, 0L, "I", 40.0), ChangeEvent(4L, 1L, "U", 44.0),
+      ChangeEvent(5L, 0L, "I", 50.0))
+    val stateDir = java.nio.file.Files.createTempDirectory("g14").toString + "/state"
+    val mem = MemoryStream[ChangeEvent]
+    val q = EventStreams.changelogStream(mem.toDS(), stateDir)
+    try {
+      // batch cuts land mid-key-history, and key 4's UPDATE (seq 1)
+      // arrives a batch before its INSERT (seq 0)
+      val cuts = Seq(
+        Seq(log(0), log(2), log(4), log(8)),          // 1/I 2/I 3/I 4/U(seq1!)
+        Seq(log(1), log(3), log(5), log(7)),          // 1/U 2/D 3/D 4/I(seq0)
+        Seq(log(6), log(9)))                          // 3/re-I 5/I
+      cuts.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val streamedState = spark.read.parquet(stateDir)
+      val streamed = streamedState.filter(col("op") =!= "D")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+      val batch = graft.operators.LoadOps.changelogSnapshot(
+          log.toDF("key", "seq", "op", "value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+      assert(streamed == batch,
+        s"stream/batch diverged:\n${streamed -- batch}\n${batch -- streamed}")
+      // the late insert must NOT have overridden the earlier-arrived
+      // newer update, and the tombstone for key 2 is carried in state
+      assert(streamed.contains((4L, 1L, "U", 44.0)))
+      assert(streamedState.filter(col("key") === 2L && col("op") === "D").count() == 1L,
+        "state must carry the tombstone, not drop it")
+    } finally q.stop()
+  }
 }
