@@ -91,6 +91,16 @@ object Bench {
       graft.operators.Similarity.ivfIndex(spark, sfDir)
       (System.nanoTime() - t0) / 1e9
     } catch { case _: Throwable => -1.0 }
+    // same treatment for the F20 corpus-LM scores layout: forced-fresh
+    // build timed as "text_lm_index"; text_lm_score / text_ccnet_buckets
+    // then measure serving against the persisted scores, which is what a
+    // deployment pays per query
+    val lmSec = try {
+      rm(new java.io.File(graft.operators.TextAnalysis.lmRoot(spark, sfDir)))
+      val t0 = System.nanoTime()
+      graft.operators.TextAnalysis.lmScore(spark, sfDir).collect()
+      (System.nanoTime() - t0) / 1e9
+    } catch { case _: Throwable => -1.0 }
     // per-rep scratch isolation (see scaladoc): all write-path conf roots
     // point into a fresh dir for every rep; rep dirs are torn down
     // OUTSIDE the timed region. The bench root itself routes through the
@@ -170,13 +180,18 @@ object Bench {
     val writeNames = results.collect { case (n, _, true) => n }.toSet
     // reproducibility: per-query pass1-vs-pass2 ratio (max/min of the two
     // pass minima); the distribution is the bench's own trust certificate
+    // sub-floor queries sit on the timer floor (JIT/GC jitter dominates
+    // a 0.1 s measurement), so their pass-over-pass ratios are noise,
+    // not signal: the distribution is reported only over entries whose
+    // slower pass is above `reproFloorSec`, and the floor is part of the
+    // JSON so the claim is checkable
+    val reproFloorSec = 0.5
     val ratios: Seq[(String, Double)] =
       if (passes < 2) Seq.empty
       else names.flatMap { case (name, _) =>
         val ts = passResults.take(2).flatMap(_.find(_._1 == name).flatMap(_._2))
-        // sub-50ms queries are timer noise, not signal — exclude from the
-        // ratio distribution rather than report meaningless 3x on 5 ms
-        if (ts.size == 2 && ts.min > 0.05) Some(name -> ts.max / ts.min) else None
+        if (ts.size == 2 && ts.max > reproFloorSec) Some(name -> ts.max / ts.min)
+        else None
       }
     def pct(sorted: Seq[Double], p: Double): Double =
       if (sorted.isEmpty) 0.0
@@ -189,10 +204,12 @@ object Bench {
         val worst = ratios.maxBy(_._2)
         val passTotals = passResults.take(2)
           .map(p => p.flatMap(_._2).sum).map(t => f"$t%.3f").mkString("[", ",", "]")
-        s"""{"median":${pct(sortedRatios, 0.5)},"p90":${pct(sortedRatios, 0.9)},""" +
+        // over_1.3 lists EVERY offender (no silent cap)
+        s"""{"floor_sec":$reproFloorSec,""" +
+          s""""median":${pct(sortedRatios, 0.5)},"p90":${pct(sortedRatios, 0.9)},""" +
           s""""worst":${worst._2},"worst_query":"${worst._1}",""" +
           s""""n_measured":${ratios.size},"n_over_1.3":${over13.size},""" +
-          s""""over_1.3":${over13.take(10).map(q => "\"" + q._1 + "\"").mkString("[", ",", "]")},""" +
+          s""""over_1.3":${over13.map(q => "\"" + q._1 + "\"").mkString("[", ",", "]")},""" +
           s""""pass_totals":$passTotals}"""
       }
     // canary set: the queries whose r8 drift exposed the comparability
@@ -203,7 +220,8 @@ object Bench {
       results.find(_._1 == c).flatMap(_._2).map(t => s"\"$c\":$t")
     }.mkString("{", ",", "}")
     val withIndex = results.map(r => (r._1, r._2)) :+ ("ann_ivf_index" ->
-      (if (indexSec < 0) None else Some(indexSec)))
+      (if (indexSec < 0) None else Some(indexSec))) :+ ("text_lm_index" ->
+      (if (lmSec < 0) None else Some(lmSec)))
     val qs = withIndex
       .map { case (k, v) => s"\"" + k + "\":" + v.map(_.toString).getOrElse("null") }
       .mkString("{", ",", "}")

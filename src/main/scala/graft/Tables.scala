@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Typed accessors for the testdata layout (one parquet file per table).
   *
@@ -33,6 +35,36 @@ object Tables {
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .map(_.conf.get("graft.scratch.root", DefaultScratchRoot))
       .getOrElse(DefaultScratchRoot)
+
+  /** Epoch seconds of an event-time column, dispatched on the column's
+    * LOGICAL type — the single place the engine maps a physical timestamp
+    * encoding to the canonical `sec` long every time-series operator
+    * computes on. Parquet writers legitimately differ here: an int64-nanos
+    * column (read back as LONG under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`) and a
+    * TIMESTAMP(MICROS/MILLIS) logical column (read as TIMESTAMP /
+    * TIMESTAMP_NTZ) are both common layouts for the same data, and baking
+    * `ts div 1e9` into each operator crashes the whole family the day the
+    * upstream writer changes (the r9 lesson). Dispatch:
+    *
+    *   - LONG            → nanos-since-epoch ⇒ `div 1_000_000_000`
+    *   - TIMESTAMP(_NTZ) → cast to session-tz TIMESTAMP, then LONG —
+    *     Spark's timestamp→long cast is floorDiv(micros, 1e6), identical
+    *     to the floor semantics of both the nanos `div` branch and the
+    *     DuckDB oracles' `floor(extract(epoch FROM ts))`. Sessions pin
+    *     `spark.sql.session.timeZone=UTC`, so NTZ wall-clock == epoch.
+    *
+    * Both branches are plain codegen'd arithmetic on the scan output —
+    * no UDF, pushdown/pruning unaffected. */
+  def epochSec(df: DataFrame, c: String = "ts"): Column =
+    df.schema(c).dataType match {
+      case LongType => expr(s"`$c` div 1000000000")
+      case TimestampType | TimestampNTZType =>
+        col(c).cast(TimestampType).cast(LongType)
+      case other => throw new IllegalArgumentException(
+        s"event-time column `$c` has unsupported type $other " +
+          "(expected int64 nanos or a parquet timestamp)")
+    }
 }
 
 final case class Tables(spark: SparkSession, dir: String) {
@@ -62,6 +94,16 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
   def events: DataFrame     = t("events")
+
+  /** `events` with the canonical `sec` (epoch seconds, LONG) column
+    * appended — THE event-time entry point for every downstream
+    * operator. Encoding dispatch lives in [[Tables.epochSec]]; operators
+    * never touch `ts` directly, so a writer-side encoding change lands
+    * in exactly one place. */
+  def eventsSec: DataFrame = {
+    val e = events
+    e.withColumn("sec", Tables.epochSec(e))
+  }
   def documents: DataFrame  = spread(t("documents"))
 
   /** No spread: since the dot product went native (r2), all heavy vector

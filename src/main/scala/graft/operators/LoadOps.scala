@@ -340,8 +340,7 @@ object LoadOps {
   def failureStreaks(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     import org.apache.spark.sql.expressions.Window
-    val ev = t.events
-      .withColumn("sec", expr("ts div 1000000000"))
+    val ev = t.eventsSec
       .withColumn("failed", (col("value") < 1.0).cast("int"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("sec"), col("event_id"))
     val wf = Window.partitionBy(col("event_type"), col("failed"))
@@ -523,8 +522,7 @@ object LoadOps {
     * outputs must be identical. */
   def incrementalView(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val ev = t.events
-      .withColumn("sec", expr("ts div 1000000000"))
+    val ev = t.eventsSec
       .withColumn("day", floor(col("sec") / 86400L))
     def summarize(df: DataFrame): DataFrame = df
       .groupBy(col("day"), col("event_type"))
@@ -578,8 +576,8 @@ object LoadOps {
     * aggs — at 100 TB this is one partial-agg scan of the run log. */
   def freshness(spark: SparkSession, dir: String, staleDays: Long = 3L): DataFrame = {
     val t = Tables(spark, dir)
-    val runs = t.events
-      .withColumn("run_day", expr("(ts div 1000000000) div 86400").cast("long"))
+    val runs = t.eventsSec
+      .withColumn("run_day", expr("sec div 86400").cast("long"))
       .groupBy(col("event_type").as("source"))
       .agg(max(col("run_day")).as("last_run_day"), count(lit(1)).as("n_runs"))
       // |sources| rows — checkpointed so the watermark branch reads these
@@ -637,8 +635,8 @@ object LoadOps {
     * each day to its own smoothed baseline. */
   def decayAvg(spark: SparkSession, dir: String, windowDays: Int = 7): DataFrame = {
     val t = Tables(spark, dir)
-    val runs = t.events
-      .withColumn("day", expr("(ts div 1000000000) div 86400").cast("long"))
+    val runs = t.eventsSec
+      .withColumn("day", expr("sec div 86400").cast("long"))
       .groupBy(col("event_type").as("source"), col("day"))
       .agg(sum(col("value")).as("duration"))
       // (sources × days) rows — checkpointed: both join sides read these
@@ -672,8 +670,8 @@ object LoadOps {
     * (day + len(source)) % 7 == 0, planting deterministic gaps. */
   def runGaps(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val kept = t.events
-      .withColumn("day", expr("(ts div 1000000000) div 86400").cast("long"))
+    val kept = t.eventsSec
+      .withColumn("day", expr("sec div 86400").cast("long"))
       .groupBy(col("event_type").as("source"), col("day"))
       .agg(count(lit(1)).as("n"))
       .filter((col("day") + length(col("source"))) % 7 =!= 0)
@@ -705,8 +703,8 @@ object LoadOps {
     * state is O(runs) per source. */
   def runDrift(spark: SparkSession, dir: String, dropAlert: Double = 0.5): DataFrame = {
     val t = Tables(spark, dir)
-    val runs = t.events
-      .withColumn("run_day", expr("(ts div 1000000000) div 86400").cast("long"))
+    val runs = t.eventsSec
+      .withColumn("run_day", expr("sec div 86400").cast("long"))
       .groupBy(col("event_type").as("source"), col("run_day"))
       .agg(count(lit(1)).cast("long").as("n_features"),
         round(sum(col("value")), 2).as("duration"))
@@ -884,8 +882,8 @@ object LoadOps {
     * post-agg grid-sized at any corpus scale. No window, no self-join,
     * no per-row sort. */
   def gapFill(spark: SparkSession, dir: String): DataFrame =
-    gapFillOver(Tables(spark, dir).events
-      .withColumn("hour", expr("(ts div 1000000000) div 3600").cast("long"))
+    gapFillOver(Tables(spark, dir).eventsSec
+      .withColumn("hour", expr("sec div 3600").cast("long"))
       .select(col("event_type").as("source"), col("hour"), col("value")))
 
   /** The D25 core over an explicit (source, hour, value) frame, so specs
@@ -1061,8 +1059,8 @@ object LoadOps {
     * bucket spine is generated, not scanned, so absent buckets cost
     * nothing at any corpus size. */
   def valueDrift(spark: SparkSession, dir: String, nBuckets: Int = 10): DataFrame = {
-    val ev = Tables(spark, dir).events.select(col("event_type"),
-      expr("ts div 1000000000").as("sec"), col("value"))
+    val ev = Tables(spark, dir).eventsSec.select(col("event_type"),
+      col("sec"), col("value"))
     val mm = ev.agg(min(col("sec")), max(col("sec")),
       min(col("value")), max(col("value"))).head()
     val mid = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
@@ -1362,8 +1360,7 @@ object LoadOps {
     * rollup: every decision class counted + first/last trip seconds. */
   def circuitBreaker(spark: SparkSession, dir: String, threshold: Int = 5,
       cooldownSec: Long = 14400L): DataFrame = {
-    val attempts = Tables(spark, dir).events
-      .withColumn("sec", expr("ts div 1000000000"))
+    val attempts = Tables(spark, dir).eventsSec
       .withColumn("failed", (col("sec") % 604800L < 86400L).cast("int"))
       .select(col("event_type").as("source"), col("sec"),
         col("event_id").as("attempt_id"), col("failed"))

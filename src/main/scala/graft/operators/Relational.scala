@@ -282,7 +282,7 @@ object Relational {
     * population, not user history length. */
   def qBandJoin(spark: SparkSession, dir: String, bandSec: Long = 3600L): DataFrame = {
     val t = Tables(spark, dir)
-    val ev = t.events.withColumn("sec", expr("ts div 1000000000"))
+    val ev = t.eventsSec
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("sec").as("c_sec"))
       .withColumn("bkt", floor(col("c_sec") / bandSec))
@@ -324,7 +324,7 @@ object Relational {
       purchaseSec: Long = 120L): DataFrame = {
     val cellSec = math.max(incidentSec, purchaseSec) // ≥ max length ⇒ ≤ 2 cells
     val t = Tables(spark, dir)
-    val ev = t.events.withColumn("sec", expr("ts div 1000000000"))
+    val ev = t.eventsSec
     val inc = ev.filter(col("event_type") === "error")
       .select(col("event_id").as("inc_id"), col("sec").as("s1"),
         (col("sec") + incidentSec).as("e1"))
@@ -398,7 +398,7 @@ object Relational {
     * partial agg each), then one join on the user id. */
   def qFunnel(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val ev = t.events.withColumn("sec", expr("ts div 1000000000"))
+    val ev = t.eventsSec
     val firstClick = ev.filter(col("event_type") === "click")
       .groupBy(col("user_id")).agg(min(col("sec")).as("first_click"))
     val purchases = ev.filter(col("event_type") === "purchase")
@@ -551,7 +551,7 @@ object Relational {
     */
   def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val ev = t.events.withColumn("sec", expr("ts div 1000000000"))
+    val ev = t.eventsSec
     // dedupe clicks to one row per (user, sec) so "latest" is well-defined
     val clicks = ev.filter(col("event_type") === "click")
       .groupBy(col("user_id"), col("sec"))
@@ -582,7 +582,7 @@ object Relational {
     * (gaps-and-islands with a cumulative break counter). */
   def qSessionize(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val ev = t.events.withColumn("sec", expr("ts div 1000000000"))
+    val ev = t.eventsSec
     val wo = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
     val brk = when(col("sec") - lag(col("sec"), 1).over(wo) > 1800, 1)
       .when(lag(col("sec"), 1).over(wo).isNull, 1).otherwise(0)
@@ -637,8 +637,8 @@ object Relational {
   /** E13: tumbling 1-hour time-bucket aggregation over events. */
   def qTimeBucket(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    t.events
-      .withColumn("bucket_start", expr("((ts div 1000000000) div 3600) * 3600"))
+    t.eventsSec
+      .withColumn("bucket_start", expr("(sec div 3600) * 3600"))
       .groupBy(col("bucket_start"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("bucket_start"), col("event_type"))
@@ -682,8 +682,8 @@ object Relational {
     * DO merge. */
   def qSlidingDistinct(spark: SparkSession, dir: String, window: Int = 7): DataFrame = {
     val t = Tables(spark, dir)
-    val du = t.events
-      .withColumn("day", expr("(ts div 1000000000) div 86400").cast("long"))
+    val du = t.eventsSec
+      .withColumn("day", expr("sec div 86400").cast("long"))
       .select(col("day"), col("user_id")).distinct()
       .localCheckpoint(true)
     val days = du.select(col("day")).distinct()
@@ -700,7 +700,7 @@ object Relational {
     * sequential accumulation is order-identical to the oracle). */
   def qRunningAgg(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val ev = t.events.withColumn("sec", expr("ts div 1000000000"))
+    val ev = t.eventsSec
     val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
     ev.withColumn("running_value", round(sum(col("value")).over(w), 2))
@@ -772,9 +772,9 @@ object Relational {
     * window over the corpus, no global sort of data-sized input. */
   def qCohortRetention(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val userWeeks = t.events
+    val userWeeks = t.eventsSec
       .select(col("user_id"),
-        expr("(ts div 1000000000) div 86400 div 7").cast("long").as("week"))
+        expr("sec div 86400 div 7").cast("long").as("week"))
       .distinct()
     val cohorts = userWeeks.groupBy(col("user_id"))
       .agg(min(col("week")).as("cohort_week"))

@@ -414,8 +414,8 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     val got = graft.operators.LoadOps.valueDrift(spark, sfDir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
     assert(got.nonEmpty)
-    val raw = Tables(spark, sfDir).events
-      .select(col("event_type"), expr("ts div 1000000000").as("sec"), col("value"))
+    val raw = Tables(spark, sfDir).eventsSec
+      .select(col("event_type"), col("sec"), col("value"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     val sLo = raw.map(_._2).min; val sHi = raw.map(_._2).max
     val mid = sLo + (sHi - sLo) / 2
@@ -666,8 +666,8 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.nonEmpty)
     // the wire drops (day + len(source)) % 7 == 0 — recompute the truth
     val t = graft.Tables(spark, sfDir)
-    val days = t.events
-      .withColumn("day", expr("(ts div 1000000000) div 86400").cast("long"))
+    val days = t.eventsSec
+      .withColumn("day", expr("sec div 86400").cast("long"))
       .select(col("event_type").as("source"), col("day")).distinct()
       .filter((col("day") + length(col("source"))) % 7 =!= 0)
       .collect().map(r => r.getString(0) -> r.getLong(1))

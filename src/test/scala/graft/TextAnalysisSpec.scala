@@ -358,4 +358,35 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     val again = TextAnalysis.sampleBalanced(spark, sfDir).collect()
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("lm scores persist: second consumer serves the stamped layout, zero re-tokenize") {
+    val sc = spark.sparkContext
+    val verRoot = new java.io.File(TextAnalysis.lmRoot(spark, sfDir))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(): Unit
+    }
+    rm(verRoot)
+    val first = TextAnalysis.lmScore(spark, sfDir).collect()
+    assert(first.nonEmpty)
+    val vers = verRoot.listFiles().filter(_.getName.startsWith("v_"))
+    assert(vers.length == 1, "exactly one published version after the build")
+    val stampMtime = vers.head.lastModified()
+    // second consumer: count the Spark jobs it runs via a job group —
+    // serving is a bounded parquet read (a couple of jobs), while a
+    // re-tokenize re-runs the whole explode/train/score chain (many,
+    // including the eager localCheckpoint)
+    sc.setJobGroup("lm-serve", "second lmScore consumer", interruptOnCancel = false)
+    val second = TextAnalysis.lmScore(spark, sfDir).collect()
+    sc.clearJobGroup()
+    assert(second.map(_.toSeq).toSeq == first.map(_.toSeq).toSeq)
+    assert(vers.head.lastModified() == stampMtime, "serving must not rebuild")
+    // listener-bus drain: job-start events land async; retry briefly
+    var jobs = -1
+    val deadline = System.nanoTime() + 5_000_000_000L
+    while (jobs < 0 && System.nanoTime() < deadline) {
+      val n = sc.statusTracker.getJobIdsForGroup("lm-serve").length
+      if (n > 0) jobs = n else Thread.sleep(50)
+    }
+    assert(jobs > 0 && jobs <= 4, s"serving ran $jobs jobs — layout not reused?")
+  }
 }

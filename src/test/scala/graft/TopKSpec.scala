@@ -61,8 +61,8 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
     assert(daily.keySet == weekly.keySet)
     // truth for window=1 straight from the table
     import org.apache.spark.sql.functions._
-    val truth = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("day", expr("(ts div 1000000000) div 86400").cast("long"))
+    val truth = Tables(spark, sfDir).eventsSec
+      .withColumn("day", expr("sec div 86400").cast("long"))
       .groupBy("day").agg(countDistinct(col("user_id")).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(daily == truth, "window=1 must equal per-day distinct")
@@ -146,8 +146,8 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
       .toSeq
     // brute force from raw events, independent path
-    val uw = Tables(spark, sfDir).events
-      .selectExpr("user_id", "(ts div 1000000000) div 86400 div 7 as week")
+    val uw = Tables(spark, sfDir).eventsSec
+      .selectExpr("user_id", "sec div 86400 div 7 as week")
       .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
     val cohort = uw.groupBy(_._1).map { case (u, ws) => (u, ws.map(_._2).min) }
     val sizes = cohort.values.groupBy(identity).map { case (w, g) => (w, g.size.toLong) }
