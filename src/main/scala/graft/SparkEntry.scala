@@ -57,6 +57,7 @@ object SparkEntry {
     "geo_reproject"          -> Geo.reproject _,
     "geo_reproject_tm"       -> ((s: SparkSession, d: String) => Geo.reprojectTm(s, d)),
     "geo_reproject_tm3010"   -> Geo.reprojectTm3010 _,
+    "geo_transform_select"   -> ((s, d) => Geo.transformSelect(s, d)),
     "geo_sr_validate"        -> Geo.srValidate _,
     "geo_envelope_check"     -> Geo.envelopeCheck _,
     "geo_count_sanity"       -> Geo.countSanity _,
@@ -146,6 +147,7 @@ object SparkEntry {
     "pipeline_clone"         -> (PipelineDemo.runClone _),
     // F — LLM-training-data operators
     "dedup_exact"            -> Dedup.dedupExact _,
+    "dedup_paragraph"        -> ((s, d) => Dedup.dedupParagraph(s, d)),
     "dedup_fingerprint"      -> Dedup.dedupFingerprint _,
     "dedup_ngram_jaccard"    -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "dedup_components"       -> ((s: SparkSession, d: String) => Dedup.dedupComponents(s, d)),
@@ -700,6 +702,24 @@ object SparkEntry {
          |SELECT o_orderkey, lon, lat, round(easting, 2) AS easting,
          | round(northing, 2) AS northing
          |FROM tm ORDER BY o_orderkey""".stripMargin,
+    // C2d: the reprojection DECISION rule (explicit datum transformation
+    // only for the 4326→3010 pair; noop on same-SR; defaults otherwise)
+    "geo_transform_select" ->
+      s"""WITH f AS (SELECT o_orderkey,
+         |  CAST(CASE o_orderkey % 5 WHEN 0 THEN 3010 WHEN 1 THEN 4326
+         |       WHEN 2 THEN 3006 WHEN 3 THEN 2400 ELSE 3857 END AS BIGINT)
+         |    AS current_wkid
+         | FROM orders),
+         |d AS (SELECT o_orderkey, current_wkid,
+         |  CASE WHEN current_wkid = 3010 THEN 'noop' ELSE 'project' END AS action,
+         |  CASE WHEN current_wkid = 3010 THEN NULL
+         |       WHEN current_wkid = 4326 THEN 'WGS_1984_To_SWEREF99'
+         |       ELSE 'defaults' END AS transformation
+         | FROM f)
+         |SELECT current_wkid, action, transformation,
+         | CAST(count(*) AS BIGINT) AS n,
+         | min(o_orderkey) AS first_key
+         |FROM d GROUP BY 1, 2, 3 ORDER BY current_wkid, action""".stripMargin,
     "geo_sr_validate" ->
       s"""WITH c AS (SELECT *,
          |  ((o_orderkey * 31) % 400) - 200.0 AS glon,
@@ -1719,6 +1739,34 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS grp, count(*) AS n_copies, min(doc_id) AS keeper
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // F49: chunk = 20 consecutive words; keeper = min (doc_id, chunk_idx)
+    // occurrence via the combined occ key; checksum folds kept hashes
+    "dedup_paragraph" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(
+        |        CASE WHEN doc_id % 7 = 0
+        |             THEN '${graft.operators.Dedup.ParagraphBoiler} ' || text
+        |             ELSE text END, ' ') AS toks FROM documents),
+        |w AS (SELECT doc_id, unnest(toks) AS word,
+        |        generate_subscripts(toks, 1) AS ord FROM tk),
+        |c0 AS (SELECT doc_id,
+        |        CAST(floor((ord - 1) / 20.0) AS BIGINT) AS chunk_idx,
+        |        string_agg(word, ' ' ORDER BY ord) AS chunk
+        |      FROM w GROUP BY doc_id, floor((ord - 1) / 20.0)),
+        |c AS (SELECT doc_id, chunk_idx, md5(chunk) AS h
+        |      FROM c0 WHERE length(chunk) > 0),
+        |s AS (SELECT h, count(*) AS n_copies,
+        |        min(doc_id * 1000000 + chunk_idx) AS keeper_key
+        |      FROM c GROUP BY h),
+        |j AS (SELECT c.doc_id, c.h, s.n_copies,
+        |        (c.doc_id * 1000000 + c.chunk_idx) = s.keeper_key AS kept
+        |      FROM c JOIN s USING (h))
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+        |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN kept THEN ('0x' || substr(h, 1, 8))::BIGINT ELSE 0 END)
+        |    AS BIGINT) AS kept_checksum
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_fingerprint" ->
       s"""WITH f AS (SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS fp

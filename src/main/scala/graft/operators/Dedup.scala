@@ -25,6 +25,10 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** The F49 planted boilerplate header: exactly 20 words, shared with
+    * the oracle SQL and the spec so all three replay one wire. */
+  val ParagraphBoiler: String = (1 to 20).map(i => s"boiler$i").mkString(" ")
+
   /** F1: exact dedup — group by full content (digest shown for compact
     * output), keep the lowest doc_id. One shuffle on the digest. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame = {
@@ -33,6 +37,59 @@ object Dedup {
       .groupBy(md5(col("text").cast("binary")).as("grp"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
       .orderBy(col("grp"))
+  }
+
+  /** F49: paragraph-level exact dedup — the C4 / Dolma sub-document
+    * pass: a repeated PARAGRAPH is dropped from every document except
+    * its first owner, while the surrounding unique text survives (doc-
+    * level dedup F1 can only keep or kill whole documents; boilerplate
+    * headers/footers/license blocks need this). The corpus's word
+    * streams carry no newline structure, so "paragraph" = consecutive
+    * `w`-word chunk of the token stream (the same unit chunk-level
+    * tokenizer dedup uses on real corpora); keep-first-owner is the
+    * canonical (doc_id, chunk_idx)-lexicographic first occurrence,
+    * encoded as one comparable key so both engines agree with a plain
+    * min. Per-doc report: chunk count, corpus-duplicated chunks, kept
+    * chunks, and a checksum folding the kept chunk hashes.
+    *
+    * Scale shape: chunks shuffle ONCE as (md5, ids) for the global
+    * df/first-owner agg (map-side combined), then join back on the hash
+    * (AQE-planned); no self-join, no all-pairs, no window over the
+    * corpus. At 100 TB this is the standard two-pass chunk-hash dedup. */
+  def dedupParagraph(spark: SparkSession, dir: String, w: Int = 20): DataFrame = {
+    val t = Tables(spark, dir)
+    // planted wire (the piiScrub/url-dedup convention): the corpus has no
+    // organic repeated paragraphs, so every 7th doc gets the SAME w-word
+    // boilerplate header prepended — the header/license-block shape this
+    // pass exists to strip; chunk 0 of each such doc is the boilerplate
+    // exactly, later chunks are the doc's own (shifted) text
+    val withBoiler = when(col("doc_id") % 7 === 0,
+      concat(lit(ParagraphBoiler + " "), col("text"))).otherwise(col("text"))
+    val docs = t.documents.select(col("doc_id"), split(withBoiler, " ").as("toks"))
+    val nChunks = ceil(size(col("toks")).cast("double") / w).cast("int")
+    val chunks = docs
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), greatest(nChunks - 1, lit(0))),
+          i => array_join(slice(col("toks"), i * w + 1, lit(w)), " "))))
+      .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
+      .filter(length(col("chunk")) > 0)
+      .withColumn("h", md5(col("chunk").cast("binary")))
+      .withColumn("occ_key", col("doc_id") * 1000000L + col("chunk_idx"))
+      // hashes only through the checkpoint — the chunk STRINGS never
+      // shuffle (the F30 rule: gram text stays partition-local)
+      .select(col("doc_id"), col("chunk_idx"), col("h"), col("occ_key"))
+      .localCheckpoint(true)
+    val stats = chunks.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_copies"), min(col("occ_key")).as("keeper_key"))
+    chunks.join(stats, Seq("h"))
+      .withColumn("kept", col("occ_key") === col("keeper_key"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
+          .otherwise(0L)).as("kept_checksum"))
+      .orderBy(col("doc_id"))
   }
 
   /** F2's fingerprint: md5 over the sorted distinct token set — ONE

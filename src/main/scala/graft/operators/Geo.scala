@@ -76,6 +76,36 @@ object Geo {
   def reprojectTm3010(spark: SparkSession, dir: String): DataFrame =
     reprojectTm(spark, dir, graft.functions.Sweref991630)
 
+  /** C2d: datum-transformation SELECTION (process.py:141-148) — the
+    * reference's reprojection DECISION rule, distinct from the math C2b/
+    * C2c implement: same-SR features skip projection entirely; the
+    * 4326→3010 pair projects with the EXPLICIT `WGS_1984_To_SWEREF99`
+    * datum transformation; every other pair projects under engine
+    * defaults. Replayed over a per-feature frame whose source SR is
+    * derived deterministically from the key (five common codes incl. the
+    * target itself), rolled up per (source SR, decision) so the output
+    * certifies each branch's population. Pure case-when on a scan + one
+    * map-side-combined hash agg — shuffle is |distinct decisions| rows at
+    * any scale; full oracle. */
+  def transformSelect(spark: SparkSession, dir: String, targetWkid: Int = 3010): DataFrame = {
+    val current = (col("o_orderkey") % 5)
+    val wkid = when(current === 0, 3010).when(current === 1, 4326)
+      .when(current === 2, 3006).when(current === 3, 2400).otherwise(3857)
+    val df = Tables(spark, dir).orders
+      .select(col("o_orderkey"))
+      .withColumn("current_wkid", wkid.cast("long"))
+    val needs = col("current_wkid") =!= targetWkid
+    val explicitTf = col("current_wkid") === 4326 && lit(targetWkid) === 3010
+    df.withColumn("action", when(!needs, lit("noop")).otherwise(lit("project")))
+      .withColumn("transformation",
+        when(needs && explicitTf, lit("WGS_1984_To_SWEREF99"))
+          .when(needs, lit("defaults"))
+          .otherwise(lit(null).cast("string")))
+      .groupBy(col("current_wkid"), col("action"), col("transformation"))
+      .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("first_key"))
+      .orderBy(col("current_wkid"), col("action"))
+  }
+
   /** C3: coordinate-magnitude validation (sr_utils.py:15
     * validate_coordinates_magnitude; :39/:49 per-SR bounds). */
   def srValidate(spark: SparkSession, dir: String): DataFrame = {

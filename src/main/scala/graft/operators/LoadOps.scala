@@ -862,7 +862,8 @@ object LoadOps {
         .toDF("l_orderkey", "n_rows", "key_checksum")
     }
     spark.read.parquet(layout)
-      .filter(col("supp_batch").isin(cand: _*) && col("l_orderkey").isin(probes: _*))
+      .filter(col("supp_batch").isin(cand.toIndexedSeq: _*) &&
+        col("l_orderkey").isin(probes.toIndexedSeq: _*))
       .groupBy(col("l_orderkey"))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("l_suppkey") + col("l_linenumber")).cast("long").as("key_checksum"))

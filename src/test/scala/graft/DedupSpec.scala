@@ -354,4 +354,41 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(out("data1.example.org/files/set1/item") == 1L)
     assert(out("data1.example.org/files/set1/item?a=1&b=2") == 2L)
   }
+
+  test("paragraph dedup matches a brute-force chunk replay and keeps exactly one copy per chunk") {
+    val W = 20
+    val got = graft.operators.Dedup.dedupParagraph(spark, sfDir, W).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got.nonEmpty)
+    // independent replay from the raw table
+    val raw = Tables(spark, sfDir).documents
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val occs = raw.flatMap { case (id, text) =>
+      val wired = if (id % 7 == 0)
+        graft.operators.Dedup.ParagraphBoiler + " " + text else text
+      wired.split(" ", -1).grouped(W).zipWithIndex
+        .map { case (ws, i) => (id, i.toLong, ws.mkString(" ")) }
+        .filter(_._3.nonEmpty)
+    }
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val hashed = occs.map { case (id, i, c) => (id, i, md5hex(c)) }
+    val byHash = hashed.groupBy(_._3)
+    val keeper = byHash.view.mapValues(_.map(o => o._1 * 1000000L + o._2).min).toMap
+    val brute = hashed.groupBy(_._1).map { case (id, os) =>
+      val kept = os.filter(o => keeper(o._3) == o._1 * 1000000L + o._2)
+      id -> ((os.length.toLong,
+        os.count(o => byHash(o._3).length > 1).toLong,
+        kept.length.toLong,
+        kept.map(o => java.lang.Long.parseLong(o._3.take(8), 16)).sum))
+    }
+    assert(got == brute, "per-doc report diverged from the brute replay")
+    // global invariant: kept copies == distinct chunk texts
+    assert(got.values.map(_._3).sum == byHash.size.toLong)
+    // the corpus must actually exercise the interesting branch
+    assert(got.values.map(_._2).sum > 0L, "no duplicated chunks in corpus — vacuous test")
+  }
 }

@@ -89,6 +89,25 @@ class GeoSpec extends AnyFunSuite with SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("transform select: every decision branch fires and populations reconcile") {
+    val rows = graft.operators.Geo.transformSelect(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)), r.getLong(3)))
+    // exactly one decision row per source SR (the rule is a function of
+    // the SR pair), and all three branches fire
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(rows.collect { case (3010L, a, t, _) => (a, t) }.toSeq ==
+      Seq(("noop", None)), "same-SR must skip projection")
+    assert(rows.collect { case (4326L, a, t, _) => (a, t) }.toSeq ==
+      Seq(("project", Some("WGS_1984_To_SWEREF99"))),
+      "4326->3010 must pick the explicit datum transformation")
+    val defaults = rows.filter(_._3.contains("defaults")).map(_._1).sorted.toSeq
+    assert(defaults == Seq(2400L, 3006L, 3857L), "all other pairs use defaults")
+    // populations cover the whole frame
+    val total = Tables(spark, sfDir).orders.count()
+    assert(rows.map(_._4).sum == total)
+  }
+
   test("z-order buckets: every bucket spans at most a 64x64 domain cell") {
     // the top 12 z-bits pin 6 high bits of each axis, so a bucket's
     // points all fall in one 1/64-of-domain cell per axis
