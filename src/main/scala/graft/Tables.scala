@@ -93,7 +93,13 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  def events: DataFrame     = t("events")
+  /** Scalar ids/measures pinned to canonical types at the boundary, like
+    * [[embeddings]]; the `ts` column is deliberately left in its physical
+    * encoding — [[eventsSec]] owns that dispatch. */
+  def events: DataFrame = t("events")
+    .withColumn("event_id", col("event_id").cast("long"))
+    .withColumn("user_id", col("user_id").cast("long"))
+    .withColumn("value", col("value").cast("double"))
 
   /** `events` with the canonical `sec` (epoch seconds, LONG) column
     * appended — THE event-time entry point for every downstream
@@ -104,11 +110,21 @@ final case class Tables(spark: SparkSession, dir: String) {
     val e = events
     e.withColumn("sec", Tables.epochSec(e))
   }
-  def documents: DataFrame  = spread(t("documents"))
+  def documents: DataFrame  = spread(t("documents")
+    .withColumn("doc_id", col("doc_id").cast("long")))
 
   /** No spread: since the dot product went native (r2), all heavy vector
     * math happens AFTER a shuffle (pair joins, centroid aggs) — the only
     * pre-shuffle per-row work is a 64-float dot or a cast, so an extra
-    * up-front exchange just adds a stage to every similarity job. */
+    * up-front exchange just adds a stage to every similarity job.
+    *
+    * Scalar columns are pinned to canonical types at the boundary (the
+    * [[Tables.epochSec]] rule applied to this table): a writer-side
+    * int32/int64 flip must land HERE, not in some operator's driver-side
+    * `getLong`. Same-type casts are optimized away, so this is free on
+    * the current layout. Vector elements are canonicalized by the
+    * consumers' `Vec.toDouble` (element-wise cast, float or double in). */
   def embeddings: DataFrame = t("embeddings")
+    .withColumn("vec_id", col("vec_id").cast("long"))
+    .withColumn("label", col("label").cast("int"))
 }
