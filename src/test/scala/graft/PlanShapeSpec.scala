@@ -259,4 +259,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"an exchange partitions on a non-key column:\n${exchanges.mkString("\n")}")
     assert(!p.contains("CartesianProduct"), s"cartesian in the replay:\n$p")
   }
+
+  test("paragraph dedup: chunks meet on the hash equi key, chunk strings stay out of exchanges") {
+    val p = plan("dedup_paragraph")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"all-pairs plan:\n$p")
+    // the stats/occurrence sides meet on the md5 column h, hash-planned
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"no equi join on the chunk hash:\n$p")
+    // no exchange may carry the chunk TEXT column — hashes only (the
+    // checkpoint cut guarantees it; pin it against refactors)
+    val exchanges = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("Reused")).toSeq
+    assert(!exchanges.exists(_.contains("chunk#")),
+      s"a chunk-string column shuffles:\n${exchanges.mkString("\n")}")
+  }
+
+  test("transform select: one scan, case-when decision, single rollup agg, no join") {
+    val p = plan("geo_transform_select")
+    assert(!p.contains("Join"), s"the decision rule must not join:\n$p")
+    assert(p.contains("partial_"), s"rollup lacks a map-side partial:\n$p")
+  }
 }
