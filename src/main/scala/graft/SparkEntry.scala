@@ -148,6 +148,7 @@ object SparkEntry {
     // F — LLM-training-data operators
     "dedup_exact"            -> Dedup.dedupExact _,
     "dedup_paragraph"        -> ((s, d) => Dedup.dedupParagraph(s, d)),
+    "dedup_soft"             -> ((s, d) => Dedup.dedupSoft(s, d)),
     "dedup_fingerprint"      -> Dedup.dedupFingerprint _,
     "dedup_ngram_jaccard"    -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "dedup_components"       -> ((s: SparkSession, d: String) => Dedup.dedupComponents(s, d)),
@@ -1766,6 +1767,29 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  CAST(sum(CASE WHEN kept THEN ('0x' || substr(h, 1, 8))::BIGINT ELSE 0 END)
         |    AS BIGINT) AS kept_checksum
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // F50: same chunk CTEs as F49; weight = mean inverse multiplicity in
+    // exact integer PPM (floor division on both engines, no float folds)
+    "dedup_soft" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(
+        |        CASE WHEN doc_id % 7 = 0
+        |             THEN '${graft.operators.Dedup.ParagraphBoiler} ' || text
+        |             ELSE text END, ' ') AS toks FROM documents),
+        |w AS (SELECT doc_id, unnest(toks) AS word,
+        |        generate_subscripts(toks, 1) AS ord FROM tk),
+        |c0 AS (SELECT doc_id,
+        |        CAST(floor((ord - 1) / 20.0) AS BIGINT) AS chunk_idx,
+        |        string_agg(word, ' ' ORDER BY ord) AS chunk
+        |      FROM w GROUP BY doc_id, floor((ord - 1) / 20.0)),
+        |c AS (SELECT doc_id, chunk_idx, md5(chunk) AS h
+        |      FROM c0 WHERE length(chunk) > 0),
+        |s AS (SELECT h, count(*) AS n_copies FROM c GROUP BY h),
+        |j AS (SELECT c.doc_id, 1000000 // s.n_copies AS inv
+        |      FROM c JOIN s USING (h))
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(inv) // count(*) AS BIGINT) AS weight_ppm,
+        |  CAST(count(*) * (sum(inv) // count(*)) AS BIGINT) AS eff_chunks_ppm
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_fingerprint" ->
       s"""WITH f AS (SELECT doc_id,

@@ -56,7 +56,10 @@ object Dedup {
     * df/first-owner agg (map-side combined), then join back on the hash
     * (AQE-planned); no self-join, no all-pairs, no window over the
     * corpus. At 100 TB this is the standard two-pass chunk-hash dedup. */
-  def dedupParagraph(spark: SparkSession, dir: String, w: Int = 20): DataFrame = {
+  /** The shared F49/F50 chunk frame: (doc_id, chunk_idx, h, occ_key) per
+    * non-empty w-word chunk of the (planted-wire) corpus, hashes-only
+    * through a checkpoint both consumers reuse. */
+  private def paragraphChunks(spark: SparkSession, dir: String, w: Int): DataFrame = {
     val t = Tables(spark, dir)
     // planted wire (the piiScrub/url-dedup convention): the corpus has no
     // organic repeated paragraphs, so every 7th doc gets the SAME w-word
@@ -67,7 +70,7 @@ object Dedup {
       concat(lit(ParagraphBoiler + " "), col("text"))).otherwise(col("text"))
     val docs = t.documents.select(col("doc_id"), split(withBoiler, " ").as("toks"))
     val nChunks = ceil(size(col("toks")).cast("double") / w).cast("int")
-    val chunks = docs
+    docs
       .select(col("doc_id"), posexplode(
         transform(sequence(lit(0), greatest(nChunks - 1, lit(0))),
           i => array_join(slice(col("toks"), i * w + 1, lit(w)), " "))))
@@ -79,6 +82,10 @@ object Dedup {
       // shuffle (the F30 rule: gram text stays partition-local)
       .select(col("doc_id"), col("chunk_idx"), col("h"), col("occ_key"))
       .localCheckpoint(true)
+  }
+
+  def dedupParagraph(spark: SparkSession, dir: String, w: Int = 20): DataFrame = {
+    val chunks = paragraphChunks(spark, dir, w)
     val stats = chunks.groupBy(col("h"))
       .agg(count(lit(1)).as("n_copies"), min(col("occ_key")).as("keeper_key"))
     chunks.join(stats, Seq("h"))
@@ -89,6 +96,35 @@ object Dedup {
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("kept"), conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
           .otherwise(0L)).as("kept_checksum"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** F50: SOFT dedup — frequency-based DOWN-WEIGHTING instead of F49's
+    * hard removal (the SoftDeDup idea: duplicated text is down-sampled in
+    * training, not deleted, preserving signal the hard pass would throw
+    * away). Each document's sampling weight is the mean inverse
+    * multiplicity of its chunks, in exact integer PPM so both engines
+    * agree bit-for-bit with zero float folding: a chunk appearing n times
+    * corpus-wide contributes `1_000_000 div n`; weight_ppm = mean of the
+    * contributions (floor division). All-unique doc ⇒ 1_000_000;
+    * boilerplate-carrying docs drop in proportion to the header's corpus
+    * frequency. `eff_chunks_ppm` = n_chunks·weight_ppm is the doc's
+    * effective (de-duplicated) size — what a weighted sampler (F21)
+    * consumes as its weight column.
+    *
+    * Scale shape: same two-pass chunk-hash plan as F49 (one shuffle of
+    * hashes for multiplicity, join back on the hash), reusing the same
+    * checkpointed chunk frame — nothing new moves. */
+  def dedupSoft(spark: SparkSession, dir: String, w: Int = 20): DataFrame = {
+    val chunks = paragraphChunks(spark, dir, w)
+    val mult = chunks.groupBy(col("h")).agg(count(lit(1)).as("n_copies"))
+    chunks.join(mult, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(expr("1000000 div n_copies")).as("inv_sum"))
+      .select(col("doc_id"), col("n_chunks"),
+        expr("inv_sum div n_chunks").as("weight_ppm"),
+        (col("n_chunks") * expr("inv_sum div n_chunks")).as("eff_chunks_ppm"))
       .orderBy(col("doc_id"))
   }
 

@@ -391,4 +391,27 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     // the corpus must actually exercise the interesting branch
     assert(got.values.map(_._2).sum > 0L, "no duplicated chunks in corpus — vacuous test")
   }
+
+  test("soft dedup: all-unique docs weigh 1e6 ppm, boilerplate carriers drop, hard pass agrees") {
+    val soft = graft.operators.Dedup.dedupSoft(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val hard = graft.operators.Dedup.dedupParagraph(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(soft.keySet == hard.keySet)
+    soft.foreach { case (id, (nChunks, ppm, eff)) =>
+      val (hardChunks, nDup) = hard(id)
+      assert(nChunks == hardChunks, s"doc $id chunk counts diverge across F49/F50")
+      assert(eff == nChunks * ppm, s"doc $id effective size is not n*weight")
+      // weight semantics: 1e6 iff the doc shares no chunk with anyone
+      if (nDup == 0L) assert(ppm == 1000000L, s"doc $id unique but ppm=$ppm")
+      else assert(ppm < 1000000L, s"doc $id has $nDup shared chunks but full weight")
+    }
+    // the planted boilerplate must depress every 7th doc below its peers
+    val (boilered, rest) = soft.partition(_._1 % 7 == 0)
+    assert(boilered.nonEmpty && rest.nonEmpty)
+    val avgOf = (m: Map[Long, (Long, Long, Long)]) =>
+      m.values.map(_._2).sum.toDouble / m.size
+    assert(avgOf(boilered) < avgOf(rest),
+      "boilerplate carriers should average a lower sampling weight")
+  }
 }
