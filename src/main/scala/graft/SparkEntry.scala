@@ -163,6 +163,7 @@ object SparkEntry {
     "ann_lsh_bucketed"       -> Similarity.annLshBuckets _,
     "ann_lsh_multiprobe"     -> ((s: SparkSession, d: String) => Similarity.annLshMultiProbe(s, d)),
     "ann_ivf"                -> ((s: SparkSession, d: String) => Similarity.ivfAnn(s, d)),
+    "ann_range"              -> ((s: SparkSession, d: String) => Similarity.annRange(s, d)),
     "ann_ivf_batch"          -> ((s: SparkSession, d: String) => Similarity.ivfAnnBatch(s, d)),
     "emb_quantize"           -> ((s: SparkSession, d: String) => Similarity.embQuantize(s, d)),
     "ann_pq_adc"             -> ((s: SparkSession, d: String) => Similarity.annPqAdc(s, d)),
@@ -2211,6 +2212,27 @@ object SparkEntry {
          |FROM e JOIN asg ON e.vec_id = asg.vec_id, q
          |WHERE asg.list_id IN (SELECT c_label FROM pr WHERE rn <= 3) AND e.vec_id <> 0
          |ORDER BY score DESC, e.vec_id LIMIT 20""".stripMargin,
+    // F51: the radius twin of ann_ivf — identical quantizer/probe CTEs,
+    // the rounded-score threshold replaces the LIMIT
+    "ann_range" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT label AS c_label, list(a ORDER BY pos) AS cv
+         |  FROM (SELECT label, pos, avg(x) AS a
+         |    FROM (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e)
+         |    GROUP BY label, pos)
+         |  GROUP BY label),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |pr AS (SELECT c_label, row_number() OVER (
+         |    ORDER BY ${cosSql("cv", "qv")} DESC, c_label) AS rn FROM c, q),
+         |a AS (SELECT vec_id, c_label, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ${cosSql("v", "cv")} DESC, c_label) AS rn FROM e CROSS JOIN c),
+         |asg AS (SELECT vec_id, c_label AS list_id FROM a WHERE rn = 1)
+         |SELECT e.vec_id, CAST(asg.list_id AS BIGINT) AS list_id,
+         | round(${cosSql("e.v", "q.qv")}, 4) AS score
+         |FROM e JOIN asg ON e.vec_id = asg.vec_id, q
+         |WHERE asg.list_id IN (SELECT c_label FROM pr WHERE rn <= 3) AND e.vec_id <> 0
+         |  AND round(${cosSql("e.v", "q.qv")}, 4) >= 0.2
+         |ORDER BY score DESC, e.vec_id""".stripMargin,
     // batch form: same quantizer/assignment CTEs; probe pairs per query
     // (top-nprobe lists), one candidate join, top-k per query
     "ann_ivf_batch" ->

@@ -523,6 +523,36 @@ object Similarity {
       .limit(k)
   }
 
+  /** F51: RANGE (radius) search — every vector with cosine ≥ tau of the
+    * query, IVF-pruned: dedup thresholds and "collect all sufficiently
+    * similar" retrieval want a similarity BAR, not a fixed k (top-k
+    * truncates dense neighborhoods and pads sparse ones). Same persisted-
+    * index probe path as [[ivfAnn]] — the coarse quantizer picks nprobe
+    * lists driver-side, the scan prunes to those partitions — but the
+    * candidate filter is the threshold itself, applied to the ROUNDED
+    * score (4 decimals) so the boundary decision is engine-portable.
+    * Result size is data-dependent by design; at 100 TB the probed-list
+    * bound still caps the scan exactly as in top-k serving. */
+  def annRange(spark: SparkSession, dir: String, queryId: Long = 0L,
+      tau: Double = 0.2, nprobe: Int = 3): DataFrame = {
+    val t = Tables(spark, dir)
+    val (listsPath, cents) = ivfIndex(spark, dir)
+    val qv = t.embeddings.filter(col("vec_id") === queryId)
+      .select(Vec.toDouble(col("embedding")).as("qv")).head().getSeq[Double](0)
+    def dot(a: Seq[Double], b: Seq[Double]) = a.iterator.zip(b.iterator).map(p => p._1 * p._2).sum
+    def cosLocal(a: Seq[Double], b: Seq[Double]) =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val probes = cents.sortBy { case (l, cv) => (-cosLocal(qv, cv), l) }
+      .take(nprobe).map(_._1)
+    val qvCol = array(qv.map(lit): _*)
+    ivfLists(spark, listsPath)
+      .filter(col("list_id").isin(probes: _*) && col("vec_id") =!= queryId)
+      .withColumn("score", round(Vec.cosine(col("v"), qvCol), 4))
+      .filter(col("score") >= tau)
+      .select(col("vec_id"), col("list_id").cast("long").as("list_id"), col("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+  }
+
   /** The PQ sub-code expressions over a frame carrying `v` — exposed so
     * the index build can append codes to the persisted lists without a
     * join. code_m = argmin over the codebook of ‖v_m − c_{l,m}‖²

@@ -465,4 +465,22 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(got(1)._2 == step2._1 && got(1)._4 == step2._2,
       s"step 2: got ${got(1)} want $step2")
   }
+
+  test("range search equals top-k over the same probes filtered at the threshold") {
+    val tau = 0.2
+    val range = graft.operators.Similarity.annRange(spark, sfDir, tau = tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(range.nonEmpty, "threshold admits nothing — vacuous")
+    assert(range.forall(_._3 >= tau), "a score under the bar leaked through")
+    // consistency: a huge-k top-k over the same probes, cut at tau, is
+    // exactly the range result (same probes, same rounding, same order)
+    val topk = graft.operators.Similarity.ivfAnn(spark, sfDir, k = 100000).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(_._3 >= tau)
+    assert(range.toSeq == topk.toSeq, "range and thresholded top-k diverge")
+    // dense-neighborhood property: the bar admits MORE than the default k
+    // would show or the query is trivially a top-k (either is fine, but
+    // the ordering must be total and deterministic)
+    assert(range.map(t => (-t._3, t._1)).toSeq == range.map(t => (-t._3, t._1)).sortBy(identity).toSeq)
+  }
 }
