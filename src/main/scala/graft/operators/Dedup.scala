@@ -56,21 +56,26 @@ object Dedup {
     * df/first-owner agg (map-side combined), then join back on the hash
     * (AQE-planned); no self-join, no all-pairs, no window over the
     * corpus. At 100 TB this is the standard two-pass chunk-hash dedup. */
-  /** The shared F49/F50 chunk frame: (doc_id, chunk_idx, h, occ_key) per
-    * non-empty w-word chunk of the (planted-wire) corpus, hashes-only
-    * through a checkpoint both consumers reuse. */
-  private def paragraphChunks(spark: SparkSession, dir: String, w: Int): DataFrame = {
-    val t = Tables(spark, dir)
-    // planted wire (the piiScrub/url-dedup convention): the corpus has no
-    // organic repeated paragraphs, so every 7th doc gets the SAME w-word
-    // boilerplate header prepended — the header/license-block shape this
-    // pass exists to strip; chunk 0 of each such doc is the boilerplate
-    // exactly, later chunks are the doc's own (shifted) text
-    val withBoiler = when(col("doc_id") % 7 === 0,
-      concat(lit(ParagraphBoiler + " "), col("text"))).otherwise(col("text"))
-    val docs = t.documents.select(col("doc_id"), split(withBoiler, " ").as("toks"))
+  /** The F49/F50/G15 planted wire over a (doc_id, text) frame (the
+    * piiScrub/url-dedup convention): the corpus has no organic repeated
+    * paragraphs, so every 7th doc gets the SAME w-word boilerplate
+    * header prepended — the header/license-block shape the paragraph
+    * pass exists to strip; chunk 0 of each such doc is the boilerplate
+    * exactly, later chunks are the doc's own (shifted) text. */
+  def paragraphWire(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(ParagraphBoiler + " "), col("text")))
+        .otherwise(col("text")).as("text"))
+
+  /** The shared F49/F50/G15 chunk frame over an explicit (doc_id, text)
+    * frame: (doc_id, chunk_idx, h, occ_key) per non-empty w-word chunk.
+    * No wire applied here — callers choose ([[paragraphWire]] for the
+    * registered ops, raw frames for specs). */
+  def paragraphChunksOf(docs: DataFrame, w: Int): DataFrame = {
+    val toksDf = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
     val nChunks = ceil(size(col("toks")).cast("double") / w).cast("int")
-    docs
+    toksDf
       .select(col("doc_id"), posexplode(
         transform(sequence(lit(0), greatest(nChunks - 1, lit(0))),
           i => array_join(slice(col("toks"), i * w + 1, lit(w)), " "))))
@@ -78,9 +83,16 @@ object Dedup {
       .filter(length(col("chunk")) > 0)
       .withColumn("h", md5(col("chunk").cast("binary")))
       .withColumn("occ_key", col("doc_id") * 1000000L + col("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"), col("h"), col("occ_key"))
+  }
+
+  /** The corpus chunk frame, hashes-only through a checkpoint both batch
+    * consumers reuse. */
+  private def paragraphChunks(spark: SparkSession, dir: String, w: Int): DataFrame = {
+    val t = Tables(spark, dir)
+    paragraphChunksOf(paragraphWire(t.documents.select(col("doc_id"), col("text"))), w)
       // hashes only through the checkpoint — the chunk STRINGS never
       // shuffle (the F30 rule: gram text stays partition-local)
-      .select(col("doc_id"), col("chunk_idx"), col("h"), col("occ_key"))
       .localCheckpoint(true)
   }
 

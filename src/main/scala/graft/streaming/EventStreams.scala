@@ -242,4 +242,59 @@ object EventStreams {
         (): Unit
       }
       .start()
+
+  /** G15: STREAMING paragraph dedup — the F49 pass as corpus INGEST:
+    * documents arrive in micro-batches, a persisted seen-chunk-hash
+    * ledger carries the dedup state across batches (the G14 state-publish
+    * pattern: read → union → atomic rename), and each batch emits its
+    * docs' reports immediately. Keep-first is ARRIVAL order — a chunk's
+    * keeper is its first occurrence across all batches so far (batch-
+    * local min occ_key for hashes the ledger hasn't seen) — which equals
+    * F49's min-(doc,chunk) rule exactly when docs arrive in id order
+    * (spec-pinned). The report carries n_chunks / n_kept / kept_checksum;
+    * a duplicate-count column is deliberately ABSENT: a stream cannot
+    * know whether a chunk will be duplicated by a future batch, and the
+    * batch op's corpus-wide n_dup is unknowable at emission time.
+    * State is O(distinct chunks); per-batch cost is O(batch + |ledger|
+    * join), the F24 incremental-dedup shape carried across restarts. */
+  def paragraphDedupStream(docs: DataFrame, stateDir: String, w: Int = 20)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import org.apache.spark.sql.functions._
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(stateDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val ledgerPath = new org.apache.hadoop.fs.Path(stateDir + "/seen")
+        val chunks = graft.operators.Dedup
+          .paragraphChunksOf(batch.toDF(), w).localCheckpoint(true)
+        // batch-local first occurrence per hash (arrival order within the
+        // batch = occ_key order, matching the batch op's tie rule)
+        val firsts = chunks.groupBy(col("h")).agg(min(col("occ_key")).as("first_occ"))
+        val seen =
+          if (fs.exists(ledgerPath)) spark.read.parquet(ledgerPath.toString)
+          else spark.emptyDataFrame.withColumn("h", lit("")).limit(0)
+            .select(col("h"))
+        // kept = first occurrence of a hash the ledger has never seen
+        val kept = chunks.join(firsts, Seq("h"))
+          .withColumn("batch_first", col("occ_key") === col("first_occ"))
+          .join(seen.withColumn("in_ledger", lit(true)), Seq("h"), "left")
+          .withColumn("kept", col("batch_first") && col("in_ledger").isNull)
+        kept.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("kept"),
+              conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
+              .otherwise(0L)).as("kept_checksum"))
+          .write.mode("append").parquet(stateDir + "/report")
+        // ledger' = ledger ∪ batch hashes, published atomically so a
+        // crashed batch can never leave a half-written state
+        val tmp = new org.apache.hadoop.fs.Path(stateDir + "/seen.next")
+        seen.select(col("h")).unionByName(firsts.select(col("h"))).distinct()
+          .write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(ledgerPath)) fs.delete(ledgerPath, true)
+        require(fs.rename(tmp, ledgerPath), s"ledger publish failed: $tmp -> $ledgerPath")
+        (): Unit
+      }
+      .start()
 }

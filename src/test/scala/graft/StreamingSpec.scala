@@ -439,4 +439,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         "state must carry the tombstone, not drop it")
     } finally q.stop()
   }
+
+  test("G15: streaming paragraph dedup over ordered batches equals the batch pass") {
+    implicit val sqlCtx = spark.sqlContext
+    // the SAME planted wire as F49, fed in doc_id order in three slices —
+    // arrival-order keep-first then coincides with the batch min-key rule
+    val wired = graft.operators.Dedup.paragraphWire(
+        Tables(spark, sfDir).documents.select(col("doc_id"), col("text")))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val stateDir = java.nio.file.Files.createTempDirectory("g15").toString + "/state"
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.paragraphDedupStream(
+      mem.toDF().toDF("doc_id", "text"), stateDir)
+    try {
+      val third = (wired.length + 2) / 3
+      wired.grouped(third).foreach { slice =>
+        mem.addData(slice.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      val streamed = spark.read.parquet(stateDir + "/report")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      // the batch op's report minus its corpus-wide dup count (a stream
+      // cannot know a chunk's FUTURE duplicates at emission time)
+      val batch = graft.operators.Dedup.dedupParagraph(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+        .sortBy(_._1).toSeq
+      assert(streamed == batch,
+        s"stream/batch diverged; first diff: ${
+          streamed.zip(batch).find(p => p._1 != p._2)}")
+      // the ledger is the corpus's distinct chunk set
+      assert(spark.read.parquet(stateDir + "/seen").count() ==
+        batch.map(_._3).sum, "ledger cardinality != kept chunks")
+    } finally q.stop()
+  }
 }
