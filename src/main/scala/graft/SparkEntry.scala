@@ -203,6 +203,7 @@ object SparkEntry {
     "text_ccnet_buckets"     -> ((s: SparkSession, d: String) => TextAnalysis.ccnetBuckets(s, d)),
     "mm_binary_meta"         -> Multimodal.binaryMeta _,
     "mm_frame_sample"        -> Multimodal.frameSample _,
+    "mm_scene_cut"           -> ((s, d) => Multimodal.sceneCut(s, d)),
     "mm_resize"              -> ((s: SparkSession, d: String) => Multimodal.resize(s, d)),
   )
 
@@ -2643,6 +2644,24 @@ object SparkEntry {
         |SELECT doc_id, frame_idx,
         | CAST(64 + (n * 31 + frame_idx * 7) % 997 AS BIGINT) AS frame_feature
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    // F52: lag/cumulative-break replay of the deterministic frame model
+    "mm_scene_cut" ->
+      """WITH m AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n FROM documents),
+        |f AS (SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |        CAST((n * 31 + i * i * 13) % 997 AS BIGINT) AS feat
+        |      FROM m, range(0, 40) t(i) WHERE i < n % 24 + 8),
+        |d AS (SELECT doc_id, frame_idx, feat,
+        |        CASE WHEN lag(feat) OVER w IS NULL THEN 1
+        |             WHEN abs(feat - lag(feat) OVER w) > 400 THEN 1 ELSE 0 END AS brk
+        |      FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)),
+        |s AS (SELECT doc_id, frame_idx,
+        |        sum(brk) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS scene_idx
+        |      FROM d)
+        |SELECT doc_id, CAST(scene_idx AS BIGINT) AS scene_idx,
+        |  min(frame_idx) AS start_frame, max(frame_idx) AS end_frame,
+        |  CAST(count(*) AS BIGINT) AS n_frames
+        |FROM s GROUP BY doc_id, scene_idx
+        |ORDER BY doc_id, scene_idx""".stripMargin,
     "mm_resize" ->
       """WITH g AS (SELECT doc_id,
         |  64 + strlen(text) % 1024 AS src_w, 64 + (strlen(text) * 7) % 1024 AS src_h,

@@ -64,6 +64,50 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** F52: scene-cut detection — the video curation step AFTER F14's frame
+    * sampling: segment each video into SCENES at abrupt inter-frame
+    * feature jumps (threshold on |Δfeature|, the classic content-based
+    * shot-boundary rule), emitting per-scene extents a clip sampler or
+    * captioner consumes. Frame count and per-frame features derive
+    * deterministically from the payload (STUB — a real pipeline plugs a
+    * decoder + embedding into the same shape), so the full segmentation
+    * is oracle-checkable. Scale shape: fan-out is partition-local
+    * flatMap (zero shuffle, like F14); the lag/cumulative-break window
+    * partitions per VIDEO over a BOUNDED frame count (8-31 here; real
+    * videos are minutes × fps, still bounded per key) — no corpus-wide
+    * window, one shuffle on the video id. */
+  def sceneCut(spark: SparkSession, dir: String, threshold: Long = 400L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val frames = t.documents
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { iter =>
+        iter.flatMap { case (id, text) =>
+          val n = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong
+          val nFrames = n % 24L + 8L // STUB: a decoder would read the container
+          (0L until nFrames).map { f =>
+            (id, f, (n * 31L + f * f * 13L) % 997L) // STUB frame feature
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "feat")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val brk = when(lag(col("feat"), 1).over(w).isNull, 1)
+      .when(abs(col("feat") - lag(col("feat"), 1).over(w)) > threshold, 1)
+      .otherwise(0)
+    frames
+      .withColumn("brk", brk)
+      .withColumn("scene_idx",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("scene_idx"))
+      .agg(min(col("frame_idx")).as("start_frame"),
+        max(col("frame_idx")).as("end_frame"),
+        count(lit(1)).as("n_frames"))
+      .orderBy(col("doc_id"), col("scene_idx"))
+  }
+
   /** F39: audio chunking — the third modality's staging step (image =
     * F12/F22, video = F14): a decoded waveform splits into OVERLAPPING
     * fixed-duration windows (the standard ASR/embedding front-end shape:

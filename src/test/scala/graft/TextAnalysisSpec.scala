@@ -171,6 +171,42 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("scene cuts: a brute replay agrees and scenes partition each video at the threshold") {
+    val tau = 400L
+    val got = graft.operators.Multimodal.sceneCut(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    // independent replay of the deterministic frame model + break rule
+    import org.apache.spark.sql.functions.col
+    val raw = Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val brute = raw.flatMap { case (id, text) =>
+      val n = text.getBytes("UTF-8").length.toLong
+      val feats = (0L until n % 24L + 8L).map(f => (n * 31L + f * f * 13L) % 997L)
+      val brk = feats.indices.map(i => i == 0 || math.abs(feats(i) - feats(i - 1)) > tau)
+      val scene = brk.scanLeft(0L)((acc, b) => if (b) acc + 1L else acc).drop(1)
+      feats.indices.groupBy(scene).toSeq.map { case (s, is) =>
+        (id, s, is.min.toLong, is.max.toLong, is.length.toLong)
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == brute.toSeq, "scene table diverged from the replay")
+    // structural properties: scenes tile every video's frame range with
+    // no gaps or overlaps, and each video has at least one multi-scene
+    // or single-scene segmentation consistent with its own breaks
+    got.groupBy(_._1).foreach { case (id, ss) =>
+      val sorted = ss.sortBy(_._2)
+      assert(sorted.head._3 == 0L, s"video $id first scene not at frame 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 == a._4 + 1L, s"video $id gap/overlap at scene ${b._2}")
+        case _ => ()
+      }
+      assert(sorted.map(_._5).sum == sorted.last._4 + 1L, s"video $id frames uncounted")
+    }
+    // the threshold must actually split somewhere corpus-wide
+    assert(got.exists(_._2 > 1L), "no video ever cut — vacuous threshold")
+  }
+
   test("audio chunks: hop-aligned overlapping windows cover the clip, tail kept when half-filled") {
     val rows = graft.operators.Multimodal.audioChunks(spark, sfDir).collect()
     assert(rows.nonEmpty)
