@@ -254,6 +254,59 @@ object PipelineDemo {
     }
   }
 
+  /** H1j: VACUUM of a manifest-published target ([[Pipeline.vacuum]]):
+    * three truncate generations publish ('F' → 'O' → 'P'; the publish GC
+    * retires gen 1 with its one-generation grace), a crashed writer's
+    * ORPHAN version dir is planted (stamp 0 — older than everything,
+    * never manifested), and vacuum sweeps exactly that orphan while both
+    * ledgered generations survive. The report computes live and previous
+    * stats from the RESOLVED parquet AFTER the vacuum — proving the
+    * sweep deleted the garbage and ONLY the garbage — with the
+    * kept/deleted dir counts on each row. */
+  def runVacuum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val target = Tables.scratch(spark, "graft_pipeline_vacuum")
+    def cfg(where: String) =
+      s"""{
+         |  "sources": [
+         |    {"name": "orders_snap", "path": "$dir/orders.parquet",
+         |     "where": "$where"}
+         |  ],
+         |  "load": {"target": "$target", "mode": "truncate"}
+         |}""".stripMargin
+    val prior = spark.conf.getOption("graft.publish.mode")
+    spark.conf.set("graft.publish.mode", "manifest")
+    try {
+      Seq("'F'", "'O'", "'P'").foreach { st =>
+        Pipeline.run(spark,
+          PipelineCfg.fromJson(cfg(s"o_orderstatus = $st"))).collect(): Unit
+      }
+      // the crashed writer: a version dir with data but no manifest entry
+      spark.read.parquet(s"$dir/orders.parquet").filter(col("o_orderkey") < 40)
+        .write.mode("overwrite").parquet(s"$target/orders_snap/v_0_0_0")
+      val (kept, deleted) = Pipeline.vacuum(spark, target, "orders_snap")
+      def gen(label: String, paths: Seq[String]) = {
+        val r = spark.read.parquet(paths: _*)
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("o_orderkey")).as("n_keys"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key")).head()
+        (label, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          kept.toLong, deleted.toLong)
+      }
+      Seq(gen("live", Pipeline.resolvePublished(spark, target, "orders_snap")),
+          gen("previous", Pipeline.resolvePrevGeneration(spark, target, "orders_snap")))
+        .toDF("generation", "n_rows", "n_keys", "min_key", "max_key",
+          "n_dirs_kept", "n_orphans_deleted")
+        .orderBy(col("generation"))
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("graft.publish.mode", v)
+        case None    => spark.conf.unset("graft.publish.mode")
+      }
+    }
+  }
+
   /** Config-listed WFS typename sweep (download_wfs.py:176
     * `download_wfs_service`: the config names N typed layers to pull from
     * one service; each stages as its own feature class). The typename

@@ -145,6 +145,7 @@ object SparkEntry {
     "pipeline_manifest"      -> (PipelineDemo.runManifest _),
     "pipeline_time_travel"   -> (PipelineDemo.runTimeTravel _),
     "pipeline_clone"         -> (PipelineDemo.runClone _),
+    "pipeline_vacuum"        -> (PipelineDemo.runVacuum _),
     // F — LLM-training-data operators
     "dedup_exact"            -> Dedup.dedupExact _,
     "dedup_paragraph"        -> ((s, d) => Dedup.dedupParagraph(s, d)),
@@ -1682,6 +1683,21 @@ object SparkEntry {
         | min(o_orderkey), max(o_orderkey)
         | FROM orders WHERE o_orderstatus = 'O'
         |ORDER BY view_name""".stripMargin,
+    // vacuum: after sweeping the planted orphan, the live ('P') and
+    // previous ('O') generations must still resolve to the full source
+    // slices; kept=2 (live+prev version dirs), deleted=1 (the orphan) —
+    // structural constants of the three-publish-one-orphan wire
+    "pipeline_vacuum" ->
+      """SELECT 'live' AS generation, count(*) AS n_rows,
+        | count(DISTINCT o_orderkey) AS n_keys,
+        | min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        | CAST(2 AS BIGINT) AS n_dirs_kept, CAST(1 AS BIGINT) AS n_orphans_deleted
+        | FROM orders WHERE o_orderstatus = 'P'
+        |UNION ALL
+        |SELECT 'previous', count(*), count(DISTINCT o_orderkey),
+        | min(o_orderkey), max(o_orderkey), CAST(2 AS BIGINT), CAST(1 AS BIGINT)
+        | FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY generation""".stripMargin,
     // config-staged container: one summary row per DISCOVERED layer under
     // its sanitized feature-class name, counts = that nation's suppliers
     // (lossless layer staging, each layer loaded exactly once)

@@ -453,6 +453,42 @@ object Pipeline {
     * republish; a clone that must outlive more needs a deep copy or a
     * republish into the clone target. Returns the number of version
     * directories captured. */
+  /** H1j: VACUUM for a manifest-published target — the explicit
+    * maintenance sweep the publish-time GC deliberately does NOT do:
+    * crashed/abandoned writers leave orphan `v_*` version directories
+    * that no manifest ever named, and the publish GC leaves them alone
+    * (it may only delete versions recorded in its own ledgers, or it
+    * could sweep a concurrent writer's in-flight dir). Vacuum deletes a
+    * `v_*` child iff it is (a) named by NEITHER the manifest NOR the
+    * `_GRAFT_PREV` ledger and (b) STRICTLY OLDER — by the millis stamp
+    * embedded in the version name — than the oldest retained version.
+    * (b) is the concurrency grace, wall-clock-free: an in-flight writer's
+    * dir is newer than the generation it will supersede, so it survives;
+    * the caveat (shared with retention-window vacuums everywhere) is a
+    * writer slower than a full publish cycle. Clone targets are safe by
+    * construction: their manifests list absolute FOREIGN paths and they
+    * own no local `v_*` children, so vacuum finds nothing to sweep.
+    * Returns (n_dirs_kept, n_orphans_deleted). */
+  def vacuum(spark: SparkSession, target: String, name: String): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val base0 = new Path(target, safeNameString(name))
+    val fs = base0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = fs.makeQualified(base0)
+    val retained = (readManifest(fs, base) ++ readLines(fs, prevFile(base))).toSet
+    def millisOf(n: String): Long = n.split("_").lift(1)
+      .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(Long.MaxValue)
+    val floor =
+      if (retained.isEmpty) Long.MinValue
+      else retained.map(millisOf).min
+    val children =
+      if (!fs.exists(base)) Array.empty[String]
+      else fs.listStatus(base).filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("v_"))
+    val orphans = children.filterNot(retained.contains).filter(n => millisOf(n) < floor)
+    orphans.foreach(n => fs.delete(new Path(base, n), true): Unit)
+    (children.length - orphans.length, orphans.length)
+  }
+
   def clonePublish(spark: SparkSession, srcTarget: String, srcName: String,
       cloneTarget: String, cloneName: String): Int = {
     import org.apache.hadoop.fs.Path

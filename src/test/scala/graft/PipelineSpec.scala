@@ -550,4 +550,46 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("r", 5L)))
     assert(!new java.io.File(tgt).exists(), "dev overlay must gate the load off")
   }
+
+  test("vacuum sweeps only ledgerless old orphans, is idempotent, and spares in-flight dirs") {
+    import org.apache.spark.sql.functions.col
+    val target = java.nio.file.Files.createTempDirectory("vacuum").toString
+    def cfg(where: String) =
+      s"""{"sources": [{"name": "o", "path": "$sfDir/orders.parquet",
+         |  "where": "$where"}],
+         | "load": {"target": "$target", "mode": "truncate"}}""".stripMargin
+    val prior = spark.conf.getOption("graft.publish.mode")
+    spark.conf.set("graft.publish.mode", "manifest")
+    try {
+      Seq("o_orderstatus = 'F'", "o_orderstatus = 'O'").foreach { w =>
+        Pipeline.run(spark, PipelineCfg.fromJson(cfg(w))).collect(): Unit
+      }
+      val base = new java.io.File(s"$target/o")
+      val sample = spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter(col("o_orderkey") < 40)
+      // old orphan (stamp 0) must go; an in-flight-looking dir with a
+      // stamp NEWER than every retained version must survive
+      sample.write.parquet(s"$target/o/v_0_0_0")
+      sample.write.parquet(s"$target/o/v_${Long.MaxValue}_9_9")
+      val liveBefore = Pipeline.resolvePublished(spark, target, "o")
+      val (kept, deleted) = Pipeline.vacuum(spark, target, "o")
+      assert(deleted == 1, s"expected exactly the old orphan swept, got $deleted")
+      assert(!new java.io.File(base, "v_0_0_0").exists(), "old orphan survived")
+      assert(base.listFiles().exists(_.getName.startsWith(s"v_${Long.MaxValue}")),
+        "in-flight dir must not be swept")
+      assert(kept == 3, s"live + prev + in-flight expected kept, got $kept")
+      // retained generations still fully scannable
+      assert(Pipeline.resolvePublished(spark, target, "o") == liveBefore)
+      assert(spark.read.parquet(liveBefore: _*).count() ==
+        spark.read.parquet(s"$sfDir/orders.parquet")
+          .filter(col("o_orderstatus") === "O").count())
+      // idempotent: a second sweep finds nothing
+      assert(Pipeline.vacuum(spark, target, "o") == ((3, 0)))
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("graft.publish.mode", v)
+        case None    => spark.conf.unset("graft.publish.mode")
+      }
+    }
+  }
 }
