@@ -157,6 +157,8 @@ object SparkEntry {
     "dedup_simhash"          -> ((s: SparkSession, d: String) => Dedup.simhashBuckets(s, d)),
     "dedup_winnow"           -> ((s: SparkSession, d: String) => Dedup.winnowDedup(s, d)),
     "dedup_semantic"         -> ((s: SparkSession, d: String) => Similarity.semDedup(s, d)),
+    "graph_pagerank"         -> ((s: SparkSession, d: String) => Graph.pagerank(s, d)),
+    "sample_density_prune"   -> ((s: SparkSession, d: String) => Similarity.densityPrune(s, d)),
     "neardup_cosine"         -> ((s: SparkSession, d: String) => Similarity.neardupCosine(s, d)),
     "neardup_ivf_gated"      -> ((s: SparkSession, d: String) => Similarity.neardupIvfGated(s, d)),
     "ann_topk"               -> ((s: SparkSession, d: String) => Similarity.annTopK(s, d)),
@@ -190,6 +192,7 @@ object SparkEntry {
     "text_lm_score"          -> TextAnalysis.lmScore _,
     "sample_stratified"      -> ((s: SparkSession, d: String) => TextAnalysis.stratifiedSample(s, d)),
     "sample_curriculum"      -> ((s: SparkSession, d: String) => TextAnalysis.sampleCurriculum(s, d)),
+    "sample_shuffle"         -> ((s: SparkSession, d: String) => TextAnalysis.sampleShuffle(s, d)),
     "q_set_ops"              -> Relational.qSetOps _,
     "sample_weighted"        -> ((s: SparkSession, d: String) => TextAnalysis.weightedSample(s, d)),
     "sample_balanced"        -> TextAnalysis.sampleBalanced _,
@@ -1932,6 +1935,48 @@ object SparkEntry {
     // duplicated-substring spans: grams keyed by their raw text in the
     // oracle (Spark groups the same strings), 1-based word positions,
     // identical island arithmetic — integer outputs, exact parity
+    // F53: the gram/edge CTEs restate the graph construction (equality
+    // classes on the gram STRING — identical to the engine's 64-bit gram
+    // hashes absent a collision, the dedup_substring argument); the K
+    // power-iteration rounds are unrolled as chained CTEs replaying the
+    // EXACT integer-PPM recurrence — per-edge floor `(pr*w)//W` before
+    // the sum, then `150000 + (850000*inflow)//1000000` — so both
+    // engines agree bit-for-bit with zero float folding
+    "graph_pagerank" -> {
+      val iterCtes = (1 to 5).map { i =>
+        s"""pr$i AS (SELECT n.doc_id,
+           |  CAST(150000 + (850000 * COALESCE(s.infl, 0)) // 1000000 AS BIGINT) AS pr
+           | FROM n LEFT JOIN (
+           |   SELECT e.dst AS doc_id, sum((p.pr * e.w) // ow.tw) AS infl
+           |   FROM e JOIN pr${i - 1} p ON p.doc_id = e.src
+           |   JOIN ow ON ow.src = e.src GROUP BY 1) s USING (doc_id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |g0 AS (SELECT doc_id,
+         |  unnest(CASE WHEN len(toks) >= 8
+         |    THEN [array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 7 AS INT)), ' ')
+         |          for i in range(1, len(toks) - 6)]
+         |    ELSE [] END) AS gram
+         | FROM t),
+         |g AS (SELECT DISTINCT doc_id, gram FROM g0),
+         |f AS (SELECT gram FROM g GROUP BY gram HAVING count(*) BETWEEN 2 AND 32),
+         |o AS (SELECT g.doc_id, g.gram FROM g JOIN f USING (gram)),
+         |e AS (SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS w
+         |      FROM o a JOIN o b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+         |      GROUP BY 1, 2),
+         |ow AS (SELECT src, sum(w) AS tw FROM e GROUP BY 1),
+         |n AS (SELECT doc_id FROM documents),
+         |pr0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS pr FROM n),
+         |$iterCtes,
+         |deg AS (SELECT src AS doc_id, count(*) AS n_neighbors,
+         |        sum(w) AS out_weight FROM e GROUP BY 1)
+         |SELECT n.doc_id,
+         |  CAST(COALESCE(deg.n_neighbors, 0) AS BIGINT) AS n_neighbors,
+         |  CAST(COALESCE(deg.out_weight, 0) AS BIGINT) AS out_weight,
+         |  pr5.pr AS pr_ppm
+         |FROM n LEFT JOIN deg USING (doc_id) JOIN pr5 USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
     "dedup_substring" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
          |g AS (SELECT doc_id,
@@ -2100,6 +2145,45 @@ object SparkEntry {
     // SemDeDup: same label-mean quantizer CTEs as neardup_ivf_gated, then
     // the paper's one-pass dominance rule (drop x iff a same-cluster
     // duplicate y has lower rounded centroid-similarity, ties to lower id)
+    // F55: the oracle states the global permutation directly (one window
+    // over the bijective modular hash); the engine must reach the SAME
+    // per-row (shard, pos) through the chunked prefix-sum rank
+    "sample_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+        |  (doc_id % 1000000007) * 999999937 % 1000000007 AS h FROM documents),
+        |r AS (SELECT doc_id, h,
+        |  row_number() OVER (ORDER BY h, doc_id) - 1 AS rk FROM h)
+        |SELECT doc_id, CAST(h AS BIGINT) AS h,
+        |  CAST(rk % 16 AS BIGINT) AS shard,
+        |  CAST(rk // 16 AS BIGINT) AS pos
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // F54: same e/c/asg/w CTEs as dedup_semantic (the refine=0 label-mean
+    // quantizer replay), then the per-cluster density rank and the
+    // all-integer drop quota — kept ⇔ rank > floor(n/4) on the ROUNDED
+    // centroid similarity, so the verdict is engine-portable
+    "sample_density_prune" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT label AS c_label, list(a ORDER BY pos) AS cv
+         |  FROM (SELECT label, pos, avg(x) AS a
+         |    FROM (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e)
+         |    GROUP BY label, pos)
+         |  GROUP BY label),
+         |a AS (SELECT vec_id, c_label, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ${cosSql("v", "cv")} DESC, c_label) AS rn FROM e CROSS JOIN c),
+         |asg AS (SELECT vec_id, c_label AS list_id FROM a WHERE rn = 1),
+         |w AS (SELECT e.vec_id, asg.list_id,
+         |    round(${cosSql("e.v", "c.cv")}, 4) AS csim
+         |  FROM e JOIN asg ON e.vec_id = asg.vec_id
+         |   JOIN c ON c.c_label = asg.list_id),
+         |r AS (SELECT vec_id, list_id, csim,
+         |    row_number() OVER (PARTITION BY list_id ORDER BY csim DESC, vec_id) AS rnk,
+         |    count(*) OVER (PARTITION BY list_id) AS n
+         |  FROM w)
+         |SELECT vec_id, CAST(list_id AS BIGINT) AS list_id, csim,
+         |  CAST(rnk AS BIGINT) AS density_rank,
+         |  CAST(n AS BIGINT) AS cluster_size,
+         |  rnk > (n * 1) // 4 AS kept
+         |FROM r ORDER BY vec_id""".stripMargin,
     "dedup_semantic" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          |c AS (SELECT label AS c_label, list(a ORDER BY pos) AS cv

@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph operators over document-similarity graphs (SURVEY §2 F53).
+  *
+  * Connected components (F19, Dedup.scala) collapse a similarity graph
+  * into dup groups; PageRank ranks WITHIN it — the web-graph authority
+  * idea applied to a corpus duplication graph, a real curation signal
+  * (documents whose text is re-shared across many distinct documents
+  * are hubs of boilerplate or of genuinely canonical content; either
+  * way the rank is the right input to a sampling policy, the same role
+  * URL-graph PageRank plays in CommonCrawl-derived corpora).
+  *
+  * Scale design: grams collapse to 64-bit hashes BEFORE anything
+  * shuffles; per-gram fan-out is bounded by the document-frequency cap
+  * (a gram shared by n docs yields n·(n−1) directed pairs, n ≤ dfCap —
+  * corpus-wide boilerplate is excluded by the cap, exactly the winnow
+  * df-cap argument); the edge list is built once, re-partitioned by
+  * `src` and locally checkpointed, so each of the K iterations shuffles
+  * only the (doc_id, pr) rank frame — one row per document — while the
+  * edges stay pinned. That is the Pregel message-passing shape on
+  * DataFrames: K rounds, each one bounded shuffle of the small side.
+  */
+object Graph {
+
+  /** F53: PageRank over the shared-gram document graph, in EXACT integer
+    * PPM fixed-point so both engines agree bit-for-bit with zero float
+    * folding (the dedup_soft convention): every per-edge contribution is
+    * floored BEFORE the sum — `(pr·w) div W` — making the aggregate
+    * order-independent, and the damping update is
+    * `pr' = 150_000 + (850_000 · inflow) div 1_000_000` (d = 0.85 in
+    * PPM; floor losses and isolated-node teleport mass are part of the
+    * declared recurrence, replayed identically by the oracle).
+    *
+    * Graph: nodes = all documents; a directed edge u→v (and v→u, by
+    * symmetry of the construction) with weight = number of DISTINCT
+    * word 8-grams shared by u and v, counting only grams whose corpus
+    * document frequency lies in [2, dfCap].
+    *
+    * Reference analogue: the reference has no graph operator — this is
+    * part of the mandated beyond-the-reference training-data surface.
+    */
+  def pagerank(spark: SparkSession, dir: String, k: Int = 8, dfCap: Int = 32,
+               iters: Int = 5): DataFrame =
+    pagerankOf(Tables(spark, dir).documents, k, dfCap, iters)
+
+  /** The F53 compute over any (doc_id, text) frame — specs feed synthetic
+    * corpora with hand-replayable graph structure through the SAME code
+    * path the registered query runs. */
+  def pagerankOf(documents: DataFrame, k: Int, dfCap: Int, iters: Int): DataFrame = {
+    val docs = documents.select(col("doc_id"))
+    // (1) distinct (doc, gram-hash) incidence — one explode, hashes only
+    // from here on (8-byte keys through every shuffle).
+    val occ = documents
+      .select(col("doc_id"),
+        explode(TextAnalysis.wordGrams(TextAnalysis.tokens(col("text")), k)).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+      .distinct()
+    // (2) shared grams with bounded fan-out: df in [2, dfCap]. The dup
+    // set is small (shared keys only) and broadcasts into the semi join.
+    val shared = occ.groupBy(col("gh")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs").between(2, dfCap))
+    val hits = occ.join(shared.select(col("gh")), Seq("gh"), "left_semi")
+    // (3) edge list: self-join on the gram hash (per-key fan-out ≤ dfCap²
+    // by construction), collapsed to (src, dst, w). Built ONCE; the
+    // repartition pins the layout the iteration joins reuse.
+    val pairs = hits.as("a").join(hits.as("b"),
+        col("a.gh") === col("b.gh") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val outw = pairs.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+    val edges = pairs.join(outw, Seq("src"))
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    // (4) K power-iteration rounds. Integer fixed-point: pr ≤ total
+    // corpus mass (n_docs · 1e6), so pr·w and 850_000·inflow stay far
+    // inside LONG for any realistic corpus.
+    var pr = docs.withColumn("pr", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val inflow = edges.join(pr, edges("src") === pr("doc_id"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(sum(expr("(pr * w) div out_w")).as("infl"))
+      pr = docs.join(inflow, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit(150000L) + expr("(850000 * coalesce(infl, 0L)) div 1000000")).as("pr"))
+        .localCheckpoint(true)
+    }
+    val deg = pairs.groupBy(col("src").as("doc_id"))
+      .agg(count(lit(1)).as("n_neighbors"), sum(col("w")).as("out_weight"))
+    docs.join(deg, Seq("doc_id"), "left")
+      .join(pr, Seq("doc_id"))
+      .select(col("doc_id"),
+        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+        coalesce(col("out_weight"), lit(0L)).as("out_weight"),
+        col("pr").as("pr_ppm"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.Vec
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity search (SURVEY §2 F6–F8) over the
@@ -436,17 +437,58 @@ object Similarity {
     * written at index time, and the centroid-similarity score joins
     * against the tiny broadcast centroid table. At 100 TB the pair stage
     * reads each list partition once and never shuffles a vector twice. */
-  def semDedup(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+  /** The clustered, centroid-scored corpus frame (vec_id, list_id, v,
+    * nrm, csim) served from the PERSISTED index — the shared input of
+    * SemDeDup (F41) and density pruning (F54): one partition-pruned list
+    * read joined against the tiny broadcast centroid table. */
+  def centroidScored(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (listsPath, cents) = ivfIndex(spark, dir)
     val centsDf = cents.toDF("list_id", "cv")
       .select(col("list_id"), col("cv").cast("array<double>").as("cv"))
       .withColumn("cnrm", Vec.norm(col("cv")))
-    val e = ivfLists(spark, listsPath)
+    ivfLists(spark, listsPath)
       .join(broadcast(centsDf), Seq("list_id"))
       .withColumn("csim", round(Vec.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 4))
       .select(col("vec_id"), col("list_id"), col("v"), col("nrm"), col("csim"))
-    semDedupVerdicts(e, threshold)
+  }
+
+  def semDedup(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame =
+    semDedupVerdicts(centroidScored(spark, dir), threshold)
+
+  /** F54: density-based data pruning (Sorscher et al. 2022, "Beyond
+    * neural scaling laws" — the SSL-prototypes rule): within each
+    * cluster, the examples CLOSEST to the centroid are the most
+    * prototypical/redundant, so the prune drops the densest
+    * `dropNum/dropDen` fraction per cluster and keeps the rest — unlike
+    * SemDeDup (F41), which removes near-identical PAIRS wherever they
+    * sit, this thins uniformly-dense regions on a per-cluster quota with
+    * no pairwise stage at all.
+    *
+    * Rank = row_number over (csim DESC, vec_id) per cluster; kept ⇔
+    * rank > floor(n·dropNum/dropDen) — all-integer boundary over the
+    * ROUNDED (4-dec) centroid similarity, so the keep/drop verdict is
+    * engine-portable (the ann_range convention).
+    *
+    * Scale shape: the ONLY stage beyond the F41-shared centroid-scored
+    * read is one window per list_id — cluster-bounded state (the index
+    * build balances list sizes; spread spec-pinned at build time), no
+    * pair join, no corpus-wide window. At 100 TB: partition-pruned list
+    * scan + per-list rank = the cheapest member of the whole
+    * cluster-pruning family. */
+  def densityPrune(spark: SparkSession, dir: String,
+                   dropNum: Int = 1, dropDen: Int = 4): DataFrame = {
+    val wp = Window.partitionBy(col("list_id"))
+      .orderBy(col("csim").desc, col("vec_id"))
+    centroidScored(spark, dir)
+      .withColumn("density_rank", row_number().over(wp).cast("long"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("list_id"))).cast("long"))
+      .select(col("vec_id"), col("list_id").cast("long").as("list_id"),
+        col("csim"), col("density_rank"), col("cluster_size"),
+        (col("density_rank") >
+          expr(s"(cluster_size * $dropNum) div $dropDen")).as("kept"))
+      .orderBy(col("vec_id"))
   }
 
   /** F8d: BATCH IVF ANN — the production shape of F8b: N queries resolved

@@ -570,6 +570,40 @@ object TextAnalysis {
     * Buckets then follow the SQL-standard ntile fill (larger buckets
     * first) as pure integer math on the global rank — bit-identical to
     * DuckDB's native ntile, which the oracle uses. */
+  /** F55: deterministic global training-order shuffle + shard
+    * assignment — the LAST step of every curation pipeline: the kept
+    * corpus must reach the trainer in a reproducible pseudo-random order
+    * split into balanced shards, and "ORDER BY rand()" is neither
+    * reproducible nor scale-safe. Order key = a modular multiplicative
+    * hash `h = (doc_id mod P)·M mod P` (P = 1e9+7 prime, M coprime —
+    * BIJECTIVE over [0,P), so the permutation is collision-free and
+    * every engine replays it in plain integer arithmetic); global
+    * position = the EXACT chunked prefix-sum rank over (h, doc_id) (the
+    * F33 scheme — no single-task window at any corpus size); shard =
+    * round-robin `(rank−1) mod nShards` (perfectly balanced, ±1), pos =
+    * `(rank−1) div nShards` (the write offset within the shard).
+    *
+    * Scale shape: per-row hash arithmetic, one ≤driver-sized chunk
+    * histogram, local ranks under per-chunk window partitions — the
+    * plan a 1000-executor sort-free shuffle wants. A writer then
+    * `partitionBy(shard)` + sorts within partitions by pos. */
+  def sampleShuffle(spark: SparkSession, dir: String, nShards: Int = 16,
+      nChunks: Int = 32): DataFrame = {
+    val t = Tables(spark, dir)
+    val P = 1000000007L
+    val M = 999999937L
+    val scored = t.documents.select(col("doc_id"))
+      .withColumn("h", expr(s"(doc_id % $P) * $M % $P"))
+      // descending-score order == ascending-h order: the F33 chunker's
+      // native ordering, reused unchanged (h < P ⇒ distinct doubles)
+      .withColumn("quality_score", lit(1.0) - col("h").cast("double") / P)
+    val (ranked, _) = exactGlobalRank(scored, nChunks)
+    ranked.select(col("doc_id"), col("h"),
+        expr(s"(rank - 1) % $nShards").cast("long").as("shard"),
+        expr(s"(rank - 1) div $nShards").cast("long").as("pos"))
+      .orderBy(col("doc_id"))
+  }
+
   def sampleCurriculum(spark: SparkSession, dir: String, nBuckets: Int = 10,
       nChunks: Int = 32): DataFrame =
     curriculumBuckets(quality(spark, dir)
@@ -642,25 +676,35 @@ object TextAnalysis {
 
   /** The F33 core over an explicit (doc_id, n_words, quality_score)
     * frame, so specs can plant degenerate score distributions. */
-  def curriculumBuckets(scored: DataFrame, nBuckets: Int, nChunks: Int): DataFrame = {
+  /** EXACT 1-based global rank in (quality_score DESC, doc_id) order
+    * with NO single-task window — the chunked prefix-sum scheme (chunk
+    * keys per-row, ≤driver-sized chunk histogram prefix-summed, local
+    * rank under per-chunk window partitions) shared by the curriculum
+    * ntile (F33) and the training-order shuffle (F55). Returns the
+    * ranked frame and the total row count. */
+  def exactGlobalRank(scored: DataFrame, nChunks: Int): (DataFrame, Long) = {
     import org.apache.spark.sql.expressions.Window
     val spark = scored.sparkSession
     import spark.implicits._
     val (keyed, counts) = curriculumChunkKeys(scored, nChunks)
     var acc = 0L
     val offs = counts.map { case (k, c) => val o = (k, acc); acc += c; o }
-    val total = acc
     val offDf = offs.toDF("ckey", "chunk_off")
     val wLocal = Window.partitionBy(col("ckey"))
       .orderBy(col("quality_score").desc, col("doc_id"))
+    (keyed.join(broadcast(offDf), Seq("ckey"))
+      .withColumn("rank", col("chunk_off") + row_number().over(wLocal)), acc)
+  }
+
+  def curriculumBuckets(scored: DataFrame, nBuckets: Int, nChunks: Int): DataFrame = {
+    val (ranked, total) = exactGlobalRank(scored, nChunks)
     // SQL-standard ntile: the first (total mod n) buckets take
     // ceil(total/n) rows, the rest floor(total/n)
     val nBig = total % nBuckets
     val szBig = total / nBuckets + (if (nBig > 0) 1L else 0L)
     val szSmall = total / nBuckets
     val cut = nBig * szBig
-    keyed.join(broadcast(offDf), Seq("ckey"))
-      .withColumn("rank", col("chunk_off") + row_number().over(wLocal))
+    ranked
       .withColumn("bucket",
         when(col("rank") <= cut, (col("rank") - 1) / szBig)
           .otherwise(lit(nBig) + (col("rank") - 1 - cut) / lit(math.max(szSmall, 1L))))

@@ -483,4 +483,26 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     // the ordering must be total and deterministic)
     assert(range.map(t => (-t._3, t._1)).toSeq == range.map(t => (-t._3, t._1)).sortBy(identity).toSeq)
   }
+
+  test("density prune: exact floor(n/4) quota per cluster, densest dropped, prune-nothing identity") {
+    val got = Similarity.densityPrune(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(got.nonEmpty)
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      val n = rows.head._5
+      assert(rows.forall(_._5 == n), "cluster_size disagrees within a cluster")
+      assert(rows.length.toLong == n)
+      val dropped = rows.filterNot(_._6)
+      assert(dropped.length.toLong == n / 4, "drop quota is not floor(n/4)")
+      // the dropped set is exactly the top-ranked (densest) prefix
+      assert(dropped.map(_._4).sorted.toSeq == (1L to n / 4).toSeq)
+      // rank order replays (csim DESC, vec_id) exactly
+      val byRank = rows.sortBy(_._4).map(r => (-r._3, r._1)).toSeq
+      assert(byRank == byRank.sortBy(identity), "density rank disagrees with (csim DESC, vec_id)")
+    }
+    // dropNum=0: the prune-nothing identity keeps every row
+    val all = Similarity.densityPrune(spark, sfDir, dropNum = 0).collect()
+    assert(all.forall(_.getBoolean(5)))
+    assert(all.length == got.length)
+  }
 }

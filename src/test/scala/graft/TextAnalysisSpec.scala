@@ -425,4 +425,23 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(jobs > 0 && jobs <= 4, s"serving ran $jobs jobs — layout not reused?")
   }
+
+  test("sample_shuffle: bijective permutation, balanced shards, rank replays (h, doc_id) order") {
+    val rows = TextAnalysis.sampleShuffle(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // the hash is injective over doc_ids < P: no order-key collisions
+    assert(rows.map(_._2).distinct.length == rows.length)
+    // (shard, pos) is a bijection onto [0,16) x [0, ceil(n/16))
+    assert(rows.map(t => (t._3, t._4)).distinct.length == rows.length)
+    val sizes = rows.groupBy(_._3).view.mapValues(_.length).values.toSeq
+    assert(sizes.max - sizes.min <= 1, "shards unbalanced beyond ±1")
+    // global order: reconstruct rank = pos*16 + shard, must sort by (h, doc_id)
+    val byRank = rows.sortBy(t => t._4 * 16 + t._3).map(t => (t._2, t._1)).toSeq
+    assert(byRank == byRank.sortBy(identity), "rank order disagrees with (h, doc_id)")
+    // within a shard, pos is dense from 0
+    rows.groupBy(_._3).foreach { case (_, rs) =>
+      assert(rs.map(_._4).sorted.toSeq == (0L until rs.length.toLong).toSeq)
+    }
+  }
 }

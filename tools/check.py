@@ -73,3 +73,29 @@ for d in sorted(glob.glob(f"{out_dir}/*/")):
         except Exception as e:
             print(f"✗ {name}: rows-only UNREADABLE {e}")
 print(f"\n{n_ok}/{len(oracle)} exact-match")
+
+# --record: refresh CORRECTNESS_LOCAL.json from THIS run (only meaningful
+# after a full, unfiltered Verify dump — a filtered run would understate)
+if "--record" in sys.argv:
+    rows_only = {}
+    for d in sorted(glob.glob(f"{out_dir}/*/")):
+        name = os.path.basename(d.rstrip("/"))
+        if name not in oracle:
+            try:
+                rows_only[name] = f"{len(pd.read_parquet(d))} rows"
+            except Exception as e:
+                rows_only[name] = f"UNREADABLE {e}"
+    rec = {
+        "sf": sf_dir.rstrip("/").split("/")[-1].replace("sf", ""),
+        "n_queries": len(oracle) + len(rows_only),
+        "n_oracle": len(oracle),
+        "n_hash_match": n_ok,
+        "n_rows_only": len(rows_only),
+        "queries": dict(sorted(results.items())),
+        "rows_only": rows_only,
+    }
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "CORRECTNESS_LOCAL.json")
+    with open(path, "w") as f:
+        json.dump(rec, f, indent=1)
+    print(f"recorded -> {path}")
