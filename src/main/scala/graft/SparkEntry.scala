@@ -74,6 +74,7 @@ object SparkEntry {
     "load_partitioned_prune" -> ((s: SparkSession, d: String) => LoadOps.partitionedPrune(s, d)),
     "load_cdc_merge"         -> LoadOps.cdcMerge _,
     "load_changelog_apply"   -> LoadOps.changelogApply _,
+    "load_check_constraints" -> LoadOps.checkConstraints _,
     "mon_source_summary"     -> LoadOps.sourceSummary _,
     "mon_authority_rollup"   -> LoadOps.authorityRollup _,
     "mon_error_patterns"     -> LoadOps.errorPatterns _,
@@ -159,6 +160,9 @@ object SparkEntry {
     "dedup_semantic"         -> ((s: SparkSession, d: String) => Similarity.semDedup(s, d)),
     "graph_pagerank"         -> ((s: SparkSession, d: String) => Graph.pagerank(s, d)),
     "sample_density_prune"   -> ((s: SparkSession, d: String) => Similarity.densityPrune(s, d)),
+    "mon_embedding_drift"    -> ((s: SparkSession, d: String) => Similarity.embeddingDrift(s, d)),
+    "ann_ivf_append"         -> Similarity.ivfAppend _,
+    "emb_pca_power"          -> ((s: SparkSession, d: String) => Similarity.embPcaPower(s, d)),
     "neardup_cosine"         -> ((s: SparkSession, d: String) => Similarity.neardupCosine(s, d)),
     "neardup_ivf_gated"      -> ((s: SparkSession, d: String) => Similarity.neardupIvfGated(s, d)),
     "ann_topk"               -> ((s: SparkSession, d: String) => Similarity.annTopK(s, d)),
@@ -194,6 +198,7 @@ object SparkEntry {
     "sample_curriculum"      -> ((s: SparkSession, d: String) => TextAnalysis.sampleCurriculum(s, d)),
     "sample_shuffle"         -> ((s: SparkSession, d: String) => TextAnalysis.sampleShuffle(s, d)),
     "q_set_ops"              -> Relational.qSetOps _,
+    "q_corr_matrix"          -> Relational.qCorrMatrix _,
     "sample_weighted"        -> ((s: SparkSession, d: String) => TextAnalysis.weightedSample(s, d)),
     "sample_balanced"        -> TextAnalysis.sampleBalanced _,
     "mm_contrastive_pairs"   -> ((s: SparkSession, d: String) => TextAnalysis.contrastivePairs(s, d)),
@@ -208,6 +213,8 @@ object SparkEntry {
     "mm_binary_meta"         -> Multimodal.binaryMeta _,
     "mm_frame_sample"        -> Multimodal.frameSample _,
     "mm_scene_cut"           -> ((s, d) => Multimodal.sceneCut(s, d)),
+    "mm_clip_sample"         -> ((s, d) => Multimodal.clipSample(s, d)),
+    "load_partition_evolution" -> (LoadOps.partitionEvolution _),
     "mm_resize"              -> ((s: SparkSession, d: String) => Multimodal.resize(s, d)),
   )
 
@@ -849,6 +856,27 @@ object SparkEntry {
         |SELECT action, count(*) AS n, round(sum(value), 2) AS value_sum
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     // the four-generation history replayed via arg_max latest-wins; the
+    // D35: the oracle restates the declared predicates verbatim — one
+    // conditional-agg scan, then one branch per constraint off the single
+    // agg row; the SQL is GENERATED from the same (name, predicate) list
+    // order the engine declares, so the two can't drift
+    "load_check_constraints" -> {
+      val defs = Seq(
+        "discount_le_8pct" -> "l_discount <= 0.08",
+        "price_covers_qty" -> "l_extendedprice >= l_quantity",
+        "qty_le_45"        -> "l_quantity <= 45.0",
+        "qty_positive"     -> "l_quantity > 0.0",
+        "tax_le_6pct"      -> "l_tax <= 0.06")
+      val aggCols = defs.zipWithIndex.flatMap { case ((_, p), i) =>
+        Seq(s"sum(CASE WHEN NOT ($p) THEN 1 ELSE 0 END) AS v$i",
+          s"COALESCE(min(CASE WHEN NOT ($p) THEN l_orderkey END), -1) AS k$i") }
+      val branches = defs.zipWithIndex.map { case ((n, _), i) =>
+        s"SELECT '$n' AS constraint_name, n_rows, CAST(v$i AS BIGINT) AS n_viol, " +
+          s"CAST(v$i * 1000000 // n_rows AS BIGINT) AS viol_ppm, " +
+          s"CAST(k$i AS BIGINT) AS first_bad_key FROM s" }
+      s"WITH s AS (SELECT count(*) AS n_rows, ${aggCols.mkString(", ")} FROM lineitem)\n" +
+        branches.mkString("\nUNION ALL\n") + "\nORDER BY constraint_name"
+    },
     // delete sentinel value keeps arg NULL semantics out of the compare
     "load_changelog_apply" ->
       """WITH log AS (
@@ -1613,6 +1641,16 @@ object SparkEntry {
         | round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
         | round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // E34: the oracle is GENERATED from the same ordered column list as
+    // the engine's pair loop (one branch per unordered pair)
+    "q_corr_matrix" -> {
+      val cs = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+      val branches = for { i <- cs.indices; j <- cs.indices if i < j } yield
+        s"SELECT '${cs(i)}' AS col_a, '${cs(j)}' AS col_b, " +
+          s"round(corr(${cs(i)}, ${cs(j)}), 4) AS pearson_r, " +
+          s"count(*) AS n_rows FROM lineitem"
+      branches.mkString("\nUNION ALL\n") + "\nORDER BY col_a, col_b"
+    },
     "q_stats" ->
       """SELECT event_type, count(*) AS n,
         | round(stddev_samp(value), 4) AS sd_value,
@@ -2157,6 +2195,83 @@ object SparkEntry {
         |  CAST(rk % 16 AS BIGINT) AS shard,
         |  CAST(rk // 16 AS BIGINT) AS pos
         |FROM r ORDER BY doc_id""".stripMargin,
+    // D36: one conditional per-dimension avg pass replayed; drift verdict
+    // compared on the ROUNDED centroid cosine in both engines
+    "mon_embedding_drift" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         |  vec_id % 5 = 0 AS is_cur FROM embeddings),
+         |u AS (SELECT label, is_cur, unnest(v) AS x,
+         |  generate_subscripts(v, 1) AS pos FROM e),
+         |d AS (SELECT label, pos,
+         |  avg(CASE WHEN NOT is_cur THEN x END) AS rc,
+         |  avg(CASE WHEN is_cur THEN x END) AS cc
+         | FROM u GROUP BY label, pos),
+         |c AS (SELECT label, list(rc ORDER BY pos) AS ref_cv,
+         |  list(cc ORDER BY pos) AS cur_cv FROM d GROUP BY label),
+         |n AS (SELECT label,
+         |  sum(CASE WHEN NOT is_cur THEN 1 ELSE 0 END) AS n_ref,
+         |  sum(CASE WHEN is_cur THEN 1 ELSE 0 END) AS n_cur
+         | FROM e GROUP BY label),
+         |j AS (SELECT n.label, n.n_ref, n.n_cur,
+         |  round(${cosSql("ref_cv", "cur_cv")}, 4) AS centroid_cos
+         | FROM n JOIN c ON n.label = c.label)
+         |SELECT CAST(label AS BIGINT) AS label, CAST(n_ref AS BIGINT) AS n_ref,
+         |  CAST(n_cur AS BIGINT) AS n_cur, centroid_cos,
+         |  centroid_cos < 0.8 AS drifted
+         |FROM j ORDER BY label""".stripMargin,
+    // F57: the oracle replays the WHOLE deterministic recurrence — 6-dec
+    // rounded covariance (population, /n), v0 = 1/8 (= 1/√64 exactly),
+    // 20 unrolled (w = C·v, normalize) CTE pairs, λ = ‖w20‖, the
+    // largest-|loading| sign rule, 4-dec outputs
+    "emb_pca_power" -> {
+      // MATERIALIZED throughout: DuckDB inlines plain CTEs per reference,
+      // and a 20-deep recurrence referencing its predecessor would blow
+      // up exponentially (observed as fd exhaustion re-scanning the
+      // parquet); materialization keeps the chain linear
+      val iterCtes = (1 to 20).map { k =>
+        s"""w$k AS MATERIALIZED (SELECT C.i AS pos, sum(C.c * v.x) AS x
+           | FROM C JOIN v${k - 1} v ON v.pos = C.j GROUP BY 1),
+           |v$k AS MATERIALIZED (SELECT pos,
+           |  x / (SELECT sqrt(sum(x * x)) FROM w$k) AS x FROM w$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |u AS MATERIALIZED (SELECT vec_id, unnest(v) AS x,
+         |  generate_subscripts(v, 1) - 1 AS pos FROM e),
+         |m AS MATERIALIZED (SELECT pos, avg(x) AS mn, count(*) AS cnt FROM u GROUP BY pos),
+         |cen AS MATERIALIZED (SELECT u.vec_id, u.pos, u.x - m.mn AS xc
+         | FROM u JOIN m USING (pos)),
+         |C AS MATERIALIZED (SELECT a.pos AS i, b.pos AS j,
+         |   round(sum(a.xc * b.xc) / (SELECT max(cnt) FROM m), 6) AS c
+         | FROM cen a JOIN cen b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         |v0 AS MATERIALIZED (SELECT DISTINCT pos, 0.125 AS x FROM u),
+         |$iterCtes,
+         |lam AS (SELECT sqrt(sum(x * x)) AS l FROM w20),
+         |sgn AS (SELECT CASE WHEN (SELECT x FROM v20 ORDER BY abs(x) DESC, pos LIMIT 1) < 0
+         |   THEN -1.0 ELSE 1.0 END AS s)
+         |SELECT CAST(v20.pos AS BIGINT) AS pos,
+         |  round(sgn.s * v20.x, 4) AS pc1_loading,
+         |  round(lam.l, 4) AS eigenvalue
+         |FROM v20, sgn, lam ORDER BY pos""".stripMargin
+    },
+    // F56: frozen-centroid delta assignment — the label-mean quantizer
+    // CTE over the FULL corpus (= the persisted refine=0 centroids), the
+    // deterministic reversed-embedding delta, and the same argmax rule
+    // (cos DESC, smaller label) as listAssignments
+    "ann_ivf_append" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT label AS c_label, list(a ORDER BY pos) AS cv
+         |  FROM (SELECT label, pos, avg(x) AS a
+         |    FROM (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e)
+         |    GROUP BY label, pos)
+         |  GROUP BY label),
+         |d AS (SELECT vec_id + 1000000 AS vec_id, list_reverse(v) AS v FROM e),
+         |a AS (SELECT d.vec_id, c.c_label,
+         |    round(${cosSql("d.v", "c.cv")}, 4) AS csim,
+         |    row_number() OVER (PARTITION BY d.vec_id
+         |      ORDER BY ${cosSql("d.v", "c.cv")} DESC, c_label) AS rn
+         |  FROM d CROSS JOIN c)
+         |SELECT vec_id, CAST(c_label AS BIGINT) AS list_id, csim
+         |FROM a WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     // F54: same e/c/asg/w CTEs as dedup_semantic (the refine=0 label-mean
     // quantizer replay), then the per-cluster density rank and the
     // all-integer drop quota — kept ⇔ rank > floor(n/4) on the ROUNDED
@@ -2745,6 +2860,42 @@ object SparkEntry {
         | CAST(64 + (n * 31 + frame_idx * 7) % 997 AS BIGINT) AS frame_feature
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     // F52: lag/cumulative-break replay of the deterministic frame model
+    // F58: the F52 scene CTEs + the centered-window integer math
+    "mm_clip_sample" ->
+      """WITH m AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n FROM documents),
+        |f AS (SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |        CAST((n * 31 + i * i * 13) % 997 AS BIGINT) AS feat
+        |      FROM m, range(0, 40) t(i) WHERE i < n % 24 + 8),
+        |d AS (SELECT doc_id, frame_idx, feat,
+        |        CASE WHEN lag(feat) OVER w IS NULL THEN 1
+        |             WHEN abs(feat - lag(feat) OVER w) > 400 THEN 1 ELSE 0 END AS brk
+        |      FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)),
+        |s AS (SELECT doc_id, frame_idx,
+        |        sum(brk) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS scene_idx
+        |      FROM d),
+        |sc AS (SELECT doc_id, CAST(scene_idx AS BIGINT) AS scene_idx,
+        |  min(frame_idx) AS start_frame, CAST(count(*) AS BIGINT) AS n_frames
+        |  FROM s GROUP BY doc_id, scene_idx),
+        |c AS (SELECT doc_id, scene_idx,
+        |  CASE WHEN n_frames < 4 THEN n_frames ELSE 4 END AS clip_frames,
+        |  start_frame + (n_frames - CASE WHEN n_frames < 4 THEN n_frames ELSE 4 END) // 2
+        |    AS clip_start
+        |  FROM sc)
+        |SELECT doc_id, scene_idx, clip_start,
+        |  clip_start + clip_frames - 1 AS clip_end, clip_frames
+        |FROM c ORDER BY doc_id, scene_idx""".stripMargin,
+    // D37: the oracle replays the generation split and the evolved
+    // reader's union semantics straight off the raw table
+    "load_partition_evolution" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus AS status, o_totalprice,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CASE WHEN o_orderkey % 7 < 5 THEN 1 ELSE 2 END AS gen FROM orders)
+        |SELECT status, yr,
+        |  CAST(sum(CASE WHEN gen = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_gen1,
+        |  CAST(sum(CASE WHEN gen = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_gen2,
+        |  count(*) AS n_total,
+        |  round(sum(o_totalprice), 2) AS price_sum
+        |FROM o GROUP BY status, yr ORDER BY status, yr""".stripMargin,
     "mm_scene_cut" ->
       """WITH m AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n FROM documents),
         |f AS (SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,

@@ -1439,4 +1439,100 @@ object LoadOps {
         round(sum(when(col("op") =!= "D", col("value"))), 2).as("value_sum"),
         sum(when(col("op") =!= "D", col("key")).otherwise(0L)).cast("long").as("key_checksum"))
       .orderBy(col("final_op"))
+
+  /** The D35 declared constraint set: name → predicate, over `lineitem`.
+    * Shared between the batch report and the streaming monitor so the
+    * two paths can never check different rules (the D33/G13 convention).
+    * The mix is deliberate: three rules the data violates (a real report
+    * has non-zero rows) and two it satisfies (all-green rows must render
+    * too). */
+  val checkConstraintDefs: Seq[(String, Column)] = Seq(
+    "discount_le_8pct"  -> (col("l_discount") <= 0.08),
+    "price_covers_qty"  -> (col("l_extendedprice") >= col("l_quantity")),
+    "qty_le_45"         -> (col("l_quantity") <= 45.0),
+    "qty_positive"      -> (col("l_quantity") > 0.0),
+    "tax_le_6pct"       -> (col("l_tax") <= 0.06))
+
+  /** The D35 compute over any lineitem-shaped frame: ONE conditional-agg
+    * scan evaluates every constraint (map-side partials, a single 1-row
+    * result crosses the wire), then the row unpivots driver-free into the
+    * per-constraint report. */
+  def checkConstraintsOf(rows: DataFrame): DataFrame = {
+    val aggs = checkConstraintDefs.flatMap { case (n, p) => Seq(
+      sum(when(!p, 1L).otherwise(0L)).as(s"v_$n"),
+      coalesce(min(when(!p, col("l_orderkey"))), lit(-1L)).as(s"k_$n")) }
+    val allAggs = count(lit(1)).as("n_rows") +: aggs
+    val one = rows.agg(allAggs.head, allAggs.tail: _*)
+    val stacked = checkConstraintDefs.map { case (n, _) =>
+      struct(lit(n).as("constraint_name"),
+        col(s"v_$n").as("n_viol"), col(s"k_$n").as("first_bad_key")) }
+    one.select(col("n_rows"), explode(array(stacked: _*)).as("c"))
+      .select(col("c.constraint_name").as("constraint_name"),
+        col("n_rows").cast("long").as("n_rows"),
+        col("c.n_viol").cast("long").as("n_viol"),
+        expr("c.n_viol * 1000000 div n_rows").as("viol_ppm"),
+        col("c.first_bad_key").cast("long").as("first_bad_key"))
+      .orderBy(col("constraint_name"))
+  }
+
+  /** D37: partition-scheme EVOLUTION — the lakehouse layout migration
+    * (Iceberg's headline feature): an existing table partitioned by
+    * `status` evolves to `(status, yr)` for new writes WITHOUT rewriting
+    * history — generation 1 files stay under `status=X/`, generation 2
+    * lands under `status=X/yr=Y/`, and a scheme-aware reader serves the
+    * union: the old generation's `yr` comes from the DATA column its
+    * files still carry, the new generation's from the partition path.
+    *
+    * Scale shape: the evolution writes ONLY the new generation (the
+    * entire point — no history rewrite); reads prune on `status` in
+    * BOTH layouts and additionally on `yr` in the new one (spec-pinned
+    * PartitionFilters); the report is one union + one hash agg. */
+  def partitionEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.Tables.scratch(spark, "graft_evolve_part")
+    val o = graft.Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+        col("o_totalprice"), col("o_orderdate"))
+    o.filter(pmod(col("o_orderkey"), lit(7)) < 5)
+      .write.mode("overwrite").partitionBy("status").parquet(s"$root/v1")
+    o.filter(pmod(col("o_orderkey"), lit(7)) >= 5)
+      .withColumn("yr", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("status", "yr").parquet(s"$root/v2")
+    evolvedOrders(spark, root)
+      .groupBy(col("status"), col("yr"))
+      .agg(sum(when(col("gen") === 1, 1L).otherwise(0L)).as("n_gen1"),
+        sum(when(col("gen") === 2, 1L).otherwise(0L)).as("n_gen2"),
+        count(lit(1)).as("n_total"),
+        round(sum(col("o_totalprice")), 2).as("price_sum"))
+      .orderBy(col("status"), col("yr"))
+  }
+
+  /** The scheme-aware union reader over an evolved layout root — old
+    * generation normalized to the new scheme (yr derived from the data
+    * column), tagged by generation. */
+  def evolvedOrders(spark: SparkSession, root: String): DataFrame = {
+    val g1 = spark.read.parquet(s"$root/v1")
+      .withColumn("yr", year(col("o_orderdate")))
+      .withColumn("gen", lit(1))
+    val g2 = spark.read.parquet(s"$root/v2")
+      .withColumn("yr", col("yr").cast("int"))
+      .withColumn("gen", lit(2))
+    g1.select(g2.columns.map(col).toIndexedSeq: _*).unionByName(g2)
+      .withColumn("yr", col("yr").cast("long"))
+  }
+
+  /** D35: declarative CHECK-constraint validation — the Delta-style
+    * table-expectations gate the load family lacked: B5 audits nulls,
+    * D16 referential integrity, D22 rides observe() metrics; this one
+    * evaluates an arbitrary DECLARED predicate list and reports, per
+    * constraint, the violation count, rate (exact integer PPM), and the
+    * first offending key (the triage pointer). Violating rows themselves
+    * route through the B9 quarantine split; this is the decision input.
+    *
+    * Scale shape: one full-scan conditional aggregation — every
+    * constraint evaluates in the same codegen'd projection, partial
+    * aggregation map-side, ONE row crosses the shuffle regardless of
+    * constraint count or corpus size. The unpivot to report rows
+    * happens on that single row. */
+  def checkConstraints(spark: SparkSession, dir: String): DataFrame =
+    checkConstraintsOf(Tables(spark, dir).lineitem)
 }

@@ -231,4 +231,25 @@ object Multimodal {
       .toDF()
       .orderBy(col("doc_id"))
   }
+
+  /** F58: per-scene training-clip selection — the step AFTER scene-cut
+    * (F52) in the video curation path: a contrastive/captioning trainer
+    * consumes one bounded clip per scene, not whole scenes, so each
+    * scene yields its CENTERED `clipLen`-frame window (short scenes pass
+    * through whole) — center-of-shot sampling is the standard heuristic
+    * because shot boundaries carry transition artifacts. Completes the
+    * modality's pipeline: frames (F14) → scenes (F52) → clips (F58).
+    *
+    * Pure integer arithmetic on the F52 scene extents (one shared
+    * compute, zero additional shuffle); oracle = the scene CTEs + the
+    * same centering math. */
+  def clipSample(spark: SparkSession, dir: String, clipLen: Long = 4L): DataFrame =
+    sceneCut(spark, dir)
+      .withColumn("clip_frames", least(col("n_frames"), lit(clipLen)))
+      .withColumn("clip_start",
+        col("start_frame") + expr("(n_frames - clip_frames) div 2"))
+      .select(col("doc_id"), col("scene_idx"),
+        col("clip_start"), (col("clip_start") + col("clip_frames") - 1).as("clip_end"),
+        col("clip_frames"))
+      .orderBy(col("doc_id"), col("scene_idx"))
 }

@@ -621,6 +621,28 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** E34: full pairwise Pearson correlation matrix over the fact table's
+    * measure columns — the EDA/feature-screening primitive (q_stats gives
+    * one targeted corr; this gives the matrix). ONE full-scan
+    * aggregation: every pair's co-moments accumulate in the same pass
+    * (map-side partials, a single row crosses the shuffle regardless of
+    * pair count), then the row unpivots into (col_a, col_b, r) — the
+    * D35 one-scan-report shape. */
+  def qCorrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
+      yield (cols(i), cols(j))
+    val aggs = count(lit(1)).as("n") +:
+      pairs.map { case (a, b) => round(corr(col(a), col(b)), 4).as(s"c_${a}_$b") }
+    val one = Tables(spark, dir).lineitem.agg(aggs.head, aggs.tail: _*)
+    val stacked = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), col(s"c_${a}_$b").as("r")) }
+    one.select(col("n"), explode(array(stacked: _*)).as("p"))
+      .select(col("p.col_a").as("col_a"), col("p.col_b").as("col_b"),
+        col("p.r").as("pearson_r"), col("n").cast("long").as("n_rows"))
+      .orderBy(col("col_a"), col("col_b"))
+  }
+
   /** E17: approximate distinct counting (HLL sketch) next to cheap per-
     * group stats. Sketch estimates are engine-specific → rows-only check
     * plus a tolerance spec against the exact count. */

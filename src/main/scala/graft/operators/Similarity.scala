@@ -456,6 +456,164 @@ object Similarity {
   def semDedup(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame =
     semDedupVerdicts(centroidScored(spark, dir), threshold)
 
+  /** D36: embedding-distribution drift monitor — the ML-ops counterpart
+    * of the scalar PSI drift (D30): when the upstream embedding model or
+    * the content mix changes, every downstream ANN/dedup decision built
+    * on the old geometry silently degrades, so the monitor compares the
+    * CURRENT batch (vec_id % 5 = 0, the dedup_incremental split
+    * convention) against the reference corpus per label: per-dimension
+    * means of both splits from ONE conditional-agg pass over a single
+    * posexplode (never two corpus scans), then the rounded cosine
+    * between the two centroids; a label drifts when its centroids'
+    * agreement falls under the bar (compared on the ROUNDED value — the
+    * engine-portable-verdict convention).
+    *
+    * Scale shape: one explode → one (label, pos) hash agg (map-side
+    * partial over ≤ |labels|·dims cells) → one |labels|-row join. The
+    * report is dimension-bounded regardless of corpus size. */
+  def embeddingDrift(spark: SparkSession, dir: String, bar: Double = 0.8): DataFrame =
+    embeddingDriftOf(vectors(spark, dir), bar)
+
+  /** The D36 compute over any (vec_id, label, v) frame — specs plant
+    * rotated/identical current splits with known verdicts. */
+  def embeddingDriftOf(vecs: DataFrame, bar: Double): DataFrame = {
+    val e = vecs.withColumn("is_cur", col("vec_id") % 5 === 0)
+    val byDim = e
+      .select(col("label"), col("is_cur"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(when(!col("is_cur"), col("x"))).as("rc"),
+        avg(when(col("is_cur"), col("x"))).as("cc"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("rc"), col("cc")))),
+          s => s.getField("rc")).as("ref_cv"),
+        transform(array_sort(collect_list(struct(col("pos"), col("rc"), col("cc")))),
+          s => s.getField("cc")).as("cur_cv"))
+    val counts = e.groupBy(col("label"))
+      .agg(sum(when(!col("is_cur"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("is_cur"), 1L).otherwise(0L)).as("n_cur"))
+    counts.join(byDim, Seq("label"))
+      .withColumn("centroid_cos", round(
+        Vec.dot(col("ref_cv"), col("cur_cv")) /
+          (Vec.norm(col("ref_cv")) * Vec.norm(col("cur_cv"))), 4))
+      .select(col("label").cast("long").as("label"), col("n_ref"), col("n_cur"),
+        col("centroid_cos"), (col("centroid_cos") < bar).as("drifted"))
+      .orderBy(col("label"))
+  }
+
+  /** F57: top principal component of the embedding cloud by POWER
+    * ITERATION — the engine's spectral primitive: PC1 is the
+    * dimension-reduction / whitening axis every embedding pipeline
+    * inspects first (energy concentration says whether Matryoshka
+    * truncation F43 / PQ subspaces F29 are safe), and the power method
+    * is the distributed-friendly way to get it: the 100 TB part is ONE
+    * pass building the d×d covariance; the iteration is dims-bounded
+    * driver work (the trainQuantizer collect convention).
+    *
+    * Determinism contract (the oracle replays every step): covariance
+    * cells round to 6 decimals BEFORE iterating; v0 = 1/√d exactly;
+    * exactly `iters` steps of w = C·v, λ = ‖w‖, v = w/‖w‖ (no
+    * convergence test — both engines run the same recurrence); sign
+    * fixed by the largest-|loading| coordinate; outputs round to 4.
+    *
+    * Scale shape: the covariance pass is `mapPartitions` accumulating a
+    * partition-local d² Gram array (a declared imperative-kernel
+    * exception, the Misra-Gries pass-1 pattern) — only |partitions|·d²
+    * cells ever shuffle, NOT n·d² exploded pairs; means come from one
+    * posexplode agg (n·d rows, map-side combined). */
+  def embPcaPower(spark: SparkSession, dir: String, iters: Int = 20): DataFrame =
+    embPcaPowerOf(vectors(spark, dir), iters)
+
+  /** The F57 compute over any frame with a `v: array<double>` column —
+    * specs plant clouds with a known dominant axis. */
+  def embPcaPowerOf(e: DataFrame, iters: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val stats = e.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(avg(col("x")).as("m"), count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).sortBy(_._1)
+    val mean = stats.map(_._2)
+    val n = stats.head._3
+    val d = mean.length
+    val centered = e.select(
+      zip_with(col("v"), typedLit(mean.toSeq), (a, b) => a - b).as("vc"))
+    val partials = centered.as[Seq[Double]].mapPartitions { it =>
+      val acc = Array.fill(d * d)(0.0)
+      var any = false
+      it.foreach { v =>
+        any = true
+        var i = 0
+        while (i < d) {
+          val xi = v(i); var j = 0
+          while (j < d) { acc(i * d + j) += xi * v(j); j += 1 }
+          i += 1
+        }
+      }
+      if (any) Iterator.single(acc.toSeq) else Iterator.empty
+    }
+    val cells = partials.select(posexplode(col("value")).as(Seq("k", "x")))
+      .groupBy(col("k")).agg(sum(col("x")).as("s"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+    def round6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def round4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val c = Array.tabulate(d, d)((i, j) => round6(cells(i * d + j) / n))
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var lambda = 0.0
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(d) { i =>
+        var s = 0.0; var j = 0
+        while (j < d) { s += c(i)(j) * v(j); j += 1 }; s
+      }
+      lambda = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / lambda)
+    }
+    val idx = v.indices.maxBy(p => (math.abs(v(p)), -p))
+    val sgn = if (v(idx) < 0) -1.0 else 1.0
+    v.indices.map(p => (p.toLong, round4(sgn * v(p)), round4(lambda)))
+      .toDF("pos", "pc1_loading", "eigenvalue")
+      .orderBy(col("pos"))
+  }
+
+  /** F56: incremental IVF maintenance — APPEND new vectors to the
+    * published index without retraining or rebuilding: the delta batch
+    * assigns against the FROZEN persisted centroids (real IVF systems
+    * freeze the coarse quantizer between rebuilds precisely so appends
+    * are cheap) and lands as additional files inside matching `list_id=`
+    * partition directories of a delta layout beside the base — the
+    * merge-on-read shape (D26): serving reads base ∪ delta with the same
+    * partition pruning, and a compaction (D14) folds the delta in later.
+    *
+    * The registered query is the delta-assignment report; the physical
+    * append + union serving is spec-pinned (delta vectors are found by
+    * probes over the merged lists). The delta batch is synthesized
+    * deterministically — reversed embeddings under shifted ids — so the
+    * oracle replays assignment in closed form.
+    *
+    * Scale shape: delta-sized work only — one broadcast of the tiny
+    * centroid table, one hash agg over the delta, one partitioned
+    * delta write. The base layout is never read, rewritten, or
+    * re-encoded. */
+  def ivfAppend(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, cents) = ivfIndex(spark, dir)
+    val delta = vectors(spark, dir)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("label"),
+        reverse(col("v")).as("v"))
+    val assigned = listAssignments(spark, delta, cents)
+      .withColumn("nrm", Vec.norm(col("v")))
+    assigned
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(graft.Tables.scratch(spark, "graft_ivf_delta/lists"))
+    val centsDf = cents.toDF("list_id", "cv")
+      .select(col("list_id"), col("cv").cast("array<double>").as("cv"))
+      .withColumn("cnrm", Vec.norm(col("cv")))
+    assigned.join(broadcast(centsDf), Seq("list_id"))
+      .withColumn("csim",
+        round(Vec.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 4))
+      .select(col("vec_id"), col("list_id").cast("long").as("list_id"), col("csim"))
+      .orderBy(col("vec_id"))
+  }
+
   /** F54: density-based data pruning (Sorscher et al. 2022, "Beyond
     * neural scaling laws" — the SSL-prototypes rule): within each
     * cluster, the examples CLOSEST to the centroid are the most

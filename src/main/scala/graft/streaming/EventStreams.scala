@@ -29,6 +29,8 @@ final case class Attempt(source: String, sec: Long, attempt_id: Long, failed: In
 final case class BreakerDecision(source: String, seq: Long, sec: Long,
     attempt_id: Long, failed: Int, decision: String)
 private final case class BreakerState(consec: Int, openUntil: Long, seq: Long)
+final case class LineRow(l_orderkey: Long, l_quantity: Double,
+    l_extendedprice: Double, l_discount: Double, l_tax: Double)
 
 /** Structured Streaming surface (SURVEY §2 G). The reference's pipeline is
   * batch re-ingest on a schedule (run.py); the Spark-native upgrade is a
@@ -209,6 +211,18 @@ object EventStreams {
           out.iterator
       }
   }
+
+  /** G16: the streaming form of the D35 CHECK-constraint gate — the SAME
+    * `LoadOps.checkConstraintsOf` plan applied to a streaming source in
+    * complete output mode: Spark's streaming aggregation carries the
+    * conditional partial aggregates (violation counts, first offending
+    * key) across micro-batches, so each trigger emits the CUMULATIVE
+    * per-constraint report, equal row-for-row to the batch pass over the
+    * rows seen so far (spec-pinned under arbitrary slicing). One shared
+    * definition list + one shared compute, the D33/G13 convention: the
+    * two paths cannot check different rules. */
+  def constraintMonitorStream(rows: DataFrame): DataFrame =
+    graft.operators.LoadOps.checkConstraintsOf(rows)
 
   /** G14: continuous changelog apply — the streaming form of D34: each
     * micro-batch of change events folds into a persisted latest-wins

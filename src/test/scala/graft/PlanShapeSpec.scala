@@ -280,4 +280,27 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("Join"), s"the decision rule must not join:\n$p")
     assert(p.contains("partial_"), s"rollup lacks a map-side partial:\n$p")
   }
+
+  test("partition evolution: status filter prunes BOTH generations' layouts, union equals raw") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    // materialize the evolved layout, then read through the scheme-aware reader
+    graft.operators.LoadOps.partitionEvolution(spark, sfDir).collect()
+    val root = graft.Tables.scratch(spark, "graft_evolve_part")
+    val rd = graft.operators.LoadOps.evolvedOrders(spark, root)
+      .filter(col("status") === "F")
+    rd.collect()
+    val p = rd.queryExecution.executedPlan.toString
+    // two scans (v1, v2), each with a status partition filter
+    assert(p.sliding("PartitionFilters: [".length).count(_ == "PartitionFilters: [") >= 2
+      || "PartitionFilters: \\[".r.findAllIn(p).length >= 2, s"expected two pruned scans:\n$p")
+    assert("PartitionFilters: \\[[^\\]]*status".r.findAllIn(p).length == 2,
+      s"status filter missing from a generation's scan:\n$p")
+    // completeness: union over both generations equals the raw table
+    val raw = spark.read.parquet(s"$sfDir/orders.parquet")
+    assert(graft.operators.LoadOps.evolvedOrders(spark, root).count() == raw.count())
+    val gens = graft.operators.LoadOps.evolvedOrders(spark, root)
+      .groupBy(col("gen")).count().collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val exp1 = raw.filter(pmod(col("o_orderkey"), lit(7)) < 5).count()
+    assert(gens(1) == exp1 && gens(2) == raw.count() - exp1, s"generation split wrong: $gens")
+  }
 }

@@ -505,4 +505,80 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(all.forall(_.getBoolean(5)))
     assert(all.length == got.length)
   }
+
+  test("embedding drift: negated current split drifts (cos = -1), identical split does not (cos = 1)") {
+    import spark.implicits._
+    // label 0: current batch NEGATED (centroid flips, cos = -1 exactly);
+    // label 1: identical distribution (cos = 1); both splits non-empty
+    val base = Seq(Seq(1.0, 2.0, 3.0), Seq(2.0, 1.0, 0.5), Seq(0.5, 0.5, 4.0),
+      Seq(3.0, 0.1, 1.0), Seq(1.5, 2.5, 0.2))
+    val rows =
+      base.zipWithIndex.map { case (v, i) => (i.toLong * 5 + 1, 0, v) } ++      // label 0 ref
+      base.zipWithIndex.map { case (v, i) => (i.toLong * 5 + 100, 0, v.map(-_)) } ++ // label 0 cur (ids %5==0)
+      base.zipWithIndex.map { case (v, i) => (i.toLong * 5 + 2, 1, v) } ++      // label 1 ref
+      base.zipWithIndex.map { case (v, i) => (i.toLong * 5 + 200, 1, v) }       // label 1 cur
+    val got = Similarity.embeddingDriftOf(rows.toDF("vec_id", "label", "v"), bar = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(got.length == 2)
+    val (l0, l1) = (got.find(_._1 == 0L).get, got.find(_._1 == 1L).get)
+    assert(l0._2 == 5L && l0._3 == 5L && l0._4 == -1.0 && l0._5, s"label 0: $l0")
+    assert(l1._2 == 5L && l1._3 == 5L && l1._4 == 1.0 && !l1._5, s"label 1: $l1")
+  }
+
+  test("pca power: planted dominant axis recovered, loadings unit-norm, sign canonical") {
+    import spark.implicits._
+    // cloud = strong variance along axis 2, weak along axis 0, none else:
+    // PC1 must be ±e2, canonicalized to +e2; eigenvalue = population
+    // variance along it
+    val xs = Seq(-3.0, -1.5, 0.0, 1.5, 3.0)
+    val eps = Seq(0.1, -0.1, 0.0, 0.1, -0.1)
+    val rows = xs.zip(eps).zipWithIndex.map { case ((x, ep), i) =>
+      (i.toLong, Seq(ep, 0.0, x, 0.0)) }
+    val got = Similarity.embPcaPowerOf(rows.toDF("vec_id", "v"), iters = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    val loadings = got.map(_._2)
+    // dominant coordinate, positive sign, others negligible
+    assert(loadings(2) > 0.99, s"PC1 not along planted axis: ${loadings.toSeq}")
+    assert(math.abs(loadings(0)) < 0.05 && loadings(1) == 0.0 && loadings(3) == 0.0)
+    assert(math.abs(loadings.map(x => x * x).sum - 1.0) < 1e-3, "loadings not unit norm")
+    // eigenvalue ≈ population variance of xs (4.5), pulled slightly by eps
+    assert(math.abs(got.head._3 - 4.5) < 0.02, s"eigenvalue ${got.head._3}")
+    // all rows carry the same eigenvalue
+    assert(got.map(_._3).distinct.length == 1)
+  }
+
+  test("ivf append: delta lands partitioned by list, merged serving resolves delta probes exactly") {
+    import spark.implicits._
+    val report = Similarity.ivfAppend(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(report.nonEmpty)
+    // every delta id is shifted; assignments reference real lists
+    assert(report.forall(_._1 >= 1000000L))
+    // the physical delta layout is partitioned by list_id
+    val deltaDir = new java.io.File(Tables.scratch(spark, "graft_ivf_delta/lists"))
+    val parts = deltaDir.listFiles().filter(_.getName.startsWith("list_id="))
+    assert(parts.nonEmpty, "delta not partitioned by list_id")
+    assert(parts.map(_.getName.stripPrefix("list_id=").toLong).toSet ==
+      report.map(_._2).toSet, "delta partitions disagree with the assignment report")
+    // merge-on-read serving: base ∪ delta; a delta vector probing its own
+    // assigned list must come back as the exact top-1 (cos = 1 with itself)
+    val (listsPath, _) = Similarity.ivfIndex(spark, sfDir)
+    val cols = Seq("vec_id", "list_id", "v", "nrm").map(col)
+    val merged = Similarity.ivfLists(spark, listsPath).select(cols: _*)
+      .unionByName(spark.read.parquet(deltaDir.toString)
+        .withColumn("list_id", col("list_id").cast("int")).select(cols: _*))
+    val probes = spark.read.parquet(deltaDir.toString)
+      .select(col("vec_id"), col("list_id").cast("int").as("list_id"), col("v"), col("nrm"))
+      .orderBy(col("vec_id")).limit(3).collect()
+    probes.foreach { p =>
+      val (pid, plist, pv, pn) =
+        (p.getLong(0), p.getInt(1), p.getSeq[Double](2), p.getDouble(3))
+      val top = merged.filter(col("list_id") === plist)
+        .withColumn("cos", Vec.dot(col("v"), typedLit(pv)) / (col("nrm") * lit(pn)))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .select(col("vec_id")).limit(1).collect().head.getLong(0)
+      assert(top == pid, s"probe $pid not resolved from the merged lists (got $top)")
+    }
+  }
 }

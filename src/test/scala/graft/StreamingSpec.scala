@@ -472,4 +472,39 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         batch.map(_._3).sum, "ledger cardinality != kept chunks")
     } finally q.stop()
   }
+
+  test("G16: streaming constraint monitor's cumulative report equals the batch pass under slicing") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.LineRow
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"))
+      .as[LineRow].collect()
+    val mem = MemoryStream[LineRow]
+    val q = EventStreams.constraintMonitorStream(mem.toDS().toDF())
+      .writeStream.outputMode("complete").format("memory").queryName("g16_out").start()
+    try {
+      // three arbitrary slices; after EACH trigger the report must equal
+      // the batch pass over the prefix fed so far — the streaming agg
+      // carries counts AND the min offending key across batches
+      val cuts = Seq(li.take(li.length / 3),
+        li.slice(li.length / 3, 2 * li.length / 3),
+        li.drop(2 * li.length / 3))
+      var fed = Array.empty[LineRow]
+      cuts.foreach { c =>
+        mem.addData(c.toIndexedSeq: _*); q.processAllAvailable()
+        fed = fed ++ c
+        val streamed = spark.table("g16_out").collect()
+          .map(_.toSeq).sortBy(_.head.toString)
+        val batch = graft.operators.LoadOps.checkConstraintsOf(
+            spark.createDataFrame(fed.toIndexedSeq)).collect()
+          .map(_.toSeq).sortBy(_.head.toString)
+        assert(streamed.toSeq == batch.toSeq,
+          s"stream/batch diverged after ${fed.length} rows")
+      }
+      // non-degeneracy: the full feed has both violated and clean rules
+      val fin = spark.table("g16_out").collect().map(r => r.getLong(2))
+      assert(fin.exists(_ > 0L) && fin.exists(_ == 0L))
+    } finally q.stop()
+  }
 }
