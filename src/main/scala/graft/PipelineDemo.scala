@@ -324,4 +324,52 @@ object PipelineDemo {
          |}""".stripMargin
     Pipeline.run(spark, PipelineCfg.fromJson(json))
   }
+
+  /** H1k: WRITE-AUDIT-PUBLISH — the lakehouse CI gate (the
+    * Iceberg/Netflix WAP pattern): every load stages into an UNPUBLISHED
+    * immutable version directory, the D35 constraint audit runs against
+    * the STAGED BYTES (not the in-memory frame — what got written is
+    * what gets judged), and only a clean audit swings the manifest.
+    * A failed audit leaves the manifest — and every reader — exactly
+    * where it was; the rejected version dir stays on disk unmanifested
+    * for forensics, which is precisely the orphan class the H1j vacuum
+    * exists to sweep later.
+    *
+    * Two staged attempts: the constraint-clean slice of lineitem
+    * (audit passes → published) then the violating complement (audit
+    * fails → rejected). The report reads live state back THROUGH the
+    * manifest after each attempt, proving the reject left the published
+    * generation untouched. One shared constraint list (D35/G16/H1k). */
+  def runWap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val target = Tables.scratch(spark, "graft_pipeline_wap")
+    val name = "lineitem_gate"
+    val base = new Path(target, name)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(base, true): Unit // idempotent re-run
+    val li = Tables(spark, dir).lineitem
+    val pass = graft.operators.LoadOps.checkConstraintDefs.map(_._2).reduce(_ && _)
+    val batches = Seq((1, li.filter(pass)), (2, li.filter(!pass)))
+    val rows = batches.map { case (attempt, batch) =>
+      val verName = s"v_${System.currentTimeMillis()}_${ProcessHandle.current().pid()}_$attempt"
+      val verDir = new Path(base, verName)
+      batch.write.mode("overwrite").parquet(verDir.toString)
+      val report = graft.operators.LoadOps
+        .checkConstraintsOf(spark.read.parquet(verDir.toString)).collect()
+      val nRows = report.head.getLong(1)
+      val nViol = report.map(_.getLong(2)).sum
+      val decision =
+        if (nViol == 0L) {
+          Pipeline.writeManifest(fs, fs.makeQualified(base), Seq(verName))
+          "published"
+        } else "rejected"
+      val live = Pipeline.resolvePublished(spark, target, name)
+      val liveRows = if (live.isEmpty) 0L else spark.read.parquet(live: _*).count()
+      (attempt.toLong, nRows, nViol, decision, live.size.toLong, liveRows)
+    }
+    rows.toDF("attempt", "staged_rows", "n_viol", "decision",
+        "live_versions", "live_rows")
+      .orderBy(col("attempt"))
+  }
 }

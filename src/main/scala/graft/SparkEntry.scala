@@ -147,6 +147,7 @@ object SparkEntry {
     "pipeline_time_travel"   -> (PipelineDemo.runTimeTravel _),
     "pipeline_clone"         -> (PipelineDemo.runClone _),
     "pipeline_vacuum"        -> (PipelineDemo.runVacuum _),
+    "pipeline_wap"           -> (PipelineDemo.runWap _),
     // F — LLM-training-data operators
     "dedup_exact"            -> Dedup.dedupExact _,
     "dedup_paragraph"        -> ((s, d) => Dedup.dedupParagraph(s, d)),
@@ -163,6 +164,8 @@ object SparkEntry {
     "mon_embedding_drift"    -> ((s: SparkSession, d: String) => Similarity.embeddingDrift(s, d)),
     "ann_ivf_append"         -> Similarity.ivfAppend _,
     "emb_pca_power"          -> ((s: SparkSession, d: String) => Similarity.embPcaPower(s, d)),
+    "emb_all_but_top"        -> Similarity.embAllButTop _,
+    "text_novelty"           -> ((s: SparkSession, d: String) => TextAnalysis.textNovelty(s, d)),
     "neardup_cosine"         -> ((s: SparkSession, d: String) => Similarity.neardupCosine(s, d)),
     "neardup_ivf_gated"      -> ((s: SparkSession, d: String) => Similarity.neardupIvfGated(s, d)),
     "ann_topk"               -> ((s: SparkSession, d: String) => Similarity.annTopK(s, d)),
@@ -243,6 +246,43 @@ object SparkEntry {
   /** FNV-1a 64 over a HUGEINT byte-list expression (unsigned result). */
   private def fnvFold(bytesList: String) =
     s"list_reduce(list_prepend(14695981039346656037::HUGEINT, $bytesList), (h, c) -> $fnvStep)"
+
+  // D35/H1k shared constraint list — MUST mirror LoadOps.checkConstraintDefs
+  // name-for-name, predicate-for-predicate (order included)
+  private val checkDefsSql: Seq[(String, String)] = Seq(
+    "discount_le_8pct" -> "l_discount <= 0.08",
+    "price_covers_qty" -> "l_extendedprice >= l_quantity",
+    "qty_le_45"        -> "l_quantity <= 45.0",
+    "qty_positive"     -> "l_quantity > 0.0",
+    "tax_le_6pct"      -> "l_tax <= 0.06")
+
+  // F57 power-iteration chain — shared by the PCA oracle and the F59
+  // all-but-the-top apply. MATERIALIZED throughout: DuckDB inlines plain
+  // CTEs per reference, and a 20-deep recurrence referencing its
+  // predecessor would blow up exponentially (observed as fd exhaustion
+  // re-scanning the parquet); materialization keeps the chain linear.
+  private lazy val pcaCtes: String = {
+    val iterCtes = (1 to 20).map { k =>
+      s"""w$k AS MATERIALIZED (SELECT C.i AS pos, sum(C.c * v.x) AS x
+         | FROM C JOIN v${k - 1} v ON v.pos = C.j GROUP BY 1),
+         |v$k AS MATERIALIZED (SELECT pos,
+         |  x / (SELECT sqrt(sum(x * x)) FROM w$k) AS x FROM w$k)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |u AS MATERIALIZED (SELECT vec_id, unnest(v) AS x,
+       |  generate_subscripts(v, 1) - 1 AS pos FROM e),
+       |m AS MATERIALIZED (SELECT pos, avg(x) AS mn, count(*) AS cnt FROM u GROUP BY pos),
+       |cen AS MATERIALIZED (SELECT u.vec_id, u.pos, u.x - m.mn AS xc
+       | FROM u JOIN m USING (pos)),
+       |C AS MATERIALIZED (SELECT a.pos AS i, b.pos AS j,
+       |   round(sum(a.xc * b.xc) / (SELECT max(cnt) FROM m), 6) AS c
+       | FROM cen a JOIN cen b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |v0 AS MATERIALIZED (SELECT DISTINCT pos, 0.125 AS x FROM u),
+       |$iterCtes,
+       |lam AS (SELECT sqrt(sum(x * x)) AS l FROM w20),
+       |sgn AS (SELECT CASE WHEN (SELECT x FROM v20 ORDER BY abs(x) DESC, pos LIMIT 1) < 0
+       |   THEN -1.0 ELSE 1.0 END AS s)""".stripMargin
+  }
 
   // F9 scored-document relation — shared by the quality audit and the
   // curriculum bucketing oracle
@@ -861,21 +901,33 @@ object SparkEntry {
     // agg row; the SQL is GENERATED from the same (name, predicate) list
     // order the engine declares, so the two can't drift
     "load_check_constraints" -> {
-      val defs = Seq(
-        "discount_le_8pct" -> "l_discount <= 0.08",
-        "price_covers_qty" -> "l_extendedprice >= l_quantity",
-        "qty_le_45"        -> "l_quantity <= 45.0",
-        "qty_positive"     -> "l_quantity > 0.0",
-        "tax_le_6pct"      -> "l_tax <= 0.06")
-      val aggCols = defs.zipWithIndex.flatMap { case ((_, p), i) =>
+      val aggCols = checkDefsSql.zipWithIndex.flatMap { case ((_, p), i) =>
         Seq(s"sum(CASE WHEN NOT ($p) THEN 1 ELSE 0 END) AS v$i",
           s"COALESCE(min(CASE WHEN NOT ($p) THEN l_orderkey END), -1) AS k$i") }
-      val branches = defs.zipWithIndex.map { case ((n, _), i) =>
+      val branches = checkDefsSql.zipWithIndex.map { case ((n, _), i) =>
         s"SELECT '$n' AS constraint_name, n_rows, CAST(v$i AS BIGINT) AS n_viol, " +
           s"CAST(v$i * 1000000 // n_rows AS BIGINT) AS viol_ppm, " +
           s"CAST(k$i AS BIGINT) AS first_bad_key FROM s" }
       s"WITH s AS (SELECT count(*) AS n_rows, ${aggCols.mkString(", ")} FROM lineitem)\n" +
         branches.mkString("\nUNION ALL\n") + "\nORDER BY constraint_name"
+    },
+    // H1k: the audit/publish decision replayed from the same constraint
+    // list — attempt 1 stages the constraint-clean slice (0 violations,
+    // published), attempt 2 the complement (rejected; live state frozen)
+    "pipeline_wap" -> {
+      val allOk = checkDefsSql.map { case (_, p) => s"($p)" }.mkString(" AND ")
+      val violSum = checkDefsSql.map { case (_, p) =>
+        s"sum(CASE WHEN NOT ($p) THEN 1 ELSE 0 END)" }.mkString(" + ")
+      s"""WITH good AS (SELECT count(*) AS n FROM lineitem WHERE $allOk),
+         |bad AS (SELECT CAST($violSum AS BIGINT) AS v, count(*) AS n
+         |  FROM lineitem WHERE NOT ($allOk))
+         |SELECT CAST(1 AS BIGINT) AS attempt, (SELECT n FROM good) AS staged_rows,
+         |  CAST(0 AS BIGINT) AS n_viol, 'published' AS decision,
+         |  CAST(1 AS BIGINT) AS live_versions, (SELECT n FROM good) AS live_rows
+         |UNION ALL
+         |SELECT 2, (SELECT n FROM bad), (SELECT v FROM bad), 'rejected',
+         |  1, (SELECT n FROM good)
+         |ORDER BY attempt""".stripMargin
     },
     // delete sentinel value keeps arg NULL semantics out of the compare
     "load_changelog_apply" ->
@@ -1973,6 +2025,23 @@ object SparkEntry {
     // duplicated-substring spans: grams keyed by their raw text in the
     // oracle (Spark groups the same strings), 1-based word positions,
     // identical island arithmetic — integer outputs, exact parity
+    // F60: gram equality classes on the STRING (the dedup_substring
+    // argument), first owner = min doc_id, integer-PPM fraction
+    "text_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |g0 AS (SELECT doc_id,
+         |  unnest(CASE WHEN len(toks) >= 8
+         |    THEN [array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 7 AS INT)), ' ')
+         |          for i in range(1, len(toks) - 6)]
+         |    ELSE [] END) AS gram
+         | FROM t),
+         |g AS (SELECT DISTINCT doc_id, gram FROM g0),
+         |o AS (SELECT gram, min(doc_id) AS owner FROM g GROUP BY gram)
+         |SELECT g.doc_id, count(*) AS n_distinct,
+         |  CAST(sum(CASE WHEN o.owner = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  CAST(sum(CASE WHEN o.owner = g.doc_id THEN 1 ELSE 0 END) * 1000000
+         |    // greatest(count(*), 1) AS BIGINT) AS novelty_ppm
+         |FROM g JOIN o USING (gram) GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     // F53: the gram/edge CTEs restate the graph construction (equality
     // classes on the gram STRING — identical to the engine's 64-bit gram
     // hashes absent a collision, the dedup_substring argument); the K
@@ -2223,36 +2292,29 @@ object SparkEntry {
     // rounded covariance (population, /n), v0 = 1/8 (= 1/√64 exactly),
     // 20 unrolled (w = C·v, normalize) CTE pairs, λ = ‖w20‖, the
     // largest-|loading| sign rule, 4-dec outputs
-    "emb_pca_power" -> {
-      // MATERIALIZED throughout: DuckDB inlines plain CTEs per reference,
-      // and a 20-deep recurrence referencing its predecessor would blow
-      // up exponentially (observed as fd exhaustion re-scanning the
-      // parquet); materialization keeps the chain linear
-      val iterCtes = (1 to 20).map { k =>
-        s"""w$k AS MATERIALIZED (SELECT C.i AS pos, sum(C.c * v.x) AS x
-           | FROM C JOIN v${k - 1} v ON v.pos = C.j GROUP BY 1),
-           |v$k AS MATERIALIZED (SELECT pos,
-           |  x / (SELECT sqrt(sum(x * x)) FROM w$k) AS x FROM w$k)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |u AS MATERIALIZED (SELECT vec_id, unnest(v) AS x,
-         |  generate_subscripts(v, 1) - 1 AS pos FROM e),
-         |m AS MATERIALIZED (SELECT pos, avg(x) AS mn, count(*) AS cnt FROM u GROUP BY pos),
-         |cen AS MATERIALIZED (SELECT u.vec_id, u.pos, u.x - m.mn AS xc
-         | FROM u JOIN m USING (pos)),
-         |C AS MATERIALIZED (SELECT a.pos AS i, b.pos AS j,
-         |   round(sum(a.xc * b.xc) / (SELECT max(cnt) FROM m), 6) AS c
-         | FROM cen a JOIN cen b ON a.vec_id = b.vec_id GROUP BY 1, 2),
-         |v0 AS MATERIALIZED (SELECT DISTINCT pos, 0.125 AS x FROM u),
-         |$iterCtes,
-         |lam AS (SELECT sqrt(sum(x * x)) AS l FROM w20),
-         |sgn AS (SELECT CASE WHEN (SELECT x FROM v20 ORDER BY abs(x) DESC, pos LIMIT 1) < 0
-         |   THEN -1.0 ELSE 1.0 END AS s)
+    "emb_pca_power" ->
+      s"""WITH $pcaCtes
          |SELECT CAST(v20.pos AS BIGINT) AS pos,
          |  round(sgn.s * v20.x, 4) AS pc1_loading,
          |  round(lam.l, 4) AS eigenvalue
-         |FROM v20, sgn, lam ORDER BY pos""".stripMargin
-    },
+         |FROM v20, sgn, lam ORDER BY pos""".stripMargin,
+    // F59: the F57 chain fits; the apply CTEs center each vector,
+    // project it onto the ROUNDED loadings (exactly what the engine
+    // applies), and report the removed energy as norm before/after
+    "emb_all_but_top" ->
+      s"""WITH $pcaCtes,
+         |pc AS MATERIALIZED (SELECT v20.pos, round(sgn.s * v20.x, 4) AS l
+         | FROM v20, sgn),
+         |p AS MATERIALIZED (SELECT cen.vec_id, sum(cen.xc * pc.l) AS proj
+         | FROM cen JOIN pc USING (pos) GROUP BY 1),
+         |nb AS (SELECT vec_id, sqrt(sum(xc * xc)) AS n0 FROM cen GROUP BY 1),
+         |na AS (SELECT cen.vec_id,
+         |   sqrt(sum((cen.xc - p.proj * pc.l) * (cen.xc - p.proj * pc.l))) AS n1
+         | FROM cen JOIN pc USING (pos) JOIN p ON p.vec_id = cen.vec_id GROUP BY 1)
+         |SELECT p.vec_id, round(p.proj, 4) AS pc1_projection,
+         |  round(nb.n0, 4) AS norm_before, round(na.n1, 4) AS norm_after
+         |FROM p JOIN nb ON nb.vec_id = p.vec_id JOIN na ON na.vec_id = p.vec_id
+         |ORDER BY p.vec_id""".stripMargin,
     // F56: frozen-centroid delta assignment — the label-mean quantizer
     // CTE over the FULL corpus (= the persisted refine=0 centroids), the
     // deterministic reversed-embedding delta, and the same argmax rule

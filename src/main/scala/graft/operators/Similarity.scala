@@ -573,6 +573,39 @@ object Similarity {
       .orderBy(col("pos"))
   }
 
+  /** F59: "all-but-the-top" embedding post-processing (Mu & Viswanath
+    * 2018): subtract the corpus mean and remove the projection onto the
+    * top principal component — isotropy correction that measurably
+    * improves similarity search on real embedding models (the dominant
+    * direction is usually frequency-correlated noise). Composes the F57
+    * spectral primitive as its fit step: FIT once (one covariance pass +
+    * dims-bounded driver iteration), APPLY as one broadcast-free per-row
+    * map over the corpus (the loadings ride as a literal array — no
+    * join, no shuffle).
+    *
+    * Determinism: the applied loadings are F57's ROUNDED (4-dec) output
+    * — exactly what the oracle recomputes — and all per-row outputs
+    * round to 4; report = per-vector projection + norm before/after
+    * (the isotropy evidence: norms shrink by the removed energy). */
+  def embAllButTop(spark: SparkSession, dir: String): DataFrame = {
+    val e = vectors(spark, dir)
+    val pc = embPcaPowerOf(e, 20).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).map(_._2)
+    val mean = e.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(avg(col("x")).as("m"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1).map(_._2)
+    val pcCol = typedLit(pc.toSeq)
+    e.select(col("vec_id"),
+        zip_with(col("v"), typedLit(mean.toSeq), (a, b) => a - b).as("vc"))
+      .withColumn("proj", Vec.dot(col("vc"), pcCol))
+      .withColumn("vp", zip_with(col("vc"), pcCol, (a, b) => a - col("proj") * b))
+      .select(col("vec_id"),
+        round(col("proj"), 4).as("pc1_projection"),
+        round(Vec.norm(col("vc")), 4).as("norm_before"),
+        round(Vec.norm(col("vp")), 4).as("norm_after"))
+      .orderBy(col("vec_id"))
+  }
+
   /** F56: incremental IVF maintenance — APPEND new vectors to the
     * published index without retraining or rebuilding: the delta batch
     * assigns against the FROZEN persisted centroids (real IVF systems

@@ -570,6 +570,39 @@ object TextAnalysis {
     * Buckets then follow the SQL-standard ntile fill (larger buckets
     * first) as pure integer math on the global rank — bit-identical to
     * DuckDB's native ntile, which the oracle uses. */
+  /** F60: per-document NOVELTY scoring — the contribution signal data
+    * selection orders by: of a document's distinct word 8-grams, what
+    * fraction is FIRST-OWNED by it (global first owner = the smallest
+    * doc_id containing the gram — the dedup keeper convention)? Dedup
+    * asks "is this a copy"; novelty asks "how much NEW content does this
+    * add", the complement that ranks partially-derivative documents for
+    * curriculum / dedup-priority decisions.
+    *
+    * Scale shape: grams collapse to 64-bit hashes pre-shuffle (the F30
+    * rule); ONE gram hash-agg finds first owners (map-side combined);
+    * the ownership verdict joins back on the hash. No self-join, no
+    * window, no all-pairs — the cheapest member of the gram family. */
+  def textNovelty(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    textNoveltyOf(Tables(spark, dir).documents, k)
+
+  /** The F60 compute over any (doc_id, text) frame — specs plant
+    * copies/derivatives with closed-form novelty. */
+  def textNoveltyOf(docs: DataFrame, k: Int): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"),
+        explode(wordGrams(tokens(col("text")), k)).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+      .distinct()
+    val owners = grams.groupBy(col("gh")).agg(min(col("doc_id")).as("owner"))
+    grams.join(owners, Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_distinct"), col("n_novel"),
+        expr("n_novel * 1000000 div greatest(n_distinct, 1)").as("novelty_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   /** F55: deterministic global training-order shuffle + shard
     * assignment — the LAST step of every curation pipeline: the kept
     * corpus must reach the trainer in a reproducible pseudo-random order

@@ -592,4 +592,31 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  test("wap: rejected version stays unmanifested on disk, published bytes satisfy every constraint") {
+    import org.apache.hadoop.fs.Path
+    val rows = PipelineDemo.runWap(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4), r.getLong(5)))
+    assert(rows.length == 2)
+    val (a1, a2) = (rows(0), rows(1))
+    assert(a1._4 == "published" && a1._3 == 0L && a1._6 == a1._2)
+    assert(a2._4 == "rejected" && a2._3 > 0L, s"attempt 2: $a2")
+    // the reject froze live state at attempt 1's generation
+    assert(a2._5 == 1L && a2._6 == a1._2, s"reject moved live state: $a2")
+    // on disk: exactly two version dirs, manifest names exactly one
+    val base = new Path(graft.Tables.scratch(spark, "graft_pipeline_wap"), "lineitem_gate")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vers = fs.listStatus(base).map(_.getPath.getName).filter(_.startsWith("v_"))
+    assert(vers.length == 2, s"expected staged+published dirs: ${vers.toSeq}")
+    val live = graft.config.Pipeline.resolvePublished(
+      spark, graft.Tables.scratch(spark, "graft_pipeline_wap"), "lineitem_gate")
+    assert(live.length == 1)
+    val orphan = vers.filterNot(v => live.exists(_.endsWith(v)))
+    assert(orphan.length == 1, "rejected version missing from disk (forensics lost)")
+    assert(spark.read.parquet(new Path(base, orphan.head).toString).count() == a2._2)
+    // the published bytes pass the ENTIRE constraint list
+    val audit = graft.operators.LoadOps
+      .checkConstraintsOf(spark.read.parquet(live: _*)).collect()
+    assert(audit.forall(_.getLong(2) == 0L), "published data violates a constraint")
+  }
 }

@@ -548,6 +548,20 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(got.map(_._3).distinct.length == 1)
   }
 
+  test("all-but-top: removed energy obeys Pythagoras, norms never grow") {
+    val rows = Similarity.embAllButTop(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, proj, nb, na) =>
+      // vc = vp + proj·pc1 with pc1 ~unit ⇒ nb² ≈ na² + proj²
+      assert(math.abs(nb * nb - (na * na + proj * proj)) < 1e-2,
+        s"vec $id: $nb² != $na² + $proj²")
+      assert(na <= nb + 1e-3, s"vec $id: norm grew after removal")
+    }
+    // the removal is non-trivial: SOME vector has a sizable projection
+    assert(rows.exists(r => math.abs(r._2) > 1e-3), "all projections ~0 — degenerate fit")
+  }
+
   test("ivf append: delta lands partitioned by list, merged serving resolves delta probes exactly") {
     import spark.implicits._
     val report = Similarity.ivfAppend(spark, sfDir).collect()

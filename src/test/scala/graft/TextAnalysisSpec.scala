@@ -426,6 +426,21 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(jobs > 0 && jobs <= 4, s"serving ran $jobs jobs — layout not reused?")
   }
 
+  test("text novelty: original owns everything, verbatim copy owns nothing, derivative sits between") {
+    import spark.implicits._
+    val original = (1 to 30).map(i => s"w$i").mkString(" ")
+    val freshHalf = (31 to 45).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, original),                                     // first owner of all its grams
+      (1L, original),                                     // verbatim copy — owns nothing
+      (2L, original.split(" ").take(15).mkString(" ") + " " + freshHalf))
+    val rows = TextAnalysis.textNoveltyOf(docs.toDF("doc_id", "text"), k = 8)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows(0L)._2 == rows(0L)._1 && rows(0L)._3 == 1000000L, s"original: ${rows(0L)}")
+    assert(rows(1L)._2 == 0L && rows(1L)._3 == 0L, s"copy: ${rows(1L)}")
+    assert(rows(2L)._3 > 0L && rows(2L)._3 < 1000000L, s"derivative: ${rows(2L)}")
+  }
+
   test("sample_shuffle: bijective permutation, balanced shards, rank replays (h, doc_id) order") {
     val rows = TextAnalysis.sampleShuffle(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
