@@ -148,6 +148,7 @@ object SparkEntry {
     "pipeline_clone"         -> (PipelineDemo.runClone _),
     "pipeline_vacuum"        -> (PipelineDemo.runVacuum _),
     "pipeline_wap"           -> (PipelineDemo.runWap _),
+    "pipeline_curation"      -> ((s: SparkSession, d: String) => TextAnalysis.curationPipeline(s, d)),
     // F — LLM-training-data operators
     "dedup_exact"            -> Dedup.dedupExact _,
     "dedup_paragraph"        -> ((s, d) => Dedup.dedupParagraph(s, d)),
@@ -910,6 +911,94 @@ object SparkEntry {
           s"CAST(k$i AS BIGINT) AS first_bad_key FROM s" }
       s"WITH s AS (SELECT count(*) AS n_rows, ${aggCols.mkString(", ")} FROM lineitem)\n" +
         branches.mkString("\nUNION ALL\n") + "\nORDER BY constraint_name"
+    },
+    // H5: the composed curation pipeline replayed stage by stage — the
+    // F49 chunk CTEs (fully-first-owned gate), F60 novelty at k=4 over
+    // survivors, the F53 recurrence (k=4, unrolled, MATERIALIZED) with
+    // the hub cap, and the F55 permutation checksum. Thresholds match
+    // the engine defaults (novelty ≥ 960000 ppm, pr ≤ 1500000 ppm).
+    "pipeline_curation" -> {
+      val iterCtes = (1 to 5).map { i =>
+        s"""pr$i AS MATERIALIZED (SELECT n.doc_id,
+           |  CAST(150000 + (850000 * COALESCE(s.infl, 0)) // 1000000 AS BIGINT) AS pr
+           | FROM n LEFT JOIN (
+           |   SELECT e.dst AS doc_id, sum((p.pr * e.w) // ow.tw) AS infl
+           |   FROM e JOIN pr${i - 1} p ON p.doc_id = e.src
+           |   JOIN ow ON ow.src = e.src GROUP BY 1) s USING (doc_id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH wired AS MATERIALIZED (SELECT doc_id,
+         |  CASE WHEN doc_id % 7 = 0
+         |       THEN '${graft.operators.Dedup.ParagraphBoiler} ' || text
+         |       ELSE text END AS text
+         | FROM documents),
+         |wt AS MATERIALIZED (SELECT doc_id,
+         |  CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+         |    x -> len(x) > 0)) AS BIGINT) AS n_tok FROM wired),
+         |tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM wired),
+         |w0 AS (SELECT doc_id, unnest(toks) AS word,
+         |  generate_subscripts(toks, 1) AS ord FROM tk),
+         |c0 AS (SELECT doc_id, CAST(floor((ord - 1) / 20.0) AS BIGINT) AS ci,
+         |  string_agg(word, ' ' ORDER BY ord) AS chunk FROM w0 GROUP BY 1, 2),
+         |c AS (SELECT doc_id, ci, md5(chunk) AS h FROM c0 WHERE length(chunk) > 0),
+         |kp AS (SELECT h, min(doc_id * 1000000 + ci) AS kk FROM c GROUP BY 1),
+         |pd AS (SELECT c.doc_id, count(*) AS nc,
+         |  sum(CASE WHEN c.doc_id * 1000000 + c.ci = kp.kk THEN 1 ELSE 0 END) AS nk
+         | FROM c JOIN kp USING (h) GROUP BY 1),
+         |s2 AS MATERIALIZED (SELECT doc_id FROM pd WHERE nk = nc),
+         |t2 AS MATERIALIZED (SELECT w2.doc_id, toks FROM
+         |  (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+         |     x -> len(x) > 0) AS toks FROM wired) w2
+         |  JOIN s2 USING (doc_id)),
+         |g0 AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 4
+         |  THEN [array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 3 AS INT)), ' ')
+         |        for i in range(1, len(toks) - 2)]
+         |  ELSE [] END) AS gram FROM t2),
+         |g AS MATERIALIZED (SELECT DISTINCT doc_id, gram FROM g0),
+         |own AS (SELECT gram, min(doc_id) AS ow FROM g GROUP BY 1),
+         |nv AS (SELECT g.doc_id, count(*) AS nd,
+         |  sum(CASE WHEN own.ow = g.doc_id THEN 1 ELSE 0 END) AS novel
+         | FROM g JOIN own USING (gram) GROUP BY 1),
+         |s3 AS MATERIALIZED (SELECT doc_id FROM nv
+         |  WHERE novel * 1000000 // nd >= 960000),
+         |g3 AS MATERIALIZED (SELECT g.doc_id, g.gram FROM g JOIN s3 USING (doc_id)),
+         |f AS (SELECT gram FROM g3 GROUP BY gram HAVING count(*) BETWEEN 2 AND 32),
+         |o3 AS MATERIALIZED (SELECT g3.doc_id, g3.gram FROM g3 JOIN f USING (gram)),
+         |e AS MATERIALIZED (SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS w
+         | FROM o3 a JOIN o3 b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+         | GROUP BY 1, 2),
+         |ow AS MATERIALIZED (SELECT src, sum(w) AS tw FROM e GROUP BY 1),
+         |n AS (SELECT doc_id FROM s3),
+         |pr0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS pr FROM n),
+         |$iterCtes,
+         |s4 AS MATERIALIZED (SELECT doc_id FROM pr5 WHERE pr <= 1500000),
+         |sh AS MATERIALIZED (SELECT doc_id,
+         |  row_number() OVER (ORDER BY (doc_id % 1000000007) * 999999937 % 1000000007,
+         |    doc_id) - 1 AS rk FROM s4),
+         |agg AS (SELECT
+         |  (SELECT count(*) FROM wired) AS a_docs,
+         |  (SELECT CAST(sum(n_tok) AS BIGINT) FROM wt) AS a_toks,
+         |  (SELECT CAST(sum(doc_id) AS BIGINT) FROM wired) AS a_ids,
+         |  (SELECT count(*) FROM s2) AS b_docs,
+         |  (SELECT CAST(COALESCE(sum(n_tok), 0) AS BIGINT) FROM wt JOIN s2 USING (doc_id)) AS b_toks,
+         |  (SELECT CAST(COALESCE(sum(doc_id), 0) AS BIGINT) FROM s2) AS b_ids,
+         |  (SELECT count(*) FROM s3) AS c_docs,
+         |  (SELECT CAST(COALESCE(sum(n_tok), 0) AS BIGINT) FROM wt JOIN s3 USING (doc_id)) AS c_toks,
+         |  (SELECT CAST(COALESCE(sum(doc_id), 0) AS BIGINT) FROM s3) AS c_ids,
+         |  (SELECT count(*) FROM s4) AS d_docs,
+         |  (SELECT CAST(COALESCE(sum(n_tok), 0) AS BIGINT) FROM wt JOIN s4 USING (doc_id)) AS d_toks,
+         |  (SELECT CAST(COALESCE(sum(doc_id), 0) AS BIGINT) FROM s4) AS d_ids,
+         |  (SELECT count(DISTINCT rk % 16) FROM sh) AS sh_shards,
+         |  (SELECT CAST(COALESCE(sum((rk % 16) * 1000000 + rk // 16), 0) AS BIGINT) FROM sh) AS sh_checksum)
+         |SELECT * FROM (
+         | SELECT CAST(1 AS INT) AS stage_ord, 'ingest' AS stage,
+         |   a_docs AS units_in, a_docs AS units_out, a_toks AS tokens_out,
+         |   a_ids AS id_checksum FROM agg
+         | UNION ALL SELECT 2, 'para_dedup', a_docs, b_docs, b_toks, b_ids FROM agg
+         | UNION ALL SELECT 3, 'novelty_gate', b_docs, c_docs, c_toks, c_ids FROM agg
+         | UNION ALL SELECT 4, 'hub_cap', c_docs, d_docs, d_toks, d_ids FROM agg
+         | UNION ALL SELECT 5, 'shard_order', d_docs, sh_shards, d_toks,
+         |   sh_checksum FROM agg)
+         |ORDER BY stage_ord""".stripMargin
     },
     // H1k: the audit/publish decision replayed from the same constraint
     // list — attempt 1 stages the constraint-clean slice (0 violations,

@@ -570,6 +570,78 @@ object TextAnalysis {
     * Buckets then follow the SQL-standard ntile fill (larger buckets
     * first) as pure integer math on the global rank — bit-identical to
     * DuckDB's native ntile, which the oracle uses. */
+  /** H5: composed CURATION pipeline — the session's training-data
+    * operators chained end-to-end with per-stage survivor lineage (the
+    * H4 convention, new surface): ingest (F49-wired corpus) →
+    * sub-document dedup gate (drop any doc carrying a non-first-owned
+    * paragraph — the fully-first-owned rule) → novelty gate (F60: drop
+    * docs beyond the derivative-content budget) → hub cap (F53: drop
+    * PageRank mass concentrators — boilerplate hubs the gram graph
+    * exposes) → deterministic shard assignment (F55), whose (shard, pos)
+    * checksum pins the final training order bit-exactly.
+    *
+    * Every stage reuses the standalone operator's shared builder
+    * (paragraphChunksOf, textNoveltyOf, pagerankOf, sampleShuffleOf) so
+    * pipeline verdicts can never drift from the per-op queries; stage
+    * frames localCheckpoint once and feed both the next stage and the
+    * lineage agg (each operator's scale argument carries over verbatim
+    * — nothing new moves). */
+  def curationPipeline(spark: SparkSession, dir: String, w: Int = 20,
+      noveltyMin: Long = 960000L, prCap: Long = 1500000L,
+      nShards: Int = 16): DataFrame = {
+    // gram width 4 for the novelty and graph stages: the 8-gram default
+    // finds NO organic sharing once stage 2 removed every doc carrying a
+    // duplicated 20-word chunk (measured: all-1e6 novelty at k=8), while
+    // 4-grams expose the soft phrase-reuse structure the gates exist to
+    // police (p10 ≈ 959k, p25 ≈ 978k at sf0.01)
+    val k = 4
+    val t = Tables(spark, dir)
+    val wired = Dedup.paragraphWire(t.documents.select(col("doc_id"), col("text")))
+      .withColumn("n_tok", size(tokens(col("text"))).cast("long"))
+      .localCheckpoint(true)
+    // stage 2: sub-document dedup as a DOC gate — fully-first-owned only
+    val chunks = Dedup.paragraphChunksOf(wired.select(col("doc_id"), col("text")), w)
+    val keepers = chunks.groupBy(col("h")).agg(min(col("occ_key")).as("keeper_key"))
+    val pd = chunks.join(keepers, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("occ_key") === col("keeper_key"), 1L).otherwise(0L)).as("n_kept"))
+    val s2 = wired.join(pd, Seq("doc_id"))
+      .filter(col("n_kept") === col("n_chunks"))
+      .select(col("doc_id"), col("text"), col("n_tok"))
+      .localCheckpoint(true)
+    // stage 3: novelty budget over the survivor set
+    val novKeep = textNoveltyOf(s2.select(col("doc_id"), col("text")), k)
+      .filter(col("novelty_ppm") >= noveltyMin).select(col("doc_id"))
+    val s3 = s2.join(novKeep, Seq("doc_id")).localCheckpoint(true)
+    // stage 4: hub cap on the survivor gram graph
+    val prKeep = Graph.pagerankOf(s3.select(col("doc_id"), col("text")), k, 32, 5)
+      .filter(col("pr_ppm") <= prCap).select(col("doc_id"))
+    val s4 = s3.join(prKeep, Seq("doc_id")).localCheckpoint(true)
+    // stage 5: the training order — (shard, pos) folded into one checksum
+    val sh = sampleShuffleOf(s4, nShards, 32)
+      .agg(countDistinct(col("shard")).cast("long").as("sh_shards"),
+        coalesce(sum(col("shard") * 1000000L + col("pos")), lit(0L))
+          .cast("long").as("sh_checksum"))
+    def stageAgg(df: DataFrame, p: String): DataFrame = df.agg(
+      count(lit(1)).cast("long").as(s"${p}_docs"),
+      coalesce(sum(col("n_tok")), lit(0L)).cast("long").as(s"${p}_toks"),
+      coalesce(sum(col("doc_id")), lit(0L)).cast("long").as(s"${p}_ids"))
+    stageAgg(wired, "a").crossJoin(stageAgg(s2, "b"))
+      .crossJoin(stageAgg(s3, "c")).crossJoin(stageAgg(s4, "d"))
+      .crossJoin(sh)
+      .selectExpr(
+        """stack(5,
+          | 1, 'ingest',        a_docs, a_docs, a_toks, a_ids,
+          | 2, 'para_dedup',    a_docs, b_docs, b_toks, b_ids,
+          | 3, 'novelty_gate',  b_docs, c_docs, c_toks, c_ids,
+          | 4, 'hub_cap',       c_docs, d_docs, d_toks, d_ids,
+          | 5, 'shard_order',   d_docs, sh_shards, d_toks, sh_checksum
+          |) AS (stage_ord, stage, units_in, units_out, tokens_out, id_checksum)
+          |""".stripMargin)
+      .orderBy(col("stage_ord"))
+  }
+
   /** F60: per-document NOVELTY scoring — the contribution signal data
     * selection orders by: of a document's distinct word 8-grams, what
     * fraction is FIRST-OWNED by it (global first owner = the smallest
@@ -621,11 +693,15 @@ object TextAnalysis {
     * plan a 1000-executor sort-free shuffle wants. A writer then
     * `partitionBy(shard)` + sorts within partitions by pos. */
   def sampleShuffle(spark: SparkSession, dir: String, nShards: Int = 16,
-      nChunks: Int = 32): DataFrame = {
-    val t = Tables(spark, dir)
+      nChunks: Int = 32): DataFrame =
+    sampleShuffleOf(Tables(spark, dir).documents, nShards, nChunks)
+
+  /** The F55 compute over any frame with a `doc_id` column — the H5
+    * composed pipeline shards its survivor set through the same path. */
+  def sampleShuffleOf(docs: DataFrame, nShards: Int, nChunks: Int): DataFrame = {
     val P = 1000000007L
     val M = 999999937L
-    val scored = t.documents.select(col("doc_id"))
+    val scored = docs.select(col("doc_id"))
       .withColumn("h", expr(s"(doc_id % $P) * $M % $P"))
       // descending-score order == ascending-h order: the F33 chunker's
       // native ordering, reused unchanged (h < P ⇒ distinct doubles)

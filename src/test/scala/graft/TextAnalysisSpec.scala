@@ -426,6 +426,25 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(jobs > 0 && jobs <= 4, s"serving ran $jobs jobs — layout not reused?")
   }
 
+  test("curation pipeline: lineage chains, every gate drops something, shard stage preserves tokens") {
+    val rows = TextAnalysis.curationPipeline(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._2).toSeq ==
+      Seq("ingest", "para_dedup", "novelty_gate", "hub_cap", "shard_order"))
+    // units_in of each stage = units_out of the previous
+    rows.sliding(2).foreach { case Array(prev, cur) =>
+      assert(cur._3 == prev._4, s"lineage break at ${cur._2}: in=${cur._3} out=${prev._4}")
+    }
+    // the dedup gate and at least one of novelty/hub-cap actually fire
+    val Array(ing, para, nov, hub, shard) = rows
+    assert(para._4 < para._3, "para_dedup dropped nothing")
+    assert(nov._4 < nov._3 || hub._4 < hub._3, "neither soft gate fired")
+    // tokens only ever shrink; the shard stage reorders without loss
+    assert(rows.init.sliding(2).forall { case Array(p, c) => c._5 <= p._5 })
+    assert(shard._5 == hub._5, "sharding changed the token count")
+    assert(shard._4 <= 16L, "more shards than nShards")
+  }
+
   test("text novelty: original owns everything, verbatim copy owns nothing, derivative sits between") {
     import spark.implicits._
     val original = (1 to 30).map(i => s"w$i").mkString(" ")
