@@ -325,6 +325,58 @@ object PipelineDemo {
     Pipeline.run(spark, PipelineCfg.fromJson(json))
   }
 
+  /** H1l: BRANCHED PUBLISHING — the Nessie/Iceberg-branch flow over the
+    * manifest layout: a branch is one more tiny pointer file pinned to
+    * the generation it forked from; branch writes land as ordinary
+    * immutable version dirs but swing only the branch pointer (main
+    * readers never see them); merge is FAST-FORWARD ONLY — it succeeds
+    * exactly when main still is the recorded fork base, and a diverged
+    * main yields a refused "conflict" that changes nothing on either
+    * side. The demo drives the full life cycle: publish → branch →
+    * isolated branch write → clean merge → diverge → refused merge,
+    * reading main AND branch back through their pointers at each step. */
+  def runBranch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val target = Tables.scratch(spark, "graft_pipeline_branch")
+    val name = "orders_br"
+    val base = new Path(target, name)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(base, true): Unit
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    def slice(st: String) = orders.filter(col("o_orderstatus") === st)
+    def publishMain(st: String): Unit = {
+      val verName = s"v_${System.currentTimeMillis()}_" +
+        s"${ProcessHandle.current().pid()}_m$st"
+      slice(st).write.mode("overwrite").parquet(new Path(base, verName).toString)
+      Pipeline.writeManifest(fs, fs.makeQualified(base), Seq(verName))
+    }
+    def mainRows: Long = {
+      val live = Pipeline.resolvePublished(spark, target, name)
+      if (live.isEmpty) 0L else spark.read.parquet(live: _*).count()
+    }
+    def branchRows(b: String): Long = {
+      val live = Pipeline.resolveBranch(spark, target, name, b)
+      if (live.isEmpty) 0L else spark.read.parquet(live: _*).count()
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long, String)]
+    publishMain("F")
+    out += ((1L, "publish_main", mainRows, 0L, "published"))
+    Pipeline.branchCreate(spark, target, name, "exp")
+    Pipeline.branchPublish(spark, target, name, "exp", slice("O"))
+    out += ((2L, "branch_write", mainRows, branchRows("exp"), "isolated"))
+    val m1 = Pipeline.branchMerge(spark, target, name, "exp")
+    out += ((3L, "merge", mainRows, branchRows("exp"), m1))
+    Pipeline.branchCreate(spark, target, name, "exp2")
+    publishMain("P") // main moves past exp2's fork base
+    Pipeline.branchPublish(spark, target, name, "exp2", slice("F"))
+    out += ((4L, "diverge", mainRows, branchRows("exp2"), "isolated"))
+    val m2 = Pipeline.branchMerge(spark, target, name, "exp2")
+    out += ((5L, "merge_diverged", mainRows, branchRows("exp2"), m2))
+    out.toSeq.toDF("step_ord", "step", "main_rows", "branch_rows", "outcome")
+      .orderBy(col("step_ord"))
+  }
+
   /** H1k: WRITE-AUDIT-PUBLISH — the lakehouse CI gate (the
     * Iceberg/Netflix WAP pattern): every load stages into an UNPUBLISHED
     * immutable version directory, the D35 constraint audit runs against

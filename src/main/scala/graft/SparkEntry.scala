@@ -148,6 +148,7 @@ object SparkEntry {
     "pipeline_clone"         -> (PipelineDemo.runClone _),
     "pipeline_vacuum"        -> (PipelineDemo.runVacuum _),
     "pipeline_wap"           -> (PipelineDemo.runWap _),
+    "pipeline_branch"        -> (PipelineDemo.runBranch _),
     "pipeline_curation"      -> ((s: SparkSession, d: String) => TextAnalysis.curationPipeline(s, d)),
     // F — LLM-training-data operators
     "dedup_exact"            -> Dedup.dedupExact _,
@@ -218,6 +219,7 @@ object SparkEntry {
     "mm_frame_sample"        -> Multimodal.frameSample _,
     "mm_scene_cut"           -> ((s, d) => Multimodal.sceneCut(s, d)),
     "mm_clip_sample"         -> ((s, d) => Multimodal.clipSample(s, d)),
+    "mm_audio_vad"           -> ((s, d) => Multimodal.audioVad(s, d)),
     "load_partition_evolution" -> (LoadOps.partitionEvolution _),
     "mm_resize"              -> ((s: SparkSession, d: String) => Multimodal.resize(s, d)),
   )
@@ -1000,6 +1002,23 @@ object SparkEntry {
          |   sh_checksum FROM agg)
          |ORDER BY stage_ord""".stripMargin
     },
+    // H1l: the branch life cycle's observable state at each step — main
+    // and branch row counts resolved through their pointers — replayed
+    // from the status slices; outcomes are the declared decisions
+    "pipeline_branch" ->
+      """WITH c AS (SELECT
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p
+        | FROM orders)
+        |SELECT CAST(1 AS BIGINT) AS step_ord, 'publish_main' AS step,
+        |  CAST(f AS BIGINT) AS main_rows, CAST(0 AS BIGINT) AS branch_rows,
+        |  'published' AS outcome FROM c
+        |UNION ALL SELECT 2, 'branch_write', f, o, 'isolated' FROM c
+        |UNION ALL SELECT 3, 'merge', o, 0, 'fast_forward' FROM c
+        |UNION ALL SELECT 4, 'diverge', p, f, 'isolated' FROM c
+        |UNION ALL SELECT 5, 'merge_diverged', p, f, 'conflict' FROM c
+        |ORDER BY step_ord""".stripMargin,
     // H1k: the audit/publish decision replayed from the same constraint
     // list — attempt 1 stages the constraint-clean slice (0 violations,
     // published), attempt 2 the complement (rejected; live state frozen)
@@ -2973,6 +2992,36 @@ object SparkEntry {
         | round(max(alp), 3) AS max_score, round(min(alp), 3) AS min_score,
         | CAST(sum(doc_id) AS BIGINT) AS id_checksum
         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // F61: the F39 fan-out CTEs + the exact cross-multiplied energy gate
+    // and the per-payload islands merge
+    "mm_audio_vad" ->
+      """WITH m AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n FROM documents),
+        |h AS (SELECT doc_id, n,
+        |  CASE WHEN n % 2 = 0 THEN 8000 ELSE 16000 END AS sample_rate,
+        |  500 + (n * 13) % 9501 AS dur FROM m),
+        |w AS (SELECT *, CASE WHEN dur < 1000 THEN 0
+        |    ELSE (dur - 1000) // 500 + 1 END AS nfull FROM h),
+        |k AS (SELECT *, greatest(1, nfull +
+        |    CASE WHEN nfull >= 1 AND dur - nfull * 500 >= 500
+        |    THEN 1 ELSE 0 END) AS chunks FROM w),
+        |f AS (SELECT doc_id, n, dur, sample_rate, CAST(i AS BIGINT) AS c,
+        |  CAST(i * 500 AS BIGINT) AS start_ms,
+        |  CAST(least(i * 500 + 1000, dur) AS BIGINT) AS end_ms,
+        |  CAST(100 + (n * 31 + i * 17 + sample_rate // 1000) % 9973 AS BIGINT) AS e
+        |  FROM k, range(0, 100) r(i) WHERE i < chunks),
+        |st AS (SELECT doc_id, count(*) AS nch, sum(e) AS esum FROM f GROUP BY 1),
+        |act AS (SELECT f.* FROM f JOIN st USING (doc_id)
+        |  WHERE f.e * st.nch * 10 >= st.esum * 9),
+        |b AS (SELECT doc_id, c, start_ms, end_ms, e,
+        |  CASE WHEN lag(c) OVER w IS NULL THEN 1
+        |       WHEN c > lag(c) OVER w + 1 THEN 1 ELSE 0 END AS brk
+        |  FROM act WINDOW w AS (PARTITION BY doc_id ORDER BY c)),
+        |s AS (SELECT doc_id, c, start_ms, end_ms, e,
+        |  sum(brk) OVER (PARTITION BY doc_id ORDER BY c) AS seg_idx FROM b)
+        |SELECT doc_id, CAST(seg_idx AS BIGINT) AS seg_idx,
+        |  min(start_ms) AS seg_start_ms, max(end_ms) AS seg_end_ms,
+        |  count(*) AS n_chunks, CAST(sum(e) AS BIGINT) AS energy_sum
+        |FROM s GROUP BY doc_id, seg_idx ORDER BY doc_id, seg_idx""".stripMargin,
     "mm_audio_chunks" ->
       """WITH m AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n FROM documents),
         |h AS (SELECT doc_id, n,

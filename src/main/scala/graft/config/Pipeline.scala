@@ -423,6 +423,90 @@ object Pipeline {
       .map(v => new Path(fs.makeQualified(base), v).toString)
   }
 
+  // ---- H1l: branches over manifest-published targets -----------------
+  // The Nessie/Iceberg-branch idea reduced to its manifest essence: a
+  // branch is ONE more tiny pointer file pinned to the generation it
+  // forked from. Branch writes land as ordinary immutable version dirs
+  // but swing only the branch pointer — main readers never see them.
+  // Merge is FAST-FORWARD ONLY: it succeeds exactly when main still is
+  // the recorded fork base (anything else is a real conflict, and
+  // refusing is the correct primitive — rebase is a policy above it).
+
+  private def branchFile(base: org.apache.hadoop.fs.Path, branch: String) =
+    new org.apache.hadoop.fs.Path(base, s"_GRAFT_BRANCH_$branch")
+
+  /** Content hash of a manifest generation — the fork-base fingerprint. */
+  def manifestHash(lines: Seq[String]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(lines.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** Create `branch` pinned at the target's current published
+    * generation. The branch file records the fork base's hash first,
+    * then the live version list. */
+  def branchCreate(spark: SparkSession, target: String, name: String,
+      branch: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(target, safeNameString(name))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = readManifest(fs, fs.makeQualified(base))
+    require(live.nonEmpty, s"cannot branch unpublished target $target/$name")
+    writeLines(fs, branchFile(fs.makeQualified(base), branch),
+      s"base=${manifestHash(live)}" +: live)
+  }
+
+  /** Publish a truncate generation ONTO a branch: an ordinary immutable
+    * version write plus a rewrite of the branch pointer only. */
+  def branchPublish(spark: SparkSession, target: String, name: String,
+      branch: String, df: DataFrame): String = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(target, safeNameString(name))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bf = branchFile(fs.makeQualified(base), branch)
+    val lines = readLines(fs, bf)
+    require(lines.nonEmpty, s"no such branch $branch")
+    val verName = s"v_${System.currentTimeMillis()}_" +
+      s"${ProcessHandle.current().pid()}_${verSeq.incrementAndGet()}"
+    df.write.mode("overwrite").parquet(new Path(base, verName).toString)
+    writeLines(fs, bf, lines.head +: Seq(verName))
+    verName
+  }
+
+  /** The branch's live version paths (readers hand these to
+    * `spark.read.parquet`), empty if the branch does not exist. */
+  def resolveBranch(spark: SparkSession, target: String, name: String,
+      branch: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(target, safeNameString(name))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readLines(fs, branchFile(fs.makeQualified(base), branch))
+      .drop(1).map(v => new Path(fs.makeQualified(base), v).toString)
+  }
+
+  /** FAST-FORWARD merge: succeeds iff main's manifest still hashes to
+    * the branch's recorded fork base — main then swings to the branch's
+    * versions (one manifest PUT) and the branch pointer is deleted.
+    * Anything else returns "conflict" and changes NOTHING: the branch
+    * keeps its versions, main keeps its own, and resolution (rebase,
+    * abandon) is the caller's policy. */
+  def branchMerge(spark: SparkSession, target: String, name: String,
+      branch: String): String = {
+    import org.apache.hadoop.fs.Path
+    val base0 = new Path(target, safeNameString(name))
+    val fs = base0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = fs.makeQualified(base0)
+    val bf = branchFile(base, branch)
+    val lines = readLines(fs, bf)
+    require(lines.nonEmpty, s"no such branch $branch")
+    val live = readManifest(fs, base)
+    if (manifestHash(live) != lines.head.stripPrefix("base=")) "conflict"
+    else {
+      writeManifest(fs, base, lines.drop(1))
+      fs.delete(bf, false)
+      "fast_forward"
+    }
+  }
+
   /** Reader-side TIME TRAVEL for manifest-published targets: the version
     * directories of the generation BEFORE the live one — the
     * `_GRAFT_PREV` ledger, whose versions the truncate GC's full-

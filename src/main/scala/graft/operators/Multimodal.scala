@@ -243,6 +243,43 @@ object Multimodal {
     * Pure integer arithmetic on the F52 scene extents (one shared
     * compute, zero additional shuffle); oracle = the scene CTEs + the
     * same centering math. */
+  /** F61: voice-activity segmentation — the audio path's scene-cut: a
+    * chunk is ACTIVE when its energy clears a fraction of the payload's
+    * mean (the classic energy-gate VAD; a real featurizer plugs frame
+    * energies into the same shape), and consecutive active chunks merge
+    * into SPEECH SEGMENTS — the unit an ASR/captioning trainer consumes.
+    * Completes the audio pipeline: chunks (F39) → VAD segments (F61),
+    * mirroring video's frames (F14) → scenes (F52) → clips (F58).
+    *
+    * The activity test is EXACT integer arithmetic — cross-multiplied
+    * `energy·n·den ≥ sum·num` instead of a float mean — so both engines
+    * agree bit-for-bit. Segment assembly is the gaps-and-islands window
+    * per payload (state bounded by chunks-per-payload); the per-doc mean
+    * is one hash agg joined back. One shuffle on doc_id total. */
+  def audioVad(spark: SparkSession, dir: String,
+      num: Long = 9L, den: Long = 10L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = audioChunks(spark, dir)
+    val stats = chunks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nch"), sum(col("energy_stub")).as("esum"))
+    val active = chunks.join(stats, Seq("doc_id"))
+      .filter(col("energy_stub") * col("nch") * den >= col("esum") * num)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("chunk_idx"))
+    active
+      .withColumn("brk",
+        when(lag(col("chunk_idx"), 1).over(w).isNull, 1)
+          .when(col("chunk_idx") > lag(col("chunk_idx"), 1).over(w) + 1, 1)
+          .otherwise(0))
+      .withColumn("seg_idx",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("seg_idx"))
+      .agg(min(col("start_ms")).as("seg_start_ms"),
+        max(col("end_ms")).as("seg_end_ms"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("energy_stub")).as("energy_sum"))
+      .orderBy(col("doc_id"), col("seg_idx"))
+  }
+
   def clipSample(spark: SparkSession, dir: String, clipLen: Long = 4L): DataFrame =
     sceneCut(spark, dir)
       .withColumn("clip_frames", least(col("n_frames"), lit(clipLen)))

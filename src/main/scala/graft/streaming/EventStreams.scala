@@ -311,4 +311,51 @@ object EventStreams {
         (): Unit
       }
       .start()
+
+  /** G17: STREAMING novelty scoring — F60 as corpus INGEST (the G15
+    * ledger pattern on gram hashes instead of chunk hashes): documents
+    * arrive in micro-batches, a persisted gram-owner ledger carries the
+    * first-seen gram set across batches, and each batch emits its docs'
+    * novelty reports immediately. A gram is novel for a doc iff the
+    * ledger has never seen it AND the doc is the batch's first carrier
+    * (batch-local min doc_id) — which equals F60's global min-owner rule
+    * exactly when docs arrive in id order (spec-pinned). State is
+    * O(distinct grams); per-batch cost is O(batch + |ledger| join). */
+  def noveltyStream(docs: DataFrame, stateDir: String, k: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import org.apache.spark.sql.functions._
+        import graft.operators.TextAnalysis
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(stateDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val ledgerPath = new org.apache.hadoop.fs.Path(stateDir + "/seen")
+        val grams = batch.toDF()
+          .select(col("doc_id"),
+            explode(TextAnalysis.wordGrams(TextAnalysis.tokens(col("text")), k)).as("gram"))
+          .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+          .distinct().localCheckpoint(true)
+        val firsts = grams.groupBy(col("gh")).agg(min(col("doc_id")).as("first_doc"))
+        val seen =
+          if (fs.exists(ledgerPath)) spark.read.parquet(ledgerPath.toString)
+          else spark.range(0).select(col("id").as("gh"))
+        grams.join(firsts, Seq("gh"))
+          .join(seen.withColumn("in_ledger", lit(true)), Seq("gh"), "left")
+          .withColumn("novel",
+            col("doc_id") === col("first_doc") && col("in_ledger").isNull)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_distinct"),
+            sum(when(col("novel"), 1L).otherwise(0L)).as("n_novel"))
+          .select(col("doc_id"), col("n_distinct"), col("n_novel"),
+            expr("n_novel * 1000000 div greatest(n_distinct, 1)").as("novelty_ppm"))
+          .write.mode("append").parquet(stateDir + "/report")
+        val tmp = new org.apache.hadoop.fs.Path(stateDir + "/seen.next")
+        seen.select(col("gh")).unionByName(firsts.select(col("gh"))).distinct()
+          .write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(ledgerPath)) fs.delete(ledgerPath, true)
+        require(fs.rename(tmp, ledgerPath), s"ledger publish failed: $tmp -> $ledgerPath")
+        (): Unit
+      }
+      .start()
 }

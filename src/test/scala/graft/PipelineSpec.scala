@@ -593,6 +593,27 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("branching: writes isolated, ff-merge swings main, diverged merge refuses and changes nothing") {
+    val target = graft.Tables.scratch(spark, "graft_pipeline_branch")
+    val rows = PipelineDemo.runBranch(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(rows.map(_._5).toSeq ==
+      Seq("published", "isolated", "fast_forward", "isolated", "conflict"))
+    // isolation: the branch write did not move main (steps 1 and 2 agree)
+    assert(rows(1)._3 == rows(0)._3)
+    // ff-merge moved main to the branch generation; the branch pointer is gone
+    assert(rows(2)._3 == rows(1)._4 && rows(2)._4 == 0L)
+    assert(graft.config.Pipeline.resolveBranch(spark, target, "orders_br", "exp").isEmpty)
+    // diverged merge changed nothing: main and exp2 both still resolve
+    assert(rows(4)._3 == rows(3)._3 && rows(4)._4 == rows(3)._4)
+    val exp2 = graft.config.Pipeline.resolveBranch(spark, target, "orders_br", "exp2")
+    assert(exp2.nonEmpty && spark.read.parquet(exp2: _*).count() == rows(4)._4)
+    // a retry conflicts again — the refusal is stable, not a race artifact
+    assert(graft.config.Pipeline.branchMerge(spark, target, "orders_br", "exp2") == "conflict")
+    val live = graft.config.Pipeline.resolvePublished(spark, target, "orders_br")
+    assert(spark.read.parquet(live: _*).count() == rows(4)._3)
+  }
+
   test("wap: rejected version stays unmanifested on disk, published bytes satisfy every constraint") {
     import org.apache.hadoop.fs.Path
     val rows = PipelineDemo.runWap(spark, sfDir).collect()

@@ -473,6 +473,36 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("G17: streaming novelty over ordered batches equals the batch pass, ledger holds the gram set") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables(spark, sfDir).documents.select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val stateDir = java.nio.file.Files.createTempDirectory("g17").toString + "/state"
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.noveltyStream(mem.toDF().toDF("doc_id", "text"), stateDir)
+    try {
+      val third = (docs.length + 2) / 3
+      docs.grouped(third).foreach { slice =>
+        mem.addData(slice.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      val streamed = spark.read.parquet(stateDir + "/report")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      val batch = graft.operators.TextAnalysis.textNovelty(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      assert(streamed == batch,
+        s"stream/batch diverged; first diff: ${streamed.zip(batch).find(p => p._1 != p._2)}")
+      // the ledger holds exactly the corpus's distinct gram set
+      val nGrams = spark.read.parquet(stateDir + "/seen").count()
+      val expGrams = Tables(spark, sfDir).documents
+        .select(explode(graft.operators.TextAnalysis.wordGrams(
+          graft.operators.TextAnalysis.tokens(col("text")), 8)).as("g"))
+        .select(org.apache.spark.sql.functions.xxhash64(col("g"))).distinct().count()
+      assert(nGrams == expGrams, s"ledger $nGrams != corpus grams $expGrams")
+    } finally q.stop()
+  }
+
   test("G16: streaming constraint monitor's cumulative report equals the batch pass under slicing") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.LineRow
