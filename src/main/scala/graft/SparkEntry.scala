@@ -191,6 +191,8 @@ object SparkEntry {
     "sample_split"           -> TextAnalysis.datasetSplit _,
     "dedup_incremental"      -> Dedup.dedupIncremental _,
     "dedup_substring"        -> ((s: SparkSession, d: String) => Dedup.dedupSubstring(s, d)),
+    "text_trim_spans"        -> ((s: SparkSession, d: String) => Dedup.trimSpans(s, d)),
+    "emb_knn_graph"          -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
     "dedup_url"              -> Dedup.dedupUrl _,
     "text_pack_chunks"       -> ((s: SparkSession, d: String) => TextAnalysis.packChunks(s, d)),
     "text_contamination"     -> ((s: SparkSession, d: String) => TextAnalysis.contamination(s, d)),
@@ -2192,6 +2194,62 @@ object SparkEntry {
          |FROM n LEFT JOIN deg USING (doc_id) JOIN pr5 USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     },
+    // F62: the F30 span CTEs + a position-level NOT EXISTS cut + the
+    // ordered rebuild; the md5 pins the exact surviving byte stream
+    "text_trim_spans" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |w AS (SELECT doc_id, unnest(toks) AS word,
+         |  generate_subscripts(toks, 1) AS p FROM t),
+         |g AS (SELECT doc_id,
+         |  unnest(CASE WHEN len(toks) >= 8
+         |    THEN [array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 7 AS INT)), ' ')
+         |          for i in range(1, len(toks) - 6)]
+         |    ELSE [] END) AS gram,
+         |  unnest(CASE WHEN len(toks) >= 8 THEN range(1, len(toks) - 6) ELSE [] END) AS p
+         | FROM t),
+         |d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+         |h AS (SELECT g.doc_id, g.p FROM g JOIN d USING (gram)),
+         |i AS (SELECT doc_id, p,
+         |  CASE WHEN lag(p) OVER win IS NULL OR p > lag(p) OVER win + 8 THEN 1 ELSE 0 END AS brk
+         | FROM h WINDOW win AS (PARTITION BY doc_id ORDER BY p)),
+         |s AS (SELECT doc_id, p,
+         |  sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island FROM i),
+         |spn AS (SELECT doc_id, min(p) AS s0, max(p) + 7 AS e0
+         |  FROM s GROUP BY doc_id, island),
+         |kept AS (SELECT w.doc_id, w.p, w.word FROM w
+         |  WHERE NOT EXISTS (SELECT 1 FROM spn
+         |    WHERE spn.doc_id = w.doc_id AND w.p BETWEEN spn.s0 AND spn.e0)),
+         |ka AS (SELECT doc_id, count(*) AS n_after,
+         |  md5(string_agg(word, ' ' ORDER BY p)) AS trimmed_md5
+         | FROM kept GROUP BY doc_id),
+         |nb AS (SELECT doc_id, count(*) AS n_before FROM w GROUP BY doc_id)
+         |SELECT nb.doc_id, nb.n_before,
+         |  nb.n_before - COALESCE(ka.n_after, 0) AS n_trimmed,
+         |  COALESCE(ka.n_after, 0) AS n_after,
+         |  COALESCE(ka.trimmed_md5, 'd41d8cd98f00b204e9800998ecf8427e') AS trimmed_md5
+         |FROM nb LEFT JOIN ka USING (doc_id) ORDER BY nb.doc_id""".stripMargin,
+    // F63: the dedup_semantic assignment CTEs + within-list ranked pairs
+    // on the ROUNDED cosine (ties to the smaller neighbor id)
+    "emb_knn_graph" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT label AS c_label, list(a ORDER BY pos) AS cv
+         |  FROM (SELECT label, pos, avg(x) AS a
+         |    FROM (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e)
+         |    GROUP BY label, pos)
+         |  GROUP BY label),
+         |a AS (SELECT vec_id, c_label, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ${cosSql("v", "cv")} DESC, c_label) AS rn FROM e CROSS JOIN c),
+         |asg AS (SELECT vec_id, c_label AS list_id FROM a WHERE rn = 1),
+         |m AS (SELECT e.vec_id, asg.list_id, e.v FROM e
+         |  JOIN asg ON e.vec_id = asg.vec_id),
+         |pr AS (SELECT x.vec_id, y.vec_id AS nbr_id, x.list_id,
+         |    round(${cosSql("x.v", "y.v")}, 4) AS cos
+         |  FROM m x JOIN m y ON x.list_id = y.list_id AND x.vec_id <> y.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cos DESC, nbr_id) AS rank FROM pr)
+         |SELECT vec_id, CAST(rank AS BIGINT) AS rank, nbr_id,
+         |  CAST(list_id AS BIGINT) AS list_id, cos
+         |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
     "dedup_substring" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
          |g AS (SELECT doc_id,

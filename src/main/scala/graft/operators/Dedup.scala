@@ -615,6 +615,50 @@ object Dedup {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** F62: substring-span TRIMMING — the APPLY step of F30 (Lee et al.
+    * cut the duplicated substring OUT and keep the document): every word
+    * covered by a maximal duplicated span is removed, the survivors
+    * rejoin in order, and the report carries before/trimmed/after word
+    * counts plus the md5 of the trimmed text — the artifact a downstream
+    * tokenizer consumes, checksummed so the oracle proves the exact
+    * surviving byte stream, not just counts.
+    *
+    * Scale shape: the span frame is F30's (already shuffle-bounded); the
+    * apply is one position explode + a per-doc range anti-join (span
+    * lists are per-doc bounded) + one per-doc rebuild agg — everything
+    * keyed on doc_id, one shuffle family, no corpus-wide state. */
+  def trimSpans(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    trimSpansOf(Tables(spark, dir).documents.select(col("doc_id"), col("text")), k)
+
+  /** The F62 compute over any (doc_id, text) frame — specs plant shared
+    * substrings with hand-computable trims. */
+  def trimSpansOf(docs: DataFrame, k: Int): DataFrame = {
+    val spans = substringSpans(docs, k)
+      .select(col("doc_id").as("s_doc"), col("span_start"), col("span_end"))
+    val toks = docs
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("idx", "word")))
+      .select(col("doc_id"), (col("idx") + 1).as("p"), col("word"))
+      .localCheckpoint(true)
+    val kept = toks.join(spans,
+        col("doc_id") === col("s_doc") &&
+          col("p") >= col("span_start") && col("p") <= col("span_end"),
+        "left_anti")
+    val keptAgg = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_after"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("word")))),
+          s => s.getField("word")), " ").cast("binary")).as("trimmed_md5"))
+    val before = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_before"))
+    before.join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_before"),
+        (col("n_before") - coalesce(col("n_after"), lit(0L))).as("n_trimmed"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("trimmed_md5"),
+          lit("d41d8cd98f00b204e9800998ecf8427e")).as("trimmed_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** F30: duplicated-substring spans — the substring-granular dedup of
     * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
     * Better"): report every MAXIMAL span of consecutive words whose word

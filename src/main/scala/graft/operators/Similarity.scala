@@ -500,6 +500,33 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** F63: k-NN GRAPH construction — each vector's top-k nearest
+    * neighbors as a materialized dataset (the input artifact of
+    * graph-based dedup refinement, cluster smoothing, and label
+    * propagation; SemDeDup F41 consumes pairwise verdicts, this keeps
+    * the ranked neighborhood itself). Candidates come from the persisted
+    * IVF lists — neighbors only ever meet inside a list, so pair volume
+    * is list-bounded and the per-vector rank is a cluster-bounded
+    * window; the standard blocked-kNN shape at any corpus size. */
+  def knnGraph(spark: SparkSession, dir: String, kNbrs: Int = 3): DataFrame = {
+    val (listsPath, _) = ivfIndex(spark, dir)
+    val l = ivfLists(spark, listsPath)
+      .select(col("vec_id"), col("list_id"), col("v"), col("nrm"))
+    val a = l.select(col("vec_id"), col("list_id"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = l.select(col("vec_id").as("nbr_id"), col("list_id"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val wnd = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    a.join(b, Seq("list_id")).filter(col("vec_id") =!= col("nbr_id"))
+      .withColumn("cos", round(Vec.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .withColumn("rank", row_number().over(wnd))
+      .filter(col("rank") <= kNbrs)
+      .select(col("vec_id"), col("rank").cast("long").as("rank"),
+        col("nbr_id"), col("list_id").cast("long").as("list_id"), col("cos"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
   /** F57: top principal component of the embedding cloud by POWER
     * ITERATION — the engine's spectral primitive: PC1 is the
     * dimension-reduction / whitening axis every embedding pipeline

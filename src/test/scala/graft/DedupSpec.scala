@@ -414,4 +414,23 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(avgOf(boilered) < avgOf(rest),
       "boilerplate carriers should average a lower sampling weight")
   }
+
+  test("trim spans: planted shared prefix is cut from both carriers, unique docs pass untouched") {
+    import spark.implicits._
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val t1 = "u1 u2 u3 u4 u5 u6 u7 u8"
+    val t2 = "v1 v2 v3 v4 v5 v6 v7 v8"
+    val docs = Seq(
+      (0L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"), // fully unique
+      (1L, s"$shared $t1"),
+      (2L, s"$shared $t2"))
+    val got = Dedup.trimSpansOf(docs.toDF("doc_id", "text"), k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .map(t => t._1 -> t).toMap
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(0L) == ((0L, 10L, 0L, 10L, md5("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"))))
+    assert(got(1L) == ((1L, 16L, 8L, 8L, md5(t1))), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((2L, 16L, 8L, 8L, md5(t2))), s"doc2: ${got(2L)}")
+  }
 }

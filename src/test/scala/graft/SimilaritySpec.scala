@@ -548,6 +548,39 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(got.map(_._3).distinct.length == 1)
   }
 
+  test("knn graph: dense ranks, descending cosine, neighbors in-list, top-1 is the list argmax") {
+    val rows = Similarity.knnGraph(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val byVec = rows.groupBy(_._1)
+    byVec.foreach { case (_, ns) =>
+      val sorted = ns.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to ns.length.toLong).toSeq, "ranks not dense")
+      assert(sorted.sliding(2).forall {
+        case Array(x, y) => x._5 > y._5 || (x._5 == y._5 && x._3 < y._3); case _ => true
+      }, "rank order violates (cos DESC, nbr_id)")
+      assert(ns.map(_._4).distinct.length == 1, "neighbors cross lists")
+    }
+    // brute-check top-1 for three vectors against the full in-list scan
+    val (listsPath, _) = Similarity.ivfIndex(spark, sfDir)
+    val l = Similarity.ivfLists(spark, listsPath)
+      .select(col("vec_id"), col("list_id"), col("v"), col("nrm")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray, r.getDouble(3)))
+    def cos(a: Array[Double], na: Double, b: Array[Double], nb: Double) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      BigDecimal(s / (na * nb)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    byVec.keys.toSeq.sorted.take(3).foreach { vid =>
+      val me = l.find(_._1 == vid).get
+      val best = l.filter(x => x._2 == me._2 && x._1 != vid)
+        .map(x => (-cos(me._3, me._4, x._3, x._4), x._1)).min
+      val top1 = byVec(vid).minBy(_._2)
+      assert(top1._3 == best._2 && top1._5 == -best._1,
+        s"vec $vid top-1 ${top1._3}@${top1._5} != brute ${best._2}@${-best._1}")
+    }
+  }
+
   test("all-but-top: removed energy obeys Pythagoras, norms never grow") {
     val rows = Similarity.embAllButTop(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
