@@ -483,15 +483,28 @@ object Similarity {
       .groupBy(col("label"), col("pos"))
       .agg(avg(when(!col("is_cur"), col("x"))).as("rc"),
         avg(when(col("is_cur"), col("x"))).as("cc"))
-      .groupBy(col("label"))
+    val counts = e.groupBy(col("label"))
+      .agg(sum(when(!col("is_cur"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("is_cur"), 1L).otherwise(0L)).as("n_cur"))
+    driftReport(byDim, counts, bar)
+  }
+
+  /** The D36 report assembly over a (label, pos, rc, cc) per-dimension
+    * means frame and a (label, n_ref, n_cur) counts frame — shared with
+    * the G18 streaming form, whose means come from accumulated
+    * (sum, count) state instead of one batch aggregation. */
+  def driftReport(byDim: DataFrame, counts: DataFrame, bar: Double): DataFrame = {
+    val cent = byDim.groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("rc"), col("cc")))),
           s => s.getField("rc")).as("ref_cv"),
         transform(array_sort(collect_list(struct(col("pos"), col("rc"), col("cc")))),
           s => s.getField("cc")).as("cur_cv"))
-    val counts = e.groupBy(col("label"))
-      .agg(sum(when(!col("is_cur"), 1L).otherwise(0L)).as("n_ref"),
-        sum(when(col("is_cur"), 1L).otherwise(0L)).as("n_cur"))
-    counts.join(byDim, Seq("label"))
+    // no verdict without BOTH splits: a label the current batch (or the
+    // reference) hasn't populated yet has no second centroid to compare
+    // — emitting it would divide by an empty norm (the G18 stream hits
+    // this mid-feed; the full corpus always has both splits)
+    counts.filter(col("n_ref") > 0 && col("n_cur") > 0)
+      .join(cent, Seq("label"))
       .withColumn("centroid_cos", round(
         Vec.dot(col("ref_cv"), col("cur_cv")) /
           (Vec.norm(col("ref_cv")) * Vec.norm(col("cur_cv"))), 4))

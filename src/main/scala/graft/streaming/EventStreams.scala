@@ -312,6 +312,55 @@ object EventStreams {
       }
       .start()
 
+  /** G18: STREAMING embedding drift — D36 as continuous monitoring: the
+    * per-(label, dim, split) running (sum, count) moments accumulate in
+    * a persisted state table (write-new-then-rename, the G14 rule), and
+    * each batch re-emits the drift report from the TOTAL state — means
+    * are exactly recoverable from moments, so the report equals the
+    * batch pass over all rows seen so far (spec-pinned; the rounded
+    * 4-dec cosine absorbs summation-order noise). State is
+    * O(|labels|·dims·2) regardless of stream length; the report
+    * assembly is the SAME `Similarity.driftReport` the batch op uses. */
+  def embeddingDriftStream(vecs: DataFrame, stateDir: String, bar: Double = 0.8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import org.apache.spark.sql.functions._
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(stateDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val statePath = new org.apache.hadoop.fs.Path(stateDir + "/moments")
+        val partial = batch.toDF()
+          .withColumn("is_cur", col("vec_id") % 5 === 0)
+          .select(col("label"), col("is_cur"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("label"), col("pos"), col("is_cur"))
+          .agg(sum(col("x")).as("s"), count(lit(1)).as("c"))
+        val prev =
+          if (fs.exists(statePath)) spark.read.parquet(statePath.toString)
+          else partial.limit(0)
+        val merged = prev.unionByName(partial)
+          .groupBy(col("label"), col("pos"), col("is_cur"))
+          .agg(sum(col("s")).as("s"), sum(col("c")).as("c"))
+          .localCheckpoint(true)
+        val tmp = new org.apache.hadoop.fs.Path(stateDir + "/moments.next")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(statePath)) fs.delete(statePath, true)
+        require(fs.rename(tmp, statePath), s"state publish failed: $tmp -> $statePath")
+        val byDim = merged.groupBy(col("label"), col("pos"))
+          .agg((sum(when(!col("is_cur"), col("s"))) /
+              sum(when(!col("is_cur"), col("c")))).as("rc"),
+            (sum(when(col("is_cur"), col("s"))) /
+              sum(when(col("is_cur"), col("c")))).as("cc"))
+        val counts = merged.filter(col("pos") === 0)
+          .groupBy(col("label"))
+          .agg(sum(when(!col("is_cur"), col("c")).otherwise(0L)).cast("long").as("n_ref"),
+            sum(when(col("is_cur"), col("c")).otherwise(0L)).cast("long").as("n_cur"))
+        graft.operators.Similarity.driftReport(byDim, counts, bar)
+          .write.mode("overwrite").parquet(stateDir + "/report")
+        (): Unit
+      }
+      .start()
+
   /** G17: STREAMING novelty scoring — F60 as corpus INGEST (the G15
     * ledger pattern on gram hashes instead of chunk hashes): documents
     * arrive in micro-batches, a persisted gram-owner ledger carries the

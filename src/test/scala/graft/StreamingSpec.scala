@@ -473,6 +473,38 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("G18: streaming embedding drift from accumulated moments equals the batch pass after every trigger") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val vecs = graft.operators.Similarity.vectors(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2)))
+      .sortBy(_._1)
+    val stateDir = java.nio.file.Files.createTempDirectory("g18").toString + "/state"
+    val mem = MemoryStream[(Long, Int, Seq[Double])]
+    val q = EventStreams.embeddingDriftStream(
+      mem.toDF().toDF("vec_id", "label", "v"), stateDir)
+    try {
+      val third = (vecs.length + 2) / 3
+      var fed = Array.empty[(Long, Int, Seq[Double])]
+      vecs.grouped(third).foreach { slice =>
+        mem.addData(slice.toIndexedSeq: _*); q.processAllAvailable()
+        fed = fed ++ slice
+        val streamed = spark.read.parquet(stateDir + "/report")
+          .collect().map(_.toSeq).sortBy(_.head.toString.toLong)
+        val schema = StructType(Seq(StructField("vec_id", LongType),
+          StructField("label", IntegerType),
+          StructField("v", ArrayType(DoubleType))))
+        val batchDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(fed.toIndexedSeq.map(t => Row(t._1, t._2, t._3))), schema)
+        val batch = graft.operators.Similarity.embeddingDriftOf(batchDf, bar = 0.8)
+          .collect().map(_.toSeq).sortBy(_.head.toString.toLong)
+        assert(streamed.toSeq == batch.toSeq,
+          s"stream/batch diverged after ${fed.length} rows")
+      }
+    } finally q.stop()
+  }
+
   test("G17: streaming novelty over ordered batches equals the batch pass, ledger holds the gram set") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Tables(spark, sfDir).documents.select(col("doc_id"), col("text"))
