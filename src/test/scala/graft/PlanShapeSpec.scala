@@ -281,6 +281,30 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("partial_"), s"rollup lacks a map-side partial:\n$p")
   }
 
+  test("corr matrix: one scan, one partial-agg pair, no join — pairs never multiply the pass count") {
+    val p = plan("q_corr_matrix")
+    assert(!p.contains("Join"), s"pairwise corr must not self-join:\n$p")
+    assert(p.contains("partial_"), s"co-moments lack a map-side partial:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"expected exactly one lineitem scan:\n$p")
+  }
+
+  test("check constraints: every predicate in one scan, no join, single agg row over the wire") {
+    val p = plan("load_check_constraints")
+    assert(!p.contains("Join"), s"constraint evaluation must not join:\n$p")
+    assert(p.contains("partial_"), s"conditional aggs lack a map-side partial:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"constraint count must not multiply scans:\n$p")
+  }
+
+  test("text novelty: gram hashes shuffle (not strings), ownership joins back, no window, no cartesian") {
+    val p = plan("text_novelty")
+    assert(p.contains("xxhash64"), s"grams must collapse to hashes:\n$p")
+    assert(!p.contains("Window"), s"novelty needs no window:\n$p")
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      s"unbounded join leaked in:\n$p")
+  }
+
   test("partition evolution: status filter prunes BOTH generations' layouts, union equals raw") {
     import org.apache.spark.sql.functions.{col, pmod, lit}
     // materialize the evolved layout, then read through the scheme-aware reader
