@@ -335,6 +335,99 @@ object PipelineDemo {
     * side. The demo drives the full life cycle: publish → branch →
     * isolated branch write → clean merge → diverge → refused merge,
     * reading main AND branch back through their pointers at each step. */
+  /** H1m: RESTORE — rollback-as-a-forward-commit ([[Pipeline.restore]]).
+    * Generation 1 ('F' orders) publishes, generation 2 ('O') supersedes
+    * it, then restore swings the manifest BACK to the 'F' generation
+    * with zero data movement; the 'O' generation becomes the retained
+    * previous, so a second restore reverts the restore (swap semantics,
+    * proven by the third row). Every row is computed from the RESOLVED
+    * parquet through the reader path, never writer bookkeeping. */
+  def runRestore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val target = Tables.scratch(spark, "graft_pipeline_restore")
+    def cfg(where: String) =
+      s"""{
+         |  "sources": [
+         |    {"name": "orders_snap", "path": "$dir/orders.parquet",
+         |     "where": "$where"}
+         |  ],
+         |  "load": {"target": "$target", "mode": "truncate"}
+         |}""".stripMargin
+    val prior = spark.conf.getOption("graft.publish.mode")
+    spark.conf.set("graft.publish.mode", "manifest")
+    try {
+      Pipeline.run(spark, PipelineCfg.fromJson(cfg("o_orderstatus = 'F'"))).collect()
+      Pipeline.run(spark, PipelineCfg.fromJson(cfg("o_orderstatus = 'O'"))).collect()
+      Pipeline.restore(spark, target, "orders_snap")
+      def gen(label: String, paths: Seq[String]) = {
+        val r = spark.read.parquet(paths: _*)
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("o_orderkey")).as("n_keys"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key")).head()
+        (label, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+      val afterRestore = Seq(
+        gen("live_restored", Pipeline.resolvePublished(spark, target, "orders_snap")),
+        gen("superseded", Pipeline.resolvePrevGeneration(spark, target, "orders_snap")))
+      Pipeline.restore(spark, target, "orders_snap") // restore the restore
+      (afterRestore :+
+        gen("live_reverted", Pipeline.resolvePublished(spark, target, "orders_snap")))
+        .toDF("generation", "n_rows", "n_keys", "min_key", "max_key")
+        .orderBy(col("generation"))
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("graft.publish.mode", v)
+        case None    => spark.conf.unset("graft.publish.mode")
+      }
+    }
+  }
+
+  /** H1n: EXPIRE retained history ([[Pipeline.expirePrev]]) — the
+    * deliberate end of time travel: after two generations publish, the
+    * expiry deletes the previous generation's ledger AND its version
+    * directory; the live read is byte-identical through the reader
+    * path, the previous generation resolves EMPTY, and a restore
+    * afterward REFUSES (the report proves all three). */
+  def runExpire(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val target = Tables.scratch(spark, "graft_pipeline_expire")
+    def cfg(where: String) =
+      s"""{
+         |  "sources": [
+         |    {"name": "orders_snap", "path": "$dir/orders.parquet",
+         |     "where": "$where"}
+         |  ],
+         |  "load": {"target": "$target", "mode": "truncate"}
+         |}""".stripMargin
+    val prior = spark.conf.getOption("graft.publish.mode")
+    spark.conf.set("graft.publish.mode", "manifest")
+    try {
+      Pipeline.run(spark, PipelineCfg.fromJson(cfg("o_orderstatus = 'F'"))).collect()
+      Pipeline.run(spark, PipelineCfg.fromJson(cfg("o_orderstatus = 'O'"))).collect()
+      val nExpired = Pipeline.expirePrev(spark, target, "orders_snap")
+      val prevLeft = Pipeline.resolvePrevGeneration(spark, target, "orders_snap")
+      val restoreRefused =
+        try { Pipeline.restore(spark, target, "orders_snap"); 0L }
+        catch { case _: IllegalArgumentException => 1L }
+      val live = Pipeline.resolvePublished(spark, target, "orders_snap")
+      val r = spark.read.parquet(live: _*)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("o_orderkey")).as("n_keys"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key")).head()
+      Seq(("live", r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        nExpired.toLong, prevLeft.size.toLong, restoreRefused))
+        .toDF("generation", "n_rows", "n_keys", "min_key", "max_key",
+          "n_expired", "prev_versions_left", "restore_refused")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("graft.publish.mode", v)
+        case None    => spark.conf.unset("graft.publish.mode")
+      }
+    }
+  }
+
   def runBranch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.hadoop.fs.Path

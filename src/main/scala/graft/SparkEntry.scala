@@ -58,6 +58,7 @@ object SparkEntry {
     "geo_reproject_tm"       -> ((s: SparkSession, d: String) => Geo.reprojectTm(s, d)),
     "geo_reproject_tm3010"   -> Geo.reprojectTm3010 _,
     "geo_transform_select"   -> ((s, d) => Geo.transformSelect(s, d)),
+    "geo_pip_raycast"        -> Geo.pipRaycast _,
     "geo_sr_validate"        -> Geo.srValidate _,
     "geo_envelope_check"     -> Geo.envelopeCheck _,
     "geo_count_sanity"       -> Geo.countSanity _,
@@ -91,6 +92,7 @@ object SparkEntry {
     "load_analyze_stats"     -> LoadOps.analyzeStats _,
     "mon_value_drift"        -> ((s: SparkSession, d: String) => LoadOps.valueDrift(s, d)),
     "mon_mad_outliers"       -> LoadOps.madOutliers _,
+    "mon_sla_burn"           -> ((s: SparkSession, d: String) => LoadOps.slaBurn(s, d)),
     "load_bloom_index"       -> ((s: SparkSession, d: String) => LoadOps.bloomIndex(s, d)),
     "load_table_checksum"    -> LoadOps.tableChecksum _,
     "load_incremental_view"  -> (LoadOps.incrementalView _),
@@ -127,6 +129,7 @@ object SparkEntry {
     "q_asof_join"            -> Relational.qAsofJoin _,
     "q_sessionize"           -> Relational.qSessionize _,
     "q_cohort_retention"     -> Relational.qCohortRetention _,
+    "q_markov_transitions"   -> Relational.qMarkovTransitions _,
     "q_time_bucket"          -> Relational.qTimeBucket _,
     "q_running_agg"          -> Relational.qRunningAgg _,
     "q_sliding_distinct"     -> ((s: SparkSession, d: String) => Relational.qSlidingDistinct(s, d)),
@@ -147,6 +150,8 @@ object SparkEntry {
     "pipeline_time_travel"   -> (PipelineDemo.runTimeTravel _),
     "pipeline_clone"         -> (PipelineDemo.runClone _),
     "pipeline_vacuum"        -> (PipelineDemo.runVacuum _),
+    "pipeline_restore"       -> (PipelineDemo.runRestore _),
+    "pipeline_expire"        -> (PipelineDemo.runExpire _),
     "pipeline_wap"           -> (PipelineDemo.runWap _),
     "pipeline_branch"        -> (PipelineDemo.runBranch _),
     "pipeline_curation"      -> ((s: SparkSession, d: String) => TextAnalysis.curationPipeline(s, d)),
@@ -357,6 +362,19 @@ object SparkEntry {
 
   private val evSec =
     "SELECT *, CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS sec FROM events"
+
+  /** The C13 ray-cast crossing terms, generated from [[Geo.PipPoly]] so
+    * the oracle replays the engine's exact integer edge tests. */
+  private val pipTermsSql: String = {
+    val edges = Geo.PipPoly.zip(Geo.PipPoly.tail :+ Geo.PipPoly.head)
+    edges.collect { case ((xa, ya), (xb, yb)) if ya != yb =>
+      val ((xlo, ylo), (xhi, yhi)) =
+        if (ya < yb) ((xa, ya), (xb, yb)) else ((xb, yb), (xa, ya))
+      s"(CASE WHEN $ylo <= yi AND yi < $yhi AND " +
+        s"(xi - $xlo) * ${yhi - ylo} < ${xhi - xlo} * (yi - $ylo) " +
+        "THEN 1 ELSE 0 END)"
+    }.mkString(" + ")
+  }
 
   private def cosSql(a: String, b: String) =
     s"list_inner_product($a,$b)/(sqrt(list_inner_product($a,$a))*sqrt(list_inner_product($b,$b)))"
@@ -779,6 +797,17 @@ object SparkEntry {
          | CAST(count(*) AS BIGINT) AS n,
          | min(o_orderkey) AS first_key
          |FROM d GROUP BY 1, 2, 3 ORDER BY current_wkid, action""".stripMargin,
+    // C13: ray-cast parity against the SAME concave polygon — the CASE
+    // terms are generated from Geo.PipPoly, so engine and oracle replay
+    // one boundary in exact int64 arithmetic
+    "geo_pip_raycast" ->
+      s"""WITH p AS (SELECT o_orderkey,
+         |  150000 + (o_orderkey * 7919) % 800001 AS xi,
+         |  6050000 + (o_orderkey * 104729) % 1700001 AS yi
+         | FROM orders WHERE o_orderkey % 7 = 0)
+         |SELECT o_orderkey, xi, yi,
+         | CAST(CASE WHEN ($pipTermsSql) % 2 = 1 THEN 1 ELSE 0 END AS INT) AS inside
+         |FROM p ORDER BY o_orderkey""".stripMargin,
     "geo_sr_validate" ->
       s"""WITH c AS (SELECT *,
          |  ((o_orderkey * 31) % 400) - 200.0 AS glon,
@@ -1188,6 +1217,29 @@ object SparkEntry {
     },
     // MAD outliers: quantile_cont mirrors Spark's exact interpolated
     // percentile; counts are threshold comparisons on identical doubles
+    // D38: double-floor burn arithmetic replayed exactly (rate to 1e8,
+    // floor-div by n, floor-div by the 10000-ppm budget); windows anchor
+    // at the global watermark day so the report is corpus-deterministic
+    "mon_sla_burn" ->
+      s"""WITH ev AS (SELECT event_type AS source,
+         |  CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+         |  CASE WHEN value < 5.0 THEN 1 ELSE 0 END AS failed FROM events),
+         |wm AS (SELECT max(day) AS watermark FROM ev),
+         |a AS (SELECT source,
+         |  CAST(sum(CASE WHEN day > watermark - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+         |  CAST(sum(CASE WHEN day > watermark - 1 THEN failed ELSE 0 END) AS BIGINT) AS fail_short,
+         |  CAST(sum(CASE WHEN day > watermark - 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+         |  CAST(sum(CASE WHEN day > watermark - 7 THEN failed ELSE 0 END) AS BIGINT) AS fail_long
+         | FROM ev, wm GROUP BY source),
+         |b AS (SELECT *,
+         |  (fail_short * 100000000 // greatest(n_short, 1)) // 10000 AS burn_short_x100,
+         |  (fail_long * 100000000 // greatest(n_long, 1)) // 10000 AS burn_long_x100
+         | FROM a)
+         |SELECT source, n_short, fail_short, n_long, fail_long,
+         | burn_short_x100, burn_long_x100,
+         | CASE WHEN burn_short_x100 >= 200 AND burn_long_x100 >= 200 THEN 'page'
+         |      WHEN burn_long_x100 >= 100 THEN 'ticket' ELSE 'ok' END AS alert
+         |FROM b ORDER BY source""".stripMargin,
     "mon_mad_outliers" ->
       s"""WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
          |  FROM events GROUP BY 1),
@@ -1750,6 +1802,23 @@ object SparkEntry {
         | round(CAST(count(*) AS DOUBLE) / s.cohort_size, 4) AS retention
         |FROM uw JOIN c USING (user_id) JOIN s ON s.cohort_week = c.cohort_week
         |GROUP BY 1, 2, 4 ORDER BY 1, 2""".stripMargin,
+    // E35: deterministic per-user ordering (sec, event_id) — event_id is
+    // unique, so lead() sees one sequence in both engines; PPM division
+    // is exact integer on both sides
+    "q_markov_transitions" ->
+      s"""WITH ev AS ($evSec),
+         |nx AS (SELECT event_type,
+         |  lead(event_type) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+         |    AS next_type FROM ev),
+         |m AS (SELECT event_type AS state, next_type AS next_state,
+         |  CAST(count(*) AS BIGINT) AS n
+         | FROM nx WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         |t AS (SELECT state, next_state, n,
+         |  CAST(sum(n) OVER (PARTITION BY state) AS BIGINT) AS state_total
+         | FROM m)
+         |SELECT state, next_state, n, state_total,
+         | (n * 1000000) // state_total AS p_ppm
+         |FROM t ORDER BY state, next_state""".stripMargin,
     "q_histogram" ->
       """SELECT event_type,
         | CAST(CASE WHEN value < 0.0 THEN -1 WHEN value >= 200.0 THEN 10
@@ -1890,6 +1959,33 @@ object SparkEntry {
     // previous ('O') generations must still resolve to the full source
     // slices; kept=2 (live+prev version dirs), deleted=1 (the orphan) —
     // structural constants of the three-publish-one-orphan wire
+    // H1m: restore = manifest swing back to the 'F' generation; the 'O'
+    // generation becomes the retained previous; the second restore
+    // reverts it — all three rows read through the reader path
+    "pipeline_restore" ->
+      """SELECT 'live_restored' AS generation, count(*) AS n_rows,
+        | count(DISTINCT o_orderkey) AS n_keys,
+        | min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        | FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT 'live_reverted', count(*), count(DISTINCT o_orderkey),
+        | min(o_orderkey), max(o_orderkey)
+        | FROM orders WHERE o_orderstatus = 'O'
+        |UNION ALL
+        |SELECT 'superseded', count(*), count(DISTINCT o_orderkey),
+        | min(o_orderkey), max(o_orderkey)
+        | FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY generation""".stripMargin,
+    // H1n: expire deletes exactly the one retained previous generation;
+    // live bytes untouched, time travel ends, restore refuses
+    "pipeline_expire" ->
+      """SELECT 'live' AS generation, count(*) AS n_rows,
+        | count(DISTINCT o_orderkey) AS n_keys,
+        | min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        | CAST(1 AS BIGINT) AS n_expired,
+        | CAST(0 AS BIGINT) AS prev_versions_left,
+        | CAST(1 AS BIGINT) AS restore_refused
+        | FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
     "pipeline_vacuum" ->
       """SELECT 'live' AS generation, count(*) AS n_rows,
         | count(DISTINCT o_orderkey) AS n_keys,

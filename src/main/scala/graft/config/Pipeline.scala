@@ -523,6 +523,56 @@ object Pipeline {
       .map(v => new Path(fs.makeQualified(base), v).toString)
   }
 
+  /** H1m: RESTORE — republish the PREVIOUS generation as the new live
+    * generation (Delta `RESTORE TABLE ... VERSION AS OF`, Iceberg
+    * rollback, expressed as a FORWARD commit): the rollback is itself a
+    * publish, so history keeps moving — after restore, live is the old
+    * generation and `_GRAFT_PREV` is the generation that was live just
+    * before the restore, which makes restore reversible by one more
+    * restore (swap semantics). Zero data movement at any table size:
+    * version directories are immutable, so the whole operation is one
+    * manifest PUT + one ledger PUT. Nothing is deleted — both
+    * generations stay retained, exactly the truncate GC's one-
+    * generation reader grace. Returns the restored version count. */
+  def restore(spark: SparkSession, target: String, name: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val base0 = new Path(target, safeNameString(name))
+    val fs = base0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = fs.makeQualified(base0)
+    val prev = readLines(fs, prevFile(base))
+    require(prev.nonEmpty, s"no previous generation at $target/$name to restore")
+    val live = readManifest(fs, base)
+    writeManifest(fs, base, prev)
+    writeLines(fs, prevFile(base), live)
+    prev.size
+  }
+
+  /** H1n: EXPIRE the retained previous generation (Iceberg
+    * `expire_snapshots` / Delta `VACUUM RETAIN 0 HOURS`, scoped to this
+    * layout's one-generation history): deliberately END time travel by
+    * deleting the `_GRAFT_PREV` ledger AND the version directories it
+    * names (only those absent from the live manifest — a restore may
+    * have made a version both live and prev-listed). After expiry the
+    * live read is untouched, [[resolvePrevGeneration]] resolves empty,
+    * and [[restore]] refuses. This is the storage-reclaim verb VACUUM
+    * (H1j) deliberately is NOT: vacuum sweeps never-published orphans,
+    * expire retires RETAINED history. Returns the deleted dir count. */
+  def expirePrev(spark: SparkSession, target: String, name: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val base0 = new Path(target, safeNameString(name))
+    val fs = base0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = fs.makeQualified(base0)
+    val live = readManifest(fs, base).toSet
+    val prev = readLines(fs, prevFile(base))
+    val doomed = prev.filterNot(live)
+    doomed.foreach { v =>
+      val p = new Path(base, v)
+      if (fs.exists(p)) fs.delete(p, true): Unit
+    }
+    if (fs.exists(prevFile(base))) fs.delete(prevFile(base), false): Unit
+    doomed.size
+  }
+
   /** H1i: ZERO-COPY SHALLOW CLONE of a manifest-published target (the
     * lakehouse `SHALLOW CLONE` move, as in Delta/Iceberg): the clone is a
     * NEW target whose manifest lists the SOURCE's live version

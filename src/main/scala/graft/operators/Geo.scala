@@ -106,6 +106,52 @@ object Geo {
       .orderBy(col("current_wkid"), col("action"))
   }
 
+  /** C13's AOI: a CONCAVE simple polygon (a "dart" — reflex vertex
+    * last), in integer planar meters. Shared with the oracle SQL
+    * generator and the spec so all three replay one boundary. */
+  val PipPoly: Seq[(Long, Long)] = Seq(
+    (150000L, 6100000L), (950000L, 6200000L),
+    (600000L, 7700000L), (550000L, 6500000L))
+
+  /** The division-free ray-cast parity term for one point against
+    * [[PipPoly]]: odd crossing count = inside. Each non-horizontal edge
+    * is normalized lower-y-first, crossed iff `ylo <= py < yhi` and the
+    * point sits strictly left of the edge at the scanline — the
+    * left-of test cross-multiplied so it stays in exact int64
+    * arithmetic (|Δcoord| ≤ 1.7e6 ⇒ products ≤ 3e12, no overflow). */
+  def pipInside(px: Column, py: Column): Column = {
+    val edges = PipPoly.zip(PipPoly.tail :+ PipPoly.head)
+    val crossings = edges.collect { case ((xa, ya), (xb, yb)) if ya != yb =>
+      val ((xlo, ylo), (xhi, yhi)) = if (ya < yb) ((xa, ya), (xb, yb)) else ((xb, yb), (xa, ya))
+      when(lit(ylo) <= py && py < lit(yhi) &&
+        (px - lit(xlo)) * lit(yhi - ylo) < lit(xhi - xlo) * (py - lit(ylo)),
+        1L).otherwise(0L)
+    }
+    crossings.reduce(_ + _) % 2 === 1
+  }
+
+  /** C13: point-in-polygon by RAY CASTING against an arbitrary simple
+    * (here concave) polygon — the general form of the reference's Clip
+    * to a boundary feature class (process.py:115; C7 handles only
+    * CONVEX AOIs via a half-plane conjunction, which cannot express a
+    * reflex vertex). Parity of scanline crossings, every comparison in
+    * exact int64 ([[pipInside]]), so Spark and DuckDB agree bit-for-bit
+    * with zero float tolerance.
+    *
+    * Scale shape: per-row codegen'd arithmetic over the scan — zero
+    * shuffle, and the polygon's bbox range predicate would push to the
+    * reader as a pre-filter for real layouts (C1's contract). At 100 TB
+    * clip-to-AOI stays a map-only stage regardless of polygon shape. */
+  def pipRaycast(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables(spark, dir).orders
+      .filter(col("o_orderkey") % 7 === 0)
+      .withColumn("xi", lit(150000L) + (col("o_orderkey") * 7919L) % 800001L)
+      .withColumn("yi", lit(6050000L) + (col("o_orderkey") * 104729L) % 1700001L)
+    df.select(col("o_orderkey"), col("xi"), col("yi"),
+        pipInside(col("xi"), col("yi")).cast("int").as("inside"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** C3: coordinate-magnitude validation (sr_utils.py:15
     * validate_coordinates_magnitude; :39/:49 per-SR bounds). */
   def srValidate(spark: SparkSession, dir: String): DataFrame = {

@@ -1535,4 +1535,62 @@ object LoadOps {
     * happens on that single row. */
   def checkConstraints(spark: SparkSession, dir: String): DataFrame =
     checkConstraintsOf(Tables(spark, dir).lineitem)
+
+  /** D38: multi-window SLO error-budget BURN RATE — the SRE-workbook
+    * alerting policy over the run log (monitoring.py success-rate
+    * tracking stops at a global rate; a burn-rate pager needs rates over
+    * two trailing windows so a sharp spike AND a sustained smolder both
+    * page without flapping). Per source: failure rate over the trailing
+    * SHORT (1-day) and LONG (7-day) windows, each expressed as a burn
+    * multiple of the declared error budget in exact integer arithmetic
+    * (`burn_x100` = rate·100/budget, floor division — no float folds),
+    * classified `page` (short AND long over the page multiple — the
+    * spike confirmed by the longer window), `ticket` (long window over
+    * 1× budget — budget exhausting slowly), else `ok`.
+    *
+    * Windows anchor at the GLOBAL watermark day (max event day), the
+    * D17 freshness convention, so the report is deterministic for a
+    * fixed corpus rather than wall-clock-dependent.
+    *
+    * Scale shape: one tiny agg for the watermark (broadcast back), then
+    * ONE conditional-agg pass computes all four window counters per
+    * source — map-side partials, |sources| rows cross the shuffle at
+    * any corpus size. No windows over data-sized frames. */
+  def slaBurn(spark: SparkSession, dir: String,
+      budgetPpm: Long = 10000L, pageX100: Long = 200L): DataFrame = {
+    val t = Tables(spark, dir)
+    val ev = t.eventsSec
+      .select(col("event_type").as("source"),
+        expr("sec div 86400").cast("long").as("day"),
+        (col("value") < 5.0).cast("long").as("failed"))
+    slaBurnOf(ev, budgetPpm, pageX100)
+  }
+
+  /** The D38 core over an explicit (source, day, failed) run-log frame —
+    * the spec plants frames that exercise every alert branch. */
+  def slaBurnOf(ev: DataFrame,
+      budgetPpm: Long = 10000L, pageX100: Long = 200L): DataFrame = {
+    val wm = ev.agg(max(col("day")).as("watermark"))
+    val inShort = col("day") > col("watermark") - 1L
+    val inLong = col("day") > col("watermark") - 7L
+    ev.crossJoin(broadcast(wm))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(inShort, 1L).otherwise(0L)).as("n_short"),
+        sum(when(inShort, col("failed")).otherwise(0L)).as("fail_short"),
+        sum(when(inLong, 1L).otherwise(0L)).as("n_long"),
+        sum(when(inLong, col("failed")).otherwise(0L)).as("fail_long"))
+      .select(col("source"), col("n_short"), col("fail_short"),
+        col("n_long"), col("fail_long"),
+        expr(s"(fail_short * 100000000 div greatest(n_short, 1)) div $budgetPpm")
+          .as("burn_short_x100"),
+        expr(s"(fail_long * 100000000 div greatest(n_long, 1)) div $budgetPpm")
+          .as("burn_long_x100"))
+      .withColumn("alert",
+        when(col("burn_short_x100") >= pageX100 && col("burn_long_x100") >= pageX100,
+          lit("page"))
+          .when(col("burn_long_x100") >= 100L, lit("ticket"))
+          .otherwise(lit("ok")))
+      .orderBy(col("source"))
+  }
 }

@@ -812,4 +812,47 @@ object Relational {
         col("cohort_size"), col("retention"))
       .orderBy(col("cohort_week"), col("week_offset"))
   }
+
+  /** E35: event-transition (Markov) matrix — per-user next-event
+    * transitions rolled up into a (state, next_state) matrix with exact
+    * integer-PPM probabilities. The product/behavior-analytics
+    * complement of E22's fixed funnel: the funnel checks ONE ordained
+    * path, the transition matrix measures EVERY observed path (and is
+    * the input to Markov-chain attribution / next-action models).
+    * Ordering inside a user is (sec, event_id) — event_id is unique, so
+    * both engines see one deterministic sequence regardless of the
+    * parquet timestamp encoding ([[graft.Tables.epochSec]]).
+    *
+    * Scale shape: ONE window partitioned by `user_id` (per-user state
+    * is a few events — no corpus-wide window), then a hash agg on the
+    * (state, next) pair whose distinct cardinality is |event types|² —
+    * the shuffle after the window moves states² rows at any corpus
+    * size. The row-count probability denominator reuses the same
+    * matrix via a states-sized window, not a second scan. */
+  def qMarkovTransitions(spark: SparkSession, dir: String): DataFrame =
+    markovAssemble(markovCountsOf(Tables(spark, dir).eventsSec
+      .select(col("user_id"), col("sec"), col("event_id"), col("event_type"))))
+
+  /** The E35 transition-count pass over an explicit
+    * (user_id, sec, event_id, event_type) frame — shared with the G19
+    * streaming form (which runs it per micro-batch over stored-last ∪
+    * batch) so the two counts cannot drift. */
+  def markovCountsOf(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    ev.withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("state"), col("next_type").as("next_state"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** The E35 report assembly over a (state, next_state, n) matrix —
+    * denominators via a states²-row window (tiny), exact PPM division. */
+  def markovAssemble(matrix: DataFrame): DataFrame = {
+    val ws = Window.partitionBy(col("state"))
+    matrix
+      .withColumn("state_total", sum(col("n")).over(ws))
+      .select(col("state"), col("next_state"), col("n"), col("state_total"),
+        expr("(n * 1000000) div state_total").as("p_ppm"))
+      .orderBy(col("state"), col("next_state"))
+  }
 }

@@ -312,6 +312,63 @@ object EventStreams {
       }
       .start()
 
+  /** G19: STREAMING Markov transition matrix — E35 as continuous
+    * analytics: events arrive in micro-batches, a per-user LAST-event
+    * state (O(|users|) rows) plus a cumulative (state, next_state, n)
+    * count table (O(states²)) persist across batches (the G14
+    * write-new-then-rename rule), and each trigger re-emits the
+    * cumulative matrix report. A batch's new transitions are exactly
+    * the consecutive pairs of stored-last ∪ batch per user — the stored
+    * row contributes only the boundary pair (one row per user, so no
+    * pair lies wholly inside the state), and both passes run the SAME
+    * `Relational.markovCountsOf`/`markovAssemble`, so under in-order
+    * arrival the report equals the E35 batch pass over the prefix after
+    * EVERY trigger (spec-pinned). State never grows with stream length
+    * beyond the user set. */
+  def markovStream(events: DataFrame, stateDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream.outputMode("append")
+      .foreachBatch { (batch0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import org.apache.spark.sql.functions._
+        val spark = batch0.sparkSession
+        val batch = batch0.toDF()
+          .select(col("user_id"), col("sec"), col("event_id"), col("event_type"))
+        val fs = new org.apache.hadoop.fs.Path(stateDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val lastPath = new org.apache.hadoop.fs.Path(stateDir + "/last")
+        val countsPath = new org.apache.hadoop.fs.Path(stateDir + "/counts")
+        def publish(df: org.apache.spark.sql.DataFrame,
+            to: org.apache.hadoop.fs.Path): Unit = {
+          val tmp = new org.apache.hadoop.fs.Path(to.toString + ".next")
+          df.write.mode("overwrite").parquet(tmp.toString)
+          if (fs.exists(to)) fs.delete(to, true)
+          require(fs.rename(tmp, to), s"state publish failed: $tmp -> $to")
+        }
+        val last =
+          if (fs.exists(lastPath)) spark.read.parquet(lastPath.toString)
+          else batch.limit(0)
+        val uni = last.unionByName(batch).localCheckpoint(true)
+        val fresh = graft.operators.Relational.markovCountsOf(uni)
+        val prior =
+          if (fs.exists(countsPath)) spark.read.parquet(countsPath.toString)
+          else fresh.limit(0)
+        val counts = prior.unionByName(fresh)
+          .groupBy(col("state"), col("next_state"))
+          .agg(sum(col("n")).as("n"))
+          .localCheckpoint(true)
+        publish(counts, countsPath)
+        publish(uni.groupBy(col("user_id"))
+          .agg(max_by(struct(col("sec"), col("event_id"), col("event_type")),
+            struct(col("sec"), col("event_id"))).as("s"))
+          .select(col("user_id"), col("s.sec").as("sec"),
+            col("s.event_id").as("event_id"), col("s.event_type").as("event_type")),
+          lastPath)
+        graft.operators.Relational.markovAssemble(counts)
+          .write.mode("overwrite").parquet(stateDir + "/report")
+        (): Unit
+      }
+      .start()
+
   /** G18: STREAMING embedding drift — D36 as continuous monitoring: the
     * per-(label, dim, split) running (sum, count) moments accumulate in
     * a persisted state table (write-new-then-rename, the G14 rule), and

@@ -108,6 +108,41 @@ class GeoSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_._4).sum == total)
   }
 
+  test("pip raycast: matches an independent ray-caster and the concave notch is real") {
+    val poly = graft.operators.Geo.PipPoly
+    // independent implementation: the classic float-intersect ray cast
+    // (the engine uses cross-multiplied int64 — different arithmetic,
+    // same predicate)
+    def brute(px: Long, py: Long): Boolean = {
+      val edges = poly.zip(poly.tail :+ poly.head)
+      edges.count { case ((xa, ya), (xb, yb)) =>
+        ya != yb && {
+          val ((xlo, ylo), (xhi, yhi)) =
+            if (ya < yb) ((xa, ya), (xb, yb)) else ((xb, yb), (xa, ya))
+          ylo <= py && py < yhi &&
+            px < xlo + (py - ylo).toDouble * (xhi - xlo) / (yhi - ylo)
+        }
+      } % 2 == 1
+    }
+    val rows = graft.operators.Geo.pipRaycast(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (x, y, inside) =>
+      assert((inside == 1) == brute(x, y), s"($x,$y) engine=$inside brute=${brute(x, y)}")
+    }
+    assert(rows.exists(_._3 == 1) && rows.exists(_._3 == 0), "degenerate classification")
+    // the polygon is genuinely concave: some sampled point inside the
+    // convex hull (triangle A,B,C — the reflex vertex D lies inside it)
+    // is OUTSIDE the polygon, i.e. the notch has population
+    val Seq(a, b, c, _) = poly
+    def cross(o: (Long, Long), p: (Long, Long), q: (Long, Long)): Long =
+      (p._1 - o._1) * (q._2 - o._2) - (p._2 - o._2) * (q._1 - o._1)
+    def inHull(px: Long, py: Long): Boolean =
+      cross(a, b, (px, py)) > 0 && cross(b, c, (px, py)) > 0 && cross(c, a, (px, py)) > 0
+    assert(rows.exists { case (x, y, inside) => inHull(x, y) && inside == 0 },
+      "no sampled point in the notch — the concavity is untested")
+  }
+
   test("z-order buckets: every bucket spans at most a 64x64 domain cell") {
     // the top 12 z-bits pin 6 high bits of each axis, so a bucket's
     // points all fall in one 1/64-of-domain cell per axis

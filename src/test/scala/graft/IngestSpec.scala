@@ -693,6 +693,47 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("sla burn: planted run logs hit every alert branch and counters replay exactly") {
+    import spark.implicits._
+    // watermark day = 100; short window = day 100, long window = days 94..100
+    def mk(source: String, longN: Int, longFail: Int, shortN: Int, shortFail: Int) = {
+      val longDays = (0 until longN).map(i =>
+        (source, 94L + i % 6, if (i < longFail) 1L else 0L)) // days 94..99
+      val shortDays = (0 until shortN).map(i =>
+        (source, 100L, if (i < shortFail) 1L else 0L))
+      longDays ++ shortDays
+    }
+    val ev = (
+      mk("pager", 600, 50, 100, 20) ++     // short 2000, long ≥200 → page
+        mk("smolder", 600, 9, 100, 1) ++   // long in [100,200), short low → ticket
+        mk("healthy", 600, 0, 100, 0) ++   // zero failures → ok
+        mk("spike", 4900, 0, 100, 25)      // short 2500 but long diluted → ok
+      ).toDF("source", "day", "failed")
+    val got = graft.operators.LoadOps.slaBurnOf(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7))).toSeq
+    // exact counter replay (double-floor burn arithmetic)
+    val planted = ev.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (src, nS, fS, nL, fL, bS, bL, _) =>
+      val mine = planted.filter(_._1 == src)
+      assert(nS == mine.count(_._2 > 99L) && fS == mine.filter(_._2 > 99L).map(_._3).sum)
+      assert(nL == mine.count(_._2 > 93L) && fL == mine.filter(_._2 > 93L).map(_._3).sum)
+      assert(bS == (fS * 100000000L / math.max(nS, 1L)) / 10000L, s"$src short burn")
+      assert(bL == (fL * 100000000L / math.max(nL, 1L)) / 10000L, s"$src long burn")
+    }
+    val alerts = got.map(t => (t._1, t._8)).toMap
+    assert(alerts == Map("pager" -> "page", "smolder" -> "ticket",
+      "healthy" -> "ok", "spike" -> "ok"), s"alert classes wrong: $alerts")
+    // the spike source PROVES the multi-window suppression: its short
+    // burn alone would page, the diluted long window vetoes it
+    val spike = got.find(_._1 == "spike").get
+    assert(spike._6 >= 200L && spike._7 < 100L, "spike no longer exercises suppression")
+    // and the registered query over the real corpus is deterministic
+    val a = graft.operators.LoadOps.slaBurn(spark, sfDir).collect().toSeq
+    val b = graft.operators.LoadOps.slaBurn(spark, sfDir).collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("run drift: first runs report null drift, the shrink alert fires only past the drop threshold") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -593,6 +593,84 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("restore swings the manifest back with zero data movement and is itself reversible") {
+    import org.apache.spark.sql.functions.col
+    val target = java.nio.file.Files.createTempDirectory("restore").toString
+    def cfg(where: String) =
+      s"""{"sources": [{"name": "o", "path": "$sfDir/orders.parquet",
+         |  "where": "$where"}],
+         | "load": {"target": "$target", "mode": "truncate"}}""".stripMargin
+    val prior = spark.conf.getOption("graft.publish.mode")
+    spark.conf.set("graft.publish.mode", "manifest")
+    try {
+      Seq("o_orderstatus = 'F'", "o_orderstatus = 'O'").foreach { w =>
+        Pipeline.run(spark, PipelineCfg.fromJson(cfg(w))).collect(): Unit
+      }
+      val gen1 = Pipeline.resolvePrevGeneration(spark, target, "o")
+      val gen2 = Pipeline.resolvePublished(spark, target, "o")
+      val dirsBefore = new java.io.File(s"$target/o").listFiles()
+        .map(_.getName).filter(_.startsWith("v_")).sorted.toSeq
+      assert(Pipeline.restore(spark, target, "o") == 1)
+      // pure metadata swap: live/prev exchanged, same dirs on disk
+      assert(Pipeline.resolvePublished(spark, target, "o") == gen1)
+      assert(Pipeline.resolvePrevGeneration(spark, target, "o") == gen2)
+      assert(new java.io.File(s"$target/o").listFiles()
+        .map(_.getName).filter(_.startsWith("v_")).sorted.toSeq == dirsBefore,
+        "restore must not move or delete data")
+      // restored bytes readable and correct through the reader path
+      assert(spark.read.parquet(gen1: _*).count() ==
+        spark.read.parquet(s"$sfDir/orders.parquet")
+          .filter(col("o_orderstatus") === "F").count())
+      // reversible: a second restore reverts to generation 2
+      assert(Pipeline.restore(spark, target, "o") == 1)
+      assert(Pipeline.resolvePublished(spark, target, "o") == gen2)
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("graft.publish.mode", v)
+        case None    => spark.conf.unset("graft.publish.mode")
+      }
+    }
+  }
+
+  test("expire retires exactly the retained history: live untouched, time travel ends, restore refuses") {
+    import org.apache.spark.sql.functions.col
+    val target = java.nio.file.Files.createTempDirectory("expire").toString
+    def cfg(where: String) =
+      s"""{"sources": [{"name": "o", "path": "$sfDir/orders.parquet",
+         |  "where": "$where"}],
+         | "load": {"target": "$target", "mode": "truncate"}}""".stripMargin
+    val prior = spark.conf.getOption("graft.publish.mode")
+    spark.conf.set("graft.publish.mode", "manifest")
+    try {
+      Seq("o_orderstatus = 'F'", "o_orderstatus = 'O'").foreach { w =>
+        Pipeline.run(spark, PipelineCfg.fromJson(cfg(w))).collect(): Unit
+      }
+      val prevDirs = Pipeline.resolvePrevGeneration(spark, target, "o")
+      val live = Pipeline.resolvePublished(spark, target, "o")
+      assert(prevDirs.nonEmpty && Pipeline.expirePrev(spark, target, "o") == 1)
+      prevDirs.foreach { p =>
+        assert(!new java.io.File(new java.net.URI(p).getPath).exists(),
+          s"expired version dir survived: $p")
+      }
+      assert(Pipeline.resolvePrevGeneration(spark, target, "o").isEmpty,
+        "time travel must end after expiry")
+      assert(Pipeline.resolvePublished(spark, target, "o") == live)
+      assert(spark.read.parquet(live: _*).count() ==
+        spark.read.parquet(s"$sfDir/orders.parquet")
+          .filter(col("o_orderstatus") === "O").count())
+      intercept[IllegalArgumentException] {
+        Pipeline.restore(spark, target, "o")
+      }
+      // idempotent: nothing left to expire
+      assert(Pipeline.expirePrev(spark, target, "o") == 0)
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("graft.publish.mode", v)
+        case None    => spark.conf.unset("graft.publish.mode")
+      }
+    }
+  }
+
   test("branching: writes isolated, ff-merge swings main, diverged merge refuses and changes nothing") {
     val target = graft.Tables.scratch(spark, "graft_pipeline_branch")
     val rows = PipelineDemo.runBranch(spark, sfDir).collect()

@@ -281,6 +281,36 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("partial_"), s"rollup lacks a map-side partial:\n$p")
   }
 
+  test("pip raycast: per-row arithmetic only — no join, no aggregate, no width beyond the key") {
+    val p = plan("geo_pip_raycast")
+    assert(!p.contains("Join"), s"point-in-polygon must not join:\n$p")
+    assert(!p.contains("HashAggregate"), s"clip is map-only, no agg:\n$p")
+    // only the deterministic final sort may exchange
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"unexpected shuffle in a map-only clip:\n${exchanges.mkString("\n")}")
+  }
+
+  test("markov transitions: the only corpus-sized shuffle is the per-user window partition") {
+    val p = plan("q_markov_transitions")
+    assert(!p.contains("SinglePartition") || !p.contains("Window, [user_id"),
+      s"window collapsed to one partition:\n$p")
+    assert(p.contains("hashpartitioning(user_id"),
+      s"window not partitioned by user:\n$p")
+    assert(p.contains("partial_"), s"matrix agg lacks a map-side partial:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the matrix:\n$p")
+  }
+
+  test("sla burn: conditional-agg windows in one pass per scan, watermark broadcast, no data-sized join") {
+    val p = plan("mon_sla_burn")
+    // both window counters come from ONE conditional agg (partial map-side);
+    // the only join is the 1-row watermark broadcast
+    assert(p.contains("partial_"), s"window counters lack map-side partials:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a data-sized shuffle join crept into the burn report:\n$p")
+    assert(!p.contains("Window"), s"burn windows must be aggs, not window functions:\n$p")
+  }
+
   test("corr matrix: one scan, one partial-agg pair, no join — pairs never multiply the pass count") {
     val p = plan("q_corr_matrix")
     assert(!p.contains("Join"), s"pairwise corr must not self-join:\n$p")

@@ -473,6 +473,50 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("G19: streaming markov matrix equals the batch pass over the prefix after every trigger") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // global (sec, event_id) order ⇒ every user's events arrive in order
+    val ev = Tables(spark, sfDir).eventsSec
+      .selectExpr("user_id", "sec", "event_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(e => (e._2, e._3))
+    val stateDir = java.nio.file.Files.createTempDirectory("g19").toString + "/state"
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val q = EventStreams.markovStream(
+      mem.toDF().toDF("user_id", "sec", "event_id", "event_type"), stateDir)
+    try {
+      val third = (ev.length + 2) / 3
+      var fed = Array.empty[(Long, Long, Long, String)]
+      ev.grouped(third).foreach { slice =>
+        mem.addData(slice.toIndexedSeq: _*); q.processAllAvailable()
+        fed = fed ++ slice
+        val streamed = spark.read.parquet(stateDir + "/report")
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+            r.getLong(3), r.getLong(4))).sortBy(t => (t._1, t._2)).toSeq
+        val batch = graft.operators.Relational.markovAssemble(
+            graft.operators.Relational.markovCountsOf(
+              fed.toSeq.toDF("user_id", "sec", "event_id", "event_type")))
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+            r.getLong(3), r.getLong(4))).sortBy(t => (t._1, t._2)).toSeq
+        assert(streamed == batch,
+          s"stream/batch diverged at prefix ${fed.length}; first diff: ${
+            streamed.zip(batch).find(p => p._1 != p._2)}")
+      }
+      // per-user state stays O(|users|): one stored row per user seen
+      assert(spark.read.parquet(stateDir + "/last").count() ==
+        fed.map(_._1).distinct.length.toLong)
+      // and the final cumulative report equals the registered E35 query
+      val full = graft.operators.Relational.qMarkovTransitions(spark, sfDir)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sortBy(t => (t._1, t._2)).toSeq
+      val fin = spark.read.parquet(stateDir + "/report")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sortBy(t => (t._1, t._2)).toSeq
+      assert(fin == full, "final stream state != registered batch query")
+    } finally q.stop()
+  }
+
   test("G18: streaming embedding drift from accumulated moments equals the batch pass after every trigger") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.Row

@@ -164,4 +164,33 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(got.forall(_._2 >= 0L), "negative week offset: cohort later than activity")
   }
+
+  test("markov transitions match a brute-force per-user replay and PPM invariants hold") {
+    val got = Relational.qMarkovTransitions(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    // independent path: sequence every user in (sec, event_id) order and
+    // count adjacent pairs
+    val ev = Tables(spark, sfDir).eventsSec
+      .selectExpr("user_id", "sec", "event_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val brute = ev.groupBy(_._1).values.flatMap { g =>
+      val seqd = g.sortBy(e => (e._2, e._3)).map(_._4)
+      seqd.dropRight(1).zip(seqd.drop(1))
+    }.toSeq.groupBy(p => p).map { case (k, v) => (k, v.size.toLong) }
+    val gotPairs = got.map(t => ((t._1, t._2), t._3)).toMap
+    assert(gotPairs == brute, "transition counts diverge from the replay")
+    // state_total really is the per-state row sum, and PPM probabilities
+    // floor-sum to within |next states| of exactly 1e6
+    got.groupBy(_._1).foreach { case (state, rows) =>
+      val total = rows.map(_._3).sum
+      assert(rows.forall(_._4 == total), s"$state state_total mismatch")
+      val pSum = rows.map(_._5).sum
+      assert(pSum <= 1000000L && pSum > 1000000L - rows.length,
+        s"$state PPM floor sum out of range: $pSum")
+    }
+    // every non-terminal event contributes exactly one transition
+    val expected = ev.length - ev.map(_._1).distinct.length
+    assert(got.map(_._3).sum == expected, "transition count != events - users")
+  }
 }
