@@ -59,6 +59,7 @@ object SparkEntry {
     "geo_reproject_tm3010"   -> Geo.reprojectTm3010 _,
     "geo_transform_select"   -> ((s, d) => Geo.transformSelect(s, d)),
     "geo_pip_raycast"        -> Geo.pipRaycast _,
+    "geo_zonal_stats"        -> Geo.zonalStats _,
     "geo_sr_validate"        -> Geo.srValidate _,
     "geo_envelope_check"     -> Geo.envelopeCheck _,
     "geo_count_sanity"       -> Geo.countSanity _,
@@ -93,6 +94,7 @@ object SparkEntry {
     "mon_value_drift"        -> ((s: SparkSession, d: String) => LoadOps.valueDrift(s, d)),
     "mon_mad_outliers"       -> LoadOps.madOutliers _,
     "mon_sla_burn"           -> ((s: SparkSession, d: String) => LoadOps.slaBurn(s, d)),
+    "load_compact_plan"      -> LoadOps.compactPlan _,
     "load_bloom_index"       -> ((s: SparkSession, d: String) => LoadOps.bloomIndex(s, d)),
     "load_table_checksum"    -> LoadOps.tableChecksum _,
     "load_incremental_view"  -> (LoadOps.incrementalView _),
@@ -130,6 +132,8 @@ object SparkEntry {
     "q_sessionize"           -> Relational.qSessionize _,
     "q_cohort_retention"     -> Relational.qCohortRetention _,
     "q_markov_transitions"   -> Relational.qMarkovTransitions _,
+    "q_ab_ttest"             -> Relational.qAbTtest _,
+    "q_funnel_windowed"      -> ((s: SparkSession, d: String) => Relational.qFunnelWindowed(s, d)),
     "q_time_bucket"          -> Relational.qTimeBucket _,
     "q_running_agg"          -> Relational.qRunningAgg _,
     "q_sliding_distinct"     -> ((s: SparkSession, d: String) => Relational.qSlidingDistinct(s, d)),
@@ -188,6 +192,7 @@ object SparkEntry {
     "ann_ivfpq"              -> ((s: SparkSession, d: String) => Similarity.annIvfPq(s, d)),
     "ann_ivfpq_batch"        -> ((s: SparkSession, d: String) => Similarity.annIvfPqBatch(s, d)),
     "sample_hard_negatives"  -> ((s: SparkSession, d: String) => Similarity.hardNegatives(s, d)),
+    "sample_kcenter"         -> ((s: SparkSession, d: String) => Similarity.sampleKcenter(s, d)),
     "q_salted_join"          -> ((s: SparkSession, d: String) => Relational.qSaltedJoin(s, d)),
     "text_quality"           -> TextAnalysis.quality _,
     "text_langid"            -> TextAnalysis.langid _,
@@ -226,6 +231,7 @@ object SparkEntry {
     "mm_frame_sample"        -> Multimodal.frameSample _,
     "mm_scene_cut"           -> ((s, d) => Multimodal.sceneCut(s, d)),
     "mm_clip_sample"         -> ((s, d) => Multimodal.clipSample(s, d)),
+    "mm_ahash_dedup"         -> ((s, d) => Multimodal.ahashDedup(s, d)),
     "mm_audio_vad"           -> ((s, d) => Multimodal.audioVad(s, d)),
     "load_partition_evolution" -> (LoadOps.partitionEvolution _),
     "mm_resize"              -> ((s: SparkSession, d: String) => Multimodal.resize(s, d)),
@@ -362,6 +368,39 @@ object SparkEntry {
 
   private val evSec =
     "SELECT *, CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS sec FROM events"
+
+  /** The F64 greedy selection unrolled as CTEs (k rounds of: promote the
+    * max-rounded-min-distance point, fold its distance into the running
+    * min) — generated so the oracle replays the engine's k exactly. The
+    * rounded polarization-identity d² matches [[Similarity.sqDistTo]]'s
+    * IEEE arithmetic via sequential `list_inner_product`. */
+  private def kcenterCtes(k: Int): String = {
+    def d2(a: String, b: String) =
+      s"round(list_inner_product($a,$a) - 2*list_inner_product($a,$b)" +
+        s" + list_inner_product($b,$b), 4)"
+    val rounds = (2 to k).map { r =>
+      val prev = (1 until r).map(i => s"SELECT vec_id FROM c$i").mkString(" UNION ALL ")
+      s"""c$r AS MATERIALIZED (SELECT vec_id, v, mind FROM d${r - 1}
+         | WHERE vec_id NOT IN ($prev)
+         | ORDER BY mind DESC, vec_id LIMIT 1),
+         |d$r AS MATERIALIZED (SELECT d.vec_id, d.v,
+         |  least(d.mind, ${d2("d.v", "c.v")}) AS mind
+         | FROM d${r - 1} d, c$r c)""".stripMargin
+    }.mkString(",\n")
+    val selRows = (s"SELECT 1 AS sel_order, vec_id AS center_id," +
+      " CAST(0.0 AS DOUBLE) AS sel_dist, v FROM c1") +:
+      (2 to k).map(r => s"SELECT $r, vec_id, mind, v FROM c$r")
+    s"""e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c1 AS MATERIALIZED (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+       |d1 AS MATERIALIZED (SELECT e.vec_id, e.v, ${d2("e.v", "c.v")} AS mind
+       | FROM e, c1 c),
+       |$rounds,
+       |sel AS MATERIALIZED (${selRows.mkString(" UNION ALL ")}),
+       |a AS (SELECT e.vec_id, s.sel_order, ${d2("e.v", "s.v")} AS d FROM e, sel s),
+       |b AS (SELECT vec_id, min(d) AS bd FROM a GROUP BY 1),
+       |asg AS (SELECT a.vec_id, b.bd, min(a.sel_order) AS sel_order
+       | FROM a JOIN b ON a.vec_id = b.vec_id AND a.d = b.bd GROUP BY 1, 2)""".stripMargin
+  }
 
   /** The C13 ray-cast crossing terms, generated from [[Geo.PipPoly]] so
     * the oracle replays the engine's exact integer edge tests. */
@@ -808,6 +847,26 @@ object SparkEntry {
          |SELECT o_orderkey, xi, yi,
          | CAST(CASE WHEN ($pipTermsSql) % 2 = 1 THEN 1 ELSE 0 END AS INT) AS inside
          |FROM p ORDER BY o_orderkey""".stripMargin,
+    // C14: first-match zone assignment (raycast polygon > bbox > outside)
+    // replayed with the same generated crossing terms, one rollup
+    "geo_zonal_stats" ->
+      s"""WITH p AS (SELECT o_orderkey,
+         |  150000 + (o_orderkey * 7919) % 800001 AS xi,
+         |  6050000 + (o_orderkey * 104729) % 1700001 AS yi,
+         |  o_orderkey % 1000 AS v
+         | FROM orders),
+         |z AS (SELECT *,
+         |  CASE WHEN ($pipTermsSql) % 2 = 1 THEN 'aoi_polygon'
+         |       WHEN xi BETWEEN 400000 AND 600000 AND yi BETWEEN 6500000 AND 7000000
+         |        THEN 'aoi_bbox'
+         |       ELSE 'outside' END AS zone
+         | FROM p)
+         |SELECT zone, CAST(count(*) AS BIGINT) AS n_features,
+         | min(xi) AS min_x, max(xi) AS max_x,
+         | min(yi) AS min_y, max(yi) AS max_y,
+         | CAST(sum(v) AS BIGINT) AS sum_value,
+         | min(o_orderkey) AS first_key
+         |FROM z GROUP BY 1 ORDER BY zone""".stripMargin,
     "geo_sr_validate" ->
       s"""WITH c AS (SELECT *,
          |  ((o_orderkey * 31) % 400) - 200.0 AS glon,
@@ -1220,6 +1279,27 @@ object SparkEntry {
     // D38: double-floor burn arithmetic replayed exactly (rate to 1e8,
     // floor-div by n, floor-div by the 10000-ppm budget); windows anchor
     // at the global watermark day so the report is corpus-deterministic
+    // D39: rows-per-bucket read from the landed files, then the same
+    // offset-packing arithmetic (bin = cum_before div target, target =
+    // max(total div 4, 1)) replayed over a window cumsum
+    "load_compact_plan" ->
+      s"""WITH pf AS (SELECT CAST(bucket AS INT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_rows
+         | FROM read_parquet('${Tables.oracleScratchRoot}/graft_compact/orders/*/*.parquet',
+         |   hive_partitioning=true) GROUP BY 1),
+         |t AS (SELECT greatest(CAST(sum(n_rows) AS BIGINT) // 4, 1) AS target FROM pf),
+         |c AS (SELECT bucket, n_rows,
+         |  CAST(coalesce(sum(n_rows) OVER (ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         | FROM pf),
+         |b AS (SELECT c.*, CAST(c.cum_before // t.target AS BIGINT) AS bin,
+         |  t.target FROM c, t)
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n_files,
+         | CAST(sum(n_rows) AS BIGINT) AS total_rows,
+         | min(bucket) AS first_bucket, max(bucket) AS last_bucket,
+         | CAST(max(target) AS BIGINT) AS target_rows,
+         | CAST(sum(n_rows) * 1000000 // max(target) AS BIGINT) AS fill_ppm
+         |FROM b GROUP BY 1 ORDER BY bin""".stripMargin,
     "mon_sla_burn" ->
       s"""WITH ev AS (SELECT event_type AS source,
          |  CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
@@ -1819,6 +1899,56 @@ object SparkEntry {
          |SELECT state, next_state, n, state_total,
          | (n * 1000000) // state_total AS p_ppm
          |FROM t ORDER BY state, next_state""".stripMargin,
+    // E36: Welch t from ROUNDED arm moments (the D36 rounded-verdict
+    // convention) — both engines fold floats their own way but judge
+    // identical 4-dec inputs through one fixed expression shape
+    "q_ab_ttest" ->
+      """WITH m AS (SELECT event_type,
+        |  CAST(count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS BIGINT) AS n_a,
+        |  CAST(count(CASE WHEN user_id % 2 <> 0 THEN 1 END) AS BIGINT) AS n_b,
+        |  round(avg(CASE WHEN user_id % 2 = 0 THEN value END), 4) AS mean_a,
+        |  round(avg(CASE WHEN user_id % 2 <> 0 THEN value END), 4) AS mean_b,
+        |  round(var_samp(CASE WHEN user_id % 2 = 0 THEN value END), 4) AS var_a,
+        |  round(var_samp(CASE WHEN user_id % 2 <> 0 THEN value END), 4) AS var_b
+        | FROM events GROUP BY 1),
+        |t AS (SELECT *, round((mean_a - mean_b) /
+        |   sqrt(var_a / n_a + var_b / n_b), 4) AS t_stat FROM m)
+        |SELECT event_type, n_a, n_b, mean_a, mean_b, var_a, var_b, t_stat,
+        | CAST(CASE WHEN abs(t_stat) >= 1.96 THEN 1 ELSE 0 END AS INT) AS significant
+        |FROM t ORDER BY event_type""".stripMargin,
+    // E37: the windowed funnel chain replayed with the same
+    // conditional-min-within-window rule at each step
+    "q_funnel_windowed" ->
+      s"""WITH ev AS ($evSec),
+         |v AS (SELECT user_id, min(sec) AS v_sec FROM ev
+         |  WHERE event_type = 'view' GROUP BY 1),
+         |c AS (SELECT v.user_id, v.v_sec,
+         |  min(CASE WHEN e.sec >= v.v_sec AND e.sec <= v.v_sec + 86400
+         |      THEN e.sec END) AS c_sec
+         | FROM v LEFT JOIN ev e
+         |  ON e.user_id = v.user_id AND e.event_type = 'click'
+         | GROUP BY 1, 2),
+         |p AS (SELECT c.user_id, c.v_sec, c.c_sec,
+         |  min(CASE WHEN c.c_sec IS NOT NULL AND e.sec >= c.c_sec
+         |      AND e.sec <= c.c_sec + 86400 THEN e.sec END) AS p_sec
+         | FROM c LEFT JOIN ev e
+         |  ON e.user_id = c.user_id AND e.event_type = 'purchase'
+         | GROUP BY 1, 2, 3),
+         |one AS (SELECT CAST(count(*) AS BIGINT) AS n_view,
+         |  CAST(sum(CASE WHEN c_sec IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+         |  CAST(sum(CASE WHEN p_sec IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+         |  CAST(sum(CASE WHEN c_sec IS NOT NULL THEN c_sec - v_sec ELSE 0 END) AS BIGINT)
+         |    AS cds,
+         |  CAST(sum(CASE WHEN p_sec IS NOT NULL THEN p_sec - c_sec ELSE 0 END) AS BIGINT)
+         |    AS pds
+         | FROM p)
+         |SELECT 1::BIGINT AS step_ord, 'view' AS step, n_view AS n_users,
+         |  1000000::BIGINT AS conv_ppm, 0::BIGINT AS delay_sum FROM one
+         |UNION ALL SELECT 2, 'click', n_click,
+         |  n_click * 1000000 // greatest(n_view, 1), cds FROM one
+         |UNION ALL SELECT 3, 'purchase', n_purchase,
+         |  n_purchase * 1000000 // greatest(n_click, 1), pds FROM one
+         |ORDER BY step_ord""".stripMargin,
     "q_histogram" ->
       """SELECT event_type,
         | CAST(CASE WHEN value < 0.0 THEN -1 WHEN value >= 200.0 THEN 10
@@ -2801,6 +2931,15 @@ object SparkEntry {
          |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     // hard negatives: the ann_ivf_batch CTEs with the different-label
     // predicate applied at candidate time (the index carries labels)
+    // F64: the greedy promotion replayed round by round (generated CTEs);
+    // assignment ties break to the earliest-selected center on both sides
+    "sample_kcenter" ->
+      s"""WITH ${kcenterCtes(6)}
+         |SELECT CAST(g.sel_order AS BIGINT) AS sel_order, s.center_id, s.sel_dist,
+         | CAST(count(*) AS BIGINT) AS n_assigned,
+         | max(g.bd) AS cluster_radius
+         |FROM asg g JOIN sel s USING (sel_order)
+         |GROUP BY 1, 2, 3 ORDER BY sel_order""".stripMargin,
     "sample_hard_negatives" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          |c AS (SELECT label AS c_label, list(a ORDER BY pos) AS cv
@@ -3215,6 +3354,35 @@ object SparkEntry {
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     // F52: lag/cumulative-break replay of the deterministic frame model
     // F58: the F52 scene CTEs + the centered-window integer math
+    // F65: the stub pixel model + cross-multiplied mean bits replayed in
+    // HUGEINT (the F5 u2s convention), then F5's banded/verify SQL verbatim
+    "mm_ahash_dedup" ->
+      s"""WITH px AS (SELECT doc_id, k,
+         |  CASE WHEN doc_id % 4 = 3 AND k = 0
+         |   THEN (((doc_id // 4) * 7919 + k * 104729) % 256 + 128) % 256
+         |   ELSE ((doc_id // 4) * 7919 + k * 104729) % 256 END AS p
+         | FROM documents, range(0, 64) r(k)),
+         |sm AS (SELECT doc_id, sum(p) AS s FROM px GROUP BY 1),
+         |ah0 AS (SELECT px.doc_id,
+         |  sum(CASE WHEN px.p * 64 > sm.s
+         |   THEN (2::HUGEINT ^ px.k)::HUGEINT ELSE 0::HUGEINT END) AS shu
+         | FROM px JOIN sm USING (doc_id) GROUP BY 1),
+         |sh AS (SELECT doc_id, ${u2s("shu")} AS ahash, shu FROM ah0),
+         |banded AS (SELECT doc_id, ahash, b AS band,
+         |  CAST((shu // (2::HUGEINT ^ (16 * b))::HUGEINT) % 65536 AS BIGINT) AS bh
+         | FROM sh, range(0, 4) r(b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+         |  x.ahash AS s1, y.ahash AS s2
+         | FROM banded x JOIN banded y
+         |  ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |pairs AS (SELECT d1, d2, bit_count(xor(s1, s2)) AS hamming FROM cand
+         | WHERE bit_count(xor(s1, s2)) <= 3),
+         |perdoc AS (SELECT doc_id, count(*) AS n_neardups, min(hamming) AS min_hamming
+         | FROM (SELECT d1 AS doc_id, hamming FROM pairs
+         |       UNION ALL SELECT d2, hamming FROM pairs) GROUP BY 1)
+         |SELECT s.doc_id, s.ahash, coalesce(p.n_neardups, 0) AS n_neardups,
+         | CAST(coalesce(p.min_hamming, 64) AS BIGINT) AS min_hamming
+         |FROM sh s LEFT JOIN perdoc p USING (doc_id) ORDER BY s.doc_id""".stripMargin,
     "mm_clip_sample" ->
       """WITH m AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n FROM documents),
         |f AS (SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,

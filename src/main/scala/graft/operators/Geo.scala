@@ -152,6 +152,38 @@ object Geo {
       .orderBy(col("o_orderkey"))
   }
 
+  /** C14: ZONAL STATISTICS (arcpy Zonal Statistics / Summarize Within —
+    * the reporting geoprocessing verb next to Clip): every feature
+    * assigns to exactly one zone by FIRST-MATCH over an ordered zone
+    * list — the concave C13 polygon (ray-cast containment), then the
+    * AOI bbox, then a residual "outside" zone — and each zone reports
+    * count, extent, and a value rollup. First-match is the D12 elif
+    * precedent; containment arithmetic is [[pipInside]] / [[inBox]]
+    * reused verbatim, all exact int64.
+    *
+    * Scale shape: zone assignment is a per-row codegen'd case-when over
+    * the scan (zero joins — zones are expressions, not a table to
+    * shuffle); ONE map-side-combined hash agg emits |zones| rows. At
+    * 100 TB zonal reporting is a single pass regardless of zone count. */
+  def zonalStats(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables(spark, dir).orders
+      .withColumn("xi", lit(150000L) + (col("o_orderkey") * 7919L) % 800001L)
+      .withColumn("yi", lit(6050000L) + (col("o_orderkey") * 104729L) % 1700001L)
+      .withColumn("v", (col("o_orderkey") % 1000L))
+    val zone = when(pipInside(col("xi"), col("yi")), lit("aoi_polygon"))
+      .when(inBox(col("xi").cast("double"), col("yi").cast("double"),
+        bxmin, bymin, bxmax, bymax), lit("aoi_bbox"))
+      .otherwise(lit("outside"))
+    df.withColumn("zone", zone)
+      .groupBy(col("zone"))
+      .agg(count(lit(1)).as("n_features"),
+        min(col("xi")).as("min_x"), max(col("xi")).as("max_x"),
+        min(col("yi")).as("min_y"), max(col("yi")).as("max_y"),
+        sum(col("v")).as("sum_value"),
+        min(col("o_orderkey")).as("first_key"))
+      .orderBy(col("zone"))
+  }
+
   /** C3: coordinate-magnitude validation (sr_utils.py:15
     * validate_coordinates_magnitude; :39/:49 per-SR bounds). */
   def srValidate(spark: SparkSession, dir: String): DataFrame = {

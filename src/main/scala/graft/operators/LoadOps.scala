@@ -1536,6 +1536,49 @@ object LoadOps {
   def checkConstraints(spark: SparkSession, dir: String): DataFrame =
     checkConstraintsOf(Tables(spark, dir).lineitem)
 
+  /** D39: small-file COMPACTION PLANNING (the OPTIMIZE/binpack planning
+    * step; D14 executes a compaction, this DECIDES one): given a skewed
+    * multi-file layout, pack files into merge bins of ~`target` rows
+    * using Spark's own offset-based FilePartition packing semantics —
+    * bin(f) = floor(cumsum_before(f) / target) over the name-ordered
+    * file list (the `maxPartitionBytes` rule applied to planning), so
+    * the plan a reader would induce and the plan the compactor executes
+    * are the same arithmetic. Weights are exact row counts read back
+    * FROM the landed files (the D20 contract); the report carries each
+    * bin's fill as integer PPM of target — the under-fill evidence that
+    * justifies the compaction.
+    *
+    * Scale shape: one partitioned write, one read-back rollup to
+    * |files| rows, then a |files|-row window cumsum (tiny — file lists
+    * are metadata-sized even at 100 TB) and a |bins|-row agg. */
+  def compactPlan(spark: SparkSession, dir: String): DataFrame = {
+    val out = Tables.scratch(spark, "graft_compact/orders")
+    val src = Tables(spark, dir).orders
+      // skewed bucket populations: floor(sqrt(key % 144)) in 0..11 —
+      // small buckets model the small-file problem
+      .withColumn("bucket", floor(sqrt((col("o_orderkey") % 144).cast("double"))).cast("int"))
+    src.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(out)
+    val perFile = spark.read.parquet(out)
+      .groupBy(col("bucket").cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"))
+    val total = perFile.agg(sum(col("n_rows")).as("t")).head().getLong(0)
+    val target = math.max(total / 4L, 1L)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("bucket")) // |files| rows — metadata-sized
+    perFile
+      .withColumn("cum_before",
+        coalesce(sum(col("n_rows")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("bin", expr(s"cum_before div $target"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("total_rows"),
+        min(col("bucket")).as("first_bucket"), max(col("bucket")).as("last_bucket"))
+      .withColumn("target_rows", lit(target))
+      .withColumn("fill_ppm", expr("total_rows * 1000000 div target_rows"))
+      .orderBy(col("bin"))
+  }
+
   /** D38: multi-window SLO error-budget BURN RATE — the SRE-workbook
     * alerting policy over the run log (monitoring.py success-rate
     * tracking stops at a global rate; a burn-rate pager needs rates over

@@ -289,4 +289,37 @@ object Multimodal {
         col("clip_start"), (col("clip_start") + col("clip_frames") - 1).as("clip_end"),
         col("clip_frames"))
       .orderBy(col("doc_id"), col("scene_idx"))
+
+  /** F65: perceptual IMAGE near-dup via average-hash (aHash) — the image
+    * modality's entry in the dedup family (F1..F5 cover text; web-scraped
+    * image corpora dedup on a perceptual hash precisely because re-encoded
+    * /resized copies differ byte-wise but hash alike). The decode stub
+    * yields a deterministic 8×8 grayscale per payload (capture-burst
+    * model: 4 consecutive ids share a base image, the 4th carries a
+    * one-pixel perturbation — the near-copy class the hash must still
+    * catch); bit k of the hash = pixel k above the image mean, compared
+    * CROSS-MULTIPLIED (`64·p > Σp`) so the whole hash is exact integer
+    * arithmetic. The banded-hamming candidate/verify machinery is F5's
+    * [[Dedup.simhashSummary]] REUSED verbatim — one near-dup engine, two
+    * modalities.
+    *
+    * Scale shape: hash = per-row codegen'd array fold (no shuffle);
+    * then exactly F5's contract — banded groupBy on 4×2^16 keys, verify
+    * on xor+bit_count. A real JPEG decoder swaps into the pixel lambda;
+    * nothing downstream changes. */
+  def ahashDedup(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val t = Tables(spark, dir)
+    val px = t.documents.select(col("doc_id"),
+      // STUB pixel model (deterministic stand-in for decode + 8x8 resize)
+      expr("""transform(sequence(0, 63), k ->
+        CASE WHEN doc_id % 4 = 3 AND k = 0
+          THEN (((doc_id div 4) * 7919 + k * 104729) % 256 + 128) % 256
+          ELSE ((doc_id div 4) * 7919 + k * 104729) % 256 END)""").as("p"))
+      .withColumn("sm", expr("aggregate(p, 0L, (a, x) -> a + x)"))
+    val ah = px.select(col("doc_id"),
+      expr("""aggregate(zip_with(p, sequence(0, 63), (v, k) ->
+        IF(v * 64 > sm, shiftleft(1L, k), 0L)), 0L, (a, b) -> a | b)""").as("simhash"))
+    graft.operators.Dedup.simhashSummary(ah, maxHamming)
+      .withColumnRenamed("simhash", "ahash")
+  }
 }

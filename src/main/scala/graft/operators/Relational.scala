@@ -415,6 +415,60 @@ object Relational {
           col("first_purchase") - col("first_click")).otherwise(0)).cast("long").as("delay_sum"))
   }
 
+  /** E37: WINDOWED conversion funnel — E22 with the constraint real
+    * funnel analytics always carries: each step must follow the previous
+    * one WITHIN a conversion window (a purchase a month after the click
+    * isn't attributable to it). Three steps (view → click → purchase),
+    * per-step cohort = users whose step event is the FIRST one at or
+    * after their previous-step time and within `windowSec` of it;
+    * conversion reported as exact integer PPM of the previous step's
+    * cohort plus the summed step delay.
+    *
+    * Scale shape: every frame is user-grain and every join/agg keys on
+    * `user_id` — one hash partitioning reused across the chain (the E33
+    * convention); conditional-min aggs, no windows over the corpus, and
+    * the final 3-row report assembles from one crossJoined 1-row agg. */
+  def qFunnelWindowed(spark: SparkSession, dir: String,
+      windowSec: Long = 86400L): DataFrame = {
+    val t = Tables(spark, dir)
+    val ev = t.eventsSec.select(col("user_id"), col("event_type"), col("sec"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("sec")).as("v_sec"))
+    val c = v.join(ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("sec").as("c0")), Seq("user_id"), "left")
+      .groupBy(col("user_id"), col("v_sec"))
+      .agg(min(when(col("c0") >= col("v_sec") &&
+        col("c0") <= col("v_sec") + windowSec, col("c0"))).as("c_sec"))
+    val p = c.join(ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("sec").as("p0")), Seq("user_id"), "left")
+      .groupBy(col("user_id"), col("v_sec"), col("c_sec"))
+      .agg(min(when(col("c_sec").isNotNull && col("p0") >= col("c_sec") &&
+        col("p0") <= col("c_sec") + windowSec, col("p0"))).as("p_sec"))
+    val one = p.agg(
+      count(lit(1)).as("n_view"),
+      sum(when(col("c_sec").isNotNull, 1L).otherwise(0L)).as("n_click"),
+      sum(when(col("p_sec").isNotNull, 1L).otherwise(0L)).as("n_purchase"),
+      sum(when(col("c_sec").isNotNull, col("c_sec") - col("v_sec")).otherwise(0L))
+        .as("click_delay_sum"),
+      sum(when(col("p_sec").isNotNull, col("p_sec") - col("c_sec")).otherwise(0L))
+        .as("purchase_delay_sum"))
+    one.select(explode(array(
+        struct(lit(1L).as("step_ord"), lit("view").as("step"),
+          col("n_view").as("n_users"), lit(1000000L).as("conv_ppm"),
+          lit(0L).as("delay_sum")),
+        struct(lit(2L).as("step_ord"), lit("click").as("step"),
+          col("n_click").as("n_users"),
+          expr("n_click * 1000000 div greatest(n_view, 1)").as("conv_ppm"),
+          col("click_delay_sum").as("delay_sum")),
+        struct(lit(3L).as("step_ord"), lit("purchase").as("step"),
+          col("n_purchase").as("n_users"),
+          expr("n_purchase * 1000000 div greatest(n_click, 1)").as("conv_ppm"),
+          col("purchase_delay_sum").as("delay_sum")))).as("s"))
+      .select(col("s.step_ord"), col("s.step"), col("s.n_users"),
+        col("s.conv_ppm"), col("s.delay_sum"))
+      .orderBy(col("step_ord"))
+  }
+
   /** E8c: explicit GROUPING SETS — the general form under ROLLUP/CUBE:
     * exactly the requested combinations ((status), (priority), ()) in one
     * pass (Catalyst expands to a single Expand + hash agg, not three
@@ -843,6 +897,84 @@ object Relational {
       .filter(col("next_type").isNotNull)
       .groupBy(col("event_type").as("state"), col("next_type").as("next_state"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** E36: two-sample A/B test (Welch's t) per metric group — the
+    * experimentation staple on top of E16's descriptive stats: users
+    * split into arms by a deterministic hash rule (here `user_id % 2`,
+    * the E31 hash-sampling convention), and each event_type's `value`
+    * metric gets arm means, a Welch t statistic, and a significance
+    * verdict at the 1.96 two-sided bar.
+    *
+    * Determinism contract (the D36 rounded-verdict convention): arm
+    * means/variances ROUND to 4 decimals first, the t statistic is
+    * computed FROM the rounded moments with one fixed expression shape,
+    * then rounds to 4 — both engines fold floats in their own order but
+    * judge identical rounded inputs.
+    *
+    * Scale shape: ONE conditional-agg pass computes all six moments per
+    * group (map-side partials, |groups| rows cross the shuffle); no
+    * join, no window, no second scan. */
+  def qAbTtest(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val inA = col("user_id") % 2 === 0
+    val rounded = t.events.groupBy(col("event_type"))
+      .agg(
+        count(when(inA, 1)).as("n_a"),
+        count(when(!inA, 1)).as("n_b"),
+        round(avg(when(inA, col("value"))), 4).as("mean_a"),
+        round(avg(when(!inA, col("value"))), 4).as("mean_b"),
+        round(var_samp(when(inA, col("value"))), 4).as("var_a"),
+        round(var_samp(when(!inA, col("value"))), 4).as("var_b"))
+    abTtestAssemble(rounded)
+  }
+
+  /** The E36 verdict assembly over per-group ROUNDED arm moments —
+    * shared with the G20 streaming form (which recovers the same
+    * moments from accumulated (n, Σx, Σx²) state) so the two verdicts
+    * cannot drift. Welch variance uses the n−1 denominator on both
+    * paths. */
+  def abTtestAssemble(rounded: DataFrame): DataFrame =
+    rounded
+      .withColumn("t_stat", round((col("mean_a") - col("mean_b")) /
+        sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")), 4))
+      .withColumn("significant", (abs(col("t_stat")) >= 1.96).cast("int"))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("mean_a"),
+        col("mean_b"), col("var_a"), col("var_b"), col("t_stat"),
+        col("significant"))
+      .orderBy(col("event_type"))
+
+  /** The G20 cent-moment pass: per event_type, EXACT-INTEGER sufficient
+    * statistics for both arms — (n, Σcents, Σcents²) with
+    * cents = round(value·100) — in one conditional agg. Integer moments
+    * make the streaming accumulation ASSOCIATIVE WITH NO FLOAT DRIFT:
+    * state + batch in any batching equals the one-shot pass bit-for-bit
+    * (Σcents² ≤ 1.1e9 per row — no overflow at any realistic n). */
+  def abCentMomentsOf(ev: DataFrame): DataFrame = {
+    val inA = col("user_id") % 2 === 0
+    val cents = round(col("value") * 100).cast("long")
+    ev.groupBy(col("event_type"))
+      .agg(
+        sum(when(inA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(inA, cents).otherwise(0L)).as("sum_a"),
+        sum(when(inA, cents * cents).otherwise(0L)).as("ss_a"),
+        sum(when(!inA, 1L).otherwise(0L)).as("n_b"),
+        sum(when(!inA, cents).otherwise(0L)).as("sum_b"),
+        sum(when(!inA, cents * cents).otherwise(0L)).as("ss_b"))
+  }
+
+  /** Recover ROUNDED arm moments from exact integer cent-moments and
+    * assemble the E36 verdict — one fixed expression shape, so identical
+    * integer state yields identical reports on any path (the G20
+    * stream/batch sharing contract). */
+  def abTtestFromCents(m: DataFrame): DataFrame = {
+    def mean(s: String, n: String) = round(col(s) / 100.0 / col(n), 4)
+    def vr(ss: String, s: String, n: String) =
+      round((col(ss) / 10000.0 -
+        col(n) * pow(col(s) / 100.0 / col(n), 2)) / (col(n) - 1), 4)
+    abTtestAssemble(m.select(col("event_type"), col("n_a"), col("n_b"),
+      mean("sum_a", "n_a").as("mean_a"), mean("sum_b", "n_b").as("mean_b"),
+      vr("ss_a", "sum_a", "n_a").as("var_a"), vr("ss_b", "sum_b", "n_b").as("var_b")))
   }
 
   /** The E35 report assembly over a (state, next_state, n) matrix —

@@ -1175,4 +1175,68 @@ object Similarity {
       .groupBy(col("pos")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
       .orderBy(col("pos")).collect()
       .map(r => (r.getDouble(1), r.getDouble(2)))
+
+  /** Squared L2 distance to a FIXED vector via the polarization identity
+    * `‖a‖² − 2⟨a,q⟩ + ‖q‖²` — three sequential [[Vec.dot]] folds in one
+    * fixed expression shape, so DuckDB's `list_inner_product` replays
+    * identical IEEE arithmetic (the cosSql convention). */
+  private def sqDistTo(v: Column, q: Seq[Double]): Column = {
+    val ql = typedLit(q)
+    Vec.dot(v, v) - lit(2.0) * Vec.dot(v, ql) + Vec.dot(ql, ql)
+  }
+
+  /** F64: greedy k-CENTER coreset selection (farthest-point traversal,
+    * Gonzalez 2-approximation) — the geometric data-pruning baseline:
+    * pick the k most mutually-distant exemplars so a budgeted subset
+    * COVERS the embedding cloud (dedup keeps one of each near-dup pair;
+    * a coreset keeps one of each REGION — the complement selection).
+    * Seed = lowest vec_id; each round promotes the point with the
+    * maximum ROUNDED min-distance-to-chosen (4 dec, vec_id tie-break —
+    * the ann_topk determinism convention). Report per center: selection
+    * order, the distance that won its promotion (the shrinking radius
+    * sequence — also the stopping diagnostic), final nearest-center
+    * population, and the cluster's covering radius.
+    *
+    * Scale shape: NEVER a pairwise matrix. Each of the k rounds is one
+    * map-only scan updating the running min-distance column
+    * (`least(mind, d²-to-new-center)`) through a localCheckpoint — the
+    * k-bounded iterative-frame pattern shared with the IVF trainer; the
+    * argmax is a 1-row orderBy-limit collect. The final assignment
+    * broadcasts k centers and hash-aggs per center. 100 TB cost:
+    * k map passes + one k·|groups| agg, zero shuffles of vector data
+    * beyond the checkpoint. */
+  def sampleKcenter(spark: SparkSession, dir: String, k: Int = 6): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, dir).select(col("vec_id"), col("v")).localCheckpoint(true)
+    val first = e.orderBy(col("vec_id")).head()
+    var centers = Vector((first.getLong(0), first.getSeq[Double](1), 0.0))
+    var cur = e.withColumn("mind", round(sqDistTo(col("v"), centers.head._2), 4))
+      .localCheckpoint(true)
+    for (_ <- 2 to k) {
+      val chosen = centers.map(_._1)
+      val nxt = cur.filter(!col("vec_id").isin(chosen: _*))
+        .orderBy(col("mind").desc, col("vec_id")).head()
+      val cv = nxt.getSeq[Double](1)
+      centers = centers :+ ((nxt.getLong(0), cv, nxt.getDouble(2)))
+      cur = cur.withColumn("mind",
+        least(col("mind"), round(sqDistTo(col("v"), cv), 4)))
+        .localCheckpoint(true)
+    }
+    // final assignment: nearest chosen center (rounded d², earliest-
+    // selected tie-break), then per-center population + covering radius
+    val cDf = centers.zipWithIndex
+      .map { case ((id, _, d), ord) => (ord + 1L, id, d) }
+      .toDF("sel_order", "center_id", "sel_dist")
+    val distCols = centers.map { case (_, cv, _) => round(sqDistTo(col("v"), cv), 4) }
+    val best = cur.select(col("vec_id"), least(distCols: _*).as("bd"),
+        array(distCols: _*).as("ds"))
+      .select(col("vec_id"), col("bd"),
+        (array_position(col("ds"), col("bd"))).as("sel_order"))
+    best.groupBy(col("sel_order"))
+      .agg(count(lit(1)).as("n_assigned"), max(col("bd")).as("cluster_radius"))
+      .join(broadcast(cDf), Seq("sel_order"))
+      .select(col("sel_order"), col("center_id"), col("sel_dist"),
+        col("n_assigned"), col("cluster_radius"))
+      .orderBy(col("sel_order"))
+  }
 }

@@ -369,6 +369,45 @@ object EventStreams {
       }
       .start()
 
+  /** G20: STREAMING A/B test — E36 as sequential monitoring (the
+    * always-on experiment dashboard): per-(event_type) arm sufficient
+    * statistics accumulate as EXACT INTEGER cent-moments (n, Σcents,
+    * Σcents²) in a persisted O(|groups|) state table (the G14
+    * write-new-then-rename rule), and each trigger re-emits the verdict
+    * via the SAME `Relational.abTtestFromCents` assembly the batch
+    * recompute uses. Integer moments make accumulation associative with
+    * zero float drift, so the report equals the one-shot pass over all
+    * rows seen so far BIT-FOR-BIT after every trigger (spec-pinned) —
+    * no rounding-boundary flake class at all. */
+  def abTtestStream(events: DataFrame, stateDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream.outputMode("append")
+      .foreachBatch { (batch0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import org.apache.spark.sql.functions._
+        val spark = batch0.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(stateDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val statePath = new org.apache.hadoop.fs.Path(stateDir + "/moments")
+        val fresh = graft.operators.Relational.abCentMomentsOf(batch0.toDF())
+        val prior =
+          if (fs.exists(statePath)) spark.read.parquet(statePath.toString)
+          else fresh.limit(0)
+        val cols = Seq("n_a", "sum_a", "ss_a", "n_b", "sum_b", "ss_b")
+        val total = prior.unionByName(fresh)
+          .groupBy(col("event_type"))
+          .agg(cols.map(c => sum(col(c)).as(c)).head,
+            cols.map(c => sum(col(c)).as(c)).tail: _*)
+          .localCheckpoint(true)
+        val tmp = new org.apache.hadoop.fs.Path(stateDir + "/moments.next")
+        total.write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(statePath)) fs.delete(statePath, true)
+        require(fs.rename(tmp, statePath), s"state publish failed: $tmp -> $statePath")
+        graft.operators.Relational.abTtestFromCents(total)
+          .write.mode("overwrite").parquet(stateDir + "/report")
+        (): Unit
+      }
+      .start()
+
   /** G18: STREAMING embedding drift — D36 as continuous monitoring: the
     * per-(label, dim, split) running (sum, count) moments accumulate in
     * a persisted state table (write-new-then-rename, the G14 rule), and

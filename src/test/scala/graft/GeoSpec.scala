@@ -143,6 +143,49 @@ class GeoSpec extends AnyFunSuite with SparkTestBase {
       "no sampled point in the notch — the concavity is untested")
   }
 
+  test("zonal stats: first-match precedence, populations partition the corpus, rollups replay") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.operators.Geo.zonalStats(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(6)))
+    assert(rows.map(_._1).sorted.toSeq == Seq("aoi_bbox", "aoi_polygon", "outside"),
+      s"all three zones must be populated: ${rows.toSeq}")
+    val total = Tables(spark, sfDir).orders.count()
+    assert(rows.map(_._2).sum == total, "zones must partition the corpus")
+    // independent replay: zone of every point via a scala-side first-match
+    val poly = graft.operators.Geo.PipPoly
+    def inside(px: Long, py: Long): Boolean = {
+      val edges = poly.zip(poly.tail :+ poly.head)
+      edges.count { case ((xa, ya), (xb, yb)) =>
+        ya != yb && {
+          val ((xlo, ylo), (xhi, yhi)) =
+            if (ya < yb) ((xa, ya), (xb, yb)) else ((xb, yb), (xa, ya))
+          ylo <= py && py < yhi &&
+            (px - xlo) * (yhi - ylo) < (xhi - xlo) * (py - ylo)
+        }
+      } % 2 == 1
+    }
+    val keys = Tables(spark, sfDir).orders.select(col("o_orderkey")).collect()
+      .map(_.getLong(0))
+    val brute = keys.map { k =>
+      val x = 150000L + (k * 7919L) % 800001L
+      val y = 6050000L + (k * 104729L) % 1700001L
+      val z = if (inside(x, y)) "aoi_polygon"
+        else if (x >= 400000L && x <= 600000L && y >= 6500000L && y <= 7000000L) "aoi_bbox"
+        else "outside"
+      (z, k % 1000L)
+    }
+    val bruteAgg = brute.groupBy(_._1).map { case (z, g) =>
+      (z, g.length.toLong, g.map(_._2).sum) }.toSeq.sortBy(_._1)
+    assert(rows.sortBy(_._1).toSeq == bruteAgg, "zone rollups diverged from the replay")
+    // precedence is real: some bbox-contained point sits inside the
+    // polygon and must have been claimed by the polygon zone
+    assert(keys.exists { k =>
+      val x = 150000L + (k * 7919L) % 800001L
+      val y = 6050000L + (k * 104729L) % 1700001L
+      inside(x, y) && x >= 400000L && x <= 600000L && y >= 6500000L && y <= 7000000L
+    }, "no overlap between polygon and bbox — precedence untested")
+  }
+
   test("z-order buckets: every bucket spans at most a 64x64 domain cell") {
     // the top 12 z-bits pin 6 high bits of each axis, so a bucket's
     // points all fall in one 1/64-of-domain cell per axis

@@ -693,6 +693,39 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("compact plan: offset packing replays from raw bucket counts, bins contiguous, skew real") {
+    import org.apache.spark.sql.functions.col
+    val got = graft.operators.LoadOps.compactPlan(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getInt(4), r.getLong(5), r.getLong(6))).toSeq
+    // replay the plan from the SOURCE bucket populations (what the landed
+    // files must contain)
+    val counts = Tables(spark, sfDir).orders.select(col("o_orderkey")).collect()
+      .map(r => math.floor(math.sqrt((r.getLong(0) % 144).toDouble)).toInt)
+      .groupBy(identity).map { case (b, g) => (b, g.size.toLong) }
+      .toSeq.sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val target = math.max(total / 4L, 1L)
+    var cum = 0L
+    val binned = counts.map { case (b, n) =>
+      val bin = cum / target; cum += n; (bin, b, n)
+    }
+    val brute = binned.groupBy(_._1).toSeq.sortBy(_._1).map { case (bin, g) =>
+      (bin, g.length.toLong, g.map(_._3).sum, g.map(_._2).min, g.map(_._2).max,
+        target, g.map(_._3).sum * 1000000L / target)
+    }
+    assert(got == brute, s"plan diverged from the replay:\n$got\nvs\n$brute")
+    // bins tile the bucket range contiguously and cover every row
+    got.sliding(2).foreach {
+      case Seq(a, b) => assert(a._5 < b._4, "bins overlap or disorder")
+      case _ =>
+    }
+    assert(got.map(_._3).sum == total, "plan must cover every row")
+    // the skewed layout really contains small files worth compacting
+    assert(counts.map(_._2).min < target / 4,
+      "no small files — the plan has nothing to justify")
+  }
+
   test("sla burn: planted run logs hit every alert branch and counters replay exactly") {
     import spark.implicits._
     // watermark day = 100; short window = day 100, long window = days 94..100

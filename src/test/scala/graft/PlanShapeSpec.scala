@@ -311,6 +311,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("Window"), s"burn windows must be aggs, not window functions:\n$p")
   }
 
+  test("ab ttest: all six arm moments in one conditional-agg scan, no join, no window") {
+    val p = plan("q_ab_ttest")
+    assert(!p.contains("Join"), s"arm split must be conditional aggs, not a join:\n$p")
+    assert(!p.contains("Window"), s"no window needed for arm moments:\n$p")
+    assert(p.contains("partial_"), s"moments lack map-side partials:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"both arms must come from one events scan:\n$p")
+  }
+
   test("corr matrix: one scan, one partial-agg pair, no join — pairs never multiply the pass count") {
     val p = plan("q_corr_matrix")
     assert(!p.contains("Join"), s"pairwise corr must not self-join:\n$p")

@@ -595,6 +595,52 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(rows.exists(r => math.abs(r._2) > 1e-3), "all projections ~0 — degenerate fit")
   }
 
+  test("kcenter: independent greedy replay matches, radii shrink, populations cover the corpus") {
+    val got = Similarity.sampleKcenter(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+      .toSeq
+    // independent greedy: plain-scala farthest-point traversal with the
+    // same rounded-d² promotion rule
+    val vecs = Similarity.vectors(spark, sfDir)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def d2(a: Array[Double], b: Array[Double]) = {
+      def dot(x: Array[Double], y: Array[Double]) = {
+        var s = 0.0; var i = 0
+        while (i < x.length) { s += x(i) * y(i); i += 1 }; s
+      }
+      r4(dot(a, a) - 2.0 * dot(a, b) + dot(b, b))
+    }
+    val k = got.length
+    var centers = Vector((vecs.head._1, vecs.head._2, 0.0))
+    val mind = scala.collection.mutable.Map(vecs.map(v => v._1 -> d2(v._2, vecs.head._2)): _*)
+    for (_ <- 2 to k) {
+      val chosen = centers.map(_._1).toSet
+      val nxt = vecs.filterNot(v => chosen(v._1))
+        .maxBy(v => (mind(v._1), -v._1))
+      centers = centers :+ ((nxt._1, nxt._2, mind(nxt._1)))
+      vecs.foreach(v => mind(v._1) = math.min(mind(v._1), d2(v._2, nxt._2)))
+    }
+    val asg = vecs.map { v =>
+      val ds = centers.map(c => d2(v._2, c._2))
+      val bd = ds.min
+      (ds.indexOf(bd) + 1, bd)
+    }
+    val brute = centers.zipWithIndex.map { case ((id, _, sd), i) =>
+      val mine = asg.filter(_._1 == i + 1)
+      (i + 1L, id, sd, mine.length.toLong, mine.map(_._2).max)
+    }
+    assert(got == brute, s"greedy replay diverged:\n$got\nvs\n$brute")
+    // promotion distances never increase (the farthest-point invariant)
+    got.drop(1).map(_._3).sliding(2).foreach {
+      case Seq(a, b) => assert(a >= b, s"promotion radius grew: $a -> $b")
+      case _ =>
+    }
+    assert(got.map(_._4).sum == vecs.length.toLong, "assignment must cover the corpus")
+    assert(got.forall(_._4 > 0L), "an empty cluster means a wasted center")
+  }
+
   test("ivf append: delta lands partitioned by list, merged serving resolves delta probes exactly") {
     import spark.implicits._
     val report = Similarity.ivfAppend(spark, sfDir).collect()

@@ -517,6 +517,45 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("G20: streaming ab test from integer cent-moments equals the batch pass bit-for-bit every trigger") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ev = Tables(spark, sfDir).events
+      .selectExpr("event_type", "user_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val stateDir = java.nio.file.Files.createTempDirectory("g20").toString + "/state"
+    val mem = MemoryStream[(String, Long, Double)]
+    val q = EventStreams.abTtestStream(
+      mem.toDF().toDF("event_type", "user_id", "value"), stateDir)
+    try {
+      val third = (ev.length + 2) / 3
+      var fed = Array.empty[(String, Long, Double)]
+      ev.grouped(third).foreach { slice =>
+        mem.addData(slice.toIndexedSeq: _*); q.processAllAvailable()
+        fed = fed ++ slice
+        val streamed = spark.read.parquet(stateDir + "/report").collect()
+          .map(_.toSeq).sortBy(_.head.toString).toSeq
+        val batch = graft.operators.Relational.abTtestFromCents(
+            graft.operators.Relational.abCentMomentsOf(
+              fed.toSeq.toDF("event_type", "user_id", "value"))).collect()
+          .map(_.toSeq).sortBy(_.head.toString).toSeq
+        assert(streamed == batch,
+          s"stream/batch diverged at prefix ${fed.length}: ${
+            streamed.zip(batch).find(p => p._1 != p._2)}")
+        // arm counts always cover the prefix exactly
+        assert(streamed.map(r => r(1).asInstanceOf[Long] + r(2).asInstanceOf[Long]).sum
+          == fed.length.toLong)
+      }
+      // the integer-moment verdict agrees with the registered E36 query's
+      // verdict on the full corpus (same rounded-inputs contract)
+      val viaMoments = spark.read.parquet(stateDir + "/report").collect()
+        .map(r => (r.getString(0), r.getInt(8))).sortBy(_._1).toSeq
+      val direct = graft.operators.Relational.qAbTtest(spark, sfDir).collect()
+        .map(r => (r.getString(0), r.getInt(8))).sortBy(_._1).toSeq
+      assert(viaMoments == direct, "moment-path verdict != var_samp-path verdict")
+    } finally q.stop()
+  }
+
   test("G18: streaming embedding drift from accumulated moments equals the batch pass after every trigger") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.Row

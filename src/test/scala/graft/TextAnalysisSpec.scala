@@ -171,6 +171,47 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("ahash dedup: brute all-pairs replay agrees and the capture-burst copies are caught") {
+    val got = graft.operators.Multimodal.ahashDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got.nonEmpty)
+    // independent hash replay of the stub pixel model
+    def hashOf(id: Long): Long = {
+      val p = (0 until 64).map { k =>
+        val base = ((id / 4) * 7919L + k * 104729L) % 256L
+        if (id % 4 == 3 && k == 0) (base + 128L) % 256L else base
+      }
+      val s = p.sum
+      p.zipWithIndex.map { case (v, k) =>
+        if (v * 64L > s) 1L << k else 0L
+      }.reduce(_ | _)
+    }
+    val ids = got.map(_._1)
+    val hs = ids.map(i => i -> hashOf(i)).toMap
+    got.foreach { case (id, ah, _, _) => assert(ah == hs(id), s"hash mismatch for $id") }
+    // brute-force ALL pairs at hamming <= 3: the 4x16 banding must have
+    // recall 1.0 there (pigeonhole), so the summary equals brute exactly
+    val brute = ids.map { a =>
+      val ds = ids.filter(_ != a)
+        .map(b => java.lang.Long.bitCount(hs(a) ^ hs(b)))
+        .filter(_ <= 3)
+      (a, ds.length.toLong, if (ds.isEmpty) 64L else ds.min.toLong)
+    }
+    assert(got.map(t => (t._1, t._3, t._4)) == brute, "summary diverged from all-pairs")
+    // the burst model plants exact copies: ids {4g, 4g+1, 4g+2} share a
+    // hash, so complete bursts must report distance-0 near-dups
+    val full = ids.groupBy(_ / 4).filter { case (_, g) =>
+      g.count(_ % 4 != 3) >= 2 }
+    assert(full.nonEmpty, "no complete burst in the corpus sample")
+    full.foreach { case (g, members) =>
+      members.filter(_ % 4 != 3).foreach { id =>
+        val row = got.find(_._1 == id).get
+        assert(row._4 == 0L, s"burst $g member $id missed its exact copy")
+      }
+    }
+  }
+
   test("scene cuts: a brute replay agrees and scenes partition each video at the threshold") {
     val tau = 400L
     val got = graft.operators.Multimodal.sceneCut(spark, sfDir).collect()

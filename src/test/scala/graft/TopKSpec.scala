@@ -193,4 +193,81 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
     val expected = ev.length - ev.map(_._1).distinct.length
     assert(got.map(_._3).sum == expected, "transition count != events - users")
   }
+
+  test("windowed funnel: per-user brute replay, monotone cohorts, delays within the window") {
+    val W = 86400L
+    val got = Relational.qFunnelWindowed(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    val ev = Tables(spark, sfDir).eventsSec
+      .selectExpr("user_id", "event_type", "sec").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val perUser = ev.groupBy(_._1).values.flatMap { g =>
+      val vs = g.filter(_._2 == "view").map(_._3)
+      if (vs.isEmpty) None else {
+        val v = vs.min
+        val c = g.filter(e => e._2 == "click" && e._3 >= v && e._3 <= v + W)
+          .map(_._3).minOption
+        val p = c.flatMap(cs => g.filter(e =>
+          e._2 == "purchase" && e._3 >= cs && e._3 <= cs + W).map(_._3).minOption)
+        Some((v, c, p))
+      }
+    }.toSeq
+    val nView = perUser.length.toLong
+    val nClick = perUser.count(_._2.isDefined).toLong
+    val nPurch = perUser.count(_._3.isDefined).toLong
+    val cds = perUser.collect { case (v, Some(c), _) => c - v }.sum
+    val pds = perUser.collect { case (_, Some(c), Some(p)) => p - c }.sum
+    val brute = Seq(
+      (1L, "view", nView, 1000000L, 0L),
+      (2L, "click", nClick, nClick * 1000000L / math.max(nView, 1L), cds),
+      (3L, "purchase", nPurch, nPurch * 1000000L / math.max(nClick, 1L), pds))
+    assert(got == brute, s"funnel diverged:\n$got\nvs\n$brute")
+    // structure: cohorts shrink monotonically, conversions are ≤ 1e6 PPM,
+    // and every converted step's mean delay fits inside the window
+    assert(nView >= nClick && nClick >= nPurch && nView > 0)
+    assert(got.forall(_._4 <= 1000000L))
+    if (nClick > 0) assert(cds <= nClick * W)
+    if (nPurch > 0) assert(pds <= nPurch * W)
+    // the window BITES: some user clicks only outside the window (the
+    // unwindowed funnel would count them)
+    val unwindowed = ev.groupBy(_._1).values.count { g =>
+      val vs = g.filter(_._2 == "view").map(_._3)
+      vs.nonEmpty && g.exists(e => e._2 == "click" && e._3 >= vs.min) &&
+        !g.exists(e => e._2 == "click" && e._3 >= vs.min && e._3 <= vs.min + W)
+    }
+    assert(unwindowed > 0, "window never binds — widen the test or shrink W")
+  }
+
+  test("ab ttest: brute-force moments replay, arm swap negates t, verdict consistent") {
+    val got = Relational.qAbTtest(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getInt(8)))
+      .toSeq
+    val ev = Tables(spark, sfDir).events
+      .selectExpr("event_type", "user_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.foreach { case (et, nA, nB, mA, mB, vA, vB, t, sig) =>
+      val (a, b) = ev.filter(_._1 == et).partition(_._2 % 2 == 0)
+      assert(nA == a.length.toLong && nB == b.length.toLong, s"$et arm sizes")
+      def mean(xs: Array[(String, Long, Double)]) = xs.map(_._3).sum / xs.length
+      def vars(xs: Array[(String, Long, Double)]) = {
+        val m = mean(xs)
+        xs.map(x => (x._3 - m) * (x._3 - m)).sum / (xs.length - 1)
+      }
+      assert(math.abs(mA - mean(a)) < 1e-3 && math.abs(mB - mean(b)) < 1e-3,
+        s"$et arm means off")
+      assert(math.abs(vA - vars(a)) < 1e-2 && math.abs(vB - vars(b)) < 1e-2,
+        s"$et arm variances off")
+      // t from the ROUNDED moments — the exact engine contract
+      val want = r4((mA - mB) / math.sqrt(vA / nA + vB / nB))
+      assert(t == want, s"$et t_stat $t != $want from rounded moments")
+      assert(sig == (if (math.abs(t) >= 1.96) 1 else 0), s"$et verdict")
+      // symmetry: swapping the arms must exactly negate the statistic
+      val swapped = r4((mB - mA) / math.sqrt(vB / nB + vA / nA))
+      assert(math.abs(swapped + want) < 1e-9, s"$et arm swap not antisymmetric")
+    }
+    assert(got.nonEmpty && got.map(_._1).distinct.length == got.length)
+  }
 }
