@@ -232,6 +232,7 @@ object SparkEntry {
     "mm_scene_cut"           -> ((s, d) => Multimodal.sceneCut(s, d)),
     "mm_clip_sample"         -> ((s, d) => Multimodal.clipSample(s, d)),
     "mm_ahash_dedup"         -> ((s, d) => Multimodal.ahashDedup(s, d)),
+    "mm_video_keyframe"      -> ((s, d) => Multimodal.videoKeyframe(s, d)),
     "mm_audio_vad"           -> ((s, d) => Multimodal.audioVad(s, d)),
     "load_partition_evolution" -> (LoadOps.partitionEvolution _),
     "mm_resize"              -> ((s: SparkSession, d: String) => Multimodal.resize(s, d)),
@@ -3435,6 +3436,28 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_frames
         |FROM s GROUP BY doc_id, scene_idx
         |ORDER BY doc_id, scene_idx""".stripMargin,
+    // F66: same scene CTEs as F52, then keyframe = lowest frame index
+    // among the scene's max-feature frames (the engine's max_by tie rule)
+    "mm_video_keyframe" ->
+      """WITH m AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n FROM documents),
+        |f AS (SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |        CAST((n * 31 + i * i * 13) % 997 AS BIGINT) AS feat
+        |      FROM m, range(0, 40) t(i) WHERE i < n % 24 + 8),
+        |d AS (SELECT doc_id, frame_idx, feat,
+        |        CASE WHEN lag(feat) OVER w IS NULL THEN 1
+        |             WHEN abs(feat - lag(feat) OVER w) > 400 THEN 1 ELSE 0 END AS brk
+        |      FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)),
+        |s AS (SELECT doc_id, frame_idx, feat,
+        |        sum(brk) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS scene_idx
+        |      FROM d),
+        |g AS (SELECT doc_id, CAST(scene_idx AS BIGINT) AS scene_idx,
+        |        max(feat) AS keyframe_feat, CAST(count(*) AS BIGINT) AS n_frames
+        |      FROM s GROUP BY 1, 2)
+        |SELECT g.doc_id, g.scene_idx, min(s.frame_idx) AS keyframe_idx,
+        |  g.keyframe_feat, g.n_frames
+        |FROM g JOIN s ON s.doc_id = g.doc_id AND s.scene_idx = g.scene_idx
+        |  AND s.feat = g.keyframe_feat
+        |GROUP BY 1, 2, 4, 5 ORDER BY g.doc_id, g.scene_idx""".stripMargin,
     "mm_resize" ->
       """WITH g AS (SELECT doc_id,
         |  64 + strlen(text) % 1024 AS src_w, 64 + (strlen(text) * 7) % 1024 AS src_h,

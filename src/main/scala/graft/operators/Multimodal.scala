@@ -76,7 +76,18 @@ object Multimodal {
     * partitions per VIDEO over a BOUNDED frame count (8-31 here; real
     * videos are minutes × fps, still bounded per key) — no corpus-wide
     * window, one shuffle on the video id. */
-  def sceneCut(spark: SparkSession, dir: String, threshold: Long = 400L): DataFrame = {
+  def sceneCut(spark: SparkSession, dir: String, threshold: Long = 400L): DataFrame =
+    sceneFrames(spark, dir, threshold)
+      .groupBy(col("doc_id"), col("scene_idx"))
+      .agg(min(col("frame_idx")).as("start_frame"),
+        max(col("frame_idx")).as("end_frame"),
+        count(lit(1)).as("n_frames"))
+      .orderBy(col("doc_id"), col("scene_idx"))
+
+  /** The shared F52/F66 scene-labeled frame table: (doc_id, frame_idx,
+    * feat, scene_idx) — the F14 deterministic frame model + the shot-
+    * boundary rule, one per-video bounded window. */
+  def sceneFrames(spark: SparkSession, dir: String, threshold: Long): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val t = Tables(spark, dir)
@@ -101,12 +112,28 @@ object Multimodal {
       .withColumn("brk", brk)
       .withColumn("scene_idx",
         sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("brk")
+  }
+
+  /** F66: per-scene KEYFRAME selection — the representative-frame pick
+    * every video curation pipeline makes after shot segmentation (the
+    * thumbnail / the frame a captioner or CLIP encoder actually sees):
+    * within each F52 scene, the frame with the maximal feature
+    * response, ties to the LOWEST frame index (deterministic on both
+    * engines via a lexicographic max_by struct). Completes the video
+    * path frames → scenes → clips → keyframes.
+    *
+    * Scale shape: the shared [[sceneFrames]] per-video window + ONE
+    * max_by hash agg per (video, scene) — map-side combined, no second
+    * window, no join. */
+  def videoKeyframe(spark: SparkSession, dir: String, threshold: Long = 400L): DataFrame =
+    sceneFrames(spark, dir, threshold)
       .groupBy(col("doc_id"), col("scene_idx"))
-      .agg(min(col("frame_idx")).as("start_frame"),
-        max(col("frame_idx")).as("end_frame"),
+      .agg(
+        max_by(col("frame_idx"), struct(col("feat"), -col("frame_idx"))).as("keyframe_idx"),
+        max(col("feat")).as("keyframe_feat"),
         count(lit(1)).as("n_frames"))
       .orderBy(col("doc_id"), col("scene_idx"))
-  }
 
   /** F39: audio chunking — the third modality's staging step (image =
     * F12/F22, video = F14): a decoded waveform splits into OVERLAPPING

@@ -212,6 +212,39 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("video keyframes: brute replay, keyframe inside its scene, ties break to the lowest frame") {
+    val tau = 400L
+    val got = graft.operators.Multimodal.videoKeyframe(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    val scenes = graft.operators.Multimodal.sceneCut(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    import org.apache.spark.sql.functions.col
+    val raw = Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val brute = raw.flatMap { case (id, text) =>
+      val n = text.getBytes("UTF-8").length.toLong
+      val feats = (0L until n % 24L + 8L).map(f => (n * 31L + f * f * 13L) % 997L)
+      val brk = feats.indices.map(i => i == 0 || math.abs(feats(i) - feats(i - 1)) > tau)
+      val scene = brk.scanLeft(0L)((acc, b) => if (b) acc + 1L else acc).drop(1)
+      feats.indices.groupBy(scene).toSeq.map { case (s, is) =>
+        val mx = is.map(feats).max
+        (id, s, is.filter(i => feats(i) == mx).min.toLong, mx, is.length.toLong)
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(got == brute.toSeq, "keyframe table diverged from the replay")
+    // every keyframe sits inside its own scene's frame range and carries
+    // the scene's max feature
+    got.foreach { case (id, s, kf, feat, n) =>
+      val (lo, hi, cnt) = scenes((id, s))
+      assert(kf >= lo && kf <= hi, s"video $id scene $s keyframe $kf outside [$lo,$hi]")
+      assert(cnt == n, s"video $id scene $s frame count mismatch")
+      assert(feat >= 0L && feat < 997L)
+    }
+  }
+
   test("scene cuts: a brute replay agrees and scenes partition each video at the threshold") {
     val tau = 400L
     val got = graft.operators.Multimodal.sceneCut(spark, sfDir).collect()
