@@ -175,6 +175,7 @@ object SparkEntry {
     "mon_embedding_drift"    -> ((s: SparkSession, d: String) => Similarity.embeddingDrift(s, d)),
     "ann_ivf_append"         -> Similarity.ivfAppend _,
     "emb_pca_power"          -> ((s: SparkSession, d: String) => Similarity.embPcaPower(s, d)),
+    "emb_pca_top2"           -> ((s: SparkSession, d: String) => Similarity.embPcaTop2(s, d)),
     "emb_all_but_top"        -> Similarity.embAllButTop _,
     "text_novelty"           -> ((s: SparkSession, d: String) => TextAnalysis.textNovelty(s, d)),
     "neardup_cosine"         -> ((s: SparkSession, d: String) => Similarity.neardupCosine(s, d)),
@@ -193,6 +194,7 @@ object SparkEntry {
     "ann_ivfpq_batch"        -> ((s: SparkSession, d: String) => Similarity.annIvfPqBatch(s, d)),
     "sample_hard_negatives"  -> ((s: SparkSession, d: String) => Similarity.hardNegatives(s, d)),
     "sample_kcenter"         -> ((s: SparkSession, d: String) => Similarity.sampleKcenter(s, d)),
+    "sample_doremi"          -> ((s: SparkSession, d: String) => TextAnalysis.sampleDoremi(s, d)),
     "q_salted_join"          -> ((s: SparkSession, d: String) => Relational.qSaltedJoin(s, d)),
     "text_quality"           -> TextAnalysis.quality _,
     "text_langid"            -> TextAnalysis.langid _,
@@ -369,6 +371,28 @@ object SparkEntry {
 
   private val evSec =
     "SELECT *, CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS sec FROM events"
+
+  /** The F67 second chain: deflate with the PUBLISHED (rounded) v1/λ1,
+    * then 20 more unrolled power steps on C2 — generated like the first
+    * chain so both recurrences replay number-for-number. */
+  private lazy val pca2Ctes: String = {
+    val iterCtes = (1 to 20).map { k =>
+      s"""uw$k AS MATERIALIZED (SELECT C2.i AS pos, sum(C2.c * u.x) AS x
+         | FROM C2 JOIN u${k - 1} u ON u.pos = C2.j GROUP BY 1),
+         |u$k AS MATERIALIZED (SELECT pos,
+         |  x / (SELECT sqrt(sum(x * x)) FROM uw$k) AS x FROM uw$k)""".stripMargin
+    }.mkString(",\n")
+    s"""v1r AS MATERIALIZED (SELECT v20.pos, round(sgn.s * v20.x, 4) AS x FROM v20, sgn),
+       |lam1 AS MATERIALIZED (SELECT round(sqrt(sum(x * x)), 4) AS l FROM w20),
+       |C2 AS MATERIALIZED (SELECT C.i, C.j,
+       |   round(C.c - lam1.l * a.x * b.x, 6) AS c
+       | FROM C, lam1, v1r a, v1r b WHERE a.pos = C.i AND b.pos = C.j),
+       |u0 AS MATERIALIZED (SELECT pos, 0.125 AS x FROM v1r),
+       |$iterCtes,
+       |lam2 AS (SELECT round(sqrt(sum(x * x)), 4) AS l FROM uw20),
+       |sgn2 AS (SELECT CASE WHEN (SELECT x FROM u20 ORDER BY abs(x) DESC, pos LIMIT 1) < 0
+       |   THEN -1.0 ELSE 1.0 END AS s)""".stripMargin
+  }
 
   /** The F64 greedy selection unrolled as CTEs (k rounds of: promote the
     * max-rounded-min-distance point, fold its distance into the running
@@ -2691,6 +2715,17 @@ object SparkEntry {
          |  round(sgn.s * v20.x, 4) AS pc1_loading,
          |  round(lam.l, 4) AS eigenvalue
          |FROM v20, sgn, lam ORDER BY pos""".stripMargin,
+    // F67: both chains + the deflation replayed; PC2 sign-fixed by its
+    // own largest-|loading| rule
+    "emb_pca_top2" ->
+      s"""WITH $pcaCtes,
+         |$pca2Ctes
+         |SELECT CAST(v1r.pos AS BIGINT) AS pos,
+         |  v1r.x AS pc1_loading,
+         |  round(sgn2.s * u20.x, 4) AS pc2_loading,
+         |  lam1.l AS eigenvalue1, lam2.l AS eigenvalue2
+         |FROM v1r JOIN u20 ON u20.pos = v1r.pos, sgn2, lam1, lam2
+         |ORDER BY pos""".stripMargin,
     // F59: the F57 chain fits; the apply CTEs center each vector,
     // project it onto the ROUNDED loadings (exactly what the engine
     // applies), and report the removed energy as norm before/after
@@ -2932,6 +2967,31 @@ object SparkEntry {
          |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     // hard negatives: the ann_ivf_batch CTEs with the different-label
     // predicate applied at candidate time (the index carries labels)
+    // F68: the 5-round multiplicative-weights trajectory unrolled —
+    // every floor division replayed, weights renormalize each round
+    "sample_doremi" -> {
+      val rounds = (1 to 5).map { k =>
+        s"""a$k AS (SELECT e.domain,
+           |  w${k - 1}.w * (1000000 + (e.excess_ppm * 100000) // 1000000) // 1000000 AS w
+           | FROM w${k - 1} JOIN e USING (domain)),
+           |t$k AS (SELECT CAST(sum(w) AS BIGINT) AS t FROM a$k),
+           |w$k AS (SELECT domain, w * 1000000 // t AS w FROM a$k, t$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH s AS (SELECT source AS domain, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(strlen(text)) AS BIGINT) AS len_sum FROM documents GROUP BY 1),
+         |c AS (SELECT CAST(sum(len_sum) AS BIGINT) // CAST(sum(n_docs) AS BIGINT)
+         |   AS cmean FROM s),
+         |e AS (SELECT domain, n_docs, len_sum // n_docs AS mean_len,
+         |  greatest((len_sum // n_docs) * 1000000 // c.cmean - 1000000, 0) AS excess_ppm
+         | FROM s, c),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+         |w0 AS (SELECT domain, 1000000 // nd.n AS w FROM e, nd),
+         |$rounds
+         |SELECT e.domain, e.n_docs, e.mean_len, e.excess_ppm,
+         | w0.w AS w0_ppm, w5.w AS w_final_ppm
+         |FROM e JOIN w0 USING (domain) JOIN w5 USING (domain)
+         |ORDER BY e.domain""".stripMargin
+    },
     // F64: the greedy promotion replayed round by round (generated CTEs);
     // assignment ties break to the earliest-selected center on both sides
     "sample_kcenter" ->

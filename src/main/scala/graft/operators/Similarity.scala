@@ -565,7 +565,13 @@ object Similarity {
 
   /** The F57 compute over any frame with a `v: array<double>` column —
     * specs plant clouds with a known dominant axis. */
-  def embPcaPowerOf(e: DataFrame, iters: Int): DataFrame = {
+  private def round6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def round4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** The F57/F67 shared distributed covariance: ONE mapPartitions Gram
+    * pass (|partitions|·d² cells shuffle, never n·d² exploded pairs),
+    * cells rounded to 6 decimals — the engine/oracle parity contract. */
+  private def covOf(e: DataFrame): Array[Array[Double]] = {
     val spark = e.sparkSession
     import spark.implicits._
     val stats = e.select(posexplode(col("v")).as(Seq("pos", "x")))
@@ -593,9 +599,15 @@ object Similarity {
     val cells = partials.select(posexplode(col("value")).as(Seq("k", "x")))
       .groupBy(col("k")).agg(sum(col("x")).as("s"))
       .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
-    def round6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    def round4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val c = Array.tabulate(d, d)((i, j) => round6(cells(i * d + j) / n))
+    Array.tabulate(d, d)((i, j) => round6(cells(i * d + j) / n))
+  }
+
+  /** The F57 recurrence: exactly `iters` steps of w = C·v, λ = ‖w‖,
+    * v = w/‖w‖ from v0 = 1/√d, sign fixed by the largest-|loading|
+    * coordinate (lowest pos tie), outputs rounded to 4. */
+  private def powerIterate(c: Array[Array[Double]], iters: Int)
+      : (Array[Double], Double) = {
+    val d = c.length
     var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
     var lambda = 0.0
     for (_ <- 1 to iters) {
@@ -608,8 +620,48 @@ object Similarity {
     }
     val idx = v.indices.maxBy(p => (math.abs(v(p)), -p))
     val sgn = if (v(idx) < 0) -1.0 else 1.0
-    v.indices.map(p => (p.toLong, round4(sgn * v(p)), round4(lambda)))
+    (v.map(x => round4(sgn * x)), round4(lambda))
+  }
+
+  def embPcaPowerOf(e: DataFrame, iters: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val (v1, lam1) = powerIterate(covOf(e), iters)
+    v1.indices.map(p => (p.toLong, v1(p), lam1))
       .toDF("pos", "pc1_loading", "eigenvalue")
+      .orderBy(col("pos"))
+  }
+
+  /** F67: TOP-2 principal components by power iteration + DEFLATION —
+    * the step from "inspect the dominant axis" (F57) to an actual
+    * spectral BASIS: PC2 comes from 20 more power steps on the deflated
+    * matrix C₂ = C − λ₁·v₁v₁ᵀ, where the deflation uses the PUBLISHED
+    * (4-dec rounded, sign-fixed) v₁ and λ₁ and C₂ cells round back to 6
+    * decimals — every number the recurrence touches is replayable, so
+    * the oracle unrolls BOTH 20-step chains plus the deflation in SQL.
+    * Output per dimension: both loadings + both eigenvalues (the
+    * energy-spectrum evidence Matryoshka/PQ decisions read).
+    *
+    * Scale shape: identical to F57 — the corpus cost is the ONE
+    * mapPartitions covariance pass (shared [[covOf]]); deflation and
+    * both iterations are d²-bounded driver work (the quantizer-collect
+    * convention). At 100 TB the second component is free once the Gram
+    * pass has run. */
+  def embPcaTop2(spark: SparkSession, dir: String, iters: Int = 20): DataFrame =
+    embPcaTop2Of(vectors(spark, dir), iters)
+
+  /** The F67 compute over any (…, v: array<double>) frame — specs plant
+    * clouds with two known orthogonal axes. */
+  def embPcaTop2Of(e: DataFrame, iters: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val c = covOf(e)
+    val d = c.length
+    val (v1, lam1) = powerIterate(c, iters)
+    val c2 = Array.tabulate(d, d)((i, j) => round6(c(i)(j) - lam1 * v1(i) * v1(j)))
+    val (v2, lam2) = powerIterate(c2, iters)
+    v1.indices.map(p => (p.toLong, v1(p), v2(p), lam1, lam2))
+      .toDF("pos", "pc1_loading", "pc2_loading", "eigenvalue1", "eigenvalue2")
       .orderBy(col("pos"))
   }
 

@@ -1201,4 +1201,51 @@ object TextAnalysis {
         (col("dsir_logw") > 0).cast("int").as("flag_target_like"))
       .orderBy(col("doc_id"))
   }
+
+  /** F68: DoReMi-style multiplicative-weights domain reweighting (Xie
+    * et al. 2023) — the ITERATIVE domain-mixture optimizer next to the
+    * one-shot reweighters (F35 static mix, F44 temperature, F45 DSIR):
+    * each round multiplies every domain's weight by `1 + η·excess⁺`
+    * (only domains with POSITIVE excess signal grow — DoReMi's clipped
+    * excess-loss rule) and renormalizes to a distribution, all in exact
+    * integer PPM (floor division everywhere), so the whole k-round
+    * trajectory replays number-for-number in the oracle's unrolled
+    * CTEs (the F53 pagerank convention). The excess signal here is the
+    * measurable per-domain proxy available without a trained reference
+    * model — mean document length vs the corpus mean, clipped at 0 —
+    * where DoReMi proper plugs in per-domain excess LOSS; the update
+    * machinery is the operator, the signal is a parameter.
+    *
+    * Scale shape: ONE partial-agg scan produces the |domains|-row stats
+    * frame; the k rounds are |domains|-sized driver arithmetic (the
+    * quantizer-collect convention) — at 100 TB the cost is the single
+    * scan, the optimizer is free. */
+  def sampleDoremi(spark: SparkSession, dir: String,
+      etaPpm: Long = 100000L, rounds: Int = 5): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val stats = t.documents
+      .groupBy(col("source").as("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(length(col("text"))).as("len_sum"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val cmean = stats.map(_._3).sum / stats.map(_._2).sum
+    val doms = stats.map { case (dom, n, ls) =>
+      val meanLen = ls / n
+      (dom, n, meanLen, math.max(meanLen * 1000000L / cmean - 1000000L, 0L))
+    }
+    var w = doms.map(_ => 1000000L / doms.length)
+    for (_ <- 1 to rounds) {
+      val a = doms.zip(w).map { case ((_, _, _, ex), wi) =>
+        wi * (1000000L + (ex * etaPpm) / 1000000L) / 1000000L
+      }
+      val tot = a.sum
+      w = a.map(_ * 1000000L / tot)
+    }
+    doms.zip(w).map { case ((dom, n, meanLen, ex), wf) =>
+      (dom, n, meanLen, ex, 1000000L / doms.length, wf)
+    }.toSeq
+      .toDF("domain", "n_docs", "mean_len", "excess_ppm", "w0_ppm", "w_final_ppm")
+      .orderBy(col("domain"))
+  }
 }

@@ -548,6 +548,33 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(got.map(_._3).distinct.length == 1)
   }
 
+  test("pca top2: both planted axes recovered in energy order, orthogonal, eigenvalues ordered") {
+    import spark.implicits._
+    // strong variance on axis 2, medium on axis 1, none else → PC1 = +e2,
+    // PC2 = +e1, λ1 > λ2 > 0
+    val xs = Seq(-3.0, -1.5, 0.0, 1.5, 3.0)
+    val ys = Seq(1.0, -2.0, 2.0, -2.0, 1.0) // Σy = 0, Σxy = 0 — exactly orthogonal
+    val rows = xs.zip(ys).zipWithIndex.map { case ((x, y), i) =>
+      (i.toLong, Seq(0.0, y, x, 0.0)) }
+    val got = Similarity.embPcaTop2Of(rows.toDF("vec_id", "v"), iters = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    val v1 = got.map(_._2); val v2 = got.map(_._3)
+    assert(v1(2) > 0.99 && math.abs(v1(1)) < 0.05, s"PC1 off axis: ${v1.toSeq}")
+    assert(v2(1) > 0.99 && math.abs(v2(2)) < 0.05, s"PC2 off axis: ${v2.toSeq}")
+    val dot = v1.zip(v2).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) < 0.02, s"components not orthogonal: $dot")
+    val (l1, l2) = (got.head._4, got.head._5)
+    assert(l1 > l2 && l2 > 0.0, s"eigenvalues out of order: $l1, $l2")
+    // and on the real corpus, PC1 agrees with the registered F57 query
+    val top2 = Similarity.embPcaTop2(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(3)))
+    val pc1 = Similarity.embPcaPower(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(top2.map(t => (t._1, t._2, t._3)).toSeq == pc1.toSeq,
+      "top2's first component diverged from the F57 query")
+  }
+
   test("knn graph: dense ranks, descending cosine, neighbors in-list, top-1 is the list argmax") {
     val rows = Similarity.knnGraph(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))

@@ -212,6 +212,48 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("doremi reweighting: trajectory replays exactly, mass flows to positive-excess domains") {
+    import org.apache.spark.sql.functions.{col, length}
+    val got = graft.operators.TextAnalysis.sampleDoremi(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    // independent integer replay from the raw corpus
+    val raw = Tables(spark, sfDir).documents
+      .select(col("source"), length(col("text")).cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val stats = raw.groupBy(_._1).map { case (d, g) =>
+      (d, g.length.toLong, g.map(_._2).sum) }.toSeq.sortBy(_._1)
+    val cmean = stats.map(_._3).sum / stats.map(_._2).sum
+    val doms = stats.map { case (d, n, ls) =>
+      (d, n, ls / n, math.max((ls / n) * 1000000L / cmean - 1000000L, 0L)) }
+    var w = doms.map(_ => 1000000L / doms.length)
+    for (_ <- 1 to 5) {
+      val a = doms.zip(w).map { case ((_, _, _, ex), wi) =>
+        wi * (1000000L + ex * 100000L / 1000000L) / 1000000L }
+      val tot = a.sum
+      w = a.map(_ * 1000000L / tot)
+    }
+    val brute = doms.zip(w).map { case ((d, n, ml, ex), wf) =>
+      (d, n, ml, ex, 1000000L / doms.length, wf) }
+    assert(got == brute, "doremi trajectory diverged from the replay")
+    // a distribution: final weights sum to 1e6 within the floor slack
+    val sumW = got.map(_._6).sum
+    assert(sumW <= 1000000L && sumW > 1000000L - got.length, s"weight sum $sumW")
+    // mass moves the right way: every zero-excess domain never gains,
+    // and the max-excess domain strictly gains (the update is real)
+    got.filter(_._4 == 0L).foreach { r =>
+      assert(r._6 <= r._5, s"${r._1} gained weight with zero excess") }
+    val hot = got.maxBy(_._4)
+    assert(hot._4 > 0L && hot._6 > hot._5,
+      s"max-excess domain ${hot._1} did not gain (${hot._5} -> ${hot._6})")
+    // monotone: sorting by excess sorts final weight (ties allowed)
+    val byEx = got.sortBy(_._4).map(_._6)
+    byEx.sliding(2).foreach {
+      case Seq(a, b) => assert(a <= b, "weight order violates excess order")
+      case _ =>
+    }
+  }
+
   test("video keyframes: brute replay, keyframe inside its scene, ties break to the lowest frame") {
     val tau = 400L
     val got = graft.operators.Multimodal.videoKeyframe(spark, sfDir).collect()
