@@ -95,6 +95,7 @@ object SparkEntry {
     "mon_mad_outliers"       -> LoadOps.madOutliers _,
     "mon_sla_burn"           -> ((s: SparkSession, d: String) => LoadOps.slaBurn(s, d)),
     "load_compact_plan"      -> LoadOps.compactPlan _,
+    "mon_cusum"              -> ((s: SparkSession, d: String) => LoadOps.cusum(s, d)),
     "load_bloom_index"       -> ((s: SparkSession, d: String) => LoadOps.bloomIndex(s, d)),
     "load_table_checksum"    -> LoadOps.tableChecksum _,
     "load_incremental_view"  -> (LoadOps.incrementalView _),
@@ -166,6 +167,7 @@ object SparkEntry {
     "dedup_fingerprint"      -> Dedup.dedupFingerprint _,
     "dedup_ngram_jaccard"    -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "dedup_components"       -> ((s: SparkSession, d: String) => Dedup.dedupComponents(s, d)),
+    "dedup_select_rep"       -> ((s: SparkSession, d: String) => Dedup.dedupSelectRep(s, d)),
     "dedup_minhash_lsh"      -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "dedup_simhash"          -> ((s: SparkSession, d: String) => Dedup.simhashBuckets(s, d)),
     "dedup_winnow"           -> ((s: SparkSession, d: String) => Dedup.winnowDedup(s, d)),
@@ -1304,6 +1306,32 @@ object SparkEntry {
     // D38: double-floor burn arithmetic replayed exactly (rate to 1e8,
     // floor-div by n, floor-div by the 10000-ppm budget); windows anchor
     // at the global watermark day so the report is corpus-deterministic
+    // D40: the whole two-sided CUSUM trajectory replayed by a recursive
+    // CTE (the D33 convention) — every S value hash-checked
+    "mon_cusum" ->
+      """WITH RECURSIVE d AS (
+        | SELECT event_type AS source,
+        |  CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) // count(*) AS BIGINT) AS md
+        | FROM events GROUP BY 1, 2),
+        |r AS (SELECT source, day, md,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY day) AS BIGINT) AS rn
+        | FROM d),
+        |b AS (SELECT source, CAST(sum(md) // count(*) AS BIGINT) AS mu
+        | FROM r WHERE rn <= 7 GROUP BY 1),
+        |rec AS (
+        | SELECT r.source, r.day, r.md, r.rn, b.mu,
+        |  greatest(0, r.md - b.mu - 500) AS s_hi,
+        |  greatest(0, b.mu - r.md - 500) AS s_lo
+        | FROM r JOIN b USING (source) WHERE r.rn = 1
+        | UNION ALL
+        | SELECT n.source, n.day, n.md, n.rn, rec.mu,
+        |  greatest(0, rec.s_hi + n.md - rec.mu - 500),
+        |  greatest(0, rec.s_lo + rec.mu - n.md - 500)
+        | FROM rec JOIN r n ON n.source = rec.source AND n.rn = rec.rn + 1)
+        |SELECT source, day, md, mu, s_hi, s_lo,
+        | CAST(CASE WHEN s_hi > 3000 OR s_lo > 3000 THEN 1 ELSE 0 END AS INT) AS alarm
+        |FROM rec ORDER BY source, day""".stripMargin,
     // D39: rows-per-bucket read from the landed files, then the same
     // offset-packing arithmetic (bin = cum_before div target, target =
     // max(total div 4, 1)) replayed over a window cumsum
@@ -2656,6 +2684,24 @@ object SparkEntry {
     // transitive near-dup clusters: min-label reachability over the same
     // pair graph, via a recursive CTE (matches the Spark label-propagation
     // fixpoint exactly)
+    // F69: the F19 CC chain + keep-the-longest (lowest-id tie) survivor
+    "dedup_select_rep" ->
+      s"""WITH RECURSIVE $jaccardPairsCte,
+         |p2 AS (SELECT d1, d2 FROM p WHERE jaccard >= 0.82),
+         |e AS (SELECT d1 AS src, d2 AS dst FROM p2 UNION ALL SELECT d2, d1 FROM p2),
+         |r AS (SELECT src AS node, src AS label FROM e
+         |  UNION
+         |  SELECT e.dst, r.label FROM r JOIN e ON r.node = e.src),
+         |c AS (SELECT node, min(label) AS component FROM r GROUP BY 1),
+         |len AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_chars FROM documents),
+         |m AS (SELECT c.component, CAST(count(*) AS BIGINT) AS n_docs,
+         |   max(len.n_chars) AS rep_chars
+         |  FROM c JOIN len ON len.doc_id = c.node GROUP BY 1 HAVING count(*) >= 2)
+         |SELECT m.component, m.n_docs, min(c.node) AS rep_doc, m.rep_chars,
+         | m.n_docs - 1 AS n_dropped
+         |FROM m JOIN c ON c.component = m.component
+         | JOIN len ON len.doc_id = c.node AND len.n_chars = m.rep_chars
+         |GROUP BY 1, 2, 4 ORDER BY m.component""".stripMargin,
     "dedup_components" ->
       s"""WITH RECURSIVE $jaccardPairsCte,
          |p2 AS (SELECT d1, d2 FROM p WHERE jaccard >= 0.82),

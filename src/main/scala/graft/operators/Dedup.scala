@@ -393,20 +393,51 @@ object Dedup {
     * Jaccard pair graph (F3), one row per multi-document cluster with its
     * keeper (min doc_id = the component label). Oracle: the same
     * reachability computed by a DuckDB recursive CTE. */
-  def dedupComponents(spark: SparkSession, dir: String, threshold: Double = 0.82): DataFrame = {
-    // materialize the pair graph once — edges, endpoints, and every CC
-    // iteration reuse it (the candidate join is the expensive subtree)
-    val pairs = ngramJaccard(spark, dir, threshold)
-      .select(col("d1"), col("d2")).localCheckpoint(true)
-    // iterate ONLY over edge endpoints: a doc in no pair is a singleton
-    // and can never reach a multi-doc component, so the propagation works
-    // on the (tiny) non-trivial subgraph, not the whole corpus
-    val endpoints = pairs.select(col("d1").as("doc_id"))
-      .union(pairs.select(col("d2").as("doc_id"))).distinct()
-    val labels = connectedComponents(endpoints, pairs)
-    labels.groupBy(col("label").as("component"))
+  def dedupComponents(spark: SparkSession, dir: String, threshold: Double = 0.82): DataFrame =
+    componentLabels(spark, dir, threshold)
+      .groupBy(col("label").as("component"))
       .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc"))
       .filter(col("n_docs") >= 2)
+      .orderBy(col("component"))
+
+  /** The F19/F69 shared per-doc component labeling: pair graph
+    * materialized once (edges, endpoints, and every CC iteration reuse
+    * it — the candidate join is the expensive subtree); the fixpoint
+    * iterates ONLY over edge endpoints (a doc in no pair is a singleton
+    * and can never reach a multi-doc component). */
+  def componentLabels(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
+    val pairs = ngramJaccard(spark, dir, threshold)
+      .select(col("d1"), col("d2")).localCheckpoint(true)
+    val endpoints = pairs.select(col("d1").as("doc_id"))
+      .union(pairs.select(col("d2").as("doc_id"))).distinct()
+    connectedComponents(endpoints, pairs)
+  }
+
+  /** F69: duplicate-cluster REPRESENTATIVE selection — the apply step
+    * after F19's clustering: exactly one document survives each near-dup
+    * cluster, and WHICH one matters (the standard keep-the-longest rule
+    * — most content retained — with the lowest doc_id breaking ties,
+    * both engines via one lexicographic max_by). Per cluster: the
+    * survivor, its length, and the drop count — what a curation pipeline
+    * consumes to materialize the deduped corpus.
+    *
+    * Scale shape: the cluster labeling is F19's shared fixpoint
+    * ([[componentLabels]]); selection adds one broadcast-joined length
+    * lookup (labels are endpoint-sized, tiny next to the corpus) and
+    * ONE max_by hash agg per cluster. */
+  def dedupSelectRep(spark: SparkSession, dir: String, threshold: Double = 0.82): DataFrame = {
+    val t = Tables(spark, dir)
+    val labels = componentLabels(spark, dir, threshold)
+    val lens = t.documents.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+    labels.join(lens, Seq("doc_id"))
+      .groupBy(col("label").as("component"))
+      .agg(count(lit(1)).as("n_docs"),
+        max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id"))).as("rep_doc"),
+        max(col("n_chars")).as("rep_chars"))
+      .filter(col("n_docs") >= 2)
+      .withColumn("n_dropped", col("n_docs") - 1)
+      .select(col("component"), col("n_docs"), col("rep_doc"),
+        col("rep_chars"), col("n_dropped"))
       .orderBy(col("component"))
   }
 

@@ -1579,6 +1579,72 @@ object LoadOps {
       .orderBy(col("bin"))
   }
 
+  /** ONE transition of the two-sided CUSUM recurrence — shared by the
+    * batch replay and the spec's planted-shift case. Exact integer
+    * cents: S⁺ accumulates positive deviations past the slack `k`, S⁻
+    * the negative ones, both truncating at zero (Page 1954). */
+  def cusumStep(sHi: Long, sLo: Long, x: Long, mu: Long, k: Long): (Long, Long) =
+    (math.max(0L, sHi + x - mu - k), math.max(0L, sLo + mu - x - k))
+
+  /** The D40 recurrence over an explicit (source, day, md) daily frame —
+    * per-source baseline μ = floor mean of the first `baselineDays`
+    * dailies (a TRAINING window, the standard CUSUM setup — a full-
+    * sample mean would absorb the very shift the detector hunts), then
+    * the sequential fold in day order. Per-source histories are
+    * run-count sized, so a group fits at any corpus scale (the D33
+    * flatMapGroups convention — the truncated recurrence is genuinely
+    * order-dependent and has no window form). */
+  def cusumOver(daily: DataFrame, kCents: Long, hCents: Long,
+      baselineDays: Int = 7): DataFrame = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    daily.select(col("source").cast("string"), col("day").cast("long"),
+        col("md").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (src: String, it: Iterator[(String, Long, Long)]) =>
+        val runs = it.toArray.sortBy(_._2)
+        val base = runs.take(baselineDays)
+        val mu = base.map(_._3).sum / base.length
+        var sHi = 0L; var sLo = 0L
+        runs.map { case (_, day, md) =>
+          val (h2, l2) = cusumStep(sHi, sLo, md, mu, kCents)
+          sHi = h2; sLo = l2
+          (src, day, md, mu, sHi, sLo, if (sHi > hCents || sLo > hCents) 1 else 0)
+        }.iterator
+      }
+      .toDF("source", "day", "md", "mu", "s_hi", "s_lo", "alarm")
+      .orderBy(col("source"), col("day"))
+  }
+
+  /** D40: two-sided CUSUM changepoint detection over the run log — the
+    * SEQUENTIAL drift detector the monitoring family lacked: PSI (D30)
+    * and the centroid monitor (D36) compare two static windows, MAD
+    * (D31) flags single outlier points, EWMA (D19) smooths — CUSUM is
+    * the classic small-persistent-shift alarm: it accumulates every
+    * day's deviation beyond a slack `k` and fires when the cumulative
+    * excursion passes `h`, catching a 0.5σ drift long before any
+    * per-point test. Daily metric = per-(source, day) mean value in
+    * exact integer cents (the G20 cent convention), baseline = the
+    * source's own floor-mean.
+    *
+    * Scale shape: ONE hash agg to |source·days| rows, then the
+    * sequential fold per source over its run-count-sized history; the
+    * oracle replays the whole trajectory with a recursive CTE (the D33
+    * precedent), so every S value is hash-checked, not just the
+    * alarms. */
+  def cusum(spark: SparkSession, dir: String,
+      kCents: Long = 500L, hCents: Long = 3000L): DataFrame = {
+    val t = Tables(spark, dir)
+    val daily = t.eventsSec
+      .select(col("event_type").as("source"),
+        expr("sec div 86400").cast("long").as("day"),
+        expr("cast(round(value * 100) as long)").as("cents"))
+      .groupBy(col("source"), col("day"))
+      .agg(expr("sum(cents) div count(*)").as("md"))
+    cusumOver(daily, kCents, hCents)
+  }
+
   /** D38: multi-window SLO error-budget BURN RATE — the SRE-workbook
     * alerting policy over the run log (monitoring.py success-rate
     * tracking stops at a global rate; a burn-rate pager needs rates over

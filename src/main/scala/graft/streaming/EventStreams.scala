@@ -369,6 +369,44 @@ object EventStreams {
       }
       .start()
 
+  /** G21: STREAMING CUSUM — D40 as the always-on changepoint monitor:
+    * each micro-batch of (source, day, md) dailies folds into a
+    * persisted run-log state (the G14 write-new-then-rename rule;
+    * state is RUN-LOG-sized — the batch op's own input scale, the G15
+    * ledger argument), and every trigger re-emits the full trajectory
+    * report by running the SAME `LoadOps.cusumOver` over the
+    * accumulated state — the G16 cumulative-report pattern, so the
+    * report equals the batch pass over the prefix after EVERY trigger
+    * bit-for-bit (integer cents end to end, no float drift class). The
+    * training-baseline rule needs no special streaming handling: the
+    * shared core re-derives it from the accumulated history's first
+    * days each trigger, exactly as the batch op would. */
+  def cusumStream(daily: DataFrame, stateDir: String,
+      kCents: Long = 500L, hCents: Long = 3000L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    daily.writeStream.outputMode("append")
+      .foreachBatch { (batch0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import org.apache.spark.sql.functions._
+        val spark = batch0.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(stateDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val statePath = new org.apache.hadoop.fs.Path(stateDir + "/dailies")
+        val batch = batch0.toDF()
+          .select(col("source"), col("day").cast("long"), col("md").cast("long"))
+        val prior =
+          if (fs.exists(statePath)) spark.read.parquet(statePath.toString)
+          else batch.limit(0)
+        val total = prior.unionByName(batch).localCheckpoint(true)
+        val tmp = new org.apache.hadoop.fs.Path(stateDir + "/dailies.next")
+        total.write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(statePath)) fs.delete(statePath, true)
+        require(fs.rename(tmp, statePath), s"state publish failed: $tmp -> $statePath")
+        graft.operators.LoadOps.cusumOver(total, kCents, hCents)
+          .write.mode("overwrite").parquet(stateDir + "/report")
+        (): Unit
+      }
+      .start()
+
   /** G20: STREAMING A/B test — E36 as sequential monitoring (the
     * always-on experiment dashboard): per-(event_type) arm sufficient
     * statistics accumulate as EXACT INTEGER cent-moments (n, Σcents,

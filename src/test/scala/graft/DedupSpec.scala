@@ -433,4 +433,31 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got(1L) == ((1L, 16L, 8L, 8L, md5(t1))), s"doc1: ${got(1L)}")
     assert(got(2L) == ((2L, 16L, 8L, 8L, md5(t2))), s"doc2: ${got(2L)}")
   }
+
+  test("cluster representatives: rep is the longest member (lowest id on ties), clusters match F19") {
+    import org.apache.spark.sql.functions.{col, length}
+    val reps = graft.operators.Dedup.dedupSelectRep(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(reps.nonEmpty, "no multi-doc clusters — selection untested")
+    // cluster inventory must agree with the registered F19 query
+    val f19 = graft.operators.Dedup.dedupComponents(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(reps.map(t => (t._1, t._2)).toMap == f19, "cluster set diverged from F19")
+    // independent membership: labels + lengths
+    val labels = graft.operators.Dedup.componentLabels(spark, sfDir, 0.82).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val lens = Tables(spark, sfDir).documents
+      .select(col("doc_id"), length(col("text")).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val members = labels.groupBy(_._2)
+    reps.foreach { case (comp, nDocs, repDoc, repChars, nDropped) =>
+      val mine = members(comp).map(_._1)
+      assert(mine.contains(repDoc), s"cluster $comp rep $repDoc not a member")
+      assert(nDropped == nDocs - 1)
+      val want = mine.maxBy(d => (lens(d), -d))
+      assert(repDoc == want && repChars == lens(want),
+        s"cluster $comp picked $repDoc, longest-lowest is $want")
+    }
+  }
 }

@@ -693,6 +693,55 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("cusum: planted persistent shifts alarm on the right side, slack-bounded noise never does") {
+    import spark.implicits._
+    // flat 10000-cent baseline; "up" drifts +800/day from day 11 (past
+    // the 500 slack), "down" drifts -800, "noisy" oscillates ±400 (inside
+    // the slack) — μ shifts slightly with the drift, so expectations come
+    // from the SAME shared step function, not hand arithmetic
+    def series(name: String, delta: Long) =
+      (1L to 20L).map(d => (name, d, 10000L + (if (d > 10) delta else 0L)))
+    val noisy = (1L to 20L).map(d => ("noisy", d, 10000L + (if (d % 2 == 0) 400L else -400L)))
+    val daily = (series("up", 900L) ++ series("down", -900L) ++ noisy)
+      .toDF("source", "day", "md")
+    val got = graft.operators.LoadOps.cusumOver(daily, 500L, 3000L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getInt(6)))
+    def replay(rows: Seq[(String, Long, Long)]) = {
+      val base = rows.sortBy(_._2).take(7)
+      val mu = base.map(_._3).sum / base.length
+      var s = (0L, 0L)
+      rows.sortBy(_._2).map { case (src, d, md) =>
+        s = graft.operators.LoadOps.cusumStep(s._1, s._2, md, mu, 500L)
+        (src, d, md, mu, s._1, s._2, if (s._1 > 3000L || s._2 > 3000L) 1 else 0)
+      }
+    }
+    val brute = (replay(series("up", 900L)) ++ replay(series("down", -900L)) ++
+      replay(noisy)).sortBy(t => (t._1, t._2))
+    assert(got.sortBy(t => (t._1, t._2)).toSeq == brute, "cusum trajectory diverged")
+    // the up-shift alarms ONLY via s_hi, the down-shift only via s_lo,
+    // the in-slack noise never alarms
+    assert(got.filter(_._1 == "up").exists(_._7 == 1), "up shift never alarmed")
+    assert(got.filter(t => t._1 == "up" && t._7 == 1).forall(t => t._5 > 3000L && t._6 <= 3000L))
+    assert(got.filter(_._1 == "down").exists(_._7 == 1), "down shift never alarmed")
+    assert(got.filter(t => t._1 == "down" && t._7 == 1).forall(t => t._6 > 3000L && t._5 <= 3000L))
+    assert(got.filter(_._1 == "noisy").forall(_._7 == 0), "slack-bounded noise alarmed")
+    // and the registered corpus query replays through the same fold
+    val corpusDaily = Tables(spark, sfDir).eventsSec
+      .selectExpr("event_type as source", "sec div 86400 as day",
+        "cast(round(value * 100) as long) as cents")
+      .groupBy(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("day"))
+      .agg(org.apache.spark.sql.functions.expr("sum(cents) div count(*)").as("md"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val corpusBrute = corpusDaily.groupBy(_._1).values.flatMap(g => replay(g.toSeq))
+      .toSeq.sortBy(t => (t._1, t._2))
+    val corpusGot = graft.operators.LoadOps.cusum(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getInt(6))).toSeq
+    assert(corpusGot == corpusBrute, "corpus cusum diverged from the shared-step replay")
+  }
+
   test("compact plan: offset packing replays from raw bucket counts, bins contiguous, skew real") {
     import org.apache.spark.sql.functions.col
     val got = graft.operators.LoadOps.compactPlan(spark, sfDir).collect()

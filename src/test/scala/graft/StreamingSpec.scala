@@ -517,6 +517,42 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("G21: streaming cusum over accumulated dailies equals the batch fold after every trigger") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the planted shift series from the batch spec, fed day-sliced
+    def series(name: String, delta: Long) =
+      (1L to 20L).map(d => (name, d, 10000L + (if (d > 10) delta else 0L)))
+    val all = (series("up", 900L) ++ series("down", -900L)).sortBy(_._2)
+    val stateDir = java.nio.file.Files.createTempDirectory("g21").toString + "/state"
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = EventStreams.cusumStream(
+      mem.toDF().toDF("source", "day", "md"), stateDir)
+    try {
+      var fed = Seq.empty[(String, Long, Long)]
+      all.grouped(14).foreach { slice =>
+        mem.addData(slice.toIndexedSeq: _*); q.processAllAvailable()
+        fed = fed ++ slice
+        val streamed = spark.read.parquet(stateDir + "/report").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getLong(5), r.getInt(6)))
+          .sortBy(t => (t._1, t._2)).toSeq
+        val batch = graft.operators.LoadOps.cusumOver(
+            fed.toDF("source", "day", "md"), 500L, 3000L).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getLong(5), r.getInt(6)))
+          .sortBy(t => (t._1, t._2)).toSeq
+        assert(streamed == batch,
+          s"stream/batch diverged at prefix ${fed.length}")
+      }
+      // the final cumulative report carries the planted alarms
+      val fin = spark.read.parquet(stateDir + "/report").collect()
+        .map(r => (r.getString(0), r.getInt(6)))
+      assert(fin.exists(t => t._1 == "up" && t._2 == 1), "up alarm lost in stream")
+      assert(fin.exists(t => t._1 == "down" && t._2 == 1), "down alarm lost in stream")
+    } finally q.stop()
+  }
+
   test("G20: streaming ab test from integer cent-moments equals the batch pass bit-for-bit every trigger") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
