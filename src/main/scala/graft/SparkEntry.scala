@@ -237,6 +237,7 @@ object SparkEntry {
     "mm_clip_sample"         -> ((s, d) => Multimodal.clipSample(s, d)),
     "mm_ahash_dedup"         -> ((s, d) => Multimodal.ahashDedup(s, d)),
     "mm_video_keyframe"      -> ((s, d) => Multimodal.videoKeyframe(s, d)),
+    "pipeline_media_curation" -> ((s, d) => Multimodal.mediaCuration(s, d)),
     "mm_audio_vad"           -> ((s, d) => Multimodal.audioVad(s, d)),
     "load_partition_evolution" -> (LoadOps.partitionEvolution _),
     "mm_resize"              -> ((s: SparkSession, d: String) => Multimodal.resize(s, d)),
@@ -3466,8 +3467,8 @@ object SparkEntry {
     "mm_ahash_dedup" ->
       s"""WITH px AS (SELECT doc_id, k,
          |  CASE WHEN doc_id % 4 = 3 AND k = 0
-         |   THEN (((doc_id // 4) * 7919 + k * 104729) % 256 + 128) % 256
-         |   ELSE ((doc_id // 4) * 7919 + k * 104729) % 256 END AS p
+         |   THEN ((xor(doc_id // 4, k * 104729) * 2654435761) % 256 + 128) % 256
+         |   ELSE (xor(doc_id // 4, k * 104729) * 2654435761) % 256 END AS p
          | FROM documents, range(0, 64) r(k)),
          |sm AS (SELECT doc_id, sum(p) AS s FROM px GROUP BY 1),
          |ah0 AS (SELECT px.doc_id,
@@ -3542,6 +3543,68 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_frames
         |FROM s GROUP BY doc_id, scene_idx
         |ORDER BY doc_id, scene_idx""".stripMargin,
+    // H6: the whole media composition replayed — aHash bits → banded
+    // pairs → keep-first drop set → scene/keyframe/clip chains over the
+    // survivors, five lineage rows with integer checksums
+    "pipeline_media_curation" ->
+      s"""WITH px AS (SELECT doc_id, k,
+         |  CASE WHEN doc_id % 4 = 3 AND k = 0
+         |   THEN ((xor(doc_id // 4, k * 104729) * 2654435761) % 256 + 128) % 256
+         |   ELSE (xor(doc_id // 4, k * 104729) * 2654435761) % 256 END AS p
+         | FROM documents, range(0, 64) r(k)),
+         |smx AS (SELECT doc_id, sum(p) AS s FROM px GROUP BY 1),
+         |ah0 AS (SELECT px.doc_id,
+         |  sum(CASE WHEN px.p * 64 > smx.s
+         |   THEN (2::HUGEINT ^ px.k)::HUGEINT ELSE 0::HUGEINT END) AS shu
+         | FROM px JOIN smx USING (doc_id) GROUP BY 1),
+         |shh AS (SELECT doc_id, ${u2s("shu")} AS ahash, shu FROM ah0),
+         |banded AS (SELECT doc_id, ahash, b AS band,
+         |  CAST((shu // (2::HUGEINT ^ (16 * b))::HUGEINT) % 65536 AS BIGINT) AS bh
+         | FROM shh, range(0, 4) r(b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+         |  x.ahash AS s1, y.ahash AS s2
+         | FROM banded x JOIN banded y
+         |  ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |pairs AS (SELECT d1, d2 FROM cand WHERE bit_count(xor(s1, s2)) <= 3),
+         |drops AS (SELECT DISTINCT d2 AS doc_id FROM pairs),
+         |s2 AS (SELECT d.doc_id, d.text FROM documents d
+         | WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)),
+         |mm AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n FROM s2),
+         |fr AS (SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+         |  CAST((n * 31 + i * i * 13) % 997 AS BIGINT) AS feat
+         | FROM mm, range(0, 40) t(i) WHERE i < n % 24 + 8),
+         |dk AS (SELECT doc_id, frame_idx, feat,
+         |  CASE WHEN lag(feat) OVER w IS NULL THEN 1
+         |       WHEN abs(feat - lag(feat) OVER w) > 400 THEN 1 ELSE 0 END AS brk
+         | FROM fr WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)),
+         |sx AS (SELECT doc_id, frame_idx, feat,
+         |  sum(brk) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS scene_idx
+         | FROM dk),
+         |scenes AS (SELECT doc_id, CAST(scene_idx AS BIGINT) AS scene_idx,
+         |  min(frame_idx) AS start_frame, CAST(count(*) AS BIGINT) AS n_frames,
+         |  max(feat) AS mx FROM sx GROUP BY 1, 2),
+         |keyf AS (SELECT sc.doc_id, sc.scene_idx,
+         |  min(sx.frame_idx) AS keyframe_idx
+         | FROM scenes sc JOIN sx ON sx.doc_id = sc.doc_id
+         |  AND sx.scene_idx = sc.scene_idx AND sx.feat = sc.mx GROUP BY 1, 2),
+         |clips AS (SELECT doc_id, scene_idx,
+         |  start_frame + (n_frames - least(n_frames, 4)) // 2 AS clip_start
+         | FROM scenes),
+         |n0 AS (SELECT CAST(count(*) AS BIGINT) AS c,
+         |  CAST(sum(doc_id) AS BIGINT) AS s FROM documents),
+         |n2 AS (SELECT CAST(count(*) AS BIGINT) AS c,
+         |  CAST(sum(doc_id) AS BIGINT) AS s FROM s2),
+         |n3 AS (SELECT CAST(count(*) AS BIGINT) AS c,
+         |  CAST(sum(doc_id * 100 + scene_idx) AS BIGINT) AS s FROM scenes),
+         |n4 AS (SELECT CAST(sum(doc_id * 1000 + keyframe_idx) AS BIGINT) AS s FROM keyf),
+         |n5 AS (SELECT CAST(sum(doc_id * 10000 + clip_start) AS BIGINT) AS s FROM clips)
+         |SELECT 1::BIGINT AS stage_ord, 'ingest' AS stage,
+         |  n0.c AS units_in, n0.c AS units_out, n0.s AS checksum FROM n0
+         |UNION ALL SELECT 2, 'image_dedup', n0.c, n2.c, n2.s FROM n0, n2
+         |UNION ALL SELECT 3, 'scene_cut', n2.c, n3.c, n3.s FROM n2, n3
+         |UNION ALL SELECT 4, 'keyframe', n3.c, n3.c, n4.s FROM n3, n4
+         |UNION ALL SELECT 5, 'clip', n3.c, n3.c, n5.s FROM n3, n5
+         |ORDER BY stage_ord""".stripMargin,
     // F66: same scene CTEs as F52, then keyframe = lowest frame index
     // among the scene's max-feature frames (the engine's max_by tie rule)
     "mm_video_keyframe" ->

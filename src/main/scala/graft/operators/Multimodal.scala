@@ -87,11 +87,15 @@ object Multimodal {
   /** The shared F52/F66 scene-labeled frame table: (doc_id, frame_idx,
     * feat, scene_idx) — the F14 deterministic frame model + the shot-
     * boundary rule, one per-video bounded window. */
-  def sceneFrames(spark: SparkSession, dir: String, threshold: Long): DataFrame = {
+  def sceneFrames(spark: SparkSession, dir: String, threshold: Long): DataFrame =
+    sceneFramesOf(Tables(spark, dir).documents.select(col("doc_id"), col("text")), threshold)
+
+  /** The F52/F66/H6 core over an explicit (doc_id, text) frame. */
+  def sceneFramesOf(docs: DataFrame, threshold: Long): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val t = Tables(spark, dir)
-    val frames = t.documents
+    val frames = docs
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { iter =>
@@ -334,19 +338,77 @@ object Multimodal {
     * then exactly F5's contract — banded groupBy on 4×2^16 keys, verify
     * on xor+bit_count. A real JPEG decoder swaps into the pixel lambda;
     * nothing downstream changes. */
-  def ahashDedup(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val t = Tables(spark, dir)
-    val px = t.documents.select(col("doc_id"),
+  /** The F65/H6 shared average-hash frame: (doc_id, simhash) over an
+    * explicit (doc_id, …) frame via the deterministic stub pixel model
+    * (capture-burst: 4 consecutive ids share a base image, the 4th gets
+    * a one-pixel perturbation). */
+  def ahashOf(docs: DataFrame): DataFrame = {
+    val px = docs.select(col("doc_id"),
       // STUB pixel model (deterministic stand-in for decode + 8x8 resize)
       expr("""transform(sequence(0, 63), k ->
         CASE WHEN doc_id % 4 = 3 AND k = 0
-          THEN (((doc_id div 4) * 7919 + k * 104729) % 256 + 128) % 256
-          ELSE ((doc_id div 4) * 7919 + k * 104729) % 256 END)""").as("p"))
+          THEN ((((doc_id div 4) ^ (k * 104729)) * 2654435761) % 256 + 128) % 256
+          ELSE (((doc_id div 4) ^ (k * 104729)) * 2654435761) % 256 END)""").as("p"))
       .withColumn("sm", expr("aggregate(p, 0L, (a, x) -> a + x)"))
-    val ah = px.select(col("doc_id"),
+    px.select(col("doc_id"),
       expr("""aggregate(zip_with(p, sequence(0, 63), (v, k) ->
         IF(v * 64 > sm, shiftleft(1L, k), 0L)), 0L, (a, b) -> a | b)""").as("simhash"))
-    graft.operators.Dedup.simhashSummary(ah, maxHamming)
+  }
+
+  def ahashDedup(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
+    graft.operators.Dedup
+      .simhashSummary(ahashOf(Tables(spark, dir).documents.select(col("doc_id"))), maxHamming)
       .withColumnRenamed("simhash", "ahash")
+
+  /** H6: composed MEDIA curation pipeline — the multimodal twin of H5's
+    * text pipeline: ingest payloads → perceptual image near-dup gate
+    * (keep-first over the F65 aHash pairs — a doc with a lower-id
+    * near-duplicate drops) → shot segmentation (F52) over the survivors
+    * → per-scene keyframe selection (F66) → centered training-clip
+    * selection (F58), with per-stage survivor lineage and integer
+    * checksums pinning every stage's exact output set. Every stage
+    * reuses the standalone op's shared builder (`ahashOf` +
+    * `Dedup.simhashPairs`, `sceneFramesOf`, the F58 clip arithmetic),
+    * so pipeline verdicts cannot drift from the per-op queries; the
+    * ENTIRE composition replays in the oracle (aHash HUGEINT bits →
+    * banded pairs → drop set → scene/keyframe/clip CTEs).
+    *
+    * Scale shape: the gate is F5's banded-hamming contract; the video
+    * stages are one per-survivor-video bounded window + hash aggs —
+    * nothing in the chain shuffles more than the standalone ops do. */
+  def mediaCuration(spark: SparkSession, dir: String, maxHamming: Int = 3,
+      clipLen: Long = 4L): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val docs = t.documents.select(col("doc_id"), col("text")).localCheckpoint(true)
+    // stage 2: keep-first image dedup — any doc with a lower-id near-dup drops
+    val drops = graft.operators.Dedup.simhashPairs(ahashOf(docs), maxHamming)
+      .select(col("d2").as("doc_id")).distinct()
+    val s2 = docs.join(drops, Seq("doc_id"), "left_anti").localCheckpoint(true)
+    // stages 3-5: scenes → keyframes → clips over the survivors
+    val scenes = sceneFramesOf(s2, 400L)
+      .groupBy(col("doc_id"), col("scene_idx"))
+      .agg(min(col("frame_idx")).as("start_frame"),
+        max(col("frame_idx")).as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        max_by(col("frame_idx"), struct(col("feat"), -col("frame_idx"))).as("keyframe_idx"))
+      .withColumn("clip_frames", least(col("n_frames"), lit(clipLen)))
+      .withColumn("clip_start",
+        col("start_frame") + expr("(n_frames - clip_frames) div 2"))
+      .localCheckpoint(true)
+    val nDocs = docs.agg(count(lit(1)).cast("long"), sum(col("doc_id")).cast("long")).head()
+    val nS2 = s2.agg(count(lit(1)).cast("long"), sum(col("doc_id")).cast("long")).head()
+    val sc = scenes.agg(count(lit(1)).cast("long"),
+      sum(col("doc_id") * 100L + col("scene_idx")).cast("long"),
+      sum(col("doc_id") * 1000L + col("keyframe_idx")).cast("long"),
+      sum(col("doc_id") * 10000L + col("clip_start")).cast("long")).head()
+    Seq(
+      (1L, "ingest", nDocs.getLong(0), nDocs.getLong(0), nDocs.getLong(1)),
+      (2L, "image_dedup", nDocs.getLong(0), nS2.getLong(0), nS2.getLong(1)),
+      (3L, "scene_cut", nS2.getLong(0), sc.getLong(0), sc.getLong(1)),
+      (4L, "keyframe", sc.getLong(0), sc.getLong(0), sc.getLong(2)),
+      (5L, "clip", sc.getLong(0), sc.getLong(0), sc.getLong(3)))
+      .toDF("stage_ord", "stage", "units_in", "units_out", "checksum")
+      .orderBy(col("stage_ord"))
   }
 }

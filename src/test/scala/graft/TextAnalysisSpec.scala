@@ -179,7 +179,7 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     // independent hash replay of the stub pixel model
     def hashOf(id: Long): Long = {
       val p = (0 until 64).map { k =>
-        val base = ((id / 4) * 7919L + k * 104729L) % 256L
+        val base = (((id / 4) ^ (k * 104729L)) * 2654435761L) % 256L
         if (id % 4 == 3 && k == 0) (base + 128L) % 256L else base
       }
       val s = p.sum
@@ -252,6 +252,39 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       case Seq(a, b) => assert(a <= b, "weight order violates excess order")
       case _ =>
     }
+  }
+
+  test("media curation: lineage chains, the image gate fires, stages agree with the standalone ops") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.operators.Multimodal.mediaCuration(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(rows.map(_._2) == Seq("ingest", "image_dedup", "scene_cut", "keyframe", "clip"))
+    val Seq(ing, gate, sc, kf, cl) = rows
+    // lineage: each stage consumes the prior stage's output units
+    assert(gate._3 == ing._4 && sc._3 == gate._4 && kf._3 == sc._4 && cl._3 == sc._4)
+    // the image gate FIRES: the burst model means ~4x duplication, so
+    // keep-first retains roughly a quarter of the corpus
+    assert(gate._4 < gate._3 && gate._4 >= gate._3 / 5, s"gate kept ${gate._4}/${gate._3}")
+    // keyframes and clips are one per scene
+    assert(kf._4 == sc._4 && cl._4 == sc._4)
+    // stage-2 survivors = docs with NO lower-id near-dup in the
+    // standalone F65 pair view
+    val summary = graft.operators.Multimodal.ahashDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val pairs = graft.operators.Dedup.simhashPairs(
+        graft.operators.Multimodal.ahashOf(
+          Tables(spark, sfDir).documents.select(col("doc_id"))), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dropSet = pairs.map(_._2).toSet
+    val survivors = summary.map(_._1).filterNot(dropSet)
+    assert(gate._4 == survivors.length.toLong, "gate survivors != keep-first over F65 pairs")
+    assert(gate._5 == survivors.sum, "survivor checksum mismatch")
+    // scene stage equals the standalone scene table restricted to survivors
+    val sceneRows = graft.operators.Multimodal.sceneCut(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).filter(t => !dropSet(t._1))
+    assert(sc._4 == sceneRows.length.toLong, "scene count != standalone F52 over survivors")
+    assert(sc._5 == sceneRows.map(t => t._1 * 100L + t._2).sum, "scene checksum mismatch")
   }
 
   test("video keyframes: brute replay, keyframe inside its scene, ties break to the lowest frame") {
