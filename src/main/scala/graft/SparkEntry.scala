@@ -197,6 +197,7 @@ object SparkEntry {
     "sample_hard_negatives"  -> ((s: SparkSession, d: String) => Similarity.hardNegatives(s, d)),
     "sample_kcenter"         -> ((s: SparkSession, d: String) => Similarity.sampleKcenter(s, d)),
     "sample_doremi"          -> ((s: SparkSession, d: String) => TextAnalysis.sampleDoremi(s, d)),
+    "text_code_detect"       -> ((s: SparkSession, d: String) => TextAnalysis.textCodeDetect(s, d)),
     "q_salted_join"          -> ((s: SparkSession, d: String) => Relational.qSaltedJoin(s, d)),
     "text_quality"           -> TextAnalysis.quality _,
     "text_langid"            -> TextAnalysis.langid _,
@@ -3014,6 +3015,23 @@ object SparkEntry {
          |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     // hard negatives: the ann_ivf_batch CTEs with the different-label
     // predicate applied at candidate time (the index carries labels)
+    // F70: the same planted wire + symbol-alphabet strip + exact PPM
+    // threshold — the classifier must separate exactly the planted class
+    "text_code_detect" ->
+      """WITH w AS (SELECT doc_id,
+        | CASE WHEN doc_id % 6 = 0
+        |  THEN 'def f(x): return {x: [1, 2]}; // y = a && b | c ' || text
+        |  ELSE text END AS raw FROM documents),
+        |m AS (SELECT doc_id, CAST(strlen(raw) AS BIGINT) AS n_chars,
+        | CAST(strlen(regexp_replace(raw, '[^{}\[\]();:=<>&|/*+-]', '', 'g'))
+        |   AS BIGINT) AS n_sym FROM w),
+        |c AS (SELECT doc_id,
+        | n_sym * 1000000 // greatest(n_chars, 1) AS sym_ppm FROM m)
+        |SELECT CAST(CASE WHEN sym_ppm >= 10000 THEN 1 ELSE 0 END AS INT) AS is_code,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | min(sym_ppm) AS min_sym_ppm, max(sym_ppm) AS max_sym_ppm,
+        | CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        |FROM c GROUP BY 1 ORDER BY is_code""".stripMargin,
     // F68: the 5-round multiplicative-weights trajectory unrolled —
     // every floor division replayed, weights renormalize each round
     "sample_doremi" -> {

@@ -1202,6 +1202,41 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** F70: CODE-vs-PROSE detection — the routing signal a pretraining
+    * mixer reads before anything else (code and prose go to different
+    * dedup/quality/packing recipes, and the code fraction is itself a
+    * tuned mixture knob). Classification by symbol-density: the
+    * fraction of characters from the code alphabet (braces, brackets,
+    * operators, semicolons) in exact integer PPM — prose sits near 0,
+    * real code in the 5-15% band — thresholded at `barPpm`. The corpus
+    * is prose-only, so every 6th doc gets a deterministic planted
+    * snippet prepended (the piiScrub wire convention): the classifier
+    * must separate exactly the planted class.
+    *
+    * Scale shape: per-row regexp_replace + length arithmetic (codegen'd,
+    * zero shuffle) + one |2|-row rollup — the F9 quality-audit shape. */
+  def textCodeDetect(spark: SparkSession, dir: String,
+      barPpm: Long = 10000L): DataFrame = {
+    val t = Tables(spark, dir)
+    val snippet = "def f(x): return {x: [1, 2]}; // y = a && b | c "
+    val wire = t.documents.select(col("doc_id"),
+      when(col("doc_id") % 6 === 0, concat(lit(snippet), col("text")))
+        .otherwise(col("text")).as("raw"))
+    wire
+      .withColumn("n_chars", length(col("raw")).cast("long"))
+      .withColumn("n_sym",
+        length(regexp_replace(col("raw"), "[^{}\\[\\]();:=<>&|/*+-]", ""))
+          .cast("long"))
+      .withColumn("sym_ppm", expr("n_sym * 1000000 div greatest(n_chars, 1)"))
+      .withColumn("is_code", (col("sym_ppm") >= barPpm).cast("int"))
+      .groupBy(col("is_code"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("sym_ppm")).as("min_sym_ppm"),
+        max(col("sym_ppm")).as("max_sym_ppm"),
+        sum(col("doc_id")).cast("long").as("id_checksum"))
+      .orderBy(col("is_code"))
+  }
+
   /** F68: DoReMi-style multiplicative-weights domain reweighting (Xie
     * et al. 2023) — the ITERATIVE domain-mixture optimizer next to the
     * one-shot reweighters (F35 static mix, F44 temperature, F45 DSIR):

@@ -212,6 +212,26 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("code detect: the planted class separates exactly, ratios replay, prose sits near zero") {
+    val got = graft.operators.TextAnalysis.textCodeDetect(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got.map(_._1) == Seq(0, 1), "both classes must be populated")
+    val Seq(prose, code) = got
+    import org.apache.spark.sql.functions.col
+    val ids = Tables(spark, sfDir).documents.select(col("doc_id")).collect()
+      .map(_.getLong(0))
+    // the classifier recovers EXACTLY the planted class
+    val planted = ids.filter(_ % 6 == 0)
+    assert(code._2 == planted.length.toLong && code._5 == planted.sum,
+      s"code class != planted %6 docs: $code")
+    assert(prose._2 == ids.length - planted.length && prose._5 == ids.sum - planted.sum)
+    // the margin is real on both sides of the 30000 bar
+    assert(prose._4 < 10000L, s"a prose doc crossed the bar: ${prose._4}")
+    assert(code._3 >= 10000L, s"a planted doc fell under the bar: ${code._3}")
+    assert(prose._4 < code._3, "classes overlap in symbol density")
+  }
+
   test("doremi reweighting: trajectory replays exactly, mass flows to positive-excess domains") {
     import org.apache.spark.sql.functions.{col, length}
     val got = graft.operators.TextAnalysis.sampleDoremi(spark, sfDir).collect()
