@@ -96,6 +96,8 @@ object SparkEntry {
     "mon_sla_burn"           -> ((s: SparkSession, d: String) => LoadOps.slaBurn(s, d)),
     "load_compact_plan"      -> LoadOps.compactPlan _,
     "mon_cusum"              -> ((s: SparkSession, d: String) => LoadOps.cusum(s, d)),
+    "mon_seasonal"           -> ((s: SparkSession, d: String) => LoadOps.seasonal(s, d)),
+    "mon_benford"            -> ((s: SparkSession, d: String) => LoadOps.benford(s, d)),
     "load_bloom_index"       -> ((s: SparkSession, d: String) => LoadOps.bloomIndex(s, d)),
     "load_table_checksum"    -> LoadOps.tableChecksum _,
     "load_incremental_view"  -> (LoadOps.incrementalView _),
@@ -134,6 +136,7 @@ object SparkEntry {
     "q_cohort_retention"     -> Relational.qCohortRetention _,
     "q_markov_transitions"   -> Relational.qMarkovTransitions _,
     "q_ab_ttest"             -> Relational.qAbTtest _,
+    "q_regression"           -> Relational.qRegression _,
     "q_funnel_windowed"      -> ((s: SparkSession, d: String) => Relational.qFunnelWindowed(s, d)),
     "q_time_bucket"          -> Relational.qTimeBucket _,
     "q_running_agg"          -> Relational.qRunningAgg _,
@@ -1334,6 +1337,55 @@ object SparkEntry {
         |SELECT source, day, md, mu, s_hi, s_lo,
         | CAST(CASE WHEN s_hi > 3000 OR s_lo > 3000 THEN 1 ELSE 0 END AS INT) AS alarm
         |FROM rec ORDER BY source, day""".stripMargin,
+    // D41: the cusum daily-cents CTE + a (source, weekday) training
+    // rollup in the same integer arithmetic; only rows past the training
+    // horizon are judged
+    "mon_seasonal" ->
+      """WITH d AS (SELECT event_type AS source,
+        |  CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) // count(*) AS BIGINT) AS md
+        | FROM events GROUP BY 1, 2),
+        |m AS (SELECT min(day) AS d0 FROM d),
+        |dd AS (SELECT d.*, CAST(d.day % 7 AS BIGINT) AS dow FROM d),
+        |b AS (SELECT source, dow, CAST(sum(md) // count(*) AS BIGINT) AS expected
+        | FROM dd, m WHERE day < d0 + 21 GROUP BY 1, 2)
+        |SELECT dd.source, dd.day, dd.dow, dd.md AS md_cents,
+        | b.expected AS expected_cents, dd.md - b.expected AS dev_cents,
+        | CASE WHEN b.expected IS NULL THEN 'no_baseline'
+        |      WHEN abs(dd.md - b.expected) > 150 THEN 'alert'
+        |      ELSE 'ok' END AS status
+        |FROM dd CROSS JOIN m
+        |LEFT JOIN b ON b.source = dd.source AND b.dow = dd.dow
+        |WHERE dd.day >= m.d0 + 21
+        |ORDER BY dd.source, dd.day""".stripMargin,
+    // D42: digit from the decimal rendering of |cents| (integer-exact in
+    // both engines), expectations from the SAME benfordPpm literals
+    "mon_benford" -> {
+      val vals = LoadOps.benfordPpm
+        .map { case (d, p) => s"($d, $p)" }.mkString(", ")
+      s"""WITH e AS (SELECT event_type AS source,
+         |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         |c AS (SELECT source,
+         |  CAST(substr(CAST(abs(cents) AS VARCHAR), 1, 1) AS INT) AS digit,
+         |  CAST(count(*) AS BIGINT) AS n_d
+         | FROM e WHERE cents <> 0 GROUP BY 1, 2),
+         |x AS (SELECT * FROM (VALUES $vals) AS v(digit, exp_ppm)),
+         |s AS (SELECT source, CAST(sum(n_d) AS BIGINT) AS n FROM c GROUP BY 1),
+         |g AS (SELECT s.source, x.digit, s.n,
+         |  CAST(COALESCE(c.n_d, 0) AS BIGINT) AS n_d,
+         |  CAST(x.exp_ppm AS BIGINT) AS exp_ppm,
+         |  CAST(COALESCE(c.n_d, 0) * 1000000 // s.n AS BIGINT) AS obs_ppm
+         | FROM s CROSS JOIN x
+         | LEFT JOIN c ON c.source = s.source AND c.digit = x.digit),
+         |st AS (SELECT source,
+         |  CAST(sum((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) // exp_ppm) AS BIGINT)
+         |    AS benford_stat
+         | FROM g GROUP BY 1)
+         |SELECT g.source, g.digit, g.n, g.n_d, g.obs_ppm, g.exp_ppm,
+         | st.benford_stat,
+         | CAST(CASE WHEN st.benford_stat > 50000 THEN 1 ELSE 0 END AS INT) AS flagged
+         |FROM g JOIN st USING (source) ORDER BY g.source, g.digit""".stripMargin
+    },
     // D39: rows-per-bucket read from the landed files, then the same
     // offset-packing arithmetic (bin = cum_before div target, target =
     // max(total div 4, 1)) replayed over a window cumsum
@@ -1971,6 +2023,21 @@ object SparkEntry {
         |SELECT event_type, n_a, n_b, mean_a, mean_b, var_a, var_b, t_stat,
         | CAST(CASE WHEN abs(t_stat) >= 1.96 THEN 1 ELSE 0 END AS INT) AS significant
         |FROM t ORDER BY event_type""".stripMargin,
+    // E38: the E36 rounded-moments convention applied to the OLS fit —
+    // slope/intercept/R² derived from 4-dec moments in one fixed shape
+    "q_regression" ->
+      """WITH m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(l_quantity), 4) AS mean_x,
+        |  round(avg(l_extendedprice), 4) AS mean_y,
+        |  round(var_samp(l_quantity), 4) AS var_x,
+        |  round(var_samp(l_extendedprice), 4) AS var_y,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_xy
+        | FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n, mean_x, mean_y,
+        | round(cov_xy / var_x, 4) AS slope,
+        | round(mean_y - (cov_xy / var_x) * mean_x, 4) AS intercept,
+        | round(cov_xy * cov_xy / (var_x * var_y), 4) AS r2
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     // E37: the windowed funnel chain replayed with the same
     // conditional-min-within-window rule at each step
     "q_funnel_windowed" ->

@@ -977,6 +977,43 @@ object Relational {
       vr("ss_a", "sum_a", "n_a").as("var_a"), vr("ss_b", "sum_b", "n_b").as("var_b")))
   }
 
+  /** E38: per-group ordinary-least-squares fit — slope / intercept / R²
+    * of `l_extendedprice` on `l_quantity` within each return flag, the
+    * one-pass regression primitive on top of E34's correlation matrix
+    * (corr says whether two measures move together; the fit says by HOW
+    * MUCH, which is what a forecast or a unit-price sanity check needs).
+    *
+    * Determinism contract (the E36 convention): the five sufficient
+    * moments (mean_x, mean_y, var_x, var_y, cov_xy) ROUND to 4 decimals
+    * first; slope / intercept / R² are computed FROM the rounded
+    * moments with one fixed expression shape, then round to 4 — both
+    * engines fold floats in their own order but judge identical rounded
+    * inputs.
+    *
+    * Scale shape: ONE aggregation pass accumulates all co-moments
+    * map-side (Catalyst partial aggregates); |groups| rows cross the
+    * shuffle; no join, no window, no second scan. */
+  def qRegression(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val moments = t.lineitem.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("l_quantity")), 4).as("mean_x"),
+        round(avg(col("l_extendedprice")), 4).as("mean_y"),
+        round(var_samp(col("l_quantity")), 4).as("var_x"),
+        round(var_samp(col("l_extendedprice")), 4).as("var_y"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_xy"))
+    moments
+      .withColumn("slope", round(col("cov_xy") / col("var_x"), 4))
+      .withColumn("intercept",
+        round(col("mean_y") - (col("cov_xy") / col("var_x")) * col("mean_x"), 4))
+      .withColumn("r2",
+        round((col("cov_xy") * col("cov_xy")) / (col("var_x") * col("var_y")), 4))
+      .select(col("l_returnflag"), col("n"), col("mean_x"), col("mean_y"),
+        col("slope"), col("intercept"), col("r2"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** The E35 report assembly over a (state, next_state, n) matrix —
     * denominators via a states²-row window (tiny), exact PPM division. */
   def markovAssemble(matrix: DataFrame): DataFrame = {

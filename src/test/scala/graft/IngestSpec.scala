@@ -951,4 +951,79 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
         r.getLong(5) + r.getLong(6) + r.getLong(7), "decision classes must partition attempts")
     }
   }
+
+  test("seasonal: weekday-periodic volume never alarms, a flat shift does, late sources get no baseline") {
+    import spark.implicits._
+    // "weekly": +500 every dow 0 — a FLAT-baseline detector sees ±500
+    // swings past h=150 every week; the weekday baseline sees deviation 0.
+    // "drift": flat through training, +200 after → every judged day alarms.
+    // "late": first appears after the training horizon → no_baseline.
+    val weekly = (0L to 27L).map(d => ("weekly", d, 10000L + (if (d % 7 == 0) 500L else 0L)))
+    val drift = (0L to 27L).map(d => ("drift", d, 10000L + (if (d >= 14L) 200L else 0L)))
+    val late = (16L to 20L).map(d => ("late", d, 9000L))
+    val daily = (weekly ++ drift ++ late).toDF("source", "day", "md")
+    val got = graft.operators.LoadOps.seasonalOf(daily, trainDays = 14L, hCents = 150L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Long]), r.getString(6))).toSeq
+    // exact integer replay of the shared arithmetic
+    val all = (weekly ++ drift ++ late)
+    val bl = all.filter(_._2 < 14L).groupBy(t => (t._1, t._2 % 7))
+      .map { case (k, g) => (k, g.map(_._3).sum / g.length) }
+    val brute = all.filter(_._2 >= 14L).map { case (src, d, md) =>
+      val e = bl.get((src, d % 7))
+      val status = e match {
+        case None => "no_baseline"
+        case Some(x) if math.abs(md - x) > 150L => "alert"
+        case _ => "ok"
+      }
+      (src, d, d % 7, md, e, e.map(md - _), status)
+    }.sortBy(t => (t._1, t._2))
+    assert(got == brute, s"seasonal replay diverged:\n$got\nvs\n$brute")
+    assert(got.filter(_._1 == "weekly").forall(t => t._7 == "ok" && t._6.contains(0L)),
+      "periodic volume must judge clean against its own weekday")
+    assert(got.filter(_._1 == "drift").forall(t => t._7 == "alert" && t._6.contains(200L)),
+      "persistent shift must alarm on every judged day")
+    assert(got.filter(_._1 == "late").forall(t => t._7 == "no_baseline" && t._5.isEmpty),
+      "untrained sources must not page")
+    // the registered corpus query is deterministic and judges only
+    // post-horizon days
+    val a = graft.operators.LoadOps.seasonal(spark, sfDir).collect().toSeq
+    assert(a == graft.operators.LoadOps.seasonal(spark, sfDir).collect().toSeq)
+  }
+
+  test("benford: conforming digits pass, uniform digits flag, stat replays in exact integers") {
+    import spark.implicits._
+    // "conforming": 1000 rows with per-digit counts at the Benford mass
+    // (301, 176, ...); includes sign and zero handling — negatives keep
+    // their first digit, exact zeros leave the population entirely
+    val confCounts = Seq(301, 176, 125, 97, 79, 67, 58, 51, 46)
+    val conf = confCounts.zipWithIndex.flatMap { case (n, i) =>
+      (0 until n).map(j => ("conforming", (i + 1) * 100L * (if (j % 5 == 0) -1L else 1L))) }
+    val unif = (1 to 9).flatMap(d => (0 until 100).map(_ => ("uniform", d * 100L)))
+    val zeros = Seq(("conforming", 0L), ("uniform", 0L))
+    val rows = (conf ++ unif ++ zeros).toDF("source", "cents")
+    val got = graft.operators.LoadOps.benfordOf(rows, flagBar = 50000L)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getInt(7))).toSeq
+    // exact integer replay
+    val ppm = graft.operators.LoadOps.benfordPpm.toMap
+    val brute = Seq(("conforming", confCounts), ("uniform", Seq.fill(9)(100))).flatMap {
+      case (src, counts) =>
+        val n = counts.sum.toLong
+        val obs = counts.map(c => c.toLong * 1000000L / n)
+        val stat = (1 to 9).map { d =>
+          val diff = obs(d - 1) - ppm(d); diff * diff / ppm(d) }.sum
+        (1 to 9).map(d => (src, d, n, counts(d - 1).toLong, obs(d - 1), ppm(d),
+          stat, if (stat > 50000L) 1 else 0))
+    }.sortBy(t => (t._1, t._2))
+    assert(got == brute, s"benford replay diverged:\n$got\nvs\n$brute")
+    assert(got.filter(_._1 == "conforming").forall(_._8 == 0), "Benford mass must pass")
+    assert(got.filter(_._1 == "uniform").forall(_._8 == 1), "uniform digits must flag")
+    // all nine digits materialize for every source even when unobserved
+    val missing = Seq(("sparse", 100L), ("sparse", 100L)).toDF("source", "cents")
+    val sparse = graft.operators.LoadOps.benfordOf(missing, 50000L).collect()
+    assert(sparse.length == 9 && sparse.count(_.getLong(3) > 0L) == 1,
+      "unobserved digits must appear with n_d = 0")
+  }
 }

@@ -366,4 +366,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     val exp1 = raw.filter(pmod(col("o_orderkey"), lit(7)) < 5).count()
     assert(gens(1) == exp1 && gens(2) == raw.count() - exp1, s"generation split wrong: $gens")
   }
+
+  test("regression: all co-moments in one partial-agg scan, no join, no window") {
+    val p = plan("q_regression")
+    assert(!p.contains("Join"), s"OLS moments must not join:\n$p")
+    assert(!p.contains("Window"), s"OLS moments must not window:\n$p")
+    assert(p.contains("partial_"), s"moments lack map-side partials:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"expected exactly one lineitem scan:\n$p")
+  }
+
+  test("seasonal: everything after the pinned daily rollup is broadcast-sized — no shuffle join, no window") {
+    val p = plan("mon_seasonal")
+    // the daily rollup is checkpointed; horizon + baseline join back in
+    // as broadcasts (|sources|·7 rows) — a SortMergeJoin here would mean
+    // a data-sized shuffle crept into the judging pass
+    assert(!p.contains("SortMergeJoin"), s"baseline join must broadcast:\n$p")
+    assert(!p.contains("Window"), s"seasonal judging needs no window:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 0,
+      s"every branch must serve from the one pinned rollup:\n$p")
+  }
 }

@@ -270,4 +270,37 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(got.nonEmpty && got.map(_._1).distinct.length == got.length)
   }
+
+  test("regression: OLS fit replays from brute moments and the fit is exact from rounded inputs") {
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Relational.qRegression(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
+    val rows = Tables(spark, sfDir).lineitem
+      .selectExpr("l_returnflag", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.nonEmpty && got.map(_._1) == got.map(_._1).sorted)
+    got.foreach { case (flag, n, mx, my, slope, intercept, r2) =>
+      val g = rows.filter(_._1 == flag)
+      assert(n == g.length.toLong, s"$flag group size")
+      // brute moments (independent float fold → tolerance on the moments)
+      val (bx, by) = (g.map(_._2), g.map(_._3))
+      val (bmx, bmy) = (bx.sum / n, by.sum / n)
+      val vx = bx.map(x => (x - bmx) * (x - bmx)).sum / (n - 1)
+      val vy = by.map(y => (y - bmy) * (y - bmy)).sum / (n - 1)
+      val cxy = g.map(t => (t._2 - bmx) * (t._3 - bmy)).sum / (n - 1)
+      assert(math.abs(mx - bmx) < 1e-3 && math.abs(my - bmy) < 1e-2, s"$flag means off")
+      // the fit is EXACT arithmetic over the published rounded moments —
+      // recover them from the engine's own output shape
+      val wantSlope = r4(r4(cxy) / r4(vx))
+      assert(math.abs(slope - wantSlope) < 2e-4, s"$flag slope $slope != $wantSlope")
+      assert(math.abs(intercept - r4(my - (r4(cxy) / r4(vx)) * mx)) < 2e-3,
+        s"$flag intercept")
+      val wantR2 = r4(r4(cxy) * r4(cxy) / (r4(vx) * r4(vy)))
+      assert(math.abs(r2 - wantR2) < 2e-4 && r2 >= 0.0 && r2 <= 1.0, s"$flag r2")
+      // the fit line passes through the group centroid by construction
+      assert(math.abs((slope * mx + intercept) - my) < 2e-2,
+        s"$flag fit must pass through (mean_x, mean_y)")
+    }
+  }
 }
