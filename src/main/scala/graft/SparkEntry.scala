@@ -176,6 +176,8 @@ object SparkEntry {
     "dedup_winnow"           -> ((s: SparkSession, d: String) => Dedup.winnowDedup(s, d)),
     "dedup_semantic"         -> ((s: SparkSession, d: String) => Similarity.semDedup(s, d)),
     "graph_pagerank"         -> ((s: SparkSession, d: String) => Graph.pagerank(s, d)),
+    "graph_triangles"        -> ((s: SparkSession, d: String) => Graph.triangles(s, d)),
+    "graph_label_prop"       -> ((s: SparkSession, d: String) => Graph.labelProp(s, d)),
     "sample_density_prune"   -> ((s: SparkSession, d: String) => Similarity.densityPrune(s, d)),
     "mon_embedding_drift"    -> ((s: SparkSession, d: String) => Similarity.embeddingDrift(s, d)),
     "ann_ivf_append"         -> Similarity.ivfAppend _,
@@ -378,6 +380,26 @@ object SparkEntry {
 
   private val evSec =
     "SELECT *, CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS sec FROM events"
+
+  /** The shared-gram edge list (df-capped word 8-grams → symmetric
+    * weighted pairs) every graph-family oracle builds on — ONE text so
+    * F53/F71/F72 replay the identical graph. Ends at `e(src, dst, w)`
+    * plus `n` (all docs). */
+  private lazy val gramEdgeCtes: String =
+    s"""t AS (SELECT doc_id, $toks AS toks FROM documents),
+       |g0 AS (SELECT doc_id,
+       |  unnest(CASE WHEN len(toks) >= 8
+       |    THEN [array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 7 AS INT)), ' ')
+       |          for i in range(1, len(toks) - 6)]
+       |    ELSE [] END) AS gram
+       | FROM t),
+       |g AS (SELECT DISTINCT doc_id, gram FROM g0),
+       |f AS (SELECT gram FROM g GROUP BY gram HAVING count(*) BETWEEN 2 AND 32),
+       |o AS (SELECT g.doc_id, g.gram FROM g JOIN f USING (gram)),
+       |e AS (SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS w
+       |      FROM o a JOIN o b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+       |      GROUP BY 1, 2),
+       |n AS (SELECT doc_id FROM documents)""".stripMargin
 
   /** The F67 second chain: deflate with the PUBLISHED (rounded) v1/λ1,
     * then 20 more unrolled power steps on C2 — generated like the first
@@ -2516,21 +2538,8 @@ object SparkEntry {
            |   FROM e JOIN pr${i - 1} p ON p.doc_id = e.src
            |   JOIN ow ON ow.src = e.src GROUP BY 1) s USING (doc_id))""".stripMargin
       }.mkString(",\n")
-      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
-         |g0 AS (SELECT doc_id,
-         |  unnest(CASE WHEN len(toks) >= 8
-         |    THEN [array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 7 AS INT)), ' ')
-         |          for i in range(1, len(toks) - 6)]
-         |    ELSE [] END) AS gram
-         | FROM t),
-         |g AS (SELECT DISTINCT doc_id, gram FROM g0),
-         |f AS (SELECT gram FROM g GROUP BY gram HAVING count(*) BETWEEN 2 AND 32),
-         |o AS (SELECT g.doc_id, g.gram FROM g JOIN f USING (gram)),
-         |e AS (SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS w
-         |      FROM o a JOIN o b ON a.gram = b.gram AND a.doc_id <> b.doc_id
-         |      GROUP BY 1, 2),
+      s"""WITH $gramEdgeCtes,
          |ow AS (SELECT src, sum(w) AS tw FROM e GROUP BY 1),
-         |n AS (SELECT doc_id FROM documents),
          |pr0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS pr FROM n),
          |$iterCtes,
          |deg AS (SELECT src AS doc_id, count(*) AS n_neighbors,
@@ -2541,6 +2550,58 @@ object SparkEntry {
          |  pr5.pr AS pr_ppm
          |FROM n LEFT JOIN deg USING (doc_id) JOIN pr5 USING (doc_id)
          |ORDER BY doc_id""".stripMargin
+    },
+    // F71: the shared gram-edge CTEs + the SAME (deg, id) total-order
+    // orientation — each triangle materializes once at its min-order
+    // corner, then credits all three
+    "graph_triangles" ->
+      s"""WITH $gramEdgeCtes,
+         |und AS (SELECT src AS a, dst AS b FROM e WHERE src < dst),
+         |deg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS d FROM (
+         |  SELECT a AS doc_id FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+         |ord_e AS (SELECT
+         |  CASE WHEN da.d < db.d OR (da.d = db.d AND und.a < und.b)
+         |       THEN und.a ELSE und.b END AS u,
+         |  CASE WHEN da.d < db.d OR (da.d = db.d AND und.a < und.b)
+         |       THEN und.b ELSE und.a END AS v
+         | FROM und JOIN deg da ON da.doc_id = und.a
+         | JOIN deg db ON db.doc_id = und.b),
+         |tri AS (SELECT e1.u AS ta, e1.v AS tb, e2.v AS tc
+         | FROM ord_e e1 JOIN ord_e e2 ON e1.u = e2.u AND e1.v <> e2.v
+         | JOIN deg d1 ON d1.doc_id = e1.v JOIN deg d2 ON d2.doc_id = e2.v
+         | WHERE (d1.d < d2.d OR (d1.d = d2.d AND e1.v < e2.v))
+         |  AND EXISTS (SELECT 1 FROM ord_e cl WHERE cl.u = e1.v AND cl.v = e2.v)),
+         |pn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+         |  SELECT ta AS doc_id FROM tri UNION ALL SELECT tb FROM tri
+         |  UNION ALL SELECT tc FROM tri) GROUP BY 1)
+         |SELECT n.doc_id, CAST(COALESCE(deg.d, 0) AS BIGINT) AS degree,
+         | CAST(COALESCE(pn.n_triangles, 0) AS BIGINT) AS n_triangles,
+         | CAST(CASE WHEN COALESCE(deg.d, 0) >= 2
+         |   THEN COALESCE(pn.n_triangles, 0) * 2000000 // (deg.d * (deg.d - 1))
+         |   ELSE 0 END AS BIGINT) AS clustering_ppm
+         |FROM n LEFT JOIN deg USING (doc_id) LEFT JOIN pn USING (doc_id)
+         |ORDER BY n.doc_id""".stripMargin,
+    // F72: the gram-edge CTEs + 4 unrolled synchronous vote rounds,
+    // argmax by (sum weight DESC, label ASC) — the engine's exact
+    // tie-break — isolated nodes carried by the COALESCE
+    "graph_label_prop" -> {
+      val roundCtes = (1 to 4).map { i =>
+        s"""lp$i AS (SELECT n.doc_id, COALESCE(w$i.lbl, p.lbl) AS lbl
+           | FROM n JOIN lp${i - 1} p USING (doc_id)
+           | LEFT JOIN (SELECT node AS doc_id, lbl FROM (
+           |   SELECT e.src AS node, p2.lbl, sum(e.w) AS vw,
+           |     row_number() OVER (PARTITION BY e.src
+           |       ORDER BY sum(e.w) DESC, p2.lbl) AS rn
+           |   FROM e JOIN lp${i - 1} p2 ON p2.doc_id = e.dst
+           |   GROUP BY e.src, p2.lbl) WHERE rn = 1) w$i USING (doc_id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $gramEdgeCtes,
+         |lp0 AS (SELECT doc_id, doc_id AS lbl FROM n),
+         |$roundCtes,
+         |sz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS community_size
+         | FROM lp4 GROUP BY 1)
+         |SELECT l.doc_id, l.lbl AS label, sz.community_size
+         |FROM lp4 l JOIN sz USING (lbl) ORDER BY l.doc_id""".stripMargin
     },
     // F62: the F30 span CTEs + a position-level NOT EXISTS cut + the
     // ordered rebuild; the md5 pins the exact surviving byte stream

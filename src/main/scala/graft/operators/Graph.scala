@@ -50,7 +50,14 @@ object Graph {
   /** The F53 compute over any (doc_id, text) frame — specs feed synthetic
     * corpora with hand-replayable graph structure through the SAME code
     * path the registered query runs. */
-  def pagerankOf(documents: DataFrame, k: Int, dfCap: Int, iters: Int): DataFrame = {
+  /** The shared-gram similarity graph every graph operator builds on:
+    * (docs, pairs) where `docs` is the checkpointed one-row-per-doc
+    * frame and `pairs` the SYMMETRIC directed edge list (src, dst, w),
+    * w = number of distinct shared word k-grams with corpus df in
+    * [2, dfCap]. Lazy — each consumer pins (checkpoints) the stage it
+    * iterates over. Factored from F53 so triangles (F71) and label
+    * propagation (F72) measure the SAME graph PageRank ranks. */
+  def gramPairs(documents: DataFrame, k: Int, dfCap: Int): (DataFrame, DataFrame) = {
     // one row per doc, checkpointed ONCE: every iteration joins against
     // this frame, and without the pin each round would re-scan (and
     // re-spread) the source parquet
@@ -68,12 +75,16 @@ object Graph {
       .filter(col("n_docs").between(2, dfCap))
     val hits = occ.join(shared.select(col("gh")), Seq("gh"), "left_semi")
     // (3) edge list: self-join on the gram hash (per-key fan-out ≤ dfCap²
-    // by construction), collapsed to (src, dst, w). Built ONCE; the
-    // repartition pins the layout the iteration joins reuse.
+    // by construction), collapsed to (src, dst, w).
     val pairs = hits.as("a").join(hits.as("b"),
         col("a.gh") === col("b.gh") && col("a.doc_id") =!= col("b.doc_id"))
       .groupBy(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
       .agg(count(lit(1)).as("w"))
+    (docs, pairs)
+  }
+
+  def pagerankOf(documents: DataFrame, k: Int, dfCap: Int, iters: Int): DataFrame = {
+    val (docs, pairs) = gramPairs(documents, k, dfCap)
     val outw = pairs.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
     val edges = pairs.join(outw, Seq("src"))
       .repartition(col("src"))
@@ -106,6 +117,121 @@ object Graph {
         coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
         coalesce(col("out_weight"), lit(0L)).as("out_weight"),
         col("pr").as("pr_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** F71: per-document triangle count + clustering coefficient over the
+    * shared-gram graph — the local-density signal PageRank (global
+    * authority) and connected components (reachability) both miss: a
+    * document whose neighbors are also neighbors of EACH OTHER sits in
+    * a tight boilerplate clique (template farms, mirrored site
+    * families), while a high-degree / low-clustering document is a
+    * genuine hub. Clustering coefficient = 2·T·1e6 div (deg·(deg−1)) in
+    * exact integer PPM.
+    *
+    * Scale design — degree-ordered orientation (the compact-forward
+    * algorithm): every undirected edge orients from the lower
+    * (degree, id) endpoint to the higher, so each triangle is counted
+    * exactly once at its minimum-order vertex and the wedge join's
+    * per-node fan-out is the ORIENTED out-degree, which is O(√m) for
+    * any graph (a hub of degree d contributes d² wedges undirected but
+    * only its forward-forward pairs oriented). Both joins are
+    * hash-partitioned on doc ids; nothing driver-sized. */
+  def triangles(spark: SparkSession, dir: String, k: Int = 8,
+      dfCap: Int = 32): DataFrame =
+    trianglesOf(Tables(spark, dir).documents, k, dfCap)
+
+  /** The F71 compute over any (doc_id, text) frame — specs feed planted
+    * cliques through the SAME path as the registered query. */
+  def trianglesOf(documents: DataFrame, k: Int, dfCap: Int): DataFrame = {
+    val (docs, pairs) = gramPairs(documents, k, dfCap)
+    // undirected edge set, one row per edge, pinned once: the wedge
+    // join, the closure join and the degree rollup all reuse it
+    val und = pairs.filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+      .localCheckpoint(true)
+    val deg = und.select(col("a").as("doc_id"))
+      .union(und.select(col("b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
+    // orientation: u → v iff (deg(u), u) < (deg(v), v) — total order, so
+    // exactly one direction per edge survives
+    val dmap = deg.withColumnRenamed("doc_id", "n").withColumnRenamed("deg", "d")
+    val ord = und
+      .join(dmap.as("da"), col("a") === col("da.n"))
+      .join(dmap.as("db"), col("b") === col("db.n"))
+      .select(
+        when(col("da.d") < col("db.d") ||
+          (col("da.d") === col("db.d") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .localCheckpoint(true)
+    // wedges at the min-order vertex: (u→v1, u→v2) with ord(v1)<ord(v2)
+    // is (v1 < v2 by the SAME total order); closure checks v1→v2
+    val wedges = ord.as("e1").join(ord.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") =!= col("e2.v"))
+      .join(dmap.as("d1"), col("e1.v") === col("d1.n"))
+      .join(dmap.as("d2"), col("e2.v") === col("d2.n"))
+      .filter(col("d1.d") < col("d2.d") ||
+        (col("d1.d") === col("d2.d") && col("e1.v") < col("e2.v")))
+      .select(col("e1.u").as("ta"), col("e1.v").as("tb"), col("e2.v").as("tc"))
+    val tris = wedges.join(ord.as("cl"),
+        col("tb") === col("cl.u") && col("tc") === col("cl.v"), "left_semi")
+    // each triangle credits all three corners
+    val perNode = tris
+      .select(explode(array(col("ta"), col("tb"), col("tc"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
+    docs.join(deg, Seq("doc_id"), "left")
+      .join(perNode, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("deg"), lit(0L)).as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("clustering_ppm",
+        when(col("degree") >= 2L,
+          expr("n_triangles * 2000000 div (degree * (degree - 1))"))
+          .otherwise(lit(0L)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** F72: weighted synchronous label propagation over the shared-gram
+    * graph — community detection where connected components is too
+    * coarse (one shared boilerplate gram fuses two communities; LPA
+    * needs a MAJORITY of shared weight to merge them). R synchronous
+    * rounds, every node adopting the label with the largest incident
+    * weight sum (tie → smallest label, the deterministic convention);
+    * isolated nodes keep their own id as label.
+    *
+    * Scale shape: labels are one row per doc; each round shuffles the
+    * (doc, label) frame through one join with the pinned edges and one
+    * hash agg — the Pregel shape F53 established, K bounded rounds,
+    * lineage truncated per round. */
+  def labelProp(spark: SparkSession, dir: String, k: Int = 8,
+      dfCap: Int = 32, rounds: Int = 4): DataFrame =
+    labelPropOf(Tables(spark, dir).documents, k, dfCap, rounds)
+
+  /** The F72 compute over any (doc_id, text) frame. */
+  def labelPropOf(documents: DataFrame, k: Int, dfCap: Int,
+      rounds: Int): DataFrame = {
+    val (docs, pairs) = gramPairs(documents, k, dfCap)
+    val edges = pairs.repartition(col("src")).localCheckpoint(true)
+    var labels = docs.withColumn("lbl", col("doc_id"))
+    for (_ <- 1 to rounds) {
+      val votes = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(edges("src").as("node"), col("lbl"))
+        .agg(sum(col("w")).as("vote_w"))
+      val winner = votes
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("node"))
+            .orderBy(col("vote_w").desc, col("lbl"))))
+        .filter(col("rn") === 1)
+        .select(col("node").as("doc_id"), col("lbl").as("new_lbl"))
+      labels = labels.join(winner, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, Seq("lbl"))
+      .select(col("doc_id"), col("lbl").as("label"), col("community_size"))
       .orderBy(col("doc_id"))
   }
 }

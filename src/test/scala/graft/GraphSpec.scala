@@ -100,4 +100,93 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     val got = run(docs)
     assert(got.values.forall { case (n, w, p) => n == 0L && w == 0L && p == 150000L })
   }
+
+  /** Independent undirected edge set from gram sharing — the naive
+    * definition, deliberately NOT the oriented algorithm the engine
+    * runs, so the compact-forward orientation is checked against the
+    * textbook semantics. */
+  private def bruteEdges(docs: Seq[(Long, String)]): Set[(Long, Long)] = {
+    val occ: Seq[(Long, String)] = docs.flatMap { case (id, text) =>
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      toks.sliding(K).filter(_.length == K).map(g => (id, g.mkString(" "))).toSeq.distinct
+    }
+    val df = occ.groupBy(_._2).view.mapValues(_.size).toMap
+    occ.filter { case (_, g) => df(g) >= 2 && df(g) <= Cap }
+      .groupBy(_._2).values.flatMap { os =>
+        for ((a, _) <- os; (b, _) <- os if a < b) yield (a, b)
+      }.toSet
+  }
+
+  test("triangles: planted clique + wedge replay against the naive definition") {
+    // {0,1,2} all share gramA → K3 (one triangle); 3 shares gramB with 0
+    // only (a wedge at 0, no closure); 4 isolated
+    val docs = Seq(
+      0L -> s"$gramA one two $gramB",
+      1L -> s"$gramA three four five six seven eight nine ten",
+      2L -> s"$gramA eleven twelve thirteen fourteen fifteen sixteen",
+      3L -> s"$gramB seventeen eighteen nineteen twenty twentyone",
+      4L -> "nothing shared with anyone else in this corpus at all")
+    val und = bruteEdges(docs)
+    val nbrs = docs.map { case (id, _) =>
+      id -> und.collect { case (a, b) if a == id => b; case (a, b) if b == id => a }
+    }.toMap
+    val expect = docs.map { case (id, _) =>
+      val ns = nbrs(id).toSeq
+      val d = ns.length.toLong
+      val t = (for (x <- ns; y <- ns if x < y
+        if und.contains((math.min(x, y), math.max(x, y)))) yield 1).size.toLong
+      val cc = if (d >= 2) t * 2000000L / (d * (d - 1)) else 0L
+      id -> (d, t, cc)
+    }.toMap
+    val got = Graph.trianglesOf(docs.toDF("doc_id", "text"), K, Cap)
+      .collect().map { case Row(id: Long, d: Long, t: Long, c: Long) =>
+        id -> (d, t, c) }.toMap
+    assert(got === expect)
+    assert(got(1L) === ((2L, 1L, 1000000L)), "clique corner must be fully clustered")
+    assert(got(0L)._2 === 1L && got(0L)._3 < 1000000L,
+      "the wedge at 0 must dilute its clustering")
+    assert(got(4L) === ((0L, 0L, 0L)))
+  }
+
+  test("label propagation: tight communities hold against a weak bridge and replay exactly") {
+    // two triangles of heavy mutual overlap (each pair shares MANY
+    // grams), bridged by one single shared gram between 2 and 10 — a
+    // component-based dedup would fuse them; majority-weight LPA must not
+    val run1 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val run2 = "mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray"
+    val bridge = "bridge0 bridge1 bridge2 bridge3 bridge4 bridge5 bridge6 bridge7"
+    val docs = Seq(
+      0L -> s"$run1 zero00", 1L -> s"$run1 one11", 2L -> s"$run1 $bridge",
+      10L -> s"$run2 $bridge", 11L -> s"$run2 ten10", 12L -> s"$run2 twelve12")
+    // independent replay: weighted synchronous votes, argmax by
+    // (weight desc, label asc), isolated/self carry-over
+    val occ: Seq[(Long, String)] = docs.flatMap { case (id, text) =>
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      toks.sliding(K).filter(_.length == K).map(g => (id, g.mkString(" "))).toSeq.distinct
+    }
+    val df = occ.groupBy(_._2).view.mapValues(_.size).toMap
+    val w = occ.filter { case (_, g) => df(g) >= 2 && df(g) <= Cap }
+      .groupBy(_._2).values.flatMap { os =>
+        for ((a, _) <- os; (b, _) <- os if a != b) yield (a, b)
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var lbl: Map[Long, Long] = docs.map(d => d._1 -> d._1).toMap
+    for (_ <- 1 to 4) {
+      lbl = docs.map { case (id, _) =>
+        val votes = w.collect { case ((s, t), wt) if s == id => (lbl(t), wt) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toList
+        if (votes.isEmpty) id -> lbl(id)
+        else id -> votes.minBy { case (l, wt) => (-wt, l) }._1
+      }.toMap
+    }
+    val sizes = lbl.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = docs.map { case (id, _) => id -> ((lbl(id), sizes(lbl(id)))) }.toMap
+    val got = Graph.labelPropOf(docs.toDF("doc_id", "text"), K, Cap, rounds = 4)
+      .collect().map { case Row(id: Long, l: Long, s: Long) => id -> ((l, s)) }.toMap
+    assert(got === expect, s"LPA replay diverged: $got vs $expect")
+    // the two communities must NOT share a label across the weak bridge
+    val left = Set(0L, 1L, 2L).map(got(_)._1)
+    val right = Set(10L, 11L, 12L).map(got(_)._1)
+    assert(left.size == 1 && right.size == 1 && left != right,
+      s"weak bridge fused the communities: $got")
+  }
 }
