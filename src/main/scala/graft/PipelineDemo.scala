@@ -428,6 +428,104 @@ object PipelineDemo {
     }
   }
 
+  /** H1o: snapshot DIFF ([[Pipeline.diffGenerations]]) — two truncate
+    * generations over OVERLAPPING key slices (keys mod 3 ∈ {0,1} then
+    * mod 3 ∈ {1,2}), then the report joins the ledger-level answer
+    * (which version dirs were added/superseded — zero data reads) with
+    * the row-level answer (anti/semi joins over the two RESOLVED
+    * generations): added keys (mod 3 = 2), removed keys (mod 3 = 0),
+    * unchanged keys (mod 3 = 1). The oracle recomputes all three slices
+    * from the raw table — proving the resolved generations carry
+    * exactly the published bytes. */
+  def runDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val target = Tables.scratch(spark, "graft_pipeline_diff")
+    def cfg(where: String) =
+      s"""{
+         |  "sources": [
+         |    {"name": "orders_snap", "path": "$dir/orders.parquet",
+         |     "where": "$where"}
+         |  ],
+         |  "load": {"target": "$target", "mode": "truncate"}
+         |}""".stripMargin
+    val prior = spark.conf.getOption("graft.publish.mode")
+    spark.conf.set("graft.publish.mode", "manifest")
+    try {
+      Pipeline.run(spark, PipelineCfg.fromJson(cfg("o_orderkey % 3 < 2"))).collect()
+      Pipeline.run(spark, PipelineCfg.fromJson(cfg("o_orderkey % 3 > 0"))).collect()
+      val (addedV, removedV, keptV) =
+        Pipeline.diffGenerations(spark, target, "orders_snap")
+      val live = spark.read.parquet(
+        Pipeline.resolvePublished(spark, target, "orders_snap"): _*)
+      val prev = spark.read.parquet(
+        Pipeline.resolvePrevGeneration(spark, target, "orders_snap"): _*)
+      def stats(label: String, nVer: Long, rows: DataFrame) = {
+        val r = rows.agg(countDistinct(col("o_orderkey")).as("n_keys"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key")).head()
+        (label, nVer, r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      Seq(
+        stats("added", addedV.size.toLong,
+          live.join(prev, Seq("o_orderkey"), "left_anti")),
+        stats("removed", removedV.size.toLong,
+          prev.join(live, Seq("o_orderkey"), "left_anti")),
+        stats("unchanged", keptV.size.toLong,
+          live.join(prev, Seq("o_orderkey"), "left_semi")))
+        .toDF("change", "n_versions", "n_keys", "min_key", "max_key")
+        .orderBy(col("change"))
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("graft.publish.mode", v)
+        case None    => spark.conf.unset("graft.publish.mode")
+      }
+    }
+  }
+
+  /** H1p: INCREMENTAL READ ([[Pipeline.readIncremental]]) — three
+    * append publishes of disjoint key slices; a cursor-file consumer
+    * reads after the second (both pending versions), after the third
+    * (just the new one), and once more with nothing new (empty — the
+    * exactly-once-per-commit contract). Every consumed row count is
+    * measured by READING the returned version paths; the oracle
+    * recomputes the slice sizes from the raw table. */
+  def runIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val target = Tables.scratch(spark, "graft_pipeline_incr")
+    def cfg(where: String) =
+      s"""{
+         |  "sources": [
+         |    {"name": "orders_inc", "path": "$dir/orders.parquet",
+         |     "where": "$where"}
+         |  ],
+         |  "load": {"target": "$target", "mode": "append"}
+         |}""".stripMargin
+    val prior = spark.conf.getOption("graft.publish.mode")
+    spark.conf.set("graft.publish.mode", "manifest")
+    try {
+      def consume(call: Long, seenBefore: Long): (Long, Long, Long, Long) = {
+        val fresh = Pipeline.readIncremental(spark, target, "orders_inc", "c1")
+        val n = if (fresh.isEmpty) 0L
+          else spark.read.parquet(fresh: _*).count()
+        (call, fresh.size.toLong, n, seenBefore + n)
+      }
+      Pipeline.run(spark, PipelineCfg.fromJson(cfg("o_orderkey % 4 = 0"))).collect()
+      Pipeline.run(spark, PipelineCfg.fromJson(cfg("o_orderkey % 4 = 1"))).collect()
+      val c1 = consume(1L, 0L)
+      Pipeline.run(spark, PipelineCfg.fromJson(cfg("o_orderkey % 4 = 2"))).collect()
+      val c2 = consume(2L, c1._4)
+      val c3 = consume(3L, c2._4)
+      Seq(c1, c2, c3)
+        .toDF("call", "n_new_versions", "n_new_rows", "n_rows_seen_total")
+        .orderBy(col("call"))
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("graft.publish.mode", v)
+        case None    => spark.conf.unset("graft.publish.mode")
+      }
+    }
+  }
+
   def runBranch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.hadoop.fs.Path

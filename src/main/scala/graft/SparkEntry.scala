@@ -160,6 +160,8 @@ object SparkEntry {
     "pipeline_vacuum"        -> (PipelineDemo.runVacuum _),
     "pipeline_restore"       -> (PipelineDemo.runRestore _),
     "pipeline_expire"        -> (PipelineDemo.runExpire _),
+    "pipeline_diff"          -> (PipelineDemo.runDiff _),
+    "pipeline_incremental"   -> (PipelineDemo.runIncremental _),
     "pipeline_wap"           -> (PipelineDemo.runWap _),
     "pipeline_branch"        -> (PipelineDemo.runBranch _),
     "pipeline_curation"      -> ((s: SparkSession, d: String) => TextAnalysis.curationPipeline(s, d)),
@@ -2260,6 +2262,45 @@ object SparkEntry {
         | CAST(0 AS BIGINT) AS prev_versions_left,
         | CAST(1 AS BIGINT) AS restore_refused
         | FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
+    // H1o: the three diff classes recomputed from the raw table's key
+    // slices; version counts are fixed by construction (one dir per
+    // truncate generation, zero shared)
+    "pipeline_diff" ->
+      """SELECT * FROM (
+        |SELECT 'added' AS change, CAST(1 AS BIGINT) AS n_versions,
+        |  CAST(count(*) AS BIGINT) AS n_keys,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        | FROM orders WHERE o_orderkey % 3 = 2
+        |UNION ALL
+        |SELECT 'removed', CAST(1 AS BIGINT), count(*),
+        |  min(o_orderkey), max(o_orderkey)
+        | FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT 'unchanged', CAST(0 AS BIGINT), count(*),
+        |  min(o_orderkey), max(o_orderkey)
+        | FROM orders WHERE o_orderkey % 3 = 1)
+        |ORDER BY change""".stripMargin,
+    // H1p: consumed row counts recomputed from the appended slices; the
+    // third call proves the cursor is exhausted
+    "pipeline_incremental" ->
+      """WITH s0 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM orders
+        |  WHERE o_orderkey % 4 = 0),
+        |s1 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM orders
+        |  WHERE o_orderkey % 4 = 1),
+        |s2 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM orders
+        |  WHERE o_orderkey % 4 = 2)
+        |SELECT * FROM (
+        |SELECT CAST(1 AS BIGINT) AS call, CAST(2 AS BIGINT) AS n_new_versions,
+        |  s0.c + s1.c AS n_new_rows, s0.c + s1.c AS n_rows_seen_total
+        | FROM s0, s1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(1 AS BIGINT), s2.c, s0.c + s1.c + s2.c
+        | FROM s0, s1, s2
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |  s0.c + s1.c + s2.c
+        | FROM s0, s1, s2)
+        |ORDER BY call""".stripMargin,
     "pipeline_vacuum" ->
       """SELECT 'live' AS generation, count(*) AS n_rows,
         | count(DISTINCT o_orderkey) AS n_keys,

@@ -573,6 +573,59 @@ object Pipeline {
     doomed.size
   }
 
+  /** H1o: version-set DIFF between the live and previous generations —
+    * the `DESCRIBE HISTORY` / snapshot-compare primitive: which
+    * immutable version directories a publish added and which it
+    * superseded, straight from the two ledgers with ZERO data reads
+    * (row-level diffs layer a read over the returned paths; the
+    * file-level answer is O(ledger) at any table size). The comparison
+    * base is the `_GRAFT_PREV` generation — the one retained by the
+    * last TRUNCATE supersede — so appends ACCUMULATE into `added` until
+    * the next truncate resets the base (the "changes since the last
+    * full rewrite" reading).
+    * Returns (added, removed, kept) version names. */
+  def diffGenerations(spark: SparkSession, target: String,
+      name: String): (Seq[String], Seq[String], Seq[String]) = {
+    import org.apache.hadoop.fs.Path
+    val base0 = new Path(target, safeNameString(name))
+    val fs = base0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = fs.makeQualified(base0)
+    val live = readManifest(fs, base)
+    val prev = readLines(fs, prevFile(base))
+    (live.filterNot(prev.toSet), prev.filterNot(live.toSet),
+      live.filter(prev.toSet))
+  }
+
+  private def cursorFile(base: org.apache.hadoop.fs.Path, consumer: String) =
+    new org.apache.hadoop.fs.Path(base, s"_GRAFT_CURSOR_$consumer")
+
+  /** H1p: INCREMENTAL READ over an append-published target — the
+    * change-data-feed consumption loop reduced to its manifest essence:
+    * a consumer group is ONE tiny cursor file recording the version
+    * names it has processed; each call resolves the manifest, returns
+    * the paths of versions the cursor has NOT seen, and (when
+    * `commit`) advances the cursor to the full current manifest.
+    * Versions are immutable once listed, so the returned paths are
+    * stable snapshots; re-calling without a new publish returns empty —
+    * exactly-once per cursor commit, at-least-once if the caller reads
+    * before a crash and commits after. O(ledger) bookkeeping at any
+    * table size; the data read is bounded by the NEW versions only —
+    * the whole point: a 100 TB target's steady-state consumer reads
+    * just the appended delta. */
+  def readIncremental(spark: SparkSession, target: String, name: String,
+      consumer: String, commit: Boolean = true): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val base0 = new Path(target, safeNameString(name))
+    val fs = base0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = fs.makeQualified(base0)
+    val live = readManifest(fs, base)
+    val seen = readLines(fs, cursorFile(base, consumer)).toSet
+    val fresh = live.filterNot(seen)
+    if (commit && fresh.nonEmpty)
+      writeLines(fs, cursorFile(base, consumer), live)
+    fresh.map(v => new Path(base, v).toString)
+  }
+
   /** H1i: ZERO-COPY SHALLOW CLONE of a manifest-published target (the
     * lakehouse `SHALLOW CLONE` move, as in Delta/Iceberg): the clone is a
     * NEW target whose manifest lists the SOURCE's live version

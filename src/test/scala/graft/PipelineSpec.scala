@@ -718,4 +718,76 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       .checkConstraintsOf(spark.read.parquet(live: _*)).collect()
     assert(audit.forall(_.getLong(2) == 0L), "published data violates a constraint")
   }
+
+  test("generation diff: truncate supersedes, append accumulates — the ledger answer with zero data reads") {
+    import graft.config.Pipeline
+    import spark.implicits._
+    val target = graft.Tables.scratch(spark, s"graft_diff_prim_${System.nanoTime()}")
+    def cfg(mode: String, where: String) =
+      s"""{"sources": [{"name": "t", "path": "$sfDir/orders.parquet",
+         |  "where": "$where"}],
+         | "load": {"target": "$target", "mode": "$mode"}}""".stripMargin
+    val prior = spark.conf.getOption("graft.publish.mode")
+    spark.conf.set("graft.publish.mode", "manifest")
+    try {
+      Pipeline.run(spark, config.PipelineCfg.fromJson(
+        cfg("truncate", "o_orderkey % 2 = 0"))).collect()
+      Pipeline.run(spark, config.PipelineCfg.fromJson(
+        cfg("truncate", "o_orderkey % 2 = 1"))).collect()
+      // truncate: one added, one removed, nothing shared
+      val (a1, r1, k1) = Pipeline.diffGenerations(spark, target, "t")
+      assert(a1.size == 1 && r1.size == 1 && k1.isEmpty, s"$a1 $r1 $k1")
+      // append leaves the prev ledger at the last TRUNCATE supersede, so
+      // the diff accumulates: BOTH post-truncate versions count as added
+      Pipeline.run(spark, config.PipelineCfg.fromJson(
+        cfg("append", "o_orderkey % 2 = 0"))).collect()
+      val (a2, r2, k2) = Pipeline.diffGenerations(spark, target, "t")
+      assert(a2.size == 2 && r2 == r1 && k2.isEmpty,
+        s"append diff must accumulate against the truncate base: $a2 $r2 $k2")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("graft.publish.mode", v)
+        case None    => spark.conf.unset("graft.publish.mode")
+      }
+    }
+  }
+
+  test("incremental read: peek does not advance, commit does, every version consumed exactly once") {
+    import graft.config.Pipeline
+    import spark.implicits._
+    val target = graft.Tables.scratch(spark, s"graft_incr_prim_${System.nanoTime()}")
+    def cfg(where: String) =
+      s"""{"sources": [{"name": "t", "path": "$sfDir/orders.parquet",
+         |  "where": "$where"}],
+         | "load": {"target": "$target", "mode": "append"}}""".stripMargin
+    val prior = spark.conf.getOption("graft.publish.mode")
+    spark.conf.set("graft.publish.mode", "manifest")
+    try {
+      Pipeline.run(spark, config.PipelineCfg.fromJson(cfg("o_orderkey % 4 = 0"))).collect()
+      // peek (commit=false): same answer twice, cursor untouched
+      val p1 = Pipeline.readIncremental(spark, target, "t", "c", commit = false)
+      val p2 = Pipeline.readIncremental(spark, target, "t", "c", commit = false)
+      assert(p1.size == 1 && p1 == p2, "peek must not advance the cursor")
+      // commit: consumed once, then exhausted
+      val c1 = Pipeline.readIncremental(spark, target, "t", "c")
+      assert(c1 == p1, "commit read must see what peek saw")
+      assert(Pipeline.readIncremental(spark, target, "t", "c").isEmpty)
+      // a second consumer group has its OWN cursor
+      val other = Pipeline.readIncremental(spark, target, "t", "c2")
+      assert(other == p1, "consumer groups must be independent")
+      // new publish: only the delta comes back, and its bytes are the slice
+      Pipeline.run(spark, config.PipelineCfg.fromJson(cfg("o_orderkey % 4 = 1"))).collect()
+      val c2 = Pipeline.readIncremental(spark, target, "t", "c")
+      assert(c2.size == 1 && !c1.contains(c2.head))
+      val n = spark.read.parquet(c2: _*).count()
+      val want = spark.read.parquet(s"$sfDir/orders.parquet")
+        .where("o_orderkey % 4 = 1").count()
+      assert(n == want, s"delta rows $n != slice $want")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("graft.publish.mode", v)
+        case None    => spark.conf.unset("graft.publish.mode")
+      }
+    }
+  }
 }
