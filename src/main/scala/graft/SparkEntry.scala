@@ -205,6 +205,7 @@ object SparkEntry {
     "sample_kcenter"         -> ((s: SparkSession, d: String) => Similarity.sampleKcenter(s, d)),
     "sample_doremi"          -> ((s: SparkSession, d: String) => TextAnalysis.sampleDoremi(s, d)),
     "text_code_detect"       -> ((s: SparkSession, d: String) => TextAnalysis.textCodeDetect(s, d)),
+    "text_bpe_train"         -> ((s: SparkSession, d: String) => TextAnalysis.bpeTrain(s, d)),
     "q_salted_join"          -> ((s: SparkSession, d: String) => Relational.qSaltedJoin(s, d)),
     "text_quality"           -> TextAnalysis.quality _,
     "text_langid"            -> TextAnalysis.langid _,
@@ -247,6 +248,7 @@ object SparkEntry {
     "mm_video_keyframe"      -> ((s, d) => Multimodal.videoKeyframe(s, d)),
     "pipeline_media_curation" -> ((s, d) => Multimodal.mediaCuration(s, d)),
     "mm_audio_vad"           -> ((s, d) => Multimodal.audioVad(s, d)),
+    "mm_audio_fingerprint"   -> ((s, d) => Multimodal.audioFingerprint(s, d)),
     "load_partition_evolution" -> (LoadOps.partitionEvolution _),
     "mm_resize"              -> ((s: SparkSession, d: String) => Multimodal.resize(s, d)),
   )
@@ -2643,6 +2645,79 @@ object SparkEntry {
          | FROM lp4 GROUP BY 1)
          |SELECT l.doc_id, l.lbl AS label, sz.community_size
          |FROM lp4 l JOIN sz USING (lbl) ORDER BY l.doc_id""".stripMargin
+    },
+    // F74: the stub spectrogram model restated in SQL (list-comprehension
+    // bands, peak energies), then the same landmark hashes, df screen,
+    // and offset-histogram vote
+    "mm_audio_fingerprint" ->
+      """WITH d AS MATERIALIZED (SELECT doc_id,
+        |  CAST(strlen(text) AS BIGINT) AS n FROM documents),
+        |d2 AS (SELECT doc_id, n // 7 AS r, n % 7 AS p,
+        |  (n // 7) % 24 + 12 AS nf FROM d),
+        |pk AS MATERIALIZED (SELECT doc_id, t,
+        |  list_aggregate([(r * 31 + (t + p) * 17 + bb * bb * 29) % 1009
+        |    for bb in range(0, 8)], 'max') AS peak
+        | FROM (SELECT doc_id, r, p, unnest(range(0, nf)) AS t FROM d2)),
+        |lm AS MATERIALIZED (SELECT a.doc_id, a.t,
+        |  a.peak * 4036 + b.peak * 4 + (b.t - a.t) AS h
+        | FROM pk a JOIN pk b ON a.doc_id = b.doc_id
+        |  AND b.t - a.t BETWEEN 1 AND 3),
+        |good AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS c
+        |  FROM lm GROUP BY 1) WHERE c <= 64),
+        |lmk AS MATERIALIZED (SELECT lm.* FROM lm JOIN good USING (h)),
+        |m AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |  x.t - y.t AS t_offset, CAST(count(*) AS BIGINT) AS score
+        | FROM lmk x JOIN lmk y ON x.h = y.h AND x.doc_id < y.doc_id
+        | GROUP BY 1, 2, 3),
+        |s AS (SELECT *, row_number() OVER (PARTITION BY doc_a, doc_b
+        |  ORDER BY score DESC, t_offset) AS rn FROM m)
+        |SELECT doc_a, doc_b, t_offset, score FROM s
+        |WHERE rn = 1 AND score >= 20 ORDER BY doc_a, doc_b""".stripMargin,
+    // F73: full BPE replay — the vocab cap, the weighted pair argmax
+    // with the (count DESC, pair ASC) tie-break, and the island-parity
+    // leftmost-non-overlap merge, all as unrolled per-round CTEs; every
+    // learned merge and the compression trajectory hash-check
+    "text_bpe_train" -> {
+      val roundCtes = (1 to 6).map { i =>
+        s"""p$i AS MATERIALIZED (SELECT s.*, lead(sym) OVER (PARTITION BY word_id ORDER BY pos) AS nxt
+           | FROM s${i - 1} s),
+           |b$i AS MATERIALIZED (SELECT sym AS l, nxt AS r, CAST(sum(cnt) AS BIGINT) AS pc FROM p$i
+           | WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY pc DESC, l, r LIMIT 1),
+           |c$i AS MATERIALIZED (SELECT p.word_id, p.pos FROM p$i p, b$i b
+           | WHERE p.sym = b.l AND p.nxt = b.r),
+           |m$i AS MATERIALIZED (SELECT word_id, pos FROM (
+           |  SELECT word_id, pos,
+           |    row_number() OVER (PARTITION BY word_id, island ORDER BY pos) AS rn
+           |  FROM (SELECT word_id, pos,
+           |      sum(brk) OVER (PARTITION BY word_id ORDER BY pos) AS island
+           |    FROM (SELECT word_id, pos,
+           |        CASE WHEN pos - lag(pos) OVER (PARTITION BY word_id ORDER BY pos) = 1
+           |             THEN 0 ELSE 1 END AS brk FROM c$i)))
+           | WHERE rn % 2 = 1),
+           |s$i AS MATERIALIZED (SELECT word_id, cnt,
+           |  row_number() OVER (PARTITION BY word_id ORDER BY pos) AS pos, sym FROM (
+           |  SELECT t.word_id, t.cnt, t.pos,
+           |    CASE WHEN m.pos IS NOT NULL THEN b.l || b.r ELSE t.sym END AS sym
+           |  FROM p$i t CROSS JOIN b$i b
+           |  LEFT JOIN m$i m ON m.word_id = t.word_id AND m.pos = t.pos
+           |  LEFT JOIN m$i g ON g.word_id = t.word_id AND g.pos = t.pos - 1
+           |  WHERE g.pos IS NULL)),
+           |r$i AS MATERIALIZED (SELECT CAST($i AS BIGINT) AS round, b.l AS lhs, b.r AS rhs,
+           |  b.pc AS pair_count,
+           |  (SELECT CAST(sum(cnt) AS BIGINT) FROM s$i) AS n_symbols_after
+           | FROM b$i b)""".stripMargin
+      }.mkString(",\n")
+      val unionAll = (1 to 6).map(i => s"SELECT * FROM r$i").mkString(" UNION ALL ")
+      s"""WITH v0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |  SELECT unnest($toks) AS word FROM documents) GROUP BY 1
+         |  ORDER BY cnt DESC, word LIMIT 512),
+         |v AS MATERIALIZED (SELECT word, cnt,
+         |  row_number() OVER (ORDER BY cnt DESC, word) AS word_id FROM v0),
+         |s0 AS MATERIALIZED (SELECT word_id, cnt, pos,
+         |  substr(word, CAST(pos AS INT), 1) AS sym FROM (
+         |  SELECT word_id, cnt, word, unnest(range(1, len(word) + 1)) AS pos FROM v)),
+         |$roundCtes
+         |SELECT * FROM ($unionAll) ORDER BY round""".stripMargin
     },
     // F62: the F30 span CTEs + a position-level NOT EXISTS cut + the
     // ordered rebuild; the md5 pins the exact surviving byte stream

@@ -411,4 +411,78 @@ object Multimodal {
       .toDF("stage_ord", "stage", "units_in", "units_out", "checksum")
       .orderBy(col("stage_ord"))
   }
+
+  /** F74: audio FINGERPRINT matching — the landmark-hash retrieval idea
+    * (Wang's Shazam construction) over the deterministic stub
+    * spectrogram: per frame, the peak band's energy; landmarks pair
+    * each anchor frame's peak with the peaks 1-3 frames ahead,
+    * hashed (anchor energy, target energy, Δt). Two payloads match when
+    * MANY landmark hashes agree under ONE consistent time offset — the
+    * offset-histogram vote that makes the scheme robust to where the
+    * snippet starts. The stub models recordings and time-shifted
+    * excerpts: payloads with the same `octet_length div 7` are the same
+    * "recording", their `mod 7` the excerpt phase — so the op provably
+    * matches shifted pairs at the phase delta, which a whole-payload
+    * hash (F2) and the image hash (F65) both miss.
+    *
+    * Scale shape: the spectrogram model is map-side (one bounded
+    * explode per payload — no shuffle); matching is a hash-join on the
+    * landmark hash with the winnow-style df screen (hashes seen in more
+    * than `dfCap` payloads are corpus boilerplate and vote for no one),
+    * so per-key fan-out is bounded and there is no all-pairs stage —
+    * the F4/F18 banding argument, transposed to audio. */
+  def audioFingerprint(spark: SparkSession, dir: String,
+      dfCap: Long = 64L, minScore: Long = 20L): DataFrame =
+    audioFingerprintOf(
+      Tables(spark, dir).documents.select(col("doc_id"), col("text")),
+      dfCap, minScore)
+
+  /** The F74 core over an explicit (doc_id, text) payload frame — the
+    * spec plants same-recording / shifted / unrelated payload families
+    * through the SAME path as the registered query. */
+  def audioFingerprintOf(docs: DataFrame, dfCap: Long, minScore: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // STUB decode: recording id r + excerpt phase p from the payload
+    // length; a real pipeline plugs an FFT into the same (doc, t, peak)
+    // shape
+    val d = docs
+      .select(col("doc_id"), octet_length(col("text")).cast("long").as("n"))
+      .withColumn("r", expr("n div 7"))
+      .withColumn("p", expr("n % 7"))
+      .withColumn("nf", expr("(n div 7) % 24 + 12"))
+    val pk = d
+      .select(col("doc_id"), col("r"), col("p"),
+        explode(sequence(lit(0L), col("nf") - 1L)).as("t"))
+      .withColumn("e", transform(sequence(lit(0L), lit(7L)),
+        bb => (col("r") * 31L + (col("t") + col("p")) * 17L + bb * bb * 29L) % 1009L))
+      .withColumn("peak", array_max(col("e")))
+      .select(col("doc_id"), col("t"), col("peak"))
+    // landmarks: anchor paired with the 1..3 frames ahead — a per-doc
+    // bounded self-join (≤ 35 frames per payload)
+    val lm = pk.as("a").join(pk.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          (col("b.t") - col("a.t")).between(1L, 3L))
+      .select(col("a.doc_id").as("doc_id"), col("a.t").as("t"),
+        (col("a.peak") * 4036L + col("b.peak") * 4L +
+          (col("b.t") - col("a.t"))).as("h"))
+    // winnow-style df screen: a hash shared by more than dfCap payloads
+    // is boilerplate and votes for no one
+    val good = lm.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("c"))
+      .filter(col("c") <= dfCap).select(col("h"))
+    val lmk = lm.join(good, Seq("h"), "left_semi").localCheckpoint(true)
+    // offset-histogram vote: count agreeing hashes per (pair, Δt), keep
+    // each pair's best offset
+    val m = lmk.as("x").join(lmk.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        (col("x.t") - col("y.t")).as("t_offset"))
+      .agg(count(lit(1)).as("score"))
+    m.withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_a"), col("doc_b"))
+          .orderBy(col("score").desc, col("t_offset"))))
+      .filter(col("rn") === 1 && col("score") >= minScore)
+      .select(col("doc_a"), col("doc_b"), col("t_offset"), col("score"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

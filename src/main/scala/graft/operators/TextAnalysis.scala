@@ -1283,4 +1283,94 @@ object TextAnalysis {
       .toDF("domain", "n_docs", "mean_len", "excess_ppm", "w0_ppm", "w_final_ppm")
       .orderBy(col("domain"))
   }
+
+  /** F73: BPE tokenizer TRAINING — the merge-table learner every
+    * byte-pair tokenizer (GPT-2, SentencePiece-BPE, tiktoken) starts
+    * from, expressed DECLARATIVELY: no per-word sequential code anywhere
+    * — the classic "greedy leftmost non-overlapping merge" is window
+    * arithmetic (candidate runs split into islands, even offsets win),
+    * so both engines replay the identical algorithm and the whole merge
+    * table is hash-checked. Each round: (1) count adjacent symbol pairs
+    * weighted by word frequency, (2) adopt the (count DESC, pair ASC)
+    * argmax as the round's merge, (3) apply it everywhere at once.
+    * Output: one row per round — the learned merge, its corpus-weighted
+    * pair count, and the corpus-weighted symbol total after the merge
+    * (the compression trajectory).
+    *
+    * Scale design: the ONE corpus-sized job is the word count; every
+    * BPE round then operates on the VOCABULARY frame (|vocab| · avg
+    * word length rows — at 100 TB of text still millions, not
+    * billions), partition-keyed windows on word_id only, per-round
+    * lineage truncation, and a 1-row argmax collect per round (the
+    * kcenter greedy convention). The deterministic (cnt DESC, word)
+    * vocab cap bounds everything downstream of the first scan. */
+  def bpeTrain(spark: SparkSession, dir: String, vocabCap: Int = 512,
+      rounds: Int = 6): DataFrame =
+    bpeTrainOf(Tables(spark, dir).documents, vocabCap, rounds)
+
+  /** The F73 trainer over any (doc_id, text) frame — the spec feeds
+    * corpora with hand-replayable merge dynamics (overlap runs, ties)
+    * through the SAME path as the registered query. */
+  def bpeTrainOf(documents: DataFrame, vocabCap: Int, rounds: Int): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // (1) the one corpus-sized pass: word frequencies, capped
+    // deterministically. The global row_number window runs over ≤
+    // vocabCap rows (bounded by construction, the E31/F33 convention).
+    val vocab = documents
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(vocabCap)
+      .withColumn("word_id",
+        row_number().over(Window.orderBy(col("cnt").desc, col("word"))))
+      .localCheckpoint(true)
+    // (2) initial symbol state: one row per character position
+    var syms = vocab
+      .select(col("word_id"), col("cnt"),
+        posexplode(filter(split(col("word"), ""), s => length(s) > 0))
+          .as(Seq("pos", "sym")))
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("word_id")).orderBy(col("pos"))
+    val report = Seq.newBuilder[(Long, String, String, Long, Long)]
+    for (round <- 1 to rounds) {
+      val paired = syms.withColumn("nxt", lead(col("sym"), 1).over(w))
+      val bestRows = paired.filter(col("nxt").isNotNull)
+        .groupBy(col("sym").as("l"), col("nxt").as("r"))
+        .agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("l"), col("r")).limit(1).collect()
+      if (bestRows.nonEmpty) {
+        val (lSym, rSym, pc) =
+          (bestRows(0).getString(0), bestRows(0).getString(1), bestRows(0).getLong(2))
+        // (3) candidate positions → islands of CONSECUTIVE candidates →
+        // greedy leftmost non-overlap = the even offsets of each island
+        val wIsl = Window.partitionBy(col("word_id"), col("island")).orderBy(col("pos"))
+        val merged = paired
+          .filter(col("sym") === lSym && col("nxt") === rSym)
+          .withColumn("brk",
+            when(col("pos") - lag(col("pos"), 1).over(w) === 1, 0).otherwise(1))
+          .withColumn("island",
+            sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("rn", row_number().over(wIsl))
+          .filter(col("rn") % 2 === 1)
+          .select(col("word_id"), col("pos"))
+        // (4) apply everywhere at once: merged anchors adopt l||r, the
+        // consumed right neighbors vanish, positions re-rank
+        syms = syms
+          .join(merged.withColumn("m", lit(1)), Seq("word_id", "pos"), "left")
+          .join(merged.select(col("word_id"), (col("pos") + 1).as("pos"))
+            .withColumn("g", lit(1)), Seq("word_id", "pos"), "left")
+          .filter(col("g").isNull)
+          .select(col("word_id"), col("cnt"),
+            row_number().over(w).as("pos"),
+            when(col("m") === 1, lit(lSym + rSym)).otherwise(col("sym")).as("sym"))
+          .localCheckpoint(true)
+        val nAfter = syms.agg(sum(col("cnt"))).head().getLong(0)
+        report += ((round.toLong, lSym, rSym, pc, nAfter))
+      }
+    }
+    report.result()
+      .toDF("round", "lhs", "rhs", "pair_count", "n_symbols_after")
+      .orderBy(col("round"))
+  }
 }

@@ -647,4 +647,112 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       assert(rs.map(_._4).sorted.toSeq == (0L until rs.length.toLong).toSeq)
     }
   }
+
+  /** Textbook sequential BPE — the per-word greedy leftmost scan the
+    * declarative island-parity implementation must reproduce. */
+  private def bruteBpe(words: Seq[(String, Long)],
+      rounds: Int): Seq[(Long, String, String, Long, Long)] = {
+    var state: Seq[(Vector[String], Long)] =
+      words.map { case (w, c) => (w.split("").filter(_.nonEmpty).toVector, c) }
+    (1 to rounds).flatMap { r =>
+      val pairCounts = state.flatMap { case (syms, c) =>
+        syms.dropRight(1).zip(syms.drop(1)).map(p => (p, c)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      if (pairCounts.isEmpty) None
+      else {
+        val ((l, rr), pc) = pairCounts.minBy { case ((a, b), c) => (-c, a, b) }
+        state = state.map { case (syms, c) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == rr) {
+              out += (l + rr); i += 2 // greedy leftmost, non-overlapping
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result(), c)
+        }
+        val nAfter = state.map { case (s, c) => s.length * c }.sum
+        Some((r.toLong, l, rr, pc, nAfter))
+      }
+    }
+  }
+
+  test("bpe train: the declarative merge equals the sequential textbook scan, overlap runs included") {
+    // corpus engineered so the learned merges hit the tricky cases:
+    // "aaaa"-style overlap runs (parity rule), a tie broken by pair
+    // order, and a recursive merge (a learned symbol merging again)
+    val docs = Seq(
+      1L -> "banana banana banana bandana",
+      2L -> "aaaa aaaa aaab caaa",
+      3L -> "anana banana aaaa abab abab",
+      4L -> "zq zq zq zq zq zq zq zq zq zq")
+    val rounds = 6
+    val got = TextAnalysis.bpeTrainOf(docs.toDF("doc_id", "text"), 512, rounds)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val words = docs.flatMap(_._2.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    val want = bruteBpe(words, rounds)
+    assert(got == want, s"declarative BPE diverged:\n$got\nvs\n$want")
+    // the overlap corpus must actually exercise the parity rule: some
+    // round merges a pair whose symbols are EQUAL (aa), where greedy
+    // leftmost differs from naive all-candidates
+    assert(got.exists(m => m._2 == m._3), "no self-pair merge — overlap case untested")
+    // compression trajectory is monotone non-increasing
+    assert(got.map(_._5) == got.map(_._5).sorted.reverse, "n_symbols_after must shrink")
+    // recursive merge: a multi-char side can only be an earlier round's
+    // output being merged again
+    assert(got.exists(m => m._2.length > 1 || m._3.length > 1),
+      s"no recursive merge in ${got.map(m => (m._2, m._3))}")
+  }
+
+  /** Independent replay of the F74 landmark model: peaks, hashes, df
+    * screen, offset-histogram vote. */
+  private def bruteFingerprint(docs: Seq[(Long, Int)], dfCap: Long,
+      minScore: Long): Seq[(Long, Long, Long, Long)] = {
+    val lms = docs.flatMap { case (id, len) =>
+      val r = len / 7L; val p = len % 7L; val nf = (len / 7L) % 24L + 12L
+      def peak(t: Long) =
+        (0L to 7L).map(b => (r * 31L + (t + p) * 17L + b * b * 29L) % 1009L).max
+      for (t <- 0L until nf; dt <- 1L to 3L if t + dt < nf)
+        yield (id, t, peak(t) * 4036L + peak(t + dt) * 4L + dt)
+    }
+    val df = lms.groupBy(_._3).view.mapValues(_.map(_._1).distinct.size).toMap
+    val keep = lms.filter(l => df(l._3) <= dfCap)
+    val votes = (for {
+      x <- keep; y <- keep
+      if x._3 == y._3 && x._1 < y._1
+    } yield ((x._1, y._1, x._2 - y._2), 1))
+      .groupBy(_._1).view.mapValues(_.size.toLong).toSeq
+    votes.groupBy(v => (v._1._1, v._1._2)).toSeq.flatMap { case ((a, b), vs) =>
+      val (k, sc) = vs.minBy { case ((_, _, off), c) => (-c, off) }
+      if (sc >= minScore) Some((a, b, k._3, sc)) else None
+    }.sortBy(t => (t._1, t._2))
+  }
+
+  test("audio fingerprint: shifted excerpts match at the phase delta, boilerplate screen suppresses") {
+    import org.apache.spark.sql.functions.col
+    def payload(len: Int) = "x" * len
+    // recording 100: phases 0 and 3 (shifted excerpts); recording 150:
+    // two identical-phase copies; recording 300: a loner
+    val docs = Seq(1L -> 700, 2L -> 703, 10L -> 1050, 11L -> 1050, 20L -> 2100)
+    val df = docs.map { case (id, len) => (id, payload(len)) }.toDF("doc_id", "text")
+    val got = graft.operators.Multimodal.audioFingerprintOf(df, 64L, 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val want = bruteFingerprint(docs, 64L, 10L)
+    assert(got == want, s"fingerprint replay diverged:\n$got\nvs\n$want")
+    // the shifted pair matches at EXACTLY the phase delta; the copies at 0
+    val m12 = got.find(t => t._1 == 1L && t._2 == 2L)
+    assert(m12.exists(_._3 == 3L), s"shifted excerpt offset wrong: $m12")
+    assert(got.find(t => t._1 == 10L && t._2 == 11L).exists(_._3 == 0L))
+    // the loner matches no one
+    assert(!got.exists(t => t._1 == 20L || t._2 == 20L))
+    // df screen: a 3-copy family is boilerplate under dfCap=2 and votes
+    // for no one, while an independent 2-copy family still matches
+    val docs2 = Seq(1L -> 700, 2L -> 700, 3L -> 700, 10L -> 1050, 11L -> 1050)
+    val df2 = docs2.map { case (id, len) => (id, payload(len)) }.toDF("doc_id", "text")
+    val got2 = graft.operators.Multimodal.audioFingerprintOf(df2, 2L, 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got2 == Seq((10L, 11L)), s"df screen failed: $got2")
+  }
 }
