@@ -1798,17 +1798,29 @@ object LoadOps {
   /** The D42 core over an explicit (source, cents) frame — the spec
     * plants a Benford-conforming and a uniform-digit source and asserts
     * exactly one flags. */
-  def benfordOf(rows: DataFrame, flagBar: Long): DataFrame = {
-    val spark = rows.sparkSession
-    import spark.implicits._
-    // |source·9| rows — pin once so the total rollup and the grid join
-    // share ONE events scan
-    val counts = rows.filter(col("cents") =!= 0L)
+  def benfordOf(rows: DataFrame, flagBar: Long): DataFrame =
+    benfordFromCounts(benfordCountsOf(rows), flagBar)
+
+  /** The D42 digit-count pass: per (source, leading digit), exact
+    * occurrence counts — the associative integer state the G23
+    * streaming form accumulates (counts sum across batches with zero
+    * drift, the G20 cent-moment convention). */
+  def benfordCountsOf(rows: DataFrame): DataFrame =
+    rows.filter(col("cents") =!= 0L)
       .select(col("source"),
         substring(abs(col("cents")).cast("string"), 1, 1).cast("int").as("digit"))
       .groupBy(col("source"), col("digit"))
       .agg(count(lit(1)).as("n_d"))
-      .localCheckpoint(true)
+
+  /** The D42 report assembly over a (source, digit, n_d) count frame —
+    * ONE fixed shape shared by the batch op and the G23 streaming form
+    * so the two verdicts cannot drift. */
+  def benfordFromCounts(counts0: DataFrame, flagBar: Long): DataFrame = {
+    val spark = counts0.sparkSession
+    import spark.implicits._
+    // |source·9| rows — pin once so the total rollup and the grid join
+    // share ONE upstream pass
+    val counts = counts0.localCheckpoint(true)
     val expected = benfordPpm.toDF("digit", "exp_ppm")
     val sources = counts.groupBy(col("source")).agg(sum(col("n_d")).as("n"))
     val grid = sources.crossJoin(broadcast(expected))

@@ -541,4 +541,83 @@ object EventStreams {
         (): Unit
       }
       .start()
+
+  /** G22: STREAMING seasonal monitor — D41 as the always-on weekday
+    * pager: per-(source, day) integer (Σcents, n) moments accumulate in
+    * a persisted state table (the G14 write-new-then-rename rule; state
+    * is |source·days|-sized — the batch op's own rollup scale), the
+    * daily metric `Σ div n` is re-derived from TOTAL moments each
+    * trigger (associative integers — a day split across micro-batches
+    * folds to the same md as the one-shot pass), and the report runs
+    * the SAME `LoadOps.seasonalOf` core, so it equals the batch pass
+    * over the prefix after EVERY trigger bit-for-bit. The training
+    * horizon needs no streaming special case: the shared core re-derives
+    * it from the accumulated history's min day each time. */
+  def seasonalStream(events: DataFrame, stateDir: String,
+      trainDays: Long = 21L, hCents: Long = 150L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream.outputMode("append")
+      .foreachBatch { (batch0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import org.apache.spark.sql.functions._
+        val spark = batch0.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(stateDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val statePath = new org.apache.hadoop.fs.Path(stateDir + "/moments")
+        val fresh = batch0.toDF()
+          .select(col("source"), col("day").cast("long"), col("cents").cast("long"))
+          .groupBy(col("source"), col("day"))
+          .agg(sum(col("cents")).as("s"), count(lit(1)).as("n"))
+        val prior =
+          if (fs.exists(statePath)) spark.read.parquet(statePath.toString)
+          else fresh.limit(0)
+        val total = prior.unionByName(fresh)
+          .groupBy(col("source"), col("day"))
+          .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+          .localCheckpoint(true)
+        val tmp = new org.apache.hadoop.fs.Path(stateDir + "/moments.next")
+        total.write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(statePath)) fs.delete(statePath, true)
+        require(fs.rename(tmp, statePath), s"state publish failed: $tmp -> $statePath")
+        graft.operators.LoadOps.seasonalOf(
+            total.select(col("source"), col("day"), expr("s div n").as("md")),
+            trainDays, hCents)
+          .write.mode("overwrite").parquet(stateDir + "/report")
+        (): Unit
+      }
+      .start()
+
+  /** G23: STREAMING Benford screen — D42 as continuous forensics: the
+    * per-(source, digit) occurrence counts accumulate in a persisted
+    * state table (integer counts — associative, zero drift), and each
+    * trigger re-emits the verdict through the SAME
+    * `LoadOps.benfordFromCounts` assembly the batch op uses, so the
+    * flag equals the one-shot pass over all rows seen so far after
+    * every trigger bit-for-bit. State is O(|sources|·9) regardless of
+    * stream length. */
+  def benfordStream(rows: DataFrame, stateDir: String, flagBar: Long = 50000L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream.outputMode("append")
+      .foreachBatch { (batch0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import org.apache.spark.sql.functions._
+        val spark = batch0.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(stateDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val statePath = new org.apache.hadoop.fs.Path(stateDir + "/counts")
+        val fresh = graft.operators.LoadOps.benfordCountsOf(batch0.toDF())
+        val prior =
+          if (fs.exists(statePath)) spark.read.parquet(statePath.toString)
+          else fresh.limit(0)
+        val total = prior.unionByName(fresh)
+          .groupBy(col("source"), col("digit"))
+          .agg(sum(col("n_d")).as("n_d"))
+          .localCheckpoint(true)
+        val tmp = new org.apache.hadoop.fs.Path(stateDir + "/counts.next")
+        total.write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(statePath)) fs.delete(statePath, true)
+        require(fs.rename(tmp, statePath), s"state publish failed: $tmp -> $statePath")
+        graft.operators.LoadOps.benfordFromCounts(total, flagBar)
+          .write.mode("overwrite").parquet(stateDir + "/report")
+        (): Unit
+      }
+      .start()
 }

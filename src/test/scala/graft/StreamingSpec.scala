@@ -688,4 +688,73 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       assert(fin.exists(_ > 0L) && fin.exists(_ == 0L))
     } finally q.stop()
   }
+
+  test("G22: streaming seasonal monitor equals the batch pass after every trigger, days split mid-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // per-(source, day) events whose daily means carry a weekday period
+    // plus a late flat shift; slices deliberately CUT days in half so
+    // the moment state must fold partial days correctly
+    val ev = for {
+      d <- 0L to 27L; i <- 0L until 4L
+    } yield ("wk", d, 10000L + (if (d % 7 == 0) 480L else 0L) +
+        (if (d >= 21L) 400L else 0L) + (if (i % 2 == 0) 3L else -3L))
+    val stateDir = java.nio.file.Files.createTempDirectory("g22").toString + "/state"
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = EventStreams.seasonalStream(
+      mem.toDF().toDF("source", "day", "cents"), stateDir, trainDays = 14L)
+    try {
+      var fed = Seq.empty[(String, Long, Long)]
+      ev.grouped(45).foreach { slice =>
+        mem.addData(slice.toIndexedSeq: _*); q.processAllAvailable()
+        fed = fed ++ slice
+        val streamed = spark.read.parquet(stateDir + "/report").collect()
+          .map(_.toSeq).sortBy(r => (r.head.toString, r(1).asInstanceOf[Long])).toSeq
+        val daily = fed.toDF("source", "day", "cents")
+          .groupBy($"source", $"day")
+          .agg(org.apache.spark.sql.functions.expr("sum(cents) div count(*)").as("md"))
+        val batch = graft.operators.LoadOps.seasonalOf(daily, 14L, 150L).collect()
+          .map(_.toSeq).sortBy(r => (r.head.toString, r(1).asInstanceOf[Long])).toSeq
+        assert(streamed == batch, s"stream/batch diverged at prefix ${fed.length}")
+      }
+      // the final report alarms on the shifted days and not the periodic ones
+      val fin = spark.read.parquet(stateDir + "/report").collect()
+        .map(r => (r.getLong(1), r.getString(6)))
+      assert(fin.filter(_._1 >= 21L).forall(_._2 == "alert"), s"shift missed: ${fin.toSeq}")
+      assert(fin.filter(t => t._1 >= 14L && t._1 < 21L).forall(_._2 == "ok"),
+        s"periodic days must judge clean: ${fin.toSeq}")
+    } finally q.stop()
+  }
+
+  test("G23: streaming benford screen equals the batch verdict after every trigger") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // conforming mass for one source, uniform digits for the other,
+    // interleaved so early prefixes see skewed partial counts
+    val conf = Seq(301, 176, 125, 97, 79, 67, 58, 51, 46).zipWithIndex.flatMap {
+      case (n, i) => (0 until n).map(_ => ("conf", (i + 1) * 100L)) }
+    val unif = (1 to 9).flatMap(d => (0 until 100).map(_ => ("unif", d * 100L)))
+    val all = conf.zipAll(unif, ("conf", 100L), ("unif", 100L))
+      .flatMap(p => Seq(p._1, p._2))
+    val stateDir = java.nio.file.Files.createTempDirectory("g23").toString + "/state"
+    val mem = MemoryStream[(String, Long)]
+    val q = EventStreams.benfordStream(
+      mem.toDF().toDF("source", "cents"), stateDir)
+    try {
+      var fed = Seq.empty[(String, Long)]
+      all.grouped(700).foreach { slice =>
+        mem.addData(slice.toIndexedSeq: _*); q.processAllAvailable()
+        fed = fed ++ slice
+        val streamed = spark.read.parquet(stateDir + "/report").collect()
+          .map(_.toSeq).sortBy(r => (r.head.toString, r(1).asInstanceOf[Int])).toSeq
+        val batch = graft.operators.LoadOps.benfordOf(
+            fed.toDF("source", "cents"), 50000L).collect()
+          .map(_.toSeq).sortBy(r => (r.head.toString, r(1).asInstanceOf[Int])).toSeq
+        assert(streamed == batch, s"stream/batch diverged at prefix ${fed.length}")
+      }
+      val fin = spark.read.parquet(stateDir + "/report").collect()
+        .map(r => (r.getString(0), r.getInt(7))).distinct.sorted.toSeq
+      assert(fin == Seq(("conf", 0), ("unif", 1)), s"final verdicts wrong: $fin")
+    } finally q.stop()
+  }
 }
