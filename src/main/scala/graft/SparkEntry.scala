@@ -206,6 +206,7 @@ object SparkEntry {
     "sample_doremi"          -> ((s: SparkSession, d: String) => TextAnalysis.sampleDoremi(s, d)),
     "text_code_detect"       -> ((s: SparkSession, d: String) => TextAnalysis.textCodeDetect(s, d)),
     "text_bpe_train"         -> ((s: SparkSession, d: String) => TextAnalysis.bpeTrain(s, d)),
+    "text_bpe_tokens"        -> ((s: SparkSession, d: String) => TextAnalysis.bpeTokens(s, d)),
     "q_salted_join"          -> ((s: SparkSession, d: String) => Relational.qSaltedJoin(s, d)),
     "text_quality"           -> TextAnalysis.quality _,
     "text_langid"            -> TextAnalysis.langid _,
@@ -404,6 +405,54 @@ object SparkEntry {
        |      FROM o a JOIN o b ON a.gram = b.gram AND a.doc_id <> b.doc_id
        |      GROUP BY 1, 2),
        |n AS (SELECT doc_id FROM documents)""".stripMargin
+
+  /** The F73/F75 BPE training chain: capped vocab, character state, and
+    * six unrolled merge rounds (weighted pair argmax, island-parity
+    * leftmost non-overlap apply) — ONE text shared by the merge-table
+    * oracle and the tokenizer-apply oracle so both replay the identical
+    * trainer. Ends at `s6` (final symbol state) over `v` (vocab). */
+  private lazy val bpeChainCtes: String = {
+    val roundCtes = (1 to 6).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT s.*,
+         |  lead(sym) OVER (PARTITION BY word_id ORDER BY pos) AS nxt
+         | FROM s${i - 1} s),
+         |b$i AS MATERIALIZED (SELECT sym AS l, nxt AS r,
+         |  CAST(sum(cnt) AS BIGINT) AS pc FROM p$i
+         | WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY pc DESC, l, r LIMIT 1),
+         |c$i AS MATERIALIZED (SELECT p.word_id, p.pos FROM p$i p, b$i b
+         | WHERE p.sym = b.l AND p.nxt = b.r),
+         |m$i AS MATERIALIZED (SELECT word_id, pos FROM (
+         |  SELECT word_id, pos,
+         |    row_number() OVER (PARTITION BY word_id, island ORDER BY pos) AS rn
+         |  FROM (SELECT word_id, pos,
+         |      sum(brk) OVER (PARTITION BY word_id ORDER BY pos) AS island
+         |    FROM (SELECT word_id, pos,
+         |        CASE WHEN pos - lag(pos) OVER (PARTITION BY word_id ORDER BY pos) = 1
+         |             THEN 0 ELSE 1 END AS brk FROM c$i)))
+         | WHERE rn % 2 = 1),
+         |s$i AS MATERIALIZED (SELECT word_id, cnt,
+         |  row_number() OVER (PARTITION BY word_id ORDER BY pos) AS pos, sym FROM (
+         |  SELECT t.word_id, t.cnt, t.pos,
+         |    CASE WHEN m.pos IS NOT NULL THEN b.l || b.r ELSE t.sym END AS sym
+         |  FROM p$i t CROSS JOIN b$i b
+         |  LEFT JOIN m$i m ON m.word_id = t.word_id AND m.pos = t.pos
+         |  LEFT JOIN m$i g ON g.word_id = t.word_id AND g.pos = t.pos - 1
+         |  WHERE g.pos IS NULL)),
+         |r$i AS MATERIALIZED (SELECT CAST($i AS BIGINT) AS round, b.l AS lhs,
+         |  b.r AS rhs, b.pc AS pair_count,
+         |  (SELECT CAST(sum(cnt) AS BIGINT) FROM s$i) AS n_symbols_after
+         | FROM b$i b)""".stripMargin
+    }.mkString(",\n")
+    s"""v0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |  SELECT unnest($toks) AS word FROM documents) GROUP BY 1
+       |  ORDER BY cnt DESC, word LIMIT 512),
+       |v AS MATERIALIZED (SELECT word, cnt,
+       |  row_number() OVER (ORDER BY cnt DESC, word) AS word_id FROM v0),
+       |s0 AS MATERIALIZED (SELECT word_id, cnt, pos,
+       |  substr(word, CAST(pos AS INT), 1) AS sym FROM (
+       |  SELECT word_id, cnt, word, unnest(range(1, len(word) + 1)) AS pos FROM v)),
+       |$roundCtes""".stripMargin
+  }
 
   /** The F67 second chain: deflate with the PUBLISHED (rounded) v1/λ1,
     * then 20 more unrolled power steps on C2 — generated like the first
@@ -2678,47 +2727,23 @@ object SparkEntry {
     // leftmost-non-overlap merge, all as unrolled per-round CTEs; every
     // learned merge and the compression trajectory hash-check
     "text_bpe_train" -> {
-      val roundCtes = (1 to 6).map { i =>
-        s"""p$i AS MATERIALIZED (SELECT s.*, lead(sym) OVER (PARTITION BY word_id ORDER BY pos) AS nxt
-           | FROM s${i - 1} s),
-           |b$i AS MATERIALIZED (SELECT sym AS l, nxt AS r, CAST(sum(cnt) AS BIGINT) AS pc FROM p$i
-           | WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY pc DESC, l, r LIMIT 1),
-           |c$i AS MATERIALIZED (SELECT p.word_id, p.pos FROM p$i p, b$i b
-           | WHERE p.sym = b.l AND p.nxt = b.r),
-           |m$i AS MATERIALIZED (SELECT word_id, pos FROM (
-           |  SELECT word_id, pos,
-           |    row_number() OVER (PARTITION BY word_id, island ORDER BY pos) AS rn
-           |  FROM (SELECT word_id, pos,
-           |      sum(brk) OVER (PARTITION BY word_id ORDER BY pos) AS island
-           |    FROM (SELECT word_id, pos,
-           |        CASE WHEN pos - lag(pos) OVER (PARTITION BY word_id ORDER BY pos) = 1
-           |             THEN 0 ELSE 1 END AS brk FROM c$i)))
-           | WHERE rn % 2 = 1),
-           |s$i AS MATERIALIZED (SELECT word_id, cnt,
-           |  row_number() OVER (PARTITION BY word_id ORDER BY pos) AS pos, sym FROM (
-           |  SELECT t.word_id, t.cnt, t.pos,
-           |    CASE WHEN m.pos IS NOT NULL THEN b.l || b.r ELSE t.sym END AS sym
-           |  FROM p$i t CROSS JOIN b$i b
-           |  LEFT JOIN m$i m ON m.word_id = t.word_id AND m.pos = t.pos
-           |  LEFT JOIN m$i g ON g.word_id = t.word_id AND g.pos = t.pos - 1
-           |  WHERE g.pos IS NULL)),
-           |r$i AS MATERIALIZED (SELECT CAST($i AS BIGINT) AS round, b.l AS lhs, b.r AS rhs,
-           |  b.pc AS pair_count,
-           |  (SELECT CAST(sum(cnt) AS BIGINT) FROM s$i) AS n_symbols_after
-           | FROM b$i b)""".stripMargin
-      }.mkString(",\n")
       val unionAll = (1 to 6).map(i => s"SELECT * FROM r$i").mkString(" UNION ALL ")
-      s"""WITH v0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
-         |  SELECT unnest($toks) AS word FROM documents) GROUP BY 1
-         |  ORDER BY cnt DESC, word LIMIT 512),
-         |v AS MATERIALIZED (SELECT word, cnt,
-         |  row_number() OVER (ORDER BY cnt DESC, word) AS word_id FROM v0),
-         |s0 AS MATERIALIZED (SELECT word_id, cnt, pos,
-         |  substr(word, CAST(pos AS INT), 1) AS sym FROM (
-         |  SELECT word_id, cnt, word, unnest(range(1, len(word) + 1)) AS pos FROM v)),
-         |$roundCtes
+      s"""WITH $bpeChainCtes
          |SELECT * FROM ($unionAll) ORDER BY round""".stripMargin
     },
+    // F75: the SAME chain, then the per-word segmentation lengths from
+    // the final state and the corpus apply join with the OOV
+    // char-length fallback
+    "text_bpe_tokens" ->
+      s"""WITH $bpeChainCtes,
+         |seg AS MATERIALIZED (SELECT v.word, CAST(count(*) AS BIGINT) AS n_toks
+         | FROM s6 JOIN v USING (word_id) GROUP BY 1),
+         |wpd AS (SELECT doc_id, unnest($toks) AS word FROM documents)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         | CAST(sum(coalesce(seg.n_toks, len(word))) AS BIGINT) AS n_tokens,
+         | CAST(sum(CASE WHEN seg.n_toks IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+         |FROM wpd LEFT JOIN seg USING (word)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // F62: the F30 span CTEs + a position-level NOT EXISTS cut + the
     // ordered rebuild; the md5 pins the exact surviving byte stream
     "text_trim_spans" ->

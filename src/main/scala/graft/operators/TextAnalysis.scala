@@ -1311,7 +1311,16 @@ object TextAnalysis {
   /** The F73 trainer over any (doc_id, text) frame — the spec feeds
     * corpora with hand-replayable merge dynamics (overlap runs, ties)
     * through the SAME path as the registered query. */
-  def bpeTrainOf(documents: DataFrame, vocabCap: Int, rounds: Int): DataFrame = {
+  def bpeTrainOf(documents: DataFrame, vocabCap: Int, rounds: Int): DataFrame =
+    bpeRun(documents, vocabCap, rounds)._1
+
+  /** The full F73 training state: (merge report, final per-word symbol
+    * rows, capped vocabulary) — ONE trainer shared by the merge-table
+    * query (F73) and the tokenizer apply step (F75), so the vocabulary
+    * a document is counted against is exactly the one the published
+    * merges were learned from. */
+  def bpeRun(documents: DataFrame, vocabCap: Int,
+      rounds: Int): (DataFrame, DataFrame, DataFrame) = {
     val spark = documents.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -1369,8 +1378,43 @@ object TextAnalysis {
         report += ((round.toLong, lSym, rSym, pc, nAfter))
       }
     }
-    report.result()
+    (report.result()
       .toDF("round", "lhs", "rhs", "pair_count", "n_symbols_after")
-      .orderBy(col("round"))
+      .orderBy(col("round")),
+      syms, vocab)
+  }
+
+  /** F75: BPE tokenization — the APPLY step closing the F73 loop (train
+    * → tokenize), and the token-count metric every context-length
+    * budget, packing (F25) and pricing estimate actually needs: each
+    * document's whitespace words look up their trained segmentation
+    * length; out-of-vocabulary words fall back to character count (the
+    * worst-case byte-level segmentation a merge table never covered).
+    * Output per doc: word count, BPE token count, OOV word count.
+    *
+    * Scale shape: training is vocab-bounded (F73's argument); the apply
+    * pass is ONE corpus scan joined against the |vocab|-row
+    * segmentation table — explicitly broadcast, so no shuffle touches
+    * the exploded word stream beyond the per-doc rollup. */
+  def bpeTokens(spark: SparkSession, dir: String, vocabCap: Int = 512,
+      rounds: Int = 6): DataFrame =
+    bpeTokensOf(Tables(spark, dir).documents, vocabCap, rounds)
+
+  /** The F75 compute over any (doc_id, text) frame. */
+  def bpeTokensOf(documents: DataFrame, vocabCap: Int, rounds: Int): DataFrame = {
+    val (_, syms, vocab) = bpeRun(documents, vocabCap, rounds)
+    val seg = vocab.join(
+        syms.groupBy(col("word_id")).agg(count(lit(1)).as("n_toks")),
+        Seq("word_id"))
+      .select(col("word"), col("n_toks"))
+    documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .join(broadcast(seg), Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("n_toks"), length(col("word")).cast("long")))
+          .as("n_tokens"),
+        sum(when(col("n_toks").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .orderBy(col("doc_id"))
   }
 }

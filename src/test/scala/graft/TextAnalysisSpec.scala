@@ -706,6 +706,53 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       s"no recursive merge in ${got.map(m => (m._2, m._3))}")
   }
 
+  test("bpe tokens: per-doc counts replay from the brute trainer's final state, OOV falls back to chars") {
+    val docs = Seq(
+      1L -> "banana banana bandana anana",
+      2L -> "aaaa abab banana zq zq")
+    val rounds = 4
+    // brute final segmentation: replay the sequential trainer and keep
+    // the end state per word
+    val words = docs.flatMap(_._2.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    // top-3 vocab by (cnt desc, word) — the rest is OOV on purpose
+    val vocab = words.sortBy { case (w, c) => (-c, w) }.take(3)
+    var state = vocab.map { case (w, c) => (w, w.split("").filter(_.nonEmpty).toVector, c) }
+    for (_ <- 1 to rounds) {
+      val pcs = state.flatMap { case (_, syms, c) =>
+        syms.dropRight(1).zip(syms.drop(1)).map(p => (p, c)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      if (pcs.nonEmpty) {
+        val ((l, r), _) = pcs.minBy { case ((a, b), c) => (-c, a, b) }
+        state = state.map { case (w, syms, c) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += (l + r); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (w, out.result(), c)
+        }
+      }
+    }
+    val segLen = state.map { case (w, syms, _) => w -> syms.length.toLong }.toMap
+    val want = docs.map { case (id, text) =>
+      val ws = text.split("\\s+").filter(_.nonEmpty).toSeq
+      val toks = ws.map(w => segLen.getOrElse(w, w.length.toLong)).sum
+      val oov = ws.count(w => !segLen.contains(w)).toLong
+      (id, ws.length.toLong, toks, oov)
+    }.sortBy(_._1)
+    val got = TextAnalysis.bpeTokensOf(docs.toDF("doc_id", "text"), 3, rounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want, s"bpe token counts diverged:\n$got\nvs\n$want")
+    // the OOV fallback genuinely fired
+    assert(got.exists(_._4 > 0L), "no OOV word — fallback untested")
+    // and in-vocab words genuinely compressed below their char counts
+    val charSum = docs.map(d => d._2.replaceAll("\\s+", "").length.toLong).sum
+    assert(got.map(_._3).sum < charSum, "no compression — merges unapplied")
+  }
+
   /** Independent replay of the F74 landmark model: peaks, hashes, df
     * screen, offset-histogram vote. */
   private def bruteFingerprint(docs: Seq[(Long, Int)], dfCap: Long,
