@@ -97,6 +97,7 @@ object SparkEntry {
     "load_compact_plan"      -> LoadOps.compactPlan _,
     "mon_cusum"              -> ((s: SparkSession, d: String) => LoadOps.cusum(s, d)),
     "mon_seasonal"           -> ((s: SparkSession, d: String) => LoadOps.seasonal(s, d)),
+    "mon_forecast"           -> ((s: SparkSession, d: String) => LoadOps.holtForecast(s, d)),
     "mon_benford"            -> ((s: SparkSession, d: String) => LoadOps.benford(s, d)),
     "load_bloom_index"       -> ((s: SparkSession, d: String) => LoadOps.bloomIndex(s, d)),
     "load_table_checksum"    -> LoadOps.tableChecksum _,
@@ -1411,6 +1412,33 @@ object SparkEntry {
         | FROM rec JOIN r n ON n.source = rec.source AND n.rn = rec.rn + 1)
         |SELECT source, day, md, mu, s_hi, s_lo,
         | CAST(CASE WHEN s_hi > 3000 OR s_lo > 3000 THEN 1 ELSE 0 END AS INT) AS alarm
+        |FROM rec ORDER BY source, day""".stripMargin,
+    // D43: the Holt level/trend recurrence unrolled by a recursive CTE —
+    // the new level inlined twice so the trend update reads the SAME
+    // truncated value the engine's step computes
+    "mon_forecast" ->
+      """WITH RECURSIVE d AS (SELECT event_type AS source,
+        |  CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) // count(*) AS BIGINT) AS md
+        | FROM events GROUP BY 1, 2),
+        |r AS (SELECT source, day, md,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY day) AS BIGINT) AS rn
+        | FROM d),
+        |rec AS (
+        | SELECT source, day, md, rn, md AS l, CAST(0 AS BIGINT) AS b,
+        |  CAST(NULL AS BIGINT) AS fc, CAST(NULL AS BIGINT) AS resid
+        | FROM r WHERE rn = 1
+        | UNION ALL
+        | SELECT n.source, n.day, n.md, n.rn,
+        |  CAST((300000 * n.md + 700000 * (rec.l + rec.b)) // 1000000 AS BIGINT),
+        |  CAST((100000 * ((300000 * n.md + 700000 * (rec.l + rec.b)) // 1000000
+        |    - rec.l) + 900000 * rec.b) // 1000000 AS BIGINT),
+        |  rec.l + rec.b,
+        |  n.md - (rec.l + rec.b)
+        | FROM rec JOIN r n ON n.source = rec.source AND n.rn = rec.rn + 1)
+        |SELECT source, day, md, l AS level, b AS trend, fc AS forecast, resid,
+        | CAST(CASE WHEN rn >= 8 AND abs(resid) > 500 THEN 1 ELSE 0 END AS INT)
+        |   AS alert
         |FROM rec ORDER BY source, day""".stripMargin,
     // D41: the cusum daily-cents CTE + a (source, weekday) training
     // rollup in the same integer arithmetic; only rows past the training

@@ -1703,6 +1703,78 @@ object LoadOps {
       .orderBy(col("source"))
   }
 
+  /** One Holt (double-exponential) smoothing step in exact integer PPM:
+    * level tracks the series through the one-step forecast l+b, trend
+    * tracks the level's own motion — α/β in PPM, every division a
+    * truncating integer div (identical in Spark, Scala and DuckDB, signs
+    * included). ONE definition shared by the batch fold, the G24
+    * streaming form and the spec replay. */
+  def holtStep(l: Long, b: Long, md: Long,
+      alphaPpm: Long, betaPpm: Long): (Long, Long) = {
+    val l2 = (alphaPpm * md + (1000000L - alphaPpm) * (l + b)) / 1000000L
+    val b2 = (betaPpm * (l2 - l) + (1000000L - betaPpm) * b) / 1000000L
+    (l2, b2)
+  }
+
+  /** D43: Holt FORECAST monitor — the monitoring family's predictive
+    * member: CUSUM (D40) alarms on accumulated drift, the seasonal
+    * baseline (D41) on weekday deviation; Holt's linear smoothing
+    * carries a LEVEL + TREND state, so a source whose volume is
+    * steadily ramping is forecast forward and only deviations from the
+    * source's own trajectory alarm (a naive mean pages all through a
+    * legitimate ramp). Per day: the one-step-ahead forecast made BEFORE
+    * the observation, its residual, and a |residual| > h alert gated
+    * past a warmup (init transients must not page). Exact integer PPM
+    * recurrence, the whole trajectory replayed by a recursive-CTE
+    * oracle (the D40 precedent).
+    *
+    * Scale shape: ONE hash agg to |source·days| rows, then the
+    * order-dependent fold per source over its run-count-sized history
+    * (the D33 flatMapGroups convention). */
+  def holtForecast(spark: SparkSession, dir: String,
+      alphaPpm: Long = 300000L, betaPpm: Long = 100000L,
+      hCents: Long = 500L, warmup: Int = 8): DataFrame = {
+    val t = Tables(spark, dir)
+    val daily = t.eventsSec
+      .select(col("event_type").as("source"),
+        expr("sec div 86400").cast("long").as("day"),
+        expr("cast(round(value * 100) as long)").as("cents"))
+      .groupBy(col("source"), col("day"))
+      .agg(expr("sum(cents) div count(*)").as("md"))
+    holtOver(daily, alphaPpm, betaPpm, hCents, warmup)
+  }
+
+  /** The D43 fold over an explicit (source, day, md) daily frame —
+    * shared with the G24 streaming form and fed planted ramps/steps by
+    * the spec. */
+  def holtOver(daily: DataFrame, alphaPpm: Long, betaPpm: Long,
+      hCents: Long, warmup: Int): DataFrame = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    daily.select(col("source").cast("string"), col("day").cast("long"),
+        col("md").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (src: String, it: Iterator[(String, Long, Long)]) =>
+        val runs = it.toArray.sortBy(_._2)
+        var l = runs.head._3; var b = 0L
+        runs.zipWithIndex.map { case ((_, day, md), i) =>
+          if (i == 0)
+            (src, day, md, l, b, None: Option[Long], None: Option[Long], 0)
+          else {
+            val fc = l + b
+            val resid = md - fc
+            val (l2, b2) = holtStep(l, b, md, alphaPpm, betaPpm)
+            l = l2; b = b2
+            (src, day, md, l, b, Some(fc), Some(resid),
+              if (i + 1 >= warmup && math.abs(resid) > hCents) 1 else 0)
+          }
+        }.iterator
+      }
+      .toDF("source", "day", "md", "level", "trend", "forecast", "resid", "alert")
+      .orderBy(col("source"), col("day"))
+  }
+
   /** D41: day-of-week SEASONAL baseline monitor — the periodicity-aware
     * member of the drift family: D19's EWMA and D40's CUSUM both treat
     * the run log as one stationary series, so a source whose Sunday

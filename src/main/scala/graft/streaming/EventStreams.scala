@@ -542,6 +542,49 @@ object EventStreams {
       }
       .start()
 
+  /** G24: STREAMING Holt forecast — D43 as the always-on trend pager:
+    * (source, day, Σcents, n) moments accumulate in persisted state
+    * (associative integers — a day split across micro-batches folds to
+    * the same daily metric), and every trigger re-runs the SAME
+    * `LoadOps.holtOver` fold over the accumulated dailies, so the
+    * emitted trajectory equals the batch pass over the prefix
+    * bit-for-bit. The order-dependent recurrence needs no incremental
+    * state beyond the dailies themselves — the fold is run-log-sized,
+    * the G21 argument. */
+  def holtStream(events: DataFrame, stateDir: String,
+      alphaPpm: Long = 300000L, betaPpm: Long = 100000L,
+      hCents: Long = 500L, warmup: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream.outputMode("append")
+      .foreachBatch { (batch0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import org.apache.spark.sql.functions._
+        val spark = batch0.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(stateDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val statePath = new org.apache.hadoop.fs.Path(stateDir + "/moments")
+        val fresh = batch0.toDF()
+          .select(col("source"), col("day").cast("long"), col("cents").cast("long"))
+          .groupBy(col("source"), col("day"))
+          .agg(sum(col("cents")).as("s"), count(lit(1)).as("n"))
+        val prior =
+          if (fs.exists(statePath)) spark.read.parquet(statePath.toString)
+          else fresh.limit(0)
+        val total = prior.unionByName(fresh)
+          .groupBy(col("source"), col("day"))
+          .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+          .localCheckpoint(true)
+        val tmp = new org.apache.hadoop.fs.Path(stateDir + "/moments.next")
+        total.write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(statePath)) fs.delete(statePath, true)
+        require(fs.rename(tmp, statePath), s"state publish failed: $tmp -> $statePath")
+        graft.operators.LoadOps.holtOver(
+            total.select(col("source"), col("day"), expr("s div n").as("md")),
+            alphaPpm, betaPpm, hCents, warmup)
+          .write.mode("overwrite").parquet(stateDir + "/report")
+        (): Unit
+      }
+      .start()
+
   /** G22: STREAMING seasonal monitor — D41 as the always-on weekday
     * pager: per-(source, day) integer (Σcents, n) moments accumulate in
     * a persisted state table (the G14 write-new-then-rename rule; state

@@ -992,6 +992,50 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     assert(a == graft.operators.LoadOps.seasonal(spark, sfDir).collect().toSeq)
   }
 
+  test("holt forecast: a steady ramp never alarms, a step does, trajectory replays via the shared step") {
+    import spark.implicits._
+    // "ramp": +100/day forever — a mean-based pager alarms constantly,
+    // Holt's trend learns the slope and the residuals shrink under h.
+    // "step": flat 10000 then +2000 at day 15 — the jump breaks the
+    // forecast and must alarm. "noisy": ±80 oscillation inside h.
+    val ramp = (1L to 25L).map(d => ("ramp", d, 10000L + d * 100L))
+    val step = (1L to 25L).map(d => ("step", d, if (d >= 15L) 12000L else 10000L))
+    val noisy = (1L to 25L).map(d => ("noisy", d, 10000L + (if (d % 2 == 0) 80L else -80L)))
+    val daily = (ramp ++ step ++ noisy).toDF("source", "day", "md")
+    val got = graft.operators.LoadOps.holtOver(daily, 300000L, 100000L, 500L, 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), Option(r.get(5)).map(_.asInstanceOf[Long]),
+        Option(r.get(6)).map(_.asInstanceOf[Long]), r.getInt(7))).toSeq
+    // exact replay via the SAME step function
+    def replay(rows: Seq[(String, Long, Long)]) = {
+      val sorted = rows.sortBy(_._2)
+      var l = sorted.head._3; var b = 0L
+      sorted.zipWithIndex.map { case ((src, d, md), i) =>
+        if (i == 0) (src, d, md, l, b, None: Option[Long], None: Option[Long], 0)
+        else {
+          val fc = l + b; val resid = md - fc
+          val (l2, b2) = graft.operators.LoadOps.holtStep(l, b, md, 300000L, 100000L)
+          l = l2; b = b2
+          (src, d, md, l, b, Some(fc), Some(resid),
+            if (i + 1 >= 8 && math.abs(resid) > 500L) 1 else 0)
+        }
+      }
+    }
+    val brute = (replay(ramp) ++ replay(step) ++ replay(noisy)).sortBy(t => (t._1, t._2))
+    assert(got.sortBy(t => (t._1, t._2)) == brute, "holt trajectory diverged")
+    // the ramp's learned trend approaches the true slope and it never pages
+    assert(got.filter(_._1 == "ramp").forall(_._8 == 0), "ramp paged — trend unlearned")
+    val lateTrend = got.filter(t => t._1 == "ramp" && t._2 >= 20L).map(_._5)
+    assert(lateTrend.forall(t => t >= 60L && t <= 110L), s"trend off the slope: $lateTrend")
+    // the step alarms AT the jump and only after warmup
+    val stepAlerts = got.filter(t => t._1 == "step" && t._8 == 1).map(_._2)
+    assert(stepAlerts.nonEmpty && stepAlerts.min == 15L, s"step alarm days: $stepAlerts")
+    assert(got.filter(_._1 == "noisy").forall(_._8 == 0), "in-band noise paged")
+    // registered corpus query: deterministic
+    val a = graft.operators.LoadOps.holtForecast(spark, sfDir).collect().toSeq
+    assert(a == graft.operators.LoadOps.holtForecast(spark, sfDir).collect().toSeq)
+  }
+
   test("benford: conforming digits pass, uniform digits flag, stat replays in exact integers") {
     import spark.implicits._
     // "conforming": 1000 rows with per-digit counts at the Benford mass

@@ -726,6 +726,43 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("G24: streaming holt forecast equals the batch fold after every trigger, step alarm survives") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the batch spec's ramp + step series, fed as per-day events split
+    // mid-day so the moment state must fold partials
+    val ev = for {
+      d <- 1L to 25L; i <- 0L until 2L
+      (src, base) <- Seq(("ramp", 10000L + d * 100L),
+        ("step", if (d >= 15L) 12000L else 10000L))
+    } yield (src, d, base + (if (i == 0) 5L else -5L))
+    val stateDir = java.nio.file.Files.createTempDirectory("g24").toString + "/state"
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = EventStreams.holtStream(
+      mem.toDF().toDF("source", "day", "cents"), stateDir)
+    try {
+      var fed = Seq.empty[(String, Long, Long)]
+      ev.grouped(33).foreach { slice =>
+        mem.addData(slice.toIndexedSeq: _*); q.processAllAvailable()
+        fed = fed ++ slice
+        val streamed = spark.read.parquet(stateDir + "/report").collect()
+          .map(_.toSeq).sortBy(r => (r.head.toString, r(1).asInstanceOf[Long])).toSeq
+        val daily = fed.toDF("source", "day", "cents")
+          .groupBy($"source", $"day")
+          .agg(org.apache.spark.sql.functions.expr("sum(cents) div count(*)").as("md"))
+        val batch = graft.operators.LoadOps.holtOver(daily, 300000L, 100000L, 500L, 8)
+          .collect()
+          .map(_.toSeq).sortBy(r => (r.head.toString, r(1).asInstanceOf[Long])).toSeq
+        assert(streamed == batch, s"stream/batch diverged at prefix ${fed.length}")
+      }
+      val fin = spark.read.parquet(stateDir + "/report").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(7)))
+      assert(fin.filter(_._1 == "ramp").forall(_._3 == 0), "ramp paged in stream")
+      assert(fin.exists(t => t._1 == "step" && t._2 == 15L && t._3 == 1),
+        "step alarm lost in stream")
+    } finally q.stop()
+  }
+
   test("G23: streaming benford screen equals the batch verdict after every trigger") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
