@@ -60,6 +60,7 @@ object SparkEntry {
     "geo_transform_select"   -> ((s, d) => Geo.transformSelect(s, d)),
     "geo_pip_raycast"        -> Geo.pipRaycast _,
     "geo_zonal_stats"        -> Geo.zonalStats _,
+    "geo_dbscan"             -> ((s: SparkSession, d: String) => Geo.dbscan(s, d)),
     "geo_sr_validate"        -> Geo.srValidate _,
     "geo_envelope_check"     -> Geo.envelopeCheck _,
     "geo_count_sanity"       -> Geo.countSanity _,
@@ -956,6 +957,47 @@ object SparkEntry {
          | CAST(CASE WHEN ($pipTermsSql) % 2 = 1 THEN 1 ELSE 0 END AS INT) AS inside
          |FROM p ORDER BY o_orderkey""".stripMargin,
     // C14: first-match zone assignment (raycast polygon > bbox > outside)
+    // C15: the same integer point model, a range-join neighbor search
+    // (the oracle needs no grid — the grid is the ENGINE's scale
+    // strategy, the semantics are pure eps-distance), core threshold,
+    // recursive min-label reachability, and the min-adjacent border rule
+    "geo_dbscan" ->
+      """WITH RECURSIVE pts AS MATERIALIZED (SELECT o_orderkey AS id,
+        |  CAST(CASE WHEN o_orderkey % 20 = 0
+        |    THEN 150000 + (o_orderkey * 7919) % 800001
+        |    ELSE 250000 + ((o_orderkey % 42) % 7) * 80000
+        |      + (o_orderkey * 7919) % 16001 - 8000 END AS BIGINT) AS xi,
+        |  CAST(CASE WHEN o_orderkey % 20 = 0
+        |    THEN 6050000 + (o_orderkey * 104729) % 1700001
+        |    ELSE 6200000 + ((o_orderkey % 42) // 7) * 80000
+        |      + (o_orderkey * 104729) % 16001 - 8000 END AS BIGINT) AS yi
+        | FROM orders WHERE o_orderkey % 5 = 0),
+        |nb AS MATERIALIZED (SELECT a.id, b.id AS nid FROM pts a JOIN pts b
+        | ON b.xi BETWEEN a.xi - 3000 AND a.xi + 3000
+        |  AND b.yi BETWEEN a.yi - 3000 AND a.yi + 3000
+        |  AND a.id <> b.id
+        |  AND (a.xi - b.xi) * (a.xi - b.xi)
+        |    + (a.yi - b.yi) * (a.yi - b.yi) <= 9000000),
+        |core AS MATERIALIZED (SELECT id FROM nb GROUP BY id
+        | HAVING count(*) >= 5),
+        |ce AS MATERIALIZED (SELECT nb.id AS src, nb.nid AS dst FROM nb
+        | JOIN core c1 ON c1.id = nb.id JOIN core c2 ON c2.id = nb.nid),
+        |r AS (SELECT src AS node, src AS label FROM ce
+        | UNION SELECT ce.dst, r.label FROM r JOIN ce ON r.node = ce.src),
+        |cl AS MATERIALIZED (SELECT node, min(label) AS cluster FROM r GROUP BY 1),
+        |ac AS MATERIALIZED (SELECT c.id, COALESCE(cl.cluster, c.id) AS cluster
+        | FROM core c LEFT JOIN cl ON cl.node = c.id),
+        |bd AS MATERIALIZED (SELECT nb.id, min(a2.cluster) AS cluster FROM nb
+        | JOIN ac a2 ON a2.id = nb.nid
+        | WHERE nb.id NOT IN (SELECT id FROM core)
+        | GROUP BY nb.id)
+        |SELECT p.id, p.xi, p.yi,
+        | CASE WHEN ac.id IS NOT NULL THEN 'core'
+        |      WHEN bd.id IS NOT NULL THEN 'border'
+        |      ELSE 'noise' END AS role,
+        | COALESCE(ac.cluster, bd.cluster) AS cluster
+        |FROM pts p LEFT JOIN ac ON ac.id = p.id LEFT JOIN bd ON bd.id = p.id
+        |ORDER BY p.id""".stripMargin,
     // replayed with the same generated crossing terms, one rollup
     "geo_zonal_stats" ->
       s"""WITH p AS (SELECT o_orderkey,

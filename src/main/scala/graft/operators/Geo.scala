@@ -470,4 +470,94 @@ object Geo {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("inferred_sr"))
   }
+
+  /** C15: grid-bucketed DBSCAN — density clustering over planar points,
+    * the spatial clustering verb C12's fixed-grid hotspots cannot
+    * express (a hotspot grid reports dense CELLS; DBSCAN reports dense
+    * REGIONS of arbitrary shape, with the core/border/noise role split
+    * the original algorithm defines). Exact integer geometry end to
+    * end: squared distances against eps², role thresholds, min-label
+    * cluster ids — no floats anywhere, so both engines agree
+    * bit-for-bit, border ties resolved to the SMALLEST adjacent core
+    * cluster label.
+    *
+    * Scale design: the neighbor search is the classic grid-bucket
+    * equi-join — each point lands in an eps-sized cell, one side
+    * explodes into its 3×3 cell ring, and the join key is the CELL (a
+    * hash join, never an all-pairs or theta join; per-key fan-out is
+    * the local density, the quantity DBSCAN is measuring anyway). The
+    * core-core graph goes through the F19 component solver (per-round
+    * checkpointed label frame, loud non-convergence). */
+  def dbscan(spark: SparkSession, dir: String,
+      eps: Long = 3000L, minPts: Long = 5L): DataFrame = {
+    // facility-like point model: 42 well-separated 16 km sites (80 km
+    // grid pitch) with tight scatter, plus 5% uniform background noise —
+    // clustered structure at every SF, unlike the uniform synthXY model
+    // whose density sits far below any sensible eps
+    val k = col("o_orderkey")
+    val cid = k % 42
+    val isNoise = k % 20 === 0
+    val pts = Tables(spark, dir).orders.filter(k % 5 === 0)
+      .select(k.as("id"),
+        when(isNoise, lit(150000L) + (k * 7919L) % 800001L)
+          .otherwise(lit(250000L) + (cid % 7) * 80000L +
+            (k * 7919L) % 16001L - 8000L).as("xi"),
+        when(isNoise, lit(6050000L) + (k * 104729L) % 1700001L)
+          .otherwise(lit(6200000L) + expr("(o_orderkey % 42) div 7") * 80000L +
+            (k * 104729L) % 16001L - 8000L).as("yi"))
+    dbscanOf(pts, eps, minPts)
+  }
+
+  /** The C15 core over an explicit (id, xi, yi) integer point frame —
+    * the spec plants clusters, borders, bridges and loners through the
+    * SAME path as the registered query. */
+  def dbscanOf(pts0: DataFrame, eps: Long, minPts: Long): DataFrame = {
+    val pts = pts0.localCheckpoint(true)
+    val home = pts
+      .withColumn("cx", expr(s"xi div $eps"))
+      .withColumn("cy", expr(s"yi div $eps"))
+    val ring = for { dx <- -1 to 1; dy <- -1 to 1 } yield (dx, dy)
+    val probes = home.select(col("id").as("nid"), col("xi").as("bxi"),
+        col("yi").as("byi"),
+        explode(array(ring.map { case (dx, dy) =>
+          struct((col("cx") + dx).as("cx"), (col("cy") + dy).as("cy"))
+        }: _*)).as("c"))
+      .select(col("nid"), col("bxi"), col("byi"),
+        col("c.cx").as("cx"), col("c.cy").as("cy"))
+    val nb = home.join(probes, Seq("cx", "cy"))
+      .filter(col("id") =!= col("nid") &&
+        (col("xi") - col("bxi")) * (col("xi") - col("bxi")) +
+          (col("yi") - col("byi")) * (col("yi") - col("byi")) <= eps * eps)
+      .select(col("id"), col("nid"))
+      .localCheckpoint(true)
+    val core = nb.groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= minPts).select(col("id"))
+      .localCheckpoint(true)
+    // core-core adjacency → components; isolated cores label themselves
+    // (they are passed as nodes)
+    val corePairs = nb
+      .join(core.withColumnRenamed("id", "nid"), Seq("nid"), "left_semi")
+      .join(core, Seq("id"), "left_semi")
+      .filter(col("id") < col("nid"))
+      .select(col("id").as("d1"), col("nid").as("d2"))
+    val labels = Dedup.connectedComponents(
+      core.select(col("id").as("doc_id")), corePairs)
+      .select(col("doc_id").as("id"), col("label").as("cluster"))
+      .localCheckpoint(true)
+    // border: non-core with ≥1 core neighbor → smallest adjacent core
+    // cluster
+    val border = nb
+      .join(core, Seq("id"), "left_anti")
+      .join(labels.withColumnRenamed("id", "nid"), Seq("nid"))
+      .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+    pts
+      .join(labels.withColumn("is_core", lit(1)), Seq("id"), "left")
+      .join(border.withColumnRenamed("cluster", "b_cluster"), Seq("id"), "left")
+      .select(col("id"), col("xi"), col("yi"),
+        when(col("is_core") === 1, lit("core"))
+          .when(col("b_cluster").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("cluster"), col("b_cluster")).as("cluster"))
+      .orderBy(col("id"))
+  }
 }

@@ -197,4 +197,53 @@ class GeoSpec extends AnyFunSuite with SparkTestBase {
       assert(r.getLong(3) <= yCell, s"bucket ${r.getLong(0)} y_extent ${r.getLong(3)}")
     }
   }
+
+  test("dbscan: planted blob/chain/border/loner replay against the naive all-pairs definition") {
+    import spark.implicits._
+    val eps = 1000L; val minPts = 2L
+    val pts: Seq[(Long, Long, Long)] =
+      (0L to 6L).map(i => (i, i * 100L, 0L)) ++          // dense blob (all core)
+        Seq((50L, 1599L, 0L)) ++                         // border of the blob
+        (0L to 9L).map(i => (100L + i, 40000L + i * 900L, 0L)) ++ // 10-hop chain
+        Seq((99L, 999999L, 999999L))                     // loner
+    val got = graft.operators.Geo.dbscanOf(pts.toDF("id", "xi", "yi"), eps, minPts)
+      .collect().map(r => (r.getLong(0), r.getString(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]))).toSeq.sortBy(_._1)
+    // naive replay: all-pairs distances, core threshold, reachability
+    // over cores (transitive closure), min-adjacent border rule
+    def d2(a: (Long, Long, Long), b: (Long, Long, Long)) =
+      (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+    val nbrs = pts.map(p => p._1 ->
+      pts.filter(q => q._1 != p._1 && d2(p, q) <= eps * eps).map(_._1)).toMap
+    val core = pts.map(_._1).filter(id => nbrs(id).size >= minPts).toSet
+    // closure over core adjacency
+    var comp = core.map(id => id -> id).toMap
+    var changed = true
+    while (changed) {
+      changed = false
+      for (c <- core; n <- nbrs(c) if core(n)) {
+        val m = math.min(comp(c), comp(n))
+        if (comp(c) != m) { comp += c -> m; changed = true }
+        if (comp(n) != m) { comp += n -> m; changed = true }
+      }
+    }
+    val want = pts.map { p =>
+      if (core(p._1)) (p._1, "core", Some(comp(p._1)))
+      else {
+        val coreNb = nbrs(p._1).filter(core)
+        if (coreNb.nonEmpty) (p._1, "border", Some(coreNb.map(comp).min))
+        else (p._1, "noise", None)
+      }
+    }.sortBy(_._1)
+    assert(got == want, s"dbscan replay diverged:\n$got\nvs\n$want")
+    // structure: one blob cluster, the border hangs off it, the chain is
+    // ONE cluster despite spanning 9 grid cells (multi-hop CC), loner noise
+    assert(got.filter(t => t._1 <= 6L).forall(t => t._2 == "core" && t._3.contains(0L)))
+    assert(got.find(_._1 == 50L).exists(t => t._2 == "border" && t._3.contains(0L)))
+    val chain = got.filter(t => t._1 >= 100L && t._1 < 110L)
+    assert(chain.count(_._2 == "core") == 8 && chain.count(_._2 == "border") == 2,
+      s"chain roles wrong: $chain")
+    assert(chain.flatMap(_._3).distinct == Seq(101L), "chain fragmented") // 101 = min CORE id (ends are borders)
+    assert(got.find(_._1 == 99L).exists(t => t._2 == "noise" && t._3.isEmpty))
+  }
 }
