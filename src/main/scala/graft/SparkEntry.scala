@@ -139,6 +139,8 @@ object SparkEntry {
     "q_markov_transitions"   -> Relational.qMarkovTransitions _,
     "q_ab_ttest"             -> Relational.qAbTtest _,
     "q_regression"           -> Relational.qRegression _,
+    "q_hierarchy_rollup"     -> ((s: SparkSession, d: String) => Relational.qHierarchyRollup(s, d)),
+    "emb_silhouette"         -> ((s: SparkSession, d: String) => Similarity.embSilhouette(s, d)),
     "q_funnel_windowed"      -> ((s: SparkSession, d: String) => Relational.qFunnelWindowed(s, d)),
     "q_time_bucket"          -> Relational.qTimeBucket _,
     "q_running_agg"          -> Relational.qRunningAgg _,
@@ -3176,6 +3178,46 @@ object SparkEntry {
          |  CAST(n AS BIGINT) AS cluster_size,
          |  rnk > (n * 1) // 4 AS kept
          |FROM r ORDER BY vec_id""".stripMargin,
+    // E39: the oracle is the genuine WITH RECURSIVE parent walk — a
+    // different algorithm from the engine's pointer doubling, same answer
+    "q_hierarchy_rollup" ->
+      """WITH RECURSIVE n AS (SELECT c_custkey AS id,
+        |  CASE WHEN c_custkey < 16 THEN c_custkey ELSE c_custkey // 2 END AS parent,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+        |w AS (SELECT id, parent AS cur,
+        |  CAST(CASE WHEN parent = id THEN 0 ELSE 1 END AS BIGINT) AS d FROM n
+        | UNION ALL
+        | SELECT w.id, n2.parent, w.d + 1
+        | FROM w JOIN n n2 ON n2.id = w.cur WHERE n2.parent <> n2.id),
+        |f AS (SELECT w.id, w.cur AS root, w.d FROM w
+        | JOIN n r ON r.id = w.cur WHERE r.parent = r.id)
+        |SELECT f.root, CAST(count(*) AS BIGINT) AS n_nodes,
+        | CAST(max(f.d) AS BIGINT) AS max_depth,
+        | CAST(sum(n.cents) AS BIGINT) AS sum_cents
+        |FROM f JOIN n ON n.id = f.id GROUP BY 1 ORDER BY f.root""".stripMargin,
+    // F76: the shared quantizer CTEs + a per-vector rank over centroid
+    // cosines; margins/flags judge 4-dec-rounded values in one shape
+    "emb_silhouette" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT label AS c_label, list(a ORDER BY pos) AS cv
+         |  FROM (SELECT label, pos, avg(x) AS a
+         |    FROM (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e)
+         |    GROUP BY label, pos)
+         |  GROUP BY label),
+         |s AS (SELECT vec_id, c_label, ${cosSql("v", "cv")} AS sim,
+         |  row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ${cosSql("v", "cv")} DESC, c_label) AS rn
+         | FROM e CROSS JOIN c),
+         |p AS (SELECT vec_id,
+         |  max(CASE WHEN rn = 1 THEN c_label END) AS cluster,
+         |  max(CASE WHEN rn = 1 THEN round(sim, 4) END) AS cos_own,
+         |  max(CASE WHEN rn = 2 THEN round(sim, 4) END) AS cos_next
+         | FROM s WHERE rn <= 2 GROUP BY 1)
+         |SELECT vec_id, CAST(cluster AS INT) AS cluster, cos_own, cos_next,
+         | round(cos_own - cos_next, 4) AS margin,
+         | CAST(CASE WHEN round(cos_own - cos_next, 4) >= 0.05
+         |   THEN 1 ELSE 0 END AS INT) AS confident
+         |FROM p ORDER BY vec_id""".stripMargin,
     "dedup_semantic" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          |c AS (SELECT label AS c_label, list(a ORDER BY pos) AS cv

@@ -1014,6 +1014,54 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** E39: hierarchy rollup by POINTER JUMPING — the recursive-query verb
+    * (org charts, category trees, thread ancestry) that SQL engines
+    * spell `WITH RECURSIVE` and Spark lacks natively: every node finds
+    * its ROOT and DEPTH, then trees roll up (size, max depth, balance
+    * total). Forest model over the customer table: `parent = id div 2`,
+    * nodes below 16 are self-parented roots — chains at sf0.1 run ~13
+    * levels deep.
+    *
+    * Scale design: pointer DOUBLING (`ptr ← ptr(ptr)`, distances add),
+    * so a depth-D forest resolves in ⌈log₂ D⌉ self-joins of the
+    * one-row-per-node frame — 5 rounds cover depth 32, 8 cover 256; a
+    * naive parent-walk would need D corpus-sized joins. Each round is a
+    * hash self-join + checkpoint (the F53 lineage rule); convergence is
+    * verified and non-convergence fails LOUDLY (the F19 contract). The
+    * oracle is the genuine `WITH RECURSIVE` walk — two different
+    * algorithms, one answer. */
+  def qHierarchyRollup(spark: SparkSession, dir: String,
+      maxRounds: Int = 8): DataFrame = {
+    val n = Tables(spark, dir).customer
+      .select(col("c_custkey").as("id"),
+        expr("case when c_custkey < 16 then c_custkey else c_custkey div 2 end")
+          .as("parent"),
+        expr("cast(round(c_acctbal * 100) as long)").as("cents"))
+      .localCheckpoint(true)
+    var ptr = n.select(col("id"), col("parent").as("cur"),
+        when(col("parent") === col("id"), 0L).otherwise(1L).as("d"))
+      .localCheckpoint(true)
+    var rounds = 0
+    var pending = 1L
+    while (pending > 0 && rounds < maxRounds) {
+      ptr = ptr.as("a").join(ptr.as("b"), col("a.cur") === col("b.id"))
+        .select(col("a.id").as("id"), col("b.cur").as("cur"),
+          (col("a.d") + col("b.d")).as("d"))
+        .localCheckpoint(true)
+      pending = ptr.join(n.withColumnRenamed("id", "cur"), Seq("cur"))
+        .filter(col("parent") =!= col("cur")).count()
+      rounds += 1
+    }
+    require(pending == 0,
+      s"pointer jumping did not converge in $maxRounds rounds " +
+        s"($pending chains still unresolved) — depth exceeds 2^$maxRounds")
+    ptr.join(n.select(col("id"), col("cents")), Seq("id"))
+      .groupBy(col("cur").as("root"))
+      .agg(count(lit(1)).as("n_nodes"), max(col("d")).as("max_depth"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy(col("root"))
+  }
+
   /** The E35 report assembly over a (state, next_state, n) matrix —
     * denominators via a states²-row window (tiny), exact PPM division. */
   def markovAssemble(matrix: DataFrame): DataFrame = {

@@ -1291,4 +1291,43 @@ object Similarity {
         col("n_assigned"), col("cluster_radius"))
       .orderBy(col("sel_order"))
   }
+
+  /** F76: per-vector SILHOUETTE-style assignment confidence over the
+    * coarse quantizer — the clustering-quality readout the IVF stack
+    * (F8b/F41/F54) serves from but never reports: for every vector, the
+    * cosine to its OWN centroid, the runner-up centroid's cosine, and
+    * the margin between them. A thin margin marks a vector whose list
+    * assignment is arbitrary (the ANN recall risk zone and the SemDeDup
+    * false-cluster zone); the `confident` flag thresholds the rounded
+    * margin at 0.05 — the simplified (centroid-based) silhouette idea
+    * in the engine's cosine geometry.
+    *
+    * Scale shape: the |lists|×dims quantizer broadcasts; per-vector
+    * work is one bounded window over |lists| rows per vec (rank own vs
+    * runner-up) — no pairwise stage, nothing corpus-sized shuffles
+    * beyond the one explode-free crossJoin row stream. The D36 rounded-
+    * verdict convention: margins and flags judge 4-dec-rounded cosines
+    * through one fixed expression shape. */
+  def embSilhouette(spark: SparkSession, dir: String,
+      confidentBar: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val e = vectors(spark, dir)
+    val centsDf = trainQuantizer(e).toDF("c_label", "cv")
+      .select(col("c_label"), col("cv").cast("array<double>").as("cv"))
+    val ranked = e.crossJoin(broadcast(centsDf))
+      .withColumn("sim", Vec.cosine(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("sim").desc, col("c_label"))))
+    ranked.filter(col("rn") <= 2)
+      .groupBy(col("vec_id"))
+      .agg(
+        max(when(col("rn") === 1, col("c_label"))).as("cluster"),
+        max(when(col("rn") === 1, round(col("sim"), 4))).as("cos_own"),
+        max(when(col("rn") === 2, round(col("sim"), 4))).as("cos_next"))
+      .withColumn("margin", round(col("cos_own") - col("cos_next"), 4))
+      .withColumn("confident", (col("margin") >= confidentBar).cast("int"))
+      .orderBy(col("vec_id"))
+  }
 }

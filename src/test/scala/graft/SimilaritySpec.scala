@@ -701,4 +701,45 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       assert(top == pid, s"probe $pid not resolved from the merged lists (got $top)")
     }
   }
+
+  test("silhouette: brute centroid-margin replay agrees and clusters match the IVF assignment") {
+    val got = Similarity.embSilhouette(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getInt(5))).toSeq
+    // brute replay: label-mean centroids, full cosine ranking per vector
+    val vecs = Similarity.vectors(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2)))
+    val cents = vecs.groupBy(_._2).view.mapValues { g =>
+      val dims = g.head._3.length
+      (0 until dims).map(i => g.map(_._3(i)).sum / g.length)
+    }.toMap
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val dot = a.zip(b).map(p => p._1 * p._2).sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.nonEmpty && got.length == vecs.length)
+    got.foreach { case (id, cluster, own, next, margin, confident) =>
+      val v = vecs.find(_._1 == id).get._3
+      val ranked = cents.toSeq.map { case (l, c) => (l, cos(v, c)) }
+        .sortBy { case (l, s) => (-s, l) }
+      assert(cluster == ranked.head._1, s"vec $id cluster ${ranked.head._1} != $cluster")
+      assert(math.abs(own - r4(ranked.head._2)) <= 1e-4, s"vec $id own cosine")
+      assert(math.abs(next - r4(ranked(1)._2)) <= 1e-4, s"vec $id runner-up cosine")
+      assert(margin == r4(own - next) && margin >= 0.0, s"vec $id margin shape")
+      assert(confident == (if (margin >= 0.05) 1 else 0), s"vec $id flag")
+    }
+    // consistency: the silhouette's own-cluster IS the IVF list assignment
+    val asg = Similarity.listAssignments(spark,
+        Similarity.vectors(spark, sfDir),
+        Similarity.trainQuantizer(Similarity.vectors(spark, sfDir)))
+      .collect().map(r => (r.getLong(0), r.getInt(3))).toMap
+    got.foreach { case (id, cluster, _, _, _, _) =>
+      assert(asg(id) == cluster, s"vec $id: silhouette cluster != IVF list")
+    }
+    // the readout is non-degenerate: both confident and thin-margin
+    // vectors exist in the corpus
+    assert(got.exists(_._6 == 1) && got.exists(_._6 == 0),
+      "margin distribution degenerate — threshold tells nothing")
+  }
 }

@@ -303,4 +303,27 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
         s"$flag fit must pass through (mean_x, mean_y)")
     }
   }
+
+  test("hierarchy rollup: pointer jumping equals a sequential parent walk over the whole forest") {
+    val got = Relational.qHierarchyRollup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // independent replay: the naive one-step parent walk per node
+    val nodes = Tables(spark, sfDir).customer
+      .selectExpr("c_custkey", "cast(round(c_acctbal * 100) as long)").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def parent(k: Long) = if (k < 16L) k else k / 2L
+    val walked = nodes.map { case (id, cents) =>
+      var cur = id; var d = 0L
+      while (parent(cur) != cur) { cur = parent(cur); d += 1 }
+      (cur, id, d, cents)
+    }
+    val brute = walked.groupBy(_._1).toSeq.map { case (root, g) =>
+      (root, g.length.toLong, g.map(_._3).max, g.map(_._4).sum)
+    }.sortBy(_._1)
+    assert(got == brute, s"hierarchy rollup diverged:\n$got\nvs\n$brute")
+    // the forest is genuinely deep (doubling had real work to do) and
+    // every node lands in exactly one tree
+    assert(got.map(_._3).max >= 3L, "forest too shallow to exercise doubling")
+    assert(got.map(_._2).sum == nodes.length.toLong, "trees must partition the nodes")
+  }
 }
