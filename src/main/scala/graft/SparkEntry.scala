@@ -141,6 +141,7 @@ object SparkEntry {
     "q_regression"           -> Relational.qRegression _,
     "q_hierarchy_rollup"     -> ((s: SparkSession, d: String) => Relational.qHierarchyRollup(s, d)),
     "emb_silhouette"         -> ((s: SparkSession, d: String) => Similarity.embSilhouette(s, d)),
+    "emb_lof"                -> ((s: SparkSession, d: String) => Similarity.embLof(s, d)),
     "q_funnel_windowed"      -> ((s: SparkSession, d: String) => Relational.qFunnelWindowed(s, d)),
     "q_time_bucket"          -> Relational.qTimeBucket _,
     "q_running_agg"          -> Relational.qRunningAgg _,
@@ -409,6 +410,29 @@ object SparkEntry {
        |      FROM o a JOIN o b ON a.gram = b.gram AND a.doc_id <> b.doc_id
        |      GROUP BY 1, 2),
        |n AS (SELECT doc_id FROM documents)""".stripMargin
+
+  /** The F63/F77 within-list ranked-neighbor chain: quantizer
+    * assignment + all within-list pairs ranked by (rounded cosine DESC,
+    * nbr_id) — ONE text shared by the kNN-graph oracle and the LOF
+    * oracle so both replay the identical neighborhoods. Ends at
+    * `r(vec_id, nbr_id, list_id, cos, rank)`. */
+  private lazy val knnRankedCtes: String =
+    s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |c AS (SELECT label AS c_label, list(a ORDER BY pos) AS cv
+       |  FROM (SELECT label, pos, avg(x) AS a
+       |    FROM (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e)
+       |    GROUP BY label, pos)
+       |  GROUP BY label),
+       |a AS (SELECT vec_id, c_label, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY ${cosSql("v", "cv")} DESC, c_label) AS rn FROM e CROSS JOIN c),
+       |asg AS (SELECT vec_id, c_label AS list_id FROM a WHERE rn = 1),
+       |m AS (SELECT e.vec_id, asg.list_id, e.v FROM e
+       |  JOIN asg ON e.vec_id = asg.vec_id),
+       |pr AS (SELECT x.vec_id, y.vec_id AS nbr_id, x.list_id,
+       |    round(${cosSql("x.v", "y.v")}, 4) AS cos
+       |  FROM m x JOIN m y ON x.list_id = y.list_id AND x.vec_id <> y.vec_id),
+       |r AS MATERIALIZED (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos DESC, nbr_id) AS rank FROM pr)""".stripMargin
 
   /** The F73/F75 BPE training chain: capped vocab, character state, and
     * six unrolled merge rounds (weighted pair argmax, island-parity
@@ -2853,25 +2877,40 @@ object SparkEntry {
     // F63: the dedup_semantic assignment CTEs + within-list ranked pairs
     // on the ROUNDED cosine (ties to the smaller neighbor id)
     "emb_knn_graph" ->
-      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-         |c AS (SELECT label AS c_label, list(a ORDER BY pos) AS cv
-         |  FROM (SELECT label, pos, avg(x) AS a
-         |    FROM (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e)
-         |    GROUP BY label, pos)
-         |  GROUP BY label),
-         |a AS (SELECT vec_id, c_label, row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY ${cosSql("v", "cv")} DESC, c_label) AS rn FROM e CROSS JOIN c),
-         |asg AS (SELECT vec_id, c_label AS list_id FROM a WHERE rn = 1),
-         |m AS (SELECT e.vec_id, asg.list_id, e.v FROM e
-         |  JOIN asg ON e.vec_id = asg.vec_id),
-         |pr AS (SELECT x.vec_id, y.vec_id AS nbr_id, x.list_id,
-         |    round(${cosSql("x.v", "y.v")}, 4) AS cos
-         |  FROM m x JOIN m y ON x.list_id = y.list_id AND x.vec_id <> y.vec_id),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY cos DESC, nbr_id) AS rank FROM pr)
+      s"""WITH $knnRankedCtes
          |SELECT vec_id, CAST(rank AS BIGINT) AS rank, nbr_id,
          |  CAST(list_id AS BIGINT) AS list_id, cos
          |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+    // F77: the SAME ranked-pairs chain at k=5, distances as exact 1e-4
+    // integers (10000 - round(cos*1e4)), then the textbook LOF chain —
+    // k-distance, reachability, local reachability density, LOF ratio —
+    // entirely in integer PPM
+    "emb_lof" ->
+      s"""WITH $knnRankedCtes,
+         |knn AS MATERIALIZED (SELECT vec_id, nbr_id, list_id,
+         |  10000 - CAST(round(cos * 10000) AS BIGINT) AS d
+         | FROM r WHERE rank <= 5),
+         |kd AS MATERIALIZED (SELECT vec_id, max(d) AS kdist,
+         |  CAST(count(*) AS BIGINT) AS m FROM knn GROUP BY 1),
+         |rch AS MATERIALIZED (SELECT knn.vec_id,
+         |  greatest(kb.kdist, knn.d) AS reach
+         | FROM knn JOIN kd kb ON kb.vec_id = knn.nbr_id),
+         |lrd AS MATERIALIZED (SELECT rch.vec_id,
+         |  CAST(kd.m * 1000000 // greatest(sum(rch.reach), 1) AS BIGINT) AS lrd
+         | FROM rch JOIN kd ON kd.vec_id = rch.vec_id
+         | GROUP BY rch.vec_id, kd.m),
+         |lof AS (SELECT knn.vec_id,
+         |  CAST(sum(lb.lrd) * 1000000 // (kd.m * greatest(la.lrd, 1)) AS BIGINT) AS lof
+         | FROM knn JOIN lrd lb ON lb.vec_id = knn.nbr_id
+         | JOIN lrd la ON la.vec_id = knn.vec_id
+         | JOIN kd ON kd.vec_id = knn.vec_id
+         | GROUP BY knn.vec_id, kd.m, la.lrd)
+         |SELECT kd.vec_id, kd.m, kd.kdist, lrd.lrd AS lrd_ppm,
+         | lof.lof AS lof_ppm,
+         | CAST(CASE WHEN lof.lof > 1300000 THEN 1 ELSE 0 END AS INT) AS outlier
+         |FROM kd JOIN lrd ON lrd.vec_id = kd.vec_id
+         |JOIN lof ON lof.vec_id = kd.vec_id
+         |ORDER BY kd.vec_id""".stripMargin,
     "dedup_substring" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
          |g AS (SELECT doc_id,

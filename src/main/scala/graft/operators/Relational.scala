@@ -385,13 +385,21 @@ object Relational {
       counters.keysIterator
     }.distinct()
     val total = keys.count()
-    keys.toDF("user_id")
-      .join(broadcast(candidates.toDF("user_id")), Seq("user_id"), "left_semi")
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") > total.toDouble / k)
-      .orderBy(col("user_id"))
+    heavyHittersFromCounts(
+      keys.toDF("user_id")
+        .join(broadcast(candidates.toDF("user_id")), Seq("user_id"), "left_semi")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n")),
+      total, k)
   }
+
+  /** The E29/G25 shared verdict: keys whose EXACT count exceeds
+    * total/k — one filter expression, so the two-pass batch op and the
+    * streaming accumulated-counts form cannot drift. (MG guarantees the
+    * candidate screen loses no key above the bar, so filtering
+    * candidate counts equals filtering full counts.) */
+  def heavyHittersFromCounts(counts: DataFrame, total: Long, k: Int): DataFrame =
+    counts.filter(col("n") > total.toDouble / k).orderBy(col("user_id"))
 
   /** E22: conversion funnel — of the users who clicked, how many later
     * purchased, and how fast: first-touch aggregation per stage (one

@@ -540,6 +540,66 @@ object Similarity {
       .orderBy(col("vec_id"), col("rank"))
   }
 
+  /** F77: Local Outlier Factor over the list-blocked kNN graph — the
+    * embedding-space DATA-QUALITY gate (Breunig et al.): a vector whose
+    * local density is far below its neighbors' is a mislabeled,
+    * corrupted or out-of-distribution row, exactly what a curation
+    * pipeline wants flagged BEFORE the embedding feeds dedup or
+    * sampling. Served from the SAME F63 neighborhoods (the persisted
+    * IVF layout), so the outlier verdict and the ANN serving read one
+    * index.
+    *
+    * Exact integer contract: distances are the 4-dec rounded cosines
+    * as 1e-4 integers (`10000 − round(cos·1e4)`); k-distance,
+    * reachability (max(kdist(b), d(a,b))), local reachability density
+    * (m·1e6 div Σreach) and the LOF ratio (Σlrd(b)·1e6 div (m·lrd(a)))
+    * are pure integer arithmetic — both engines replay bit-for-bit.
+    * Degenerate densities (identical vectors → Σreach = 0) clamp via
+    * greatest(·, 1) on both sides.
+    *
+    * Scale shape: everything derives from the k·n-row kNN frame — two
+    * hash joins back onto itself (kdist of neighbors, lrd of
+    * neighbors), no new pairwise stage; the expensive part (the ranked
+    * neighborhoods) is the already-bounded F63 within-list join. */
+  def embLof(spark: SparkSession, dir: String, kNbrs: Int = 5,
+      outlierBarPpm: Long = 1300000L): DataFrame =
+    lofFromKnn(
+      knnGraph(spark, dir, kNbrs)
+        .withColumn("d", expr("10000 - cast(round(cos * 10000) as long)"))
+        .select(col("vec_id"), col("nbr_id"), col("d")),
+      outlierBarPpm)
+
+  /** The F77 chain over an explicit (vec_id, nbr_id, d) kNN frame — the
+    * spec plants a dense cluster with one sparse satellite and asserts
+    * the flag fires exactly there. */
+  def lofFromKnn(knn0: DataFrame, outlierBarPpm: Long): DataFrame = {
+    val knn = knn0.localCheckpoint(true)
+    val kd = knn.groupBy(col("vec_id"))
+      .agg(max(col("d")).as("kdist"), count(lit(1)).as("m"))
+      .localCheckpoint(true)
+    val reach = knn
+      .join(kd.select(col("vec_id").as("nbr_id"), col("kdist").as("nb_kdist")),
+        Seq("nbr_id"))
+      .select(col("vec_id"), greatest(col("nb_kdist"), col("d")).as("reach"))
+    val lrd = reach.groupBy(col("vec_id")).agg(sum(col("reach")).as("sreach"))
+      .join(kd, Seq("vec_id"))
+      .select(col("vec_id"),
+        expr("m * 1000000 div greatest(sreach, 1)").as("lrd"))
+      .localCheckpoint(true)
+    val lof = knn
+      .join(lrd.select(col("vec_id").as("nbr_id"), col("lrd").as("nb_lrd")),
+        Seq("nbr_id"))
+      .groupBy(col("vec_id")).agg(sum(col("nb_lrd")).as("s_lrd"))
+      .join(lrd, Seq("vec_id")).join(kd, Seq("vec_id"))
+      .select(col("vec_id"),
+        expr("s_lrd * 1000000 div (m * greatest(lrd, 1))").as("lof"))
+    kd.join(lrd, Seq("vec_id")).join(lof, Seq("vec_id"))
+      .select(col("vec_id"), col("m"), col("kdist"),
+        col("lrd").as("lrd_ppm"), col("lof").as("lof_ppm"),
+        (col("lof") > outlierBarPpm).cast("int").as("outlier"))
+      .orderBy(col("vec_id"))
+  }
+
   /** F57: top principal component of the embedding cloud by POWER
     * ITERATION — the engine's spectral primitive: PC1 is the
     * dimension-reduction / whitening axis every embedding pipeline

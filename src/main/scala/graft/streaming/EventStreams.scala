@@ -542,6 +542,44 @@ object EventStreams {
       }
       .start()
 
+  /** G25: STREAMING exact heavy hitters — E29 as the always-on hot-key
+    * dashboard: per-key counts accumulate in persisted state (the one
+    * truly associative statistic — integer adds), and every trigger
+    * re-emits the verdict through the SAME
+    * `Relational.heavyHittersFromCounts` filter over the accumulated
+    * counts and total, so the report equals the batch op over the
+    * prefix after every trigger. State is O(|distinct keys|) — the
+    * exact-count tradeoff; the bounded-memory alternative is the CMS
+    * stream (G5), this form is the exact one. */
+  def heavyHittersStream(events: DataFrame, stateDir: String, k: Int = 150)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream.outputMode("append")
+      .foreachBatch { (batch0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import org.apache.spark.sql.functions._
+        val spark = batch0.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(stateDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val statePath = new org.apache.hadoop.fs.Path(stateDir + "/counts")
+        val fresh = batch0.toDF()
+          .select(col("user_id").cast("long").as("user_id"))
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        val prior =
+          if (fs.exists(statePath)) spark.read.parquet(statePath.toString)
+          else fresh.limit(0)
+        val total = prior.unionByName(fresh)
+          .groupBy(col("user_id")).agg(sum(col("n")).as("n"))
+          .localCheckpoint(true)
+        val tmp = new org.apache.hadoop.fs.Path(stateDir + "/counts.next")
+        total.write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(statePath)) fs.delete(statePath, true)
+        require(fs.rename(tmp, statePath), s"state publish failed: $tmp -> $statePath")
+        val n = total.agg(sum(col("n"))).head().getLong(0)
+        graft.operators.Relational.heavyHittersFromCounts(total, n, k)
+          .write.mode("overwrite").parquet(stateDir + "/report")
+        (): Unit
+      }
+      .start()
+
   /** G24: STREAMING Holt forecast — D43 as the always-on trend pager:
     * (source, day, Σcents, n) moments accumulate in persisted state
     * (associative integers — a day split across micro-batches folds to

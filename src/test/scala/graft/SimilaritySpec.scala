@@ -742,4 +742,38 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(got.exists(_._6 == 1) && got.exists(_._6 == 0),
       "margin distribution degenerate — threshold tells nothing")
   }
+
+  test("lof: integer chain replays exactly and the planted sparse satellite alone flags") {
+    import spark.implicits._
+    // dense clique 1..6 (mutual distance 100) + satellite 9 whose
+    // neighbors are the clique at distance 2000 — classic LOF shape:
+    // the satellite's local density is ~20x below its neighbors'
+    val clique = for { a <- 1L to 6L; b <- 1L to 6L if a != b } yield (a, b, 100L)
+    val sat = (1L to 5L).map(b => (9L, b, 2000L))
+    val knn = (clique ++ sat).toDF("vec_id", "nbr_id", "d")
+    val got = Similarity.lofFromKnn(knn, 1300000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5))).toSeq
+    // exact integer replay
+    val rows = clique ++ sat
+    val kd = rows.groupBy(_._1).view.mapValues(g =>
+      (g.map(_._3).max, g.size.toLong)).toMap
+    val lrd = rows.groupBy(_._1).view.mapValues { g =>
+      val s = g.map(e => math.max(kd(e._2)._1, e._3)).sum
+      kd(g.head._1)._2 * 1000000L / math.max(s, 1L)
+    }.toMap
+    val brute = rows.groupBy(_._1).toSeq.map { case (id, g) =>
+      val sl = g.map(e => lrd(e._2)).sum
+      val lof = sl * 1000000L / (kd(id)._2 * math.max(lrd(id), 1L))
+      (id, kd(id)._2, kd(id)._1, lrd(id), lof, if (lof > 1300000L) 1 else 0)
+    }.sortBy(_._1)
+    assert(got == brute, s"lof replay diverged:\n$got\nvs\n$brute")
+    // exactly the satellite flags; clique members sit at LOF ~ 1
+    assert(got.filter(_._6 == 1).map(_._1) == Seq(9L), s"wrong outlier set: $got")
+    assert(got.filter(_._1 <= 6L).forall(t => t._5 < 1100000L),
+      "clique members must not approach the outlier bar")
+    // and the corpus op is deterministic with the documented shape
+    val corpus = Similarity.embLof(spark, sfDir).collect()
+    assert(corpus.nonEmpty && corpus.map(_.getLong(0)).distinct.length == corpus.length)
+  }
 }

@@ -763,6 +763,36 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("G25: streaming heavy hitters equals the exact batch verdict after every trigger") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ids = Tables(spark, sfDir).events
+      .selectExpr("cast(user_id as long)").collect().map(_.getLong(0))
+    val stateDir = java.nio.file.Files.createTempDirectory("g25").toString + "/state"
+    val mem = MemoryStream[Long]
+    val q = EventStreams.heavyHittersStream(mem.toDF().toDF("user_id"), stateDir)
+    try {
+      var fed = Array.empty[Long]
+      ids.grouped((ids.length + 2) / 3).foreach { slice =>
+        mem.addData(slice.toIndexedSeq: _*); q.processAllAvailable()
+        fed = fed ++ slice
+        val streamed = spark.read.parquet(stateDir + "/report").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+        val exact = fed.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+          .filter(_._2 > fed.length.toDouble / 150).sortBy(_._1)
+          .map { case (u, n) => (u, n) }
+        assert(streamed == exact, s"stream/batch diverged at prefix ${fed.length}")
+      }
+      // the final cumulative report equals the registered two-pass E29 op
+      val fin = spark.read.parquet(stateDir + "/report").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      val batch = graft.operators.Relational.qHeavyHitters(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(fin == batch, "stream final != two-pass MG batch op")
+      assert(fin.nonEmpty, "no heavy keys in the corpus — threshold tells nothing")
+    } finally q.stop()
+  }
+
   test("G23: streaming benford screen equals the batch verdict after every trigger") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
