@@ -142,6 +142,8 @@ object SparkEntry {
     "q_hierarchy_rollup"     -> ((s: SparkSession, d: String) => Relational.qHierarchyRollup(s, d)),
     "emb_silhouette"         -> ((s: SparkSession, d: String) => Similarity.embSilhouette(s, d)),
     "emb_lof"                -> ((s: SparkSession, d: String) => Similarity.embLof(s, d)),
+    "ann_recall"             -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
+    "text_quality_model"     -> ((s: SparkSession, d: String) => TextAnalysis.qualityModel(s, d)),
     "q_funnel_windowed"      -> ((s: SparkSession, d: String) => Relational.qFunnelWindowed(s, d)),
     "q_time_bucket"          -> Relational.qTimeBucket _,
     "q_running_agg"          -> Relational.qRunningAgg _,
@@ -2881,6 +2883,63 @@ object SparkEntry {
          |SELECT vec_id, CAST(rank AS BIGINT) AS rank, nbr_id,
          |  CAST(list_id AS BIGINT) AS list_id, cos
          |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+    // F78: the same integer feature arithmetic and literal weights; //
+    // truncates toward zero exactly like Spark's div, signs included
+    "text_quality_model" ->
+      s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
+         |f AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_words,
+         |  CAST(len(text) AS BIGINT) AS n_chars,
+         |  CAST(len(list_filter(toks,
+         |    x -> x IN ('the','a','and','of','to'))) AS BIGINT) AS n_stop,
+         |  CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha
+         | FROM t),
+         |g AS (SELECT doc_id, n_words,
+         |  n_stop * 1000000 // greatest(n_words, 1) AS stop_ppm,
+         |  n_alpha * 1000000 // greatest(n_chars, 1) AS alpha_ppm,
+         |  n_alpha * 100 // greatest(n_words, 1) AS wlen_x100
+         | FROM f),
+         |h AS (SELECT *, -700000 + least(n_words, 200) * 5000 + stop_ppm * 3
+         |   + (alpha_ppm - 800000) - abs(wlen_x100 - 450) * 2000 AS logit_micro
+         | FROM g)
+         |SELECT doc_id, n_words, stop_ppm, alpha_ppm, wlen_x100, logit_micro,
+         | CAST(greatest(-4, least(4, logit_micro // 200000)) AS BIGINT) AS bucket,
+         | CAST(CASE WHEN logit_micro > 0 THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM h ORDER BY doc_id""".stripMargin,
+    // F79: brute truth vs the quantizer-probed top-k, per probe query;
+    // both rankings on the 4-dec rounded cosine with vec_id ties
+    "ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT label AS c_label, list(a ORDER BY pos) AS cv
+         |  FROM (SELECT label, pos, avg(x) AS a
+         |    FROM (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e)
+         |    GROUP BY label, pos)
+         |  GROUP BY label),
+         |q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM e
+         |  WHERE vec_id % 50 = 0),
+         |tr AS MATERIALIZED (SELECT qid, vec_id FROM (
+         |  SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid
+         |    ORDER BY round(${cosSql("e.v", "q.qv")}, 4) DESC, e.vec_id) AS rn
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> q.qid) WHERE rn <= 10),
+         |prq AS MATERIALIZED (SELECT qid, c_label FROM (
+         |  SELECT q.qid, c.c_label, row_number() OVER (PARTITION BY q.qid
+         |    ORDER BY ${cosSql("c.cv", "q.qv")} DESC, c.c_label) AS rn
+         |  FROM c CROSS JOIN q) WHERE rn <= 3),
+         |aa AS (SELECT vec_id, c_label, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ${cosSql("v", "cv")} DESC, c_label) AS rn FROM e CROSS JOIN c),
+         |asg AS MATERIALIZED (SELECT vec_id, c_label AS list_id FROM aa WHERE rn = 1),
+         |an AS MATERIALIZED (SELECT qid, vec_id FROM (
+         |  SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid
+         |    ORDER BY round(${cosSql("e.v", "q.qv")}, 4) DESC, e.vec_id) AS rn
+         |  FROM q JOIN prq ON prq.qid = q.qid
+         |  JOIN asg ON asg.list_id = prq.c_label
+         |  JOIN e ON e.vec_id = asg.vec_id
+         |  WHERE e.vec_id <> q.qid) WHERE rn <= 10),
+         |h AS (SELECT tr.qid, CAST(count(*) AS BIGINT) AS n_hits
+         | FROM tr JOIN an USING (qid, vec_id) GROUP BY 1)
+         |SELECT q.qid, COALESCE(h.n_hits, 0) AS n_hits,
+         | CAST(COALESCE(h.n_hits, 0) * 1000000 // 10 AS BIGINT) AS recall_ppm
+         |FROM q LEFT JOIN h ON h.qid = q.qid ORDER BY q.qid""".stripMargin,
     // F77: the SAME ranked-pairs chain at k=5, distances as exact 1e-4
     // integers (10000 - round(cos*1e4)), then the textbook LOF chain —
     // k-distance, reachability, local reachability density, LOF ratio —

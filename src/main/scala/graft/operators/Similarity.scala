@@ -540,6 +540,64 @@ object Similarity {
       .orderBy(col("vec_id"), col("rank"))
   }
 
+  /** F79: ANN RECALL report — the quality number every approximate
+    * index owes its operator and the specs previously kept to
+    * themselves, as a first-class query: for a deterministic probe set
+    * (every 50th vector), the IVF nprobe top-k is scored against the
+    * brute-force ground truth, per query — recall@k in exact PPM. The
+    * per-query rows (not just a mean) localize WHICH queries the probed
+    * lists fail, which is the signal that tunes nprobe / refinement.
+    *
+    * Scale shape: the truth pass is |queries| × corpus with bounded
+    * |queries| (the sampled probe set — at 100 TB you measure recall on
+    * a sample, never the full corpus); the ANN pass re-reads the
+    * persisted lists with an IN-list partition filter covering all
+    * probed lists. Both sides rank per query with bounded windows. */
+  def annRecall(spark: SparkSession, dir: String, k: Int = 10,
+      nprobe: Int = 3, sampleMod: Long = 50L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (listsPath, cents) = ivfIndex(spark, dir)
+    val e = vectors(spark, dir).select(col("vec_id"), col("v"))
+    val q = e.filter(col("vec_id") % sampleMod === 0L)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .localCheckpoint(true)
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("vec_id"))
+    // ground truth: brute top-k over the whole corpus per probe
+    val truth = e.crossJoin(q).filter(col("vec_id") =!= col("qid"))
+      .withColumn("score", round(Vec.cosine(col("v"), col("qv")), 4))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"))
+    // ANN: nprobe nearest lists per query (quantizer is driver-sized),
+    // then top-k within the probed lists from the persisted layout
+    val spark2 = spark
+    import spark2.implicits._
+    val centsDf = cents.toDF("c_label", "cv")
+      .select(col("c_label"), col("cv").cast("array<double>").as("cv"))
+    val probes = q.crossJoin(broadcast(centsDf))
+      .withColumn("csim", Vec.cosine(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("csim").desc, col("c_label"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("qv"), col("c_label").as("list_id"))
+    val ann = ivfLists(spark, listsPath)
+      .join(probes, Seq("list_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("score", round(Vec.cosine(col("v"), col("qv")), 4))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"))
+    val hits = truth.join(ann, Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+    q.select(col("qid"))
+      .join(hits, Seq("qid"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .select(col("qid"), col("n_hits"),
+        expr(s"n_hits * 1000000 div $k").as("recall_ppm"))
+      .orderBy(col("qid"))
+  }
+
   /** F77: Local Outlier Factor over the list-blocked kNN graph — the
     * embedding-space DATA-QUALITY gate (Breunig et al.): a vector whose
     * local density is far below its neighbors' is a mislabeled,

@@ -1284,6 +1284,43 @@ object TextAnalysis {
       .orderBy(col("domain"))
   }
 
+  /** F78: MODEL-BASED quality scoring — the linear-classifier filter
+    * modern corpus pipelines run AFTER the rule gates (the
+    * DCLM/FineWeb-Edu move: Gopher rules F31 catch structural junk, a
+    * trained scorer ranks the rest): a fixed-weight linear model over
+    * integer quality features, scored in exact MICRO units so the
+    * logit, the calibration bucket and the keep verdict replay
+    * bit-for-bit. Weights are calibrated against the corpus feature
+    * distribution (median logit ≈ −215k, p90 ≈ +89k) so the gate
+    * genuinely separates — the keep rate is a real ~15–20%, not 0 or
+    * 100 (a production scorer would learn the weights; the SERVING
+    * shape — features, fixed weights, bucketed calibration — is what
+    * this op pins down).
+    *
+    * Scale shape: per-row regexp/length arithmetic + one tokenizer
+    * pass, zero shuffle (the F9 shape); everything integer. */
+  def qualityModel(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_stop", hits(col("toks"), Seq("the", "a", "and", "of", "to")).cast("long"))
+      .withColumn("n_alpha",
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long"))
+      .withColumn("stop_ppm", expr("n_stop * 1000000 div greatest(n_words, 1)"))
+      .withColumn("alpha_ppm", expr("n_alpha * 1000000 div greatest(n_chars, 1)"))
+      .withColumn("wlen_x100", expr("n_alpha * 100 div greatest(n_words, 1)"))
+      .withColumn("logit_micro",
+        expr("-700000 + least(n_words, 200) * 5000 + stop_ppm * 3 " +
+          "+ (alpha_ppm - 800000) - abs(wlen_x100 - 450) * 2000"))
+      .withColumn("bucket", expr("greatest(-4, least(4, logit_micro div 200000))"))
+      .withColumn("keep", (col("logit_micro") > 0L).cast("int"))
+      .select(col("doc_id"), col("n_words"), col("stop_ppm"), col("alpha_ppm"),
+        col("wlen_x100"), col("logit_micro"), col("bucket"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** F73: BPE tokenizer TRAINING — the merge-table learner every
     * byte-pair tokenizer (GPT-2, SentencePiece-BPE, tiktoken) starts
     * from, expressed DECLARATIVELY: no per-word sequential code anywhere

@@ -776,4 +776,44 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val corpus = Similarity.embLof(spark, sfDir).collect()
     assert(corpus.nonEmpty && corpus.map(_.getLong(0)).distinct.length == corpus.length)
   }
+
+  test("ann recall: exhaustive probing recalls perfectly, partial probing matches a brute replay") {
+    // probing EVERY list is brute force — recall must be exactly 1.0
+    val nLists = Similarity.trainQuantizer(Similarity.vectors(spark, sfDir)).length
+    val full = Similarity.annRecall(spark, sfDir, k = 10, nprobe = nLists)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(full.nonEmpty)
+    assert(full.forall(t => t._2 == 10L && t._3 == 1000000L),
+      s"exhaustive probe must be perfect: $full")
+    // partial probing: replay truth and the probed candidate set by hand
+    val got = Similarity.annRecall(spark, sfDir, k = 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val vecs = Similarity.vectors(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](2)))
+    val cents = Similarity.trainQuantizer(Similarity.vectors(spark, sfDir))
+    val asg = Similarity.listAssignments(spark,
+        Similarity.vectors(spark, sfDir), cents)
+      .collect().map(r => (r.getLong(0), r.getInt(3))).toMap
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map(p => p._1 * p._2).sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.foreach { case (qid, nHits, ppm) =>
+      val qv = vecs.find(_._1 == qid).get._2
+      def topk(pool: Seq[(Long, Seq[Double])]) = pool
+        .filter(_._1 != qid)
+        .map { case (id, v) => (id, r4(cos(v, qv))) }
+        .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+      val truth = topk(vecs.toSeq)
+      val probed = cents.map { case (l, cv) => (l, cos(qv, cv)) }
+        .sortBy { case (l, s) => (-s, l) }.take(2).map(_._1).toSet
+      val ann = topk(vecs.toSeq.filter(v => probed(asg(v._1))))
+      assert(nHits == (truth & ann).size.toLong, s"query $qid hits")
+      assert(ppm == nHits * 1000000L / 10L, s"query $qid ppm arithmetic")
+    }
+    // partial probing genuinely loses something somewhere (else the
+    // report measures nothing)
+    assert(got.exists(_._2 < 10L), "nprobe=2 lost no neighbor anywhere — degenerate")
+  }
 }

@@ -753,6 +753,39 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(got.map(_._3).sum < charSum, "no compression — merges unapplied")
   }
 
+  test("quality model: integer features and logit replay exactly, corpus split non-degenerate") {
+    val got = TextAnalysis.qualityModel(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getInt(7))).toSeq
+    val docs = Tables(spark, sfDir).documents
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val stops = Set("the", "a", "and", "of", "to")
+    val brute = docs.map { case (id, text) =>
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val nW = toks.length.toLong
+      val nC = text.length.toLong
+      val nS = toks.count(stops).toLong
+      val nA = text.count(c => (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')).toLong
+      val stopPpm = nS * 1000000L / math.max(nW, 1L)
+      val alphaPpm = nA * 1000000L / math.max(nC, 1L)
+      val wlen = nA * 100L / math.max(nW, 1L)
+      val logit = -700000L + math.min(nW, 200L) * 5000L + stopPpm * 3L +
+        (alphaPpm - 800000L) - math.abs(wlen - 450L) * 2000L
+      val bucket = math.max(-4L, math.min(4L, logit / 200000L))
+      (id, nW, stopPpm, alphaPpm, wlen, logit, bucket, if (logit > 0L) 1 else 0)
+    }.sortBy(_._1).toSeq
+    assert(got == brute, "quality model replay diverged")
+    // the calibrated gate genuinely separates: both classes populated,
+    // several calibration buckets occupied
+    val keepRate = got.count(_._8 == 1).toDouble / got.length
+    assert(keepRate > 0.01 && keepRate < 0.9, s"degenerate keep rate $keepRate")
+    assert(got.map(_._7).distinct.length >= 3, "calibration buckets collapsed")
+    // monotone sanity: keeps score above drops on the logit by definition
+    assert(got.filter(_._8 == 1).map(_._6).min >
+      got.filter(_._8 == 0).map(_._6).max - 1L)
+  }
+
   /** Independent replay of the F74 landmark model: peaks, hashes, df
     * screen, offset-histogram vote. */
   private def bruteFingerprint(docs: Seq[(Long, Int)], dfCap: Long,
