@@ -99,6 +99,7 @@ object SparkEntry {
     "mon_cusum"              -> ((s: SparkSession, d: String) => LoadOps.cusum(s, d)),
     "mon_seasonal"           -> ((s: SparkSession, d: String) => LoadOps.seasonal(s, d)),
     "mon_forecast"           -> ((s: SparkSession, d: String) => LoadOps.holtForecast(s, d)),
+    "load_erasure"           -> ((s: SparkSession, d: String) => LoadOps.loadErasure(s, d)),
     "mon_benford"            -> ((s: SparkSession, d: String) => LoadOps.benford(s, d)),
     "load_bloom_index"       -> ((s: SparkSession, d: String) => LoadOps.bloomIndex(s, d)),
     "load_table_checksum"    -> LoadOps.tableChecksum _,
@@ -1510,6 +1511,24 @@ object SparkEntry {
         | CAST(CASE WHEN rn >= 8 AND abs(resid) > 500 THEN 1 ELSE 0 END AS INT)
         |   AS alert
         |FROM rec ORDER BY source, day""".stripMargin,
+    // D44: the audit reconciliation recomputed from the raw table — per
+    // bucket, the victim rows that must be gone and whether the victim
+    // set touches the bucket at all
+    "load_erasure" ->
+      """WITH v AS (SELECT c_custkey FROM customer WHERE c_acctbal < -900.0),
+        |b AS (SELECT CAST(o_custkey % 16 AS INT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS rows_before,
+        |  CAST(sum(CASE WHEN o_custkey IN (SELECT c_custkey FROM v)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_erased
+        | FROM orders GROUP BY 1),
+        |g AS (SELECT unnest(range(0, 16)) AS bucket)
+        |SELECT CAST(g.bucket AS INT) AS bucket,
+        | COALESCE(b.rows_before, 0) AS rows_before,
+        | COALESCE(b.rows_before, 0) - COALESCE(b.n_erased, 0) AS rows_after,
+        | COALESCE(b.n_erased, 0) AS n_erased,
+        | CAST(CASE WHEN g.bucket IN (SELECT c_custkey % 16 FROM v)
+        |   THEN 1 ELSE 0 END AS INT) AS rewritten
+        |FROM g LEFT JOIN b ON b.bucket = g.bucket ORDER BY 1""".stripMargin,
     // D41: the cusum daily-cents CTE + a (source, weekday) training
     // rollup in the same integer arithmetic; only rows past the training
     // horizon are judged

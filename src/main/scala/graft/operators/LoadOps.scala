@@ -1703,6 +1703,73 @@ object LoadOps {
       .orderBy(col("source"))
   }
 
+  /** D44: COMPLIANCE ERASURE (GDPR right-to-be-forgotten) — the
+    * PHYSICAL purge D26's merge-on-read deletes deliberately are not:
+    * deletion vectors hide rows but the bytes remain on disk, and an
+    * erasure obligation requires them GONE. The surgical contract: given
+    * a deletion list (here: customers with deeply negative balances as
+    * the stand-in selector), rewrite ONLY the partitions containing a
+    * victim's rows — Spark's dynamic partition overwrite restates
+    * exactly the affected directories while untouched partitions keep
+    * their files byte-identical (spec-proven via file listings). At
+    * 100 TB with a 1% victim set spread over a keyed layout this is the
+    * difference between rewriting a few percent of partitions and a
+    * full-table pass.
+    *
+    * Report: one row per partition — rows before/after, rows erased,
+    * whether it was rewritten — so an auditor can reconcile the purge
+    * against the deletion list. */
+  def loadErasure(spark: SparkSession, dir: String, nBuckets: Int = 16): DataFrame = {
+    val t = Tables(spark, dir)
+    val root = spark.conf.get("graft.erasure.root",
+      Tables.scratch(spark, "graft_erasure"))
+    val tgt = s"$root/orders"
+    val laid = t.orders
+      .withColumn("bucket", pmod(col("o_custkey"), lit(nBuckets)).cast("int"))
+    laid.write.mode("overwrite").partitionBy("bucket").parquet(tgt)
+    val before = spark.read.parquet(tgt)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("rows_before"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    // the deletion list: a driver-sized id set (victim lists are small
+    // by nature; a corpus-sized list would route through a join)
+    val victims = t.customer.filter(col("c_acctbal") < -900.0)
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet
+    val affected = victims.map(id => (id % nBuckets).toInt)
+    erasePartitions(spark, tgt, victims, affected)
+    val after = spark.read.parquet(tgt)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("rows_after"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    import spark.implicits._
+    (0 until nBuckets).map { b =>
+      val rb = before.getOrElse(b, 0L)
+      val ra = after.getOrElse(b, 0L)
+      (b, rb, ra, rb - ra, if (affected(b)) 1 else 0)
+    }.toDF("bucket", "rows_before", "rows_after", "n_erased", "rewritten")
+      .orderBy(col("bucket"))
+  }
+
+  /** The D44 restatement phase over an existing bucket-partitioned
+    * layout — the spec drives it directly so it can snapshot the file
+    * listing before/after and prove untouched partitions keep their
+    * exact files. */
+  def erasePartitions(spark: SparkSession, tgt: String, victims: Set[Long],
+      affected: Set[Int]): Unit = {
+    val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // pin the survivors BEFORE the write — the restatement reads the
+      // very directories it is about to replace
+      spark.read.parquet(tgt)
+        .filter(col("bucket").isin(affected.toSeq: _*))
+        .filter(!col("o_custkey").isin(victims.toSeq: _*))
+        .localCheckpoint(true)
+        .write.mode("overwrite").partitionBy("bucket").parquet(tgt)
+    } finally prior match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** One Holt (double-exponential) smoothing step in exact integer PPM:
     * level tracks the series through the one-step forecast l+b, trend
     * tracks the level's own motion — α/β in PPM, every division a

@@ -952,6 +952,61 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("erasure: victims physically gone, untouched partitions keep their exact files") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("erasure").toString
+    val tgt = s"$tmp/orders"
+    val nBuckets = 8
+    Tables(spark, sfDir).orders
+      .withColumn("bucket", pmod(col("o_custkey"), lit(nBuckets)).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(tgt)
+    def listing(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(tgt)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> ((f.length(), f.lastModified()))).toMap
+    }
+    val before = listing()
+    val preCounts = spark.read.parquet(tgt).groupBy(col("bucket")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    // victims concentrated in two buckets — most partitions untouched
+    val victims = spark.read.parquet(tgt)
+      .filter(col("bucket").isin(2, 5)).select(col("o_custkey"))
+      .limit(40).collect().map(_.getLong(0)).toSet
+    assert(victims.nonEmpty)
+    val affected = victims.map(v => (v % nBuckets).toInt)
+    graft.operators.LoadOps.erasePartitions(spark, tgt, victims, affected)
+    val after = listing()
+    // victims are PHYSICALLY gone and survivors intact
+    val left = spark.read.parquet(tgt)
+    assert(left.filter(col("o_custkey").isin(victims.toSeq: _*)).count() == 0L,
+      "victim rows survived the purge")
+    val postCounts = left.groupBy(col("bucket")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val erasedPer = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_custkey").isin(victims.toSeq: _*))
+      .groupBy(pmod(col("o_custkey"), lit(nBuckets)).cast("int").as("b")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    preCounts.foreach { case (b, n) =>
+      assert(postCounts.getOrElse(b, 0L) == n - erasedPer.getOrElse(b, 0L),
+        s"bucket $b count reconciliation")
+    }
+    // the surgical contract: every file of an UNTOUCHED bucket is the
+    // same path, same bytes, same mtime; affected buckets got new files
+    val untouchedBefore = before.filter { case (p, _) =>
+      !affected.exists(b => p.contains(s"bucket=$b/")) }
+    val untouchedAfter = after.filter { case (p, _) =>
+      !affected.exists(b => p.contains(s"bucket=$b/")) }
+    assert(untouchedBefore == untouchedAfter,
+      "untouched partitions were rewritten — the purge is not surgical")
+    affected.foreach { b =>
+      val fb = before.keys.filter(_.contains(s"bucket=$b/")).toSet
+      val fa = after.keys.filter(_.contains(s"bucket=$b/")).toSet
+      assert(fb.intersect(fa).isEmpty || fb != fa,
+        s"bucket $b shows no restatement")
+    }
+  }
+
   test("seasonal: weekday-periodic volume never alarms, a flat shift does, late sources get no baseline") {
     import spark.implicits._
     // "weekly": +500 every dow 0 — a FLAT-baseline detector sees ±500
