@@ -141,6 +141,7 @@ object SparkEntry {
     "q_ab_ttest"             -> Relational.qAbTtest _,
     "q_regression"           -> Relational.qRegression _,
     "q_hierarchy_rollup"     -> ((s: SparkSession, d: String) => Relational.qHierarchyRollup(s, d)),
+    "q_set_ops_all"          -> Relational.qSetOpsAll _,
     "emb_silhouette"         -> ((s: SparkSession, d: String) => Similarity.embSilhouette(s, d)),
     "emb_lof"                -> ((s: SparkSession, d: String) => Similarity.embLof(s, d)),
     "ann_recall"             -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
@@ -2215,6 +2216,21 @@ object SparkEntry {
         |SELECT event_type, n_a, n_b, mean_a, mean_b, var_a, var_b, t_stat,
         | CAST(CASE WHEN abs(t_stat) >= 1.96 THEN 1 ELSE 0 END AS INT) AS significant
         |FROM t ORDER BY event_type""".stripMargin,
+    // E40: the genuine SQL ALL-variants over the same slices, rolled up
+    // to deterministic multiplicities
+    "q_set_ops_all" ->
+      """WITH a AS (SELECT o_orderstatus AS status, o_orderpriority AS priority
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |b AS (SELECT o_orderstatus, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |ia AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b),
+        |ea AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        |SELECT * FROM (
+        |SELECT 'intersect_all' AS op, status, priority,
+        |  CAST(count(*) AS BIGINT) AS n FROM ia GROUP BY 2, 3
+        |UNION ALL
+        |SELECT 'except_all', status, priority, count(*) FROM ea GROUP BY 2, 3)
+        |ORDER BY op, status, priority""".stripMargin,
     // E38: the E36 rounded-moments convention applied to the OLS fit —
     // slope/intercept/R² derived from 4-dec moments in one fixed shape
     "q_regression" ->

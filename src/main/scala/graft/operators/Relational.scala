@@ -1022,6 +1022,33 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** E40: BAG-semantics set operations — INTERSECT ALL / EXCEPT ALL,
+    * the multiset complement of E26's distinct-semantics set ops (SQL's
+    * ALL variants preserve duplicate multiplicity: `except_all` keeps
+    * max(0, n_a − n_b) copies, `intersect_all` min(n_a, n_b) — the
+    * semantics reconciliation and diff reports actually need when rows
+    * legitimately repeat). Two overlapping key-slice projections of the
+    * fact table (duplicates real by construction), results rolled up to
+    * (value, multiplicity) so the report is deterministic.
+    *
+    * Scale shape: Catalyst plans both ALL-variants as hash
+    * aggregations on the value columns (count per side, then the
+    * min/max-difference arithmetic) — one shuffle each, no sort, no
+    * join explosion; the rollup rides the same keys. */
+  def qSetOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def slice(m: Int) = t.orders.filter(col("o_orderkey") % m === 0)
+      .select(col("o_orderstatus").as("status"), col("o_orderpriority").as("priority"))
+    val (a, b) = (slice(3), slice(2))
+    val ia = a.intersectAll(b).groupBy(col("status"), col("priority"))
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+    val ea = a.exceptAll(b).groupBy(col("status"), col("priority"))
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+    ia.unionByName(ea)
+      .select(col("op"), col("status"), col("priority"), col("n"))
+      .orderBy(col("op"), col("status"), col("priority"))
+  }
+
   /** E39: hierarchy rollup by POINTER JUMPING — the recursive-query verb
     * (org charts, category trees, thread ancestry) that SQL engines
     * spell `WITH RECURSIVE` and Spark lacks natively: every node finds

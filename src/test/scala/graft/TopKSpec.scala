@@ -304,6 +304,31 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("set ops all: multiset identities hold — min/max-difference multiplicities per value") {
+    val got = Relational.qSetOpsAll(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)), r.getLong(3))).toMap
+    // brute multiset counts per side
+    val rows = Tables(spark, sfDir).orders
+      .selectExpr("o_orderkey", "o_orderstatus", "o_orderpriority").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val ca = rows.filter(_._1 % 3 == 0).groupBy(t => (t._2, t._3))
+      .view.mapValues(_.length.toLong).toMap
+    val cb = rows.filter(_._1 % 2 == 0).groupBy(t => (t._2, t._3))
+      .view.mapValues(_.length.toLong).toMap
+    val keys = (ca.keySet ++ cb.keySet).toSeq
+    keys.foreach { case k @ (s, p) =>
+      val inter = math.min(ca.getOrElse(k, 0L), cb.getOrElse(k, 0L))
+      val excpt = math.max(0L, ca.getOrElse(k, 0L) - cb.getOrElse(k, 0L))
+      assert(got.getOrElse(("intersect_all", s, p), 0L) == inter,
+        s"$k intersect_all multiplicity")
+      assert(got.getOrElse(("except_all", s, p), 0L) == excpt,
+        s"$k except_all multiplicity")
+    }
+    // bag semantics genuinely differ from the distinct form somewhere
+    assert(got.exists { case ((op, _, _), n) => op == "intersect_all" && n > 1L },
+      "no duplicate survived — ALL variants untested against DISTINCT")
+  }
+
   test("hierarchy rollup: pointer jumping equals a sequential parent walk over the whole forest") {
     val got = Relational.qHierarchyRollup(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
