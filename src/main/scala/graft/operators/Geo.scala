@@ -412,15 +412,20 @@ object Geo {
   /** C10: nearest-neighbor spatial join — for every probe feature, the
     * closest feature of a big point set (the reference runs proximity
     * geoprocessing over staged FCs; arcpy Near/SpatialJoin). Scale shape:
-    * points are bucketed into grid cells, each probe meets ONLY the 3×3
-    * ring around its cell (candidates bounded by local density; the join
-    * key is the cell id), and a result is CERTIFIED exact when the best
-    * ring distance ≤ the cell size — any point outside the ring is
-    * farther than that by construction. Probes the ring can't certify
-    * (sparse neighborhoods) fall back to the full join — rare, and the
-    * union is provably the true nearest for every probe. Distances are
-    * integer-valued doubles (synthetic meter grids), so the argmin is
-    * fp-exact and fully oracle-able against brute force. */
+    * points are bucketed into grid cells and each probe meets ONLY the
+    * (2r+1)×(2r+1) cell ring around its own cell (candidates bounded by
+    * local density; the join key is the CELL id — always a hash join,
+    * never a theta join). A result is CERTIFIED exact when the best ring
+    * distance ≤ r·cell — any point outside that ring is farther by
+    * construction. Probes the ring can't certify (sparse neighborhoods)
+    * go around again with a DOUBLED radius — never a cartesian product:
+    * the final radius is computed from the data's own bounding box, so
+    * the covering ring provably sees every point and certifies
+    * unconditionally (a probe with no match there has an empty corpus).
+    * Rounds are log(grid-diameter)-bounded, and each round carries only
+    * the still-uncertified probes. Distances are integer-valued doubles
+    * (synthetic meter grids), so the argmin is fp-exact and fully
+    * oracle-able against brute force. */
   def nearestJoin(spark: SparkSession, dir: String, cell: Double = 50000.0): DataFrame = {
     val t = Tables(spark, dir)
     val pts = t.orders.select(col("o_orderkey"),
@@ -429,6 +434,15 @@ object Geo {
     val probes = t.supplier.select(col("s_suppkey"),
       (lit(150000L) + (col("s_suppkey") * 6007L) % 800001L).cast("double").as("px"),
       (lit(6050000L) + (col("s_suppkey") * 9973L) % 1700001L).cast("double").as("py"))
+    nearestJoinOver(spark, pts, probes, cell)
+  }
+
+  /** The C10 engine over arbitrary (id,x,y) points and (id,px,py)
+    * probes — split out so the sparse-layout spec can drive it with a
+    * hostile geometry (empty neighborhoods forcing many widening
+    * rounds) against a brute-force oracle. */
+  def nearestJoinOver(spark: SparkSession, pts: DataFrame, probes: DataFrame,
+      cell: Double): DataFrame = {
     val d2 = (col("x") - col("px")) * (col("x") - col("px")) +
       (col("y") - col("py")) * (col("y") - col("py"))
     def argmin(cand: DataFrame): DataFrame = cand
@@ -439,17 +453,50 @@ object Geo {
         col("b.d2").cast("long").as("dist2"))
     val ptsCell = pts
       .withColumn("cx", floor(col("x") / cell)).withColumn("cy", floor(col("y") / cell))
-    val ringed = probes
-      .withColumn("dx", explode(array(lit(-1), lit(0), lit(1))))
-      .withColumn("dy", explode(array(lit(-1), lit(0), lit(1))))
-      .withColumn("cx", floor(col("px") / cell) + col("dx"))
-      .withColumn("cy", floor(col("py") / cell) + col("dy"))
-    val ringBest = argmin(ringed.join(ptsCell, Seq("cx", "cy")).withColumn("d2", d2))
-    val certified = ringBest.filter(col("dist2") <= (cell * cell).toLong)
-    // sparse neighborhoods: ring result can't be certified → exact fallback
-    val uncertain = probes.join(certified.select("s_suppkey"), Seq("s_suppkey"), "left_anti")
-    val fallback = argmin(uncertain.crossJoin(pts).withColumn("d2", d2))
-    certified.union(fallback).orderBy(col("s_suppkey"))
+      .localCheckpoint(true)
+    if (ptsCell.head(1).isEmpty || probes.head(1).isEmpty)
+      return probes.select(col("s_suppkey"),
+        lit(null).cast("long").as("nearest_orderkey"),
+        lit(null).cast("long").as("dist2")).limit(0)
+    // the covering radius from the data's own bbox: a ring this wide
+    // centered anywhere inside the probe/point envelope sees every cell
+    val pb = ptsCell.agg(min(col("cx")), max(col("cx")),
+      min(col("cy")), max(col("cy"))).head()
+    val qb = probes.agg(floor(min(col("px")) / cell), floor(max(col("px")) / cell),
+      floor(min(col("py")) / cell), floor(max(col("py")) / cell)).head()
+    val rCover = math.max(1L, math.max(
+      math.max(pb.getLong(1), qb.getLong(1)) -
+        math.min(pb.getLong(0), qb.getLong(0)),
+      math.max(pb.getLong(3), qb.getLong(3)) -
+        math.min(pb.getLong(2), qb.getLong(2))))
+    var remaining = probes.localCheckpoint(true)
+    var done: DataFrame = null
+    var r = 1L
+    var exhausted = false
+    while (!exhausted && remaining.head(1).nonEmpty) {
+      val covering = r >= rCover
+      val ringed = remaining
+        .withColumn("dx", explode(sequence(lit(-r), lit(r))))
+        .withColumn("dy", explode(sequence(lit(-r), lit(r))))
+        .withColumn("cx", floor(col("px") / cell) + col("dx"))
+        .withColumn("cy", floor(col("py") / cell) + col("dy"))
+      val ringBest = argmin(ringed.join(ptsCell, Seq("cx", "cy")).withColumn("d2", d2))
+      // certification bound: anything outside the ring is ≥ r·cell away,
+      // so a best STRICTLY under r·cell cannot be beaten (nor tied) by an
+      // unseen point; the covering ring saw every point, so its argmin is
+      // unconditionally the true nearest
+      val certified =
+        if (covering) ringBest
+        else ringBest.filter(col("dist2") < (r * r * cell * cell).toLong)
+      done = if (done == null) certified.localCheckpoint(true)
+        else done.union(certified).localCheckpoint(true)
+      if (covering) exhausted = true
+      else remaining = remaining
+        .join(done.select("s_suppkey"), Seq("s_suppkey"), "left_anti")
+        .localCheckpoint(true)
+      r *= 2
+    }
+    done.orderBy(col("s_suppkey"))
   }
 
   /** C6: infer SR from coordinate magnitudes (sr_utils.py:245

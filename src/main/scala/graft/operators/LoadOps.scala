@@ -1718,7 +1718,15 @@ object LoadOps {
     *
     * Report: one row per partition — rows before/after, rows erased,
     * whether it was rewritten — so an auditor can reconcile the purge
-    * against the deletion list. */
+    * against the deletion list.
+    *
+    * Scale shape (r12): the victim set stays a DATAFRAME end to end —
+    * affected partitions come from a semi-join + distinct (driver sees
+    * only the |partitions|-bounded bucket list), the purge itself is a
+    * broadcast LEFT ANTI join (the D26 merge-on-read shape). A literal
+    * IN-list is used only when the victim set is already a driver-side
+    * Set below [[EraseInlineCap]] — never for a set derived from the
+    * corpus, which grows linearly with it. */
   def loadErasure(spark: SparkSession, dir: String, nBuckets: Int = 16): DataFrame = {
     val t = Tables(spark, dir)
     val root = spark.conf.get("graft.erasure.root",
@@ -1730,12 +1738,11 @@ object LoadOps {
     val before = spark.read.parquet(tgt)
       .groupBy(col("bucket")).agg(count(lit(1)).as("rows_before"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
-    // the deletion list: a driver-sized id set (victim lists are small
-    // by nature; a corpus-sized list would route through a join)
+    // the deletion list as a FRAME — ~1% of CUSTOMER, corpus-proportional,
+    // so it must never be collected to driver literals
     val victims = t.customer.filter(col("c_acctbal") < -900.0)
-      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet
-    val affected = victims.map(id => (id % nBuckets).toInt)
-    erasePartitions(spark, tgt, victims, affected)
+      .select(col("c_custkey").as("victim_key"))
+    val affected = eraseVictimFrame(spark, tgt, victims, "o_custkey")
     val after = spark.read.parquet(tgt)
       .groupBy(col("bucket")).agg(count(lit(1)).as("rows_after"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
@@ -1748,25 +1755,102 @@ object LoadOps {
       .orderBy(col("bucket"))
   }
 
-  /** The D44 restatement phase over an existing bucket-partitioned
-    * layout — the spec drives it directly so it can snapshot the file
-    * listing before/after and prove untouched partitions keep their
-    * exact files. */
-  def erasePartitions(spark: SparkSession, tgt: String, victims: Set[Long],
-      affected: Set[Int]): Unit = {
+  /** Above this size a driver-side victim Set is routed through the
+    * frame path ([[eraseVictimFrame]]) instead of IN-list literals —
+    * the declared cap the plan-shape spec pins. */
+  val EraseInlineCap = 64
+
+  /** The survivor frame for the D44 restatement: rows of the AFFECTED
+    * partitions minus the victims, victims joined out via broadcast
+    * LEFT ANTI (plan contains a Join, never a corpus-sized IN-list).
+    * Exposed so the plan-shape spec can inspect the optimized plan. */
+  def eraseSurvivors(spark: SparkSession, tgt: String, victims: DataFrame,
+      keyCol: String, affected: Seq[Int]): DataFrame =
+    spark.read.parquet(tgt)
+      .filter(col("bucket").isin(affected: _*))
+      .join(broadcast(victims), col(keyCol) === col("victim_key"), "left_anti")
+
+  /** D44 purge, frame form: derive the affected partitions with a
+    * broadcast semi-join (driver holds only the |partitions|-bounded
+    * bucket list), restate them with [[eraseSurvivors]] under dynamic
+    * partition overwrite, then DELETE any affected partition directory
+    * the survivor frame left empty — dynamic overwrite only rewrites
+    * directories it has rows for, so an all-victim bucket would
+    * otherwise silently keep its bytes (the exact failure a compliance
+    * erasure cannot have). Returns the affected bucket set. */
+  def eraseVictimFrame(spark: SparkSession, tgt: String, victims: DataFrame,
+      keyCol: String): Set[Int] = {
+    val base = spark.read.parquet(tgt)
+    val affected = base
+      .join(broadcast(victims), col(keyCol) === col("victim_key"), "left_semi")
+      .select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (affected.isEmpty) return affected
+    // pin the survivors BEFORE the write — the restatement reads the
+    // very directories it is about to replace
+    val survivors = eraseSurvivors(spark, tgt, victims, keyCol, affected.toSeq)
+      .localCheckpoint(true)
     val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      // pin the survivors BEFORE the write — the restatement reads the
-      // very directories it is about to replace
-      spark.read.parquet(tgt)
-        .filter(col("bucket").isin(affected.toSeq: _*))
-        .filter(!col("o_custkey").isin(victims.toSeq: _*))
-        .localCheckpoint(true)
-        .write.mode("overwrite").partitionBy("bucket").parquet(tgt)
-    } finally prior match {
+    try survivors.write.mode("overwrite").partitionBy("bucket").parquet(tgt)
+    finally prior match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // all-victim buckets: no survivor rows → dynamic overwrite never
+    // touched the directory → purge it explicitly
+    val surviving = survivors.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val emptied = affected -- surviving
+    if (emptied.nonEmpty) {
+      val hconf = spark.sessionState.newHadoopConf()
+      val root = new org.apache.hadoop.fs.Path(tgt)
+      val fs = root.getFileSystem(hconf)
+      emptied.foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"bucket=$b"), true)
+      }
+    }
+    affected
+  }
+
+  /** The D44 restatement phase over an existing bucket-partitioned
+    * layout, Set form — the spec's entry point. Small sets (≤
+    * [[EraseInlineCap]]) purge via IN-list literals; anything larger
+    * is routed through the anti-join frame path so plan size never
+    * scales with the victim list. */
+  def erasePartitions(spark: SparkSession, tgt: String, victims: Set[Long],
+      affected: Set[Int]): Unit = {
+    if (victims.size > EraseInlineCap) {
+      import spark.implicits._
+      eraseVictimFrame(spark, tgt,
+        victims.toSeq.toDF("victim_key"), "o_custkey")
+      return
+    }
+    // pin the survivors BEFORE the write — the restatement reads the
+    // very directories it is about to replace
+    val survivors = spark.read.parquet(tgt)
+      .filter(col("bucket").isin(affected.toSeq: _*))
+      .filter(!col("o_custkey").isin(victims.toSeq: _*))
+      .localCheckpoint(true)
+    val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try survivors.write.mode("overwrite").partitionBy("bucket").parquet(tgt)
+    finally prior match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // literal path has the same all-victim-bucket hole: an affected
+    // directory with zero survivor rows is never overwritten — delete it
+    val survivingBuckets = survivors.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val emptied = affected -- survivingBuckets
+    if (emptied.nonEmpty) {
+      val hconf = spark.sessionState.newHadoopConf()
+      val root = new org.apache.hadoop.fs.Path(tgt)
+      val fs = root.getFileSystem(hconf)
+      emptied.foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"bucket=$b"), true)
+      }
     }
   }
 

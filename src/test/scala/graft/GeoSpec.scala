@@ -77,16 +77,61 @@ class GeoSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("nearest join: ring certification + fallback yield the true nearest everywhere") {
+  test("nearest join: ring certification + widening yield the true nearest everywhere") {
     import org.apache.spark.sql.functions._
-    // small cell forces sparse rings -> many probes go through the
-    // fallback; the union must still equal brute force exactly
+    // small cell forces sparse rings -> many probes need widened rings;
+    // the union must still equal brute force exactly
     val got = graft.operators.Geo.nearestJoin(spark, sfDir, cell = 10000.0)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val brute = graft.operators.Geo.nearestJoin(spark, sfDir, cell = 1e9)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == brute, "grid path diverged from brute force")
     assert(got.nonEmpty)
+  }
+
+  test("nearest join: hostile sparse layout — rings widen, no cartesian, brute-force exact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // adversarial geometry: a handful of points hundreds of cells apart,
+    // probes dropped into EMPTY neighborhoods — the 3×3 ring certifies
+    // nothing and the old escape hatch would have gone probes × corpus
+    val ptRows = Seq((1L, 5.0, 5.0), (2L, 9000.0, 15.0), (3L, 30.0, 7000.0),
+      (4L, 12000.0, 11000.0), (5L, 2.0, 9999.0), (6L, 4500.0, 4500.0))
+    val pts = ptRows.toDF("o_orderkey", "x", "y")
+    val probeRows = (1L to 40L).map(i =>
+      (i, (i * 739L % 13001L).toDouble, (i * 1543L % 13001L).toDouble))
+    val probes = probeRows.toDF("s_suppkey", "px", "py")
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val got = try {
+      val r = graft.operators.Geo.nearestJoinOver(spark, pts, probes, cell = 10.0)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      org.apache.spark.GraftTestShims.flushListeners(spark.sparkContext)
+      r
+    } finally spark.listenerManager.unregister(listener)
+    // brute-force oracle in plain Scala
+    val brute = probeRows.map { case (s, px, py) =>
+      val (ok, d2) = ptRows.map { case (o, x, y) =>
+        (o, ((x - px) * (x - px) + (y - py) * (y - py)).toLong) }
+        .minBy { case (o, d) => (d, o) }
+      (s, ok, d2)
+    }.toSet
+    assert(got == brute, "widened rings diverged from brute force")
+    // every executed plan (every widening round included) stayed a hash
+    // join on the cell key — no cartesian product anywhere
+    import scala.jdk.CollectionConverters._
+    val all = plans.asScala.toSeq
+    assert(all.nonEmpty, "listener captured no plans")
+    all.foreach { p =>
+      assert(!p.contains("CartesianProduct"), s"cartesian in the nearest path:\n$p")
+    }
   }
 
   test("transform select: every decision branch fires and populations reconcile") {

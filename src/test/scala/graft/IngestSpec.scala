@@ -1007,6 +1007,97 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("erasure: an all-victim bucket is PHYSICALLY deleted, not silently kept") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // dynamic partition overwrite only rewrites directories the survivor
+    // frame has rows for — a bucket whose every row is a victim would
+    // keep its bytes on disk unless the purge deletes it explicitly (the
+    // exact silent failure a compliance erasure cannot have)
+    val tmp = java.nio.file.Files.createTempDirectory("erasure_allvictim").toString
+    val tgt = s"$tmp/orders"
+    val nBuckets = 4
+    Tables(spark, sfDir).orders
+      .withColumn("bucket", pmod(col("o_custkey"), lit(nBuckets)).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(tgt)
+    // victims = EVERY key of bucket 1, plus a few from bucket 2
+    val allOfB1 = spark.read.parquet(tgt).filter(col("bucket") === 1)
+      .select(col("o_custkey")).distinct().collect().map(_.getLong(0)).toSet
+    val someOfB2 = spark.read.parquet(tgt).filter(col("bucket") === 2)
+      .select(col("o_custkey")).limit(3).collect().map(_.getLong(0)).toSet
+    assert(allOfB1.nonEmpty && someOfB2.nonEmpty)
+    val victims = allOfB1 ++ someOfB2
+    graft.operators.LoadOps.eraseVictimFrame(spark, tgt,
+      victims.toSeq.toDF("victim_key"), "o_custkey")
+    // bucket 1's directory is gone entirely; bucket 2 was restated
+    val b1dir = new java.io.File(s"$tgt/bucket=1")
+    assert(!b1dir.exists(), "all-victim bucket directory survived the purge")
+    val left = spark.read.parquet(tgt)
+    assert(left.filter(col("o_custkey").isin(victims.toSeq: _*)).count() == 0L,
+      "victim rows survived the purge")
+    assert(left.filter(col("bucket") === 1).count() == 0L)
+    assert(left.filter(col("bucket") === 2).count() > 0L)
+    // the literal (Set) path closes the same hole
+    val tgt2 = s"$tmp/orders2"
+    Tables(spark, sfDir).orders
+      .withColumn("bucket", pmod(col("o_custkey"), lit(nBuckets)).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(tgt2)
+    val smallVictims = allOfB1.take(graft.operators.LoadOps.EraseInlineCap)
+    if (smallVictims.size == allOfB1.size) {
+      graft.operators.LoadOps.erasePartitions(spark, tgt2, smallVictims, Set(1))
+      assert(!new java.io.File(s"$tgt2/bucket=1").exists(),
+        "literal path kept the all-victim bucket")
+    }
+  }
+
+  test("erasure: oversize victim sets purge via anti-JOIN, never an IN-list") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("erasure_plan").toString
+    val tgt = s"$tmp/orders"
+    val nBuckets = 8
+    Tables(spark, sfDir).orders
+      .withColumn("bucket", pmod(col("o_custkey"), lit(nBuckets)).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(tgt)
+    // the survivor frame's optimized plan is a broadcast anti JOIN — the
+    // victim list never becomes plan literals
+    val victimsDf = spark.read.parquet(tgt).select(col("o_custkey"))
+      .limit(500).distinct().select(col("o_custkey").as("victim_key"))
+    val surv = graft.operators.LoadOps.eraseSurvivors(spark, tgt, victimsDf,
+      "o_custkey", (0 until nBuckets))
+    val plan = surv.queryExecution.optimizedPlan.toString
+    assert(plan.contains("Join LeftAnti"), s"purge plan lacks the anti join:\n$plan")
+    assert(!plan.contains("o_custkey IN"), s"victim IN-list leaked into the plan:\n$plan")
+    // and a Set above the declared cap routes through the same join path:
+    // capture every executed plan during the purge
+    val victims = spark.read.parquet(tgt).select(col("o_custkey")).distinct()
+      .limit(graft.operators.LoadOps.EraseInlineCap + 40)
+      .collect().map(_.getLong(0)).toSet
+    assert(victims.size > graft.operators.LoadOps.EraseInlineCap)
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      graft.operators.LoadOps.erasePartitions(spark, tgt, victims,
+        victims.map(v => (v % nBuckets).toInt))
+      org.apache.spark.GraftTestShims.flushListeners(spark.sparkContext)
+    } finally spark.listenerManager.unregister(listener)
+    import scala.jdk.CollectionConverters._
+    val all = plans.asScala.toSeq
+    assert(all.exists(_.contains("LeftAnti")), "no anti join executed during the purge")
+    all.foreach(p => assert(!p.contains("o_custkey IN"),
+      s"oversize victim set inlined as literals:\n${p.take(2000)}"))
+    // and the purge actually removed the victims
+    assert(spark.read.parquet(tgt)
+      .filter(col("o_custkey").isin(victims.toSeq: _*)).count() == 0L)
+  }
+
   test("seasonal: weekday-periodic volume never alarms, a flat shift does, late sources get no baseline") {
     import spark.implicits._
     // "weekly": +500 every dow 0 — a FLAT-baseline detector sees ±500
