@@ -261,6 +261,15 @@ object SparkEntry {
     "mm_audio_fingerprint"   -> ((s, d) => Multimodal.audioFingerprint(s, d)),
     "load_partition_evolution" -> (LoadOps.partitionEvolution _),
     "mm_resize"              -> ((s: SparkSession, d: String) => Multimodal.resize(s, d)),
+    // G — streaming (real Structured Streaming runs to completion; the
+    // materialized result is the gated frame — see StreamGate's scaladoc
+    // for the per-entry determinism contract)
+    "stream_window_agg"      -> graft.streaming.StreamGate.streamWindowAgg _,
+    "stream_dedup"           -> graft.streaming.StreamGate.streamDedup _,
+    "stream_sessionize"      -> graft.streaming.StreamGate.streamSessionize _,
+    "stream_paragraph_dedup" -> graft.streaming.StreamGate.streamParagraphDedup _,
+    "stream_markov"          -> graft.streaming.StreamGate.streamMarkov _,
+    "stream_cusum"           -> graft.streaming.StreamGate.streamCusum _,
   )
 
   // shared SQL fragments for the oracle ---------------------------------
@@ -567,7 +576,69 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = baseOracleSql ++ Map(
+    // G-family stream gates whose completed run equals a batch operator
+    // reuse that operator's oracle VERBATIM (one SQL text — the two
+    // entries cannot drift): G1 ≡ E13 bucketing, G19 ≡ E35 matrix,
+    // G21 ≡ D40 trajectory.
+    "stream_window_agg" -> baseOracleSql("q_time_bucket"),
+    "stream_markov"     -> baseOracleSql("q_markov_transitions"),
+    "stream_cusum"      -> baseOracleSql("mon_cusum"),
+    // G2: the emitted first-occurrence keys rolled up per type — exact
+    // distinct (user, type) pairs regardless of the 4-batch slicing
+    "stream_dedup" ->
+      """WITH p AS (SELECT DISTINCT user_id, event_type FROM events)
+        |SELECT event_type, count(*) AS n_users,
+        | CAST(sum(user_id) AS BIGINT) AS user_checksum
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    // G3: E12's session rollup MINUS each user's final session (append
+    // mode emits only CLOSED sessions; the last stays in the state store)
+    "stream_sessionize" ->
+      s"""WITH ev AS ($evSec),
+         |b AS (SELECT user_id, event_id, sec, value,
+         |  CASE WHEN lag(sec) OVER w IS NULL THEN 1
+         |       WHEN sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+         | FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+         |s AS (SELECT user_id, sec, value, sum(brk) OVER
+         |  (PARTITION BY user_id ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+         | FROM b),
+         |g AS (SELECT user_id, session_id, count(*) AS n_events,
+         |  CAST(min(sec) AS BIGINT) AS start_sec, CAST(max(sec) AS BIGINT) AS end_sec,
+         |  round(sum(value), 2) AS session_value
+         | FROM s GROUP BY 1, 2),
+         |m AS (SELECT user_id, max(session_id) AS last_sid FROM g GROUP BY 1)
+         |SELECT g.user_id, g.n_events, g.start_sec, g.end_sec, g.session_value
+         |FROM g JOIN m USING (user_id) WHERE g.session_id < m.last_sid
+         |ORDER BY g.user_id, g.start_sec""".stripMargin,
+    // G15: F49's chunk/keeper CTEs; the report legitimately lacks
+    // n_dup_chunks (a stream cannot know a chunk's future multiplicity)
+    "stream_paragraph_dedup" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(
+        |        CASE WHEN doc_id % 7 = 0
+        |             THEN '${graft.operators.Dedup.ParagraphBoiler} ' || text
+        |             ELSE text END, ' ') AS toks FROM documents),
+        |w AS (SELECT doc_id, unnest(toks) AS word,
+        |        generate_subscripts(toks, 1) AS ord FROM tk),
+        |c0 AS (SELECT doc_id,
+        |        CAST(floor((ord - 1) / 20.0) AS BIGINT) AS chunk_idx,
+        |        string_agg(word, ' ' ORDER BY ord) AS chunk
+        |      FROM w GROUP BY doc_id, floor((ord - 1) / 20.0)),
+        |c AS (SELECT doc_id, chunk_idx, md5(chunk) AS h
+        |      FROM c0 WHERE length(chunk) > 0),
+        |s AS (SELECT h, min(doc_id * 1000000 + chunk_idx) AS keeper_key
+        |      FROM c GROUP BY h),
+        |j AS (SELECT c.doc_id, c.h,
+        |        (c.doc_id * 1000000 + c.chunk_idx) = s.keeper_key AS kept
+        |      FROM c JOIN s USING (h))
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN kept THEN ('0x' || substr(h, 1, 8))::BIGINT ELSE 0 END)
+        |    AS BIGINT) AS kept_checksum
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+  )
+
+  private def baseOracleSql: Map[String, String] = Map(
     "src_parquet_pruned" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_quantity >= 45 ORDER BY l_orderkey, l_linenumber""".stripMargin,

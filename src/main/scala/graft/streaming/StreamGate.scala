@@ -1,0 +1,187 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Oracle-gate entry points for the G-family (SURVEY §2 G): each runs a
+  * REAL Structured Streaming query to completion (file source →
+  * `Trigger.AvailableNow` → sink, through the streaming engine's state
+  * machinery), then returns the materialized result as a batch frame the
+  * driver hashes against a DuckDB oracle — promoting the streaming rows
+  * from spec-only to the same hash-exact gate every batch operator sits
+  * behind.
+  *
+  * Determinism contract per entry: operators whose cross-batch semantics
+  * are ARRIVAL-ORDER-dependent (sessionize G3, paragraph ledger G15,
+  * Markov boundary pairs G19) run as one availableNow micro-batch — the
+  * in-order case their docs declare, where stream ≡ batch provably;
+  * operators whose state folds ASSOCIATIVELY (exact dedup G2, integer
+  * CUSUM dailies G21) run MULTI-batch (`maxFilesPerTrigger=1` over a
+  * multi-file input) because any batch split folds to the same answer.
+  * The multi-batch specs in StreamingSpec stay the slicing-equivalence
+  * proof; these entries are the end-to-end oracle check. */
+object StreamGate {
+
+  private def root(spark: SparkSession, name: String): String =
+    Tables.scratch(spark, s"graft_stream/$name")
+
+  /** Fresh scratch dir (state/checkpoint/input must not leak between
+    * gate runs — a stale checkpoint would mark the input processed and
+    * the sink would stay empty). */
+  private def fresh(spark: SparkSession, name: String): String = {
+    val dir = root(spark, name)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    dir
+  }
+
+  /** G1 gate: watermarked tumbling-window aggregation run availableNow in
+    * complete mode to a memory sink — the final table equals E13's batch
+    * bucketing (same epoch-aligned 1-hour windows), oracled by the same
+    * SQL. */
+  def streamWindowAgg(spark: SparkSession, dir: String): DataFrame = {
+    val base = fresh(spark, "window_agg")
+    Tables(spark, dir).eventsSec
+      .select(timestamp_seconds(col("sec")).as("ts"), col("event_type"), col("value"))
+      .write.parquet(s"$base/in")
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("ts", TimestampType),
+        StructField("event_type", StringType), StructField("value", DoubleType))))
+      .parquet(s"$base/in")
+    val q = EventStreams.windowedCounts(src)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("graft_stream_window_agg")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table("graft_stream_window_agg")
+      .select(col("bucket_start").cast("long").as("bucket_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("bucket_start"), col("event_type"))
+  }
+
+  /** G2 gate: streaming exact dedup on (user_id, event_type), MULTI-batch
+    * (4 input files, one per trigger) — per-key state carries across
+    * micro-batches, later duplicates are dropped; the watermark delay
+    * exceeds the corpus span so no state evicts and no row is late
+    * (the exact-dedup configuration; bounded-state eviction is the
+    * StreamingSpec's subject). The emitted key set is then rolled up to
+    * a deterministic per-type report. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = fresh(spark, "dedup")
+    Tables(spark, dir).eventsSec
+      .select(timestamp_seconds(col("sec")).as("ts"),
+        col("user_id"), col("event_type"))
+      .repartition(4)
+      .write.parquet(s"$base/in")
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_type", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in")
+    val q = EventStreams.dedupStream(src, Seq("user_id", "event_type"), "3650 days")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_stream_dedup")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table("graft_stream_dedup")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("user_id")).cast("long").as("user_checksum"))
+      .orderBy(col("event_type"))
+  }
+
+  /** G3 gate: stateful sessionization (flatMapGroupsWithState) run
+    * availableNow — append mode emits each CLOSED session once; the last
+    * session of every user stays open in the state store by design, so
+    * the oracle is E12's session rollup MINUS each user's final session. */
+  def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = fresh(spark, "sessionize")
+    Tables(spark, dir).eventsSec
+      .select(col("user_id"), col("sec"), col("value"))
+      .write.parquet(s"$base/in")
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("user_id", LongType),
+        StructField("sec", LongType), StructField("value", DoubleType))))
+      .parquet(s"$base/in")
+    val q = EventStreams.sessionizeStream(src.as[SessionEvent])
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_stream_sessionize")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table("graft_stream_sessionize")
+      .select(col("user_id"), col("n_events"), col("start_sec"), col("end_sec"),
+        round(col("session_value"), 2).as("session_value"))
+      .orderBy(col("user_id"), col("start_sec"))
+  }
+
+  /** G15 gate: the streaming paragraph-dedup ledger run availableNow over
+    * the wired corpus (one batch — the in-order case where the ledger's
+    * keep-first equals F49's min-occurrence rule exactly); the report
+    * parquet the stream emits IS the gated frame. */
+  def streamParagraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = fresh(spark, "paragraph")
+    graft.operators.Dedup.paragraphWire(
+        Tables(spark, dir).documents.select(col("doc_id"), col("text")))
+      .write.parquet(s"$base/in")
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .parquet(s"$base/in")
+    val q = EventStreams.paragraphDedupStream(src, s"$base/state")
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    spark.read.parquet(s"$base/state/report").orderBy(col("doc_id"))
+  }
+
+  /** G19 gate: the streaming Markov state store run availableNow (one
+    * batch — the in-order case where stored-last boundary pairs equal the
+    * batch window pass); the cumulative report equals E35 and shares its
+    * oracle. */
+  def streamMarkov(spark: SparkSession, dir: String): DataFrame = {
+    val base = fresh(spark, "markov")
+    Tables(spark, dir).eventsSec
+      .select(col("user_id"), col("sec"), col("event_id"), col("event_type"))
+      .write.parquet(s"$base/in")
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("user_id", LongType),
+        StructField("sec", LongType), StructField("event_id", LongType),
+        StructField("event_type", StringType))))
+      .parquet(s"$base/in")
+    val q = EventStreams.markovStream(src, s"$base/state")
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    spark.read.parquet(s"$base/state/report")
+      .orderBy(col("state"), col("next_state"))
+  }
+
+  /** G21 gate: the streaming CUSUM monitor run MULTI-batch (4 input
+    * files, one per trigger) — each (source, day) daily row is unique, so
+    * any batch split folds the same accumulated run log, and the final
+    * report equals D40's batch trajectory bit-for-bit (integer cents). */
+  def streamCusum(spark: SparkSession, dir: String): DataFrame = {
+    val base = fresh(spark, "cusum")
+    Tables(spark, dir).eventsSec
+      .select(col("event_type").as("source"),
+        expr("sec div 86400").cast("long").as("day"),
+        expr("cast(round(value * 100) as long)").as("cents"))
+      .groupBy(col("source"), col("day"))
+      .agg(expr("sum(cents) div count(*)").as("md"))
+      .repartition(4)
+      .write.parquet(s"$base/in")
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("source", StringType),
+        StructField("day", LongType), StructField("md", LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in")
+    val q = EventStreams.cusumStream(src, s"$base/state")
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    spark.read.parquet(s"$base/state/report")
+      .orderBy(col("source"), col("day"))
+  }
+}
