@@ -475,7 +475,7 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY word_id ORDER BY pos) AS pos, sym FROM (
          |  SELECT t.word_id, t.cnt, t.pos,
          |    CASE WHEN m.pos IS NOT NULL THEN b.l || b.r ELSE t.sym END AS sym
-         |  FROM p$i t CROSS JOIN b$i b
+         |  FROM p$i t LEFT JOIN b$i b ON TRUE
          |  LEFT JOIN m$i m ON m.word_id = t.word_id AND m.pos = t.pos
          |  LEFT JOIN m$i g ON g.word_id = t.word_id AND g.pos = t.pos - 1
          |  WHERE g.pos IS NULL)),
@@ -639,6 +639,19 @@ object SparkEntry {
   )
 
   private def baseOracleSql: Map[String, String] = Map(
+    // E17/E20: the sketch estimates are engine-specific, but the exact
+    // counts and the declared error-bound verdict are not — the oracle
+    // pins within_bound to 1, so a sketch drifting out of its bound
+    // hash-mismatches (the F4/F5 invariant-gate convention)
+    "q_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        | count(*) AS n, CAST(1 AS INT) AS within_bound
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_hll_sketch" ->
+      """SELECT event_type AS source,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct_users,
+        | CAST(1 AS INT) AS within_bound
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_parquet_pruned" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_quantity >= 45 ORDER BY l_orderkey, l_linenumber""".stripMargin,
@@ -2313,9 +2326,9 @@ object SparkEntry {
         |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_xy
         | FROM lineitem GROUP BY 1)
         |SELECT l_returnflag, n, mean_x, mean_y,
-        | round(cov_xy / var_x, 4) AS slope,
-        | round(mean_y - (cov_xy / var_x) * mean_x, 4) AS intercept,
-        | round(cov_xy * cov_xy / (var_x * var_y), 4) AS r2
+        | round(cov_xy / nullif(var_x, 0), 4) AS slope,
+        | round(mean_y - (cov_xy / nullif(var_x, 0)) * mean_x, 4) AS intercept,
+        | round(cov_xy * cov_xy / (nullif(var_x, 0) * nullif(var_y, 0)), 4) AS r2
         |FROM m ORDER BY l_returnflag""".stripMargin,
     // E37: the windowed funnel chain replayed with the same
     // conditional-min-within-window rule at each step

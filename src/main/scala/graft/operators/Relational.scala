@@ -59,15 +59,23 @@ object Relational {
   /** E20: HyperLogLog distinct estimation via the custom
     * [[graft.functions.HllAggregate]] TypedImperativeAggregate (element-
     * wise-max register merge — idempotent, so re-merged partials never
-    * inflate). Rows-only gate (the wrapping-arithmetic hash has no DuckDB
-    * twin); HllSpec proves merge algebra, partitioning invariance, and
-    * the error bound vs exact distinct. */
+    * inflate). The estimate itself has no DuckDB twin (wrapping-arithmetic
+    * hash), but its INVARIANT does (the F4/F5 convention): the gated
+    * frame carries the exact distinct count plus a within-bound verdict
+    * (|est − exact| ≤ 26% of exact — 4σ of the 256-register ~6.5% std
+    * error, the HllSpec bound), and the oracle asserts the verdict is 1
+    * for every source — a sketch drifting out of bound hash-mismatches.
+    * HllSpec separately proves merge algebra and partitioning
+    * invariance. */
   def qHllSketch(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.HllAggregate
     val t = Tables(spark, dir)
     t.events.groupBy(col("event_type").as("source"))
       .agg(HllAggregate.hllSketch(spark, col("user_id")).as("est_distinct_users"),
         countDistinct(col("user_id")).as("exact_distinct_users"))
+      .select(col("source"), col("exact_distinct_users"),
+        (abs(col("est_distinct_users") - col("exact_distinct_users"))
+          <= col("exact_distinct_users") * 0.26).cast("int").as("within_bound"))
       .orderBy(col("source"))
   }
 
@@ -705,9 +713,12 @@ object Relational {
       .orderBy(col("col_a"), col("col_b"))
   }
 
-  /** E17: approximate distinct counting (HLL sketch) next to cheap per-
-    * group stats. Sketch estimates are engine-specific → rows-only check
-    * plus a tolerance spec against the exact count. */
+  /** E17: approximate distinct counting (Spark's built-in HLL++) next to
+    * cheap per-group stats. The estimate is engine-specific, but its
+    * invariant is oracle-able (the E20/F4/F5 convention): the gated frame
+    * carries the exact count, the row count, and a within-bound verdict
+    * (|approx − exact| ≤ 15% of exact — 3σ of the default 5% rsd), which
+    * the oracle pins to 1 per group. */
   def qApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     t.lineitem.groupBy(col("l_returnflag"))
@@ -715,6 +726,9 @@ object Relational {
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("exact_parts"), col("n"),
+        (abs(col("approx_parts") - col("exact_parts"))
+          <= col("exact_parts") * 0.15).cast("int").as("within_bound"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -1011,12 +1025,18 @@ object Relational {
         round(var_samp(col("l_quantity")), 4).as("var_x"),
         round(var_samp(col("l_extendedprice")), 4).as("var_y"),
         round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_xy"))
+    // nullif guards (mirrored in the oracle): a degenerate group with
+    // constant x (or y) has zero rounded variance, where Spark's double
+    // division (NULL vs ±Inf) and DuckDB's would otherwise disagree —
+    // both engines now report NULL slope/intercept/r2 identically
+    val vx = nullif(col("var_x"), lit(0.0))
+    val vy = nullif(col("var_y"), lit(0.0))
     moments
-      .withColumn("slope", round(col("cov_xy") / col("var_x"), 4))
+      .withColumn("slope", round(col("cov_xy") / vx, 4))
       .withColumn("intercept",
-        round(col("mean_y") - (col("cov_xy") / col("var_x")) * col("mean_x"), 4))
+        round(col("mean_y") - (col("cov_xy") / vx) * col("mean_x"), 4))
       .withColumn("r2",
-        round((col("cov_xy") * col("cov_xy")) / (col("var_x") * col("var_y")), 4))
+        round((col("cov_xy") * col("cov_xy")) / (vx * vy), 4))
       .select(col("l_returnflag"), col("n"), col("mean_x"), col("mean_y"),
         col("slope"), col("intercept"), col("r2"))
       .orderBy(col("l_returnflag"))

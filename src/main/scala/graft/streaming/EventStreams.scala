@@ -44,6 +44,49 @@ final case class LineRow(l_orderkey: Long, l_quantity: Double,
   */
 object EventStreams {
 
+  /** Crash-safe state publish for the foreachBatch state stores: write the
+    * new generation to `<dir>.next`, set the old one aside as `<dir>.prev`,
+    * promote, then drop the backup. A crash at ANY step leaves a readable
+    * generation for [[readState]]:
+    *   - during the `.next` write → current generation intact (and the
+    *     partial `.next` has no _SUCCESS marker, so it is never trusted);
+    *   - between set-aside and promote → the complete `.next` is readable;
+    *   - after promote, before backup drop → current generation readable.
+    * The old delete-then-rename shape had a window where NO state existed —
+    * a crash there silently reset the accumulated counts/moments and broke
+    * the 'equals the batch pass over the prefix' guarantee on recovery. */
+  private[graft] def publishState(df: DataFrame, dir: String): Unit = {
+    val spark = df.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = new org.apache.hadoop.fs.Path(dir)
+    val next = new org.apache.hadoop.fs.Path(dir + ".next")
+    val prev = new org.apache.hadoop.fs.Path(dir + ".prev")
+    df.write.mode("overwrite").parquet(next.toString)
+    if (fs.exists(prev)) fs.delete(prev, true)
+    if (fs.exists(cur)) require(fs.rename(cur, prev), s"state set-aside failed: $cur")
+    require(fs.rename(next, cur), s"state publish failed: $next -> $cur")
+    if (fs.exists(prev)) fs.delete(prev, true)
+    (): Unit
+  }
+
+  /** Recover the newest COMPLETE state generation (see [[publishState]]):
+    * current if present, else a fully-written `.next` (its _SUCCESS marker
+    * proves the write finished before the crash), else the `.prev` backup. */
+  private[graft] def readState(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[DataFrame] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = new org.apache.hadoop.fs.Path(dir)
+    val next = new org.apache.hadoop.fs.Path(dir + ".next")
+    val prev = new org.apache.hadoop.fs.Path(dir + ".prev")
+    if (fs.exists(cur)) Some(spark.read.parquet(dir))
+    else if (fs.exists(new org.apache.hadoop.fs.Path(next, "_SUCCESS")))
+      Some(spark.read.parquet(next.toString))
+    else if (fs.exists(prev)) Some(spark.read.parquet(prev.toString))
+    else None
+  }
+
   /** G1: watermarked tumbling-window aggregation over an event stream with
     * columns (ts: timestamp, event_type: string, value: double). */
   def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
@@ -242,18 +285,9 @@ object EventStreams {
     log.toDF().writeStream.outputMode("update")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(stateDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val cur = new org.apache.hadoop.fs.Path(stateDir)
-        val prev =
-          if (fs.exists(cur)) spark.read.parquet(stateDir).unionByName(batch.toDF())
-          else batch.toDF()
-        val tmp = new org.apache.hadoop.fs.Path(stateDir + ".next")
-        graft.operators.LoadOps.changelogLatest(prev)
-          .write.mode("overwrite").parquet(tmp.toString)
-        if (fs.exists(cur)) fs.delete(cur, true)
-        require(fs.rename(tmp, cur), s"state publish failed: $tmp -> $cur")
-        (): Unit
+        val prev = readState(spark, stateDir)
+          .map(_.unionByName(batch.toDF())).getOrElse(batch.toDF())
+        publishState(graft.operators.LoadOps.changelogLatest(prev), stateDir)
       }
       .start()
 
@@ -277,18 +311,14 @@ object EventStreams {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         import org.apache.spark.sql.functions._
         val spark = batch.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(stateDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val ledgerPath = new org.apache.hadoop.fs.Path(stateDir + "/seen")
         val chunks = graft.operators.Dedup
           .paragraphChunksOf(batch.toDF(), w).localCheckpoint(true)
         // batch-local first occurrence per hash (arrival order within the
         // batch = occ_key order, matching the batch op's tie rule)
         val firsts = chunks.groupBy(col("h")).agg(min(col("occ_key")).as("first_occ"))
-        val seen =
-          if (fs.exists(ledgerPath)) spark.read.parquet(ledgerPath.toString)
-          else spark.emptyDataFrame.withColumn("h", lit("")).limit(0)
-            .select(col("h"))
+        val seen = readState(spark, stateDir + "/seen").getOrElse(
+          spark.emptyDataFrame.withColumn("h", lit("")).limit(0)
+            .select(col("h")))
         // kept = first occurrence of a hash the ledger has never seen
         val kept = chunks.join(firsts, Seq("h"))
           .withColumn("batch_first", col("occ_key") === col("first_occ"))
@@ -301,14 +331,9 @@ object EventStreams {
               conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
               .otherwise(0L)).as("kept_checksum"))
           .write.mode("append").parquet(stateDir + "/report")
-        // ledger' = ledger ∪ batch hashes, published atomically so a
-        // crashed batch can never leave a half-written state
-        val tmp = new org.apache.hadoop.fs.Path(stateDir + "/seen.next")
-        seen.select(col("h")).unionByName(firsts.select(col("h"))).distinct()
-          .write.mode("overwrite").parquet(tmp.toString)
-        if (fs.exists(ledgerPath)) fs.delete(ledgerPath, true)
-        require(fs.rename(tmp, ledgerPath), s"ledger publish failed: $tmp -> $ledgerPath")
-        (): Unit
+        // ledger' = ledger ∪ batch hashes, published crash-safely
+        publishState(seen.select(col("h"))
+          .unionByName(firsts.select(col("h"))).distinct(), stateDir + "/seen")
       }
       .start()
 
@@ -333,36 +358,21 @@ object EventStreams {
         val spark = batch0.sparkSession
         val batch = batch0.toDF()
           .select(col("user_id"), col("sec"), col("event_id"), col("event_type"))
-        val fs = new org.apache.hadoop.fs.Path(stateDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val lastPath = new org.apache.hadoop.fs.Path(stateDir + "/last")
-        val countsPath = new org.apache.hadoop.fs.Path(stateDir + "/counts")
-        def publish(df: org.apache.spark.sql.DataFrame,
-            to: org.apache.hadoop.fs.Path): Unit = {
-          val tmp = new org.apache.hadoop.fs.Path(to.toString + ".next")
-          df.write.mode("overwrite").parquet(tmp.toString)
-          if (fs.exists(to)) fs.delete(to, true)
-          require(fs.rename(tmp, to), s"state publish failed: $tmp -> $to")
-        }
-        val last =
-          if (fs.exists(lastPath)) spark.read.parquet(lastPath.toString)
-          else batch.limit(0)
+        val last = readState(spark, stateDir + "/last").getOrElse(batch.limit(0))
         val uni = last.unionByName(batch).localCheckpoint(true)
         val fresh = graft.operators.Relational.markovCountsOf(uni)
-        val prior =
-          if (fs.exists(countsPath)) spark.read.parquet(countsPath.toString)
-          else fresh.limit(0)
+        val prior = readState(spark, stateDir + "/counts").getOrElse(fresh.limit(0))
         val counts = prior.unionByName(fresh)
           .groupBy(col("state"), col("next_state"))
           .agg(sum(col("n")).as("n"))
           .localCheckpoint(true)
-        publish(counts, countsPath)
-        publish(uni.groupBy(col("user_id"))
+        publishState(counts, stateDir + "/counts")
+        publishState(uni.groupBy(col("user_id"))
           .agg(max_by(struct(col("sec"), col("event_id"), col("event_type")),
             struct(col("sec"), col("event_id"))).as("s"))
           .select(col("user_id"), col("s.sec").as("sec"),
             col("s.event_id").as("event_id"), col("s.event_type").as("event_type")),
-          lastPath)
+          stateDir + "/last")
         graft.operators.Relational.markovAssemble(counts)
           .write.mode("overwrite").parquet(stateDir + "/report")
         (): Unit
@@ -388,19 +398,11 @@ object EventStreams {
       .foreachBatch { (batch0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         import org.apache.spark.sql.functions._
         val spark = batch0.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(stateDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val statePath = new org.apache.hadoop.fs.Path(stateDir + "/dailies")
         val batch = batch0.toDF()
           .select(col("source"), col("day").cast("long"), col("md").cast("long"))
-        val prior =
-          if (fs.exists(statePath)) spark.read.parquet(statePath.toString)
-          else batch.limit(0)
+        val prior = readState(spark, stateDir + "/dailies").getOrElse(batch.limit(0))
         val total = prior.unionByName(batch).localCheckpoint(true)
-        val tmp = new org.apache.hadoop.fs.Path(stateDir + "/dailies.next")
-        total.write.mode("overwrite").parquet(tmp.toString)
-        if (fs.exists(statePath)) fs.delete(statePath, true)
-        require(fs.rename(tmp, statePath), s"state publish failed: $tmp -> $statePath")
+        publishState(total, stateDir + "/dailies")
         graft.operators.LoadOps.cusumOver(total, kCents, hCents)
           .write.mode("overwrite").parquet(stateDir + "/report")
         (): Unit
@@ -423,23 +425,15 @@ object EventStreams {
       .foreachBatch { (batch0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         import org.apache.spark.sql.functions._
         val spark = batch0.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(stateDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val statePath = new org.apache.hadoop.fs.Path(stateDir + "/moments")
         val fresh = graft.operators.Relational.abCentMomentsOf(batch0.toDF())
-        val prior =
-          if (fs.exists(statePath)) spark.read.parquet(statePath.toString)
-          else fresh.limit(0)
+        val prior = readState(spark, stateDir + "/moments").getOrElse(fresh.limit(0))
         val cols = Seq("n_a", "sum_a", "ss_a", "n_b", "sum_b", "ss_b")
         val total = prior.unionByName(fresh)
           .groupBy(col("event_type"))
           .agg(cols.map(c => sum(col(c)).as(c)).head,
             cols.map(c => sum(col(c)).as(c)).tail: _*)
           .localCheckpoint(true)
-        val tmp = new org.apache.hadoop.fs.Path(stateDir + "/moments.next")
-        total.write.mode("overwrite").parquet(tmp.toString)
-        if (fs.exists(statePath)) fs.delete(statePath, true)
-        require(fs.rename(tmp, statePath), s"state publish failed: $tmp -> $statePath")
+        publishState(total, stateDir + "/moments")
         graft.operators.Relational.abTtestFromCents(total)
           .write.mode("overwrite").parquet(stateDir + "/report")
         (): Unit
@@ -461,25 +455,17 @@ object EventStreams {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         import org.apache.spark.sql.functions._
         val spark = batch.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(stateDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val statePath = new org.apache.hadoop.fs.Path(stateDir + "/moments")
         val partial = batch.toDF()
           .withColumn("is_cur", col("vec_id") % 5 === 0)
           .select(col("label"), col("is_cur"), posexplode(col("v")).as(Seq("pos", "x")))
           .groupBy(col("label"), col("pos"), col("is_cur"))
           .agg(sum(col("x")).as("s"), count(lit(1)).as("c"))
-        val prev =
-          if (fs.exists(statePath)) spark.read.parquet(statePath.toString)
-          else partial.limit(0)
+        val prev = readState(spark, stateDir + "/moments").getOrElse(partial.limit(0))
         val merged = prev.unionByName(partial)
           .groupBy(col("label"), col("pos"), col("is_cur"))
           .agg(sum(col("s")).as("s"), sum(col("c")).as("c"))
           .localCheckpoint(true)
-        val tmp = new org.apache.hadoop.fs.Path(stateDir + "/moments.next")
-        merged.write.mode("overwrite").parquet(tmp.toString)
-        if (fs.exists(statePath)) fs.delete(statePath, true)
-        require(fs.rename(tmp, statePath), s"state publish failed: $tmp -> $statePath")
+        publishState(merged, stateDir + "/moments")
         val byDim = merged.groupBy(col("label"), col("pos"))
           .agg((sum(when(!col("is_cur"), col("s"))) /
               sum(when(!col("is_cur"), col("c")))).as("rc"),
@@ -511,18 +497,14 @@ object EventStreams {
         import org.apache.spark.sql.functions._
         import graft.operators.TextAnalysis
         val spark = batch.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(stateDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val ledgerPath = new org.apache.hadoop.fs.Path(stateDir + "/seen")
         val grams = batch.toDF()
           .select(col("doc_id"),
             explode(TextAnalysis.wordGrams(TextAnalysis.tokens(col("text")), k)).as("gram"))
           .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
           .distinct().localCheckpoint(true)
         val firsts = grams.groupBy(col("gh")).agg(min(col("doc_id")).as("first_doc"))
-        val seen =
-          if (fs.exists(ledgerPath)) spark.read.parquet(ledgerPath.toString)
-          else spark.range(0).select(col("id").as("gh"))
+        val seen = readState(spark, stateDir + "/seen").getOrElse(
+          spark.range(0).select(col("id").as("gh")))
         grams.join(firsts, Seq("gh"))
           .join(seen.withColumn("in_ledger", lit(true)), Seq("gh"), "left")
           .withColumn("novel",
@@ -533,12 +515,8 @@ object EventStreams {
           .select(col("doc_id"), col("n_distinct"), col("n_novel"),
             expr("n_novel * 1000000 div greatest(n_distinct, 1)").as("novelty_ppm"))
           .write.mode("append").parquet(stateDir + "/report")
-        val tmp = new org.apache.hadoop.fs.Path(stateDir + "/seen.next")
-        seen.select(col("gh")).unionByName(firsts.select(col("gh"))).distinct()
-          .write.mode("overwrite").parquet(tmp.toString)
-        if (fs.exists(ledgerPath)) fs.delete(ledgerPath, true)
-        require(fs.rename(tmp, ledgerPath), s"ledger publish failed: $tmp -> $ledgerPath")
-        (): Unit
+        publishState(seen.select(col("gh"))
+          .unionByName(firsts.select(col("gh"))).distinct(), stateDir + "/seen")
       }
       .start()
 
@@ -557,23 +535,17 @@ object EventStreams {
       .foreachBatch { (batch0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         import org.apache.spark.sql.functions._
         val spark = batch0.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(stateDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val statePath = new org.apache.hadoop.fs.Path(stateDir + "/counts")
         val fresh = batch0.toDF()
           .select(col("user_id").cast("long").as("user_id"))
           .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
-        val prior =
-          if (fs.exists(statePath)) spark.read.parquet(statePath.toString)
-          else fresh.limit(0)
+        val prior = readState(spark, stateDir + "/counts").getOrElse(fresh.limit(0))
         val total = prior.unionByName(fresh)
           .groupBy(col("user_id")).agg(sum(col("n")).as("n"))
           .localCheckpoint(true)
-        val tmp = new org.apache.hadoop.fs.Path(stateDir + "/counts.next")
-        total.write.mode("overwrite").parquet(tmp.toString)
-        if (fs.exists(statePath)) fs.delete(statePath, true)
-        require(fs.rename(tmp, statePath), s"state publish failed: $tmp -> $statePath")
-        val n = total.agg(sum(col("n"))).head().getLong(0)
+        publishState(total, stateDir + "/counts")
+        // coalesce: an empty first micro-batch has no rows to sum — the
+        // grand total must be 0, not a null that kills the stream
+        val n = total.agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
         graft.operators.Relational.heavyHittersFromCounts(total, n, k)
           .write.mode("overwrite").parquet(stateDir + "/report")
         (): Unit
@@ -597,24 +569,16 @@ object EventStreams {
       .foreachBatch { (batch0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         import org.apache.spark.sql.functions._
         val spark = batch0.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(stateDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val statePath = new org.apache.hadoop.fs.Path(stateDir + "/moments")
         val fresh = batch0.toDF()
           .select(col("source"), col("day").cast("long"), col("cents").cast("long"))
           .groupBy(col("source"), col("day"))
           .agg(sum(col("cents")).as("s"), count(lit(1)).as("n"))
-        val prior =
-          if (fs.exists(statePath)) spark.read.parquet(statePath.toString)
-          else fresh.limit(0)
+        val prior = readState(spark, stateDir + "/moments").getOrElse(fresh.limit(0))
         val total = prior.unionByName(fresh)
           .groupBy(col("source"), col("day"))
           .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
           .localCheckpoint(true)
-        val tmp = new org.apache.hadoop.fs.Path(stateDir + "/moments.next")
-        total.write.mode("overwrite").parquet(tmp.toString)
-        if (fs.exists(statePath)) fs.delete(statePath, true)
-        require(fs.rename(tmp, statePath), s"state publish failed: $tmp -> $statePath")
+        publishState(total, stateDir + "/moments")
         graft.operators.LoadOps.holtOver(
             total.select(col("source"), col("day"), expr("s div n").as("md")),
             alphaPpm, betaPpm, hCents, warmup)
@@ -641,24 +605,16 @@ object EventStreams {
       .foreachBatch { (batch0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         import org.apache.spark.sql.functions._
         val spark = batch0.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(stateDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val statePath = new org.apache.hadoop.fs.Path(stateDir + "/moments")
         val fresh = batch0.toDF()
           .select(col("source"), col("day").cast("long"), col("cents").cast("long"))
           .groupBy(col("source"), col("day"))
           .agg(sum(col("cents")).as("s"), count(lit(1)).as("n"))
-        val prior =
-          if (fs.exists(statePath)) spark.read.parquet(statePath.toString)
-          else fresh.limit(0)
+        val prior = readState(spark, stateDir + "/moments").getOrElse(fresh.limit(0))
         val total = prior.unionByName(fresh)
           .groupBy(col("source"), col("day"))
           .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
           .localCheckpoint(true)
-        val tmp = new org.apache.hadoop.fs.Path(stateDir + "/moments.next")
-        total.write.mode("overwrite").parquet(tmp.toString)
-        if (fs.exists(statePath)) fs.delete(statePath, true)
-        require(fs.rename(tmp, statePath), s"state publish failed: $tmp -> $statePath")
+        publishState(total, stateDir + "/moments")
         graft.operators.LoadOps.seasonalOf(
             total.select(col("source"), col("day"), expr("s div n").as("md")),
             trainDays, hCents)
@@ -681,21 +637,13 @@ object EventStreams {
       .foreachBatch { (batch0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         import org.apache.spark.sql.functions._
         val spark = batch0.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(stateDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val statePath = new org.apache.hadoop.fs.Path(stateDir + "/counts")
         val fresh = graft.operators.LoadOps.benfordCountsOf(batch0.toDF())
-        val prior =
-          if (fs.exists(statePath)) spark.read.parquet(statePath.toString)
-          else fresh.limit(0)
+        val prior = readState(spark, stateDir + "/counts").getOrElse(fresh.limit(0))
         val total = prior.unionByName(fresh)
           .groupBy(col("source"), col("digit"))
           .agg(sum(col("n_d")).as("n_d"))
           .localCheckpoint(true)
-        val tmp = new org.apache.hadoop.fs.Path(stateDir + "/counts.next")
-        total.write.mode("overwrite").parquet(tmp.toString)
-        if (fs.exists(statePath)) fs.delete(statePath, true)
-        require(fs.rename(tmp, statePath), s"state publish failed: $tmp -> $statePath")
+        publishState(total, stateDir + "/counts")
         graft.operators.LoadOps.benfordFromCounts(total, flagBar)
           .write.mode("overwrite").parquet(stateDir + "/report")
         (): Unit

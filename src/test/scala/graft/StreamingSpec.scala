@@ -824,4 +824,41 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       assert(fin == Seq(("conf", 0), ("unif", 1)), s"final verdicts wrong: $fin")
     } finally q.stop()
   }
+
+  test("state publish is crash-safe: every interruption point leaves a readable generation") {
+    import org.apache.hadoop.fs.Path
+    val tmp = java.nio.file.Files.createTempDirectory("statepub").toString
+    val dir = s"$tmp/counts"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def gen(n: Int) = Seq((n, n * 10L)).toDF("gen", "v")
+    def readGen(): Int = EventStreams.readState(spark, dir)
+      .map(_.select(col("gen")).head().getInt(0))
+      .getOrElse(sys.error("no state generation recoverable"))
+    // normal path: publish g1 then g2, read back g2
+    EventStreams.publishState(gen(1), dir)
+    assert(readGen() == 1)
+    EventStreams.publishState(gen(2), dir)
+    assert(readGen() == 2)
+    // crash DURING the .next write: partial dir without _SUCCESS must be
+    // ignored, current generation survives
+    val next = new Path(dir + ".next")
+    fs.mkdirs(next)
+    val out = fs.create(new Path(next, "part-00000.parquet")); out.write(1); out.close()
+    assert(readGen() == 2, "partial .next must never be trusted")
+    fs.delete(next, true)
+    // crash BETWEEN set-aside and promote: cur renamed to .prev, complete
+    // .next exists — the old delete-then-rename shape lost everything here
+    gen(3).write.mode("overwrite").parquet(next.toString)
+    assert(fs.rename(new Path(dir), new Path(dir + ".prev")))
+    assert(readGen() == 3, "complete .next with _SUCCESS must be recovered")
+    // crash AFTER set-aside with NO complete next (no _SUCCESS): fall back
+    // to the .prev backup
+    fs.delete(new Path(next, "_SUCCESS"), false)
+    assert(readGen() == 2, ".prev backup must be recovered when .next is incomplete")
+    // recovery resumes publishing on top of whatever generation survived
+    EventStreams.publishState(gen(4), dir)
+    assert(readGen() == 4)
+    assert(!fs.exists(new Path(dir + ".prev")) && !fs.exists(next),
+      "publish must clean up its transient generations")
+  }
 }
