@@ -26,6 +26,7 @@ object SparkEntry {
     "src_rest_oid_sweep"     -> ((s: SparkSession, d: String) => Ingest.restOidSweep(s, d)),
     "src_rest_offset_paging" -> ((s: SparkSession, d: String) => Ingest.restOffsetPaging(s, d)),
     "src_snapshot_load"      -> Ingest.snapshotLoad _,
+    "src_cache_ttl"          -> ((s: SparkSession, d: String) => Ingest.srcCacheTtl(s, d)),
     "src_orc_roundtrip"      -> Ingest.orcRoundtrip _,
     "src_url_filenames"      -> Ingest.urlFilenames _,
     "src_archive_unpack"     -> Ingest.archiveUnpack _,
@@ -655,6 +656,28 @@ object SparkEntry {
     "src_parquet_pruned" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_quantity >= 45 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // A18: the TTL cache decision replayed source-for-source — planted
+    // purged-history (first_fetch) and paused (refetch) classes, 24 h TTL
+    // against the corpus watermark
+    "src_cache_ttl" ->
+      """WITH ev AS (SELECT user_id % 25 AS source_key,
+        |  CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS sec,
+        |  event_type <> 'error' AS ok FROM events),
+        |w AS (SELECT max(sec) AS now FROM ev),
+        |l AS (SELECT source_key, max(sec) AS last_success_sec,
+        |   count(*) AS n_success
+        | FROM ev, w WHERE ok AND source_key % 7 <> 3
+        |   AND (source_key % 5 <> 1 OR sec <= now - 3 * 86400)
+        | GROUP BY 1),
+        |c AS (SELECT CAST(n_nationkey AS BIGINT) AS source_key, n_name FROM nation)
+        |SELECT c.source_key, c.n_name,
+        | COALESCE(l.n_success, 0) AS n_success, l.last_success_sec,
+        | w.now - l.last_success_sec AS age_sec,
+        | CASE WHEN l.last_success_sec IS NULL THEN 'first_fetch'
+        |      WHEN w.now - l.last_success_sec <= 24 * 3600 THEN 'cache_hit'
+        |      ELSE 'refetch' END AS decision
+        |FROM c LEFT JOIN l USING (source_key), w
+        |ORDER BY c.source_key""".stripMargin,
     "src_csv_read" ->
       "SELECT CAST(r_regionkey AS INT) AS r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "src_json_features" ->

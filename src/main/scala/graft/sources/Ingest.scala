@@ -319,6 +319,54 @@ object Ingest {
       .orderBy(col("range_id"))
   }
 
+  /** A18: TTL-gated fetch cache — the reference's download-cache reuse
+    * policy (config/config.yaml processing.enable_caching: true /
+    * cache_ttl_hours: 24; http_utils.py's download cache) as a replayable
+    * decision operator: a source whose last SUCCESSFUL fetch is within
+    * the TTL of the corpus watermark is served from cache (`cache_hit`,
+    * re-ingest skipped), one whose history is older re-fetches
+    * (`refetch`), and a source with no ledger at all is a `first_fetch`.
+    * With caching disabled every source re-fetches regardless of age.
+    *
+    * Model: the nation table is the source catalog (the config's source
+    * list), the events table is the fetch history (`user_id % 25` →
+    * source, non-error = success). Two planted classes make all three
+    * decisions fire at every SF: sources ≡3 (mod 7) have their history
+    * purged (newly configured → first_fetch), sources ≡1 (mod 5) pause
+    * three days before the watermark (stale → refetch).
+    *
+    * Scale shape: ONE hash agg over the fetch history (map-side
+    * partials, |sources| rows out), a 1-row watermark agg broadcast
+    * back (the D17 convention), and a broadcast join against the
+    * catalog — no window, no data-sized join. */
+  def srcCacheTtl(spark: SparkSession, dir: String, ttlHours: Long = 24L,
+      enabled: Boolean = true): DataFrame = {
+    val t = Tables(spark, dir)
+    val ev = t.eventsSec.select(
+      (col("user_id") % 25).as("source_key"), col("sec"),
+      (col("event_type") =!= "error").as("ok"))
+    val now = ev.agg(max(col("sec"))).head().getLong(0)
+    val ledger = ev.filter(col("ok"))
+      .filter(col("source_key") % 7 =!= 3)
+      .filter(col("source_key") % 5 =!= 1 || col("sec") <= now - 3L * 86400L)
+      .groupBy(col("source_key"))
+      .agg(max(col("sec")).as("last_success_sec"), count(lit(1)).as("n_success"))
+    val catalog = t.nation.select(
+      col("n_nationkey").cast("long").as("source_key"), col("n_name"))
+    catalog.join(broadcast(ledger), Seq("source_key"), "left")
+      .withColumn("age_sec",
+        when(col("last_success_sec").isNotNull, lit(now) - col("last_success_sec")))
+      .withColumn("decision",
+        when(lit(!enabled), lit("refetch"))
+          .when(col("last_success_sec").isNull, lit("first_fetch"))
+          .when(col("age_sec") <= ttlHours * 3600L, lit("cache_hit"))
+          .otherwise(lit("refetch")))
+      .select(col("source_key"), col("n_name"),
+        coalesce(col("n_success"), lit(0L)).as("n_success"),
+        col("last_success_sec"), col("age_sec"), col("decision"))
+      .orderBy(col("source_key"))
+  }
+
   /** A11: single-page OID fetch (download_rest.py's per-page request —
     * the unit of work behind A4's sweep and A9's resume). The natural
     * predicate `floor(key / pageSize) = page` is opaque to parquet; the

@@ -1216,4 +1216,33 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     assert(sparse.length == 9 && sparse.count(_.getLong(3) > 0L) == 1,
       "unobserved digits must appear with n_d = 0")
   }
+
+  test("cache ttl: fresh sources hit cache, paused sources refetch, purged histories first-fetch") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.sources.Ingest.srcCacheTtl(spark, sfDir).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getString(5)))
+    assert(rows.length == 25, "one decision per catalog source")
+    // class rules replay exactly: purged (=3 mod 7) -> first_fetch; any
+    // ledgered source within 24h -> cache_hit; older -> refetch
+    rows.foreach { case (k, age, d) =>
+      if (k % 7 == 3) assert(d == "first_fetch", s"source $k purged history")
+      else age match {
+        case None => assert(d == "first_fetch", s"source $k has no ledger")
+        case Some(a) if a <= 24L * 3600 => assert(d == "cache_hit", s"source $k fresh")
+        case Some(_) => assert(d == "refetch", s"source $k stale")
+      }
+    }
+    // the planted classes all fire (paused sources are stale by >= 3 days)
+    val byDecision = rows.groupBy(_._3).map { case (d, v) => d -> v.size }
+    assert(byDecision.getOrElse("first_fetch", 0) >= 4, s"$byDecision")
+    assert(byDecision.getOrElse("cache_hit", 0) > 0, s"$byDecision")
+    assert(byDecision.getOrElse("refetch", 0) > 0, s"$byDecision")
+    rows.filter { case (k, age, _) => k % 5 == 1 && k % 7 != 3 && age.isDefined }
+      .foreach { case (k, age, d) =>
+        assert(age.get >= 3L * 86400 && d == "refetch", s"paused source $k must be stale") }
+    // caching disabled: every source with history refetches, TTL ignored
+    val off = graft.sources.Ingest.srcCacheTtl(spark, sfDir, enabled = false).collect()
+    assert(off.forall(_.getString(5) == "refetch"), "disabled cache must always fetch")
+  }
 }
