@@ -134,8 +134,19 @@ object Bench {
       }
     def fixedStamp(): Seq[(Long, Long)] = fixedRoots.map(stamp1)
     // quiesce: collect the previous query's garbage OUTSIDE the timer so
-    // timed reps don't inherit heap debt from earlier, unrelated queries
+    // timed reps don't inherit heap debt from earlier, unrelated queries.
+    // The storage quiesce (r12) evicts leaked per-round localCheckpoint
+    // blocks: iterative ops (pagerank, label prop, dbscan) checkpoint
+    // every round, and the orphaned blocks accumulate in the block
+    // manager across the suite — the executor-memory pressure they
+    // leave behind was the prime suspect for the iterative family's
+    // 12x worst pass-to-pass ratio in r11 (a completed query's
+    // checkpoint RDDs are garbage by construction: every rep rebuilds
+    // its own lineage, and the persisted index layouts live in parquet,
+    // not the block manager, so eviction cannot slow a later query).
     def quiesce(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       System.gc(); Thread.sleep(50L)
     }
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -163,8 +174,11 @@ object Bench {
           res
         }
         rep(s"p${pass}_w", timed = false) // untimed warmup: codegen + cache
-        quiesce()
-        val times = (1 to reps).flatMap(i => rep(s"p${pass}_$i", timed = true))
+        // quiesce before EVERY timed rep: each starts from a collected
+        // heap and an empty block manager (no inherited checkpoint blocks)
+        val times = (1 to reps).flatMap { i =>
+          quiesce(); rep(s"p${pass}_$i", timed = true)
+        }
         (name, if (times.isEmpty) None else Some(times.min), wrote)
       }
     val passResults: Seq[Seq[(String, Option[Double], Boolean)]] =
