@@ -363,9 +363,15 @@ object Geo {
     * computed with one fixed expression order so the rounded score is
     * cross-engine stable. */
   def gridHotspots(spark: SparkSession, dir: String, cell: Double = 100000.0,
-      hotZ: Double = 2.0): DataFrame = {
+      hotZ: Double = 2.0): DataFrame =
+    gridHotspotsOf(synthXY(Tables(spark, dir).orders), cell, hotZ)
+
+  /** C12 core over an explicit (x, y) frame — split out so the
+    * adversarial spec can drive hostile layouts (single packed cell,
+    * uniform background) through the same cell pipeline. */
+  def gridHotspotsOf(df: DataFrame, cell: Double, hotZ: Double): DataFrame = {
+    val spark = df.sparkSession
     import spark.implicits._
-    val df = synthXY(Tables(spark, dir).orders)
     val cells = df
       .withColumn("cx", floor(col("x") / cell).cast("long"))
       .withColumn("cy", floor(col("y") / cell).cast("long"))

@@ -283,13 +283,43 @@ object Staging {
         concat(col("p_name"), substring(col("p_name"), -1, 1)))
       .otherwise(regexp_replace(col("p_name"), " ", "_"))
     val dirty = t.part.select(k.cast("long").as("key"), dirtyName.as("dirty_name"))
+    // the registered wire blocks UNCAPPED (the part-name catalog is a
+    // dimension: 64 distinct names, max trigram df 16 at sf0.1 — the
+    // oracle replays the uncapped rule); hostile stop-gram catalogs go
+    // through the dfCap (AdversarialLayoutSpec pins the bound)
+    fuzzyMatchOver(clean, dirty, maxDist, dfCap = Int.MaxValue)
+  }
+
+  /** The B8 trigram-blocked candidate frame over explicit catalogs:
+    * (key, dirty_name, clean_name) pairs sharing at least one BLOCKING
+    * trigram. `dfCap` declares the blocking bound: a trigram carried by
+    * more than `dfCap` distinct clean names is a STOP-gram and blocks
+    * nothing (the prefix-filtering trade — a pair sharing only
+    * stop-grams is declared a non-candidate; on a hostile catalog where
+    * every name shares one gram, the uncapped join is |dirty|·|clean|).
+    * Per-gram fan-out is then ≤ dfCap·df_dirty, so candidates stay
+    * linear in the gram table instead of quadratic in the corpus. */
+  def fuzzyCandidates(clean: DataFrame, dirty: DataFrame, dfCap: Int): DataFrame = {
     val cleanG = clean.select(col("clean_name"),
       explode(array_distinct(trigrams(col("clean_name")))).as("g"))
+      .localCheckpoint(true)
+    val blocking =
+      if (dfCap == Int.MaxValue) cleanG
+      else cleanG.join(
+        broadcast(cleanG.groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= dfCap).select(col("g"))), Seq("g"), "left_semi")
     val dirtyG = dirty.select(col("key"), col("dirty_name"),
       explode(array_distinct(trigrams(col("dirty_name")))).as("g"))
-    val cand = dirtyG.join(cleanG, Seq("g"))
+    dirtyG.join(blocking, Seq("g"))
       .select(col("key"), col("dirty_name"), col("clean_name")).distinct()
-    val best = cand
+  }
+
+  /** B8 core over explicit (clean_name) / (key, dirty_name) catalogs —
+    * split out so the adversarial spec can drive a hostile stop-gram
+    * layout through the df-capped blocking. */
+  def fuzzyMatchOver(clean: DataFrame, dirty: DataFrame, maxDist: Int,
+      dfCap: Int): DataFrame = {
+    val best = fuzzyCandidates(clean, dirty, dfCap)
       .withColumn("dist", levenshtein(col("dirty_name"), col("clean_name")))
       .filter(col("dist") <= maxDist)
       .groupBy(col("key"))

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hostile-layout specs for the scale-sensitive spatial/matching families
+  * (SURVEY stretch, r11 task 8): the registered wires all plant FRIENDLY
+  * geometry, so a plan that silently degenerates on real-world layouts
+  * (empty neighborhoods, one packed cell, stop-gram catalogs) would never
+  * show. Each test drives the operator core with an adversarial layout,
+  * checks the answer against an independent definition, and sweeps every
+  * executed plan for the degenerate shape (a cartesian product). The
+  * nearest-join hostile case lives in GeoSpec (ring widening). */
+class AdversarialLayoutSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  /** Run `body`, returning (result, every executed plan string). */
+  private def withPlans[T](body: => T): (T, Seq[String]) = {
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val r = try {
+      val out = body
+      org.apache.spark.GraftTestShims.flushListeners(spark.sparkContext)
+      out
+    } finally spark.listenerManager.unregister(listener)
+    import scala.jdk.CollectionConverters._
+    (r, plans.asScala.toSeq)
+  }
+
+  private def assertNoCartesian(plans: Seq[String], ctx: String): Unit = {
+    assert(plans.nonEmpty, s"$ctx: listener captured no plans")
+    plans.foreach(p => assert(!p.contains("CartesianProduct"),
+      s"$ctx: cartesian product in an executed plan:\n${p.take(1500)}"))
+  }
+
+  test("dbscan all-noise layout: empty neighborhoods, everyone noise, no cartesian") {
+    // every point alone — eps-balls all empty; the cell join must stay a
+    // hash join producing ZERO neighbor pairs, not degenerate
+    val pts = (1L to 60L).map(i => (i, i * 100000L, (i * 37L % 60L) * 100000L))
+      .toDF("id", "xi", "yi")
+    val (rows, plans) = withPlans {
+      graft.operators.Geo.dbscanOf(pts, eps = 3000L, minPts = 3L).collect()
+    }
+    assert(rows.length == 60)
+    rows.foreach { r =>
+      assert(r.getString(3) == "noise", s"isolated point ${r.getLong(0)} not noise")
+      assert(r.isNullAt(4), "noise must carry no cluster label")
+    }
+    assertNoCartesian(plans, "dbscan all-noise")
+  }
+
+  test("dbscan single packed cell: one blob, all core, one cluster, no cartesian") {
+    // the opposite extreme: every point inside ONE eps-cell — per-cell
+    // fan-out is the local density (DBSCAN's own subject), but the join
+    // key must remain the cell id and the blob must resolve to a single
+    // cluster labeled by its smallest member
+    val blob = (1L to 40L).map(i => (i, 1000L + i % 7, 2000L + i % 5))
+      .toDF("id", "xi", "yi")
+    val (rows, plans) = withPlans {
+      graft.operators.Geo.dbscanOf(blob, eps = 3000L, minPts = 3L).collect()
+    }
+    assert(rows.length == 40)
+    rows.foreach { r =>
+      assert(r.getString(3) == "core", s"blob member ${r.getLong(0)} not core")
+      assert(r.getLong(4) == 1L, "blob must be one cluster labeled by min id")
+    }
+    assertNoCartesian(plans, "dbscan packed cell")
+  }
+
+  test("hotspot single packed cell: lone spike scores hot, background does not, no data-sized cartesian") {
+    // 500 points in one cell + a sparse uniform background (1 point per
+    // distant cell): the packed cell's 3x3 ring is anomalously dense and
+    // must flag hot; background cells must not
+    val spike = (1L to 500L).map(i => (50000.0 + (i % 10), 50000.0 + (i % 7)))
+    val background = (1L to 60L)
+      .map(i => (1000000.0 + i * 300000.0, 1000000.0 + (i * 7 % 60) * 300000.0))
+    val pts = (spike ++ background).toDF("x", "y")
+    val (rows, plans) = withPlans {
+      graft.operators.Geo.gridHotspotsOf(pts, cell = 100000.0, hotZ = 2.0)
+        .collect()
+    }
+    val byCell = rows.map(r => ((r.getLong(0), r.getLong(1)),
+      (r.getLong(2), r.getInt(6)))).toMap
+    assert(byCell((0L, 0L))._1 == 500L, "spike cell count")
+    assert(byCell((0L, 0L))._2 == 1, "packed cell must flag hot")
+    val hotElsewhere = byCell.filter { case (c, (_, hot)) => c != (0L, 0L) && hot == 1 }
+    assert(hotElsewhere.isEmpty, s"background cells flagged hot: $hotElsewhere")
+    // the only cross joins in the hotspot plan broadcast 1-row/9-row
+    // frames (global moments, ring offsets); a data-sized cartesian is
+    // the degenerate shape
+    assertNoCartesian(plans, "hotspot spike")
+  }
+
+  test("fuzzy match stop-gram catalog: df-cap bounds candidates, rare grams still match") {
+    // hostile catalog: every clean name shares the prefix 'commonhead'
+    // (a stop-gram factory) but ends in a distinctive rare tail; dirty
+    // names tweak one character. Uncapped blocking is |dirty| x |clean|;
+    // the df-cap must collapse it to the rare-tail blocks without losing
+    // the true matches.
+    val clean = (1 to 200)
+      .map(i => f"commonhead tail$i%03d").toDF("clean_name")
+    val dirty = (1 to 200)
+      .map(i => (i.toLong, f"commonheadXtail$i%03d")).toDF("key", "dirty_name")
+    val capped = graft.operators.Staging
+      .fuzzyCandidates(clean, dirty, dfCap = 16).count()
+    val uncapped = graft.operators.Staging
+      .fuzzyCandidates(clean, dirty, dfCap = Int.MaxValue).count()
+    assert(uncapped == 200L * 200L,
+      s"hostile catalog should block all pairs uncapped, got $uncapped")
+    // rare tail grams (df ~ 1-2 across 'tailNNN') bound the capped set:
+    // well under quadratic
+    assert(capped <= 2000L, s"df-cap failed to bound candidates: $capped")
+    // and the capped match still lands every true pair exactly
+    val matched = graft.operators.Staging
+      .fuzzyMatchOver(clean, dirty, maxDist = 2, dfCap = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(!matched.contains("UNMATCHED"), s"df-cap lost true matches: $matched")
+    assert(matched.values.sum == 200L && matched.forall(_._2 == 1L),
+      "every dirty record must match its own clean name")
+  }
+}
