@@ -271,6 +271,11 @@ object SparkEntry {
     "stream_paragraph_dedup" -> graft.streaming.StreamGate.streamParagraphDedup _,
     "stream_markov"          -> graft.streaming.StreamGate.streamMarkov _,
     "stream_cusum"           -> graft.streaming.StreamGate.streamCusum _,
+    "stream_constraints"     -> graft.streaming.StreamGate.streamConstraints _,
+    "stream_heavy_hitters"   -> graft.streaming.StreamGate.streamHeavyHitters _,
+    "stream_benford"         -> graft.streaming.StreamGate.streamBenford _,
+    "stream_holt"            -> graft.streaming.StreamGate.streamHolt _,
+    "stream_seasonal"        -> graft.streaming.StreamGate.streamSeasonal _,
   )
 
   // shared SQL fragments for the oracle ---------------------------------
@@ -582,9 +587,14 @@ object SparkEntry {
     // reuse that operator's oracle VERBATIM (one SQL text — the two
     // entries cannot drift): G1 ≡ E13 bucketing, G19 ≡ E35 matrix,
     // G21 ≡ D40 trajectory.
-    "stream_window_agg" -> baseOracleSql("q_time_bucket"),
-    "stream_markov"     -> baseOracleSql("q_markov_transitions"),
-    "stream_cusum"      -> baseOracleSql("mon_cusum"),
+    "stream_window_agg"    -> baseOracleSql("q_time_bucket"),
+    "stream_markov"        -> baseOracleSql("q_markov_transitions"),
+    "stream_cusum"         -> baseOracleSql("mon_cusum"),
+    "stream_constraints"   -> baseOracleSql("load_check_constraints"),
+    "stream_heavy_hitters" -> baseOracleSql("q_heavy_hitters"),
+    "stream_benford"       -> baseOracleSql("mon_benford"),
+    "stream_holt"          -> baseOracleSql("mon_forecast"),
+    "stream_seasonal"      -> baseOracleSql("mon_seasonal"),
     // G2: the emitted first-occurrence keys rolled up per type — exact
     // distinct (user, type) pairs regardless of the 4-batch slicing
     "stream_dedup" ->

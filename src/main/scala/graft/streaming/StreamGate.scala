@@ -160,6 +160,107 @@ object StreamGate {
       .orderBy(col("state"), col("next_state"))
   }
 
+  /** G16 gate: the streaming constraint monitor — the SAME
+    * `checkConstraintsOf` plan on a streaming lineitem source in
+    * complete mode, run MULTI-batch (4 files, one per trigger): the
+    * conditional partials (violation counts, min offending key) merge
+    * associatively across triggers, so the final cumulative report
+    * equals D35's batch pass and shares its oracle verbatim. */
+  def streamConstraints(spark: SparkSession, dir: String): DataFrame = {
+    val base = fresh(spark, "constraints")
+    val li = Tables(spark, dir).lineitem
+    li.repartition(4).write.parquet(s"$base/in")
+    val src = spark.readStream.schema(li.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val q = EventStreams.constraintMonitorStream(src)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("graft_stream_constraints")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table("graft_stream_constraints").orderBy(col("constraint_name"))
+  }
+
+  /** G25 gate: streaming exact heavy hitters run MULTI-batch — per-key
+    * integer counts accumulate in the persisted state across 4 triggers
+    * (the one truly associative statistic), and the final verdict
+    * through the shared `heavyHittersFromCounts` filter equals E29's
+    * two-pass batch op, sharing its oracle verbatim. */
+  def streamHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val base = fresh(spark, "heavy_hitters")
+    Tables(spark, dir).events.select(col("user_id"))
+      .repartition(4).write.parquet(s"$base/in")
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("user_id", LongType))))
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val q = EventStreams.heavyHittersStream(src, s"$base/state")
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    spark.read.parquet(s"$base/state/report").orderBy(col("user_id"))
+  }
+
+  /** G23 gate: the streaming Benford screen run MULTI-batch — per
+    * (source, digit) counts accumulate across 4 triggers (associative
+    * integers, zero drift), final verdict via the shared
+    * `benfordFromCounts` equals D42's batch op and shares its oracle. */
+  def streamBenford(spark: SparkSession, dir: String): DataFrame = {
+    val base = fresh(spark, "benford")
+    Tables(spark, dir).events
+      .select(col("event_type").as("source"),
+        expr("cast(round(value * 100) as long)").as("cents"))
+      .repartition(4).write.parquet(s"$base/in")
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("source", StringType),
+        StructField("cents", LongType))))
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val q = EventStreams.benfordStream(src, s"$base/state")
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    spark.read.parquet(s"$base/state/report")
+      .orderBy(col("source"), col("digit"))
+  }
+
+  /** G24 gate: the streaming Holt forecast run MULTI-batch — per
+    * (source, day) integer (Σcents, n) moments accumulate across 4
+    * triggers (a day split across batches folds to the same daily
+    * metric), and the final `holtOver` fold over the accumulated
+    * dailies equals D43's batch trajectory bit-for-bit, sharing its
+    * oracle. */
+  def streamHolt(spark: SparkSession, dir: String): DataFrame = {
+    val base = fresh(spark, "holt")
+    Tables(spark, dir).eventsSec
+      .select(col("event_type").as("source"),
+        expr("sec div 86400").cast("long").as("day"),
+        expr("cast(round(value * 100) as long)").as("cents"))
+      .repartition(4).write.parquet(s"$base/in")
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("source", StringType),
+        StructField("day", LongType), StructField("cents", LongType))))
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val q = EventStreams.holtStream(src, s"$base/state")
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    spark.read.parquet(s"$base/state/report")
+      .orderBy(col("source"), col("day"))
+  }
+
+  /** G22 gate: the streaming seasonal monitor run MULTI-batch — the
+    * same accumulated-moments argument as G24; the final `seasonalOf`
+    * report equals D41's batch pass bit-for-bit, sharing its oracle. */
+  def streamSeasonal(spark: SparkSession, dir: String): DataFrame = {
+    val base = fresh(spark, "seasonal")
+    Tables(spark, dir).eventsSec
+      .select(col("event_type").as("source"),
+        expr("sec div 86400").cast("long").as("day"),
+        expr("cast(round(value * 100) as long)").as("cents"))
+      .repartition(4).write.parquet(s"$base/in")
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("source", StringType),
+        StructField("day", LongType), StructField("cents", LongType))))
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val q = EventStreams.seasonalStream(src, s"$base/state")
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    spark.read.parquet(s"$base/state/report")
+      .orderBy(col("source"), col("day"))
+  }
+
   /** G21 gate: the streaming CUSUM monitor run MULTI-batch (4 input
     * files, one per trigger) — each (source, day) daily row is unique, so
     * any batch split folds the same accumulated run log, and the final
