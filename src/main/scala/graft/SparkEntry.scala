@@ -276,6 +276,10 @@ object SparkEntry {
     "stream_benford"         -> graft.streaming.StreamGate.streamBenford _,
     "stream_holt"            -> graft.streaming.StreamGate.streamHolt _,
     "stream_seasonal"        -> graft.streaming.StreamGate.streamSeasonal _,
+    "stream_changelog"       -> graft.streaming.StreamGate.streamChangelog _,
+    "stream_breaker"         -> graft.streaming.StreamGate.streamBreaker _,
+    "stream_novelty"         -> graft.streaming.StreamGate.streamNovelty _,
+    "stream_enrich"          -> graft.streaming.StreamGate.streamEnrich _,
   )
 
   // shared SQL fragments for the oracle ---------------------------------
@@ -595,6 +599,16 @@ object SparkEntry {
     "stream_benford"       -> baseOracleSql("mon_benford"),
     "stream_holt"          -> baseOracleSql("mon_forecast"),
     "stream_seasonal"      -> baseOracleSql("mon_seasonal"),
+    "stream_changelog"     -> baseOracleSql("load_changelog_apply"),
+    "stream_breaker"       -> baseOracleSql("load_circuit_breaker"),
+    "stream_novelty"       -> baseOracleSql("text_novelty"),
+    // G11: the stateless broadcast enrichment rolled up per catalog
+    // source — a plain SQL join replays it
+    "stream_enrich" ->
+      """SELECT n.n_name, count(*) AS n_events,
+        | round(sum(e.value), 2) AS value_sum
+        |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // G2: the emitted first-occurrence keys rolled up per type — exact
     // distinct (user, type) pairs regardless of the 4-batch slicing
     "stream_dedup" ->

@@ -261,6 +261,121 @@ object StreamGate {
       .orderBy(col("source"), col("day"))
   }
 
+  /** G14 gate: continuous changelog apply run MULTI-batch — the
+    * latest-wins reduction is associative-commutative over unique seqs
+    * (ChangelogSpec proves the algebra), so the 4-trigger fold of the
+    * D34 synthetic history converges to the batch snapshot no matter
+    * where the batch boundaries land; the final state rolled up by
+    * final-event class shares D34's oracle verbatim. */
+  def streamChangelog(spark: SparkSession, dir: String): DataFrame = {
+    val base = fresh(spark, "changelog")
+    graft.operators.LoadOps.ordersChangelog(spark, dir)
+      .repartition(4).write.parquet(s"$base/in")
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("key", LongType),
+        StructField("seq", LongType), StructField("op", StringType),
+        StructField("value", DoubleType))))
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    import spark.implicits._
+    val q = EventStreams.changelogStream(src.as[ChangeEvent], s"$base/state")
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    spark.read.parquet(s"$base/state")
+      .groupBy(col("op").as("final_op"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("op") =!= "D", 1).otherwise(0)).cast("long").as("n_live"),
+        round(sum(when(col("op") =!= "D", col("value"))), 2).as("value_sum"),
+        sum(when(col("op") =!= "D", col("key")).otherwise(0L)).cast("long").as("key_checksum"))
+      .orderBy(col("final_op"))
+  }
+
+  /** G13 gate: the streaming circuit breaker run as one availableNow
+    * batch over the D33 attempt log (the breaker automaton is
+    * order-dependent; one batch = the in-order case, and the per-batch
+    * sort key (sec, attempt_id) is total) — the emitted decisions roll
+    * up through the same aggregation as the batch replay and share
+    * D33's oracle verbatim. */
+  def streamBreaker(spark: SparkSession, dir: String): DataFrame = {
+    val base = fresh(spark, "breaker")
+    Tables(spark, dir).eventsSec
+      .withColumn("failed", (col("sec") % 604800L < 86400L).cast("int"))
+      .select(col("event_type").as("source"), col("sec"),
+        col("event_id").as("attempt_id"), col("failed"))
+      .write.parquet(s"$base/in")
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("source", StringType),
+        StructField("sec", LongType), StructField("attempt_id", LongType),
+        StructField("failed", IntegerType))))
+      .parquet(s"$base/in")
+    import spark.implicits._
+    val q = EventStreams
+      .circuitBreakerStream(src.as[Attempt], threshold = 5, cooldownSec = 14400L)
+      .toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_stream_breaker")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table("graft_stream_breaker")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_attempts"),
+        sum(when(col("decision") === "ok", 1).otherwise(0)).cast("long").as("n_ok"),
+        sum(when(col("decision") === "fail", 1).otherwise(0)).cast("long").as("n_fail_closed"),
+        sum(when(col("decision") === "tripped", 1).otherwise(0)).cast("long").as("n_tripped"),
+        sum(when(col("decision") === "skipped", 1).otherwise(0)).cast("long").as("n_skipped"),
+        sum(when(col("decision") === "trial_fail", 1).otherwise(0)).cast("long").as("n_trial_fail"),
+        sum(when(col("decision") === "trial_ok", 1).otherwise(0)).cast("long").as("n_trial_ok"),
+        min(when(col("decision") === "tripped", col("sec"))).as("first_trip_sec"),
+        max(when(col("decision").isin("tripped", "trial_fail"), col("sec"))).as("last_trip_sec"))
+      .orderBy(col("source"))
+  }
+
+  /** G17 gate: the streaming novelty ledger run as one availableNow
+    * batch over the corpus (the in-order case where batch-first carrier
+    * equals F60's global min-owner rule); the emitted per-doc reports
+    * share F60's oracle verbatim. */
+  def streamNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val base = fresh(spark, "novelty")
+    Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+      .write.parquet(s"$base/in")
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .parquet(s"$base/in")
+    val q = EventStreams.noveltyStream(src, s"$base/state")
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    spark.read.parquet(s"$base/state/report").orderBy(col("doc_id"))
+  }
+
+  /** G11 gate: stream-static enrichment run MULTI-batch — each trigger
+    * of the fact stream broadcast-joins the static source catalog
+    * (stateless by construction, so any batch split emits the same
+    * rows); the emitted enriched facts roll up per catalog source and
+    * hash-match a plain SQL join oracle. */
+  def streamEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val base = fresh(spark, "enrich")
+    Tables(spark, dir).events
+      .select((col("user_id") % 25).as("source_key"), col("event_type"),
+        col("value"))
+      .repartition(4).write.parquet(s"$base/in")
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("source_key", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType))))
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val dim = Tables(spark, dir).nation
+      .select(col("n_nationkey").cast("long").as("source_key"), col("n_name"))
+    val q = EventStreams.enrichStream(src, dim, "source_key")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_stream_enrich")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table("graft_stream_enrich")
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("value_sum"))
+      .orderBy(col("n_name"))
+  }
+
   /** G21 gate: the streaming CUSUM monitor run MULTI-batch (4 input
     * files, one per trigger) — each (source, day) daily row is unique, so
     * any batch split folds the same accumulated run log, and the final
