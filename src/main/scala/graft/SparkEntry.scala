@@ -94,6 +94,9 @@ object SparkEntry {
     "etl_quarantine"         -> Staging.quarantineRoute _,
     "load_analyze_stats"     -> LoadOps.analyzeStats _,
     "mon_value_drift"        -> ((s: SparkSession, d: String) => LoadOps.valueDrift(s, d)),
+    "mon_ks_test"            -> LoadOps.ksTest _,
+    "mon_wasserstein"        -> LoadOps.wassersteinDrift _,
+    "text_zipf_fit"          -> ((s: SparkSession, d: String) => TextAnalysis.zipfFit(s, d)),
     "mon_mad_outliers"       -> LoadOps.madOutliers _,
     "mon_sla_burn"           -> ((s: SparkSession, d: String) => LoadOps.slaBurn(s, d)),
     "load_compact_plan"      -> LoadOps.compactPlan _,
@@ -190,6 +193,9 @@ object SparkEntry {
     "graph_pagerank"         -> ((s: SparkSession, d: String) => Graph.pagerank(s, d)),
     "graph_triangles"        -> ((s: SparkSession, d: String) => Graph.triangles(s, d)),
     "graph_label_prop"       -> ((s: SparkSession, d: String) => Graph.labelProp(s, d)),
+    "graph_kcore"            -> ((s: SparkSession, d: String) => Graph.kcore(s, d)),
+    "text_ngram_counts"      -> ((s: SparkSession, d: String) => TextAnalysis.ngramCounts(s, d)),
+    "dedup_containment"      -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
     "sample_density_prune"   -> ((s: SparkSession, d: String) => Similarity.densityPrune(s, d)),
     "mon_embedding_drift"    -> ((s: SparkSession, d: String) => Similarity.embeddingDrift(s, d)),
     "ann_ivf_append"         -> Similarity.ivfAppend _,
@@ -280,6 +286,8 @@ object SparkEntry {
     "stream_breaker"         -> graft.streaming.StreamGate.streamBreaker _,
     "stream_novelty"         -> graft.streaming.StreamGate.streamNovelty _,
     "stream_enrich"          -> graft.streaming.StreamGate.streamEnrich _,
+    "stream_abtest"          -> graft.streaming.StreamGate.streamAbtest _,
+    "stream_drift"           -> graft.streaming.StreamGate.streamDrift _,
   )
 
   // shared SQL fragments for the oracle ---------------------------------
@@ -413,6 +421,26 @@ object SparkEntry {
 
   private val evSec =
     "SELECT *, CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS sec FROM events"
+
+  /** The F80 floored n-gram count chain (n = 1..3, shared tokenizer,
+    * count floor 5) — ONE text shared by the count-table oracle and the
+    * F82 Zipf fit so both replay the identical inventory. Ends at
+    * `c(gram, cnt)`. */
+  private lazy val ngramCountCtes: String =
+    s"""t AS (SELECT $toks AS toks FROM documents),
+       |u AS (SELECT unnest(toks) AS gram FROM t
+       | UNION ALL
+       | SELECT unnest(CASE WHEN len(toks) >= 2
+       |   THEN [array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 1 AS INT)), ' ')
+       |         for i in range(1, len(toks))]
+       |   ELSE [] END) FROM t
+       | UNION ALL
+       | SELECT unnest(CASE WHEN len(toks) >= 3
+       |   THEN [array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 2 AS INT)), ' ')
+       |         for i in range(1, len(toks) - 1)]
+       |   ELSE [] END) FROM t),
+       |c AS MATERIALIZED (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM u
+       |      GROUP BY 1 HAVING count(*) >= 5)""".stripMargin
 
   /** The shared-gram edge list (df-capped word 8-grams → symmetric
     * weighted pairs) every graph-family oracle builds on — ONE text so
@@ -602,6 +630,8 @@ object SparkEntry {
     "stream_changelog"     -> baseOracleSql("load_changelog_apply"),
     "stream_breaker"       -> baseOracleSql("load_circuit_breaker"),
     "stream_novelty"       -> baseOracleSql("text_novelty"),
+    "stream_abtest"        -> baseOracleSql("q_ab_ttest"),
+    "stream_drift"         -> baseOracleSql("mon_embedding_drift"),
     // G11: the stateless broadcast enrichment rolled up per catalog
     // source — a plain SQL join replays it
     "stream_enrich" ->
@@ -1766,6 +1796,63 @@ object SparkEntry {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     // PSI drift: identical smoothing/grid arithmetic restated in SQL;
     // only the rounded sum is float
+    // D45: exact integer ECDF counts per (source, cent) cell, one window
+    // cumulation, max of single-division differences — no float sums
+    "mon_ks_test" ->
+      s"""WITH e AS (SELECT event_type, sec,
+         |  CAST(round(value * 100) AS BIGINT) AS cents FROM ($evSec)),
+         |m AS (SELECT event_type,
+         |  min(sec) + (max(sec) - min(sec)) // 2 AS mid FROM e GROUP BY 1),
+         |cells AS (SELECT e.event_type, cents,
+         |  sum(CASE WHEN sec <= mid THEN 1 ELSE 0 END) AS r,
+         |  sum(CASE WHEN sec <= mid THEN 0 ELSE 1 END) AS q
+         | FROM e JOIN m USING (event_type) GROUP BY 1, 2),
+         |t AS (SELECT event_type, CAST(sum(r) AS BIGINT) AS n_ref,
+         |  CAST(sum(q) AS BIGINT) AS n_cur FROM cells GROUP BY 1),
+         |cum AS (SELECT event_type, cents,
+         |  sum(r) OVER (PARTITION BY event_type ORDER BY cents) AS cr,
+         |  sum(q) OVER (PARTITION BY event_type ORDER BY cents) AS cc
+         | FROM cells),
+         |d AS (SELECT cum.event_type, n_ref, n_cur,
+         |  round(max(abs(cr / CAST(n_ref AS DOUBLE) - cc / CAST(n_cur AS DOUBLE))), 4)
+         |    AS ks_stat
+         | FROM cum JOIN t USING (event_type) GROUP BY 1, 2, 3)
+         |SELECT event_type, n_ref, n_cur, ks_stat,
+         |  round(1.358 * sqrt(CAST(n_ref + n_cur AS DOUBLE) /
+         |    (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE))), 4) AS critical,
+         |  CAST(ks_stat > round(1.358 * sqrt(CAST(n_ref + n_cur AS DOUBLE) /
+         |    (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE))), 4) AS INT) AS drifted
+         |FROM d ORDER BY event_type""".stripMargin,
+    // D46: same cell/ECDF scaffolding as D45 + the lead() gap; the
+    // integral numerator is an exact long sum, ONE double division at
+    // the end (single-cent supports integrate to exactly 0)
+    "mon_wasserstein" ->
+      s"""WITH e AS (SELECT event_type, sec,
+         |  CAST(round(value * 100) AS BIGINT) AS cents FROM ($evSec)),
+         |m AS (SELECT event_type,
+         |  min(sec) + (max(sec) - min(sec)) // 2 AS mid FROM e GROUP BY 1),
+         |cells AS (SELECT e.event_type, cents,
+         |  sum(CASE WHEN sec <= mid THEN 1 ELSE 0 END) AS r,
+         |  sum(CASE WHEN sec <= mid THEN 0 ELSE 1 END) AS q
+         | FROM e JOIN m USING (event_type) GROUP BY 1, 2),
+         |t AS (SELECT event_type, CAST(sum(r) AS BIGINT) AS n_ref,
+         |  CAST(sum(q) AS BIGINT) AS n_cur FROM cells GROUP BY 1),
+         |cum AS (SELECT event_type, cents,
+         |  sum(r) OVER (PARTITION BY event_type ORDER BY cents) AS cr,
+         |  sum(q) OVER (PARTITION BY event_type ORDER BY cents) AS cc,
+         |  lead(cents) OVER (PARTITION BY event_type ORDER BY cents) - cents
+         |    AS gap
+         | FROM cells),
+         |s AS (SELECT cum.event_type,
+         |  sum(abs(cr * n_cur - cc * n_ref) * gap) AS num
+         | FROM cum JOIN t USING (event_type) WHERE gap IS NOT NULL GROUP BY 1)
+         |SELECT t.event_type, n_ref, n_cur,
+         |  round(CAST(COALESCE(s.num, 0) AS DOUBLE) /
+         |    (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)) / 100.0, 4) AS w1,
+         |  CAST(round(CAST(COALESCE(s.num, 0) AS DOUBLE) /
+         |    (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)) / 100.0, 4) > 0.25
+         |    AS INT) AS drifted
+         |FROM t LEFT JOIN s USING (event_type) ORDER BY t.event_type""".stripMargin,
     "mon_value_drift" ->
       s"""WITH e AS ($evSec),
          |m AS (SELECT min(sec) AS slo, max(sec) AS shi,
@@ -2878,6 +2965,57 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN o.owner = g.doc_id THEN 1 ELSE 0 END) * 1000000
          |    // greatest(count(*), 1) AS BIGINT) AS novelty_ppm
          |FROM g JOIN o USING (gram) GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    // F80: the unigram/bigram/trigram union replayed with the shared
+    // tokenizer; n recovered from the gram's space count, count floor 5
+    "text_ngram_counts" ->
+      s"""WITH $ngramCountCtes
+         |SELECT CAST(len(string_split(gram, ' ')) AS BIGINT) AS n, gram, cnt
+         |FROM c ORDER BY n, cnt DESC, gram""".stripMargin,
+    // F82: the SAME gram-count chain, ranked per order, then the E38
+    // rounded-moment OLS assembly over the (ln rank, ln count) pairs
+    "text_zipf_fit" ->
+      s"""WITH $ngramCountCtes,
+         |rk AS (SELECT CAST(len(string_split(gram, ' ')) AS BIGINT) AS n,
+         |  cnt, row_number() OVER (PARTITION BY len(string_split(gram, ' '))
+         |    ORDER BY cnt DESC, gram) AS rank
+         | FROM c),
+         |pts AS (SELECT n, ln(CAST(rank AS DOUBLE)) AS x,
+         |  ln(CAST(cnt AS DOUBLE)) AS y FROM rk WHERE rank <= 200),
+         |m AS (SELECT n, CAST(count(*) AS BIGINT) AS n_grams,
+         |  round(avg(x), 4) AS mx, round(avg(y), 4) AS my,
+         |  round(var_samp(x), 4) AS vx, round(var_samp(y), 4) AS vy,
+         |  round(covar_samp(x, y), 4) AS cxy
+         | FROM pts GROUP BY 1)
+         |SELECT n, n_grams,
+         |  round(cxy / nullif(vx, 0), 4) AS slope,
+         |  round(my - (cxy / nullif(vx, 0)) * mx, 4) AS intercept,
+         |  round((cxy * cxy) / (nullif(vx, 0) * nullif(vy, 0)), 4) AS r2
+         |FROM m ORDER BY n""".stripMargin,
+    // F83: the F60 gram equality classes + df screen, directional
+    // overlap over the smaller doc, rounded-threshold verdicts
+    "dedup_containment" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |g0 AS (SELECT doc_id,
+         |  unnest(CASE WHEN len(toks) >= 8
+         |    THEN [array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 7 AS INT)), ' ')
+         |          for i in range(1, len(toks) - 6)]
+         |    ELSE [] END) AS gram
+         | FROM t),
+         |g AS MATERIALIZED (SELECT DISTINCT doc_id, gram FROM g0),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ng FROM g GROUP BY 1),
+         |f AS (SELECT gram FROM g GROUP BY 1 HAVING count(*) BETWEEN 2 AND 32),
+         |o AS MATERIALIZED (SELECT g.doc_id, g.gram FROM g JOIN f USING (gram)),
+         |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |  CAST(count(*) AS BIGINT) AS shared
+         | FROM o a JOIN o b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         | GROUP BY 1, 2),
+         |j AS (SELECT d1, d2, s1.ng AS n1, s2.ng AS n2, shared,
+         |  round(shared / CAST(least(s1.ng, s2.ng) AS DOUBLE), 4) AS containment,
+         |  round(shared / CAST(s1.ng + s2.ng - shared AS DOUBLE), 4) AS jaccard
+         | FROM p JOIN sz s1 ON s1.doc_id = p.d1
+         | JOIN sz s2 ON s2.doc_id = p.d2)
+         |SELECT d1, d2, n1, n2, shared, containment, jaccard
+         |FROM j WHERE containment >= 0.5 ORDER BY d1, d2""".stripMargin,
     // F53: the gram/edge CTEs restate the graph construction (equality
     // classes on the gram STRING — identical to the engine's 64-bit gram
     // hashes absent a collision, the dedup_substring argument); the K
@@ -2958,6 +3096,37 @@ object SparkEntry {
          | FROM lp4 GROUP BY 1)
          |SELECT l.doc_id, l.lbl AS label, sz.community_size
          |FROM lp4 l JOIN sz USING (lbl) ORDER BY l.doc_id""".stripMargin
+    },
+    // F81: the gram-edge CTEs + 12 unrolled synchronous peel rounds
+    // (extra rounds past the fixpoint are no-ops, matching the engine's
+    // early stop); isolated docs peel in round 1 via the COALESCE
+    "graph_kcore" -> {
+      // every CTE is MATERIALIZED: a_{i-1} is referenced three times per
+      // round, so inlined expansion would be exponential in rounds
+      val peelCtes = (1 to 12).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT em.src AS doc_id, count(*) AS d FROM em
+           | JOIN a${i - 1} s ON s.doc_id = em.src
+           | JOIN a${i - 1} t2 ON t2.doc_id = em.dst GROUP BY 1),
+           |r$i AS MATERIALIZED (SELECT a.doc_id FROM a${i - 1} a
+           | LEFT JOIN d$i USING (doc_id) WHERE COALESCE(d$i.d, 0) < 3),
+           |a$i AS MATERIALIZED (SELECT doc_id FROM a${i - 1}
+           | EXCEPT SELECT doc_id FROM r$i)""".stripMargin
+      }.mkString(",\n")
+      val removedUnion = (1 to 12)
+        .map(i => s"SELECT doc_id, $i AS removed_round FROM r$i")
+        .mkString(" UNION ALL ")
+      s"""WITH $gramEdgeCtes,
+         |em AS MATERIALIZED (SELECT src, dst FROM e),
+         |a0 AS MATERIALIZED (SELECT doc_id FROM n),
+         |deg0 AS (SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS degree
+         |         FROM em GROUP BY 1),
+         |$peelCtes,
+         |rr AS ($removedUnion)
+         |SELECT n.doc_id, COALESCE(deg0.degree, 0) AS degree,
+         |  CAST(COALESCE(rr.removed_round, 0) AS BIGINT) AS removed_round,
+         |  CAST(rr.doc_id IS NULL AS INT) AS in_core
+         |FROM n LEFT JOIN deg0 USING (doc_id) LEFT JOIN rr USING (doc_id)
+         |ORDER BY n.doc_id""".stripMargin
     },
     // F74: the stub spectrogram model restated in SQL (list-comprehension
     // bands, peak energies), then the same landmark hashes, df screen,

@@ -345,6 +345,61 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** F83: CONTAINMENT near-dup detection — the directional overlap
+    * Jaccard structurally misses: a short document embedded verbatim in a
+    * long one (quoted articles, README-in-repo, chapter-in-book) has
+    * Jaccard ≈ |short|/|long| — arbitrarily low — while containment
+    * (shared grams over the SMALLER doc's grams) is ≈ 1. F3's size-band
+    * blocking cannot even see these pairs (different sizes by
+    * definition); candidates here come from the shared-gram machinery
+    * instead: two docs pair iff they share ≥ 1 word 8-gram with corpus
+    * df in [2, dfCap] (the F53 bounded fan-out), so pair volume is
+    * df-cap-bounded, never O(n²). Numerator = df-capped shared distinct
+    * grams (declared: corpus-wide boilerplate grams above the cap don't
+    * count as evidence — the winnow argument); denominators = each doc's
+    * FULL distinct gram count. Reports both scores — the
+    * high-containment / low-Jaccard rows are exactly the embedded-doc
+    * class the operator exists for.
+    *
+    * Scale shape: one explode → distinct 64-bit hashes (8-byte shuffle
+    * keys), df filter via one agg + semi join, pair counts via the
+    * df-cap-bounded self-join, two broadcastable size joins; thresholds
+    * compare ROUNDED values (the engine-portable-verdict convention). */
+  def containment(spark: SparkSession, dir: String, k: Int = 8,
+      dfCap: Int = 32, threshold: Double = 0.5): DataFrame =
+    containmentOf(Tables(spark, dir).documents, k, dfCap, threshold)
+
+  /** The F83 compute over any (doc_id, text) frame — specs plant an
+    * embedded short doc whose Jaccard stays low. */
+  def containmentOf(documents: DataFrame, k: Int, dfCap: Int,
+      threshold: Double): DataFrame = {
+    val occ = documents
+      .select(col("doc_id"), explode(
+        graft.operators.TextAnalysis.wordGrams(
+          graft.operators.TextAnalysis.tokens(col("text")), k)).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+      .distinct()
+    val sizes = occ.groupBy(col("doc_id")).agg(count(lit(1)).as("ng"))
+    val shared = occ.groupBy(col("gh")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs").between(2, dfCap))
+    val hits = occ.join(shared.select(col("gh")), Seq("gh"), "left_semi")
+    val pairs = hits.as("a").join(hits.as("b"),
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.select(col("doc_id").as("d1"), col("ng").as("n1")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("ng").as("n2")), Seq("d2"))
+      .withColumn("containment",
+        round(col("shared").cast("double") / least(col("n1"), col("n2")), 4))
+      .withColumn("jaccard", round(col("shared").cast("double") /
+        (col("n1") + col("n2") - col("shared")), 4))
+      .filter(col("containment") >= threshold)
+      .select(col("d1"), col("d2"), col("n1"), col("n2"), col("shared"),
+        col("containment"), col("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** Minimum-label propagation connected components over an undirected
     * pair graph — the step large-scale dedup needs AFTER candidate pairs:
     * transitive near-dup groups (a≈b, b≈c ⇒ {a,b,c} one cluster, one

@@ -235,4 +235,75 @@ object Graph {
       .select(col("doc_id"), col("lbl").as("label"), col("community_size"))
       .orderBy(col("doc_id"))
   }
+
+  /** F81: k-core decomposition over the shared-gram graph — synchronous
+    * bounded-round peeling: every round simultaneously removes ALL
+    * surviving nodes whose degree among survivors is < coreK, until a
+    * fixpoint (or the declared round cap — extra oracle rounds past the
+    * fixpoint are no-ops, so early convergence and the cap replay
+    * identically). The core is the classic density signal on a
+    * duplication graph: a document inside a dense k-core sits in a
+    * tightly inter-duplicated cluster (template farms, mirrored
+    * boilerplate) — exactly the region a curation policy samples DOWN —
+    * while peel round is a coreness proxy (late removal = deeper
+    * embedding in the dense region).
+    *
+    * Output per document: initial degree, the round it was peeled
+    * (0 = survived) and the core membership flag; isolated documents
+    * peel in round 1 by construction.
+    *
+    * Scale shape: edges build once (df-capped fan-out, the F53
+    * argument) and then only SHRINK — each round is one hash agg over
+    * the live edges plus three anti joins against the round's (small)
+    * drop set, all frames checkpointed per round so lineage stays flat;
+    * the per-round driver decision is one count() of the drop set
+    * (bounded by |docs|, nothing row-proportional crosses the driver).
+    * Synchronous peeling needs O(diameter) rounds on pathological
+    * chain graphs — the cap bounds that, and the cap itself is part of
+    * the declared (and oracle-replayed) semantics. */
+  def kcore(spark: SparkSession, dir: String, k: Int = 8, dfCap: Int = 32,
+      coreK: Int = 3, maxRounds: Int = 12): DataFrame =
+    kcoreOf(Tables(spark, dir).documents, k, dfCap, coreK, maxRounds)
+
+  /** The F81 compute over any (doc_id, text) frame. */
+  def kcoreOf(documents: DataFrame, k: Int, dfCap: Int, coreK: Int,
+      maxRounds: Int): DataFrame = {
+    val (docs, pairs) = gramPairs(documents, k, dfCap)
+    val edges = pairs.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint(true)
+    val deg0 = edges.groupBy(col("src").as("doc_id"))
+      .agg(count(lit(1)).as("degree"))
+    var alive = docs
+    var live = edges
+    var removed = docs.limit(0)
+      .select(col("doc_id"), lit(0L).as("removed_round"))
+    var round = 0
+    var changed = true
+    while (changed && round < maxRounds) {
+      round += 1
+      val deg = live.groupBy(col("src").as("doc_id"))
+        .agg(count(lit(1)).as("d"))
+      val drop = alive.join(deg, Seq("doc_id"), "left")
+        .filter(coalesce(col("d"), lit(0L)) < coreK)
+        .select(col("doc_id")).localCheckpoint(true)
+      if (drop.isEmpty) changed = false
+      else {
+        removed = removed.unionByName(
+          drop.select(col("doc_id"), lit(round.toLong).as("removed_round")))
+        alive = alive.join(drop, Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
+        live = live
+          .join(drop.withColumnRenamed("doc_id", "src"), Seq("src"), "left_anti")
+          .join(drop.withColumnRenamed("doc_id", "dst"), Seq("dst"), "left_anti")
+          .select(col("src"), col("dst")).localCheckpoint(true)
+      }
+    }
+    docs.join(deg0, Seq("doc_id"), "left")
+      .join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        coalesce(col("removed_round"), lit(0L)).as("removed_round"),
+        col("removed_round").isNull.cast("int").as("in_core"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -1096,6 +1096,124 @@ object LoadOps {
       .orderBy(col("event_type"))
   }
 
+  /** D45: two-sample Kolmogorov–Smirnov drift test per source — the
+    * nonparametric companion to D30's PSI: PSI needs a bucket grid and
+    * goes blind to shifts smaller than a bucket; KS compares the FULL
+    * empirical CDFs (supremum distance), so any distribution change
+    * eventually registers regardless of shape or binning. Each source's
+    * telemetry splits at its own time midpoint (ref = first half,
+    * cur = second), values quantize to exact integer cents (the D40
+    * convention), and D = max |F_ref − F_cur| over the observed support
+    * with the 5% two-sided critical value 1.358·√((n_r+n_c)/(n_r·n_c))
+    * (Smirnov's asymptotic formula).
+    *
+    * Determinism contract: cumulative counts are exact integers; each
+    * |cr/n_ref − cc/n_cur| is one IEEE division pair on identical
+    * integers in both engines, and max is order-independent — so the
+    * rounded statistic is engine-portable with no summation-order
+    * exposure at all (stronger than D30's rounded float sum).
+    *
+    * Scale shape: one hash agg collapses the corpus to
+    * (source, cents) cells — the support is value-bounded, not
+    * corpus-bounded — then ONE window pass per source over those cells
+    * builds both ECDFs; totals/midpoints ride broadcast joins. At 100 TB
+    * the window partition is |distinct cents| rows (≤ the value range in
+    * cents), never the row count. */
+  def ksTest(spark: SparkSession, dir: String): DataFrame =
+    ksTestOf(Tables(spark, dir).eventsSec
+      .select(col("event_type"), col("sec"), col("value")))
+
+  /** The D45 compute over any (event_type, sec, value) frame — specs
+    * plant shifted and identical halves with known verdicts. */
+  def ksTestOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events.select(col("event_type"), col("sec"),
+      expr("cast(round(value * 100) as long)").as("cents"))
+    val mid = ev.groupBy(col("event_type"))
+      .agg(expr("min(sec) + (max(sec) - min(sec)) div 2").as("mid"))
+    val counts = ev.join(broadcast(mid), Seq("event_type"))
+      .withColumn("is_ref", col("sec") <= col("mid"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("r"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c"))
+    val tot = counts.groupBy(col("event_type"))
+      .agg(sum(col("r")).cast("long").as("n_ref"),
+        sum(col("c")).cast("long").as("n_cur"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+    counts
+      .withColumn("cr", sum(col("r")).over(w))
+      .withColumn("cc", sum(col("c")).over(w))
+      .join(broadcast(tot), Seq("event_type"))
+      .groupBy(col("event_type"), col("n_ref"), col("n_cur"))
+      .agg(round(max(abs(col("cr") / col("n_ref") - col("cc") / col("n_cur"))), 4)
+        .as("ks_stat"))
+      .withColumn("critical", round(
+        lit(1.358) * sqrt((col("n_ref") + col("n_cur")).cast("double") /
+          (col("n_ref").cast("double") * col("n_cur").cast("double"))), 4))
+      .withColumn("drifted", (col("ks_stat") > col("critical")).cast("int"))
+      .select(col("event_type"), col("n_ref"), col("n_cur"), col("ks_stat"),
+        col("critical"), col("drifted"))
+      .orderBy(col("event_type"))
+  }
+
+  /** D46: Wasserstein-1 (earth-mover) drift per source — the third
+    * member of the distribution-drift family: D30's PSI needs bins, D45's
+    * KS takes the supremum (sensitive to the single worst point of the
+    * CDF gap), W1 INTEGRATES the gap — |F_ref − F_cur| summed over the
+    * support, which is the average cost of transporting one distribution
+    * into the other in value units (a pure +δ location shift scores
+    * exactly δ — the interpretable number a pager threshold wants).
+    *
+    * Determinism contract (stronger than D30/E38): the integral's
+    * numerator is EXACT INTEGER — Σ |cr·n_cur − cc·n_ref| · gap over
+    * consecutive support cents, summed as longs (order-independent, zero
+    * float folding) — with ONE double division at the very end. At
+    * extreme per-source row counts (n_ref·n_cur near 2^63) the numerator
+    * would move to decimal(38); the shape is unchanged.
+    *
+    * Scale shape: identical to D45 — one corpus-collapsing hash agg to
+    * value-bounded (source, cent) cells, one window pass for the ECDFs
+    * and the lead() gap, broadcast totals. */
+  def wassersteinDrift(spark: SparkSession, dir: String): DataFrame =
+    wassersteinOf(Tables(spark, dir).eventsSec
+      .select(col("event_type"), col("sec"), col("value")))
+
+  /** The D46 compute over any (event_type, sec, value) frame; `bar` is
+    * the alert threshold in value units. */
+  def wassersteinOf(events: DataFrame, bar: Double = 0.25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events.select(col("event_type"), col("sec"),
+      expr("cast(round(value * 100) as long)").as("cents"))
+    val mid = ev.groupBy(col("event_type"))
+      .agg(expr("min(sec) + (max(sec) - min(sec)) div 2").as("mid"))
+    val cells = ev.join(broadcast(mid), Seq("event_type"))
+      .withColumn("is_ref", col("sec") <= col("mid"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("r"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("q"))
+    val tot = cells.groupBy(col("event_type"))
+      .agg(sum(col("r")).cast("long").as("n_ref"),
+        sum(col("q")).cast("long").as("n_cur"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+    val num = cells
+      .withColumn("cr", sum(col("r")).over(w))
+      .withColumn("cc", sum(col("q")).over(w))
+      .withColumn("gap", lead(col("cents"), 1).over(w) - col("cents"))
+      .filter(col("gap").isNotNull)
+      .join(broadcast(tot), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(sum(abs(col("cr") * col("n_cur") - col("cc") * col("n_ref"))
+        * col("gap")).as("num"))
+    // single-cent supports have no gaps: their integral is exactly 0
+    tot.join(num, Seq("event_type"), "left")
+      .withColumn("w1", round(coalesce(col("num"), lit(0L)).cast("double") /
+        (col("n_ref").cast("double") * col("n_cur").cast("double")) / 100.0, 4))
+      .withColumn("drifted", (col("w1") > bar).cast("int"))
+      .select(col("event_type"), col("n_ref"), col("n_cur"), col("w1"),
+        col("drifted"))
+      .orderBy(col("event_type"))
+  }
+
   /** D31: ROBUST outlier monitor — modified z-scores from the median and
     * the Median Absolute Deviation (Iglewicz & Hoaglin 1993: |0.6745·
     * (v−med)/MAD| > 3.5 flags an outlier). D12's mean/stddev screens are

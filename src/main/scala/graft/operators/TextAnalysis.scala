@@ -100,6 +100,84 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** F80: corpus n-gram frequency table (n = 1..3) — the language-model
+    * training primitive: unigram/bigram/trigram counts over the whole
+    * corpus with a minimum-count floor, the input artifact of count-based
+    * LM estimation (F20's bigram LM is one consumer), infini-gram-style
+    * lookup tables, and n-gram-overlap contamination screens (F26).
+    * Output: (n, gram, cnt) for every surviving gram, ordered by
+    * (n, cnt DESC, gram) — deterministic because the floor makes the set
+    * exact and the gram string breaks count ties.
+    *
+    * Scale shape: the canonical word-count — one explode of the three
+    * gram arrays built in a single tokenizer pass, then ONE hash agg
+    * whose map-side partials absorb the stopword-gram skew before the
+    * shuffle; the count floor prunes the (Heaps-law sublinear) long tail
+    * before any ordering. No joins, no windows, no driver state. */
+  def ngramCounts(spark: SparkSession, dir: String, minCount: Long = 5): DataFrame =
+    ngramCountsOf(Tables(spark, dir).documents, minCount)
+
+  /** The F80 compute over any (doc_id, text) frame — specs feed corpora
+    * with hand-countable gram inventories through the registered path. */
+  def ngramCountsOf(docs: DataFrame, minCount: Long): DataFrame = {
+    val t = tokens(col("text"))
+    docs
+      .select(explode(concat(wordGrams(t, 1), wordGrams(t, 2), wordGrams(t, 3)))
+        .as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      // tokens split on \s+, so a k-gram's space count recovers k exactly
+      .select(size(split(col("gram"), " ")).cast("long").as("n"),
+        col("gram"), col("cnt"))
+      .orderBy(col("n"), col("cnt").desc, col("gram"))
+  }
+
+  /** F82: Zipf-law fit over the F80 n-gram table — per gram order n, the
+    * OLS slope of ln(count) on ln(rank) across the top-R grams. Natural
+    * text follows Zipf with slope ≈ −1; a corpus whose unigram slope
+    * drifts far from it is template spam (too flat: generated boilerplate
+    * reuses a tiny vocabulary uniformly) or shredded text (too steep) —
+    * a one-number corpus-health diagnostic next to F37's entropy, and a
+    * direct consumer of F80.
+    *
+    * Determinism contract: the E38 convention — moments (means,
+    * variances, covariance of the log pairs) ROUND to 4 decimals first,
+    * slope/intercept/R² assemble FROM the rounded moments with nullif
+    * zero-variance guards, then round again.
+    *
+    * Scale shape: F80's hash agg collapses the corpus; the rank window
+    * runs over the floored gram table (Heaps-sublinear) partitioned by n
+    * (3 partitions × top-R rows reach the fit); the fit itself is one
+    * grouped agg over ≤ 3·R rows. */
+  def zipfFit(spark: SparkSession, dir: String, minCount: Long = 5,
+      topR: Int = 200): DataFrame =
+    zipfFitOf(ngramCountsOf(Tables(spark, dir).documents, minCount), topR)
+
+  /** The F82 fit over any (n, gram, cnt) frame. */
+  def zipfFitOf(counts: DataFrame, topR: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("n")).orderBy(col("cnt").desc, col("gram"))
+    val pts = counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topR)
+      .select(col("n"), log(col("rank").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+    val moments = pts.groupBy(col("n"))
+      .agg(count(lit(1)).as("n_grams"),
+        round(avg(col("x")), 4).as("mx"),
+        round(avg(col("y")), 4).as("my"),
+        round(var_samp(col("x")), 4).as("vx"),
+        round(var_samp(col("y")), 4).as("vy"),
+        round(covar_samp(col("x"), col("y")), 4).as("cxy"))
+    val vx = nullif(col("vx"), lit(0.0))
+    val vy = nullif(col("vy"), lit(0.0))
+    moments
+      .withColumn("slope", round(col("cxy") / vx, 4))
+      .withColumn("intercept", round(col("my") - (col("cxy") / vx) * col("mx"), 4))
+      .withColumn("r2", round((col("cxy") * col("cxy")) / (vx * vy), 4))
+      .select(col("n"), col("n_grams"), col("slope"), col("intercept"), col("r2"))
+      .orderBy(col("n"))
+  }
+
   /** F17: TF-IDF — top terms per document by tf·idf. Corpus DF via one
     * agg, tf via another, joined on term (broadcastable: vocab ≪ corpus —
     * Heaps-law sublinear — but GUARDED: the hint applies only while the

@@ -400,4 +400,45 @@ object StreamGate {
     spark.read.parquet(s"$base/state/report")
       .orderBy(col("source"), col("day"))
   }
+
+  /** G20 gate: the streaming A/B monitor run MULTI-batch (4 input files,
+    * one per trigger) — per-arm integer cent-moments accumulate
+    * associatively with zero float drift, so the final verdict equals the
+    * one-shot pass over the corpus and shares E36's oracle verbatim
+    * (values are cent-granular, so the cent-moment means/variances round
+    * to the same 4-decimal inputs the var_samp path sees). */
+  def streamAbtest(spark: SparkSession, dir: String): DataFrame = {
+    val base = fresh(spark, "abtest")
+    Tables(spark, dir).events
+      .select(col("event_type"), col("user_id"), col("value"))
+      .repartition(4).write.parquet(s"$base/in")
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("event_type", StringType),
+        StructField("user_id", LongType), StructField("value", DoubleType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in")
+    val q = EventStreams.abTtestStream(src, s"$base/state")
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    spark.read.parquet(s"$base/state/report").orderBy(col("event_type"))
+  }
+
+  /** G18 gate: the streaming embedding-drift monitor run MULTI-batch
+    * (3 input files, one per trigger) — per-(label, dim, split)
+    * (sum, count) moments accumulate in state, means recover exactly from
+    * the totals, so the final report equals D36's batch pass over the
+    * full corpus and shares its oracle verbatim. */
+  def streamDrift(spark: SparkSession, dir: String): DataFrame = {
+    val base = fresh(spark, "drift")
+    graft.operators.Similarity.vectors(spark, dir)
+      .repartition(3).write.parquet(s"$base/in")
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("vec_id", LongType),
+        StructField("label", IntegerType),
+        StructField("v", ArrayType(DoubleType)))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in")
+    val q = EventStreams.embeddingDriftStream(src, s"$base/state")
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    spark.read.parquet(s"$base/state/report").orderBy(col("label"))
+  }
 }

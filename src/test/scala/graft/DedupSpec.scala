@@ -460,4 +460,23 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
         s"cluster $comp picked $repDoc, longest-lowest is $want")
     }
   }
+
+  test("containment: an embedded short doc scores 1.0 where Jaccard stays far below the F3 bar") {
+    import spark.implicits._
+    val words = (0 until 60).map(i => s"w$i")
+    val longDoc = words.mkString(" ")                    // 53 distinct 8-grams
+    val shortDoc = words.slice(10, 30).mkString(" ")     // 13 grams, all inside longDoc
+    val stranger = (0 until 30).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, longDoc), (2L, shortDoc), (3L, stranger))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.containmentOf(docs, 8, 32, 0.5).collect()
+    assert(got.length == 1, s"expected exactly the embedded pair: ${got.toSeq}")
+    val r = got(0)
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 2L)))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((53L, 13L, 13L)))
+    assert(r.getDouble(5) == 1.0, "the whole short doc is covered")
+    // the SAME pair under symmetric Jaccard: 13/53 -- invisible to F3's 0.82 bar
+    assert(r.getDouble(6) == math.rint(13.0 / 53.0 * 10000) / 10000)
+    assert(r.getDouble(6) < 0.5)
+  }
 }

@@ -189,4 +189,30 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(left.size == 1 && right.size == 1 && left != right,
       s"weak bridge fused the communities: $got")
   }
+
+  test("k-core: the planted clique survives, the pendant star peels over two rounds") {
+    def gram(tag: String) = (0 until 8).map(j => s"$tag$j").mkString(" ")
+    val docs = Seq[(Long, String)](
+      (0L, Seq(gram("a01"), gram("a02"), gram("a03")).mkString(" ")),
+      (1L, Seq(gram("a01"), gram("a12"), gram("a13")).mkString(" ")),
+      (2L, Seq(gram("a02"), gram("a12"), gram("a23")).mkString(" ")),
+      (3L, Seq(gram("a03"), gram("a13"), gram("a23")).mkString(" ")),
+      (4L, Seq(gram("b45"), gram("b46"), gram("b47")).mkString(" ")),
+      (5L, gram("b45")),
+      (6L, gram("b46")),
+      (7L, gram("b47")),
+      (8L, gram("iso")))
+    val got = Graph.kcoreOf(docs.toDF("doc_id", "text"), K, Cap, 3, 12)
+      .collect().map { case Row(id: Long, deg: Long, rr: Long, ic: Int) =>
+        id -> ((deg, rr, ic))
+      }.toMap
+    // the 4-clique: every member keeps degree 3 among survivors forever
+    (0L to 3L).foreach(id => assert(got(id) == ((3L, 0L, 1)), s"doc $id: ${got(id)}"))
+    // the star hub survives round 1 on its leaf degree, peels in round 2
+    // once the leaves are gone — the multi-round case a single sweep misses
+    assert(got(4L) == ((3L, 2L, 0)), s"hub: ${got(4L)}")
+    (5L to 7L).foreach(id => assert(got(id) == ((1L, 1L, 0)), s"leaf $id: ${got(id)}"))
+    // isolated doc: no edges at all, peels immediately
+    assert(got(8L) == ((0L, 1L, 0)), s"isolated: ${got(8L)}")
+  }
 }

@@ -1245,4 +1245,77 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     val off = graft.sources.Ingest.srcCacheTtl(spark, sfDir, enabled = false).collect()
     assert(off.forall(_.getString(5) == "refetch"), "disabled cache must always fetch")
   }
+
+  test("KS drift: statistic matches a brute-force ECDF sweep and verdicts track planted shifts") {
+    import org.apache.spark.sql.functions.col
+    val got = graft.operators.LoadOps.ksTest(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.nonEmpty)
+    val raw = Tables(spark, sfDir).eventsSec
+      .select(col("event_type"), col("sec"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    raw.groupBy(_._1).foreach { case (typ, rows) =>
+      val secs = rows.map(_._2)
+      val mid = secs.min + (secs.max - secs.min) / 2
+      val cents = rows.map(r => (r._2, math.round(r._3 * 100)))
+      val ref = cents.filter(_._1 <= mid).map(_._2)
+      val cur = cents.filter(_._1 > mid).map(_._2)
+      val d = (ref ++ cur).distinct.map(c =>
+        math.abs(ref.count(_ <= c).toDouble / ref.length -
+          cur.count(_ <= c).toDouble / cur.length)).max
+      val row = got(typ)
+      assert(row.getLong(1) == ref.length && row.getLong(2) == cur.length,
+        s"$typ window counts")
+      assert(math.abs(row.getDouble(3) - d) < 5e-5, s"$typ ks ${row.getDouble(3)} vs $d")
+      val crit = 1.358 * math.sqrt((ref.length + cur.length).toDouble /
+        (ref.length.toDouble * cur.length))
+      assert(math.abs(row.getDouble(4) - crit) < 5e-5, s"$typ critical")
+    }
+    // planted: identical halves stay clean, a +3.0 location shift flags
+    import spark.implicits._
+    val wire = (0 until 400).map(i => ("s", i.toLong, (i % 50) / 10.0)) ++
+      (0 until 400).map(i => ("s", 400L + i, (i % 50) / 10.0)) ++
+      (0 until 400).map(i => ("x", i.toLong, (i % 50) / 10.0)) ++
+      (0 until 400).map(i => ("x", 400L + i, (i % 50) / 10.0 + 3.0))
+    val v = graft.operators.LoadOps.ksTestOf(
+      wire.toDF("event_type", "sec", "value")).collect()
+      .map(r => r.getString(0) -> r.getInt(5)).toMap
+    assert(v("s") == 0, "identical halves must not flag")
+    assert(v("x") == 1, "a +3.0 location shift must flag")
+  }
+
+  test("Wasserstein drift: exact location-shift recovery and a brute-force integral replay") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // a pure +3.0 location shift has earth-mover cost EXACTLY 3.0; an
+    // identical second half costs exactly 0
+    val wire = (0 until 400).map(i => ("s", i.toLong, (i % 50) / 10.0)) ++
+      (0 until 400).map(i => ("s", 400L + i, (i % 50) / 10.0)) ++
+      (0 until 400).map(i => ("x", i.toLong, (i % 50) / 10.0)) ++
+      (0 until 400).map(i => ("x", 400L + i, (i % 50) / 10.0 + 3.0))
+    val v = graft.operators.LoadOps.wassersteinOf(
+      wire.toDF("event_type", "sec", "value")).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(3), r.getInt(4)))).toMap
+    assert(v("s") == ((0.0, 0)), s"identical halves: ${v("s")}")
+    assert(v("x") == ((3.0, 1)), s"+3.0 shift must cost exactly 3.0: ${v("x")}")
+    // corpus: brute-force ECDF-gap integral per source
+    val got = graft.operators.LoadOps.wassersteinDrift(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val raw = Tables(spark, sfDir).eventsSec
+      .select(col("event_type"), col("sec"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    raw.groupBy(_._1).foreach { case (typ, rows) =>
+      val secs = rows.map(_._2)
+      val mid = secs.min + (secs.max - secs.min) / 2
+      val cents = rows.map(r => (r._2, math.round(r._3 * 100)))
+      val ref = cents.filter(_._1 <= mid).map(_._2)
+      val cur = cents.filter(_._1 > mid).map(_._2)
+      val support = (ref ++ cur).distinct.sorted
+      val w1 = support.zip(support.tail).map { case (c, nxt) =>
+        math.abs(ref.count(_ <= c).toDouble / ref.length -
+          cur.count(_ <= c).toDouble / cur.length) * (nxt - c)
+      }.sum / 100.0
+      assert(math.abs(got(typ) - w1) < 5e-4, s"$typ w1 ${got(typ)} vs $w1")
+    }
+  }
 }

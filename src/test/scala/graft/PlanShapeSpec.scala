@@ -386,4 +386,33 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert("Scan parquet".r.findAllIn(p).length == 0,
       s"every branch must serve from the one pinned rollup:\n$p")
   }
+
+  test("ks/wasserstein drift: corpus collapses in a partial agg BEFORE the window, totals broadcast") {
+    for (name <- Seq("mon_ks_test", "mon_wasserstein")) {
+      val p = plan(name)
+      // the ECDF window must run over the (source, cent) cells, which the
+      // value-bounded hash agg produces — a data-sized window would show
+      // as a Window whose child exchange carries no partial aggregate
+      assert(p.contains("partial_"), s"$name: no map-side combine:\n$p")
+      assert(p.contains("Window"), s"$name: ECDF window missing:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$name: totals must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$name: data-sized shuffle join:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name: cartesian:\n$p")
+    }
+  }
+
+  test("ngram counts: one scan, hash agg with map-side partials, no join") {
+    val p = plan("text_ngram_counts")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"the three gram orders must ride ONE tokenizer pass:\n$p")
+    assert(p.contains("partial_"), s"stopword-gram skew needs map-side combine:\n$p")
+    assert(!p.contains("Join"), s"word-count needs no join:\n$p")
+  }
+
+  test("containment: gram hashes shuffle, pair join is the df-capped equi self-join, sizes broadcast") {
+    val p = plan("dedup_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"containment must never go all-pairs:\n$p")
+    assert(p.contains("xxhash64"), s"gram strings must collapse to hashes before shuffling:\n$p")
+  }
 }

@@ -835,4 +835,31 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got2 == Seq((10L, 11L)), s"df screen failed: $got2")
   }
+
+  test("n-gram counts: hand-counted corpus inventory with the count floor") {
+    val docs = Seq((1L, "a b A b a"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramCountsOf(docs, 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // unigrams a:4 b:3 (c:1 floored), bigrams "a b":3 "b a":2 ("b c":1
+    // floored), trigrams "a b a":2 ("b a b"/"a b c":1 floored); casefold
+    // collapses the planted capital A; order (n, cnt DESC, gram)
+    assert(got == Seq((1L, "a", 4L), (1L, "b", 3L), (2L, "a b", 3L),
+      (2L, "b a", 2L), (3L, "a b a", 2L)), got.toString)
+  }
+
+  test("Zipf fit: a perfect power law recovers slope -1 with r2 1, corpus slopes are negative") {
+    // cnt = 24/rank exactly: ln cnt = ln 24 - ln rank, so the rounded-moment
+    // OLS must return slope -1 and r2 1 bit-for-bit
+    val counts = Seq((1L, "w1", 24L), (1L, "w2", 12L), (1L, "w3", 8L), (1L, "w4", 6L))
+      .toDF("n", "gram", "cnt")
+    val fit = TextAnalysis.zipfFitOf(counts, 200).collect()
+    assert(fit.length == 1)
+    assert(fit(0).getDouble(2) == -1.0, s"slope ${fit(0).getDouble(2)}")
+    assert(fit(0).getDouble(4) == 1.0, s"r2 ${fit(0).getDouble(4)}")
+    assert(math.abs(fit(0).getDouble(3) - math.log(24.0)) < 1e-3)
+    // the sf corpus: every gram order fits with a negative slope
+    val corpus = TextAnalysis.zipfFit(spark, sfDir).collect()
+    assert(corpus.length == 3)
+    corpus.foreach(r => assert(r.getDouble(2) < 0, s"n=${r.getLong(0)} slope"))
+  }
 }
