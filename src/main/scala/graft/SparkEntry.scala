@@ -96,6 +96,9 @@ object SparkEntry {
     "mon_value_drift"        -> ((s: SparkSession, d: String) => LoadOps.valueDrift(s, d)),
     "mon_ks_test"            -> LoadOps.ksTest _,
     "mon_wasserstein"        -> LoadOps.wassersteinDrift _,
+    "mon_chi2"               -> LoadOps.chi2Drift _,
+    "mon_changepoint"        -> ((s: SparkSession, d: String) => LoadOps.changepoint(s, d)),
+    "text_pmi"               -> ((s: SparkSession, d: String) => TextAnalysis.pmi(s, d)),
     "text_zipf_fit"          -> ((s: SparkSession, d: String) => TextAnalysis.zipfFit(s, d)),
     "mon_mad_outliers"       -> LoadOps.madOutliers _,
     "mon_sla_burn"           -> ((s: SparkSession, d: String) => LoadOps.slaBurn(s, d)),
@@ -143,10 +146,12 @@ object SparkEntry {
     "q_cohort_retention"     -> Relational.qCohortRetention _,
     "q_markov_transitions"   -> Relational.qMarkovTransitions _,
     "q_ab_ttest"             -> Relational.qAbTtest _,
+    "q_mannwhitney"          -> Relational.qMannWhitney _,
     "q_regression"           -> Relational.qRegression _,
     "q_hierarchy_rollup"     -> ((s: SparkSession, d: String) => Relational.qHierarchyRollup(s, d)),
     "q_set_ops_all"          -> Relational.qSetOpsAll _,
     "emb_silhouette"         -> ((s: SparkSession, d: String) => Similarity.embSilhouette(s, d)),
+    "emb_kmeans"             -> ((s: SparkSession, d: String) => Similarity.kmeans(s, d)),
     "emb_lof"                -> ((s: SparkSession, d: String) => Similarity.embLof(s, d)),
     "ann_recall"             -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
     "text_quality_model"     -> ((s: SparkSession, d: String) => TextAnalysis.qualityModel(s, d)),
@@ -288,6 +293,8 @@ object SparkEntry {
     "stream_enrich"          -> graft.streaming.StreamGate.streamEnrich _,
     "stream_abtest"          -> graft.streaming.StreamGate.streamAbtest _,
     "stream_drift"           -> graft.streaming.StreamGate.streamDrift _,
+    "stream_decay"           -> graft.streaming.StreamGate.streamDecay _,
+    "stream_join"            -> graft.streaming.StreamGate.streamJoin _,
   )
 
   // shared SQL fragments for the oracle ---------------------------------
@@ -632,6 +639,8 @@ object SparkEntry {
     "stream_novelty"       -> baseOracleSql("text_novelty"),
     "stream_abtest"        -> baseOracleSql("q_ab_ttest"),
     "stream_drift"         -> baseOracleSql("mon_embedding_drift"),
+    "stream_decay"         -> baseOracleSql("mon_decay_avg"),
+    "stream_join"          -> baseOracleSql("q_interval_join"),
     // G11: the stateless broadcast enrichment rolled up per catalog
     // source — a plain SQL join replays it
     "stream_enrich" ->
@@ -1853,6 +1862,93 @@ object SparkEntry {
          |    (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)) / 100.0, 4) > 0.25
          |    AS INT) AS drifted
          |FROM t LEFT JOIN s USING (event_type) ORDER BY t.event_type""".stripMargin,
+    // D47: exact integer hour cells, fixed-shape expected-count and term
+    // arithmetic, Wilson–Hilferty closed-form critical value
+    "mon_chi2" ->
+      s"""WITH e AS (SELECT event_type, sec,
+         |  (sec // 3600) % 24 AS hour FROM ($evSec)),
+         |m AS (SELECT event_type,
+         |  min(sec) + (max(sec) - min(sec)) // 2 AS mid FROM e GROUP BY 1),
+         |cells AS (SELECT e.event_type, hour,
+         |  sum(CASE WHEN sec <= mid THEN 1 ELSE 0 END) AS o_r,
+         |  sum(CASE WHEN sec <= mid THEN 0 ELSE 1 END) AS o_c
+         | FROM e JOIN m USING (event_type) GROUP BY 1, 2),
+         |t AS (SELECT event_type, CAST(sum(o_r) AS BIGINT) AS n_ref,
+         |  CAST(sum(o_c) AS BIGINT) AS n_cur,
+         |  CAST(count(*) AS BIGINT) AS n_cells FROM cells GROUP BY 1),
+         |s AS (SELECT cells.event_type, n_ref, n_cur, n_cells,
+         |  round(sum(
+         |    (o_r - CAST(o_r + o_c AS DOUBLE) * n_ref / (n_ref + n_cur)) *
+         |    (o_r - CAST(o_r + o_c AS DOUBLE) * n_ref / (n_ref + n_cur)) /
+         |      (CAST(o_r + o_c AS DOUBLE) * n_ref / (n_ref + n_cur)) +
+         |    (o_c - CAST(o_r + o_c AS DOUBLE) * n_cur / (n_ref + n_cur)) *
+         |    (o_c - CAST(o_r + o_c AS DOUBLE) * n_cur / (n_ref + n_cur)) /
+         |      (CAST(o_r + o_c AS DOUBLE) * n_cur / (n_ref + n_cur))), 4) AS chi2
+         | FROM cells JOIN t USING (event_type)
+         | WHERE n_ref > 0 AND n_cur > 0 GROUP BY 1, 2, 3, 4)
+         |SELECT event_type, n_ref, n_cur, n_cells - 1 AS df, chi2,
+         |  round(CAST(n_cells - 1 AS DOUBLE) *
+         |    power(1.0 - 2.0 / (9.0 * (n_cells - 1)) +
+         |      1.6449 * sqrt(2.0 / (9.0 * (n_cells - 1))), 3), 4) AS critical,
+         |  CAST(chi2 > round(CAST(n_cells - 1 AS DOUBLE) *
+         |    power(1.0 - 2.0 / (9.0 * (n_cells - 1)) +
+         |      1.6449 * sqrt(2.0 / (9.0 * (n_cells - 1))), 3), 4) AS INT) AS drifted
+         |FROM s ORDER BY event_type""".stripMargin,
+    // D48: the D40 integer daily frame, window cumsums of md and md²,
+    // one fixed-shape t expression per split, rounded-|t| argmax with
+    // smaller-day ties
+    "mon_changepoint" ->
+      """WITH d AS (
+        | SELECT event_type AS source,
+        |  CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) // count(*) AS BIGINT) AS md
+        | FROM events GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS t_days,
+        |  CAST(sum(md) AS BIGINT) AS s_all,
+        |  CAST(sum(md * md) AS BIGINT) AS ss_all FROM d GROUP BY 1),
+        |c AS (SELECT source, day,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY day) AS BIGINT) AS k,
+        |  CAST(sum(md) OVER (PARTITION BY source ORDER BY day) AS BIGINT) AS cs,
+        |  CAST(sum(md * md) OVER (PARTITION BY source ORDER BY day) AS BIGINT) AS css
+        | FROM d),
+        |s AS (SELECT c.source, day, k, t_days,
+        |  CAST(cs AS DOUBLE) / k AS ml,
+        |  CAST(s_all - cs AS DOUBLE) / (t_days - k) AS mr,
+        |  CAST(css AS DOUBLE) - (CAST(cs AS DOUBLE) / k) * cs
+        |   + CAST(ss_all - css AS DOUBLE)
+        |   - (CAST(s_all - cs AS DOUBLE) / (t_days - k)) * (s_all - cs) AS wss
+        | FROM c JOIN tot USING (source) WHERE k < t_days AND t_days >= 3),
+        |tt AS (SELECT source, day, t_days, round((ml - mr) /
+        |  sqrt(greatest(wss / (t_days - 2), 0.25) *
+        |    (1.0 / k + 1.0 / (t_days - k))), 4) AS tt
+        | FROM s)
+        |SELECT source, t_days AS n_days, day AS cp_day, tt AS t_stat,
+        |  CAST(abs(tt) > 3.0 AS INT) AS changed
+        |FROM (SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY abs(tt) DESC, day) AS rn
+        |  FROM tt) WHERE rn = 1
+        |ORDER BY source""".stripMargin,
+    // F84: floored unigram/bigram counts via the shared tokenizer, the
+    // fixed-order six-log PMI sum over exact integers
+    "text_pmi" ->
+      s"""WITH t AS (SELECT $toks AS toks FROM documents),
+         |tot AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS n_uni,
+         |  CAST(sum(greatest(len(toks) - 1, 0)) AS BIGINT) AS n_bi FROM t),
+         |uc AS (SELECT w, count(*) AS cw
+         |  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1
+         |  HAVING count(*) >= 5),
+         |bc AS (SELECT g, count(*) AS c_xy
+         |  FROM (SELECT unnest(CASE WHEN len(toks) >= 2
+         |    THEN [array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 1 AS INT)), ' ')
+         |          for i in range(1, len(toks))]
+         |    ELSE [] END) AS g FROM t) GROUP BY 1 HAVING count(*) >= 5),
+         |p AS (SELECT string_split(g, ' ')[1] AS w1,
+         |  string_split(g, ' ')[2] AS w2, c_xy FROM bc)
+         |SELECT w1, w2, c_xy, x.cw AS c_x, y.cw AS c_y,
+         |  round(ln(c_xy) + ln(n_uni) + ln(n_uni) - ln(n_bi) - ln(x.cw)
+         |    - ln(y.cw), 4) AS pmi
+         |FROM p JOIN uc x ON p.w1 = x.w JOIN uc y ON p.w2 = y.w, tot
+         |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
     "mon_value_drift" ->
       s"""WITH e AS ($evSec),
          |m AS (SELECT min(sec) AS slo, max(sec) AS shi,
@@ -2417,6 +2513,33 @@ object SparkEntry {
          |SELECT state, next_state, n, state_total,
          | (n * 1000000) // state_total AS p_ppm
          |FROM t ORDER BY state, next_state""".stripMargin,
+    // E41: exact-integer midranks in 2× units over value-bounded cent
+    // cells; one fixed-shape z from exact bigint (U, tie-sum) state
+    "q_mannwhitney" ->
+      """WITH e AS (SELECT event_type, user_id % 2 = 0 AS a,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |cells AS (SELECT event_type, cents,
+        |  sum(CASE WHEN a THEN 1 ELSE 0 END) AS na,
+        |  sum(CASE WHEN a THEN 0 ELSE 1 END) AS nb
+        | FROM e GROUP BY 1, 2),
+        |r AS (SELECT event_type, na, nb, na + nb AS cnt,
+        |  coalesce(sum(na + nb) OVER (PARTITION BY event_type ORDER BY cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        | FROM cells),
+        |g AS (SELECT event_type,
+        |  CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b,
+        |  CAST(sum(na * (2 * cb + cnt + 1)) AS BIGINT) AS r2,
+        |  CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ts
+        | FROM r GROUP BY 1),
+        |s AS (SELECT *, n_a + n_b AS n, r2 - n_a * (n_a + 1) AS u2 FROM g),
+        |z AS (SELECT *, round(
+        |  (CAST(u2 AS DOUBLE) - CAST(n_a AS DOUBLE) * n_b) /
+        |  nullif(2.0 * sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0 *
+        |    (CAST(n + 1 AS DOUBLE) - CAST(ts AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) * (n - 1)))), 0.0), 4) AS z FROM s)
+        |SELECT event_type, n_a, n_b, CAST(u2 AS DOUBLE) / 2.0 AS u, z,
+        |  CAST(abs(z) >= 1.96 AS INT) AS significant
+        |FROM z ORDER BY event_type""".stripMargin,
     // E36: Welch t from ROUNDED arm moments (the D36 rounded-verdict
     // convention) — both engines fold floats their own way but judge
     // identical 4-dec inputs through one fixed expression shape
@@ -3629,6 +3752,39 @@ object SparkEntry {
         | CAST(sum(n.cents) AS BIGINT) AS sum_cents
         |FROM f JOIN n ON n.id = f.id GROUP BY 1 ORDER BY f.root""".stripMargin,
     // F76: the shared quantizer CTEs + a per-vector rank over centroid
+    // F85: two Lloyd rounds with centroids rounded to 4 decimals after
+    // every update (the engine's portability device), argmax ties to the
+    // smaller centroid id, final per-cluster report
+    "emb_kmeans" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |c0 AS (SELECT c_label, list(round(a, 4) ORDER BY pos) AS cv
+         |  FROM (SELECT label AS c_label, pos, avg(x) AS a
+         |    FROM (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e)
+         |    GROUP BY 1, pos) GROUP BY 1),
+         |s1 AS MATERIALIZED (SELECT vec_id, v, c_label FROM (
+         |  SELECT vec_id, v, c_label, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ${cosSql("v", "cv")} DESC, c_label) AS rn
+         |  FROM e CROSS JOIN c0) WHERE rn = 1),
+         |c1 AS (SELECT c_label, list(round(a, 4) ORDER BY pos) AS cv
+         |  FROM (SELECT c_label, pos, avg(x) AS a
+         |    FROM (SELECT c_label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM s1)
+         |    GROUP BY 1, pos) GROUP BY 1),
+         |s2 AS MATERIALIZED (SELECT vec_id, v, c_label FROM (
+         |  SELECT vec_id, v, c_label, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ${cosSql("v", "cv")} DESC, c_label) AS rn
+         |  FROM e CROSS JOIN c1) WHERE rn = 1),
+         |c2 AS (SELECT c_label, list(round(a, 4) ORDER BY pos) AS cv
+         |  FROM (SELECT c_label, pos, avg(x) AS a
+         |    FROM (SELECT c_label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM s2)
+         |    GROUP BY 1, pos) GROUP BY 1),
+         |sf AS MATERIALIZED (SELECT vec_id, c_label, sim FROM (
+         |  SELECT vec_id, c_label, ${cosSql("v", "cv")} AS sim,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ${cosSql("v", "cv")} DESC, c_label) AS rn
+         |  FROM e CROSS JOIN c2) WHERE rn = 1)
+         |SELECT CAST(c_label AS BIGINT) AS cluster, CAST(count(*) AS BIGINT) AS n,
+         |  round(avg(sim), 4) AS mean_sim
+         |FROM sf GROUP BY 1 ORDER BY 1""".stripMargin,
     // cosines; margins/flags judge 4-dec-rounded values in one shape
     "emb_silhouette" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

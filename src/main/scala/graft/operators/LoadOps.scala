@@ -633,14 +633,18 @@ object LoadOps {
     * the join fan-out is ≤ windowDays rows per run — never a window over
     * unbounded history, never a driver loop. The anomaly ratio compares
     * each day to its own smoothed baseline. */
-  def decayAvg(spark: SparkSession, dir: String, windowDays: Int = 7): DataFrame = {
-    val t = Tables(spark, dir)
-    val runs = t.eventsSec
+  def decayAvg(spark: SparkSession, dir: String, windowDays: Int = 7): DataFrame =
+    decayAvgOver(Tables(spark, dir).eventsSec
       .withColumn("day", expr("sec div 86400").cast("long"))
       .groupBy(col("event_type").as("source"), col("day"))
-      .agg(sum(col("value")).as("duration"))
-      // (sources × days) rows — checkpointed: both join sides read these
-      .localCheckpoint(true)
+      .agg(sum(col("value")).as("duration")), windowDays)
+
+  /** The D19 compute over any (source, day, duration) daily-run frame —
+    * shared by the batch op and the G10 streaming ledger gate, so the
+    * stream's every-trigger report replays the identical plan. */
+  def decayAvgOver(runs0: DataFrame, windowDays: Int = 7): DataFrame = {
+    // (sources × days) rows — checkpointed: both join sides read these
+    val runs = runs0.localCheckpoint(true)
     val w = pow(lit(0.5), col("t.day") - col("p.day"))
     runs.as("t")
       .join(runs.as("p"),
@@ -1212,6 +1216,142 @@ object LoadOps {
       .select(col("event_type"), col("n_ref"), col("n_cur"), col("w1"),
         col("drifted"))
       .orderBy(col("event_type"))
+  }
+
+  /** D47: two-sample chi-square drift over the HOUR-OF-DAY profile — the
+    * CATEGORICAL leg of the drift family: D45/D46 watch the value
+    * distribution; this watches WHEN a source fires. A pipeline whose
+    * upstream scheduler shifted timezones, lost a cron window, or started
+    * batching emits the same values on a different clock — invisible to
+    * every value-space test, obvious in the 24-cell hour histogram. Each
+    * source's telemetry splits at its time midpoint (the D45 convention);
+    * the statistic is the classic two-sample chi-square over the hour
+    * cells (expected count = row total × column share), with the degrees
+    * of freedom taken from the OBSERVED support (cells with any traffic
+    * − 1) and the 5% critical value from the Wilson–Hilferty cube
+    * approximation — a closed form both engines replay exactly, no
+    * distribution-table lookup.
+    *
+    * Determinism contract: cell counts are exact integers; every
+    * expected count and term is one fixed-shape arithmetic expression
+    * over those integers (identical IEEE ops in both engines), and only
+    * the 24-term sum is float-folded before rounding — the D30 class.
+    *
+    * Scale shape: ONE hash agg collapses the corpus to ≤ 24 cells per
+    * source (value-bounded, never corpus-bounded); totals ride a
+    * broadcast join; the statistic assembles in a ≤-24-row-per-source
+    * agg. Nothing row-proportional survives the first agg. */
+  def chi2Drift(spark: SparkSession, dir: String): DataFrame =
+    chi2Of(Tables(spark, dir).eventsSec
+      .select(col("event_type"), col("sec")))
+
+  /** The D47 compute over any (event_type, sec) frame — specs plant
+    * identical and hour-shifted halves with known verdicts. */
+  def chi2Of(events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_type"), col("sec"),
+      expr("(sec div 3600) % 24").cast("long").as("hour"))
+    val mid = ev.groupBy(col("event_type"))
+      .agg(expr("min(sec) + (max(sec) - min(sec)) div 2").as("mid"))
+    val cells = ev.join(broadcast(mid), Seq("event_type"))
+      .withColumn("is_ref", col("sec") <= col("mid"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("o_r"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("o_c"))
+    val tot = cells.groupBy(col("event_type"))
+      .agg(sum(col("o_r")).cast("long").as("n_ref"),
+        sum(col("o_c")).cast("long").as("n_cur"),
+        count(lit(1)).cast("long").as("n_cells"))
+    val n = col("n_ref") + col("n_cur")
+    val eR = (col("o_r") + col("o_c")).cast("double") * col("n_ref") / n
+    val eC = (col("o_r") + col("o_c")).cast("double") * col("n_cur") / n
+    val term = (col("o_r") - eR) * (col("o_r") - eR) / eR +
+      (col("o_c") - eC) * (col("o_c") - eC) / eC
+    val df = col("n_cells") - 1
+    cells.join(broadcast(tot), Seq("event_type"))
+      .filter(col("n_ref") > 0 && col("n_cur") > 0)
+      .groupBy(col("event_type"), col("n_ref"), col("n_cur"), col("n_cells"))
+      .agg(round(sum(term), 4).as("chi2"))
+      .withColumn("df", df)
+      .withColumn("critical", round(df.cast("double") *
+        pow(lit(1.0) - lit(2.0) / (lit(9.0) * df) +
+          lit(1.6449) * sqrt(lit(2.0) / (lit(9.0) * df)), 3), 4))
+      .withColumn("drifted", (col("chi2") > col("critical")).cast("int"))
+      .select(col("event_type"), col("n_ref"), col("n_cur"), col("df"),
+        col("chi2"), col("critical"), col("drifted"))
+      .orderBy(col("event_type"))
+  }
+
+  /** D48: retrospective CHANGE-POINT detection per source — the
+    * localization step the online drift family stops short of: D40's
+    * CUSUM pages when a shift crosses its threshold, the D30/D45/D46/D47
+    * tests say THAT the two halves differ; this finds WHEN the level
+    * moved, by maximizing the two-sample t statistic over every
+    * candidate split of the daily series (binary segmentation, depth 1 —
+    * Scott & Knott / Hinkley's classic estimator). The series is the
+    * D40 daily frame (floored integer mean cents per (source, day)), so
+    * a detector alarm triages directly to this op's answer.
+    *
+    * Determinism contract: the series is exact integers; the window
+    * pass accumulates integer sums and squared sums (value-bounded —
+    * md ≤ ~5e4 cents keeps Σmd² far inside int64 at any day count);
+    * every candidate's t assembles as ONE fixed-shape IEEE expression
+    * over those integers (left/right means, pooled within-group
+    * variance over T−2, the D30 class), the argmax judges the
+    * 4-dec-ROUNDED |t| with smaller-day ties — engine-portable, no
+    * float-fold exposure outside single correctly-rounded ops. The
+    * pooled variance FLOORS at 0.25 cents² (the moderated-t device): a
+    * PERFECT step — zero within-group variance at the true split —
+    * scores finite and maximal there instead of degenerating to 0/0,
+    * and a constant series scores 0 everywhere (first split reported,
+    * changed=0) instead of NULL. Sources under 3 days drop — no
+    * interior split has a t denominator.
+    *
+    * Scale shape: ONE hash agg collapses the corpus to (source, day)
+    * cells; the candidate scan is a window over those day cells
+    * (run-log-sized, never event-proportional); per-source totals ride
+    * a broadcast join; selection is one max_by hash agg. */
+  def changepoint(spark: SparkSession, dir: String, bar: Double = 3.0): DataFrame =
+    changepointOver(Tables(spark, dir).eventsSec
+      .select(col("event_type").as("source"),
+        expr("sec div 86400").cast("long").as("day"),
+        expr("cast(round(value * 100) as long)").as("cents"))
+      .groupBy(col("source"), col("day"))
+      .agg(expr("sum(cents) div count(*)").as("md")), bar)
+
+  /** The D48 compute over any (source, day, md) daily frame — specs
+    * plant a hard level shift (exact localization) and a constant
+    * series (NULL-variance guard). */
+  def changepointOver(daily: DataFrame, bar: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = daily.select(col("source"), col("day"), col("md").cast("long"))
+    val tot = cells.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("t_days"),
+        sum(col("md")).cast("long").as("s_all"),
+        sum(col("md") * col("md")).cast("long").as("ss_all"))
+    val w = Window.partitionBy(col("source")).orderBy(col("day"))
+    val nl = row_number().over(w).cast("long")
+    val cand = cells
+      .withColumn("k", nl)
+      .withColumn("cs", sum(col("md")).over(w))
+      .withColumn("css", sum(col("md") * col("md")).over(w))
+      .join(broadcast(tot), Seq("source"))
+      .filter(col("k") < col("t_days") && col("t_days") >= lit(3L))
+    val nr = col("t_days") - col("k")
+    val ml = col("cs").cast("double") / col("k")
+    val mr = (col("s_all") - col("cs")).cast("double") / nr
+    val wss = col("css").cast("double") - ml * col("cs") +
+      (col("ss_all") - col("css")).cast("double") - mr * (col("s_all") - col("cs"))
+    val se = sqrt(greatest(wss / (col("t_days") - lit(2L)), lit(0.25)) *
+      (lit(1.0) / col("k") + lit(1.0) / nr))
+    cand
+      .withColumn("tt", round((ml - mr) / se, 4))
+      .groupBy(col("source"), col("t_days").as("n_days"))
+      .agg(max_by(struct(col("day"), col("tt")),
+        struct(abs(col("tt")), -col("day"))).as("best"))
+      .select(col("source"), col("n_days"), col("best.day").as("cp_day"),
+        col("best.tt").as("t_stat"),
+        (abs(col("best.tt")) > bar).cast("int").as("changed"))
+      .orderBy(col("source"))
   }
 
   /** D31: ROBUST outlier monitor — modified z-scores from the median and

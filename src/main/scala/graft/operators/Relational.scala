@@ -999,6 +999,72 @@ object Relational {
       vr("ss_a", "sum_a", "n_a").as("var_a"), vr("ss_b", "sum_b", "n_b").as("var_b")))
   }
 
+  /** E41: two-sample Mann–Whitney U (Wilcoxon rank-sum) per metric
+    * group — the NONPARAMETRIC companion to E36's Welch t: the t test
+    * compares means and assumes rough normality; the U test compares
+    * the whole rank distribution, so a heavy-tailed or skewed metric
+    * (latencies, purchase values) gets a verdict the t test can't be
+    * trusted for. Arms split by the E36 hash rule (`user_id % 2`);
+    * ranks use the standard midrank (average-rank) tie handling with
+    * the tie-corrected normal approximation z = (U − n_a·n_b/2) / σ,
+    * σ² = (n_a·n_b/12)·((n+1) − Σ(t³−t)/(n(n−1))).
+    *
+    * Determinism contract (stronger than E36): EVERYTHING up to the
+    * final z is exact integer — values quantize to cents (the D40
+    * convention), midranks stay in 2× units (2·midrank = 2·cumBefore +
+    * tieCount + 1, always integer), so the rank sum, U (2× units) and
+    * the tie correction Σ(t³−t) are exact bigints summed
+    * order-independently. One fixed-shape IEEE expression assembles z
+    * from those integers, then rounds (at extreme per-group counts the
+    * t³ term would move to decimal(38); the shape is unchanged). An
+    * all-tied group (σ = 0) reports NULL z — the E38 nullif convention.
+    *
+    * Scale shape: one hash agg collapses the corpus to value-bounded
+    * (group, cents) cells, ONE window pass over those cells computes
+    * every midrank, one more |cells|-row agg emits the statistic —
+    * shuffle is support-sized, never corpus-sized (the D45 class). */
+  def qMannWhitney(spark: SparkSession, dir: String): DataFrame =
+    mannWhitneyOf(Tables(spark, dir).events
+      .select(col("event_type"), col("user_id"), col("value")))
+
+  /** The E41 compute over any (event_type, user_id, value) frame —
+    * specs replay a hand-ranked wire and the all-tied NULL guard. */
+  def mannWhitneyOf(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inA = col("user_id") % 2 === 0
+    val cells = ev
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(sum(when(inA, 1L).otherwise(0L)).as("na"),
+        sum(when(!inA, 1L).otherwise(0L)).as("nb"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+    val ranked = cells
+      .withColumn("cnt", col("na") + col("nb"))
+      .withColumn("cb", coalesce(sum(col("na") + col("nb"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    ranked.groupBy(col("event_type"))
+      .agg(sum(col("na")).cast("long").as("n_a"),
+        sum(col("nb")).cast("long").as("n_b"),
+        sum(col("na") * (lit(2L) * col("cb") + col("cnt") + lit(1L)))
+          .cast("long").as("r2"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt"))
+          .cast("long").as("ts"))
+      .withColumn("n", col("n_a") + col("n_b"))
+      .withColumn("u2", col("r2") - col("n_a") * (col("n_a") + lit(1L)))
+      .withColumn("z", round(
+        (col("u2").cast("double") - col("n_a").cast("double") * col("n_b")) /
+          nullif(lit(2.0) * sqrt(
+            col("n_a").cast("double") * col("n_b") / lit(12.0) *
+              ((col("n") + lit(1L)).cast("double") -
+                col("ts").cast("double") /
+                  (col("n").cast("double") * (col("n") - lit(1L))))),
+            lit(0.0)), 4))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        (col("u2").cast("double") / lit(2.0)).as("u"), col("z"),
+        (abs(col("z")) >= lit(1.96)).cast("int").as("significant"))
+      .orderBy(col("event_type"))
+  }
+
   /** E38: per-group ordinary-least-squares fit — slope / intercept / R²
     * of `l_extendedprice` on `l_quantity` within each return flag, the
     * one-pass regression primitive on top of E34's correlation matrix

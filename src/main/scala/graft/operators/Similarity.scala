@@ -194,6 +194,58 @@ object Similarity {
       .select(col("list_id").as("label"), col("cv"))
   }
 
+  /** F85: Lloyd k-means over the embedding corpus, oracle-gated — the H2
+    * refinement loop promoted to a first-class operator with an
+    * engine-portable determinism contract: centroid components ROUND to
+    * 4 decimals after every update (the F64 rounded-distance device), so
+    * each round's assignment argmax compares cosines computed from
+    * IDENTICAL rounded inputs in both engines (the in-order list fold of
+    * `Vec.cosine` / `list_inner_product`), and the only float-fold-order
+    * exposure is inside each avg immediately before its rounding (the
+    * D36 class). Ties go to the smaller centroid id. Clusters that lose
+    * every member simply drop their row — the same event in both
+    * replays.
+    *
+    * Scale shape: the |k|×dims centroid table broadcasts every round;
+    * assignment is ONE max_by hash agg per round (no window, no
+    * pairwise stage); updates are posexplode + partial-agg means —
+    * k·dims-sized results. The corpus frame is localCheckpoint'd once
+    * and re-read per round (at 100 TB this is the once-per-corpus-
+    * version index-build job, the `ann_ivf_index` amortization
+    * argument — rounds × one corpus scan, nothing quadratic). */
+  def kmeans(spark: SparkSession, dir: String, rounds: Int = 2): DataFrame = {
+    val e = vectors(spark, dir).localCheckpoint(true)
+    val r4 = (c: DataFrame) => c.withColumn("cv",
+      transform(col("cv"), x => round(x, 4)))
+    var cents = r4(labelCentroids(e)
+      .select(col("label").cast("int").as("c_label"), col("cv")))
+    for (_ <- 1 to rounds) {
+      val assigned = assignNearest(e, cents)
+      cents = r4(assigned
+        .select(col("c_label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("c_label"), col("pos")).agg(avg(col("x")).as("c"))
+        .groupBy(col("c_label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          s => s.getField("c")).as("cv")))
+    }
+    assignNearest(e, cents)
+      .withColumn("sim", Vec.cosine(col("v"), col("cv")))
+      .groupBy(col("c_label").cast("long").as("cluster"))
+      .agg(count(lit(1)).as("n"), round(avg(col("sim")), 4).as("mean_sim"))
+      .orderBy(col("cluster"))
+  }
+
+  /** Nearest-centroid argmax (cosine, smaller-id tie-break) keeping the
+    * winning centroid's vector on the row — the shared F85 round step. */
+  private def assignNearest(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .withColumn("sim", Vec.cosine(col("v"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("v"), col("c_label"), col("cv")),
+        struct(col("sim"), -col("c_label"))).as("best"))
+      .select(col("vec_id"), col("best.v").as("v"),
+        col("best.c_label").as("c_label"), col("best.cv").as("cv"))
+
   /** Embedding table in (vec_id, label, v: array<double>) form. NOT
     * cached: at 100 TB this is the full corpus — consumers re-scan it
     * (cheap, pruned columnar) rather than pin it in memory. */

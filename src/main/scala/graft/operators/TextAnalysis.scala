@@ -178,6 +178,57 @@ object TextAnalysis {
       .orderBy(col("n"))
   }
 
+  /** F84: PMI collocation mining — the statistically-surprising bigrams
+    * ("new york", "machine learning") a phrase vocabulary / tokenizer
+    * merge list is built from: pointwise mutual information
+    * ln(P(xy) / (P(x)·P(y))) over the F80 unigram/bigram counts,
+    * assembled as a fixed-order sum of logs of EXACT INTEGERS
+    * (ln c_xy + ln N₁ + ln N₁ − ln N₂ − ln c_x − ln c_y — each log is
+    * one libm call on the same integer in both engines, the fold order
+    * is pinned by the expression shape). The count floor kills the
+    * classic PMI pathology (hapax pairs score highest); a component
+    * word of a floored bigram always survives the unigram floor, so the
+    * component join never drops a candidate. Output: top-K pairs by
+    * rounded PMI (count, components, both totals), ties broken
+    * lexicographically.
+    *
+    * Scale shape: two F80-class hash aggs (unigrams, bigrams) with
+    * map-side partial combine, the component lookups join on the
+    * Heaps-sublinear floored unigram table (hash join on the word key),
+    * totals ride a broadcast 1-row crossJoin. Nothing corpus-sized
+    * survives the first aggs; the top-K orders the floored bigram
+    * table only. */
+  def pmi(spark: SparkSession, dir: String, minCount: Long = 5,
+      topK: Int = 50): DataFrame =
+    pmiOf(Tables(spark, dir).documents, minCount, topK)
+
+  /** The F84 compute over any (doc_id, text) frame. */
+  def pmiOf(docs: DataFrame, minCount: Long, topK: Int): DataFrame = {
+    val t = tokens(col("text"))
+    val toks = docs.select(t.as("toks")).localCheckpoint(true)
+    val totals = toks.agg(
+      sum(size(col("toks"))).cast("long").as("n_uni"),
+      sum(greatest(size(col("toks")) - 1, lit(0))).cast("long").as("n_bi"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      .filter(col("cw") >= minCount)
+    val bi = toks.select(explode(wordGrams(col("toks"), 2)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+      .select(split(col("g"), " ").getItem(0).as("w1"),
+        split(col("g"), " ").getItem(1).as("w2"), col("c_xy"))
+    bi.join(uni.select(col("w").as("w1"), col("cw").as("c_x")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cw").as("c_y")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi", round(
+        log(col("c_xy")) + log(col("n_uni")) + log(col("n_uni")) -
+          log(col("n_bi")) - log(col("c_x")) - log(col("c_y")), 4))
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        col("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** F17: TF-IDF — top terms per document by tf·idf. Corpus DF via one
     * agg, tf via another, joined on term (broadcastable: vocab ≪ corpus —
     * Heaps-law sublinear — but GUARDED: the hint applies only while the

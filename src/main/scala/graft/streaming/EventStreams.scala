@@ -192,6 +192,42 @@ object EventStreams {
       }
   }
 
+  /** G10 (gated form): D19's decay-weighted smoothing as an always-on
+    * monitor — each micro-batch of raw (event_type, sec, value) telemetry
+    * collapses to per-(source, day) PARTIAL duration sums (batch-local
+    * hash agg — state stays run-log-sized, the G15 ledger argument, never
+    * event-proportional), the partials fold into a persisted ledger (the
+    * G14 write-new-then-rename rule), and every trigger re-emits the full
+    * trajectory by summing the partials per (source, day) and running the
+    * SAME [[graft.operators.LoadOps.decayAvgOver]] core the batch op
+    * uses — the G16 cumulative-report pattern, so after the last trigger
+    * the report equals the one-shot D19 pass over the corpus (partial-sum
+    * fold order is the only difference, the same reorder Spark's own
+    * parallel agg performs; the rounded outputs are identical — gated).
+    * The flatMapGroupsWithState recurrence above stays as the O(1)
+    * unbounded-history capability; this is the bounded-window D19
+    * semantics run continuously. */
+  def decayLedgerStream(events: DataFrame, stateDir: String,
+      windowDays: Int = 7): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream.outputMode("append")
+      .foreachBatch { (batch0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import org.apache.spark.sql.functions._
+        val spark = batch0.sparkSession
+        val part = batch0.toDF()
+          .withColumn("day", expr("sec div 86400").cast("long"))
+          .groupBy(col("event_type").as("source"), col("day"))
+          .agg(sum(col("value")).as("duration"))
+        val prior = readState(spark, stateDir + "/dailies").getOrElse(part.limit(0))
+        val ledger = prior.unionByName(part).localCheckpoint(true)
+        publishState(ledger, stateDir + "/dailies")
+        graft.operators.LoadOps.decayAvgOver(
+          ledger.groupBy(col("source"), col("day"))
+            .agg(sum(col("duration")).as("duration")), windowDays)
+          .write.mode("overwrite").parquet(stateDir + "/report")
+        (): Unit
+      }
+      .start()
+
   /** G9: streaming absence detection — the capability NO batch pass has:
     * an alert that fires with ZERO new data from the silent source. The
     * batch op (LoadOps.freshness, D17) can only see staleness when a job

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
@@ -440,5 +440,76 @@ object StreamGate {
     val q = EventStreams.embeddingDriftStream(src, s"$base/state")
     q.processAllAvailable(); q.stop(); q.awaitTermination()
     spark.read.parquet(s"$base/state/report").orderBy(col("label"))
+  }
+
+  /** G10 gate: the decay-average monitor run MULTI-batch (4 input files,
+    * one per trigger) — per-(source, day) partial duration sums fold into
+    * the persisted ledger, each trigger re-runs the shared D19 core over
+    * the summed ledger, so the final report equals the batch pass over
+    * the corpus and shares D19's oracle verbatim. */
+  def streamDecay(spark: SparkSession, dir: String): DataFrame = {
+    val base = fresh(spark, "decay")
+    Tables(spark, dir).eventsSec
+      .select(col("event_type"), col("sec"), col("value"))
+      .repartition(4).write.parquet(s"$base/in")
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("event_type", StringType),
+        StructField("sec", LongType), StructField("value", DoubleType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in")
+    val q = EventStreams.decayLedgerStream(src, s"$base/state")
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    spark.read.parquet(s"$base/state/report")
+      .orderBy(col("source"), col("day"))
+  }
+
+  /** G4 gate: a REAL stream-stream interval-overlap join — both sides
+    * arrive as independent multi-batch file streams (2 files each, one
+    * per trigger), every interval explodes to its grid cells exactly as
+    * the batch E28 plan does, and the streaming inner join meets on the
+    * cell equi key with the overlap predicate and canonical-cell dedup
+    * as residuals. Run to completion the append output contains exactly
+    * the batch result rows — pairs whose sides arrived in DIFFERENT
+    * micro-batches match through the join state, which is what
+    * distinguishes this from a per-batch map — so the gate shares E28's
+    * oracle verbatim. (The finite run keeps no watermark: inner-join
+    * state is bounded by the run; the production deployment adds the
+    * event-time range watermark for eviction — the G12 spec pins that
+    * machinery.) */
+  def streamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val base = fresh(spark, "ssjoin")
+    val incidentSec = 600L; val purchaseSec = 120L
+    val cellSec = math.max(incidentSec, purchaseSec)
+    val ev = Tables(spark, dir).eventsSec
+    ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("inc_id"), col("sec").as("s1"))
+      .repartition(2).write.parquet(s"$base/inA")
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pur_id"), col("sec").as("s2"))
+      .repartition(2).write.parquet(s"$base/inB")
+    def src(path: String, id: String, s: String) = spark.readStream
+      .schema(StructType(Seq(StructField(id, LongType), StructField(s, LongType))))
+      .option("maxFilesPerTrigger", "1").parquet(path)
+    def cells(s: Column, e: Column) =
+      explode(sequence(floor(s / cellSec).cast("long"), floor(e / cellSec).cast("long")))
+    val inc = src(s"$base/inA", "inc_id", "s1")
+      .withColumn("e1", col("s1") + incidentSec)
+      .withColumn("cell", cells(col("s1"), col("e1")))
+    val pur = src(s"$base/inB", "pur_id", "s2")
+      .withColumn("e2", col("s2") + purchaseSec)
+      .withColumn("cell", cells(col("s2"), col("e2")))
+    val joined = inc.join(pur, Seq("cell"))
+      .filter(col("s1") <= col("e2") && col("s2") <= col("e1"))
+      .filter(col("cell") === floor(greatest(col("s1"), col("s2")) / cellSec).cast("long"))
+      .select(col("inc_id"), col("pur_id"),
+        greatest(col("s1"), col("s2")).as("ov_start"),
+        least(col("e1"), col("e2")).as("ov_end"))
+      .withColumn("ov_sec", col("ov_end") - col("ov_start"))
+    val q = joined.writeStream.outputMode("append").format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    spark.read.parquet(s"$base/out")
+      .orderBy(col("inc_id"), col("pur_id"))
   }
 }

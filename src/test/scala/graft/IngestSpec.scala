@@ -1284,6 +1284,55 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     assert(v("x") == 1, "a +3.0 location shift must flag")
   }
 
+  test("chi2 drift: identical hour profiles score exactly zero, a daypart collapse flags") {
+    import spark.implicits._
+    // s: both halves cycle uniformly over all 24 hours; x: the second
+    // half collapses onto hours 0-11 (a lost overnight window)
+    val uni = (0 until 480).map(i => ("s", i.toLong * 3600L, 0.0))
+    val ref = (0 until 240).map(i => ("x", i.toLong * 3600L, 0.0))
+    val cur = (0 until 240).map(i =>
+      ("x", 240L * 3600L + (i % 12).toLong * 3600L + (i / 12).toLong * 86400L, 0.0))
+    val got = graft.operators.LoadOps.chi2Of(
+      (uni ++ ref ++ cur).toDF("event_type", "sec", "value")
+        .select(org.apache.spark.sql.functions.col("event_type"),
+          org.apache.spark.sql.functions.col("sec")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(3), r.getDouble(4), r.getDouble(5), r.getInt(6)))).toMap
+    val (dfS, chiS, _, flagS) = got("s")
+    assert(dfS == 23L && chiS == 0.0 && flagS == 0,
+      s"uniform halves must score exactly zero: ${got("s")}")
+    val (dfX, chiX, critX, flagX) = got("x")
+    // Wilson–Hilferty at df=23, 5%: ~35.16 (exact table value 35.17)
+    assert(dfX == 23L && math.abs(critX - 35.17) < 0.1, s"critical $critX")
+    assert(chiX > 50.0 && flagX == 1, s"daypart collapse must flag: ${got("x")}")
+  }
+
+  test("changepoint: a hard level shift localizes exactly, constant series scores 0, short series drops") {
+    import spark.implicits._
+    // s: 20 days at 100 then 20 at 200 — the perfect step (within-group
+    // variance 0 at the true split exercises the moderated-t floor);
+    // c: 30 constant days; t: 2 days (no interior split with T>=3)
+    val daily = ((0 until 20).map(d => ("s", d.toLong, 100L)) ++
+      (20 until 40).map(d => ("s", d.toLong, 200L)) ++
+      (0 until 30).map(d => ("c", d.toLong, 100L)) ++
+      (0 until 2).map(d => ("t", d.toLong, 100L)))
+      .toDF("source", "day", "md")
+    val got = graft.operators.LoadOps.changepointOver(daily, 3.0).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))).toMap
+    assert(!got.contains("t"), "2-day series must drop")
+    val (ndC, dayC, tC, chC) = got("c")
+    assert(ndC == 30L && dayC == 0L && tC == 0.0 && chC == 0,
+      s"constant series: ${got("c")}")
+    val (ndS, dayS, tS, chS) = got("s")
+    // true split = last left day (19); floored variance 0.25 → se =
+    // 0.5·sqrt(1/20+1/20) = 0.1581…, t = -100/se
+    val expT = BigDecimal(-100.0 / (0.5 * math.sqrt(0.1)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(ndS == 40L && dayS == 19L && chS == 1, s"step: ${got("s")}")
+    assert(tS == expT, s"moderated t at the perfect step: $tS vs $expT")
+  }
+
   test("Wasserstein drift: exact location-shift recovery and a brute-force integral replay") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

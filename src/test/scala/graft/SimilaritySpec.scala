@@ -816,4 +816,43 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     // report measures nothing)
     assert(got.exists(_._2 < 10L), "nprobe=2 lost no neighbor anywhere — degenerate")
   }
+
+  test("kmeans: independent Lloyd replay (rounded centroids, small-id ties) matches exactly") {
+    val got = Similarity.kmeans(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val vecs = Similarity.vectors(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Double], b: Array[Double]) = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0; while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def mean(g: Seq[Array[Double]]) = {
+      val dims = g.head.length
+      Array.tabulate(dims)(i => r4(g.map(_(i)).sum / g.length))
+    }
+    // round 0: label means; two Lloyd rounds; final assignment + report
+    var cents: Map[Int, Array[Double]] =
+      vecs.groupBy(_._2).view.mapValues(g => mean(g.map(_._3).toSeq)).toMap
+    def assign(cs: Map[Int, Array[Double]]) = vecs.map { case (id, _, v) =>
+      val best = cs.toSeq.map { case (l, c) => (l, cos(v, c)) }
+        .minBy { case (l, s) => (-s, l) }._1
+      (id, best, v)
+    }
+    for (_ <- 1 to 2) {
+      val asg = assign(cents)
+      cents = asg.groupBy(_._2).view.mapValues(g => mean(g.map(_._3).toSeq)).toMap
+    }
+    val fin = assign(cents)
+    val exp = fin.groupBy(_._2).map { case (l, g) =>
+      (l.toLong, g.length.toLong,
+        r4(g.map { case (_, _, v) => cos(v, cents(l)) }.sum / g.length))
+    }.toSeq.sortBy(_._1)
+    assert(got == exp, s"engine ${got.take(3)} vs replay ${exp.take(3)}")
+    assert(got.map(_._2).sum == vecs.length.toLong, "every vector assigned once")
+    // the rounds genuinely move assignments off the initial label split
+    val moved = fin.count { case (id, l, _) => vecs.find(_._1 == id).get._2 != l }
+    assert(moved > 0, "two Lloyd rounds changed no assignment — degenerate wire")
+  }
 }

@@ -862,4 +862,21 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(corpus.length == 3)
     corpus.foreach(r => assert(r.getDouble(2) < 0, s"n=${r.getLong(0)} slope"))
   }
+
+  test("PMI: the always-together pair outranks frequent-but-independent pairs, hand-exact") {
+    // 5 docs "aa bb cc dd" + 5 docs "cc aa bb dd": bigram (aa,bb) fires 10x,
+    // the four others 5x each; all unigrams 10. N_uni=40, N_bi=30, so
+    // pmi(aa,bb) = ln(10*40*40/(30*10*10)) = ln(16/3), the rest ln(8/3).
+    val docs = ((1 to 5).map(i => (i.toLong, "aa bb cc dd")) ++
+      (6 to 10).map(i => (i.toLong, "cc aa bb dd"))).toDF("doc_id", "text")
+    val got = TextAnalysis.pmiOf(docs, 5, 50).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.head._1 == "aa" && got.head._2 == "bb", got.head.toString)
+    assert(got.head._3 == 10L && got.head._4 == 10L && got.head._5 == 10L)
+    assert(math.abs(got.head._6 - math.log(16.0 / 3.0)) < 5e-4, got.head._6.toString)
+    assert(got.length == 5, s"floored pair inventory: ${got.length}")
+    got.tail.foreach(p =>
+      assert(math.abs(p._6 - math.log(8.0 / 3.0)) < 5e-4, p.toString))
+  }
 }

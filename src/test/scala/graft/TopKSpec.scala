@@ -351,4 +351,25 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
     assert(got.map(_._3).max >= 3L, "forest too shallow to exercise doubling")
     assert(got.map(_._2).sum == nodes.length.toLong, "trees must partition the nodes")
   }
+  test("mann-whitney: hand-ranked midranks with ties, tie-corrected z, all-tied NULL guard") {
+    import spark.implicits._
+    // arm A (even users) = [1, 2, 2], arm B = [2, 3]: midranks 1 / 3,3,3 / 5,
+    // R_A = 7, U = 1, tie-sum = 24, sigma^2 = 0.5*(6 - 24/20) = 2.4
+    val ev = Seq(
+      ("m", 0L, 1.0), ("m", 2L, 2.0), ("m", 4L, 2.0),
+      ("m", 1L, 2.0), ("m", 3L, 3.0),
+      ("c", 0L, 5.0), ("c", 1L, 5.0), ("c", 2L, 5.0), ("c", 3L, 5.0))
+      .toDF("event_type", "user_id", "value")
+    val got = Relational.mannWhitneyOf(ev).collect()
+    val m = got.find(_.getString(0) == "m").get
+    assert(m.getLong(1) == 3L && m.getLong(2) == 2L)
+    assert(m.getDouble(3) == 1.0, s"u = ${m.getDouble(3)}")
+    val sigma = math.sqrt(3.0 * 2.0 / 12.0 * (6.0 - 24.0 / 20.0))
+    val expZ = BigDecimal((1.0 - 3.0) / sigma)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(m.getDouble(4) == expZ, s"z = ${m.getDouble(4)} vs $expZ")
+    assert(m.getInt(5) == 0, "below the 1.96 bar")
+    val c = got.find(_.getString(0) == "c").get
+    assert(c.isNullAt(4) && c.isNullAt(5), "all-tied group must report NULL z")
+  }
 }
