@@ -147,6 +147,7 @@ object SparkEntry {
     "q_markov_transitions"   -> Relational.qMarkovTransitions _,
     "q_ab_ttest"             -> Relational.qAbTtest _,
     "q_mannwhitney"          -> Relational.qMannWhitney _,
+    "q_kruskal_wallis"       -> Relational.qKruskalWallis _,
     "q_regression"           -> Relational.qRegression _,
     "q_hierarchy_rollup"     -> ((s: SparkSession, d: String) => Relational.qHierarchyRollup(s, d)),
     "q_set_ops_all"          -> Relational.qSetOpsAll _,
@@ -199,6 +200,7 @@ object SparkEntry {
     "graph_triangles"        -> ((s: SparkSession, d: String) => Graph.triangles(s, d)),
     "graph_label_prop"       -> ((s: SparkSession, d: String) => Graph.labelProp(s, d)),
     "graph_kcore"            -> ((s: SparkSession, d: String) => Graph.kcore(s, d)),
+    "graph_bfs"              -> ((s: SparkSession, d: String) => Graph.bfs(s, d)),
     "text_ngram_counts"      -> ((s: SparkSession, d: String) => TextAnalysis.ngramCounts(s, d)),
     "dedup_containment"      -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
     "sample_density_prune"   -> ((s: SparkSession, d: String) => Similarity.densityPrune(s, d)),
@@ -295,6 +297,8 @@ object SparkEntry {
     "stream_drift"           -> graft.streaming.StreamGate.streamDrift _,
     "stream_decay"           -> graft.streaming.StreamGate.streamDecay _,
     "stream_join"            -> graft.streaming.StreamGate.streamJoin _,
+    "stream_chi2"            -> graft.streaming.StreamGate.streamChi2 _,
+    "stream_changepoint"     -> graft.streaming.StreamGate.streamChangepoint _,
   )
 
   // shared SQL fragments for the oracle ---------------------------------
@@ -641,6 +645,8 @@ object SparkEntry {
     "stream_drift"         -> baseOracleSql("mon_embedding_drift"),
     "stream_decay"         -> baseOracleSql("mon_decay_avg"),
     "stream_join"          -> baseOracleSql("q_interval_join"),
+    "stream_chi2"          -> baseOracleSql("mon_chi2"),
+    "stream_changepoint"   -> baseOracleSql("mon_changepoint"),
     // G11: the stateless broadcast enrichment rolled up per catalog
     // source — a plain SQL join replays it
     "stream_enrich" ->
@@ -2540,6 +2546,45 @@ object SparkEntry {
         |SELECT event_type, n_a, n_b, CAST(u2 AS DOUBLE) / 2.0 AS u, z,
         |  CAST(abs(z) >= 1.96 AS INT) AS significant
         |FROM z ORDER BY event_type""".stripMargin,
+    // E42: the E41 integer midrank machinery with four conditional arm
+    // counts; H from exact bigint rank sums in one fixed shape
+    "q_kruskal_wallis" ->
+      """WITH e AS (SELECT event_type, CAST(user_id % 4 AS INT) AS arm,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |cells AS (SELECT event_type, cents,
+        |  sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+        |  sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+        |  sum(CASE WHEN arm = 2 THEN 1 ELSE 0 END) AS n2,
+        |  sum(CASE WHEN arm = 3 THEN 1 ELSE 0 END) AS n3
+        | FROM e GROUP BY 1, 2),
+        |r AS (SELECT *, n0 + n1 + n2 + n3 AS cnt,
+        |  coalesce(sum(n0 + n1 + n2 + n3) OVER (PARTITION BY event_type
+        |    ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) AS cb
+        | FROM cells),
+        |g AS (SELECT event_type,
+        |  CAST(sum(n0) AS BIGINT) AS m0, CAST(sum(n1) AS BIGINT) AS m1,
+        |  CAST(sum(n2) AS BIGINT) AS m2, CAST(sum(n3) AS BIGINT) AS m3,
+        |  CAST(sum(n0 * (2 * cb + cnt + 1)) AS BIGINT) AS r0,
+        |  CAST(sum(n1 * (2 * cb + cnt + 1)) AS BIGINT) AS r1,
+        |  CAST(sum(n2 * (2 * cb + cnt + 1)) AS BIGINT) AS r2,
+        |  CAST(sum(n3 * (2 * cb + cnt + 1)) AS BIGINT) AS r3,
+        |  CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ts
+        | FROM r GROUP BY 1),
+        |s AS (SELECT *, m0 + m1 + m2 + m3 AS n FROM g),
+        |h AS (SELECT *, round(
+        |  (12.0 / (CAST(n AS DOUBLE) * (n + 1)) *
+        |   (CASE WHEN m0 > 0 THEN CAST(r0 AS DOUBLE) * r0 / (4.0 * m0) ELSE 0.0 END
+        |    + CASE WHEN m1 > 0 THEN CAST(r1 AS DOUBLE) * r1 / (4.0 * m1) ELSE 0.0 END
+        |    + CASE WHEN m2 > 0 THEN CAST(r2 AS DOUBLE) * r2 / (4.0 * m2) ELSE 0.0 END
+        |    + CASE WHEN m3 > 0 THEN CAST(r3 AS DOUBLE) * r3 / (4.0 * m3) ELSE 0.0 END)
+        |   - 3.0 * (n + 1)) /
+        |  nullif(1.0 - CAST(ts AS DOUBLE) /
+        |    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - n),
+        |    0.0), 4) AS h FROM s)
+        |SELECT event_type, m0 AS n_0, m1 AS n_1, m2 AS n_2, m3 AS n_3, h,
+        |  CAST(h > 7.8147 AS INT) AS significant
+        |FROM h ORDER BY event_type""".stripMargin,
     // E36: Welch t from ROUNDED arm moments (the D36 rounded-verdict
     // convention) — both engines fold floats their own way but judge
     // identical 4-dec inputs through one fixed expression shape
@@ -3250,6 +3295,31 @@ object SparkEntry {
          |  CAST(rr.doc_id IS NULL AS INT) AS in_core
          |FROM n LEFT JOIN deg0 USING (doc_id) LEFT JOIN rr USING (doc_id)
          |ORDER BY n.doc_id""".stripMargin
+    },
+    // F86: the shared kNN-neighborhood CTEs symmetrized into an edge
+    // list + 4 Bellman-Ford relaxation steps (min over prior dists ∪
+    // neighbor dist+1) — after K materialized steps the min equals the
+    // BFS hop count capped at K
+    "graph_bfs" -> {
+      val hopCtes = (1 to 4).map { i =>
+        s"""h$i AS MATERIALIZED (SELECT id, min(dist) AS dist FROM (
+           | SELECT id, dist FROM h${i - 1}
+           | UNION ALL
+           | SELECT ed.dst AS id, p.dist + 1 AS dist
+           | FROM ed JOIN h${i - 1} p ON p.id = ed.src) GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $knnRankedCtes,
+         |k3 AS MATERIALIZED (SELECT vec_id, nbr_id FROM r WHERE rank <= 3),
+         |ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |  SELECT vec_id AS src, nbr_id AS dst FROM k3
+         |  UNION ALL SELECT nbr_id, vec_id FROM k3)),
+         |h0 AS MATERIALIZED (SELECT vec_id AS id, CAST(0 AS BIGINT) AS dist
+         | FROM e WHERE vec_id % 47 = 0),
+         |$hopCtes
+         |SELECT e.vec_id, CAST(COALESCE(h4.dist, -1) AS BIGINT) AS hops,
+         |  CAST(e.vec_id % 47 = 0 AS INT) AS is_seed
+         |FROM e LEFT JOIN h4 ON h4.id = e.vec_id
+         |ORDER BY e.vec_id""".stripMargin
     },
     // F74: the stub spectrogram model restated in SQL (list-comprehension
     // bands, peak energies), then the same landmark hashes, df screen,

@@ -306,4 +306,69 @@ object Graph {
         col("removed_round").isNull.cast("int").as("in_core"))
       .orderBy(col("doc_id"))
   }
+
+  /** F86: multi-source BFS hop distance over the SYMMETRIZED embedding
+    * kNN graph (F63's neighborhoods, both directions) — the
+    * PROVENANCE-RADIUS signal the other graph ops don't give: seeds are
+    * a certified/trusted example set (the deterministic planted rule
+    * `vec_id % 47 == 0` — in production the curated allowlist), and
+    * every vector reports its MINIMUM hop count to any seed within
+    * `maxHops` rounds, or −1 outside the radius. Hop distance through
+    * semantic neighborhoods is the seed-expansion curation primitive:
+    * hop 1–2 is near-certified content (trust its labels, sample UP),
+    * unreachable is semantically novel-or-orphaned (route to the
+    * quality models). PageRank (F53) gives global authority, components
+    * (F19) reachability-as-equivalence, LOF (F77) pointwise density;
+    * BFS gives GRADED proximity to a CHOSEN set. The shared-gram doc
+    * graph is deliberately not the substrate — its edges are rare
+    * (dup pairs only), so seed radii would be empty; the kNN graph is
+    * connected within every IVF list by construction.
+    *
+    * Scale shape: the edge list is the already-bounded F63 within-list
+    * join (k rows per vector), symmetrized by one union+distinct,
+    * repartitioned on src, checkpointed once. Each round expands ONLY
+    * the frontier — vectors first reached the previous round — through
+    * one hash join with the pinned edges, one distinct, and one anti
+    * join against the known-distance frame; all frames ≤ one row per
+    * vector, checkpointed per round (flat lineage). K bounded Pregel
+    * rounds; an empty frontier makes remaining rounds free no-ops, so
+    * the round cap is part of the declared (oracle-replayed)
+    * semantics exactly as in F81. */
+  def bfs(spark: SparkSession, dir: String, kNbrs: Int = 3,
+      maxHops: Int = 4): DataFrame = {
+    val knn = Similarity.knnGraph(spark, dir, kNbrs)
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+    val edges = knn.unionByName(
+      knn.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val nodes = Similarity.vectors(spark, dir).select(col("vec_id").as("id"))
+    val seeds = nodes.filter(col("id") % 47 === 0)
+    bfsCore(nodes, edges, seeds, maxHops)
+      .select(col("id").as("vec_id"), col("hops"),
+        (col("id") % 47 === 0).cast("int").as("is_seed"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The F86 frontier-expansion core over any (id) node frame, (src,
+    * dst) edge frame and (id) seed frame — specs plant a path graph
+    * with a hop count past the cap and an isolated node. Returns
+    * (id, hops) with −1 for nodes outside the radius. */
+  def bfsCore(nodes: DataFrame, edges0: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame = {
+    val edges = edges0.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint(true)
+    var dist = seeds.select(col("id"), lit(0L).as("hops"))
+      .localCheckpoint(true)
+    var frontier = dist
+    for (r <- 1 to maxHops) {
+      val reached = edges
+        .join(frontier.select(col("id").as("src")), Seq("src"))
+        .select(col("dst").as("id")).distinct()
+      frontier = reached.join(dist, Seq("id"), "left_anti")
+        .select(col("id"), lit(r.toLong).as("hops"))
+        .localCheckpoint(true)
+      dist = dist.unionByName(frontier).localCheckpoint(true)
+    }
+    nodes.join(dist, Seq("id"), "left")
+      .select(col("id"), coalesce(col("hops"), lit(-1L)).as("hops"))
+  }
 }

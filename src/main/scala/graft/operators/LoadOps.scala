@@ -1247,16 +1247,24 @@ object LoadOps {
 
   /** The D47 compute over any (event_type, sec) frame — specs plant
     * identical and hour-shifted halves with known verdicts. */
-  def chi2Of(events: DataFrame): DataFrame = {
-    val ev = events.select(col("event_type"), col("sec"),
+  def chi2Of(events: DataFrame): DataFrame =
+    chi2WeightedOf(events.select(col("event_type"), col("sec"),
+      lit(1L).as("wt")))
+
+  /** The D47 compute over pre-counted (event_type, sec, wt) cells — the
+    * exact-integer fold the G26 streaming ledger accumulates (weights
+    * are additive and the midpoint/hour arithmetic sees only the sec
+    * key, so folded cells replay the row-level pass bit-for-bit). */
+  def chi2WeightedOf(events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_type"), col("sec"), col("wt"),
       expr("(sec div 3600) % 24").cast("long").as("hour"))
     val mid = ev.groupBy(col("event_type"))
       .agg(expr("min(sec) + (max(sec) - min(sec)) div 2").as("mid"))
     val cells = ev.join(broadcast(mid), Seq("event_type"))
       .withColumn("is_ref", col("sec") <= col("mid"))
       .groupBy(col("event_type"), col("hour"))
-      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("o_r"),
-        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("o_c"))
+      .agg(sum(when(col("is_ref"), col("wt")).otherwise(0L)).as("o_r"),
+        sum(when(!col("is_ref"), col("wt")).otherwise(0L)).as("o_c"))
     val tot = cells.groupBy(col("event_type"))
       .agg(sum(col("o_r")).cast("long").as("n_ref"),
         sum(col("o_c")).cast("long").as("n_cur"),

@@ -1065,6 +1065,75 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** E42: Kruskal–Wallis H test per metric group — the k-SAMPLE
+    * extension of E41: where Mann–Whitney compares two arms, this asks
+    * whether ANY of k arms (here the four `user_id % 4` buckets — a
+    * multi-variant experiment) draws from a shifted distribution, via
+    * rank sums over the pooled sample. H = (12/(n(n+1)))·Σ R_i²/n_i −
+    * 3(n+1), divided by the tie correction 1 − Σ(t³−t)/(n³−n);
+    * verdict at the χ²(k−1) 5% critical value 7.8147 (a constant — no
+    * distribution-table machinery needed for fixed k).
+    *
+    * Determinism contract: the E41 exact-integer midrank machinery
+    * verbatim — cent cells, 2× midranks, per-arm rank sums and the tie
+    * sum are exact bigints; H assembles from those integers in ONE
+    * fixed-shape IEEE expression, then rounds. All-tied groups (tie
+    * correction 0) report NULL via the nullif convention.
+    *
+    * Scale shape: identical to E41 — one corpus-collapsing hash agg to
+    * value-bounded (group, cents) cells with k conditional arm counts,
+    * one window pass for the rank offsets, one cells-sized agg. */
+  def qKruskalWallis(spark: SparkSession, dir: String): DataFrame =
+    kruskalWallisOf(Tables(spark, dir).events
+      .select(col("event_type"), col("user_id"), col("value")))
+
+  /** The E42 compute over any (event_type, user_id, value) frame. */
+  def kruskalWallisOf(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val arm = (col("user_id") % 4).cast("int")
+    val cells = ev
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .withColumn("arm", arm)
+      .groupBy(col("event_type"), col("cents"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        (1 to 3).map(a =>
+          sum(when(col("arm") === a, 1L).otherwise(0L)).as(s"n$a")): _*)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+    val cnt = col("n0") + col("n1") + col("n2") + col("n3")
+    val ranked = cells
+      .withColumn("cnt", cnt)
+      .withColumn("cb", coalesce(sum(cnt)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // 2·midrank of every item at value v = 2·c_before + cnt + 1
+    val mr2 = lit(2L) * col("cb") + col("cnt") + lit(1L)
+    val aggCols = (0 to 3).map(a =>
+      sum(col(s"n$a")).cast("long").as(s"m$a")) ++
+      (0 to 3).map(a =>
+        sum(col(s"n$a") * mr2).cast("long").as(s"r$a")) :+
+      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt"))
+        .cast("long").as("ts")
+    val g = ranked.groupBy(col("event_type"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("n", col("m0") + col("m1") + col("m2") + col("m3"))
+    // Σ R_i²/n_i in 2× units: (r_i/2)²/m_i = r_i²/(4·m_i); arms with no
+    // members contribute 0 (their rank sum is 0 too)
+    val rsq = (0 to 3).map { a =>
+      when(col(s"m$a") > 0L,
+        col(s"r$a").cast("double") * col(s"r$a") /
+          (lit(4.0) * col(s"m$a"))).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    val nD = col("n").cast("double")
+    val hRaw = lit(12.0) / (nD * (col("n") + lit(1L))) * rsq -
+      lit(3.0) * (col("n") + lit(1L))
+    val tieC = lit(1.0) - col("ts").cast("double") /
+      (nD * nD * nD - col("n"))
+    g.withColumn("h", round(hRaw / nullif(tieC, lit(0.0)), 4))
+      .select(col("event_type"), col("m0").as("n_0"), col("m1").as("n_1"),
+        col("m2").as("n_2"), col("m3").as("n_3"), col("h"),
+        (col("h") > lit(7.8147)).cast("int").as("significant"))
+      .orderBy(col("event_type"))
+  }
+
   /** E38: per-group ordinary-least-squares fit — slope / intercept / R²
     * of `l_extendedprice` on `l_quantity` within each return flag, the
     * one-pass regression primitive on top of E34's correlation matrix

@@ -228,6 +228,79 @@ object EventStreams {
       }
       .start()
 
+  /** G26: D47's hour-of-day chi-square drift as an always-on monitor —
+    * each micro-batch of (event_type, sec) telemetry collapses to
+    * per-(source, sec) COUNT partials (batch-local hash agg; the ledger
+    * stays support-sized — distinct seconds per source — never
+    * event-proportional), the partials fold into the persisted ledger
+    * (G14 write-new-then-rename), and every trigger re-runs the SAME
+    * [[graft.operators.LoadOps.chi2WeightedOf]] core the batch op is
+    * built on — counts are exact integers, so after the last trigger
+    * the report equals the one-shot D47 pass bit-for-bit (gated). The
+    * time midpoint re-derives from the ledger each trigger, so the
+    * ref/cur split shifts as history grows exactly as a re-run batch
+    * pass would. */
+  def chi2LedgerStream(events: DataFrame,
+      stateDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream.outputMode("append")
+      .foreachBatch { (batch0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import org.apache.spark.sql.functions._
+        val spark = batch0.sparkSession
+        val part = batch0.toDF()
+          .groupBy(col("event_type"), col("sec"))
+          .agg(count(lit(1)).cast("long").as("wt"))
+        val prior = readState(spark, stateDir + "/cells").getOrElse(part.limit(0))
+        val ledger = prior.unionByName(part)
+          .groupBy(col("event_type"), col("sec"))
+          .agg(sum(col("wt")).cast("long").as("wt"))
+          .localCheckpoint(true)
+        publishState(ledger, stateDir + "/cells")
+        graft.operators.LoadOps.chi2WeightedOf(ledger)
+          .write.mode("overwrite").parquet(stateDir + "/report")
+        (): Unit
+      }
+      .start()
+
+  /** G27: D48's change-point locator as an always-on monitor — each
+    * micro-batch of (event_type, sec, value) telemetry collapses to
+    * per-(source, day) (count, Σcents) PARTIALS (exact integers, so the
+    * fold is associative with zero drift), the partials merge into the
+    * persisted ledger (G14 write-new-then-rename), and every trigger
+    * re-derives the D40 daily md frame (Σcents div count — computed
+    * from the MERGED sums, identical to the batch pass) and re-runs the
+    * SAME [[graft.operators.LoadOps.changepointOver]] core. After the
+    * last trigger the report equals the one-shot D48 pass bit-for-bit
+    * (gated); mid-stream it is the change-point of the prefix — the
+    * continuously-updated "when did this source move" answer a triage
+    * dashboard reads. */
+  def changepointLedgerStream(events: DataFrame, stateDir: String,
+      bar: Double = 3.0): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream.outputMode("append")
+      .foreachBatch { (batch0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import org.apache.spark.sql.functions._
+        val spark = batch0.sparkSession
+        val part = batch0.toDF()
+          .select(col("event_type").as("source"),
+            expr("sec div 86400").cast("long").as("day"),
+            expr("cast(round(value * 100) as long)").as("cents"))
+          .groupBy(col("source"), col("day"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("cents")).cast("long").as("s"))
+        val prior = readState(spark, stateDir + "/dailies").getOrElse(part.limit(0))
+        val ledger = prior.unionByName(part)
+          .groupBy(col("source"), col("day"))
+          .agg(sum(col("n")).cast("long").as("n"),
+            sum(col("s")).cast("long").as("s"))
+          .localCheckpoint(true)
+        publishState(ledger, stateDir + "/dailies")
+        graft.operators.LoadOps.changepointOver(
+          ledger.select(col("source"), col("day"),
+            expr("s div n").as("md")), bar)
+          .write.mode("overwrite").parquet(stateDir + "/report")
+        (): Unit
+      }
+      .start()
+
   /** G9: streaming absence detection — the capability NO batch pass has:
     * an alert that fires with ZERO new data from the silent source. The
     * batch op (LoadOps.freshness, D17) can only see staleness when a job

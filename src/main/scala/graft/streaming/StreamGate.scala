@@ -463,6 +463,46 @@ object StreamGate {
       .orderBy(col("source"), col("day"))
   }
 
+  /** G26 gate: the chi-square hour-profile monitor run MULTI-batch
+    * (4 input files, one per trigger) — per-(source, sec) count
+    * partials fold into the persisted ledger, each trigger re-runs the
+    * shared D47 core over the summed cells, so the final report equals
+    * the batch pass and shares D47's oracle verbatim. */
+  def streamChi2(spark: SparkSession, dir: String): DataFrame = {
+    val base = fresh(spark, "chi2")
+    Tables(spark, dir).eventsSec
+      .select(col("event_type"), col("sec"))
+      .repartition(4).write.parquet(s"$base/in")
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("event_type", StringType),
+        StructField("sec", LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in")
+    val q = EventStreams.chi2LedgerStream(src, s"$base/state")
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    spark.read.parquet(s"$base/state/report").orderBy(col("event_type"))
+  }
+
+  /** G27 gate: the change-point monitor run MULTI-batch (4 input files,
+    * one per trigger) — per-(source, day) exact integer (count, Σcents)
+    * partials fold into the persisted ledger, each trigger re-runs the
+    * shared D48 core over the merged dailies, so the final report
+    * equals the batch pass and shares D48's oracle verbatim. */
+  def streamChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val base = fresh(spark, "chgpt")
+    Tables(spark, dir).eventsSec
+      .select(col("event_type"), col("sec"), col("value"))
+      .repartition(4).write.parquet(s"$base/in")
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("event_type", StringType),
+        StructField("sec", LongType), StructField("value", DoubleType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in")
+    val q = EventStreams.changepointLedgerStream(src, s"$base/state")
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    spark.read.parquet(s"$base/state/report").orderBy(col("source"))
+  }
+
   /** G4 gate: a REAL stream-stream interval-overlap join — both sides
     * arrive as independent multi-batch file streams (2 files each, one
     * per trigger), every interval explodes to its grid cells exactly as

@@ -215,4 +215,28 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     // isolated doc: no edges at all, peels immediately
     assert(got(8L) == ((0L, 1L, 0)), s"isolated: ${got(8L)}")
   }
+
+  test("bfs: hop distances along a planted path, the round cap, the isolated node, and a live wire") {
+    import spark.implicits._
+    // path 0—1—2—3—4—5 fed as DIRECTED edges one way (the core is given
+    // pre-symmetrized edges by the operator; feeding one direction here
+    // also proves expansion follows src→dst exactly); 99 isolated
+    val nodes = Seq(0L, 1L, 2L, 3L, 4L, 5L, 99L).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val seeds = Seq(0L).toDF("id")
+    val got = Graph.bfsCore(nodes, edges, seeds, 4)
+      .collect().map { case Row(id: Long, hops: Long) => id -> hops }.toMap
+    (0L to 4L).foreach(id => assert(got(id) == id, s"node $id: ${got(id)}"))
+    // node 5 is 5 hops out — past the 4-round radius by exactly one
+    assert(got(5L) == -1L, s"past the cap: ${got(5L)}")
+    assert(got(99L) == -1L, s"isolated: ${got(99L)}")
+    // the registered kNN wire is non-degenerate: seeds exist, a genuine
+    // hop-1+ neighborhood exists, and some vector sits outside the radius
+    val wire = Graph.bfs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(wire.exists(_._3 == 1), "no seeds on the wire")
+    assert(wire.exists(w => w._2 >= 1L), "no vector within the seed radius — degenerate")
+    assert(wire.count(_._2 == -1L) < wire.length, "nothing reached at all")
+  }
 }

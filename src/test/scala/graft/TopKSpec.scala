@@ -372,4 +372,28 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
     val c = got.find(_.getString(0) == "c").get
     assert(c.isNullAt(4) && c.isNullAt(5), "all-tied group must report NULL z")
   }
+
+  test("kruskal-wallis: hand-ranked 4-arm wire with ties, tie-corrected H, all-tied NULL guard") {
+    import spark.implicits._
+    // arms (user_id % 4): a0=[1,2] a1=[2,3] a2=[3,4] a3=[4,5] — midranks
+    // 1 / 2.5,2.5 / 4.5,4.5 / 6.5,6.5 / 8; R = 3.5, 7, 11, 14.5;
+    // ts = 3·(2³−2) = 18
+    val ev = Seq(
+      ("m", 0L, 1.0), ("m", 4L, 2.0), ("m", 1L, 2.0), ("m", 5L, 3.0),
+      ("m", 2L, 3.0), ("m", 6L, 4.0), ("m", 3L, 4.0), ("m", 7L, 5.0),
+      ("c", 0L, 5.0), ("c", 1L, 5.0), ("c", 2L, 5.0), ("c", 3L, 5.0))
+      .toDF("event_type", "user_id", "value")
+    val got = Relational.kruskalWallisOf(ev).collect()
+    val m = got.find(_.getString(0) == "m").get
+    assert((1 to 4).forall(i => m.getLong(i) == 2L), "arm sizes")
+    val hRaw = 12.0 / (8.0 * 9.0) *
+      (3.5 * 3.5 / 2 + 7.0 * 7.0 / 2 + 11.0 * 11.0 / 2 + 14.5 * 14.5 / 2) -
+      3.0 * 9.0
+    val expH = BigDecimal(hRaw / (1.0 - 18.0 / 504.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(m.getDouble(5) == expH, s"H = ${m.getDouble(5)} vs $expH")
+    assert(m.getDouble(5) > 5.9 && m.getDouble(5) < 6.0 && m.getInt(6) == 0)
+    val c = got.find(_.getString(0) == "c").get
+    assert(c.isNullAt(5) && c.isNullAt(6), "all-tied group must report NULL H")
+  }
 }
