@@ -415,4 +415,36 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"containment must never go all-pairs:\n$p")
     assert(p.contains("xxhash64"), s"gram strings must collapse to hashes before shuffling:\n$p")
   }
+
+  test("rank tests: corpus collapses to value cells BEFORE the rank window, no data-sized join") {
+    // E41/E42 share the midrank machinery: the window must run over the
+    // value-bounded (group, cents) cells a partial hash agg produces
+    for (name <- Seq("q_mannwhitney", "q_kruskal_wallis")) {
+      val p = plan(name)
+      assert(p.contains("partial_"), s"$name: no map-side combine:\n$p")
+      assert(p.contains("Window"), s"$name: midrank window missing:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$name: data-sized join in a cells-only pipeline:\n$p")
+    }
+  }
+
+  test("chi2/changepoint: one corpus-collapsing partial agg, midpoints/totals broadcast") {
+    for (name <- Seq("mon_chi2", "mon_changepoint")) {
+      val p = plan(name)
+      assert(p.contains("partial_"), s"$name: no map-side combine:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name: per-source midpoint/total frame must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$name: data-sized shuffle join:\n$p")
+    }
+  }
+
+  test("kmeans: the centroid table broadcasts into every round's assignment, no shuffle join") {
+    val p = plan("emb_kmeans")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"centroids must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"assignment must never shuffle-join the corpus:\n$p")
+    assert(!p.contains("Window"), s"argmax must be the max_by agg, not a window:\n$p")
+  }
 }
