@@ -98,6 +98,7 @@ object SparkEntry {
     "mon_wasserstein"        -> LoadOps.wassersteinDrift _,
     "mon_chi2"               -> LoadOps.chi2Drift _,
     "mon_changepoint"        -> ((s: SparkSession, d: String) => LoadOps.changepoint(s, d)),
+    "mon_autocorr"           -> ((s: SparkSession, d: String) => LoadOps.autocorr(s, d)),
     "text_pmi"               -> ((s: SparkSession, d: String) => TextAnalysis.pmi(s, d)),
     "text_zipf_fit"          -> ((s: SparkSession, d: String) => TextAnalysis.zipfFit(s, d)),
     "mon_mad_outliers"       -> LoadOps.madOutliers _,
@@ -144,6 +145,7 @@ object SparkEntry {
     "q_asof_join"            -> Relational.qAsofJoin _,
     "q_sessionize"           -> Relational.qSessionize _,
     "q_cohort_retention"     -> Relational.qCohortRetention _,
+    "q_gaps_islands"         -> Relational.qGapsIslands _,
     "q_markov_transitions"   -> Relational.qMarkovTransitions _,
     "q_ab_ttest"             -> Relational.qAbTtest _,
     "q_mannwhitney"          -> Relational.qMannWhitney _,
@@ -1934,6 +1936,37 @@ object SparkEntry {
         |    ORDER BY abs(tt) DESC, day) AS rn
         |  FROM tt) WHERE rn = 1
         |ORDER BY source""".stripMargin,
+    // D49: the D40 integer daily frame, pairs via an rn self-join per
+    // lag, one fixed-shape IEEE ACF expression over exact bigint stats
+    "mon_autocorr" ->
+      """WITH d AS (
+        | SELECT event_type AS source,
+        |  CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) // count(*) AS BIGINT) AS md
+        | FROM events GROUP BY 1, 2),
+        |r AS (SELECT source, md,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY day) AS BIGINT) AS rn
+        | FROM d),
+        |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(md) AS BIGINT) AS s_all,
+        |  CAST(sum(md * md) AS BIGINT) AS ss_all FROM r GROUP BY 1),
+        |p AS (SELECT a.source, g.lag, a.md AS x, b.md AS y
+        | FROM r a CROSS JOIN range(1, 8) g(lag)
+        | JOIN r b ON b.source = a.source AND b.rn = a.rn + g.lag),
+        |st AS (SELECT source, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(x * y) AS BIGINT) AS pxy, CAST(sum(x) AS BIGINT) AS hx,
+        |  CAST(sum(y) AS BIGINT) AS ty FROM p GROUP BY 1, 2)
+        |SELECT source, CAST(lag AS INT) AS lag, n_days, n_pairs,
+        |  CASE WHEN CAST(ss_all AS DOUBLE)
+        |      - (CAST(s_all AS DOUBLE) / n_days) * s_all = 0.0 THEN NULL
+        |    ELSE round((CAST(pxy AS DOUBLE)
+        |      - (CAST(s_all AS DOUBLE) / n_days) * (hx + ty)
+        |      + n_pairs * (CAST(s_all AS DOUBLE) / n_days)
+        |        * (CAST(s_all AS DOUBLE) / n_days))
+        |      / (CAST(ss_all AS DOUBLE)
+        |        - (CAST(s_all AS DOUBLE) / n_days) * s_all), 4) END AS acf
+        |FROM st JOIN tot USING (source)
+        |ORDER BY source, lag""".stripMargin,
     // F84: floored unigram/bigram counts via the shared tokenizer, the
     // fixed-order six-log PMI sum over exact integers
     "text_pmi" ->
@@ -2502,6 +2535,24 @@ object SparkEntry {
         | round(CAST(count(*) AS DOUBLE) / s.cohort_size, 4) AS retention
         |FROM uw JOIN c USING (user_id) JOIN s ON s.cohort_week = c.cohort_week
         |GROUP BY 1, 2, 4 ORDER BY 1, 2""".stripMargin,
+    // E43: distinct (user, day) cells, the day − row_number island key,
+    // exact integer rollups to the streak-length histogram
+    "q_gaps_islands" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |  CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day
+        | FROM events),
+        |i AS (SELECT user_id, day
+        |  - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS BIGINT)
+        |  AS island FROM a),
+        |g AS (SELECT user_id, island, CAST(count(*) AS BIGINT) AS len
+        | FROM i GROUP BY 1, 2),
+        |u AS (SELECT user_id, max(len) AS longest_streak,
+        |  CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(sum(len) AS BIGINT) AS active_days FROM g GROUP BY 1)
+        |SELECT longest_streak, CAST(count(*) AS BIGINT) AS n_users,
+        | CAST(sum(n_islands) AS BIGINT) AS sum_islands,
+        | max(active_days) AS max_active_days
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     // E35: deterministic per-user ordering (sec, event_id) — event_id is
     // unique, so lead() sees one sequence in both engines; PPM division
     // is exact integer on both sides

@@ -1362,6 +1362,71 @@ object LoadOps {
       .orderBy(col("source"))
   }
 
+  /** D49: lag-k AUTOCORRELATION profile of the per-source daily series —
+    * the monitoring family's MEMORY readout. CUSUM (D40) alarms on level
+    * drift and the change-point locator (D48) finds where it moved; the
+    * ACF says whether the series has structure at all: a flat profile is
+    * white noise (today's anomaly says nothing about tomorrow), slow
+    * decay means trending (alarms will cluster — page once, not daily),
+    * an alternating profile means oscillation (a retry loop or a
+    * day-boundary batching artifact). Lags are SERIES positions over the
+    * D48 daily frame ordered by day, so calendar gaps collapse and the
+    * profile reads run-to-run memory.
+    *
+    * Determinism contract: the daily cells are exact integers; ONE
+    * window pass takes lead(md, L) for L = 1..maxLag; the per-(source,
+    * lag) sufficient statistics (pair count, Σx·y, Σx, Σy) and the
+    * per-source totals (n, Σx, Σx²) are exact bigint aggs; each ACF
+    * assembles in ONE fixed-shape IEEE expression over those integers
+    * (numerator Σx·y − x̄·(Σx+Σy) + n_pairs·x̄², denominator the exact
+    * corpus SS minus n·x̄² folded as Σx² − x̄·Σx), rounded to 4 decimals
+    * — the D30 class. A constant series has zero denominator and
+    * reports NULL (the nullif convention), never 0/0.
+    *
+    * Scale shape: ONE hash agg collapses the corpus to (source, day)
+    * cells (run-log-sized, never event-proportional); the lag columns
+    * ride one window over those cells partitioned by source; the stats
+    * agg is cells×lags-sized and the totals broadcast. */
+  def autocorr(spark: SparkSession, dir: String, maxLag: Int = 7): DataFrame =
+    autocorrOver(Tables(spark, dir).eventsSec
+      .select(col("event_type").as("source"),
+        expr("sec div 86400").cast("long").as("day"),
+        expr("cast(round(value * 100) as long)").as("cents"))
+      .groupBy(col("source"), col("day"))
+      .agg(expr("sum(cents) div count(*)").as("md")), maxLag)
+
+  /** The D49 compute over any (source, day, md) daily frame — specs
+    * plant alternating, trending and constant series with closed-form
+    * profiles. */
+  def autocorrOver(daily: DataFrame, maxLag: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = daily.select(col("source"), col("day"), col("md").cast("long"))
+    val tot = cells.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(col("md")).cast("long").as("s_all"),
+        sum(col("md") * col("md")).cast("long").as("ss_all"))
+    val w = Window.partitionBy(col("source")).orderBy(col("day"))
+    val leads = cells.select(
+      Seq(col("source"), col("md")) ++
+        (1 to maxLag).map(l => lead(col("md"), l).over(w).as(s"y$l")): _*)
+    val pairs = leads.selectExpr("source", "md",
+        s"stack($maxLag, ${(1 to maxLag).map(l => s"$l, y$l").mkString(", ")}) AS (lag, y)")
+      .filter(col("y").isNotNull)
+    val st = pairs.groupBy(col("source"), col("lag"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        sum(col("md") * col("y")).cast("long").as("pxy"),
+        sum(col("md")).cast("long").as("hx"),
+        sum(col("y")).cast("long").as("ty"))
+    val xbar = col("s_all").cast("double") / col("n_days")
+    val den = col("ss_all").cast("double") - xbar * col("s_all")
+    st.join(broadcast(tot), Seq("source"))
+      .withColumn("acf", when(den === 0.0, lit(null).cast("double"))
+        .otherwise(round((col("pxy").cast("double") - xbar * (col("hx") + col("ty"))
+          + col("n_pairs") * xbar * xbar) / den, 4)))
+      .select(col("source"), col("lag"), col("n_days"), col("n_pairs"), col("acf"))
+      .orderBy(col("source"), col("lag"))
+  }
+
   /** D31: ROBUST outlier monitor — modified z-scores from the median and
     * the Median Absolute Deviation (Iglewicz & Hoaglin 1993: |0.6745·
     * (v−med)/MAD| > 3.5 flags an outlier). D12's mean/stddev screens are

@@ -889,6 +889,47 @@ object Relational {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** E43: GAPS-AND-ISLANDS — per-user activity streaks over the event
+    * calendar: collapse to distinct (user, active-day) cells, find the
+    * maximal runs of CONSECUTIVE days (the classic `day − row_number`
+    * island key: consecutive days share it, any gap breaks it), then
+    * roll each user's (longest streak, island count, active days) into
+    * a bounded streak-length histogram. The engagement primitive E33's
+    * cohort matrix cannot express: cohorts count WHO came back each
+    * week, streaks measure HOW CONTINUOUSLY they stayed.
+    *
+    * Scale shape: ONE hash agg collapses the corpus to (user, day)
+    * cells; the island key rides one window PARTITIONED BY USER over
+    * each user's day cells (per-partition work bounded by the calendar
+    * span — no global sort, no single-task window); the three rollups
+    * after it are cells- then user- then histogram-sized. Nothing after
+    * the first agg is event-proportional. */
+  def qGapsIslands(spark: SparkSession, dir: String): DataFrame =
+    gapsIslandsOf(Tables(spark, dir).eventsSec
+      .select(col("user_id"), expr("sec div 86400").cast("long").as("day")))
+
+  /** The E43 compute over any (user_id, day) frame — specs plant gapped
+    * calendars with closed-form island structure. Input need not be
+    * distinct; the first agg dedupes. */
+  def gapsIslandsOf(active: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = active.select(col("user_id"), col("day").cast("long")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val islands = cells
+      .withColumn("island", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).cast("long").as("len"))
+    val perUser = islands.groupBy(col("user_id"))
+      .agg(max(col("len")).as("longest_streak"),
+        count(lit(1)).cast("long").as("n_islands"),
+        sum(col("len")).cast("long").as("active_days"))
+    perUser.groupBy(col("longest_streak"))
+      .agg(count(lit(1)).cast("long").as("n_users"),
+        sum(col("n_islands")).cast("long").as("sum_islands"),
+        max(col("active_days")).as("max_active_days"))
+      .orderBy(col("longest_streak"))
+  }
+
   /** E35: event-transition (Markov) matrix — per-user next-event
     * transitions rolled up into a (state, next_state) matrix with exact
     * integer-PPM probabilities. The product/behavior-analytics

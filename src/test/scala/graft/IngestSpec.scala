@@ -1333,6 +1333,51 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     assert(tS == expT, s"moderated t at the perfect step: $tS vs $expT")
   }
 
+  test("autocorr: alternating/trending profiles replay exactly, constant series NULLs, short series truncates") {
+    import spark.implicits._
+    // a: strict alternation (lag-1 ACF deeply negative, lag-2 positive);
+    // t: pure trend (slow positive decay); c: constant (zero variance →
+    // NULL guard); s: 3 days under maxLag=7 (only lags 1..2 have pairs)
+    val series = Map(
+      "a" -> (0 until 40).map(d => if (d % 2 == 0) 110L else 90L),
+      "t" -> (0 until 40).map(d => d * 10L),
+      "c" -> Seq.fill(30)(100L),
+      "s" -> Seq(100L, 120L, 90L))
+    val daily = series.toSeq.flatMap { case (src, xs) =>
+      xs.zipWithIndex.map { case (x, d) => (src, d.toLong, x) }
+    }.toDF("source", "day", "md")
+    val got = graft.operators.LoadOps.autocorrOver(daily, 7).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), if (r.isNullAt(4)) None else Some(r.getDouble(4)))))
+      .toMap
+    // independent replay of the exact formula (same op order, HALF_UP)
+    def replay(xs: Seq[Long], lag: Int): Option[Double] = {
+      val n = xs.size; val s = xs.sum; val ss = xs.map(x => x * x).sum
+      val xbar = s.toDouble / n
+      val den = ss.toDouble - xbar * s
+      if (den == 0.0) return None
+      val ps = xs.dropRight(lag).zip(xs.drop(lag))
+      val np = ps.size; val pxy = ps.map { case (x, y) => x * y }.sum
+      val hx = ps.map(_._1).sum; val ty = ps.map(_._2).sum
+      Some(BigDecimal((pxy.toDouble - xbar * (hx + ty) + np * xbar * xbar) / den)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    for ((src, xs) <- series; lag <- 1 to 7) {
+      val havePairs = xs.size > lag
+      assert(got.contains((src, lag)) == havePairs,
+        s"($src, $lag): row presence must track pair availability")
+      if (havePairs) {
+        val (nd, np, acf) = got((src, lag))
+        assert(nd == xs.size && np == xs.size - lag, s"($src, $lag): $nd/$np")
+        assert(acf == replay(xs, lag), s"($src, $lag): $acf vs ${replay(xs, lag)}")
+      }
+    }
+    assert(got(("a", 1))._3.get < -0.9 && got(("a", 2))._3.get > 0.8,
+      "alternation must read as deep negative lag-1, positive lag-2")
+    assert(got(("t", 1))._3.get > 0.85, "trend must read as slow decay")
+    assert(got(("c", 1))._3.isEmpty, "constant series must NULL, not 0/0")
+  }
+
   test("Wasserstein drift: exact location-shift recovery and a brute-force integral replay") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

@@ -165,6 +165,38 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
     assert(got.forall(_._2 >= 0L), "negative week offset: cohort later than activity")
   }
 
+  test("gaps-islands: planted calendars produce closed-form streaks and the corpus run replays brute-force") {
+    import spark.implicits._
+    // u1: {1,2,3} + {7,8} + {10} (day 2 duplicated — the core must dedupe);
+    // u2: one unbroken 4-day run; u3: a single active day
+    val planted = Seq(
+      (1L, 1L), (1L, 2L), (1L, 2L), (1L, 3L), (1L, 7L), (1L, 8L), (1L, 10L),
+      (2L, 5L), (2L, 6L), (2L, 7L), (2L, 8L),
+      (3L, 42L)).toDF("user_id", "day")
+    val hist = Relational.gapsIslandsOf(planted).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(hist == Map(
+      1L -> ((1L, 1L, 1L)),   // u3: longest 1, one island, one active day
+      3L -> ((1L, 3L, 6L)),   // u1: longest 3, three islands, six active days
+      4L -> ((1L, 1L, 4L))),  // u2: longest 4, one island, four active days
+      s"planted histogram wrong: $hist")
+    // corpus run: replay brute-force from raw events
+    val got = Relational.qGapsIslands(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val days = Tables(spark, sfDir).eventsSec
+      .selectExpr("user_id", "sec div 86400 as day")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val brute = days.groupBy(_._1).map { case (_, ds) =>
+      val sorted = ds.map(_._2).distinct.sorted
+      val lens = sorted.zipWithIndex
+        .groupBy { case (d, i) => d - i }.values.map(_.size.toLong).toSeq
+      (lens.max, lens.size.toLong, sorted.size.toLong)
+    }.toSeq.groupBy(_._1).map { case (streak, us) =>
+      (streak, us.size.toLong, us.map(_._2).sum, us.map(_._3).max)
+    }.toSeq.sortBy(_._1)
+    assert(got.nonEmpty && got == brute, "corpus histogram must replay brute-force")
+  }
+
   test("markov transitions match a brute-force per-user replay and PPM invariants hold") {
     val got = Relational.qMarkovTransitions(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
