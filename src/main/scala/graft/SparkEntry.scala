@@ -301,6 +301,10 @@ object SparkEntry {
     "stream_join"            -> graft.streaming.StreamGate.streamJoin _,
     "stream_chi2"            -> graft.streaming.StreamGate.streamChi2 _,
     "stream_changepoint"     -> graft.streaming.StreamGate.streamChangepoint _,
+    "stream_cms"             -> graft.streaming.StreamGate.streamCms _,
+    "stream_hll"             -> graft.streaming.StreamGate.streamHll _,
+    "stream_quantile"        -> graft.streaming.StreamGate.streamQuantile _,
+    "stream_bloom"           -> graft.streaming.StreamGate.streamBloom _,
   )
 
   // shared SQL fragments for the oracle ---------------------------------
@@ -649,6 +653,10 @@ object SparkEntry {
     "stream_join"          -> baseOracleSql("q_interval_join"),
     "stream_chi2"          -> baseOracleSql("mon_chi2"),
     "stream_changepoint"   -> baseOracleSql("mon_changepoint"),
+    "stream_cms"           -> baseOracleSql("q_cms_sketch"),
+    "stream_hll"           -> baseOracleSql("q_hll_sketch"),
+    "stream_quantile"      -> baseOracleSql("q_quantile_sketch"),
+    "stream_bloom"         -> baseOracleSql("q_bloom_prune_join"),
     // G11: the stateless broadcast enrichment rolled up per catalog
     // source — a plain SQL join replays it
     "stream_enrich" ->

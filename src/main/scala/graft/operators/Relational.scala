@@ -70,14 +70,19 @@ object Relational {
   def qHllSketch(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.HllAggregate
     val t = Tables(spark, dir)
-    t.events.groupBy(col("event_type").as("source"))
+    hllVerdictFrame(t.events.groupBy(col("event_type").as("source"))
       .agg(HllAggregate.hllSketch(spark, col("user_id")).as("est_distinct_users"),
-        countDistinct(col("user_id")).as("exact_distinct_users"))
-      .select(col("source"), col("exact_distinct_users"),
-        (abs(col("est_distinct_users") - col("exact_distinct_users"))
-          <= col("exact_distinct_users") * 0.26).cast("int").as("within_bound"))
-      .orderBy(col("source"))
+        countDistinct(col("user_id")).as("exact_distinct_users")))
   }
+
+  /** The E20 verdict over any (source, est_distinct_users,
+    * exact_distinct_users) frame — shared with the G7 stream gate so
+    * both surfaces judge the identical bound. */
+  def hllVerdictFrame(est: DataFrame): DataFrame =
+    est.select(col("source"), col("exact_distinct_users"),
+      (abs(col("est_distinct_users") - col("exact_distinct_users"))
+        <= col("exact_distinct_users") * 0.26).cast("int").as("within_bound"))
+      .orderBy(col("source"))
 
   /** E19: count–min sketch frequency estimation — the custom
     * [[graft.functions.CmsAggregate]] TypedImperativeAggregate (partial
@@ -88,8 +93,14 @@ object Relational {
   def qCmsSketch(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.CmsAggregate
     val t = Tables(spark, dir)
-    val sk = t.events.groupBy(col("event_type").as("source"))
-      .agg(CmsAggregate.cmsSketch(spark, col("user_id")).as("sketch"))
+    cmsProbeFrame(t.events.groupBy(col("event_type").as("source"))
+      .agg(CmsAggregate.cmsSketch(spark, col("user_id")).as("sketch")))
+  }
+
+  /** The E19 probe walk over any (source, sketch) frame — shared with
+    * the G5 stream gate so both surfaces probe identical keys. */
+  def cmsProbeFrame(sk: DataFrame): DataFrame = {
+    import graft.functions.CmsAggregate
     val probes = (0L until 10L).map { k =>
       struct(lit(k).as("key"), CmsAggregate.estimate(col("sketch"), k).as("est"))
     }
@@ -108,16 +119,23 @@ object Relational {
     * estimates from raw rows in SQL. */
   def qQuantileSketch(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.QuantileAggregate
-    import spark.implicits._
     val t = Tables(spark, dir)
     val row = t.lineitem
       .agg(min(col("l_extendedprice")), max(col("l_extendedprice"))).head()
     val (lo, hi) = (row.getDouble(0), row.getDouble(1))
-    val sk = t.lineitem.groupBy(col("l_returnflag"))
+    quantileWalk(t.lineitem.groupBy(col("l_returnflag"))
       .agg(QuantileAggregate.quantileSketch(spark, col("l_extendedprice"), lo, hi)
-        .as("sketch"))
-    val w = (hi - lo) / QuantileAggregate.NBins
+        .as("sketch")), lo, hi)
+  }
+
+  /** The E25 estimate walk (cumulative bin counts → first bin reaching
+    * ceil(q·N)) over any (l_returnflag, sketch) frame — shared with the
+    * G6 stream gate so both surfaces walk identical bins. */
+  def quantileWalk(sk: DataFrame, lo: Double, hi: Double): DataFrame = {
+    import graft.functions.QuantileAggregate
     import org.apache.spark.sql.expressions.Window
+    import sk.sparkSession.implicits._
+    val w = (hi - lo) / QuantileAggregate.NBins
     val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("bin"))
     val wAll = Window.partitionBy(col("l_returnflag"))
     val qs = Seq(0.25, 0.5, 0.75, 0.95).toDF("q")

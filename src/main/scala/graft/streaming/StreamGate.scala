@@ -552,4 +552,129 @@ object StreamGate {
     spark.read.parquet(s"$base/out")
       .orderBy(col("inc_id"), col("pur_id"))
   }
+
+  /** G5 gate: the count–min sketch as a STREAMING aggregate, MULTI-batch
+    * (4 files, one per trigger) in complete mode — per-trigger partial
+    * sketches merge element-wise through the state store, and counter
+    * addition is associative and order-independent, so the final sketch
+    * (and therefore every probe) equals E19's one-shot batch sketch
+    * bit-for-bit and shares its full DuckDB oracle. The probe walk is
+    * the SAME [[graft.operators.Relational.cmsProbeFrame]] the batch op
+    * uses — the two surfaces cannot drift. */
+  def streamCms(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CmsAggregate
+    val base = fresh(spark, "cms")
+    Tables(spark, dir).events
+      .select(col("event_type").as("source"), col("user_id"))
+      .repartition(4).write.parquet(s"$base/in")
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("source", StringType),
+        StructField("user_id", LongType))))
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val q = src.groupBy(col("source"))
+      .agg(CmsAggregate.cmsSketch(spark, col("user_id")).as("sketch"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("graft_stream_cms")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.operators.Relational.cmsProbeFrame(spark.table("graft_stream_cms"))
+  }
+
+  /** G7 gate: the HLL distinct sketch as a STREAMING aggregate,
+    * MULTI-batch complete mode — register merge is element-wise max
+    * (idempotent AND order-independent), so the final estimate equals
+    * E20's batch sketch exactly; the gated frame is the same invariant
+    * verdict (exact distinct + within-bound flag, via the shared
+    * [[graft.operators.Relational.hllVerdictFrame]]) and shares E20's
+    * invariant oracle. The exact side comes from one batch pass over
+    * the SAME input files the stream consumed. */
+  def streamHll(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HllAggregate
+    val base = fresh(spark, "hll")
+    Tables(spark, dir).events
+      .select(col("event_type").as("source"), col("user_id"))
+      .repartition(4).write.parquet(s"$base/in")
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("source", StringType),
+        StructField("user_id", LongType))))
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val q = src.groupBy(col("source"))
+      .agg(HllAggregate.hllSketch(spark, col("user_id")).as("est_distinct_users"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("graft_stream_hll")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val exact = spark.read.parquet(s"$base/in")
+      .groupBy(col("source"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct_users"))
+    graft.operators.Relational.hllVerdictFrame(
+      spark.table("graft_stream_hll").join(exact, Seq("source")))
+  }
+
+  /** G6 gate: the fixed-bin quantile sketch as a STREAMING aggregate,
+    * MULTI-batch complete mode — histogram-counter addition is
+    * associative and order-independent, so the final sketch equals
+    * E25's batch sketch bit-for-bit; the estimate walk is the shared
+    * [[graft.operators.Relational.quantileWalk]] and the entry shares
+    * E25's full oracle. The (lo, hi) domain pins from one tiny batch
+    * min/max over the same input before the stream starts (a fixed
+    * sketch parameter, exactly as the batch op derives it). */
+  def streamQuantile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.QuantileAggregate
+    val base = fresh(spark, "quantile")
+    Tables(spark, dir).lineitem
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .repartition(4).write.parquet(s"$base/in")
+    val in = spark.read.parquet(s"$base/in")
+    val row = in.agg(min(col("l_extendedprice")), max(col("l_extendedprice"))).head()
+    val (lo, hi) = (row.getDouble(0), row.getDouble(1))
+    val src = spark.readStream.schema(in.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val q = src.groupBy(col("l_returnflag"))
+      .agg(QuantileAggregate.quantileSketch(spark, col("l_extendedprice"), lo, hi)
+        .as("sketch"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("graft_stream_quantile")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.operators.Relational.quantileWalk(
+      spark.table("graft_stream_quantile"), lo, hi)
+  }
+
+  /** G8 gate: the Bloom filter as a STREAMING aggregate — the dim-side
+    * key set streams in MULTI-batch complete mode (bitset OR is
+    * associative, idempotent and order-independent, so the final bitset
+    * equals E23's batch build exactly); the finished filter then prunes
+    * the batch fact side and the report is E23's join rollup, sharing
+    * its full oracle (no false negatives — the bloom is plan surgery,
+    * invisible in the result). */
+  def streamBloom(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BloomAggregate
+    val base = fresh(spark, "bloom")
+    val t = Tables(spark, dir)
+    t.customer.filter(col("c_acctbal") > 9000.0)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .repartition(4).write.parquet(s"$base/in")
+    val dim = spark.read.parquet(s"$base/in")
+    val nKeys = dim.count()
+    val src = spark.readStream.schema(dim.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val q = src.agg(BloomAggregate.bloomAgg(spark, col("c_custkey"), nKeys).as("bits"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("graft_stream_bloom")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    t.orders
+      .join(broadcast(spark.table("graft_stream_bloom")))
+      .filter(BloomAggregate.mightContain(col("bits"), col("o_custkey")))
+      .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+  }
 }

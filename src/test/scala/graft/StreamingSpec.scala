@@ -861,4 +861,22 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(!fs.exists(new Path(dir + ".prev")) && !fs.exists(next),
       "publish must clean up its transient generations")
   }
+
+  test("sketch stream gates equal their batch operators row-for-row (G5-G8)") {
+    // the promotion claim in one assertion per sketch: the multi-batch
+    // streaming fold ends at the SAME report frame the batch op builds —
+    // merge associativity + order independence, end-to-end through the
+    // state store, not just at the aggregate-algebra level
+    import graft.streaming.StreamGate
+    import graft.operators.Relational
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    assert(rows(StreamGate.streamCms(spark, sfDir)) ==
+      rows(Relational.qCmsSketch(spark, sfDir)), "CMS stream != batch")
+    assert(rows(StreamGate.streamHll(spark, sfDir)) ==
+      rows(Relational.qHllSketch(spark, sfDir)), "HLL stream != batch")
+    assert(rows(StreamGate.streamQuantile(spark, sfDir)) ==
+      rows(Relational.qQuantileSketch(spark, sfDir)), "quantile stream != batch")
+    assert(rows(StreamGate.streamBloom(spark, sfDir)) ==
+      rows(Relational.qBloomPruneJoin(spark, sfDir)), "bloom stream != batch")
+  }
 }
