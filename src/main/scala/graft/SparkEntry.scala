@@ -99,6 +99,7 @@ object SparkEntry {
     "mon_chi2"               -> LoadOps.chi2Drift _,
     "mon_changepoint"        -> ((s: SparkSession, d: String) => LoadOps.changepoint(s, d)),
     "mon_autocorr"           -> ((s: SparkSession, d: String) => LoadOps.autocorr(s, d)),
+    "mon_theilsen"           -> ((s: SparkSession, d: String) => LoadOps.theilSen(s, d)),
     "text_pmi"               -> ((s: SparkSession, d: String) => TextAnalysis.pmi(s, d)),
     "text_zipf_fit"          -> ((s: SparkSession, d: String) => TextAnalysis.zipfFit(s, d)),
     "mon_mad_outliers"       -> LoadOps.madOutliers _,
@@ -146,6 +147,7 @@ object SparkEntry {
     "q_sessionize"           -> Relational.qSessionize _,
     "q_cohort_retention"     -> Relational.qCohortRetention _,
     "q_gaps_islands"         -> Relational.qGapsIslands _,
+    "q_rfm"                  -> Relational.qRfm _,
     "q_markov_transitions"   -> Relational.qMarkovTransitions _,
     "q_ab_ttest"             -> Relational.qAbTtest _,
     "q_mannwhitney"          -> Relational.qMannWhitney _,
@@ -1975,6 +1977,27 @@ object SparkEntry {
         |        - (CAST(s_all AS DOUBLE) / n_days) * s_all), 4) END AS acf
         |FROM st JOIN tot USING (source)
         |ORDER BY source, lag""".stripMargin,
+    // D50: pairwise slopes over the daily cells, one correctly-rounded
+    // division each, lower median in (slope, d1, d2) total order
+    "mon_theilsen" ->
+      """WITH d AS (
+        | SELECT event_type AS source,
+        |  CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) // count(*) AS BIGINT) AS md
+        | FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.source, a.day AS d1, b.day AS d2,
+        |  round((b.md - a.md) / CAST(b.day - a.day AS DOUBLE), 4) AS slope
+        | FROM d a JOIN d b ON b.source = a.source AND b.day > a.day),
+        |r AS (SELECT source, slope,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY slope, d1, d2) AS BIGINT) AS rn,
+        |  CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_pairs
+        | FROM p),
+        |t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_days FROM d GROUP BY 1)
+        |SELECT source, n_days, n_pairs, slope AS ts_slope,
+        |  CAST(abs(slope) > 50.0 AS INT) AS trending
+        |FROM r JOIN t USING (source) WHERE rn = (n_pairs + 1) // 2
+        |ORDER BY source""".stripMargin,
     // F84: floored unigram/bigram counts via the shared tokenizer, the
     // fixed-order six-log PMI sum over exact integers
     "text_pmi" ->
@@ -2561,6 +2584,55 @@ object SparkEntry {
         | CAST(sum(n_islands) AS BIGINT) AS sum_islands,
         | max(active_days) AS max_active_days
         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    // E44: exact-integer metrics, inverse-CDF quintile boundaries over
+    // value cells with integer ceil ((k·n+4) div 5), pure integer
+    // comparisons for every score, boundary ties to the lower bucket
+    "q_rfm" ->
+      """WITH c AS (SELECT o_custkey,
+        |  max(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS last_day,
+        |  CAST(count(*) AS BIGINT) AS freq,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        | FROM orders GROUP BY 1),
+        |s0 AS (SELECT o_custkey, freq, cents,
+        |  (SELECT max(last_day) FROM c) - last_day AS rec,
+        |  cents // 100 AS dollars FROM c),
+        |rcum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum,
+        |  (SELECT count(*) FROM s0) AS n
+        | FROM (SELECT rec AS v, count(*) AS cnt FROM s0 GROUP BY 1)),
+        |rb AS (SELECT min(CASE WHEN cum >= (1*n+4)//5 THEN v END) AS b1,
+        |  min(CASE WHEN cum >= (2*n+4)//5 THEN v END) AS b2,
+        |  min(CASE WHEN cum >= (3*n+4)//5 THEN v END) AS b3,
+        |  min(CASE WHEN cum >= (4*n+4)//5 THEN v END) AS b4 FROM rcum),
+        |fcum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum,
+        |  (SELECT count(*) FROM s0) AS n
+        | FROM (SELECT freq AS v, count(*) AS cnt FROM s0 GROUP BY 1)),
+        |fb AS (SELECT min(CASE WHEN cum >= (1*n+4)//5 THEN v END) AS b1,
+        |  min(CASE WHEN cum >= (2*n+4)//5 THEN v END) AS b2,
+        |  min(CASE WHEN cum >= (3*n+4)//5 THEN v END) AS b3,
+        |  min(CASE WHEN cum >= (4*n+4)//5 THEN v END) AS b4 FROM fcum),
+        |mcum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum,
+        |  (SELECT count(*) FROM s0) AS n
+        | FROM (SELECT dollars AS v, count(*) AS cnt FROM s0 GROUP BY 1)),
+        |mb AS (SELECT min(CASE WHEN cum >= (1*n+4)//5 THEN v END) AS b1,
+        |  min(CASE WHEN cum >= (2*n+4)//5 THEN v END) AS b2,
+        |  min(CASE WHEN cum >= (3*n+4)//5 THEN v END) AS b3,
+        |  min(CASE WHEN cum >= (4*n+4)//5 THEN v END) AS b4 FROM mcum),
+        |sc AS (SELECT cents,
+        |  6 - (1 + CAST(rec > rb.b1 AS INT) + CAST(rec > rb.b2 AS INT)
+        |    + CAST(rec > rb.b3 AS INT) + CAST(rec > rb.b4 AS INT)) AS r_score,
+        |  1 + CAST(freq > fb.b1 AS INT) + CAST(freq > fb.b2 AS INT)
+        |    + CAST(freq > fb.b3 AS INT) + CAST(freq > fb.b4 AS INT) AS f_score,
+        |  1 + CAST(dollars > mb.b1 AS INT) + CAST(dollars > mb.b2 AS INT)
+        |    + CAST(dollars > mb.b3 AS INT) + CAST(dollars > mb.b4 AS INT) AS m_score
+        | FROM s0, rb, fb, mb)
+        |SELECT r_score, f_score, m_score,
+        | CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champions'
+        |   WHEN r_score <= 2 AND f_score >= 4 THEN 'lapsed_loyal'
+        |   WHEN r_score >= 4 AND f_score <= 2 THEN 'recent_light'
+        |   ELSE 'mid' END AS segment,
+        | CAST(count(*) AS BIGINT) AS n_customers,
+        | CAST(sum(cents) AS BIGINT) AS segment_cents
+        |FROM sc GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3""".stripMargin,
     // E35: deterministic per-user ordering (sec, event_id) — event_id is
     // unique, so lead() sees one sequence in both engines; PPM division
     // is exact integer on both sides

@@ -948,6 +948,76 @@ object Relational {
       .orderBy(col("longest_streak"))
   }
 
+  /** E44: RFM SEGMENTATION — the classic customer-value matrix: score
+    * every customer 1–5 on Recency (days since last order, lower is
+    * better), Frequency (order count) and Monetary (lifetime cents)
+    * against exact corpus quintile boundaries, then roll the score
+    * cells into named segments. The direct-marketing primitive behind
+    * retention targeting: champions get previews, lapsed loyals get
+    * win-back offers.
+    *
+    * Determinism contract: all three metrics are exact integers (epoch
+    * days, counts, cents); quintile boundaries are inverse-CDF values
+    * over VALUE cells — the smallest metric value whose cumulative
+    * customer count reaches ceil(k·n/5), the ceil as exact integer
+    * arithmetic ((k·n+4) div 5) — so both engines pick identical
+    * boundaries and every score is a pure integer comparison (boundary
+    * ties fall to the lower bucket). Recency inverts (most recent = 5).
+    *
+    * Scale shape: the only data-sized frames are the order- and
+    * customer-grain hash aggs; each CDF runs over VALUE-BOUNDED cells
+    * (days span / max order count / dollar-quantized spend — none grows
+    * with the corpus; the global cells window is the D45/D46 bounded
+    * class) and its 4-value boundary row broadcasts back; no window
+    * ever sees a data-sized frame; the score rollup is the final agg. */
+  def qRfm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val cust = t.orders
+      .select(col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"),
+        expr("cast(round(o_totalprice * 100) as long)").as("o_cents"))
+      .groupBy(col("o_custkey"))
+      .agg(max(col("day")).as("last_day"),
+        count(lit(1)).cast("long").as("freq"),
+        sum(col("o_cents")).cast("long").as("cents"))
+    val maxDay = cust.agg(max(col("last_day")).as("corpus_day"))
+    val base = cust.crossJoin(broadcast(maxDay))
+      .withColumn("rec", col("corpus_day") - col("last_day"))
+      .withColumn("dollars", expr("cents div 100"))
+      .localCheckpoint(true) // three CDF passes + the scoring pass reread it
+    def breaks(c: String, p: String): DataFrame = {
+      val cells = base.groupBy(col(c).as("v"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      val cum = cells
+        .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("v"))))
+        .crossJoin(broadcast(cells.agg(sum(col("cnt")).cast("long").as("n"))))
+      val bs = (1 to 4).map(k =>
+        min(when(col("cum") >= expr(s"($k * n + 4) div 5"), col("v"))).as(s"$p$k"))
+      cum.agg(bs.head, bs.tail: _*)
+    }
+    def scoreUp(c: String, p: String) = lit(1) +
+      (1 to 4).map(k => (col(c) > col(s"$p$k")).cast("int")).reduce(_ + _)
+    base
+      .crossJoin(broadcast(breaks("rec", "rb")))
+      .crossJoin(broadcast(breaks("freq", "fb")))
+      .crossJoin(broadcast(breaks("dollars", "mb")))
+      .withColumn("r_score", lit(6) - scoreUp("rec", "rb"))
+      .withColumn("f_score", scoreUp("freq", "fb"))
+      .withColumn("m_score", scoreUp("dollars", "mb"))
+      .withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4,
+          "champions")
+          .when(col("r_score") <= 2 && col("f_score") >= 4, "lapsed_loyal")
+          .when(col("r_score") >= 4 && col("f_score") <= 2, "recent_light")
+          .otherwise("mid"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"), col("segment"))
+      .agg(count(lit(1)).cast("long").as("n_customers"),
+        sum(col("cents")).cast("long").as("segment_cents"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
   /** E35: event-transition (Markov) matrix — per-user next-event
     * transitions rolled up into a (state, next_state) matrix with exact
     * integer-PPM probabilities. The product/behavior-analytics

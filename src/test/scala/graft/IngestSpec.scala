@@ -1378,6 +1378,39 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     assert(got(("c", 1))._3.isEmpty, "constant series must NULL, not 0/0")
   }
 
+  test("theil-sen: outlier-robust slope recovery, constant/two-day shapes, brute median replay") {
+    import spark.implicits._
+    // r: perfect +7/day trend with ONE wild spike — the median slope
+    // must stay exactly 7.0 (the estimator's whole point; OLS would
+    // drag); c: constant (slope 0, not trending); p: two days (one
+    // pair, slope = Δmd/Δday); o: single day (drops — no pair)
+    val daily = ((0 until 30).map { d =>
+      ("r", d.toLong, if (d == 13) 100000L else 100L + 7L * d)
+    } ++ (0 until 20).map(d => ("c", d.toLong, 500L)) ++
+      Seq(("p", 0L, 100L), ("p", 10L, 300L), ("o", 0L, 42L)))
+      .toDF("source", "day", "md")
+    val got = graft.operators.LoadOps.theilSenOver(daily, 50.0).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))).toMap
+    assert(!got.contains("o"), "single-day series must drop")
+    assert(got("c") == ((20L, 190L, 0.0, 0)), s"constant: ${got("c")}")
+    assert(got("p") == ((2L, 1L, 20.0, 0)), s"two-day: ${got("p")}")
+    val (ndR, npR, slR, trR) = got("r")
+    assert(ndR == 30L && npR == 435L && slR == 7.0 && trR == 0,
+      s"outlier must not move the median slope: ${got("r")}")
+    // brute replay: lower median over all rounded pair slopes
+    def brute(xs: Seq[(Long, Long)]): Double = {
+      val slopes = for {
+        (d1, m1) <- xs; (d2, m2) <- xs if d2 > d1
+      } yield (BigDecimal((m2 - m1) / (d2 - d1).toDouble)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, d1, d2)
+      val s = slopes.sortBy(identity)
+      s((s.size + 1) / 2 - 1)._1
+    }
+    assert(slR == brute((0 until 30).map(d =>
+      (d.toLong, if (d == 13) 100000L else 100L + 7L * d))), "brute median replay")
+  }
+
   test("Wasserstein drift: exact location-shift recovery and a brute-force integral replay") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

@@ -197,6 +197,54 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
     assert(got.nonEmpty && got == brute, "corpus histogram must replay brute-force")
   }
 
+  test("rfm: brute-force quintile replay, score ranges, segment naming consistency") {
+    val got = Relational.qRfm(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    // brute replay from raw orders: same integer metrics, same
+    // inverse-CDF boundaries ((k·n+4)/5 ceil), same boundary-tie rule
+    val orders = Tables(spark, sfDir).orders
+      .selectExpr("o_custkey",
+        "cast(datediff(to_date(o_orderdate), date'1970-01-01') as long) as day",
+        "cast(round(o_totalprice * 100) as long) as cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cust = orders.groupBy(_._1).map { case (k, os) =>
+      (k, os.map(_._2).max, os.size.toLong, os.map(_._3).sum)
+    }.toSeq
+    val corpusDay = cust.map(_._2).max
+    val metrics = cust.map { case (k, last, freq, cents) =>
+      (k, corpusDay - last, freq, cents / 100, cents)
+    }
+    val n = metrics.size.toLong
+    def bks(vs: Seq[Long]): Seq[Long] = {
+      val cells = vs.groupBy(identity).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      val cum = cells.scanLeft(0L)(_ + _._2).tail
+      (1 to 4).map { k =>
+        val t = (k * n + 4) / 5
+        cells(cum.indexWhere(_ >= t))._1
+      }
+    }
+    val (rb, fb, mb) =
+      (bks(metrics.map(_._2)), bks(metrics.map(_._3)), bks(metrics.map(_._4)))
+    def up(v: Long, b: Seq[Long]) = 1 + b.count(v > _)
+    val brute = metrics.map { case (_, rec, freq, dol, cents) =>
+      val (r, f, m) = (6 - up(rec, rb), up(freq, fb), up(dol, mb))
+      val seg =
+        if (r >= 4 && f >= 4 && m >= 4) "champions"
+        else if (r <= 2 && f >= 4) "lapsed_loyal"
+        else if (r >= 4 && f <= 2) "recent_light"
+        else "mid"
+      ((r, f, m, seg), cents)
+    }.groupBy(_._1).map { case ((r, f, m, seg), g) =>
+      (r, f, m, seg, g.size.toLong, g.map(_._2).sum)
+    }.toSeq.sortBy(t => (t._1, t._2, t._3))
+    assert(got.nonEmpty && got == brute, "RFM cells must replay brute-force")
+    assert(got.map(_._5).sum == n, "every customer lands in exactly one cell")
+    got.foreach { case (r, f, m, _, _, _) =>
+      assert(r >= 1 && r <= 5 && f >= 1 && f <= 5 && m >= 1 && m <= 5)
+    }
+  }
+
   test("markov transitions match a brute-force per-user replay and PPM invariants hold") {
     val got = Relational.qMarkovTransitions(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
