@@ -205,6 +205,7 @@ object SparkEntry {
     "graph_label_prop"       -> ((s: SparkSession, d: String) => Graph.labelProp(s, d)),
     "graph_kcore"            -> ((s: SparkSession, d: String) => Graph.kcore(s, d)),
     "graph_bfs"              -> ((s: SparkSession, d: String) => Graph.bfs(s, d)),
+    "graph_jaccard"          -> ((s: SparkSession, d: String) => Graph.jaccard(s, d)),
     "text_ngram_counts"      -> ((s: SparkSession, d: String) => TextAnalysis.ngramCounts(s, d)),
     "dedup_containment"      -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
     "sample_density_prune"   -> ((s: SparkSession, d: String) => Similarity.densityPrune(s, d)),
@@ -3452,6 +3453,26 @@ object SparkEntry {
          |FROM e LEFT JOIN h4 ON h4.id = e.vec_id
          |ORDER BY e.vec_id""".stripMargin
     },
+    // F87: the F86 symmetrized kNN edge list, wedge-join shared-neighbor
+    // counts, broadcast degrees, one rounded division, direct-edge flag
+    "graph_jaccard" ->
+      s"""WITH $knnRankedCtes,
+         |k3 AS MATERIALIZED (SELECT vec_id, nbr_id FROM r WHERE rank <= 3),
+         |ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |  SELECT vec_id AS src, nbr_id AS dst FROM k3
+         |  UNION ALL SELECT nbr_id, vec_id FROM k3)),
+         |dg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+         | FROM ed GROUP BY 1),
+         |sh AS (SELECT a.dst AS u, b.dst AS v, CAST(count(*) AS BIGINT) AS n_shared
+         | FROM ed a JOIN ed b ON a.src = b.src AND a.dst < b.dst GROUP BY 1, 2),
+         |j AS (SELECT u AS vec_a, v AS vec_b, n_shared,
+         |  x.deg AS deg_a, y.deg AS deg_b,
+         |  round(CAST(n_shared AS DOUBLE) / (x.deg + y.deg - n_shared), 4) AS jaccard,
+         |  CAST(e2.src IS NOT NULL AS INT) AS is_edge
+         | FROM sh JOIN dg x ON x.id = sh.u JOIN dg y ON y.id = sh.v
+         | LEFT JOIN ed e2 ON e2.src = sh.u AND e2.dst = sh.v)
+         |SELECT * FROM j WHERE jaccard >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
     // F74: the stub spectrogram model restated in SQL (list-comprehension
     // bands, peak energies), then the same landmark hashes, df screen,
     // and offset-histogram vote

@@ -371,4 +371,57 @@ object Graph {
     nodes.join(dist, Seq("id"), "left")
       .select(col("id"), coalesce(col("hops"), lit(-1L)).as("hops"))
   }
+
+  /** F87: neighbor-set JACCARD node similarity over the symmetrized
+    * embedding kNN graph (F86's substrate) — STRUCTURAL similarity as a
+    * first-class signal, complementary to the embedding cosine that
+    * built the graph: two vectors are structurally similar when their
+    * NEIGHBORHOODS overlap, even if they are not each other's nearest
+    * neighbors (the link-prediction / entity-resolution primitive: a
+    * high-Jaccard non-edge is a candidate missing link; a high-Jaccard
+    * edge is a redundant near-twin the curation sampler can collapse).
+    * Jaccard(u,v) = |N(u)∩N(v)| / |N(u)∪N(v)| with open neighborhoods.
+    *
+    * Scale shape: candidate pairs come ONLY from wedges — two edges
+    * sharing an endpoint (the F71 oriented-wedge join on the
+    * checkpointed edge list, fan-out bounded by the kNN degree, itself
+    * IVF-list-bounded) — never an all-pairs scan; the union size
+    * assembles from broadcast-joined degrees (deg_u + deg_v − shared),
+    * one correctly-rounded division per surviving pair, and the
+    * direct-edge flag is one more hash join against the same pinned
+    * edge list. */
+  def jaccard(spark: SparkSession, dir: String, kNbrs: Int = 3,
+      simBar: Double = 0.4): DataFrame = {
+    val knn = Similarity.knnGraph(spark, dir, kNbrs)
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+    val edges = knn.unionByName(
+      knn.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    jaccardOf(edges, simBar)
+  }
+
+  /** The F87 compute over any SYMMETRIC (src, dst) edge frame — specs
+    * plant graphs with closed-form overlaps. */
+  def jaccardOf(edges0: DataFrame, simBar: Double): DataFrame = {
+    val edges = edges0.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint(true)
+    val deg = edges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).cast("long").as("deg"))
+    val shared = edges.select(col("src").as("w"), col("dst").as("u"))
+      .join(edges.select(col("src").as("w"), col("dst").as("v")), Seq("w"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+    shared
+      .join(deg.select(col("id").as("u"), col("deg").as("deg_a")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("deg").as("deg_b")), Seq("v"))
+      .withColumn("jaccard", round(col("n_shared").cast("double")
+        / (col("deg_a") + col("deg_b") - col("n_shared")), 4))
+      .filter(col("jaccard") >= simBar)
+      .join(edges.select(col("src").as("u"), col("dst").as("v"), lit(1).as("e")),
+        Seq("u", "v"), "left")
+      .select(col("u").as("vec_a"), col("v").as("vec_b"), col("n_shared"),
+        col("deg_a"), col("deg_b"), col("jaccard"),
+        coalesce(col("e"), lit(0)).as("is_edge"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
 }

@@ -239,4 +239,42 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(wire.exists(w => w._2 >= 1L), "no vector within the seed radius — degenerate")
     assert(wire.count(_._2 == -1L) < wire.length, "nothing reached at all")
   }
+
+  test("neighbor jaccard: planted square + twin, naive replay, and a live wire") {
+    import spark.implicits._
+    // square 1-2-3-4 (cycle): opposite corners share BOTH neighbors
+    // (jaccard 2/(2+2-2) = 1.0, no direct edge — the missing-link
+    // class); adjacent corners share none. Twin pair 10/11 both tied to
+    // 12 and 13 AND to each other: N(10)={11,12,13}, N(11)={10,12,13},
+    // shared {12,13} → 2/(3+3-2) = 0.5 with is_edge = 1.
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L), (11L, 13L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Graph.jaccardOf(edges, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getInt(6))))
+      .toMap
+    assert(got((1L, 3L)) == ((2L, 2L, 2L, 1.0, 0)), s"square diagonal: ${got.get((1L, 3L))}")
+    assert(got((2L, 4L)) == ((2L, 2L, 2L, 1.0, 0)))
+    assert(got((10L, 11L)) == ((2L, 3L, 3L, 0.5, 1)), s"twin edge: ${got.get((10L, 11L))}")
+    assert(got((12L, 13L)) == ((2L, 2L, 2L, 1.0, 0)), "co-parents of the twins")
+    assert(!got.contains((1L, 2L)), "adjacent square corners share nothing")
+    // live wire: replay the whole report naively from the collected edges
+    val wire = Graph.jaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getInt(6))).toSeq
+    assert(wire.nonEmpty, "no similar pairs on the wire — degenerate")
+    val knn = graft.operators.Similarity.knnGraph(spark, sfDir, 3)
+      .select("vec_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sym = (knn ++ knn.map(_.swap)).distinct
+    val nbrs = sym.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = (for {
+      (u, nu) <- nbrs.toSeq; v <- nbrs.keys if u < v
+      shared = (nu & nbrs(v)).size if shared > 0
+      j = BigDecimal(shared.toDouble / (nu.size + nbrs(v).size - shared))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble if j >= 0.4
+    } yield (u, v, shared.toLong, nu.size.toLong, nbrs(v).size.toLong, j,
+      if (nu.contains(v)) 1 else 0)).sortBy(t => (t._1, t._2))
+    assert(wire == brute, "wire report must replay naively")
+  }
 }
