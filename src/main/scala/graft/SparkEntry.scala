@@ -305,6 +305,7 @@ object SparkEntry {
     "stream_chi2"            -> graft.streaming.StreamGate.streamChi2 _,
     "stream_changepoint"     -> graft.streaming.StreamGate.streamChangepoint _,
     "stream_cms"             -> graft.streaming.StreamGate.streamCms _,
+    "stream_staleness"       -> graft.streaming.StreamGate.streamStaleness _,
     "stream_hll"             -> graft.streaming.StreamGate.streamHll _,
     "stream_quantile"        -> graft.streaming.StreamGate.streamQuantile _,
     "stream_bloom"           -> graft.streaming.StreamGate.streamBloom _,
@@ -1947,6 +1948,20 @@ object SparkEntry {
         |    ORDER BY abs(tt) DESC, day) AS rn
         |  FROM tt) WHERE rn = 1
         |ORDER BY source""".stripMargin,
+    // G9: the planted-quiet staleness wire — silence two sources at the
+    // 60% cutoff, alert iff last_seen + 600 < the final watermark (the
+    // strict event-time-timeout inequality)
+    "stream_staleness" ->
+      """WITH e AS (SELECT event_type AS source,
+        |  CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS sec FROM events),
+        |r AS (SELECT min(sec) AS mn, max(sec) AS mx FROM e),
+        |f AS (SELECT source, sec FROM e, r
+        | WHERE NOT (source IN ('error', 'purchase')
+        |   AND sec > mn + (mx - mn) * 6 // 10)),
+        |m AS (SELECT max(sec) AS wm FROM f),
+        |l AS (SELECT source, max(sec) AS last_seen_sec FROM f GROUP BY 1)
+        |SELECT source, last_seen_sec FROM l, m
+        |WHERE last_seen_sec + 600 < wm ORDER BY source""".stripMargin,
     // D49: the D40 integer daily frame, pairs via an rn self-join per
     // lag, one fixed-shape IEEE ACF expression over exact bigint stats
     "mon_autocorr" ->

@@ -553,6 +553,41 @@ object StreamGate {
       .orderBy(col("inc_id"), col("pur_id"))
   }
 
+  /** G9 gate: streaming absence detection over a PLANTED-QUIET wire —
+    * two sources go silent at 60% of the corpus timeline (a
+    * deterministic integer cutoff both engines replay), the rest stay
+    * active to the end. One data batch folds every event into
+    * per-source freshness state; the closing no-data batch advances the
+    * event-time watermark to the corpus maximum and fires the
+    * EventTimeTimeout alerts: exactly the silenced sources emit, each
+    * with its true last-seen second (alert iff last_seen + staleAfter <
+    * watermark — the strict event-time-timeout inequality, replayed by
+    * the oracle). */
+  def streamStaleness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = fresh(spark, "staleness")
+    val ev = Tables(spark, dir).eventsSec
+    val r = ev.agg(min(col("sec")).as("mn"), max(col("sec")).as("mx")).head()
+    val cutoff = r.getLong(0) + (r.getLong(1) - r.getLong(0)) * 6L / 10L
+    ev.filter(!(col("event_type").isin("error", "purchase") && col("sec") > cutoff))
+      .select(timestamp_seconds(col("sec")).as("ts"),
+        col("event_type").as("source"))
+      .write.parquet(s"$base/in")
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("ts", TimestampType),
+        StructField("source", StringType))))
+      .parquet(s"$base/in")
+    val q = EventStreams.stalenessStream(src.as[SourceEvent], 600L).toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_stream_staleness")
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    spark.table("graft_stream_staleness")
+      .select(col("source"), col("last_seen_sec"))
+      .orderBy(col("source"))
+  }
+
   /** G5 gate: the count–min sketch as a STREAMING aggregate, MULTI-batch
     * (4 files, one per trigger) in complete mode — per-trigger partial
     * sketches merge element-wise through the state store, and counter
