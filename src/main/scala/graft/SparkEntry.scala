@@ -148,6 +148,8 @@ object SparkEntry {
     "q_cohort_retention"     -> Relational.qCohortRetention _,
     "q_gaps_islands"         -> Relational.qGapsIslands _,
     "q_rfm"                  -> Relational.qRfm _,
+    "q_gini"                 -> Relational.qGini _,
+    "text_readability"       -> ((s: SparkSession, d: String) => TextAnalysis.readability(s, d)),
     "q_markov_transitions"   -> Relational.qMarkovTransitions _,
     "q_ab_ttest"             -> Relational.qAbTtest _,
     "q_mannwhitney"          -> Relational.qMannWhitney _,
@@ -1962,6 +1964,26 @@ object SparkEntry {
         |l AS (SELECT source, max(sec) AS last_seen_sec FROM f GROUP BY 1)
         |SELECT source, last_seen_sec FROM l, m
         |WHERE last_seen_sec + 600 < wm ORDER BY source""".stripMargin,
+    // E45: dollar-quantized spend cells, the E41 2×-midrank device for
+    // the rank-weighted sum, one fixed-shape Gini expression
+    "q_gini" ->
+      """WITH sp AS (
+        | SELECT c_mktsegment AS seg,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100 AS v
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        | GROUP BY c_mktsegment, o_custkey),
+        |cells AS (SELECT seg, v, CAST(count(*) AS BIGINT) AS cnt
+        | FROM sp GROUP BY 1, 2),
+        |t AS (SELECT seg, CAST(sum(cnt) AS BIGINT) AS n,
+        |  CAST(sum(cnt * v) AS BIGINT) AS s FROM cells GROUP BY 1),
+        |c2 AS (SELECT seg, v, cnt,
+        |  sum(cnt) OVER (PARTITION BY seg ORDER BY v) - cnt AS cumb FROM cells),
+        |g AS (SELECT c2.seg, n, s,
+        |  CAST(sum(cnt * v * (2 * cumb + cnt + 1)) AS BIGINT) AS num2
+        | FROM c2 JOIN t USING (seg) GROUP BY 1, 2, 3)
+        |SELECT seg AS c_mktsegment, n AS n_customers, s AS total_dollars,
+        | round(CAST(num2 AS DOUBLE) / (n * s) - CAST(n + 1 AS DOUBLE) / n, 4) AS gini
+        |FROM g ORDER BY 1""".stripMargin,
     // D49: the D40 integer daily frame, pairs via an rn self-join per
     // lag, one fixed-shape IEEE ACF expression over exact bigint stats
     "mon_autocorr" ->
@@ -2014,6 +2036,21 @@ object SparkEntry {
         |  CAST(abs(slope) > 50.0 AS INT) AS trending
         |FROM r JOIN t USING (source) WHERE rn = (n_pairs + 1) // 2
         |ORDER BY source""".stripMargin,
+    // F88: shared tokenizer, vowel-group syllable proxy (floor 1/word),
+    // terminator-run sentences (floor 1), one fixed-shape Flesch
+    "text_readability" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks, text FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_words,
+         |  greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+         |    AS n_sentences,
+         |  CAST(list_sum([greatest(1, len(regexp_extract_all(x, '[aeiouy]+')))
+         |    for x in toks]) AS BIGINT) AS n_syllables
+         | FROM t WHERE len(toks) > 0)
+         |SELECT doc_id, n_words, n_sentences, n_syllables,
+         | round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+         |   - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4) AS flesch
+         |FROM m ORDER BY doc_id""".stripMargin,
     // F84: floored unigram/bigram counts via the shared tokenizer, the
     // fixed-order six-log PMI sum over exact integers
     "text_pmi" ->

@@ -1018,6 +1018,62 @@ object Relational {
       .orderBy(col("r_score"), col("f_score"), col("m_score"))
   }
 
+  /** E45: GINI concentration of customer lifetime spend per market
+    * segment — the inequality readout behind every "top 1% of customers
+    * drive X% of revenue" decision (and, in the curation setting, the
+    * domain-mix concentration check F35 samples against): 0 = every
+    * customer spends alike, →1 = one whale holds the segment.
+    *
+    * Determinism contract: spend quantizes to exact integer DOLLARS
+    * (declared quantization — cents div 100 — so the CDF cells are
+    * value-range-bounded); the rank-weighted sum uses the E41 midrank
+    * device in 2× units (Σ cnt·v·(2·cumBefore + cnt + 1), an exact
+    * bigint that is order-independent by construction), and the Gini
+    * assembles in ONE fixed-shape IEEE expression
+    * num2/(n·S) − (n+1)/n rounded to 4 decimals. An all-equal segment
+    * scores exactly 0.0 (both terms collapse to the same double).
+    * At extreme corpus sizes num2 approaches 2·n·S — re-declare the
+    * aggs decimal(38) there (the D46 convention).
+    *
+    * Scale shape: order- and customer-grain hash aggs; the CDF window
+    * runs over (segment, dollar) VALUE cells, never customers; totals
+    * broadcast; the report is segments-sized. */
+  def qGini(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    giniOf(t.orders
+      .select(col("o_custkey"), expr("cast(round(o_totalprice * 100) as long)").as("o_cents"))
+      .groupBy(col("o_custkey")).agg(sum(col("o_cents")).as("cents"))
+      .join(t.customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), expr("cents div 100").as("v")))
+      .select(col("seg").as("c_mktsegment"), col("n_customers"),
+        col("total_dollars"), col("gini"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** The E45 compute over any (seg, v) non-negative integer value frame
+    * — specs plant all-equal and one-whale segments with closed-form
+    * coefficients. */
+  def giniOf(vals: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = vals.groupBy(col("seg"), col("v"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val w = Window.partitionBy(col("seg")).orderBy(col("v"))
+    val tot = cells.groupBy(col("seg"))
+      .agg(sum(col("cnt")).cast("long").as("n"),
+        sum(col("cnt") * col("v")).cast("long").as("s"))
+    cells
+      .withColumn("cumb", sum(col("cnt")).over(w) - col("cnt"))
+      .join(broadcast(tot), Seq("seg"))
+      .groupBy(col("seg"), col("n").as("n_customers"), col("s").as("total_dollars"))
+      .agg(sum(col("cnt") * col("v") * (lit(2L) * col("cumb") + col("cnt") + lit(1L)))
+        .cast("long").as("num2"))
+      .withColumn("gini", round(
+        col("num2").cast("double") / (col("n_customers") * col("total_dollars"))
+          - (col("n_customers") + lit(1L)).cast("double") / col("n_customers"), 4))
+      .select(col("seg"), col("n_customers"), col("total_dollars"), col("gini"))
+  }
+
   /** E35: event-transition (Markov) matrix — per-user next-event
     * transitions rolled up into a (state, next_state) matrix with exact
     * integer-PPM probabilities. The product/behavior-analytics

@@ -52,6 +52,44 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** F88: FLESCH READING-EASE scoring — the readability member of the
+    * filter family: F9 measures surface hygiene and F31 the Gopher
+    * structure rules, but neither says whether prose is SIMPLE; corpus
+    * curricula (F33) and audience-targeted mixes want the classic
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words) scale
+    * (≥90 ≈ 5th grade, ≤30 ≈ academic). Syllables use the standard
+    * dictionary-free proxy: vowel-group count per token, floored at 1 —
+    * deterministic and engine-portable, unlike a hyphenation model.
+    * Sentences count terminator runs ([.!?]+), floored at 1.
+    *
+    * Determinism: the three counts are exact integers from the shared
+    * tokenizer; the score is ONE fixed-shape IEEE expression over them,
+    * rounded to 4 decimals. Tokenless docs drop (no denominator).
+    *
+    * Scale shape: per-row expressions only — zero shuffle, the F9
+    * class; the higher-order functions stay inside codegen. */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    readabilityOf(Tables(spark, dir).documents)
+
+  /** The F88 compute over any (doc_id, text) frame — specs plant prose
+    * with hand-counted syllables. */
+  def readabilityOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        greatest(lit(1L), size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+          .cast("long")).as("n_sentences"),
+        aggregate(transform(col("toks"),
+            t => greatest(lit(1), size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0))))
+              .cast("long")),
+          lit(0L), (acc, x) => acc + x).as("n_syllables"))
+      .withColumn("flesch", round(lit(206.835)
+        - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+        - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")), 4))
+      .orderBy(col("doc_id"))
+
   // stopword families used by the langid heuristic (order = tie-break order)
   val langStops: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of", "to"),

@@ -879,4 +879,28 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     got.tail.foreach(p =>
       assert(math.abs(p._6 - math.log(8.0 / 3.0)) < 5e-4, p.toString))
   }
+
+  test("readability: hand-counted syllables/sentences, vowelless floor, tokenless drop") {
+    import spark.implicits._
+    val docs = Seq(
+      // 6 words, 2 terminator runs, 6 single-vowel-group syllables
+      (1L, "The cat sat. It ran fast!"),
+      // polysyllabic, no terminator → sentence floor 1:
+      // beau-ti-ful = 3 groups, o-rga-ni-za-tio(n) = 5 groups
+      (2L, "beautiful organization"),
+      // vowelless tokens floor at 1 syllable each
+      (3L, "hmm pfft"),
+      (4L, "   ")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.readabilityOf(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    def flesch(w: Long, s: Long, y: Long): Double =
+      BigDecimal(206.835 - 1.015 * (w.toDouble / s) - 84.6 * (y.toDouble / w))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((6L, 2L, 6L, flesch(6, 2, 6))), s"doc 1: ${got(1L)}")
+    assert(got(2L) == ((2L, 1L, 8L, flesch(2, 1, 8))), s"doc 2: ${got(2L)}")
+    assert(got(3L) == ((2L, 1L, 2L, flesch(2, 1, 2))), s"doc 3: ${got(3L)}")
+    assert(!got.contains(4L), "tokenless doc must drop, not divide by zero")
+    assert(got(1L)._4 > got(2L)._4, "simple prose must read easier than polysyllables")
+  }
 }

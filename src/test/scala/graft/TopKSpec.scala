@@ -245,6 +245,24 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("gini: all-equal scores exactly zero, one whale scores (n-1)/n, bimodal matches the closed form") {
+    import spark.implicits._
+    val vals = ((1 to 10).map(_ => ("eq", 50L)) ++
+      (1 to 9).map(_ => ("whale", 0L)) ++ Seq(("whale", 1000L)) ++
+      (1 to 5).map(_ => ("two", 100L)) ++ (1 to 5).map(_ => ("two", 300L)))
+      .toDF("seg", "v")
+    val got = Relational.giniOf(vals).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("eq") == ((10L, 500L, 0.0)), s"all-equal: ${got("eq")}")
+    assert(got("whale") == ((10L, 1000L, 0.9)), s"one whale: ${got("whale")}")
+    // half at 100, half at 300: mean abs diff 100, mean 200 → G = 0.25
+    assert(got("two") == ((10L, 2000L, 0.25)), s"bimodal: ${got("two")}")
+    // live wire: coefficients in [0, 1), segments partition the customers
+    val wire = Relational.qGini(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    assert(wire.nonEmpty && wire.forall(w => w._3 >= 0.0 && w._3 < 1.0))
+  }
+
   test("markov transitions match a brute-force per-user replay and PPM invariants hold") {
     val got = Relational.qMarkovTransitions(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
