@@ -149,6 +149,8 @@ object SparkEntry {
     "q_gaps_islands"         -> Relational.qGapsIslands _,
     "q_rfm"                  -> Relational.qRfm _,
     "q_gini"                 -> Relational.qGini _,
+    "q_abc"                  -> Relational.qAbc _,
+    "mon_uptime"             -> ((s: SparkSession, d: String) => LoadOps.uptime(s, d)),
     "text_readability"       -> ((s: SparkSession, d: String) => TextAnalysis.readability(s, d)),
     "q_markov_transitions"   -> Relational.qMarkovTransitions _,
     "q_ab_ttest"             -> Relational.qAbTtest _,
@@ -1984,6 +1986,46 @@ object SparkEntry {
         |SELECT seg AS c_mktsegment, n AS n_customers, s AS total_dollars,
         | round(CAST(num2 AS DOUBLE) / (n * s) - CAST(n + 1 AS DOUBLE) / n, 4) AS gini
         |FROM g ORDER BY 1""".stripMargin,
+    // E46: descending dollar-cell CDF, exact integer 80/95 boundaries
+    // (5·cumb < 4·S, 20·cumb < 19·S), integer-PPM shares
+    "q_abc" ->
+      """WITH sp AS (
+        | SELECT c_mktsegment AS seg,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100 AS v
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        | GROUP BY c_mktsegment, o_custkey),
+        |cells AS (SELECT seg, v, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(count(*) AS BIGINT) * v AS dollars FROM sp GROUP BY 1, 2),
+        |t AS (SELECT seg, CAST(sum(dollars) AS BIGINT) AS s FROM cells GROUP BY 1),
+        |c2 AS (SELECT seg, v, cnt, dollars,
+        |  sum(dollars) OVER (PARTITION BY seg ORDER BY v DESC) - dollars AS cumb
+        | FROM cells),
+        |cl AS (SELECT c2.seg, cnt, dollars, s,
+        |  CASE WHEN 5 * cumb < 4 * s THEN 'A'
+        |    WHEN 20 * cumb < 19 * s THEN 'B' ELSE 'C' END AS abc_class
+        | FROM c2 JOIN t USING (seg))
+        |SELECT seg AS c_mktsegment, abc_class,
+        | CAST(sum(cnt) AS BIGINT) AS n_customers,
+        | CAST(sum(dollars) AS BIGINT) AS class_dollars,
+        | CAST(sum(dollars) AS BIGINT) * 1000000 // s AS share_ppm
+        |FROM cl GROUP BY 1, 2, s ORDER BY 1, 2""".stripMargin,
+    // D51: (source, hour-bucket) cells, one lead() gap window, exact
+    // integer PPM uptime, lead/tail silence counted in the worst outage
+    "mon_uptime" ->
+      """WITH e AS (SELECT DISTINCT event_type AS source,
+        |  CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 3600 AS b FROM events),
+        |sp AS (SELECT min(b) AS blo, max(b) AS bhi
+        | FROM (SELECT CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 3600 AS b
+        |   FROM events)),
+        |g AS (SELECT source, b, lead(b) OVER (PARTITION BY source ORDER BY b) AS nxt
+        | FROM e),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_active,
+        |  coalesce(max(nxt - b - 1), 0) AS gap_in,
+        |  min(b) AS first_b, max(b) AS last_b FROM g GROUP BY 1)
+        |SELECT source, bhi - blo + 1 AS n_expected, n_active,
+        | n_active * 1000000 // (bhi - blo + 1) AS uptime_ppm,
+        | greatest(gap_in, first_b - blo, bhi - last_b) AS longest_gap
+        |FROM a, sp ORDER BY source""".stripMargin,
     // D49: the D40 integer daily frame, pairs via an rn self-join per
     // lag, one fixed-shape IEEE ACF expression over exact bigint stats
     "mon_autocorr" ->

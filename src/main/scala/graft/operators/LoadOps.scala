@@ -1483,6 +1483,44 @@ object LoadOps {
       .orderBy(col("source"))
   }
 
+  /** D51: heartbeat UPTIME per source — the coverage readout the gap
+    * monitors (D18 run gaps, D25 gap fill) presuppose: of the corpus's
+    * hour buckets, how many did each source populate at all, and how
+    * long was its worst outage (interior silence OR the lead/tail
+    * silence before its first and after its last event — an SLA page
+    * counts both). The one-number availability view that triages which
+    * source D18's per-gap detail is worth opening for.
+    *
+    * Determinism contract: buckets and gaps are exact integer
+    * arithmetic end-to-end (sec div bucket, counts, differences,
+    * integer-PPM division) — zero float anywhere.
+    *
+    * Scale shape: ONE hash agg collapses the corpus to (source, bucket)
+    * cells (span-bounded, never event-proportional); the gap scan is
+    * one lead() window over those cells partitioned by source; the
+    * corpus span is a 1-row broadcast. */
+  def uptime(spark: SparkSession, dir: String, bucketSec: Long = 3600L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, dir).eventsSec
+      .select(col("event_type").as("source"), expr(s"sec div $bucketSec").as("b"))
+    val act = e.distinct()
+    val span = e.agg(min(col("b")).as("blo"), max(col("b")).as("bhi"))
+    val w = Window.partitionBy(col("source")).orderBy(col("b"))
+    act.withColumn("nxt", lead(col("b"), 1).over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_active"),
+        coalesce(max(col("nxt") - col("b") - lit(1L)), lit(0L)).as("gap_in"),
+        min(col("b")).as("first_b"), max(col("b")).as("last_b"))
+      .crossJoin(broadcast(span))
+      .withColumn("n_expected", col("bhi") - col("blo") + lit(1L))
+      .withColumn("longest_gap", greatest(col("gap_in"),
+        col("first_b") - col("blo"), col("bhi") - col("last_b")))
+      .withColumn("uptime_ppm", expr("n_active * 1000000 div n_expected"))
+      .select(col("source"), col("n_expected"), col("n_active"),
+        col("uptime_ppm"), col("longest_gap"))
+      .orderBy(col("source"))
+  }
+
   /** D31: ROBUST outlier monitor — modified z-scores from the median and
     * the Median Absolute Deviation (Iglewicz & Hoaglin 1993: |0.6745·
     * (v−med)/MAD| > 3.5 flags an outlier). D12's mean/stddev screens are

@@ -1038,17 +1038,23 @@ object Relational {
     * Scale shape: order- and customer-grain hash aggs; the CDF window
     * runs over (segment, dollar) VALUE cells, never customers; totals
     * broadcast; the report is segments-sized. */
-  def qGini(spark: SparkSession, dir: String): DataFrame = {
+  def qGini(spark: SparkSession, dir: String): DataFrame =
+    giniOf(segmentSpend(spark, dir))
+      .select(col("seg").as("c_mktsegment"), col("n_customers"),
+        col("total_dollars"), col("gini"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Dollar-quantized customer lifetime spend per market segment —
+    * the (seg, v) frame E45 and E46 both analyze (one definition so
+    * their distributions can never drift apart). */
+  private def segmentSpend(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    giniOf(t.orders
+    t.orders
       .select(col("o_custkey"), expr("cast(round(o_totalprice * 100) as long)").as("o_cents"))
       .groupBy(col("o_custkey")).agg(sum(col("o_cents")).as("cents"))
       .join(t.customer.select(col("c_custkey"), col("c_mktsegment")),
         col("o_custkey") === col("c_custkey"))
-      .select(col("c_mktsegment").as("seg"), expr("cents div 100").as("v")))
-      .select(col("seg").as("c_mktsegment"), col("n_customers"),
-        col("total_dollars"), col("gini"))
-      .orderBy(col("c_mktsegment"))
+      .select(col("c_mktsegment").as("seg"), expr("cents div 100").as("v"))
   }
 
   /** The E45 compute over any (seg, v) non-negative integer value frame
@@ -1072,6 +1078,52 @@ object Relational {
         col("num2").cast("double") / (col("n_customers") * col("total_dollars"))
           - (col("n_customers") + lit(1L)).cast("double") / col("n_customers"), 4))
       .select(col("seg"), col("n_customers"), col("total_dollars"), col("gini"))
+  }
+
+  /** E46: ABC (Pareto) CLASSIFICATION of customers per market segment —
+    * the actionable slicing of E45's inequality number: class A =
+    * customers covering the first 80% of segment spend (descending),
+    * B = to 95%, C = the tail; the inventory-management 80/20 rule as a
+    * query. A cell's class comes from the cumulative spend BEFORE it,
+    * so equal-spend customers always share a class.
+    *
+    * Determinism contract: the 80/95% boundaries are exact integer
+    * inequalities (5·cumBefore < 4·S and 20·cumBefore < 19·S over
+    * bigint dollar sums — no float thresholds anywhere); shares report
+    * in exact integer PPM.
+    *
+    * Scale shape: the E45 shape verbatim — customer-grain hash aggs,
+    * one window over (segment, dollar) VALUE cells ordered descending,
+    * broadcast totals, a segments×3 report. */
+  def qAbc(spark: SparkSession, dir: String): DataFrame =
+    abcOf(segmentSpend(spark, dir))
+      .select(col("seg").as("c_mktsegment"), col("abc_class"),
+        col("n_customers"), col("class_dollars"), col("share_ppm"))
+      .orderBy(col("c_mktsegment"), col("abc_class"))
+
+  /** The E46 compute over any (seg, v) non-negative integer value frame
+    * — specs plant whale/uniform segments with closed-form classes. */
+  def abcOf(vals: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = vals.groupBy(col("seg"), col("v"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .withColumn("dollars", col("cnt") * col("v"))
+    val w = Window.partitionBy(col("seg")).orderBy(col("v").desc)
+    val tot = cells.groupBy(col("seg"))
+      .agg(sum(col("dollars")).cast("long").as("s"))
+    cells
+      .withColumn("cumb", sum(col("dollars")).over(w) - col("dollars"))
+      .join(broadcast(tot), Seq("seg"))
+      .withColumn("abc_class",
+        when(lit(5L) * col("cumb") < lit(4L) * col("s"), "A")
+          .when(lit(20L) * col("cumb") < lit(19L) * col("s"), "B")
+          .otherwise("C"))
+      .groupBy(col("seg"), col("abc_class"), col("s"))
+      .agg(sum(col("cnt")).cast("long").as("n_customers"),
+        sum(col("dollars")).cast("long").as("class_dollars"))
+      .withColumn("share_ppm", expr("class_dollars * 1000000 div s"))
+      .select(col("seg"), col("abc_class"), col("n_customers"),
+        col("class_dollars"), col("share_ppm"))
   }
 
   /** E35: event-transition (Markov) matrix — per-user next-event

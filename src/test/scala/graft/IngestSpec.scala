@@ -1411,6 +1411,31 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
       (d.toLong, if (d == 13) 100000L else 100L + 7L * d))), "brute median replay")
   }
 
+  test("uptime: brute-force bucket replay, PPM bounds, lead/tail outages counted") {
+    val got = graft.operators.LoadOps.uptime(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got.nonEmpty)
+    // brute replay from raw events
+    val bs = Tables(spark, sfDir).eventsSec
+      .selectExpr("event_type", "sec div 3600 as b")
+      .collect().map(r => (r.getString(0), r.getLong(1))).distinct
+    val (blo, bhi) = (bs.map(_._2).min, bs.map(_._2).max)
+    val brute = bs.groupBy(_._1).map { case (src, cells) =>
+      val sorted = cells.map(_._2).distinct.sorted
+      val inner = if (sorted.size < 2) 0L
+        else sorted.sliding(2).map(p => p(1) - p(0) - 1).max
+      val exp = bhi - blo + 1
+      (src, exp, sorted.size.toLong, sorted.size.toLong * 1000000L / exp,
+        Seq(inner, sorted.head - blo, bhi - sorted.last).max)
+    }.toSeq.sortBy(_._1)
+    assert(got == brute, s"uptime must replay brute-force")
+    got.foreach { case (src, exp, act, ppm, gap) =>
+      assert(act <= exp && ppm <= 1000000L && gap <= exp - act,
+        s"$src: invariants broken ($exp, $act, $ppm, $gap)")
+    }
+  }
+
   test("Wasserstein drift: exact location-shift recovery and a brute-force integral replay") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

@@ -263,6 +263,35 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
     assert(wire.nonEmpty && wire.forall(w => w._3 >= 0.0 && w._3 < 1.0))
   }
 
+  test("abc: whale/bimodal segments classify by exact integer boundaries, classes partition spend") {
+    import spark.implicits._
+    // w: 800/150/50 → the 800-whale alone is A (cumb 0), 150 lands B
+    // (cumb 800: 5·800 = 4000 is NOT < 4·1000 strict), 50 lands C
+    // (cumb 950: 20·950 = 19000 is NOT < 19·1000); eq: one shared cell,
+    // cumb 0 → everyone A
+    val vals = (Seq(("w", 800L), ("w", 150L), ("w", 50L)) ++
+      (1 to 10).map(_ => ("eq", 10L))).toDF("seg", "v")
+    val got = Relational.abcOf(vals).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(("w", "A")) == ((1L, 800L, 800000L)), s"${got.get(("w", "A"))}")
+    assert(got(("w", "B")) == ((1L, 150L, 150000L)))
+    assert(got(("w", "C")) == ((1L, 50L, 50000L)))
+    assert(got(("eq", "A")) == ((10L, 100L, 1000000L)) && !got.contains(("eq", "B")),
+      "equal spenders share one cell and one class")
+    // live wire: classes partition customers and dollars within segment
+    val wire = Relational.qAbc(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(wire.nonEmpty)
+    wire.groupBy(_._1).foreach { case (seg, rows) =>
+      val ppm = rows.map(_._5).sum
+      assert(ppm >= 999998L && ppm <= 1000000L, s"$seg shares: $ppm") // div-floor slack
+      val aShare = rows.filter(_._2 == "A").map(_._5).sum
+      assert(aShare >= 800000L || rows.map(_._2).toSet == Set("A"),
+        s"$seg: class A must cover at least 80% once it closes: $aShare")
+    }
+  }
+
   test("markov transitions match a brute-force per-user replay and PPM invariants hold") {
     val got = Relational.qMarkovTransitions(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
