@@ -161,6 +161,8 @@ object SparkEntry {
     "q_set_ops_all"          -> Relational.qSetOpsAll _,
     "emb_silhouette"         -> ((s: SparkSession, d: String) => Similarity.embSilhouette(s, d)),
     "emb_kmeans"             -> ((s: SparkSession, d: String) => Similarity.kmeans(s, d)),
+    "emb_purity"             -> ((s: SparkSession, d: String) => Similarity.embPurity(s, d)),
+    "q_decile_lift"          -> Relational.qDecileLift _,
     "emb_lof"                -> ((s: SparkSession, d: String) => Similarity.embLof(s, d)),
     "ann_recall"             -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
     "text_quality_model"     -> ((s: SparkSession, d: String) => TextAnalysis.qualityModel(s, d)),
@@ -446,6 +448,39 @@ object SparkEntry {
 
   private val evSec =
     "SELECT *, CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS sec FROM events"
+
+  /** F85's two-round Lloyd chain (label-mean init, 4-dec-rounded
+    * centroid updates, smaller-label argmax ties), ending at the final
+    * assignment `sf(vec_id, c_label, sim)` with `e` still in scope —
+    * ONE text shared by the F85 report and the F89 purity oracle so
+    * both replay the identical clustering. */
+  private lazy val kmeansChainCtes: String =
+    s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (SELECT c_label, list(round(a, 4) ORDER BY pos) AS cv
+       |  FROM (SELECT label AS c_label, pos, avg(x) AS a
+       |    FROM (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e)
+       |    GROUP BY 1, pos) GROUP BY 1),
+       |s1 AS MATERIALIZED (SELECT vec_id, v, c_label FROM (
+       |  SELECT vec_id, v, c_label, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY ${cosSql("v", "cv")} DESC, c_label) AS rn
+       |  FROM e CROSS JOIN c0) WHERE rn = 1),
+       |c1 AS (SELECT c_label, list(round(a, 4) ORDER BY pos) AS cv
+       |  FROM (SELECT c_label, pos, avg(x) AS a
+       |    FROM (SELECT c_label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM s1)
+       |    GROUP BY 1, pos) GROUP BY 1),
+       |s2 AS MATERIALIZED (SELECT vec_id, v, c_label FROM (
+       |  SELECT vec_id, v, c_label, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY ${cosSql("v", "cv")} DESC, c_label) AS rn
+       |  FROM e CROSS JOIN c1) WHERE rn = 1),
+       |c2 AS (SELECT c_label, list(round(a, 4) ORDER BY pos) AS cv
+       |  FROM (SELECT c_label, pos, avg(x) AS a
+       |    FROM (SELECT c_label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM s2)
+       |    GROUP BY 1, pos) GROUP BY 1),
+       |sf AS MATERIALIZED (SELECT vec_id, c_label, sim FROM (
+       |  SELECT vec_id, c_label, ${cosSql("v", "cv")} AS sim,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY ${cosSql("v", "cv")} DESC, c_label) AS rn
+       |  FROM e CROSS JOIN c2) WHERE rn = 1)""".stripMargin
 
   /** The F80 floored n-gram count chain (n = 1..3, shared tokenizer,
     * count floor 5) — ONE text shared by the count-table oracle and the
@@ -1986,6 +2021,40 @@ object SparkEntry {
         |SELECT seg AS c_mktsegment, n AS n_customers, s AS total_dollars,
         | round(CAST(num2 AS DOUBLE) / (n * s) - CAST(n + 1 AS DOUBLE) / n, 4) AS gini
         |FROM g ORDER BY 1""".stripMargin,
+    // E47: the E44 inverse-CDF device at decile granularity over
+    // event-count cells, nested integer-PPM divisions for rate and lift
+    "q_decile_lift" ->
+      """WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS conv
+        | FROM events GROUP BY 1),
+        |cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum,
+        |  (SELECT count(*) FROM u) AS n
+        | FROM (SELECT n_events AS v, count(*) AS cnt FROM u GROUP BY 1)),
+        |b AS (SELECT min(CASE WHEN cum >= (1*n+9)//10 THEN v END) AS b1,
+        |  min(CASE WHEN cum >= (2*n+9)//10 THEN v END) AS b2,
+        |  min(CASE WHEN cum >= (3*n+9)//10 THEN v END) AS b3,
+        |  min(CASE WHEN cum >= (4*n+9)//10 THEN v END) AS b4,
+        |  min(CASE WHEN cum >= (5*n+9)//10 THEN v END) AS b5,
+        |  min(CASE WHEN cum >= (6*n+9)//10 THEN v END) AS b6,
+        |  min(CASE WHEN cum >= (7*n+9)//10 THEN v END) AS b7,
+        |  min(CASE WHEN cum >= (8*n+9)//10 THEN v END) AS b8,
+        |  min(CASE WHEN cum >= (9*n+9)//10 THEN v END) AS b9 FROM cum),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(sum(conv) AS BIGINT) AS conv_total FROM u),
+        |d AS (SELECT conv, 1 + CAST(n_events > b.b1 AS INT)
+        |  + CAST(n_events > b.b2 AS INT) + CAST(n_events > b.b3 AS INT)
+        |  + CAST(n_events > b.b4 AS INT) + CAST(n_events > b.b5 AS INT)
+        |  + CAST(n_events > b.b6 AS INT) + CAST(n_events > b.b7 AS INT)
+        |  + CAST(n_events > b.b8 AS INT) + CAST(n_events > b.b9 AS INT) AS decile
+        | FROM u, b),
+        |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(conv) AS BIGINT) AS n_converted FROM d GROUP BY 1)
+        |SELECT decile, n_users, n_converted,
+        | n_converted * 1000000 // n_users AS conv_ppm,
+        | (n_converted * 1000000 // n_users) * 1000000
+        |   // (conv_total * 1000000 // n_total) AS lift_ppm
+        |FROM g, t ORDER BY decile""".stripMargin,
     // E46: descending dollar-cell CDF, exact integer 80/95 boundaries
     // (5·cumb < 4·S, 20·cumb < 19·S), integer-PPM shares
     "q_abc" ->
@@ -4072,35 +4141,24 @@ object SparkEntry {
     // every update (the engine's portability device), argmax ties to the
     // smaller centroid id, final per-cluster report
     "emb_kmeans" ->
-      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-         |c0 AS (SELECT c_label, list(round(a, 4) ORDER BY pos) AS cv
-         |  FROM (SELECT label AS c_label, pos, avg(x) AS a
-         |    FROM (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e)
-         |    GROUP BY 1, pos) GROUP BY 1),
-         |s1 AS MATERIALIZED (SELECT vec_id, v, c_label FROM (
-         |  SELECT vec_id, v, c_label, row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY ${cosSql("v", "cv")} DESC, c_label) AS rn
-         |  FROM e CROSS JOIN c0) WHERE rn = 1),
-         |c1 AS (SELECT c_label, list(round(a, 4) ORDER BY pos) AS cv
-         |  FROM (SELECT c_label, pos, avg(x) AS a
-         |    FROM (SELECT c_label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM s1)
-         |    GROUP BY 1, pos) GROUP BY 1),
-         |s2 AS MATERIALIZED (SELECT vec_id, v, c_label FROM (
-         |  SELECT vec_id, v, c_label, row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY ${cosSql("v", "cv")} DESC, c_label) AS rn
-         |  FROM e CROSS JOIN c1) WHERE rn = 1),
-         |c2 AS (SELECT c_label, list(round(a, 4) ORDER BY pos) AS cv
-         |  FROM (SELECT c_label, pos, avg(x) AS a
-         |    FROM (SELECT c_label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM s2)
-         |    GROUP BY 1, pos) GROUP BY 1),
-         |sf AS MATERIALIZED (SELECT vec_id, c_label, sim FROM (
-         |  SELECT vec_id, c_label, ${cosSql("v", "cv")} AS sim,
-         |    row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY ${cosSql("v", "cv")} DESC, c_label) AS rn
-         |  FROM e CROSS JOIN c2) WHERE rn = 1)
+      s"""WITH $kmeansChainCtes
          |SELECT CAST(c_label AS BIGINT) AS cluster, CAST(count(*) AS BIGINT) AS n,
          |  round(avg(sim), 4) AS mean_sim
          |FROM sf GROUP BY 1 ORDER BY 1""".stripMargin,
+    // F89: the SAME Lloyd chain (sf), joined back to the stored labels —
+    // majority by (count DESC, smaller label), exact integer PPM purity
+    "emb_purity" ->
+      s"""WITH $kmeansChainCtes,
+         |lc AS (SELECT sf.c_label AS cluster, e.label,
+         |  CAST(count(*) AS BIGINT) AS cnt
+         | FROM sf JOIN e ON e.vec_id = sf.vec_id GROUP BY 1, 2),
+         |m AS (SELECT cluster, label, cnt,
+         |  row_number() OVER (PARTITION BY cluster ORDER BY cnt DESC, label) AS rn,
+         |  CAST(sum(cnt) OVER (PARTITION BY cluster) AS BIGINT) AS n FROM lc)
+         |SELECT CAST(cluster AS BIGINT) AS cluster, n,
+         | CAST(label AS BIGINT) AS majority_label, cnt AS n_majority,
+         | cnt * 1000000 // n AS purity_ppm
+         |FROM m WHERE rn = 1 ORDER BY 1""".stripMargin,
     // cosines; margins/flags judge 4-dec-rounded values in one shape
     "emb_silhouette" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

@@ -1126,6 +1126,54 @@ object Relational {
         col("class_dollars"), col("share_ppm"))
   }
 
+  /** E47: DECILE LIFT — the model-evaluation staple behind every
+    * targeting decision: rank users into activity deciles (event count
+    * as the score) and compare each decile's purchase-conversion rate
+    * to the corpus base rate. A lift near 1e6 everywhere says the score
+    * carries no signal; a top decile at 3e6 says calling 10% of the
+    * list captures 3× its share of converters.
+    *
+    * Determinism contract: deciles come from the E44 inverse-CDF device
+    * — 9 boundaries over VALUE-BOUNDED event-count cells with integer
+    * ceil (k·n+9) div 10, ties to the lower decile; conversion and lift
+    * are exact integer PPM (lift = conv_ppm·1e6 div base_ppm — two
+    * nested integer divisions, identical in both engines, never an
+    * overflow-prone triple product).
+    *
+    * Scale shape: one user-grain hash agg; the CDF over count cells
+    * (value-bounded); boundary + total rows broadcast; a 10-row
+    * report. */
+  def qDecileLift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = Tables(spark, dir).eventsSec
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        max((col("event_type") === "purchase").cast("long")).as("conv"))
+      .localCheckpoint(true) // the CDF pass and the scoring pass reread it
+    val cells = u.groupBy(col("n_events").as("v"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val cum = cells
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("v"))))
+      .crossJoin(broadcast(cells.agg(sum(col("cnt")).cast("long").as("n"))))
+    val bs = (1 to 9).map(k =>
+      min(when(col("cum") >= expr(s"($k * n + 9) div 10"), col("v"))).as(s"b$k"))
+    val bks = cum.agg(bs.head, bs.tail: _*)
+    val tot = u.agg(count(lit(1)).cast("long").as("n_total"),
+      sum(col("conv")).cast("long").as("conv_total"))
+    u.crossJoin(broadcast(bks)).crossJoin(broadcast(tot))
+      .withColumn("decile", lit(1) +
+        (1 to 9).map(k => (col("n_events") > col(s"b$k")).cast("int")).reduce(_ + _))
+      .groupBy(col("decile"), col("n_total"), col("conv_total"))
+      .agg(count(lit(1)).cast("long").as("n_users"),
+        sum(col("conv")).cast("long").as("n_converted"))
+      .withColumn("conv_ppm", expr("n_converted * 1000000 div n_users"))
+      .withColumn("lift_ppm",
+        expr("conv_ppm * 1000000 div (conv_total * 1000000 div n_total)"))
+      .select(col("decile"), col("n_users"), col("n_converted"),
+        col("conv_ppm"), col("lift_ppm"))
+      .orderBy(col("decile"))
+  }
+
   /** E35: event-transition (Markov) matrix — per-user next-event
     * transitions rolled up into a (state, next_state) matrix with exact
     * integer-PPM probabilities. The product/behavior-analytics

@@ -213,7 +213,18 @@ object Similarity {
     * and re-read per round (at 100 TB this is the once-per-corpus-
     * version index-build job, the `ann_ivf_index` amortization
     * argument — rounds × one corpus scan, nothing quadratic). */
-  def kmeans(spark: SparkSession, dir: String, rounds: Int = 2): DataFrame = {
+  def kmeans(spark: SparkSession, dir: String, rounds: Int = 2): DataFrame =
+    kmeansAssign(spark, dir, rounds)
+      .withColumn("sim", Vec.cosine(col("v"), col("cv")))
+      .groupBy(col("c_label").cast("long").as("cluster"))
+      .agg(count(lit(1)).as("n"), round(avg(col("sim")), 4).as("mean_sim"))
+      .orderBy(col("cluster"))
+
+  /** The F85 Lloyd loop ending at the final per-vector assignment
+    * (vec_id, v, c_label, cv) — ONE builder shared by the F85 report
+    * and the F89 purity readout so the two can never disagree about
+    * which cluster a vector landed in. */
+  def kmeansAssign(spark: SparkSession, dir: String, rounds: Int = 2): DataFrame = {
     val e = vectors(spark, dir).localCheckpoint(true)
     val r4 = (c: DataFrame) => c.withColumn("cv",
       transform(col("cv"), x => round(x, 4)))
@@ -229,9 +240,34 @@ object Similarity {
           s => s.getField("c")).as("cv")))
     }
     assignNearest(e, cents)
-      .withColumn("sim", Vec.cosine(col("v"), col("cv")))
-      .groupBy(col("c_label").cast("long").as("cluster"))
-      .agg(count(lit(1)).as("n"), round(avg(col("sim")), 4).as("mean_sim"))
+  }
+
+  /** F89: CLUSTER PURITY of the Lloyd assignment against the stored
+    * labels — the external-validity companion to F76's silhouette
+    * (internal geometry): per cluster, which label dominates and by how
+    * much. A refinement that merely re-shuffles vectors between
+    * same-label clusters keeps purity at 1e6; purity collapse after a
+    * re-train is the re-index alarm (the D36 drift monitor's
+    * clustering-side twin). Ties on the majority label break to the
+    * smaller label id.
+    *
+    * Scale shape: rides the F85 assignment verbatim (broadcast
+    * centroids, max_by argmax); the readout is TWO hash aggs over
+    * (cluster, label) cells — |clusters|×|labels|-bounded — and exact
+    * integer PPM division. */
+  def embPurity(spark: SparkSession, dir: String): DataFrame = {
+    val asg = kmeansAssign(spark, dir)
+      .join(vectors(spark, dir).select(col("vec_id"), col("label")), Seq("vec_id"))
+    asg.groupBy(col("c_label").cast("long").as("cluster"),
+        col("label").cast("long").as("label"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .groupBy(col("cluster"))
+      .agg(sum(col("cnt")).cast("long").as("n"),
+        max_by(struct(col("label"), col("cnt")),
+          struct(col("cnt"), -col("label"))).as("best"))
+      .select(col("cluster"), col("n"), col("best.label").as("majority_label"),
+        col("best.cnt").as("n_majority"))
+      .withColumn("purity_ppm", expr("n_majority * 1000000 div n"))
       .orderBy(col("cluster"))
   }
 

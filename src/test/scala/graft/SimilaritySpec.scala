@@ -817,6 +817,28 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(got.exists(_._2 < 10L), "nprobe=2 lost no neighbor anywhere — degenerate")
   }
 
+  test("purity: majority rollup replays from the shared assignment, partitions the corpus, bounded below") {
+    val got = Similarity.embPurity(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    val asg = Similarity.kmeansAssign(spark, sfDir)
+      .select("vec_id", "c_label").collect().map(r => (r.getLong(0), r.getInt(1)))
+    val labels = Similarity.vectors(spark, sfDir)
+      .select("vec_id", "label").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val brute = asg.groupBy(_._2).map { case (c, vs) =>
+      val lc = vs.map(v => labels(v._1).toLong).groupBy(identity)
+        .map { case (l, g) => (l, g.size.toLong) }
+      val (ml, mc) = lc.toSeq.minBy { case (l, n) => (-n, l) } // count DESC, smaller label
+      (c.toLong, vs.size.toLong, ml, mc, mc * 1000000L / vs.size)
+    }.toSeq.sortBy(_._1)
+    assert(got.nonEmpty && got == brute, "purity must replay from the shared assignment")
+    assert(got.map(_._2).sum == labels.size, "clusters must partition the corpus")
+    got.foreach { case (c, n, _, nm, ppm) =>
+      assert(nm >= 1L && nm <= n && ppm == nm * 1000000L / n && ppm <= 1000000L,
+        s"cluster $c: purity bounds broken ($n, $nm, $ppm)")
+    }
+  }
+
   test("kmeans: independent Lloyd replay (rounded centroids, small-id ties) matches exactly") {
     val got = Similarity.kmeans(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq

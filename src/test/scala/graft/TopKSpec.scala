@@ -292,6 +292,36 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("decile lift: brute-force CDF replay, rates weighted-average to base, deciles cover users") {
+    val got = Relational.qDecileLift(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    val users = Tables(spark, sfDir).eventsSec
+      .selectExpr("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).toSeq.map { case (_, es) =>
+        (es.size.toLong, if (es.exists(_._2 == "purchase")) 1L else 0L)
+      }
+    val n = users.size.toLong
+    val cells = users.map(_._1).groupBy(identity).view
+      .mapValues(_.size.toLong).toSeq.sortBy(_._1)
+    val cum = cells.scanLeft(0L)(_ + _._2).tail
+    val bks = (1 to 9).map { k =>
+      val t = (k * n + 9) / 10
+      cells(cum.indexWhere(_ >= t))._1
+    }
+    val (nTot, cTot) = (n, users.map(_._2).sum)
+    val brute = users.map { case (ne, cv) => (1 + bks.count(ne > _), cv) }
+      .groupBy(_._1).map { case (d, g) =>
+        val (nu, nc) = (g.size.toLong, g.map(_._2).sum)
+        val ppm = nc * 1000000L / nu
+        (d, nu, nc, ppm, ppm * 1000000L / (cTot * 1000000L / nTot))
+      }.toSeq.sortBy(_._1)
+    assert(got.nonEmpty && got == brute, "decile table must replay brute-force")
+    assert(got.map(_._2).sum == nTot && got.map(_._3).sum == cTot,
+      "deciles must cover every user and every conversion")
+  }
+
   test("markov transitions match a brute-force per-user replay and PPM invariants hold") {
     val got = Relational.qMarkovTransitions(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
