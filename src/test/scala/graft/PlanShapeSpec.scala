@@ -439,6 +439,42 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("CDF-boundary family: corpus collapses to one grain agg, boundary rows broadcast, no data-sized shuffle join") {
+    // q_rfm/q_decile_lift broadcast their boundary rows via crossJoin;
+    // q_gini/q_abc broadcast per-segment totals into the cells window —
+    // in every case the only data-sized operation is the first hash agg
+    for (name <- Seq("q_rfm", "q_decile_lift", "q_gini", "q_abc")) {
+      val p = plan(name)
+      assert(p.contains("partial_"), s"$name: no map-side combine:\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"$name: boundaries/totals must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name: non-broadcast cartesian:\n$p")
+    }
+  }
+
+  test("theilsen/autocorr/uptime: cells-sized monitors — partial agg first, no cartesian, bounded windows") {
+    for (name <- Seq("mon_theilsen", "mon_autocorr", "mon_uptime")) {
+      val p = plan(name)
+      assert(p.contains("partial_"), s"$name: no map-side combine:\n$p")
+      assert(p.contains("Window"), s"$name: cells window missing:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name: unbounded cartesian:\n$p")
+    }
+  }
+
+  test("gaps-islands: per-user window after the cells agg, never a global sort of events") {
+    val p = plan("q_gaps_islands")
+    assert(p.contains("partial_"), s"no map-side combine:\n$p")
+    assert(p.contains("Window"), s"island window missing:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cartesian in a cells-only pipeline:\n$p")
+  }
+
+  test("graph jaccard: wedge join over pinned edges, no unbounded cartesian") {
+    val p = plan("graph_jaccard")
+    assert(!p.contains("CartesianProduct"), s"unbounded cartesian:\n$p")
+    assert(p.contains("partial_count"), s"shared-neighbor agg must combine map-side:\n$p")
+  }
+
   test("kmeans: the centroid table broadcasts into every round's assignment, no shuffle join") {
     val p = plan("emb_kmeans")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
