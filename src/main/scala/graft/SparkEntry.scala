@@ -163,6 +163,8 @@ object SparkEntry {
     "emb_kmeans"             -> ((s: SparkSession, d: String) => Similarity.kmeans(s, d)),
     "emb_purity"             -> ((s: SparkSession, d: String) => Similarity.embPurity(s, d)),
     "q_decile_lift"          -> Relational.qDecileLift _,
+    "q_basket_lift"          -> ((s: SparkSession, d: String) => Relational.qBasketLift(s, d)),
+    "q_churn_hazard"         -> Relational.qChurnHazard _,
     "emb_lof"                -> ((s: SparkSession, d: String) => Similarity.embLof(s, d)),
     "ann_recall"             -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
     "text_quality_model"     -> ((s: SparkSession, d: String) => TextAnalysis.qualityModel(s, d)),
@@ -2055,6 +2057,40 @@ object SparkEntry {
         | (n_converted * 1000000 // n_users) * 1000000
         |   // (conv_total * 1000000 // n_total) AS lift_ppm
         |FROM g, t ORDER BY decile""".stripMargin,
+    // E48: distinct (order, brand) incidence, basket-bounded pair join,
+    // nested integer-PPM lift, support floor 20
+    "q_basket_lift" ->
+      """WITH inc AS (SELECT DISTINCT l_orderkey, p_brand
+        | FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM inc),
+        |per AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_one
+        | FROM inc GROUP BY 1),
+        |pr AS (SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+        |  CAST(count(*) AS BIGINT) AS n_ab
+        | FROM inc a JOIN inc b
+        |  ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        | GROUP BY 1, 2 HAVING count(*) >= 20)
+        |SELECT brand_a, brand_b, n_ab, x.n_one AS n_a, y.n_one AS n_b,
+        | n_ab * 1000000 // x.n_one * n_orders // y.n_one AS lift_ppm
+        |FROM pr JOIN per x ON x.p_brand = pr.brand_a
+        | JOIN per y ON y.p_brand = pr.brand_b, n
+        |ORDER BY 1, 2""".stripMargin,
+    // E49: exact epoch-week lifetimes, reverse-cumsum at-risk sets over
+    // lifetime cells, integer-PPM hazard
+    "q_churn_hazard" ->
+      """WITH l AS (SELECT user_id,
+        |  max(CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 // 7)
+        |  - min(CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 // 7)
+        |    AS lifetime
+        | FROM events GROUP BY 1),
+        |c AS (SELECT lifetime AS k, CAST(count(*) AS BIGINT) AS n_churned
+        | FROM l GROUP BY 1)
+        |SELECT k, n_at_risk, n_churned,
+        | n_churned * 1000000 // n_at_risk AS hazard_ppm
+        |FROM (SELECT k, n_churned,
+        |  CAST(sum(n_churned) OVER (ORDER BY k DESC) AS BIGINT) AS n_at_risk
+        | FROM c)
+        |ORDER BY k""".stripMargin,
     // E46: descending dollar-cell CDF, exact integer 80/95 boundaries
     // (5·cumb < 4·S, 20·cumb < 19·S), integer-PPM shares
     "q_abc" ->

@@ -1174,6 +1174,80 @@ object Relational {
       .orderBy(col("decile"))
   }
 
+  /** E48: MARKET-BASKET LIFT — brand co-occurrence within orders, the
+    * association-rule primitive (support / confidence-free lift form):
+    * lift(a,b) = P(a,b)/(P(a)·P(b)) over order baskets; ≈1e6 means
+    * independence, a 3e6 pair is a genuine cross-sell signal. Brands
+    * (not part keys) keep the co-occurrence matrix value-bounded.
+    *
+    * Determinism contract: presence counts are exact integers over
+    * DISTINCT (order, brand) incidence; lift is the E47 nested
+    * integer-PPM shape ((n_ab·1e6 div n_a)·n_orders div n_b — no
+    * overflow-prone triple product); pairs order (brand_a < brand_b).
+    *
+    * Scale shape: the basket self-join fans out per ORDER (items per
+    * order is bounded by the basket size — the F71 wedge argument
+    * applied to baskets), collapsing immediately to the brand-pair
+    * matrix (≤ brands² cells); per-brand counts broadcast into the
+    * matrix; a support floor keeps the report to real signals. */
+  def qBasketLift(spark: SparkSession, dir: String, minSupport: Long = 20L): DataFrame = {
+    val t = Tables(spark, dir)
+    val inc = t.lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .join(t.part.select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+      .localCheckpoint(true) // the pair join reads it twice
+    val n = inc.select(col("l_orderkey")).distinct().count()
+    val per = inc.groupBy(col("p_brand")).agg(count(lit(1)).cast("long").as("n_one"))
+    val pairs = inc.select(col("l_orderkey"), col("p_brand").as("brand_a"))
+      .join(inc.select(col("l_orderkey"), col("p_brand").as("brand_b")),
+        Seq("l_orderkey"))
+      .filter(col("brand_a") < col("brand_b"))
+      .groupBy(col("brand_a"), col("brand_b"))
+      .agg(count(lit(1)).cast("long").as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    pairs
+      .join(broadcast(per.select(col("p_brand").as("brand_a"), col("n_one").as("n_a"))),
+        Seq("brand_a"))
+      .join(broadcast(per.select(col("p_brand").as("brand_b"), col("n_one").as("n_b"))),
+        Seq("brand_b"))
+      .withColumn("lift_ppm",
+        expr(s"n_ab * 1000000 div n_a * ${n}L div n_b"))
+      .select(col("brand_a"), col("brand_b"), col("n_ab"), col("n_a"), col("n_b"),
+        col("lift_ppm"))
+      .orderBy(col("brand_a"), col("brand_b"))
+  }
+
+  /** E49: CHURN HAZARD curve — discrete-time survival analysis in exact
+    * integers: for each lifetime week k (last minus first active week),
+    * the hazard is the fraction of users who survived TO week k and
+    * churned AT it — the retention curve's derivative, the number a
+    * lifecycle-marketing intervention is timed by. Right-censoring is
+    * out of scope by declaration (the corpus is a closed window).
+    *
+    * Determinism contract: lifetimes are exact epoch-week integers; the
+    * at-risk set comes from a REVERSE cumulative sum over lifetime
+    * cells; hazard is exact integer PPM. Zero float anywhere.
+    *
+    * Scale shape: one user-grain hash agg; everything after runs over
+    * LIFETIME cells (calendar-span-bounded, never user-proportional) —
+    * one window over cells, one PPM projection. */
+  def qChurnHazard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val life = Tables(spark, dir).eventsSec
+      .select(col("user_id"), expr("sec div 86400 div 7").cast("long").as("week"))
+      .groupBy(col("user_id"))
+      .agg((max(col("week")) - min(col("week"))).as("lifetime"))
+    val cells = life.groupBy(col("lifetime").as("k"))
+      .agg(count(lit(1)).cast("long").as("n_churned"))
+    val w = Window.orderBy(col("k").desc)
+    cells
+      .withColumn("n_at_risk", sum(col("n_churned")).over(w))
+      .withColumn("hazard_ppm", expr("n_churned * 1000000 div n_at_risk"))
+      .select(col("k"), col("n_at_risk"), col("n_churned"), col("hazard_ppm"))
+      .orderBy(col("k"))
+  }
+
   /** E35: event-transition (Markov) matrix — per-user next-event
     * transitions rolled up into a (state, next_state) matrix with exact
     * integer-PPM probabilities. The product/behavior-analytics

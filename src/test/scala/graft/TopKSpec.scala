@@ -322,6 +322,60 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
       "deciles must cover every user and every conversion")
   }
 
+  test("basket lift: brute pair replay, symmetry of support, independence bound sanity") {
+    val got = Relational.qBasketLift(spark, sfDir, minSupport = 2L).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    val t = Tables(spark, sfDir)
+    val inc = t.lineitem.select("l_orderkey", "l_partkey")
+      .join(t.part.selectExpr("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .select("l_orderkey", "p_brand").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val nOrders = inc.map(_._1).distinct.size.toLong
+    val per = inc.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val brute = inc.groupBy(_._1).values.toSeq
+      .flatMap { basket =>
+        val bs = basket.map(_._2).distinct.sorted
+        for (i <- bs.indices; j <- i + 1 until bs.size) yield (bs(i), bs(j))
+      }
+      .groupBy(identity).toSeq
+      .collect { case ((a, b), g) if g.size >= 2 =>
+        val nab = g.size.toLong
+        (a, b, nab, per(a), per(b), nab * 1000000L / per(a) * nOrders / per(b))
+      }.sortBy(x => (x._1, x._2))
+    assert(got.nonEmpty && got == brute, "basket matrix must replay brute-force")
+    got.foreach { case (a, b, nab, na, nb, _) =>
+      assert(nab <= math.min(na, nb), s"support exceeds marginals for ($a, $b)")
+    }
+  }
+
+  test("churn hazard: at-risk sets telescope, hazards replay brute-force, final cohort churns fully") {
+    val got = Relational.qChurnHazard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val life = Tables(spark, sfDir).eventsSec
+      .selectExpr("user_id", "sec div 86400 div 7 as w")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).toSeq.map { case (_, ws) =>
+        ws.map(_._2).max - ws.map(_._2).min
+      }
+    val cells = life.groupBy(identity).toSeq
+      .map { case (k, g) => (k, g.size.toLong) }.sortBy(_._1)
+    val brute = cells.map { case (k, churned) =>
+      val atRisk = cells.filter(_._1 >= k).map(_._2).sum
+      (k, atRisk, churned, churned * 1000000L / atRisk)
+    }
+    assert(got.nonEmpty && got == brute, "hazard curve must replay brute-force")
+    // at-risk telescopes: each row's at-risk = next row's + its churned
+    got.sliding(2).foreach {
+      case Seq((_, r1, c1, _), (_, r2, _, _)) =>
+        assert(r1 == r2 + c1, "at-risk must telescope")
+      case _ =>
+    }
+    assert(got.last._2 == got.last._3 && got.last._4 == 1000000L,
+      "the longest-lived cohort churns fully at its last week")
+  }
+
   test("markov transitions match a brute-force per-user replay and PPM invariants hold") {
     val got = Relational.qMarkovTransitions(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
