@@ -165,6 +165,8 @@ object SparkEntry {
     "q_decile_lift"          -> Relational.qDecileLift _,
     "q_basket_lift"          -> ((s: SparkSession, d: String) => Relational.qBasketLift(s, d)),
     "q_churn_hazard"         -> Relational.qChurnHazard _,
+    "q_new_vs_returning"     -> Relational.qNewVsReturning _,
+    "mon_rolling_median"     -> ((s: SparkSession, d: String) => LoadOps.rollingMedian(s, d)),
     "emb_lof"                -> ((s: SparkSession, d: String) => Similarity.embLof(s, d)),
     "ann_recall"             -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
     "text_quality_model"     -> ((s: SparkSession, d: String) => TextAnalysis.qualityModel(s, d)),
@@ -2057,6 +2059,38 @@ object SparkEntry {
         | (n_converted * 1000000 // n_users) * 1000000
         |   // (conv_total * 1000000 // n_total) AS lift_ppm
         |FROM g, t ORDER BY decile""".stripMargin,
+    // E50: the E33 user-week machinery, new ⇔ week = first week,
+    // integer-PPM returning share
+    "q_new_vs_returning" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |  CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 // 7 AS week
+        | FROM events),
+        |f AS (SELECT user_id, min(week) AS first_week FROM uw GROUP BY 1),
+        |g AS (SELECT week, CAST(count(*) AS BIGINT) AS n_active,
+        |  CAST(sum(CASE WHEN week = first_week THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        | FROM uw JOIN f USING (user_id) GROUP BY 1)
+        |SELECT week, n_active, n_new, n_active - n_new AS n_returning,
+        | (n_active - n_new) * 1000000 // n_active AS returning_ppm
+        |FROM g ORDER BY week""".stripMargin,
+    // D52: the D40 daily frame, a trailing integer-range join (≤7 cells
+    // per day), lower median in (md, day) total order, residual readout
+    "mon_rolling_median" ->
+      """WITH d AS (
+        | SELECT event_type AS source,
+        |  CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) // count(*) AS BIGINT) AS md
+        | FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.source, a.day, a.md, b.day AS d2, b.md AS m2
+        | FROM d a JOIN d b ON b.source = a.source
+        |  AND b.day <= a.day AND b.day > a.day - 7),
+        |r AS (SELECT source, day, md, m2,
+        |  CAST(row_number() OVER (PARTITION BY source, day ORDER BY m2, d2)
+        |    AS BIGINT) AS rn,
+        |  CAST(count(*) OVER (PARTITION BY source, day) AS BIGINT) AS n_win
+        | FROM p)
+        |SELECT source, day, md, n_win, m2 AS smooth_md, md - m2 AS residual
+        |FROM r WHERE rn = (n_win + 1) // 2
+        |ORDER BY source, day""".stripMargin,
     // E48: distinct (order, brand) incidence, basket-bounded pair join,
     // nested integer-PPM lift, support floor 20
     "q_basket_lift" ->

@@ -1521,6 +1521,51 @@ object LoadOps {
       .orderBy(col("source"))
   }
 
+  /** D52: ROLLING MEDIAN smoother over the per-source daily series —
+    * the robust trend line the dashboards draw: D19's decay average
+    * follows a spike immediately (exponential weights have no breakdown
+    * point), the 7-day rolling MEDIAN ignores up to 3 wild days out of
+    * every window — the same median-vs-mean argument as D31/D50 applied
+    * to smoothing. Reported alongside the raw value so the residual
+    * (raw − smooth) is the outlier signal.
+    *
+    * Determinism contract: exact integer day cells; each day's window
+    * is the ≤7 trailing days joined by an integer RANGE condition; the
+    * lower median is row (n+1) div 2 in (md, day) order — a total
+    * order both engines replay. Days early in a source's history use
+    * the shorter window they actually have (declared semantics).
+    *
+    * Scale shape: ONE hash agg to (source, day) cells; the trailing
+    * join is cells×7 WITHIN a source (run-log-bounded, the D50 class);
+    * selection is one row_number window over those bounded pairs. */
+  def rollingMedian(spark: SparkSession, dir: String, window: Int = 7): DataFrame =
+    rollingMedianOver(Tables(spark, dir).eventsSec
+      .select(col("event_type").as("source"),
+        expr("sec div 86400").cast("long").as("day"),
+        expr("cast(round(value * 100) as long)").as("cents"))
+      .groupBy(col("source"), col("day"))
+      .agg(expr("sum(cents) div count(*)").as("md")), window)
+
+  /** The D52 compute over any (source, day, md) daily frame — specs
+    * plant spikes the median must ignore. */
+  def rollingMedianOver(daily: DataFrame, window: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = daily.select(col("source"), col("day"), col("md").cast("long"))
+      .localCheckpoint(true) // both sides of the trailing join read it
+    val tr = cells.select(col("source"), col("day").as("d2"), col("md").as("m2"))
+    val pairs = cells.join(tr, Seq("source"))
+      .filter(col("d2") <= col("day") && col("d2") > col("day") - window)
+    val w = Window.partitionBy(col("source"), col("day"))
+    val wr = w.orderBy(col("m2"), col("d2"))
+    pairs
+      .withColumn("rn", row_number().over(wr).cast("long"))
+      .withColumn("n_win", count(lit(1)).over(w).cast("long"))
+      .filter(col("rn") === expr("(n_win + 1) div 2"))
+      .select(col("source"), col("day"), col("md"), col("n_win"),
+        col("m2").as("smooth_md"), (col("md") - col("m2")).as("residual"))
+      .orderBy(col("source"), col("day"))
+  }
+
   /** D31: ROBUST outlier monitor — modified z-scores from the median and
     * the Median Absolute Deviation (Iglewicz & Hoaglin 1993: |0.6745·
     * (v−med)/MAD| > 3.5 flags an outlier). D12's mean/stddev screens are

@@ -1248,6 +1248,36 @@ object Relational {
       .orderBy(col("k"))
   }
 
+  /** E50: NEW vs RETURNING weekly actives — the growth-accounting
+    * split behind every WAU chart: of each week's active users, how
+    * many are in their FIRST week ever (acquisition) vs returning
+    * (retention)? E33's cohort matrix answers "how does week-k
+    * retention look per cohort"; this is the week-by-week composition
+    * a growth review opens with.
+    *
+    * Determinism contract: epoch-week integers; new ⇔ week equals the
+    * user's min week; counts and the returning share are exact
+    * integers / integer PPM.
+    *
+    * Scale shape: the E33 shape — distinct and first-week aggs both
+    * partition by user_id (one exchange, AQE turns the first-week join
+    * map-side); the report is weeks-sized. */
+  def qNewVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Tables(spark, dir).eventsSec
+      .select(col("user_id"), expr("sec div 86400 div 7").cast("long").as("week"))
+      .distinct()
+    val first = uw.groupBy(col("user_id")).agg(min(col("week")).as("first_week"))
+    uw.join(first, Seq("user_id"))
+      .groupBy(col("week"))
+      .agg(count(lit(1)).cast("long").as("n_active"),
+        sum((col("week") === col("first_week")).cast("long")).as("n_new"))
+      .withColumn("n_returning", col("n_active") - col("n_new"))
+      .withColumn("returning_ppm", expr("n_returning * 1000000 div n_active"))
+      .select(col("week"), col("n_active"), col("n_new"),
+        col("n_returning"), col("returning_ppm"))
+      .orderBy(col("week"))
+  }
+
   /** E35: event-transition (Markov) matrix — per-user next-event
     * transitions rolled up into a (state, next_state) matrix with exact
     * integer-PPM probabilities. The product/behavior-analytics

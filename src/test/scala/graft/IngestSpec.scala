@@ -1436,6 +1436,32 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("rolling median: spikes vanish from the smooth line, short prefixes use real windows, brute replay") {
+    import spark.implicits._
+    // s: constant 100 with a single wild spike at day 10 — the smoothed
+    // line must stay exactly 100 on every day whose window holds the
+    // spike as a minority (4+ of 7 days are 100)
+    val daily = (0 until 30).map(d => ("s", d.toLong, if (d == 10) 99999L else 100L))
+      .toDF("source", "day", "md")
+    val got = graft.operators.LoadOps.rollingMedianOver(daily, 7).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got(0L) == ((100L, 1L, 100L, 0L)), "day 0 has a 1-day window")
+    assert(got(3L)._2 == 4L, "day 3 has a 4-day window")
+    (0 until 30).foreach { d =>
+      assert(got(d.toLong)._3 == 100L,
+        s"day $d: the spike must never reach the median line: ${got(d.toLong)}")
+    }
+    assert(got(10L)._4 == 99999L - 100L, "the spike day's residual exposes it")
+    // brute replay: lower median over each trailing window
+    val xs = (0 until 30).map(d => if (d == 10) 99999L else 100L)
+    (0 until 30).foreach { d =>
+      val win = (math.max(0, d - 6) to d).map(i => (xs(i), i)).sortBy(identity)
+      val exp = win((win.size + 1) / 2 - 1)._1
+      assert(got(d.toLong)._3 == exp, s"day $d: brute median $exp vs ${got(d.toLong)._3}")
+    }
+  }
+
   test("Wasserstein drift: exact location-shift recovery and a brute-force integral replay") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

@@ -376,6 +376,25 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
       "the longest-lived cohort churns fully at its last week")
   }
 
+  test("new vs returning: brute weekly replay, first week all-new, news sum to the user count") {
+    val got = Relational.qNewVsReturning(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    val uw = Tables(spark, sfDir).eventsSec
+      .selectExpr("user_id", "sec div 86400 div 7 as week")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val first = uw.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val brute = uw.groupBy(_._2).toSeq.map { case (wk, us) =>
+      val nNew = us.count { case (u, w) => first(u) == w }.toLong
+      val nAct = us.size.toLong
+      (wk, nAct, nNew, nAct - nNew, (nAct - nNew) * 1000000L / nAct)
+    }.sortBy(_._1)
+    assert(got.nonEmpty && got == brute, "weekly split must replay brute-force")
+    assert(got.head._2 == got.head._3, "the corpus's first week is all-new by definition")
+    assert(got.map(_._3).sum == first.size.toLong,
+      "every user is new in exactly one week")
+  }
+
   test("markov transitions match a brute-force per-user replay and PPM invariants hold") {
     val got = Relational.qMarkovTransitions(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
