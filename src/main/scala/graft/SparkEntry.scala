@@ -316,6 +316,7 @@ object SparkEntry {
     "stream_changepoint"     -> graft.streaming.StreamGate.streamChangepoint _,
     "stream_cms"             -> graft.streaming.StreamGate.streamCms _,
     "stream_staleness"       -> graft.streaming.StreamGate.streamStaleness _,
+    "stream_outer_join"      -> graft.streaming.StreamGate.streamOuterJoin _,
     "stream_hll"             -> graft.streaming.StreamGate.streamHll _,
     "stream_quantile"        -> graft.streaming.StreamGate.streamQuantile _,
     "stream_bloom"           -> graft.streaming.StreamGate.streamBloom _,
@@ -1991,6 +1992,18 @@ object SparkEntry {
         |    ORDER BY abs(tt) DESC, day) AS rn
         |  FROM tt) WHERE rn = 1
         |ORDER BY source""".stripMargin,
+    // G12: the flush-sentinel outer join — the stream's eviction
+    // bookkeeping must reproduce the one-shot batch LEFT JOIN exactly
+    "stream_outer_join" ->
+      s"""WITH e AS ($evSec),
+         |a AS (SELECT event_id AS inc_id, sec AS s1 FROM e
+         | WHERE event_type = 'error'),
+         |b AS (SELECT event_id AS pur_id, sec AS s2 FROM e
+         | WHERE event_type = 'purchase')
+         |SELECT inc_id, CAST(count(pur_id) AS BIGINT) AS n_matched,
+         | CAST(count(pur_id) > 0 AS INT) AS has_match
+         |FROM a LEFT JOIN b ON s2 BETWEEN s1 - 300 AND s1 + 300
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // G9: the planted-quiet staleness wire — silence two sources at the
     // 60% cutoff, alert iff last_seen + 600 < the final watermark (the
     // strict event-time-timeout inequality)

@@ -588,6 +588,62 @@ object StreamGate {
       .orderBy(col("source"))
   }
 
+  /** G12 gate: stream-stream LEFT OUTER interval join (errors ⟕
+    * purchases within ±300 s) with the production FLUSH-SENTINEL
+    * device: one far-future heartbeat row per side (id −1, corpus max +
+    * a day) advances BOTH sides' watermarks past every real row's close
+    * time, so the engine evicts-and-emits the null row for every
+    * unmatched real error before the stream ends — the outer join's
+    * final frame becomes deterministic (sentinels match only each
+    * other and are filtered from the gate). The report aggregates the
+    * sink per error: match count + flag, oracled by a plain batch LEFT
+    * JOIN — the stream's watermark bookkeeping must reproduce exactly
+    * what the one-shot join says. */
+  def streamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val base = fresh(spark, "outerjoin")
+    val ev = Tables(spark, dir).eventsSec
+    val mx = ev.agg(max(col("sec"))).head().getLong(0)
+    def side(tpe: String, id: String, s: String): String = {
+      val path = s"$base/in_$tpe"
+      ev.filter(col("event_type") === tpe)
+        .select(col("event_id").as(id), col("sec").as(s))
+        .unionByName(spark.range(1).select(lit(-1L).as(id),
+          lit(mx + 86400L).as(s)))
+        .write.parquet(path)
+      path
+    }
+    val pa = side("error", "inc_id", "s1")
+    val pb = side("purchase", "pur_id", "s2")
+    def src(path: String, id: String, s: String) = spark.readStream
+      .schema(StructType(Seq(StructField(id, LongType), StructField(s, LongType))))
+      .parquet(path)
+      .select(col(id), col(s), timestamp_seconds(col(s)).as(s"${s}_ts"))
+      .withWatermark(s"${s}_ts", "0 seconds")
+    // the G4 cell device gives the join its required EQUALITY key; the
+    // purchase side has exactly ONE cell (its own), so every (inc, pur)
+    // pair meets in exactly one exploded error cell — no pair dedup —
+    // and an error cell with no purchases contributes one null row the
+    // count() then ignores
+    val inc = src(pa, "inc_id", "s1").withColumn("cell",
+      explode(sequence(expr("(s1 - 300) div 300"), expr("(s1 + 300) div 300"))))
+    val pur = src(pb, "pur_id", "s2").withColumn("cell", expr("s2 div 300"))
+    val joined = inc.alias("inc").join(pur.alias("pur"),
+      expr("inc.cell = pur.cell AND " +
+        "s2_ts >= s1_ts - interval 300 seconds AND " +
+        "s2_ts <= s1_ts + interval 300 seconds"), "leftOuter")
+      .select(col("inc_id"), col("pur_id"))
+    val q = joined.writeStream.outputMode("append").format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    spark.read.parquet(s"$base/out")
+      .filter(col("inc_id") >= 0L)
+      .groupBy(col("inc_id"))
+      .agg(count(col("pur_id")).cast("long").as("n_matched"))
+      .withColumn("has_match", (col("n_matched") > 0L).cast("int"))
+      .orderBy(col("inc_id"))
+  }
+
   /** G5 gate: the count–min sketch as a STREAMING aggregate, MULTI-batch
     * (4 files, one per trigger) in complete mode — per-trigger partial
     * sketches merge element-wise through the state store, and counter
