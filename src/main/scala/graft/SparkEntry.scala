@@ -167,6 +167,8 @@ object SparkEntry {
     "q_churn_hazard"         -> Relational.qChurnHazard _,
     "q_new_vs_returning"     -> Relational.qNewVsReturning _,
     "mon_rolling_median"     -> ((s: SparkSession, d: String) => LoadOps.rollingMedian(s, d)),
+    "mon_burstiness"         -> LoadOps.burstiness _,
+    "q_attribution"          -> Relational.qAttribution _,
     "emb_lof"                -> ((s: SparkSession, d: String) => Similarity.embLof(s, d)),
     "ann_recall"             -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
     "text_quality_model"     -> ((s: SparkSession, d: String) => TextAnalysis.qualityModel(s, d)),
@@ -2072,6 +2074,50 @@ object SparkEntry {
         | (n_converted * 1000000 // n_users) * 1000000
         |   // (conv_total * 1000000 // n_total) AS lift_ppm
         |FROM g, t ORDER BY decile""".stripMargin,
+    // D53: daily count cells, exact ΣC/ΣC² population variance, one
+    // fixed-shape integer-PPM Fano factor
+    "mon_burstiness" ->
+      """WITH d AS (SELECT event_type AS source,
+        |  CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+        |  CAST(count(*) AS BIGINT) AS c
+        | FROM events GROUP BY 1, 2),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS ss
+        | FROM d GROUP BY 1)
+        |SELECT source, n_days, s // n_days AS mean_per_day,
+        | (n_days * ss - s * s) * 1000000 // (n_days * s) AS fano_ppm,
+        | CAST((n_days * ss - s * s) * 1000000 // (n_days * s) > 2000000 AS INT)
+        |   AS bursty
+        |FROM a WHERE s > 0 ORDER BY source""".stripMargin,
+    // E51: (sec, event_id) row-ordered touch paths before the first
+    // purchase, min/max-struct first/last touches, floor-PPM linear
+    // credits, full-outer channel rollup
+    "q_attribution" ->
+      s"""WITH e AS ($evSec),
+         |cv AS (SELECT user_id, sec AS cs, event_id AS ce FROM (
+         |  SELECT user_id, sec, event_id, row_number() OVER (
+         |    PARTITION BY user_id ORDER BY sec, event_id) AS rn
+         |  FROM e WHERE event_type = 'purchase') WHERE rn = 1),
+         |t AS (SELECT e.user_id, e.event_type, e.sec, e.event_id
+         | FROM e JOIN cv USING (user_id)
+         | WHERE (e.sec, e.event_id) < (cs, ce)),
+         |per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_t
+         | FROM t GROUP BY 1),
+         |fl AS (SELECT user_id, event_type,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY sec, event_id) AS rf,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY sec DESC, event_id DESC) AS rl FROM t),
+         |lin AS (SELECT t.event_type AS channel,
+         |  CAST(sum(1000000 // n_t) AS BIGINT) AS linear_ppm
+         | FROM t JOIN per USING (user_id) GROUP BY 1),
+         |fst AS (SELECT event_type AS channel, CAST(count(*) AS BIGINT) AS n_first
+         | FROM fl WHERE rf = 1 GROUP BY 1),
+         |lst AS (SELECT event_type AS channel, CAST(count(*) AS BIGINT) AS n_last
+         | FROM fl WHERE rl = 1 GROUP BY 1)
+         |SELECT channel, coalesce(linear_ppm, 0) AS linear_ppm,
+         | coalesce(n_first, 0) AS n_first, coalesce(n_last, 0) AS n_last
+         |FROM lin FULL JOIN fst USING (channel) FULL JOIN lst USING (channel)
+         |ORDER BY channel""".stripMargin,
     // E50: the E33 user-week machinery, new ⇔ week = first week,
     // integer-PPM returning share
     "q_new_vs_returning" ->

@@ -1566,6 +1566,41 @@ object LoadOps {
       .orderBy(col("source"), col("day"))
   }
 
+  /** D53: BURSTINESS (index of dispersion) per source — the Fano factor
+    * of the daily count series: variance-to-mean ≈ 1e6 (PPM) is Poisson
+    * (a healthy memoryless feed), ≫ 1e6 is bursty (batchy upstream, a
+    * flapping producer — D49's lag view sees WHEN the memory is, this
+    * sees HOW MUCH), ≪ 1e6 is over-regular (a rate limiter or a
+    * heartbeat pretending to be data). Complements the value-axis
+    * drift family on the ARRIVAL axis.
+    *
+    * Determinism contract: daily counts are exact integers; variance
+    * assembles from exact Σc, Σc² (population form, n·Σc² − (Σc)² over
+    * n²) and the factor is ONE fixed-shape integer-PPM expression —
+    * (n·Σc² − (Σc)²)·1e6 div (n·Σc) — zero float anywhere. Sources
+    * with zero mean drop (no denominator). At extreme per-source event
+    * counts (Σc approaching 3e9) the square needs decimal(38) — the
+    * D46 convention.
+    *
+    * Scale shape: ONE hash agg to (source, day) count cells
+    * (run-log-sized), one cells-sized agg, a sources-sized report. */
+  def burstiness(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).eventsSec
+      .select(col("event_type").as("source"), expr("sec div 86400").as("day"))
+      .groupBy(col("source"), col("day"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(col("c")).cast("long").as("s"),
+        sum(col("c") * col("c")).cast("long").as("ss"))
+      .filter(col("s") > 0L)
+      .withColumn("mean_per_day", expr("s div n_days"))
+      .withColumn("fano_ppm", expr("(n_days * ss - s * s) * 1000000 div (n_days * s)"))
+      .withColumn("bursty", (col("fano_ppm") > lit(2000000L)).cast("int"))
+      .select(col("source"), col("n_days"), col("mean_per_day"),
+        col("fano_ppm"), col("bursty"))
+      .orderBy(col("source"))
+
   /** D31: ROBUST outlier monitor — modified z-scores from the median and
     * the Median Absolute Deviation (Iglewicz & Hoaglin 1993: |0.6745·
     * (v−med)/MAD| > 3.5 flags an outlier). D12's mean/stddev screens are

@@ -1278,6 +1278,51 @@ object Relational {
       .orderBy(col("week"))
   }
 
+  /** E51: MULTI-TOUCH ATTRIBUTION — the three standard credit models
+    * over each converting user's touch path (every event strictly
+    * before their first purchase, in (sec, event_id) order): first
+    * touch (discovery credit), last touch (closer credit), and linear
+    * (1/n per touch). The marketing-mix companion to E22's funnel: the
+    * funnel counts WHO progressed, attribution says WHICH channel gets
+    * the credit. Users whose first event is the purchase have no
+    * touches and drop (declared).
+    *
+    * Determinism contract: the conversion instant and the first/last
+    * touches are min/max over (sec, event_id[, type]) structs —
+    * event_id is unique, so one total order; linear credit is exact
+    * integer 1e6 div n per touch (floor remainders declared — credits
+    * sum to ≤ 1e6 per user).
+    *
+    * Scale shape: user-grain hash aggs end-to-end (conversion agg,
+    * touch filter join, per-user path agg — all partition by user_id,
+    * one exchange); no window anywhere; channel rollups are
+    * channels-sized. */
+  def qAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).eventsSec
+      .select(col("user_id"), col("event_type"), col("sec"), col("event_id"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("sec"), col("event_id"))).as("ck"))
+    val touches = ev.join(conv, Seq("user_id"))
+      .filter(struct(col("sec"), col("event_id")) < col("ck"))
+      .localCheckpoint(true) // the path agg and the credit join reread it
+    val per = touches.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_t"),
+        min(struct(col("sec"), col("event_id"), col("event_type"))).as("first"),
+        max(struct(col("sec"), col("event_id"), col("event_type"))).as("last"))
+    val linear = touches.join(per.select(col("user_id"), col("n_t")), Seq("user_id"))
+      .groupBy(col("event_type").as("channel"))
+      .agg(sum(expr("1000000 div n_t")).cast("long").as("linear_ppm"))
+    val firsts = per.groupBy(col("first.event_type").as("channel"))
+      .agg(count(lit(1)).cast("long").as("n_first"))
+    val lasts = per.groupBy(col("last.event_type").as("channel"))
+      .agg(count(lit(1)).cast("long").as("n_last"))
+    linear.join(firsts, Seq("channel"), "full_outer")
+      .join(lasts, Seq("channel"), "full_outer")
+      .na.fill(0L, Seq("linear_ppm", "n_first", "n_last"))
+      .orderBy(col("channel"))
+  }
+
   /** E35: event-transition (Markov) matrix — per-user next-event
     * transitions rolled up into a (state, next_state) matrix with exact
     * integer-PPM probabilities. The product/behavior-analytics

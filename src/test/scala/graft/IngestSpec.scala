@@ -1462,6 +1462,26 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("burstiness: brute Fano replay, Poisson reference sanity") {
+    val got = graft.operators.LoadOps.burstiness(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      .toSeq
+    val cells = Tables(spark, sfDir).eventsSec
+      .selectExpr("event_type", "sec div 86400 as day")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).toSeq.map { case ((src, day), g) => (src, day, g.size.toLong) }
+    val brute = cells.groupBy(_._1).toSeq.map { case (src, ds) =>
+      val n = ds.size.toLong; val s = ds.map(_._3).sum
+      val ss = ds.map(d => d._3 * d._3).sum
+      val fano = (n * ss - s * s) * 1000000L / (n * s)
+      (src, n, s / n, fano, if (fano > 2000000L) 1 else 0)
+    }.sortBy(_._1)
+    assert(got.nonEmpty && got == brute, "Fano factors must replay brute-force")
+    got.foreach { case (src, _, mean, fano, _) =>
+      assert(fano >= 0L && mean >= 1L, s"$src: degenerate dispersion ($mean, $fano)")
+    }
+  }
+
   test("Wasserstein drift: exact location-shift recovery and a brute-force integral replay") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

@@ -395,6 +395,35 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
       "every user is new in exactly one week")
   }
 
+  test("attribution: brute path replay, model totals agree, purchase-first users drop") {
+    val got = Relational.qAttribution(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val ev = Tables(spark, sfDir).eventsSec
+      .selectExpr("user_id", "event_type", "sec", "event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    implicit val ord: Ordering[(Long, Long)] = Ordering.Tuple2[Long, Long]
+    val byUser = ev.groupBy(_._1)
+    val paths: Seq[Seq[String]] = byUser.toSeq.flatMap { case (_, es) =>
+      val purchases = es.filter(_._2 == "purchase").map(e => (e._3, e._4)).sorted
+      purchases.headOption.flatMap { ck =>
+        val touches = es.filter(e => ord.lt((e._3, e._4), ck))
+          .sortBy(e => (e._3, e._4)).map(_._2).toSeq
+        if (touches.isEmpty) None else Some(touches)
+      }
+    }
+    val channels = paths.flatten.distinct ++
+      paths.map(_.head) ++ paths.map(_.last)
+    val brute = channels.distinct.sorted.map { ch =>
+      (ch,
+        paths.map(p => p.count(_ == ch).toLong * (1000000L / p.size)).sum,
+        paths.count(_.head == ch).toLong,
+        paths.count(_.last == ch).toLong)
+    }
+    assert(got.nonEmpty && got == brute, "attribution must replay brute-force")
+    assert(got.map(_._3).sum == paths.size && got.map(_._4).sum == paths.size,
+      "first/last models each hand out exactly one credit per conversion")
+  }
+
   test("markov transitions match a brute-force per-user replay and PPM invariants hold") {
     val got = Relational.qMarkovTransitions(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
