@@ -169,6 +169,7 @@ object SparkEntry {
     "mon_rolling_median"     -> ((s: SparkSession, d: String) => LoadOps.rollingMedian(s, d)),
     "mon_burstiness"         -> LoadOps.burstiness _,
     "q_attribution"          -> Relational.qAttribution _,
+    "mon_scorecard"          -> LoadOps.monitorDigest _,
     "emb_lof"                -> ((s: SparkSession, d: String) => Similarity.embLof(s, d)),
     "ann_recall"             -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
     "text_quality_model"     -> ((s: SparkSession, d: String) => TextAnalysis.qualityModel(s, d)),
@@ -2074,6 +2075,63 @@ object SparkEntry {
         | (n_converted * 1000000 // n_users) * 1000000
         |   // (conv_total * 1000000 // n_total) AS lift_ppm
         |FROM g, t ORDER BY decile""".stripMargin,
+    // D54: the four member signals re-derived with their own oracle
+    // fragments (age, D51 uptime, D53 Fano, the D40 recursive CUSUM),
+    // joined per source with the integer flag sum
+    "mon_scorecard" ->
+      """WITH RECURSIVE ev AS (SELECT event_type AS source,
+        |  CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS sec, value FROM events),
+        |age AS (SELECT source, (SELECT max(sec) FROM ev) - max(sec) AS age_sec
+        | FROM ev GROUP BY 1),
+        |eb AS (SELECT DISTINCT source, sec // 3600 AS b FROM ev),
+        |spn AS (SELECT min(b) AS blo, max(b) AS bhi
+        | FROM (SELECT sec // 3600 AS b FROM ev)),
+        |gp AS (SELECT source, b,
+        |  lead(b) OVER (PARTITION BY source ORDER BY b) AS nxt FROM eb),
+        |upt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_active,
+        |  coalesce(max(nxt - b - 1), 0) AS gap_in,
+        |  min(b) AS first_b, max(b) AS last_b FROM gp GROUP BY 1),
+        |up2 AS (SELECT source,
+        |  n_active * 1000000 // (bhi - blo + 1) AS uptime_ppm,
+        |  greatest(gap_in, first_b - blo, bhi - last_b) AS longest_gap
+        | FROM upt, spn),
+        |dc AS (SELECT source, sec // 86400 AS day, CAST(count(*) AS BIGINT) AS c
+        | FROM ev GROUP BY 1, 2),
+        |bu AS (SELECT source,
+        |  (CAST(count(*) AS BIGINT) * CAST(sum(c * c) AS BIGINT)
+        |    - CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT)) * 1000000
+        |    // (CAST(count(*) AS BIGINT) * CAST(sum(c) AS BIGINT)) AS fano_ppm
+        | FROM dc GROUP BY 1 HAVING sum(c) > 0),
+        |d AS (SELECT source, sec // 86400 AS day,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) // count(*) AS BIGINT) AS md
+        | FROM ev GROUP BY 1, 2),
+        |r AS (SELECT source, day, md,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY day) AS BIGINT) AS rn
+        | FROM d),
+        |bl AS (SELECT source, CAST(sum(md) // count(*) AS BIGINT) AS mu
+        | FROM r WHERE rn <= 7 GROUP BY 1),
+        |rec AS (
+        | SELECT r.source, r.day, r.md, r.rn, bl.mu,
+        |  greatest(0, r.md - bl.mu - 500) AS s_hi,
+        |  greatest(0, bl.mu - r.md - 500) AS s_lo
+        | FROM r JOIN bl USING (source) WHERE r.rn = 1
+        | UNION ALL
+        | SELECT n.source, n.day, n.md, n.rn, rec.mu,
+        |  greatest(0, rec.s_hi + n.md - rec.mu - 500),
+        |  greatest(0, rec.s_lo + rec.mu - n.md - 500)
+        | FROM rec JOIN r n ON n.source = rec.source AND n.rn = rec.rn + 1),
+        |al AS (SELECT source,
+        |  CAST(sum(CASE WHEN s_hi > 3000 OR s_lo > 3000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_alarms FROM rec GROUP BY 1),
+        |j AS (SELECT age.source, age_sec, uptime_ppm, longest_gap, fano_ppm,
+        |  n_alarms,
+        |  CAST(age_sec >= 86400 AS INT) + CAST(uptime_ppm < 900000 AS INT)
+        |   + CAST(fano_ppm > 2000000 AS INT) + CAST(n_alarms > 0 AS INT) AS n_flags
+        | FROM age JOIN up2 USING (source) JOIN bu USING (source)
+        |  JOIN al USING (source))
+        |SELECT source, age_sec, uptime_ppm, longest_gap, fano_ppm, n_alarms,
+        | n_flags, CAST(n_flags = 0 AS INT) AS healthy
+        |FROM j ORDER BY source""".stripMargin,
     // D53: daily count cells, exact ΣC/ΣC² population variance, one
     // fixed-shape integer-PPM Fano factor
     "mon_burstiness" ->

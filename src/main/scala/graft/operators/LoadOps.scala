@@ -1601,6 +1601,44 @@ object LoadOps {
         col("fano_ppm"), col("bursty"))
       .orderBy(col("source"))
 
+  /** D54: per-source HEALTH SCORECARD — the monitoring family's
+    * one-page digest: each source's freshness age, hour-bucket uptime
+    * (D51), arrival burstiness (D53) and accumulated-drift alarm count
+    * (D40) joined into one row with a flag count and a healthy verdict.
+    * The page an on-call opens FIRST; every column links to the
+    * specialist operator that explains it. Every signal reuses the
+    * standalone operator's audited builder verbatim (the H5 composition
+    * rule — digest and specialists can never disagree).
+    *
+    * Determinism: members are already exact-integer; the verdict is
+    * four integer comparisons and a flag sum. Scale: every joined frame
+    * is sources-sized — the corpus is touched only inside the member
+    * builders, each with its own declared shape. */
+  def monitorDigest(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).eventsSec
+    val age = e.groupBy(col("event_type").as("source"))
+      .agg(max(col("sec")).as("last_sec"))
+      .crossJoin(broadcast(e.agg(max(col("sec")).as("now_sec"))))
+      .select(col("source"), (col("now_sec") - col("last_sec")).as("age_sec"))
+    val up = uptime(spark, dir)
+      .select(col("source"), col("uptime_ppm"), col("longest_gap"))
+    val bu = burstiness(spark, dir).select(col("source"), col("fano_ppm"))
+    val al = cusum(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(col("alarm")).cast("long").as("n_alarms"))
+    val flags =
+      (col("age_sec") >= lit(86400L)).cast("int") +
+        (col("uptime_ppm") < lit(900000L)).cast("int") +
+        (col("fano_ppm") > lit(2000000L)).cast("int") +
+        (col("n_alarms") > lit(0L)).cast("int")
+    age.join(up, Seq("source")).join(bu, Seq("source")).join(al, Seq("source"))
+      .withColumn("n_flags", flags)
+      .withColumn("healthy", (col("n_flags") === 0).cast("int"))
+      .select(col("source"), col("age_sec"), col("uptime_ppm"), col("longest_gap"),
+        col("fano_ppm"), col("n_alarms"), col("n_flags"), col("healthy"))
+      .orderBy(col("source"))
+  }
+
   /** D31: ROBUST outlier monitor — modified z-scores from the median and
     * the Median Absolute Deviation (Iglewicz & Hoaglin 1993: |0.6745·
     * (v−med)/MAD| > 3.5 flags an outlier). D12's mean/stddev screens are

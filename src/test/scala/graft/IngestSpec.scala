@@ -1516,4 +1516,33 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
       assert(math.abs(got(typ) - w1) < 5e-4, s"$typ w1 ${got(typ)} vs $w1")
     }
   }
+
+  test("scorecard: digest equals the specialist operators, flags recompute") {
+    import org.apache.spark.sql.functions.{col, max => smax, sum => ssum}
+    val card = graft.operators.LoadOps.monitorDigest(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getInt(6), r.getInt(7)))).toMap
+    // digest-vs-specialist: every column must equal the standalone op's
+    val up = graft.operators.LoadOps.uptime(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    val bu = graft.operators.LoadOps.burstiness(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val al = graft.operators.LoadOps.cusum(spark, sfDir)
+      .groupBy(col("source")).agg(ssum(col("alarm")).cast("long").as("a"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val now = Tables(spark, sfDir).eventsSec.agg(smax(col("sec"))).head.getLong(0)
+    val last = Tables(spark, sfDir).eventsSec
+      .groupBy(col("event_type")).agg(smax(col("sec")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(card.nonEmpty && card.keySet == up.keySet, "one row per source")
+    card.foreach { case (src, (age, ppm, gap, fano, alarms, nFlags, healthy)) =>
+      assert(age == now - last(src), s"$src age")
+      assert((ppm, gap) == up(src), s"$src uptime drifted from specialist")
+      assert(fano == bu(src), s"$src fano drifted from specialist")
+      assert(alarms == al(src), s"$src alarm count drifted from specialist")
+      val exp = Seq(age >= 86400L, ppm < 900000L, fano > 2000000L, alarms > 0L)
+        .count(identity)
+      assert(nFlags == exp && healthy == (if (exp == 0) 1 else 0), s"$src flags")
+    }
+  }
 }
