@@ -169,6 +169,8 @@ object SparkEntry {
     "mon_rolling_median"     -> ((s: SparkSession, d: String) => LoadOps.rollingMedian(s, d)),
     "mon_burstiness"         -> LoadOps.burstiness _,
     "q_attribution"          -> Relational.qAttribution _,
+    "q_lorenz"               -> Relational.qLorenz _,
+    "q_order_latency"        -> Relational.qOrderLatency _,
     "mon_scorecard"          -> LoadOps.monitorDigest _,
     "emb_lof"                -> ((s: SparkSession, d: String) => Similarity.embLof(s, d)),
     "ann_recall"             -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
@@ -2041,6 +2043,52 @@ object SparkEntry {
         |SELECT seg AS c_mktsegment, n AS n_customers, s AS total_dollars,
         | round(CAST(num2 AS DOUBLE) / (n * s) - CAST(n + 1 AS DOUBLE) / n, 4) AS gini
         |FROM g ORDER BY 1""".stripMargin,
+    // E52: the E45 spend cells, cumulative count+spend windows, decile
+    // rank probes with exact within-cell interpolation, integer PPM
+    "q_lorenz" ->
+      """WITH sp AS (
+        | SELECT c_mktsegment AS seg,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100 AS v
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        | GROUP BY c_mktsegment, o_custkey),
+        |cells AS (SELECT seg, v, CAST(count(*) AS BIGINT) AS cnt
+        | FROM sp GROUP BY 1, 2),
+        |t AS (SELECT seg, CAST(sum(cnt) AS BIGINT) AS n,
+        |  CAST(sum(cnt * v) AS BIGINT) AS s FROM cells GROUP BY 1),
+        |c2 AS (SELECT seg, v, cnt,
+        |  sum(cnt) OVER (PARTITION BY seg ORDER BY v) AS cum_cnt,
+        |  sum(cnt * v) OVER (PARTITION BY seg ORDER BY v) AS cum_sp
+        | FROM cells),
+        |d AS (SELECT seg, n, s, CAST(k AS INT) AS decile, (k * n) // 10 AS r
+        | FROM t CROSS JOIN (SELECT unnest(range(1, 11)) AS k))
+        |SELECT d.seg AS c_mktsegment, d.decile, d.n AS n_customers,
+        | CAST(coalesce(max(c2.cum_sp - c2.cnt * c2.v
+        |   + (d.r - (c2.cum_cnt - c2.cnt)) * c2.v), 0) * 1000000 // d.s
+        |   AS BIGINT) AS bottom_share_ppm
+        |FROM d LEFT JOIN c2 ON d.seg = c2.seg
+        | AND c2.cum_cnt - c2.cnt < d.r AND d.r <= c2.cum_cnt
+        |GROUP BY 1, 2, 3, d.s ORDER BY 1, 2""".stripMargin,
+    // E53: (priority, lag-day) cells, type-1 inverse-CDF quantile
+    // picks, integer-PPM slow tail
+    "q_order_latency" ->
+      """WITH l AS (SELECT o_orderpriority AS priority,
+        |  CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT) AS lag
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |cells AS (SELECT priority, lag, CAST(count(*) AS BIGINT) AS cnt
+        | FROM l GROUP BY 1, 2),
+        |t AS (SELECT priority, CAST(sum(cnt) AS BIGINT) AS n_items,
+        |  CAST(sum(CASE WHEN lag > 100 THEN cnt ELSE 0 END) AS BIGINT)
+        |    AS n_slow
+        | FROM cells GROUP BY 1),
+        |c2 AS (SELECT priority, lag,
+        |  sum(cnt) OVER (PARTITION BY priority ORDER BY lag) AS cum
+        | FROM cells)
+        |SELECT c2.priority, n_items,
+        | min(CASE WHEN cum >= (n_items + 1) // 2 THEN lag END) AS p50_days,
+        | min(CASE WHEN cum >= (9 * n_items + 9) // 10 THEN lag END) AS p90_days,
+        | n_slow, n_slow * 1000000 // n_items AS slow_ppm
+        |FROM c2 JOIN t USING (priority)
+        |GROUP BY 1, 2, 5 ORDER BY 1""".stripMargin,
     // E47: the E44 inverse-CDF device at decile granularity over
     // event-count cells, nested integer-PPM divisions for rate and lift
     "q_decile_lift" ->

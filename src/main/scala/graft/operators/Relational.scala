@@ -1174,6 +1174,106 @@ object Relational {
       .orderBy(col("decile"))
   }
 
+  /** E52: LORENZ CURVE — the distribution BEHIND E45's Gini number:
+    * per market segment, the exact share of total lifetime spend held
+    * by the poorest k/10 of customers, k = 1..10 (perfect equality
+    * reads k·1e5 PPM at every decile; the sag below that diagonal IS
+    * the Gini area). E45 compresses inequality to one coefficient,
+    * this emits the 10-point curve an analyst actually plots.
+    *
+    * Determinism contract: reuses E45's dollar-quantized spend frame
+    * verbatim (one definition, the curves and the coefficient can
+    * never drift apart). Decile rank r_k = (k·n) div 10; the spend
+    * mass below rank r_k interpolates WITHIN the boundary value cell
+    * as prevSpend + (r_k − prevCnt)·v — every customer in a cell holds
+    * the same v, so the partial cell is exact integer arithmetic, and
+    * decile 10 telescopes to exactly 1e6 PPM. A segment with r_k = 0
+    * (n < 10 at tiny corpora) reads share 0 via the left join.
+    *
+    * Scale shape: customer-grain hash agg to (segment, dollar) VALUE
+    * cells (the E45 class — value-bounded, never customer-
+    * proportional); one cumulative window over those cells; the
+    * decile probe frame is segments×10 and the range join hits at most
+    * ONE cell per probe (cells×10 within a segment, calendar-bounded);
+    * report is segments×10. */
+  def qLorenz(spark: SparkSession, dir: String): DataFrame = {
+    val cells = segmentSpend(spark, dir)
+      .groupBy(col("seg"), col("v"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .localCheckpoint(true) // the cumulative pass and the totals reread it
+    val w = Window.partitionBy(col("seg")).orderBy(col("v"))
+    val cum = cells
+      .withColumn("cum_cnt", sum(col("cnt")).over(w))
+      .withColumn("cum_sp", sum(col("cnt") * col("v")).over(w))
+      .withColumn("prev_cnt", col("cum_cnt") - col("cnt"))
+      .withColumn("prev_sp", col("cum_sp") - col("cnt") * col("v"))
+      .select(col("seg").as("cseg"), col("v"), col("cum_cnt"),
+        col("prev_cnt"), col("prev_sp"))
+    val probes = cells.groupBy(col("seg"))
+      .agg(sum(col("cnt")).cast("long").as("n"),
+        sum(col("cnt") * col("v")).cast("long").as("s"))
+      .filter(col("s") > 0L)
+      .select(col("seg"), col("n"), col("s"),
+        explode(expr("sequence(1, 10)")).as("decile"))
+      .withColumn("r", expr("(decile * n) div 10"))
+    probes
+      .join(cum, col("seg") === col("cseg") &&
+        col("prev_cnt") < col("r") && col("r") <= col("cum_cnt"), "left")
+      .withColumn("mass",
+        coalesce(col("prev_sp") + (col("r") - col("prev_cnt")) * col("v"), lit(0L)))
+      .select(col("seg").as("c_mktsegment"), col("decile").cast("int").as("decile"),
+        col("n").as("n_customers"),
+        expr("mass * 1000000 div s").as("bottom_share_ppm"))
+      .orderBy(col("c_mktsegment"), col("decile"))
+  }
+
+  /** E53: ORDER-TO-SHIP LATENCY — fulfillment lag percentiles per
+    * order priority: for every lineitem, the days from o_orderdate to
+    * l_shipdate, rolled to (priority, n_items, p50, p90, slow-tail
+    * PPM over 100 days). The operations-review companion to E15's
+    * value percentiles: does a 1-URGENT order actually ship faster
+    * than a 5-LOW one, and how heavy is the tail.
+    *
+    * Determinism contract: lags are exact integer day differences
+    * (datediff on UTC-pinned timestamps — both engines floor to the
+    * civil date); quantiles are TYPE-1 (inverse-CDF) picks — the
+    * smallest lag whose cumulative count reaches ceil(q·n), the E47
+    * boundary shape — so both engines select the identical order
+    * statistic with no interpolation ambiguity; the tail share is
+    * integer PPM.
+    *
+    * Scale shape: the orders→lineitem join shuffles both sides on
+    * orderkey ONCE (the E2 class — AQE picks SMJ/shuffled-hash), then
+    * collapses straight to (priority, lag-day) VALUE cells
+    * (calendar-bounded, never lineitem-proportional); the CDF window
+    * and quantile picks run over cells; report is priorities-sized. */
+  def qOrderLatency(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cells = t.lineitem.select(col("l_orderkey"), col("l_shipdate"))
+      .join(t.orders.select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority")), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        expr("cast(datediff(l_shipdate, o_orderdate) as long)").as("lag"))
+      .groupBy(col("priority"), col("lag"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .localCheckpoint(true) // the CDF window and the totals reread it
+    val w = Window.partitionBy(col("priority")).orderBy(col("lag"))
+    val cum = cells.withColumn("cum", sum(col("cnt")).over(w))
+    val tot = cells.groupBy(col("priority"))
+      .agg(sum(col("cnt")).cast("long").as("n_items"),
+        sum(when(col("lag") > 100L, col("cnt")).otherwise(0L))
+          .cast("long").as("n_slow"))
+    cum.join(broadcast(tot), Seq("priority"))
+      .groupBy(col("priority"), col("n_items"), col("n_slow"))
+      .agg(
+        min(when(col("cum") >= expr("(n_items + 1) div 2"), col("lag"))).as("p50_days"),
+        min(when(col("cum") >= expr("(9 * n_items + 9) div 10"), col("lag"))).as("p90_days"))
+      .withColumn("slow_ppm", expr("n_slow * 1000000 div n_items"))
+      .select(col("priority"), col("n_items"), col("p50_days"),
+        col("p90_days"), col("n_slow"), col("slow_ppm"))
+      .orderBy(col("priority"))
+  }
+
   /** E48: MARKET-BASKET LIFT — brand co-occurrence within orders, the
     * association-rule primitive (support / confidence-free lift form):
     * lift(a,b) = P(a,b)/(P(a)·P(b)) over order baskets; ≈1e6 means
