@@ -171,6 +171,8 @@ object SparkEntry {
     "q_attribution"          -> Relational.qAttribution _,
     "q_lorenz"               -> Relational.qLorenz _,
     "q_order_latency"        -> Relational.qOrderLatency _,
+    "q_survival_km"          -> Relational.qSurvivalKm _,
+    "q_spearman"             -> Relational.qSpearman _,
     "mon_scorecard"          -> LoadOps.monitorDigest _,
     "emb_lof"                -> ((s: SparkSession, d: String) => Similarity.embLof(s, d)),
     "ann_recall"             -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
@@ -2290,6 +2292,57 @@ object SparkEntry {
         |  CAST(sum(n_churned) OVER (ORDER BY k DESC) AS BIGINT) AS n_at_risk
         | FROM c)
         |ORDER BY k""".stripMargin,
+    // E54: first-touch channel via rn=1 over (sec, event_id), E49's
+    // lifetime cells per channel, recursive-CTE replay of the integer-PPM
+    // product-limit fold (the D43 convention)
+    "q_survival_km" ->
+      """WITH RECURSIVE ev AS (SELECT user_id, event_id, event_type,
+        |  CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS sec FROM events),
+        |ft AS (SELECT user_id, event_type AS channel FROM (
+        |  SELECT user_id, event_type,
+        |   row_number() OVER (PARTITION BY user_id ORDER BY sec, event_id) AS rn
+        |  FROM ev) WHERE rn = 1),
+        |lt AS (SELECT user_id,
+        |  max(sec // 86400 // 7) - min(sec // 86400 // 7) AS k
+        | FROM ev GROUP BY 1),
+        |c AS (SELECT channel, k, CAST(count(*) AS BIGINT) AS d
+        | FROM ft JOIN lt USING (user_id) GROUP BY 1, 2),
+        |r0 AS (SELECT channel, k, d,
+        |  CAST(sum(d) OVER (PARTITION BY channel ORDER BY k DESC) AS BIGINT) AS r,
+        |  CAST(row_number() OVER (PARTITION BY channel ORDER BY k) AS BIGINT) AS rn
+        | FROM c),
+        |rec AS (
+        | SELECT channel, k, r, d, rn,
+        |  CAST(1000000 * (r - d) // r AS BIGINT) AS s
+        | FROM r0 WHERE rn = 1
+        | UNION ALL
+        | SELECT n.channel, n.k, n.r, n.d, n.rn,
+        |  CAST(rec.s * (n.r - n.d) // n.r AS BIGINT)
+        | FROM rec JOIN r0 n ON n.channel = rec.channel AND n.rn = rec.rn + 1)
+        |SELECT channel, k, r AS n_at_risk, d AS n_churned,
+        | d * 1000000 // r AS hazard_ppm, s AS survival_ppm
+        |FROM rec ORDER BY channel, k""".stripMargin,
+    // E55: doubled average ranks from value cells (2·below + cnt + 1),
+    // corr over the identical integers rounded 4 (the E34 convention)
+    "q_spearman" ->
+      """WITH rows0 AS (SELECT l_returnflag AS flag,
+        |  CAST(l_quantity AS BIGINT) AS x,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS y FROM lineitem),
+        |cx AS (SELECT flag, x, CAST(count(*) AS BIGINT) AS cnt
+        | FROM rows0 GROUP BY 1, 2),
+        |rx AS (SELECT flag, x,
+        |  2 * (CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY x) AS BIGINT)
+        |    - cnt) + cnt + 1 AS r_x FROM cx),
+        |cy AS (SELECT flag, y, CAST(count(*) AS BIGINT) AS cnt
+        | FROM rows0 GROUP BY 1, 2),
+        |ry AS (SELECT flag, y,
+        |  2 * (CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY y) AS BIGINT)
+        |    - cnt) + cnt + 1 AS r_y FROM cy)
+        |SELECT flag AS l_returnflag, count(*) AS n_rows,
+        | round(corr(r_x, r_y), 4) AS spearman_rho,
+        | round(corr(x, y), 4) AS pearson_r
+        |FROM rows0 JOIN rx USING (flag, x) JOIN ry USING (flag, y)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // E46: descending dollar-cell CDF, exact integer 80/95 boundaries
     // (5·cumb < 4·S, 20·cumb < 19·S), integer-PPM shares
     "q_abc" ->

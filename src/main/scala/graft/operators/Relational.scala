@@ -1786,6 +1786,110 @@ object Relational {
       .orderBy(col("root"))
   }
 
+  /** E54: KAPLAN–MEIER SURVIVAL — the product-limit curve E49's hazard
+    * table feeds: per acquisition channel (each user's FIRST event
+    * type), the fraction of users still active after k lifetime weeks,
+    * S(k) = Π_{j≤k} (1 − d_j/r_j). E49 answers "how risky is week k in
+    * isolation"; this compounds the risks into the retention curve a
+    * growth team actually plots, split by the channel that acquired
+    * the user (reference monitoring.py's per-source framing of every
+    * run-health rollup).
+    *
+    * Determinism contract: channel = min_by(event_type, (sec,
+    * event_id)) — a total order, so the first touch is unique;
+    * lifetimes are exact integer epoch-week spans; the curve is an
+    * integer-PPM FOLD s_k = s_{k−1}·(r_k − d_k) div r_k starting at
+    * 1e6 — truncating division per step, so the oracle replays it
+    * bit-for-bit with a recursive CTE (the D43 convention). Hazard
+    * stays the E49 integer PPM.
+    *
+    * Scale shape: two user-grain hash aggs (first touch, lifetime)
+    * that both partition by user_id — AQE collapses the join between
+    * them to one exchange; then cells are (channel × calendar-weeks)-
+    * bounded, NEVER user-proportional. The order-dependent fold runs
+    * per channel over those cells via flatMapGroups — the D43/G24
+    * declared iterative shape: group count = |channels|, rows per
+    * group ≤ weeks in the calendar. Report is cells-sized. */
+  def qSurvivalKm(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).eventsSec
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("sec"), expr("sec div 86400 div 7").cast("long").as("week"))
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(
+        min_by(col("event_type"), struct(col("sec"), col("event_id")))
+          .as("channel"),
+        (max(col("week")) - min(col("week"))).as("lifetime"))
+    val cells = perUser.groupBy(col("channel"), col("lifetime").as("k"))
+      .agg(count(lit(1)).cast("long").as("n_churned"))
+    val wd = Window.partitionBy(col("channel")).orderBy(col("k").desc)
+    val risk = cells
+      .withColumn("n_at_risk", sum(col("n_churned")).over(wd))
+    import spark.implicits._
+    risk.select(col("channel").cast("string"), col("k").cast("long"),
+        col("n_at_risk").cast("long"), col("n_churned").cast("long"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (ch: String, it: Iterator[(String, Long, Long, Long)]) =>
+        val rows = it.toArray.sortBy(_._2)
+        var s = 1000000L
+        rows.iterator.map { case (_, k, r, d) =>
+          s = s * (r - d) / r
+          (ch, k, r, d, d * 1000000L / r, s)
+        }
+      }
+      .toDF("channel", "k", "n_at_risk", "n_churned", "hazard_ppm",
+        "survival_ppm")
+      .orderBy(col("channel"), col("k"))
+  }
+
+  /** E55: SPEARMAN RANK CORRELATION — the monotone-association
+    * companion to E34's Pearson matrix: per return flag, ρ between
+    * quantity and line revenue computed on RANKS, so one whale line
+    * item cannot manufacture (or hide) a relationship the bulk of the
+    * data doesn't show. The robust/classic pairing every EDA pass
+    * wants side by side — both emitted here from one row stream.
+    *
+    * Determinism contract: ranks are AVERAGE ranks doubled to stay
+    * integer — rank2(v) = 2·|{x < v}| + |{x = v}| + 1 (min-rank +
+    * max-rank of the tie block), derived from exact value cells; ρ is
+    * `corr` over those integers rounded to 4 (the E34 convention —
+    * both engines run the same double Pearson on identical integer
+    * inputs). Constant columns report NULL identically.
+    *
+    * Scale shape: ranks come from VALUE cells (distinct quantities and
+    * distinct cents — value-bounded, not row-proportional), windowed
+    * per flag over cells only; the rank2 maps broadcast back onto the
+    * row stream (two broadcast hash joins, zero row-side shuffle);
+    * one final hash agg per flag. */
+  def qSpearman(spark: SparkSession, dir: String): DataFrame =
+    spearmanOf(Tables(spark, dir).lineitem
+      .select(col("l_returnflag").as("flag"),
+        col("l_quantity").cast("long").as("x"),
+        expr("cast(round(l_extendedprice * 100) as long)").as("y")))
+      .withColumnRenamed("flag", "l_returnflag")
+      .orderBy(col("l_returnflag"))
+
+  /** The E55 compute over any (flag, x, y) long frame — specs plant
+    * strictly-monotone and anti-monotone wires with closed-form ρ. */
+  def spearmanOf(rows: DataFrame): DataFrame = {
+    def rank2(valCol: String): DataFrame = {
+      val cells = rows.groupBy(col("flag"), col(valCol))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      val w = Window.partitionBy(col("flag")).orderBy(col(valCol))
+      cells
+        .withColumn("below", sum(col("cnt")).over(w) - col("cnt"))
+        .select(col("flag"), col(valCol),
+          (lit(2L) * col("below") + col("cnt") + lit(1L)).as(s"r_$valCol"))
+    }
+    rows
+      .join(broadcast(rank2("x")), Seq("flag", "x"))
+      .join(broadcast(rank2("y")), Seq("flag", "y"))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        round(corr(col("r_x"), col("r_y")), 4).as("spearman_rho"),
+        round(corr(col("x"), col("y")), 4).as("pearson_r"))
+  }
+
   /** The E35 report assembly over a (state, next_state, n) matrix —
     * denominators via a states²-row window (tiny), exact PPM division. */
   def markovAssemble(matrix: DataFrame): DataFrame = {

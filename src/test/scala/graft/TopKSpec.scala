@@ -655,4 +655,86 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
     val c = got.find(_.getString(0) == "c").get
     assert(c.isNullAt(5) && c.isNullAt(6), "all-tied group must report NULL H")
   }
+
+  test("kaplan-meier: brute fold replay, curve invariants") {
+    val got = Relational.qSurvivalKm(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // independent replay: first touch + lifetime per user from raw rows
+    val raw = Tables(spark, sfDir).eventsSec
+      .select(col("user_id"), col("event_id"), col("event_type"), col("sec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val perUser = raw.groupBy(_._1).toSeq.map { case (_, evs) =>
+      val first = evs.minBy(e => (e._4, e._2))._3
+      val weeks = evs.map(_._4 / 86400 / 7)
+      (first, weeks.max - weeks.min)
+    }
+    val brute = perUser.groupBy(_._1).toSeq.flatMap { case (ch, us) =>
+      val cells = us.groupBy(_._2).map { case (k, xs) => (k, xs.size.toLong) }
+        .toSeq.sortBy(_._1)
+      var atRisk = us.size.toLong
+      var s = 1000000L
+      cells.map { case (k, d) =>
+        val r = atRisk
+        s = s * (r - d) / r
+        atRisk -= d
+        (ch, k, r, d, d * 1000000L / r, s)
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.nonEmpty && got.toSeq == brute, "KM must replay the brute fold")
+    // invariants: survival non-increasing per channel, ends at 0 (the
+    // last lifetime cell has d = r), hazard within [0, 1e6]
+    got.groupBy(_._1).foreach { case (ch, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => b._6 <= a._6; case _ => true
+      }, s"$ch survival must be non-increasing")
+      assert(sorted.last._6 == 0L, s"$ch curve must end at 0")
+      assert(rows.forall(r => r._5 >= 0L && r._5 <= 1000000L))
+    }
+  }
+
+  test("spearman: brute average-rank replay, monotone planted wire reads rho=1") {
+    val got = Relational.qSpearman(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val raw = Tables(spark, sfDir).lineitem
+      .select(col("l_returnflag"), col("l_quantity").cast("long"),
+        org.apache.spark.sql.functions.expr(
+          "cast(round(l_extendedprice * 100) as long)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val brute = raw.groupBy(_._1).toSeq.map { case (flag, rows) =>
+      def rank2(vs: Seq[Long]): Map[Long, Long] = {
+        val cells = vs.groupBy(identity).map { case (v, xs) => (v, xs.size.toLong) }
+          .toSeq.sortBy(_._1)
+        var below = 0L
+        cells.map { case (v, cnt) =>
+          val r = 2L * below + cnt + 1L; below += cnt; (v, r)
+        }.toMap
+      }
+      val rx = rank2(rows.map(_._2).toSeq); val ry = rank2(rows.map(_._3).toSeq)
+      val xs = rows.map(r => rx(r._2).toDouble); val ys = rows.map(r => ry(r._3).toDouble)
+      val n = xs.length.toDouble
+      val mx = xs.sum / n; val my = ys.sum / n
+      val cov = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum
+      val sx = math.sqrt(xs.map(a => (a - mx) * (a - mx)).sum)
+      val sy = math.sqrt(ys.map(b => (b - my) * (b - my)).sum)
+      val rho = BigDecimal(cov / (sx * sy))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (flag, rows.size.toLong, rho)
+    }.sortBy(_._1)
+    got.zip(brute).foreach { case ((f, n, rho), (bf, bn, brho)) =>
+      assert(f == bf && n == bn, "group alignment")
+      assert(math.abs(rho - brho) <= 1e-4, s"$f rho=$rho brute=$brho")
+    }
+    // planted wires: strictly monotone → ρ = 1 even though the raw values
+    // are wildly non-linear; anti-monotone → ρ = −1
+    import spark.implicits._
+    val mono = (1 to 50).map(i => ("up", i.toLong, i.toLong * i * i)) ++
+      (1 to 50).map(i => ("dn", i.toLong, (1000 - i).toLong))
+    val planted = Relational.spearmanOf(mono.toDF("flag", "x", "y"))
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(planted("up") == 1.0, s"monotone wire: ${planted("up")}")
+    assert(planted("dn") == -1.0, s"anti-monotone wire: ${planted("dn")}")
+  }
 }
