@@ -173,6 +173,8 @@ object SparkEntry {
     "q_order_latency"        -> Relational.qOrderLatency _,
     "q_survival_km"          -> Relational.qSurvivalKm _,
     "q_spearman"             -> Relational.qSpearman _,
+    "q_cramers_v"            -> Relational.qCramersV _,
+    "mon_hampel"             -> ((s: SparkSession, d: String) => LoadOps.hampel(s, d)),
     "mon_scorecard"          -> LoadOps.monitorDigest _,
     "emb_lof"                -> ((s: SparkSession, d: String) => Similarity.embLof(s, d)),
     "ann_recall"             -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
@@ -2343,6 +2345,67 @@ object SparkEntry {
         | round(corr(x, y), 4) AS pearson_r
         |FROM rows0 JOIN rx USING (flag, x) JOIN ry USING (flag, y)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // E56: per pair — exact contingency cells, broadcast marginals,
+    // χ² = n + Σ_observed((o−e)²/e − e) (absent cells contribute e and
+    // Σe = n), V = sqrt(χ²/(n·(min(r,c)−1))) rounded 4
+    "q_cramers_v" -> {
+      val pairs = Seq(
+        ("c_mktsegment", "o_orderpriority",
+          "SELECT c_mktsegment AS a, o_orderpriority AS b " +
+            "FROM orders JOIN customer ON o_custkey = c_custkey"),
+        ("l_returnflag", "l_linestatus",
+          "SELECT l_returnflag AS a, l_linestatus AS b FROM lineitem"),
+        ("p_brand", "p_type",
+          "SELECT p_brand AS a, p_type AS b FROM part"))
+      val ctes = pairs.zipWithIndex.map { case ((_, _, src), i) =>
+        s"""c$i AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o FROM ($src) GROUP BY 1, 2),
+           |t$i AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+           |  CAST(count(DISTINCT a) AS BIGINT) AS r_cats,
+           |  CAST(count(DISTINCT b) AS BIGINT) AS c_cats FROM c$i),
+           |bd$i AS (SELECT sum((o - e) * (o - e) / e - e) AS bd FROM (
+           |  SELECT o, CAST(rt AS DOUBLE) * ct / n AS e
+           |  FROM c$i
+           |  JOIN (SELECT a, CAST(sum(o) AS BIGINT) AS rt FROM c$i GROUP BY 1) USING (a)
+           |  JOIN (SELECT b, CAST(sum(o) AS BIGINT) AS ct FROM c$i GROUP BY 1) USING (b)
+           |  CROSS JOIN t$i))""".stripMargin
+      }.mkString(",\n")
+      val sels = pairs.zipWithIndex.map { case ((na, nb, _), i) =>
+        s"""SELECT '$na' AS col_a, '$nb' AS col_b, n AS n_rows, r_cats, c_cats,
+           | round(n + bd, 4) AS chi2,
+           | round(sqrt(greatest(n + bd, 0)
+           |   / (n * nullif(least(r_cats, c_cats) - 1, 0))), 4) AS cramers_v
+           |FROM t$i, bd$i""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"WITH $ctes\n$sels\nORDER BY col_a, col_b"
+    },
+    // D55: trailing integer-range window pairs, lower-median and
+    // lower-MAD row_number picks, one integer Hampel comparison
+    "mon_hampel" ->
+      """WITH d AS (SELECT event_type AS source,
+        |  CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) // count(*) AS BIGINT) AS md
+        | FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.source, a.day, a.md, b.day AS d2, b.md AS m2
+        | FROM d a JOIN d b ON a.source = b.source
+        |  AND b.day <= a.day AND b.day > a.day - 7),
+        |med AS (SELECT source, day, md, n_win, m2 AS med FROM (
+        |  SELECT source, day, md, m2,
+        |   row_number() OVER (PARTITION BY source, day ORDER BY m2, d2) AS rn,
+        |   CAST(count(*) OVER (PARTITION BY source, day) AS BIGINT) AS n_win
+        |  FROM p) WHERE rn = (n_win + 1) // 2),
+        |mad AS (SELECT source, day, dev2 AS mad FROM (
+        |  SELECT p.source, p.day, abs(p.m2 - med.med) AS dev2,
+        |   row_number() OVER (PARTITION BY p.source, p.day
+        |     ORDER BY abs(p.m2 - med.med), p.d2) AS rn,
+        |   CAST(count(*) OVER (PARTITION BY p.source, p.day) AS BIGINT) AS n_win
+        |  FROM p JOIN med ON p.source = med.source AND p.day = med.day)
+        | WHERE rn = (n_win + 1) // 2)
+        |SELECT med.source, med.day, med.md, med.n_win, med.med, mad.mad,
+        | abs(med.md - med.med) AS deviation,
+        | CAST(med.n_win >= 5 AND abs(med.md - med.med) * 10000 > 44478 * mad.mad
+        |   AS INT) AS alarm
+        |FROM med JOIN mad ON med.source = mad.source AND med.day = mad.day
+        |ORDER BY 1, 2""".stripMargin,
     // E46: descending dollar-cell CDF, exact integer 80/95 boundaries
     // (5·cumb < 4·S, 20·cumb < 19·S), integer-PPM shares
     "q_abc" ->

@@ -1566,6 +1566,72 @@ object LoadOps {
       .orderBy(col("source"), col("day"))
   }
 
+  /** D55: HAMPEL FILTER — the decision rule D52's smoother only draws:
+    * a day alarms when its metric sits more than k·1.4826·MAD from the
+    * trailing-window MEDIAN. The robust replacement for the z-score
+    * screen (D31 ranks a whole run log offline; this is the per-day
+    * online form): mean/stddev rules move WITH the outlier they're
+    * judging (masking), median/MAD have a 50% breakdown point, so a
+    * burst of up to half a window cannot drag the threshold.
+    *
+    * Determinism contract: exact integer day cells (the D40 cents
+    * convention); window median and MAD are LOWER medians selected by
+    * row_number in a total order ((value, day) — both engines replay
+    * the identical order statistic); the k·1.4826 scale folds into
+    * one integer comparison dev·10000 > 44478·MAD — zero float. A
+    * constant window (MAD = 0) alarms on ANY deviation — the declared
+    * Hampel degeneracy (threshold k·0); warm-up days (window < 5)
+    * never alarm.
+    *
+    * Scale shape: the D52 class — ONE hash agg to (source, day)
+    * cells, a trailing integer-range join bounded by cells×window
+    * WITHIN a source, two row_number windows over those bounded
+    * pairs (median, then MAD around it); report is cells-sized. */
+  def hampel(spark: SparkSession, dir: String, window: Int = 7,
+      minWin: Int = 5): DataFrame =
+    hampelOver(Tables(spark, dir).eventsSec
+      .select(col("event_type").as("source"),
+        expr("sec div 86400").cast("long").as("day"),
+        expr("cast(round(value * 100) as long)").as("cents"))
+      .groupBy(col("source"), col("day"))
+      .agg(expr("sum(cents) div count(*)").as("md")), window, minWin)
+
+  /** The D55 compute over any (source, day, md) daily frame — specs
+    * plant spikes the median threshold must catch and bursts the MAD
+    * must absorb. */
+  def hampelOver(daily: DataFrame, window: Int, minWin: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = daily.select(col("source"), col("day"), col("md").cast("long"))
+      .localCheckpoint(true) // both sides of the trailing join read it
+    val tr = cells.select(col("source"), col("day").as("d2"), col("md").as("m2"))
+    val pairs = cells.join(tr, Seq("source"))
+      .filter(col("d2") <= col("day") && col("d2") > col("day") - window)
+      .localCheckpoint(true) // the median and MAD passes both read it
+    val w = Window.partitionBy(col("source"), col("day"))
+    val med = pairs
+      .withColumn("rn", row_number().over(w.orderBy(col("m2"), col("d2"))).cast("long"))
+      .withColumn("n_win", count(lit(1)).over(w).cast("long"))
+      .filter(col("rn") === expr("(n_win + 1) div 2"))
+      .select(col("source"), col("day"), col("md"), col("n_win"),
+        col("m2").as("med"))
+    val mad = pairs
+      .join(med.select(col("source"), col("day"), col("med").as("c")),
+        Seq("source", "day"))
+      .withColumn("dev2", abs(col("m2") - col("c")))
+      .withColumn("rn", row_number().over(w.orderBy(col("dev2"), col("d2"))).cast("long"))
+      .withColumn("n_win", count(lit(1)).over(w).cast("long"))
+      .filter(col("rn") === expr("(n_win + 1) div 2"))
+      .select(col("source"), col("day"), col("dev2").as("mad"))
+    med.join(mad, Seq("source", "day"))
+      .withColumn("deviation", abs(col("md") - col("med")))
+      .withColumn("alarm",
+        (col("n_win") >= minWin.toLong &&
+          col("deviation") * lit(10000L) > lit(44478L) * col("mad")).cast("int"))
+      .select(col("source"), col("day"), col("md"), col("n_win"),
+        col("med"), col("mad"), col("deviation"), col("alarm"))
+      .orderBy(col("source"), col("day"))
+  }
+
   /** D53: BURSTINESS (index of dispersion) per source — the Fano factor
     * of the daily count series: variance-to-mean ≈ 1e6 (PPM) is Poisson
     * (a healthy memoryless feed), ≫ 1e6 is bursty (batchy upstream, a

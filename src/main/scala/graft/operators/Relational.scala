@@ -1890,6 +1890,70 @@ object Relational {
         round(corr(col("x"), col("y")), 4).as("pearson_r"))
   }
 
+  /** E56: CRAMÉR'S V — association strength between CATEGORICAL column
+    * pairs, the nominal-data member the correlation family lacks: E34/
+    * E55 need ordered numerics, E44's χ² test answers "is there ANY
+    * association" but its statistic grows with n, so it can't rank
+    * pairs. V = sqrt(χ² / (n·(min(r,c)−1))) ∈ [0,1] is the
+    * sample-size-free effect size — the profiling pass that decides
+    * which dimension pairs are redundant before a cube build.
+    *
+    * Determinism contract: contingency counts are exact integers;
+    * expected counts, χ² and V are doubles assembled from those
+    * integers in one fixed-shape expression, rounded to 4 (the D45/E34
+    * convention). Dimensions r, c count OBSERVED categories.
+    *
+    * Scale shape: per pair, ONE hash agg to the r×c contingency cells
+    * (category-bounded, never row-proportional); marginals are two
+    * cells-sized aggs broadcast back; the χ² fold is one agg over
+    * cells. The pairs-sized report unions three such plans. */
+  def qCramersV(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val segPrio = t.orders
+      .join(t.customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("a"), col("o_orderpriority").as("b"))
+    val flagStatus = t.lineitem
+      .select(col("l_returnflag").as("a"), col("l_linestatus").as("b"))
+    val brandType = t.part
+      .select(col("p_brand").as("a"), col("p_type").as("b"))
+    cramersVOf(segPrio, "c_mktsegment", "o_orderpriority")
+      .unionByName(cramersVOf(flagStatus, "l_returnflag", "l_linestatus"))
+      .unionByName(cramersVOf(brandType, "p_brand", "p_type"))
+      .orderBy(col("col_a"), col("col_b"))
+  }
+
+  /** The E56 compute over any (a, b) categorical frame — specs plant
+    * independent (V = 0) and functionally-dependent (V = 1) wires.
+    * Absent contingency cells (o = 0, e > 0) contribute exactly e to
+    * χ², and Σ_all e = n, so χ² = n + Σ_observed((o−e)²/e − e) — the
+    * fold never materializes the empty cells. */
+  def cramersVOf(rows: DataFrame, nameA: String, nameB: String): DataFrame = {
+    val cells = rows.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).cast("long").as("o"))
+      .localCheckpoint(true) // marginals, totals and the chi2 fold reread it
+    val ra = cells.groupBy(col("a")).agg(sum(col("o")).cast("long").as("rt"))
+    val cb = cells.groupBy(col("b")).agg(sum(col("o")).cast("long").as("ct"))
+    val tot = cells.agg(
+      sum(col("o")).cast("long").as("n"),
+      countDistinct(col("a")).cast("long").as("r_cats"),
+      countDistinct(col("b")).cast("long").as("c_cats"))
+    val e = col("rt").cast("double") * col("ct") / col("n")
+    cells
+      .join(broadcast(ra), Seq("a"))
+      .join(broadcast(cb), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("n"), col("r_cats"), col("c_cats"))
+      .agg(sum((col("o") - e) * (col("o") - e) / e - e).as("body"))
+      .select(
+        lit(nameA).as("col_a"), lit(nameB).as("col_b"),
+        col("n").as("n_rows"), col("r_cats"), col("c_cats"),
+        round(col("n") + col("body"), 4).as("chi2"),
+        round(sqrt(greatest(col("n") + col("body"), lit(0.0))
+          / (col("n") * nullif(least(col("r_cats"), col("c_cats")) - lit(1L),
+            lit(0L)))), 4).as("cramers_v"))
+  }
+
   /** The E35 report assembly over a (state, next_state, n) matrix —
     * denominators via a states²-row window (tiny), exact PPM division. */
   def markovAssemble(matrix: DataFrame): DataFrame = {

@@ -1545,4 +1545,82 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
       assert(nFlags == exp && healthy == (if (exp == 0) 1 else 0), s"$src flags")
     }
   }
+
+  test("hampel: spike alarms, median burst is absorbed, warm-up never alarms, brute replay") {
+    import spark.implicits._
+    // s: constant 100 with one wild spike at day 10 — the spike day must
+    // alarm (dev 99899 vs MAD 0 → threshold 0 under the declared
+    // degeneracy), every other day must not
+    val daily = (0 until 30).map(d => ("s", d.toLong, if (d == 10) 99999L else 100L))
+      .toDF("source", "day", "md")
+    val got = graft.operators.LoadOps.hampelOver(daily, 7, 5).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getInt(7)))).toMap
+    assert(got(10L)._5 == 1, s"the spike day must alarm: ${got(10L)}")
+    (0 until 30).filter(_ != 10).foreach { d =>
+      assert(got(d.toLong)._5 == 0, s"day $d must not alarm: ${got(d.toLong)}")
+    }
+    assert((0 until 5).forall(d => got(d.toLong)._1 < 5L || d >= 4),
+      "window sizes ramp 1..5 over the first days")
+    // b: a NOISY series (alternating ±30 around 100) with a mild +60
+    // excursion at day 20 — the MAD is 30, threshold 3·1.4826·30 ≈ 133,
+    // so the excursion must be ABSORBED (the rule a plain median-delta
+    // screen would fire on)
+    val noisy = (0 until 30).map { d =>
+      val base = if (d % 2 == 0) 70L else 130L
+      ("b", d.toLong, if (d == 20) 160L else base)
+    }.toDF("source", "day", "md")
+    val gb = graft.operators.LoadOps.hampelOver(noisy, 7, 5).collect()
+      .map(r => r.getLong(1) -> r.getInt(7)).toMap
+    assert(gb(20L) == 0, "a 2·MAD excursion sits inside the 4.45·MAD fence")
+    // brute replay of the corpus run: trailing lower-median and lower-MAD
+    val cells = Tables(spark, sfDir).eventsSec
+      .selectExpr("event_type as source", "sec div 86400 as day",
+        "cast(round(value * 100) as long) as cents")
+      .groupBy(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("day"))
+      .agg(org.apache.spark.sql.functions.expr("sum(cents) div count(*)").as("md"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val gotCorpus = graft.operators.LoadOps.hampel(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getInt(7))).toSeq
+    val brute = cells.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+      val byDay = ds.map(c => (c._2, c._3)).sortBy(_._1)
+      byDay.map { case (day, md) =>
+        val win = byDay.filter(c => c._1 <= day && c._1 > day - 7)
+        def lowerMedian(vs: Seq[(Long, Long)]): Long =
+          vs.sorted.apply((vs.size + 1) / 2 - 1)._1
+        val med = lowerMedian(win.map { case (d2, m2) => (m2, d2) })
+        val mad = lowerMedian(win.map { case (d2, m2) => (math.abs(m2 - med), d2) })
+        val dev = math.abs(md - med)
+        (src, day, md, win.size.toLong, med, mad, dev,
+          if (win.size >= 5 && dev * 10000L > 44478L * mad) 1 else 0)
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(gotCorpus.nonEmpty && gotCorpus == brute, "hampel must replay brute-force")
+  }
+
+  test("cramers v: independent wire reads 0, functional dependence reads 1, corpus V in [0,1]") {
+    import spark.implicits._
+    // independent: every (a, b) combination equally likely → o = e
+    // exactly → χ² = 0, V = 0
+    val ind = (for { a <- 'a' to 'd'; b <- 1 to 3; _ <- 1 to 5 }
+      yield (a.toString, b.toString)).toDF("a", "b")
+    val gi = graft.operators.Relational.cramersVOf(ind, "x", "y").collect().head
+    assert(gi.getDouble(5) == 0.0 && gi.getDouble(6) == 0.0,
+      s"independent wire: chi2=${gi.getDouble(5)} v=${gi.getDouble(6)}")
+    // functional dependence b = f(a) with 4 categories each → V = 1
+    val dep = (for { a <- 1 to 4; _ <- 1 to (a * 3) }
+      yield (a.toString, (a * 10).toString)).toDF("a", "b")
+    val gd = graft.operators.Relational.cramersVOf(dep, "x", "y").collect().head
+    assert(gd.getDouble(6) == 1.0, s"dependent wire: v=${gd.getDouble(6)}")
+    // corpus run: every V in [0, 1], dims observed, n consistent
+    val gc = graft.operators.Relational.qCramersV(spark, sfDir).collect()
+    assert(gc.length == 3)
+    gc.foreach { r =>
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0, s"V range: $r")
+      assert(r.getLong(3) >= 1L && r.getLong(4) >= 1L, s"dims: $r")
+      assert(r.getDouble(5) >= 0.0, s"chi2 non-negative: $r")
+    }
+  }
 }
