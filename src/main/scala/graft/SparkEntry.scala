@@ -225,6 +225,8 @@ object SparkEntry {
     "graph_kcore"            -> ((s: SparkSession, d: String) => Graph.kcore(s, d)),
     "graph_bfs"              -> ((s: SparkSession, d: String) => Graph.bfs(s, d)),
     "graph_jaccard"          -> ((s: SparkSession, d: String) => Graph.jaccard(s, d)),
+    "graph_adamic_adar"      -> ((s: SparkSession, d: String) => Graph.adamicAdar(s, d)),
+    "text_lexical_diversity" -> ((s: SparkSession, d: String) => TextAnalysis.lexicalDiversity(s, d)),
     "text_ngram_counts"      -> ((s: SparkSession, d: String) => TextAnalysis.ngramCounts(s, d)),
     "dedup_containment"      -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
     "sample_density_prune"   -> ((s: SparkSession, d: String) => Similarity.densityPrune(s, d)),
@@ -3987,6 +3989,46 @@ object SparkEntry {
          | LEFT JOIN ed e2 ON e2.src = sh.u AND e2.dst = sh.v)
          |SELECT * FROM j WHERE jaccard >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
+    // F90: the F87 kNN edge CTEs, per-neighbor weight quantized ONCE to
+    // floor(1e6/ln deg) so the pair score is an order-independent
+    // integer sum
+    "graph_adamic_adar" ->
+      s"""WITH $knnRankedCtes,
+         |k3 AS MATERIALIZED (SELECT vec_id, nbr_id FROM r WHERE rank <= 3),
+         |ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |  SELECT vec_id AS src, nbr_id AS dst FROM k3
+         |  UNION ALL SELECT nbr_id, vec_id FROM k3)),
+         |dg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+         | FROM ed GROUP BY 1),
+         |wt AS (SELECT id, CAST(floor(1000000.0 / ln(CAST(deg AS DOUBLE)))
+         |   AS BIGINT) AS w_ppm FROM dg WHERE deg >= 2),
+         |sc AS (SELECT a.dst AS u, b.dst AS v,
+         |  CAST(count(*) AS BIGINT) AS n_shared,
+         |  CAST(sum(w.w_ppm) AS BIGINT) AS aa_ppm
+         | FROM ed a JOIN ed b ON a.src = b.src AND a.dst < b.dst
+         | JOIN wt w ON w.id = a.src GROUP BY 1, 2)
+         |SELECT u AS vec_a, v AS vec_b, n_shared, aa_ppm,
+         | CAST(e2.src IS NOT NULL AS INT) AS is_edge
+         |FROM sc LEFT JOIN ed e2 ON e2.src = sc.u AND e2.dst = sc.v
+         |WHERE aa_ppm >= 1500000
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    // F91: the shared tokenizer to (doc, term) cells, exact-integer PPM
+    // ratios, one fixed-shape double each for root-TTR / Herdan C
+    "text_lexical_diversity" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+         |tc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt
+         | FROM tk GROUP BY 1, 2),
+         |a AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_types,
+         |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+         | FROM tc GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_types, n_hapax,
+         | n_types * 1000000 // n_tokens AS ttr_ppm,
+         | round(n_types / sqrt(CAST(n_tokens AS DOUBLE)), 4) AS root_ttr,
+         | round(ln(CAST(n_types AS DOUBLE))
+         |   / nullif(ln(CAST(n_tokens AS DOUBLE)), 0), 4) AS herdan_c,
+         | n_hapax * 1000000 // n_types AS hapax_ppm
+         |FROM a ORDER BY doc_id""".stripMargin,
     // F74: the stub spectrogram model restated in SQL (list-comprehension
     // bands, peak energies), then the same landmark hashes, df screen,
     // and offset-histogram vote

@@ -399,6 +399,62 @@ object Graph {
     jaccardOf(edges, simBar)
   }
 
+  /** F90: ADAMIC–ADAR link prediction over the kNN graph — F87's
+    * neighbor-overlap score with the right weighting: a shared neighbor
+    * that is itself a HUB (high degree) is weak evidence two nodes are
+    * related (everything meets at a hub), a shared LOW-degree neighbor
+    * is strong evidence. AA(u,v) = Σ_{w∈N(u)∩N(v)} 1/ln(deg w) — the
+    * classic link-prediction baseline; pairs NOT already adjacent with
+    * high AA are the predicted edges (`is_edge` = 0 rows).
+    *
+    * Determinism contract: each neighbor's weight quantizes ONCE to
+    * integer PPM (floor(1e6/ln deg) — deg ≥ 2 for any shared neighbor
+    * by construction, so ln > 0); scores are SUMS OF INTEGERS, so
+    * accumulation order cannot flip a rounding (the order-independence
+    * the raw double sum wouldn't have).
+    *
+    * Scale shape: the F87 wedge shape — symmetric kNN edges pinned
+    * once and repartitioned on src; each shared-neighbor pair comes
+    * from ONE self-join at the common w (fan-out bounded by deg(w)² ≤
+    * (2k)² on a kNN graph, never corpus²); degree weights join at the
+    * wedge center BEFORE the pair agg. Report thresholded at `barPpm`. */
+  def adamicAdar(spark: SparkSession, dir: String, kNbrs: Int = 3,
+      barPpm: Long = 1500000L): DataFrame = {
+    val knn = Similarity.knnGraph(spark, dir, kNbrs)
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+    val edges = knn.unionByName(
+      knn.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    adamicAdarOf(edges, barPpm)
+  }
+
+  /** The F90 compute over any SYMMETRIC (src, dst) edge frame — specs
+    * plant hub-vs-leaf wires with closed-form weights. */
+  def adamicAdarOf(edges0: DataFrame, barPpm: Long): DataFrame = {
+    val edges = edges0.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint(true)
+    val deg = edges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).cast("long").as("deg"))
+    // a degree-1 node has a single neighbor, so it can never be a wedge
+    // center — filtering it here also keeps ln(deg) > 0 for the weight
+    val wts = deg.filter(col("deg") >= 2L).select(col("id"),
+      floor(lit(1000000.0) / log(col("deg").cast("double"))).cast("long")
+        .as("w_ppm"))
+    val scored = edges.select(col("src").as("w"), col("dst").as("u"))
+      .join(edges.select(col("src").as("w"), col("dst").as("v")), Seq("w"))
+      .filter(col("u") < col("v"))
+      .join(wts.withColumnRenamed("id", "w"), Seq("w"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).cast("long").as("n_shared"),
+        sum(col("w_ppm")).cast("long").as("aa_ppm"))
+      .filter(col("aa_ppm") >= barPpm)
+    scored
+      .join(edges.select(col("src").as("u"), col("dst").as("v"), lit(1).as("e")),
+        Seq("u", "v"), "left")
+      .select(col("u").as("vec_a"), col("v").as("vec_b"), col("n_shared"),
+        col("aa_ppm"), coalesce(col("e"), lit(0)).as("is_edge"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** The F87 compute over any SYMMETRIC (src, dst) edge frame — specs
     * plant graphs with closed-form overlaps. */
   def jaccardOf(edges0: DataFrame, simBar: Double): DataFrame = {

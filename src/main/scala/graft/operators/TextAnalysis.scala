@@ -1621,4 +1621,49 @@ object TextAnalysis {
         sum(when(col("n_toks").isNull, 1L).otherwise(0L)).as("n_oov"))
       .orderBy(col("doc_id"))
   }
+
+  /** F91: LEXICAL DIVERSITY per document — the vocabulary-richness
+    * battery quality filters read next to F9's surface stats: type-token
+    * ratio (and its length-robust variants root-TTR and Herdan's C,
+    * since raw TTR collapses as documents grow) plus the hapax share
+    * (fraction of the vocabulary used exactly once — high hapax =
+    * exploratory prose or noise, low = boilerplate/template). F37's
+    * character entropy sees the BYTE distribution; this sees the WORD
+    * distribution — template spam with diverse characters but a looping
+    * vocabulary fools the former and not this.
+    *
+    * Determinism contract: the shared whitespace tokenizer; TTR and
+    * hapax share in exact integer PPM; root-TTR and Herdan's C are one
+    * fixed-shape double expression each over exact integer counts,
+    * rounded 4 (the F37 convention); a single-token document reports
+    * NULL Herdan (ln 1 = 0 denominator, nullif-guarded identically in
+    * both engines). Empty documents drop (no tokens — declared).
+    *
+    * Scale shape: the F17 explode — ONE pass to (doc, term) count cells
+    * partitioned by doc_id, then a doc-sized agg on the SAME
+    * partitioning (no second exchange); per-row report, zero joins. */
+  def lexicalDiversity(spark: SparkSession, dir: String): DataFrame =
+    lexicalDiversityOf(Tables(spark, dir).documents)
+
+  /** The F91 compute over any (doc_id, text) frame — specs plant
+    * looping-vocabulary and all-distinct wires with closed-form ratios. */
+  def lexicalDiversityOf(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_types"),
+        sum((col("cnt") === 1L).cast("long")).cast("long").as("n_hapax"))
+      .withColumn("ttr_ppm", expr("n_types * 1000000 div n_tokens"))
+      .withColumn("root_ttr",
+        round(col("n_types") / sqrt(col("n_tokens").cast("double")), 4))
+      .withColumn("herdan_c",
+        round(log(col("n_types").cast("double"))
+          / nullif(log(col("n_tokens").cast("double")), lit(0.0)), 4))
+      .withColumn("hapax_ppm", expr("n_hapax * 1000000 div n_types"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        col("ttr_ppm"), col("root_ttr"), col("herdan_c"), col("hapax_ppm"))
+      .orderBy(col("doc_id"))
 }

@@ -277,4 +277,41 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
       if (nu.contains(v)) 1 else 0)).sortBy(t => (t._1, t._2))
     assert(wire == brute, "wire report must replay naively")
   }
+
+  test("adamic-adar: hub evidence discounts, 4-cycle closed form, brute replay") {
+    import spark.implicits._
+    // 4-cycle 1-10-2-20-1: nodes 1 and 2 share the two degree-2
+    // neighbors 10 and 20 → AA = 2·floor(1e6/ln 2); the pair is NOT an
+    // edge, so it's a prediction. Star h=99 over leaves 30..35: any two
+    // leaves share only the degree-6 hub → AA = floor(1e6/ln 6), weak.
+    val und = Seq((1L, 10L), (10L, 2L), (2L, 20L), (20L, 1L)) ++
+      (30L to 35L).map(l => (99L, l))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Graph.adamicAdarOf(edges, 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    val w2 = math.floor(1000000.0 / math.log(2.0)).toLong
+    val w6 = math.floor(1000000.0 / math.log(6.0)).toLong
+    assert(got((1L, 2L)) == ((2L, 2L * w2, 0)), s"cycle pair: ${got((1L, 2L))}")
+    assert(got((30L, 31L)) == ((1L, w6, 0)), s"hub pair: ${got((30L, 31L))}")
+    assert(2L * w2 > 1500000L && w6 < 1500000L,
+      "the default bar keeps the strong pair and drops the hub-only pair")
+    // live wire: replay the whole thresholded report from collected edges
+    val wire = Graph.adamicAdar(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSeq
+    val knn = graft.operators.Similarity.knnGraph(spark, sfDir, 3)
+      .select("vec_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sym = (knn ++ knn.map(_.swap)).distinct
+    val nbrs = sym.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = (for {
+      (u, nu) <- nbrs.toSeq; v <- nbrs.keys if u < v
+      shared = (nu & nbrs(v)) if shared.nonEmpty
+      aa = shared.toSeq.map(w =>
+        math.floor(1000000.0 / math.log(nbrs(w).size.toDouble)).toLong).sum
+      if aa >= 1500000L
+    } yield (u, v, shared.size.toLong, aa,
+      if (nu.contains(v)) 1 else 0)).sortBy(t => (t._1, t._2))
+    assert(wire.nonEmpty && wire == brute, "wire report must replay naively")
+  }
 }

@@ -903,4 +903,40 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(!got.contains(4L), "tokenless doc must drop, not divide by zero")
     assert(got(1L)._4 > got(2L)._4, "simple prose must read easier than polysyllables")
   }
+
+  test("lexical diversity: closed-form planted wires, NULL Herdan guard, corpus invariants") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),             // all distinct: TTR 1, all hapax
+      (2L, "spam spam spam spam"), // looping: 1 type, 0 hapax
+      (3L, "x x y"),               // mixed: 2 types, 1 hapax
+      (4L, "lonely"),              // 1 token: Herdan NULL (ln 1 = 0)
+      (5L, "  \t ")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.lexicalDiversityOf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = got(1L)
+    assert((d1.getLong(1), d1.getLong(2), d1.getLong(3)) == ((4L, 4L, 4L)))
+    assert(d1.getLong(4) == 1000000L && d1.getLong(7) == 1000000L)
+    assert(d1.getDouble(5) == r4(4.0 / math.sqrt(4.0)))
+    assert(d1.getDouble(6) == 1.0, "all-distinct Herdan C = 1")
+    val d2 = got(2L)
+    assert((d2.getLong(2), d2.getLong(3)) == ((1L, 0L)))
+    assert(d2.getLong(4) == 250000L && d2.getDouble(6) == 0.0)
+    val d3 = got(3L)
+    assert((d3.getLong(1), d3.getLong(2), d3.getLong(3)) == ((3L, 2L, 1L)))
+    assert(d3.getDouble(6) == r4(math.log(2.0) / math.log(3.0)))
+    assert(got(4L).isNullAt(6), "single-token doc must report NULL Herdan")
+    assert(!got.contains(5L), "tokenless doc must drop")
+    // corpus invariants: types ≤ tokens, hapax ≤ types, ratios in range
+    val corpus = graft.operators.TextAnalysis.lexicalDiversity(spark, sfDir)
+      .collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(3) <= r.getLong(2), s"$r")
+      assert(r.getLong(4) >= 1L && r.getLong(4) <= 1000000L, s"ttr range: $r")
+      assert(r.getLong(7) >= 0L && r.getLong(7) <= 1000000L, s"hapax range: $r")
+    }
+  }
 }
