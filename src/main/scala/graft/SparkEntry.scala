@@ -174,6 +174,8 @@ object SparkEntry {
     "q_survival_km"          -> Relational.qSurvivalKm _,
     "q_spearman"             -> Relational.qSpearman _,
     "q_cramers_v"            -> Relational.qCramersV _,
+    "q_theil"                -> Relational.qTheil _,
+    "q_winsorized"           -> Relational.qWinsorized _,
     "mon_hampel"             -> ((s: SparkSession, d: String) => LoadOps.hampel(s, d)),
     "mon_scorecard"          -> LoadOps.monitorDigest _,
     "emb_lof"                -> ((s: SparkSession, d: String) => Similarity.embLof(s, d)),
@@ -2408,6 +2410,58 @@ object SparkEntry {
         |   AS INT) AS alarm
         |FROM med JOIN mad ON med.source = mad.source AND med.day = mad.day
         |ORDER BY 1, 2""".stripMargin,
+    // E57: E45's spend cells filtered to v>0, per-segment Σcnt·v·ln v
+    // moments, fixed-shape Theil terms rounded 4, integer-PPM shares
+    "q_theil" ->
+      """WITH sp AS (
+        | SELECT c_mktsegment AS seg,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100 AS v
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        | GROUP BY c_mktsegment, o_custkey),
+        |cells AS (SELECT seg, v, CAST(count(*) AS BIGINT) AS cnt
+        | FROM sp WHERE v > 0 GROUP BY 1, 2),
+        |g AS (SELECT seg, CAST(sum(cnt) AS BIGINT) AS n,
+        |  CAST(sum(cnt * v) AS BIGINT) AS x,
+        |  sum(CAST(cnt AS DOUBLE) * v * ln(CAST(v AS DOUBLE))) AS sxlnx
+        | FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |  CAST(sum(x) AS BIGINT) AS xx FROM g)
+        |SELECT seg AS c_mktsegment, n AS n_customers, x AS total_dollars,
+        | x * 1000000 // xx AS share_ppm,
+        | round(sxlnx / x - ln(CAST(x AS DOUBLE) / n), 4) AS theil_g,
+        | round((CAST(x AS DOUBLE) / xx)
+        |   * ln((CAST(x AS DOUBLE) / n) / (CAST(xx AS DOUBLE) / nn)), 4)
+        |   AS between_term,
+        | round((CAST(x AS DOUBLE) / xx)
+        |   * (sxlnx / x - ln(CAST(x AS DOUBLE) / n)), 4) AS within_term
+        |FROM g CROSS JOIN t ORDER BY 1""".stripMargin,
+    // E58: cent-value cells, type-1 p5/p95 boundary picks over the cell
+    // CDF, winsorize = clamp / trim = value-boundary filter, exact
+    // integer div means
+    "q_winsorized" ->
+      """WITH cells AS (SELECT l_returnflag AS flag,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        |  CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1, 2),
+        |c2 AS (SELECT flag, v, cnt,
+        |  CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY v) AS BIGINT) AS cum
+        | FROM cells),
+        |t AS (SELECT flag, CAST(sum(cnt) AS BIGINT) AS n FROM cells GROUP BY 1),
+        |b AS (SELECT c2.flag, n,
+        |  min(CASE WHEN cum >= (n + 19) // 20 THEN v END) AS lo,
+        |  min(CASE WHEN cum >= (19 * n + 19) // 20 THEN v END) AS hi
+        | FROM c2 JOIN t USING (flag) GROUP BY 1, 2)
+        |SELECT cells.flag AS l_returnflag, n AS n_rows,
+        | lo AS lo_cents, hi AS hi_cents,
+        | CAST(sum(v * cnt) // n AS BIGINT) AS mean_cents,
+        | CAST(sum(greatest(least(v, hi), lo) * cnt) // n AS BIGINT)
+        |   AS winsor_mean_cents,
+        | CAST(sum(CASE WHEN v BETWEEN lo AND hi THEN v * cnt ELSE 0 END)
+        |   // sum(CASE WHEN v BETWEEN lo AND hi THEN cnt ELSE 0 END)
+        |   AS BIGINT) AS trim_mean_cents,
+        | CAST(n - sum(CASE WHEN v BETWEEN lo AND hi THEN cnt ELSE 0 END)
+        |   AS BIGINT) AS n_trimmed
+        |FROM cells JOIN b ON cells.flag = b.flag
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
     // E46: descending dollar-cell CDF, exact integer 80/95 boundaries
     // (5·cumb < 4·S, 20·cumb < 19·S), integer-PPM shares
     "q_abc" ->

@@ -1954,6 +1954,106 @@ object Relational {
             lit(0L)))), 4).as("cramers_v"))
   }
 
+  /** E57: THEIL T INDEX — the DECOMPOSABLE inequality measure the
+    * E45/E52 family lacks: Gini cannot split into between/within-group
+    * parts, Theil T = (1/n)Σ(x/μ)ln(x/μ) splits EXACTLY as T = T_between
+    * + Σ_g share_g·T_g — so the report answers "is spend inequality
+    * driven by differences BETWEEN segments or WITHIN them", the
+    * question a segmentation review actually asks. Per segment: its own
+    * T_g, its spend share, and its two additive contributions; the
+    * grand decomposition is the column sums (spec-pinned to equal an
+    * independently computed total T).
+    *
+    * Determinism contract: reuses E45's dollar-quantized spend frame
+    * (zero-spend customers drop — ln 0, declared); every term assembles
+    * from exact integer (seg, v, cnt) cells as Σcnt·v·ln v / X_g −
+    * ln μ_g — fixed-shape doubles over exact integers rounded 4 (the
+    * F37 ln convention); shares in exact integer PPM.
+    *
+    * Scale shape: the E45 class — customer-grain agg collapses to
+    * VALUE cells (dollar-bounded, never customer-proportional); one
+    * cells-sized agg per segment + a 1-row broadcast grand total;
+    * report is segments-sized. */
+  def qTheil(spark: SparkSession, dir: String): DataFrame = {
+    val cells = segmentSpend(spark, dir)
+      .filter(col("v") > 0L)
+      .groupBy(col("seg"), col("v"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .localCheckpoint(true) // per-segment and grand aggs both reread it
+    val perSeg = cells.groupBy(col("seg"))
+      .agg(sum(col("cnt")).cast("long").as("n"),
+        sum(col("cnt") * col("v")).cast("long").as("x"),
+        sum(col("cnt").cast("double") * col("v") * log(col("v").cast("double")))
+          .as("sxlnx"))
+    val tot = perSeg.agg(sum(col("n")).cast("long").as("nn"),
+      sum(col("x")).cast("long").as("xx"))
+    val tG = col("sxlnx") / col("x") - log(col("x").cast("double") / col("n"))
+    perSeg.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("x * 1000000 div xx"))
+      .withColumn("theil_g", round(tG, 4))
+      .withColumn("between_term",
+        round((col("x").cast("double") / col("xx"))
+          * log((col("x").cast("double") / col("n"))
+            / (col("xx").cast("double") / col("nn"))), 4))
+      .withColumn("within_term",
+        round((col("x").cast("double") / col("xx")) * tG, 4))
+      .select(col("seg").as("c_mktsegment"), col("n").as("n_customers"),
+        col("x").as("total_dollars"), col("share_ppm"),
+        col("theil_g"), col("between_term"), col("within_term"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** E58: WINSORIZED & TRIMMED MEANS — the robust-location battery next
+    * to E15's percentiles: the raw mean (one whale moves it), the
+    * winsorized mean (whales CLAMPED to the p5/p95 boundaries — keeps
+    * their vote, caps its weight) and the trimmed mean (tail values
+    * DROPPED) per return flag. The standard trio a metrics platform
+    * exposes so dashboards stop re-deriving "robust average" ad hoc.
+    *
+    * Determinism contract: boundaries are TYPE-1 inverse-CDF picks over
+    * exact cent-value cells (the E47/E53 boundary shape — both engines
+    * select the identical order statistic); trimming keeps VALUES in
+    * [lo, hi] (tie mass included — the value-boundary form, declared);
+    * every mean is an exact integer `div` of integer sums.
+    *
+    * Scale shape: ONE hash agg to (flag, cents) VALUE cells, one CDF
+    * window over cells, boundary picks via two conditional mins, then
+    * one cells-sized agg with clamp/filter arithmetic — nothing after
+    * the first agg is row-proportional; flags-sized report. */
+  def qWinsorized(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(spark, dir).lineitem
+      .select(col("l_returnflag").as("flag"),
+        expr("cast(round(l_extendedprice * 100) as long)").as("v"))
+      .groupBy(col("flag"), col("v"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .localCheckpoint(true) // the CDF window and the totals reread it
+    val w = Window.partitionBy(col("flag")).orderBy(col("v"))
+    val cum = cells.withColumn("cum", sum(col("cnt")).over(w))
+    val tot = cells.groupBy(col("flag"))
+      .agg(sum(col("cnt")).cast("long").as("n"))
+    val bounds = cum.join(broadcast(tot), Seq("flag"))
+      .groupBy(col("flag"), col("n"))
+      .agg(
+        min(when(col("cum") >= expr("(n + 19) div 20"), col("v"))).as("lo"),
+        min(when(col("cum") >= expr("(19 * n + 19) div 20"), col("v"))).as("hi"))
+    cells.join(broadcast(bounds), Seq("flag"))
+      .groupBy(col("flag").as("l_returnflag"), col("n").as("n_rows"),
+        col("lo").as("lo_cents"), col("hi").as("hi_cents"))
+      .agg(
+        expr("sum(v * cnt) div n").as("mean_cents"),
+        expr("sum(greatest(least(v, hi), lo) * cnt) div n")
+          .as("winsor_mean_cents"),
+        expr("sum(case when v between lo and hi then v * cnt else 0 end)")
+          .cast("long").as("trim_sum"),
+        expr("sum(case when v between lo and hi then cnt else 0 end)")
+          .cast("long").as("n_kept"))
+      .withColumn("trim_mean_cents", expr("trim_sum div n_kept"))
+      .select(col("l_returnflag"), col("n_rows"), col("lo_cents"),
+        col("hi_cents"), col("mean_cents"), col("winsor_mean_cents"),
+        col("trim_mean_cents"), (col("n_rows") - col("n_kept")).as("n_trimmed"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** The E35 report assembly over a (state, next_state, n) matrix —
     * denominators via a states²-row window (tiny), exact PPM division. */
   def markovAssemble(matrix: DataFrame): DataFrame = {

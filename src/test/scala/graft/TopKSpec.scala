@@ -656,6 +656,70 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
     assert(c.isNullAt(5) && c.isNullAt(6), "all-tied group must report NULL H")
   }
 
+  test("theil: brute moment replay, decomposition sums to the independent total") {
+    val got = Relational.qTheil(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
+    // brute replay from per-customer spend
+    val spend = Tables(spark, sfDir).orders
+      .join(Tables(spark, sfDir).customer,
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_custkey"))
+      .agg(org.apache.spark.sql.functions.expr(
+        "sum(cast(round(o_totalprice * 100) as long)) div 100").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(2))).filter(_._2 > 0L)
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nn = spend.size.toLong
+    val xx = spend.map(_._2).sum
+    val brute = spend.groupBy(_._1).toSeq.map { case (seg, vs) =>
+      val n = vs.size.toLong; val x = vs.map(_._2).sum
+      val sxlnx = vs.map(c => c._2.toDouble * math.log(c._2.toDouble)).sum
+      val tg = sxlnx / x - math.log(x.toDouble / n)
+      (seg, n, x, x * 1000000L / xx, r4(tg),
+        r4(x.toDouble / xx * math.log((x.toDouble / n) / (xx.toDouble / nn))),
+        r4(x.toDouble / xx * tg))
+    }.sortBy(_._1)
+    got.zip(brute).foreach { case (g, b) =>
+      assert(g._1 == b._1 && g._2 == b._2 && g._3 == b._3 && g._4 == b._4, s"$g vs $b")
+      assert(math.abs(g._5 - b._5) <= 1e-4 && math.abs(g._6 - b._6) <= 1e-4 &&
+        math.abs(g._7 - b._7) <= 1e-4, s"$g vs $b")
+    }
+    // the decomposition identity: Σ between + Σ within = total T
+    // (each term rounded 4 → slack 1e-4 per term)
+    val sxlnxAll = spend.map(c => c._2.toDouble * math.log(c._2.toDouble)).sum
+    val tTotal = sxlnxAll / xx - math.log(xx.toDouble / nn)
+    val sumTerms = got.map(g => g._6 + g._7).sum
+    assert(math.abs(sumTerms - tTotal) <= 2e-4 * got.size,
+      s"decomposition $sumTerms vs total $tTotal")
+    got.foreach(g => assert(g._5 >= 0.0, s"Theil is non-negative: $g"))
+  }
+
+  test("winsorized: brute boundary replay, robust means sit inside the fences") {
+    val got = Relational.qWinsorized(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    val raw = Tables(spark, sfDir).lineitem
+      .selectExpr("l_returnflag", "cast(round(l_extendedprice * 100) as long) as v")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val brute = raw.groupBy(_._1).toSeq.map { case (flag, rs) =>
+      val vs = rs.map(_._2).sorted
+      val n = vs.size.toLong
+      def pick(target: Long): Long = vs((target - 1).toInt.max(0))
+      val lo = pick((n + 19) / 20); val hi = pick((19 * n + 19) / 20)
+      val kept = vs.filter(v => v >= lo && v <= hi)
+      (flag, n, lo, hi, vs.sum / n,
+        vs.map(v => math.min(math.max(v, lo), hi)).sum / n,
+        kept.sum / kept.size, n - kept.size)
+    }.sortBy(_._1)
+    assert(got == brute, s"winsorized must replay brute-force")
+    got.foreach { case (f, _, lo, hi, _, wm, tm, _) =>
+      assert(lo <= hi, s"$f fences ordered")
+      assert(wm >= lo && wm <= hi && tm >= lo && tm <= hi,
+        s"$f robust means inside the fences")
+    }
+  }
+
   test("kaplan-meier: brute fold replay, curve invariants") {
     val got = Relational.qSurvivalKm(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
