@@ -732,6 +732,41 @@ object EventStreams {
       }
       .start()
 
+  /** G28: STREAMING Hampel filter — D55 as the always-on robust outlier
+    * pager: per-(source, day) cent sums and counts accumulate in a
+    * persisted state table (associative integers — a day split across
+    * micro-batches folds to the same daily metric no matter where the
+    * batch boundaries land), and every trigger re-runs the SAME
+    * `LoadOps.hampelOver` pass over the accumulated dailies, so the
+    * emitted alarm set equals the batch operator over the prefix
+    * bit-for-bit after every trigger. State is run-log-sized — the G21
+    * argument: the trailing-window recompute is cells×window bounded,
+    * never event-proportional. */
+  def hampelStream(events: DataFrame, stateDir: String,
+      winDays: Int = 7, minWin: Int = 5)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream.outputMode("append")
+      .foreachBatch { (batch0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import org.apache.spark.sql.functions._
+        val spark = batch0.sparkSession
+        val fresh = batch0.toDF()
+          .select(col("source"), col("day").cast("long"), col("cents").cast("long"))
+          .groupBy(col("source"), col("day"))
+          .agg(sum(col("cents")).as("s"), count(lit(1)).as("n"))
+        val prior = readState(spark, stateDir + "/moments").getOrElse(fresh.limit(0))
+        val total = prior.unionByName(fresh)
+          .groupBy(col("source"), col("day"))
+          .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+          .localCheckpoint(true)
+        publishState(total, stateDir + "/moments")
+        graft.operators.LoadOps.hampelOver(
+            total.select(col("source"), col("day"), expr("s div n").as("md")),
+            winDays, minWin)
+          .write.mode("overwrite").parquet(stateDir + "/report")
+        (): Unit
+      }
+      .start()
+
   /** G23: STREAMING Benford screen — D42 as continuous forensics: the
     * per-(source, digit) occurrence counts accumulate in a persisted
     * state table (integer counts — associative, zero drift), and each

@@ -261,6 +261,26 @@ object StreamGate {
       .orderBy(col("source"), col("day"))
   }
 
+  /** G28 gate: the streaming Hampel filter run MULTI-batch — the same
+    * accumulated-moments argument as G22/G24; the final `hampelOver`
+    * report equals D55's batch pass bit-for-bit, sharing its oracle. */
+  def streamHampel(spark: SparkSession, dir: String): DataFrame = {
+    val base = fresh(spark, "hampel")
+    Tables(spark, dir).eventsSec
+      .select(col("event_type").as("source"),
+        expr("sec div 86400").cast("long").as("day"),
+        expr("cast(round(value * 100) as long)").as("cents"))
+      .repartition(4).write.parquet(s"$base/in")
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("source", StringType),
+        StructField("day", LongType), StructField("cents", LongType))))
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val q = EventStreams.hampelStream(src, s"$base/state")
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    spark.read.parquet(s"$base/state/report")
+      .orderBy(col("source"), col("day"))
+  }
+
   /** G14 gate: continuous changelog apply run MULTI-batch — the
     * latest-wins reduction is associative-commutative over unique seqs
     * (ChangelogSpec proves the algebra), so the 4-trigger fold of the
