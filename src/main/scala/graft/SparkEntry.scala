@@ -229,6 +229,8 @@ object SparkEntry {
     "graph_jaccard"          -> ((s: SparkSession, d: String) => Graph.jaccard(s, d)),
     "graph_adamic_adar"      -> ((s: SparkSession, d: String) => Graph.adamicAdar(s, d)),
     "text_lexical_diversity" -> ((s: SparkSession, d: String) => TextAnalysis.lexicalDiversity(s, d)),
+    "text_watermark"         -> ((s: SparkSession, d: String) => TextAnalysis.watermark(s, d)),
+    "text_bigram_entropy"    -> ((s: SparkSession, d: String) => TextAnalysis.bigramEntropy(s, d)),
     "text_ngram_counts"      -> ((s: SparkSession, d: String) => TextAnalysis.ngramCounts(s, d)),
     "dedup_containment"      -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
     "sample_density_prune"   -> ((s: SparkSession, d: String) => Similarity.densityPrune(s, d)),
@@ -4068,6 +4070,52 @@ object SparkEntry {
          |FROM sc LEFT JOIN ed e2 ON e2.src = sc.u AND e2.dst = sc.v
          |WHERE aa_ppm >= 1500000
          |ORDER BY vec_a, vec_b""".stripMargin,
+    // F92: bigrams replayed 1-based, the shared FNV-1a HUGEINT fold per
+    // bigram, green = bit 40 (see the engine scaladoc for why low/
+    // carry-fed bits are unusable), one fixed-shape z rounded 4 (flag
+    // reads the ROUNDED z)
+    "text_watermark" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
+         |bg AS (SELECT doc_id,
+         |  unnest(list_transform(range(1, len(toks)),
+         |    i -> toks[i] || ' ' || toks[i + 1])) AS g
+         | FROM tk WHERE len(toks) >= 2),
+         |h AS (SELECT doc_id, ${fnvFold(
+             "list_transform(range(1, length(g) + 1), i -> CAST(ord(substr(g, i, 1)) AS HUGEINT))")} AS hu
+         | FROM bg),
+         |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN (hu // 1099511627776) % 2 = 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_green
+         | FROM h GROUP BY 1)
+         |SELECT doc_id, n_pairs, n_green,
+         | n_green * 1000000 // n_pairs AS green_ppm,
+         | round((2.0 * n_green - n_pairs) / sqrt(CAST(n_pairs AS DOUBLE)), 4)
+         |   AS z_score,
+         | CAST(n_pairs >= 20 AND
+         |  round((2.0 * n_green - n_pairs) / sqrt(CAST(n_pairs AS DOUBLE)), 4)
+         |    > 4.0 AS INT) AS watermarked
+         |FROM a ORDER BY doc_id""".stripMargin,
+    // F93: 1-based bigram replay to (source, w1, w2) cells, context
+    // totals, fixed-shape Σcnt·ln terms rounded 4
+    "text_bigram_entropy" ->
+      s"""WITH tk AS (SELECT source, $toks AS toks FROM documents),
+         |bg AS (SELECT source, toks[i] AS w1, toks[i + 1] AS w2 FROM (
+         |  SELECT source, toks, unnest(range(1, len(toks))) AS i FROM tk)),
+         |cells AS (SELECT source, w1, w2, CAST(count(*) AS BIGINT) AS cnt
+         | FROM bg GROUP BY 1, 2, 3),
+         |ctx AS (SELECT source, w1, CAST(sum(cnt) AS BIGINT) AS c1
+         | FROM cells GROUP BY 1, 2),
+         |a AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+         |  CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+         |  CAST(count(DISTINCT cells.w1) AS BIGINT) AS n_contexts,
+         |  sum(CAST(cnt AS DOUBLE) * ln(CAST(c1 AS DOUBLE) / cnt)) AS hc,
+         |  sum(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE))) AS slnc
+         | FROM cells JOIN ctx USING (source, w1) GROUP BY 1)
+         |SELECT source, n_bigrams, n_distinct_bigrams, n_contexts,
+         | round(hc / n_bigrams, 4) AS cond_entropy,
+         | round(ln(CAST(n_bigrams AS DOUBLE)) - slnc / n_bigrams, 4)
+         |   AS bigram_entropy
+         |FROM a ORDER BY source""".stripMargin,
     // F91: the shared tokenizer to (doc, term) cells, exact-integer PPM
     // ratios, one fixed-shape double each for root-TTR / Herdan C
     "text_lexical_diversity" ->

@@ -1622,6 +1622,107 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** F92: LLM WATERMARK SCREEN — the green-list parity test (the
+    * Kirchenbauer et al. 2023 scheme's detector, simplified to a fixed
+    * half-vocabulary split): a watermarking sampler biases each token
+    * toward a "green" subset keyed by its predecessor, so watermarked
+    * text shows a green-bigram fraction far above the natural 1/2. Per
+    * document: the bigram green count (green ⇔ bit 40 of
+    * FNV-1a(prev∥cur) is 0 — the engine-independent hash the dedup
+    * family already replays in DuckDB), the one-proportion z-score
+    * against p = 1/2,
+    * and a conservative z > 4 flag. The provenance screen a training-
+    * data pipeline runs so model output doesn't recycle into the
+    * corpus.
+    *
+    * Determinism contract: the shared tokenizer and word-bigram builder;
+    * the hash is the engine's canonical FNV-1a (Fnv64 — a native
+    * codegen expression); the green bit is bit 40, the lowest bit the
+    * final input byte reaches DIRECTLY through the multiplier's 2^40
+    * term (the LSB is parity-LINEAR in the input bytes since the
+    * multiplier is odd, and bits the last multiply feeds only via
+    * carries are heavily biased on short strings — both measured);
+    * counts
+    * exact integers, green share exact PPM, z = (2g−n)/√n one
+    * fixed-shape double rounded 4. Documents with no bigram drop
+    * (declared). Flags need n ≥ 20 pairs — below that the normal
+    * approximation is noise.
+    *
+    * Scale shape: per-row higher-order functions ONLY (the bigram array
+    * never explodes, the filter stays inside whole-stage codegen) —
+    * zero shuffle, zero joins; the report is row-parallel. */
+  def watermark(spark: SparkSession, dir: String): DataFrame =
+    watermarkOf(spark, Tables(spark, dir).documents)
+
+  /** The F92 compute over any (doc_id, text) frame — specs plant
+    * all-green and balanced wires with closed-form z. */
+  def watermarkOf(spark: SparkSession, documents: DataFrame): DataFrame = {
+    graft.functions.Fnv64.register(spark)
+    documents
+      .withColumn("grams", wordGrams(tokens(col("text")), 2))
+      .withColumn("n_pairs", size(col("grams")).cast("long"))
+      .filter(col("n_pairs") >= 1L)
+      .withColumn("n_green",
+        expr("size(filter(grams, g -> ((fnv64(g) >> 40) & 1) = 0))").cast("long"))
+      .withColumn("green_ppm", expr("n_green * 1000000 div n_pairs"))
+      .withColumn("z_score",
+        round((lit(2.0) * col("n_green") - col("n_pairs"))
+          / sqrt(col("n_pairs").cast("double")), 4))
+      .withColumn("watermarked",
+        (col("n_pairs") >= 20L && col("z_score") > 4.0).cast("int"))
+      .select(col("doc_id"), col("n_pairs"), col("n_green"),
+        col("green_ppm"), col("z_score"), col("watermarked"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** F93: BIGRAM CONDITIONAL ENTROPY per source — how predictable is
+    * the NEXT word given the current one: H(w₂|w₁) = Σ p(w₁,w₂)·
+    * ln(c(w₁)/c(w₁,w₂)). The sequence-axis repetitiveness measure the
+    * filter family lacks: F37 sees the character distribution, F91 the
+    * unigram vocabulary — a source whose every sentence is the same
+    * template has rich unigrams but near-zero conditional entropy, and
+    * it's exactly the low-H sources a dedup/quality pass should visit
+    * first. Reported next to the unconditional bigram entropy so the
+    * gap (mutual information) is read off directly.
+    *
+    * Determinism contract: the shared tokenizer/bigram builder; both
+    * entropies assemble from exact integer (source, w₁, w₂) cells as
+    * Σcnt·ln cnt terms — fixed-shape doubles over exact integers
+    * rounded 4 (the F37 ln convention).
+    *
+    * Scale shape: ONE explode pass collapses the corpus to
+    * vocab²-bounded bigram cells per source; context totals are a
+    * second cells-sized agg joined back cells-to-cells (both sides
+    * vocab-bounded, hash join); the report is sources-sized. */
+  def bigramEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(spark, dir).documents
+      .select(col("source"),
+        explode(wordGrams(tokens(col("text")), 2)).as("g"))
+      .select(col("source"), split(col("g"), " ").getItem(0).as("w1"),
+        split(col("g"), " ").getItem(1).as("w2"))
+      .groupBy(col("source"), col("w1"), col("w2"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .localCheckpoint(true) // context totals and the entropy fold reread it
+    val ctx = cells.groupBy(col("source"), col("w1"))
+      .agg(sum(col("cnt")).cast("long").as("c1"))
+    cells.join(ctx, Seq("source", "w1"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).cast("long").as("n_bigrams"),
+        count(lit(1)).cast("long").as("n_distinct_bigrams"),
+        countDistinct(col("w1")).cast("long").as("n_contexts"),
+        sum(col("cnt").cast("double")
+          * log(col("c1").cast("double") / col("cnt"))).as("hc"),
+        sum(col("cnt").cast("double") * log(col("cnt").cast("double")))
+          .as("slnc"))
+      .withColumn("cond_entropy", round(col("hc") / col("n_bigrams"), 4))
+      .withColumn("bigram_entropy",
+        round(log(col("n_bigrams").cast("double"))
+          - col("slnc") / col("n_bigrams"), 4))
+      .select(col("source"), col("n_bigrams"), col("n_distinct_bigrams"),
+        col("n_contexts"), col("cond_entropy"), col("bigram_entropy"))
+      .orderBy(col("source"))
+  }
+
   /** F91: LEXICAL DIVERSITY per document — the vocabulary-richness
     * battery quality filters read next to F9's surface stats: type-token
     * ratio (and its length-robust variants root-TTR and Herdan's C,

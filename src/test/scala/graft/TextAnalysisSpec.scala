@@ -904,6 +904,80 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(got(1L)._4 > got(2L)._4, "simple prose must read easier than polysyllables")
   }
 
+  test("watermark: greedily-greened wire flags, natural corpus replays brute and stays calm") {
+    import spark.implicits._
+    def green(a: String, b: String): Boolean =
+      ((graft.functions.Fnv64.fnv1a(s"$a $b".getBytes("UTF-8")) >>> 40) & 1L) == 0L
+    // plant a "watermarked" doc: from each token, greedily pick a next
+    // token whose bigram hashes green — exactly what a green-list sampler
+    // does; 40 tokens → 39 pairs, all green → z = √39 ≈ 6.24 > 4
+    val vocab = ('a' to 'z').map(_.toString)
+    val sb = new StringBuilder("a")
+    var cur = "a"
+    (1 until 40).foreach { _ =>
+      val nxt = vocab.find(v => green(cur, v)).get
+      sb.append(" ").append(nxt); cur = nxt
+    }
+    val docs = Seq((1L, sb.toString), (2L, "only"), (3L, vocab.mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.watermarkOf(spark, docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getInt(5)))).toMap
+    assert(got(1L)._1 == 39L && got(1L)._2 == 39L && got(1L)._3 == 1000000L)
+    assert(got(1L)._5 == 1, s"all-green doc must flag: ${got(1L)}")
+    assert(!got.contains(2L), "a pairless doc must drop")
+    assert(got(3L)._5 == 0, s"natural alphabet run must not flag: ${got(3L)}")
+    // corpus: brute replay of counts via the same engine hash, and no
+    // natural doc should trip the conservative z > 4 bar
+    val corpus = graft.operators.TextAnalysis.watermark(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(5)))
+    val raw = Tables(spark, sfDir).documents
+      .selectExpr("doc_id", "filter(split(lower(text), '\\\\s+'), t -> length(t) > 0) as toks")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    val brute = raw.filter(_._2.size >= 2).map { case (id, ts) =>
+      val pairs = ts.sliding(2).toSeq
+      (id, pairs.size.toLong,
+        pairs.count(p => green(p(0), p(1))).toLong)
+    }.sortBy(_._1)
+    assert(corpus.map(c => (c._1, c._2, c._3)).toSeq == brute.toSeq,
+      "green counts must replay the engine hash brute-force")
+    assert(corpus.count(_._4 == 1) == 0, "natural corpus must not flag")
+  }
+
+  test("bigram entropy: deterministic chain reads 0, planted fork reads ln 2 share, corpus invariants") {
+    import spark.implicits._
+    // chain: after every token the successor is fixed → H(w2|w1) = 0
+    val chain = (1 to 30).map(i => if (i % 2 == 1) "tick" else "tock").mkString(" ")
+    // fork: "x a x b x a x b ..." — after x: a or b equally (14 pairs
+    // x→·), after a/b: always x → H = (14/27)·ln 2
+    val fork = (1 to 28).map(i =>
+      if (i % 2 == 1) "x" else if (i % 4 == 2) "a" else "b").mkString(" ")
+    val docs = Seq((1L, chain, "s_chain"), (2L, fork, "s_fork"))
+      .toDF("doc_id", "text", "source")
+    // route through a temp view? bigramEntropy reads Tables — use the
+    // cells math directly via a corpus check instead; for the planted
+    // wires, stage them as a parquet dir shaped like documents
+    val base = graft.Tables.scratch(spark, "graft_bigram_spec")
+    docs.selectExpr("doc_id", "text", "'en' as lang", "source",
+        "cast(length(text) as long) as n_chars")
+      .write.mode("overwrite").parquet(s"$base/documents.parquet")
+    val got = graft.operators.TextAnalysis.bigramEntropy(spark, base).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(4)))).toMap
+    assert(got("s_chain")._2 == 0.0, s"deterministic chain: ${got("s_chain")}")
+    val expFork = BigDecimal(14.0 / 27.0 * math.log(2.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(got("s_fork")._2 - expFork) <= 1e-4,
+      s"fork entropy ${got("s_fork")._2} vs $expFork")
+    // corpus invariants: 0 ≤ cond ≤ bigram entropy ≤ ln(n_bigrams)
+    val corpus = graft.operators.TextAnalysis.bigramEntropy(spark, sfDir).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      val (n, cond, big) = (r.getLong(1), r.getDouble(4), r.getDouble(5))
+      assert(cond >= 0.0 && cond <= big + 1e-4, s"entropy order: $r")
+      assert(big <= math.log(n.toDouble) + 1e-4, s"uniform bound: $r")
+    }
+  }
+
   test("lexical diversity: closed-form planted wires, NULL Herdan guard, corpus invariants") {
     import spark.implicits._
     val docs = Seq(
