@@ -179,6 +179,8 @@ object SparkEntry {
     "mon_hampel"             -> ((s: SparkSession, d: String) => LoadOps.hampel(s, d)),
     "mon_scorecard"          -> LoadOps.monitorDigest _,
     "emb_lof"                -> ((s: SparkSession, d: String) => Similarity.embLof(s, d)),
+    "emb_triplet_mine"       -> ((s: SparkSession, d: String) => Similarity.tripletMine(s, d)),
+    "q_top_paths"            -> ((s: SparkSession, d: String) => Relational.qTopPaths(s, d)),
     "ann_recall"             -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
     "text_quality_model"     -> ((s: SparkSession, d: String) => TextAnalysis.qualityModel(s, d)),
     "q_funnel_windowed"      -> ((s: SparkSession, d: String) => Relational.qFunnelWindowed(s, d)),
@@ -4047,6 +4049,45 @@ object SparkEntry {
          | LEFT JOIN ed e2 ON e2.src = sh.u AND e2.dst = sh.v)
          |SELECT * FROM j WHERE jaccard >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
+    // F94: the F63 within-list pair chain with labels joined on, hardest
+    // positive = (cos ASC, id ASC) pick, hardest negative = (cos DESC,
+    // id DESC) pick — the struct-min/max total orders
+    "emb_triplet_mine" ->
+      s"""WITH $knnRankedCtes,
+         |pp AS (SELECT pr.vec_id, pr.list_id, pr.nbr_id, pr.cos,
+         |  ea.label AS al, eb.label AS bl
+         | FROM pr JOIN e ea ON ea.vec_id = pr.vec_id
+         | JOIN e eb ON eb.vec_id = pr.nbr_id),
+         |pos AS (SELECT vec_id, list_id, al, nbr_id AS pos_id,
+         |  cos AS pos_cos FROM (SELECT *, row_number() OVER (
+         |   PARTITION BY vec_id ORDER BY cos, nbr_id) AS rn
+         |  FROM pp WHERE al = bl) WHERE rn = 1),
+         |neg AS (SELECT vec_id, nbr_id AS neg_id, cos AS neg_cos
+         | FROM (SELECT *, row_number() OVER (
+         |   PARTITION BY vec_id ORDER BY cos DESC, nbr_id DESC) AS rn
+         |  FROM pp WHERE al <> bl) WHERE rn = 1)
+         |SELECT pos.vec_id, pos.al AS label,
+         | CAST(pos.list_id AS BIGINT) AS list_id,
+         | pos.pos_id, pos.pos_cos, neg.neg_id, neg.neg_cos,
+         | CAST(neg.neg_cos + 0.05 > pos.pos_cos AS INT) AS violation
+         |FROM pos JOIN neg ON pos.vec_id = neg.vec_id
+         |ORDER BY pos.vec_id""".stripMargin,
+    // E59: per-user (sec, event_id)-ordered 3-grams, path cells, rank
+    // window with path-string tie-breaks, integer-PPM corpus share
+    "q_top_paths" ->
+      """WITH tr AS (SELECT event_type AS e1,
+        |  lead(event_type, 1) OVER w AS e2,
+        |  lead(event_type, 2) OVER w AS e3
+        | FROM events WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY CAST(floor(extract(epoch FROM ts)) AS BIGINT), event_id)),
+        |c AS (SELECT e1 || ' > ' || e2 || ' > ' || e3 AS path,
+        |  CAST(count(*) AS BIGINT) AS n FROM tr WHERE e3 IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        |SELECT rank, path, n AS n_occurrences,
+        | n * 1000000 // total AS share_ppm
+        |FROM (SELECT path, n, CAST(row_number() OVER (ORDER BY n DESC, path)
+        |   AS BIGINT) AS rank FROM c) CROSS JOIN t
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
     // F90: the F87 kNN edge CTEs, per-neighbor weight quantized ONCE to
     // floor(1e6/ln deg) so the pair score is an order-independent
     // integer sum

@@ -2054,6 +2054,44 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** E59: TOP EVENT PATHS — the k most common 3-step event sequences
+    * across all users, the "path analysis" view every product-analytics
+    * tool ships: E35's Markov matrix answers one-step transition RATES,
+    * this surfaces the multi-step JOURNEYS (click → click → purchase
+    * vs error → error → error) ranked by raw frequency with their
+    * corpus share. The qualitative companion to E22's fixed funnel —
+    * paths are DISCOVERED, not declared.
+    *
+    * Determinism contract: per-user order is the (sec, event_id) total
+    * order (the E35 convention); a path is the exact 3-gram string;
+    * ranks break count ties by path string; share is exact integer PPM
+    * of all 3-gram instances.
+    *
+    * Scale shape: ONE per-user window (partitioned by user_id — work
+    * bounded per user, no global sort) emits the 3-grams; the corpus
+    * then collapses to |event types|³-bounded path cells; the rank
+    * window and the 1-row total run over cells only. */
+  def qTopPaths(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    val cells = Tables(spark, dir).eventsSec
+      .select(col("user_id"), col("event_id"), col("sec"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(" > ", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).cast("long").as("n"))
+      .localCheckpoint(true) // the rank window and the total reread it
+    val tot = cells.agg(sum(col("n")).cast("long").as("total"))
+    val wr = Window.orderBy(col("n").desc, col("path"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= k.toLong)
+      .withColumn("share_ppm", expr("n * 1000000 div total"))
+      .select(col("rank"), col("path"), col("n").as("n_occurrences"),
+        col("share_ppm"))
+      .orderBy(col("rank"))
+  }
+
   /** The E35 report assembly over a (state, next_state, n) matrix —
     * denominators via a states²-row window (tiny), exact PPM division. */
   def markovAssemble(matrix: DataFrame): DataFrame = {

@@ -601,6 +601,68 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** F94: HARD TRIPLET MINING — the training-data op behind every
+    * contrastive/metric-learning fine-tune (FaceNet's batch-hard rule
+    * at corpus scale): per anchor, the HARDEST positive (least-similar
+    * same-label candidate — the pair the model must still pull
+    * together) and the HARDEST negative (most-similar different-label
+    * candidate — the pair it must push apart), plus the margin-
+    * violation flag that says whether the triplet carries gradient at
+    * all. F38 mines negatives for retrieval pairs; this emits the full
+    * (anchor, positive, negative) triplet with both hardness scores.
+    *
+    * Determinism contract: candidates and cosines come from the
+    * persisted IVF lists exactly as F63 (index-time norms, cosine
+    * rounded 4); the hardest positive is min(struct(cos, id)) and the
+    * hardest negative max(struct(cos, id)) — lexicographic total
+    * orders both engines replay with ORDER BY/LIMIT picks; the margin
+    * test compares the rounded cosines plus a 0.05 literal (identical
+    * IEEE add on both sides). Anchors lacking a same-label or a
+    * different-label candidate in their list drop (declared — the
+    * batch-hard rule needs both).
+    *
+    * Scale shape: the F63 class — pairs only ever meet inside an IVF
+    * list (list-bounded, never corpus²); the label join is one
+    * exchange on vec_id; pos/neg are two hash aggs over the pinned
+    * pair frame; report is anchors-sized. */
+  def tripletMine(spark: SparkSession, dir: String,
+      margin: Double = 0.05): DataFrame = {
+    val (listsPath, _) = ivfIndex(spark, dir)
+    val labels = vectors(spark, dir).select(col("vec_id"), col("label"))
+    val l = ivfLists(spark, listsPath)
+      .select(col("vec_id"), col("list_id"), col("v"), col("nrm"))
+      .join(labels, Seq("vec_id"))
+    val a = l.select(col("vec_id"), col("list_id"), col("label"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = l.select(col("vec_id").as("nbr_id"), col("list_id"),
+      col("label").as("nlabel"), col("v").as("vb"), col("nrm").as("nb"))
+    val pairs = a.join(b, Seq("list_id")).filter(col("vec_id") =!= col("nbr_id"))
+      .withColumn("cos",
+        round(Vec.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .select(col("vec_id"), col("list_id"), col("label"),
+        col("nbr_id"), col("nlabel"), col("cos"))
+      .localCheckpoint(true) // the pos and neg aggs both reread it
+    val pos = pairs.filter(col("label") === col("nlabel"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("cos"), col("nbr_id"))).as("p"))
+      .select(col("vec_id"), col("p.nbr_id").as("pos_id"),
+        col("p.cos").as("pos_cos"))
+    val neg = pairs.filter(col("label") =!= col("nlabel"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), col("nbr_id"))).as("g"))
+      .select(col("vec_id"), col("g.nbr_id").as("neg_id"),
+        col("g.cos").as("neg_cos"))
+    pairs.select(col("vec_id"), col("label"), col("list_id")).distinct()
+      .join(pos, Seq("vec_id"))
+      .join(neg, Seq("vec_id"))
+      .withColumn("violation",
+        (col("neg_cos") + lit(margin) > col("pos_cos")).cast("int"))
+      .select(col("vec_id"), col("label"), col("list_id").cast("long").as("list_id"),
+        col("pos_id"), col("pos_cos"), col("neg_id"), col("neg_cos"),
+        col("violation"))
+      .orderBy(col("vec_id"))
+  }
+
   /** F63: k-NN GRAPH construction — each vector's top-k nearest
     * neighbors as a materialized dataset (the input artifact of
     * graph-based dedup refinement, cluster smoothing, and label

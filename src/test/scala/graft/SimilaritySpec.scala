@@ -608,6 +608,44 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("triplet mine: brute batch-hard replay, label contracts, violation consistency") {
+    val got = Similarity.tripletMine(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getDouble(6), r.getInt(7))).toSeq
+    assert(got.nonEmpty)
+    val (listsPath, _) = Similarity.ivfIndex(spark, sfDir)
+    val l = Similarity.ivfLists(spark, listsPath)
+      .select(col("vec_id"), col("list_id"), col("v"), col("nrm")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray, r.getDouble(3)))
+    val labelOf = Similarity.vectors(spark, sfDir)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def cos(a: Array[Double], na: Double, b: Array[Double], nb: Double) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      BigDecimal(s / (na * nb)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val brute = l.flatMap { case (vid, list, v, n) =>
+      val others = l.filter(x => x._2 == list && x._1 != vid)
+        .map(x => (x._1, labelOf(x._1), cos(v, n, x._3, x._4)))
+      val same = others.filter(_._2 == labelOf(vid))
+      val diff = others.filter(_._2 != labelOf(vid))
+      if (same.isEmpty || diff.isEmpty) None
+      else {
+        val p = same.map(o => (o._3, o._1)).min
+        val g = diff.map(o => (o._3, o._1)).max
+        Some((vid, labelOf(vid), list.toLong, p._2, p._1, g._2, g._1,
+          if (g._1 + 0.05 > p._1) 1 else 0))
+      }
+    }.sortBy(_._1).toSeq
+    assert(got == brute, s"engine ${got.take(2)} vs brute ${brute.take(2)}")
+    got.foreach { case (vid, lab, _, pid, pc, nid, nc, viol) =>
+      assert(labelOf(pid) == lab, s"$vid positive crosses labels")
+      assert(labelOf(nid) != lab, s"$vid negative shares the label")
+      assert(viol == (if (nc + 0.05 > pc) 1 else 0), s"$vid violation flag")
+    }
+  }
+
   test("all-but-top: removed energy obeys Pythagoras, norms never grow") {
     val rows = Similarity.embAllButTop(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))

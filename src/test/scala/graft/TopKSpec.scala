@@ -656,6 +656,29 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
     assert(c.isNullAt(5) && c.isNullAt(6), "all-tied group must report NULL H")
   }
 
+  test("top paths: brute 3-gram replay, rank order, shares bounded") {
+    val got = Relational.qTopPaths(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.nonEmpty)
+    val raw = Tables(spark, sfDir).eventsSec
+      .select(col("user_id"), col("event_id"), col("sec"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val tris = raw.groupBy(_._1).toSeq.flatMap { case (_, evs) =>
+      val ordered = evs.sortBy(e => (e._3, e._2)).map(_._4)
+      ordered.sliding(3).filter(_.size == 3).map(_.mkString(" > "))
+    }
+    val total = tris.size.toLong
+    val brute = tris.groupBy(identity).map { case (p, xs) => (p, xs.size.toLong) }
+      .toSeq.sortBy { case (p, n) => (-n, p) }.take(20).zipWithIndex
+      .map { case ((p, n), i) => (i + 1L, p, n, n * 1000000L / total) }
+    assert(got == brute, s"paths must replay brute-force: ${got.take(2)} vs ${brute.take(2)}")
+    assert(got.map(_._1) == (1L to got.length.toLong), "ranks dense from 1")
+    assert(got.map(_._4).sum <= 1000000L, "top-k share cannot exceed the corpus")
+    assert(got.sliding(2).forall {
+      case Seq(a, b) => a._3 > b._3 || (a._3 == b._3 && a._2 < b._2); case _ => true
+    }, "rank order is (count DESC, path ASC)")
+  }
+
   test("theil: brute moment replay, decomposition sums to the independent total") {
     val got = Relational.qTheil(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
