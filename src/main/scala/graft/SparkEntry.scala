@@ -322,6 +322,7 @@ object SparkEntry {
     "stream_holt"            -> graft.streaming.StreamGate.streamHolt _,
     "stream_seasonal"        -> graft.streaming.StreamGate.streamSeasonal _,
     "stream_hampel"          -> graft.streaming.StreamGate.streamHampel _,
+    "stream_top_paths"       -> graft.streaming.StreamGate.streamTopPaths _,
     "stream_changelog"       -> graft.streaming.StreamGate.streamChangelog _,
     "stream_breaker"         -> graft.streaming.StreamGate.streamBreaker _,
     "stream_novelty"         -> graft.streaming.StreamGate.streamNovelty _,
@@ -711,6 +712,7 @@ object SparkEntry {
     "stream_holt"          -> baseOracleSql("mon_forecast"),
     "stream_seasonal"      -> baseOracleSql("mon_seasonal"),
     "stream_hampel"        -> baseOracleSql("mon_hampel"),
+    "stream_top_paths"     -> baseOracleSql("q_top_paths"),
     "stream_changelog"     -> baseOracleSql("load_changelog_apply"),
     "stream_breaker"       -> baseOracleSql("load_circuit_breaker"),
     "stream_novelty"       -> baseOracleSql("text_novelty"),

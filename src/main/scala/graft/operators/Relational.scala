@@ -2071,16 +2071,29 @@ object Relational {
     * bounded per user, no global sort) emits the 3-grams; the corpus
     * then collapses to |event types|³-bounded path cells; the rank
     * window and the 1-row total run over cells only. */
-  def qTopPaths(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+  def qTopPaths(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    topPathsAssemble(
+      pathCellsOf(Tables(spark, dir).eventsSec
+        .select(col("user_id"), col("event_id"), col("sec"), col("event_type")))
+        .localCheckpoint(true), // the rank window and the total reread it
+      k)
+
+  /** The E59 3-gram cell builder over any (user_id, event_id, sec,
+    * event_type) frame — ONE definition shared by the batch query and
+    * the G29 stream so their paths can never drift. */
+  def pathCellsOf(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
-    val cells = Tables(spark, dir).eventsSec
-      .select(col("user_id"), col("event_id"), col("sec"), col("event_type"))
+    events
       .withColumn("e2", lead(col("event_type"), 1).over(w))
       .withColumn("e3", lead(col("event_type"), 2).over(w))
       .filter(col("e3").isNotNull)
       .select(concat_ws(" > ", col("event_type"), col("e2"), col("e3")).as("path"))
       .groupBy(col("path")).agg(count(lit(1)).cast("long").as("n"))
-      .localCheckpoint(true) // the rank window and the total reread it
+  }
+
+  /** The E59 report assembly over a (path, n) cell frame — rank window
+    * and 1-row total over cells only, shared with the G29 stream. */
+  def topPathsAssemble(cells: DataFrame, k: Int): DataFrame = {
     val tot = cells.agg(sum(col("n")).cast("long").as("total"))
     val wr = Window.orderBy(col("n").desc, col("path"))
     cells.crossJoin(broadcast(tot))

@@ -488,6 +488,44 @@ object EventStreams {
       }
       .start()
 
+  /** G29: STREAMING top event paths — E59 as continuous path analytics:
+    * per-user LAST-TWO-event state (≤ 2 rows per user) plus a
+    * cumulative (path, n) cell table (O(|event types|³)) persist across
+    * batches (the G19 boundary trick one step deeper: a 3-gram needs
+    * three events and the stored tail holds two, so EVERY trigram of
+    * stored-tail ∪ batch contains a batch event — no trigram is ever
+    * double-counted), and each trigger re-emits the cumulative top-k
+    * through the SAME `Relational.pathCellsOf`/`topPathsAssemble`
+    * builders, so under in-order arrival the report equals the E59
+    * batch pass over the prefix after EVERY trigger (spec-pinned).
+    * State never grows with stream length. */
+  def topPathsStream(events: DataFrame, stateDir: String, k: Int = 20)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream.outputMode("append")
+      .foreachBatch { (batch0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import org.apache.spark.sql.functions._
+        val spark = batch0.sparkSession
+        val batch = batch0.toDF()
+          .select(col("user_id"), col("event_id"), col("sec"), col("event_type"))
+        val tail = readState(spark, stateDir + "/tail").getOrElse(batch.limit(0))
+        val uni = tail.unionByName(batch).localCheckpoint(true)
+        val fresh = graft.operators.Relational.pathCellsOf(uni)
+        val prior = readState(spark, stateDir + "/cells").getOrElse(fresh.limit(0))
+        val cells = prior.unionByName(fresh)
+          .groupBy(col("path")).agg(sum(col("n")).as("n"))
+          .localCheckpoint(true)
+        publishState(cells, stateDir + "/cells")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("sec").desc, col("event_id").desc)
+        publishState(uni.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2).drop("rn"), stateDir + "/tail")
+        graft.operators.Relational.topPathsAssemble(cells, k)
+          .write.mode("overwrite").parquet(stateDir + "/report")
+        (): Unit
+      }
+      .start()
+
   /** G21: STREAMING CUSUM — D40 as the always-on changepoint monitor:
     * each micro-batch of (source, day, md) dailies folds into a
     * persisted run-log state (the G14 write-new-then-rename rule;

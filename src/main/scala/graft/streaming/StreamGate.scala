@@ -160,6 +160,26 @@ object StreamGate {
       .orderBy(col("state"), col("next_state"))
   }
 
+  /** G29 gate: streaming top paths run to completion — the in-order
+    * single availableNow batch (the G19 arrival-order contract; the
+    * multi-batch slicing-equivalence proof lives in StreamingSpec);
+    * the final cumulative report equals E59's batch pass and shares
+    * its oracle verbatim. */
+  def streamTopPaths(spark: SparkSession, dir: String): DataFrame = {
+    val base = fresh(spark, "top_paths")
+    Tables(spark, dir).eventsSec
+      .select(col("user_id"), col("event_id"), col("sec"), col("event_type"))
+      .write.parquet(s"$base/in")
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("user_id", LongType),
+        StructField("event_id", LongType), StructField("sec", LongType),
+        StructField("event_type", StringType))))
+      .parquet(s"$base/in")
+    val q = EventStreams.topPathsStream(src, s"$base/state")
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    spark.read.parquet(s"$base/state/report").orderBy(col("rank"))
+  }
+
   /** G16 gate: the streaming constraint monitor — the SAME
     * `checkConstraintsOf` plan on a streaming lineitem source in
     * complete mode, run MULTI-batch (4 files, one per trigger): the

@@ -483,4 +483,53 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"assignment must never shuffle-join the corpus:\n$p")
     assert(!p.contains("Window"), s"argmax must be the max_by agg, not a window:\n$p")
   }
+
+  test("spearman: rank maps broadcast back onto the row stream, cells-only windows") {
+    val p = plan("q_spearman")
+    assert(p.contains("BroadcastHashJoin"),
+      s"value-cell rank maps must broadcast, not shuffle the rows:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the row stream must never shuffle for the rank join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
+
+  test("survival/hampel/theil/winsorized: corpus collapses to cells before any window or fold") {
+    // hampel/theil/winsorized pin their cell frames with localCheckpoint
+    // (truncated lineage — the corpus-collapsing partial agg ran EAGERLY
+    // and is not in the final plan string), so the assertable property
+    // there is that nothing downstream is cartesian; survival keeps its
+    // full lineage and must show the map-side combine
+    val ps = plan("q_survival_km")
+    assert(ps.contains("partial_"), s"q_survival_km: no map-side combine:\n$ps")
+    for (name <- Seq("q_survival_km", "mon_hampel", "q_theil", "q_winsorized")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name: unbounded cartesian:\n$p")
+    }
+  }
+
+  test("top paths: the only corpus-sized shuffle is the per-user window partition") {
+    val p = plan("q_top_paths")
+    assert(p.contains("Window"), s"per-user 3-gram window missing:\n$p")
+    assert(p.contains("partial_"), s"path cells must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    // the rank pass and the 1-row total both ride broadcasts over cells
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 1-row total must broadcast:\n$p")
+  }
+
+  test("triplet mine / adamic-adar: candidates meet on equi keys, never a cartesian") {
+    for (name <- Seq("emb_triplet_mine", "graph_adamic_adar")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name: unbounded cartesian:\n$p")
+      assert(p.contains("partial_"), s"$name: no map-side combine:\n$p")
+    }
+  }
+
+  test("watermark: per-row higher-order functions only — no join, no window before the report") {
+    val p = plan("text_watermark")
+    assert(!p.contains("Join"), s"watermark must not join:\n$p")
+    assert(!p.contains("Window"), s"watermark must not window:\n$p")
+    assert(p.contains("Scan parquet") || p.contains("FileScan"),
+      s"must read straight off the scan:\n$p")
+  }
 }

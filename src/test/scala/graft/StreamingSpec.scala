@@ -473,6 +473,52 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("G29: streaming top paths equals the batch pass over the prefix after every trigger") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // global (sec, event_id) order ⇒ every user's events arrive in order
+    val ev = Tables(spark, sfDir).eventsSec
+      .selectExpr("user_id", "event_id", "sec", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(e => (e._3, e._2))
+    val stateDir = java.nio.file.Files.createTempDirectory("g29").toString + "/state"
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val q = EventStreams.topPathsStream(
+      mem.toDF().toDF("user_id", "event_id", "sec", "event_type"), stateDir)
+    try {
+      val third = (ev.length + 2) / 3
+      var fed = Array.empty[(Long, Long, Long, String)]
+      ev.grouped(third).foreach { slice =>
+        mem.addData(slice.toIndexedSeq: _*); q.processAllAvailable()
+        fed = fed ++ slice
+        val streamed = spark.read.parquet(stateDir + "/report")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+            r.getLong(3))).sortBy(_._1).toSeq
+        val batch = graft.operators.Relational.topPathsAssemble(
+            graft.operators.Relational.pathCellsOf(
+              fed.toSeq.toDF("user_id", "event_id", "sec", "event_type")), 20)
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+            r.getLong(3))).sortBy(_._1).toSeq
+        assert(streamed == batch,
+          s"stream/batch diverged at prefix ${fed.length}; first diff: ${
+            streamed.zip(batch).find(p => p._1 != p._2)}")
+      }
+      // the tail state stays ≤ 2 rows per user
+      val tails = spark.read.parquet(stateDir + "/tail")
+        .groupBy(org.apache.spark.sql.functions.col("user_id")).count()
+        .collect().map(_.getLong(1))
+      assert(tails.nonEmpty && tails.forall(_ <= 2L), "tail state exceeds 2 rows/user")
+      // and the final cumulative report equals the registered E59 query
+      val full = graft.operators.Relational.qTopPaths(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).sortBy(_._1).toSeq
+      val fin = spark.read.parquet(stateDir + "/report")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).sortBy(_._1).toSeq
+      assert(fin == full, "final stream state != registered batch query")
+    } finally q.stop()
+  }
+
   test("G19: streaming markov matrix equals the batch pass over the prefix after every trigger") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
