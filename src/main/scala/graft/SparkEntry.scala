@@ -175,6 +175,8 @@ object SparkEntry {
     "q_spearman"             -> Relational.qSpearman _,
     "q_cramers_v"            -> Relational.qCramersV _,
     "q_theil"                -> Relational.qTheil _,
+    "q_shape_stats"          -> Relational.qShapeStats _,
+    "text_rake"              -> ((s: SparkSession, d: String) => TextAnalysis.rake(s, d)),
     "q_winsorized"           -> Relational.qWinsorized _,
     "mon_hampel"             -> ((s: SparkSession, d: String) => LoadOps.hampel(s, d)),
     "mon_scorecard"          -> LoadOps.monitorDigest _,
@@ -2470,6 +2472,57 @@ object SparkEntry {
         |   AS BIGINT) AS n_trimmed
         |FROM cells JOIN b ON cells.flag = b.flag
         |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
+    // E60: value cells, mean PINNED to round(Σx/n, 6), central-moment
+    // folds over cells with the pinned μ (m2·sqrt(m2), never pow —
+    // sqrt is correctly-rounded IEEE on both engines), rounded 4
+    "q_shape_stats" ->
+      """WITH cells AS (SELECT event_type AS g,
+        |  CAST(round(value * 100) AS BIGINT) AS v,
+        |  CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+        |mu AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n,
+        |  CAST(sum(cnt * v) // sum(cnt) AS BIGINT) AS mean_cents,
+        |  round(CAST(sum(cnt * v) AS DOUBLE) / sum(cnt), 6) AS mu
+        | FROM cells GROUP BY 1),
+        |m AS (SELECT g, n, mean_cents,
+        |  sum(cnt * (v - mu) * (v - mu)) AS s2,
+        |  sum(cnt * (v - mu) * (v - mu) * (v - mu)) AS s3,
+        |  sum(cnt * (v - mu) * (v - mu) * (v - mu) * (v - mu)) AS s4
+        | FROM cells JOIN mu USING (g) GROUP BY 1, 2, 3)
+        |SELECT g AS event_type, n, mean_cents,
+        | round(s3 / n / nullif((s2 / n) * sqrt(s2 / n), 0), 4) AS skewness,
+        | round(s4 / n / nullif((s2 / n) * (s2 / n), 0) - 3.0, 4)
+        |   AS kurtosis_excess
+        |FROM m ORDER BY 1""".stripMargin,
+    // F95: stopword-island phrases (string_agg ORDER BY pos — the
+    // position-sorted reassembly), RAKE degree/freq in integer PPM,
+    // per-occurrence word-score sums normalized by occurrence count
+    "text_rake" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toks) AS w,
+         |  generate_subscripts($toks, 1) AS pos FROM documents),
+         |ns AS (SELECT doc_id, pos, w,
+         |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         | FROM tk WHERE w NOT IN ('the', 'a', 'and', 'of', 'to')),
+         |ph AS (SELECT string_agg(w, ' ' ORDER BY pos) AS phrase,
+         |  CAST(count(*) AS BIGINT) AS len
+         | FROM ns GROUP BY doc_id, island),
+         |ph2 AS (SELECT phrase, len FROM ph WHERE len <= 4),
+         |wd AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
+         |  CAST(sum(len) AS BIGINT) AS degree
+         | FROM (SELECT unnest(string_split(phrase, ' ')) AS w, len FROM ph2)
+         | GROUP BY 1),
+         |ws AS (SELECT w, degree * 1000000 // freq AS w_score FROM wd),
+         |sc AS (SELECT phrase, CAST(sum(w_score) AS BIGINT) AS score_sum
+         | FROM (SELECT phrase, unnest(string_split(phrase, ' ')) AS w FROM ph2) t
+         | JOIN ws USING (w) GROUP BY 1),
+         |cells AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences
+         | FROM ph2 GROUP BY 1)
+         |SELECT rank, phrase, n_occurrences, score_ppm FROM (
+         | SELECT cells.phrase, n_occurrences,
+         |  CAST(score_sum // n_occurrences AS BIGINT) AS score_ppm,
+         |  CAST(row_number() OVER (ORDER BY score_sum // n_occurrences DESC,
+         |    cells.phrase) AS BIGINT) AS rank
+         | FROM cells JOIN sc ON cells.phrase = sc.phrase)
+         |WHERE rank <= 15 ORDER BY rank""".stripMargin,
     // E46: descending dollar-cell CDF, exact integer 80/95 boundaries
     // (5·cumb < 4·S, 20·cumb < 19·S), integer-PPM shares
     "q_abc" ->

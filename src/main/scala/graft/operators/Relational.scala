@@ -2105,6 +2105,60 @@ object Relational {
       .orderBy(col("rank"))
   }
 
+  /** E60: DISTRIBUTION SHAPE — skewness and excess kurtosis per metric
+    * group, the third/fourth-moment profile E16's spread stats stop
+    * short of: skew says WHICH WAY the tail leans (billing metrics lean
+    * right, latency floors lean left), kurtosis whether outlier mass is
+    * normal-like (≈0), clipped (<0) or heavy-tailed (>0) — the numbers
+    * that decide between mean/σ and median/MAD monitors (D31 vs D19)
+    * per metric.
+    *
+    * Determinism contract: the corpus collapses to exact integer cent
+    * cells; the mean pins to ONE rounded double (round(Σx/n, 6)) that
+    * both engines derive identically from exact integers; central
+    * moments are Σcnt·(v−μ)^k folds over VALUE cells with that pinned
+    * μ — fixed-shape doubles rounded 4. This sidesteps both the
+    * decimal38 overflow of the raw-power expansion (S1⁴ at corpus
+    * scale) and the catastrophic cancellation of centering with an
+    * unpinned float mean. All-equal groups report NULL via nullif.
+    *
+    * Scale shape: ONE hash agg to (group, cents) value cells, a
+    * 1-row-per-group moment agg over cells, groups-sized report —
+    * nothing after the first agg is row-proportional. */
+  def qShapeStats(spark: SparkSession, dir: String): DataFrame =
+    shapeStatsOf(Tables(spark, dir).eventsSec
+      .select(col("event_type").as("g"),
+        expr("cast(round(value * 100) as long)").as("v")))
+
+  /** The E60 compute over any (g, v) long frame — specs plant symmetric
+    * (skew 0), two-point (kurtosis −2) and all-equal (NULL) wires. */
+  def shapeStatsOf(rows: DataFrame): DataFrame = {
+    val cells = rows
+      .groupBy(col("g"), col("v"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .localCheckpoint(true) // the mean pass and the moment fold reread it
+    val mu = cells.groupBy(col("g"))
+      .agg(sum(col("cnt")).cast("long").as("n"),
+        expr("sum(cnt * v) div sum(cnt)").as("mean_cents"),
+        round(sum(col("cnt") * col("v")).cast("double")
+          / sum(col("cnt")), 6).as("mu"))
+    val d = col("v").cast("double") - col("mu")
+    cells.join(broadcast(mu), Seq("g"))
+      .groupBy(col("g").as("event_type"), col("n"), col("mean_cents"))
+      .agg(
+        sum(col("cnt") * d * d).as("s2"),
+        sum(col("cnt") * d * d * d).as("s3"),
+        sum(col("cnt") * d * d * d * d).as("s4"))
+      .withColumn("m2", col("s2") / col("n"))
+      .select(col("event_type"), col("n"), col("mean_cents"),
+        round(col("s3") / col("n")
+          / nullif(col("m2") * sqrt(col("m2")), lit(0.0)), 4).as("skewness"),
+        round(col("s4") / col("n")
+          / nullif(col("m2") * col("m2"), lit(0.0)) - lit(3.0), 4)
+          .as("kurtosis_excess"))
+      .orderBy(col("event_type"))
+  }
+
   /** The E35 report assembly over a (state, next_state, n) matrix —
     * denominators via a states²-row window (tiny), exact PPM division. */
   def markovAssemble(matrix: DataFrame): DataFrame = {

@@ -1723,6 +1723,77 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** F95: RAKE KEYWORD EXTRACTION — the classic unsupervised keyphrase
+    * ranker (Rose et al. 2010) corpus-wide: candidate phrases are the
+    * maximal stopword-free token runs, each word scores degree/freq
+    * (degree = Σ length of the phrases it appears in — words that live
+    * in LONG phrases score high, ubiquitous single words score low),
+    * and a phrase scores the sum of its words. The keyphrase view the
+    * tf-idf top-terms (F17/F13) can't give: those rank WORDS, this
+    * ranks multi-word UNITS, which is what a corpus summary or topic
+    * label actually wants.
+    *
+    * Determinism contract: the shared tokenizer and the F9 stopword
+    * list; phrase reassembly sorts on explicit positions (never
+    * collect order); phrases cap at 4 tokens (declared — RAKE's
+    * standard guard against run-on garbage); word scores are exact
+    * integer PPM (degree·1e6 div freq), phrase scores exact integer
+    * sums of them; the top-15 rank breaks ties by phrase string.
+    *
+    * Scale shape: ONE posexplode pass to (doc, pos, word) with the
+    * stopword-island key — per-row arithmetic plus ONE per-doc window
+    * (bounded by doc length); phrases collapse to corpus-wide cells;
+    * word stats are a cells-sized agg broadcast back; report is 15
+    * rows. */
+  def rake(spark: SparkSession, dir: String, k: Int = 15,
+      maxLen: Int = 4): DataFrame =
+    rakeOf(Tables(spark, dir).documents, k, maxLen)
+
+  /** The F95 compute over any (doc_id, text) frame — specs plant
+    * hand-scorable phrase inventories. */
+  def rakeOf(documents: DataFrame, k: Int, maxLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stop = Seq("the", "a", "and", "of", "to")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // maximal stopword-free runs via the island key (pos − rank among
+    // non-stop tokens); reassembly sorts on pos explicitly
+    val phrases = documents
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+      .filter(!col("w").isin(stop.map(lit): _*))
+      .withColumn("island", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+        s => s.getField("w")), " ").as("phrase"),
+        count(lit(1)).cast("long").as("len"))
+      .filter(col("len") <= maxLen.toLong)
+      .select(col("phrase"), col("len"))
+      .localCheckpoint(true) // word stats and phrase cells both reread it
+    val words = phrases
+      .select(explode(split(col("phrase"), " ")).as("w"), col("len"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).cast("long").as("freq"),
+        sum(col("len")).cast("long").as("degree"))
+      .withColumn("w_score", expr("degree * 1000000 div freq"))
+    val scored = phrases
+      .select(col("phrase"), explode(split(col("phrase"), " ")).as("w"))
+      .join(broadcast(words.select(col("w"), col("w_score"))), Seq("w"))
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).cast("long").as("n_words_x_occ"),
+        sum(col("w_score")).cast("long").as("score_sum"))
+    val cells = phrases.groupBy(col("phrase"))
+      .agg(count(lit(1)).cast("long").as("n_occurrences"))
+      .join(scored, Seq("phrase"))
+      // score_sum summed over every occurrence — normalize back to the
+      // per-phrase word-score sum (exact: score_sum div n_occurrences)
+      .withColumn("score_ppm", expr("score_sum div n_occurrences"))
+      .select(col("phrase"), col("n_occurrences"), col("score_ppm"))
+    val wr = Window.orderBy(col("score_ppm").desc, col("phrase"))
+    cells.withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= k.toLong)
+      .select(col("rank"), col("phrase"), col("n_occurrences"), col("score_ppm"))
+      .orderBy(col("rank"))
+  }
+
   /** F91: LEXICAL DIVERSITY per document — the vocabulary-richness
     * battery quality filters read next to F9's surface stats: type-token
     * ratio (and its length-robust variants root-TTR and Herdan's C,

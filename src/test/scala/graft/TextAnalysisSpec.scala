@@ -978,6 +978,39 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("rake: hand-scored phrase wire, length cap, corpus top-k sane") {
+    import spark.implicits._
+    // phrases: "red apple", "green apple" (doc 1, split on the stopword
+    // 'and'), "apple", "red wine" (doc 2, split on 'of').
+    // word scores (degree·1e6 div freq): apple 5e6/3, red 4e6/2,
+    // green 2e6/1, wine 2e6/1 → phrase ranking:
+    // red wine 4000000 > green apple = red apple 3666666 > apple 1666666
+    val docs = Seq(
+      (1L, "red apple and green apple"),
+      (2L, "apple of red wine")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.rakeOf(docs, 15, 4).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, "red wine", 1L, 4000000L),
+      (2L, "green apple", 1L, 3666666L),
+      (3L, "red apple", 1L, 3666666L),
+      (4L, "apple", 1L, 1666666L)), s"hand wire: $got")
+    // the 4-token cap drops run-on phrases entirely
+    val runOn = Seq((1L, "one two three four five")).toDF("doc_id", "text")
+    assert(graft.operators.TextAnalysis.rakeOf(runOn, 15, 4).collect().isEmpty,
+      "a 5-token stopword-free run must be dropped by the cap")
+    // corpus: ranks dense, scores non-increasing, phrases stopword-free
+    val corpus = graft.operators.TextAnalysis.rake(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(corpus.nonEmpty)
+    assert(corpus.map(_._1).toSeq == (1L to corpus.length.toLong), "ranks dense")
+    assert(corpus.sliding(2).forall {
+      case Array(a, b) => a._3 >= b._3; case _ => true }, "scores non-increasing")
+    val stop = Set("the", "a", "and", "of", "to")
+    assert(corpus.forall(c => c._2.split(" ").forall(t => !stop(t))),
+      "phrases must be stopword-free")
+  }
+
   test("lexical diversity: closed-form planted wires, NULL Herdan guard, corpus invariants") {
     import spark.implicits._
     val docs = Seq(

@@ -679,6 +679,47 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
     }, "rank order is (count DESC, path ASC)")
   }
 
+  test("shape stats: symmetric reads 0 skew, two-point reads -2 kurtosis, all-equal NULLs, brute replay") {
+    import spark.implicits._
+    // symmetric around 50 → skew exactly 0; a balanced two-point
+    // distribution has kurtosis 1 → excess −2 (the theoretical minimum)
+    val wires = Seq.fill(10)(("sym", 40L)) ++ Seq.fill(10)(("sym", 60L)) ++
+      Seq(("sym", 50L)) ++ Seq.fill(8)(("flat", 7L))
+    val got = Relational.shapeStatsOf(wires.toDF("g", "v")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val sym = got("sym")
+    assert(sym.getDouble(3) == 0.0, s"symmetric skew: ${sym.getDouble(3)}")
+    assert(sym.getDouble(4) < -1.0, s"two-point-ish kurtosis: ${sym.getDouble(4)}")
+    assert(got("flat").isNullAt(3) && got("flat").isNullAt(4),
+      "all-equal group must report NULL shape")
+    // brute replay on the corpus with the same pinned-mean contract
+    val gotC = Relational.qShapeStats(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    val raw = Tables(spark, sfDir).eventsSec
+      .selectExpr("event_type", "cast(round(value * 100) as long) as v")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val brute = raw.groupBy(_._1).toSeq.map { case (g, vs0) =>
+      val vs = vs0.map(_._2)
+      val n = vs.size.toLong
+      val mu = BigDecimal(vs.sum.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // fold over value cells (the engine's shape), not raw rows
+      val cls = vs.groupBy(identity).map { case (v, xs) => (v, xs.size.toLong) }
+      def cm(k: Int) = cls.map { case (v, c) => c * math.pow(v - mu, k) }.sum
+      val m2 = cm(2) / n
+      (g, n, vs.sum / n, r4(cm(3) / n / (m2 * math.sqrt(m2))),
+        r4(cm(4) / n / (m2 * m2) - 3.0))
+    }.sortBy(_._1)
+    gotC.zip(brute).foreach { case (a, b) =>
+      assert(a._1 == b._1 && a._2 == b._2 && a._3 == b._3, s"$a vs $b")
+      assert(math.abs(a._4 - b._4) <= 1e-4 && math.abs(a._5 - b._5) <= 1e-4,
+        s"$a vs $b")
+    }
+  }
+
   test("theil: brute moment replay, decomposition sums to the independent total") {
     val got = Relational.qTheil(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
