@@ -325,6 +325,8 @@ object SparkEntry {
     "stream_seasonal"        -> graft.streaming.StreamGate.streamSeasonal _,
     "stream_hampel"          -> graft.streaming.StreamGate.streamHampel _,
     "stream_top_paths"       -> graft.streaming.StreamGate.streamTopPaths _,
+    "stream_cramers"         -> graft.streaming.StreamGate.streamCramers _,
+    "stream_winsorized"      -> graft.streaming.StreamGate.streamWinsorized _,
     "stream_changelog"       -> graft.streaming.StreamGate.streamChangelog _,
     "stream_breaker"         -> graft.streaming.StreamGate.streamBreaker _,
     "stream_novelty"         -> graft.streaming.StreamGate.streamNovelty _,
@@ -715,6 +717,26 @@ object SparkEntry {
     "stream_seasonal"      -> baseOracleSql("mon_seasonal"),
     "stream_hampel"        -> baseOracleSql("mon_hampel"),
     "stream_top_paths"     -> baseOracleSql("q_top_paths"),
+    "stream_winsorized"    -> baseOracleSql("q_winsorized"),
+    // G30: E56's middle branch alone — the streamed pair
+    "stream_cramers" ->
+      """WITH c AS (SELECT l_returnflag AS a, l_linestatus AS b,
+        |  CAST(count(*) AS BIGINT) AS o FROM lineitem GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT a) AS BIGINT) AS r_cats,
+        |  CAST(count(DISTINCT b) AS BIGINT) AS c_cats FROM c),
+        |bd AS (SELECT sum((o - e) * (o - e) / e - e) AS bd FROM (
+        |  SELECT o, CAST(rt AS DOUBLE) * ct / n AS e
+        |  FROM c
+        |  JOIN (SELECT a, CAST(sum(o) AS BIGINT) AS rt FROM c GROUP BY 1) USING (a)
+        |  JOIN (SELECT b, CAST(sum(o) AS BIGINT) AS ct FROM c GROUP BY 1) USING (b)
+        |  CROSS JOIN t))
+        |SELECT 'l_returnflag' AS col_a, 'l_linestatus' AS col_b,
+        | n AS n_rows, r_cats, c_cats,
+        | round(n + bd, 4) AS chi2,
+        | round(sqrt(greatest(n + bd, 0)
+        |   / (n * nullif(least(r_cats, c_cats) - 1, 0))), 4) AS cramers_v
+        |FROM t, bd""".stripMargin,
     "stream_changelog"     -> baseOracleSql("load_changelog_apply"),
     "stream_breaker"       -> baseOracleSql("load_circuit_breaker"),
     "stream_novelty"       -> baseOracleSql("text_novelty"),

@@ -1928,10 +1928,17 @@ object Relational {
     * Absent contingency cells (o = 0, e > 0) contribute exactly e to
     * χ², and Σ_all e = n, so χ² = n + Σ_observed((o−e)²/e − e) — the
     * fold never materializes the empty cells. */
-  def cramersVOf(rows: DataFrame, nameA: String, nameB: String): DataFrame = {
-    val cells = rows.groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).cast("long").as("o"))
-      .localCheckpoint(true) // marginals, totals and the chi2 fold reread it
+  def cramersVOf(rows: DataFrame, nameA: String, nameB: String): DataFrame =
+    cramersFromCells(
+      rows.groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).cast("long").as("o"))
+        .localCheckpoint(true), // marginals, totals and the chi2 fold reread it
+      nameA, nameB)
+
+  /** The E56 assembly over an (a, b, o) contingency-cell frame — shared
+    * with the G30 stream (cells are associative integer counts, so any
+    * batch slicing folds to the same table). */
+  def cramersFromCells(cells: DataFrame, nameA: String, nameB: String): DataFrame = {
     val ra = cells.groupBy(col("a")).agg(sum(col("o")).cast("long").as("rt"))
     val cb = cells.groupBy(col("b")).agg(sum(col("o")).cast("long").as("ct"))
     val tot = cells.agg(
@@ -2020,13 +2027,17 @@ object Relational {
     * window over cells, boundary picks via two conditional mins, then
     * one cells-sized agg with clamp/filter arithmetic — nothing after
     * the first agg is row-proportional; flags-sized report. */
-  def qWinsorized(spark: SparkSession, dir: String): DataFrame = {
-    val cells = Tables(spark, dir).lineitem
+  def qWinsorized(spark: SparkSession, dir: String): DataFrame =
+    winsorizedFromCells(Tables(spark, dir).lineitem
       .select(col("l_returnflag").as("flag"),
         expr("cast(round(l_extendedprice * 100) as long)").as("v"))
       .groupBy(col("flag"), col("v"))
       .agg(count(lit(1)).cast("long").as("cnt"))
-      .localCheckpoint(true) // the CDF window and the totals reread it
+      .localCheckpoint(true)) // the CDF window and the totals reread it
+
+  /** The E58 assembly over a (flag, v, cnt) value-cell frame — shared
+    * with the G31 stream (cells are associative integer counts). */
+  def winsorizedFromCells(cells: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("flag")).orderBy(col("v"))
     val cum = cells.withColumn("cum", sum(col("cnt")).over(w))
     val tot = cells.groupBy(col("flag"))

@@ -526,6 +526,64 @@ object EventStreams {
       }
       .start()
 
+  /** G30: STREAMING Cramér's V — E56 as a continuous association
+    * monitor: the (a, b) contingency cells accumulate in persisted
+    * state (associative integer counts — any batch slicing folds to
+    * the same table), and every trigger re-emits the effect size
+    * through the SAME `Relational.cramersFromCells` assembly, so the
+    * report equals the batch pass over the prefix bit-for-bit after
+    * every trigger. A drifting V is a schema-semantics alarm: two
+    * columns that used to determine each other (V≈1) decoupling means
+    * an upstream join or mapping broke. State is O(r×c) forever. */
+  def cramersStream(rows: DataFrame, stateDir: String,
+      nameA: String, nameB: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream.outputMode("append")
+      .foreachBatch { (batch0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import org.apache.spark.sql.functions._
+        val spark = batch0.sparkSession
+        val fresh = batch0.toDF().select(col("a"), col("b"))
+          .groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).cast("long").as("o"))
+        val prior = readState(spark, stateDir + "/cells").getOrElse(fresh.limit(0))
+        val cells = prior.unionByName(fresh)
+          .groupBy(col("a"), col("b")).agg(sum(col("o")).cast("long").as("o"))
+          .localCheckpoint(true)
+        publishState(cells, stateDir + "/cells")
+        graft.operators.Relational.cramersFromCells(cells, nameA, nameB)
+          .write.mode("overwrite").parquet(stateDir + "/report")
+        (): Unit
+      }
+      .start()
+
+  /** G31: STREAMING winsorized/trimmed means — E58 as a continuous
+    * robust-location monitor: the (flag, v) value cells accumulate in
+    * persisted state (associative integer counts), and every trigger
+    * re-runs the SAME `Relational.winsorizedFromCells` assembly —
+    * type-1 boundary picks and exact integer means over the
+    * accumulated cells — so the report equals the batch pass over the
+    * prefix bit-for-bit after every trigger. State is value-bounded
+    * (distinct cents per flag), never row-proportional. */
+  def winsorizedStream(rows: DataFrame, stateDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream.outputMode("append")
+      .foreachBatch { (batch0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import org.apache.spark.sql.functions._
+        val spark = batch0.sparkSession
+        val fresh = batch0.toDF().select(col("flag"), col("v").cast("long"))
+          .groupBy(col("flag"), col("v"))
+          .agg(count(lit(1)).cast("long").as("cnt"))
+        val prior = readState(spark, stateDir + "/cells").getOrElse(fresh.limit(0))
+        val cells = prior.unionByName(fresh)
+          .groupBy(col("flag"), col("v")).agg(sum(col("cnt")).cast("long").as("cnt"))
+          .localCheckpoint(true)
+        publishState(cells, stateDir + "/cells")
+        graft.operators.Relational.winsorizedFromCells(cells)
+          .write.mode("overwrite").parquet(stateDir + "/report")
+        (): Unit
+      }
+      .start()
+
   /** G21: STREAMING CUSUM — D40 as the always-on changepoint monitor:
     * each micro-batch of (source, day, md) dailies folds into a
     * persisted run-log state (the G14 write-new-then-rename rule;

@@ -180,6 +180,43 @@ object StreamGate {
     spark.read.parquet(s"$base/state/report").orderBy(col("rank"))
   }
 
+  /** G30 gate: streaming Cramér's V run MULTI-batch over the
+    * (l_returnflag, l_linestatus) pair — contingency cells fold
+    * associatively across 4 triggers; the final report equals E56's
+    * middle branch and is oracled by that branch's SQL. */
+  def streamCramers(spark: SparkSession, dir: String): DataFrame = {
+    val base = fresh(spark, "cramers")
+    Tables(spark, dir).lineitem
+      .select(col("l_returnflag").as("a"), col("l_linestatus").as("b"))
+      .repartition(4).write.parquet(s"$base/in")
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("a", StringType),
+        StructField("b", StringType))))
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val q = EventStreams.cramersStream(src, s"$base/state",
+      "l_returnflag", "l_linestatus")
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    spark.read.parquet(s"$base/state/report")
+  }
+
+  /** G31 gate: streaming winsorized/trimmed means run MULTI-batch —
+    * value cells fold associatively across 4 triggers; the final
+    * report equals E58's batch pass and shares its oracle verbatim. */
+  def streamWinsorized(spark: SparkSession, dir: String): DataFrame = {
+    val base = fresh(spark, "winsorized")
+    Tables(spark, dir).lineitem
+      .select(col("l_returnflag").as("flag"),
+        expr("cast(round(l_extendedprice * 100) as long)").as("v"))
+      .repartition(4).write.parquet(s"$base/in")
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("flag", StringType),
+        StructField("v", LongType))))
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val q = EventStreams.winsorizedStream(src, s"$base/state")
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    spark.read.parquet(s"$base/state/report").orderBy(col("l_returnflag"))
+  }
+
   /** G16 gate: the streaming constraint monitor — the SAME
     * `checkConstraintsOf` plan on a streaming lineitem source in
     * complete mode, run MULTI-batch (4 files, one per trigger): the

@@ -473,6 +473,62 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("G30/G31: streaming cramers and winsorized equal the batch assembly after every trigger") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // G30: a wire whose association FLIPS mid-stream — first slice is
+    // functionally dependent (V=1), later slices add independent mass
+    val dep = (1 to 4).flatMap(a => Seq.fill(6)((a.toString, (a * 10).toString)))
+    val ind = for { a <- 1 to 4; b <- Seq(10, 20, 30, 40); _ <- 1 to 2 }
+      yield (a.toString, b.toString)
+    val slices = Seq(dep, ind.take(16), ind.drop(16))
+    val stateDir = java.nio.file.Files.createTempDirectory("g30").toString + "/state"
+    val mem = MemoryStream[(String, String)]
+    val q = EventStreams.cramersStream(
+      mem.toDF().toDF("a", "b"), stateDir, "x", "y")
+    try {
+      var fed = Seq.empty[(String, String)]
+      slices.foreach { slice =>
+        mem.addData(slice.toIndexedSeq: _*); q.processAllAvailable()
+        fed = fed ++ slice
+        val streamed = spark.read.parquet(stateDir + "/report")
+          .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getDouble(5), r.getDouble(6))).toSeq
+        val batch = graft.operators.Relational.cramersVOf(
+            fed.toDF("a", "b"), "x", "y")
+          .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getDouble(5), r.getDouble(6))).toSeq
+        assert(streamed == batch, s"cramers diverged at prefix ${fed.length}")
+      }
+      val v1 = spark.read.parquet(stateDir + "/report").collect().head.getDouble(6)
+      assert(v1 < 1.0, "independent mass must pull V below the dependent 1.0")
+    } finally q.stop()
+    // G31: value slices with a whale arriving LAST — the boundary picks
+    // and means must re-derive from the accumulated cells every trigger
+    val vals = (1 to 40).map(i => ("A", i.toLong * 100)) :+ (("A", 99999900L))
+    val sd2 = java.nio.file.Files.createTempDirectory("g31").toString + "/state"
+    val mem2 = MemoryStream[(String, Long)]
+    val q2 = EventStreams.winsorizedStream(mem2.toDF().toDF("flag", "v"), sd2)
+    try {
+      var fed = Seq.empty[(String, Long)]
+      vals.grouped(14).foreach { slice =>
+        mem2.addData(slice.toIndexedSeq: _*); q2.processAllAvailable()
+        fed = fed ++ slice
+        val streamed = spark.read.parquet(sd2 + "/report")
+          .collect().map(_.toSeq).toSeq
+        val batch = graft.operators.Relational.winsorizedFromCells(
+            fed.toDF("flag", "v").groupBy(col("flag"), col("v"))
+              .agg(org.apache.spark.sql.functions.count(
+                org.apache.spark.sql.functions.lit(1)).cast("long").as("cnt")))
+          .collect().map(_.toSeq).toSeq
+        assert(streamed == batch, s"winsorized diverged at prefix ${fed.length}")
+      }
+      // the whale is clamped: winsorized mean stays far below the raw mean
+      val fin = spark.read.parquet(sd2 + "/report").collect().head
+      assert(fin.getLong(5) < fin.getLong(4), "whale must be clamped by winsorizing")
+    } finally q2.stop()
+  }
+
   test("G29: streaming top paths equals the batch pass over the prefix after every trigger") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
