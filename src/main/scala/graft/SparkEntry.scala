@@ -176,6 +176,8 @@ object SparkEntry {
     "q_cramers_v"            -> Relational.qCramersV _,
     "q_theil"                -> Relational.qTheil _,
     "q_shape_stats"          -> Relational.qShapeStats _,
+    "q_growth_accounting"    -> Relational.qGrowthAccounting _,
+    "mon_delta_attribution"  -> LoadOps.deltaAttribution _,
     "text_rake"              -> ((s: SparkSession, d: String) => TextAnalysis.rake(s, d)),
     "q_winsorized"           -> Relational.qWinsorized _,
     "mon_hampel"             -> ((s: SparkSession, d: String) => LoadOps.hampel(s, d)),
@@ -2545,6 +2547,49 @@ object SparkEntry {
          |    cells.phrase) AS BIGINT) AS rank
          | FROM cells JOIN sc ON cells.phrase = sc.phrase)
          |WHERE rank <= 15 ORDER BY rank""".stripMargin,
+    // E61: distinct (user, week) cells, class membership via week-1
+    // self-joins (set logic, zero float), churn via the week+1 anti join
+    "q_growth_accounting" ->
+      """WITH c AS (SELECT DISTINCT user_id,
+        |  CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 // 7 AS week
+        | FROM events),
+        |f AS (SELECT user_id, min(week) AS fw FROM c GROUP BY 1),
+        |cl AS (SELECT c.week, CAST(count(*) AS BIGINT) AS wau,
+        |  CAST(sum(CASE WHEN c.week = f.fw THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(sum(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_retained,
+        |  CAST(sum(CASE WHEN c.week <> f.fw AND p.user_id IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        | FROM c JOIN f USING (user_id)
+        | LEFT JOIN c p ON p.user_id = c.user_id AND p.week = c.week - 1
+        | GROUP BY 1),
+        |ch AS (SELECT p.week + 1 AS week, CAST(count(*) AS BIGINT) AS n_churned
+        | FROM c p LEFT JOIN c n ON n.user_id = p.user_id AND n.week = p.week + 1
+        | WHERE n.user_id IS NULL GROUP BY 1)
+        |SELECT cl.week, wau, n_new, n_retained, n_resurrected,
+        | coalesce(ch.n_churned, 0) AS n_churned
+        |FROM cl LEFT JOIN ch ON cl.week = ch.week
+        |ORDER BY cl.week""".stripMargin,
+    // D56: (source, week) cells, the two most recent weeks full-outer
+    // joined, signed integer-PPM shares (both engines truncate toward
+    // zero), |delta| rank with source tie-breaks
+    "mon_delta_attribution" ->
+      """WITH c AS (SELECT event_type AS source,
+        |  CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 // 7 AS week,
+        |  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |t AS (SELECT max(week) AS wt FROM c),
+        |cur AS (SELECT source, n AS n_cur FROM c, t WHERE week = wt),
+        |prv AS (SELECT source, n AS n_prev FROM c, t WHERE week = wt - 1),
+        |d AS (SELECT coalesce(cur.source, prv.source) AS source,
+        |  coalesce(n_prev, 0) AS n_prev, coalesce(n_cur, 0) AS n_cur,
+        |  coalesce(n_cur, 0) - coalesce(n_prev, 0) AS delta
+        | FROM cur FULL OUTER JOIN prv ON cur.source = prv.source),
+        |tt AS (SELECT CAST(sum(delta) AS BIGINT) AS total_delta FROM d)
+        |SELECT CAST(row_number() OVER (ORDER BY abs(delta) DESC, source)
+        |   AS BIGINT) AS rank,
+        | source, n_prev, n_cur, delta, total_delta,
+        | delta * 1000000 // nullif(total_delta, 0) AS share_ppm
+        |FROM d, tt ORDER BY rank""".stripMargin,
     // E46: descending dollar-cell CDF, exact integer 80/95 boundaries
     // (5·cumb < 4·S, 20·cumb < 19·S), integer-PPM shares
     "q_abc" ->

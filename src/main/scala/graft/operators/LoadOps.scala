@@ -1632,6 +1632,56 @@ object LoadOps {
       .orderBy(col("source"), col("day"))
   }
 
+  /** D56: DELTA ATTRIBUTION — the "why did the metric move" drilldown
+    * every incident review starts with: the corpus total changed
+    * week-over-week; WHICH sources drove it, in which direction, and by
+    * what share? Per source: last-week and this-week volumes (the two
+    * most recent complete calendar weeks), the signed delta, its share
+    * of the total move in signed PPM, and a rank by |delta|. The
+    * monitoring family's D13 sees one source's drift; this apportions a
+    * GLOBAL move across sources so the on-call reads the culprits top-
+    * down.
+    *
+    * Determinism contract: exact epoch-week integer counts; sources
+    * missing from a week contribute 0 via the full-outer join; the
+    * share is signed integer PPM (Spark `div` and DuckDB `//` both
+    * truncate toward zero — measured); a zero total move reports NULL
+    * shares via nullif; |delta| ties rank by source name.
+    *
+    * Scale shape: ONE hash agg to (source, week) cells, the two probe
+    * weeks come from a 1-row broadcast max; everything after is
+    * sources-sized. */
+  def deltaAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(spark, dir).eventsSec
+      .select(col("event_type").as("source"),
+        expr("sec div 86400 div 7").cast("long").as("week"))
+      .groupBy(col("source"), col("week"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .localCheckpoint(true) // the probe-week max and both sides reread it
+    val top = cells.agg(max(col("week")).as("wt"))
+    val cur = cells.crossJoin(broadcast(top))
+      .filter(col("week") === col("wt"))
+      .select(col("source"), col("n").as("n_cur"))
+    val prv = cells.crossJoin(broadcast(top))
+      .filter(col("week") === col("wt") - 1L)
+      .select(col("source"), col("n").as("n_prev"))
+    val deltas = cur.join(prv, Seq("source"), "full_outer")
+      .select(col("source"),
+        coalesce(col("n_prev"), lit(0L)).as("n_prev"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      .withColumn("delta", col("n_cur") - col("n_prev"))
+    val tot = deltas.agg(sum(col("delta")).cast("long").as("total_delta"))
+    import org.apache.spark.sql.expressions.Window
+    val wr = Window.orderBy(abs(col("delta")).desc, col("source"))
+    deltas.crossJoin(broadcast(tot))
+      .withColumn("share_ppm",
+        expr("delta * 1000000 div nullif(total_delta, 0)"))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .select(col("rank"), col("source"), col("n_prev"), col("n_cur"),
+        col("delta"), col("total_delta"), col("share_ppm"))
+      .orderBy(col("rank"))
+  }
+
   /** D53: BURSTINESS (index of dispersion) per source — the Fano factor
     * of the daily count series: variance-to-mean ≈ 1e6 (PPM) is Poisson
     * (a healthy memoryless feed), ≫ 1e6 is bursty (batchy upstream, a

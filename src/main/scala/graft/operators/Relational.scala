@@ -2170,6 +2170,54 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** E61: GROWTH ACCOUNTING — the full WAU decomposition (the Duolingo/
+    * a16z growth-accounting framework) E50's new-vs-returning split is
+    * a projection of: every weekly active is NEW (first week ever),
+    * RETAINED (also active last week) or RESURRECTED (dormant ≥1 week,
+    * back now), and last week's actives who vanished are CHURNED. The
+    * conservation identities WAU_t = new + retained + resurrected and
+    * WAU_{t−1} = retained_t + churned_t hold exactly (spec-pinned) —
+    * which is the point: growth composition that provably sums.
+    *
+    * Determinism contract: exact epoch-week integer cells; class
+    * membership via (user, week−1) self-joins on the distinct cell
+    * frame — set logic, zero float. The corpus's first week reports
+    * churn 0 (no predecessor week exists — declared).
+    *
+    * Scale shape: ONE distinct to (user, week) cells partitioned by
+    * user; the prev-week join and the churn anti-join are cell-to-cell
+    * self-joins on the SAME (user, week-shift) key — AQE reuses the
+    * exchange; rollups are weeks-sized. */
+  def qGrowthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(spark, dir).eventsSec
+      .select(col("user_id"), expr("sec div 86400 div 7").cast("long").as("week"))
+      .distinct()
+      .localCheckpoint(true) // four passes read the same cell frame
+    val first = cells.groupBy(col("user_id")).agg(min(col("week")).as("fw"))
+    val prev = cells.select(col("user_id"), (col("week") + 1L).as("week"),
+      lit(1).as("was_active"))
+    val classed = cells
+      .join(first, Seq("user_id"))
+      .join(prev, Seq("user_id", "week"), "left")
+      .groupBy(col("week"))
+      .agg(count(lit(1)).cast("long").as("wau"),
+        sum((col("week") === col("fw")).cast("long")).as("n_new"),
+        sum(col("was_active").isNotNull.cast("long")).as("n_retained"),
+        sum((col("week") =!= col("fw") && col("was_active").isNull)
+          .cast("long")).as("n_resurrected"))
+    val churned = cells.as("p")
+      .join(cells.as("c"),
+        col("p.user_id") === col("c.user_id") &&
+          col("c.week") === col("p.week") + 1L, "left_anti")
+      .select((col("week") + 1L).as("week"))
+      .groupBy(col("week")).agg(count(lit(1)).cast("long").as("n_churned"))
+    classed.join(churned, Seq("week"), "left")
+      .withColumn("n_churned", coalesce(col("n_churned"), lit(0L)))
+      .select(col("week"), col("wau"), col("n_new"), col("n_retained"),
+        col("n_resurrected"), col("n_churned"))
+      .orderBy(col("week"))
+  }
+
   /** The E35 report assembly over a (state, next_state, n) matrix —
     * denominators via a states²-row window (tiny), exact PPM division. */
   def markovAssemble(matrix: DataFrame): DataFrame = {

@@ -1546,6 +1546,43 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("delta attribution: deltas sum to the total, shares cover it, rank by |delta|, brute replay") {
+    val got = graft.operators.LoadOps.deltaAttribution(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), if (r.isNullAt(6)) None else Some(r.getLong(6))))
+      .toSeq
+    assert(got.nonEmpty)
+    val totalDelta = got.head._6
+    assert(got.map(_._5).sum == totalDelta, "per-source deltas must sum to the total")
+    if (totalDelta != 0L) {
+      val shares = got.flatMap(_._7)
+      // signed truncating PPM: the shares cover 1e6 up to one truncation
+      // unit per source
+      assert(math.abs(shares.sum - 1000000L) <= got.size.toLong,
+        s"shares ${shares.sum} must cover ~1e6")
+    }
+    assert(got.sliding(2).forall {
+      case Seq(a, b) => math.abs(a._5) > math.abs(b._5) ||
+        (math.abs(a._5) == math.abs(b._5) && a._2 < b._2)
+      case _ => true
+    }, "rank order is (|delta| DESC, source)")
+    // brute replay from weekly cells
+    val cells = Tables(spark, sfDir).eventsSec
+      .selectExpr("event_type as source", "sec div 86400 div 7 as week")
+      .groupBy(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("week"))
+      .count().collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val wt = cells.map(_._2).max
+    val srcs = cells.map(_._1).distinct.sorted
+    val brute = srcs.map { s =>
+      val cur = cells.find(c => c._1 == s && c._2 == wt).map(_._3).getOrElse(0L)
+      val prv = cells.find(c => c._1 == s && c._2 == wt - 1).map(_._3).getOrElse(0L)
+      (s, prv, cur, cur - prv)
+    }.sortBy(t => (-math.abs(t._4), t._1))
+    assert(got.map(g => (g._2, g._3, g._4, g._5)) == brute.toSeq,
+      "delta table must replay brute-force")
+  }
+
   test("hampel: spike alarms, median burst is absorbed, warm-up never alarms, brute replay") {
     import spark.implicits._
     // s: constant 100 with one wild spike at day 10 — the spike day must

@@ -720,6 +720,42 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("growth accounting: conservation identities, first week all-new, brute replay") {
+    val got = Relational.qGrowthAccounting(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq.sortBy(_._1)
+    assert(got.nonEmpty)
+    // WAU_t = new + retained + resurrected, exactly, every week
+    got.foreach { case (w, wau, nw, rt, rs, _) =>
+      assert(wau == nw + rt + rs, s"week $w composition must sum: $wau != $nw+$rt+$rs")
+    }
+    // WAU_{t-1} = retained_t + churned_t for consecutive weeks
+    got.sliding(2).foreach {
+      case Seq(a, b) if b._1 == a._1 + 1 =>
+        assert(a._2 == b._4 + b._6,
+          s"week ${b._1}: retention identity ${a._2} != ${b._4}+${b._6}")
+      case _ => ()
+    }
+    assert(got.head._2 == got.head._3 && got.head._6 == 0L,
+      "the corpus's first week is all-new with zero churn")
+    // brute replay from raw cells
+    val cells = Tables(spark, sfDir).eventsSec
+      .selectExpr("user_id", "sec div 86400 div 7 as week")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byUser = cells.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val firstOf = byUser.view.mapValues(_.min).toMap
+    val brute = cells.map(_._2).distinct.sorted.map { w =>
+      val active = byUser.filter(_._2.contains(w)).keys.toSeq
+      val nw = active.count(u => firstOf(u) == w)
+      val rt = active.count(u => byUser(u).contains(w - 1))
+      val rs = active.size - nw - rt
+      val ch = byUser.count { case (u, ws) => ws.contains(w - 1) && !ws.contains(w) }
+      (w, active.size.toLong, nw.toLong, rt.toLong, rs.toLong,
+        if (cells.map(_._2).min == w) 0L else ch.toLong)
+    }.toSeq
+    assert(got == brute, s"growth must replay brute-force")
+  }
+
   test("theil: brute moment replay, decomposition sums to the independent total") {
     val got = Relational.qTheil(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
