@@ -177,6 +177,7 @@ object SparkEntry {
     "q_theil"                -> Relational.qTheil _,
     "q_shape_stats"          -> Relational.qShapeStats _,
     "q_growth_accounting"    -> Relational.qGrowthAccounting _,
+    "q_session_stats"        -> Relational.qSessionStats _,
     "mon_delta_attribution"  -> LoadOps.deltaAttribution _,
     "text_rake"              -> ((s: SparkSession, d: String) => TextAnalysis.rake(s, d)),
     "q_winsorized"           -> Relational.qWinsorized _,
@@ -3209,6 +3210,53 @@ object SparkEntry {
          | CAST(min(sec) AS BIGINT) AS start_sec, CAST(max(sec) AS BIGINT) AS end_sec,
          | round(sum(value), 2) AS session_value
          |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // E62: the shared session chain with the entry type via rn=1, then
+    // type-1 CDF picks over (entry, duration) and (entry, size) cells
+    "q_session_stats" ->
+      s"""WITH ev AS ($evSec),
+         |b AS (SELECT user_id, event_id, sec, event_type,
+         |  CASE WHEN lag(sec) OVER w IS NULL THEN 1
+         |       WHEN sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+         | FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+         |s AS (SELECT user_id, sec, event_id, event_type, sum(brk) OVER
+         |  (PARTITION BY user_id ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING)
+         |    AS session_id
+         | FROM b),
+         |agg AS (SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(max(sec) - min(sec) AS BIGINT) AS dur
+         | FROM s GROUP BY 1, 2),
+         |ent AS (SELECT user_id, session_id, event_type AS entry_type FROM (
+         |  SELECT user_id, session_id, event_type, row_number() OVER (
+         |   PARTITION BY user_id, session_id ORDER BY sec, event_id) AS rn FROM s)
+         | WHERE rn = 1),
+         |sess AS (SELECT entry_type, dur, n_events
+         | FROM agg JOIN ent USING (user_id, session_id)),
+         |base AS (SELECT entry_type, CAST(count(*) AS BIGINT) AS n_sessions,
+         |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+         |  CAST(sum(n_events) AS BIGINT) AS total_events
+         | FROM sess GROUP BY 1),
+         |dc AS (SELECT entry_type, dur AS v, CAST(count(*) AS BIGINT) AS cnt
+         | FROM sess GROUP BY 1, 2),
+         |dp AS (SELECT entry_type,
+         |  min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS p50_duration_sec
+         | FROM (SELECT entry_type, v,
+         |   CAST(sum(cnt) OVER (PARTITION BY entry_type ORDER BY v) AS BIGINT) AS cum,
+         |   CAST(sum(cnt) OVER (PARTITION BY entry_type) AS BIGINT) AS n FROM dc)
+         | GROUP BY 1),
+         |ec AS (SELECT entry_type, n_events AS v, CAST(count(*) AS BIGINT) AS cnt
+         | FROM sess GROUP BY 1, 2),
+         |ep AS (SELECT entry_type,
+         |  min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS p50_events
+         | FROM (SELECT entry_type, v,
+         |   CAST(sum(cnt) OVER (PARTITION BY entry_type ORDER BY v) AS BIGINT) AS cum,
+         |   CAST(sum(cnt) OVER (PARTITION BY entry_type) AS BIGINT) AS n FROM ec)
+         | GROUP BY 1)
+         |SELECT base.entry_type, n_sessions, n_bounce,
+         | n_bounce * 1000000 // n_sessions AS bounce_ppm,
+         | p50_duration_sec, p50_events,
+         | total_events // n_sessions AS mean_events
+         |FROM base JOIN dp USING (entry_type) JOIN ep USING (entry_type)
+         |ORDER BY 1""".stripMargin,
     // the oracle is the naive range join; the banded plan must produce
     // each qualifying pair exactly once
     "q_band_join" ->

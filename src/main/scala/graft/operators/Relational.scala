@@ -668,9 +668,17 @@ object Relational {
 
   /** E12: sessionization — 30-minute inactivity gap splits sessions
     * (gaps-and-islands with a cumulative break counter). */
-  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val ev = t.eventsSec
+  def qSessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionFrame(Tables(spark, dir).eventsSec)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("start_sec"), col("end_sec"), col("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+
+  /** The E12 session builder over any (user_id, event_id, sec, value,
+    * event_type) frame — one row per (user, session) with the entry
+    * event type; shared by the E12 rollup and the E62 KPI report so the
+    * two can never disagree about where a session starts. */
+  def sessionFrame(ev: DataFrame): DataFrame = {
     val wo = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
     val brk = when(col("sec") - lag(col("sec"), 1).over(wo) > 1800, 1)
       .when(lag(col("sec"), 1).over(wo).isNull, 1).otherwise(0)
@@ -680,8 +688,60 @@ object Relational {
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
         min(col("sec")).as("start_sec"), max(col("sec")).as("end_sec"),
-        round(sum(col("value")), 2).as("session_value"))
-      .orderBy(col("user_id"), col("session_id"))
+        round(sum(col("value")), 2).as("session_value"),
+        min_by(col("event_type"), struct(col("sec"), col("event_id")))
+          .as("entry_type"))
+  }
+
+  /** E62: SESSION KPIs per ENTRY channel — the product-analytics
+    * readout built on E12's sessions: for each session's first event
+    * type (how the visit began), the session count, the BOUNCE share
+    * (single-event sessions — the canonical engagement alarm), the
+    * median session duration and the median/mean events per session.
+    * E12 materializes the sessions; this is the dashboard over them,
+    * split by the dimension a funnel owner acts on.
+    *
+    * Determinism contract: the ONE shared session builder
+    * ([[sessionFrame]] — E12 and E62 can never disagree about session
+    * boundaries); entry type is a min_by total order; medians are
+    * TYPE-1 inverse-CDF picks over exact integer duration/size cells
+    * (the E53 boundary shape); bounce share and mean are exact integer
+    * PPM / div.
+    *
+    * Scale shape: the session build is E12's per-user window (one
+    * exchange); sessions then collapse to (entry, duration) and
+    * (entry, n_events) VALUE cells — calendar/size-bounded, never
+    * session-proportional; CDF windows run over cells; report is
+    * channels-sized. */
+  def qSessionStats(spark: SparkSession, dir: String): DataFrame = {
+    val sess = sessionFrame(Tables(spark, dir).eventsSec)
+      .select(col("entry_type"), (col("end_sec") - col("start_sec")).as("dur"),
+        col("n_events"))
+      .localCheckpoint(true) // three cell rollups reread it
+    def p50(valCol: String, outName: String): DataFrame = {
+      val cells = sess.groupBy(col("entry_type"), col(valCol).as("v"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      val w = Window.partitionBy(col("entry_type")).orderBy(col("v"))
+      cells
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .join(broadcast(cells.groupBy(col("entry_type"))
+          .agg(sum(col("cnt")).cast("long").as("n"))), Seq("entry_type"))
+        .groupBy(col("entry_type"))
+        .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("v")))
+          .as(outName))
+    }
+    sess.groupBy(col("entry_type"))
+      .agg(count(lit(1)).cast("long").as("n_sessions"),
+        sum((col("n_events") === 1L).cast("long")).as("n_bounce"),
+        sum(col("n_events")).cast("long").as("total_events"))
+      .withColumn("bounce_ppm", expr("n_bounce * 1000000 div n_sessions"))
+      .withColumn("mean_events", expr("total_events div n_sessions"))
+      .join(broadcast(p50("dur", "p50_duration_sec")), Seq("entry_type"))
+      .join(broadcast(p50("n_events", "p50_events")), Seq("entry_type"))
+      .select(col("entry_type"), col("n_sessions"), col("n_bounce"),
+        col("bounce_ppm"), col("p50_duration_sec"), col("p50_events"),
+        col("mean_events"))
+      .orderBy(col("entry_type"))
   }
 
   /** E15: exact percentiles per group (interpolated, matching

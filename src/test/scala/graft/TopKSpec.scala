@@ -720,6 +720,43 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("session stats: brute session replay per entry channel, bounce and median contracts") {
+    val got = Relational.qSessionStats(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got.nonEmpty)
+    // brute replay: rebuild sessions from raw events with the same gap rule
+    val raw = Tables(spark, sfDir).eventsSec
+      .selectExpr("user_id", "event_id", "sec", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val sessions = raw.groupBy(_._1).toSeq.flatMap { case (_, evs) =>
+      val ordered = evs.sortBy(e => (e._3, e._2))
+      val out = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, Long, Long, String)]]
+      var cur = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String)]
+      var last = Long.MinValue
+      ordered.foreach { e =>
+        if (cur.nonEmpty && e._3 - last > 1800L) { out += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer.empty }
+        cur += e; last = e._3
+      }
+      if (cur.nonEmpty) out += cur.toSeq
+      out.toSeq
+    }
+    def lowerMedian(vs: Seq[Long]): Long = vs.sorted.apply((vs.size + 1) / 2 - 1)
+    val brute = sessions.groupBy(_.head._4).toSeq.map { case (entry, ss) =>
+      val durs = ss.map(s => s.last._3 - s.head._3)
+      val sizes = ss.map(_.size.toLong)
+      val bounce = ss.count(_.size == 1).toLong
+      (entry, ss.size.toLong, bounce, bounce * 1000000L / ss.size,
+        lowerMedian(durs), lowerMedian(sizes), sizes.sum / ss.size)
+    }.sortBy(_._1)
+    assert(got == brute, s"session stats must replay brute-force: ${got.take(2)} vs ${brute.take(2)}")
+    got.foreach { case (e, n, b, ppm, p50d, p50e, me) =>
+      assert(b <= n && ppm <= 1000000L, s"$e bounce bounds")
+      assert(p50e >= 1L && me >= 1L, s"$e size sanity")
+      assert(p50d >= 0L, s"$e duration sanity")
+    }
+  }
+
   test("growth accounting: conservation identities, first week all-new, brute replay") {
     val got = Relational.qGrowthAccounting(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
