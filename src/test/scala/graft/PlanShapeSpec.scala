@@ -525,6 +525,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("growth/session/delta/shape/rake: cells-first plans, totals broadcast, no cartesian") {
+    for (name <- Seq("q_growth_accounting", "q_session_stats",
+        "mon_delta_attribution", "q_shape_stats", "text_rake")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name: unbounded cartesian:\n$p")
+    }
+    // growth accounting keeps full lineage: the distinct must combine
+    // map-side and the churn pass must be a real anti join, not a filter
+    val pg = plan("q_growth_accounting")
+    assert(pg.contains("partial_") || pg.contains("HashAggregate"),
+      s"growth: no combine:\n$pg")
+    assert(pg.contains("LeftAnti"), s"growth: churn must be an anti join:\n$pg")
+    // delta attribution's probe weeks and grand total ride broadcasts
+    val pd = plan("mon_delta_attribution")
+    assert(pd.contains("BroadcastNestedLoopJoin") || pd.contains("BroadcastHashJoin"),
+      s"delta: probe week/total must broadcast:\n$pd")
+  }
+
   test("watermark: per-row higher-order functions only — no join, no window before the report") {
     val p = plan("text_watermark")
     assert(!p.contains("Join"), s"watermark must not join:\n$p")
