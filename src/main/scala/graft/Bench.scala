@@ -25,6 +25,37 @@ import org.apache.spark.sql.SparkSession
   *      median/p90/worst + the queries over 1.3x) so every BENCH file
   *      carries its own reproducibility evidence.
   *
+  * Wall-clock fit (r13): the r12 driver bench timed out (BENCH_r12
+  * `rc: 124`) because the suite grew 237→319 entries while the protocol
+  * ran a blocking `System.gc` quiesce before EVERY timed rep — ~1,276
+  * in-wall full-GC cycles on a 128 GiB heap. The r13 protocol keeps the
+  * quiesce guarantee where it changes a verdict and drops it where it is
+  * provably noise:
+  *   - leaked persistent RDDs are still unpersisted before every query's
+  *     timed section (cheap; this is what evicts orphaned
+  *     localCheckpoint blocks from iterative ops);
+  *   - the full GC + settle runs at most ONCE per query per pass, and
+  *     only for queries whose best-known time is at/above the repro
+  *     floor — a sub-floor query measures timer jitter by definition, so
+  *     a collected-heap start cannot change its verdict;
+  *   - sub-floor queries drop to 1 timed rep per pass (the cross-pass
+  *     min-of-2 is preserved), and sub-floor READ-path queries skip the
+  *     pass-2 warmup (codegen is already compiled from pass 1 in the
+  *     same JVM; write-path entries keep their warmup because each rep
+  *     sees a fresh scratch dir);
+  *   - a wall-clock budget (`SPARK_GRAFT_BENCH_BUDGET_SEC`, default
+  *     2700 s = 45 min, sized under the driver's ~60-min cap with sbt
+  *     startup headroom) degrades the protocol gracefully instead of
+  *     letting the driver kill the run: past 60% of budget every query
+  *     drops to 1 rep; past 80% warmups and GC quiesces are skipped
+  *     entirely. Every degradation is recorded in the JSON `protocol`
+  *     block (first query affected per stage), so a degraded number is
+  *     never mistaken for a full-protocol number.
+  *   - scratch lives on tmpfs when available (`/dev/shm`): streaming
+  *     gates rewrite per-trigger state parquet under the scratch root,
+  *     and local-FS parquet churn is protocol cost, not engine cost.
+  *     The `protocol.scratch` field records which medium was measured.
+  *
   * Write-path isolation: every rep of every query runs with the engine's
   * conf-keyed scratch roots pointed at a FRESH per-rep directory (removed
   * after the rep, outside the timer), so a write-path query can never get
@@ -106,9 +137,13 @@ object Bench {
     // OUTSIDE the timed region. The bench root itself routes through the
     // same conf-keyed scratch helper as every operator (env override for
     // the driver).
+    val shm = new java.io.File("/dev/shm")
+    val defaultScratch =
+      if (shm.isDirectory && shm.canWrite) "/dev/shm/graft_bench_scratch"
+      else Tables.scratch(spark, "bench_scratch")
     val benchScratch = new java.io.File(sys.env.getOrElse(
-      "SPARK_GRAFT_BENCH_SCRATCH", Tables.scratch(spark, "bench_scratch")))
-      .getAbsolutePath
+      "SPARK_GRAFT_BENCH_SCRATCH", defaultScratch)).getAbsolutePath
+    val scratchMedium = if (benchScratch.startsWith("/dev/shm")) "tmpfs" else "disk"
     rm(new java.io.File(benchScratch))
     // ONE key moves every write-path root: the per-op override keys
     // (graft.snapshot/compact/evolve.root) all DEFAULT through
@@ -144,19 +179,38 @@ object Bench {
     // checkpoint RDDs are garbage by construction: every rep rebuilds
     // its own lineage, and the persisted index layouts live in parquet,
     // not the block manager, so eviction cannot slow a later query).
-    def quiesce(): Unit = {
+    var gcCount = 0
+    def unpersistLeaks(): Unit =
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
-      System.gc(); Thread.sleep(50L)
-    }
+    def gcQuiesce(): Unit = { System.gc(); Thread.sleep(50L); gcCount += 1 }
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_(n)) }
+    // sub-floor adaptivity threshold — same constant as the repro floor:
+    // a query the repro block refuses to trust pass-over-pass is a query
+    // whose GC/warmup treatment cannot change the perf-gate verdict
+    val reproFloorSec = 0.5
+    // wall-clock budget with staged degradation (see scaladoc); stage
+    // transitions are recorded with the first query they affected
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2700").toDouble
+    val wall0 = System.nanoTime()
+    def stage(): Int = {
+      val f = (System.nanoTime() - wall0) / 1e9 / budgetSec
+      if (f > 0.8) 2 else if (f > 0.6) 1 else 0
+    }
+    val degraded = scala.collection.mutable.ListBuffer.empty[String]
+    var stageSeen = 0
+    // best-known per-query time (from earlier pass / warmup) drives the
+    // sub-floor decisions; write classification from pass 1 drives the
+    // pass-2 warmup skip (read-path only)
+    val knownMin = scala.collection.mutable.Map.empty[String, Double]
+    val knownWrote = scala.collection.mutable.Map.empty[String, Boolean]
     // one pass over the full suite: per query -> (min time if any rep
     // succeeded, wrote-anything flag)
     def runPass(pass: Int): Seq[(String, Option[Double], Boolean)] =
       names.map { case (name, fn) =>
-        var wrote = false
-        def rep(i: String, timed: Boolean): Option[Double] = {
+        var wrote = knownWrote.getOrElse(name, false)
+        def rep(i: String): Option[Double] = {
           val dir = new java.io.File(s"$benchScratch/${name}_$i")
           scratchKeys.foreach(k => spark.conf.set(k, dir.getAbsolutePath))
           val before = fixedStamp()
@@ -166,20 +220,38 @@ object Bench {
             Some((System.nanoTime() - t0) / 1e9)
           } catch {
             case e: Throwable =>
-              if (timed) System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
               None
           }
           wrote = wrote || dir.exists() || fixedStamp() != before
           rm(dir)
           res
         }
-        rep(s"p${pass}_w", timed = false) // untimed warmup: codegen + cache
-        // quiesce before EVERY timed rep: each starts from a collected
-        // heap and an empty block manager (no inherited checkpoint blocks)
-        val times = (1 to reps).flatMap { i =>
-          quiesce(); rep(s"p${pass}_$i", timed = true)
+        val st = stage()
+        if (st > stageSeen) { stageSeen = st; degraded += s"stage$st@$name" }
+        val prior = knownMin.get(name)
+        val subFloor = prior.exists(_ < reproFloorSec)
+        // warmup (untimed for reporting, but measured to seed the
+        // sub-floor decision on pass 1): skipped for known sub-floor
+        // read-path entries and under stage-2 budget pressure
+        val doWarmup = st < 2 &&
+          (pass == 1 || prior.isEmpty || !(subFloor && !wrote))
+        val warmT = if (doWarmup) rep(s"p${pass}_w") else None
+        val basis = prior.orElse(warmT)
+        // quiesce once per query: unpersist always (evicts leaked
+        // checkpoint blocks), full GC only when the query is above the
+        // repro floor (or unmeasured) and budget allows
+        unpersistLeaks()
+        if (st < 2 && basis.forall(_ >= reproFloorSec)) gcQuiesce()
+        val repsHere =
+          if (st >= 1 || basis.exists(_ < reproFloorSec)) 1 else reps
+        val times = (1 to repsHere).flatMap(i => rep(s"p${pass}_$i"))
+        val best = if (times.isEmpty) None else Some(times.min)
+        (best.toSeq ++ warmT.toSeq).reduceOption(math.min(_, _)).foreach { t =>
+          knownMin(name) = math.min(knownMin.getOrElse(name, t), t)
         }
-        (name, if (times.isEmpty) None else Some(times.min), wrote)
+        knownWrote(name) = wrote
+        (name, best, wrote)
       }
     val passResults: Seq[Seq[(String, Option[Double], Boolean)]] =
       (1 to passes).map(runPass)
@@ -197,9 +269,9 @@ object Bench {
     // sub-floor queries sit on the timer floor (JIT/GC jitter dominates
     // a 0.1 s measurement), so their pass-over-pass ratios are noise,
     // not signal: the distribution is reported only over entries whose
-    // slower pass is above `reproFloorSec`, and the floor is part of the
-    // JSON so the claim is checkable
-    val reproFloorSec = 0.5
+    // slower pass is above `reproFloorSec` (declared with the adaptive
+    // protocol above), and the floor is part of the JSON so the claim is
+    // checkable
     val ratios: Seq[(String, Double)] =
       if (passes < 2) Seq.empty
       else names.flatMap { case (name, _) =>
@@ -244,8 +316,17 @@ object Bench {
     val writeTotal = results.collect { case (n, Some(t), _) if writeNames(n) => t }.sum
     val readTotal = total - writeTotal
     val writeQs = writeNames.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // protocol block: everything a reader needs to compare this file to
+    // an earlier round's — quiesce policy, adaptivity floor, scratch
+    // medium, budget state and any degradation events (empty list =
+    // full protocol throughout)
+    val protocolJson =
+      s"""{"quiesce":"per_query_above_floor","floor_sec":$reproFloorSec,""" +
+        s""""scratch":"$scratchMedium","budget_sec":$budgetSec,""" +
+        s""""wall_sec":${(System.nanoTime() - wall0) / 1e9},"gc_count":$gcCount,""" +
+        s""""degraded":${degraded.map(d => "\"" + d + "\"").mkString("[", ",", "]")}}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","read_total":$readTotal,"write_total":$writeTotal,"repro":$reproJson,"canary":$canaryJson,"write_queries":$writeQs,"queries":$qs,"failed":$failed,"sf":"$sfDir","reps":$reps,"passes":$passes}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","read_total":$readTotal,"write_total":$writeTotal,"repro":$reproJson,"canary":$canaryJson,"protocol":$protocolJson,"write_queries":$writeQs,"queries":$qs,"failed":$failed,"sf":"$sfDir","reps":$reps,"passes":$passes}"""
     // file copy first: if stdout is truncated downstream the full map survives
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try {
