@@ -87,6 +87,65 @@ object EventStreams {
     else None
   }
 
+  /** Append-only ledger for corpus-scale stream state (G15 seen-chunk
+    * hashes, G17 first-seen grams). The r12 shape republished the FULL
+    * ledger every trigger (read → union → rewrite), so per-trigger
+    * publish cost was O(corpus-so-far) and total ingest cost quadratic —
+    * a genuine 100 TB scale-killer. This layout makes the publish
+    * O(batch's new hashes):
+    *   - base generation at `root` (the [[publishState]] crash-safe
+    *     layout), rewritten ONLY at compaction;
+    *   - one delta dir per trigger at `root + ".delta/d<batchId>"`
+    *     holding ONLY the batch's new hashes. Callers compute the new
+    *     set with an anti-join against the full ledger, so deltas are
+    *     disjoint from the base and from each other by construction; an
+    *     all-seen batch writes nothing, so re-feeding old data adds
+    *     ZERO ledger bytes (spec-pinned);
+    *   - every `compactEvery` deltas the base is rewritten as
+    *     distinct(base ∪ deltas) through publishState's atomic-rename
+    *     protocol (the D14 compaction move), then the absorbed delta
+    *     dirs are dropped. A crash between publish and drop leaves
+    *     stale deltas that duplicate base rows — benign: readers use
+    *     anti-joins (duplicates cannot multiply rows) and the next
+    *     compaction's `distinct` self-heals the layout.
+    * Crash safety of a delta write: a partial job leaves only the
+    * committer's `_temporary` dir (ignored by the parquet reader); a
+    * delta counts as complete only once `_SUCCESS` exists, and a
+    * replayed batchId overwrites its own dir idempotently. */
+  private[graft] def appendLedger(newRows: DataFrame, root: String,
+      batchId: Long, compactEvery: Int = 16): Unit = {
+    val spark = newRows.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!newRows.isEmpty)
+      newRows.write.mode("overwrite").parquet(s"$root.delta/d$batchId")
+    val deltas = ledgerDeltaDirs(spark, root)
+    if (deltas.length >= compactEvery) {
+      readLedger(spark, root).foreach(all => publishState(all.distinct(), root))
+      deltas.foreach(d => fs.delete(d, true))
+    }
+  }
+
+  /** Complete (_SUCCESS-marked) delta dirs of an append-only ledger. */
+  private[graft] def ledgerDeltaDirs(spark: org.apache.spark.sql.SparkSession,
+      root: String): Seq[org.apache.hadoop.fs.Path] = {
+    val deltaRoot = new org.apache.hadoop.fs.Path(root + ".delta")
+    val fs = deltaRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(deltaRoot)) Seq.empty
+    else fs.listStatus(deltaRoot).toSeq.filter(_.isDirectory).map(_.getPath)
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+  }
+
+  /** The full ledger = newest base generation ∪ complete deltas (may
+    * contain base/delta duplicates only inside the compaction crash
+    * window — callers must read through anti-joins or dedup). */
+  private[graft] def readLedger(spark: org.apache.spark.sql.SparkSession,
+      root: String): Option[DataFrame] = {
+    val parts = readState(spark, root).toSeq ++
+      ledgerDeltaDirs(spark, root).map(p => spark.read.parquet(p.toString))
+    parts.reduceOption(_.unionByName(_))
+  }
+
   /** G1: watermarked tumbling-window aggregation over an event stream with
     * columns (ts: timestamp, event_type: string, value: double). */
   def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
@@ -412,12 +471,18 @@ object EventStreams {
     * a duplicate-count column is deliberately ABSENT: a stream cannot
     * know whether a chunk will be duplicated by a future batch, and the
     * batch op's corpus-wide n_dup is unknowable at emission time.
-    * State is O(distinct chunks); per-batch cost is O(batch + |ledger|
-    * join), the F24 incremental-dedup shape carried across restarts. */
-  def paragraphDedupStream(docs: DataFrame, stateDir: String, w: Int = 20)
+    * State is O(distinct chunks) in the [[appendLedger]] base+delta
+    * layout: each trigger WRITES only the batch's never-seen hashes
+    * (O(batch), not O(corpus) — the r12 full-rewrite publish made total
+    * ingest cost quadratic) and READS the ledger through one anti-join
+    * (the F24 incremental-dedup shape carried across restarts);
+    * compaction folds deltas into the base every `compactEvery`
+    * triggers through the crash-safe rename protocol. */
+  def paragraphDedupStream(docs: DataFrame, stateDir: String, w: Int = 20,
+      compactEvery: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream.outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         import org.apache.spark.sql.functions._
         val spark = batch.sparkSession
         val chunks = graft.operators.Dedup
@@ -425,24 +490,27 @@ object EventStreams {
         // batch-local first occurrence per hash (arrival order within the
         // batch = occ_key order, matching the batch op's tie rule)
         val firsts = chunks.groupBy(col("h")).agg(min(col("occ_key")).as("first_occ"))
-        val seen = readState(spark, stateDir + "/seen").getOrElse(
-          spark.emptyDataFrame.withColumn("h", lit("")).limit(0)
-            .select(col("h")))
-        // kept = first occurrence of a hash the ledger has never seen
-        val kept = chunks.join(firsts, Seq("h"))
-          .withColumn("batch_first", col("occ_key") === col("first_occ"))
-          .join(seen.withColumn("in_ledger", lit(true)), Seq("h"), "left")
-          .withColumn("kept", col("batch_first") && col("in_ledger").isNull)
-        kept.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_chunks"),
-            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
-            sum(when(col("kept"),
-              conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
-              .otherwise(0L)).as("kept_checksum"))
+        // new = batch-first hashes the ledger has never seen. Anti-join,
+        // not left-join+flag: duplicate ledger rows (possible only in
+        // the compaction crash window) must not multiply report rows.
+        val newFirsts = readLedger(spark, stateDir + "/seen")
+          .map(s => firsts.join(s.select(col("h")), Seq("h"), "left_anti"))
+          .getOrElse(firsts).localCheckpoint(true)
+        val perDoc = chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+        val keptAgg = chunks.join(newFirsts, Seq("h"))
+          .where(col("occ_key") === col("first_occ"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
+              .as("kept_checksum"))
+        perDoc.join(keptAgg, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_chunks"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("kept_checksum"), lit(0L)).as("kept_checksum"))
           .write.mode("append").parquet(stateDir + "/report")
-        // ledger' = ledger ∪ batch hashes, published crash-safely
-        publishState(seen.select(col("h"))
-          .unionByName(firsts.select(col("h"))).distinct(), stateDir + "/seen")
+        // ledger' = ledger ∪ ONLY the new hashes (O(batch) publish)
+        appendLedger(newFirsts.select(col("h")), stateDir + "/seen",
+          batchId, compactEvery)
       }
       .start()
 
@@ -694,11 +762,15 @@ object EventStreams {
     * ledger has never seen it AND the doc is the batch's first carrier
     * (batch-local min doc_id) — which equals F60's global min-owner rule
     * exactly when docs arrive in id order (spec-pinned). State is
-    * O(distinct grams); per-batch cost is O(batch + |ledger| join). */
-  def noveltyStream(docs: DataFrame, stateDir: String, k: Int = 8)
+    * O(distinct grams) in the [[appendLedger]] base+delta layout: each
+    * trigger writes ONLY the batch's never-seen gram hashes (O(batch)
+    * publish — the r12 full-rewrite was quadratic over the ingest) and
+    * reads the ledger through one anti-join. */
+  def noveltyStream(docs: DataFrame, stateDir: String, k: Int = 8,
+      compactEvery: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream.outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         import org.apache.spark.sql.functions._
         import graft.operators.TextAnalysis
         val spark = batch.sparkSession
@@ -708,20 +780,23 @@ object EventStreams {
           .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
           .distinct().localCheckpoint(true)
         val firsts = grams.groupBy(col("gh")).agg(min(col("doc_id")).as("first_doc"))
-        val seen = readState(spark, stateDir + "/seen").getOrElse(
-          spark.range(0).select(col("id").as("gh")))
-        grams.join(firsts, Seq("gh"))
-          .join(seen.withColumn("in_ledger", lit(true)), Seq("gh"), "left")
-          .withColumn("novel",
-            col("doc_id") === col("first_doc") && col("in_ledger").isNull)
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_distinct"),
-            sum(when(col("novel"), 1L).otherwise(0L)).as("n_novel"))
-          .select(col("doc_id"), col("n_distinct"), col("n_novel"),
-            expr("n_novel * 1000000 div greatest(n_distinct, 1)").as("novelty_ppm"))
+        // anti-join (duplicate-tolerant, see paragraphDedupStream): the
+        // grams the ledger has never seen, owned by their batch-first doc
+        val newFirsts = readLedger(spark, stateDir + "/seen")
+          .map(s => firsts.join(s.select(col("gh")), Seq("gh"), "left_anti"))
+          .getOrElse(firsts).localCheckpoint(true)
+        val perDoc = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_distinct"))
+        val novelAgg = grams.join(newFirsts, Seq("gh"))
+          .where(col("doc_id") === col("first_doc"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+        perDoc.join(novelAgg, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_distinct"),
+            coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+          .withColumn("novelty_ppm",
+            expr("n_novel * 1000000 div greatest(n_distinct, 1)"))
           .write.mode("append").parquet(stateDir + "/report")
-        publishState(seen.select(col("gh"))
-          .unionByName(firsts.select(col("gh"))).distinct(), stateDir + "/seen")
+        appendLedger(newFirsts.select(col("gh")), stateDir + "/seen",
+          batchId, compactEvery)
       }
       .start()
 

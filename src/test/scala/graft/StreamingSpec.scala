@@ -449,8 +449,10 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
     val stateDir = java.nio.file.Files.createTempDirectory("g15").toString + "/state"
     val mem = MemoryStream[(Long, String)]
+    // compactEvery=2 so three slices exercise a delta→base compaction
+    // mid-stream AND leave a live delta after it (base+delta read path)
     val q = EventStreams.paragraphDedupStream(
-      mem.toDF().toDF("doc_id", "text"), stateDir)
+      mem.toDF().toDF("doc_id", "text"), stateDir, compactEvery = 2)
     try {
       val third = (wired.length + 2) / 3
       wired.grouped(third).foreach { slice =>
@@ -467,9 +469,26 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       assert(streamed == batch,
         s"stream/batch diverged; first diff: ${
           streamed.zip(batch).find(p => p._1 != p._2)}")
-      // the ledger is the corpus's distinct chunk set
-      assert(spark.read.parquet(stateDir + "/seen").count() ==
+      // the ledger (base ∪ deltas) is the corpus's distinct chunk set
+      assert(EventStreams.readLedger(spark, stateDir + "/seen").get.count() ==
         batch.map(_._3).sum, "ledger cardinality != kept chunks")
+      // O(new-state) publish: re-feeding an already-seen slice must add
+      // ZERO ledger bytes (the r12 full-rewrite republished the whole
+      // corpus ledger every trigger — the quadratic-ingest bug)
+      def treeBytes(p: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (!f.exists()) 0L
+          else if (f.isFile) f.length()
+          else f.listFiles().map(walk).sum
+        walk(new java.io.File(p))
+      }
+      val bytesBefore = treeBytes(stateDir + "/seen") +
+        treeBytes(stateDir + "/seen.delta")
+      mem.addData(wired.take(third).toIndexedSeq: _*); q.processAllAvailable()
+      val bytesAfter = treeBytes(stateDir + "/seen") +
+        treeBytes(stateDir + "/seen.delta")
+      assert(bytesAfter == bytesBefore,
+        s"re-fed old data grew the ledger: $bytesBefore -> $bytesAfter bytes")
     } finally q.stop()
   }
 
@@ -732,7 +751,9 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
     val stateDir = java.nio.file.Files.createTempDirectory("g17").toString + "/state"
     val mem = MemoryStream[(Long, String)]
-    val q = EventStreams.noveltyStream(mem.toDF().toDF("doc_id", "text"), stateDir)
+    // compactEvery=2: the three slices exercise compaction + a live delta
+    val q = EventStreams.noveltyStream(mem.toDF().toDF("doc_id", "text"), stateDir,
+      compactEvery = 2)
     try {
       val third = (docs.length + 2) / 3
       docs.grouped(third).foreach { slice =>
@@ -746,8 +767,8 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         .sortBy(_._1).toSeq
       assert(streamed == batch,
         s"stream/batch diverged; first diff: ${streamed.zip(batch).find(p => p._1 != p._2)}")
-      // the ledger holds exactly the corpus's distinct gram set
-      val nGrams = spark.read.parquet(stateDir + "/seen").count()
+      // the ledger (base ∪ deltas) holds exactly the corpus's gram set
+      val nGrams = EventStreams.readLedger(spark, stateDir + "/seen").get.count()
       val expGrams = Tables(spark, sfDir).documents
         .select(explode(graft.operators.TextAnalysis.wordGrams(
           graft.operators.TextAnalysis.tokens(col("text")), 8)).as("g"))
