@@ -429,9 +429,19 @@ object Geo {
     * the covering ring provably sees every point and certifies
     * unconditionally (a probe with no match there has an empty corpus).
     * Rounds are log(grid-diameter)-bounded, and each round carries only
-    * the still-uncertified probes. Distances are integer-valued doubles
-    * (synthetic meter grids), so the argmin is fp-exact and fully
-    * oracle-able against brute force. */
+    * the still-uncertified probes. Two explosion guards (r13) keep the
+    * per-round row generation bounded by live geometry instead of r²:
+    * ring cells are clamped per-probe to the ring ∩ point-bbox
+    * intersection (cells outside the points' bbox hold no points, so a
+    * far probe generates only its overlap — zero rows while out of
+    * reach), and the COVERING round does not explode at all: the
+    * straggler probes still alive at covering radius must meet every
+    * point anyway, so they broadcast against the point table directly
+    * (one map-side nested-loop + the same hash argmin; ~(grid
+    * diameter)² explode rows per straggler under the old shape).
+    * Distances are integer-valued doubles (synthetic meter grids), so
+    * the argmin is fp-exact and fully oracle-able against brute
+    * force. */
   def nearestJoin(spark: SparkSession, dir: String, cell: Double = 50000.0): DataFrame = {
     val t = Tables(spark, dir)
     val pts = t.orders.select(col("o_orderkey"),
@@ -479,17 +489,34 @@ object Geo {
     var done: DataFrame = null
     var r = 1L
     var exhausted = false
+    val (cxLo, cxHi, cyLo, cyHi) =
+      (pb.getLong(0), pb.getLong(1), pb.getLong(2), pb.getLong(3))
+    // a ring span clamped to the point bbox; null (dropped by explode)
+    // when the ring misses the bbox entirely on this axis
+    def span(lo: Column, hi: Column): Column =
+      when(lo <= hi, sequence(lo, hi))
     while (!exhausted && remaining.head(1).nonEmpty) {
       val covering = r >= rCover
-      val ringed = remaining
-        .withColumn("dx", explode(sequence(lit(-r), lit(r))))
-        .withColumn("dy", explode(sequence(lit(-r), lit(r))))
-        .withColumn("cx", floor(col("px") / cell) + col("dx"))
-        .withColumn("cy", floor(col("py") / cell) + col("dy"))
-      val ringBest = argmin(ringed.join(ptsCell, Seq("cx", "cy")).withColumn("d2", d2))
+      val ringBest =
+        if (covering)
+          // covering round: every point must be seen anyway, so the
+          // straggler probes broadcast against the point table — no ring
+          // explode (the old shape generated (2·rCover+1)² cells/probe)
+          argmin(ptsCell.select(col("o_orderkey"), col("x"), col("y"))
+            .crossJoin(broadcast(remaining)).withColumn("d2", d2))
+        else {
+          val pcx = floor(col("px") / cell)
+          val pcy = floor(col("py") / cell)
+          val ringed = remaining
+            .withColumn("cx", explode(span(
+              greatest(pcx - r, lit(cxLo)), least(pcx + r, lit(cxHi)))))
+            .withColumn("cy", explode(span(
+              greatest(pcy - r, lit(cyLo)), least(pcy + r, lit(cyHi)))))
+          argmin(ringed.join(ptsCell, Seq("cx", "cy")).withColumn("d2", d2))
+        }
       // certification bound: anything outside the ring is ≥ r·cell away,
       // so a best STRICTLY under r·cell cannot be beaten (nor tied) by an
-      // unseen point; the covering ring saw every point, so its argmin is
+      // unseen point; the covering round saw every point, so its argmin is
       // unconditionally the true nearest
       val certified =
         if (covering) ringBest

@@ -99,6 +99,63 @@ class AdversarialLayoutSpec extends AnyFunSuite with SparkTestBase {
     assertNoCartesian(plans, "hotspot spike")
   }
 
+  test("nearest join corner layout: explode stays bounded, covering round broadcasts") {
+    // all probes clustered in one EMPTY corner ~1000 cells from the point
+    // blob: every pre-covering ring misses the point bbox entirely (the
+    // clamped span must generate ZERO cells), and the covering round must
+    // broadcast the stragglers instead of exploding — the r12 shape
+    // generated (2·rCover+1)² ≈ 4.2M ring cells per straggler here
+    val ptRows = (1L to 50L).map(i => (i, (i % 8).toDouble, (i % 7).toDouble))
+    val probeRows = (1L to 30L).map(i =>
+      (i, 10000.0 + (i % 5), 10000.0 + (i % 6)))
+    val pts = ptRows.toDF("o_orderkey", "x", "y")
+    val probes = probeRows.toDF("s_suppkey", "px", "py")
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.execution.SparkPlan]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        plans.add(qe.executedPlan)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val got = try {
+      val r = graft.operators.Geo.nearestJoinOver(spark, pts, probes, cell = 10.0)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      org.apache.spark.GraftTestShims.flushListeners(spark.sparkContext)
+      r
+    } finally spark.listenerManager.unregister(listener)
+    val brute = probeRows.map { case (s, px, py) =>
+      val (ok, d2) = ptRows.map { case (o, x, y) =>
+        (o, ((x - px) * (x - px) + (y - py) * (y - py)).toLong) }
+        .minBy { case (o, d) => (d, o) }
+      (s, ok, d2)
+    }.toSet
+    assert(got == brute, "corner layout diverged from brute force")
+    import scala.jdk.CollectionConverters._
+    val all = plans.asScala.toSeq
+    assert(all.nonEmpty, "listener captured no plans")
+    all.foreach(p => assert(!p.toString.contains("CartesianProduct"),
+      s"cartesian in the nearest path:\n${p.toString.take(1500)}"))
+    // sum every GenerateExec's (explode's) output rows across every
+    // executed plan, descending through AQE wrappers and query stages
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        flatten(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: flatten(s.plan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    val exploded = all.flatMap(flatten).collect {
+      case g: org.apache.spark.sql.execution.GenerateExec =>
+        g.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+    }.sum
+    assert(exploded == 0L,
+      s"out-of-reach rings must generate zero cells, got $exploded")
+  }
+
   test("fuzzy match stop-gram catalog: df-cap bounds candidates, rare grams still match") {
     // hostile catalog: every clean name shares the prefix 'commonhead'
     // (a stop-gram factory) but ends in a distinctive rare tail; dirty
