@@ -1701,6 +1701,33 @@ object SparkEntry {
         |  UNION ALL SELECT 'slow_sources', slow_n, slow_ck FROM a
         |  UNION ALL SELECT 'large_responses', lrg_n, lrg_ck FROM a)
         |ORDER BY pattern""".stripMargin,
+    // B6 schema drift: the oracle recomputes the EXPECTED schema from the
+    // source parquet itself (information_schema over the orders view the
+    // harness registers — modern DuckDB exposes parquet schemas there),
+    // maps DuckDB's type names onto Spark's StructType typeNames, injects
+    // the SAME drift the wire stages (drop o_orderpriority, add
+    // o_ingest_src, narrow o_orderkey), and diffs with a full outer join —
+    // replaying the ok/retyped/missing/extra classes without echoing
+    // engine output. (r12 judged this rows-only; no longer.)
+    "etl_schema_drift" ->
+      """WITH exp AS (SELECT column_name AS "column",
+        |  CASE data_type WHEN 'BIGINT' THEN 'long' WHEN 'VARCHAR' THEN 'string'
+        |    WHEN 'DOUBLE' THEN 'double' WHEN 'TIMESTAMP' THEN 'timestamp_ntz'
+        |    WHEN 'INTEGER' THEN 'integer' ELSE lower(data_type) END AS typ
+        |  FROM information_schema.columns WHERE table_name = 'orders'),
+        |act AS (
+        |  SELECT "column",
+        |    CASE WHEN "column" = 'o_orderkey' THEN 'integer' ELSE typ END AS typ
+        |  FROM exp WHERE "column" <> 'o_orderpriority'
+        |  UNION ALL SELECT 'o_ingest_src', 'string')
+        |SELECT coalesce(e."column", a."column") AS "column",
+        |  CASE WHEN e."column" IS NULL THEN 'extra'
+        |       WHEN a."column" IS NULL THEN 'missing'
+        |       WHEN e.typ = a.typ THEN 'ok' ELSE 'retyped' END AS status,
+        |  coalesce(e.typ, '') AS expected_type,
+        |  coalesce(a.typ, '') AS actual_type
+        |FROM exp e FULL OUTER JOIN act a ON e."column" = a."column"
+        |ORDER BY 1""".stripMargin,
     "etl_schema_evolve" ->
       """SELECT gen, count(*) AS n_rows,
         | CAST(sum(CASE WHEN gen = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_price,

@@ -44,8 +44,10 @@ object Staging {
 
   /** B6 registered form: the orders table staged through a drifted v2
     * source (one column dropped, one added, one narrowed) against the
-    * warehouse's expected schema. Rows-only gate (the diff is pure
-    * metadata); StagingSpec covers each drift class. */
+    * warehouse's expected schema. Hash-exact gate since r13: the oracle
+    * rebuilds the expected schema from information_schema over the same
+    * parquet, injects the same drift, and replays the diff classes;
+    * StagingSpec covers the classes this wire can't reach (duplicated). */
   def schemaDriftReport(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val expected = t.orders.schema
