@@ -118,6 +118,40 @@ object PipelineDemo {
     Pipeline.run(spark, PipelineCfg.fromJson(json))
   }
 
+  /** Run-time source subset (run.py:246-247 `--authority`/`--type`,
+    * :189-192 exact-match filters): the mixed-authority document runs
+    * with `runFilter {authority: FM, sourceType: parquet}` — the NVV
+    * source, the csv-typed source, and the untagged source (the
+    * reference's `s.get("authority") == arg` fails a missing key) are
+    * all excluded WITHOUT being read, and surface in the summary as
+    * `skipped` rows; the disabled source stays invisible (off in the
+    * document, not excluded by this run). The skipped csv source
+    * deliberately points at a parquet file: a skip must short-circuit
+    * before any read is planned. */
+  def runFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val json =
+      s"""{
+         |  "sources": [
+         |    {"name": "orders_f", "path": "$dir/orders.parquet",
+         |     "authority": "FM", "where": "o_orderstatus = 'F'"},
+         |    {"name": "customer_seg", "path": "$dir/customer.parquet",
+         |     "authority": "FM",
+         |     "select": ["c_custkey", "c_name", "c_mktsegment"],
+         |     "where": "c_mktsegment = 'BUILDING'"},
+         |    {"name": "lineitem_nvv", "path": "$dir/lineitem.parquet",
+         |     "authority": "NVV"},
+         |    {"name": "region_csv", "path": "$dir/region.parquet",
+         |     "authority": "FM", "format": "csv"},
+         |    {"name": "nation_untagged", "path": "$dir/nation.parquet"},
+         |    {"name": "disabled_src", "path": "$dir/region.parquet", "enabled": false}
+         |  ],
+         |  "runFilter": {"authority": "FM", "sourceType": "parquet"},
+         |  "load": {"target": "${Tables.scratch(spark, "graft_pipeline_filtered")}",
+         |           "mode": "truncate"}
+         |}""".stripMargin
+    Pipeline.run(spark, PipelineCfg.fromJson(json))
+  }
+
   /** The same declarative run published through MANIFEST COMMIT (the
     * S3-safe mode, `graft.publish.mode=manifest`): data lands once in
     * immutable version directories, the commit is one tiny manifest PUT.

@@ -200,6 +200,7 @@ object SparkEntry {
     "q_hll_sketch"           -> Relational.qHllSketch _,
     "q_bloom_prune_join"     -> Relational.qBloomPruneJoin _,
     "pipeline_e2e"           -> (PipelineDemo.run _),
+    "pipeline_run_filter"    -> (PipelineDemo.runFiltered _),
     "pipeline_archive"       -> (PipelineDemo.runArchive _),
     "pipeline_ogc"           -> (PipelineDemo.runOgc _),
     "pipeline_wfs"           -> (PipelineDemo.runWfs _),
@@ -3666,10 +3667,22 @@ object SparkEntry {
          |FROM est ORDER BY 1, 2""".stripMargin
     },
     "pipeline_e2e" ->
-      """SELECT 'customer_seg' AS source, count(*) AS rows_loaded
+      """SELECT 'customer_seg' AS source, count(*) AS rows_loaded, 'ok' AS status
         | FROM customer WHERE c_mktsegment = 'BUILDING'
-        |UNION ALL SELECT 'lineitem_swept', count(*) FROM lineitem WHERE l_quantity >= 45
-        |UNION ALL SELECT 'orders_f', count(*) FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL SELECT 'lineitem_swept', count(*), 'ok' FROM lineitem WHERE l_quantity >= 45
+        |UNION ALL SELECT 'orders_f', count(*), 'ok' FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY source""".stripMargin,
+    // H1q run filter: FM+parquet sources load; the NVV / csv-typed /
+    // untagged sources surface as skipped rows (0 loaded); the disabled
+    // source is absent — the oracle replays the subset from the source
+    "pipeline_run_filter" ->
+      """SELECT 'customer_seg' AS source, count(*) AS rows_loaded, 'ok' AS status
+        | FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION ALL SELECT 'lineitem_nvv', CAST(0 AS BIGINT), 'skipped'
+        |UNION ALL SELECT 'nation_untagged', CAST(0 AS BIGINT), 'skipped'
+        |UNION ALL SELECT 'orders_f', count(*), 'ok'
+        | FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL SELECT 'region_csv', CAST(0 AS BIGINT), 'skipped'
         |ORDER BY source""".stripMargin,
     // manifest-commit publish: the writer's reconcile AND the count a
     // reader resolves through the manifest must both match the source
@@ -3793,7 +3806,7 @@ object SparkEntry {
     "pipeline_archive" ->
       """SELECT 'regional_archives/' ||
         |  trim(regexp_replace(lower(n_name), '[^a-z0-9]+', '_', 'g'), '_') AS source,
-        | count(*) AS rows_loaded
+        | count(*) AS rows_loaded, 'ok' AS status
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // config-staged OGC sweep: one summary row per discovered collection
@@ -3802,7 +3815,7 @@ object SparkEntry {
     "pipeline_ogc" ->
       """SELECT 'ogc_collections/' ||
         |  trim(regexp_replace(lower(n_name), '[^a-z0-9]+', '_', 'g'), '_') AS source,
-        | count(*) AS rows_loaded
+        | count(*) AS rows_loaded, 'ok' AS status
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // config-staged REST sweep: layers discovered from the service docs,
@@ -3814,13 +3827,13 @@ object SparkEntry {
     "pipeline_rest" ->
       """SELECT 'rest_layers/' ||
         |  trim(regexp_replace(lower(n_name), '[^a-z0-9]+', '_', 'g'), '_') AS source,
-        | count(*) AS rows_loaded
+        | count(*) AS rows_loaded, 'ok' AS status
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |WHERE regexp_matches(lower(n_name), '^nation_1.*$')
         |   OR regexp_matches(lower(n_name), '^.*_2$')
         |GROUP BY 1
         |UNION ALL
-        |SELECT 'rest_layers/municipal_assets', count(*)
+        |SELECT 'rest_layers/municipal_assets', count(*), 'ok'
         |FROM customer WHERE c_custkey % 10 = 0
         |ORDER BY source""".stripMargin,
     // config-staged Atom feed: one summary row per entry that classified
@@ -3832,14 +3845,14 @@ object SparkEntry {
     "pipeline_atom" ->
       """SELECT 'atom_feed/' ||
         |  trim(regexp_replace(lower(n_name), '[^a-z0-9]+', '_', 'g'), '_') AS source,
-        | count(*) AS rows_loaded
+        | count(*) AS rows_loaded, 'ok' AS status
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |WHERE n_nationkey % 3 < 2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // config-listed typename sweep: one row per requested typed layer
     "pipeline_wfs" ->
       """SELECT 'wfs_segments/' || lower(c_mktsegment) AS source,
-        | count(*) AS rows_loaded
+        | count(*) AS rows_loaded, 'ok' AS status
         |FROM customer
         |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
         |GROUP BY 1 ORDER BY 1""".stripMargin,

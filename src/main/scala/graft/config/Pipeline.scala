@@ -17,6 +17,10 @@ case class SourceCfg(
     path: String,
     format: String = "parquet",      // parquet | csv | json | esrijson | archive | ogc | rest
     enabled: Boolean = true,
+    // the operating authority the source belongs to (sources.yaml
+    // `authority:` — the reference's run-filter key; dataset GROUPING
+    // still derives from the name prefix, matching load_sde.py)
+    authority: Option[String] = None,
     where: Option[String] = None,    // staged-row filter (reference: bbox/where params)
     select: Option[Seq[String]] = None,
     // OID-sweep ingest (download_rest.py use_oid_sweep): ranged parallel read
@@ -85,6 +89,22 @@ case class LoadCfg(target: String, mode: String = "truncate", // truncate | appe
   * stage can be toggled per run. */
 case class StepsCfg(stage: Boolean = true, process: Boolean = true, load: Boolean = true)
 
+/** Declarative run filter — run.py:246-247's `--authority` / `--type`
+  * CLI filters (run.py:189-192: exact match against the source document's
+  * `authority:` / `type:` fields): run the pipeline for one authority or
+  * source type without editing the document. Both fields optional; a set
+  * field must match EXACTLY (a source with no `authority` fails an
+  * authority filter, mirroring the reference's `s.get(...) == arg`).
+  * Filtered-out enabled sources still surface in the run summary as
+  * `skipped` rows, so a filtered run is auditable, not silent. */
+case class RunFilterCfg(
+    authority: Option[String] = None,
+    sourceType: Option[String] = None) {
+  def passes(s: SourceCfg): Boolean =
+    authority.forall(a => s.authority.contains(a)) &&
+      sourceType.forall(t => s.format == t)
+}
+
 /** Per-environment overlay (config.yaml `environment: development |
   * staging | production`, overridable at run time by `ETL_ENVIRONMENT`):
   * every field optional — set fields replace the pipeline-level value,
@@ -112,6 +132,8 @@ case class PipelineCfg(
     load: Option[LoadCfg] = None,
     sanitizeNames: Boolean = true,
     steps: StepsCfg = StepsCfg(),
+    // run-time source subset (run.py --authority/--type); None = run all
+    runFilter: Option[RunFilterCfg] = None,
     // run.py cleanup_*_before_run: clear the load target before loading
     cleanupBeforeRun: Boolean = false,
     // config.yaml `environment:` — the document's default environment
@@ -690,8 +712,11 @@ object Pipeline {
     live.size
   }
 
-  /** Run the full pipeline; returns per-source metrics (name, rows staged
-    * after filters, rows loaded, load target) ordered by source name.
+  /** Run the full pipeline; returns per-source metrics (source,
+    * rows_loaded, status) ordered by source name — status `ok` for every
+    * source the run processed (loaded, or staged-only when the load step
+    * is gated off) and `skipped` for enabled sources a [[RunFilterCfg]]
+    * excluded from this run.
     *
     * All publish filesystem traffic (probe, rename, delete) goes through
     * the Hadoop [[org.apache.hadoop.fs.FileSystem]] resolved from the
@@ -713,7 +738,14 @@ object Pipeline {
       val fs = p.getFileSystem(hconf)
       if (fs.exists(p)) fs.delete(p, true): Unit
     }
-    val results = cfg.sources.filter(_.enabled).flatMap { src =>
+    // run-time source subset (run.py --authority/--type): filtered-out
+    // ENABLED sources surface as `skipped` summary rows — an operator who
+    // ran one authority can see exactly what the run did NOT touch.
+    // Disabled sources stay invisible, as before (they are off in the
+    // document itself, not excluded by this run).
+    val rf = cfg.runFilter.getOrElse(RunFilterCfg())
+    val (active, skipped) = cfg.sources.filter(_.enabled).partition(rf.passes)
+    val results = active.flatMap { src =>
       // per-source override merged over the global policy (source wins)
       val gp = src.geoprocess.map(_.mergedOver(cfg.geoprocess)).getOrElse(cfg.geoprocess)
       val staged =
@@ -861,6 +893,8 @@ object Pipeline {
           } else Seq((src.name, finalDf.count()))
       }
     }
-    results.toDF("source", "rows_loaded").orderBy(col("source"))
+    (results.map { case (n, c) => (n, c, "ok") } ++
+        skipped.map(s => (s.name, 0L, "skipped")))
+      .toDF("source", "rows_loaded", "status").orderBy(col("source"))
   }
 }

@@ -27,6 +27,47 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(!marker.exists(), "load was gated off but the target was written")
   }
 
+  test("run filter: authority/type subset loads matches, reports skips, never reads skipped sources") {
+    import graft.config.RunFilterCfg
+    // mixed-authority document (run.py:189-192): FM+parquet passes; NVV
+    // fails the authority filter, the csv-typed source fails the type
+    // filter, the untagged source fails a set authority filter (the
+    // reference's s.get(...) == arg), the disabled source stays invisible.
+    // The skipped csv source points at a MISSING path: a skip must
+    // short-circuit before any read is planned or the run would throw.
+    val cfg = PipelineCfg(
+      sources = Seq(
+        SourceCfg(name = "fm_nation", path = s"$sfDir/nation.parquet",
+          authority = Some("FM")),
+        SourceCfg(name = "nvv_region", path = s"$sfDir/region.parquet",
+          authority = Some("NVV")),
+        SourceCfg(name = "fm_csv", path = s"$target/does_not_exist.csv",
+          authority = Some("FM"), format = "csv"),
+        SourceCfg(name = "untagged", path = s"$sfDir/region.parquet"),
+        SourceCfg(name = "off", path = s"$sfDir/region.parquet", enabled = false)),
+      runFilter = Some(RunFilterCfg(authority = Some("FM"),
+        sourceType = Some("parquet"))),
+      load = Some(LoadCfg(target)), cleanupBeforeRun = true)
+    val out = Pipeline.run(spark, cfg).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    val nNation = spark.read.parquet(s"$sfDir/nation.parquet").count()
+    assert(out == Seq(
+      ("fm_csv", 0L, "skipped"),
+      ("fm_nation", nNation, "ok"),
+      ("nvv_region", 0L, "skipped"),
+      ("untagged", 0L, "skipped")), s"got $out")
+    // only the matching source reached the load target
+    assert(new java.io.File(s"$target/fm_nation").exists())
+    assert(!new java.io.File(s"$target/nvv_region").exists())
+    // and with NO filter the same document runs everything enabled
+    val all = Pipeline.run(spark,
+        cfg.copy(runFilter = None, cleanupBeforeRun = true,
+          sources = cfg.sources.filterNot(_.format == "csv"))).collect()
+      .map(r => (r.getString(0), r.getString(2))).toSeq
+    assert(all == Seq(("fm_nation", "ok"), ("nvv_region", "ok"),
+      ("untagged", "ok")), s"got $all")
+  }
+
   test("cleanup before run removes stale targets") {
     val stale = new java.io.File(s"$target/stale_dir")
     stale.mkdirs()
