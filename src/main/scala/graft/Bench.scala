@@ -245,7 +245,15 @@ object Bench {
         if (st < 2 && basis.forall(_ >= reproFloorSec)) gcQuiesce()
         val repsHere =
           if (st >= 1 || basis.exists(_ < reproFloorSec)) 1 else reps
-        val times = (1 to repsHere).flatMap(i => rep(s"p${pass}_$i"))
+        // early stop: once a timed rep lands under the floor the min is a
+        // noise-floor verdict — further reps only refine what the floor
+        // says is jitter (pass 2 still supplies the second sample)
+        val times = scala.collection.mutable.ListBuffer.empty[Double]
+        var i = 0
+        while (i < repsHere && !times.lastOption.exists(_ < reproFloorSec)) {
+          i += 1
+          rep(s"p${pass}_$i").foreach(times += _)
+        }
         val best = if (times.isEmpty) None else Some(times.min)
         (best.toSeq ++ warmT.toSeq).reduceOption(math.min(_, _)).foreach { t =>
           knownMin(name) = math.min(knownMin.getOrElse(name, t), t)
