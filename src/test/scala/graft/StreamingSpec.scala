@@ -492,6 +492,45 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("G15 ledger crash window: a stale delta changes nothing and compaction self-heals") {
+    implicit val sqlCtx = spark.sqlContext
+    // the appendLedger contract under its one crash window (compaction
+    // published the new base, crashed before dropping the absorbed
+    // deltas): duplicate ledger rows must not change any report row
+    // (reads are anti-joins) and the next compaction must dedup. Proven
+    // by running the SAME feed twice — once clean, once with the base
+    // re-injected as a stale delta — and comparing bit-for-bit.
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c x y z"),   // slice 1 (w=3 chunks)
+      (3L, "d e f p q r"), (4L, "p q r x y z"),   // slice 2 → compaction
+      (5L, "m n o a b c"), (6L, "m n o d e f"))   // slice 3 (post-window)
+    def run(poison: Boolean): (Seq[(Long, Long, Long, Long)], Long, Long) = {
+      val stateDir = java.nio.file.Files.createTempDirectory("g15cw").toString + "/state"
+      val mem = MemoryStream[(Long, String)]
+      val q = EventStreams.paragraphDedupStream(
+        mem.toDF().toDF("doc_id", "text"), stateDir, w = 3, compactEvery = 2)
+      try {
+        mem.addData(docs(0), docs(1)); q.processAllAvailable()
+        mem.addData(docs(2), docs(3)); q.processAllAvailable() // 2 deltas → compact
+        if (poison) spark.read.parquet(stateDir + "/seen")
+          .write.mode("overwrite").parquet(stateDir + "/seen.delta/d999")
+        mem.addData(docs(4), docs(5)); q.processAllAvailable()
+        val report = spark.read.parquet(stateDir + "/report").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .sortBy(_._1).toSeq
+        val ledger = EventStreams.readLedger(spark, stateDir + "/seen").get
+          .localCheckpoint(true)
+        (report, ledger.count(), ledger.distinct().count())
+      } finally q.stop()
+    }
+    val (cleanReport, cleanN, _) = run(poison = false)
+    val (poisonedReport, n, nDistinct) = run(poison = true)
+    assert(poisonedReport == cleanReport,
+      s"stale-delta duplicates changed the report:\n$poisonedReport\n$cleanReport")
+    assert(n == nDistinct, s"compaction left duplicate ledger rows: $n vs $nDistinct")
+    assert(n == cleanN, "poisoned run's healed ledger diverged from the clean run")
+  }
+
   test("G30/G31: streaming cramers and winsorized equal the batch assembly after every trigger") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
