@@ -824,7 +824,10 @@ object Relational {
     * the probe side into a few shuffle partitions; salting fans each hot
     * key over S sub-keys (dim side replicated ×S) so the shuffle is
     * balanced. Result-identical to the plain join — proven by the oracle,
-    * which computes the unsalted form. */
+    * which computes the unsalted form; the MECHANICS (the shuffle key
+    * actually carries the salt, so a hot key spreads over S partitions)
+    * are pinned by the adversarial 95%-one-key spec with broadcast
+    * disabled. */
   def qSaltedJoin(spark: SparkSession, dir: String, salts: Int = 16): DataFrame = {
     val t = Tables(spark, dir)
     // synthetic hot key: fold every 10th user onto key 0
@@ -832,6 +835,14 @@ object Relational {
       when(col("user_id") % 10 === 0, 0L).otherwise(col("user_id")))
     val dim = ev.select(col("join_key")).distinct()
       .withColumn("score", (col("join_key") * 7) % 100)
+    saltedJoinOver(ev, dim, salts)
+  }
+
+  /** The E18 engine over explicit fact (join_key, event_id, event_type)
+    * and dim (join_key, score) frames — split out so the hostile-skew
+    * spec can drive it with a 95%-one-key layout against the plain
+    * unsalted join. */
+  def saltedJoinOver(ev: DataFrame, dim: DataFrame, salts: Int): DataFrame = {
     val saltedEv = ev.withColumn("salt", pmod(col("event_id"), lit(salts)))
     val saltedDim = dim.withColumn("salt",
       explode(array((0 until salts).map(lit): _*)))

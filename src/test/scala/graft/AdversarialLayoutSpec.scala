@@ -156,6 +156,44 @@ class AdversarialLayoutSpec extends AnyFunSuite with SparkTestBase {
       s"out-of-reach rings must generate zero cells, got $exploded")
   }
 
+  test("salted join 95%-one-key layout: result equals the plain join, shuffle key carries the salt") {
+    // hostile skew: 95% of the fact side lands on join_key 0. The salted
+    // join must (a) stay result-identical to the plain unsalted join and
+    // (b) actually shuffle on (join_key, salt) — the mechanics that
+    // spread the hot key over S partitions. Broadcast is disabled so the
+    // join cannot sidestep the shuffle it exists to balance.
+    val ev = (1L to 2000L).map { i =>
+      val key = if (i % 20 != 0) 0L else i            // 95% on key 0
+      (key, i, if (i % 3 == 0) "purchase" else "view")
+    }.toDF("join_key", "event_id", "event_type")
+    val dim = ev.select(col("join_key")).distinct()
+      .withColumn("score", (col("join_key") * 7) % 100)
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (rows, plans) = try {
+      withPlans {
+        graft.operators.Relational.saltedJoinOver(ev, dim, salts = 16)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    // the plain unsalted join, computed independently
+    val plain = ev.join(dim, Seq("join_key"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("score")).cast("long").as("sum_score"))
+      .orderBy(col("event_type"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == plain, s"salted result diverged from the plain join:\n$rows\n$plain")
+    assertNoCartesian(plans, "salted join")
+    // the executed join must key on BOTH join_key and salt — a refactor
+    // that drops the salt from the equi key silently re-concentrates the
+    // hot key into one partition and this assertion is what would catch it
+    val joinLines = plans.flatMap(_.linesIterator)
+      .filter(l => l.contains("Join") && l.contains("join_key"))
+    assert(joinLines.nonEmpty, "no join on join_key found in any executed plan")
+    assert(joinLines.exists(l => l.contains("salt")),
+      s"no executed join keys on the salt:\n${joinLines.mkString("\n")}")
+  }
+
   test("fuzzy match stop-gram catalog: df-cap bounds candidates, rare grams still match") {
     // hostile catalog: every clean name shares the prefix 'commonhead'
     // (a stop-gram factory) but ends in a distinctive rare tail; dirty
