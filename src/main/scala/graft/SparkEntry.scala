@@ -4498,7 +4498,8 @@ object SparkEntry {
          | CAST(CASE WHEN logit_micro > 0 THEN 1 ELSE 0 END AS INT) AS keep
          |FROM h ORDER BY doc_id""".stripMargin,
     // F79: brute truth vs the quantizer-probed top-k, per probe query;
-    // both rankings on the 4-dec rounded cosine with vec_id ties
+    // both rankings on the 4-dec rounded cosine with vec_id ties; the
+    // probe set is the FIXED-SIZE md5-top-10 draw (never a fraction)
     "ann_recall" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          |c AS (SELECT label AS c_label, list(a ORDER BY pos) AS cv
@@ -4507,7 +4508,7 @@ object SparkEntry {
          |    GROUP BY label, pos)
          |  GROUP BY label),
          |q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM e
-         |  WHERE vec_id % 50 = 0),
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 10),
          |tr AS MATERIALIZED (SELECT qid, vec_id FROM (
          |  SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid
          |    ORDER BY round(${cosSql("e.v", "q.qv")}, 4) DESC, e.vec_id) AS rn

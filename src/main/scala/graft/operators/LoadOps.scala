@@ -1252,19 +1252,28 @@ object LoadOps {
       lit(1L).as("wt")))
 
   /** The D47 compute over pre-counted (event_type, sec, wt) cells — the
-    * exact-integer fold the G26 streaming ledger accumulates (weights
-    * are additive and the midpoint/hour arithmetic sees only the sec
-    * key, so folded cells replay the row-level pass bit-for-bit). */
+    * exact-integer fold (weights are additive and the midpoint/hour
+    * arithmetic sees only the sec key, so folded cells replay the
+    * row-level pass bit-for-bit). */
   def chi2WeightedOf(events: DataFrame): DataFrame = {
     val ev = events.select(col("event_type"), col("sec"), col("wt"),
       expr("(sec div 3600) % 24").cast("long").as("hour"))
     val mid = ev.groupBy(col("event_type"))
       .agg(expr("min(sec) + (max(sec) - min(sec)) div 2").as("mid"))
-    val cells = ev.join(broadcast(mid), Seq("event_type"))
+    chi2FromHourCells(ev.join(broadcast(mid), Seq("event_type"))
       .withColumn("is_ref", col("sec") <= col("mid"))
       .groupBy(col("event_type"), col("hour"))
       .agg(sum(when(col("is_ref"), col("wt")).otherwise(0L)).as("o_r"),
-        sum(when(!col("is_ref"), col("wt")).otherwise(0L)).as("o_c"))
+        sum(when(!col("is_ref"), col("wt")).otherwise(0L)).as("o_c")))
+  }
+
+  /** The D47 statistic assembly over pre-split (event_type, hour, o_r,
+    * o_c) hour-of-day cells — the statistic's TRUE input grain (≤ 24
+    * rows per source, value-bounded) and the grain the G26 streaming
+    * ledger persists since r14: the era counts are additive integers,
+    * so any batch slicing of the corpus folds to the same cells and
+    * this assembly replays the one-shot pass bit-for-bit. */
+  def chi2FromHourCells(cells: DataFrame): DataFrame = {
     val tot = cells.groupBy(col("event_type"))
       .agg(sum(col("o_r")).cast("long").as("n_ref"),
         sum(col("o_c")).cast("long").as("n_cur"),

@@ -692,23 +692,29 @@ object Similarity {
 
   /** F79: ANN RECALL report — the quality number every approximate
     * index owes its operator and the specs previously kept to
-    * themselves, as a first-class query: for a deterministic probe set
-    * (every 50th vector), the IVF nprobe top-k is scored against the
-    * brute-force ground truth, per query — recall@k in exact PPM. The
-    * per-query rows (not just a mean) localize WHICH queries the probed
-    * lists fail, which is the signal that tunes nprobe / refinement.
+    * themselves, as a first-class query: for a deterministic FIXED-SIZE
+    * probe set (the `nProbes` vectors ranking first by md5(vec_id) — a
+    * seedless uniform draw both engines replay exactly), the IVF nprobe
+    * top-k is scored against the brute-force ground truth, per query —
+    * recall@k in exact PPM. The per-query rows (not just a mean)
+    * localize WHICH queries the probed lists fail, which is the signal
+    * that tunes nprobe / refinement.
     *
-    * Scale shape: the truth pass is |queries| × corpus with bounded
-    * |queries| (the sampled probe set — at 100 TB you measure recall on
-    * a sample, never the full corpus); the ANN pass re-reads the
-    * persisted lists with an IN-list partition filter covering all
-    * probed lists. Both sides rank per query with bounded windows. */
+    * Scale shape: the truth pass is |queries| × corpus with |queries| =
+    * nProbes, a CONSTANT independent of corpus size (at 100 TB you
+    * measure recall on a fixed sample, never a fixed fraction — a
+    * fractional probe set makes the truth pass quadratic); the probe
+    * pick itself is one TakeOrdered over the hash column, O(corpus),
+    * no shuffle. The ANN pass re-reads the persisted lists with an
+    * IN-list partition filter covering all probed lists. Both sides
+    * rank per query with bounded windows. */
   def annRecall(spark: SparkSession, dir: String, k: Int = 10,
-      nprobe: Int = 3, sampleMod: Long = 50L): DataFrame = {
+      nprobe: Int = 3, nProbes: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (listsPath, cents) = ivfIndex(spark, dir)
     val e = vectors(spark, dir).select(col("vec_id"), col("v"))
-    val q = e.filter(col("vec_id") % sampleMod === 0L)
+    val q = e.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nProbes)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
       .localCheckpoint(true)
     val wq = Window.partitionBy(col("qid"))

@@ -288,33 +288,52 @@ object EventStreams {
       .start()
 
   /** G26: D47's hour-of-day chi-square drift as an always-on monitor —
-    * each micro-batch of (event_type, sec) telemetry collapses to
-    * per-(source, sec) COUNT partials (batch-local hash agg; the ledger
-    * stays support-sized — distinct seconds per source — never
-    * event-proportional), the partials fold into the persisted ledger
-    * (G14 write-new-then-rename), and every trigger re-runs the SAME
-    * [[graft.operators.LoadOps.chi2WeightedOf]] core the batch op is
-    * built on — counts are exact integers, so after the last trigger
-    * the report equals the one-shot D47 pass bit-for-bit (gated). The
-    * time midpoint re-derives from the ledger each trigger, so the
-    * ref/cur split shifts as history grows exactly as a re-run batch
-    * pass would. */
-  def chi2LedgerStream(events: DataFrame,
-      stateDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    * each micro-batch of (event_type, sec) telemetry collapses directly
+    * to per-(source, hour-of-day) ERA count partials (batch-local hash
+    * agg), the partials fold into the persisted cell ledger (G14
+    * write-new-then-rename), and every trigger re-runs the SAME
+    * [[graft.operators.LoadOps.chi2FromHourCells]] assembly the batch
+    * op is built on.
+    *
+    * The reference era is FROZEN configuration: `baseline` is a
+    * driver-sized (event_type, ref_end_sec) table — rows at or before a
+    * source's ref_end_sec are its reference profile, everything after
+    * is current. That is the always-on deployment shape (the batch op
+    * re-derives its midpoint because it sees a finite corpus; a monitor
+    * pins its baseline era, the G22/G21 training-horizon convention) and
+    * it is what makes the state TRULY bounded: era assignment is pure
+    * per-row arithmetic, so the ledger holds ≤ |sources|×24 cells —
+    * sources×24×eras counts — FOREVER, independent of the stream's time
+    * horizon (the r13 per-(source, sec) grain grew ~86k rows/day/source
+    * and each trigger rewrote all of it; spec-pinned bounded now).
+    * Counts are exact additive integers, so after the last trigger the
+    * report equals the one-shot D47 pass with the same per-source
+    * split bit-for-bit (gated — the gate derives `baseline` from the
+    * corpus midpoints, making the shared-oracle equality exact).
+    * Telemetry from sources absent from `baseline` is dropped — an
+    * unconfigured source has no reference era to test against. */
+  def chi2LedgerStream(events: DataFrame, stateDir: String,
+      baseline: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream.outputMode("append")
       .foreachBatch { (batch0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         import org.apache.spark.sql.functions._
         val spark = batch0.sparkSession
         val part = batch0.toDF()
-          .groupBy(col("event_type"), col("sec"))
-          .agg(count(lit(1)).cast("long").as("wt"))
+          .join(broadcast(baseline), Seq("event_type"))
+          .groupBy(col("event_type"),
+            expr("(sec div 3600) % 24").cast("long").as("hour"))
+          .agg(sum(when(col("sec") <= col("ref_end_sec"), 1L).otherwise(0L))
+              .cast("long").as("o_r"),
+            sum(when(col("sec") > col("ref_end_sec"), 1L).otherwise(0L))
+              .cast("long").as("o_c"))
         val prior = readState(spark, stateDir + "/cells").getOrElse(part.limit(0))
         val ledger = prior.unionByName(part)
-          .groupBy(col("event_type"), col("sec"))
-          .agg(sum(col("wt")).cast("long").as("wt"))
+          .groupBy(col("event_type"), col("hour"))
+          .agg(sum(col("o_r")).cast("long").as("o_r"),
+            sum(col("o_c")).cast("long").as("o_c"))
           .localCheckpoint(true)
         publishState(ledger, stateDir + "/cells")
-        graft.operators.LoadOps.chi2WeightedOf(ledger)
+        graft.operators.LoadOps.chi2FromHourCells(ledger)
           .write.mode("overwrite").parquet(stateDir + "/report")
         (): Unit
       }

@@ -541,21 +541,29 @@ object StreamGate {
   }
 
   /** G26 gate: the chi-square hour-profile monitor run MULTI-batch
-    * (4 input files, one per trigger) — per-(source, sec) count
-    * partials fold into the persisted ledger, each trigger re-runs the
-    * shared D47 core over the summed cells, so the final report equals
-    * the batch pass and shares D47's oracle verbatim. */
+    * (4 input files, one per trigger) — per-(source, hour-of-day) era
+    * count partials fold into the persisted BOUNDED cell ledger
+    * (≤ sources×24 rows at any horizon), each trigger re-runs the
+    * shared D47 assembly over the summed cells. The frozen baseline is
+    * configured to each source's corpus time midpoint (one driver-sized
+    * pre-scan), which is exactly the split the batch op derives itself —
+    * so the final report equals the batch pass and shares D47's oracle
+    * verbatim. */
   def streamChi2(spark: SparkSession, dir: String): DataFrame = {
     val base = fresh(spark, "chi2")
     Tables(spark, dir).eventsSec
       .select(col("event_type"), col("sec"))
       .repartition(4).write.parquet(s"$base/in")
+    val baseline = Tables(spark, dir).eventsSec
+      .groupBy(col("event_type"))
+      .agg(expr("min(sec) + (max(sec) - min(sec)) div 2").as("ref_end_sec"))
+      .localCheckpoint(true)
     val src = spark.readStream
       .schema(StructType(Seq(StructField("event_type", StringType),
         StructField("sec", LongType))))
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$base/in")
-    val q = EventStreams.chi2LedgerStream(src, s"$base/state")
+    val q = EventStreams.chi2LedgerStream(src, s"$base/state", baseline)
     q.processAllAvailable(); q.stop(); q.awaitTermination()
     spark.read.parquet(s"$base/state/report").orderBy(col("event_type"))
   }

@@ -821,6 +821,12 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val full = Similarity.annRecall(spark, sfDir, k = 10, nprobe = nLists)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(full.nonEmpty)
+    // the probe set is a FIXED SIZE (the nProbes parameter), never a
+    // corpus fraction — the truth pass must stay O(nProbes × corpus) at
+    // any scale, and the md5 draw is the deterministic pick rule
+    assert(full.length == 10, s"probe set must be exactly nProbes=10: ${full.length}")
+    assert(Similarity.annRecall(spark, sfDir, k = 10, nprobe = nLists, nProbes = 7)
+      .count() == 7L, "nProbes must bound the probe set")
     assert(full.forall(t => t._2 == 10L && t._3 == 1000000L),
       s"exhaustive probe must be perfect: $full")
     // partial probing: replay truth and the probed candidate set by hand

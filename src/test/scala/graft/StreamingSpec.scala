@@ -713,6 +713,65 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("G26: chi2 cell ledger stays sources×24-bounded at any horizon, equals the frozen-baseline batch pass") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // 120-day horizon, two sources: 'a' keeps one hour profile for the
+    // whole stream, 'b' moves its traffic 8 hours after day 60 — the
+    // daypart shift the chi-square monitor exists to flag
+    def secOf(day: Long, hour: Long) = day * 86400L + hour * 3600L + day % 59
+    val rows = (0L until 120L).flatMap { d =>
+      val bH = if (d < 60) Seq(2L, 6L) else Seq(10L, 14L)
+      Seq(1L, 5L, 9L).map(h => ("a", secOf(d, h))) ++ bH.map(h => ("b", secOf(d, h)))
+    }
+    val full = rows.toDF("event_type", "sec")
+    // the frozen baseline = each source's corpus time midpoint (the
+    // gate's configuration, which makes the final report equal D47)
+    val baseline = full.groupBy(col("event_type"))
+      .agg(expr("min(sec) + (max(sec) - min(sec)) div 2").as("ref_end_sec"))
+      .localCheckpoint(true)
+    val stateDir = java.nio.file.Files.createTempDirectory("g26").toString + "/state"
+    val mem = MemoryStream[(String, Long)]
+    val q = EventStreams.chi2LedgerStream(
+      mem.toDF().toDF("event_type", "sec"), stateDir, baseline)
+    try {
+      var fed = Seq.empty[(String, Long)]
+      rows.grouped(rows.length / 4 + 1).foreach { slice =>
+        mem.addData(slice.toIndexedSeq: _*); q.processAllAvailable()
+        fed = fed ++ slice
+        // the persisted state is ≤ sources×24 cells NO MATTER how far
+        // the horizon has advanced (the r13 per-second grain grew
+        // linearly with wall time — this is the regression pin)
+        assert(spark.read.parquet(stateDir + "/cells").count() <= 2L * 24L,
+          "cell ledger exceeded sources×24")
+        // and the report equals the batch fold over the prefix with the
+        // SAME frozen split after every trigger
+        val cells = fed.toDF("event_type", "sec")
+          .join(broadcast(baseline), Seq("event_type"))
+          .groupBy(col("event_type"),
+            expr("(sec div 3600) % 24").cast("long").as("hour"))
+          .agg(sum(when(col("sec") <= col("ref_end_sec"), 1L).otherwise(0L))
+              .cast("long").as("o_r"),
+            sum(when(col("sec") > col("ref_end_sec"), 1L).otherwise(0L))
+              .cast("long").as("o_c"))
+        val want = graft.operators.LoadOps.chi2FromHourCells(cells)
+          .collect().map(_.toSeq).toSeq
+        val got = spark.read.parquet(stateDir + "/report")
+          .orderBy(col("event_type")).collect().map(_.toSeq).toSeq
+        assert(got == want, s"stream/batch diverged at prefix ${fed.length}")
+      }
+      // final report == the one-shot D47 pass bit-for-bit: the frozen
+      // baseline IS the corpus midpoint, so the two splits coincide
+      val fin = spark.read.parquet(stateDir + "/report")
+        .orderBy(col("event_type")).collect().map(_.toSeq).toSeq
+      val batch = graft.operators.LoadOps.chi2Of(full).collect().map(_.toSeq).toSeq
+      assert(fin == batch, "final report must equal the batch D47 pass")
+      val verdicts = fin.map(r => (r.head, r.last)).toMap
+      assert(verdicts("a") == 0, s"stable profile must not flag: $fin")
+      assert(verdicts("b") == 1, s"daypart shift must flag: $fin")
+    } finally q.stop()
+  }
+
   test("G20: streaming ab test from integer cent-moments equals the batch pass bit-for-bit every trigger") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
