@@ -1,10 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Headline benchmark. Prints ONE JSON line to stdout (driver contract)
-  * and writes the SAME json to BENCH_LOCAL.json, because the driver's
-  * stdout capture truncates long tails and the per-query map is the part
-  * worth keeping.
+/** Headline benchmark. Prints the full JSON line to stdout, writes the
+  * SAME json to BENCH_LOCAL.json, and prints a COMPACT summary JSON as
+  * the LAST stdout line: the driver keeps only a ~2000-char stdout tail,
+  * so the final line must be a complete object that fits the window for
+  * the round artifact to carry a parseable payload at all (the full
+  * ~13 KB line starts outside the tail since r1; the compact line holds
+  * totals, repro summary, protocol, canaries and the slowest-10 map, and
+  * points at BENCH_LOCAL.json for the full per-query map).
   *
   * Comparability protocol (r9): the r8 suite showed code-unchanged queries
   * drifting 2-6x round-over-round — session-level contention (GC debt,
@@ -137,9 +141,15 @@ object Bench {
     // OUTSIDE the timed region. The bench root itself routes through the
     // same conf-keyed scratch helper as every operator (env override for
     // the driver).
+    // tmpfs only when it has real headroom: /dev/shm is RAM-backed
+    // (typically RAM/2) and an ENOSPC mid-rep would fail queries the
+    // disk default ran fine — 8 GiB usable covers the largest observed
+    // per-rep working set at sf0.1 with an order of magnitude to spare
     val shm = new java.io.File("/dev/shm")
     val defaultScratch =
-      if (shm.isDirectory && shm.canWrite) "/dev/shm/graft_bench_scratch"
+      if (shm.isDirectory && shm.canWrite &&
+          shm.getUsableSpace >= 8L * 1024 * 1024 * 1024)
+        "/dev/shm/graft_bench_scratch"
       else Tables.scratch(spark, "bench_scratch")
     val benchScratch = new java.io.File(sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_SCRATCH", defaultScratch)).getAbsolutePath
@@ -209,10 +219,15 @@ object Bench {
     // pass-2 warmup skip (read-path only)
     val knownMin = scala.collection.mutable.Map.empty[String, Double]
     val knownWrote = scala.collection.mutable.Map.empty[String, Boolean]
-    // one pass over the full suite: per query -> (min time if any rep
-    // succeeded, wrote-anything flag)
-    def runPass(pass: Int): Seq[(String, Option[Double], Boolean)] =
+    // one pass over the suite (optionally restricted to `subset` — the
+    // adaptive third pass re-measures only the pass1/pass2 disagreers):
+    // per query -> (min time if any rep succeeded, wrote-anything flag)
+    def runPass(pass: Int,
+        subset: Option[Set[String]] = None): Seq[(String, Option[Double], Boolean)] =
       names.map { case (name, fn) =>
+        if (!subset.forall(_(name)))
+          (name, None, knownWrote.getOrElse(name, false))
+        else {
         var wrote = knownWrote.getOrElse(name, false)
         def rep(i: String): Option[Double] = {
           val dir = new java.io.File(s"$benchScratch/${name}_$i")
@@ -236,8 +251,14 @@ object Bench {
         // stage 3 (budget fully spent): later passes stop re-measuring —
         // each remaining entry keeps its pass-1 number (its repro ratio
         // is simply unmeasured), so the bench can never overrun the
-        // budget by more than the in-flight query. Pass 1 always runs:
-        // a missing number is worse than a degraded one.
+        // budget by more than the in-flight query. Pass 1 always runs
+        // (a missing number is worse than a degraded one) at the
+        // cheapest measurement (stage ≥ 2 already means no warmup, no
+        // GC, 1 rep), and the overrun gets its own protocol marker: a
+        // pass-1 suite that ALONE exceeds the budget is the next rc-124
+        // timeout in the making, and must be visible before it is one.
+        if (st >= 3 && pass == 1 && !degraded.exists(_.startsWith("stage3_pass1")))
+          degraded += s"stage3_pass1_overrun@$name"
         if (st >= 3 && pass > 1)
           (name, None, knownWrote.getOrElse(name, false))
         else {
@@ -273,9 +294,28 @@ object Bench {
         knownWrote(name) = wrote
         (name, best, wrote)
         }
+        }
       }
+    val basePasses: Seq[Seq[(String, Option[Double], Boolean)]] =
+      (1 to passes).map(p => runPass(p))
+    // adaptive third pass (r14): entries whose two pass minima disagree
+    // >1.3x get ONE more measurement, budget permitting — at the r13
+    // noise floor a genuine 1.5x regression in a 1-second query was
+    // indistinguishable from variance. With three samples the repro
+    // ratio becomes the agreement of the two BEST minima (the third
+    // sample arbitrates which two), which is the honest two-independent-
+    // measurements certificate; the reported time stays min-of-all.
+    val disagree: Set[String] =
+      if (passes < 2) Set.empty
+      else names.flatMap { case (name, _) =>
+        val ts = basePasses.take(2).flatMap(_.find(_._1 == name).flatMap(_._2))
+        if (ts.size == 2 && ts.max > reproFloorSec && ts.max / ts.min > 1.3)
+          Some(name)
+        else None
+      }.toSet
     val passResults: Seq[Seq[(String, Option[Double], Boolean)]] =
-      (1 to passes).map(runPass)
+      if (disagree.isEmpty || stage() >= 3) basePasses
+      else basePasses :+ runPass(passes + 1, Some(disagree))
     scratchKeys.foreach(spark.conf.unset)
     rm(new java.io.File(benchScratch))
     // merge: min across passes; write-path if any pass saw a write
@@ -285,19 +325,22 @@ object Bench {
       (name, if (ts.isEmpty) None else Some(ts.min), per.exists(_._3))
     }
     val writeNames = results.collect { case (n, _, true) => n }.toSet
-    // reproducibility: per-query pass1-vs-pass2 ratio (max/min of the two
-    // pass minima); the distribution is the bench's own trust certificate
-    // sub-floor queries sit on the timer floor (JIT/GC jitter dominates
-    // a 0.1 s measurement), so their pass-over-pass ratios are noise,
-    // not signal: the distribution is reported only over entries whose
-    // slower pass is above `reproFloorSec` (declared with the adaptive
-    // protocol above), and the floor is part of the JSON so the claim is
-    // checkable
+    // reproducibility: per-query agreement ratio between the two BEST
+    // pass minima (= pass1-vs-pass2 for 2-pass entries; the adaptive
+    // third sample arbitrates for disagreers); the distribution is the
+    // bench's own trust certificate. Sub-floor queries sit on the timer
+    // floor (JIT/GC jitter dominates a 0.1 s measurement), so their
+    // pass-over-pass ratios are noise, not signal: the distribution is
+    // reported only over entries whose slower pass is above
+    // `reproFloorSec`, and the floor is part of the JSON so the claim
+    // is checkable
     val ratios: Seq[(String, Double)] =
       if (passes < 2) Seq.empty
       else names.flatMap { case (name, _) =>
-        val ts = passResults.take(2).flatMap(_.find(_._1 == name).flatMap(_._2))
-        if (ts.size == 2 && ts.max > reproFloorSec) Some(name -> ts.max / ts.min)
+        val ts = passResults.flatMap(_.find(_._1 == name).flatMap(_._2))
+        val best2 = ts.sorted.take(2)
+        if (best2.size == 2 && ts.sorted.apply(1) > reproFloorSec)
+          Some(name -> best2(1) / best2(0))
         else None
       }
     def pct(sorted: Seq[Double], p: Double): Double =
@@ -312,7 +355,8 @@ object Bench {
         val passTotals = passResults.take(2)
           .map(p => p.flatMap(_._2).sum).map(t => f"$t%.3f").mkString("[", ",", "]")
         // over_1.3 lists EVERY offender (no silent cap)
-        s"""{"floor_sec":$reproFloorSec,""" +
+        s"""{"floor_sec":$reproFloorSec,"rule":"best2_of_samples",""" +
+          s""""n_third_sampled":${disagree.size},""" +
           s""""median":${pct(sortedRatios, 0.5)},"p90":${pct(sortedRatios, 0.9)},""" +
           s""""worst":${worst._2},"worst_query":"${worst._1}",""" +
           s""""n_measured":${ratios.size},"n_over_1.3":${over13.size},""" +
@@ -354,7 +398,26 @@ object Bench {
       val w = new java.io.PrintWriter(new java.io.File(out), "UTF-8")
       try w.println(line) finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] write $out failed: ${e.getMessage}") }
+    // stdout contract (r14): the driver keeps only a ~2000-char TAIL of
+    // stdout and parses a JSON object out of it — the full line above is
+    // ~13 KB, so since r1 the round artifact's `parsed` block has been
+    // null and a reader needed BENCH_LOCAL.json for ANY number. Print
+    // the full line first (whole-scroll captures still get everything),
+    // then a compact summary line LAST, sized well under the tail window
+    // (slowest-10 queries instead of the full map; over-1.3 offenders as
+    // a count), so the round artifact is self-contained again.
     println(line)
+    val top10 = withIndex.collect { case (k, Some(t)) => (k, t) }
+      .sortBy(-_._2).take(10)
+      .map { case (k, t) => s"\"$k\":${math.rint(t * 1000) / 1000}" }
+      .mkString("{", ",", "}")
+    val failedN = withIndex.count(_._2.isEmpty)
+    val compact =
+      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","read_total":${math.rint(readTotal * 1000) / 1000},"write_total":${math.rint(writeTotal * 1000) / 1000},"n_queries":${withIndex.size},"n_failed":$failedN,"repro":${
+        if (ratios.isEmpty) "null"
+        else s"""{"median":${pct(sortedRatios, 0.5)},"p90":${pct(sortedRatios, 0.9)},"worst":${ratios.map(_._2).max},"n_over_1.3":${over13.size},"n_third_sampled":${disagree.size}}"""
+      },"protocol":$protocolJson,"canary":$canaryJson,"slowest":$top10,"full":"$out","sf":"$sfDir","reps":$reps,"passes":$passes}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -498,12 +498,22 @@ object Geo {
     while (!exhausted && remaining.head(1).nonEmpty) {
       val covering = r >= rCover
       val ringBest =
-        if (covering)
+        if (covering) {
           // covering round: every point must be seen anyway, so the
-          // straggler probes broadcast against the point table — no ring
-          // explode (the old shape generated (2·rCover+1)² cells/probe)
+          // straggler probes pair against the full point table — no ring
+          // explode (the old shape generated (2·rCover+1)² cells/probe).
+          // Broadcast ONLY while the straggler set is genuinely small: in
+          // a layout where most probes are far from every point the
+          // stragglers are nearly the whole probe table, and forcing an
+          // 8 GB-capped broadcast there trades the old gradual degradation
+          // for a driver OOM — past the cap, a partitioned cartesian join
+          // degrades executor-side instead
+          val probeSide =
+            if (remaining.count() <= 1000000L) broadcast(remaining)
+            else remaining
           argmin(ptsCell.select(col("o_orderkey"), col("x"), col("y"))
-            .crossJoin(broadcast(remaining)).withColumn("d2", d2))
+            .crossJoin(probeSide).withColumn("d2", d2))
+        }
         else {
           val pcx = floor(col("px") / cell)
           val pcy = floor(col("py") / cell)

@@ -91,38 +91,75 @@ object EventStreams {
     * hashes, G17 first-seen grams). The r12 shape republished the FULL
     * ledger every trigger (read → union → rewrite), so per-trigger
     * publish cost was O(corpus-so-far) and total ingest cost quadratic —
-    * a genuine 100 TB scale-killer. This layout makes the publish
-    * O(batch's new hashes):
+    * a genuine 100 TB scale-killer. This layout makes the steady-state
+    * publish O(batch's new hashes):
     *   - base generation at `root` (the [[publishState]] crash-safe
-    *     layout), rewritten ONLY at compaction;
-    *   - one delta dir per trigger at `root + ".delta/d<batchId>"`
+    *     layout), rewritten ONLY at major compaction;
+    *   - one delta dir per trigger at `root + ".delta/e<epoch>_d<batchId>"`
     *     holding ONLY the batch's new hashes. Callers compute the new
     *     set with an anti-join against the full ledger, so deltas are
     *     disjoint from the base and from each other by construction; an
     *     all-seen batch writes nothing, so re-feeding old data adds
-    *     ZERO ledger bytes (spec-pinned);
-    *   - every `compactEvery` deltas the base is rewritten as
-    *     distinct(base ∪ deltas) through publishState's atomic-rename
-    *     protocol (the D14 compaction move), then the absorbed delta
-    *     dirs are dropped. A crash between publish and drop leaves
-    *     stale deltas that duplicate base rows — benign: readers use
-    *     anti-joins (duplicates cannot multiply rows) and the next
-    *     compaction's `distinct` self-heals the layout.
-    * Crash safety of a delta write: a partial job leaves only the
-    * committer's `_temporary` dir (ignored by the parquet reader); a
-    * delta counts as complete only once `_SUCCESS` exists, and a
-    * replayed batchId overwrites its own dir idempotently. */
+    *     ZERO ledger bytes (spec-pinned). `epoch` is a per-stream-start
+    *     nonce: a replay of the SAME run's batch overwrites its own dir
+    *     idempotently, while a RESTART against a reused stateDir with a
+    *     fresh/absent checkpoint (batchIds reset to 0) lands in a new
+    *     epoch instead of silently clobbering an old uncompacted d0 —
+    *     the r13 batchId-only naming lost those hashes and re-admitted
+    *     their duplicates;
+    *   - MAJOR compaction folds distinct(base ∪ deltas) into a new base
+    *     (publishState's atomic-rename protocol, the D14 move) when the
+    *     accumulated delta BYTES reach the base's size — never on a bare
+    *     dir count. Each major therefore at least doubles the base, so a
+    *     corpus ingested through N triggers pays O(corpus) TOTAL major
+    *     I/O (geometric series) instead of the r13 count-triggered
+    *     full-rewrite's Θ(corpus²/compactEvery);
+    *   - MINOR compaction bounds read fan-in: when the delta dir COUNT
+    *     reaches `compactEvery` while the size ratio says the base is
+    *     not worth rewriting, the smallest delta dirs merge into ONE
+    *     delta (smallest-first, so a byte re-merges only while its dir
+    *     stays among the smallest — O(log) re-merges under balanced
+    *     batch sizes), costing only the merged deltas' bytes.
+    * Crash windows: a partial delta/merge write leaves no `_SUCCESS`
+    * and is never trusted; a crash after a merge or major publish but
+    * before the absorbed dirs drop leaves duplicate rows — benign:
+    * readers use anti-joins (duplicates cannot multiply rows) and every
+    * merge/major runs `distinct`, self-healing the layout (spec-pinned
+    * via a poisoned stale delta). */
   private[graft] def appendLedger(newRows: DataFrame, root: String,
-      batchId: Long, compactEvery: Int = 16): Unit = {
+      batchId: Long, compactEvery: Int = 16, epoch: String = "0"): Unit = {
     val spark = newRows.sparkSession
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!newRows.isEmpty)
-      newRows.write.mode("overwrite").parquet(s"$root.delta/d$batchId")
+      newRows.write.mode("overwrite").parquet(s"$root.delta/e${epoch}_d$batchId")
     val deltas = ledgerDeltaDirs(spark, root)
-    if (deltas.length >= compactEvery) {
+    def bytes(p: org.apache.hadoop.fs.Path): Long =
+      fs.getContentSummary(p).getLength
+    val baseBytes = {
+      val cur = new org.apache.hadoop.fs.Path(root)
+      val next = new org.apache.hadoop.fs.Path(root + ".next")
+      val prev = new org.apache.hadoop.fs.Path(root + ".prev")
+      if (fs.exists(cur)) bytes(cur)
+      else if (fs.exists(new org.apache.hadoop.fs.Path(next, "_SUCCESS"))) bytes(next)
+      else if (fs.exists(prev)) bytes(prev)
+      else 0L
+    }
+    val sized = deltas.map(d => (d, bytes(d)))
+    if (deltas.nonEmpty && sized.map(_._2).sum >= math.max(baseBytes, 1L)) {
+      // major: the deltas are worth a base rewrite (base at least doubles)
       readLedger(spark, root).foreach(all => publishState(all.distinct(), root))
       deltas.foreach(d => fs.delete(d, true))
+    } else if (deltas.length >= compactEvery) {
+      // minor: cap read fan-in without touching the base — fold the
+      // smallest dirs into one merged delta (named m<batchId>: a delta
+      // and its merge can never collide within an epoch)
+      val merge = sized.sortBy(t => (t._2, t._1.toString))
+        .take(deltas.length - compactEvery / 2 + 1).map(_._1)
+      merge.map(p => spark.read.parquet(p.toString))
+        .reduce(_.unionByName(_)).distinct()
+        .write.mode("overwrite").parquet(s"$root.delta/e${epoch}_m$batchId")
+      merge.foreach(d => fs.delete(d, true))
     }
   }
 
@@ -494,12 +531,16 @@ object EventStreams {
     * layout: each trigger WRITES only the batch's never-seen hashes
     * (O(batch), not O(corpus) — the r12 full-rewrite publish made total
     * ingest cost quadratic) and READS the ledger through one anti-join
-    * (the F24 incremental-dedup shape carried across restarts);
-    * compaction folds deltas into the base every `compactEvery`
-    * triggers through the crash-safe rename protocol. */
+    * (the F24 incremental-dedup shape carried across restarts); major
+    * compaction folds deltas into the base on a SIZE ratio (O(corpus)
+    * lifetime I/O — see [[appendLedger]]), minor merges cap delta
+    * fan-in at `compactEvery` dirs. */
   def paragraphDedupStream(docs: DataFrame, stateDir: String, w: Int = 20,
       compactEvery: Int = 16)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // per-run nonce: protects a reused stateDir against a fresh
+    // checkpoint's restarted batchIds (see appendLedger)
+    val epoch = java.util.UUID.randomUUID().toString.take(8)
     docs.writeStream.outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         import org.apache.spark.sql.functions._
@@ -529,9 +570,10 @@ object EventStreams {
           .write.mode("append").parquet(stateDir + "/report")
         // ledger' = ledger ∪ ONLY the new hashes (O(batch) publish)
         appendLedger(newFirsts.select(col("h")), stateDir + "/seen",
-          batchId, compactEvery)
+          batchId, compactEvery, epoch)
       }
       .start()
+  }
 
   /** G19: STREAMING Markov transition matrix — E35 as continuous
     * analytics: events arrive in micro-batches, a per-user LAST-event
@@ -787,7 +829,8 @@ object EventStreams {
     * reads the ledger through one anti-join. */
   def noveltyStream(docs: DataFrame, stateDir: String, k: Int = 8,
       compactEvery: Int = 16)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val epoch = java.util.UUID.randomUUID().toString.take(8)
     docs.writeStream.outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         import org.apache.spark.sql.functions._
@@ -815,9 +858,10 @@ object EventStreams {
             expr("n_novel * 1000000 div greatest(n_distinct, 1)"))
           .write.mode("append").parquet(stateDir + "/report")
         appendLedger(newFirsts.select(col("gh")), stateDir + "/seen",
-          batchId, compactEvery)
+          batchId, compactEvery, epoch)
       }
       .start()
+  }
 
   /** G25: STREAMING exact heavy hitters — E29 as the always-on hot-key
     * dashboard: per-key counts accumulate in persisted state (the one

@@ -1046,6 +1046,55 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("appendLedger: epoch namespacing survives a checkpoint reset; compaction is size-tiered") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ledger").toString + "/seen"
+    // incompressible 32-char hashes so parquet byte size tracks row count
+    // (the size-ratio triggers compare BYTES, and sequential longs would
+    // compress the base below the per-file overhead of a tiny delta)
+    def h(i: Int) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(i.toString.getBytes).map("%02x".format(_)).mkString
+    }
+    def rows(r: Range) = r.map(h).toDF("h")
+    def hs(r: Range) = r.map(h).toSet
+    def deltaCount = EventStreams.ledgerDeltaDirs(spark, root).length
+    def ledgerIds = EventStreams.readLedger(spark, root).get
+      .collect().map(_.getString(0)).toSet
+    // run 1, batch 0: no base yet — the deltas outweigh it, so the fold
+    // into a base happens immediately (majors are cheap while small)
+    EventStreams.appendLedger(rows(0 until 1000), root, 0L, 4, "run1")
+    assert(deltaCount == 0 && ledgerIds == hs(0 until 1000))
+    // run 1, batch 1: a small delta next to a big base stays a delta —
+    // rewriting a 1000-row base for 5 new rows is the r12 quadratic shape
+    EventStreams.appendLedger(rows(1000 until 1005), root, 1L, 4, "run1")
+    assert(deltaCount == 1, "small delta must not trigger a base rewrite")
+    assert(spark.read.parquet(root).count() == 1000L, "base must be untouched")
+    // RESTART against the same stateDir with a fresh checkpoint: batchIds
+    // reset, so a batchId-1 delta arrives AGAIN — the r13 batchId-only
+    // naming overwrote run1's d1 here, silently dropping its hashes
+    EventStreams.appendLedger(rows(2000 until 2005), root, 1L, 4, "run2")
+    assert((hs(1000 until 1005) ++ hs(2000 until 2005)).subsetOf(ledgerIds),
+      "a checkpoint reset clobbered an earlier epoch's uncompacted delta")
+    // two more small deltas hit the fan-in cap (compactEvery=4) without
+    // the size ratio: a MINOR merge folds the smallest dirs into one and
+    // still leaves the base alone
+    EventStreams.appendLedger(rows(3000 until 3005), root, 2L, 4, "run2")
+    EventStreams.appendLedger(rows(4000 until 4005), root, 3L, 4, "run2")
+    assert(deltaCount < 4, s"minor merge must cap delta fan-in: $deltaCount dirs")
+    assert(spark.read.parquet(root).count() == 1000L,
+      "minor merge must not rewrite the base")
+    assert(ledgerIds == hs(0 until 1000) ++ hs(1000 until 1005) ++
+      hs(2000 until 2005) ++ hs(3000 until 3005) ++ hs(4000 until 4005),
+      "ledger lost rows across epochs/merges")
+    // a delta batch as big as the base triggers the MAJOR fold: the base
+    // at least doubles per major, so lifetime major I/O is O(corpus)
+    EventStreams.appendLedger(rows(5000 until 7000), root, 4L, 4, "run2")
+    assert(deltaCount == 0, "a base-sized delta must trigger the major fold")
+    assert(spark.read.parquet(root).count() == 3020L,
+      "major fold must absorb every delta exactly once")
+  }
+
   test("state publish is crash-safe: every interruption point leaves a readable generation") {
     import org.apache.hadoop.fs.Path
     val tmp = java.nio.file.Files.createTempDirectory("statepub").toString
