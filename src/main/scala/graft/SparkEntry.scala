@@ -347,6 +347,7 @@ object SparkEntry {
     "stream_hll"             -> graft.streaming.StreamGate.streamHll _,
     "stream_quantile"        -> graft.streaming.StreamGate.streamQuantile _,
     "stream_bloom"           -> graft.streaming.StreamGate.streamBloom _,
+    "mon_stream_scorecard"   -> graft.operators.Scorecard.streamScorecard _,
   )
 
   // shared SQL fragments for the oracle ---------------------------------
@@ -704,9 +705,41 @@ object SparkEntry {
     }.mkString(" + ")
   }
 
+  /** One gate's branch of the G32 scoreboard oracle: the D24 digest
+    * (md5 of a canonical '|'-joined projection → first-8-hex int64 →
+    * count/sum/xor fold) over that gate's own oracle SQL as a subquery.
+    * The projection rules mirror [[graft.operators.Scorecard.digestOf]]
+    * exactly (same tag alphabet, same NULL/bool/double images) and the
+    * column specs come from the SAME `Scorecard.gateCols` list the Spark
+    * side reads — one source of truth, the two sides cannot drift. */
+  private def digestSql(gate: String, inner: String,
+      cols: Seq[(String, Char)]): String = {
+    val canon = cols.map { case (n, t) => t match {
+      case 'd' => s"""COALESCE(CAST(CAST(round("$n" * 10000) AS BIGINT) AS VARCHAR), '')"""
+      case 'b' => s"""COALESCE(CAST(CASE WHEN "$n" THEN 1 ELSE 0 END AS VARCHAR), '')"""
+      case 's' => s"""COALESCE("$n", '')"""
+      case _   => s"""COALESCE(CAST("$n" AS VARCHAR), '')"""
+    }}.mkString(", ")
+    s"""SELECT '$gate' AS gate, CAST(count(*) AS BIGINT) AS n_rows,
+       | CAST(COALESCE(sum(h), 0) AS BIGINT) AS sum_hash,
+       | CAST(COALESCE(bit_xor(h), 0) AS BIGINT) AS xor_hash
+       |FROM (SELECT ('0x' || substr(md5(concat_ws('|', $canon)), 1, 8))::BIGINT AS h
+       |  FROM ($inner))""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = baseOracleSql ++ Map(
+  def oracleSql: Map[String, String] = {
+    // most stream-gate oracles live in streamGateOracleSql; a few
+    // bespoke ones (outer_join, staleness) sit in baseOracleSql
+    val gates = baseOracleSql ++ streamGateOracleSql
+    val scorecard = graft.operators.Scorecard.gateCols
+      .map { case (g, cols) => digestSql(g, gates(g), cols) }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY gate")
+    gates ++ Map("mon_stream_scorecard" -> scorecard)
+  }
+
+  private def streamGateOracleSql: Map[String, String] = Map(
     // G-family stream gates whose completed run equals a batch operator
     // reuse that operator's oracle VERBATIM (one SQL text — the two
     // entries cannot drift): G1 ≡ E13 bucketing, G19 ≡ E35 matrix,
