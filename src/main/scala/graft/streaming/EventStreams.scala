@@ -163,6 +163,35 @@ object EventStreams {
     }
   }
 
+  /** Shared CELL-FOLD state store for the cumulative foreachBatch gates
+    * (r13-verdict stretch, r14): every "accumulate additive partials,
+    * re-emit the report" gate routes its state turn through this one
+    * helper — read the prior generation, union the batch's partials,
+    * re-aggregate per key (every non-key column summed back to its own
+    * dtype — partials are additive by each gate's construction), publish
+    * crash-safe, return the total for the report assembly. One shared
+    * shape means no future gate can hand-roll a state fold that grows
+    * beyond its key grain or skips the atomic-rename publish: the fold's
+    * state size IS the key domain's size, which each gate's scaladoc
+    * argues is value-bounded. (The UNBOUNDED ledgers — G15/G17 corpus
+    * hash sets — use [[appendLedger]] instead: their state is
+    * corpus-sized, so the full-rewrite this helper performs per trigger
+    * would be the r12 quadratic-ingest bug. This helper is for
+    * value-bounded cell/moment grains only.) */
+  private[graft] def foldState(part: DataFrame, stateDir: String,
+      keys: Seq[String]): DataFrame = {
+    val spark = part.sparkSession
+    val vals = part.schema.filterNot(f => keys.contains(f.name))
+    val prior = readState(spark, stateDir).getOrElse(part.limit(0))
+    val aggs = vals.map(f => sum(col(f.name)).cast(f.dataType).as(f.name))
+    val total = prior.unionByName(part)
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint(true)
+    publishState(total, stateDir)
+    total
+  }
+
   /** Complete (_SUCCESS-marked) delta dirs of an append-only ledger. */
   private[graft] def ledgerDeltaDirs(spark: org.apache.spark.sql.SparkSession,
       root: String): Seq[org.apache.hadoop.fs.Path] = {
@@ -313,12 +342,8 @@ object EventStreams {
           .withColumn("day", expr("sec div 86400").cast("long"))
           .groupBy(col("event_type").as("source"), col("day"))
           .agg(sum(col("value")).as("duration"))
-        val prior = readState(spark, stateDir + "/dailies").getOrElse(part.limit(0))
-        val ledger = prior.unionByName(part).localCheckpoint(true)
-        publishState(ledger, stateDir + "/dailies")
-        graft.operators.LoadOps.decayAvgOver(
-          ledger.groupBy(col("source"), col("day"))
-            .agg(sum(col("duration")).as("duration")), windowDays)
+        val ledger = foldState(part, stateDir + "/dailies", Seq("source", "day"))
+        graft.operators.LoadOps.decayAvgOver(ledger, windowDays)
           .write.mode("overwrite").parquet(stateDir + "/report")
         (): Unit
       }
@@ -363,13 +388,7 @@ object EventStreams {
               .cast("long").as("o_r"),
             sum(when(col("sec") > col("ref_end_sec"), 1L).otherwise(0L))
               .cast("long").as("o_c"))
-        val prior = readState(spark, stateDir + "/cells").getOrElse(part.limit(0))
-        val ledger = prior.unionByName(part)
-          .groupBy(col("event_type"), col("hour"))
-          .agg(sum(col("o_r")).cast("long").as("o_r"),
-            sum(col("o_c")).cast("long").as("o_c"))
-          .localCheckpoint(true)
-        publishState(ledger, stateDir + "/cells")
+        val ledger = foldState(part, stateDir + "/cells", Seq("event_type", "hour"))
         graft.operators.LoadOps.chi2FromHourCells(ledger)
           .write.mode("overwrite").parquet(stateDir + "/report")
         (): Unit
@@ -401,13 +420,7 @@ object EventStreams {
           .groupBy(col("source"), col("day"))
           .agg(count(lit(1)).cast("long").as("n"),
             sum(col("cents")).cast("long").as("s"))
-        val prior = readState(spark, stateDir + "/dailies").getOrElse(part.limit(0))
-        val ledger = prior.unionByName(part)
-          .groupBy(col("source"), col("day"))
-          .agg(sum(col("n")).cast("long").as("n"),
-            sum(col("s")).cast("long").as("s"))
-          .localCheckpoint(true)
-        publishState(ledger, stateDir + "/dailies")
+        val ledger = foldState(part, stateDir + "/dailies", Seq("source", "day"))
         graft.operators.LoadOps.changepointOver(
           ledger.select(col("source"), col("day"),
             expr("s div n").as("md")), bar)
@@ -599,12 +612,8 @@ object EventStreams {
         val last = readState(spark, stateDir + "/last").getOrElse(batch.limit(0))
         val uni = last.unionByName(batch).localCheckpoint(true)
         val fresh = graft.operators.Relational.markovCountsOf(uni)
-        val prior = readState(spark, stateDir + "/counts").getOrElse(fresh.limit(0))
-        val counts = prior.unionByName(fresh)
-          .groupBy(col("state"), col("next_state"))
-          .agg(sum(col("n")).as("n"))
-          .localCheckpoint(true)
-        publishState(counts, stateDir + "/counts")
+        val counts = foldState(fresh, stateDir + "/counts",
+          Seq("state", "next_state"))
         publishState(uni.groupBy(col("user_id"))
           .agg(max_by(struct(col("sec"), col("event_id"), col("event_type")),
             struct(col("sec"), col("event_id"))).as("s"))
@@ -639,11 +648,7 @@ object EventStreams {
         val tail = readState(spark, stateDir + "/tail").getOrElse(batch.limit(0))
         val uni = tail.unionByName(batch).localCheckpoint(true)
         val fresh = graft.operators.Relational.pathCellsOf(uni)
-        val prior = readState(spark, stateDir + "/cells").getOrElse(fresh.limit(0))
-        val cells = prior.unionByName(fresh)
-          .groupBy(col("path")).agg(sum(col("n")).as("n"))
-          .localCheckpoint(true)
-        publishState(cells, stateDir + "/cells")
+        val cells = foldState(fresh, stateDir + "/cells", Seq("path"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("user_id"))
           .orderBy(col("sec").desc, col("event_id").desc)
@@ -674,11 +679,7 @@ object EventStreams {
         val fresh = batch0.toDF().select(col("a"), col("b"))
           .groupBy(col("a"), col("b"))
           .agg(count(lit(1)).cast("long").as("o"))
-        val prior = readState(spark, stateDir + "/cells").getOrElse(fresh.limit(0))
-        val cells = prior.unionByName(fresh)
-          .groupBy(col("a"), col("b")).agg(sum(col("o")).cast("long").as("o"))
-          .localCheckpoint(true)
-        publishState(cells, stateDir + "/cells")
+        val cells = foldState(fresh, stateDir + "/cells", Seq("a", "b"))
         graft.operators.Relational.cramersFromCells(cells, nameA, nameB)
           .write.mode("overwrite").parquet(stateDir + "/report")
         (): Unit
@@ -702,11 +703,7 @@ object EventStreams {
         val fresh = batch0.toDF().select(col("flag"), col("v").cast("long"))
           .groupBy(col("flag"), col("v"))
           .agg(count(lit(1)).cast("long").as("cnt"))
-        val prior = readState(spark, stateDir + "/cells").getOrElse(fresh.limit(0))
-        val cells = prior.unionByName(fresh)
-          .groupBy(col("flag"), col("v")).agg(sum(col("cnt")).cast("long").as("cnt"))
-          .localCheckpoint(true)
-        publishState(cells, stateDir + "/cells")
+        val cells = foldState(fresh, stateDir + "/cells", Seq("flag", "v"))
         graft.operators.Relational.winsorizedFromCells(cells)
           .write.mode("overwrite").parquet(stateDir + "/report")
         (): Unit
@@ -734,9 +731,7 @@ object EventStreams {
         val spark = batch0.sparkSession
         val batch = batch0.toDF()
           .select(col("source"), col("day").cast("long"), col("md").cast("long"))
-        val prior = readState(spark, stateDir + "/dailies").getOrElse(batch.limit(0))
-        val total = prior.unionByName(batch).localCheckpoint(true)
-        publishState(total, stateDir + "/dailies")
+        val total = foldState(batch, stateDir + "/dailies", Seq("source", "day"))
         graft.operators.LoadOps.cusumOver(total, kCents, hCents)
           .write.mode("overwrite").parquet(stateDir + "/report")
         (): Unit
@@ -760,14 +755,7 @@ object EventStreams {
         import org.apache.spark.sql.functions._
         val spark = batch0.sparkSession
         val fresh = graft.operators.Relational.abCentMomentsOf(batch0.toDF())
-        val prior = readState(spark, stateDir + "/moments").getOrElse(fresh.limit(0))
-        val cols = Seq("n_a", "sum_a", "ss_a", "n_b", "sum_b", "ss_b")
-        val total = prior.unionByName(fresh)
-          .groupBy(col("event_type"))
-          .agg(cols.map(c => sum(col(c)).as(c)).head,
-            cols.map(c => sum(col(c)).as(c)).tail: _*)
-          .localCheckpoint(true)
-        publishState(total, stateDir + "/moments")
+        val total = foldState(fresh, stateDir + "/moments", Seq("event_type"))
         graft.operators.Relational.abTtestFromCents(total)
           .write.mode("overwrite").parquet(stateDir + "/report")
         (): Unit
@@ -794,12 +782,8 @@ object EventStreams {
           .select(col("label"), col("is_cur"), posexplode(col("v")).as(Seq("pos", "x")))
           .groupBy(col("label"), col("pos"), col("is_cur"))
           .agg(sum(col("x")).as("s"), count(lit(1)).as("c"))
-        val prev = readState(spark, stateDir + "/moments").getOrElse(partial.limit(0))
-        val merged = prev.unionByName(partial)
-          .groupBy(col("label"), col("pos"), col("is_cur"))
-          .agg(sum(col("s")).as("s"), sum(col("c")).as("c"))
-          .localCheckpoint(true)
-        publishState(merged, stateDir + "/moments")
+        val merged = foldState(partial, stateDir + "/moments",
+          Seq("label", "pos", "is_cur"))
         val byDim = merged.groupBy(col("label"), col("pos"))
           .agg((sum(when(!col("is_cur"), col("s"))) /
               sum(when(!col("is_cur"), col("c")))).as("rc"),
@@ -881,11 +865,7 @@ object EventStreams {
         val fresh = batch0.toDF()
           .select(col("user_id").cast("long").as("user_id"))
           .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
-        val prior = readState(spark, stateDir + "/counts").getOrElse(fresh.limit(0))
-        val total = prior.unionByName(fresh)
-          .groupBy(col("user_id")).agg(sum(col("n")).as("n"))
-          .localCheckpoint(true)
-        publishState(total, stateDir + "/counts")
+        val total = foldState(fresh, stateDir + "/counts", Seq("user_id"))
         // coalesce: an empty first micro-batch has no rows to sum — the
         // grand total must be 0, not a null that kills the stream
         val n = total.agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
@@ -916,12 +896,7 @@ object EventStreams {
           .select(col("source"), col("day").cast("long"), col("cents").cast("long"))
           .groupBy(col("source"), col("day"))
           .agg(sum(col("cents")).as("s"), count(lit(1)).as("n"))
-        val prior = readState(spark, stateDir + "/moments").getOrElse(fresh.limit(0))
-        val total = prior.unionByName(fresh)
-          .groupBy(col("source"), col("day"))
-          .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
-          .localCheckpoint(true)
-        publishState(total, stateDir + "/moments")
+        val total = foldState(fresh, stateDir + "/moments", Seq("source", "day"))
         graft.operators.LoadOps.holtOver(
             total.select(col("source"), col("day"), expr("s div n").as("md")),
             alphaPpm, betaPpm, hCents, warmup)
@@ -952,12 +927,7 @@ object EventStreams {
           .select(col("source"), col("day").cast("long"), col("cents").cast("long"))
           .groupBy(col("source"), col("day"))
           .agg(sum(col("cents")).as("s"), count(lit(1)).as("n"))
-        val prior = readState(spark, stateDir + "/moments").getOrElse(fresh.limit(0))
-        val total = prior.unionByName(fresh)
-          .groupBy(col("source"), col("day"))
-          .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
-          .localCheckpoint(true)
-        publishState(total, stateDir + "/moments")
+        val total = foldState(fresh, stateDir + "/moments", Seq("source", "day"))
         graft.operators.LoadOps.seasonalOf(
             total.select(col("source"), col("day"), expr("s div n").as("md")),
             trainDays, hCents)
@@ -987,12 +957,7 @@ object EventStreams {
           .select(col("source"), col("day").cast("long"), col("cents").cast("long"))
           .groupBy(col("source"), col("day"))
           .agg(sum(col("cents")).as("s"), count(lit(1)).as("n"))
-        val prior = readState(spark, stateDir + "/moments").getOrElse(fresh.limit(0))
-        val total = prior.unionByName(fresh)
-          .groupBy(col("source"), col("day"))
-          .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
-          .localCheckpoint(true)
-        publishState(total, stateDir + "/moments")
+        val total = foldState(fresh, stateDir + "/moments", Seq("source", "day"))
         graft.operators.LoadOps.hampelOver(
             total.select(col("source"), col("day"), expr("s div n").as("md")),
             winDays, minWin)
@@ -1016,12 +981,7 @@ object EventStreams {
         import org.apache.spark.sql.functions._
         val spark = batch0.sparkSession
         val fresh = graft.operators.LoadOps.benfordCountsOf(batch0.toDF())
-        val prior = readState(spark, stateDir + "/counts").getOrElse(fresh.limit(0))
-        val total = prior.unionByName(fresh)
-          .groupBy(col("source"), col("digit"))
-          .agg(sum(col("n_d")).as("n_d"))
-          .localCheckpoint(true)
-        publishState(total, stateDir + "/counts")
+        val total = foldState(fresh, stateDir + "/counts", Seq("source", "digit"))
         graft.operators.LoadOps.benfordFromCounts(total, flagBar)
           .write.mode("overwrite").parquet(stateDir + "/report")
         (): Unit
