@@ -347,6 +347,8 @@ object SparkEntry {
     "stream_hll"             -> graft.streaming.StreamGate.streamHll _,
     "stream_quantile"        -> graft.streaming.StreamGate.streamQuantile _,
     "stream_bloom"           -> graft.streaming.StreamGate.streamBloom _,
+    "mon_page_hinkley"       -> ((s: SparkSession, d: String) => LoadOps.pageHinkley(s, d)),
+    "stream_page_hinkley"    -> graft.streaming.StreamGate.streamPageHinkley _,
     "mon_stream_scorecard"   -> graft.operators.Scorecard.streamScorecard _,
   )
 
@@ -747,6 +749,7 @@ object SparkEntry {
     "stream_window_agg"    -> baseOracleSql("q_time_bucket"),
     "stream_markov"        -> baseOracleSql("q_markov_transitions"),
     "stream_cusum"         -> baseOracleSql("mon_cusum"),
+    "stream_page_hinkley"  -> baseOracleSql("mon_page_hinkley"),
     "stream_constraints"   -> baseOracleSql("load_check_constraints"),
     "stream_heavy_hitters" -> baseOracleSql("q_heavy_hitters"),
     "stream_benford"       -> baseOracleSql("mon_benford"),
@@ -1804,6 +1807,27 @@ object SparkEntry {
     // at the global watermark day so the report is corpus-deterministic
     // D40: the whole two-sided CUSUM trajectory replayed by a recursive
     // CTE (the D33 convention) — every S value hash-checked
+    // D58: the Page-Hinkley trajectory replayed with three cumulative
+    // window passes — running mean in floor-divided micro-cents, PH
+    // cumsum, running min; every intermediate hash-checked
+    "mon_page_hinkley" ->
+      """WITH d AS (
+        | SELECT event_type AS source,
+        |  CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) // count(*) AS BIGINT) AS md
+        | FROM events GROUP BY 1, 2),
+        |r AS (SELECT source, day, md,
+        |  CAST((sum(md) OVER w) * 1000000 // (count(*) OVER w) AS BIGINT) AS mean_micro
+        | FROM d WINDOW w AS (PARTITION BY source ORDER BY day ROWS UNBOUNDED PRECEDING)),
+        |p AS (SELECT source, day, md, mean_micro,
+        |  CAST(sum(md * 1000000 - mean_micro - 100000000) OVER w AS BIGINT) AS ph_micro
+        | FROM r WINDOW w AS (PARTITION BY source ORDER BY day ROWS UNBOUNDED PRECEDING)),
+        |m AS (SELECT source, day, md, mean_micro, ph_micro,
+        |  CAST(min(ph_micro) OVER w AS BIGINT) AS min_ph_micro
+        | FROM p WINDOW w AS (PARTITION BY source ORDER BY day ROWS UNBOUNDED PRECEDING))
+        |SELECT source, day, md, mean_micro, ph_micro, min_ph_micro,
+        | CAST(CASE WHEN ph_micro - min_ph_micro > 2000000000 THEN 1 ELSE 0 END AS INT) AS alarm
+        |FROM m ORDER BY source, day""".stripMargin,
     "mon_cusum" ->
       """WITH RECURSIVE d AS (
         | SELECT event_type AS source,

@@ -2313,6 +2313,63 @@ object LoadOps {
     cusumOver(daily, kCents, hCents)
   }
 
+  /** D58: PAGE–HINKLEY drift detector per source — the third member of
+    * the sequential-change family: D40's CUSUM pages against a FIXED
+    * training-window baseline μ (drifts of the baseline itself look like
+    * shifts forever after), D48 localizes a change retrospectively;
+    * Page–Hinkley (Page 1954, Hinkley 1971) tracks the RUNNING mean, so
+    * it needs no training window, adapts to slow drift, and pages only
+    * on abrupt level shifts: PH_t = Σ_{i≤t}(x_i − x̄_i − δ) with x̄_i
+    * the running mean of the first i values, alarm when
+    * PH_t − min_{j≤t} PH_j > λ.
+    *
+    * Determinism contract: dailies are D40's exact integer-cent frame;
+    * the running mean enters in MICRO-cents via floor division
+    * (cum·1e6 div n — cum is a sum of nonnegative cents, so Spark `div`
+    * and DuckDB `//` truncate identically), deviations, cumulative sums
+    * and the running minimum are exact int64 micro-cents, and the alarm
+    * is a strict integer compare. No float anywhere — both engines
+    * replay the whole trajectory bit-for-bit (every PH value is
+    * hash-checked, not just the alarms).
+    *
+    * Scale shape: ONE hash agg collapses the corpus to |source·days|
+    * rows, then three cumulative window passes per source over its
+    * run-log-sized history (cum-sum/count, PH cum-sum, running min) —
+    * no self-join, no recursion, nothing event-proportional. */
+  def pageHinkley(spark: SparkSession, dir: String,
+      deltaCents: Long = 100L, lambdaCents: Long = 2000L): DataFrame = {
+    val t = Tables(spark, dir)
+    pageHinkleyOver(t.eventsSec
+      .select(col("event_type").as("source"),
+        expr("sec div 86400").cast("long").as("day"),
+        expr("cast(round(value * 100) as long)").as("cents"))
+      .groupBy(col("source"), col("day"))
+      .agg(expr("sum(cents) div count(*)").as("md")), deltaCents, lambdaCents)
+  }
+
+  /** The D58 compute over any (source, day, md) daily frame — specs
+    * plant a hard level shift (alarm fires at the shift, then the
+    * adapting mean absorbs it) and a constant series (never alarms). */
+  def pageHinkleyOver(daily: DataFrame, deltaCents: Long,
+      lambdaCents: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("cum", sum(col("md")).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("mean_micro", expr("cum * 1000000 div n"))
+      .withColumn("dev_micro", col("md") * lit(1000000L) - col("mean_micro")
+        - lit(deltaCents * 1000000L))
+      .withColumn("ph_micro", sum(col("dev_micro")).over(w))
+      .withColumn("min_ph_micro", min(col("ph_micro")).over(w))
+      .withColumn("alarm", (col("ph_micro") - col("min_ph_micro") >
+        lit(lambdaCents * 1000000L)).cast("int"))
+      .select(col("source"), col("day"), col("md"), col("mean_micro"),
+        col("ph_micro"), col("min_ph_micro"), col("alarm"))
+      .orderBy(col("source"), col("day"))
+  }
+
   /** D38: multi-window SLO error-budget BURN RATE — the SRE-workbook
     * alerting policy over the run log (monitoring.py success-rate
     * tracking stops at a global rate; a burn-rate pager needs rates over

@@ -5,20 +5,20 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** G32 `mon_stream_scorecard`: the STREAM-GATE SCOREBOARD — all 31
-  * streaming gates' pinned reports folded into ONE digest frame, one row
+/** G32 `mon_stream_scorecard`: the STREAM-GATE SCOREBOARD — every
+  * streaming gate's pinned reports folded into ONE digest frame, one row
   * per gate: (gate, n_rows, sum_hash, xor_hash). A stream regression
-  * today is 31 separate per-gate diffs; this makes it one frame a
+  * today is one diff per gate; this makes it one frame a
   * monitoring dashboard (or the next round's diff) reads at a glance —
   * the r12/r13 verdicts' requested consolidation.
   *
   * WHAT is digested: the frame each gate's COMPLETED stream must emit.
   * Every G gate is pinned (gate + spec) to equal a deterministic batch
-  * computation over the same corpus — 24 of them share a batch
-  * operator's oracle verbatim, the other 7 have a batch-shaped replay
+  * computation over the same corpus — most share a batch
+  * operator's oracle verbatim, the others have a batch-shaped replay
   * their own oracle spells out. The scoreboard computes those batch
   * forms directly (the streaming machinery itself stays covered by the
-  * 31 individual gates — re-running 31 real streaming queries per
+  * individual gates — re-running every real streaming query per
   * evaluation would add ~100 s of pure query-startup protocol cost for
   * zero additional signal). In a live deployment the same digest runs
   * over the streams' report dirs; report-dir mtime supplies freshness
@@ -37,7 +37,7 @@ import org.apache.spark.sql.functions._
   * DuckDB oracle generator (SparkEntry.digestSql) both read THIS list,
   * so the two sides cannot drift.
   *
-  * Scale shape: one union of 31 independent (agg → 1 row) branches —
+  * Scale shape: one union of per-gate independent (agg → 1 row) branches —
   * each branch is its operator's own scale-argued plan plus one
   * commutative hash fold (map-side combinable); the scoreboard adds no
   * join, no new shuffle, no driver loop. */
@@ -98,6 +98,9 @@ object Scorecard {
       "n_novel" -> 'l', "novelty_ppm" -> 'l'),
     "stream_outer_join" -> Seq("inc_id" -> 'l', "n_matched" -> 'l',
       "has_match" -> 'l'),
+    "stream_page_hinkley" -> Seq("source" -> 's', "day" -> 'l', "md" -> 'l',
+      "mean_micro" -> 'l', "ph_micro" -> 'l', "min_ph_micro" -> 'l',
+      "alarm" -> 'l'),
     "stream_paragraph_dedup" -> Seq("doc_id" -> 'l', "n_chunks" -> 'l',
       "n_kept" -> 'l', "kept_checksum" -> 'l'),
     "stream_quantile" -> Seq("l_returnflag" -> 's', "q" -> 'd',
@@ -220,6 +223,7 @@ object Scorecard {
       "stream_window_agg" -> Relational.qTimeBucket(spark, dir),
       "stream_markov" -> Relational.qMarkovTransitions(spark, dir),
       "stream_cusum" -> LoadOps.cusum(spark, dir),
+      "stream_page_hinkley" -> LoadOps.pageHinkley(spark, dir),
       "stream_constraints" -> LoadOps.checkConstraints(spark, dir),
       "stream_heavy_hitters" -> Relational.qHeavyHitters(spark, dir),
       "stream_benford" -> LoadOps.benford(spark, dir),

@@ -738,6 +738,32 @@ object EventStreams {
       }
       .start()
 
+  /** G33: STREAMING Page–Hinkley — D58 as the always-on adaptive-mean
+    * drift pager: per-(source, day) dailies fold into the shared
+    * [[foldState]] store (run-log-sized, the G21 argument — each daily
+    * row arrives once, the declared in-order contract), and every
+    * trigger re-runs the SAME `LoadOps.pageHinkleyOver` pass over the
+    * accumulated dailies, so the emitted trajectory equals the batch
+    * operator over the prefix bit-for-bit after every trigger (exact
+    * integer micro-cents end to end — no float drift class). Unlike the
+    * G21 CUSUM twin, the baseline here is the RUNNING mean, so the
+    * monitor self-calibrates as history accumulates — no training
+    * horizon to configure. */
+  def pageHinkleyStream(daily: DataFrame, stateDir: String,
+      deltaCents: Long = 100L, lambdaCents: Long = 2000L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    daily.writeStream.outputMode("append")
+      .foreachBatch { (batch0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import org.apache.spark.sql.functions._
+        val batch = batch0.toDF()
+          .select(col("source"), col("day").cast("long"), col("md").cast("long"))
+        val total = foldState(batch, stateDir + "/dailies", Seq("source", "day"))
+        graft.operators.LoadOps.pageHinkleyOver(total, deltaCents, lambdaCents)
+          .write.mode("overwrite").parquet(stateDir + "/report")
+        (): Unit
+      }
+      .start()
+
   /** G20: STREAMING A/B test — E36 as sequential monitoring (the
     * always-on experiment dashboard): per-(event_type) arm sufficient
     * statistics accumulate as EXACT INTEGER cent-moments (n, Σcents,

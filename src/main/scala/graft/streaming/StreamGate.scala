@@ -478,6 +478,33 @@ object StreamGate {
       .orderBy(col("source"), col("day"))
   }
 
+  /** G33 gate: the streaming Page–Hinkley monitor run MULTI-batch (4
+    * input files, one per trigger) — each (source, day) daily row is
+    * unique, so any batch split folds the same accumulated run log
+    * through the shared cell store, and the final report equals D58's
+    * batch trajectory bit-for-bit (integer micro-cents), sharing its
+    * oracle verbatim. */
+  def streamPageHinkley(spark: SparkSession, dir: String): DataFrame = {
+    val base = fresh(spark, "pagehinkley")
+    Tables(spark, dir).eventsSec
+      .select(col("event_type").as("source"),
+        expr("sec div 86400").cast("long").as("day"),
+        expr("cast(round(value * 100) as long)").as("cents"))
+      .groupBy(col("source"), col("day"))
+      .agg(expr("sum(cents) div count(*)").as("md"))
+      .repartition(4)
+      .write.parquet(s"$base/in")
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("source", StringType),
+        StructField("day", LongType), StructField("md", LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in")
+    val q = EventStreams.pageHinkleyStream(src, s"$base/state")
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    spark.read.parquet(s"$base/state/report")
+      .orderBy(col("source"), col("day"))
+  }
+
   /** G20 gate: the streaming A/B monitor run MULTI-batch (4 input files,
     * one per trigger) — per-arm integer cent-moments accumulate
     * associatively with zero float drift, so the final verdict equals the

@@ -742,6 +742,54 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     assert(corpusGot == corpusBrute, "corpus cusum diverged from the shared-step replay")
   }
 
+  test("page-hinkley: a level shift alarms then the running mean absorbs it, constants never alarm") {
+    import spark.implicits._
+    // flat 10000-cent baseline; "step" jumps to 14000 at day 16 (far past
+    // δ=100); "flat" stays constant — the running-mean baseline must keep
+    // PH at exactly -δ·t for it
+    def series(name: String, hi: Long) =
+      (1L to 30L).map(d => (name, d, if (d > 15) hi else 10000L))
+    val daily = (series("step", 14000L) ++ series("flat", 10000L))
+      .toDF("source", "day", "md")
+    val got = graft.operators.LoadOps.pageHinkleyOver(daily, 100L, 2000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getInt(6)))
+    // integer brute replay of the published recurrence
+    def replay(rows: Seq[(String, Long, Long)]) = {
+      var cum = 0L; var n = 0L; var ph = 0L; var minPh = Long.MaxValue
+      rows.sortBy(_._2).map { case (src, d, md) =>
+        cum += md; n += 1
+        val mean = cum * 1000000L / n
+        ph += md * 1000000L - mean - 100L * 1000000L
+        minPh = math.min(minPh, ph)
+        (src, d, md, mean, ph, minPh, if (ph - minPh > 2000L * 1000000L) 1 else 0)
+      }
+    }
+    val brute = (replay(series("step", 14000L)) ++ replay(series("flat", 10000L)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.sortBy(t => (t._1, t._2)).toSeq == brute, "PH trajectory diverged")
+    // the step alarms, and quickly: the first post-shift days page
+    val step = got.filter(_._1 == "step").sortBy(_._2)
+    assert(step.exists(_._7 == 1), "level shift never alarmed")
+    assert(step.filter(_._2 <= 15L).forall(_._7 == 0), "alarm before the shift")
+    // the constant series never alarms — PH = -δ·t is its own running min
+    assert(got.filter(_._1 == "flat").forall(_._7 == 0), "constant series alarmed")
+    // the registered corpus query replays through the same fold
+    val corpusDaily = Tables(spark, sfDir).eventsSec
+      .selectExpr("event_type as source", "sec div 86400 as day",
+        "cast(round(value * 100) as long) as cents")
+      .groupBy(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("day"))
+      .agg(org.apache.spark.sql.functions.expr("sum(cents) div count(*)").as("md"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val corpusBrute = corpusDaily.groupBy(_._1).values.flatMap(g => replay(g.toSeq))
+      .toSeq.sortBy(t => (t._1, t._2))
+    val corpusGot = graft.operators.LoadOps.pageHinkley(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getInt(6))).toSeq
+    assert(corpusGot == corpusBrute, "corpus PH diverged from the brute replay")
+  }
+
   test("compact plan: offset packing replays from raw bucket counts, bins contiguous, skew real") {
     import org.apache.spark.sql.functions.col
     val got = graft.operators.LoadOps.compactPlan(spark, sfDir).collect()

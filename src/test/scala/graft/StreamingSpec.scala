@@ -713,6 +713,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("G33: streaming page-hinkley equals the batch fold after every trigger, shift alarm survives") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the planted step series from the batch spec, fed day-sliced
+    def series(name: String, hi: Long) =
+      (1L to 30L).map(d => (name, d, if (d > 15) hi else 10000L))
+    val all = (series("step", 14000L) ++ series("flat", 10000L)).sortBy(_._2)
+    val stateDir = java.nio.file.Files.createTempDirectory("g33").toString + "/state"
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = EventStreams.pageHinkleyStream(
+      mem.toDF().toDF("source", "day", "md"), stateDir)
+    try {
+      var fed = Seq.empty[(String, Long, Long)]
+      all.grouped(22).foreach { slice =>
+        mem.addData(slice.toIndexedSeq: _*); q.processAllAvailable()
+        fed = fed ++ slice
+        val streamed = spark.read.parquet(stateDir + "/report").collect()
+          .map(_.toSeq).toSeq.sortBy(r => (r.head.toString, r(1).asInstanceOf[Long]))
+        val batch = graft.operators.LoadOps.pageHinkleyOver(
+            fed.toDF("source", "day", "md"), 100L, 2000L).collect()
+          .map(_.toSeq).toSeq.sortBy(r => (r.head.toString, r(1).asInstanceOf[Long]))
+        assert(streamed == batch, s"stream/batch diverged at prefix ${fed.length}")
+      }
+      // the final cumulative report carries the planted alarm, and only it
+      val fin = spark.read.parquet(stateDir + "/report").collect()
+        .map(r => (r.getString(0), r.getInt(6)))
+      assert(fin.exists(t => t._1 == "step" && t._2 == 1), "shift alarm lost in stream")
+      assert(fin.filter(_._1 == "flat").forall(_._2 == 0), "constant series alarmed")
+    } finally q.stop()
+  }
+
   test("G26: chi2 cell ledger stays sources×24-bounded at any horizon, equals the frozen-baseline batch pass") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
