@@ -350,6 +350,8 @@ object SparkEntry {
     "mon_page_hinkley"       -> ((s: SparkSession, d: String) => LoadOps.pageHinkley(s, d)),
     "stream_page_hinkley"    -> graft.streaming.StreamGate.streamPageHinkley _,
     "mon_stream_scorecard"   -> graft.operators.Scorecard.streamScorecard _,
+    "q_auc_roc"              -> ((s: SparkSession, d: String) => Relational.qAucRoc(s, d)),
+    "mon_calibration"        -> ((s: SparkSession, d: String) => LoadOps.calibration(s, d)),
   )
 
   // shared SQL fragments for the oracle ---------------------------------
@@ -3509,6 +3511,56 @@ object SparkEntry {
         |SELECT event_type, n_a, n_b, CAST(u2 AS DOUBLE) / 2.0 AS u, z,
         |  CAST(abs(z) >= 1.96 AS INT) AS significant
         |FROM z ORDER BY event_type""".stripMargin,
+    // E63: AUC by the rank identity U/(n+ n-) over the E41 integer
+    // midrank cells; label = calendar weekend of the epoch day
+    "q_auc_roc" ->
+      """WITH e AS (SELECT event_type AS source,
+        |  CAST(round(value * 100) AS BIGINT) AS cents,
+        |  CAST(((CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400) + 4)
+        |    % 7 IN (0, 6) AS BIGINT) AS pos FROM events),
+        |cells AS (SELECT source, cents, CAST(sum(pos) AS BIGINT) AS np,
+        |  CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY 1, 2),
+        |r AS (SELECT source, np, cnt,
+        |  coalesce(sum(cnt) OVER (PARTITION BY source ORDER BY cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        | FROM cells),
+        |g AS (SELECT source, CAST(sum(np) AS BIGINT) AS n_pos,
+        |  CAST(sum(cnt - np) AS BIGINT) AS n_neg,
+        |  CAST(sum(np * (2 * cb + cnt + 1)) AS BIGINT) AS r2
+        | FROM r GROUP BY 1),
+        |s AS (SELECT source, n_pos, n_neg,
+        |  r2 - n_pos * (n_pos + 1) AS u2 FROM g),
+        |a AS (SELECT source, n_pos, n_neg, round(CAST(u2 AS DOUBLE) /
+        |  nullif(2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE), 0.0),
+        |  6) AS auc FROM s)
+        |SELECT source, n_pos, n_neg, auc,
+        |  CAST(abs(auc - 0.5) >= 0.02 AS INT) AS separates
+        |FROM a ORDER BY source""".stripMargin,
+    // D59: reliability diagram on the same cells — exact midrank
+    // percentile micros, decile bins, floor-divided per-bin means
+    "mon_calibration" ->
+      """WITH e AS (SELECT event_type AS source,
+        |  CAST(round(value * 100) AS BIGINT) AS cents,
+        |  CAST(((CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400) + 4)
+        |    % 7 IN (0, 6) AS BIGINT) AS pos FROM events),
+        |cells AS (SELECT source, cents, CAST(sum(pos) AS BIGINT) AS np,
+        |  CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY 1, 2),
+        |r AS (SELECT source, np, cnt,
+        |  coalesce(sum(cnt) OVER (PARTITION BY source ORDER BY cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+        |  sum(cnt) OVER (PARTITION BY source) AS n
+        | FROM cells),
+        |p AS (SELECT source, np, cnt,
+        |  (2 * cb + cnt) * 500000 // n AS p_micro FROM r),
+        |b AS (SELECT source, CAST(p_micro // 100000 AS BIGINT) AS bin,
+        |  CAST(sum(cnt) AS BIGINT) AS n_bin, CAST(sum(np) AS BIGINT) AS n_pos,
+        |  CAST(sum(cnt * p_micro) // sum(cnt) AS BIGINT) AS mean_p_micro
+        | FROM p GROUP BY 1, 2)
+        |SELECT source, bin, n_bin, n_pos, mean_p_micro,
+        |  CAST(n_pos * 1000000 // n_bin AS BIGINT) AS frac_pos_micro,
+        |  CAST(abs(mean_p_micro - n_pos * 1000000 // n_bin) AS BIGINT)
+        |    AS gap_micro
+        |FROM b ORDER BY source, bin""".stripMargin,
     // E42: the E41 integer midrank machinery with four conditional arm
     // counts; H from exact bigint rank sums in one fixed shape
     "q_kruskal_wallis" ->

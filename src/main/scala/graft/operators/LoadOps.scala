@@ -2350,6 +2350,63 @@ object LoadOps {
   /** The D58 compute over any (source, day, md) daily frame — specs
     * plant a hard level shift (alarm fires at the shift, then the
     * adapting mean absorbs it) and a constant series (never alarms). */
+  /** D59: calibration reliability diagram — the companion to E63's
+    * AUC: discrimination says the score RANKS positives higher;
+    * calibration asks whether the score's magnitude can be READ as a
+    * probability (a curation pipeline that thresholds "keep if
+    * p(quality) > 0.8" is betting on calibration, not discrimination).
+    * Probe task matches E43: score = within-source value percentile
+    * (the rank-based probability of beating a random row), label =
+    * calendar-weekend of the event day; a perfectly calibrated score
+    * would see the positive fraction track the mean score in every bin.
+    *
+    * All-integer: the percentile is the exact midrank fraction in
+    * micro-units (p_micro = (2·cumBefore + cnt)·500000 // n, the E41 2×
+    * trick — never a percent_rank double), bins are p_micro deciles,
+    * per-bin mean score and positive fraction are floor-divided micros,
+    * `gap_micro` their absolute difference (the reliability-diagram
+    * vertical distance; a weighted sum of gap² over bins would be the
+    * Brier reliability term — kept per-bin here so the oracle checks
+    * every intermediate instead of one collapsed statistic).
+    *
+    * Scale shape: the corpus collapses to (source, cents) cells in one
+    * hash agg BEFORE any window; the rank window runs over cells
+    * (value-support-sized), and bins aggregate cells — nothing
+    * corpus-sized ever crosses a shuffle. sum(cnt·p_micro) ≤ n·10⁶
+    * holds in a long to n ≈ 9·10¹² rows per source (then: decimal(38),
+    * shape unchanged). */
+  def calibration(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    calibrationOf(t.eventsSec.select(col("event_type").as("source"),
+      expr("cast(round(value * 100) as long)").as("cents"),
+      expr("cast(((sec div 86400) + 4) % 7 in (0, 6) as long)").as("pos")))
+  }
+
+  /** The D59 compute over any (source, cents, pos∈{0,1}) frame. */
+  def calibrationOf(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = ev.groupBy(col("source"), col("cents"))
+      .agg(sum(col("pos")).cast("long").as("np"),
+        count(lit(1)).cast("long").as("cnt"))
+    val w = Window.partitionBy(col("source")).orderBy(col("cents"))
+    cells
+      .withColumn("cb", coalesce(sum(col("cnt"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("source"))))
+      .withColumn("p_micro",
+        expr("(2 * cb + cnt) * 500000 div n"))
+      .withColumn("bin", expr("p_micro div 100000"))
+      .groupBy(col("source"), col("bin"))
+      .agg(sum(col("cnt")).cast("long").as("n_bin"),
+        sum(col("np")).cast("long").as("n_pos"),
+        expr("sum(cnt * p_micro) div sum(cnt)").as("mean_p_micro"))
+      .withColumn("frac_pos_micro", expr("n_pos * 1000000 div n_bin"))
+      .withColumn("gap_micro", abs(col("mean_p_micro") - col("frac_pos_micro")))
+      .select(col("source"), col("bin"), col("n_bin"), col("n_pos"),
+        col("mean_p_micro"), col("frac_pos_micro"), col("gap_micro"))
+      .orderBy(col("source"), col("bin"))
+  }
+
   def pageHinkleyOver(daily: DataFrame, deltaCents: Long,
       lambdaCents: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -997,7 +997,7 @@ object Relational {
     gapsIslandsOf(Tables(spark, dir).eventsSec
       .select(col("user_id"), expr("sec div 86400").cast("long").as("day")))
 
-  /** The E43 compute over any (user_id, day) frame — specs plant gapped
+  /** The E63 compute over any (user_id, day) frame — specs plant gapped
     * calendars with closed-form island structure. Input need not be
     * distinct; the first agg dedupes. */
   def gapsIslandsOf(active: DataFrame): DataFrame = {
@@ -2287,6 +2287,59 @@ object Relational {
       .select(col("week"), col("wau"), col("n_new"), col("n_retained"),
         col("n_resurrected"), col("n_churned"))
       .orderBy(col("week"))
+  }
+
+  /** E63: AUC-ROC per metric group — the classifier-evaluation yardstick
+    * a training-data pipeline needs the moment it starts scoring rows
+    * (quality models, dedup confidences, sampling weights): does the
+    * score actually rank positives above negatives? The probe task asks
+    * whether an event's value separates weekend from weekday traffic —
+    * label = calendar weekend of the event day (epoch-day dow, Sun/Sat),
+    * score = the cent-quantized value, grouped per event_type.
+    *
+    * AUC is computed by the rank identity AUC = U/(n⁺·n⁻) on the E41
+    * exact-integer midrank machinery (same cells, same 2× units): one
+    * hash agg collapses the corpus to (group, cents) cells carrying a
+    * positive-count, one window pass ranks the cells, one cells-row agg
+    * emits U2 = 2·U as an exact bigint. Ties get midranks — exactly the
+    * trapezoidal tie handling of a proper ROC sweep. The only IEEE step
+    * is the final fixed-shape division, rounded to 6 dp (error bound
+    * ~1e-16 relative, 10 orders below the rounding grid). A single-class
+    * group (n⁺ or n⁻ = 0) reports NULL — the E38 nullif convention.
+    *
+    * Scale shape: shuffle is value-support-sized (≤ ~50k cent cells per
+    * group), never corpus-sized; U2 ≤ 2n² stays in a long up to n ≈ 2·10⁹
+    * rows per group (beyond that the r2 sum moves to decimal(38) — shape
+    * unchanged). */
+  def qAucRoc(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    aucRocOf(t.eventsSec.select(col("event_type").as("source"),
+      expr("cast(round(value * 100) as long)").as("cents"),
+      expr("cast(((sec div 86400) + 4) % 7 in (0, 6) as long)").as("pos")))
+  }
+
+  /** The E63 compute over any (source, cents, pos∈{0,1}) frame — specs
+    * replay a hand-ranked wire with ties and the single-class guard. */
+  def aucRocOf(ev: DataFrame): DataFrame = {
+    val cells = ev.groupBy(col("source"), col("cents"))
+      .agg(sum(col("pos")).cast("long").as("np"),
+        count(lit(1)).cast("long").as("cnt"))
+    val w = Window.partitionBy(col("source")).orderBy(col("cents"))
+    cells
+      .withColumn("cb", coalesce(sum(col("cnt"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .groupBy(col("source"))
+      .agg(sum(col("np")).cast("long").as("n_pos"),
+        sum(col("cnt") - col("np")).cast("long").as("n_neg"),
+        sum(col("np") * (lit(2L) * col("cb") + col("cnt") + lit(1L)))
+          .cast("long").as("r2"))
+      .withColumn("u2", col("r2") - col("n_pos") * (col("n_pos") + lit(1L)))
+      .withColumn("auc", round(col("u2").cast("double") /
+        nullif(lit(2.0) * col("n_pos").cast("double") *
+          col("n_neg").cast("double"), lit(0.0)), 6))
+      .select(col("source"), col("n_pos"), col("n_neg"), col("auc"),
+        (abs(col("auc") - lit(0.5)) >= lit(0.02)).cast("int").as("separates"))
+      .orderBy(col("source"))
   }
 
   /** The E35 report assembly over a (state, next_state, n) matrix —

@@ -790,6 +790,37 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     assert(corpusGot == corpusBrute, "corpus PH diverged from the brute replay")
   }
 
+  test("calibration: hand-built cells land in the right deciles with exact midrank micros") {
+    import spark.implicits._
+    // n = 10: four events at cents 1 (1 pos), four at 2 (3 pos), two at
+    // 3 (2 pos) → midrank percentiles 0.2 / 0.6 / 0.9 → bins 2, 6, 9
+    val ev = (Seq.fill(1)(("m", 1L, 1L)) ++ Seq.fill(3)(("m", 1L, 0L)) ++
+      Seq.fill(3)(("m", 2L, 1L)) ++ Seq.fill(1)(("m", 2L, 0L)) ++
+      Seq.fill(2)(("m", 3L, 1L)))
+      .toDF("source", "cents", "pos")
+    val got = graft.operators.LoadOps.calibrationOf(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    val want = Seq(
+      ("m", 2L, 4L, 1L, 200000L, 250000L, 50000L),
+      ("m", 6L, 4L, 3L, 600000L, 750000L, 150000L),
+      ("m", 9L, 2L, 2L, 900000L, 1000000L, 100000L))
+    assert(got == want, s"reliability diagram diverged:\n$got\nvs\n$want")
+    // corpus-level structure: bins stay in the decile grid, bin
+    // populations partition each source, mean percentile is strictly
+    // monotone across a source's bins (midranks order with cents)
+    val corpus = graft.operators.LoadOps.calibration(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(corpus.forall(t => t._2 >= 0L && t._2 <= 9L), "bin off the grid")
+    val total = Tables(spark, sfDir).events.count()
+    assert(corpus.map(_._3).sum == total, "bins must partition the corpus")
+    corpus.groupBy(_._1).values.foreach { g =>
+      val means = g.sortBy(_._2).map(_._4)
+      assert(means.zip(means.tail).forall(p => p._1 < p._2),
+        "mean percentile must rise with the bin")
+    }
+  }
+
   test("compact plan: offset packing replays from raw bucket counts, bins contiguous, skew real") {
     import org.apache.spark.sql.functions.col
     val got = graft.operators.LoadOps.compactPlan(spark, sfDir).collect()

@@ -632,6 +632,33 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
     assert(c.isNullAt(4) && c.isNullAt(5), "all-tied group must report NULL z")
   }
 
+  test("auc-roc: hand-ranked wire with ties equals pair counting, single-class NULL guard") {
+    import spark.implicits._
+    // negatives [1, 2, 2], positives [2, 3]: pair count = (pos 2 beats
+    // neg 1) + 2 half-ties + (pos 3 beats all 3) = 5 of 6 → AUC 5/6
+    val ev = Seq(
+      ("m", 1L, 0L), ("m", 2L, 0L), ("m", 2L, 0L),
+      ("m", 2L, 1L), ("m", 3L, 1L),
+      ("c", 5L, 1L), ("c", 7L, 1L))
+      .toDF("source", "cents", "pos")
+    val got = Relational.aucRocOf(ev).collect()
+    val m = got.find(_.getString(0) == "m").get
+    assert(m.getLong(1) == 2L && m.getLong(2) == 3L, "class counts")
+    assert(m.getDouble(3) == BigDecimal(5.0 / 6.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      s"auc = ${m.getDouble(3)}")
+    assert(m.getInt(4) == 1, "5/6 clears the 0.02 separation bar")
+    val c = got.find(_.getString(0) == "c").get
+    assert(c.isNullAt(3) && c.isNullAt(4), "single-class group must be NULL")
+    // perfect and inverted rankings hit the AUC extremes exactly
+    val extremes = Seq(("p", 1L, 0L), ("p", 2L, 0L), ("p", 3L, 1L),
+      ("i", 1L, 1L), ("i", 2L, 1L), ("i", 3L, 0L))
+      .toDF("source", "cents", "pos")
+    val ex = Relational.aucRocOf(extremes).collect()
+    assert(ex.find(_.getString(0) == "p").get.getDouble(3) == 1.0)
+    assert(ex.find(_.getString(0) == "i").get.getDouble(3) == 0.0)
+  }
+
   test("kruskal-wallis: hand-ranked 4-arm wire with ties, tie-corrected H, all-tied NULL guard") {
     import spark.implicits._
     // arms (user_id % 4): a0=[1,2] a1=[2,3] a2=[3,4] a3=[4,5] — midranks
