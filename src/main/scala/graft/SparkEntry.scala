@@ -352,6 +352,8 @@ object SparkEntry {
     "mon_stream_scorecard"   -> graft.operators.Scorecard.streamScorecard _,
     "q_auc_roc"              -> ((s: SparkSession, d: String) => Relational.qAucRoc(s, d)),
     "mon_calibration"        -> ((s: SparkSession, d: String) => LoadOps.calibration(s, d)),
+    "mon_mann_kendall"       -> ((s: SparkSession, d: String) => LoadOps.mannKendall(s, d)),
+    "mon_psi"                -> ((s: SparkSession, d: String) => LoadOps.psi(s, d)),
   )
 
   // shared SQL fragments for the oracle ---------------------------------
@@ -3561,6 +3563,66 @@ object SparkEntry {
         |  CAST(abs(mean_p_micro - n_pos * 1000000 // n_bin) AS BIGINT)
         |    AS gap_micro
         |FROM b ORDER BY source, bin""".stripMargin,
+    // D60: S from the daily pair join, tie-corrected var18 integral,
+    // significance by cross-multiplied integers, z one IEEE shape
+    "mon_mann_kendall" ->
+      """WITH d AS (SELECT event_type AS source,
+        |  CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) // count(*) AS BIGINT)
+        |    AS md
+        | FROM events GROUP BY 1, 2),
+        |s AS (SELECT a.source, CAST(sum(CASE WHEN b.md > a.md THEN 1
+        |    WHEN b.md < a.md THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        | FROM d a JOIN d b ON a.source = b.source AND a.day < b.day
+        | GROUP BY 1),
+        |t AS (SELECT source, md, count(*) AS t FROM d GROUP BY 1, 2),
+        |g AS (SELECT source, CAST(sum(t) AS BIGINT) AS n_days,
+        |  CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+        | FROM t GROUP BY 1),
+        |v AS (SELECT g.source, n_days, s_stat,
+        |  CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie18 AS BIGINT)
+        |    AS var18
+        | FROM g JOIN s USING (source))
+        |SELECT source, n_days, s_stat, var18,
+        | round((CAST(s_stat AS DOUBLE) - CAST(sign(s_stat) AS DOUBLE)) /
+        |   nullif(sqrt(CAST(var18 AS DOUBLE) / 18.0), 0.0), 4) AS z,
+        | CAST(sign(s_stat) AS INT) AS trend,
+        | CASE WHEN var18 = 0 THEN NULL ELSE CAST(abs(s_stat) > 0 AND
+        |   10000 * 18 * (abs(s_stat) - 1) * (abs(s_stat) - 1)
+        |     > 38416 * var18 AS INT) END AS significant
+        |FROM v ORDER BY source""".stripMargin,
+    // D61: fixed-width global bins, +1 Laplace smoothing, one-division
+    // integer-ratio ln, bin-ordered float fold on both engines
+    "mon_psi" ->
+      """WITH e AS (SELECT event_type AS source,
+        |  CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |bounds AS (SELECT min(day) AS d0, max(day) AS d1,
+        |  min(cents) AS c0, max(cents) AS c1 FROM e),
+        |b AS (SELECT source,
+        |  CAST(day >= d0 + (d1 - d0 + 1) // 2 AS BIGINT) AS cur,
+        |  least(9, (cents - c0) * 10 // (c1 - c0 + 1)) AS bin
+        | FROM e, bounds),
+        |cells AS (SELECT source, bin, CAST(sum(1 - cur) AS BIGINT) AS nb,
+        |  CAST(sum(cur) AS BIGINT) AS nc FROM b GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(nb) AS BIGINT) AS n_base,
+        |  CAST(sum(nc) AS BIGINT) AS n_cur FROM cells GROUP BY 1),
+        |grid AS (SELECT t.source, t.n_base, t.n_cur,
+        |  CAST(r.range AS BIGINT) AS bin FROM tot t, range(10) r),
+        |j AS (SELECT g.source, g.n_base, g.n_cur, g.bin,
+        |  coalesce(c.nb, 0) AS nb, coalesce(c.nc, 0) AS nc
+        | FROM grid g LEFT JOIN cells c ON g.source = c.source
+        |   AND g.bin = c.bin),
+        |p AS (SELECT source, n_base, n_cur, bin,
+        |  (CAST(nb + 1 AS DOUBLE) / CAST(n_base + 10 AS DOUBLE) -
+        |   CAST(nc + 1 AS DOUBLE) / CAST(n_cur + 10 AS DOUBLE)) *
+        |  ln(CAST((nb + 1) * (n_cur + 10) AS DOUBLE) /
+        |     CAST((nc + 1) * (n_base + 10) AS DOUBLE)) AS term
+        | FROM j)
+        |SELECT source, n_base, n_cur,
+        | round(sum(term ORDER BY bin), 4) AS psi,
+        | CAST(round(sum(term ORDER BY bin), 4) >= 0.1 AS INT) AS alert
+        |FROM p GROUP BY 1, 2, 3 ORDER BY source""".stripMargin,
     // E42: the E41 integer midrank machinery with four conditional arm
     // counts; H from exact bigint rank sums in one fixed shape
     "q_kruskal_wallis" ->

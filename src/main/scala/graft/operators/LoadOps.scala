@@ -2407,6 +2407,135 @@ object LoadOps {
       .orderBy(col("source"), col("bin"))
   }
 
+  /** D60: Mann–Kendall trend test per source — the MONOTONIC-trend
+    * member of the sequential family: D47's Theil–Sen fits a slope and
+    * D58 pages on abrupt shifts, but "is this metric drifting AT ALL,
+    * in any direction, without assuming linearity?" is the
+    * nonparametric question MK answers: S = Σ_{i<j} sign(x_j − x_i)
+    * over the daily series, tie-corrected variance, normal z with the
+    * standard ±1 continuity correction.
+    *
+    * Exact integers everywhere but the final z: S from a pair
+    * self-join of the dailies, the tie term Σt(t−1)(2t+5) and
+    * var18 = n(n−1)(2n+5) − Σ… (18× the variance, kept integral) from
+    * value-grouped counts; `significant` is decided by the all-integer
+    * inequality 10000·18·(|S|−1)² > 38416·var18 (z² > 1.96² cross-
+    * multiplied — no sqrt on the decision path); z itself is one
+    * fixed-shape IEEE expression for the report, NULL when var18 = 0
+    * (all-tied series, the E38 convention).
+    *
+    * Scale shape: the corpus collapses to |source·days| dailies in one
+    * hash agg; the O(days²) pair join is over the TIME HORIZON (days
+    * per source), which does not grow with corpus rows — at 100 TB the
+    * pair frame is still (sources × ~calendar-days²/2) cells. */
+  def mannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    mannKendallOf(t.eventsSec
+      .select(col("event_type").as("source"),
+        expr("sec div 86400").cast("long").as("day"),
+        expr("cast(round(value * 100) as long)").as("cents"))
+      .groupBy(col("source"), col("day"))
+      .agg(expr("sum(cents) div count(*)").as("md")))
+  }
+
+  /** The D60 compute over any (source, day, md) daily frame. */
+  def mannKendallOf(daily: DataFrame): DataFrame = {
+    val d = daily.select(col("source"), col("day"), col("md"))
+    val s = d.as("a").join(d.as("b"),
+        col("a.source") === col("b.source") && col("a.day") < col("b.day"))
+      .groupBy(col("a.source").as("source"))
+      .agg(sum(expr("cast(sign(b.md - a.md) as long)")).as("s_stat"))
+    val ties = d.groupBy(col("source"), col("md"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_values"),
+        sum(col("t")).cast("long").as("n_days"),
+        sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L))
+          .cast("long").as("tie18"))
+    ties.join(s, Seq("source"))
+      .withColumn("var18",
+        col("n_days") * (col("n_days") - 1L) *
+          (lit(2L) * col("n_days") + 5L) - col("tie18"))
+      .withColumn("z", round(
+        (col("s_stat").cast("double") -
+          expr("cast(sign(s_stat) as double)")) /
+          nullif(sqrt(col("var18").cast("double") / lit(18.0)), lit(0.0)), 4))
+      .withColumn("trend", expr("cast(sign(s_stat) as int)"))
+      .withColumn("significant", when(col("var18") === 0L,
+        lit(null).cast("int")).otherwise((abs(col("s_stat")) > lit(0L) &&
+          lit(10000L) * lit(18L) * (abs(col("s_stat")) - 1L) *
+            (abs(col("s_stat")) - 1L) > lit(38416L) * col("var18"))
+          .cast("int")))
+      .select(col("source"), col("n_days"), col("s_stat"), col("var18"),
+        col("z"), col("trend"), col("significant"))
+      .orderBy(col("source"))
+  }
+
+  /** D61: PSI (population stability index) per source — the
+    * industry-standard "did the score distribution move?" number risk
+    * teams threshold at 0.1/0.25: the first half of the corpus horizon
+    * is the reference window, the second half the comparison, values
+    * land in 10 fixed-width bins over the GLOBAL cent range, and
+    * PSI = Σ_bins (p_b − q_b)·ln(p_b/q_b) with +1 Laplace smoothing
+    * (missing bins still contribute — the dense 10-bin grid is joined
+    * in, never skipped).
+    *
+    * Determinism: counts and bin ids are exact integers (fixed-width
+    * binning from broadcast global bounds — floor division, nonneg);
+    * each bin's term is ONE fixed-shape IEEE expression whose ln takes
+    * a single integer-ratio division (p/q = (nb+1)(Nc+10) /
+    * (nc+1)(Nb+10) — one rounding, not four); terms fold in BIN ORDER
+    * on both engines (Spark: `aggregate` over a sort_array'd struct
+    * list; DuckDB: sum(… ORDER BY bin)) so the float sum is
+    * order-pinned, then rounds to 4 dp.
+    *
+    * Scale shape: two tiny broadcast aggs (day split point, global
+    * cent bounds), one corpus-collapsing hash agg to (source, bin)
+    * cells with conditional window counts, a 10×sources dense grid —
+    * nothing after the first agg is corpus-sized. */
+  def psi(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    psiOf(t.eventsSec.select(col("event_type").as("source"),
+      expr("sec div 86400").cast("long").as("day"),
+      expr("cast(round(value * 100) as long)").as("cents")))
+  }
+
+  /** The D61 compute over any (source, day, cents) frame. */
+  def psiOf(ev: DataFrame): DataFrame = {
+    val bounds = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"),
+      min(col("cents")).as("c0"), max(col("cents")).as("c1"))
+    val binned = ev.crossJoin(broadcast(bounds))
+      .withColumn("cur",
+        expr("cast(day >= d0 + (d1 - d0 + 1) div 2 as long)"))
+      .withColumn("bin", least(lit(9L),
+        expr("(cents - c0) * 10 div (c1 - c0 + 1)")))
+      .groupBy(col("source"), col("bin"))
+      .agg(sum(lit(1L) - col("cur")).cast("long").as("nb"),
+        sum(col("cur")).cast("long").as("nc"))
+    val totals = binned.groupBy(col("source"))
+      .agg(sum(col("nb")).cast("long").as("n_base"),
+        sum(col("nc")).cast("long").as("n_cur"))
+    val grid = totals.select(col("source"), col("n_base"), col("n_cur"))
+      .crossJoin(binned.sparkSession.range(0, 10)
+        .select(col("id").as("bin")))
+    grid.join(binned, Seq("source", "bin"), "left")
+      .withColumn("nb", coalesce(col("nb"), lit(0L)))
+      .withColumn("nc", coalesce(col("nc"), lit(0L)))
+      .withColumn("term",
+        (((col("nb") + 1L).cast("double") / (col("n_base") + 10L).cast("double")) -
+          ((col("nc") + 1L).cast("double") / (col("n_cur") + 10L).cast("double"))) *
+          log(((col("nb") + 1L) * (col("n_cur") + 10L)).cast("double") /
+            ((col("nc") + 1L) * (col("n_base") + 10L)).cast("double")))
+      .groupBy(col("source"), col("n_base"), col("n_cur"))
+      .agg(expr(
+        "round(aggregate(array_sort(collect_list(struct(bin, term))), " +
+          "cast(0.0 as double), (acc, x) -> acc + x.term), 4)").as("psi"))
+      .withColumn("alert", (col("psi") >= lit(0.1)).cast("int"))
+      .select(col("source"), col("n_base"), col("n_cur"), col("psi"),
+        col("alert"))
+      .orderBy(col("source"))
+  }
+
   def pageHinkleyOver(daily: DataFrame, deltaCents: Long,
       lambdaCents: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -821,6 +821,76 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("mann-kendall: closed-form S/var18/z on planted trends, all-tied NULL, corpus brute replay") {
+    import spark.implicits._
+    val daily = (
+      (1L to 5L).map(d => ("up", d, d)) ++          // S = 10, no ties
+      Seq(("tied", 1L, 7L), ("tied", 2L, 7L), ("tied", 3L, 7L)) ++
+      Seq(("down", 1L, 5L), ("down", 2L, 3L), ("down", 3L, 1L)))
+      .toDF("source", "day", "md")
+    val got = graft.operators.LoadOps.mannKendallOf(daily).collect()
+    val up = got.find(_.getString(0) == "up").get
+    assert(up.getLong(2) == 10L && up.getLong(3) == 300L, "S/var18 for up")
+    assert(up.getDouble(4) == BigDecimal(9.0 / math.sqrt(300.0 / 18.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(up.getInt(5) == 1 && up.getInt(6) == 1, "clean trend must page")
+    val tied = got.find(_.getString(0) == "tied").get
+    assert(tied.getLong(2) == 0L && tied.getLong(3) == 0L)
+    assert(tied.isNullAt(4) && tied.isNullAt(6), "all-tied must be NULL")
+    val down = got.find(_.getString(0) == "down").get
+    assert(down.getLong(2) == -3L && down.getLong(3) == 66L)
+    assert(down.getInt(5) == -1 && down.getInt(6) == 0, "3 days can't page")
+    // corpus query equals an integer brute replay of the dailies
+    val corpusDaily = Tables(spark, sfDir).eventsSec
+      .selectExpr("event_type as source", "sec div 86400 as day",
+        "cast(round(value * 100) as long) as cents")
+      .groupBy(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("day"))
+      .agg(org.apache.spark.sql.functions.expr("sum(cents) div count(*)").as("md"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bruteS = corpusDaily.groupBy(_._1).map { case (src, g) =>
+      val xs = g.toSeq.sortBy(_._2).map(_._3)
+      val s = (for (i <- xs.indices; j <- i + 1 until xs.size)
+        yield java.lang.Long.signum(xs(j) - xs(i)).toLong).sum
+      val tie18 = xs.groupBy(identity).values
+        .map(v => v.size.toLong).map(t => t * (t - 1) * (2 * t + 5)).sum
+      val n = xs.size.toLong
+      (src, n, s, n * (n - 1) * (2 * n + 5) - tie18)
+    }.toSeq.sortBy(_._1)
+    val corpusGot = graft.operators.LoadOps.mannKendall(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(corpusGot == bruteS, "corpus S/var18 diverged from brute pairs")
+  }
+
+  test("psi: identical windows score exactly zero, a full shift alerts, missing bins still count") {
+    import spark.implicits._
+    // days 0-1 = base window, 2-3 = comparison; cents 0..9 → bin = cents
+    def wire(src: String, baseCents: Seq[Long], curCents: Seq[Long]) =
+      baseCents.map(c => (src, 0L, c)) ++ curCents.map(c => (src, 3L, c))
+    val ev = (
+      wire("same", Seq(0L, 1L, 9L), Seq(0L, 1L, 9L)) ++
+      wire("shift", Seq(0L, 0L, 1L), Seq(8L, 9L, 9L)))
+      .toDF("source", "day", "cents")
+    val got = graft.operators.LoadOps.psiOf(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4))).toSeq
+    val same = got.find(_._1 == "same").get
+    assert(same._2 == 3L && same._3 == 3L)
+    assert(same._4 == 0.0 && same._5 == 0, "identical windows must be 0")
+    // brute replay of the published smoothing/fold over the shift wire
+    val nbs = Map(0L -> 2L, 1L -> 1L); val ncs = Map(8L -> 1L, 9L -> 2L)
+    val brute = BigDecimal((0L to 9L).map { b =>
+      val (nb, nc) = (nbs.getOrElse(b, 0L), ncs.getOrElse(b, 0L))
+      ((nb + 1).toDouble / 13.0 - (nc + 1).toDouble / 13.0) *
+        math.log(((nb + 1) * 13).toDouble / ((nc + 1) * 13).toDouble)
+    }.foldLeft(0.0)(_ + _)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    val shift = got.find(_._1 == "shift").get
+    assert(shift._4 == brute, s"psi ${shift._4} vs brute $brute")
+    assert(shift._4 > 0.25 && shift._5 == 1, "full shift must alert")
+  }
+
   test("compact plan: offset packing replays from raw bucket counts, bins contiguous, skew real") {
     import org.apache.spark.sql.functions.col
     val got = graft.operators.LoadOps.compactPlan(spark, sfDir).collect()
