@@ -354,6 +354,7 @@ object SparkEntry {
     "mon_calibration"        -> ((s: SparkSession, d: String) => LoadOps.calibration(s, d)),
     "mon_mann_kendall"       -> ((s: SparkSession, d: String) => LoadOps.mannKendall(s, d)),
     "mon_psi"                -> ((s: SparkSession, d: String) => LoadOps.psi(s, d)),
+    "text_bm25"              -> ((s: SparkSession, d: String) => TextAnalysis.bm25(s, d)),
   )
 
   // shared SQL fragments for the oracle ---------------------------------
@@ -981,6 +982,24 @@ object SparkEntry {
          | FROM tf JOIN df USING (term)),
          |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM s)
          |SELECT doc_id, CAST(rn AS INT) AS rn, term, tf, df, round(score, 6) AS score
+         |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    // F96: Okapi BM25 with Lucene's non-negative idf; the length term
+    // folds to one division so every score is a fixed IEEE shape
+    "text_bm25" ->
+      s"""WITH terms AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df, dl.dl,
+         |  ln(1.0 + ((SELECT count(*) FROM documents) - df + 0.5) / (df + 0.5)) *
+         |   (tf * 2.2) / (tf + 1.2 * (0.25 +
+         |     0.75 * CAST(dl * (SELECT count(*) FROM documents) AS DOUBLE) /
+         |       (SELECT CAST(sum(dl) AS BIGINT) FROM dl))) AS score
+         | FROM tf JOIN df USING (term) JOIN dl USING (doc_id)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |  ORDER BY score DESC, term) AS rn FROM s)
+         |SELECT doc_id, CAST(rn AS INT) AS rn, term, tf, df, dl,
+         |  round(score, 6) AS score
          |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
     "src_rest_oid_sweep" ->
       """WITH b AS (SELECT min(l_orderkey) mn, max(l_orderkey) mx FROM lineitem),

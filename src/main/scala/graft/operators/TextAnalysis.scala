@@ -300,6 +300,61 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rn"))
   }
 
+  /** F96: BM25 term scoring — what F19's tf-idf is missing for actual
+    * RETRIEVAL use (contamination probes, dedup-cluster representative
+    * picking, query-based corpus audits): Okapi BM25's two fixes over raw
+    * tf·idf are term-frequency saturation (tf·(k1+1)/(tf+…) caps a
+    * keyword-stuffed doc) and document-length normalization (the b·dl/avgdl
+    * term stops long docs from winning every query). Lucene's
+    * non-negative idf variant ln(1 + (N−df+0.5)/(df+0.5)), k1 = 1.2,
+    * b = 0.75 — the constants every search engine ships.
+    *
+    * Determinism: tf, df, dl, N and Σdl are exact integers; avgdl is
+    * never materialized as a float — the length term folds to ONE
+    * division 0.75·(dl·N)/Σdl, so each score is a fixed shape of exact
+    * integer inputs on both engines (same IEEE ops in the same order),
+    * ranked unrounded with the term tiebreak, then rounded to 6 dp (the
+    * F19 contract).
+    *
+    * Scale shape: F19's verbatim — ONE explode pass compressed to
+    * (doc, term, tf) and checkpointed; dl = Σtf per doc reuses those
+    * rows (no second tokenize); df broadcast under the measured budget;
+    * the only data-sized shuffles are the tf agg and the per-doc top-k
+    * window. */
+  def bm25(spark: SparkSession, dir: String, topPerDoc: Int = 3,
+      vocabBroadcastBudget: Long = 1_000_000L): DataFrame =
+    bm25Of(Tables(spark, dir).documents, topPerDoc, vocabBroadcastBudget)
+
+  /** The F96 compute over any (doc_id, text) frame — specs replay a
+    * closed-form wire and pin saturation/length-normalization. */
+  def bm25Of(docs: DataFrame, topPerDoc: Int = 3,
+      vocabBroadcastBudget: Long = 1_000_000L): DataFrame = {
+    val n = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).cast("long").as("dl"))
+    val totLen = dl.agg(sum(col("dl"))).first().getLong(0)
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dfSide = if (df_.count() <= vocabBroadcastBudget) broadcast(df_) else df_
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(dfSide, "term").join(dl, "doc_id")
+      .withColumn("score",
+        log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) +
+            lit(0.75) * (col("dl") * lit(n)).cast("double") /
+              lit(totLen.toDouble))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topPerDoc)
+      .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"),
+        col("dl"), round(col("score"), 6).as("score"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
   /** F20: character-bigram language-model quality score — the CCNet/KenLM
     * filtering idea at engine level: train the LM ON the corpus (bigram
     * counts, one map-side-combined agg), broadcast the tiny model back,

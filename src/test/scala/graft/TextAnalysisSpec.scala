@@ -7,6 +7,37 @@ import org.scalatest.funsuite.AnyFunSuite
 class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
+  test("bm25: closed-form wire, rare term outranks common, tf saturates, long docs normalized") {
+    val docs = Seq(
+      1L -> "apple banana banana",
+      2L -> "apple cherry",
+      3L -> "apple apple apple apple").toDF("doc_id", "text")
+    val got = TextAnalysis.bm25Of(docs).collect()
+      .map(r => ((r.getLong(0), r.getString(2)),
+        (r.getInt(1), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6)))).toMap
+    // N=3, L=9; idf(apple)=ln(8/7), idf(banana|cherry)=ln(8/3)
+    def sc(idf: Double, tf: Long, dl: Long) = BigDecimal(
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl * 3).toDouble / 9.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got((1L, "banana"))._5 == sc(math.log(8.0 / 3.0), 2L, 3L))
+    assert(got((1L, "apple"))._5 == sc(math.log(8.0 / 7.0), 1L, 3L))
+    assert(got((3L, "apple"))._5 == sc(math.log(8.0 / 7.0), 4L, 4L))
+    assert(got((2L, "cherry"))._5 == sc(math.log(8.0 / 3.0), 1L, 2L))
+    // the rare term wins doc 1's ranking over the everywhere-term
+    assert(got((1L, "banana"))._1 == 1 && got((1L, "apple"))._1 == 2)
+    // tf saturation: 4x the tf buys well under 4x the score
+    assert(got((3L, "apple"))._5 < 3.0 * got((1L, "apple"))._5)
+    assert(got((3L, "apple"))._5 > got((1L, "apple"))._5)
+    // length normalization: same tf=1 of the same term scores higher in
+    // the shorter doc
+    assert(got((2L, "apple"))._5 > got((1L, "apple"))._5)
+    // exact integer plumbing: tf/df/dl columns carry the true counts
+    assert(got((1L, "banana"))._2 == 2L && got((1L, "banana"))._3 == 1L &&
+      got((1L, "banana"))._4 == 3L)
+    assert(got((3L, "apple"))._3 == 3L && got((3L, "apple"))._4 == 4L)
+  }
+
   test("gopher rules: each rule rejects its planted violation and a clean doc passes all") {
     // a 60-word clean doc: alphabetic words, two required stop words,
     // normal word lengths, no symbols/bullets/ellipses
