@@ -355,6 +355,7 @@ object SparkEntry {
     "mon_mann_kendall"       -> ((s: SparkSession, d: String) => LoadOps.mannKendall(s, d)),
     "mon_psi"                -> ((s: SparkSession, d: String) => LoadOps.psi(s, d)),
     "text_bm25"              -> ((s: SparkSession, d: String) => TextAnalysis.bm25(s, d)),
+    "stream_psi"             -> graft.streaming.StreamGate.streamPsi _,
   )
 
   // shared SQL fragments for the oracle ---------------------------------
@@ -755,6 +756,7 @@ object SparkEntry {
     "stream_markov"        -> baseOracleSql("q_markov_transitions"),
     "stream_cusum"         -> baseOracleSql("mon_cusum"),
     "stream_page_hinkley"  -> baseOracleSql("mon_page_hinkley"),
+    "stream_psi"           -> baseOracleSql("mon_psi"),
     "stream_constraints"   -> baseOracleSql("load_check_constraints"),
     "stream_heavy_hitters" -> baseOracleSql("q_heavy_hitters"),
     "stream_benford"       -> baseOracleSql("mon_benford"),

@@ -2500,18 +2500,28 @@ object LoadOps {
       expr("cast(round(value * 100) as long)").as("cents")))
   }
 
-  /** The D61 compute over any (source, day, cents) frame. */
-  def psiOf(ev: DataFrame): DataFrame = {
-    val bounds = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"),
+  /** The D61 compute over any (source, day, cents) frame — one hash agg
+    * to (source, day, cents) support cells, then [[psiCells]]. */
+  def psiOf(ev: DataFrame): DataFrame =
+    psiCells(ev.groupBy(col("source"), col("day"), col("cents"))
+      .agg(count(lit(1)).cast("long").as("cnt")))
+
+  /** The D61 compute over pre-counted (source, day, cents, cnt) support
+    * cells — the grain the G34 stream twin folds in its state store
+    * (value-support × horizon bounded, never corpus-sized). */
+  def psiCells(cells0: DataFrame): DataFrame = {
+    val cells1 = cells0.select(col("source"), col("day"), col("cents"),
+      col("cnt"))
+    val bounds = cells1.agg(min(col("day")).as("d0"), max(col("day")).as("d1"),
       min(col("cents")).as("c0"), max(col("cents")).as("c1"))
-    val binned = ev.crossJoin(broadcast(bounds))
+    val binned = cells1.crossJoin(broadcast(bounds))
       .withColumn("cur",
         expr("cast(day >= d0 + (d1 - d0 + 1) div 2 as long)"))
       .withColumn("bin", least(lit(9L),
         expr("(cents - c0) * 10 div (c1 - c0 + 1)")))
       .groupBy(col("source"), col("bin"))
-      .agg(sum(lit(1L) - col("cur")).cast("long").as("nb"),
-        sum(col("cur")).cast("long").as("nc"))
+      .agg(sum(col("cnt") * (lit(1L) - col("cur"))).cast("long").as("nb"),
+        sum(col("cnt") * col("cur")).cast("long").as("nc"))
     val totals = binned.groupBy(col("source"))
       .agg(sum(col("nb")).cast("long").as("n_base"),
         sum(col("nc")).cast("long").as("n_cur"))

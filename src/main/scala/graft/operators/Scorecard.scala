@@ -101,6 +101,8 @@ object Scorecard {
     "stream_page_hinkley" -> Seq("source" -> 's', "day" -> 'l', "md" -> 'l',
       "mean_micro" -> 'l', "ph_micro" -> 'l', "min_ph_micro" -> 'l',
       "alarm" -> 'l'),
+    "stream_psi" -> Seq("source" -> 's', "n_base" -> 'l', "n_cur" -> 'l',
+      "psi" -> 'd', "alert" -> 'l'),
     "stream_paragraph_dedup" -> Seq("doc_id" -> 'l', "n_chunks" -> 'l',
       "n_kept" -> 'l', "kept_checksum" -> 'l'),
     "stream_quantile" -> Seq("l_returnflag" -> 's', "q" -> 'd',
@@ -224,6 +226,7 @@ object Scorecard {
       "stream_markov" -> Relational.qMarkovTransitions(spark, dir),
       "stream_cusum" -> LoadOps.cusum(spark, dir),
       "stream_page_hinkley" -> LoadOps.pageHinkley(spark, dir),
+      "stream_psi" -> LoadOps.psi(spark, dir),
       "stream_constraints" -> LoadOps.checkConstraints(spark, dir),
       "stream_heavy_hitters" -> Relational.qHeavyHitters(spark, dir),
       "stream_benford" -> LoadOps.benford(spark, dir),

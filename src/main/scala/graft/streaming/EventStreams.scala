@@ -764,6 +764,33 @@ object EventStreams {
       }
       .start()
 
+  /** G34: STREAMING PSI — D61 as an always-on score-stability pager:
+    * per-(source, day, cents) support cells fold through the shared
+    * [[foldState]] store (value-support × horizon bounded — the cent
+    * domain and the calendar cap the state, corpus volume only grows
+    * the counts), and every trigger re-runs the SAME
+    * [[graft.operators.LoadOps.psiCells]] assembly over the folded
+    * total — window split and bin bounds recompute over everything
+    * seen so far, so the report equals D61's batch pass over the
+    * prefix bit-for-bit after EVERY trigger (integer cells in, one
+    * order-pinned float fold out — no drift to accumulate). */
+  def psiStream(cells: DataFrame, stateDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    cells.writeStream.outputMode("append")
+      .foreachBatch { (batch0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import org.apache.spark.sql.functions._
+        val batch = batch0.toDF()
+          .groupBy(col("source"), col("day").cast("long").as("day"),
+            col("cents").cast("long").as("cents"))
+          .agg(count(lit(1)).cast("long").as("cnt"))
+        val total = foldState(batch, stateDir + "/cells",
+          Seq("source", "day", "cents"))
+        graft.operators.LoadOps.psiCells(total)
+          .write.mode("overwrite").parquet(stateDir + "/report")
+        (): Unit
+      }
+      .start()
+
   /** G20: STREAMING A/B test — E36 as sequential monitoring (the
     * always-on experiment dashboard): per-(event_type) arm sufficient
     * statistics accumulate as EXACT INTEGER cent-moments (n, Σcents,

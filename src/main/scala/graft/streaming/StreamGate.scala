@@ -505,6 +505,28 @@ object StreamGate {
       .orderBy(col("source"), col("day"))
   }
 
+  /** G34 gate: the streaming PSI monitor run MULTI-batch (4 input
+    * files, one per trigger, arbitrary row split — cell folding is
+    * additive so slicing cannot matter). The completed run equals
+    * D61's batch pass and shares its oracle verbatim. */
+  def streamPsi(spark: SparkSession, dir: String): DataFrame = {
+    val base = fresh(spark, "psi")
+    Tables(spark, dir).eventsSec
+      .select(col("event_type").as("source"),
+        expr("sec div 86400").cast("long").as("day"),
+        expr("cast(round(value * 100) as long)").as("cents"))
+      .repartition(4)
+      .write.parquet(s"$base/in")
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("source", StringType),
+        StructField("day", LongType), StructField("cents", LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in")
+    val q = EventStreams.psiStream(src, s"$base/state")
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    spark.read.parquet(s"$base/state/report").orderBy(col("source"))
+  }
+
   /** G20 gate: the streaming A/B monitor run MULTI-batch (4 input files,
     * one per trigger) — per-arm integer cent-moments accumulate
     * associatively with zero float drift, so the final verdict equals the

@@ -744,6 +744,48 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("G34: streaming psi equals the batch pass after every trigger, planted shift alerts, state cell-bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // 'shift' moves its whole mass to the top of the cent range in the
+    // second half of a 20-day horizon; 'same' is stationary. Repeats
+    // make the (source, day, cents) cells carry real counts.
+    val rows = (0L until 20L).flatMap { d =>
+      val sc = if (d < 10) Seq(100L, 110L) else Seq(900L, 910L)
+      Seq.fill(3)(sc.map(c => ("shift", d, c))).flatten ++
+        Seq(("same", d, 100L), ("same", d, 500L), ("same", d, 900L))
+    }
+    val stateDir = java.nio.file.Files.createTempDirectory("g34").toString + "/state"
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = EventStreams.psiStream(
+      mem.toDF().toDF("source", "day", "cents"), stateDir)
+    try {
+      var fed = Seq.empty[(String, Long, Long)]
+      rows.grouped(rows.length / 4 + 1).foreach { slice =>
+        mem.addData(slice.toIndexedSeq: _*); q.processAllAvailable()
+        fed = fed ++ slice
+        val streamed = spark.read.parquet(stateDir + "/report").collect()
+          .map(_.toSeq).toSeq.sortBy(_.head.toString)
+        val batch = graft.operators.LoadOps.psiOf(
+            fed.toDF("source", "day", "cents")).collect()
+          .map(_.toSeq).toSeq.sortBy(_.head.toString)
+        assert(streamed == batch, s"stream/batch diverged at prefix ${fed.length}")
+      }
+      val fin = spark.read.parquet(stateDir + "/report").collect()
+        .map(r => (r.getString(0), r.getDouble(3), r.getInt(4)))
+      assert(fin.exists(t => t._1 == "shift" && t._3 == 1), "shift never alerted")
+      val same = fin.find(_._1 == "same").get
+      assert(same._3 == 0 && same._2 < 0.1, "stationary source alerted")
+      // state is support-cell-bounded: at most |source × day × cents|
+      // distinct combinations, NOT row-proportional (the 3x repeats
+      // collapsed into counts)
+      val stateRows = spark.read.parquet(stateDir + "/cells").count()
+      val support = rows.distinct.size.toLong
+      assert(stateRows == support,
+        s"state $stateRows != support $support — cells not collapsing")
+    } finally q.stop()
+  }
+
   test("G26: chi2 cell ledger stays sources×24-bounded at any horizon, equals the frozen-baseline batch pass") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
