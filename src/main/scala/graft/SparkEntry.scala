@@ -356,6 +356,7 @@ object SparkEntry {
     "mon_psi"                -> ((s: SparkSession, d: String) => LoadOps.psi(s, d)),
     "text_bm25"              -> ((s: SparkSession, d: String) => TextAnalysis.bm25(s, d)),
     "stream_psi"             -> graft.streaming.StreamGate.streamPsi _,
+    "mon_drift_panel"        -> ((s: SparkSession, d: String) => LoadOps.driftPanel(s, d)),
   )
 
   // shared SQL fragments for the oracle ---------------------------------
@@ -744,7 +745,33 @@ object SparkEntry {
     val scorecard = graft.operators.Scorecard.gateCols
       .map { case (g, cols) => digestSql(g, gates(g), cols) }
       .mkString("", "\nUNION ALL\n", "\nORDER BY gate")
-    gates ++ Map("mon_stream_scorecard" -> scorecard)
+    // D62: the drift panel composes its five members' oracle texts as
+    // CTEs — one SQL per member, shared verbatim with the standalone
+    // entries, so panel and constituents cannot drift
+    val panel =
+      s"""WITH mk_full AS (${baseOracleSql("mon_mann_kendall")}),
+         |ph_full AS (${baseOracleSql("mon_page_hinkley")}),
+         |cs_full AS (${baseOracleSql("mon_cusum")}),
+         |hp_full AS (${baseOracleSql("mon_hampel")}),
+         |ps_full AS (${baseOracleSql("mon_psi")}),
+         |mk AS (SELECT source, n_days, trend AS mk_trend,
+         |  coalesce(significant, 0) AS mk_significant FROM mk_full),
+         |ph AS (SELECT source, CAST(sum(alarm) AS BIGINT) AS ph_alarms
+         |  FROM ph_full GROUP BY 1),
+         |cs AS (SELECT source, CAST(sum(alarm) AS BIGINT) AS cusum_alarms
+         |  FROM cs_full GROUP BY 1),
+         |hp AS (SELECT source, CAST(sum(alarm) AS BIGINT) AS hampel_alarms
+         |  FROM hp_full GROUP BY 1),
+         |ps AS (SELECT source, psi, alert AS psi_alert FROM ps_full)
+         |SELECT mk.source, n_days, mk_trend, mk_significant, ph_alarms,
+         |  cusum_alarms, hampel_alarms, psi, psi_alert,
+         |  CAST(mk_significant = 1 OR psi_alert = 1 OR ph_alarms > 0
+         |    OR cusum_alarms > 0 AS INT) AS drifting
+         |FROM mk JOIN ph USING (source) JOIN cs USING (source)
+         |  JOIN hp USING (source) JOIN ps USING (source)
+         |ORDER BY source""".stripMargin
+    gates ++ Map("mon_stream_scorecard" -> scorecard,
+      "mon_drift_panel" -> panel)
   }
 
   private def streamGateOracleSql: Map[String, String] = Map(

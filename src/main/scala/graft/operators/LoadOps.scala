@@ -2471,6 +2471,56 @@ object LoadOps {
       .orderBy(col("source"))
   }
 
+  /** D62: the DRIFT PANEL — one row per source folding the whole
+    * sequential-drift family's verdicts into a single pane, the D-family
+    * analogue of the G32 stream scoreboard: a drifting source today is
+    * five separate reports (fixed-baseline CUSUM pages, adaptive-mean
+    * Page-Hinkley pages, Mann-Kendall trend verdict, PSI window shift,
+    * Hampel point outliers); the panel joins their per-source rollups
+    * and emits ONE headline `drifting` bit (any level-shift pager fired,
+    * a significant monotone trend, or a PSI alert — Hampel counts are
+    * reported but excluded from the headline: point outliers are data
+    * quality, not distribution drift).
+    *
+    * The members are called through the SAME cores the individual gates
+    * register (shared daily fold, `psiOf` for the cents grain), so the
+    * panel can never disagree with its constituents; the oracle composes
+    * the members' own oracle SQL as CTEs — one text per member, shared
+    * verbatim with the standalone entries.
+    *
+    * Scale shape: ONE daily hash agg (corpus-collapsing, shared by four
+    * members) + the PSI support-cell agg; everything downstream is
+    * sources- or sources×days-sized; the joins are sources-row. */
+  def driftPanel(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ev = t.eventsSec.select(col("event_type").as("source"),
+      expr("sec div 86400").cast("long").as("day"),
+      expr("cast(round(value * 100) as long)").as("cents"))
+    val daily = ev.groupBy(col("source"), col("day"))
+      .agg(expr("sum(cents) div count(*)").as("md"))
+      .localCheckpoint(true)
+    val mk = mannKendallOf(daily).select(col("source"), col("n_days"),
+      col("trend").as("mk_trend"),
+      coalesce(col("significant"), lit(0)).as("mk_significant"))
+    val ph = pageHinkleyOver(daily, 100L, 2000L).groupBy(col("source"))
+      .agg(sum(col("alarm")).cast("long").as("ph_alarms"))
+    val cs = cusumOver(daily, 500L, 3000L).groupBy(col("source"))
+      .agg(sum(col("alarm")).cast("long").as("cusum_alarms"))
+    val hp = hampelOver(daily, 7, 5).groupBy(col("source"))
+      .agg(sum(col("alarm")).cast("long").as("hampel_alarms"))
+    val ps = psiOf(ev).select(col("source"), col("psi"),
+      col("alert").as("psi_alert"))
+    mk.join(ph, Seq("source")).join(cs, Seq("source"))
+      .join(hp, Seq("source")).join(ps, Seq("source"))
+      .withColumn("drifting", (col("mk_significant") === 1 ||
+        col("psi_alert") === 1 || col("ph_alarms") > 0L ||
+        col("cusum_alarms") > 0L).cast("int"))
+      .select(col("source"), col("n_days"), col("mk_trend"),
+        col("mk_significant"), col("ph_alarms"), col("cusum_alarms"),
+        col("hampel_alarms"), col("psi"), col("psi_alert"), col("drifting"))
+      .orderBy(col("source"))
+  }
+
   /** D61: PSI (population stability index) per source — the
     * industry-standard "did the score distribution move?" number risk
     * teams threshold at 0.1/0.25: the first half of the corpus horizon

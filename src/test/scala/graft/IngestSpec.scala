@@ -891,6 +891,38 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     assert(shift._4 > 0.25 && shift._5 == 1, "full shift must alert")
   }
 
+  test("drift panel: every cell equals its independently-run constituent, headline is the exact OR") {
+    import org.apache.spark.sql.functions.col
+    val ops = graft.operators.LoadOps
+    val got = ops.driftPanel(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // constituents run through their own registered entry points
+    val mk = ops.mannKendall(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getInt(5),
+        if (r.isNullAt(6)) 0 else r.getInt(6))).toMap
+    def alarms(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("source"))
+      .agg(org.apache.spark.sql.functions.sum(col("alarm")).as("a"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ph = alarms(ops.pageHinkley(spark, sfDir))
+    val cs = alarms(ops.cusum(spark, sfDir))
+    val hp = alarms(ops.hampel(spark, sfDir))
+    val ps = ops.psi(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getInt(4))).toMap
+    assert(got.keySet == mk.keySet, "panel must cover every source")
+    got.foreach { case (src, r) =>
+      assert(r.getLong(1) == mk(src)._1 && r.getInt(2) == mk(src)._2 &&
+        r.getInt(3) == mk(src)._3, s"$src: MK cells diverged")
+      assert(r.getLong(4) == ph(src) && r.getLong(5) == cs(src) &&
+        r.getLong(6) == hp(src), s"$src: pager counts diverged")
+      assert(r.getDouble(7) == ps(src)._1 && r.getInt(8) == ps(src)._2,
+        s"$src: PSI cells diverged")
+      val want = if (mk(src)._3 == 1 || ps(src)._2 == 1 ||
+        ph(src) > 0L || cs(src) > 0L) 1 else 0
+      assert(r.getInt(9) == want, s"$src: headline bit wrong")
+    }
+  }
+
   test("compact plan: offset packing replays from raw bucket counts, bins contiguous, skew real") {
     import org.apache.spark.sql.functions.col
     val got = graft.operators.LoadOps.compactPlan(spark, sfDir).collect()
