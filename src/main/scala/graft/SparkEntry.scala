@@ -357,6 +357,8 @@ object SparkEntry {
     "text_bm25"              -> ((s: SparkSession, d: String) => TextAnalysis.bm25(s, d)),
     "stream_psi"             -> graft.streaming.StreamGate.streamPsi _,
     "mon_drift_panel"        -> ((s: SparkSession, d: String) => LoadOps.driftPanel(s, d)),
+    "stream_auc"             -> graft.streaming.StreamGate.streamAuc _,
+    "stream_mann_kendall"    -> graft.streaming.StreamGate.streamMannKendall _,
   )
 
   // shared SQL fragments for the oracle ---------------------------------
@@ -784,6 +786,8 @@ object SparkEntry {
     "stream_cusum"         -> baseOracleSql("mon_cusum"),
     "stream_page_hinkley"  -> baseOracleSql("mon_page_hinkley"),
     "stream_psi"           -> baseOracleSql("mon_psi"),
+    "stream_auc"           -> baseOracleSql("q_auc_roc"),
+    "stream_mann_kendall"  -> baseOracleSql("mon_mann_kendall"),
     "stream_constraints"   -> baseOracleSql("load_check_constraints"),
     "stream_heavy_hitters" -> baseOracleSql("q_heavy_hitters"),
     "stream_benford"       -> baseOracleSql("mon_benford"),

@@ -2320,12 +2320,16 @@ object Relational {
 
   /** The E63 compute over any (source, cents, pos∈{0,1}) frame — specs
     * replay a hand-ranked wire with ties and the single-class guard. */
-  def aucRocOf(ev: DataFrame): DataFrame = {
-    val cells = ev.groupBy(col("source"), col("cents"))
+  def aucRocOf(ev: DataFrame): DataFrame =
+    aucCells(ev.groupBy(col("source"), col("cents"))
       .agg(sum(col("pos")).cast("long").as("np"),
-        count(lit(1)).cast("long").as("cnt"))
+        count(lit(1)).cast("long").as("cnt")))
+
+  /** The E63 compute over pre-counted (source, cents, np, cnt) cells —
+    * the grain the G35 stream twin folds (additive exact integers). */
+  def aucCells(cells: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("cents"))
-    cells
+    cells.select(col("source"), col("cents"), col("np"), col("cnt"))
       .withColumn("cb", coalesce(sum(col("cnt"))
         .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .groupBy(col("source"))

@@ -103,6 +103,11 @@ object Scorecard {
       "alarm" -> 'l'),
     "stream_psi" -> Seq("source" -> 's', "n_base" -> 'l', "n_cur" -> 'l',
       "psi" -> 'd', "alert" -> 'l'),
+    "stream_auc" -> Seq("source" -> 's', "n_pos" -> 'l', "n_neg" -> 'l',
+      "auc" -> 'd', "separates" -> 'l'),
+    "stream_mann_kendall" -> Seq("source" -> 's', "n_days" -> 'l',
+      "s_stat" -> 'l', "var18" -> 'l', "z" -> 'd', "trend" -> 'l',
+      "significant" -> 'l'),
     "stream_paragraph_dedup" -> Seq("doc_id" -> 'l', "n_chunks" -> 'l',
       "n_kept" -> 'l', "kept_checksum" -> 'l'),
     "stream_quantile" -> Seq("l_returnflag" -> 's', "q" -> 'd',
@@ -227,6 +232,8 @@ object Scorecard {
       "stream_cusum" -> LoadOps.cusum(spark, dir),
       "stream_page_hinkley" -> LoadOps.pageHinkley(spark, dir),
       "stream_psi" -> LoadOps.psi(spark, dir),
+      "stream_auc" -> Relational.qAucRoc(spark, dir),
+      "stream_mann_kendall" -> LoadOps.mannKendall(spark, dir),
       "stream_constraints" -> LoadOps.checkConstraints(spark, dir),
       "stream_heavy_hitters" -> Relational.qHeavyHitters(spark, dir),
       "stream_benford" -> LoadOps.benford(spark, dir),

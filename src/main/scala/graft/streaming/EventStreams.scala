@@ -791,6 +791,58 @@ object EventStreams {
       }
       .start()
 
+  /** G35: STREAMING AUC — E63 as an always-on online classifier-eval:
+    * per-(source, cents) cells carrying (positives, total) fold through
+    * [[foldState]] (value-support-bounded state — the cent domain caps
+    * the rows, volume only grows the counts), and every trigger re-ranks
+    * the folded cells through the SAME [[graft.operators.Relational
+    * .aucCells]] midrank assembly. Integer cells in, one fixed-shape
+    * division out — the report equals E63's batch pass over the prefix
+    * bit-for-bit after EVERY trigger. */
+  def aucStream(labeled: DataFrame, stateDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    labeled.writeStream.outputMode("append")
+      .foreachBatch { (batch0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import org.apache.spark.sql.functions._
+        val batch = batch0.toDF()
+          .groupBy(col("source"), col("cents").cast("long").as("cents"))
+          .agg(sum(col("pos")).cast("long").as("np"),
+            count(lit(1)).cast("long").as("cnt"))
+        val total = foldState(batch, stateDir + "/cells",
+          Seq("source", "cents"))
+        graft.operators.Relational.aucCells(total)
+          .write.mode("overwrite").parquet(stateDir + "/report")
+        (): Unit
+      }
+      .start()
+
+  /** G36: STREAMING MANN–KENDALL — D60 as an always-on monotone-trend
+    * pager: per-(source, day) exact integer (Σcents, n) moments fold
+    * through [[foldState]] (run-log-sized state), each trigger recovers
+    * the daily means by the SAME floor division the batch fold uses and
+    * re-runs [[graft.operators.LoadOps.mannKendallOf]] — S, var18 and
+    * the significance inequality are all exact integers, so the report
+    * equals D60's batch pass over the prefix bit-for-bit after EVERY
+    * trigger. */
+  def mannKendallStream(cents: DataFrame, stateDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    cents.writeStream.outputMode("append")
+      .foreachBatch { (batch0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import org.apache.spark.sql.functions._
+        val batch = batch0.toDF()
+          .groupBy(col("source"), col("day").cast("long").as("day"))
+          .agg(sum(col("cents")).cast("long").as("sum_cents"),
+            count(lit(1)).cast("long").as("n"))
+        val total = foldState(batch, stateDir + "/dailies",
+          Seq("source", "day"))
+        graft.operators.LoadOps.mannKendallOf(
+            total.select(col("source"), col("day"),
+              expr("sum_cents div n").as("md")))
+          .write.mode("overwrite").parquet(stateDir + "/report")
+        (): Unit
+      }
+      .start()
+
   /** G20: STREAMING A/B test — E36 as sequential monitoring (the
     * always-on experiment dashboard): per-(event_type) arm sufficient
     * statistics accumulate as EXACT INTEGER cent-moments (n, Σcents,

@@ -527,6 +527,49 @@ object StreamGate {
     spark.read.parquet(s"$base/state/report").orderBy(col("source"))
   }
 
+  /** G35 gate: the streaming AUC monitor run MULTI-batch (4 files, one
+    * per trigger, arbitrary split — cell folding is additive). Equals
+    * E63's batch pass; shares its oracle verbatim. */
+  def streamAuc(spark: SparkSession, dir: String): DataFrame = {
+    val base = fresh(spark, "auc")
+    Tables(spark, dir).eventsSec
+      .select(col("event_type").as("source"),
+        expr("cast(round(value * 100) as long)").as("cents"),
+        expr("cast(((sec div 86400) + 4) % 7 in (0, 6) as long)").as("pos"))
+      .repartition(4)
+      .write.parquet(s"$base/in")
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("source", StringType),
+        StructField("cents", LongType), StructField("pos", LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in")
+    val q = EventStreams.aucStream(src, s"$base/state")
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    spark.read.parquet(s"$base/state/report").orderBy(col("source"))
+  }
+
+  /** G36 gate: the streaming Mann–Kendall pager run MULTI-batch (4
+    * files, one per trigger — daily moments fold additively, so the day
+    * means recover exactly at any slicing). Equals D60's batch pass;
+    * shares its oracle verbatim. */
+  def streamMannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val base = fresh(spark, "mannkendall")
+    Tables(spark, dir).eventsSec
+      .select(col("event_type").as("source"),
+        expr("sec div 86400").cast("long").as("day"),
+        expr("cast(round(value * 100) as long)").as("cents"))
+      .repartition(4)
+      .write.parquet(s"$base/in")
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("source", StringType),
+        StructField("day", LongType), StructField("cents", LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in")
+    val q = EventStreams.mannKendallStream(src, s"$base/state")
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    spark.read.parquet(s"$base/state/report").orderBy(col("source"))
+  }
+
   /** G20 gate: the streaming A/B monitor run MULTI-batch (4 input files,
     * one per trigger) — per-arm integer cent-moments accumulate
     * associatively with zero float drift, so the final verdict equals the

@@ -786,6 +786,75 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("G35: streaming auc equals the batch rank pass after every trigger, state cell-bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // a score that works ('good': positives high) and one that is noise
+    // ('coin': labels independent of cents); repeats exercise the fold
+    val rows = (0L until 40L).flatMap { i =>
+      Seq.fill(2)(("good", 100L + i * 10L, if (i >= 20) 1L else 0L)) ++
+        Seq(("coin", 100L + (i % 7L) * 50L, i % 2L))
+    }
+    val stateDir = java.nio.file.Files.createTempDirectory("g35").toString + "/state"
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = EventStreams.aucStream(
+      mem.toDF().toDF("source", "cents", "pos"), stateDir)
+    try {
+      var fed = Seq.empty[(String, Long, Long)]
+      rows.grouped(rows.length / 4 + 1).foreach { slice =>
+        mem.addData(slice.toIndexedSeq: _*); q.processAllAvailable()
+        fed = fed ++ slice
+        val streamed = spark.read.parquet(stateDir + "/report").collect()
+          .map(_.toSeq).toSeq.sortBy(_.head.toString)
+        val batch = graft.operators.Relational.aucRocOf(
+            fed.toDF("source", "cents", "pos")).collect()
+          .map(_.toSeq).toSeq.sortBy(_.head.toString)
+        assert(streamed == batch, s"stream/batch diverged at prefix ${fed.length}")
+      }
+      val fin = spark.read.parquet(stateDir + "/report").collect()
+        .map(r => (r.getString(0), r.getDouble(3))).toMap
+      assert(fin("good") == 1.0, "clean separation must be AUC 1")
+      assert(math.abs(fin("coin") - 0.5) < 0.2, "noise must hover at 0.5")
+      val stateRows = spark.read.parquet(stateDir + "/cells").count()
+      assert(stateRows == rows.map(t => (t._1, t._2)).distinct.size.toLong,
+        "state must be (source, cents) support cells, not rows")
+    } finally q.stop()
+  }
+
+  test("G36: streaming mann-kendall equals the batch pass after every trigger, trend pages in-stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // 'rise' trends up with within-day noise that the (sum, n) fold must
+    // average out exactly; 'flat' is constant
+    val rows = (1L to 30L).flatMap { d =>
+      Seq(("rise", d, d * 100L), ("rise", d, d * 100L + 7L),
+        ("flat", d, 500L), ("flat", d, 500L)) }
+    val stateDir = java.nio.file.Files.createTempDirectory("g36").toString + "/state"
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = EventStreams.mannKendallStream(
+      mem.toDF().toDF("source", "day", "cents"), stateDir)
+    try {
+      var fed = Seq.empty[(String, Long, Long)]
+      rows.grouped(rows.length / 4 + 1).foreach { slice =>
+        mem.addData(slice.toIndexedSeq: _*); q.processAllAvailable()
+        fed = fed ++ slice
+        val streamed = spark.read.parquet(stateDir + "/report").collect()
+          .map(_.toSeq).toSeq.sortBy(_.head.toString)
+        val daily = fed.toDF("source", "day", "cents")
+          .groupBy(col("source"), col("day"))
+          .agg(org.apache.spark.sql.functions.expr("sum(cents) div count(*)").as("md"))
+        val batch = graft.operators.LoadOps.mannKendallOf(daily).collect()
+          .map(_.toSeq).toSeq.sortBy(_.head.toString)
+        assert(streamed == batch, s"stream/batch diverged at prefix ${fed.length}")
+      }
+      val fin = spark.read.parquet(stateDir + "/report").collect()
+        .map(r => r.getString(0) -> ((r.getInt(5),
+          if (r.isNullAt(6)) -1 else r.getInt(6)))).toMap
+      assert(fin("rise") == ((1, 1)), "monotone rise must page")
+      assert(fin("flat")._2 == -1, "constant series must be NULL-significant")
+    } finally q.stop()
+  }
+
   test("G26: chi2 cell ledger stays sources×24-bounded at any horizon, equals the frozen-baseline batch pass") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
