@@ -359,6 +359,7 @@ object SparkEntry {
     "mon_drift_panel"        -> ((s: SparkSession, d: String) => LoadOps.driftPanel(s, d)),
     "stream_auc"             -> graft.streaming.StreamGate.streamAuc _,
     "stream_mann_kendall"    -> graft.streaming.StreamGate.streamMannKendall _,
+    "text_ndcg"              -> ((s: SparkSession, d: String) => TextAnalysis.ndcgAt10(s, d)),
   )
 
   // shared SQL fragments for the oracle ---------------------------------
@@ -1034,6 +1035,39 @@ object SparkEntry {
          |SELECT doc_id, CAST(rn AS INT) AS rn, term, tf, df, dl,
          |  round(score, 6) AS score
          |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    // F97: NDCG@10 over the F96 BM25 ranking for the 20 highest-df probe
+    // terms; graded rel = min(tf, 3), order-pinned DCG/IDCG folds
+    "text_ndcg" ->
+      s"""WITH terms AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |probes AS (SELECT term, df FROM df ORDER BY df DESC, term LIMIT 20),
+         |s AS (SELECT tf.doc_id, tf.term, p.df, tf.tf, dl.dl,
+         |  ln(1.0 + ((SELECT count(*) FROM documents) - p.df + 0.5) / (p.df + 0.5)) *
+         |   (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 +
+         |     0.75 * CAST(dl.dl * (SELECT count(*) FROM documents) AS DOUBLE) /
+         |       (SELECT CAST(sum(dl) AS BIGINT) FROM dl))) AS score,
+         |  least(tf.tf, 3) AS rel
+         | FROM tf JOIN probes p USING (term) JOIN dl USING (doc_id)),
+         |g AS (SELECT *,
+         |  CAST(CASE rel WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 7 END AS BIGINT) AS gain,
+         |  row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rank,
+         |  row_number() OVER (PARTITION BY term ORDER BY rel DESC, doc_id) AS irank
+         | FROM s),
+         |d AS (SELECT term, sum(gain / (ln(CAST(rank + 1 AS DOUBLE)) / ln(2.0))
+         |    ORDER BY rank) AS rank_sum
+         | FROM g WHERE rank <= 10 GROUP BY 1),
+         |i AS (SELECT term, sum(gain / (ln(CAST(irank + 1 AS DOUBLE)) / ln(2.0))
+         |    ORDER BY irank) AS irank_sum
+         | FROM g WHERE irank <= 10 GROUP BY 1),
+         |st AS (SELECT term, CAST(max(df) AS BIGINT) AS df,
+         |  CAST(count(*) AS BIGINT) AS n_docs FROM g GROUP BY 1)
+         |SELECT term, df, n_docs, round(rank_sum, 6) AS dcg,
+         | round(irank_sum, 6) AS idcg,
+         | round(rank_sum / nullif(irank_sum, 0.0), 6) AS ndcg
+         |FROM st JOIN d USING (term) JOIN i USING (term)
+         |ORDER BY term""".stripMargin,
     "src_rest_oid_sweep" ->
       """WITH b AS (SELECT min(l_orderkey) mn, max(l_orderkey) mx FROM lineitem),
         |ps AS (SELECT CAST(ceil((mx - mn + 1) / 16.0) AS BIGINT) v FROM b)

@@ -355,6 +355,79 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rn"))
   }
 
+  /** F97: NDCG@10 over the F96 BM25 ranking — the GRADED ranking-quality
+    * yardstick that closes the eval family (E63 AUC = binary
+    * discrimination, D59 = calibration, this = "does the ranker put the
+    * MOST relevant docs first?"): for each of the 20 highest-df probe
+    * terms (the most load-bearing queries, picked deterministically by
+    * (df desc, term)), rank that term's docs by BM25, take the top 10,
+    * grade relevance rel = min(tf, 3) (the standard 0–3 scale from term
+    * saturation), and score DCG = Σ (2^rel − 1)/log₂(rank+1) against the
+    * ideal ordering's IDCG over the same candidate set.
+    *
+    * Determinism: tf/df/dl exact integers; BM25 ranks unrounded with the
+    * doc_id tiebreak (the F96 fixed-shape contract); gains (2^rel − 1) ∈
+    * {0,1,3,7} exact; each rank's discount is ONE division into ln; the
+    * ≤10-term DCG/IDCG sums are ORDER-PINNED on both engines (aggregate
+    * over sort_array / sum ORDER BY rank); IDCG's tie order is
+    * irrelevant (equal rel ⇒ equal gain). NDCG rounds 6 dp.
+    *
+    * Scale shape: probe selection is one vocab-sized agg + TakeOrdered
+    * 20 (broadcast back); scoring touches only the 20 probe terms'
+    * postings (20 × avg-df rows, not corpus × vocab); the rank windows
+    * partition by term — 20 partitions, each posting-list-sized. */
+  def ndcgAt10(spark: SparkSession, dir: String, nProbes: Int = 20,
+      k: Int = 10): DataFrame =
+    ndcgOf(Tables(spark, dir).documents, nProbes, k)
+
+  /** The F97 compute over any (doc_id, text) frame — specs replay a
+    * closed-form wire where length normalization inverts a graded
+    * ranking. */
+  def ndcgOf(docs: DataFrame, nProbes: Int = 20, k: Int = 10): DataFrame = {
+    val n = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).cast("long").as("dl"))
+    val totLen = dl.agg(sum(col("dl"))).first().getLong(0)
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
+    val probes = broadcast(df_
+      .orderBy(col("df").desc, col("term")).limit(nProbes))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("score").desc, col("doc_id"))
+    val wIdeal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("rel").desc, col("doc_id"))
+    val scored = tf.join(probes, "term").join(dl, "doc_id")
+      .withColumn("score",
+        log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) +
+            lit(0.75) * (col("dl") * lit(n)).cast("double") /
+              lit(totLen.toDouble))))
+      .withColumn("rel", least(col("tf"), lit(3L)))
+      .withColumn("gain",
+        expr("cast(case rel when 1 then 1 when 2 then 3 else 7 end as long)"))
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("irank", row_number().over(wIdeal))
+      .localCheckpoint(true)
+    def cut(rk: String) = scored.filter(col(rk) <= k)
+      .groupBy(col("term"))
+      .agg(expr(s"aggregate(array_sort(collect_list(struct($rk as r, " +
+        s"gain / (ln(cast($rk + 1 as double)) / ln(2.0)) as g))), " +
+        "cast(0.0 as double), (acc, x) -> acc + x.g)").as(rk + "_sum"))
+    val stats = scored.groupBy(col("term"), col("df"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+    stats.join(cut("rank"), Seq("term")).join(cut("irank"), Seq("term"))
+      .select(col("term"), col("df"), col("n_docs"),
+        round(col("rank_sum"), 6).as("dcg"),
+        round(col("irank_sum"), 6).as("idcg"),
+        round(col("rank_sum") / nullif(col("irank_sum"), lit(0.0)), 6)
+          .as("ndcg"))
+      .orderBy(col("term"))
+  }
+
   /** F20: character-bigram language-model quality score — the CCNet/KenLM
     * filtering idea at engine level: train the LM ON the corpus (bigram
     * counts, one map-side-combined agg), broadcast the tiny model back,

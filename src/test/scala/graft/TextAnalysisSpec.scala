@@ -38,6 +38,32 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(got((3L, "apple"))._3 == 3L && got((3L, "apple"))._4 == 4L)
   }
 
+  test("ndcg: length normalization inverts a graded ranking and the closed-form penalty lands exactly") {
+    // d1 carries tf(x)=2 (rel 2) but is long; d2 carries tf(x)=1 (rel 1)
+    // and is short — BM25 ranks d2 first, so NDCG@10 for 'x' dips below 1
+    val docs = Seq(
+      1L -> ("x x " + Seq.fill(20)("a").mkString(" ")),
+      2L -> "x y").toDF("doc_id", "text")
+    val got = TextAnalysis.ndcgOf(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // closed form: DCG = 1/log2(2) + 3/log2(3), IDCG = 3/log2(2) + 1/log2(3)
+    def l2(i: Int) = math.log(i.toDouble) / math.log(2.0)
+    val dcg = 1.0 / l2(2) + 3.0 / l2(3)
+    val idcg = 3.0 / l2(2) + 1.0 / l2(3)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val x = got("x")
+    assert(x._1 == 2L && x._2 == 2L, "df/n_docs for x")
+    assert(x._3 == r6(dcg) && x._4 == r6(idcg), s"dcg/idcg ${x._3}/${x._4}")
+    assert(x._5 == r6(dcg / idcg) && x._5 < 1.0,
+      s"ndcg ${x._5}: misranking must be penalized")
+    // a single-posting term is trivially perfectly ranked
+    assert(got("y")._5 == 1.0 && got("a")._5 == 1.0)
+    // every term of this tiny corpus is a probe, nothing else
+    assert(got.keySet == Set("x", "y", "a"))
+  }
+
   test("gopher rules: each rule rejects its planted violation and a clean doc passes all") {
     // a 60-word clean doc: alphabetic words, two required stop words,
     // normal word lengths, no symbols/bullets/ellipses
