@@ -550,4 +550,41 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("Scan parquet") || p.contains("FileScan"),
       s"must read straight off the scan:\n$p")
   }
+
+  test("auc/calibration/psi: corpus collapses to cells BEFORE any window, no cartesian") {
+    for (name <- Seq("q_auc_roc", "mon_calibration")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name: cartesian:\n$p")
+      assert(p.contains("partial_"), s"$name: no map-side combine:\n$p")
+      // the rank window must consume the CELL agg's output, not raw rows:
+      // in plan text, a Window node sits above a HashAggregate chain
+      val wIdx = p.indexOf("Window")
+      val aIdx = p.indexOf("HashAggregate")
+      assert(wIdx >= 0 && aIdx >= 0 && wIdx < p.lastIndexOf("HashAggregate"),
+        s"$name: window does not sit over the cell agg:\n$p")
+    }
+    // PSI has NO data-sized window at all: bounds + dense grid broadcast
+    val pp = plan("mon_psi")
+    assert(!pp.contains("Window"), s"psi must not window:\n$pp")
+    assert(pp.contains("BroadcastNestedLoopJoin") || pp.contains("BroadcastHashJoin"),
+      s"psi: bounds/grid must broadcast:\n$pp")
+  }
+
+  test("mann-kendall: the pair join is an equi join on source over dailies, never a cartesian") {
+    val p = plan("mon_mann_kendall")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(p.contains("partial_"), s"no map-side combine of the dailies:\n$p")
+  }
+
+  test("bm25/ndcg: one tokenize pass feeds tf, df and dl — no second explode") {
+    for (name <- Seq("text_bm25", "text_ndcg")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      // the checkpointed tf rows serve every consumer: exactly zero
+      // Generate (explode) nodes may survive into the final plan
+      assert(!p.contains("Generate"), s"$name: a second explode survived:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name: cartesian:\n$p")
+    }
+  }
 }
