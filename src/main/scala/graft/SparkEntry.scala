@@ -360,6 +360,8 @@ object SparkEntry {
     "stream_auc"             -> graft.streaming.StreamGate.streamAuc _,
     "stream_mann_kendall"    -> graft.streaming.StreamGate.streamMannKendall _,
     "text_ndcg"              -> ((s: SparkSession, d: String) => TextAnalysis.ndcgAt10(s, d)),
+    "q_srm"                  -> ((s: SparkSession, d: String) => Relational.qSrm(s, d)),
+    "q_cuped"                -> ((s: SparkSession, d: String) => Relational.qCuped(s, d)),
   )
 
   // shared SQL fragments for the oracle ---------------------------------
@@ -3709,6 +3711,65 @@ object SparkEntry {
         | round(sum(term ORDER BY bin), 4) AS psi,
         | CAST(round(sum(term ORDER BY bin), 4) >= 0.1 AS INT) AS alert
         |FROM p GROUP BY 1, 2, 3 ORDER BY source""".stripMargin,
+    // E64: all-integer SRM guardrail — χ² by floor division, verdict by
+    // the cross-multiplied inequality
+    "q_srm" ->
+      """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+        |g AS (SELECT event_type,
+        |  CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+        | FROM u GROUP BY 1)
+        |SELECT event_type, n_a, n_b,
+        | CAST((n_a - n_b) * (n_a - n_b) * 10000 // (n_a + n_b) AS BIGINT)
+        |   AS chi2_x10000,
+        | CAST((n_a - n_b) * (n_a - n_b) * 100 > 384 * (n_a + n_b) AS INT)
+        |   AS mismatch
+        |FROM g ORDER BY event_type""".stripMargin,
+    // E65: CUPED from exact integer user-cell moments; θ/ρ² one-division
+    // integer ratios, reported numbers one fixed IEEE shape each
+    "q_cuped" ->
+      """WITH e AS (SELECT event_type, user_id,
+        |  CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        |cells AS (SELECT event_type, user_id,
+        |  CAST(sum(cents * (1 - CAST(day >= d0 + (d1 - d0 + 1) // 2 AS BIGINT)))
+        |    AS BIGINT) AS pre,
+        |  CAST(sum(cents * CAST(day >= d0 + (d1 - d0 + 1) // 2 AS BIGINT))
+        |    AS BIGINT) AS post
+        | FROM e, bounds GROUP BY 1, 2),
+        |am AS (SELECT event_type, CAST(user_id % 2 = 0 AS INT) AS arm,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(pre) AS BIGINT) AS sx,
+        |  CAST(sum(post) AS BIGINT) AS sy,
+        |  CAST(sum(pre * pre) AS BIGINT) AS sxx,
+        |  CAST(sum(post * post) AS BIGINT) AS syy,
+        |  CAST(sum(pre * post) AS BIGINT) AS sxy
+        | FROM cells GROUP BY 1, 2),
+        |p AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n,
+        |  CAST(sum(sx) AS BIGINT) AS sx, CAST(sum(sy) AS BIGINT) AS sy,
+        |  CAST(sum(sxx) AS BIGINT) AS sxx, CAST(sum(syy) AS BIGINT) AS syy,
+        |  CAST(sum(sxy) AS BIGINT) AS sxy FROM am GROUP BY 1),
+        |t AS (SELECT event_type,
+        |  n * sxy - sx * sy AS num, n * sxx - sx * sx AS den,
+        |  n * syy - sy * sy AS deny FROM p),
+        |a AS (SELECT event_type, n AS n_a, sx AS sx_a, sy AS sy_a
+        | FROM am WHERE arm = 1),
+        |b AS (SELECT event_type, n AS n_b, sx AS sx_b, sy AS sy_b
+        | FROM am WHERE arm = 0),
+        |j AS (SELECT t.event_type, n_a, n_b,
+        |  CAST(num AS DOUBLE) / nullif(CAST(den AS DOUBLE), 0.0) AS theta_u,
+        |  CAST(sy_a AS DOUBLE) / nullif(CAST(n_a AS DOUBLE), 0.0) -
+        |   CAST(sy_b AS DOUBLE) / nullif(CAST(n_b AS DOUBLE), 0.0) AS diff_raw,
+        |  CAST(sx_a AS DOUBLE) / nullif(CAST(n_a AS DOUBLE), 0.0) -
+        |   CAST(sx_b AS DOUBLE) / nullif(CAST(n_b AS DOUBLE), 0.0) AS pre_diff,
+        |  (CAST(num AS DOUBLE) * CAST(num AS DOUBLE)) /
+        |   nullif(CAST(den AS DOUBLE) * CAST(deny AS DOUBLE), 0.0) AS rho2
+        | FROM t JOIN a USING (event_type) JOIN b USING (event_type))
+        |SELECT event_type, n_a, n_b, round(theta_u, 6) AS theta,
+        | round(diff_raw, 4) AS diff_raw_cents,
+        | round(diff_raw - theta_u * pre_diff, 4) AS diff_adj_cents,
+        | round(rho2, 6) AS rho2
+        |FROM j ORDER BY event_type""".stripMargin,
     // E42: the E41 integer midrank machinery with four conditional arm
     // counts; H from exact bigint rank sums in one fixed shape
     "q_kruskal_wallis" ->

@@ -2346,6 +2346,121 @@ object Relational {
       .orderBy(col("source"))
   }
 
+  /** E64: SRM (sample-ratio mismatch) guardrail per metric group — the
+    * FIRST check an experiment readout must pass: if the E36 hash split
+    * (`user_id % 2`) didn't actually deliver 50/50 UNITS, every
+    * downstream t/U/CUPED verdict on that group is invalid (biased
+    * assignment, lossy logging, bot filtering applied to one arm).
+    * χ²(1) against the equal-split expectation; the standard ship-block
+    * threshold 3.84 (95%).
+    *
+    * ALL-integer: units are distinct users per arm (exact counts);
+    * for two equal-expected bins χ² = (n_a − n_b)²/(n_a + n_b), reported
+    * as chi2_x10000 by floor division and decided by the cross-
+    * multiplied inequality (n_a − n_b)²·100 > 384·(n_a + n_b) — no
+    * float anywhere.
+    *
+    * Scale shape: one corpus-collapsing distinct-user agg (map-side
+    * partial), then a groups-sized report. */
+  def qSrm(spark: SparkSession, dir: String): DataFrame =
+    srmOf(Tables(spark, dir).events
+      .select(col("event_type"), col("user_id")))
+
+  /** The E64 compute over any (event_type, user_id) frame. */
+  def srmOf(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"), col("user_id")).distinct()
+      .groupBy(col("event_type"))
+      .agg(sum((col("user_id") % 2 === 0).cast("long")).as("n_a"),
+        sum((col("user_id") % 2 =!= 0).cast("long")).as("n_b"))
+      .withColumn("chi2_x10000",
+        expr("(n_a - n_b) * (n_a - n_b) * 10000 div (n_a + n_b)"))
+      .withColumn("mismatch",
+        expr("cast((n_a - n_b) * (n_a - n_b) * 100 > 384 * (n_a + n_b) as int)"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        col("chi2_x10000"), col("mismatch"))
+      .orderBy(col("event_type"))
+
+  /** E65: CUPED variance-reduced A/B readout per metric group — the
+    * industry-standard experiment sensitivity fix: a user's PRE-period
+    * spend predicts their post-period spend, so removing the predicted
+    * component (adjusted = post − θ·(pre − mean_pre), θ = cov/var over
+    * the pooled pre/post user cells) shrinks variance by exactly ρ²
+    * without biasing the arm difference (the split is independent of
+    * pre). Pre = first half of the corpus horizon, post = second (the
+    * D61 window convention); arms by the E36 hash rule.
+    *
+    * Determinism: user cells carry exact integer cent sums; all five
+    * moments per (group, arm) — n, Σpre, Σpost, Σpre², Σpre·post — are
+    * exact bigints summed order-independently, and pooled moments are
+    * the exact integer sums of the two arm rows; θ's numerator
+    * n·Σxy − Σx·Σy and denominator n·Σx² − (Σx)² are exact integers
+    * with ONE division between them; every reported number assembles
+    * from those integers in one fixed IEEE shape, then rounds (4 dp
+    * cents, 6 dp θ/ρ²). Degenerate groups (an empty arm, zero pre
+    * variance) report NULL via nullif.
+    *
+    * Scale shape: one corpus-collapsing (group, user) hash agg, one
+    * (group, arm) moment agg over user cells, a groups-sized join —
+    * nothing after the first agg is corpus-sized. Moment magnitudes:
+    * n·Σxy holds in a long to ~10⁶-cent users × 10⁹ units (beyond:
+    * decimal(38), shape unchanged). */
+  def qCuped(spark: SparkSession, dir: String): DataFrame =
+    cupedOf(Tables(spark, dir).eventsSec
+      .select(col("event_type"), col("user_id"),
+        expr("sec div 86400").cast("long").as("day"),
+        expr("cast(round(value * 100) as long)").as("cents")))
+
+  /** The E65 compute over any (event_type, user_id, day, cents) frame. */
+  def cupedOf(ev: DataFrame): DataFrame = {
+    val bounds = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val cells = ev.crossJoin(broadcast(bounds))
+      .withColumn("cur", expr("cast(day >= d0 + (d1 - d0 + 1) div 2 as long)"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(expr("cents * (1 - cur)")).cast("long").as("pre"),
+        sum(expr("cents * cur")).cast("long").as("post"))
+      .withColumn("arm", (col("user_id") % 2 === 0).cast("int"))
+    val am = cells.groupBy(col("event_type"), col("arm"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("pre")).cast("long").as("sx"),
+        sum(col("post")).cast("long").as("sy"),
+        sum(col("pre") * col("pre")).cast("long").as("sxx"),
+        sum(col("post") * col("post")).cast("long").as("syy"),
+        sum(col("pre") * col("post")).cast("long").as("sxy"))
+    val a = am.filter(col("arm") === 1).drop("arm")
+      .select(col("event_type"), col("n").as("n_a"), col("sx").as("sx_a"),
+        col("sy").as("sy_a"))
+    val b = am.filter(col("arm") === 0).drop("arm")
+      .select(col("event_type"), col("n").as("n_b"), col("sx").as("sx_b"),
+        col("sy").as("sy_b"))
+    val pooled = am.groupBy(col("event_type"))
+      .agg(sum(col("n")).cast("long").as("n"),
+        sum(col("sx")).cast("long").as("sx"),
+        sum(col("sy")).cast("long").as("sy"),
+        sum(col("sxx")).cast("long").as("sxx"),
+        sum(col("syy")).cast("long").as("syy"),
+        sum(col("sxy")).cast("long").as("sxy"))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("deny", col("n") * col("syy") - col("sy") * col("sy"))
+      .withColumn("theta_u",
+        col("num").cast("double") / nullif(col("den").cast("double"), lit(0.0)))
+    pooled.join(a, Seq("event_type")).join(b, Seq("event_type"))
+      .withColumn("diff_raw",
+        col("sy_a").cast("double") / nullif(col("n_a").cast("double"), lit(0.0)) -
+          col("sy_b").cast("double") / nullif(col("n_b").cast("double"), lit(0.0)))
+      .withColumn("diff_adj", col("diff_raw") - col("theta_u") *
+        (col("sx_a").cast("double") / nullif(col("n_a").cast("double"), lit(0.0)) -
+          col("sx_b").cast("double") / nullif(col("n_b").cast("double"), lit(0.0))))
+      .withColumn("rho2", (col("num").cast("double") * col("num").cast("double")) /
+        nullif(col("den").cast("double") * col("deny").cast("double"), lit(0.0)))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        round(col("theta_u"), 6).as("theta"),
+        round(col("diff_raw"), 4).as("diff_raw_cents"),
+        round(col("diff_adj"), 4).as("diff_adj_cents"),
+        round(col("rho2"), 6).as("rho2"))
+      .orderBy(col("event_type"))
+  }
+
   /** The E35 report assembly over a (state, next_state, n) matrix —
     * denominators via a states²-row window (tiny), exact PPM division. */
   def markovAssemble(matrix: DataFrame): DataFrame = {

@@ -659,6 +659,50 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
     assert(ex.find(_.getString(0) == "i").get.getDouble(3) == 0.0)
   }
 
+  test("srm: balanced split passes, planted one-arm group pages, duplicate events count once") {
+    import spark.implicits._
+    val ev = ((1L to 30L).map(u => ("ok", u)) ++
+      (1L to 20L).map(u => ("bad", u * 2L)) ++
+      (1L to 20L).map(u => ("bad", u * 2L)))  // exact duplicates
+      .toDF("event_type", "user_id")
+    val got = Relational.srmOf(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4)))).toMap
+    assert(got("ok") == ((15L, 15L, 0L, 0)), "balanced split must pass")
+    // all 20 units even: chi2 = 400*10000/20 = 200000 (20.0), pages
+    assert(got("bad") == ((20L, 0L, 200000L, 1)), "one-arm group must page")
+  }
+
+  test("cuped: closed-form theta/rho2, perfect predictor zeroes the adjusted diff, arm-skewed pre shifts it") {
+    import spark.implicits._
+    // 'skew': post = 2*pre + 500*arm, arms UNbalanced in pre (pooled
+    // theta absorbs part of the effect: theta 3, adj diff 400 not 500);
+    // 'bal': post = 2*pre exactly, arms balanced (rho2 = 1, adj diff 0)
+    val ev = Seq(
+      ("skew", 1L, 0L, 100L), ("skew", 1L, 3L, 200L),
+      ("skew", 2L, 0L, 200L), ("skew", 2L, 3L, 900L),
+      ("skew", 3L, 0L, 300L), ("skew", 3L, 3L, 600L),
+      ("skew", 4L, 0L, 400L), ("skew", 4L, 3L, 1300L),
+      ("bal", 1L, 0L, 100L), ("bal", 1L, 3L, 200L),
+      ("bal", 2L, 0L, 100L), ("bal", 2L, 3L, 200L),
+      ("bal", 3L, 0L, 200L), ("bal", 3L, 3L, 400L),
+      ("bal", 4L, 0L, 200L), ("bal", 4L, 3L, 400L))
+      .toDF("event_type", "user_id", "day", "cents")
+    val got = Relational.cupedOf(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    val sk = got("skew")
+    assert(sk._1 == 2L && sk._2 == 2L)
+    assert(sk._3 == 3.0, s"theta ${sk._3}")
+    assert(sk._4 == 700.0 && sk._5 == 400.0,
+      s"raw/adj diff ${sk._4}/${sk._5}")
+    assert(sk._6 == BigDecimal(600000.0 * 600000.0 / (200000.0 * 2600000.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"rho2 ${sk._6}")
+    val bl = got("bal")
+    assert(bl._3 == 2.0 && bl._6 == 1.0, "perfect predictor: theta 2, rho2 1")
+    assert(bl._4 == 0.0 && bl._5 == 0.0, "no effect must stay zero")
+  }
+
   test("kruskal-wallis: hand-ranked 4-arm wire with ties, tie-corrected H, all-tied NULL guard") {
     import spark.implicits._
     // arms (user_id % 4): a0=[1,2] a1=[2,3] a2=[3,4] a3=[4,5] — midranks
