@@ -221,4 +221,40 @@ class AdversarialLayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(matched.values.sum == 200L && matched.forall(_._2 == 1L),
       "every dirty record must match its own clean name")
   }
+
+  test("eval/drift degenerate layouts: single-day, single-value and one-arm corpora stay consistent") {
+    import spark.implicits._
+    // MK/CUPED drop a group ONLY when both engines would (inner joins on
+    // both sides); PSI must stay finite with an empty window
+    val oneDay = Seq(("solo", 5L, 100L), ("solo", 5L, 200L))
+      .toDF("source", "day", "md")
+    // a single-day source has no pairs: the pair join drops it on BOTH
+    // engines — it must vanish, not crash or half-appear
+    assert(graft.operators.LoadOps.mannKendallOf(oneDay).collect().isEmpty,
+      "single-day source must drop from MK (no pairs on either engine)")
+    // PSI single-day: the whole mass lands in the current window; Laplace
+    // smoothing keeps the score finite, and a constant single value
+    // occupies exactly one bin
+    val psiRows = graft.operators.LoadOps.psiOf(
+      Seq(("solo", 5L, 100L), ("solo", 5L, 100L)).toDF("source", "day", "cents"))
+      .collect()
+    assert(psiRows.length == 1)
+    assert(psiRows(0).getLong(1) == 0L && psiRows(0).getLong(2) == 2L,
+      "single day = empty base window")
+    assert(!psiRows(0).isNullAt(3) && !psiRows(0).getDouble(3).isNaN,
+      "smoothed PSI must stay finite on an empty base")
+    // CUPED one-arm group: inner a/b join drops it, matching the oracle
+    val oneArm = Seq(("solo", 2L, 0L, 100L), ("solo", 2L, 3L, 200L),
+      ("solo", 4L, 0L, 100L), ("solo", 4L, 3L, 200L))
+      .toDF("event_type", "user_id", "day", "cents")
+    assert(graft.operators.Relational.cupedOf(oneArm).collect().isEmpty,
+      "one-arm group must drop from CUPED (inner join on both engines)")
+    // CUPED zero pre-variance: theta/rho2 NULL via nullif, diffs survive
+    val flatPre = Seq(("f", 1L, 0L, 100L), ("f", 1L, 3L, 300L),
+      ("f", 2L, 0L, 100L), ("f", 2L, 3L, 500L))
+      .toDF("event_type", "user_id", "day", "cents")
+    val fp = graft.operators.Relational.cupedOf(flatPre).collect()(0)
+    assert(fp.isNullAt(3) && fp.isNullAt(6), "flat pre must NULL theta/rho2")
+    assert(fp.getDouble(4) == 200.0, "raw diff must survive a flat pre")
+  }
 }
