@@ -362,6 +362,8 @@ object SparkEntry {
     "text_ndcg"              -> ((s: SparkSession, d: String) => TextAnalysis.ndcgAt10(s, d)),
     "q_srm"                  -> ((s: SparkSession, d: String) => Relational.qSrm(s, d)),
     "q_cuped"                -> ((s: SparkSession, d: String) => Relational.qCuped(s, d)),
+    "q_power_mde"            -> ((s: SparkSession, d: String) => Relational.qPowerMde(s, d)),
+    "stream_srm"             -> graft.streaming.StreamGate.streamSrm _,
   )
 
   // shared SQL fragments for the oracle ---------------------------------
@@ -791,6 +793,7 @@ object SparkEntry {
     "stream_psi"           -> baseOracleSql("mon_psi"),
     "stream_auc"           -> baseOracleSql("q_auc_roc"),
     "stream_mann_kendall"  -> baseOracleSql("mon_mann_kendall"),
+    "stream_srm"           -> baseOracleSql("q_srm"),
     "stream_constraints"   -> baseOracleSql("load_check_constraints"),
     "stream_heavy_hitters" -> baseOracleSql("q_heavy_hitters"),
     "stream_benford"       -> baseOracleSql("mon_benford"),
@@ -3725,6 +3728,31 @@ object SparkEntry {
         | CAST((n_a - n_b) * (n_a - n_b) * 100 > 384 * (n_a + n_b) AS INT)
         |   AS mismatch
         |FROM g ORDER BY event_type""".stripMargin,
+    // E66: MDE from exact integer user-cell moments; mean/sd/MDE one
+    // fixed IEEE shape each, textbook 1.96 + 0.8416 constants
+    "q_power_mde" ->
+      """WITH u AS (SELECT event_type, user_id,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        | FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type,
+        |  CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |  CAST(sum(x * x) AS BIGINT) AS sxx
+        | FROM u GROUP BY 1),
+        |m AS (SELECT event_type, n_a, n_b,
+        |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_u,
+        |  sqrt(CAST(n * sxx - sx * sx AS DOUBLE) /
+        |    nullif(CAST(n * (n - 1) AS DOUBLE), 0.0)) AS sd_u
+        | FROM g),
+        |d AS (SELECT event_type, n_a, n_b, mean_u, sd_u,
+        |  2.8016 * sd_u * sqrt(2.0 / nullif(CAST(least(n_a, n_b) AS DOUBLE),
+        |    0.0)) AS mde_u
+        | FROM m)
+        |SELECT event_type, n_a, n_b, round(mean_u, 4) AS mean_cents,
+        | round(sd_u, 4) AS sd_cents, round(mde_u, 4) AS mde_cents,
+        | round(mde_u / nullif(mean_u, 0.0), 6) AS mde_rel
+        |FROM d ORDER BY event_type""".stripMargin,
     // E65: CUPED from exact integer user-cell moments; θ/ρ² one-division
     // integer ratios, reported numbers one fixed IEEE shape each
     "q_cuped" ->

@@ -2368,7 +2368,12 @@ object Relational {
 
   /** The E64 compute over any (event_type, user_id) frame. */
   def srmOf(ev: DataFrame): DataFrame =
-    ev.select(col("event_type"), col("user_id")).distinct()
+    srmUnits(ev.select(col("event_type"), col("user_id")).distinct())
+
+  /** The E64 report over an already-distinct (event_type, user_id) unit
+    * frame — the grain the G37 stream twin accumulates as state keys. */
+  def srmUnits(units: DataFrame): DataFrame =
+    units.select(col("event_type"), col("user_id"))
       .groupBy(col("event_type"))
       .agg(sum((col("user_id") % 2 === 0).cast("long")).as("n_a"),
         sum((col("user_id") % 2 =!= 0).cast("long")).as("n_b"))
@@ -2460,6 +2465,54 @@ object Relational {
         round(col("rho2"), 6).as("rho2"))
       .orderBy(col("event_type"))
   }
+
+  /** E66: MDE power analysis per metric group — the question every
+    * experiment plan starts with and every null readout must answer:
+    * "how small an effect COULD this group even detect?" A
+    * non-significant E36/E65 verdict on a group whose MDE is 40% of the
+    * mean is silence, not evidence. Standard two-sided α=0.05 / 80%
+    * power: MDE = (z₀.₉₇₅ + z₀.₈)·σ·√(2/n) with the textbook constants
+    * 1.96 + 0.8416, n = the SMALLER arm (conservative), σ = the pooled
+    * user-level spend sd.
+    *
+    * Determinism: units and their cent totals come from one exact
+    * integer (group, user) agg; n_a/n_b and the moment sums n·Σx²−(Σx)²
+    * are exact bigints; mean/sd/MDE each assemble in ONE fixed IEEE
+    * shape from those integers (two √ and three divisions total), then
+    * round (4 dp cents, 6 dp relative). Degenerate groups (n < 2, zero
+    * variance, zero mean) report NULL via nullif.
+    *
+    * Scale shape: one corpus-collapsing (group, user) hash agg, one
+    * groups-sized moment agg — the E65 plan minus the join. */
+  def qPowerMde(spark: SparkSession, dir: String): DataFrame =
+    powerMdeOf(Tables(spark, dir).events
+      .select(col("event_type"), col("user_id"),
+        expr("cast(round(value * 100) as long)").as("cents")))
+
+  /** The E66 compute over any (event_type, user_id, cents) frame. */
+  def powerMdeOf(ev: DataFrame): DataFrame =
+    ev.groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("cents")).cast("long").as("x"))
+      .groupBy(col("event_type"))
+      .agg(sum((col("user_id") % 2 === 0).cast("long")).as("n_a"),
+        sum((col("user_id") % 2 =!= 0).cast("long")).as("n_b"),
+        count(lit(1)).cast("long").as("n"),
+        sum(col("x")).cast("long").as("sx"),
+        sum(col("x") * col("x")).cast("long").as("sxx"))
+      .withColumn("mean_u", col("sx").cast("double") / col("n").cast("double"))
+      .withColumn("sd_u", sqrt(
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
+          nullif((col("n") * (col("n") - 1L)).cast("double"), lit(0.0))))
+      .withColumn("mde_u", lit(2.8016) * col("sd_u") *
+        sqrt(lit(2.0) / nullif(least(col("n_a"), col("n_b")).cast("double"),
+          lit(0.0))))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        round(col("mean_u"), 4).as("mean_cents"),
+        round(col("sd_u"), 4).as("sd_cents"),
+        round(col("mde_u"), 4).as("mde_cents"),
+        round(col("mde_u") / nullif(col("mean_u"), lit(0.0)), 6)
+          .as("mde_rel"))
+      .orderBy(col("event_type"))
 
   /** The E35 report assembly over a (state, next_state, n) matrix —
     * denominators via a states²-row window (tiny), exact PPM division. */

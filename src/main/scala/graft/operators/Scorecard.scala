@@ -103,6 +103,8 @@ object Scorecard {
       "alarm" -> 'l'),
     "stream_psi" -> Seq("source" -> 's', "n_base" -> 'l', "n_cur" -> 'l',
       "psi" -> 'd', "alert" -> 'l'),
+    "stream_srm" -> Seq("event_type" -> 's', "n_a" -> 'l', "n_b" -> 'l',
+      "chi2_x10000" -> 'l', "mismatch" -> 'l'),
     "stream_auc" -> Seq("source" -> 's', "n_pos" -> 'l', "n_neg" -> 'l',
       "auc" -> 'd', "separates" -> 'l'),
     "stream_mann_kendall" -> Seq("source" -> 's', "n_days" -> 'l',
@@ -234,6 +236,7 @@ object Scorecard {
       "stream_psi" -> LoadOps.psi(spark, dir),
       "stream_auc" -> Relational.qAucRoc(spark, dir),
       "stream_mann_kendall" -> LoadOps.mannKendall(spark, dir),
+      "stream_srm" -> Relational.qSrm(spark, dir),
       "stream_constraints" -> LoadOps.checkConstraints(spark, dir),
       "stream_heavy_hitters" -> Relational.qHeavyHitters(spark, dir),
       "stream_benford" -> LoadOps.benford(spark, dir),

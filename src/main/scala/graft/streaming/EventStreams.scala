@@ -843,6 +843,33 @@ object EventStreams {
       }
       .start()
 
+  /** G37: STREAMING SRM — E64 as the always-on assignment-health pager
+    * (an SRM that appears mid-experiment means the split BROKE mid-
+    * experiment — exactly when a batch check wouldn't be looking):
+    * distinct (group, user) units accumulate as [[foldState]] KEYS
+    * (the value is a seen-count the report ignores) — unit-set union is
+    * the one fold distinctness allows, so state is unit-set-sized, the
+    * same class as the G17 novelty ledger; every trigger re-counts arms
+    * through the SAME [[graft.operators.Relational.srmUnits]] all-integer
+    * assembly, equal to E64's batch pass over the prefix after EVERY
+    * trigger. */
+  def srmStream(events: DataFrame, stateDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream.outputMode("append")
+      .foreachBatch { (batch0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import org.apache.spark.sql.functions._
+        val batch = batch0.toDF()
+          .groupBy(col("event_type"), col("user_id").cast("long").as("user_id"))
+          .agg(count(lit(1)).cast("long").as("cnt"))
+        val total = foldState(batch, stateDir + "/units",
+          Seq("event_type", "user_id"))
+        graft.operators.Relational.srmUnits(
+            total.select(col("event_type"), col("user_id")))
+          .write.mode("overwrite").parquet(stateDir + "/report")
+        (): Unit
+      }
+      .start()
+
   /** G20: STREAMING A/B test — E36 as sequential monitoring (the
     * always-on experiment dashboard): per-(event_type) arm sufficient
     * statistics accumulate as EXACT INTEGER cent-moments (n, Σcents,

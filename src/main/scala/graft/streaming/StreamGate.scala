@@ -570,6 +570,25 @@ object StreamGate {
     spark.read.parquet(s"$base/state/report").orderBy(col("source"))
   }
 
+  /** G37 gate: the streaming SRM pager run MULTI-batch (4 files, one
+    * per trigger — unit-set union is slicing-independent). Equals E64's
+    * batch pass; shares its oracle verbatim. */
+  def streamSrm(spark: SparkSession, dir: String): DataFrame = {
+    val base = fresh(spark, "srm")
+    Tables(spark, dir).events
+      .select(col("event_type"), col("user_id"))
+      .repartition(4)
+      .write.parquet(s"$base/in")
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("event_type", StringType),
+        StructField("user_id", LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in")
+    val q = EventStreams.srmStream(src, s"$base/state")
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    spark.read.parquet(s"$base/state/report").orderBy(col("event_type"))
+  }
+
   /** G20 gate: the streaming A/B monitor run MULTI-batch (4 input files,
     * one per trigger) — per-arm integer cent-moments accumulate
     * associatively with zero float drift, so the final verdict equals the

@@ -855,6 +855,43 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("G37: streaming srm equals the batch pass after every trigger, re-fed users add no units") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // 'ok' balanced; 'bad' all-even — and every user re-appears in later
+    // slices (the unit-set union must not double-count)
+    val rows = (1L to 30L).map(u => ("ok", u)) ++
+      (1L to 20L).map(u => ("bad", u * 2L)) ++
+      (1L to 30L).map(u => ("ok", u)) ++
+      (1L to 20L).map(u => ("bad", u * 2L))
+    val stateDir = java.nio.file.Files.createTempDirectory("g37").toString + "/state"
+    val mem = MemoryStream[(String, Long)]
+    val q = EventStreams.srmStream(
+      mem.toDF().toDF("event_type", "user_id"), stateDir)
+    try {
+      var fed = Seq.empty[(String, Long)]
+      rows.grouped(rows.length / 4 + 1).foreach { slice =>
+        mem.addData(slice.toIndexedSeq: _*); q.processAllAvailable()
+        fed = fed ++ slice
+        val streamed = spark.read.parquet(stateDir + "/report").collect()
+          .map(_.toSeq).toSeq.sortBy(_.head.toString)
+        val batch = graft.operators.Relational.srmOf(
+            fed.toDF("event_type", "user_id")).collect()
+          .map(_.toSeq).toSeq.sortBy(_.head.toString)
+        assert(streamed == batch, s"stream/batch diverged at prefix ${fed.length}")
+      }
+      val fin = spark.read.parquet(stateDir + "/report").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getInt(4)))).toMap
+      assert(fin("ok") == ((15L, 15L, 0)), "balanced group paged")
+      assert(fin("bad") == ((20L, 0L, 1)), "one-arm group must page")
+      // the unit ledger carries exactly the distinct units, not the rows
+      val stateRows = spark.read.parquet(stateDir + "/units").count()
+      assert(stateRows == rows.distinct.size.toLong,
+        s"state $stateRows != distinct units ${rows.distinct.size}")
+    } finally q.stop()
+  }
+
   test("G26: chi2 cell ledger stays sources×24-bounded at any horizon, equals the frozen-baseline batch pass") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

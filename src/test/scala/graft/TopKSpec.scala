@@ -703,6 +703,32 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
     assert(bl._4 == 0.0 && bl._5 == 0.0, "no effect must stay zero")
   }
 
+  test("power mde: closed-form wire, multi-event users aggregate first, degenerate groups NULL") {
+    import spark.implicits._
+    // 'm': user totals 100/200/300/400 (user 3's total arrives as two
+    // events — the unit agg must fold them BEFORE the moments)
+    val ev = Seq(("m", 1L, 100L), ("m", 2L, 200L), ("m", 3L, 150L),
+      ("m", 3L, 150L), ("m", 4L, 400L), ("solo", 9L, 500L))
+      .toDF("event_type", "user_id", "cents")
+    val got = Relational.powerMdeOf(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val m = got("m")
+    assert(m.getLong(1) == 2L && m.getLong(2) == 2L, "arm unit counts")
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sd = math.sqrt((4.0 * 300000.0 - 1000.0 * 1000.0) / 12.0)
+    val mde = 2.8016 * sd * math.sqrt(2.0 / 2.0)
+    assert(m.getDouble(3) == 250.0 && m.getDouble(4) == r4(sd),
+      s"mean/sd ${m.getDouble(3)}/${m.getDouble(4)}")
+    assert(m.getDouble(5) == r4(mde), s"mde ${m.getDouble(5)}")
+    assert(m.getDouble(6) == BigDecimal(mde / 250.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // a single-unit group has no variance estimate: sd/mde/rel all NULL
+    val s = got("solo")
+    assert(s.isNullAt(4) && s.isNullAt(5) && s.isNullAt(6),
+      "single-unit group must NULL the sd/MDE")
+  }
+
   test("kruskal-wallis: hand-ranked 4-arm wire with ties, tie-corrected H, all-tied NULL guard") {
     import spark.implicits._
     // arms (user_id % 4): a0=[1,2] a1=[2,3] a2=[3,4] a3=[4,5] — midranks
