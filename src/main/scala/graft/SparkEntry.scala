@@ -364,6 +364,7 @@ object SparkEntry {
     "q_cuped"                -> ((s: SparkSession, d: String) => Relational.qCuped(s, d)),
     "q_power_mde"            -> ((s: SparkSession, d: String) => Relational.qPowerMde(s, d)),
     "stream_srm"             -> graft.streaming.StreamGate.streamSrm _,
+    "dedup_lsh_recall"       -> ((s: SparkSession, d: String) => Dedup.lshRecall(s, d)),
   )
 
   // shared SQL fragments for the oracle ---------------------------------
@@ -5027,6 +5028,50 @@ object SparkEntry {
          |SELECT s.doc_id, coalesce(p.n_candidates, 0) AS n_candidates,
          | coalesce(p.max_est_sim, 0.0) AS max_est_sim
          |FROM sigl s LEFT JOIN perdoc p USING (doc_id) ORDER BY s.doc_id""".stripMargin,
+    // F98: LSH recall — the minhash signature replay (F2's CTEs) plus a
+    // fixed md5-top-N probe draw; truth and found are exact integer
+    // agreement rules, recall exact PPM
+    "dedup_lsh_recall" ->
+      s"""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+         |sg0 AS (SELECT doc_id, unnest(list_transform(
+         |   range(1, greatest(length(t) - 1, 1)),
+         |   i -> ${fnvFold("list_transform([0, 1, 2], j -> CAST(ord(substr(t, i + j, 1)) AS HUGEINT))")})) AS hu
+         | FROM d),
+         |sb AS (SELECT DISTINCT doc_id,
+         |  ((${u2s("hu")} % 2147483647) + 2147483647) % 2147483647 AS hp FROM sg0),
+         |sig AS (SELECT doc_id, p,
+         |  min((hp * (2 * p + 1) + (1000003 * p + 12345)) % 2147483647) AS comp
+         | FROM sb, range(0, 32) r(p) GROUP BY 1, 2),
+         |sigl AS MATERIALIZED (SELECT doc_id, list(comp ORDER BY p) AS sig
+         | FROM sig GROUP BY 1),
+         |probes AS MATERIALIZED (SELECT doc_id AS qid, sig AS qsig FROM sigl
+         | ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 20),
+         |truth AS MATERIALIZED (SELECT p.qid, s.doc_id
+         | FROM sigl s CROSS JOIN probes p
+         | WHERE s.doc_id <> p.qid
+         |  AND len(list_filter(range(1, 33), i -> s.sig[i] = p.qsig[i])) >= 16),
+         |bp AS (SELECT qid, b AS band, qsig[b * 4 + 1 : b * 4 + 4] AS bh
+         | FROM probes, range(0, 8) r(b)),
+         |ba AS (SELECT doc_id, b AS band, sig[b * 4 + 1 : b * 4 + 4] AS bh
+         | FROM sigl, range(0, 8) r(b)),
+         |f0 AS (SELECT DISTINCT p.qid, a.doc_id
+         | FROM bp p JOIN ba a ON p.band = a.band AND p.bh = a.bh
+         |  AND p.qid <> a.doc_id),
+         |found AS (SELECT f.qid, f.doc_id FROM f0 f
+         | JOIN sigl s ON s.doc_id = f.doc_id
+         | JOIN probes pr ON pr.qid = f.qid
+         | WHERE len(list_filter(range(1, 33), i -> s.sig[i] = pr.qsig[i])) >= 16),
+         |tc AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_true
+         | FROM truth GROUP BY 1),
+         |h AS (SELECT t.qid, CAST(count(*) AS BIGINT) AS n_hits
+         | FROM truth t JOIN found USING (qid, doc_id) GROUP BY 1)
+         |SELECT p.qid, COALESCE(tc.n_true, 0) AS n_true,
+         | COALESCE(h.n_hits, 0) AS n_hits,
+         | CASE WHEN COALESCE(tc.n_true, 0) = 0 THEN NULL
+         |  ELSE CAST(COALESCE(h.n_hits, 0) * 1000000 // tc.n_true AS BIGINT)
+         | END AS recall_ppm
+         |FROM probes p LEFT JOIN tc ON tc.qid = p.qid
+         | LEFT JOIN h ON h.qid = p.qid ORDER BY p.qid""".stripMargin,
     // F18 winnowing: full replay — FNV-1a char-5-grams, sliding-window
     // (w=8) minima via a frame window (n<=w collapses to the global min:
     // the i=1 window covers everything), distinct fingerprints, df-cap 64,

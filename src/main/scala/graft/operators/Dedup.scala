@@ -554,6 +554,82 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** F98: LSH RECALL report — the F79/ann_recall discipline applied to
+    * the F2 MinHash-LSH dedup: banding is a probabilistic screen (a pair
+    * with signature similarity s lands in a shared band with probability
+    * 1 − (1 − s^4)^8), so "how many true near-dup pairs does the banding
+    * actually surface?" is THE quality number of the dedup scheme — a
+    * recall miss here is a duplicate that survives into training data.
+    * Ground truth per probe doc = the corpus docs whose 32-perm
+    * signatures agree on ≥ minAgree components (est_sim ≥ 0.5 at the
+    * default 16/32 — an EXACT integer rule, no float threshold); found =
+    * the band+bucket candidates touching the probe, same agreement
+    * filter; recall in exact PPM.
+    *
+    * Scale shape: probes are a CONSTANT md5-top-N draw (the F79 r14
+    * rule — never a corpus fraction); the truth pass is |probes|×corpus
+    * with a broadcast probe side; the found pass restricts the band join
+    * to probe bands (8·|probes| rows) against the corpus banding. All
+    * comparisons are integer agreement counts — zero floats anywhere. */
+  def lshRecall(spark: SparkSession, dir: String, nProbes: Int = 20,
+      minAgree: Int = 16): DataFrame =
+    lshRecallOf(Tables(spark, dir).documents, nProbes, minAgree)
+
+  /** The F98 compute over any (doc_id, text) frame — specs plant exact
+    * duplicates (all 32 components agree ⇒ every band collides ⇒ the
+    * screen CANNOT miss them) and pin hits ⊆ truth. */
+  def lshRecallOf(docs: DataFrame, nProbes: Int = 20,
+      minAgree: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    val sig = docs
+      .select(col("doc_id"),
+        minhashSignature(ShingleHashes.shingleHashes(spark, col("text"))).as("sig"))
+      .localCheckpoint(true)
+    val probes = sig.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .limit(nProbes)
+      .select(col("doc_id").as("qid"), col("sig").as("qsig"))
+      .localCheckpoint(true)
+    def agree(a: Column, b: Column): Column = aggregate(
+      zip_with(a, b, (p, q) => when(p === q, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    val truth = sig.crossJoin(broadcast(probes))
+      .filter(col("doc_id") =!= col("qid") &&
+        agree(col("sig"), col("qsig")) >= minAgree)
+      .select(col("qid"), col("doc_id"))
+      .localCheckpoint(true)
+    def bandsOf(id: Column, s: Column) = (0 until Bands).map { h =>
+      struct(lit(h).as("band"),
+        xxhash64(lit(h), slice(s, h * 4 + 1, 4)).as("bh"))
+    }
+    val bandedP = probes.select(col("qid"), col("qsig"),
+        explode(array(bandsOf(col("qid"), col("qsig")): _*)).as("b"))
+      .select(col("qid"), col("qsig"), col("b.band"), col("b.bh"))
+    val bandedA = sig.select(col("doc_id"), col("sig"),
+        explode(array(bandsOf(col("doc_id"), col("sig")): _*)).as("b"))
+      .select(col("doc_id"), col("sig"), col("b.band"), col("b.bh"))
+    val found = bandedA.as("a").join(broadcast(bandedP.as("p")),
+        col("a.band") === col("p.band") && col("a.bh") === col("p.bh") &&
+          col("a.doc_id") =!= col("p.qid"))
+      .select(col("p.qid").as("qid"), col("a.doc_id").as("doc_id"),
+        col("a.sig").as("sig"), col("p.qsig").as("qsig"))
+      .distinct()
+      .filter(agree(col("sig"), col("qsig")) >= minAgree)
+      .select(col("qid"), col("doc_id"))
+    val nTrue = truth.groupBy(col("qid"))
+      .agg(count(lit(1)).cast("long").as("n_true"))
+    val hits = truth.join(found, Seq("qid", "doc_id"))
+      .groupBy(col("qid")).agg(count(lit(1)).cast("long").as("n_hits"))
+    probes.select(col("qid"))
+      .join(nTrue, Seq("qid"), "left").join(hits, Seq("qid"), "left")
+      .withColumn("n_true", coalesce(col("n_true"), lit(0L)))
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("recall_ppm", when(col("n_true") === 0L,
+        lit(null).cast("long"))
+        .otherwise(expr("n_hits * 1000000 div n_true")))
+      .select(col("qid"), col("n_true"), col("n_hits"), col("recall_ppm"))
+      .orderBy(col("qid"))
+  }
+
   /** F18: winnowing (rolling-hash) fingerprint dedup — MOSS-style
     * fingerprints via the native [[WinnowFingerprints]] expression;
     * candidates = pairs sharing ≥ minShared fingerprints (equi-join on the

@@ -37,6 +37,39 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(hamming(hBase, hFar) > hamming(hBase, hNear))
   }
 
+  test("lsh recall: exact duplicates can never be missed, hits bounded by truth, probe count pinned") {
+    // 30 distinct docs plus exact duplicates of the first ten — a pair
+    // agreeing on ALL 32 signature components collides in EVERY band, so
+    // the screen provably cannot miss it
+    def text(i: Long) = (1 to 12).map(w => s"tok${i}x$w word$w").mkString(" ")
+    val docs = ((1L to 30L).map(i => (i, text(i))) ++
+      (1L to 10L).map(i => (100L + i, text(i))))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.lshRecallOf(docs, nProbes = 40)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(got.length == 40, "probe frame must be exactly nProbes")
+    got.foreach { case (qid, nTrue, nHits, ppm) =>
+      assert(nHits <= nTrue, s"probe $qid: hits exceed truth")
+      // a probe with an exact twin has the twin in its truth set, and
+      // the banding MUST surface it: recall can never be 0 there
+      val base = if (qid > 100L) qid - 100L else qid
+      if (base <= 10L) {
+        assert(nTrue >= 1L, s"probe $qid: exact twin missing from truth")
+        assert(nHits >= 1L && ppm > 0L,
+          s"probe $qid: banding missed an exact duplicate")
+      }
+    }
+    // probes are every doc here (40 = corpus), so the ten twin pairs are
+    // symmetric: both ends report the same counts
+    val byId = got.map(t => t._1 -> t).toMap
+    (1L to 10L).foreach { i =>
+      assert(byId(i)._2 == byId(100L + i)._2,
+        s"twin pair $i: asymmetric truth")
+    }
+  }
+
   test("minhash signature estimates jaccard within tolerance") {
     // two docs sharing ~half their shingles
     val shared = (1 to 40).map(i => s"w$i").mkString(" ")
