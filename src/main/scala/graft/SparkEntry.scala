@@ -365,6 +365,7 @@ object SparkEntry {
     "q_power_mde"            -> ((s: SparkSession, d: String) => Relational.qPowerMde(s, d)),
     "stream_srm"             -> graft.streaming.StreamGate.streamSrm _,
     "dedup_lsh_recall"       -> ((s: SparkSession, d: String) => Dedup.lshRecall(s, d)),
+    "mon_seasonal_mk"        -> ((s: SparkSession, d: String) => LoadOps.seasonalMannKendall(s, d)),
   )
 
   // shared SQL fragments for the oracle ---------------------------------
@@ -3683,6 +3684,36 @@ object SparkEntry {
         |   10000 * 18 * (abs(s_stat) - 1) * (abs(s_stat) - 1)
         |     > 38416 * var18 AS INT) END AS significant
         |FROM v ORDER BY source""".stripMargin,
+    // D63: Hirsch–Slack seasonal MK — the D60 machinery keyed on
+    // (source, dow); independent seasons' S and var18 sum exactly
+    "mon_seasonal_mk" ->
+      """WITH d AS (SELECT event_type AS source,
+        |  CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) // count(*) AS BIGINT)
+        |    AS md
+        | FROM events GROUP BY 1, 2),
+        |dd AS (SELECT source, day, (day + 4) % 7 AS dow, md FROM d),
+        |s AS (SELECT a.source, CAST(sum(CASE WHEN b.md > a.md THEN 1
+        |    WHEN b.md < a.md THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        | FROM dd a JOIN dd b ON a.source = b.source AND a.dow = b.dow
+        |  AND a.day < b.day
+        | GROUP BY 1),
+        |t AS (SELECT source, dow, md, count(*) AS t FROM dd GROUP BY 1, 2, 3),
+        |gs AS (SELECT source, dow, CAST(sum(t) AS BIGINT) AS nd,
+        |  CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+        | FROM t GROUP BY 1, 2),
+        |g AS (SELECT source, CAST(sum(nd) AS BIGINT) AS n_days,
+        |  CAST(count(*) AS BIGINT) AS n_seasons,
+        |  CAST(sum(nd * (nd - 1) * (2 * nd + 5) - tie18) AS BIGINT) AS var18
+        | FROM gs GROUP BY 1)
+        |SELECT g.source, n_days, n_seasons, s_stat, var18,
+        | round((CAST(s_stat AS DOUBLE) - CAST(sign(s_stat) AS DOUBLE)) /
+        |   nullif(sqrt(CAST(var18 AS DOUBLE) / 18.0), 0.0), 4) AS z,
+        | CAST(sign(s_stat) AS INT) AS trend,
+        | CASE WHEN var18 = 0 THEN NULL ELSE CAST(abs(s_stat) > 0 AND
+        |   10000 * 18 * (abs(s_stat) - 1) * (abs(s_stat) - 1)
+        |     > 38416 * var18 AS INT) END AS significant
+        |FROM g JOIN s USING (source) ORDER BY g.source""".stripMargin,
     // D61: fixed-width global bins, +1 Laplace smoothing, one-division
     // integer-ratio ln, bin-ordered float fold on both engines
     "mon_psi" ->

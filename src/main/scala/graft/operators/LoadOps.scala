@@ -2521,6 +2521,65 @@ object LoadOps {
       .orderBy(col("source"))
   }
 
+  /** D63: SEASONAL Mann–Kendall (Hirsch–Slack) per source — D60's
+    * blind spot: a metric with a weekly rhythm feeds the plain MK pair
+    * count day-vs-day comparisons ACROSS weekdays, so strong
+    * seasonality either masks a real trend or fakes one. The seasonal
+    * variant compares each weekday only with ITSELF across weeks
+    * (S = Σ_dow S_dow, var = Σ_dow var_dow — independent seasons sum),
+    * which is exactly how D41 treats level and this treats trend.
+    *
+    * Same determinism contract as D60: per-season S and tie-corrected
+    * var18 are exact integers (the pair join now keys on (source, dow)
+    * — ≤ horizon²/14 pairs per source), season sums are exact,
+    * significance by the cross-multiplied integer inequality, z one
+    * fixed IEEE shape, all-tied NULL. */
+  def seasonalMannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    seasonalMannKendallOf(t.eventsSec
+      .select(col("event_type").as("source"),
+        expr("sec div 86400").cast("long").as("day"),
+        expr("cast(round(value * 100) as long)").as("cents"))
+      .groupBy(col("source"), col("day"))
+      .agg(expr("sum(cents) div count(*)").as("md")))
+  }
+
+  /** The D63 compute over any (source, day, md) daily frame. */
+  def seasonalMannKendallOf(daily: DataFrame): DataFrame = {
+    val d = daily.select(col("source"), col("day"), col("md"))
+      .withColumn("dow", expr("(day + 4) % 7"))
+    val s = d.as("a").join(d.as("b"),
+        col("a.source") === col("b.source") && col("a.dow") === col("b.dow") &&
+          col("a.day") < col("b.day"))
+      .groupBy(col("a.source").as("source"))
+      .agg(sum(expr("cast(sign(b.md - a.md) as long)")).as("s_stat"))
+    val ties = d.groupBy(col("source"), col("dow"), col("md"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("source"), col("dow"))
+      .agg(sum(col("t")).cast("long").as("nd"),
+        sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L))
+          .cast("long").as("tie18"))
+      .groupBy(col("source"))
+      .agg(sum(col("nd")).cast("long").as("n_days"),
+        count(lit(1)).cast("long").as("n_seasons"),
+        sum(col("nd") * (col("nd") - 1L) * (lit(2L) * col("nd") + 5L)
+          - col("tie18")).cast("long").as("var18"))
+    ties.join(s, Seq("source"))
+      .withColumn("z", round(
+        (col("s_stat").cast("double") -
+          expr("cast(sign(s_stat) as double)")) /
+          nullif(sqrt(col("var18").cast("double") / lit(18.0)), lit(0.0)), 4))
+      .withColumn("trend", expr("cast(sign(s_stat) as int)"))
+      .withColumn("significant", when(col("var18") === 0L,
+        lit(null).cast("int")).otherwise((abs(col("s_stat")) > lit(0L) &&
+          lit(10000L) * lit(18L) * (abs(col("s_stat")) - 1L) *
+            (abs(col("s_stat")) - 1L) > lit(38416L) * col("var18"))
+          .cast("int")))
+      .select(col("source"), col("n_days"), col("n_seasons"), col("s_stat"),
+        col("var18"), col("z"), col("trend"), col("significant"))
+      .orderBy(col("source"))
+  }
+
   /** D61: PSI (population stability index) per source — the
     * industry-standard "did the score distribution move?" number risk
     * teams threshold at 0.1/0.25: the first half of the corpus horizon

@@ -863,6 +863,40 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     assert(corpusGot == bruteS, "corpus S/var18 diverged from brute pairs")
   }
 
+  test("seasonal mann-kendall: pure seasonality is all ties, trend-under-seasonality pages with closed-form S/var") {
+    import spark.implicits._
+    // 28 days = 4 full weeks; day+4 mod 7 is the dow key
+    def wire(src: String, md: (Long, Long) => Long) =
+      (0L until 28L).map(d => (src, d, md((d + 4) % 7, d / 7)))
+    val daily = (
+      wire("saw", (dow, _) => dow * 1000L) ++            // season, no trend
+      wire("both", (dow, week) => dow * 1000L + week * 10L))
+      .toDF("source", "day", "md")
+    val got = graft.operators.LoadOps.seasonalMannKendallOf(daily).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // pure seasonality: every within-dow series is constant — all ties
+    val saw = got("saw")
+    assert(saw.getLong(1) == 28L && saw.getLong(2) == 7L)
+    assert(saw.getLong(3) == 0L && saw.getLong(4) == 0L,
+      "pure seasonality must be all within-season ties")
+    assert(saw.isNullAt(5) && saw.isNullAt(7), "all-tied must be NULL")
+    // trend under seasonality: each dow strictly rises over 4 weeks —
+    // S = 7*C(4,2) = 42, var18 = 7*4*3*13 = 1092, z = 41/sqrt(1092/18)
+    val both = got("both")
+    assert(both.getLong(3) == 42L && both.getLong(4) == 1092L,
+      s"S/var18 ${both.getLong(3)}/${both.getLong(4)}")
+    val expZ = BigDecimal(41.0 / math.sqrt(1092.0 / 18.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(both.getDouble(5) == expZ && both.getInt(6) == 1 &&
+      both.getInt(7) == 1, "trend under seasonality must page")
+    // the PLAIN MK on the sawtooth is NOT all-tied (cross-dow pairs) —
+    // exactly the contamination the seasonal variant removes
+    val plain = graft.operators.LoadOps.mannKendallOf(
+        daily.filter(org.apache.spark.sql.functions.col("source") === "saw"))
+      .collect()(0)
+    assert(plain.getLong(3) != 0L, "plain MK must see the cross-dow noise")
+  }
+
   test("psi: identical windows score exactly zero, a full shift alerts, missing bins still count") {
     import spark.implicits._
     // days 0-1 = base window, 2-3 = comparison; cents 0..9 → bin = cents
