@@ -3812,11 +3812,12 @@ object SparkEntry {
         |t AS (SELECT event_type,
         |  n * sxy - sx * sy AS num, n * sxx - sx * sx AS den,
         |  n * syy - sy * sy AS deny FROM p),
-        |a AS (SELECT event_type, n AS n_a, sx AS sx_a, sy AS sy_a
-        | FROM am WHERE arm = 1),
-        |b AS (SELECT event_type, n AS n_b, sx AS sx_b, sy AS sy_b
-        | FROM am WHERE arm = 0),
+        |a AS (SELECT event_type, n AS n_a, sx AS sx_a, sy AS sy_a,
+        |  sxx AS sxx_a, syy AS syy_a, sxy AS sxy_a FROM am WHERE arm = 1),
+        |b AS (SELECT event_type, n AS n_b, sx AS sx_b, sy AS sy_b,
+        |  sxx AS sxx_b, syy AS syy_b, sxy AS sxy_b FROM am WHERE arm = 0),
         |j AS (SELECT t.event_type, n_a, n_b,
+        |  sx_a, sy_a, sxx_a, syy_a, sxy_a, sx_b, sy_b, sxx_b, syy_b, sxy_b,
         |  CAST(num AS DOUBLE) / nullif(CAST(den AS DOUBLE), 0.0) AS theta_u,
         |  CAST(sy_a AS DOUBLE) / nullif(CAST(n_a AS DOUBLE), 0.0) -
         |   CAST(sy_b AS DOUBLE) / nullif(CAST(n_b AS DOUBLE), 0.0) AS diff_raw,
@@ -3824,12 +3825,26 @@ object SparkEntry {
         |   CAST(sx_b AS DOUBLE) / nullif(CAST(n_b AS DOUBLE), 0.0) AS pre_diff,
         |  (CAST(num AS DOUBLE) * CAST(num AS DOUBLE)) /
         |   nullif(CAST(den AS DOUBLE) * CAST(deny AS DOUBLE), 0.0) AS rho2
-        | FROM t JOIN a USING (event_type) JOIN b USING (event_type))
+        | FROM t JOIN a USING (event_type) JOIN b USING (event_type)),
+        |w AS (SELECT *, diff_raw - theta_u * pre_diff AS diff_adj,
+        |  sy_a / n_a - theta_u * (sx_a / n_a) AS ma,
+        |  sy_b / n_b - theta_u * (sx_b / n_b) AS mb
+        | FROM j),
+        |v AS (SELECT *,
+        |  ((syy_a - 2.0 * theta_u * sxy_a + theta_u * theta_u * sxx_a) -
+        |    n_a * (ma * ma)) / (n_a - 1) AS va,
+        |  ((syy_b - 2.0 * theta_u * sxy_b + theta_u * theta_u * sxx_b) -
+        |    n_b * (mb * mb)) / (n_b - 1) AS vb
+        | FROM w),
+        |f AS (SELECT *, CASE WHEN n_a <= 1 OR n_b <= 1 THEN NULL
+        |  ELSE diff_adj / nullif(sqrt(va / n_a + vb / n_b), 0.0) END AS t_adj
+        | FROM v)
         |SELECT event_type, n_a, n_b, round(theta_u, 6) AS theta,
         | round(diff_raw, 4) AS diff_raw_cents,
-        | round(diff_raw - theta_u * pre_diff, 4) AS diff_adj_cents,
-        | round(rho2, 6) AS rho2
-        |FROM j ORDER BY event_type""".stripMargin,
+        | round(diff_adj, 4) AS diff_adj_cents,
+        | round(rho2, 6) AS rho2, round(t_adj, 4) AS t_adj,
+        | CAST(abs(round(t_adj, 4)) >= 1.96 AS INT) AS significant
+        |FROM f ORDER BY event_type""".stripMargin,
     // E42: the E41 integer midrank machinery with four conditional arm
     // counts; H from exact bigint rank sums in one fixed shape
     "q_kruskal_wallis" ->

@@ -2433,10 +2433,12 @@ object Relational {
         sum(col("pre") * col("post")).cast("long").as("sxy"))
     val a = am.filter(col("arm") === 1).drop("arm")
       .select(col("event_type"), col("n").as("n_a"), col("sx").as("sx_a"),
-        col("sy").as("sy_a"))
+        col("sy").as("sy_a"), col("sxx").as("sxx_a"), col("syy").as("syy_a"),
+        col("sxy").as("sxy_a"))
     val b = am.filter(col("arm") === 0).drop("arm")
       .select(col("event_type"), col("n").as("n_b"), col("sx").as("sx_b"),
-        col("sy").as("sy_b"))
+        col("sy").as("sy_b"), col("sxx").as("sxx_b"), col("syy").as("syy_b"),
+        col("sxy").as("sxy_b"))
     val pooled = am.groupBy(col("event_type"))
       .agg(sum(col("n")).cast("long").as("n"),
         sum(col("sx")).cast("long").as("sx"),
@@ -2458,11 +2460,30 @@ object Relational {
           col("sx_b").cast("double") / nullif(col("n_b").cast("double"), lit(0.0))))
       .withColumn("rho2", (col("num").cast("double") * col("num").cast("double")) /
         nullif(col("den").cast("double") * col("deny").cast("double"), lit(0.0)))
+      // the Welch verdict ON the adjusted metric — per-arm adjusted
+      // sample variance recovers from the same exact moment matrix:
+      // ss_adj = (Σy² − 2θΣxy + θ²Σx²) − n·mean_adj²
+      .withColumn("ma", col("sy_a") / col("n_a") -
+        col("theta_u") * (col("sx_a") / col("n_a")))
+      .withColumn("mb", col("sy_b") / col("n_b") -
+        col("theta_u") * (col("sx_b") / col("n_b")))
+      .withColumn("va", ((col("syy_a") - lit(2.0) * col("theta_u") * col("sxy_a") +
+        col("theta_u") * col("theta_u") * col("sxx_a")) -
+        col("n_a") * (col("ma") * col("ma"))) / (col("n_a") - lit(1L)))
+      .withColumn("vb", ((col("syy_b") - lit(2.0) * col("theta_u") * col("sxy_b") +
+        col("theta_u") * col("theta_u") * col("sxx_b")) -
+        col("n_b") * (col("mb") * col("mb"))) / (col("n_b") - lit(1L)))
+      .withColumn("t_adj", when(col("n_a") <= 1L || col("n_b") <= 1L,
+        lit(null).cast("double"))
+        .otherwise(col("diff_adj") / nullif(
+          sqrt(col("va") / col("n_a") + col("vb") / col("n_b")), lit(0.0))))
       .select(col("event_type"), col("n_a"), col("n_b"),
         round(col("theta_u"), 6).as("theta"),
         round(col("diff_raw"), 4).as("diff_raw_cents"),
         round(col("diff_adj"), 4).as("diff_adj_cents"),
-        round(col("rho2"), 6).as("rho2"))
+        round(col("rho2"), 6).as("rho2"),
+        round(col("t_adj"), 4).as("t_adj"),
+        (abs(round(col("t_adj"), 4)) >= lit(1.96)).cast("int").as("significant"))
       .orderBy(col("event_type"))
   }
 

@@ -689,18 +689,30 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
       ("bal", 4L, 0L, 200L), ("bal", 4L, 3L, 400L))
       .toDF("event_type", "user_id", "day", "cents")
     val got = Relational.cupedOf(ev).collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
-        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+      .map(r => r.getString(0) -> r).toMap
     val sk = got("skew")
-    assert(sk._1 == 2L && sk._2 == 2L)
-    assert(sk._3 == 3.0, s"theta ${sk._3}")
-    assert(sk._4 == 700.0 && sk._5 == 400.0,
-      s"raw/adj diff ${sk._4}/${sk._5}")
-    assert(sk._6 == BigDecimal(600000.0 * 600000.0 / (200000.0 * 2600000.0))
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"rho2 ${sk._6}")
+    assert(sk.getLong(1) == 2L && sk.getLong(2) == 2L)
+    assert(sk.getDouble(3) == 3.0, s"theta ${sk.getDouble(3)}")
+    assert(sk.getDouble(4) == 700.0 && sk.getDouble(5) == 400.0,
+      s"raw/adj diff ${sk.getDouble(4)}/${sk.getDouble(5)}")
+    assert(sk.getDouble(6) ==
+      BigDecimal(600000.0 * 600000.0 / (200000.0 * 2600000.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      s"rho2 ${sk.getDouble(6)}")
+    // adjusted values y − 3x per arm: a = {300, 100}, b = {−100, −300}
+    // → va = vb = 20000, t = 400/√20000 = 2.8284, pages
+    assert(sk.getDouble(7) == BigDecimal(400.0 / math.sqrt(20000.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      s"t_adj ${sk.getDouble(7)}")
+    assert(sk.getInt(8) == 1, "the adjusted verdict must page")
     val bl = got("bal")
-    assert(bl._3 == 2.0 && bl._6 == 1.0, "perfect predictor: theta 2, rho2 1")
-    assert(bl._4 == 0.0 && bl._5 == 0.0, "no effect must stay zero")
+    assert(bl.getDouble(3) == 2.0 && bl.getDouble(6) == 1.0,
+      "perfect predictor: theta 2, rho2 1")
+    assert(bl.getDouble(4) == 0.0 && bl.getDouble(5) == 0.0,
+      "no effect must stay zero")
+    // zero adjusted variance: the Welch t is undefined, NULL not Inf
+    assert(bl.isNullAt(7) && bl.isNullAt(8),
+      "zero adjusted variance must NULL the verdict")
   }
 
   test("power mde: closed-form wire, multi-event users aggregate first, degenerate groups NULL") {
