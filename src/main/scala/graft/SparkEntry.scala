@@ -366,6 +366,7 @@ object SparkEntry {
     "stream_srm"             -> graft.streaming.StreamGate.streamSrm _,
     "dedup_lsh_recall"       -> ((s: SparkSession, d: String) => Dedup.lshRecall(s, d)),
     "mon_seasonal_mk"        -> ((s: SparkSession, d: String) => LoadOps.seasonalMannKendall(s, d)),
+    "mon_forecast_eval"      -> ((s: SparkSession, d: String) => LoadOps.forecastEval(s, d)),
   )
 
   // shared SQL fragments for the oracle ---------------------------------
@@ -779,8 +780,34 @@ object SparkEntry {
          |FROM mk JOIN ph USING (source) JOIN cs USING (source)
          |  JOIN hp USING (source) JOIN ps USING (source)
          |ORDER BY source""".stripMargin
+    // D64: the forecast backtest composes D49's oracle as a CTE —
+    // shared verbatim, all-integer rollup on top
+    val feval =
+      s"""WITH tr AS (${baseOracleSql("mon_forecast")}),
+         |d AS (SELECT source, day, md, forecast, resid,
+         |  lag(md) OVER (PARTITION BY source ORDER BY day) AS prev_md
+         | FROM tr),
+         |f AS (SELECT * FROM d
+         | WHERE forecast IS NOT NULL AND prev_md IS NOT NULL),
+         |p AS (SELECT source, md, resid,
+         |  abs(resid) * 1000000 // greatest(abs(md), 1) AS pe_ppm,
+         |  abs(md - prev_md) AS naive_err FROM f),
+         |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_eval,
+         |  CAST(sum(abs(resid)) // count(*) AS BIGINT) AS mae_cents,
+         |  CAST(sum(resid) AS BIGINT) AS bias_sum_cents,
+         |  CAST(sum(pe_ppm) // count(*) AS BIGINT) AS mape_ppm,
+         |  CAST(sum(naive_err) // count(*) AS BIGINT) AS mae_naive_cents,
+         |  CAST(sum(abs(resid)) AS BIGINT) AS sae,
+         |  CAST(sum(naive_err) AS BIGINT) AS sne FROM p GROUP BY 1)
+         |SELECT source, n_eval, mae_cents, bias_sum_cents, mape_ppm,
+         | mae_naive_cents,
+         | CASE WHEN sne = 0 THEN NULL
+         |  ELSE CAST(sae * 10000 // sne AS BIGINT) END AS mase_x10000,
+         | CASE WHEN sne = 0 THEN NULL
+         |  ELSE CAST(sae < sne AS INT) END AS skillful
+         |FROM g ORDER BY source""".stripMargin
     gates ++ Map("mon_stream_scorecard" -> scorecard,
-      "mon_drift_panel" -> panel)
+      "mon_drift_panel" -> panel, "mon_forecast_eval" -> feval)
   }
 
   private def streamGateOracleSql: Map[String, String] = Map(

@@ -2580,6 +2580,58 @@ object LoadOps {
       .orderBy(col("source"))
   }
 
+  /** D64: FORECAST BACKTEST — the eval discipline (E63/D59/F97/F98)
+    * extended to the D49 Holt forecaster: a forecaster that nobody
+    * scores drifts into decoration. Per source, over the days where a
+    * one-step-ahead forecast exists: MAE in exact cents and the signed bias as an UNDIVIDED sum
+    * (a signed floor division diverges between engines), MAPE in exact ppm (per-day ratio by floor division against
+    * |actual| clamped to ≥1), and MASE against the persistence
+    * baseline (yesterday's value) — mase < 1 is the "earning its keep"
+    * line every forecast eval starts from, reported as the integer
+    * inequality `skillful` = mae < mae_naive.
+    *
+    * ALL-integer: the D49 trajectory is already exact integer cents;
+    * every error statistic here is floor-divided sums of those integers
+    * — no float anywhere in the op. One window pass (lag for the naive
+    * baseline) over the |source·days| daily frame, then one
+    * sources-sized agg. */
+  def forecastEval(spark: SparkSession, dir: String): DataFrame =
+    forecastEvalOver(holtForecast(spark, dir))
+
+  /** The D64 rollup over any D49-shaped (source, day, md, …, forecast,
+    * resid, …) trajectory frame. */
+  def forecastEvalOver(traj: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("day"))
+    traj.select(col("source"), col("day"), col("md"), col("forecast"),
+        col("resid"))
+      .withColumn("prev_md", lag(col("md"), 1).over(w))
+      .filter(col("forecast").isNotNull && col("prev_md").isNotNull)
+      .withColumn("pe_ppm",
+        expr("abs(resid) * 1000000 div greatest(abs(md), 1)"))
+      .withColumn("naive_err", abs(col("md") - col("prev_md")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_eval"),
+        expr("sum(abs(resid)) div count(*)").as("mae_cents"),
+        // bias stays an UNDIVIDED signed sum: a signed floor division
+        // would diverge between the engines (Spark div truncates toward
+        // zero, DuckDB // floors) — the raw sum is exact and loses nothing
+        sum(col("resid")).cast("long").as("bias_sum_cents"),
+        expr("sum(pe_ppm) div count(*)").as("mape_ppm"),
+        expr("sum(naive_err) div count(*)").as("mae_naive_cents"),
+        sum(expr("abs(resid)")).as("sae"),
+        sum(col("naive_err")).as("sne"))
+      .withColumn("mase_x10000", when(col("sne") === 0L,
+        lit(null).cast("long"))
+        .otherwise(expr("sae * 10000 div sne")))
+      .withColumn("skillful", when(col("sne") === 0L,
+        lit(null).cast("int")).otherwise((col("sae") < col("sne")).cast("int")))
+      .select(col("source"), col("n_eval"), col("mae_cents"),
+        col("bias_sum_cents"), col("mape_ppm"), col("mae_naive_cents"),
+        col("mase_x10000"), col("skillful"))
+      .orderBy(col("source"))
+  }
+
   /** D61: PSI (population stability index) per source — the
     * industry-standard "did the score distribution move?" number risk
     * teams threshold at 0.1/0.25: the first half of the corpus horizon

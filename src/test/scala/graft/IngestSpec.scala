@@ -897,6 +897,38 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     assert(plain.getLong(3) != 0L, "plain MK must see the cross-dow noise")
   }
 
+  test("forecast eval: closed-form backtest, first day excluded, persistence tie NULLs MASE") {
+    import spark.implicits._
+    val traj = Seq(
+      ("skill", 1L, 100L, None,       None),
+      ("skill", 2L, 110L, Some(105L), Some(5L)),
+      ("skill", 3L, 90L,  Some(95L),  Some(-5L)),
+      ("skill", 4L, 120L, Some(110L), Some(10L)),
+      ("flat", 1L, 50L, None,      None),
+      ("flat", 2L, 50L, Some(60L), Some(-10L)),
+      ("flat", 3L, 50L, Some(60L), Some(-10L)))
+      .toDF("source", "day", "md", "forecast", "resid")
+    val got = graft.operators.LoadOps.forecastEvalOver(traj).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val sk = got("skill")
+    // n=3; sae=20, mae=6; bias=+10; mape=(45454+55555+83333)//3=61447;
+    // naive errs 10/20/30 → mae_naive 20, mase 20*1e4//60 = 3333
+    assert(sk.getLong(1) == 3L && sk.getLong(2) == 6L &&
+      sk.getLong(3) == 10L, "n/mae/bias")
+    assert(sk.getLong(4) == 61447L, s"mape ${sk.getLong(4)}")
+    assert(sk.getLong(5) == 20L && sk.getLong(6) == 3333L &&
+      sk.getInt(7) == 1, "naive/mase/skillful")
+    // a constant series has zero persistence error: MASE undefined, NULL
+    val fl = got("flat")
+    assert(fl.getLong(2) == 10L, "mae still reported")
+    assert(fl.isNullAt(6) && fl.isNullAt(7), "persistence tie must NULL")
+    // the corpus forecaster must actually beat persistence everywhere —
+    // the reason D49 exists
+    val corpus = graft.operators.LoadOps.forecastEval(spark, sfDir).collect()
+    assert(corpus.nonEmpty && corpus.forall(_.getInt(7) == 1),
+      "Holt must beat the persistence baseline on the corpus")
+  }
+
   test("psi: identical windows score exactly zero, a full shift alerts, missing bins still count") {
     import spark.implicits._
     // days 0-1 = base window, 2-3 = comparison; cents 0..9 → bin = cents
