@@ -367,6 +367,7 @@ object SparkEntry {
     "dedup_lsh_recall"       -> ((s: SparkSession, d: String) => Dedup.lshRecall(s, d)),
     "mon_seasonal_mk"        -> ((s: SparkSession, d: String) => LoadOps.seasonalMannKendall(s, d)),
     "mon_forecast_eval"      -> ((s: SparkSession, d: String) => LoadOps.forecastEval(s, d)),
+    "stream_forecast_eval"   -> graft.streaming.StreamGate.streamForecastEval _,
   )
 
   // shared SQL fragments for the oracle ---------------------------------
@@ -780,9 +781,14 @@ object SparkEntry {
          |FROM mk JOIN ph USING (source) JOIN cs USING (source)
          |  JOIN hp USING (source) JOIN ps USING (source)
          |ORDER BY source""".stripMargin
-    // D64: the forecast backtest composes D49's oracle as a CTE —
-    // shared verbatim, all-integer rollup on top
-    val feval =
+    gates ++ Map("mon_stream_scorecard" -> scorecard,
+      "mon_drift_panel" -> panel, "mon_forecast_eval" -> forecastEvalSql)
+  }
+
+  // D64: the forecast backtest composes D49's oracle as a CTE — shared
+  // verbatim, all-integer rollup on top; hoisted so the G38 stream twin
+  // shares the SAME text without recursing through oracleSql
+  private lazy val forecastEvalSql: String =
       s"""WITH tr AS (${baseOracleSql("mon_forecast")}),
          |d AS (SELECT source, day, md, forecast, resid,
          |  lag(md) OVER (PARTITION BY source ORDER BY day) AS prev_md
@@ -806,9 +812,6 @@ object SparkEntry {
          | CASE WHEN sne = 0 THEN NULL
          |  ELSE CAST(sae < sne AS INT) END AS skillful
          |FROM g ORDER BY source""".stripMargin
-    gates ++ Map("mon_stream_scorecard" -> scorecard,
-      "mon_drift_panel" -> panel, "mon_forecast_eval" -> feval)
-  }
 
   private def streamGateOracleSql: Map[String, String] = Map(
     // G-family stream gates whose completed run equals a batch operator
@@ -823,6 +826,7 @@ object SparkEntry {
     "stream_auc"           -> baseOracleSql("q_auc_roc"),
     "stream_mann_kendall"  -> baseOracleSql("mon_mann_kendall"),
     "stream_srm"           -> baseOracleSql("q_srm"),
+    "stream_forecast_eval" -> forecastEvalSql,
     "stream_constraints"   -> baseOracleSql("load_check_constraints"),
     "stream_heavy_hitters" -> baseOracleSql("q_heavy_hitters"),
     "stream_benford"       -> baseOracleSql("mon_benford"),

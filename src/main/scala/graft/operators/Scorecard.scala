@@ -105,6 +105,9 @@ object Scorecard {
       "psi" -> 'd', "alert" -> 'l'),
     "stream_srm" -> Seq("event_type" -> 's', "n_a" -> 'l', "n_b" -> 'l',
       "chi2_x10000" -> 'l', "mismatch" -> 'l'),
+    "stream_forecast_eval" -> Seq("source" -> 's', "n_eval" -> 'l',
+      "mae_cents" -> 'l', "bias_sum_cents" -> 'l', "mape_ppm" -> 'l',
+      "mae_naive_cents" -> 'l', "mase_x10000" -> 'l', "skillful" -> 'l'),
     "stream_auc" -> Seq("source" -> 's', "n_pos" -> 'l', "n_neg" -> 'l',
       "auc" -> 'd', "separates" -> 'l'),
     "stream_mann_kendall" -> Seq("source" -> 's', "n_days" -> 'l',
@@ -237,6 +240,7 @@ object Scorecard {
       "stream_auc" -> Relational.qAucRoc(spark, dir),
       "stream_mann_kendall" -> LoadOps.mannKendall(spark, dir),
       "stream_srm" -> Relational.qSrm(spark, dir),
+      "stream_forecast_eval" -> LoadOps.forecastEval(spark, dir),
       "stream_constraints" -> LoadOps.checkConstraints(spark, dir),
       "stream_heavy_hitters" -> Relational.qHeavyHitters(spark, dir),
       "stream_benford" -> LoadOps.benford(spark, dir),

@@ -843,6 +843,35 @@ object EventStreams {
       }
       .start()
 
+  /** G38: STREAMING FORECAST BACKTEST — D64 as the forecaster's
+    * always-on report card: the same per-(source, day) exact (Σcents, n)
+    * moments the G24 Holt stream folds, with each trigger re-running
+    * holtOver AND the D64 error rollup over the full prefix — the
+    * forecaster and its scorecard can never drift apart, and a
+    * skill regression (MASE crossing 1) pages the trigger it happens.
+    * All-integer end to end, so the report equals D64's batch pass over
+    * the prefix bit-for-bit after EVERY trigger. */
+  def forecastEvalStream(cents: DataFrame, stateDir: String,
+      alphaPpm: Long = 300000L, betaPpm: Long = 100000L,
+      hCents: Long = 500L, warmup: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    cents.writeStream.outputMode("append")
+      .foreachBatch { (batch0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import org.apache.spark.sql.functions._
+        val batch = batch0.toDF()
+          .select(col("source"), col("day").cast("long"), col("cents").cast("long"))
+          .groupBy(col("source"), col("day"))
+          .agg(sum(col("cents")).as("s"), count(lit(1)).as("n"))
+        val total = foldState(batch, stateDir + "/moments", Seq("source", "day"))
+        graft.operators.LoadOps.forecastEvalOver(
+            graft.operators.LoadOps.holtOver(
+              total.select(col("source"), col("day"), expr("s div n").as("md")),
+              alphaPpm, betaPpm, hCents, warmup))
+          .write.mode("overwrite").parquet(stateDir + "/report")
+        (): Unit
+      }
+      .start()
+
   /** G37: STREAMING SRM — E64 as the always-on assignment-health pager
     * (an SRM that appears mid-experiment means the split BROKE mid-
     * experiment — exactly when a batch check wouldn't be looking):

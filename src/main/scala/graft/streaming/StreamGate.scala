@@ -570,6 +570,27 @@ object StreamGate {
     spark.read.parquet(s"$base/state/report").orderBy(col("source"))
   }
 
+  /** G38 gate: the streaming forecast backtest run MULTI-batch (4
+    * files, one per trigger — daily moments fold additively). Equals
+    * D64's batch pass; shares its oracle verbatim. */
+  def streamForecastEval(spark: SparkSession, dir: String): DataFrame = {
+    val base = fresh(spark, "feval")
+    Tables(spark, dir).eventsSec
+      .select(col("event_type").as("source"),
+        expr("sec div 86400").cast("long").as("day"),
+        expr("cast(round(value * 100) as long)").as("cents"))
+      .repartition(4)
+      .write.parquet(s"$base/in")
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("source", StringType),
+        StructField("day", LongType), StructField("cents", LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in")
+    val q = EventStreams.forecastEvalStream(src, s"$base/state")
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    spark.read.parquet(s"$base/state/report").orderBy(col("source"))
+  }
+
   /** G37 gate: the streaming SRM pager run MULTI-batch (4 files, one
     * per trigger — unit-set union is slicing-independent). Equals E64's
     * batch pass; shares its oracle verbatim. */

@@ -892,6 +892,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("G38: streaming forecast backtest equals the batch pass after every trigger, skill regression pages") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // a smooth ramp Holt forecasts well (skillful), plus within-day noise
+    // the moment fold must average exactly
+    val rows = (1L to 72L).flatMap { d =>
+      Seq(("ramp", d, d * 100L + 3L), ("ramp", d, d * 100L - 3L)) }
+    val stateDir = java.nio.file.Files.createTempDirectory("g38").toString + "/state"
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = EventStreams.forecastEvalStream(
+      mem.toDF().toDF("source", "day", "cents"), stateDir)
+    try {
+      var fed = Seq.empty[(String, Long, Long)]
+      rows.grouped(rows.length / 4 + 1).foreach { slice =>
+        mem.addData(slice.toIndexedSeq: _*); q.processAllAvailable()
+        fed = fed ++ slice
+        val streamed = spark.read.parquet(stateDir + "/report").collect()
+          .map(_.toSeq).toSeq.sortBy(_.head.toString)
+        val daily = fed.toDF("source", "day", "cents")
+          .groupBy(col("source"), col("day"))
+          .agg(org.apache.spark.sql.functions.expr("sum(cents) div count(*)").as("md"))
+        val batch = graft.operators.LoadOps.forecastEvalOver(
+            graft.operators.LoadOps.holtOver(daily, 300000L, 100000L, 500L, 8))
+          .collect().map(_.toSeq).toSeq.sortBy(_.head.toString)
+        assert(streamed == batch, s"stream/batch diverged at prefix ${fed.length}")
+      }
+      val fin = spark.read.parquet(stateDir + "/report").collect()(0)
+      assert(fin.getInt(7) == 1, "Holt must beat persistence on a ramp")
+    } finally q.stop()
+  }
+
   test("G26: chi2 cell ledger stays sources×24-bounded at any horizon, equals the frozen-baseline batch pass") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
