@@ -368,6 +368,7 @@ object SparkEntry {
     "mon_seasonal_mk"        -> ((s: SparkSession, d: String) => LoadOps.seasonalMannKendall(s, d)),
     "mon_forecast_eval"      -> ((s: SparkSession, d: String) => LoadOps.forecastEval(s, d)),
     "stream_forecast_eval"   -> graft.streaming.StreamGate.streamForecastEval _,
+    "stream_calibration"     -> graft.streaming.StreamGate.streamCalibration _,
   )
 
   // shared SQL fragments for the oracle ---------------------------------
@@ -827,6 +828,7 @@ object SparkEntry {
     "stream_mann_kendall"  -> baseOracleSql("mon_mann_kendall"),
     "stream_srm"           -> baseOracleSql("q_srm"),
     "stream_forecast_eval" -> forecastEvalSql,
+    "stream_calibration"   -> baseOracleSql("mon_calibration"),
     "stream_constraints"   -> baseOracleSql("load_check_constraints"),
     "stream_heavy_hitters" -> baseOracleSql("q_heavy_hitters"),
     "stream_benford"       -> baseOracleSql("mon_benford"),

@@ -2383,11 +2383,17 @@ object LoadOps {
   }
 
   /** The D59 compute over any (source, cents, pos∈{0,1}) frame. */
-  def calibrationOf(ev: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cells = ev.groupBy(col("source"), col("cents"))
+  def calibrationOf(ev: DataFrame): DataFrame =
+    calibrationCells(ev.groupBy(col("source"), col("cents"))
       .agg(sum(col("pos")).cast("long").as("np"),
-        count(lit(1)).cast("long").as("cnt"))
+        count(lit(1)).cast("long").as("cnt")))
+
+  /** The D59 compute over pre-counted (source, cents, np, cnt) cells —
+    * the SAME grain the G35 AUC stream folds (the G39 twin shares it). */
+  def calibrationCells(cells0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = cells0.select(col("source"), col("cents"), col("np"),
+      col("cnt"))
     val w = Window.partitionBy(col("source")).orderBy(col("cents"))
     cells
       .withColumn("cb", coalesce(sum(col("cnt"))

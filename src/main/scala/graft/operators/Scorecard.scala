@@ -108,6 +108,9 @@ object Scorecard {
     "stream_forecast_eval" -> Seq("source" -> 's', "n_eval" -> 'l',
       "mae_cents" -> 'l', "bias_sum_cents" -> 'l', "mape_ppm" -> 'l',
       "mae_naive_cents" -> 'l', "mase_x10000" -> 'l', "skillful" -> 'l'),
+    "stream_calibration" -> Seq("source" -> 's', "bin" -> 'l',
+      "n_bin" -> 'l', "n_pos" -> 'l', "mean_p_micro" -> 'l',
+      "frac_pos_micro" -> 'l', "gap_micro" -> 'l'),
     "stream_auc" -> Seq("source" -> 's', "n_pos" -> 'l', "n_neg" -> 'l',
       "auc" -> 'd', "separates" -> 'l'),
     "stream_mann_kendall" -> Seq("source" -> 's', "n_days" -> 'l',
@@ -241,6 +244,7 @@ object Scorecard {
       "stream_mann_kendall" -> LoadOps.mannKendall(spark, dir),
       "stream_srm" -> Relational.qSrm(spark, dir),
       "stream_forecast_eval" -> LoadOps.forecastEval(spark, dir),
+      "stream_calibration" -> LoadOps.calibration(spark, dir),
       "stream_constraints" -> LoadOps.checkConstraints(spark, dir),
       "stream_heavy_hitters" -> Relational.qHeavyHitters(spark, dir),
       "stream_benford" -> LoadOps.benford(spark, dir),

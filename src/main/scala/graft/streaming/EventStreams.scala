@@ -872,6 +872,30 @@ object EventStreams {
       }
       .start()
 
+  /** G39: STREAMING CALIBRATION — D59 as the live reliability diagram:
+    * the SAME (source, cents) → (positives, total) cells the G35 AUC
+    * stream folds (discrimination and calibration are the two readings
+    * of one state), re-assembled per trigger through
+    * [[graft.operators.LoadOps.calibrationCells]] — all-integer midrank
+    * micros, so the diagram equals D59's batch pass over the prefix
+    * bit-for-bit after EVERY trigger. */
+  def calibrationStream(labeled: DataFrame, stateDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    labeled.writeStream.outputMode("append")
+      .foreachBatch { (batch0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import org.apache.spark.sql.functions._
+        val batch = batch0.toDF()
+          .groupBy(col("source"), col("cents").cast("long").as("cents"))
+          .agg(sum(col("pos")).cast("long").as("np"),
+            count(lit(1)).cast("long").as("cnt"))
+        val total = foldState(batch, stateDir + "/cells",
+          Seq("source", "cents"))
+        graft.operators.LoadOps.calibrationCells(total)
+          .write.mode("overwrite").parquet(stateDir + "/report")
+        (): Unit
+      }
+      .start()
+
   /** G37: STREAMING SRM — E64 as the always-on assignment-health pager
     * (an SRM that appears mid-experiment means the split BROKE mid-
     * experiment — exactly when a batch check wouldn't be looking):

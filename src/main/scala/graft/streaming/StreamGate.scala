@@ -591,6 +591,28 @@ object StreamGate {
     spark.read.parquet(s"$base/state/report").orderBy(col("source"))
   }
 
+  /** G39 gate: the streaming calibration diagram run MULTI-batch (4
+    * files, one per trigger — cell folding additive). Equals D59's
+    * batch pass; shares its oracle verbatim. */
+  def streamCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val base = fresh(spark, "calib")
+    Tables(spark, dir).eventsSec
+      .select(col("event_type").as("source"),
+        expr("cast(round(value * 100) as long)").as("cents"),
+        expr("cast(((sec div 86400) + 4) % 7 in (0, 6) as long)").as("pos"))
+      .repartition(4)
+      .write.parquet(s"$base/in")
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("source", StringType),
+        StructField("cents", LongType), StructField("pos", LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in")
+    val q = EventStreams.calibrationStream(src, s"$base/state")
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    spark.read.parquet(s"$base/state/report")
+      .orderBy(col("source"), col("bin"))
+  }
+
   /** G37 gate: the streaming SRM pager run MULTI-batch (4 files, one
     * per trigger — unit-set union is slicing-independent). Equals E64's
     * batch pass; shares its oracle verbatim. */

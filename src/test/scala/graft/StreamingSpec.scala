@@ -923,6 +923,40 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("G39: streaming calibration equals the batch diagram after every trigger, shares the G35 state grain") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // percentile-spread cents with mixed labels; repeats exercise the fold
+    val rows = (0L until 50L).flatMap { i =>
+      Seq.fill(2)(("m", i * 20L, i % 3L match { case 0 => 1L; case _ => 0L }))
+    }
+    val stateDir = java.nio.file.Files.createTempDirectory("g39").toString + "/state"
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = EventStreams.calibrationStream(
+      mem.toDF().toDF("source", "cents", "pos"), stateDir)
+    try {
+      var fed = Seq.empty[(String, Long, Long)]
+      rows.grouped(rows.length / 4 + 1).foreach { slice =>
+        mem.addData(slice.toIndexedSeq: _*); q.processAllAvailable()
+        fed = fed ++ slice
+        val streamed = spark.read.parquet(stateDir + "/report").collect()
+          .map(_.toSeq).toSeq.sortBy(r => (r.head.toString, r(1).asInstanceOf[Long]))
+        val batch = graft.operators.LoadOps.calibrationOf(
+            fed.toDF("source", "cents", "pos")).collect()
+          .map(_.toSeq).toSeq.sortBy(r => (r.head.toString, r(1).asInstanceOf[Long]))
+        assert(streamed == batch, s"stream/batch diverged at prefix ${fed.length}")
+      }
+      // the final diagram partitions the corpus and stays on the grid
+      val fin = spark.read.parquet(stateDir + "/report").collect()
+      assert(fin.map(_.getLong(2)).sum == rows.length.toLong,
+        "bins must partition the corpus")
+      assert(fin.forall(r => r.getLong(1) >= 0L && r.getLong(1) <= 9L))
+      val stateRows = spark.read.parquet(stateDir + "/cells").count()
+      assert(stateRows == rows.map(t => (t._1, t._2)).distinct.size.toLong,
+        "state must be the (source, cents) support — the G35 grain")
+    } finally q.stop()
+  }
+
   test("G26: chi2 cell ledger stays sources×24-bounded at any horizon, equals the frozen-baseline batch pass") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
