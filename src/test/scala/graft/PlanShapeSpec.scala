@@ -576,6 +576,27 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("partial_"), s"no map-side combine of the dailies:\n$p")
   }
 
+  test("srm/cuped/power-mde: unit-grain hash aggs with map-side combine, groups-sized joins, no cartesian") {
+    for (name <- Seq("q_srm", "q_cuped", "q_power_mde")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name: cartesian:\n$p")
+      assert(p.contains("partial_"), s"$name: no map-side combine:\n$p")
+      assert(!p.contains("Window"), s"$name: no window should exist:\n$p")
+    }
+  }
+
+  test("lsh recall: probe side broadcasts into both passes — truth and banding never shuffle the corpus against probes") {
+    val df = SparkEntry.queries("dedup_lsh_recall")(spark, sfDir)
+    df.collect()
+    // AQE's report keeps the pre-adaptive plan under "Initial Plan" —
+    // judge only what actually ran
+    val full = df.queryExecution.executedPlan.toString
+    val p = full.split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probes must broadcast:\n${p.take(1200)}")
+    assert(!p.contains("SortMergeJoin"), s"corpus-vs-probe must not sort-merge:\n$p")
+  }
+
   test("bm25/ndcg: one tokenize pass feeds tf, df and dl — no second explode") {
     for (name <- Seq("text_bm25", "text_ndcg")) {
       val df = SparkEntry.queries(name)(spark, sfDir)
