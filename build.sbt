@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Route the forked run's stdout STRAIGHT to sbt's stdout instead of the
+// sbt logger: the logger prefixes every line with "[info] ", so no line
+// of graft.Bench's output ever started with '{' and the driver's
+// tail-parser has recorded `parsed: null` since round 1. With
+// StdoutOutput the bench's JSON lines reach the captured output verbatim.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

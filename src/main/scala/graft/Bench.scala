@@ -298,24 +298,45 @@ object Bench {
       }
     val basePasses: Seq[Seq[(String, Option[Double], Boolean)]] =
       (1 to passes).map(p => runPass(p))
-    // adaptive third pass (r14): entries whose two pass minima disagree
-    // >1.3x get ONE more measurement, budget permitting — at the r13
-    // noise floor a genuine 1.5x regression in a 1-second query was
-    // indistinguishable from variance. With three samples the repro
-    // ratio becomes the agreement of the two BEST minima (the third
-    // sample arbitrates which two), which is the honest two-independent-
-    // measurements certificate; the reported time stays min-of-all.
-    val disagree: Set[String] =
-      if (passes < 2) Set.empty
-      else names.flatMap { case (name, _) =>
-        val ts = basePasses.take(2).flatMap(_.find(_._1 == name).flatMap(_._2))
-        if (ts.size == 2 && ts.max > reproFloorSec && ts.max / ts.min > 1.3)
+    // adaptive extra passes (r14, iterated r15): entries whose two BEST
+    // minima disagree >1.3x get more measurements, budget permitting —
+    // at the r13 noise floor a genuine 1.5x regression in a 1-second
+    // query was indistinguishable from variance. With k samples the
+    // repro ratio is the agreement of the two best minima, the honest
+    // two-independent-measurements certificate; the reported time stays
+    // min-of-all. r15 changes: (a) the extra pass REPEATS (up to 3
+    // rounds) while disagreers remain and the budget is under 60%, so
+    // the over-1.3 tail shrinks toward the p90<=1.35 target instead of
+    // getting exactly one arbitration; (b) a PINNED set always gets a
+    // third sample — entries under active cross-round investigation
+    // (dedup_containment: the r14 driver runs agreed on 5.3 s where r13
+    // and mid-round isolation both said ~2 s, so every future round
+    // needs maximal sampling evidence on it).
+    val pinnedThird: Set[String] = Set("dedup_containment")
+    def disagreers(pr: Seq[Seq[(String, Option[Double], Boolean)]]): Set[String] =
+      names.flatMap { case (name, _) =>
+        val best2 = pr.flatMap(_.find(_._1 == name).flatMap(_._2)).sorted.take(2)
+        if (best2.size == 2 && best2(1) > reproFloorSec &&
+            best2(1) / best2(0) > 1.3)
           Some(name)
         else None
       }.toSet
-    val passResults: Seq[Seq[(String, Option[Double], Boolean)]] =
-      if (disagree.isEmpty || stage() >= 3) basePasses
-      else basePasses :+ runPass(passes + 1, Some(disagree))
+    var passResults: Seq[Seq[(String, Option[Double], Boolean)]] = basePasses
+    val extraSampled = scala.collection.mutable.Set.empty[String]
+    if (passes >= 2) {
+      var round = 0
+      var want = disagreers(passResults) ++ pinnedThird
+      // first arbitration round runs unless the budget is fully spent
+      // (the r14 rule); repeat rounds only while comfortably inside it
+      while (want.nonEmpty && round < 3 &&
+          (if (round == 0) stage() < 3 else stage() < 1)) {
+        passResults = passResults :+ runPass(passes + 1 + round, Some(want))
+        extraSampled ++= want
+        round += 1
+        want = disagreers(passResults)
+      }
+    }
+    val disagree: Set[String] = extraSampled.toSet
     scratchKeys.foreach(spark.conf.unset)
     rm(new java.io.File(benchScratch))
     // merge: min across passes; write-path if any pass saw a write
@@ -398,15 +419,30 @@ object Bench {
       val w = new java.io.PrintWriter(new java.io.File(out), "UTF-8")
       try w.println(line) finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] write $out failed: ${e.getMessage}") }
-    // stdout contract (r14): the driver keeps only a ~2000-char TAIL of
-    // stdout and parses a JSON object out of it — the full line above is
-    // ~13 KB, so since r1 the round artifact's `parsed` block has been
-    // null and a reader needed BENCH_LOCAL.json for ANY number. Print
-    // the full line first (whole-scroll captures still get everything),
-    // then a compact summary line LAST, sized well under the tail window
-    // (slowest-10 queries instead of the full map; over-1.3 offenders as
-    // a count), so the round artifact is self-contained again.
+    // stdout contract (r15): the driver keeps only a ~2000-char TAIL of
+    // stdout and parses a JSON object out of it. Two failure modes kept
+    // `parsed` null through r14: (a) the full line is ~13 KB so its head
+    // starts outside the tail, and (b) sbt's logger prefixed every run
+    // line with "[info] " so even the in-window compact line never
+    // STARTED with '{' (fixed in build.sbt via OutputStrategy
+    // .StdoutOutput). The contract now: the full line first (whole-scroll
+    // captures get everything in one parse), then the per-query map
+    // re-emitted as self-contained <=3800-byte chunk lines (each a valid
+    // JSON object, so any window >=4 KB holds at least one complete
+    // chunk), then a compact summary line LAST, sized well under the
+    // 2000-char tail window, so the round artifact is self-contained.
     println(line)
+    val qPairs = withIndex.map { case (k, v) =>
+      s"\"" + k + "\":" + v.map(_.toString).getOrElse("null")
+    }
+    val chunks = scala.collection.mutable.ArrayBuffer(scala.collection.mutable.ArrayBuffer.empty[String])
+    qPairs.foreach { p =>
+      if (chunks.last.map(_.length + 1).sum + p.length > 3600) chunks += scala.collection.mutable.ArrayBuffer.empty[String]
+      chunks.last += p
+    }
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      println(s"""{"metric":"queries_chunk","part":${i + 1},"parts":${chunks.size},"queries":${c.mkString("{", ",", "}")}}""")
+    }
     val top10 = withIndex.collect { case (k, Some(t)) => (k, t) }
       .sortBy(-_._2).take(10)
       .map { case (k, t) => s"\"$k\":${math.rint(t * 1000) / 1000}" }

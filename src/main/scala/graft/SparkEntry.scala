@@ -187,6 +187,7 @@ object SparkEntry {
     "emb_triplet_mine"       -> ((s: SparkSession, d: String) => Similarity.tripletMine(s, d)),
     "q_top_paths"            -> ((s: SparkSession, d: String) => Relational.qTopPaths(s, d)),
     "ann_recall"             -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
+    "ann_recall_curve"       -> ((s: SparkSession, d: String) => Similarity.annRecallCurve(s, d)),
     "text_quality_model"     -> ((s: SparkSession, d: String) => TextAnalysis.qualityModel(s, d)),
     "q_funnel_windowed"      -> ((s: SparkSession, d: String) => Relational.qFunnelWindowed(s, d)),
     "q_time_bucket"          -> Relational.qTimeBucket _,
@@ -766,6 +767,8 @@ object SparkEntry {
          |cs_full AS (${baseOracleSql("mon_cusum")}),
          |hp_full AS (${baseOracleSql("mon_hampel")}),
          |ps_full AS (${baseOracleSql("mon_psi")}),
+         |smk_full AS (${baseOracleSql("mon_seasonal_mk")}),
+         |fe_full AS ($forecastEvalSql),
          |mk AS (SELECT source, n_days, trend AS mk_trend,
          |  coalesce(significant, 0) AS mk_significant FROM mk_full),
          |ph AS (SELECT source, CAST(sum(alarm) AS BIGINT) AS ph_alarms
@@ -774,13 +777,21 @@ object SparkEntry {
          |  FROM cs_full GROUP BY 1),
          |hp AS (SELECT source, CAST(sum(alarm) AS BIGINT) AS hampel_alarms
          |  FROM hp_full GROUP BY 1),
-         |ps AS (SELECT source, psi, alert AS psi_alert FROM ps_full)
-         |SELECT mk.source, n_days, mk_trend, mk_significant, ph_alarms,
+         |ps AS (SELECT source, psi, alert AS psi_alert FROM ps_full),
+         |smk AS (SELECT source, trend AS smk_trend,
+         |  coalesce(significant, 0) AS smk_significant FROM smk_full),
+         |fe AS (SELECT source, mase_x10000,
+         |  skillful AS forecast_skillful FROM fe_full)
+         |SELECT mk.source, n_days, mk_trend, mk_significant,
+         |  smk_trend, smk_significant, ph_alarms,
          |  cusum_alarms, hampel_alarms, psi, psi_alert,
-         |  CAST(mk_significant = 1 OR psi_alert = 1 OR ph_alarms > 0
+         |  mase_x10000, forecast_skillful,
+         |  CAST(mk_significant = 1 OR coalesce(smk_significant, 0) = 1
+         |    OR psi_alert = 1 OR ph_alarms > 0
          |    OR cusum_alarms > 0 AS INT) AS drifting
          |FROM mk JOIN ph USING (source) JOIN cs USING (source)
          |  JOIN hp USING (source) JOIN ps USING (source)
+         |  LEFT JOIN smk USING (source) LEFT JOIN fe USING (source)
          |ORDER BY source""".stripMargin
     gates ++ Map("mon_stream_scorecard" -> scorecard,
       "mon_drift_panel" -> panel, "mon_forecast_eval" -> forecastEvalSql)
@@ -1067,7 +1078,7 @@ object SparkEntry {
          |s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df, dl.dl,
          |  ln(1.0 + ((SELECT count(*) FROM documents) - df + 0.5) / (df + 0.5)) *
          |   (tf * 2.2) / (tf + 1.2 * (0.25 +
-         |     0.75 * CAST(dl * (SELECT count(*) FROM documents) AS DOUBLE) /
+         |     0.75 * CAST(dl AS DOUBLE) * (SELECT count(*) FROM documents) /
          |       (SELECT CAST(sum(dl) AS BIGINT) FROM dl))) AS score
          | FROM tf JOIN df USING (term) JOIN dl USING (doc_id)),
          |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
@@ -1086,12 +1097,12 @@ object SparkEntry {
          |s AS (SELECT tf.doc_id, tf.term, p.df, tf.tf, dl.dl,
          |  ln(1.0 + ((SELECT count(*) FROM documents) - p.df + 0.5) / (p.df + 0.5)) *
          |   (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 +
-         |     0.75 * CAST(dl.dl * (SELECT count(*) FROM documents) AS DOUBLE) /
+         |     0.75 * CAST(dl.dl AS DOUBLE) * (SELECT count(*) FROM documents) /
          |       (SELECT CAST(sum(dl) AS BIGINT) FROM dl))) AS score,
          |  least(tf.tf, 3) AS rel
          | FROM tf JOIN probes p USING (term) JOIN dl USING (doc_id)),
          |g AS (SELECT *,
-         |  CAST(CASE rel WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 7 END AS BIGINT) AS gain,
+         |  CAST(CASE rel WHEN 3 THEN 7 WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END AS BIGINT) AS gain,
          |  row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rank,
          |  row_number() OVER (PARTITION BY term ORDER BY rel DESC, doc_id) AS irank
          | FROM s),
@@ -4958,6 +4969,54 @@ object SparkEntry {
          |SELECT q.qid, COALESCE(h.n_hits, 0) AS n_hits,
          | CAST(COALESCE(h.n_hits, 0) * 1000000 // 10 AS BIGINT) AS recall_ppm
          |FROM q LEFT JOIN h ON h.qid = q.qid ORDER BY q.qid""".stripMargin,
+    // F79b: the nprobe-vs-recall tuning curve — the F79 chain with the
+    // probed-list cut swept over nprobe ∈ {1,2,3,5,8}; truth, probe set
+    // and candidate fetch shared verbatim with ann_recall
+    "ann_recall_curve" -> {
+      val pts = Seq(1, 2, 3, 5, 8)
+      val perP = pts.map { p =>
+        s"""an$p AS MATERIALIZED (SELECT qid, vec_id FROM (
+           |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+           |    ORDER BY score DESC, vec_id) AS rn
+           |  FROM cand WHERE crn <= $p) WHERE rn <= 10),
+           |h$p AS (SELECT tr.qid, CAST(count(*) AS BIGINT) AS n_hits
+           | FROM tr JOIN an$p USING (qid, vec_id) GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      val sel = pts.map { p =>
+        s"""SELECT CAST($p AS INT) AS nprobe, q.qid,
+           | COALESCE(h$p.n_hits, 0) AS n_hits,
+           | CAST(COALESCE(h$p.n_hits, 0) * 1000000 // 10 AS BIGINT) AS recall_ppm
+           |FROM q LEFT JOIN h$p ON h$p.qid = q.qid""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT label AS c_label, list(a ORDER BY pos) AS cv
+         |  FROM (SELECT label, pos, avg(x) AS a
+         |    FROM (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e)
+         |    GROUP BY label, pos)
+         |  GROUP BY label),
+         |q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM e
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 10),
+         |tr AS MATERIALIZED (SELECT qid, vec_id FROM (
+         |  SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid
+         |    ORDER BY round(${cosSql("e.v", "q.qv")}, 4) DESC, e.vec_id) AS rn
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> q.qid) WHERE rn <= 10),
+         |prq AS MATERIALIZED (SELECT qid, c_label, rn AS crn FROM (
+         |  SELECT q.qid, c.c_label, row_number() OVER (PARTITION BY q.qid
+         |    ORDER BY ${cosSql("c.cv", "q.qv")} DESC, c.c_label) AS rn
+         |  FROM c CROSS JOIN q) WHERE rn <= ${pts.max}),
+         |aa AS (SELECT vec_id, c_label, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ${cosSql("v", "cv")} DESC, c_label) AS rn FROM e CROSS JOIN c),
+         |asg AS MATERIALIZED (SELECT vec_id, c_label AS list_id FROM aa WHERE rn = 1),
+         |cand AS MATERIALIZED (SELECT q.qid, prq.crn, e.vec_id,
+         |  round(${cosSql("e.v", "q.qv")}, 4) AS score
+         | FROM q JOIN prq ON prq.qid = q.qid
+         | JOIN asg ON asg.list_id = prq.c_label
+         | JOIN e ON e.vec_id = asg.vec_id
+         | WHERE e.vec_id <> q.qid),
+         |$perP
+         |$sel
+         |ORDER BY nprobe, qid""".stripMargin
+    },
     // F77: the SAME ranked-pairs chain at k=5, distances as exact 1e-4
     // integers (10000 - round(cos*1e4)), then the textbook LOF chain —
     // k-distance, reachability, local reachability density, LOF ratio —

@@ -597,18 +597,26 @@ object Dedup {
         agree(col("sig"), col("qsig")) >= minAgree)
       .select(col("qid"), col("doc_id"))
       .localCheckpoint(true)
+    // band identity is decided on the 4-component slice ITSELF
+    // (structural array equality, matching the oracle's comparison
+    // exactly) — an xxhash64 alone would admit a Spark-only candidate on
+    // a hash collision, inflating n_hits relative to the oracle. The
+    // hash stays as the equi-JOIN key (array keys would force a
+    // nested-loop join); the structural check rides the same join as a
+    // residual filter, so the plan is still one broadcast hash join.
     def bandsOf(id: Column, s: Column) = (0 until Bands).map { h =>
-      struct(lit(h).as("band"),
+      struct(lit(h).as("band"), slice(s, h * 4 + 1, 4).as("bs"),
         xxhash64(lit(h), slice(s, h * 4 + 1, 4)).as("bh"))
     }
     val bandedP = probes.select(col("qid"), col("qsig"),
         explode(array(bandsOf(col("qid"), col("qsig")): _*)).as("b"))
-      .select(col("qid"), col("qsig"), col("b.band"), col("b.bh"))
+      .select(col("qid"), col("qsig"), col("b.band"), col("b.bs"), col("b.bh"))
     val bandedA = sig.select(col("doc_id"), col("sig"),
         explode(array(bandsOf(col("doc_id"), col("sig")): _*)).as("b"))
-      .select(col("doc_id"), col("sig"), col("b.band"), col("b.bh"))
+      .select(col("doc_id"), col("sig"), col("b.band"), col("b.bs"), col("b.bh"))
     val found = bandedA.as("a").join(broadcast(bandedP.as("p")),
         col("a.band") === col("p.band") && col("a.bh") === col("p.bh") &&
+          col("a.bs") === col("p.bs") &&
           col("a.doc_id") =!= col("p.qid"))
       .select(col("p.qid").as("qid"), col("a.doc_id").as("doc_id"),
         col("a.sig").as("sig"), col("p.qsig").as("qsig"))

@@ -1298,6 +1298,29 @@ object LoadOps {
       .orderBy(col("event_type"))
   }
 
+  /** Shared DAILY FOLD for the sequential-drift / forecasting family
+    * (D40/D41/D43/D48-D55, D58, D60-D64 and their G-series streaming
+    * twins): the corpus collapses to one (source, day) row with
+    * md = sum(cents) div count(*), the exact integer daily mean every
+    * member trains on.
+    *
+    * Division contract (why `div` is safe HERE): Spark's `div`
+    * truncates toward zero while the DuckDB oracle's `//` floors — the
+    * two agree ONLY when the numerator is non-negative. This fold
+    * therefore ASSUMES per-day cent sums are >= 0, which holds for the
+    * events corpus (value is a non-negative magnitude, and every
+    * member's oracle replays the same truncating shape). A deployment
+    * whose daily sums can go negative (e.g. refund ledgers) must move
+    * BOTH engines to an explicit floor-consistent division before
+    * reusing this fold. */
+  def dailyMd(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).eventsSec
+      .select(col("event_type").as("source"),
+        expr("sec div 86400").cast("long").as("day"),
+        expr("cast(round(value * 100) as long)").as("cents"))
+      .groupBy(col("source"), col("day"))
+      .agg(expr("sum(cents) div count(*)").as("md"))
+
   /** D48: retrospective CHANGE-POINT detection per source — the
     * localization step the online drift family stops short of: D40's
     * CUSUM pages when a shift crosses its threshold, the D30/D45/D46/D47
@@ -1328,12 +1351,7 @@ object LoadOps {
     * (run-log-sized, never event-proportional); per-source totals ride
     * a broadcast join; selection is one max_by hash agg. */
   def changepoint(spark: SparkSession, dir: String, bar: Double = 3.0): DataFrame =
-    changepointOver(Tables(spark, dir).eventsSec
-      .select(col("event_type").as("source"),
-        expr("sec div 86400").cast("long").as("day"),
-        expr("cast(round(value * 100) as long)").as("cents"))
-      .groupBy(col("source"), col("day"))
-      .agg(expr("sum(cents) div count(*)").as("md")), bar)
+    changepointOver(dailyMd(spark, dir), bar)
 
   /** The D48 compute over any (source, day, md) daily frame — specs
     * plant a hard level shift (exact localization) and a constant
@@ -1397,12 +1415,7 @@ object LoadOps {
     * ride one window over those cells partitioned by source; the stats
     * agg is cells×lags-sized and the totals broadcast. */
   def autocorr(spark: SparkSession, dir: String, maxLag: Int = 7): DataFrame =
-    autocorrOver(Tables(spark, dir).eventsSec
-      .select(col("event_type").as("source"),
-        expr("sec div 86400").cast("long").as("day"),
-        expr("cast(round(value * 100) as long)").as("cents"))
-      .groupBy(col("source"), col("day"))
-      .agg(expr("sum(cents) div count(*)").as("md")), maxLag)
+    autocorrOver(dailyMd(spark, dir), maxLag)
 
   /** The D49 compute over any (source, day, md) daily frame — specs
     * plant alternating, trending and constant series with closed-form
@@ -1459,12 +1472,7 @@ object LoadOps {
     * selection is one row_number window over those pairs partitioned by
     * source. */
   def theilSen(spark: SparkSession, dir: String, slopeBar: Double = 50.0): DataFrame =
-    theilSenOver(Tables(spark, dir).eventsSec
-      .select(col("event_type").as("source"),
-        expr("sec div 86400").cast("long").as("day"),
-        expr("cast(round(value * 100) as long)").as("cents"))
-      .groupBy(col("source"), col("day"))
-      .agg(expr("sum(cents) div count(*)").as("md")), slopeBar)
+    theilSenOver(dailyMd(spark, dir), slopeBar)
 
   /** The D50 compute over any (source, day, md) daily frame — specs
     * plant a linear series with a wild outlier (the robustness claim)
@@ -1548,12 +1556,7 @@ object LoadOps {
     * join is cells×7 WITHIN a source (run-log-bounded, the D50 class);
     * selection is one row_number window over those bounded pairs. */
   def rollingMedian(spark: SparkSession, dir: String, window: Int = 7): DataFrame =
-    rollingMedianOver(Tables(spark, dir).eventsSec
-      .select(col("event_type").as("source"),
-        expr("sec div 86400").cast("long").as("day"),
-        expr("cast(round(value * 100) as long)").as("cents"))
-      .groupBy(col("source"), col("day"))
-      .agg(expr("sum(cents) div count(*)").as("md")), window)
+    rollingMedianOver(dailyMd(spark, dir), window)
 
   /** The D52 compute over any (source, day, md) daily frame — specs
     * plant spikes the median must ignore. */
@@ -1598,12 +1601,7 @@ object LoadOps {
     * pairs (median, then MAD around it); report is cells-sized. */
   def hampel(spark: SparkSession, dir: String, window: Int = 7,
       minWin: Int = 5): DataFrame =
-    hampelOver(Tables(spark, dir).eventsSec
-      .select(col("event_type").as("source"),
-        expr("sec div 86400").cast("long").as("day"),
-        expr("cast(round(value * 100) as long)").as("cents"))
-      .groupBy(col("source"), col("day"))
-      .agg(expr("sum(cents) div count(*)").as("md")), window, minWin)
+    hampelOver(dailyMd(spark, dir), window, minWin)
 
   /** The D55 compute over any (source, day, md) daily frame — specs
     * plant spikes the median threshold must catch and bursts the MAD
@@ -2303,13 +2301,7 @@ object LoadOps {
     * alarms. */
   def cusum(spark: SparkSession, dir: String,
       kCents: Long = 500L, hCents: Long = 3000L): DataFrame = {
-    val t = Tables(spark, dir)
-    val daily = t.eventsSec
-      .select(col("event_type").as("source"),
-        expr("sec div 86400").cast("long").as("day"),
-        expr("cast(round(value * 100) as long)").as("cents"))
-      .groupBy(col("source"), col("day"))
-      .agg(expr("sum(cents) div count(*)").as("md"))
+    val daily = dailyMd(spark, dir)
     cusumOver(daily, kCents, hCents)
   }
 
@@ -2338,13 +2330,7 @@ object LoadOps {
     * no self-join, no recursion, nothing event-proportional. */
   def pageHinkley(spark: SparkSession, dir: String,
       deltaCents: Long = 100L, lambdaCents: Long = 2000L): DataFrame = {
-    val t = Tables(spark, dir)
-    pageHinkleyOver(t.eventsSec
-      .select(col("event_type").as("source"),
-        expr("sec div 86400").cast("long").as("day"),
-        expr("cast(round(value * 100) as long)").as("cents"))
-      .groupBy(col("source"), col("day"))
-      .agg(expr("sum(cents) div count(*)").as("md")), deltaCents, lambdaCents)
+    pageHinkleyOver(dailyMd(spark, dir), deltaCents, lambdaCents)
   }
 
   /** The D58 compute over any (source, day, md) daily frame — specs
@@ -2435,13 +2421,7 @@ object LoadOps {
     * per source), which does not grow with corpus rows — at 100 TB the
     * pair frame is still (sources × ~calendar-days²/2) cells. */
   def mannKendall(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    mannKendallOf(t.eventsSec
-      .select(col("event_type").as("source"),
-        expr("sec div 86400").cast("long").as("day"),
-        expr("cast(round(value * 100) as long)").as("cents"))
-      .groupBy(col("source"), col("day"))
-      .agg(expr("sum(cents) div count(*)").as("md")))
+    mannKendallOf(dailyMd(spark, dir))
   }
 
   /** The D60 compute over any (source, day, md) daily frame. */
@@ -2480,13 +2460,15 @@ object LoadOps {
   /** D62: the DRIFT PANEL — one row per source folding the whole
     * sequential-drift family's verdicts into a single pane, the D-family
     * analogue of the G32 stream scoreboard: a drifting source today is
-    * five separate reports (fixed-baseline CUSUM pages, adaptive-mean
-    * Page-Hinkley pages, Mann-Kendall trend verdict, PSI window shift,
-    * Hampel point outliers); the panel joins their per-source rollups
+    * seven separate reports (fixed-baseline CUSUM pages, adaptive-mean
+    * Page-Hinkley pages, Mann-Kendall trend verdict, seasonal
+    * Mann-Kendall verdict, PSI window shift, Hampel point outliers,
+    * forecast backtest); the panel joins their per-source rollups
     * and emits ONE headline `drifting` bit (any level-shift pager fired,
-    * a significant monotone trend, or a PSI alert — Hampel counts are
-    * reported but excluded from the headline: point outliers are data
-    * quality, not distribution drift).
+    * a significant monotone trend — plain OR seasonal — or a PSI alert;
+    * Hampel counts and the forecast-skill verdict are reported but
+    * excluded from the headline: point outliers are data quality and
+    * forecast skill is model health, not distribution drift).
     *
     * The members are called through the SAME cores the individual gates
     * register (shared daily fold, `psiOf` for the cents grain), so the
@@ -2502,9 +2484,7 @@ object LoadOps {
     val ev = t.eventsSec.select(col("event_type").as("source"),
       expr("sec div 86400").cast("long").as("day"),
       expr("cast(round(value * 100) as long)").as("cents"))
-    val daily = ev.groupBy(col("source"), col("day"))
-      .agg(expr("sum(cents) div count(*)").as("md"))
-      .localCheckpoint(true)
+    val daily = dailyMd(spark, dir).localCheckpoint(true)
     val mk = mannKendallOf(daily).select(col("source"), col("n_days"),
       col("trend").as("mk_trend"),
       coalesce(col("significant"), lit(0)).as("mk_significant"))
@@ -2516,14 +2496,30 @@ object LoadOps {
       .agg(sum(col("alarm")).cast("long").as("hampel_alarms"))
     val ps = psiOf(ev).select(col("source"), col("psi"),
       col("alert").as("psi_alert"))
+    // r15 members: the D63 seasonal-MK verdict (a weekly-rhythm source's
+    // REAL trend signal — joined LEFT because a source whose days all
+    // land on distinct weekdays has no same-season pair and therefore no
+    // verdict, which must read NULL, not drop the panel row) and the D64
+    // forecast backtest (mase + skillful; LEFT for the same reason —
+    // fewer than warmup+2 days means no scored forecast)
+    val smk = seasonalMannKendallOf(daily).select(col("source"),
+      col("trend").as("smk_trend"),
+      coalesce(col("significant"), lit(0)).as("smk_significant"))
+    val fe = forecastEvalOver(holtOver(daily, 300000L, 100000L, 500L, 8))
+      .select(col("source"), col("mase_x10000"),
+        col("skillful").as("forecast_skillful"))
     mk.join(ph, Seq("source")).join(cs, Seq("source"))
       .join(hp, Seq("source")).join(ps, Seq("source"))
+      .join(smk, Seq("source"), "left").join(fe, Seq("source"), "left")
       .withColumn("drifting", (col("mk_significant") === 1 ||
+        coalesce(col("smk_significant"), lit(0)) === 1 ||
         col("psi_alert") === 1 || col("ph_alarms") > 0L ||
         col("cusum_alarms") > 0L).cast("int"))
       .select(col("source"), col("n_days"), col("mk_trend"),
-        col("mk_significant"), col("ph_alarms"), col("cusum_alarms"),
-        col("hampel_alarms"), col("psi"), col("psi_alert"), col("drifting"))
+        col("mk_significant"), col("smk_trend"), col("smk_significant"),
+        col("ph_alarms"), col("cusum_alarms"),
+        col("hampel_alarms"), col("psi"), col("psi_alert"),
+        col("mase_x10000"), col("forecast_skillful"), col("drifting"))
       .orderBy(col("source"))
   }
 
@@ -2541,13 +2537,7 @@ object LoadOps {
     * significance by the cross-multiplied integer inequality, z one
     * fixed IEEE shape, all-tied NULL. */
   def seasonalMannKendall(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    seasonalMannKendallOf(t.eventsSec
-      .select(col("event_type").as("source"),
-        expr("sec div 86400").cast("long").as("day"),
-        expr("cast(round(value * 100) as long)").as("cents"))
-      .groupBy(col("source"), col("day"))
-      .agg(expr("sum(cents) div count(*)").as("md")))
+    seasonalMannKendallOf(dailyMd(spark, dir))
   }
 
   /** The D63 compute over any (source, day, md) daily frame. */
@@ -2973,13 +2963,7 @@ object LoadOps {
   def holtForecast(spark: SparkSession, dir: String,
       alphaPpm: Long = 300000L, betaPpm: Long = 100000L,
       hCents: Long = 500L, warmup: Int = 8): DataFrame = {
-    val t = Tables(spark, dir)
-    val daily = t.eventsSec
-      .select(col("event_type").as("source"),
-        expr("sec div 86400").cast("long").as("day"),
-        expr("cast(round(value * 100) as long)").as("cents"))
-      .groupBy(col("source"), col("day"))
-      .agg(expr("sum(cents) div count(*)").as("md"))
+    val daily = dailyMd(spark, dir)
     holtOver(daily, alphaPpm, betaPpm, hCents, warmup)
   }
 
@@ -3036,13 +3020,7 @@ object LoadOps {
     * crosses a second shuffle, no windows. */
   def seasonal(spark: SparkSession, dir: String,
       trainDays: Long = 21L, hCents: Long = 150L): DataFrame = {
-    val t = Tables(spark, dir)
-    val daily = t.eventsSec
-      .select(col("event_type").as("source"),
-        expr("sec div 86400").cast("long").as("day"),
-        expr("cast(round(value * 100) as long)").as("cents"))
-      .groupBy(col("source"), col("day"))
-      .agg(expr("sum(cents) div count(*)").as("md"))
+    val daily = dailyMd(spark, dir)
     seasonalOf(daily, trainDays, hCents)
   }
 

@@ -165,6 +165,35 @@ object Scorecard {
     val t = Tables(spark, dir)
     val ev = t.eventsSec
 
+    // Shared corpus collapses (r15): the scoreboard is ONE union query,
+    // and Spark does not common-subexpression-eliminate across union
+    // branches — so the (source, day) daily fold, the (source, cents)
+    // midrank support cells and the (source, day, cents) PSI cells were
+    // each recomputed (full events scan + shuffle) by every branch that
+    // uses them. Checkpointing each collapse ONCE and feeding the
+    // branches through the same *Over/*Cells cores keeps every digest
+    // bit-identical (same core, same arguments — the standalone entries'
+    // own defaults) while 11 of the branches now start from run-log- or
+    // value-support-sized cached cells instead of the corpus.
+    val daily = LoadOps.dailyMd(spark, dir).localCheckpoint(true)
+    val posCells = ev.select(col("event_type").as("source"),
+        expr("cast(round(value * 100) as long)").as("cents"),
+        expr("cast(((sec div 86400) + 4) % 7 in (0, 6) as long)").as("pos"))
+      .groupBy(col("source"), col("cents"))
+      .agg(sum(col("pos")).cast("long").as("np"),
+        count(lit(1)).cast("long").as("cnt"))
+      .localCheckpoint(true)
+    val psiCells = ev.select(col("event_type").as("source"),
+        expr("sec div 86400").cast("long").as("day"),
+        expr("cast(round(value * 100) as long)").as("cents"))
+      .groupBy(col("source"), col("day"), col("cents"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .localCheckpoint(true)
+    // the Holt trajectory feeds two branches (the gate itself and the
+    // D64 backtest) — fold it once as well
+    val holtTraj = LoadOps.holtOver(daily, 300000L, 100000L, 500L, 8)
+      .localCheckpoint(true)
+
     // G2 exact dedup rollup: distinct (user, type) pairs
     val dedup = ev.select(col("user_id"), col("event_type")).distinct()
       .groupBy(col("event_type"))
@@ -237,20 +266,20 @@ object Scorecard {
     Seq(
       "stream_window_agg" -> Relational.qTimeBucket(spark, dir),
       "stream_markov" -> Relational.qMarkovTransitions(spark, dir),
-      "stream_cusum" -> LoadOps.cusum(spark, dir),
-      "stream_page_hinkley" -> LoadOps.pageHinkley(spark, dir),
-      "stream_psi" -> LoadOps.psi(spark, dir),
-      "stream_auc" -> Relational.qAucRoc(spark, dir),
-      "stream_mann_kendall" -> LoadOps.mannKendall(spark, dir),
+      "stream_cusum" -> LoadOps.cusumOver(daily, 500L, 3000L),
+      "stream_page_hinkley" -> LoadOps.pageHinkleyOver(daily, 100L, 2000L),
+      "stream_psi" -> LoadOps.psiCells(psiCells),
+      "stream_auc" -> Relational.aucCells(posCells),
+      "stream_mann_kendall" -> LoadOps.mannKendallOf(daily),
       "stream_srm" -> Relational.qSrm(spark, dir),
-      "stream_forecast_eval" -> LoadOps.forecastEval(spark, dir),
-      "stream_calibration" -> LoadOps.calibration(spark, dir),
+      "stream_forecast_eval" -> LoadOps.forecastEvalOver(holtTraj),
+      "stream_calibration" -> LoadOps.calibrationCells(posCells),
       "stream_constraints" -> LoadOps.checkConstraints(spark, dir),
       "stream_heavy_hitters" -> Relational.qHeavyHitters(spark, dir),
       "stream_benford" -> LoadOps.benford(spark, dir),
-      "stream_holt" -> LoadOps.holtForecast(spark, dir),
-      "stream_seasonal" -> LoadOps.seasonal(spark, dir),
-      "stream_hampel" -> LoadOps.hampel(spark, dir),
+      "stream_holt" -> holtTraj,
+      "stream_seasonal" -> LoadOps.seasonalOf(daily, 21L, 150L),
+      "stream_hampel" -> LoadOps.hampelOver(daily, 7, 5),
       "stream_top_paths" -> Relational.qTopPaths(spark, dir),
       "stream_winsorized" -> Relational.qWinsorized(spark, dir),
       "stream_changelog" -> LoadOps.changelogApply(spark, dir),
@@ -261,7 +290,7 @@ object Scorecard {
       "stream_decay" -> LoadOps.decayAvg(spark, dir),
       "stream_join" -> Relational.qIntervalJoin(spark, dir),
       "stream_chi2" -> LoadOps.chi2Drift(spark, dir),
-      "stream_changepoint" -> LoadOps.changepoint(spark, dir),
+      "stream_changepoint" -> LoadOps.changepointOver(daily, 3.0),
       "stream_cms" -> Relational.qCmsSketch(spark, dir),
       "stream_hll" -> Relational.qHllSketch(spark, dir),
       "stream_quantile" -> Relational.qQuantileSketch(spark, dir),

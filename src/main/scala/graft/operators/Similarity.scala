@@ -754,6 +754,72 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** F79b: the ANN RECALL TUNING CURVE — F79 measured recall at ONE
+    * nprobe (0.55 mean at the default 3); the number an operator
+    * actually needs is the KNOB-vs-recall curve, so the "raise nprobe
+    * until recall clears the bar" decision is itself an oracle-gated
+    * report instead of a spec aside. One row per (nprobe ∈ {1,2,3,5,8},
+    * probe query): hits against the SAME brute-force ground truth and
+    * the same fixed md5-top-N probe set as F79.
+    *
+    * Scale shape: the expensive passes are SHARED across the sweep —
+    * the truth pass (|queries| × corpus, constant |queries|) and the
+    * candidate fetch (ONE read of the persisted lists with an IN-list
+    * partition filter at max(nprobe), each candidate row carrying its
+    * list's centroid rank) run once; each sweep point is then a
+    * rank-window + semi-join over the list-bounded candidate frame.
+    * Sweep cost grows with Σ|candidates|, not with corpus reads. */
+  def annRecallCurve(spark: SparkSession, dir: String, k: Int = 10,
+      sweep: Seq[Int] = Seq(1, 2, 3, 5, 8), nProbes: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (listsPath, cents) = ivfIndex(spark, dir)
+    val e = vectors(spark, dir).select(col("vec_id"), col("v"))
+    val q = e.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nProbes)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .localCheckpoint(true)
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("vec_id"))
+    val truth = e.crossJoin(q).filter(col("vec_id") =!= col("qid"))
+      .withColumn("score", round(Vec.cosine(col("v"), col("qv")), 4))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"))
+      .localCheckpoint(true)
+    val spark2 = spark
+    import spark2.implicits._
+    val centsDf = cents.toDF("c_label", "cv")
+      .select(col("c_label"), col("cv").cast("array<double>").as("cv"))
+    // every probed list up to the largest sweep point, tagged with its
+    // centroid rank so each sweep point is a pure filter
+    val probes = q.crossJoin(broadcast(centsDf))
+      .withColumn("csim", Vec.cosine(col("qv"), col("cv")))
+      .withColumn("crn", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("csim").desc, col("c_label"))))
+      .filter(col("crn") <= sweep.max)
+      .select(col("qid"), col("qv"), col("crn"),
+        col("c_label").as("list_id"))
+    val cand = ivfLists(spark, listsPath)
+      .join(probes, Seq("list_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("score", round(Vec.cosine(col("v"), col("qv")), 4))
+      .select(col("qid"), col("crn"), col("vec_id"), col("score"))
+      .localCheckpoint(true)
+    sweep.map { p =>
+      val ann = cand.filter(col("crn") <= p)
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= k)
+        .select(col("qid"), col("vec_id"))
+      val hits = truth.join(ann, Seq("qid", "vec_id"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+      q.select(col("qid"))
+        .join(hits, Seq("qid"), "left")
+        .na.fill(0L, Seq("n_hits"))
+        .select(lit(p).cast("int").as("nprobe"), col("qid"), col("n_hits"),
+          expr(s"n_hits * 1000000 div $k").as("recall_ppm"))
+    }.reduce(_.unionByName(_)).orderBy(col("nprobe"), col("qid"))
+  }
+
   /** F77: Local Outlier Factor over the list-blocked kNN graph — the
     * embedding-space DATA-QUALITY gate (Breunig et al.): a vector whose
     * local density is far below its neighbors' is a mislabeled,

@@ -346,7 +346,7 @@ object TextAnalysis {
           (col("df") + lit(0.5))) *
           (col("tf") * lit(2.2)) /
           (col("tf") + lit(1.2) * (lit(0.25) +
-            lit(0.75) * (col("dl") * lit(n)).cast("double") /
+            lit(0.75) * col("dl").cast("double") * lit(n.toDouble) /
               lit(totLen.toDouble))))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= topPerDoc)
@@ -404,11 +404,15 @@ object TextAnalysis {
           (col("df") + lit(0.5))) *
           (col("tf") * lit(2.2)) /
           (col("tf") + lit(1.2) * (lit(0.25) +
-            lit(0.75) * (col("dl") * lit(n)).cast("double") /
+            lit(0.75) * col("dl").cast("double") * lit(n.toDouble) /
               lit(totLen.toDouble))))
       .withColumn("rel", least(col("tf"), lit(3L)))
       .withColumn("gain",
-        expr("cast(case rel when 1 then 1 when 2 then 3 else 7 end as long)"))
+        // explicit 2^rel - 1 ladder with an else-0 floor: rel is min(tf,3)
+        // in {1,2,3} here (tf >= 1), but ndcgOf is a generic entry point —
+        // a caller grading rel=0 must get gain 0, not the maximum
+        expr("cast(case rel when 3 then 7 when 2 then 3 when 1 then 1 " +
+          "else 0 end as long)"))
       .withColumn("rank", row_number().over(wRank))
       .withColumn("irank", row_number().over(wIdeal))
       .localCheckpoint(true)

@@ -459,12 +459,7 @@ object StreamGate {
     * report equals D40's batch trajectory bit-for-bit (integer cents). */
   def streamCusum(spark: SparkSession, dir: String): DataFrame = {
     val base = fresh(spark, "cusum")
-    Tables(spark, dir).eventsSec
-      .select(col("event_type").as("source"),
-        expr("sec div 86400").cast("long").as("day"),
-        expr("cast(round(value * 100) as long)").as("cents"))
-      .groupBy(col("source"), col("day"))
-      .agg(expr("sum(cents) div count(*)").as("md"))
+    graft.operators.LoadOps.dailyMd(spark, dir)
       .repartition(4)
       .write.parquet(s"$base/in")
     val src = spark.readStream
@@ -486,12 +481,7 @@ object StreamGate {
     * oracle verbatim. */
   def streamPageHinkley(spark: SparkSession, dir: String): DataFrame = {
     val base = fresh(spark, "pagehinkley")
-    Tables(spark, dir).eventsSec
-      .select(col("event_type").as("source"),
-        expr("sec div 86400").cast("long").as("day"),
-        expr("cast(round(value * 100) as long)").as("cents"))
-      .groupBy(col("source"), col("day"))
-      .agg(expr("sum(cents) div count(*)").as("md"))
+    graft.operators.LoadOps.dailyMd(spark, dir)
       .repartition(4)
       .write.parquet(s"$base/in")
     val src = spark.readStream

@@ -975,17 +975,31 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     val hp = alarms(ops.hampel(spark, sfDir))
     val ps = ops.psi(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getDouble(3), r.getInt(4))).toMap
+    // r15 members: seasonal MK verdict and forecast backtest
+    val smk = ops.seasonalMannKendall(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getInt(6),
+        if (r.isNullAt(7)) 0 else r.getInt(7))).toMap
+    val fe = ops.forecastEval(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (
+        if (r.isNullAt(6)) None else Some(r.getLong(6)),
+        if (r.isNullAt(7)) None else Some(r.getInt(7)))).toMap
     assert(got.keySet == mk.keySet, "panel must cover every source")
     got.foreach { case (src, r) =>
       assert(r.getLong(1) == mk(src)._1 && r.getInt(2) == mk(src)._2 &&
         r.getInt(3) == mk(src)._3, s"$src: MK cells diverged")
-      assert(r.getLong(4) == ph(src) && r.getLong(5) == cs(src) &&
-        r.getLong(6) == hp(src), s"$src: pager counts diverged")
-      assert(r.getDouble(7) == ps(src)._1 && r.getInt(8) == ps(src)._2,
+      assert(r.getInt(4) == smk(src)._1 && r.getInt(5) == smk(src)._2,
+        s"$src: seasonal-MK cells diverged")
+      assert(r.getLong(6) == ph(src) && r.getLong(7) == cs(src) &&
+        r.getLong(8) == hp(src), s"$src: pager counts diverged")
+      assert(r.getDouble(9) == ps(src)._1 && r.getInt(10) == ps(src)._2,
         s"$src: PSI cells diverged")
-      val want = if (mk(src)._3 == 1 || ps(src)._2 == 1 ||
-        ph(src) > 0L || cs(src) > 0L) 1 else 0
-      assert(r.getInt(9) == want, s"$src: headline bit wrong")
+      val gotMase = if (r.isNullAt(11)) None else Some(r.getLong(11))
+      val gotSkill = if (r.isNullAt(12)) None else Some(r.getInt(12))
+      assert(gotMase == fe(src)._1 && gotSkill == fe(src)._2,
+        s"$src: forecast-eval cells diverged")
+      val want = if (mk(src)._3 == 1 || smk(src)._2 == 1 ||
+        ps(src)._2 == 1 || ph(src) > 0L || cs(src) > 0L) 1 else 0
+      assert(r.getInt(13) == want, s"$src: headline bit wrong")
     }
   }
 

@@ -861,6 +861,34 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(got.exists(_._2 < 10L), "nprobe=2 lost no neighbor anywhere — degenerate")
   }
 
+  test("ann recall curve: per-query monotone in nprobe, sweep points equal standalone F79 runs") {
+    val curve = Similarity.annRecallCurve(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val pts = Seq(1, 2, 3, 5, 8)
+    assert(curve.map(_._1).distinct.sorted == pts, "sweep points")
+    assert(curve.length == pts.length * 10, "10 probe queries per point")
+    // the curve IS a curve: widening the probe set can only add
+    // candidates, so per-query hits are monotone non-decreasing
+    curve.groupBy(_._2).foreach { case (qid, rows) =>
+      val byP = rows.sortBy(_._1).map(_._3)
+      assert(byP.zip(byP.tail).forall(p => p._1 <= p._2),
+        s"query $qid recall not monotone in nprobe: $byP")
+    }
+    // every sweep point must equal the standalone F79 report at that
+    // nprobe — the curve is a packaging of the same measurement, not a
+    // second implementation
+    pts.foreach { p =>
+      val solo = Similarity.annRecall(spark, sfDir, nprobe = p).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val slice = curve.filter(_._1 == p).map(t => (t._2, t._3, t._4)).toSet
+      assert(slice == solo, s"nprobe=$p slice diverged from ann_recall")
+    }
+    // the knob matters on the corpus: the widest probe strictly beats
+    // the narrowest in total hits (else the report measures nothing)
+    val tot = curve.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(tot(1) < tot(8), s"curve is flat 1→8: $tot")
+  }
+
   test("purity: majority rollup replays from the shared assignment, partitions the corpus, bounded below") {
     val got = Similarity.embPurity(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
