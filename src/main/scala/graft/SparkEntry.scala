@@ -366,6 +366,7 @@ object SparkEntry {
     "q_power_mde"            -> ((s: SparkSession, d: String) => Relational.qPowerMde(s, d)),
     "stream_srm"             -> graft.streaming.StreamGate.streamSrm _,
     "dedup_lsh_recall"       -> ((s: SparkSession, d: String) => Dedup.lshRecall(s, d)),
+    "dedup_lsh_recall_curve" -> ((s: SparkSession, d: String) => Dedup.lshRecallCurve(s, d)),
     "mon_seasonal_mk"        -> ((s: SparkSession, d: String) => LoadOps.seasonalMannKendall(s, d)),
     "mon_forecast_eval"      -> ((s: SparkSession, d: String) => LoadOps.forecastEval(s, d)),
     "stream_forecast_eval"   -> graft.streaming.StreamGate.streamForecastEval _,
@@ -5210,6 +5211,61 @@ object SparkEntry {
          | END AS recall_ppm
          |FROM probes p LEFT JOIN tc ON tc.qid = p.qid
          | LEFT JOIN h ON h.qid = p.qid ORDER BY p.qid""".stripMargin,
+    // F98b: the bands-vs-recall tuning curve — the F98 chain with the
+    // banding swept over bands ∈ {4,8,16} (width = 32/bands); signatures,
+    // probe set and ground truth shared verbatim with dedup_lsh_recall
+    "dedup_lsh_recall_curve" -> {
+      val pts = Seq(4, 8, 16)
+      val perB = pts.map { b =>
+        val w = 32 / b
+        s"""bp$b AS (SELECT qid, b AS band, qsig[b * $w + 1 : b * $w + $w] AS bh
+           | FROM probes, range(0, $b) r(b)),
+           |ba$b AS (SELECT doc_id, b AS band, sig[b * $w + 1 : b * $w + $w] AS bh
+           | FROM sigl, range(0, $b) r(b)),
+           |f0$b AS (SELECT DISTINCT p.qid, a.doc_id
+           | FROM bp$b p JOIN ba$b a ON p.band = a.band AND p.bh = a.bh
+           |  AND p.qid <> a.doc_id),
+           |found$b AS (SELECT f.qid, f.doc_id FROM f0$b f
+           | JOIN sigl s ON s.doc_id = f.doc_id
+           | JOIN probes pr ON pr.qid = f.qid
+           | WHERE len(list_filter(range(1, 33), i -> s.sig[i] = pr.qsig[i])) >= 16),
+           |h$b AS (SELECT t.qid, CAST(count(*) AS BIGINT) AS n_hits
+           | FROM truth t JOIN found$b USING (qid, doc_id) GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      val sel = pts.map { b =>
+        s"""SELECT CAST($b AS INT) AS bands, p.qid,
+           | COALESCE(tc.n_true, 0) AS n_true,
+           | COALESCE(h$b.n_hits, 0) AS n_hits,
+           | CASE WHEN COALESCE(tc.n_true, 0) = 0 THEN NULL
+           |  ELSE CAST(COALESCE(h$b.n_hits, 0) * 1000000 // tc.n_true AS BIGINT)
+           | END AS recall_ppm
+           |FROM probes p LEFT JOIN tc ON tc.qid = p.qid
+           | LEFT JOIN h$b ON h$b.qid = p.qid""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+         |sg0 AS (SELECT doc_id, unnest(list_transform(
+         |   range(1, greatest(length(t) - 1, 1)),
+         |   i -> ${fnvFold("list_transform([0, 1, 2], j -> CAST(ord(substr(t, i + j, 1)) AS HUGEINT))")})) AS hu
+         | FROM d),
+         |sb AS (SELECT DISTINCT doc_id,
+         |  ((${u2s("hu")} % 2147483647) + 2147483647) % 2147483647 AS hp FROM sg0),
+         |sig AS (SELECT doc_id, p,
+         |  min((hp * (2 * p + 1) + (1000003 * p + 12345)) % 2147483647) AS comp
+         | FROM sb, range(0, 32) r(p) GROUP BY 1, 2),
+         |sigl AS MATERIALIZED (SELECT doc_id, list(comp ORDER BY p) AS sig
+         | FROM sig GROUP BY 1),
+         |probes AS MATERIALIZED (SELECT doc_id AS qid, sig AS qsig FROM sigl
+         | ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 20),
+         |truth AS MATERIALIZED (SELECT p.qid, s.doc_id
+         | FROM sigl s CROSS JOIN probes p
+         | WHERE s.doc_id <> p.qid
+         |  AND len(list_filter(range(1, 33), i -> s.sig[i] = p.qsig[i])) >= 16),
+         |tc AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_true
+         | FROM truth GROUP BY 1),
+         |$perB
+         |$sel
+         |ORDER BY bands, qid""".stripMargin
+    },
     // F18 winnowing: full replay — FNV-1a char-5-grams, sliding-window
     // (w=8) minima via a frame window (n<=w collapses to the global min:
     // the i=1 window covers everything), distinct fingerprints, df-cap 64,

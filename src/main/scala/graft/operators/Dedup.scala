@@ -580,6 +580,16 @@ object Dedup {
     * screen CANNOT miss them) and pin hits ⊆ truth. */
   def lshRecallOf(docs: DataFrame, nProbes: Int = 20,
       minAgree: Int = 16): DataFrame = {
+    val (sig, probes, truth) = lshRecallBase(docs, nProbes, minAgree)
+    lshRecallReport(probes, truth,
+      lshBandedFound(sig, probes, Bands, minAgree))
+      .orderBy(col("qid"))
+  }
+
+  /** Shared F98/F98b base: 32-perm signatures, the constant md5-top-N
+    * probe draw, and the band-independent agreement ground truth. */
+  private def lshRecallBase(docs: DataFrame, nProbes: Int,
+      minAgree: Int): (DataFrame, DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     val sig = docs
       .select(col("doc_id"),
@@ -589,40 +599,53 @@ object Dedup {
       .limit(nProbes)
       .select(col("doc_id").as("qid"), col("sig").as("qsig"))
       .localCheckpoint(true)
-    def agree(a: Column, b: Column): Column = aggregate(
-      zip_with(a, b, (p, q) => when(p === q, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v)
     val truth = sig.crossJoin(broadcast(probes))
       .filter(col("doc_id") =!= col("qid") &&
-        agree(col("sig"), col("qsig")) >= minAgree)
+        sigAgree(col("sig"), col("qsig")) >= minAgree)
       .select(col("qid"), col("doc_id"))
       .localCheckpoint(true)
-    // band identity is decided on the 4-component slice ITSELF
-    // (structural array equality, matching the oracle's comparison
-    // exactly) — an xxhash64 alone would admit a Spark-only candidate on
-    // a hash collision, inflating n_hits relative to the oracle. The
-    // hash stays as the equi-JOIN key (array keys would force a
-    // nested-loop join); the structural check rides the same join as a
-    // residual filter, so the plan is still one broadcast hash join.
-    def bandsOf(id: Column, s: Column) = (0 until Bands).map { h =>
-      struct(lit(h).as("band"), slice(s, h * 4 + 1, 4).as("bs"),
-        xxhash64(lit(h), slice(s, h * 4 + 1, 4)).as("bh"))
+    (sig, probes, truth)
+  }
+
+  private def sigAgree(a: Column, b: Column): Column = aggregate(
+    zip_with(a, b, (p, q) => when(p === q, 1).otherwise(0)),
+    lit(0), (acc, v) => acc + v)
+
+  /** Banded candidates touching the probe set at a given band count
+    * (width = 32/bands components). Band identity is decided on the
+    * slice ITSELF (structural array equality, matching the oracle's
+    * comparison exactly) — an xxhash64 alone would admit a Spark-only
+    * candidate on a hash collision, inflating n_hits relative to the
+    * oracle. The hash stays as the equi-JOIN key (array keys would force
+    * a nested-loop join); the structural check rides the same join as a
+    * residual filter, so the plan is still one broadcast hash join. */
+  private def lshBandedFound(sig: DataFrame, probes: DataFrame,
+      bands: Int, minAgree: Int): DataFrame = {
+    val w = NumPerms / bands
+    def bandsOf(s: Column) = (0 until bands).map { h =>
+      struct(lit(h).as("band"), slice(s, h * w + 1, w).as("bs"),
+        xxhash64(lit(h), slice(s, h * w + 1, w)).as("bh"))
     }
     val bandedP = probes.select(col("qid"), col("qsig"),
-        explode(array(bandsOf(col("qid"), col("qsig")): _*)).as("b"))
+        explode(array(bandsOf(col("qsig")): _*)).as("b"))
       .select(col("qid"), col("qsig"), col("b.band"), col("b.bs"), col("b.bh"))
     val bandedA = sig.select(col("doc_id"), col("sig"),
-        explode(array(bandsOf(col("doc_id"), col("sig")): _*)).as("b"))
+        explode(array(bandsOf(col("sig")): _*)).as("b"))
       .select(col("doc_id"), col("sig"), col("b.band"), col("b.bs"), col("b.bh"))
-    val found = bandedA.as("a").join(broadcast(bandedP.as("p")),
+    bandedA.as("a").join(broadcast(bandedP.as("p")),
         col("a.band") === col("p.band") && col("a.bh") === col("p.bh") &&
           col("a.bs") === col("p.bs") &&
           col("a.doc_id") =!= col("p.qid"))
       .select(col("p.qid").as("qid"), col("a.doc_id").as("doc_id"),
         col("a.sig").as("sig"), col("p.qsig").as("qsig"))
       .distinct()
-      .filter(agree(col("sig"), col("qsig")) >= minAgree)
+      .filter(sigAgree(col("sig"), col("qsig")) >= minAgree)
       .select(col("qid"), col("doc_id"))
+  }
+
+  /** The (n_true, n_hits, recall) rollup shared by F98 and F98b. */
+  private def lshRecallReport(probes: DataFrame, truth: DataFrame,
+      found: DataFrame): DataFrame = {
     val nTrue = truth.groupBy(col("qid"))
       .agg(count(lit(1)).cast("long").as("n_true"))
     val hits = truth.join(found, Seq("qid", "doc_id"))
@@ -635,7 +658,33 @@ object Dedup {
         lit(null).cast("long"))
         .otherwise(expr("n_hits * 1000000 div n_true")))
       .select(col("qid"), col("n_true"), col("n_hits"), col("recall_ppm"))
-      .orderBy(col("qid"))
+  }
+
+  /** F98b: the BANDS-vs-RECALL TUNING CURVE — F98 measured banding
+    * recall at the production 8×4 layout; the knob a dedup operator
+    * actually turns is the band count (more, narrower bands = more
+    * collisions = higher recall at higher candidate volume). One row per
+    * (bands ∈ {4,8,16}, probe doc) against the SAME agreement ground
+    * truth and fixed probe set, so the recall-vs-cost trade is itself an
+    * oracle-gated report.
+    *
+    * Scale shape: signatures, probe draw and the truth pass are SHARED
+    * across the sweep (computed once, checkpointed); each sweep point
+    * adds one banded broadcast-join over the corpus banding at that
+    * width — the same per-point cost as F98 itself. */
+  def lshRecallCurve(spark: SparkSession, dir: String, nProbes: Int = 20,
+      minAgree: Int = 16, sweep: Seq[Int] = Seq(4, 8, 16)): DataFrame =
+    lshRecallCurveOf(Tables(spark, dir).documents, nProbes, minAgree, sweep)
+
+  /** The F98b compute over any (doc_id, text) frame. */
+  def lshRecallCurveOf(docs: DataFrame, nProbes: Int = 20,
+      minAgree: Int = 16, sweep: Seq[Int] = Seq(4, 8, 16)): DataFrame = {
+    val (sig, probes, truth) = lshRecallBase(docs, nProbes, minAgree)
+    sweep.map { b =>
+      lshRecallReport(probes, truth, lshBandedFound(sig, probes, b, minAgree))
+        .select(lit(b).cast("int").as("bands"), col("qid"), col("n_true"),
+          col("n_hits"), col("recall_ppm"))
+    }.reduce(_.unionByName(_)).orderBy(col("bands"), col("qid"))
   }
 
   /** F18: winnowing (rolling-hash) fingerprint dedup — MOSS-style

@@ -70,6 +70,37 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("lsh recall curve: monotone in band count, 8-band slice equals standalone F98") {
+    val curve = graft.operators.Dedup.lshRecallCurve(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSeq
+    val pts = Seq(4, 8, 16)
+    assert(curve.map(_._1).distinct.sorted == pts, "sweep points")
+    assert(curve.length == pts.length * 20, "20 probe docs per point")
+    // truth is band-independent: n_true identical across sweep points
+    curve.groupBy(_._2).foreach { case (qid, rows) =>
+      assert(rows.map(_._3).distinct.length == 1,
+        s"probe $qid: truth varies with bands")
+      // narrower bands (more of them) can only ADD collisions: a pair
+      // agreeing on a width-8 band agrees on both its width-4 halves and
+      // all four width-2 quarters — hits monotone non-decreasing in bands
+      val byB = rows.sortBy(_._1).map(_._4)
+      assert(byB.zip(byB.tail).forall(p => p._1 <= p._2),
+        s"probe $qid: hits not monotone in bands: $byB")
+    }
+    // the 8-band point must equal the standalone F98 report — the curve
+    // is a packaging of the same measurement, not a second implementation
+    val solo = graft.operators.Dedup.lshRecall(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    val slice8 = curve.filter(_._1 == 8).map(t => (t._2, t._3, t._4, t._5)).toSet
+    assert(slice8 == solo, "bands=8 slice diverged from dedup_lsh_recall")
+    // the knob matters on the corpus: 16 narrow bands strictly beat 4
+    // wide ones in total hits (else the curve measures nothing)
+    val tot = curve.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    assert(tot(4) < tot(16), s"curve is flat 4→16: $tot")
+  }
+
   test("minhash signature estimates jaccard within tolerance") {
     // two docs sharing ~half their shingles
     val shared = (1 to 40).map(i => s"w$i").mkString(" ")
