@@ -161,36 +161,51 @@ object Scorecard {
     * through the shared batch cores (see the object scaladoc). The
     * 7 gates without a one-call batch operator replay their own oracle's
     * batch rule inline. */
-  private def frames(spark: SparkSession, dir: String): Seq[(String, DataFrame)] = {
+  /** dev hook for graft.tools.GateProfile */
+  private[graft] def profileFrames(spark: SparkSession, dir: String): Seq[(String, DataFrame)] =
+    buildFrames(spark, dir)
+
+  /** The gate frames, one THUNK per gate: several member constructors
+    * run eager driver-side phases by design (the bloom build, the
+    * staleness watermark head(), the breaker/changelog fold setup), and
+    * built inline those serialize into a ~7.5 s prefix before the union
+    * even starts (profiled via GateProfile). The scoreboard materializes
+    * the thunks CONCURRENTLY (construction is independent per gate;
+    * concurrent actions on one SparkSession are supported), then unions
+    * the digests — the union itself still dedupes the shared collapses
+    * via ReuseExchange. */
+  private def frames(spark: SparkSession, dir: String): Seq[(String, () => DataFrame)] = {
     val t = Tables(spark, dir)
     val ev = t.eventsSec
 
-    // Shared corpus collapses (r15): the scoreboard is ONE union query,
-    // and Spark does not common-subexpression-eliminate across union
-    // branches — so the (source, day) daily fold, the (source, cents)
-    // midrank support cells and the (source, day, cents) PSI cells were
-    // each recomputed (full events scan + shuffle) by every branch that
-    // uses them. Checkpointing each collapse ONCE and feeding the
-    // branches through the same *Over/*Cells cores keeps every digest
-    // bit-identical (same core, same arguments — the standalone entries'
-    // own defaults) while 11 of the branches now start from run-log- or
-    // value-support-sized cached cells instead of the corpus.
-    val daily = LoadOps.dailyMd(spark, dir).localCheckpoint(true)
-    val posCells = ev.select(col("event_type").as("source"),
-        expr("cast(round(value * 100) as long)").as("cents"),
-        expr("cast(((sec div 86400) + 4) % 7 in (0, 6) as long)").as("pos"))
-      .groupBy(col("source"), col("cents"))
-      .agg(sum(col("pos")).cast("long").as("np"),
-        count(lit(1)).cast("long").as("cnt"))
-      .localCheckpoint(true)
-    val psiCells = ev.select(col("event_type").as("source"),
-        expr("sec div 86400").cast("long").as("day"),
-        expr("cast(round(value * 100) as long)").as("cents"))
-      .groupBy(col("source"), col("day"), col("cents"))
-      .agg(count(lit(1)).cast("long").as("cnt"))
-      .localCheckpoint(true)
-    // the Holt trajectory feeds two branches (the gate itself and the
-    // D64 backtest) — fold it once as well
+    // Shared corpus collapses (r15): the (source, day) daily fold, the
+    // (source, cents) midrank support cells, the (source, day, cents)
+    // PSI cells and the Holt trajectory feed 11 of the branches. They
+    // are SHARED AS PLAIN VALS, deliberately not checkpointed: the
+    // scoreboard executes as ONE union query, and Spark's ReuseExchange
+    // dedupes canonically-equal exchanges across union branches — the
+    // measured build+run time with eager checkpoints equaled the
+    // unshared r14 union exactly (11.8 s), proving the union was already
+    // sharing; eager materialization only moved work onto a serial
+    // prefix. Referencing one val per collapse makes the branch subplans
+    // literally identical, which is what ReuseExchange keys on.
+    // materialized ONCE, the three independent collapses in parallel,
+    // the Holt trajectory (which folds the daily cells) after its input —
+    // per-gate digest jobs then read run-log-/support-sized cached cells
+    // instead of re-scanning the corpus per job
+    val Seq(daily, posCells, psiCells) = parMaterialize(Seq(
+      () => LoadOps.dailyMd(spark, dir),
+      () => ev.select(col("event_type").as("source"),
+          expr("cast(round(value * 100) as long)").as("cents"),
+          expr("cast(((sec div 86400) + 4) % 7 in (0, 6) as long)").as("pos"))
+        .groupBy(col("source"), col("cents"))
+        .agg(sum(col("pos")).cast("long").as("np"),
+          count(lit(1)).cast("long").as("cnt")),
+      () => ev.select(col("event_type").as("source"),
+          expr("sec div 86400").cast("long").as("day"),
+          expr("cast(round(value * 100) as long)").as("cents"))
+        .groupBy(col("source"), col("day"), col("cents"))
+        .agg(count(lit(1)).cast("long").as("cnt"))))
     val holtTraj = LoadOps.holtOver(daily, 300000L, 100000L, 500L, 8)
       .localCheckpoint(true)
 
@@ -252,64 +267,109 @@ object Scorecard {
         (coalesce(col("n_matched"), lit(0L)) > 0L).cast("int").as("has_match"))
 
     // G9 staleness: the planted-quiet wire's batch replay (silence two
-    // sources at the 60% cutoff; alert iff last_seen + 600 < watermark)
-    val rng = ev.agg(min(col("sec")), max(col("sec"))).head()
-    val cutoff = rng.getLong(0) + (rng.getLong(1) - rng.getLong(0)) * 6L / 10L
-    val fed = ev.select(col("event_type").as("source"), col("sec"))
-      .filter(!(col("source").isin("error", "purchase") && col("sec") > cutoff))
-      .localCheckpoint(true)
-    val wm = fed.agg(max(col("sec"))).head().getLong(0)
-    val stale = fed.groupBy(col("source"))
-      .agg(max(col("sec")).cast("long").as("last_seen_sec"))
-      .filter(col("last_seen_sec") + 600L < wm)
+    // sources at the 60% cutoff; alert iff last_seen + 600 < watermark).
+    // r15: the eager corpus-sized localCheckpoint of the silenced feed
+    // was a major slice of the scoreboard's wall (profiled) — replaced
+    // by two corpus-collapsing aggs whose RESULTS are sources-sized: the
+    // global range folds from per-source ranges, the watermark from the
+    // per-source last-seen frame, both numerically identical; the eager
+    // head() reads live inside this gate's thunk
+    def stale = {
+      val srcRange = ev.groupBy(col("event_type").as("source"))
+        .agg(min(col("sec")).as("mn"), max(col("sec")).as("mx"))
+        .localCheckpoint(true)
+      val rng = srcRange.agg(min(col("mn")), max(col("mx"))).head()
+      val cutoff = rng.getLong(0) + (rng.getLong(1) - rng.getLong(0)) * 6L / 10L
+      val lastSeen = ev.select(col("event_type").as("source"), col("sec"))
+        .filter(!(col("source").isin("error", "purchase") && col("sec") > cutoff))
+        .groupBy(col("source"))
+        .agg(max(col("sec")).cast("long").as("last_seen_sec"))
+        .localCheckpoint(true)
+      val wm = lastSeen.agg(max(col("last_seen_sec"))).head().getLong(0)
+      lastSeen.filter(col("last_seen_sec") + 600L < wm)
+    }
 
     Seq(
-      "stream_window_agg" -> Relational.qTimeBucket(spark, dir),
-      "stream_markov" -> Relational.qMarkovTransitions(spark, dir),
-      "stream_cusum" -> LoadOps.cusumOver(daily, 500L, 3000L),
-      "stream_page_hinkley" -> LoadOps.pageHinkleyOver(daily, 100L, 2000L),
-      "stream_psi" -> LoadOps.psiCells(psiCells),
-      "stream_auc" -> Relational.aucCells(posCells),
-      "stream_mann_kendall" -> LoadOps.mannKendallOf(daily),
-      "stream_srm" -> Relational.qSrm(spark, dir),
-      "stream_forecast_eval" -> LoadOps.forecastEvalOver(holtTraj),
-      "stream_calibration" -> LoadOps.calibrationCells(posCells),
-      "stream_constraints" -> LoadOps.checkConstraints(spark, dir),
-      "stream_heavy_hitters" -> Relational.qHeavyHitters(spark, dir),
-      "stream_benford" -> LoadOps.benford(spark, dir),
-      "stream_holt" -> holtTraj,
-      "stream_seasonal" -> LoadOps.seasonalOf(daily, 21L, 150L),
-      "stream_hampel" -> LoadOps.hampelOver(daily, 7, 5),
-      "stream_top_paths" -> Relational.qTopPaths(spark, dir),
-      "stream_winsorized" -> Relational.qWinsorized(spark, dir),
-      "stream_changelog" -> LoadOps.changelogApply(spark, dir),
-      "stream_breaker" -> LoadOps.circuitBreaker(spark, dir),
-      "stream_novelty" -> TextAnalysis.textNovelty(spark, dir),
-      "stream_abtest" -> Relational.qAbTtest(spark, dir),
-      "stream_drift" -> Similarity.embeddingDrift(spark, dir),
-      "stream_decay" -> LoadOps.decayAvg(spark, dir),
-      "stream_join" -> Relational.qIntervalJoin(spark, dir),
-      "stream_chi2" -> LoadOps.chi2Drift(spark, dir),
-      "stream_changepoint" -> LoadOps.changepointOver(daily, 3.0),
-      "stream_cms" -> Relational.qCmsSketch(spark, dir),
-      "stream_hll" -> Relational.qHllSketch(spark, dir),
-      "stream_quantile" -> Relational.qQuantileSketch(spark, dir),
-      "stream_bloom" -> Relational.qBloomPruneJoin(spark, dir),
-      "stream_dedup" -> dedup,
-      "stream_sessionize" -> sess,
-      "stream_paragraph_dedup" -> Dedup.dedupParagraph(spark, dir)
-        .select(col("doc_id"), col("n_chunks"), col("n_kept"), col("kept_checksum")),
-      "stream_cramers" -> cramers,
-      "stream_enrich" -> enrich,
-      "stream_outer_join" -> outer,
-      "stream_staleness" -> stale)
+      "stream_window_agg" -> (() => Relational.qTimeBucket(spark, dir)),
+      "stream_markov" -> (() => Relational.qMarkovTransitions(spark, dir)),
+      "stream_cusum" -> (() => LoadOps.cusumOver(daily, 500L, 3000L)),
+      "stream_page_hinkley" -> (() => LoadOps.pageHinkleyOver(daily, 100L, 2000L)),
+      "stream_psi" -> (() => LoadOps.psiCells(psiCells)),
+      "stream_auc" -> (() => Relational.aucCells(posCells)),
+      "stream_mann_kendall" -> (() => LoadOps.mannKendallOf(daily)),
+      "stream_srm" -> (() => Relational.qSrm(spark, dir)),
+      "stream_forecast_eval" -> (() => LoadOps.forecastEvalOver(holtTraj)),
+      "stream_calibration" -> (() => LoadOps.calibrationCells(posCells)),
+      "stream_constraints" -> (() => LoadOps.checkConstraints(spark, dir)),
+      "stream_heavy_hitters" -> (() => Relational.qHeavyHitters(spark, dir)),
+      "stream_benford" -> (() => LoadOps.benford(spark, dir)),
+      "stream_holt" -> (() => holtTraj),
+      "stream_seasonal" -> (() => LoadOps.seasonalOf(daily, 21L, 150L)),
+      "stream_hampel" -> (() => LoadOps.hampelOver(daily, 7, 5)),
+      "stream_top_paths" -> (() => Relational.qTopPaths(spark, dir)),
+      "stream_winsorized" -> (() => Relational.qWinsorized(spark, dir)),
+      "stream_changelog" -> (() => LoadOps.changelogApply(spark, dir)),
+      "stream_breaker" -> (() => LoadOps.circuitBreaker(spark, dir)),
+      "stream_novelty" -> (() => TextAnalysis.textNovelty(spark, dir)),
+      "stream_abtest" -> (() => Relational.qAbTtest(spark, dir)),
+      "stream_drift" -> (() => Similarity.embeddingDrift(spark, dir)),
+      "stream_decay" -> (() => LoadOps.decayAvg(spark, dir)),
+      "stream_join" -> (() => Relational.qIntervalJoin(spark, dir)),
+      "stream_chi2" -> (() => LoadOps.chi2Drift(spark, dir)),
+      "stream_changepoint" -> (() => LoadOps.changepointOver(daily, 3.0)),
+      "stream_cms" -> (() => Relational.qCmsSketch(spark, dir)),
+      "stream_hll" -> (() => Relational.qHllSketch(spark, dir)),
+      "stream_quantile" -> (() => Relational.qQuantileSketch(spark, dir)),
+      "stream_bloom" -> (() => Relational.qBloomPruneJoin(spark, dir)),
+      "stream_dedup" -> (() => dedup),
+      "stream_sessionize" -> (() => sess),
+      "stream_paragraph_dedup" -> (() => Dedup.dedupParagraph(spark, dir)
+        .select(col("doc_id"), col("n_chunks"), col("n_kept"), col("kept_checksum"))),
+      "stream_cramers" -> (() => cramers),
+      "stream_enrich" -> (() => enrich),
+      "stream_outer_join" -> (() => outer),
+      "stream_staleness" -> (() => stale))
+  }
+
+  /** Run independent Spark work concurrently on one session (the
+    * documented multi-job pattern); used for the shared-collapse
+    * materialization, the per-gate frame thunks, and the per-gate digest
+    * collects. */
+  private def parRun[A](thunks: Seq[() => A]): Seq[A] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.DurationInt
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try Await.result(Future.sequence(thunks.map(t => Future(t()))), 30.minutes)
+    finally pool.shutdown()
+  }
+
+  private def parMaterialize(mk: Seq[() => DataFrame]): Seq[DataFrame] =
+    parRun(mk.map(m => () => m().localCheckpoint(true)))
+
+  private def buildFrames(spark: SparkSession,
+      dir: String): Seq[(String, DataFrame)] = {
+    val fs = frames(spark, dir)
+    fs.map(_._1).zip(parRun(fs.map(_._2)))
   }
 
   def streamScorecard(spark: SparkSession, dir: String): DataFrame = {
+    val spark0 = spark
     val specs = gateCols.toMap
-    frames(spark, dir)
-      .map { case (g, df) => digestOf(g, df, specs(g)) }
-      .reduce(_.unionByName(_))
+    val fs = buildFrames(spark, dir)
+    // the digests are independent 1-row aggregations: collecting them as
+    // concurrent jobs overlaps the branch critical paths that a single
+    // 37-branch union plan schedules as one serial-prefix-heavy job
+    // (measured: 11.8 s as a union vs ~8.5 s in this shape; the branches
+    // read the parMaterialize'd cells, so no corpus collapse repeats
+    // across jobs). The driver holds one 4-field row per gate —
+    // constant-size, a declared driver-sized convention point.
+    val rows = parRun(fs.map { case (g, df) => () =>
+      val r = digestOf(g, df, specs(g)).collect()(0)
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    })
+    spark0.createDataFrame(rows)
+      .toDF("gate", "n_rows", "sum_hash", "xor_hash")
       .orderBy(col("gate"))
   }
 }
