@@ -37,10 +37,13 @@ import org.apache.spark.sql.functions._
   * DuckDB oracle generator (SparkEntry.digestSql) both read THIS list,
   * so the two sides cannot drift.
   *
-  * Scale shape: one union of per-gate independent (agg → 1 row) branches —
-  * each branch is its operator's own scale-argued plan plus one
-  * commutative hash fold (map-side combinable); the scoreboard adds no
-  * join, no new shuffle, no driver loop. */
+  * Scale shape: per-gate independent (agg → 1 row) digest jobs — each
+  * is its operator's own scale-argued plan plus one commutative hash
+  * fold (map-side combinable); the scoreboard adds no join and no new
+  * shuffle, and the driver holds exactly one 4-field row per gate
+  * (constant-size). The shared corpus collapses (daily fold, midrank
+  * cells, PSI cells, Holt trajectory) materialize once and feed 11 of
+  * the branches. */
 object Scorecard {
 
   /** Canonical digest projection per gate — name and type tag in fixed
@@ -157,42 +160,35 @@ object Scorecard {
       .select(lit(gate).as("gate"), col("n_rows"), col("sum_hash"),
         col("xor_hash"))
 
-  /** The frame each gate's completed stream is pinned to emit, computed
-    * through the shared batch cores (see the object scaladoc). The
-    * 7 gates without a one-call batch operator replay their own oracle's
-    * batch rule inline. */
   /** dev hook for graft.tools.GateProfile */
   private[graft] def profileFrames(spark: SparkSession, dir: String): Seq[(String, DataFrame)] =
     buildFrames(spark, dir)
 
-  /** The gate frames, one THUNK per gate: several member constructors
-    * run eager driver-side phases by design (the bloom build, the
-    * staleness watermark head(), the breaker/changelog fold setup), and
-    * built inline those serialize into a ~7.5 s prefix before the union
-    * even starts (profiled via GateProfile). The scoreboard materializes
-    * the thunks CONCURRENTLY (construction is independent per gate;
-    * concurrent actions on one SparkSession are supported), then unions
-    * the digests — the union itself still dedupes the shared collapses
-    * via ReuseExchange. */
+  /** The frame each gate's completed stream is pinned to emit, computed
+    * through the shared batch cores (see the object scaladoc); the gates
+    * without a one-call batch operator replay their own oracle's batch
+    * rule inline. One THUNK per gate: several member constructors run
+    * eager driver-side phases by design (the bloom build, the staleness
+    * watermark head() reads, the breaker/changelog fold setup), and
+    * built inline those serialized into a ~7.5 s prefix before any
+    * digest ran (profiled via GateProfile) — the scoreboard therefore
+    * materializes the thunks CONCURRENTLY (construction is independent
+    * per gate; concurrent actions on one SparkSession are supported). */
   private def frames(spark: SparkSession, dir: String): Seq[(String, () => DataFrame)] = {
     val t = Tables(spark, dir)
     val ev = t.eventsSec
 
     // Shared corpus collapses (r15): the (source, day) daily fold, the
     // (source, cents) midrank support cells, the (source, day, cents)
-    // PSI cells and the Holt trajectory feed 11 of the branches. They
-    // are SHARED AS PLAIN VALS, deliberately not checkpointed: the
-    // scoreboard executes as ONE union query, and Spark's ReuseExchange
-    // dedupes canonically-equal exchanges across union branches — the
-    // measured build+run time with eager checkpoints equaled the
-    // unshared r14 union exactly (11.8 s), proving the union was already
-    // sharing; eager materialization only moved work onto a serial
-    // prefix. Referencing one val per collapse makes the branch subplans
-    // literally identical, which is what ReuseExchange keys on.
-    // materialized ONCE, the three independent collapses in parallel,
-    // the Holt trajectory (which folds the daily cells) after its input —
-    // per-gate digest jobs then read run-log-/support-sized cached cells
-    // instead of re-scanning the corpus per job
+    // PSI cells and the Holt trajectory feed 11 of the branches.
+    // Materialized ONCE — the three independent collapses in parallel,
+    // the Holt trajectory (which folds the daily cells) after its
+    // input — so the per-gate digest jobs read run-log-/support-sized
+    // cached cells instead of re-scanning the corpus per job. (In the
+    // old single-union shape ReuseExchange already deduped these, which
+    // is why checkpointing alone changed nothing at r14's 11.8 s; with
+    // per-gate JOBS the explicit materialization is what prevents the
+    // recompute.)
     val Seq(daily, posCells, psiCells) = parMaterialize(Seq(
       () => LoadOps.dailyMd(spark, dir),
       () => ev.select(col("event_type").as("source"),
@@ -354,7 +350,6 @@ object Scorecard {
   }
 
   def streamScorecard(spark: SparkSession, dir: String): DataFrame = {
-    val spark0 = spark
     val specs = gateCols.toMap
     val fs = buildFrames(spark, dir)
     // the digests are independent 1-row aggregations: collecting them as
@@ -368,7 +363,7 @@ object Scorecard {
       val r = digestOf(g, df, specs(g)).collect()(0)
       (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
     })
-    spark0.createDataFrame(rows)
+    spark.createDataFrame(rows)
       .toDF("gate", "n_rows", "sum_hash", "xor_hash")
       .orderBy(col("gate"))
   }
