@@ -608,4 +608,27 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       assert(!p.contains("CartesianProduct"), s"$name: cartesian:\n$p")
     }
   }
+
+  test("recall tuning curves: band/probe joins stay hash joins — array keys must never force a nested loop") {
+    // band identity in the LSH curve is structural slice equality, which
+    // Spark cannot hash-partition on: used as the JOIN KEY it silently
+    // degrades to a BroadcastNestedLoopJoin over corpus×bands rows
+    // (observed live in r15). The contract: the xxhash64 of the slice is
+    // the equi-key, the structural check a residual filter — every
+    // executed sweep point must be a broadcast hash join, and no
+    // nested-loop/cartesian may appear anywhere past the checkpointed
+    // truth pass.
+    def shapes(name: String): String = {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    val lsh = shapes("dedup_lsh_recall_curve")
+    assert(lsh.contains("BroadcastHashJoin"), s"banded join not a hash join:\n${lsh.take(1500)}")
+    assert(!lsh.contains("BroadcastNestedLoopJoin") && !lsh.contains("CartesianProduct"),
+      s"nested-loop join in the lsh curve:\n${lsh.take(1500)}")
+    val ann = shapes("ann_recall_curve")
+    assert(!ann.contains("BroadcastNestedLoopJoin") && !ann.contains("CartesianProduct"),
+      s"nested-loop join in the ann curve:\n${ann.take(1500)}")
+  }
 }
