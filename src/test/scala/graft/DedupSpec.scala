@@ -101,6 +101,24 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(tot(4) < tot(16), s"curve is flat 4→16: $tot")
   }
 
+  test("lsh recall curve: an all-identical corpus saturates every banding at exactly 1.0") {
+    // identical text ⇒ identical 32-perm signatures ⇒ every band of any
+    // width collides and every pair is truth — the curve must read
+    // exactly 1.0 at all three band counts (a hostile layout where any
+    // off-by-one in slicing or the agreement filter shows immediately)
+    val docs = (1L to 25L).map(i => (i, "the same text for every doc " * 3))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.lshRecallCurveOf(docs, nProbes = 10)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))
+    assert(got.length == 30, "3 sweep points x 10 probes")
+    got.foreach { case (b, qid, nTrue, nHits, ppm) =>
+      assert(nTrue == 24L && nHits == 24L && ppm == 1000000L,
+        s"bands=$b probe $qid: $nTrue/$nHits/$ppm — saturation broken")
+    }
+  }
+
   test("minhash signature estimates jaccard within tolerance") {
     // two docs sharing ~half their shingles
     val shared = (1 to 40).map(i => s"w$i").mkString(" ")
