@@ -188,6 +188,7 @@ object SparkEntry {
     "q_top_paths"            -> ((s: SparkSession, d: String) => Relational.qTopPaths(s, d)),
     "ann_recall"             -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
     "ann_recall_curve"       -> ((s: SparkSession, d: String) => Similarity.annRecallCurve(s, d)),
+    "ann_pq_curve"           -> ((s: SparkSession, d: String) => Similarity.annPqCurve(s, d)),
     "text_quality_model"     -> ((s: SparkSession, d: String) => TextAnalysis.qualityModel(s, d)),
     "q_funnel_windowed"      -> ((s: SparkSession, d: String) => Relational.qFunnelWindowed(s, d)),
     "q_time_bucket"          -> Relational.qTimeBucket _,
@@ -4970,6 +4971,55 @@ object SparkEntry {
          |SELECT q.qid, COALESCE(h.n_hits, 0) AS n_hits,
          | CAST(COALESCE(h.n_hits, 0) * 1000000 // 10 AS BIGINT) AS recall_ppm
          |FROM q LEFT JOIN h ON h.qid = q.qid ORDER BY q.qid""".stripMargin,
+    // F29b: the PQ sub-code tuning curve — the ann_pq_adc encode/ADC
+    // chain swept over nSub ∈ {4,8,16} (subspace width 64/nSub); per
+    // point, exact-cosine top-10 retention inside the rounded-ADC top-30
+    // candidate heap; probe set and truth shared with the F79 family
+    "ann_pq_curve" -> {
+      val pts = Seq(4, 8, 16)
+      val per = pts.map { n =>
+        val sd = 64 / n
+        s"""d$n AS MATERIALIZED (SELECT xp.vec_id, cb.c_label,
+           |  CAST((xp.pos - 1) // $sd AS INT) AS m,
+           |  sum((xp.x - cb.a) * (xp.x - cb.a)) AS d2
+           | FROM xp JOIN cb USING (pos) GROUP BY 1, 2, 3),
+           |enc$n AS (SELECT vec_id, m, c_label, row_number() OVER (
+           |   PARTITION BY vec_id, m ORDER BY d2, c_label) AS rn FROM d$n),
+           |code$n AS MATERIALIZED (SELECT vec_id, m, c_label AS cl
+           | FROM enc$n WHERE rn = 1),
+           |ad$n AS (SELECT qd.vec_id AS qid, code.vec_id,
+           |  round(sum(qd.d2), 6) AS approx
+           | FROM d$n qd JOIN q10 ON q10.qid = qd.vec_id
+           | JOIN code$n code ON code.m = qd.m AND code.cl = qd.c_label
+           | WHERE code.vec_id <> qd.vec_id GROUP BY 1, 2),
+           |cd$n AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+           |   row_number() OVER (PARTITION BY qid ORDER BY approx, vec_id) AS rn
+           |  FROM ad$n) WHERE rn <= 30),
+           |h$n AS (SELECT tr.qid, CAST(count(*) AS BIGINT) AS n_hits
+           | FROM tr JOIN cd$n USING (qid, vec_id) GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      val sel = pts.map { n =>
+        s"""SELECT CAST($n AS INT) AS nsub, q10.qid,
+           | COALESCE(h$n.n_hits, 0) AS n_hits,
+           | CAST(COALESCE(h$n.n_hits, 0) * 1000000 // 10 AS BIGINT) AS recall_ppm
+           |FROM q10 LEFT JOIN h$n ON h$n.qid = q10.qid""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |xp AS MATERIALIZED (SELECT vec_id, generate_subscripts(v, 1) AS pos,
+         |  unnest(v) AS x FROM e),
+         |cb AS MATERIALIZED (SELECT label AS c_label, pos, avg(x) AS a
+         |  FROM (SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e)
+         |  GROUP BY label, pos),
+         |q10 AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM e
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 10),
+         |tr AS MATERIALIZED (SELECT qid, vec_id FROM (
+         |  SELECT q10.qid, e.vec_id, row_number() OVER (PARTITION BY q10.qid
+         |    ORDER BY round(${cosSql("e.v", "q10.qv")}, 4) DESC, e.vec_id) AS rn
+         |  FROM e CROSS JOIN q10 WHERE e.vec_id <> q10.qid) WHERE rn <= 10),
+         |$per
+         |$sel
+         |ORDER BY nsub, qid""".stripMargin
+    },
     // F79b: the nprobe-vs-recall tuning curve — the F79 chain with the
     // probed-list cut swept over nprobe ∈ {1,2,3,5,8}; truth, probe set
     // and candidate fetch shared verbatim with ann_recall

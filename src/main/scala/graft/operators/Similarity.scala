@@ -820,6 +820,81 @@ object Similarity {
     }.reduce(_.unionByName(_)).orderBy(col("nprobe"), col("qid"))
   }
 
+  /** F29b: the PQ SUB-CODE TUNING CURVE — the compression knob's
+    * recall cost, measured the way F29 serving actually pays it: per
+    * (nSub ∈ {4,8,16} subspaces, probe query), how many of the exact
+    * cosine top-k survive into the pure-ADC candidate heap of size
+    * rescoreFactor·k (the stage the F29 rescore can NEVER recover a
+    * loss from). 8 sub-codes is the persisted F29 layout (32× under
+    * f32); 4 halves the code bytes again, 16 doubles them — this report
+    * is the pre-persist design tool for that trade.
+    *
+    * Determinism: codes are exact argmins with first-codeword ties (the
+    * [[pqCodeCols]] contract); each ADC distance rounds to 6 dp before
+    * the rank with the vec_id tiebreak (the F29 margins argument —
+    * argmin/boundary gaps dwarf cross-engine summation noise); truth is
+    * the F79 4-dp cosine rank. Probe set = the constant md5-top-N draw.
+    *
+    * Scale shape: the truth pass is |probes|×corpus (constant probes);
+    * each sweep point is ONE corpus encode pass (vec_id + nSub one-byte
+    * codes — at 100 TB this is exactly the layout job [[ivfIndex]] runs
+    * once for the chosen nSub, previewed here before persisting) plus
+    * |probes| bounded ADC heaps over the checkpointed codes; the ADC
+    * tables are driver math on the collected quantizer. */
+  def annPqCurve(spark: SparkSession, dir: String, k: Int = 10,
+      rescoreFactor: Int = 3, sweep: Seq[Int] = Seq(4, 8, 16),
+      nProbes: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (_, cb) = ivfIndex(spark, dir)
+    val dim = cb.head._2.length
+    val e = vectors(spark, dir).select(col("vec_id"), col("v"))
+    val q = e.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nProbes)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .localCheckpoint(true)
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("vec_id"))
+    val truth = e.crossJoin(q).filter(col("vec_id") =!= col("qid"))
+      .withColumn("score", round(Vec.cosine(col("v"), col("qv")), 4))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"))
+      .localCheckpoint(true)
+    val qRows = q.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val sorted = cb.sortBy(_._1)
+    sweep.map { nSub =>
+      val sd = dim / nSub
+      def subOf(a: Seq[Double], m: Int): Seq[Double] = a.slice(m * sd, (m + 1) * sd)
+      val enc = e.select(col("vec_id") +: pqCodeCols(cb, nSub): _*)
+        .localCheckpoint(true)
+      val found = qRows.map { case (qid, qv) =>
+        // the F29 ADC table: ‖q_m − c_{l,m}‖² per (subspace, codeword),
+        // driver math on the collected quantizer
+        val qd2 = Array.tabulate(nSub) { m =>
+          sorted.map { case (_, cv) =>
+            subOf(qv, m).zip(subOf(cv, m))
+              .foldLeft(0.0) { case (acc, (a, b)) => acc + (a - b) * (a - b) }
+          }.toArray
+        }
+        val approx = (0 until nSub).map { m =>
+          element_at(array(qd2(m).map(lit).toIndexedSeq: _*), col(s"code_$m") + 1)
+        }.reduce(_ + _)
+        enc.filter(col("vec_id") =!= qid)
+          .withColumn("approx_dist", round(approx, 6))
+          .orderBy(col("approx_dist"), col("vec_id")).limit(rescoreFactor * k)
+          .select(lit(qid).as("qid"), col("vec_id"))
+      }.reduce(_.unionByName(_))
+      val hits = truth.join(found, Seq("qid", "vec_id"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+      q.select(col("qid"))
+        .join(hits, Seq("qid"), "left")
+        .na.fill(0L, Seq("n_hits"))
+        .select(lit(nSub).cast("int").as("nsub"), col("qid"), col("n_hits"),
+          expr(s"n_hits * 1000000 div $k").as("recall_ppm"))
+    }.reduce(_.unionByName(_)).orderBy(col("nsub"), col("qid"))
+  }
+
   /** F77: Local Outlier Factor over the list-blocked kNN graph — the
     * embedding-space DATA-QUALITY gate (Breunig et al.): a vector whose
     * local density is far below its neighbors' is a mislabeled,

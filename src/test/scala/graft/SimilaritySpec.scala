@@ -889,6 +889,28 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(tot(1) < tot(8), s"curve is flat 1→8: $tot")
   }
 
+  test("pq tuning curve: bounded hits, finer sub-codes win on the corpus, deterministic") {
+    val curve = Similarity.annPqCurve(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val pts = Seq(4, 8, 16)
+    assert(curve.map(_._1).distinct.sorted == pts, "sweep points")
+    assert(curve.length == pts.length * 10, "10 probe queries per point")
+    curve.foreach { case (n, qid, hits, ppm) =>
+      assert(hits >= 0L && hits <= 10L, s"nsub=$n probe $qid: hits $hits out of range")
+      assert(ppm == hits * 1000000L / 10L, s"nsub=$n probe $qid: ppm arithmetic")
+    }
+    // quantization distortion falls with sub-code count: 16 subspaces
+    // must strictly beat 4 in total retained truth on the corpus (the
+    // knob's whole point; measured 0.20 vs 0.52 mean recall at sf0.01)
+    val tot = curve.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(tot(4) < tot(16), s"finer codes did not help: $tot")
+    // deterministic end to end (fixed probe draw, first-argmin codes,
+    // rounded ADC ranks): a second run is row-identical
+    val again = Similarity.annPqCurve(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(curve == again, "pq curve not deterministic across runs")
+  }
+
   test("purity: majority rollup replays from the shared assignment, partitions the corpus, bounded below") {
     val got = Similarity.embPurity(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
