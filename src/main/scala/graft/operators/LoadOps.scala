@@ -10,6 +10,25 @@ import org.apache.spark.sql.functions._
   */
 object LoadOps {
 
+  /** Named serving defaults for the sequential-drift / forecasting
+    * family — the SINGLE source of truth the standalone gates, the
+    * G32 scoreboard and the D-panel all read. A default change here
+    * re-parameterizes every composed consumer at once; repeating the
+    * literals at a call site is the desync the r15 advice flagged. */
+  val CusumKCents = 500L
+  val CusumHCents = 3000L
+  val PhDeltaCents = 100L
+  val PhLambdaCents = 2000L
+  val SeasonalTrainDays = 21L
+  val SeasonalHCents = 150L
+  val HampelWindow = 7
+  val HampelMinWin = 5
+  val ChangepointBar = 3.0
+  val HoltAlphaPpm = 300000L
+  val HoltBetaPpm = 100000L
+  val HoltHCents = 500L
+  val HoltWarmup = 8
+
   /** D1: truncate-and-load (load_sde.py:92 load_to_sde: TruncateTable +
     * Append) → Spark overwrite-mode write. Run the cycle twice to prove
     * idempotence, read the target back and reconcile counts. */
@@ -1304,21 +1323,26 @@ object LoadOps {
     * md = sum(cents) div count(*), the exact integer daily mean every
     * member trains on.
     *
-    * Division contract (why `div` is safe HERE): Spark's `div`
-    * truncates toward zero while the DuckDB oracle's `//` floors — the
-    * two agree ONLY when the numerator is non-negative. This fold
-    * therefore ASSUMES per-day cent sums are >= 0, which holds for the
-    * events corpus (value is a non-negative magnitude, and every
-    * member's oracle replays the same truncating shape). A deployment
-    * whose daily sums can go negative (e.g. refund ledgers) must move
-    * BOTH engines to an explicit floor-consistent division before
-    * reusing this fold. */
+    * Division contract (r16, measured): Spark's `div` and DuckDB 1.x's
+    * integer `//` BOTH truncate toward zero for every sign combination
+    * (verified on the oracle engine: -7//2 = -3, -1//3 = 0,
+    * -999999999999//7 = -142857142857 — truncation, not floor). The
+    * r14-era note claiming DuckDB floors was wrong for the oracle's
+    * engine; negative per-day cent sums (refund ledgers) replay
+    * hash-exactly through this fold with no guard needed.
+    * DailyFoldSpec plants a negative-sum source and pins the truncated
+    * values on both the fold and its downstream detectors. */
   def dailyMd(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).eventsSec
+    dailyMdOf(Tables(spark, dir).eventsSec
       .select(col("event_type").as("source"),
         expr("sec div 86400").cast("long").as("day"),
-        expr("cast(round(value * 100) as long)").as("cents"))
-      .groupBy(col("source"), col("day"))
+        expr("cast(round(value * 100) as long)").as("cents")))
+
+  /** The fold itself over any (source, day, cents) cell frame — split
+    * out so specs can plant signed cents (the division-contract proof)
+    * without synthesizing a whole events corpus. */
+  def dailyMdOf(cells: DataFrame): DataFrame =
+    cells.groupBy(col("source"), col("day"))
       .agg(expr("sum(cents) div count(*)").as("md"))
 
   /** D48: retrospective CHANGE-POINT detection per source — the
@@ -1350,7 +1374,7 @@ object LoadOps {
     * cells; the candidate scan is a window over those day cells
     * (run-log-sized, never event-proportional); per-source totals ride
     * a broadcast join; selection is one max_by hash agg. */
-  def changepoint(spark: SparkSession, dir: String, bar: Double = 3.0): DataFrame =
+  def changepoint(spark: SparkSession, dir: String, bar: Double = ChangepointBar): DataFrame =
     changepointOver(dailyMd(spark, dir), bar)
 
   /** The D48 compute over any (source, day, md) daily frame — specs
@@ -1599,8 +1623,8 @@ object LoadOps {
     * cells, a trailing integer-range join bounded by cells×window
     * WITHIN a source, two row_number windows over those bounded
     * pairs (median, then MAD around it); report is cells-sized. */
-  def hampel(spark: SparkSession, dir: String, window: Int = 7,
-      minWin: Int = 5): DataFrame =
+  def hampel(spark: SparkSession, dir: String, window: Int = HampelWindow,
+      minWin: Int = HampelMinWin): DataFrame =
     hampelOver(dailyMd(spark, dir), window, minWin)
 
   /** The D55 compute over any (source, day, md) daily frame — specs
@@ -2300,7 +2324,7 @@ object LoadOps {
     * precedent), so every S value is hash-checked, not just the
     * alarms. */
   def cusum(spark: SparkSession, dir: String,
-      kCents: Long = 500L, hCents: Long = 3000L): DataFrame = {
+      kCents: Long = CusumKCents, hCents: Long = CusumHCents): DataFrame = {
     val daily = dailyMd(spark, dir)
     cusumOver(daily, kCents, hCents)
   }
@@ -2329,7 +2353,7 @@ object LoadOps {
     * run-log-sized history (cum-sum/count, PH cum-sum, running min) —
     * no self-join, no recursion, nothing event-proportional. */
   def pageHinkley(spark: SparkSession, dir: String,
-      deltaCents: Long = 100L, lambdaCents: Long = 2000L): DataFrame = {
+      deltaCents: Long = PhDeltaCents, lambdaCents: Long = PhLambdaCents): DataFrame = {
     pageHinkleyOver(dailyMd(spark, dir), deltaCents, lambdaCents)
   }
 
@@ -2488,11 +2512,11 @@ object LoadOps {
     val mk = mannKendallOf(daily).select(col("source"), col("n_days"),
       col("trend").as("mk_trend"),
       coalesce(col("significant"), lit(0)).as("mk_significant"))
-    val ph = pageHinkleyOver(daily, 100L, 2000L).groupBy(col("source"))
+    val ph = pageHinkleyOver(daily, PhDeltaCents, PhLambdaCents).groupBy(col("source"))
       .agg(sum(col("alarm")).cast("long").as("ph_alarms"))
-    val cs = cusumOver(daily, 500L, 3000L).groupBy(col("source"))
+    val cs = cusumOver(daily, CusumKCents, CusumHCents).groupBy(col("source"))
       .agg(sum(col("alarm")).cast("long").as("cusum_alarms"))
-    val hp = hampelOver(daily, 7, 5).groupBy(col("source"))
+    val hp = hampelOver(daily, HampelWindow, HampelMinWin).groupBy(col("source"))
       .agg(sum(col("alarm")).cast("long").as("hampel_alarms"))
     val ps = psiOf(ev).select(col("source"), col("psi"),
       col("alert").as("psi_alert"))
@@ -2505,7 +2529,7 @@ object LoadOps {
     val smk = seasonalMannKendallOf(daily).select(col("source"),
       col("trend").as("smk_trend"),
       coalesce(col("significant"), lit(0)).as("smk_significant"))
-    val fe = forecastEvalOver(holtOver(daily, 300000L, 100000L, 500L, 8))
+    val fe = forecastEvalOver(holtOver(daily, HoltAlphaPpm, HoltBetaPpm, HoltHCents, HoltWarmup))
       .select(col("source"), col("mase_x10000"),
         col("skillful").as("forecast_skillful"))
     mk.join(ph, Seq("source")).join(cs, Seq("source"))
@@ -2961,8 +2985,8 @@ object LoadOps {
     * order-dependent fold per source over its run-count-sized history
     * (the D33 flatMapGroups convention). */
   def holtForecast(spark: SparkSession, dir: String,
-      alphaPpm: Long = 300000L, betaPpm: Long = 100000L,
-      hCents: Long = 500L, warmup: Int = 8): DataFrame = {
+      alphaPpm: Long = HoltAlphaPpm, betaPpm: Long = HoltBetaPpm,
+      hCents: Long = HoltHCents, warmup: Int = HoltWarmup): DataFrame = {
     val daily = dailyMd(spark, dir)
     holtOver(daily, alphaPpm, betaPpm, hCents, warmup)
   }
@@ -3019,7 +3043,7 @@ object LoadOps {
     * |source|·7 rows broadcast back into the join — nothing data-sized
     * crosses a second shuffle, no windows. */
   def seasonal(spark: SparkSession, dir: String,
-      trainDays: Long = 21L, hCents: Long = 150L): DataFrame = {
+      trainDays: Long = SeasonalTrainDays, hCents: Long = SeasonalHCents): DataFrame = {
     val daily = dailyMd(spark, dir)
     seasonalOf(daily, trainDays, hCents)
   }

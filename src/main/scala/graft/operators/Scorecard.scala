@@ -189,7 +189,7 @@ object Scorecard {
     // is why checkpointing alone changed nothing at r14's 11.8 s; with
     // per-gate JOBS the explicit materialization is what prevents the
     // recompute.)
-    val Seq(daily, posCells, psiCells) = parMaterialize(Seq(
+    val Seq(daily, posCells, psiCells) = parMaterialize(spark, Seq(
       () => LoadOps.dailyMd(spark, dir),
       () => ev.select(col("event_type").as("source"),
           expr("cast(round(value * 100) as long)").as("cents"),
@@ -202,7 +202,7 @@ object Scorecard {
           expr("cast(round(value * 100) as long)").as("cents"))
         .groupBy(col("source"), col("day"), col("cents"))
         .agg(count(lit(1)).cast("long").as("cnt"))))
-    val holtTraj = LoadOps.holtOver(daily, 300000L, 100000L, 500L, 8)
+    val holtTraj = LoadOps.holtOver(daily, LoadOps.HoltAlphaPpm, LoadOps.HoltBetaPpm, LoadOps.HoltHCents, LoadOps.HoltWarmup)
       .localCheckpoint(true)
 
     // G2 exact dedup rollup: distinct (user, type) pairs
@@ -288,8 +288,8 @@ object Scorecard {
     Seq(
       "stream_window_agg" -> (() => Relational.qTimeBucket(spark, dir)),
       "stream_markov" -> (() => Relational.qMarkovTransitions(spark, dir)),
-      "stream_cusum" -> (() => LoadOps.cusumOver(daily, 500L, 3000L)),
-      "stream_page_hinkley" -> (() => LoadOps.pageHinkleyOver(daily, 100L, 2000L)),
+      "stream_cusum" -> (() => LoadOps.cusumOver(daily, LoadOps.CusumKCents, LoadOps.CusumHCents)),
+      "stream_page_hinkley" -> (() => LoadOps.pageHinkleyOver(daily, LoadOps.PhDeltaCents, LoadOps.PhLambdaCents)),
       "stream_psi" -> (() => LoadOps.psiCells(psiCells)),
       "stream_auc" -> (() => Relational.aucCells(posCells)),
       "stream_mann_kendall" -> (() => LoadOps.mannKendallOf(daily)),
@@ -300,8 +300,8 @@ object Scorecard {
       "stream_heavy_hitters" -> (() => Relational.qHeavyHitters(spark, dir)),
       "stream_benford" -> (() => LoadOps.benford(spark, dir)),
       "stream_holt" -> (() => holtTraj),
-      "stream_seasonal" -> (() => LoadOps.seasonalOf(daily, 21L, 150L)),
-      "stream_hampel" -> (() => LoadOps.hampelOver(daily, 7, 5)),
+      "stream_seasonal" -> (() => LoadOps.seasonalOf(daily, LoadOps.SeasonalTrainDays, LoadOps.SeasonalHCents)),
+      "stream_hampel" -> (() => LoadOps.hampelOver(daily, LoadOps.HampelWindow, LoadOps.HampelMinWin)),
       "stream_top_paths" -> (() => Relational.qTopPaths(spark, dir)),
       "stream_winsorized" -> (() => Relational.qWinsorized(spark, dir)),
       "stream_changelog" -> (() => LoadOps.changelogApply(spark, dir)),
@@ -312,7 +312,7 @@ object Scorecard {
       "stream_decay" -> (() => LoadOps.decayAvg(spark, dir)),
       "stream_join" -> (() => Relational.qIntervalJoin(spark, dir)),
       "stream_chi2" -> (() => LoadOps.chi2Drift(spark, dir)),
-      "stream_changepoint" -> (() => LoadOps.changepointOver(daily, 3.0)),
+      "stream_changepoint" -> (() => LoadOps.changepointOver(daily, LoadOps.ChangepointBar)),
       "stream_cms" -> (() => Relational.qCmsSketch(spark, dir)),
       "stream_hll" -> (() => Relational.qHllSketch(spark, dir)),
       "stream_quantile" -> (() => Relational.qQuantileSketch(spark, dir)),
@@ -330,23 +330,44 @@ object Scorecard {
   /** Run independent Spark work concurrently on one session (the
     * documented multi-job pattern); used for the shared-collapse
     * materialization, the per-gate frame thunks, and the per-gate digest
-    * collects. */
-  private def parRun[A](thunks: Seq[() => A]): Seq[A] = {
+    * collects.
+    *
+    * Failure containment (r16): every thunk's jobs are tagged with one
+    * scoreboard-scoped job group (setJobGroup is thread-local, so the
+    * tag is applied inside each pool thread, with interruptOnCancel).
+    * If any thunk throws, the whole group is cancelled and the pool is
+    * shut down with interruption BEFORE the failure propagates — a
+    * failing gate no longer leaves up to 7 sibling digest jobs running
+    * to completion on the shared session after streamScorecard has
+    * already thrown. */
+  private def parRun[A](spark: SparkSession)(thunks: Seq[() => A]): Seq[A] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.DurationInt
+    val sc = spark.sparkContext
+    val group = s"graft-scorecard-${java.util.UUID.randomUUID()}"
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-    try Await.result(Future.sequence(thunks.map(t => Future(t()))), 30.minutes)
-    finally pool.shutdown()
+    val work = Future.sequence(thunks.map(t => Future {
+      sc.setJobGroup(group, "graft stream scorecard", interruptOnCancel = true)
+      try t() finally sc.clearJobGroup()
+    }))
+    try Await.result(work, 30.minutes)
+    catch {
+      case e: Throwable =>
+        try sc.cancelJobGroup(group) catch { case _: Throwable => () }
+        pool.shutdownNow()
+        throw e
+    } finally pool.shutdown()
   }
 
-  private def parMaterialize(mk: Seq[() => DataFrame]): Seq[DataFrame] =
-    parRun(mk.map(m => () => m().localCheckpoint(true)))
+  private def parMaterialize(spark: SparkSession,
+      mk: Seq[() => DataFrame]): Seq[DataFrame] =
+    parRun(spark)(mk.map(m => () => m().localCheckpoint(true)))
 
   private def buildFrames(spark: SparkSession,
       dir: String): Seq[(String, DataFrame)] = {
     val fs = frames(spark, dir)
-    fs.map(_._1).zip(parRun(fs.map(_._2)))
+    fs.map(_._1).zip(parRun(spark)(fs.map(_._2)))
   }
 
   def streamScorecard(spark: SparkSession, dir: String): DataFrame = {
@@ -359,7 +380,7 @@ object Scorecard {
     // read the parMaterialize'd cells, so no corpus collapse repeats
     // across jobs). The driver holds one 4-field row per gate —
     // constant-size, a declared driver-sized convention point.
-    val rows = parRun(fs.map { case (g, df) => () =>
+    val rows = parRun(spark)(fs.map { case (g, df) => () =>
       val r = digestOf(g, df, specs(g)).collect()(0)
       (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
     })

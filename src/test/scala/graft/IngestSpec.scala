@@ -987,7 +987,13 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     got.foreach { case (src, r) =>
       assert(r.getLong(1) == mk(src)._1 && r.getInt(2) == mk(src)._2 &&
         r.getInt(3) == mk(src)._3, s"$src: MK cells diverged")
-      assert(r.getInt(4) == smk(src)._1 && r.getInt(5) == smk(src)._2,
+      // the seasonal-MK and forecast members ride LEFT joins: a source
+      // with no same-season pair / no scored forecast legitimately
+      // carries NULL cells, which must read as Options, not NPE
+      val gotSmkT = if (r.isNullAt(4)) None else Some(r.getInt(4))
+      val gotSmkS = if (r.isNullAt(5)) None else Some(r.getInt(5))
+      assert(gotSmkT == smk.get(src).map(_._1) &&
+        gotSmkS == smk.get(src).map(_._2),
         s"$src: seasonal-MK cells diverged")
       assert(r.getLong(6) == ph(src) && r.getLong(7) == cs(src) &&
         r.getLong(8) == hp(src), s"$src: pager counts diverged")
@@ -995,9 +1001,11 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
         s"$src: PSI cells diverged")
       val gotMase = if (r.isNullAt(11)) None else Some(r.getLong(11))
       val gotSkill = if (r.isNullAt(12)) None else Some(r.getInt(12))
-      assert(gotMase == fe(src)._1 && gotSkill == fe(src)._2,
+      assert(gotMase == fe.get(src).flatMap(_._1) &&
+        gotSkill == fe.get(src).flatMap(_._2),
         s"$src: forecast-eval cells diverged")
-      val want = if (mk(src)._3 == 1 || smk(src)._2 == 1 ||
+      val want = if (mk(src)._3 == 1 ||
+        smk.get(src).map(_._2).getOrElse(0) == 1 ||
         ps(src)._2 == 1 || ph(src) > 0L || cs(src) > 0L) 1 else 0
       assert(r.getInt(13) == want, s"$src: headline bit wrong")
     }

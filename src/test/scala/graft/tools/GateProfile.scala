@@ -1,11 +1,17 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
-// dev-only profiling main: time each scoreboard gate digest serially
+/** Dev-only profiling main: time each scoreboard gate digest serially.
+  * Lives in the TEST sourceset (r16) so it never ships in the published
+  * jar, and reads master/partitions from the same env vars Bench uses
+  * instead of hardcoding local[32] — run with
+  * `sbt -batch "Test/runMain graft.tools.GateProfile"`. */
 object GateProfile {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
