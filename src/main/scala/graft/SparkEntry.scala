@@ -66,6 +66,7 @@ object SparkEntry {
     "geo_envelope_check"     -> Geo.envelopeCheck _,
     "geo_count_sanity"       -> Geo.countSanity _,
     "geo_sr_infer"           -> Geo.srInfer _,
+    "geo_sr_declared"        -> Geo.srDeclared _,
     "geo_polygon_clip"       -> Geo.polygonClip _,
     "geo_wkt_roundtrip"      -> Geo.wktRoundtrip _,
     "geo_measures"           -> Geo.geomMeasures _,
@@ -1549,6 +1550,45 @@ object SparkEntry {
         |  WHEN cx >= 200000 AND cx <= 900000 AND cy >= 6100000 AND cy <= 7700000 THEN 3006
         |  ELSE 0 END AS inferred_sr, count(*) AS n
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // C16: declared-CRS parse replayed on the SAME name strings with SQL
+    // string ops (text after the first 'EPSG:', space-split, TRY_CAST =
+    // the reference's try/except int), reconciled against the C6
+    // magnitude inference on the same planted coordinate regimes
+    "geo_sr_declared" ->
+      """WITH d AS (SELECT o_orderkey AS doc_id,
+        |    CAST(o_orderkey % 24 AS INT) AS source FROM orders),
+        |v AS (SELECT doc_id, source, source % 6 AS variant,
+        |    source % 3 AS regime FROM d),
+        |nm AS (SELECT *, CASE variant
+        |    WHEN 0 THEN 'EPSG:3006' WHEN 1 THEN 'EPSG:4326'
+        |    WHEN 2 THEN 'urn:ogc:def:crs:EPSG::3006'
+        |    WHEN 4 THEN 'crs84'
+        |    WHEN 5 THEN 'EPSG:3006 (SWEREF99 TM)' END AS crs_name FROM v),
+        |dec AS (SELECT *, CASE
+        |    WHEN variant = 3 THEN 4326
+        |    WHEN strpos(crs_name, 'EPSG:') > 0 THEN COALESCE(TRY_CAST(
+        |      split_part(substr(crs_name, strpos(crs_name, 'EPSG:') + 5), ' ', 1) AS INT), 0)
+        |    WHEN upper(crs_name) = 'CRS84' THEN 4326
+        |    ELSE 0 END AS declared_sr FROM nm),
+        |co AS (SELECT *,
+        |    CASE regime WHEN 0 THEN (doc_id * 31) % 360 - 180
+        |      WHEN 1 THEN 250000 + (doc_id * 7919) % 600001
+        |      ELSE 2000000 + (doc_id * 7919) % 1000000 END AS cx,
+        |    CASE regime WHEN 0 THEN (doc_id * 37) % 180 - 90
+        |      WHEN 1 THEN 6200000 + (doc_id * 104729) % 1400001
+        |      ELSE 1000000 + (doc_id * 104729) % 1000000 END AS cy FROM dec),
+        |inf AS (SELECT *, CASE
+        |    WHEN cx >= -180 AND cx <= 180 AND cy >= -90 AND cy <= 90 THEN 4326
+        |    WHEN cx >= 200000 AND cx <= 900000 AND cy >= 6100000 AND cy <= 7700000 THEN 3006
+        |    ELSE 0 END AS inferred_sr FROM co)
+        |SELECT source, declared_sr, inferred_sr,
+        |  CASE WHEN inferred_sr = 0 THEN 'uninferable'
+        |    WHEN declared_sr = 0 THEN 'undeclared'
+        |    WHEN declared_sr <> inferred_sr THEN 'mismatch'
+        |    ELSE 'consistent' END AS sr_class,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS doc_checksum
+        |FROM inf GROUP BY 1, 2, 3, 4 ORDER BY source""".stripMargin,
 
     "geo_polygon_clip" -> {
       val edges = {

@@ -650,4 +650,102 @@ object Geo {
         coalesce(col("cluster"), col("b_cluster")).as("cluster"))
       .orderBy(col("id"))
   }
+
+  /** C16 `geo_sr_declared`: DECLARED-CRS detection + reconciliation —
+    * the last reference micro-gap (sr_utils.py:144-198
+    * detect_sr_from_geojson / _check_sr_consistency): each source ships
+    * a legacy-GeoJSON FeatureCollection whose `crs.properties.name`
+    * member (pre-RFC 7946) may declare the SR. The reference's parse
+    * order, replayed exactly:
+    *   - no `crs` member → 4326 (the GeoJSON default);
+    *   - name contains 'EPSG:' → int(text after the FIRST 'EPSG:',
+    *     whitespace-split, first token); a parse failure (the
+    *     urn:ogc:def:crs:EPSG::n form's ':n' tail) returns UNDECLARED
+    *     (0) — it does NOT fall through to the CRS84 check;
+    *   - name == 'CRS84' case-insensitively → 4326;
+    *   - anything else → undeclared (0).
+    * The declared code then reconciles against the C6
+    * coordinate-magnitude inference per source document
+    * (_check_sr_consistency's order: uninferable coordinates first,
+    * then undeclared, then declared≠inferred = mismatch, else
+    * consistent).
+    *
+    * The planted corpus drives every class: 24 sources cross 6 crs-name
+    * variants with 3 coordinate regimes (degrees / SWEREF99 TM meters /
+    * out-of-range), so consistent, mismatch, undeclared and uninferable
+    * all appear, including the whitespace-split and urn parse-failure
+    * paths.
+    *
+    * Scale shape: the parse is per-row codegen'd JSON-path extraction +
+    * string ops (no UDF, no shuffle); the report is ONE hash agg to
+    * |sources| rows. At 100 TB the docs column prunes to the header
+    * fields the JSON paths touch. */
+  def srDeclared(spark: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey")
+    val source = (k % 24).cast("int")
+    val variant = source % 6
+    val regime = source % 3
+    val xi = when(regime === 0, (k * 31L) % 360L - 180L)
+      .when(regime === 1, lit(250000L) + (k * 7919L) % 600001L)
+      .otherwise(lit(2000000L) + (k * 7919L) % 1000000L)
+    val yi = when(regime === 0, (k * 37L) % 180L - 90L)
+      .when(regime === 1, lit(6200000L) + (k * 104729L) % 1400001L)
+      .otherwise(lit(1000000L) + (k * 104729L) % 1000000L)
+    val crsName = when(variant === 0, "EPSG:3006")
+      .when(variant === 1, "EPSG:4326")
+      .when(variant === 2, "urn:ogc:def:crs:EPSG::3006")
+      .when(variant === 4, "crs84")
+      .when(variant === 5, "EPSG:3006 (SWEREF99 TM)")
+    val crsFragment = when(variant === 3, lit(""))
+      .otherwise(concat(lit("\"crs\":{\"type\":\"name\",\"properties\":{\"name\":\""),
+        crsName, lit("\"}},")))
+    val docs = Tables(spark, dir).orders
+      .select(k.as("doc_id"), source.as("source"),
+        concat(lit("{\"type\":\"FeatureCollection\","), crsFragment,
+          lit("\"features\":[{\"type\":\"Feature\",\"geometry\":" +
+            "{\"type\":\"Point\",\"coordinates\":["),
+          xi.cast("string"), lit(","), yi.cast("string"),
+          lit("]}}]}")).as("doc"))
+    srDeclaredOf(docs)
+  }
+
+  /** The parse + reconcile stage over any (doc_id, source, doc) frame —
+    * split out so the spec can plant handwritten GeoJSON covering each
+    * branch of the reference's parser. */
+  def srDeclaredOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("crs_name",
+        get_json_object(col("doc"), "$.crs.properties.name"))
+      .withColumn("has_crs",
+        get_json_object(col("doc"), "$.crs").isNotNull)
+      // int(name.split('EPSG:')[1].split()[0]): text after the first
+      // 'EPSG:', whitespace-split, first token; try_cast = the
+      // reference's try/except int()
+      .withColumn("epsg_code", expr(
+        "try_cast(try_element_at(split(try_element_at(" +
+          "split(crs_name, 'EPSG:'), 2), '\\\\s+'), 1) as int)"))
+      .withColumn("declared_sr",
+        when(!col("has_crs"), lit(4326))
+          .when(instr(col("crs_name"), "EPSG:") > 0,
+            coalesce(col("epsg_code"), lit(0)))
+          .when(upper(col("crs_name")) === "CRS84", lit(4326))
+          .otherwise(lit(0)))
+      .withColumn("cx", expr("try_cast(get_json_object(doc, " +
+        "'$.features[0].geometry.coordinates[0]') as double)"))
+      .withColumn("cy", expr("try_cast(get_json_object(doc, " +
+        "'$.features[0].geometry.coordinates[1]') as double)"))
+      .withColumn("inferred_sr",
+        when(inBox(col("cx"), col("cy"), -180, -90, 180, 90), 4326)
+          .when(inBox(col("cx"), col("cy"), 200000, 6100000, 900000, 7700000), 3006)
+          .otherwise(0))
+      .withColumn("sr_class",
+        when(col("inferred_sr") === 0, "uninferable")
+          .when(col("declared_sr") === 0, "undeclared")
+          .when(col("declared_sr") =!= col("inferred_sr"), "mismatch")
+          .otherwise("consistent"))
+      .groupBy(col("source"), col("declared_sr"), col("inferred_sr"),
+        col("sr_class"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("doc_checksum"))
+      .orderBy(col("source"))
 }

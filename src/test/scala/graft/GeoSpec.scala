@@ -291,4 +291,44 @@ class GeoSpec extends AnyFunSuite with SparkTestBase {
     assert(chain.flatMap(_._3).distinct == Seq(101L), "chain fragmented") // 101 = min CORE id (ends are borders)
     assert(got.find(_._1 == 99L).exists(t => t._2 == "noise" && t._3.isEmpty))
   }
+
+  test("declared-CRS parse: every reference branch and reconcile class on handwritten GeoJSON") {
+    import spark.implicits._
+    def fc(crs: String, x: Long, y: Long): String = {
+      val c = if (crs.isEmpty) ""
+        else s"""\"crs\":{\"type\":\"name\",\"properties\":$crs},"""
+      s"""{\"type\":\"FeatureCollection\",$c\"features\":[{\"type\":\"Feature\",\"geometry\":{\"type\":\"Point\",\"coordinates\":[$x,$y]}}]}"""
+    }
+    def nm(n: String) = s"""{\"name\":\"$n\"}"""
+    val sweref = (500000L, 6500000L)   // inside the SWEREF99 TM box
+    val deg = (15L, 60L)               // inside the degrees box
+    val out = (5000000L, 5000000L)     // inside neither
+    val docs = Seq(
+      // (doc_id, source, doc) — one source per case
+      (1L, 0, fc(nm("EPSG:3006"), sweref._1, sweref._2)),          // consistent
+      (2L, 1, fc(nm("EPSG:4326"), sweref._1, sweref._2)),          // mismatch
+      (3L, 2, fc(nm("urn:ogc:def:crs:EPSG::3006"), sweref._1, sweref._2)), // parse fail -> undeclared
+      (4L, 3, fc("", deg._1, deg._2)),                             // absent crs -> 4326 default
+      (5L, 4, fc(nm("CRS84"), deg._1, deg._2)),                    // CRS84 upper
+      (6L, 5, fc(nm("crs84"), deg._1, deg._2)),                    // CRS84 lower (upper() path)
+      (7L, 6, fc(nm("EPSG:3006 (SWEREF99 TM)"), sweref._1, sweref._2)), // whitespace-split path
+      (8L, 7, fc("{}", deg._1, deg._2)),                           // crs without name -> undeclared
+      (9L, 8, fc(nm("EPSG:"), deg._1, deg._2)),                    // empty tail -> undeclared
+      (10L, 9, fc(nm("WGS84"), deg._1, deg._2)),                   // unknown form -> undeclared
+      (11L, 10, fc(nm("EPSG:3006"), out._1, out._2))               // uninferable coords win
+    ).toDF("doc_id", "source", "doc")
+    val got = graft.operators.Geo.srDeclaredOf(docs).collect()
+      .map(r => r.getInt(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(got(0) == ((3006, 3006, "consistent")))
+    assert(got(1) == ((4326, 3006, "mismatch")))
+    assert(got(2) == ((0, 3006, "undeclared")), "urn EPSG:: tail must fail int(), not fall through")
+    assert(got(3) == ((4326, 4326, "consistent")), "absent crs defaults to WGS84")
+    assert(got(4) == ((4326, 4326, "consistent")))
+    assert(got(5) == ((4326, 4326, "consistent")), "CRS84 match is case-insensitive")
+    assert(got(6) == ((3006, 3006, "consistent")), "code is the first whitespace token after EPSG:")
+    assert(got(7) == ((0, 4326, "undeclared")), "crs without a name is undeclared")
+    assert(got(8) == ((0, 4326, "undeclared")))
+    assert(got(9) == ((0, 4326, "undeclared")))
+    assert(got(10) == ((3006, 0, "uninferable")), "uninferable coordinates outrank the declared code")
+  }
 }
