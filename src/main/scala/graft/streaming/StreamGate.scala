@@ -39,6 +39,35 @@ object StreamGate {
     dir
   }
 
+  /** Run one gate's streaming section with `spark.sql.shuffle.partitions`
+    * — which fixes the query's STATE-STORE count at start — sized to the
+    * INPUT VOLUME instead of the session's core count (r16, from the r15
+    * core curve: stream_outer_join ran 2.8 s at 8 partitions vs 8.1 s at
+    * 32 on identical data, because every micro-batch pays a per-partition
+    * state-store open/commit/publish protocol regardless of how little
+    * state lives there). Policy: one partition per 16 MiB of staged
+    * input, capped at the session's parallelism — tiny gate corpora get
+    * 1 store per trigger, a 100× corpus grows stores linearly, and a
+    * real cluster saturates its cores. Values are unchanged by partition
+    * count (every gate's fold is key-local and its oracle hash-exact);
+    * the session conf is restored on exit even if the gate throws. The
+    * conf must stay applied through `awaitTermination` because the
+    * stream's session clone happens on the query thread, not inside
+    * `start()`. */
+  private def sizedToInput[T](spark: SparkSession, base: String)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = try fs.getContentSummary(p).getLength catch { case _: Throwable => 0L }
+    val per = 16L << 20
+    val floor = sys.env.getOrElse("SPARK_GRAFT_STREAM_MIN_PARTS", "8").toLong
+    val target = math.max(floor, math.min(
+      spark.sparkContext.defaultParallelism.toLong, (bytes + per - 1) / per))
+    spark.conf.set(key, target.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** G1 gate: watermarked tumbling-window aggregation run availableNow in
     * complete mode to a memory sink — the final table equals E13's batch
     * bucketing (same epoch-aligned 1-hour windows), oracled by the same
@@ -52,12 +81,14 @@ object StreamGate {
       .schema(StructType(Seq(StructField("ts", TimestampType),
         StructField("event_type", StringType), StructField("value", DoubleType))))
       .parquet(s"$base/in")
+    sizedToInput(spark, base) {
     val q = EventStreams.windowedCounts(src)
       .writeStream.outputMode("complete")
       .format("memory").queryName("graft_stream_window_agg")
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    }
     spark.table("graft_stream_window_agg")
       .select(col("bucket_start").cast("long").as("bucket_start"),
         col("event_type"), col("n"), col("sum_value"))
@@ -83,12 +114,14 @@ object StreamGate {
         StructField("user_id", LongType), StructField("event_type", StringType))))
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$base/in")
+    sizedToInput(spark, base) {
     val q = EventStreams.dedupStream(src, Seq("user_id", "event_type"), "3650 days")
       .writeStream.outputMode("append")
       .format("memory").queryName("graft_stream_dedup")
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    }
     spark.table("graft_stream_dedup")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_users"),
@@ -110,12 +143,14 @@ object StreamGate {
       .schema(StructType(Seq(StructField("user_id", LongType),
         StructField("sec", LongType), StructField("value", DoubleType))))
       .parquet(s"$base/in")
+    sizedToInput(spark, base) {
     val q = EventStreams.sessionizeStream(src.as[SessionEvent])
       .writeStream.outputMode("append")
       .format("memory").queryName("graft_stream_sessionize")
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    }
     spark.table("graft_stream_sessionize")
       .select(col("user_id"), col("n_events"), col("start_sec"), col("end_sec"),
         round(col("session_value"), 2).as("session_value"))
@@ -135,8 +170,10 @@ object StreamGate {
       .schema(StructType(Seq(StructField("doc_id", LongType),
         StructField("text", StringType))))
       .parquet(s"$base/in")
+    sizedToInput(spark, base) {
     val q = EventStreams.paragraphDedupStream(src, s"$base/state")
     q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
     spark.read.parquet(s"$base/state/report").orderBy(col("doc_id"))
   }
 
@@ -154,8 +191,10 @@ object StreamGate {
         StructField("sec", LongType), StructField("event_id", LongType),
         StructField("event_type", StringType))))
       .parquet(s"$base/in")
+    sizedToInput(spark, base) {
     val q = EventStreams.markovStream(src, s"$base/state")
     q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
     spark.read.parquet(s"$base/state/report")
       .orderBy(col("state"), col("next_state"))
   }
@@ -175,8 +214,10 @@ object StreamGate {
         StructField("event_id", LongType), StructField("sec", LongType),
         StructField("event_type", StringType))))
       .parquet(s"$base/in")
+    sizedToInput(spark, base) {
     val q = EventStreams.topPathsStream(src, s"$base/state")
     q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
     spark.read.parquet(s"$base/state/report").orderBy(col("rank"))
   }
 
@@ -193,9 +234,11 @@ object StreamGate {
       .schema(StructType(Seq(StructField("a", StringType),
         StructField("b", StringType))))
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    sizedToInput(spark, base) {
     val q = EventStreams.cramersStream(src, s"$base/state",
       "l_returnflag", "l_linestatus")
     q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
     spark.read.parquet(s"$base/state/report")
   }
 
@@ -212,8 +255,10 @@ object StreamGate {
       .schema(StructType(Seq(StructField("flag", StringType),
         StructField("v", LongType))))
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    sizedToInput(spark, base) {
     val q = EventStreams.winsorizedStream(src, s"$base/state")
     q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
     spark.read.parquet(s"$base/state/report").orderBy(col("l_returnflag"))
   }
 
@@ -229,12 +274,14 @@ object StreamGate {
     li.repartition(4).write.parquet(s"$base/in")
     val src = spark.readStream.schema(li.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    sizedToInput(spark, base) {
     val q = EventStreams.constraintMonitorStream(src)
       .writeStream.outputMode("complete")
       .format("memory").queryName("graft_stream_constraints")
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    }
     spark.table("graft_stream_constraints").orderBy(col("constraint_name"))
   }
 
@@ -250,8 +297,10 @@ object StreamGate {
     val src = spark.readStream
       .schema(StructType(Seq(StructField("user_id", LongType))))
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    sizedToInput(spark, base) {
     val q = EventStreams.heavyHittersStream(src, s"$base/state")
     q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
     spark.read.parquet(s"$base/state/report").orderBy(col("user_id"))
   }
 
@@ -269,8 +318,10 @@ object StreamGate {
       .schema(StructType(Seq(StructField("source", StringType),
         StructField("cents", LongType))))
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    sizedToInput(spark, base) {
     val q = EventStreams.benfordStream(src, s"$base/state")
     q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
     spark.read.parquet(s"$base/state/report")
       .orderBy(col("source"), col("digit"))
   }
@@ -292,8 +343,10 @@ object StreamGate {
       .schema(StructType(Seq(StructField("source", StringType),
         StructField("day", LongType), StructField("cents", LongType))))
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    sizedToInput(spark, base) {
     val q = EventStreams.holtStream(src, s"$base/state")
     q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
     spark.read.parquet(s"$base/state/report")
       .orderBy(col("source"), col("day"))
   }
@@ -312,8 +365,10 @@ object StreamGate {
       .schema(StructType(Seq(StructField("source", StringType),
         StructField("day", LongType), StructField("cents", LongType))))
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    sizedToInput(spark, base) {
     val q = EventStreams.seasonalStream(src, s"$base/state")
     q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
     spark.read.parquet(s"$base/state/report")
       .orderBy(col("source"), col("day"))
   }
@@ -332,8 +387,10 @@ object StreamGate {
       .schema(StructType(Seq(StructField("source", StringType),
         StructField("day", LongType), StructField("cents", LongType))))
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    sizedToInput(spark, base) {
     val q = EventStreams.hampelStream(src, s"$base/state")
     q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
     spark.read.parquet(s"$base/state/report")
       .orderBy(col("source"), col("day"))
   }
@@ -354,8 +411,10 @@ object StreamGate {
         StructField("value", DoubleType))))
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
     import spark.implicits._
+    sizedToInput(spark, base) {
     val q = EventStreams.changelogStream(src.as[ChangeEvent], s"$base/state")
     q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
     spark.read.parquet(s"$base/state")
       .groupBy(col("op").as("final_op"))
       .agg(count(lit(1)).as("n_keys"),
@@ -384,6 +443,7 @@ object StreamGate {
         StructField("failed", IntegerType))))
       .parquet(s"$base/in")
     import spark.implicits._
+    sizedToInput(spark, base) {
     val q = EventStreams
       .circuitBreakerStream(src.as[Attempt], threshold = 5, cooldownSec = 14400L)
       .toDF()
@@ -392,6 +452,7 @@ object StreamGate {
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    }
     spark.table("graft_stream_breaker")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_attempts"),
@@ -418,8 +479,10 @@ object StreamGate {
       .schema(StructType(Seq(StructField("doc_id", LongType),
         StructField("text", StringType))))
       .parquet(s"$base/in")
+    sizedToInput(spark, base) {
     val q = EventStreams.noveltyStream(src, s"$base/state")
     q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
     spark.read.parquet(s"$base/state/report").orderBy(col("doc_id"))
   }
 
@@ -440,12 +503,14 @@ object StreamGate {
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
     val dim = Tables(spark, dir).nation
       .select(col("n_nationkey").cast("long").as("source_key"), col("n_name"))
+    sizedToInput(spark, base) {
     val q = EventStreams.enrichStream(src, dim, "source_key")
       .writeStream.outputMode("append")
       .format("memory").queryName("graft_stream_enrich")
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    }
     spark.table("graft_stream_enrich")
       .groupBy(col("n_name"))
       .agg(count(lit(1)).as("n_events"),
@@ -467,8 +532,10 @@ object StreamGate {
         StructField("day", LongType), StructField("md", LongType))))
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$base/in")
+    sizedToInput(spark, base) {
     val q = EventStreams.cusumStream(src, s"$base/state")
     q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
     spark.read.parquet(s"$base/state/report")
       .orderBy(col("source"), col("day"))
   }
@@ -489,8 +556,10 @@ object StreamGate {
         StructField("day", LongType), StructField("md", LongType))))
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$base/in")
+    sizedToInput(spark, base) {
     val q = EventStreams.pageHinkleyStream(src, s"$base/state")
     q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
     spark.read.parquet(s"$base/state/report")
       .orderBy(col("source"), col("day"))
   }
@@ -512,8 +581,10 @@ object StreamGate {
         StructField("day", LongType), StructField("cents", LongType))))
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$base/in")
+    sizedToInput(spark, base) {
     val q = EventStreams.psiStream(src, s"$base/state")
     q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
     spark.read.parquet(s"$base/state/report").orderBy(col("source"))
   }
 
@@ -533,8 +604,10 @@ object StreamGate {
         StructField("cents", LongType), StructField("pos", LongType))))
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$base/in")
+    sizedToInput(spark, base) {
     val q = EventStreams.aucStream(src, s"$base/state")
     q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
     spark.read.parquet(s"$base/state/report").orderBy(col("source"))
   }
 
@@ -555,8 +628,10 @@ object StreamGate {
         StructField("day", LongType), StructField("cents", LongType))))
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$base/in")
+    sizedToInput(spark, base) {
     val q = EventStreams.mannKendallStream(src, s"$base/state")
     q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
     spark.read.parquet(s"$base/state/report").orderBy(col("source"))
   }
 
@@ -576,8 +651,10 @@ object StreamGate {
         StructField("day", LongType), StructField("cents", LongType))))
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$base/in")
+    sizedToInput(spark, base) {
     val q = EventStreams.forecastEvalStream(src, s"$base/state")
     q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
     spark.read.parquet(s"$base/state/report").orderBy(col("source"))
   }
 
@@ -597,8 +674,10 @@ object StreamGate {
         StructField("cents", LongType), StructField("pos", LongType))))
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$base/in")
+    sizedToInput(spark, base) {
     val q = EventStreams.calibrationStream(src, s"$base/state")
     q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
     spark.read.parquet(s"$base/state/report")
       .orderBy(col("source"), col("bin"))
   }
@@ -617,8 +696,10 @@ object StreamGate {
         StructField("user_id", LongType))))
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$base/in")
+    sizedToInput(spark, base) {
     val q = EventStreams.srmStream(src, s"$base/state")
     q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
     spark.read.parquet(s"$base/state/report").orderBy(col("event_type"))
   }
 
@@ -638,8 +719,10 @@ object StreamGate {
         StructField("user_id", LongType), StructField("value", DoubleType))))
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$base/in")
+    sizedToInput(spark, base) {
     val q = EventStreams.abTtestStream(src, s"$base/state")
     q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
     spark.read.parquet(s"$base/state/report").orderBy(col("event_type"))
   }
 
@@ -658,8 +741,10 @@ object StreamGate {
         StructField("v", ArrayType(DoubleType)))))
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$base/in")
+    sizedToInput(spark, base) {
     val q = EventStreams.embeddingDriftStream(src, s"$base/state")
     q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
     spark.read.parquet(s"$base/state/report").orderBy(col("label"))
   }
 
@@ -678,8 +763,10 @@ object StreamGate {
         StructField("sec", LongType), StructField("value", DoubleType))))
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$base/in")
+    sizedToInput(spark, base) {
     val q = EventStreams.decayLedgerStream(src, s"$base/state")
     q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
     spark.read.parquet(s"$base/state/report")
       .orderBy(col("source"), col("day"))
   }
@@ -707,8 +794,10 @@ object StreamGate {
         StructField("sec", LongType))))
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$base/in")
+    sizedToInput(spark, base) {
     val q = EventStreams.chi2LedgerStream(src, s"$base/state", baseline)
     q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
     spark.read.parquet(s"$base/state/report").orderBy(col("event_type"))
   }
 
@@ -727,8 +816,10 @@ object StreamGate {
         StructField("sec", LongType), StructField("value", DoubleType))))
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$base/in")
+    sizedToInput(spark, base) {
     val q = EventStreams.changepointLedgerStream(src, s"$base/state")
     q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
     spark.read.parquet(s"$base/state/report").orderBy(col("source"))
   }
 
@@ -774,10 +865,12 @@ object StreamGate {
         greatest(col("s1"), col("s2")).as("ov_start"),
         least(col("e1"), col("e2")).as("ov_end"))
       .withColumn("ov_sec", col("ov_end") - col("ov_start"))
+    sizedToInput(spark, base) {
     val q = joined.writeStream.outputMode("append").format("parquet")
       .option("path", s"$base/out")
       .option("checkpointLocation", s"$base/ckpt").start()
     q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
     spark.read.parquet(s"$base/out")
       .orderBy(col("inc_id"), col("pur_id"))
   }
@@ -806,12 +899,14 @@ object StreamGate {
       .schema(StructType(Seq(StructField("ts", TimestampType),
         StructField("source", StringType))))
       .parquet(s"$base/in")
+    sizedToInput(spark, base) {
     val q = EventStreams.stalenessStream(src.as[SourceEvent], 600L).toDF()
       .writeStream.outputMode("append")
       .format("memory").queryName("graft_stream_staleness")
       .option("checkpointLocation", s"$base/ckpt")
       .start()
     q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
     spark.table("graft_stream_staleness")
       .select(col("source"), col("last_seen_sec"))
       .orderBy(col("source"))
@@ -861,10 +956,12 @@ object StreamGate {
         "s2_ts >= s1_ts - interval 300 seconds AND " +
         "s2_ts <= s1_ts + interval 300 seconds"), "leftOuter")
       .select(col("inc_id"), col("pur_id"))
+    sizedToInput(spark, base) {
     val q = joined.writeStream.outputMode("append").format("parquet")
       .option("path", s"$base/out")
       .option("checkpointLocation", s"$base/ckpt").start()
     q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
     spark.read.parquet(s"$base/out")
       .filter(col("inc_id") >= 0L)
       .groupBy(col("inc_id"))
@@ -891,6 +988,7 @@ object StreamGate {
       .schema(StructType(Seq(StructField("source", StringType),
         StructField("user_id", LongType))))
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    sizedToInput(spark, base) {
     val q = src.groupBy(col("source"))
       .agg(CmsAggregate.cmsSketch(spark, col("user_id")).as("sketch"))
       .writeStream.outputMode("complete")
@@ -898,6 +996,7 @@ object StreamGate {
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    }
     graft.operators.Relational.cmsProbeFrame(spark.table("graft_stream_cms"))
   }
 
@@ -919,6 +1018,7 @@ object StreamGate {
       .schema(StructType(Seq(StructField("source", StringType),
         StructField("user_id", LongType))))
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    sizedToInput(spark, base) {
     val q = src.groupBy(col("source"))
       .agg(HllAggregate.hllSketch(spark, col("user_id")).as("est_distinct_users"))
       .writeStream.outputMode("complete")
@@ -926,6 +1026,7 @@ object StreamGate {
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    }
     val exact = spark.read.parquet(s"$base/in")
       .groupBy(col("source"))
       .agg(countDistinct(col("user_id")).as("exact_distinct_users"))
@@ -952,6 +1053,7 @@ object StreamGate {
     val (lo, hi) = (row.getDouble(0), row.getDouble(1))
     val src = spark.readStream.schema(in.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    sizedToInput(spark, base) {
     val q = src.groupBy(col("l_returnflag"))
       .agg(QuantileAggregate.quantileSketch(spark, col("l_extendedprice"), lo, hi)
         .as("sketch"))
@@ -960,6 +1062,7 @@ object StreamGate {
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    }
     graft.operators.Relational.quantileWalk(
       spark.table("graft_stream_quantile"), lo, hi)
   }
@@ -982,12 +1085,14 @@ object StreamGate {
     val nKeys = dim.count()
     val src = spark.readStream.schema(dim.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    sizedToInput(spark, base) {
     val q = src.agg(BloomAggregate.bloomAgg(spark, col("c_custkey"), nKeys).as("bits"))
       .writeStream.outputMode("complete")
       .format("memory").queryName("graft_stream_bloom")
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    }
     t.orders
       .join(broadcast(spark.table("graft_stream_bloom")))
       .filter(BloomAggregate.mightContain(col("bits"), col("o_custkey")))
