@@ -60,6 +60,23 @@ import org.apache.spark.sql.SparkSession
   *     and local-FS parquet churn is protocol cost, not engine cost.
   *     The `protocol.scratch` field records which medium was measured.
   *
+  * r16 protocol iteration (the p90<=1.35 push + wander forensics):
+  *   - arbitration rounds spend up to the REAL budget, worst
+  *     disagreement first (r15 self-capped repeats at 60% of budget
+  *     while the wall used 84%, leaving the >1.3x tail unarbitrated);
+  *   - pass-2 warmups are skipped for ALL read-path entries (codegen and
+  *     page cache are warm from pass 1 in the same JVM; write-path
+  *     entries keep theirs because every rep sees fresh scratch) — this
+  *     funds the extra arbitration inside the same budget;
+  *   - every sample records the GC time spent inside the rep and the OS
+  *     page-cache size before it; pinned entries (SPARK_GRAFT_BENCH_PIN,
+  *     the cross-round wander suspects) and >1.3x disagreers ship that
+  *     evidence in the JSON, so a suite-context anomaly arrives with its
+  *     mechanism attached;
+  *   - the compact line carries per-entry times as a centisecond array
+  *     in suite order (qcs/qds), so the driver's 2000-char round
+  *     artifact alone reconstructs every entry's time.
+  *
   * Write-path isolation: every rep of every query runs with the engine's
   * conf-keyed scratch roots pointed at a FRESH per-rep directory (removed
   * after the rep, outside the timer), so a write-path query can never get
@@ -194,6 +211,25 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
     def gcQuiesce(): Unit = { System.gc(); Thread.sleep(50L); gcCount += 1 }
+    // wander instrumentation (r16): the r14/r15 rounds each produced ONE
+    // entry that doubled on unchanged code in the full-suite context and
+    // re-measured fine in isolation (dedup_containment r14, text_novelty
+    // r15). Every sample now records the JVM GC time spent INSIDE the
+    // rep and the OS page-cache size before it, so when the anomaly
+    // recurs the round artifact carries the mechanism, not just the
+    // symptom.
+    import scala.jdk.CollectionConverters._
+    def gcMsNow(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    def cachedMb(): Long = try {
+      scala.io.Source.fromFile("/proc/meminfo").getLines()
+        .find(_.startsWith("Cached:"))
+        .map(_.split("\\s+")(1).toLong / 1024L).getOrElse(-1L)
+    } catch { case _: Throwable => -1L }
+    // per-sample evidence: (label, sec, gc_ms inside the rep, cached_mb
+    // before it); reported for pinned entries and >1.3x disagreers
+    val evidence = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.ListBuffer[(String, Double, Long, Long)]]
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_(n)) }
     // sub-floor adaptivity threshold — same constant as the repro floor:
@@ -220,12 +256,18 @@ object Bench {
     val knownMin = scala.collection.mutable.Map.empty[String, Double]
     val knownWrote = scala.collection.mutable.Map.empty[String, Boolean]
     // one pass over the suite (optionally restricted to `subset` — the
-    // adaptive third pass re-measures only the pass1/pass2 disagreers):
+    // adaptive passes re-measure only the disagreers, WORST-FIRST, so a
+    // budget cutoff spends its samples on the largest disagreements):
     // per query -> (min time if any rep succeeded, wrote-anything flag)
     def runPass(pass: Int,
-        subset: Option[Set[String]] = None): Seq[(String, Option[Double], Boolean)] =
-      names.map { case (name, fn) =>
-        if (!subset.forall(_(name)))
+        subset: Option[Seq[String]] = None): Seq[(String, Option[Double], Boolean)] = {
+      val ordered = subset match {
+        case Some(o) => o.flatMap(n => names.find(_._1 == n)) ++
+          names.filterNot(n => o.contains(n._1))
+        case None => names
+      }
+      ordered.map { case (name, fn) =>
+        if (!subset.forall(_.contains(name)))
           (name, None, knownWrote.getOrElse(name, false))
         else {
         var wrote = knownWrote.getOrElse(name, false)
@@ -233,6 +275,8 @@ object Bench {
           val dir = new java.io.File(s"$benchScratch/${name}_$i")
           scratchKeys.foreach(k => spark.conf.set(k, dir.getAbsolutePath))
           val before = fixedStamp()
+          val cached0 = cachedMb()
+          val gc0 = gcMsNow()
           val t0 = System.nanoTime()
           val res = try {
             fn(spark, sfDir).count()
@@ -241,6 +285,11 @@ object Bench {
             case e: Throwable =>
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
               None
+          }
+          res.foreach { t =>
+            evidence.getOrElseUpdate(name,
+              scala.collection.mutable.ListBuffer.empty) +=
+              ((i, t, gcMsNow() - gc0, cached0))
           }
           wrote = wrote || dir.exists() || fixedStamp() != before
           rm(dir)
@@ -265,10 +314,17 @@ object Bench {
         val prior = knownMin.get(name)
         val subFloor = prior.exists(_ < reproFloorSec)
         // warmup (untimed for reporting, but measured to seed the
-        // sub-floor decision on pass 1): skipped for known sub-floor
-        // read-path entries and under stage-2 budget pressure
-        val doWarmup = st < 2 &&
-          (pass == 1 || prior.isEmpty || !(subFloor && !wrote))
+        // sub-floor decision on pass 1): pass 1 warms every entry
+        // (codegen + file cache); later passes warm only WRITE-path
+        // entries (each of their reps sees a fresh scratch dir) — a
+        // read-path entry is already compiled and page-cached from pass
+        // 1 in the same JVM, so its pass-2 warmup was pure wall with no
+        // verdict effect (r16; this is what pulls the base passes back
+        // under the 60% budget stage). Arbitration rounds (pass >
+        // passes) never warm: their job is more SAMPLES, not colder
+        // starts.
+        val doWarmup = st < 2 && pass <= passes &&
+          (pass == 1 || prior.isEmpty || wrote)
         val warmT = if (doWarmup) rep(s"p${pass}_w") else None
         val basis = prior.orElse(warmT)
         // quiesce once per query: unpersist always (evicts leaked
@@ -296,47 +352,57 @@ object Bench {
         }
         }
       }
+    }
     val basePasses: Seq[Seq[(String, Option[Double], Boolean)]] =
       (1 to passes).map(p => runPass(p))
-    // adaptive extra passes (r14, iterated r15): entries whose two BEST
-    // minima disagree >1.3x get more measurements, budget permitting —
-    // at the r13 noise floor a genuine 1.5x regression in a 1-second
-    // query was indistinguishable from variance. With k samples the
-    // repro ratio is the agreement of the two best minima, the honest
-    // two-independent-measurements certificate; the reported time stays
-    // min-of-all. r15 changes: (a) the extra pass REPEATS (up to 3
-    // rounds) while disagreers remain and the budget is under 60%, so
-    // the over-1.3 tail shrinks toward the p90<=1.35 target instead of
-    // getting exactly one arbitration; (b) a PINNED set always gets a
-    // third sample — entries under active cross-round investigation
-    // (dedup_containment: the r14 driver runs agreed on 5.3 s where r13
-    // and mid-round isolation both said ~2 s, so every future round
-    // needs maximal sampling evidence on it).
-    val pinnedThird: Set[String] = Set("dedup_containment")
-    def disagreers(pr: Seq[Seq[(String, Option[Double], Boolean)]]): Set[String] =
+    // adaptive extra passes (r14, iterated r15/r16): entries whose two
+    // BEST minima disagree >1.3x get more measurements, budget
+    // permitting — at the r13 noise floor a genuine 1.5x regression in a
+    // 1-second query was indistinguishable from variance. With k samples
+    // the repro ratio is the agreement of the two best minima, the
+    // honest two-independent-measurements certificate; the reported time
+    // stays min-of-all. r16 changes (the p90<=1.35 push): (a) the
+    // arbitration rounds spend up to the REAL budget (any round may run
+    // while wall < budget; r15 self-capped repeats at 60% while the wall
+    // used 84%, leaving the tail unarbitrated); (b) rounds process the
+    // WORST disagreement first, so a budget cutoff lands on the smallest
+    // ones; (c) the PIN set — entries under cross-round wander
+    // investigation, which always get extra samples — moved to the
+    // SPARK_GRAFT_BENCH_PIN env var (default dedup_containment +
+    // text_novelty, the r14/r15 wander instances) so retiring a pin is a
+    // protocol change, not a code change, and is reported as its own
+    // field instead of polluting n_third_sampled's meaning.
+    val pinned: Set[String] = sys.env.getOrElse("SPARK_GRAFT_BENCH_PIN",
+        "dedup_containment,text_novelty")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSet
+      .intersect(names.map(_._1).toSet)
+    // worst-first: (name, best2 ratio) for every entry over the bar
+    def disagreers(pr: Seq[Seq[(String, Option[Double], Boolean)]]): Seq[String] =
       names.flatMap { case (name, _) =>
         val best2 = pr.flatMap(_.find(_._1 == name).flatMap(_._2)).sorted.take(2)
         if (best2.size == 2 && best2(1) > reproFloorSec &&
             best2(1) / best2(0) > 1.3)
-          Some(name)
+          Some(name -> best2(1) / best2(0))
         else None
-      }.toSet
+      }.sortBy(-_._2).map(_._1)
     var passResults: Seq[Seq[(String, Option[Double], Boolean)]] = basePasses
-    val extraSampled = scala.collection.mutable.Set.empty[String]
+    val everDisagreed = scala.collection.mutable.Set.empty[String]
     if (passes >= 2) {
       var round = 0
-      var want = disagreers(passResults) ++ pinnedThird
-      // first arbitration round runs unless the budget is fully spent
-      // (the r14 rule); repeat rounds only while comfortably inside it
-      while (want.nonEmpty && round < 3 &&
-          (if (round == 0) stage() < 3 else stage() < 1)) {
+      var want: Seq[String] = {
+        val d = disagreers(passResults)
+        everDisagreed ++= d
+        d ++ pinned.toSeq.sorted.filterNot(d.contains)
+      }
+      while (want.nonEmpty && round < 8 && stage() < 3) {
         passResults = passResults :+ runPass(passes + 1 + round, Some(want))
-        extraSampled ++= want
         round += 1
-        want = disagreers(passResults)
+        val d = disagreers(passResults)
+        everDisagreed ++= d
+        want = d
       }
     }
-    val disagree: Set[String] = extraSampled.toSet
+    val disagree: Set[String] = everDisagreed.toSet
     scratchKeys.foreach(spark.conf.unset)
     rm(new java.io.File(benchScratch))
     // merge: min across passes; write-path if any pass saw a write
@@ -375,15 +441,41 @@ object Bench {
         val worst = ratios.maxBy(_._2)
         val passTotals = passResults.take(2)
           .map(p => p.flatMap(_._2).sum).map(t => f"$t%.3f").mkString("[", ",", "]")
-        // over_1.3 lists EVERY offender (no silent cap)
+        // over_1.3 lists EVERY offender (no silent cap); n_third_sampled
+        // counts only entries whose minima genuinely disagreed (the pin
+        // set is its own field — r16, so the metric's meaning is stable)
         s"""{"floor_sec":$reproFloorSec,"rule":"best2_of_samples",""" +
           s""""n_third_sampled":${disagree.size},""" +
+          s""""pinned":${pinned.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
           s""""median":${pct(sortedRatios, 0.5)},"p90":${pct(sortedRatios, 0.9)},""" +
           s""""worst":${worst._2},"worst_query":"${worst._1}",""" +
           s""""n_measured":${ratios.size},"n_over_1.3":${over13.size},""" +
           s""""over_1.3":${over13.map(q => "\"" + q._1 + "\"").mkString("[", ",", "]")},""" +
           s""""pass_totals":$passTotals}"""
       }
+    // wander evidence (r16): every sample of the pinned entries and the
+    // >1.3x disagreers as [label, sec, gc_ms inside the rep, cached_mb
+    // before it] — the full line carries all of it; the compact line
+    // carries only pinned entries whose samples STILL disagree (exactly
+    // the case where the round artifact must name the mechanism)
+    def wanderJson(names0: Seq[String]): String =
+      names0.distinct.sorted.flatMap { n =>
+        evidence.get(n).map { ev =>
+          "\"" + n + "\":[" + ev.map { case (l, t, g, c) =>
+            s"""["$l",${math.rint(t * 1000) / 1000},$g,$c]"""
+          }.mkString(",") + "]"
+        }
+      }.mkString("{", ",", "}")
+    val wanderFull = wanderJson(pinned.toSeq ++ over13.map(_._1))
+    // "recurring" = the pin's TIMED samples (warmups are expected-cold)
+    // still fail the best2 agreement rule — exactly the repro criterion
+    val wanderRecurring = pinned.toSeq.filter { n =>
+      evidence.get(n).exists { ev =>
+        val best2 = ev.collect { case (l, t, _, _) if !l.endsWith("_w") => t }
+          .sorted.take(2)
+        best2.size == 2 && best2(1) > reproFloorSec && best2(1) > 1.3 * best2(0)
+      }
+    }
     // canary set: the queries whose r8 drift exposed the comparability
     // problem — tracked by name so round-over-round diffs start here
     val canaries = Seq("etl_geomtype_fallback", "text_lm_score", "text_tfidf",
@@ -409,10 +501,11 @@ object Bench {
     val protocolJson =
       s"""{"quiesce":"per_query_above_floor","floor_sec":$reproFloorSec,""" +
         s""""scratch":"$scratchMedium","budget_sec":$budgetSec,""" +
-        s""""wall_sec":${(System.nanoTime() - wall0) / 1e9},"gc_count":$gcCount,""" +
+        s""""wall_sec":${math.rint((System.nanoTime() - wall0) / 1e9 * 10) / 10},""" +
+        s""""gc_count":$gcCount,"gc_ms":${gcMsNow()},""" +
         s""""degraded":${degraded.map(d => "\"" + d + "\"").mkString("[", ",", "]")}}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","read_total":$readTotal,"write_total":$writeTotal,"repro":$reproJson,"canary":$canaryJson,"protocol":$protocolJson,"write_queries":$writeQs,"queries":$qs,"failed":$failed,"sf":"$sfDir","reps":$reps,"passes":$passes}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","read_total":$readTotal,"write_total":$writeTotal,"repro":$reproJson,"canary":$canaryJson,"protocol":$protocolJson,"wander":$wanderFull,"write_queries":$writeQs,"queries":$qs,"failed":$failed,"sf":"$sfDir","reps":$reps,"passes":$passes}"""
     // file copy first: if stdout is truncated downstream the full map survives
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try {
@@ -429,8 +522,10 @@ object Bench {
     // captures get everything in one parse), then the per-query map
     // re-emitted as self-contained <=3800-byte chunk lines (each a valid
     // JSON object, so any window >=4 KB holds at least one complete
-    // chunk), then a compact summary line LAST, sized well under the
-    // 2000-char tail window, so the round artifact is self-contained.
+    // chunk), then a compact summary line LAST, hard-capped under the
+    // 2000-char tail window and carrying the per-entry times as a
+    // centisecond array (see the qcs/qds builder below), so the round
+    // artifact alone reconstructs every entry's time.
     println(line)
     val qPairs = withIndex.map { case (k, v) =>
       s"\"" + k + "\":" + v.map(_.toString).getOrElse("null")
@@ -448,11 +543,40 @@ object Bench {
       .map { case (k, t) => s"\"$k\":${math.rint(t * 1000) / 1000}" }
       .mkString("{", ",", "}")
     val failedN = withIndex.count(_._2.isEmpty)
-    val compact =
-      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","read_total":${math.rint(readTotal * 1000) / 1000},"write_total":${math.rint(writeTotal * 1000) / 1000},"n_queries":${withIndex.size},"n_failed":$failedN,"repro":${
-        if (ratios.isEmpty) "null"
-        else s"""{"median":${pct(sortedRatios, 0.5)},"p90":${pct(sortedRatios, 0.9)},"worst":${ratios.map(_._2).max},"n_over_1.3":${over13.size},"n_third_sampled":${disagree.size}}"""
-      },"protocol":$protocolJson,"canary":$canaryJson,"slowest":$top10,"full":"$out","sf":"$sfDir","reps":$reps,"passes":$passes}"""
+    // self-contained per-entry times (r16): the driver's round artifact
+    // keeps only a ~2000-char stdout TAIL, so a keyed per-query map
+    // (~10 KB) can never survive — but a bare integer ARRAY in suite
+    // order can. "qcs" = centiseconds (or "qds" = deciseconds when the
+    // suite is too large for centi to fit), one value per entry, order =
+    // the sorted query names followed by ann_ivf_index and
+    // text_lm_index — the exact key set CORRECTNESS_rN.json carries, so
+    // BENCH_rN.json + the round's correctness file reconstruct every
+    // entry's time with no BENCH_LOCAL fallback. The builder degrades
+    // precision, then the derivable canary/slowest maps, before ever
+    // dropping the array, and hard-caps the line under the tail window.
+    def round3(x: Double): Double = math.rint(x * 1000) / 1000
+    def qArr(mult: Int): String = withIndex
+      .map(_._2.map(t => math.round(t * mult).toString).getOrElse("null"))
+      .mkString("[", ",", "]")
+    val reproCompact =
+      if (ratios.isEmpty) "null"
+      else s"""{"median":${round3(pct(sortedRatios, 0.5))},"p90":${round3(pct(sortedRatios, 0.9))},"worst":${round3(ratios.map(_._2).max)},"n_over_1.3":${over13.size},"n_third_sampled":${disagree.size},"n_pinned":${pinned.size}}"""
+    val wanderCompact =
+      if (wanderRecurring.isEmpty) "" else s""","wander":${wanderJson(wanderRecurring)}"""
+    def mkCompact(qdsField: String, extras: Boolean, wander: String): String =
+      s"""{"metric":"total","value":${round3(total)},"unit":"sec","read_total":${round3(readTotal)},"write_total":${round3(writeTotal)},"n_queries":${withIndex.size},"n_failed":$failedN,"repro":$reproCompact,"protocol":$protocolJson$wander$qdsField${
+        if (extras) s""","canary":$canaryJson,"slowest":$top10""" else ""
+      },"full":"$out","sf":"$sfDir","reps":$reps,"passes":$passes}"""
+    val tailWindow = 1850 // driver tail is 2000 chars incl. sbt's epilogue
+    val compact = Seq(
+      mkCompact(s""","qcs":${qArr(100)}""", extras = true, wanderCompact),
+      mkCompact(s""","qcs":${qArr(100)}""", extras = false, wanderCompact),
+      mkCompact(s""","qds":${qArr(10)}""", extras = false, wanderCompact),
+      mkCompact("", extras = true, wanderCompact),
+      mkCompact("", extras = false, wanderCompact),
+      mkCompact("", extras = false, ""))
+      .find(_.length <= tailWindow)
+      .getOrElse(mkCompact("", extras = false, ""))
     println(compact)
     spark.stop()
   }
