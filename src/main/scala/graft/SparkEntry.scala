@@ -4995,7 +4995,7 @@ object SparkEntry {
          |prq AS MATERIALIZED (SELECT qid, c_label FROM (
          |  SELECT q.qid, c.c_label, row_number() OVER (PARTITION BY q.qid
          |    ORDER BY ${cosSql("c.cv", "q.qv")} DESC, c.c_label) AS rn
-         |  FROM c CROSS JOIN q) WHERE rn <= 3),
+         |  FROM c CROSS JOIN q) WHERE rn <= 5),
          |aa AS (SELECT vec_id, c_label, row_number() OVER (PARTITION BY vec_id
          |    ORDER BY ${cosSql("v", "cv")} DESC, c_label) AS rn FROM e CROSS JOIN c),
          |asg AS MATERIALIZED (SELECT vec_id, c_label AS list_id FROM aa WHERE rn = 1),
@@ -5712,7 +5712,7 @@ object SparkEntry {
          |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin
     },
     // IVF is deterministic arithmetic end-to-end: label-mean centroids,
-    // nearest-centroid lists (ties -> smaller label), nprobe=3 probes,
+    // nearest-centroid lists (ties -> smaller label), nprobe=5 probes (F79b curve policy, graft.ivf.nprobe),
     // cosine re-score rounded like ann_topk. Assignment margins (min gap
     // best-vs-2nd centroid ~2.7e-5 at sf0.1) dwarf cross-engine fp noise
     // (~1e-14 from avg accumulation order), so the oracle is stable.
@@ -5732,7 +5732,7 @@ object SparkEntry {
          |SELECT e.vec_id, CAST(asg.list_id AS BIGINT) AS list_id,
          | round(${cosSql("e.v", "q.qv")}, 4) AS score
          |FROM e JOIN asg ON e.vec_id = asg.vec_id, q
-         |WHERE asg.list_id IN (SELECT c_label FROM pr WHERE rn <= 3) AND e.vec_id <> 0
+         |WHERE asg.list_id IN (SELECT c_label FROM pr WHERE rn <= 5) AND e.vec_id <> 0
          |ORDER BY score DESC, e.vec_id LIMIT 20""".stripMargin,
     // F51: the radius twin of ann_ivf — identical quantizer/probe CTEs,
     // the rounded-score threshold replaces the LIMIT
@@ -5752,7 +5752,7 @@ object SparkEntry {
          |SELECT e.vec_id, CAST(asg.list_id AS BIGINT) AS list_id,
          | round(${cosSql("e.v", "q.qv")}, 4) AS score
          |FROM e JOIN asg ON e.vec_id = asg.vec_id, q
-         |WHERE asg.list_id IN (SELECT c_label FROM pr WHERE rn <= 3) AND e.vec_id <> 0
+         |WHERE asg.list_id IN (SELECT c_label FROM pr WHERE rn <= 5) AND e.vec_id <> 0
          |  AND round(${cosSql("e.v", "q.qv")}, 4) >= 0.2
          |ORDER BY score DESC, e.vec_id""".stripMargin,
     // batch form: same quantizer/assignment CTEs; probe pairs per query
@@ -5912,7 +5912,7 @@ object SparkEntry {
          |  JOIN qd ON code.m = qd.m AND code.cl = qd.c_label GROUP BY 1),
          |cand AS (SELECT a.vec_id, round(ad.approx, 6) AS approx_dist
          |  FROM asg a JOIN ad ON a.vec_id = ad.vec_id
-         |  WHERE a.list_id IN (SELECT c_label FROM pr WHERE rn <= 3) AND a.vec_id <> 0
+         |  WHERE a.list_id IN (SELECT c_label FROM pr WHERE rn <= 5) AND a.vec_id <> 0
          |  ORDER BY approx_dist, a.vec_id LIMIT 60)
          |SELECT c.vec_id, CAST(asg.list_id AS BIGINT) AS list_id, c.approx_dist,
          | round(${cosSql("e.v", "q.qv")}, 4) AS score

@@ -16,6 +16,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Serving default for the IVF probe width — the F79b tuning curve's
+    * policy decision (r16): the r15 curve rows measured mean recall@10
+    * 0.55 at nprobe=3 and ~0.8 at nprobe=5, with the candidate read
+    * still bounded by nprobe/|lists| of the corpus, so the shipped
+    * per-query serving default is 5. Conf-keyed (`graft.ivf.nprobe`) so
+    * a deployment trades recall for list reads without a code change;
+    * the BATCH entries keep their explicit nprobe=2 — they amortize one
+    * scan across a query set and their oracles pin that tighter cut.
+    * The persisted layout is untouched: probe width is query-side. */
+  def defaultNprobe(spark: SparkSession): Int =
+    spark.conf.get("graft.ivf.nprobe", "5").toInt
+
+
   /** F6: exact cosine near-dup pairs within label blocks.
     *
     * Deliberately exact — and therefore quadratic in block population:
@@ -709,7 +722,8 @@ object Similarity {
     * IN-list partition filter covering all probed lists. Both sides
     * rank per query with bounded windows. */
   def annRecall(spark: SparkSession, dir: String, k: Int = 10,
-      nprobe: Int = 3, nProbes: Int = 10): DataFrame = {
+      nprobe: Int = -1, nProbes: Int = 10): DataFrame = {
+    val np = if (nprobe > 0) nprobe else defaultNprobe(spark)
     import org.apache.spark.sql.expressions.Window
     val (listsPath, cents) = ivfIndex(spark, dir)
     val e = vectors(spark, dir).select(col("vec_id"), col("v"))
@@ -735,7 +749,7 @@ object Similarity {
       .withColumn("csim", Vec.cosine(col("qv"), col("cv")))
       .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
         .orderBy(col("csim").desc, col("c_label"))))
-      .filter(col("rn") <= nprobe)
+      .filter(col("rn") <= np)
       .select(col("qid"), col("qv"), col("c_label").as("list_id"))
     val ann = ivfLists(spark, listsPath)
       .join(probes, Seq("list_id"))
@@ -1239,7 +1253,8 @@ object Similarity {
     * query touches nprobe partitions instead of the full corpus.
     * Probabilistic recall → rows-only gate + recall spec vs exact top-k. */
   def ivfAnn(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 20,
-      nprobe: Int = 3): DataFrame = {
+      nprobe: Int = -1): DataFrame = {
+    val np = if (nprobe > 0) nprobe else defaultNprobe(spark)
     val t = Tables(spark, dir)
     // Build-or-reuse the PERSISTED index: the quantizer comes back from
     // the layout (|lists| × dims — tiny), so probe selection costs no
@@ -1252,7 +1267,7 @@ object Similarity {
       dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
     // probe the nprobe nearest centroids' lists only (driver-side: 10 dots)
     val probes = cents.sortBy { case (l, cv) => (-cosLocal(qv, cv), l) }
-      .take(nprobe).map(_._1)
+      .take(np).map(_._1)
     val qvCol = array(qv.map(lit): _*)
     // the list_id filter prunes the scan to the probed directories
     ivfLists(spark, listsPath)
@@ -1274,7 +1289,8 @@ object Similarity {
     * Result size is data-dependent by design; at 100 TB the probed-list
     * bound still caps the scan exactly as in top-k serving. */
   def annRange(spark: SparkSession, dir: String, queryId: Long = 0L,
-      tau: Double = 0.2, nprobe: Int = 3): DataFrame = {
+      tau: Double = 0.2, nprobe: Int = -1): DataFrame = {
+    val np = if (nprobe > 0) nprobe else defaultNprobe(spark)
     val t = Tables(spark, dir)
     val (listsPath, cents) = ivfIndex(spark, dir)
     val qv = t.embeddings.filter(col("vec_id") === queryId)
@@ -1283,7 +1299,7 @@ object Similarity {
     def cosLocal(a: Seq[Double], b: Seq[Double]) =
       dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
     val probes = cents.sortBy { case (l, cv) => (-cosLocal(qv, cv), l) }
-      .take(nprobe).map(_._1)
+      .take(np).map(_._1)
     val qvCol = array(qv.map(lit): _*)
     ivfLists(spark, listsPath)
       .filter(col("list_id").isin(probes: _*) && col("vec_id") =!= queryId)
@@ -1432,7 +1448,8 @@ object Similarity {
     * rescore. At 100 TB: nprobe/k of the corpus touched, 8 bytes of codes
     * per candidate instead of 256 bytes of floats, C full vectors read. */
   def annIvfPq(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 20,
-      nprobe: Int = 3, rescoreFactor: Int = 3): DataFrame = {
+      nprobe: Int = -1, rescoreFactor: Int = 3): DataFrame = {
+    val np = if (nprobe > 0) nprobe else defaultNprobe(spark)
     val t = Tables(spark, dir)
     val (listsPath, cents) = ivfIndex(spark, dir)
     val nSub = PqSubspaces
@@ -1447,7 +1464,7 @@ object Similarity {
       dotL(a, b) / (math.sqrt(dotL(a, a)) * math.sqrt(dotL(b, b)))
     // probe selection: nprobe nearest centroids, driver-side (|lists| dots)
     val probes = cents.sortBy { case (l, cv) => (-cosL(qv, cv), l) }
-      .take(nprobe).map(_._1)
+      .take(np).map(_._1)
     // ADC table from the same collected quantizer
     val qd2: Array[Array[Double]] = Array.tabulate(nSub) { m =>
       cents.sortBy(_._1).map { case (_, cv) =>
