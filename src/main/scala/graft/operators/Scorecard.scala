@@ -373,19 +373,34 @@ object Scorecard {
   def streamScorecard(spark: SparkSession, dir: String): DataFrame = {
     val specs = gateCols.toMap
     val fs = buildFrames(spark, dir)
-    // the digests are independent 1-row aggregations: collecting them as
-    // concurrent jobs overlaps the branch critical paths that a single
-    // 37-branch union plan schedules as one serial-prefix-heavy job
-    // (measured: 11.8 s as a union vs ~8.5 s in this shape; the branches
-    // read the parMaterialize'd cells, so no corpus collapse repeats
-    // across jobs). The driver holds one 4-field row per gate —
-    // constant-size, a declared driver-sized convention point.
-    val rows = parRun(spark)(fs.map { case (g, df) => () =>
-      val r = digestOf(g, df, specs(g)).collect()(0)
-      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
-    })
-    spark.createDataFrame(rows)
-      .toDF("gate", "n_rows", "sum_hash", "xor_hash")
-      .orderBy(col("gate"))
+    // digest collection shape, conf-switchable for A/B
+    // (`graft.scorecard.union`): ONE union job hands all 37 digest
+    // stages to the DAG scheduler at once (no 8-thread pool cap, one
+    // submission round-trip) vs one collect job per gate on the pool.
+    // MEASURED r16 (4 alternating isolated pairs at sf0.1): minima 8.7 s
+    // union vs 8.1 s concurrent — equivalent within box noise, because
+    // the entry is COMPUTE-bound, not protocol-bound (GateProfile: the
+    // 37 digests sum to 24.3 s of real frame compute, frames-build
+    // 3.0 s; 8 threads over 24.3 s ≈ the observed wall). The r14
+    // verdict's "batch into fewer actions → ≤7 s" hypothesis is
+    // thereby answered: the floor is the gates' own batch compute, and
+    // shaving it means making individual gate FRAMES cheaper, not
+    // scheduling. Default stays the proven concurrent shape (which also
+    // carries the job-group failure containment); the union path stays
+    // conf-keyed for re-measurement. The driver holds one 4-field row
+    // per gate either way — constant-size.
+    if (spark.conf.get("graft.scorecard.union", "false").toBoolean) {
+      fs.map { case (g, df) => digestOf(g, df, specs(g)) }
+        .reduce(_.unionByName(_))
+        .orderBy(col("gate"))
+    } else {
+      val rows = parRun(spark)(fs.map { case (g, df) => () =>
+        val r = digestOf(g, df, specs(g)).collect()(0)
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      })
+      spark.createDataFrame(rows)
+        .toDF("gate", "n_rows", "sum_hash", "xor_hash")
+        .orderBy(col("gate"))
+    }
   }
 }
