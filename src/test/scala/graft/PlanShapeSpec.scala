@@ -281,6 +281,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("partial_"), s"rollup lacks a map-side partial:\n$p")
   }
 
+  test("sr declared: per-row JSON-path parse, single hash agg, no join, no UDF") {
+    val p = plan("geo_sr_declared")
+    assert(!p.contains("Join"), s"declared-CRS reconcile must not join:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"the parse must stay native (get_json_object/string ops):\n$p")
+    assert(p.contains("partial_"), s"report rollup lacks a map-side partial:\n$p")
+  }
+
   test("pip raycast: per-row arithmetic only — no join, no aggregate, no width beyond the key") {
     val p = plan("geo_pip_raycast")
     assert(!p.contains("Join"), s"point-in-polygon must not join:\n$p")
