@@ -296,7 +296,11 @@ object Bench {
           res
         }
         val st = stage()
-        if (st > stageSeen) { stageSeen = st; degraded += s"stage$st@$name" }
+        // markers carry the pass: a stage crossing during ARBITRATION
+        // (pass > base passes) is budget-by-design, not base-protocol
+        // degradation — the r15 "degraded stages" complaint was about
+        // base passes, and the tag makes the two distinguishable
+        if (st > stageSeen) { stageSeen = st; degraded += s"stage$st@p$pass:$name" }
         // stage 3 (budget fully spent): later passes stop re-measuring —
         // each remaining entry keeps its pass-1 number (its repro ratio
         // is simply unmeasured), so the bench can never overrun the
@@ -331,7 +335,11 @@ object Bench {
         // checkpoint blocks), full GC only when the query is above the
         // repro floor (or unmeasured) and budget allows
         unpersistLeaks()
-        if (st < 2 && basis.forall(_ >= reproFloorSec)) gcQuiesce()
+        // arbitration samples keep the quiesce until the budget is SPENT
+        // (stage 3): their whole purpose is comparable samples, and the
+        // quiesce only runs for the shrinking disagreer set
+        if ((st < 2 || (pass > passes && st < 3)) &&
+            basis.forall(_ >= reproFloorSec)) gcQuiesce()
         val repsHere =
           if (st >= 1 || basis.exists(_ < reproFloorSec)) 1 else reps
         // early stop: once a timed rep lands under the floor the min is a
@@ -353,8 +361,13 @@ object Bench {
         }
       }
     }
+    val passWalls = scala.collection.mutable.ListBuffer.empty[Double]
     val basePasses: Seq[Seq[(String, Option[Double], Boolean)]] =
-      (1 to passes).map(p => runPass(p))
+      (1 to passes).map { p =>
+        val r = runPass(p)
+        passWalls += math.rint((System.nanoTime() - wall0) / 1e9 * 10) / 10
+        r
+      }
     // adaptive extra passes (r14, iterated r15/r16): entries whose two
     // BEST minima disagree >1.3x get more measurements, budget
     // permitting — at the r13 noise floor a genuine 1.5x regression in a
@@ -503,6 +516,7 @@ object Bench {
         s""""scratch":"$scratchMedium","budget_sec":$budgetSec,""" +
         s""""wall_sec":${math.rint((System.nanoTime() - wall0) / 1e9 * 10) / 10},""" +
         s""""gc_count":$gcCount,"gc_ms":${gcMsNow()},""" +
+        s""""pass_walls":${passWalls.mkString("[", ",", "]")},""" +
         s""""degraded":${degraded.map(d => "\"" + d + "\"").mkString("[", ",", "]")}}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","read_total":$readTotal,"write_total":$writeTotal,"repro":$reproJson,"canary":$canaryJson,"protocol":$protocolJson,"wander":$wanderFull,"write_queries":$writeQs,"queries":$qs,"failed":$failed,"sf":"$sfDir","reps":$reps,"passes":$passes}"""
