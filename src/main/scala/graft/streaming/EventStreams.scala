@@ -408,7 +408,8 @@ object EventStreams {
     * continuously-updated "when did this source move" answer a triage
     * dashboard reads. */
   def changepointLedgerStream(events: DataFrame, stateDir: String,
-      bar: Double = 3.0): org.apache.spark.sql.streaming.StreamingQuery =
+      bar: Double = graft.operators.LoadOps.ChangepointBar)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream.outputMode("append")
       .foreachBatch { (batch0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         import org.apache.spark.sql.functions._
@@ -723,7 +724,8 @@ object EventStreams {
     * shared core re-derives it from the accumulated history's first
     * days each trigger, exactly as the batch op would. */
   def cusumStream(daily: DataFrame, stateDir: String,
-      kCents: Long = 500L, hCents: Long = 3000L)
+      kCents: Long = graft.operators.LoadOps.CusumKCents,
+      hCents: Long = graft.operators.LoadOps.CusumHCents)
       : org.apache.spark.sql.streaming.StreamingQuery =
     daily.writeStream.outputMode("append")
       .foreachBatch { (batch0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -750,7 +752,8 @@ object EventStreams {
     * monitor self-calibrates as history accumulates — no training
     * horizon to configure. */
   def pageHinkleyStream(daily: DataFrame, stateDir: String,
-      deltaCents: Long = 100L, lambdaCents: Long = 2000L)
+      deltaCents: Long = graft.operators.LoadOps.PhDeltaCents,
+      lambdaCents: Long = graft.operators.LoadOps.PhLambdaCents)
       : org.apache.spark.sql.streaming.StreamingQuery =
     daily.writeStream.outputMode("append")
       .foreachBatch { (batch0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -852,8 +855,10 @@ object EventStreams {
     * All-integer end to end, so the report equals D64's batch pass over
     * the prefix bit-for-bit after EVERY trigger. */
   def forecastEvalStream(cents: DataFrame, stateDir: String,
-      alphaPpm: Long = 300000L, betaPpm: Long = 100000L,
-      hCents: Long = 500L, warmup: Int = 8)
+      alphaPpm: Long = graft.operators.LoadOps.HoltAlphaPpm,
+      betaPpm: Long = graft.operators.LoadOps.HoltBetaPpm,
+      hCents: Long = graft.operators.LoadOps.HoltHCents,
+      warmup: Int = graft.operators.LoadOps.HoltWarmup)
       : org.apache.spark.sql.streaming.StreamingQuery =
     cents.writeStream.outputMode("append")
       .foreachBatch { (batch0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -1070,8 +1075,10 @@ object EventStreams {
     * state beyond the dailies themselves — the fold is run-log-sized,
     * the G21 argument. */
   def holtStream(events: DataFrame, stateDir: String,
-      alphaPpm: Long = 300000L, betaPpm: Long = 100000L,
-      hCents: Long = 500L, warmup: Int = 8)
+      alphaPpm: Long = graft.operators.LoadOps.HoltAlphaPpm,
+      betaPpm: Long = graft.operators.LoadOps.HoltBetaPpm,
+      hCents: Long = graft.operators.LoadOps.HoltHCents,
+      warmup: Int = graft.operators.LoadOps.HoltWarmup)
       : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream.outputMode("append")
       .foreachBatch { (batch0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -1102,7 +1109,8 @@ object EventStreams {
     * horizon needs no streaming special case: the shared core re-derives
     * it from the accumulated history's min day each time. */
   def seasonalStream(events: DataFrame, stateDir: String,
-      trainDays: Long = 21L, hCents: Long = 150L)
+      trainDays: Long = graft.operators.LoadOps.SeasonalTrainDays,
+      hCents: Long = graft.operators.LoadOps.SeasonalHCents)
       : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream.outputMode("append")
       .foreachBatch { (batch0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -1132,7 +1140,8 @@ object EventStreams {
     * argument: the trailing-window recompute is cells×window bounded,
     * never event-proportional. */
   def hampelStream(events: DataFrame, stateDir: String,
-      winDays: Int = 7, minWin: Int = 5)
+      winDays: Int = graft.operators.LoadOps.HampelWindow,
+      minWin: Int = graft.operators.LoadOps.HampelMinWin)
       : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream.outputMode("append")
       .foreachBatch { (batch0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
