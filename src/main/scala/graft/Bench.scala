@@ -222,9 +222,10 @@ object Bench {
     def gcMsNow(): Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(b => math.max(0L, b.getCollectionTime)).sum
     def cachedMb(): Long = try {
-      scala.io.Source.fromFile("/proc/meminfo").getLines()
-        .find(_.startsWith("Cached:"))
+      val src = scala.io.Source.fromFile("/proc/meminfo")
+      try src.getLines().find(_.startsWith("Cached:"))
         .map(_.split("\\s+")(1).toLong / 1024L).getOrElse(-1L)
+      finally src.close() // called per rep — an unclosed fd per sample would pile up
     } catch { case _: Throwable => -1L }
     // per-sample evidence: (label, sec, gc_ms inside the rep, cached_mb
     // before it); reported for pinned entries and >1.3x disagreers
@@ -399,23 +400,24 @@ object Bench {
         else None
       }.sortBy(-_._2).map(_._1)
     var passResults: Seq[Seq[(String, Option[Double], Boolean)]] = basePasses
-    val everDisagreed = scala.collection.mutable.Set.empty[String]
+    // n_third_sampled counts entries a round ACTUALLY re-queued (a
+    // disagreer surfacing after the final round got no extra sample and
+    // must not inflate the metric)
+    val extraSampled = scala.collection.mutable.Set.empty[String]
     if (passes >= 2) {
       var round = 0
       var want: Seq[String] = {
         val d = disagreers(passResults)
-        everDisagreed ++= d
         d ++ pinned.toSeq.sorted.filterNot(d.contains)
       }
       while (want.nonEmpty && round < 8 && stage() < 3) {
         passResults = passResults :+ runPass(passes + 1 + round, Some(want))
+        extraSampled ++= want.filterNot(pinned)
         round += 1
-        val d = disagreers(passResults)
-        everDisagreed ++= d
-        want = d
+        want = disagreers(passResults)
       }
     }
-    val disagree: Set[String] = everDisagreed.toSet
+    val disagree: Set[String] = extraSampled.toSet
     scratchKeys.foreach(spark.conf.unset)
     rm(new java.io.File(benchScratch))
     // merge: min across passes; write-path if any pass saw a write

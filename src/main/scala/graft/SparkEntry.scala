@@ -1558,7 +1558,7 @@ object SparkEntry {
       """WITH d AS (SELECT o_orderkey AS doc_id,
         |    CAST(o_orderkey % 24 AS INT) AS source FROM orders),
         |v AS (SELECT doc_id, source, source % 6 AS variant,
-        |    source % 3 AS regime FROM d),
+        |    (source // 6) % 3 AS regime FROM d),
         |nm AS (SELECT *, CASE variant
         |    WHEN 0 THEN 'EPSG:3006' WHEN 1 THEN 'EPSG:4326'
         |    WHEN 2 THEN 'urn:ogc:def:crs:EPSG::3006'
@@ -1567,7 +1567,8 @@ object SparkEntry {
         |dec AS (SELECT *, CASE
         |    WHEN variant = 3 THEN 4326
         |    WHEN strpos(crs_name, 'EPSG:') > 0 THEN COALESCE(TRY_CAST(
-        |      split_part(substr(crs_name, strpos(crs_name, 'EPSG:') + 5), ' ', 1) AS INT), 0)
+        |      nullif(regexp_extract(substr(crs_name, strpos(crs_name, 'EPSG:') + 5),
+        |        '^\s*(\S+)', 1), '') AS INT), 0)
         |    WHEN upper(crs_name) = 'CRS84' THEN 4326
         |    ELSE 0 END AS declared_sr FROM nm),
         |co AS (SELECT *,

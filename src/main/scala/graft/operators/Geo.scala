@@ -684,7 +684,12 @@ object Geo {
     val k = col("o_orderkey")
     val source = (k % 24).cast("int")
     val variant = source % 6
-    val regime = source % 3
+    // regime decorrelated from the variant ((source div 6) % 3 — source %
+    // 3 is DETERMINED by variant mod 3, which parked both declared-0
+    // variants on uninferable coordinates, so the corpus never produced
+    // the 'undeclared' class; with the div the urn parse-fail variant
+    // meets inferable coordinates and all four classes appear)
+    val regime = (source / 6).cast("int") % 3
     val xi = when(regime === 0, (k * 31L) % 360L - 180L)
       .when(regime === 1, lit(250000L) + (k * 7919L) % 600001L)
       .otherwise(lit(2000000L) + (k * 7919L) % 1000000L)
@@ -724,11 +729,13 @@ object Geo {
       .withColumn("crs_name", col("j.crs.properties.name"))
       .withColumn("has_crs", col("j.crs").isNotNull)
       // int(name.split('EPSG:')[1].split()[0]): text after the first
-      // 'EPSG:', whitespace-split, first token; try_cast = the
-      // reference's try/except int()
+      // 'EPSG:', then the FIRST whitespace-delimited token with leading
+      // whitespace discarded — Python .split() semantics, so
+      // "EPSG: 3006" parses to 3006 (tabs included); try_cast = the
+      // reference's try/except int(); the oracle applies the same regex
       .withColumn("epsg_code", expr(
-        "try_cast(try_element_at(split(try_element_at(" +
-          "split(crs_name, 'EPSG:'), 2), '\\\\s+'), 1) as int)"))
+        "try_cast(nullif(regexp_extract(try_element_at(" +
+          "split(crs_name, 'EPSG:'), 2), '^\\\\s*(\\\\S+)', 1), '') as int)"))
       .withColumn("declared_sr",
         when(!col("has_crs"), lit(4326))
           .when(instr(col("crs_name"), "EPSG:") > 0,

@@ -354,7 +354,11 @@ object Scorecard {
     try Await.result(work, 30.minutes)
     catch {
       case e: Throwable =>
-        try sc.cancelJobGroup(group) catch { case _: Throwable => () }
+        // cancelJobGroupAndFutureJobs is STICKY: a sibling thunk that was
+        // mid-planning (no active job yet) and submits after the failure
+        // is cancelled too — plain cancelJobGroup only kills jobs already
+        // running, leaving that race open
+        try sc.cancelJobGroupAndFutureJobs(group) catch { case _: Throwable => () }
         pool.shutdownNow()
         throw e
     } finally pool.shutdown()

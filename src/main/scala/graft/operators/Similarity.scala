@@ -769,7 +769,8 @@ object Similarity {
   }
 
   /** F79b: the ANN RECALL TUNING CURVE — F79 measured recall at ONE
-    * nprobe (0.55 mean at the default 3); the number an operator
+    * nprobe (0.55 mean at nprobe=3; the shipped default is 5 since the
+    * r16 policy change — see [[defaultNprobe]]); the number an operator
     * actually needs is the KNOB-vs-recall curve, so the "raise nprobe
     * until recall clears the bar" decision is itself an oracle-gated
     * report instead of a spec aside. One row per (nprobe ∈ {1,2,3,5,8},

@@ -46,9 +46,13 @@ object StreamGate {
     * 32 on identical data, because every micro-batch pays a per-partition
     * state-store open/commit/publish protocol regardless of how little
     * state lives there). Policy: one partition per 16 MiB of staged
-    * input, capped at the session's parallelism — tiny gate corpora get
-    * 1 store per trigger, a 100× corpus grows stores linearly, and a
-    * real cluster saturates its cores. Values are unchanged by partition
+    * input, with a FLOOR of 8 (floor 1 measured WORSE at sf0.1 — it
+    * serialized the per-key compute of the heavy keyed gates:
+    * winsorized/psi/calibration regressed ~15%) and a cap at the
+    * session's parallelism that yields to the floor on very small
+    * machines — tiny gate corpora get 8 stores per trigger, a 100×
+    * corpus grows stores linearly, and a real cluster saturates its
+    * cores. Values are unchanged by partition
     * count (every gate's fold is key-local and its oracle hash-exact);
     * the session conf is restored on exit even if the gate throws. The
     * conf must stay applied through `awaitTermination` because the

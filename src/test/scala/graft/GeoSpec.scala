@@ -315,7 +315,8 @@ class GeoSpec extends AnyFunSuite with SparkTestBase {
       (8L, 7, fc("{}", deg._1, deg._2)),                           // crs without name -> undeclared
       (9L, 8, fc(nm("EPSG:"), deg._1, deg._2)),                    // empty tail -> undeclared
       (10L, 9, fc(nm("WGS84"), deg._1, deg._2)),                   // unknown form -> undeclared
-      (11L, 10, fc(nm("EPSG:3006"), out._1, out._2))               // uninferable coords win
+      (11L, 10, fc(nm("EPSG:3006"), out._1, out._2)),              // uninferable coords win
+      (12L, 11, fc(nm("EPSG: 3006"), sweref._1, sweref._2))        // leading space after the colon
     ).toDF("doc_id", "source", "doc")
     val got = graft.operators.Geo.srDeclaredOf(docs).collect()
       .map(r => r.getInt(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
@@ -330,5 +331,7 @@ class GeoSpec extends AnyFunSuite with SparkTestBase {
     assert(got(8) == ((0, 4326, "undeclared")))
     assert(got(9) == ((0, 4326, "undeclared")))
     assert(got(10) == ((3006, 0, "uninferable")), "uninferable coordinates outrank the declared code")
+    assert(got(11) == ((3006, 3006, "consistent")),
+      "Python .split() discards leading whitespace: 'EPSG: 3006' parses to 3006")
   }
 }
