@@ -1551,9 +1551,12 @@ object SparkEntry {
         |  ELSE 0 END AS inferred_sr, count(*) AS n
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // C16: declared-CRS parse replayed on the SAME name strings with SQL
-    // string ops (text after the first 'EPSG:', space-split, TRY_CAST =
-    // the reference's try/except int), reconciled against the C6
-    // magnitude inference on the same planted coordinate regimes
+    // string ops (str_split(...)[2] = Python split('EPSG:')[1], the text
+    // BETWEEN the first and second occurrence — substr-to-end would read
+    // 'EPSG:12EPSG:34' as one unparseable token where the engine sees
+    // '12'; then space-split, TRY_CAST = the reference's try/except int),
+    // reconciled against the C6 magnitude inference on the same planted
+    // coordinate regimes
     "geo_sr_declared" ->
       """WITH d AS (SELECT o_orderkey AS doc_id,
         |    CAST(o_orderkey % 24 AS INT) AS source FROM orders),
@@ -1567,7 +1570,7 @@ object SparkEntry {
         |dec AS (SELECT *, CASE
         |    WHEN variant = 3 THEN 4326
         |    WHEN strpos(crs_name, 'EPSG:') > 0 THEN COALESCE(TRY_CAST(
-        |      nullif(regexp_extract(substr(crs_name, strpos(crs_name, 'EPSG:') + 5),
+        |      nullif(regexp_extract(COALESCE(str_split(crs_name, 'EPSG:')[2], ''),
         |        '^\s*(\S+)', 1), '') AS INT), 0)
         |    WHEN upper(crs_name) = 'CRS84' THEN 4326
         |    ELSE 0 END AS declared_sr FROM nm),

@@ -657,7 +657,10 @@ object Geo {
     * a legacy-GeoJSON FeatureCollection whose `crs.properties.name`
     * member (pre-RFC 7946) may declare the SR. The reference's parse
     * order, replayed exactly:
-    *   - no `crs` member → 4326 (the GeoJSON default);
+    *   - non-dict / corrupt document → undeclared (0), BEFORE the crs
+    *     lookup (the reference's isinstance guard);
+    *   - absent, null, or empty `crs` member (Python falsy) → 4326
+    *     (the GeoJSON default);
     *   - name contains 'EPSG:' → int(text after the FIRST 'EPSG:',
     *     whitespace-split, first token); a parse failure (the
     *     urn:ogc:def:crs:EPSG::n form's ':n' tail) returns UNDECLARED
@@ -725,9 +728,26 @@ object Geo {
     docs
       .withColumn("j", from_json(col("doc"), org.apache.spark.sql.types.DataType.fromDDL(
         "struct<crs:struct<type:string,properties:struct<name:string>>," +
-          "features:array<struct<geometry:struct<coordinates:array<double>>>>>")))
+          "features:array<struct<geometry:struct<coordinates:array<double>>>>," +
+          "_graft_corrupt:string>"),
+        Map("columnNameOfCorruptRecord" -> "_graft_corrupt")))
       .withColumn("crs_name", col("j.crs.properties.name"))
-      .withColumn("has_crs", col("j.crs").isNotNull)
+      // Reference truthiness ladder (sr_utils.py:144-198): a non-dict or
+      // corrupt document returns None (undeclared) BEFORE the crs lookup —
+      // PERMISSIVE from_json parks those rows' raw text in the declared
+      // corrupt-record field (a truncated object, a JSON array, a scalar
+      // all land there; a well-formed object leaves it NULL), so
+      // `_graft_corrupt IS NOT NULL` is that branch. An absent, null, or
+      // empty `crs` member is falsy (`if not crs`) and takes the GeoJSON
+      // WGS84 default. One declared divergence: the schema-pruned parse
+      // cannot tell `{"crs":{}}` (falsy → 4326) from a crs holding only
+      // unrecognized members like `{"crs":{"foo":1}}` (truthy → name ''
+      // → undeclared in the reference) — both parse to an all-null
+      // struct and take the falsy path here.
+      .withColumn("doc_invalid",
+        col("j").isNull || col("j._graft_corrupt").isNotNull)
+      .withColumn("crs_falsy", col("j.crs").isNull ||
+        (col("j.crs.type").isNull && col("j.crs.properties").isNull))
       // int(name.split('EPSG:')[1].split()[0]): text after the first
       // 'EPSG:', then the FIRST whitespace-delimited token with leading
       // whitespace discarded — Python .split() semantics, so
@@ -737,7 +757,8 @@ object Geo {
         "try_cast(nullif(regexp_extract(try_element_at(" +
           "split(crs_name, 'EPSG:'), 2), '^\\\\s*(\\\\S+)', 1), '') as int)"))
       .withColumn("declared_sr",
-        when(!col("has_crs"), lit(4326))
+        when(col("doc_invalid"), lit(0))
+          .when(col("crs_falsy"), lit(4326))
           .when(instr(col("crs_name"), "EPSG:") > 0,
             coalesce(col("epsg_code"), lit(0)))
           .when(upper(col("crs_name")) === "CRS84", lit(4326))

@@ -24,7 +24,15 @@ object Similarity {
     * a deployment trades recall for list reads without a code change;
     * the BATCH entries keep their explicit nprobe=2 — they amortize one
     * scan across a query set and their oracles pin that tighter cut.
-    * The persisted layout is untouched: probe width is query-side. */
+    * The persisted layout is untouched: probe width is query-side.
+    *
+    * ORACLE COUPLING: the DuckDB oracles for the gated entries that
+    * resolve this default (`ann_recall`, `ann_ivf`, `ann_range`,
+    * `ann_ivfpq`) hardcode the matching list cut (`rn <= 5`) — the gate
+    * is only hash-exact at the shipped default. Setting
+    * `graft.ivf.nprobe` to any other value is a DEPLOYMENT knob, not a
+    * test knob: it silently invalidates those four gates until the
+    * oracle SQL's cut is updated to match. */
   def defaultNprobe(spark: SparkSession): Int =
     spark.conf.get("graft.ivf.nprobe", "5").toInt
 

@@ -52,21 +52,44 @@ object StreamGate {
     * session's parallelism that yields to the floor on very small
     * machines — tiny gate corpora get 8 stores per trigger, a 100×
     * corpus grows stores linearly, and a real cluster saturates its
-    * cores. Values are unchanged by partition
-    * count (every gate's fold is key-local and its oracle hash-exact);
-    * the session conf is restored on exit even if the gate throws. The
-    * conf must stay applied through `awaitTermination` because the
-    * stream's session clone happens on the query thread, not inside
-    * `start()`. */
-  private def sizedToInput[T](spark: SparkSession, base: String)(body: => T): T = {
+    * cores.
+    *
+    * Per-gate floors were HYPOTHESIZED and REFUTED (r17): the seven
+    * keyed-agg gates that regressed 7–18% r15→r16 (cramers/chi2/hampel/
+    * constraints/page_hinkley/changepoint/mann_kendall) were A/B'd
+    * isolated at sf0.1 with floor 8 vs a core-count (32) floor — floor 8
+    * won 6 of 7 on 2×2 minima (chi2 4.08 vs 4.85 s, page_hinkley 2.85
+    * vs 3.36; hampel the lone inversion, inside the ±25% run-to-run
+    * variance a repeat run showed). Their r16 suite regressions are
+    * suite-context drift, not partition-count — the same wander class
+    * the bench's evidence block tracks — so the floor stays a single
+    * uniform policy. The `floor` parameter remains for callers with a
+    * measured case; no gate currently overrides it.
+    *
+    * Values are unchanged by partition count (every gate's fold is
+    * key-local and its oracle hash-exact); the session conf is restored
+    * on exit even if the gate throws. The conf must stay applied through
+    * `awaitTermination` because the stream's session clone happens on
+    * the query thread, not inside `start()`.
+    *
+    * CONTRACT: gates run SERIALLY on the shared session (Bench and
+    * Verify both drive them one at a time) — this set/restore of a
+    * session-level conf is not safe under concurrent gate runs the way
+    * `Scorecard.parRun` drives batch gates; a concurrent driver must
+    * clone the session (`spark.newSession()`) per gate instead. */
+  private def sizedToInput[T](spark: SparkSession, base: String,
+      floor: Long = 8L)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     val p = new org.apache.hadoop.fs.Path(base)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = try fs.getContentSummary(p).getLength catch { case _: Throwable => 0L }
     val per = 16L << 20
-    val floor = sys.env.getOrElse("SPARK_GRAFT_STREAM_MIN_PARTS", "8").toLong
-    val target = math.max(floor, math.min(
+    // env override wins over the per-gate floor; a malformed value falls
+    // back rather than throwing mid-suite
+    val f = sys.env.get("SPARK_GRAFT_STREAM_MIN_PARTS")
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption).getOrElse(floor)
+    val target = math.max(f, math.min(
       spark.sparkContext.defaultParallelism.toLong, (bytes + per - 1) / per))
     spark.conf.set(key, target.toString)
     try body finally spark.conf.set(key, prev)

@@ -316,7 +316,12 @@ class GeoSpec extends AnyFunSuite with SparkTestBase {
       (9L, 8, fc(nm("EPSG:"), deg._1, deg._2)),                    // empty tail -> undeclared
       (10L, 9, fc(nm("WGS84"), deg._1, deg._2)),                   // unknown form -> undeclared
       (11L, 10, fc(nm("EPSG:3006"), out._1, out._2)),              // uninferable coords win
-      (12L, 11, fc(nm("EPSG: 3006"), sweref._1, sweref._2))        // leading space after the colon
+      (12L, 11, fc(nm("EPSG: 3006"), sweref._1, sweref._2)),       // leading space after the colon
+      // reference truthiness ladder edges (sr_utils.py:153-159)
+      (13L, 12, """{"type":"FeatureCollection","features":["""),   // corrupt doc -> None, not dict.get
+      (14L, 13, """[{"x":1}]"""),                                  // non-dict doc -> None
+      (15L, 14, """{"type":"FeatureCollection","crs":null,"features":[{"type":"Feature","geometry":{"type":"Point","coordinates":[15,60]}}]}"""), // null crs is falsy -> 4326
+      (16L, 15, """{"type":"FeatureCollection","crs":{},"features":[{"type":"Feature","geometry":{"type":"Point","coordinates":[15,60]}}]}""")    // empty crs is falsy -> 4326
     ).toDF("doc_id", "source", "doc")
     val got = graft.operators.Geo.srDeclaredOf(docs).collect()
       .map(r => r.getInt(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
@@ -333,5 +338,10 @@ class GeoSpec extends AnyFunSuite with SparkTestBase {
     assert(got(10) == ((3006, 0, "uninferable")), "uninferable coordinates outrank the declared code")
     assert(got(11) == ((3006, 3006, "consistent")),
       "Python .split() discards leading whitespace: 'EPSG: 3006' parses to 3006")
+    assert(got(12) == ((0, 0, "uninferable")),
+      "a corrupt doc is None (undeclared), never the WGS84 default")
+    assert(got(13) == ((0, 0, "uninferable")), "a non-dict doc is None")
+    assert(got(14) == ((4326, 4326, "consistent")), "crs:null is falsy -> WGS84 default")
+    assert(got(15) == ((4326, 4326, "consistent")), "crs:{} is falsy -> WGS84 default")
   }
 }
