@@ -400,17 +400,36 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
-  /** Minimum-label propagation connected components over an undirected
-    * pair graph — the step large-scale dedup needs AFTER candidate pairs:
-    * transitive near-dup groups (a≈b, b≈c ⇒ {a,b,c} one cluster, one
-    * keeper). Iterative: each round every node adopts the min label among
-    * itself and its neighbors; converges in ≤ diameter rounds (dup
-    * clusters are shallow). Each round is one join + one partial-agg
-    * min — all shuffles on the node id; `localCheckpoint` truncates the
-    * growing lineage (the standard Spark iterative-algorithm pattern, as
-    * in GraphX CC). Driver holds only the convergence counter. */
+  /** Connected components over an undirected pair graph — the step
+    * large-scale dedup needs AFTER candidate pairs: transitive near-dup
+    * groups (a≈b, b≈c ⇒ {a,b,c} one cluster, one keeper).
+    *
+    * HYBRID solver (r17). Phase 1: min-label propagation — each round
+    * every node adopts the min label among itself and its neighbors, ONE
+    * cheap distributed job per round (join + partial-agg min, shuffled
+    * on the node id). Near-dup graphs are shallow (diameter ≤ a few
+    * hops), so this converges in a handful of rounds and is the fast
+    * path — the r17 A/B measured pure large-star/small-star 20–50%
+    * slower on the gated consumers because each star round pays two
+    * joins + two distincts against propagation's single job (and
+    * geo_dbscan's grid graph needs >8 propagation rounds, so even a
+    * propRounds=8 hybrid regressed it +25%; the default budget therefore
+    * stays the full `propRounds`=50 every current workload converges
+    * inside, keeping r16 performance bit-for-bit). Phase 2: if
+    * propagation has NOT converged inside the budget (a deeper chain —
+    * the shape the r16 solver ABORTED on), contract the graph by the
+    * current labels and finish the QUOTIENT graph with [[starLabels]],
+    * which closes any shape in O(log n) rounds; the final label composes
+    * the two phases. Propagation labels are always within-component and
+    * the true component min keeps its own label, so the quotient
+    * components map 1:1 onto the originals and the composed min is
+    * exact. A pathological 10⁶-hop chain thus costs 50 cheap
+    * propagation rounds + ~40 star rounds instead of an abort.
+    *
+    * Driver holds only a moved-counter (phase 1) / digest pair (phase
+    * 2); `localCheckpoint` truncates lineage each round. */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, propRounds: Int = 50): DataFrame = {
     val edges = pairs.select(col("d1"), col("d2"))
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .localCheckpoint(true)
@@ -418,7 +437,7 @@ object Dedup {
       .localCheckpoint(true)
     var iter = 0
     var changed = 1L
-    while (changed > 0 && iter < maxIter) {
+    while (changed > 0 && iter < propRounds) {
       // convergence detection is FOLDED into the round: own rows carry a
       // tag, so the same min-aggregate yields old and new label side by
       // side (every node has exactly one own row → old_label never null).
@@ -436,12 +455,79 @@ object Dedup {
       labels = next.select(col("doc_id"), col("label"))
       iter += 1
     }
+    if (changed == 0) labels
+    else {
+      // deep graph: contract by current labels and let the star solver
+      // close the quotient in O(log n) rounds instead of aborting
+      val l1 = labels.select(col("doc_id").as("d1"), col("label").as("l1"))
+      val l2 = labels.select(col("doc_id").as("d2"), col("label").as("l2"))
+      val qPairs = pairs.join(l1, "d1").join(l2, "d2")
+        .select(col("l1").as("d1"), col("l2").as("d2"))
+        .filter(col("d1") =!= col("d2")).distinct()
+      val qNodes = labels.select(col("label").as("doc_id")).distinct()
+      val (qLabels, _) = starLabels(qNodes, qPairs, maxIter)
+      labels.join(qLabels.select(col("doc_id").as("label"),
+          col("label").as("final_label")), Seq("label"))
+        .select(col("doc_id"), col("final_label").as("label"))
+    }
+  }
+
+  /** [[connectedComponents]] plus the round count (the convergence spec
+    * pins a 200-node path graph at ≤ 2·log₂ n rounds). */
+  def starLabels(nodes: DataFrame, pairs: DataFrame,
+      maxIter: Int = 50): (DataFrame, Int) = {
+    def canon(e: DataFrame): DataFrame = e
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .distinct()
+    // large-star needs the OPEN neighborhood in both directions; the
+    // canonical set already holds each node's smaller neighbors, so
+    // small-star reads it directly
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = s.groupBy(col("u"))
+        .agg(least(col("u"), min(col("v"))).as("m"))
+      canon(s.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .union(m.select(col("u").as("a"), col("m").as("b"))))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      canon(e.join(m, "u").select(col("v").as("a"), col("m").as("b"))
+        .union(m.select(col("u").as("a"), col("m").as("b"))))
+    }
+    // one digest job per round over the freshly checkpointed blocks; the
+    // per-edge hash is folded modulo a prime so the sum stays far from
+    // Long overflow (ANSI mode throws) up to ~9e9 edges
+    def digest(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(pmod(xxhash64(col("u"), col("v")), lit(1000000007L))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var edges = canon(pairs.select(col("d1").as("a"), col("d2").as("b")))
+      .localCheckpoint(true)
+    var sig = digest(edges)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nextSig = digest(next)
+      converged = nextSig == sig
+      edges = next
+      sig = nextSig
+      iter += 1
+    }
     // a silently non-converged result would split one true duplicate
     // cluster into several keepers — fail loudly instead
-    require(changed == 0,
-      s"connectedComponents did not converge in $maxIter rounds ($changed labels still moving); " +
-        "raise maxIter for graphs with diameter beyond it")
-    labels
+    require(converged,
+      s"connectedComponents did not converge in $maxIter star rounds; " +
+        "raise maxIter (expected ~2*log2(n) rounds)")
+    val centers = edges.groupBy(col("u")).agg(min(col("v")).as("m"))
+    val labels = nodes.join(centers.select(col("u").as("doc_id"), col("m")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("m"), col("doc_id")).as("label"))
+    (labels, iter)
   }
 
   /** F19: near-dup clustering — connected components over the n-gram

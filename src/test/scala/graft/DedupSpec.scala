@@ -226,38 +226,48 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(labels(30L) == 30L, "singleton keeps its own label")
   }
 
-  test("connected components: two jobs per round (convergence folded into the propagation)") {
-    // r2 shipped a separate join+count action per round; the detection now
-    // rides the round's own aggregate — per round exactly: the eager
-    // checkpoint job + a moved-count scan OVER the checkpointed blocks
-    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        jobs.incrementAndGet(): Unit
+  test("connected components: a 200-node path converges in O(log n) star rounds") {
+    // the r2 min-label solver needed O(diameter) rounds — a 200-hop path
+    // would blow its maxIter=50 and ABORT; the star alternation closes it
+    // in O(log n). 2·log₂(200) ≈ 15.3 → bound 16 rounds.
+    val n = 200
+    val nodes = (1L to n.toLong).toDF("doc_id")
+    val pairs = (1L until n.toLong).map(i => (i, i + 1)).toDF("d1", "d2")
+    val (labelsDf, rounds) = Dedup.starLabels(nodes, pairs)
+    val labels = labelsDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == n && labels.values.forall(_ == 1L),
+      s"path graph must collapse to one component labeled 1: $labels")
+    assert(rounds <= 16,
+      s"star alternation took $rounds rounds on a $n-node path (O(log n) bound: 16)")
+    // the hybrid front door with a tightened propagation budget:
+    // 8 rounds can't close a 200-hop chain, so this exercises the
+    // contract-and-star phase plus the label composition (the r16
+    // solver ABORTED on this shape)
+    val hybrid = Dedup.connectedComponents(nodes, pairs, propRounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hybrid.size == n && hybrid.values.forall(_ == 1L),
+      "hybrid solver must compose propagation + star labels exactly")
+  }
+
+  test("connected components: random graphs match a brute-force union-find") {
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 120
+      val edges = Seq.fill(90)((rng.nextInt(n).toLong + 1, rng.nextInt(n).toLong + 1))
+        .filter { case (a, b) => a != b }
+      // brute-force union-find oracle
+      val parent = Array.tabulate(n + 1)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
+      val want = (1 to n).map(i => i.toLong -> find(i).toLong).toMap
+      val got = Dedup.connectedComponents(
+          (1L to n.toLong).toDF("doc_id"), edges.toDF("d1", "d2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial diverged from union-find")
     }
-    val nodes = (1L to 6L).toDF("doc_id")
-    val pairs = (1L to 5L).map(i => (i, i + 1)).toDF("d1", "d2") // chain, diameter 5
-    spark.sparkContext.addSparkListener(listener)
-    // AQE materializes shuffle stages as extra jobs — pin it off so one
-    // action is exactly one job and the count below is deterministic
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      Dedup.connectedComponents(nodes, pairs).collect()
-      Thread.sleep(1000) // listener bus is async; let JobStart events drain
-    } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
-      spark.sparkContext.removeSparkListener(listener)
-    }
-    // chain of 6: label 1 walks 5 hops + 1 no-change round = 6 rounds;
-    // setup = 2 checkpoint jobs (edges, initial labels), final collect = 1;
-    // per round exactly 3: broadcast-exchange of the small labels side,
-    // the eager checkpoint, the moved-count scan of the checkpointed
-    // blocks. The r2 shape (separate join+count action) added 2 more per
-    // round and trips this bound.
-    val rounds = 6
-    assert(jobs.get() <= 3 + 3 * rounds,
-      s"${jobs.get()} jobs for $rounds rounds — an extra per-round action crept back in")
   }
 
   test("incremental dedup classifies corpus hits, batch-internal dups, and novel docs") {
