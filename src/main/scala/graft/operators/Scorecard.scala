@@ -376,7 +376,6 @@ object Scorecard {
 
   def streamScorecard(spark: SparkSession, dir: String): DataFrame = {
     val specs = gateCols.toMap
-    val fs = buildFrames(spark, dir)
     // digest collection shape, conf-switchable for A/B
     // (`graft.scorecard.union`): ONE union job hands all 37 digest
     // stages to the DAG scheduler at once (no 8-thread pool cap, one
@@ -394,12 +393,20 @@ object Scorecard {
     // conf-keyed for re-measurement. The driver holds one 4-field row
     // per gate either way — constant-size.
     if (spark.conf.get("graft.scorecard.union", "false").toBoolean) {
-      fs.map { case (g, df) => digestOf(g, df, specs(g)) }
+      buildFrames(spark, dir)
+        .map { case (g, df) => digestOf(g, df, specs(g)) }
         .reduce(_.unionByName(_))
         .orderBy(col("gate"))
     } else {
-      val rows = parRun(spark)(fs.map { case (g, df) => () =>
-        val r = digestOf(g, df, specs(g)).collect()(0)
+      // FUSED per-gate pipeline (r17): frame construction and digest
+      // collect run as ONE thunk per gate on the pool, so early gates
+      // digest while late gates still build — the r16 shape barriered
+      // ALL 37 frame builds (3.5 s parallel wall) before the first
+      // digest job could start, and that barrier bought nothing (no
+      // digest reads another gate's frame; the genuinely shared inputs
+      // are the pre-materialized collapses inside frames()).
+      val rows = parRun(spark)(frames(spark, dir).map { case (g, mk) => () =>
+        val r = digestOf(g, mk(), specs(g)).collect()(0)
         (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
       })
       spark.createDataFrame(rows)
