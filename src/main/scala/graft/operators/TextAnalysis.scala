@@ -898,6 +898,15 @@ object TextAnalysis {
     val wired = Dedup.paragraphWire(t.documents.select(col("doc_id"), col("text")))
       .withColumn("n_tok", size(tokens(col("text"))).cast("long"))
       .localCheckpoint(true)
+    // Stage checkpoints hold survivor ID SETS, not stage frames (r17):
+    // a stage frame carries the corpus TEXT, and eagerly materializing
+    // it per stage re-copied the text blocks four times; the gates only
+    // decide doc_ids, so each stage pins its (tiny) id set and the
+    // frame any consumer needs is re-derived as one join against the
+    // SINGLE text materialization (`wired`) — column pruning means an
+    // id-only consumer (the lineage aggs, the shard checksum) never
+    // touches the text at all.
+    def frameOf(ids: DataFrame): DataFrame = wired.join(ids, Seq("doc_id"))
     // stage 2: sub-document dedup as a DOC gate — fully-first-owned only
     val chunks = Dedup.paragraphChunksOf(wired.select(col("doc_id"), col("text")), w)
     val keepers = chunks.groupBy(col("h")).agg(min(col("occ_key")).as("keeper_key"))
@@ -905,18 +914,19 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("occ_key") === col("keeper_key"), 1L).otherwise(0L)).as("n_kept"))
-    val s2 = wired.join(pd, Seq("doc_id"))
-      .filter(col("n_kept") === col("n_chunks"))
-      .select(col("doc_id"), col("text"), col("n_tok"))
-      .localCheckpoint(true)
+    val s2Ids = pd.filter(col("n_kept") === col("n_chunks"))
+      .select(col("doc_id")).localCheckpoint(true)
+    val s2 = frameOf(s2Ids)
     // stage 3: novelty budget over the survivor set
     val novKeep = textNoveltyOf(s2.select(col("doc_id"), col("text")), k)
       .filter(col("novelty_ppm") >= noveltyMin).select(col("doc_id"))
-    val s3 = s2.join(novKeep, Seq("doc_id")).localCheckpoint(true)
+    val s3Ids = s2Ids.join(novKeep, Seq("doc_id")).localCheckpoint(true)
+    val s3 = frameOf(s3Ids)
     // stage 4: hub cap on the survivor gram graph
     val prKeep = Graph.pagerankOf(s3.select(col("doc_id"), col("text")), k, 32, 5)
       .filter(col("pr_ppm") <= prCap).select(col("doc_id"))
-    val s4 = s3.join(prKeep, Seq("doc_id")).localCheckpoint(true)
+    val s4Ids = s3Ids.join(prKeep, Seq("doc_id")).localCheckpoint(true)
+    val s4 = frameOf(s4Ids)
     // stage 5: the training order — (shard, pos) folded into one checksum
     val sh = sampleShuffleOf(s4, nShards, 32)
       .agg(countDistinct(col("shard")).cast("long").as("sh_shards"),
