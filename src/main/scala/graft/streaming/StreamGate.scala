@@ -92,7 +92,20 @@ object StreamGate {
     val target = math.max(f, math.min(
       spark.sparkContext.defaultParallelism.toLong, (bytes + per - 1) / per))
     spark.conf.set(key, target.toString)
-    try body finally spark.conf.set(key, prev)
+    // a completed gate must not pin its state in the executor: the
+    // provider cache holds an in-memory copy of every partition's final
+    // state until maintenance eviction, and that residue measurably
+    // taxes whatever runs next on the session (r17: pipeline_media_
+    // curation benched 2.4 s solo vs 5.4-6.1 s after ONE stream gate;
+    // the cross-entry wander class tracked since r14 follows the same
+    // alphabetical shadow - every t*/batch entry after the stream_*
+    // block, and every pass-2 entry, ran against ~38 gates' loaded
+    // providers)
+    try body finally {
+      spark.conf.set(key, prev)
+      try org.apache.spark.sql.GraftShims.unloadStateStores()
+      catch { case _: Throwable => () }
+    }
   }
 
   /** G1 gate: watermarked tumbling-window aggregation run availableNow in
