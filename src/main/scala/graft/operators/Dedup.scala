@@ -373,12 +373,13 @@ object Dedup {
     * embedded short doc whose Jaccard stays low. */
   def containmentOf(documents: DataFrame, k: Int, dfCap: Int,
       threshold: Double): DataFrame = {
+    // r17: gramHashes kernel — per-doc distinct hashes emitted directly
+    // (one codegen call, zero gram strings), so the exploded rows ARE the
+    // distinct (doc_id, gh) pairs and the old global .distinct() exchange
+    // is redundant (within-doc distinct ⇒ pair-distinct). Same xxhash64.
     val occ = documents
       .select(col("doc_id"), explode(
-        graft.operators.TextAnalysis.wordGrams(
-          graft.operators.TextAnalysis.tokens(col("text")), k)).as("gram"))
-      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
-      .distinct()
+        graft.functions.TextKernels.gramHashesCol(col("text"), k)).as("gh"))
     val sizes = occ.groupBy(col("doc_id")).agg(count(lit(1)).as("ng"))
     val shared = occ.groupBy(col("gh")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs").between(2, dfCap))

@@ -62,13 +62,15 @@ object Graph {
     // this frame, and without the pin each round would re-scan (and
     // re-spread) the source parquet
     val docs = documents.select(col("doc_id")).localCheckpoint(true)
-    // (1) distinct (doc, gram-hash) incidence — one explode, hashes only
-    // from here on (8-byte keys through every shuffle).
+    // (1) distinct (doc, gram-hash) incidence — hashes only from here on
+    // (8-byte keys through every shuffle). r17: the gramHashes kernel
+    // dedups per doc BEFORE the explode (one codegen call, zero gram
+    // strings), making the exploded rows the distinct pairs directly —
+    // the old explode→xxhash64→.distinct() exchange is redundant
+    // (within-doc distinct ⇒ pair-distinct) and dropped.
     val occ = documents
       .select(col("doc_id"),
-        explode(TextAnalysis.wordGrams(TextAnalysis.tokens(col("text")), k)).as("gram"))
-      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
-      .distinct()
+        explode(graft.functions.TextKernels.gramHashesCol(col("text"), k)).as("gh"))
     // (2) shared grams with bounded fan-out: df in [2, dfCap]. The dup
     // set is small (shared keys only) and broadcasts into the semi join.
     val shared = occ.groupBy(col("gh")).agg(count(lit(1)).as("n_docs"))

@@ -10,15 +10,33 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Non-empty whitespace tokens of the lowercased text. */
-  def tokens(c: Column): Column =
+  /** Non-empty whitespace tokens of the lowercased text.
+    *
+    * r17: native kernel ([[graft.functions.TextKernels]]) — the HOF
+    * formulation's `filter` lambda evaluated interpreted per element;
+    * the kernel is one staying-in-codegen eval per row. Byte-identical
+    * output (spec-pinned against [[tokensHof]]). */
+  def tokens(c: Column): Column = graft.functions.TextKernels.tokensCol(c)
+
+  /** The original HOF formulation — kept as the kernel's equivalence
+    * oracle (TextKernelsSpec pins byte-identity on corpus + edge cases). */
+  private[graft] def tokensHof(c: Column): Column =
     filter(split(lower(c), "\\s+"), t => length(t) > 0)
 
   /** Word n-grams as space-joined strings — ONE builder shared by the
     * contamination screen and the repetition filter (each with a matching
     * hand-written oracle; a single definition keeps op and oracle pairs
-    * from drifting apart). */
+    * from drifting apart).
+    *
+    * r17: native kernel — the `transform` lambda with its per-gram
+    * `slice`+`array_join` allocations evaluated interpreted; the kernel
+    * builds each gram's bytes once. Byte-identical output (spec-pinned
+    * against [[wordGramsHof]]). */
   def wordGrams(toks: Column, n: Int): Column =
+    graft.functions.TextKernels.wordGramsCol(toks, n)
+
+  /** The original HOF formulation — the kernel's equivalence oracle. */
+  private[graft] def wordGramsHof(toks: Column, n: Int): Column =
     when(size(toks) >= n,
         transform(sequence(lit(1), size(toks) - (n - 1)),
           i => array_join(slice(toks, i, lit(n)), " ")))
@@ -503,10 +521,11 @@ object TextAnalysis {
     * when the stamped layout for this corpus version doesn't exist yet. */
   private[operators] def lmScoreFresh(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val lowered = lower(col("text"))
-    val bigrams = when(length(lowered) >= 2,
-        transform(sequence(lit(1), length(lowered) - 1), i => lowered.substr(i, lit(2))))
-      .otherwise(array().cast("array<string>"))
+    // r17: native kernel — the transform(sequence…substr) chain evaluated
+    // its lambda interpreted and allocated a 2-char string per character
+    // position; charBigrams emits the same code-point slices in one
+    // codegen call (spec-pinned byte-identical in TextKernelsSpec)
+    val bigrams = graft.functions.TextKernels.charBigramsCol(col("text"))
     // ONE explode pass over the corpus, immediately compressed to
     // (doc, bg, cnt) — one row per distinct bigram per doc (~10× fewer
     // than per-occurrence) — and checkpointed so the model training AND
@@ -969,11 +988,15 @@ object TextAnalysis {
   /** The F60 compute over any (doc_id, text) frame — specs plant
     * copies/derivatives with closed-form novelty. */
   def textNoveltyOf(docs: DataFrame, k: Int): DataFrame = {
+    // r17: the gramHashes kernel emits each doc's DISTINCT gram hashes
+    // directly (tokenize → gram-hash → per-doc dedup in one codegen
+    // call, zero gram strings), so the exploded rows are already the
+    // distinct (doc_id, gh) pairs — the old global .distinct() exchange
+    // is provably redundant (within-doc distinct ⇒ pair-distinct) and
+    // is dropped with it. Hash = the same xxhash64 (spec-pinned).
     val grams = docs
       .select(col("doc_id"),
-        explode(wordGrams(tokens(col("text")), k)).as("gram"))
-      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
-      .distinct()
+        explode(graft.functions.TextKernels.gramHashesCol(col("text"), k)).as("gh"))
     val owners = grams.groupBy(col("gh")).agg(min(col("doc_id")).as("owner"))
     grams.join(owners, Seq("gh"))
       .groupBy(col("doc_id"))
@@ -1799,13 +1822,17 @@ object TextAnalysis {
   /** The F92 compute over any (doc_id, text) frame — specs plant
     * all-green and balanced wires with closed-form z. */
   def watermarkOf(spark: SparkSession, documents: DataFrame): DataFrame = {
-    graft.functions.Fnv64.register(spark)
+    // r17: one fused kernel pass — the old shape materialized the bigram
+    // array (native since the wordGrams kernel) and then ran an
+    // INTERPRETED filter lambda calling fnv64 per gram; greenPairs folds
+    // tokenize → pair-hash → bit-40 test into a single codegen call with
+    // zero gram strings (packed (n_pairs << 32) | n_green; spec-pinned
+    // bit-identical to the fnv64-filter formulation in TextKernelsSpec)
     documents
-      .withColumn("grams", wordGrams(tokens(col("text")), 2))
-      .withColumn("n_pairs", size(col("grams")).cast("long"))
+      .withColumn("wm", graft.functions.TextKernels.greenPairsCol(col("text")))
+      .withColumn("n_pairs", shiftright(col("wm"), 32))
       .filter(col("n_pairs") >= 1L)
-      .withColumn("n_green",
-        expr("size(filter(grams, g -> ((fnv64(g) >> 40) & 1) = 0))").cast("long"))
+      .withColumn("n_green", col("wm").bitwiseAND(lit(0xffffffffL)))
       .withColumn("green_ppm", expr("n_green * 1000000 div n_pairs"))
       .withColumn("z_score",
         round((lit(2.0) * col("n_green") - col("n_pairs"))

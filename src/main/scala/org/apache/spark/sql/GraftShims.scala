@@ -9,6 +9,17 @@ object GraftShims {
   def ofRows(spark: classic.SparkSession, plan: LogicalPlan): classic.DataFrame =
     classic.Dataset.ofRows(spark, plan)
 
+  /** Wrap a raw Catalyst expression as a Column (`ExpressionUtils.column`
+    * is `private[sql]` in Spark 4's classic module). Lets helper
+    * functions build native-kernel Columns without a SparkSession handle
+    * (the function-registry route needs one per session). */
+  def exprColumn(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  /** Inverse bridge: the Catalyst expression behind a Column. */
+  def colExpr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
+
   /** Unload every cached state-store provider (`StateStore.unloadAll` is
     * `private[sql]`). A completed availableNow gate leaves its per-partition
     * providers — in-memory copies of the final state — in the executor's

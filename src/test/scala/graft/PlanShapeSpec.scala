@@ -346,7 +346,11 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
 
   test("text novelty: gram hashes shuffle (not strings), ownership joins back, no window, no cartesian") {
     val p = plan("text_novelty")
-    assert(p.contains("xxhash64"), s"grams must collapse to hashes:\n$p")
+    // r17: the gramHashes kernel collapses grams to per-doc DISTINCT
+    // hashes inside the scan stage, so no gram string ever reaches a
+    // shuffle and the old explode→xxhash64→distinct exchange is gone
+    assert(p.contains("graft_gram_hashes"),
+      s"grams must collapse to hashes in the kernel:\n$p")
     assert(!p.contains("Window"), s"novelty needs no window:\n$p")
     assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
       s"unbounded join leaked in:\n$p")
@@ -421,7 +425,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     val p = plan("dedup_containment")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"containment must never go all-pairs:\n$p")
-    assert(p.contains("xxhash64"), s"gram strings must collapse to hashes before shuffling:\n$p")
+    // r17: hashes come from the gramHashes kernel (per-doc distinct,
+    // zero gram strings) instead of explode→xxhash64→distinct
+    assert(p.contains("graft_gram_hashes"),
+      s"gram strings must collapse to hashes before shuffling:\n$p")
   }
 
   test("rank tests: corpus collapses to value cells BEFORE the rank window, no data-sized join") {
