@@ -1841,6 +1841,7 @@ object LoadOps {
       .collect().map(_.getDate(0)).toSeq.sortBy(_.getTime)
     if (missing.nonEmpty)
       src.filter(col("month").isInCollection(missing))
+        .repartition(col("month")) // cluster by the partition key: one file per repaired month, not per scan task (guide-style hash distribution)
         .write.mode("append").partitionBy("month").parquet(tgt)
     missing
   }
@@ -1864,6 +1865,7 @@ object LoadOps {
     // the interrupted original run: one in five months never landed
     val mkey = year(col("month")) * 12 + month(col("month"))
     src.filter(pmod(mkey, lit(5)) =!= 0)
+      .repartition(col("month")) // one file per month at ANY scan-task count
       .write.mode("overwrite").partitionBy("month").parquet(tgt)
     backfillPass(spark, dir, tgt)
     spark.read.parquet(tgt)
@@ -1891,7 +1893,8 @@ object LoadOps {
       .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
     val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try batch.write.mode("overwrite").partitionBy("month").parquet(tgt)
+    try batch.repartition(col("month"))
+      .write.mode("overwrite").partitionBy("month").parquet(tgt)
     finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     batch.select(date_format(col("month"), "yyyy-MM-dd")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
@@ -1914,6 +1917,7 @@ object LoadOps {
     val root = dynOverwriteRoot(spark)
     val tgt = s"$root/by_month"
     ordersByMonth(spark, dir)
+      .repartition(col("month")) // one file per month at ANY scan-task count
       .write.mode("overwrite").partitionBy("month").parquet(tgt)
     dynRestatePass(spark, dir, tgt)
     spark.read.parquet(tgt)
