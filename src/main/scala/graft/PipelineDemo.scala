@@ -274,10 +274,13 @@ object PipelineDemo {
             max(col("o_orderkey")).as("max_key")).head()
         (label, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
       }
-      Seq(gen("clone_pinned",
+      // r18: the two generation reads are independent parquet scans —
+      // run them concurrently (guide §2.6) instead of as two serial jobs
+      graft.operators.ParJobs.run(spark, "graft clone gens", threads = 2)(Seq(
+          () => gen("clone_pinned",
             Pipeline.resolvePublished(spark, cloneTgt, "orders_clone")),
-          gen("source_live",
-            Pipeline.resolvePublished(spark, srcTgt, "orders_snap")))
+          () => gen("source_live",
+            Pipeline.resolvePublished(spark, srcTgt, "orders_snap"))))
         .toDF("view_name", "n_rows", "n_keys", "min_key", "max_key")
         .orderBy(col("view_name"))
     } finally {

@@ -38,6 +38,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *     bytes) and the watermark pair hash replays `fnv64(gram)`
   *     bit-for-bit, so every downstream oracle-checked value is
   *     unchanged.
+  *
+  * NULL contract (r17 ADVICE): these are standard null-propagating
+  * UnaryExpressions — a NULL text yields a NULL array/long, where the
+  * replaced `when(...).otherwise(array())` Column forms yielded an
+  * EMPTY array. The engine's text operators guarantee non-null text at
+  * their boundaries (the corpus tables declare text NOT NULL and every
+  * wire builder concat-constructs it), so no declared query observes
+  * the difference; a future caller feeding nullable text must coalesce
+  * first (`coalesce(text, lit(""))`) or wrap in the old when-form.
   */
 object TextKernels {
 
@@ -225,6 +234,47 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** PER-DOC character-bigram COUNTS — fuses charBigrams → explode →
+    * groupBy(doc, bg) → count into one eval: sorted (binary UTF8 order)
+    * distinct bigrams with their occurrence counts, so the consumer's
+    * explode emits exact (doc, bg, cnt) rows directly and the first
+    * corpus-sized hash aggregation (and its Exchange) disappears from
+    * the F20 LM build (guide §2.3: aggregate before you shuffle — here
+    * the "aggregate" runs inside the scan task at zero protocol cost).
+    * Counts are per-occurrence charBigrams counts by construction;
+    * equivalence is spec-pinned against the retained charBigrams form. */
+  def charBigramCounts(input: UTF8String): GenericArrayData = {
+    val b = input.toLowerCase.getBytes
+    var nChars = 0
+    var off = 0
+    val starts = new Array[Int](b.length + 1)
+    while (off < b.length) {
+      starts(nChars) = off
+      off += UTF8String.numBytesForFirstByte(b(off))
+      nChars += 1
+    }
+    starts(nChars) = b.length
+    if (nChars < 2) return new GenericArrayData(Array.empty[AnyRef])
+    val counts = new java.util.HashMap[UTF8String, Array[Long]]()
+    var i = 0
+    while (i < nChars - 1) {
+      val bg = UTF8String.fromBytes(b, starts(i), starts(i + 2) - starts(i))
+      val c = counts.get(bg)
+      if (c == null) counts.put(bg, Array(1L)) else c(0) += 1L
+      i += 1
+    }
+    val keys = counts.keySet().toArray(new Array[UTF8String](counts.size()))
+    java.util.Arrays.sort(keys.asInstanceOf[Array[AnyRef]])
+    val out = new Array[AnyRef](keys.length)
+    var j = 0
+    while (j < keys.length) {
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](keys(j), counts.get(keys(j))(0)))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def tokensCol(c: Column): Column = GraftShims.exprColumn(
     TokensExpr(GraftShims.colExpr(c)))
   def wordGramsCol(toks: Column, n: Int): Column = GraftShims.exprColumn(
@@ -235,6 +285,8 @@ object TextKernels {
     GreenPairsExpr(GraftShims.colExpr(text)))
   def charBigramsCol(text: Column): Column = GraftShims.exprColumn(
     CharBigramsExpr(GraftShims.colExpr(text)))
+  def charBigramCountsCol(text: Column): Column = GraftShims.exprColumn(
+    CharBigramCountsExpr(GraftShims.colExpr(text)))
 }
 
 case class TokensExpr(child: Expression) extends UnaryExpression {
@@ -279,6 +331,21 @@ case class GreenPairsExpr(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.greenPairs($c)")
   override protected def withNewChildInternal(newChild: Expression): GreenPairsExpr =
+    copy(child = newChild)
+}
+
+case class CharBigramCountsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bg", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("cnt", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_char_bigram_counts"
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.charBigramCounts(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.charBigramCounts($c)")
+  override protected def withNewChildInternal(newChild: Expression): CharBigramCountsExpr =
     copy(child = newChild)
 }
 

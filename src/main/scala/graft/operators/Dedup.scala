@@ -370,7 +370,12 @@ object Dedup {
     containmentOf(Tables(spark, dir).documents, k, dfCap, threshold)
 
   /** The F83 compute over any (doc_id, text) frame — specs plant an
-    * embedded short doc whose Jaccard stays low. */
+    * embedded short doc whose Jaccard stays low.
+    *
+    * PRECONDITION (r17 ADVICE): exactly ONE row per doc_id — the
+    * gramHashes kernel's within-doc distinct stands in for the old
+    * global (doc_id, gh) `.distinct()`, which is only sound when no
+    * doc_id repeats (see [[graft.operators.TextAnalysis.textNoveltyOf]]). */
   def containmentOf(documents: DataFrame, k: Int, dfCap: Int,
       threshold: Double): DataFrame = {
     // r17: gramHashes kernel — per-doc distinct hashes emitted directly

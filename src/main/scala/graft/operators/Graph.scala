@@ -56,7 +56,12 @@ object Graph {
     * w = number of distinct shared word k-grams with corpus df in
     * [2, dfCap]. Lazy — each consumer pins (checkpoints) the stage it
     * iterates over. Factored from F53 so triangles (F71) and label
-    * propagation (F72) measure the SAME graph PageRank ranks. */
+    * propagation (F72) measure the SAME graph PageRank ranks.
+    *
+    * PRECONDITION (r17 ADVICE): exactly ONE row per doc_id — the
+    * gramHashes kernel's within-doc distinct stands in for the old
+    * global (doc_id, gh) `.distinct()`, which is only sound when no
+    * doc_id repeats (see [[graft.operators.TextAnalysis.textNoveltyOf]]). */
   def gramPairs(documents: DataFrame, k: Int, dfCap: Int): (DataFrame, DataFrame) = {
     // one row per doc, checkpointed ONCE: every iteration joins against
     // this frame, and without the pin each round would re-scan (and
@@ -94,6 +99,16 @@ object Graph {
     // (4) K power-iteration rounds. Integer fixed-point: pr ≤ total
     // corpus mass (n_docs · 1e6), so pr·w and 850_000·inflow stay far
     // inside LONG for any realistic corpus.
+    //
+    // r18 refutations (both A/B'd isolated at sf0.1, REVERTED):
+    // (a) SHUFFLE_HASH hints on the rank-vector side of both per-round
+    // joins (to drop the sort-merge sorts) — graph_pagerank 3.11 →
+    // 3.89 s: the per-round hash-table builds cost more than the small
+    // sorted-run merges they replaced; (b) dropping the pre-checkpoint
+    // repartition(src) as "plan-invisible" — 3.11 → 3.40 s: the
+    // src-clustered block layout still pays off physically even though
+    // the checkpoint scan reports UnknownPartitioning. Sort-merge +
+    // clustered checkpoint stay.
     var pr = docs.withColumn("pr", lit(1000000L))
     for (_ <- 1 to iters) {
       val inflow = edges.join(pr, edges("src") === pr("doc_id"))

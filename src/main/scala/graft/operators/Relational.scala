@@ -1988,9 +1988,23 @@ object Relational {
       .select(col("l_returnflag").as("a"), col("l_linestatus").as("b"))
     val brandType = t.part
       .select(col("p_brand").as("a"), col("p_type").as("b"))
-    cramersVOf(segPrio, "c_mktsegment", "o_orderpriority")
-      .unionByName(cramersVOf(flagStatus, "l_returnflag", "l_linestatus"))
-      .unionByName(cramersVOf(brandType, "p_brand", "p_type"))
+    // r18: the three branch contingency builds are independent corpus
+    // scans whose eager checkpoints ran as three SERIAL jobs — the entry
+    // was job-count bound (guide §2.6: overlap independent jobs so the
+    // next scan back-fills the tail of the current one). Materialize the
+    // three cell frames concurrently, then assemble; the assembly (and
+    // the result) is unchanged.
+    val branches = Seq(
+      (segPrio, "c_mktsegment", "o_orderpriority"),
+      (flagStatus, "l_returnflag", "l_linestatus"),
+      (brandType, "p_brand", "p_type"))
+    val cells = ParJobs.materialize(spark, "graft cramers branches",
+      branches.map { case (rows, _, _) => () =>
+        rows.groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).cast("long").as("o"))
+      }, threads = 3)
+    cells.zip(branches).map { case (c, (_, na, nb)) => cramersFromCells(c, na, nb) }
+      .reduce(_.unionByName(_))
       .orderBy(col("col_a"), col("col_b"))
   }
 
@@ -2107,7 +2121,19 @@ object Relational {
       .localCheckpoint(true)) // the CDF window and the totals reread it
 
   /** The E58 assembly over a (flag, v, cnt) value-cell frame — shared
-    * with the G31 stream (cells are associative integer counts). */
+    * with the G31 stream (cells are associative integer counts).
+    *
+    * r18 refutations (both A/B'd isolated at sf0.1, REVERTED — this is
+    * the r16 join shape, kept): (a) computing n/lo/hi as full-partition
+    * window aggregates over the CDF window's exchange (3 scans → 1,
+    * 2 broadcasts → 0 on paper) serialized every post-window step into
+    * the |flags| window tasks — q_winsorized 1.55 → 2.02 s,
+    * stream_winsorized 9.67 → 13.54 s; (b) the milder hybrid (only `n`
+    * as a window aggregate, bounds/final unchanged) still lost —
+    * q_winsorized 1.55 → 1.85 s — the extra full-partition window
+    * buffer pass on the critical path costs more than the parallel
+    * side-branch totals agg it replaces. The cells are value-bounded
+    * (cent domain), so the 3-scan shape stays scale-safe. */
   def winsorizedFromCells(cells: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("flag")).orderBy(col("v"))
     val cum = cells.withColumn("cum", sum(col("cnt")).over(w))

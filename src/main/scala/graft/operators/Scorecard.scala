@@ -224,9 +224,14 @@ object Scorecard {
         min(col("sec")).cast("long").as("start_sec"),
         max(col("sec")).cast("long").as("end_sec"),
         round(sum(col("value")), 2).as("session_value"))
-    val sess = sess0.join(
-        sess0.groupBy(col("user_id")).agg(max(col("session_id")).as("last_sid")),
-        Seq("user_id"))
+    // r18: the "drop each user's final session" rule as a window over
+    // the SAME user_id partitioning the session fold already pays for —
+    // the old self-join re-aggregated sess0 and sort-merge-joined it
+    // back (a second corpus window + join); max(session_id) over the
+    // user partition selects the identical rows.
+    val sess = sess0
+      .withColumn("last_sid",
+        max(col("session_id")).over(Window.partitionBy(col("user_id"))))
       .filter(col("session_id") < col("last_sid"))
       .select(col("user_id"), col("n_events"), col("start_sec"),
         col("end_sec"), col("session_value"))
@@ -330,43 +335,14 @@ object Scorecard {
   /** Run independent Spark work concurrently on one session (the
     * documented multi-job pattern); used for the shared-collapse
     * materialization, the per-gate frame thunks, and the per-gate digest
-    * collects.
-    *
-    * Failure containment (r16): every thunk's jobs are tagged with one
-    * scoreboard-scoped job group (setJobGroup is thread-local, so the
-    * tag is applied inside each pool thread, with interruptOnCancel).
-    * If any thunk throws, the whole group is cancelled and the pool is
-    * shut down with interruption BEFORE the failure propagates — a
-    * failing gate no longer leaves up to 7 sibling digest jobs running
-    * to completion on the shared session after streamScorecard has
-    * already thrown. */
-  private def parRun[A](spark: SparkSession)(thunks: Seq[() => A]): Seq[A] = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.DurationInt
-    val sc = spark.sparkContext
-    val group = s"graft-scorecard-${java.util.UUID.randomUUID()}"
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-    val work = Future.sequence(thunks.map(t => Future {
-      sc.setJobGroup(group, "graft stream scorecard", interruptOnCancel = true)
-      try t() finally sc.clearJobGroup()
-    }))
-    try Await.result(work, 30.minutes)
-    catch {
-      case e: Throwable =>
-        // cancelJobGroupAndFutureJobs is STICKY: a sibling thunk that was
-        // mid-planning (no active job yet) and submits after the failure
-        // is cancelled too — plain cancelJobGroup only kills jobs already
-        // running, leaving that race open
-        try sc.cancelJobGroupAndFutureJobs(group) catch { case _: Throwable => () }
-        pool.shutdownNow()
-        throw e
-    } finally pool.shutdown()
-  }
+    * collects. Body hoisted to [[ParJobs]] (r18) so the multi-branch
+    * batch entries share the same job-group failure containment. */
+  private def parRun[A](spark: SparkSession)(thunks: Seq[() => A]): Seq[A] =
+    ParJobs.run(spark, "graft stream scorecard")(thunks)
 
   private def parMaterialize(spark: SparkSession,
       mk: Seq[() => DataFrame]): Seq[DataFrame] =
-    parRun(spark)(mk.map(m => () => m().localCheckpoint(true)))
+    ParJobs.materialize(spark, "graft stream scorecard", mk)
 
   private def buildFrames(spark: SparkSession,
       dir: String): Seq[(String, DataFrame)] = {

@@ -429,8 +429,15 @@ object Similarity {
       // time, from the same quantizer): ADC serving reads only the code
       // columns — column pruning keeps the wide `v` out of the candidate
       // scan entirely
+      // r18: codes come from the native PqCodesExpr kernel (ONE eval for
+      // all sub-codes; spec-pinned byte-identical to the pqCodeCols
+      // Column oracle, which stays the spec/curve form) — the generated
+      // per-subspace argmin trees were ~1.3 s of the cold build's JIT
       assigned
-        .select(assigned.columns.toIndexedSeq.map(col) ++ pqCodeCols(cents, PqSubspaces): _*)
+        .withColumn("graft_pq", graft.functions.PqKernels.pqCodesCol(
+          col("v"), cents, PqSubspaces))
+        .select(assigned.columns.toIndexedSeq.map(col) ++
+          (0 until PqSubspaces).map(m => col("graft_pq")(m).as(s"code_$m")): _*)
         .repartition(col("list_id"))           // one file per list directory
         .write.mode("overwrite").partitionBy("list_id").parquet(s"$tmp/lists")
       cents.toDF("list_id", "cv").write.mode("overwrite").parquet(s"$tmp/centroids")

@@ -517,22 +517,33 @@ object TextAnalysis {
     f.delete(): Unit
   }
 
+  /** The (doc_id, bg, cnt) cell stage of the F20 build, pre-checkpoint —
+    * factored out so its plan stays inspectable (the checkpoint hides it
+    * from lmScoreFresh's final plan). r18: the charBigramCounts kernel
+    * emits per-doc exact counts, so the explode IS the cell frame — the
+    * old per-occurrence explode → groupBy(doc_id, bg) hash aggregation
+    * and its Exchange are gone (plans/r18/text_lm_db_{before,after}.txt:
+    * Generate → 2×HashAggregate + Exchange → Generate only). */
+  private[graft] def lmDbStage(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents.select(col("doc_id"),
+        explode(graft.functions.TextKernels.charBigramCountsCol(col("text"))).as("s"))
+      .select(col("doc_id"), col("s.bg").as("bg"), col("s.cnt").as("cnt"))
+  }
+
   /** The F20 compute itself — one corpus pass, run by [[lmScore]] only
     * when the stamped layout for this corpus version doesn't exist yet. */
-  private[operators] def lmScoreFresh(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    // r17: native kernel — the transform(sequence…substr) chain evaluated
-    // its lambda interpreted and allocated a 2-char string per character
-    // position; charBigrams emits the same code-point slices in one
-    // codegen call (spec-pinned byte-identical in TextKernelsSpec)
-    val bigrams = graft.functions.TextKernels.charBigramsCol(col("text"))
-    // ONE explode pass over the corpus, immediately compressed to
-    // (doc, bg, cnt) — one row per distinct bigram per doc (~10× fewer
-    // than per-occurrence) — and checkpointed so the model training AND
-    // the scoring below both reuse it instead of re-exploding the corpus
-    val db = t.documents.select(col("doc_id"), explode(bigrams).as("bg"))
-      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
+  private[graft] def lmScoreFresh(spark: SparkSession, dir: String): DataFrame = {
+    // r18: the per-doc bigram COUNTS kernel (charBigramCounts) fuses the
+    // r17 charBigrams → explode → groupBy(doc, bg) → count chain into
+    // one scan-stage eval — the per-occurrence rows never exist as plan
+    // rows and the corpus-sized hash aggregation (with its Exchange over
+    // ~n_docs × distinct-bigram rows) disappears; explode now emits the
+    // exact (doc, bg, cnt) cells directly (spec-pinned equivalent to the
+    // retained charBigrams form in TextKernelsSpec). Checkpointed so the
+    // model training AND the scoring below both reuse it instead of
+    // re-scanning the corpus.
+    val db = lmDbStage(spark, dir).localCheckpoint(true)
     // the "language model": bigram + first-char counts + vocab size,
     // pre-joined into ONE tiny model table so scoring is a single
     // broadcast join
@@ -986,7 +997,17 @@ object TextAnalysis {
     textNoveltyOf(Tables(spark, dir).documents, k)
 
   /** The F60 compute over any (doc_id, text) frame — specs plant
-    * copies/derivatives with closed-form novelty. */
+    * copies/derivatives with closed-form novelty.
+    *
+    * PRECONDITION (r17 ADVICE): exactly ONE row per doc_id. The r17
+    * kernel swap dropped the global (doc_id, gh) `.distinct()` because
+    * the gramHashes kernel's within-doc distinct already implies
+    * pair-distinctness — an argument that breaks if a caller feeds
+    * duplicate doc_id rows (ng/n_docs/novelty would double-count where
+    * the old pipeline was robust). Every current caller passes a
+    * one-row-per-doc corpus table; dedup upstream before reusing this
+    * entry point on anything else. Same contract:
+    * [[graft.operators.Dedup.containmentOf]], [[Graph.gramPairs]]. */
   def textNoveltyOf(docs: DataFrame, k: Int): DataFrame = {
     // r17: the gramHashes kernel emits each doc's DISTINCT gram hashes
     // directly (tokenize → gram-hash → per-doc dedup in one codegen

@@ -20,7 +20,12 @@ object RunQuery {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     if (name == "stream-demo") { streamDemo(spark); spark.stop(); return }
+    // dev hook: the F20 LM BUILD plan (normally hidden behind the
+    // persisted-layout publish) — for plans/r<N> evidence of build-stage
+    // changes
     val df = if (name == "entry") graft.SparkEntry.entry(spark)
+      else if (name == "lm_build") graft.operators.TextAnalysis.lmScoreFresh(spark, sfDir)
+      else if (name == "lm_db") graft.operators.TextAnalysis.lmDbStage(spark, sfDir)
       else graft.SparkEntry.queries(name)(spark, sfDir)
     if (args.contains("--plan")) println(df.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode))

@@ -97,6 +97,26 @@ class TextKernelsSpec extends AnyFunSuite with SparkTestBase {
     assert(kern.exceptAll(hof).count() == 0 && hof.exceptAll(kern).count() == 0)
   }
 
+  test("charBigramCounts kernel == explode(charBigrams) + groupBy count") {
+    // the r18 fused form must emit exactly the (doc, bg, cnt) cells the
+    // explode + groupBy pipeline produced (sorted output, exact counts),
+    // on the corpus and every adversarial row
+    val viaGroupBy = corpus
+      .select(col("doc_id"), explode(TextKernels.charBigramsCol(col("text"))).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
+    val viaKernel = corpus
+      .select(col("doc_id"),
+        explode(TextKernels.charBigramCountsCol(col("text"))).as("s"))
+      .select(col("doc_id"), col("s.bg").as("bg"), col("s.cnt").as("cnt"))
+    assert(viaKernel.exceptAll(viaGroupBy).count() == 0 &&
+      viaGroupBy.exceptAll(viaKernel).count() == 0)
+    // sorted-distinct output order is part of the kernel contract
+    val unsorted = corpus
+      .select(TextKernels.charBigramCountsCol(col("text")).as("a"))
+      .filter(not(col("a") <=> array_sort(col("a"))))
+    assert(unsorted.count() == 0)
+  }
+
   test("charBigrams kernel == transform(sequence, substr) over code points") {
     val lowered = lower(col("text"))
     val hof = when(length(lowered) >= 2,
